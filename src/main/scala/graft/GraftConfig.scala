@@ -1,0 +1,72 @@
+package graft
+
+/** Engine configuration, mirroring the reference's config hierarchy
+  * (reference: src/config.py:44-110). Defaults match the reference's
+  * defaults exactly so chunking / validation / embedding behavior is
+  * comparable at parity.
+  */
+final case class ExtractionConfig(
+    /** Extraction provider: "stub" (deterministic, offline) is the default
+      * in this zero-egress build; the reference defaults to "pymupdf"
+      * (src/config.py:47) with "google_vision" optional.
+      */
+    method: String = "stub",
+    ocrDpi: Int = 300,
+    // Quality thresholds for text-density heuristics (src/config.py:52-57)
+    minCharsPerPage: Int = 100,
+    minWordsPerPage: Int = 20,
+    maxNonAsciiRatio: Double = 0.15,
+    minAvgWordLength: Double = 2.0,
+    maxAvgWordLength: Double = 15.0,
+    // File limits (src/config.py:60-61)
+    maxFileSizeMb: Int = 50,
+    maxPageCount: Int = 500
+)
+
+/** Chunking knobs (reference: src/config.py:64-77). `chunkSize` is measured
+  * in characters (the reference calls them "tokens" but uses
+  * `length_function=len`, src/transform/chunker.py:47).
+  */
+final case class ChunkingConfig(
+    chunkSize: Int = 512,
+    chunkOverlap: Int = 50,
+    markdownHeaders: Seq[(String, String)] =
+      Seq("#" -> "h1", "##" -> "h2", "###" -> "h3")
+)
+
+/** Embedding knobs (reference: src/config.py:80-98). The default provider
+  * here is the deterministic offline feature-hashing embedder ("hashing");
+  * "openai" exists in the reference but requires network egress.
+  */
+final case class EmbeddingConfig(
+    provider: String = "hashing",
+    batchSize: Int = 100,
+    dimension: Int = 64
+)
+
+final case class SearchConfig(
+    defaultK: Int = 10,
+    maxK: Int = 100,
+    contextOverfetchK: Int = 20,
+    defaultMaxTokens: Int = 4000,
+    // BM25 constants (standard Robertson defaults; design at
+    // reference plans/etl-pipeline-plan.md:1125 delegates to LanceDB's
+    // Tantivy BM25, which uses the same k1/b)
+    bm25K1: Double = 1.2,
+    bm25B: Double = 0.75,
+    // RRF smoothing constant (plans/etl-pipeline-plan.md:1117-1129)
+    rrfK: Int = 60
+)
+
+final case class GraftConfig(
+    extraction: ExtractionConfig = ExtractionConfig(),
+    chunking: ChunkingConfig = ChunkingConfig(),
+    embedding: EmbeddingConfig = EmbeddingConfig(),
+    search: SearchConfig = SearchConfig(),
+    /** Root dir of the parquet catalog (documents/chunks/images/fts tables). */
+    warehouseDir: String = "/tmp/graft-warehouse"
+)
+
+object GraftConfig {
+  val default: GraftConfig = GraftConfig()
+}

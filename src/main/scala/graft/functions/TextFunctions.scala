@@ -1,0 +1,107 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-algebra scalar functions for the ETL surface — everything here is
+  * built from codegen'd Spark built-ins (no UDFs), so it fuses into
+  * whole-stage codegen and is pushdown/prune-friendly at any scale.
+  */
+object TextFunctions {
+
+  /** `"sha256:" + hex(sha256(bytes))` file hash for change detection
+    * (reference: src/extract/pymupdf_extractor.py:25-31).
+    */
+  def fileHash(content: Column): Column =
+    concat(lit("sha256:"), lower(sha2(content, 256)))
+
+  /** Clean title from a PDF filename: strip extension, leading catalog
+    * prefix ("EP001 ", "FF633 "), and trailing 6/4-digit date suffixes
+    * (reference: src/extract/pymupdf_extractor.py:33-51).
+    */
+  def titleFromFilename(filename: Column): Column = {
+    val stem = regexp_replace(
+      element_at(split(filename, "/"), -1),
+      "\\.[pP][dD][fF]$",
+      ""
+    )
+    val noPrefix = regexp_replace(stem, "^[A-Z]{2,3}\\d{2,4}\\s*", "")
+    val noDate6 = regexp_replace(noPrefix, "[_\\s]?\\d{6}$", "")
+    val noDate4 = regexp_replace(noDate6, "[_\\s]?\\d{4}$", "")
+    trim(noDate4)
+  }
+
+  /** Rough token estimate: whitespace words x 1.3, truncated to int
+    * (reference: src/transform/chunker.py:124-126).
+    */
+  def tokenEstimate(text: Column): Column =
+    (wordCount(text) * lit(1.3)).cast("int")
+
+  /** Count of whitespace-separated words (Python `len(s.split())` semantics:
+    * leading/trailing whitespace produces no empty words).
+    */
+  def wordCount(text: Column): Column =
+    size(filter(split(text, "\\s+"), w => length(w) > 0))
+
+  /** Extraction-quality metric columns (reference:
+    * src/extract/pymupdf_extractor.py:173-205): chars/page, words/page, avg
+    * word length, whitespace ratio (spaces only, matching
+    * `text.count(" ")`), non-ASCII ratio.
+    */
+  def charsPerPage(text: Column, pageCount: Column): Column =
+    length(text).cast("double") / pageCount
+
+  def wordsPerPage(text: Column, pageCount: Column): Column =
+    wordCount(text).cast("double") / pageCount
+
+  def avgWordLength(text: Column): Column = {
+    val words = filter(split(text, "\\s+"), w => length(w) > 0)
+    val totalLen = aggregate(words, lit(0), (acc, w) => acc + length(w))
+    totalLen.cast("double") / greatest(size(words), lit(1))
+  }
+
+  def whitespaceRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, " ", ""))).cast("double") /
+      greatest(length(text), lit(1))
+
+  def nonAsciiRatio(text: Column): Column =
+    length(regexp_replace(text, "[\\x00-\\x7F]", "")).cast("double") /
+      greatest(length(text), lit(1))
+
+  /** Quality gate: null when acceptable, else the failure reason — the
+    * OCR-fallback routing decision (reference:
+    * src/extract/pymupdf_extractor.py:207-236; thresholds src/config.py:52-57).
+    */
+  def qualityFallbackReason(
+      text: Column,
+      pageCount: Column,
+      minCharsPerPage: Double = 100,
+      minWordsPerPage: Double = 20,
+      minAvgWordLength: Double = 2.0,
+      maxAvgWordLength: Double = 15.0,
+      maxNonAsciiRatio: Double = 0.15
+  ): Column =
+    when(charsPerPage(text, pageCount) < minCharsPerPage, lit("low_char_density"))
+      .when(wordsPerPage(text, pageCount) < minWordsPerPage, lit("low_word_count"))
+      .when(avgWordLength(text) < minAvgWordLength, lit("short_words"))
+      .when(avgWordLength(text) > maxAvgWordLength, lit("no_word_boundaries"))
+      .when(nonAsciiRatio(text) > maxNonAsciiRatio, lit("high_non_ascii"))
+      .otherwise(lit(null).cast("string"))
+
+  /** Extract the YAML frontmatter body from a markdown checkpoint file
+    * (reference regex `^---\s*\n(.*?)\n---\s*\n` DOTALL,
+    * src/transform/markdown_parser.py:31).
+    */
+  def frontmatterBody(markdown: Column): Column =
+    regexp_extract(markdown, "(?s)^---\\s*\\n(.*?)\\n---\\s*\\n", 1)
+
+  /** Markdown content after the frontmatter block, trimmed. */
+  def frontmatterContent(markdown: Column): Column =
+    trim(regexp_replace(markdown, "(?s)^---\\s*\\n.*?\\n---\\s*\\n", ""))
+
+  /** Tokenize text for FTS indexing/search: lowercase word characters.
+    * Deterministic and shared by index build and query side.
+    */
+  def ftsTokens(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9]+"), t => length(t) > 0)
+}

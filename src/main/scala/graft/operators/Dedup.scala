@@ -1,0 +1,196 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Deduplication operators for large-scale training-data pipelines.
+  * All variants are expressed as DataFrame algebra so Catalyst handles
+  * pushdown/pruning, and every pairwise method is blocked (LSH-banded)
+  * so nothing ever materializes an O(n^2) cross product.
+  *
+  * Inventory:
+  *   - exact:      hash-groupBy on normalized text (one shuffle on a short
+  *                 hash key — the cheapest possible full-corpus dedup)
+  *   - minhash:    shingle -> minhash signature -> band -> bucket join
+  *   - simhash:    64-bit simhash + banded Hamming blocking
+  *   - ngramJaccard: word n-gram Jaccard via explode + semi-blocked join
+  *   - embedding near-dup: see [[VectorSearch.nearDuplicatePairs]]
+  */
+object Dedup {
+
+  /** Normalize text for dedup purposes: lowercase, collapse whitespace. */
+  def normalized(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Exact duplicate groups: md5 over normalized text. Returns one row per
+    * hash with the sorted list of member ids and the group size; groups of
+    * size 1 are dropped. The md5 key (not the full text) is the shuffle
+    * key, so 100 TB of text shuffles only ids + 32-byte digests.
+    */
+  def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("id"), md5(normalized(col(textCol))).as("text_hash"))
+      .groupBy("text_hash")
+      .agg(count(lit(1)).as("n_dups"), sort_array(collect_list(col("id"))).as("ids"))
+      .where(col("n_dups") > 1)
+
+  /** Keep one representative per exact-duplicate group (min id wins). */
+  def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(normalized(col(textCol))))
+      .orderBy(col(idCol))
+    docs.withColumn("_rn", row_number().over(w)).where(col("_rn") === 1).drop("_rn")
+  }
+
+  /** Word k-shingles of normalized text as an array column. */
+  def shingles(text: Column, k: Int = 3): Column = {
+    val words = split(normalized(text), " ")
+    // sliding window of k words joined by space; empty when < k words
+    array_distinct(
+      filter(
+        transform(
+          sequence(lit(0), greatest(size(words) - k, lit(0))),
+          i => when(size(words) >= k, concat_ws(" ", slice(words, i + 1, lit(k))))
+        ),
+        s => s.isNotNull
+      )
+    )
+  }
+
+  /** MinHash signature: for each of `numHashes` seeded hash functions, the
+    * minimum hash over the shingle set. Uses Spark's 64-bit xxhash64 with
+    * the seed mixed into the input — codegen'd, no UDF.
+    */
+  def minhashSignature(shingleArr: Column, numHashes: Int = 16): Column =
+    array((0 until numHashes).map { seed =>
+      array_min(transform(shingleArr, s => xxhash64(lit(seed), s)))
+    }: _*)
+
+  /** MinHash+LSH candidate pairs: signatures banded `bandSize` hashes per
+    * band; docs sharing any band bucket are candidates; candidates are
+    * verified with exact Jaccard over shingle sets. Returns
+    * (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
+    *
+    * The join key is (band_index, band_hash) — the classic LSH bucket join.
+    * No cross product: cost is sum of bucket sizes squared, and heavily
+    * skewed buckets are split by AQE skew handling.
+    */
+  def minhashLshPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.8,
+      shingleK: Int = 3,
+      numHashes: Int = 16,
+      bandSize: Int = 4
+  ): DataFrame = {
+    val withShingles = docs
+      .select(col(idCol).as("id"), shingles(col(textCol), shingleK).as("sh"))
+      .where(size(col("sh")) > 0)
+    val withSig = withShingles.withColumn("sig", minhashSignature(col("sh"), numHashes))
+
+    val numBands = numHashes / bandSize
+    val banded = withSig.select(
+      col("id"),
+      col("sh"),
+      explode(
+        array((0 until numBands).map { bi =>
+          struct(lit(bi).as("band_idx"), xxhash64(slice(col("sig"), bi * bandSize + 1, bandSize)).as("band_hash"))
+        }: _*)
+      ).as("band")
+    )
+
+    val a = banded.as("a")
+    val b = banded.as("b")
+    val candidates = a
+      .join(b, col("a.band") === col("b.band") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+      .dropDuplicates("id_a", "id_b")
+
+    candidates
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("uni", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
+      .withColumn("jaccard", col("inter").cast("double") / col("uni"))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** 64-bit SimHash over word unigrams: per-bit majority vote of token
+    * hashes. Pure column algebra: explode tokens, xxhash64, per-bit +/-1
+    * contributions summed per doc.
+    */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(
+      col(idCol).as("id"),
+      explode(TextFunctions.ftsTokens(col(textCol))).as("tok")
+    )
+    val hashed = toks.withColumn("h", xxhash64(col("tok")))
+    // sum of per-bit contributions: bit set -> +1 else -1
+    val bitCols = (0 until 64).map { bit =>
+      sum(when(shiftright(col("h"), bit).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"b$bit")
+    }
+    val bitSums = hashed.groupBy("id").agg(bitCols.head, bitCols.tail: _*)
+    val sigExpr = (0 until 64)
+      .map(bit => when(col(s"b$bit") > 0, lit(1L << bit)).otherwise(lit(0L)))
+      .reduce((x, y) => x.bitwiseOR(y))
+    bitSums.select(col("id"), sigExpr.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs within `maxHamming` bits, banded on 16-bit
+    * chunks (pigeonhole: any pair within Hamming distance 3 shares at least
+    * one of 4 16-bit bands exactly).
+    */
+  def simhashPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3
+  ): DataFrame = {
+    val sigs = simhash(docs, idCol, textCol)
+    val banded = sigs.select(
+      col("id"),
+      col("simhash"),
+      explode(array((0 until 4).map { bi =>
+        struct(lit(bi).as("band_idx"), shiftright(col("simhash"), bi * 16).bitwiseAND(lit(0xffffL)).as("band_val"))
+      }: _*)).as("band")
+    )
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.id") < col("b.id"))
+      .select(
+        col("a.id").as("id_a"),
+        col("b.id").as("id_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming")
+      )
+      .dropDuplicates("id_a", "id_b")
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /** Word n-gram Jaccard similarity for all pairs above `threshold`,
+    * blocked by shared n-grams (a pair is compared only if it shares at
+    * least one n-gram — which any pair above a positive threshold must).
+    */
+  def ngramJaccardPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      threshold: Double = 0.5
+  ): DataFrame = {
+    val withSh = docs
+      .select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+      .where(size(col("sh")) > 0)
+    val exploded = withSh.select(col("id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("gram"))
+    val a = exploded.as("a")
+    val b = exploded.as("b")
+    val inter = a
+      .join(b, col("a.gram") === col("b.gram") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"), col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .withColumn("jaccard", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+}

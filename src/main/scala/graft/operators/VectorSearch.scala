@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
+
+/** Vector similarity search over an `array<float>` embedding column.
+  *
+  * Exact brute-force top-k is the parity baseline — the reference's LanceDB
+  * store also runs exact kNN until an ANN index is explicitly created
+  * (reference: src/load/lancedb_store.py:127-152; no ANN index is ever
+  * built). Spark plans `orderBy(desc).limit(k)` as TakeOrderedAndProject:
+  * each partition keeps a k-heap and only k rows per partition move to the
+  * driver — no global sort, scales to arbitrarily many partitions.
+  *
+  * The scale path is [[SimHashLsh]]-bucketed search: probe only buckets
+  * within a Hamming radius of the query signature, then exact re-rank —
+  * turning a full-corpus scan into a partition-pruned scan when the
+  * corpus is bucketed/partitioned by signature prefix.
+  */
+object VectorSearch {
+
+  /** Exact brute-force cosine top-k. `tieBreak` makes the k-set
+    * deterministic under score ties.
+    */
+  def topK(
+      corpus: DataFrame,
+      vecCol: String,
+      queryVec: Array[Float],
+      k: Int,
+      tieBreak: Column,
+      prefilter: Option[Column] = None
+  ): DataFrame = {
+    val base = prefilter.map(corpus.where).getOrElse(corpus)
+    base
+      .withColumn("score", VectorFunctions.cosineSim(col(vecCol), typedLit(queryVec.toSeq)))
+      .orderBy(desc("score"), tieBreak)
+      .limit(k)
+  }
+
+  /** Random-hyperplane (SimHash) LSH for cosine distance.
+    *
+    * `nBits` hyperplanes with deterministic pseudo-random components give
+    * each vector an `nBits`-bit signature; cosine-similar vectors agree on
+    * most bits. ANN search probes candidates whose signature is within
+    * `maxHamming` of the query's, then exact-reranks. At cluster scale the
+    * corpus is written partitioned by a signature prefix so probing reads
+    * only matching partitions.
+    */
+  final case class SimHashLsh(nBits: Int = 16, dim: Int = 64, seed: Long = 42L) {
+
+    /** plane(j) component i — deterministic pseudo-gaussian from a seeded
+      * 64-bit mix (SplitMix64 finalizer), identical on driver and executors.
+      */
+    private[operators] def planeComponent(j: Int, i: Int): Double = {
+      var z = seed + (j.toLong << 32) + i.toLong
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z = z ^ (z >>> 31)
+      // uniform in [-1, 1) is fine for sign-projection LSH
+      (z.toDouble / Long.MaxValue.toDouble)
+    }
+
+    def signatureOf(vec: Seq[Float]): Long = {
+      var sig = 0L
+      var j = 0
+      while (j < nBits) {
+        var dot = 0.0
+        var i = 0
+        val n = math.min(dim, vec.length)
+        while (i < n) { dot += vec(i) * planeComponent(j, i); i += 1 }
+        if (dot >= 0) sig |= (1L << j)
+        j += 1
+      }
+      sig
+    }
+
+    /** Attach a `sig` column. A deterministic UDF — applied once at index
+      * build time and persisted, not per query.
+      */
+    def withSignature(corpus: DataFrame, vecCol: String): DataFrame = {
+      val self = this
+      val sigUdf = udf { (v: Seq[Float]) => if (v == null) null else self.signatureOf(v) }
+      corpus.withColumn("sig", sigUdf(col(vecCol)))
+    }
+
+    /** ANN top-k: Hamming-filter on signatures, exact cosine re-rank. */
+    def annTopK(
+        indexed: DataFrame,
+        vecCol: String,
+        queryVec: Array[Float],
+        k: Int,
+        tieBreak: Column,
+        maxHamming: Int = 4
+    ): DataFrame = {
+      val qSig = signatureOf(queryVec.toIndexedSeq)
+      val candidates = indexed.where(bit_count(col("sig").bitwiseXOR(lit(qSig))) <= maxHamming)
+      topK(candidates, vecCol, queryVec, k, tieBreak)
+    }
+  }
+
+  /** All-pairs near-duplicate detection by embedding cosine, LSH-blocked:
+    * only pairs sharing a signature band are compared — the classic
+    * O(n^2) -> O(n·bucket) reduction. Returns (id_a, id_b, score) with
+    * id_a < id_b.
+    */
+  def nearDuplicatePairs(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      lsh: SimHashLsh = SimHashLsh()
+  ): DataFrame = {
+    val sigd = lsh.withSignature(corpus.select(col(idCol).as("id"), col(vecCol).as("v")), "v")
+    // band the signature into 4-bit bands; pairs matching any band meet
+    val banded = sigd.select(
+      col("id"),
+      col("v"),
+      explode(
+        array((0 until lsh.nBits by 4).map(s => concat_ws(":", lit(s), shiftright(col("sig"), s).bitwiseAND(lit(0xf)))): _*)
+      ).as("band")
+    )
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("a.v").as("va"), col("b.v").as("vb"))
+      .distinct()
+      .withColumn("score", VectorFunctions.cosineSim(col("va"), col("vb")))
+      .where(col("score") >= threshold)
+      .select("id_a", "id_b", "score")
+  }
+}
