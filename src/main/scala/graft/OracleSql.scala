@@ -1,0 +1,278 @@
+package graft
+
+/** DuckDB-equivalent SQL for every SQL-expressible query in
+  * [[SparkEntry.queries]]. Each statement mirrors its Spark plan's value
+  * semantics *exactly*: decimal casts for FP-exact aggregation, identical
+  * expression association order, identical tokenization, deterministic
+  * ORDER BY with unique tie-breaks, and BIGINT/DOUBLE output casts matching
+  * Spark's output types.
+  */
+object OracleSql {
+
+  /** Python-`str.split()` word list: whitespace split, empties dropped. */
+  private val words =
+    """list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0)"""
+
+  /** FTS tokens: lowercase alphanumeric runs (mirrors TextFunctions.ftsTokens). */
+  private val ftsToks =
+    """list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)"""
+
+  /** BM25 scoring CTE chain over `documents` for query terms
+    * ('spark','query','data'), k1=1.2 b=0.75 — mirrors FtsIndex exactly,
+    * including expression association.
+    */
+  private val bm25Ctes =
+    s"""toks AS (SELECT doc_id, $ftsToks AS tokens FROM documents),
+       |dl AS (SELECT doc_id, len(tokens) AS doc_len, tokens FROM toks),
+       |tf AS (SELECT doc_id, doc_len, term, COUNT(*) AS tf
+       |       FROM (SELECT doc_id, doc_len, UNNEST(tokens) AS term FROM dl)
+       |       GROUP BY doc_id, doc_len, term),
+       |stats AS (SELECT COUNT(*) AS n, AVG(doc_len) AS avgdl FROM dl),
+       |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+       |scored AS (
+       |  SELECT tf.doc_id,
+       |         SUM( ln(1.0 + ((CAST((SELECT n FROM stats) AS DOUBLE) - dfreq.df) + 0.5) / (dfreq.df + 0.5))
+       |              * ((tf.tf * (1.2 + 1.0)) / (tf.tf + 1.2 * ((1.0 - 0.75) + (0.75 * tf.doc_len) / (SELECT avgdl FROM stats)))) ) AS score
+       |  FROM tf JOIN dfreq USING (term)
+       |  WHERE term IN ('spark','query','data')
+       |  GROUP BY tf.doc_id),
+       |bm AS (SELECT doc_id, ROUND(score, 6) AS score FROM scored
+       |       ORDER BY ROUND(score, 6) DESC, doc_id LIMIT 20)""".stripMargin
+
+  /** ANN CTE: brute-force cosine top-20 against vec_id=0's embedding. */
+  private val annCte =
+    """ann AS (
+      |  SELECT vec_id,
+      |         ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+      |               (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS score
+      |  FROM embeddings ORDER BY score DESC, vec_id LIMIT 20)""".stripMargin
+
+  val all: Map[String, String] = Map(
+    "q_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |  COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_filter_range" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01' AND l_quantity > 30
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_join_revenue_by_region" ->
+      """SELECT r_name, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '1998-01-01')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_semi_join" ->
+      """SELECT c_custkey, c_acctbal FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_topk_orders" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q_window_topn_per_cust" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "q_running_total" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_spend
+        |FROM orders WHERE o_custkey < 100
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_distinct_flags" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_union_segments" ->
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |UNION
+        |SELECT c_custkey FROM customer WHERE c_acctbal > 9000
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_status_histogram" ->
+      """SELECT o_orderstatus, COUNT(*) AS n FROM orders
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_count_enrichment" ->
+      """SELECT c_custkey, COUNT(o_orderkey) AS order_count
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+
+    "q_point_lookup" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+        |FROM lineitem WHERE l_orderkey = 1 ORDER BY l_linenumber""".stripMargin,
+
+    "q_scalar_hash" ->
+      """SELECT c_custkey, md5(c_name) AS name_md5,
+        |       concat('sha256:', lower(sha256(c_name))) AS name_sha
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q_title_clean" ->
+      """SELECT p_partkey,
+        |  trim(regexp_replace(regexp_replace(regexp_replace(p_name,
+        |    '^[A-Z]{2,3}\d{2,4}\s*', ''), '[_\s]?\d{6}$', ''), '[_\s]?\d{4}$', '')) AS clean_title
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q_token_estimate" ->
+      s"""SELECT doc_id,
+         |  CAST(FLOOR(CAST(len($words) AS DOUBLE) * 1.3) AS BIGINT) AS token_est
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_quality_metrics" ->
+      s"""SELECT doc_id,
+         |  CAST(length(text) AS BIGINT) AS chars,
+         |  CAST(len($words) AS BIGINT) AS words,
+         |  CAST(COALESCE(list_sum(list_transform($words, w -> len(w))), 0) AS DOUBLE) / GREATEST(len($words), 1) AS avg_word_len,
+         |  CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE) / GREATEST(length(text), 1) AS ws_ratio,
+         |  CAST(length(regexp_replace(text, '[\\x00-\\x7F]', '', 'g')) AS DOUBLE) / GREATEST(length(text), 1) AS non_ascii_ratio
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_quality_gate" ->
+      s"""SELECT doc_id,
+         |  CASE WHEN CAST(length(text) AS DOUBLE) / 1 < 100 THEN 'low_char_density'
+         |       WHEN CAST(len($words) AS DOUBLE) / 1 < 20 THEN 'low_word_count'
+         |       WHEN CAST(COALESCE(list_sum(list_transform($words, w -> len(w))), 0) AS DOUBLE) / GREATEST(len($words), 1) < 2.0 THEN 'short_words'
+         |       WHEN CAST(COALESCE(list_sum(list_transform($words, w -> len(w))), 0) AS DOUBLE) / GREATEST(len($words), 1) > 15.0 THEN 'no_word_boundaries'
+         |       WHEN CAST(length(regexp_replace(text, '[\\x00-\\x7F]', '', 'g')) AS DOUBLE) / GREATEST(length(text), 1) > 0.15 THEN 'high_non_ascii'
+         |       ELSE 'ok' END AS gate
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_like_filter" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE text LIKE '%spark%' ORDER BY doc_id""".stripMargin,
+
+    "q_date_histogram" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS month, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders GROUP BY 1 ORDER BY month""".stripMargin,
+
+    "q_json_extract" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_sort_multi" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+        |ORDER BY user_id, ts_us, event_id LIMIT 100""".stripMargin,
+
+    "q_event_tumbling" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events WHERE user_id < 50),
+        |l AS (SELECT user_id, event_id, ts_us,
+        |        lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_us FROM e),
+        |f AS (SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END AS is_new FROM l),
+        |sess AS (SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM f)
+        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        |       MIN(ts_us) AS session_start_us, MAX(ts_us) AS session_end_us
+        |FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT md5(substr(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 30)) AS text_hash,
+        |       COUNT(*) AS n_dups, LIST(doc_id ORDER BY doc_id) AS ids
+        |FROM documents GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY text_hash""".stripMargin,
+
+    "q_ngram_jaccard" ->
+      """WITH d AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+        |           FROM documents WHERE doc_id < 250),
+        |w AS (SELECT doc_id, string_split(norm, ' ') AS wrds FROM d),
+        |g AS (SELECT doc_id, list_distinct(list_transform(range(1, CAST(GREATEST(len(wrds) - 2, 0) AS BIGINT) + 1),
+        |        i -> wrds[i] || ' ' || wrds[i+1] || ' ' || wrds[i+2])) AS sh FROM w),
+        |gn AS (SELECT doc_id, sh, len(sh) AS n_sh FROM g WHERE len(sh) > 0),
+        |e AS (SELECT doc_id, n_sh, UNNEST(sh) AS gram FROM gn),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS na, b.n_sh AS nb, COUNT(*) AS inter
+        |      FROM e a JOIN e b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2, 3, 4)
+        |SELECT id_a, id_b, ROUND(CAST(inter AS DOUBLE) / ((na + nb) - inter), 6) AS jaccard
+        |FROM p WHERE CAST(inter AS DOUBLE) / ((na + nb) - inter) >= 0.2
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_lang_id" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(regexp_split_to_array(lower(text), '[^a-zà-ÿ]+'),
+        |        w -> list_contains(['the','and','of','to','in','is','that','for','with','are'], w))) AS en,
+        |    len(list_filter(regexp_split_to_array(lower(text), '[^a-zà-ÿ]+'),
+        |        w -> list_contains(['der','die','und','das','ist','nicht','mit','ein','den','von'], w))) AS de,
+        |    len(list_filter(regexp_split_to_array(lower(text), '[^a-zà-ÿ]+'),
+        |        w -> list_contains(['le','la','les','et','des','est','dans','que','pour','une'], w))) AS fr,
+        |    len(list_filter(regexp_split_to_array(lower(text), '[^a-zà-ÿ]+'),
+        |        w -> list_contains(['el','la','los','las','es','en','que','por','con','para'], w))) AS es
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN en >= de AND en >= fr AND en >= es AND en > 0 THEN 'en'
+        |       WHEN de >= fr AND de >= es AND de > 0 THEN 'de'
+        |       WHEN fr >= es AND fr > 0 THEN 'fr'
+        |       WHEN es > 0 THEN 'es'
+        |       ELSE 'und' END AS pred_lang,
+        |  lang
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q_ann_cosine" ->
+      s"""WITH $annCte
+         |SELECT vec_id, score FROM ann""".stripMargin,
+
+    "q_bm25" ->
+      s"""WITH $bm25Ctes
+         |SELECT doc_id, score FROM bm""".stripMargin,
+
+    "q_rrf_hybrid" ->
+      s"""WITH $annCte,
+         |$bm25Ctes,
+         |ra AS (SELECT vec_id AS id, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, vec_id) AS BIGINT) AS rank_vec FROM ann),
+         |rb AS (SELECT doc_id AS id, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank_kw FROM bm),
+         |fused AS (SELECT COALESCE(ra.id, rb.id) AS id, ra.rank_vec, rb.rank_kw,
+         |            COALESCE(1.0 / (60 + ra.rank_vec), 0.0) + COALESCE(1.0 / (60 + rb.rank_kw), 0.0) AS raw
+         |          FROM ra FULL OUTER JOIN rb ON ra.id = rb.id)
+         |SELECT id, rank_vec, rank_kw, ROUND(raw, 8) AS rrf_score
+         |FROM fused ORDER BY raw DESC, id LIMIT 10""".stripMargin,
+
+    "q_context_budget" ->
+      s"""WITH $bm25Ctes,
+         |j AS (SELECT bm.doc_id, bm.score, d.text FROM bm JOIN documents d ON bm.doc_id = d.doc_id),
+         |c AS (SELECT doc_id, score,
+         |        CAST(len($words) AS DOUBLE) * 1.3 AS est FROM j),
+         |cum AS (SELECT doc_id, score,
+         |          SUM(est) OVER (ORDER BY score DESC, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+         |        FROM c),
+         |flagged AS (SELECT doc_id, cum_tokens,
+         |              MAX(CASE WHEN cum_tokens > 500 THEN 1 ELSE 0 END) OVER (
+         |                ORDER BY score DESC, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS overflowed
+         |            FROM cum)
+         |SELECT doc_id, ROUND(cum_tokens, 4) AS cum_tokens FROM flagged
+         |WHERE overflowed = 0 ORDER BY doc_id""".stripMargin,
+
+    "q_cascade_delete" ->
+      """SELECT COUNT(*) AS surviving_rows FROM lineitem
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey AND o_orderstatus = 'F')""".stripMargin
+  )
+}

@@ -1,13 +1,480 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions, VectorFunctions}
+import graft.operators._
+
+/** Driver contract: one `queries` entry per implemented operator from
+  * SURVEY.md §2 (+ the LLM-data-pipeline additions), with DuckDB-equivalent
+  * `oracleSql` for everything SQL-expressible. Column names and value
+  * semantics are kept byte-identical between the Spark plan and the oracle
+  * SQL (decimal-exact aggregation, deterministic ordering, explicit casts).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** events.parquet carries TIMESTAMP(NANOS), which Spark's vectorized
+    * reader rejects; read nanos as long and expose a derived `ts_us`
+    * (microseconds) column matching DuckDB's `epoch_us(ts)`.
+    */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, dir, "events").withColumn("ts_us", expr("ts DIV 1000"))
+  }
+
+  // decimal-exact sum of a double column, emitted as double (identical in
+  // Spark and DuckDB because decimal arithmetic is exact in both)
+  private def dsum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(s"decimal(18,$scale)")).cast("double")
+
+  /** Flagship: hybrid (RRF) retrieval over the sf0.001 documents corpus —
+    * BM25 + embedding cosine fused, the reference's signature query
+    * (src/retrieve/hybrid_retriever.py:57-90).
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q_rrf_hybrid")(spark, "/root/testdata/sf0.001")
+
+  // =====================================================================
+  // Query implementations
+  // =====================================================================
+
+  /** TPC-H-Q1-style pricing summary: hash-agg with decimal-exact sums
+    * (SURVEY §2.4 A1/A4). Partial aggregation map-side; one shuffle on the
+    * 2x2 grouping key.
+    */
+  private def qPricingSummary(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .where(col("l_shipdate") <= lit("1998-09-01"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        sum(
+          col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))
+        ).cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order")
+      )
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Projection + range/value predicates, all pushed into the parquet scan
+    * (SURVEY §2.2 F5/F6; §4 pushdown).
+    */
+  private def qFilterRange(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .where(
+        col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1997-01-01") &&
+          col("l_quantity") > 30
+      )
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** 4-way star join, dimensions broadcast (SURVEY §2.3 J4 enrichment). */
+  private def qJoinRevenueByRegion(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("total_revenue")
+      )
+      .orderBy("r_name")
+
+  /** Incremental-ingest anti-join: rows absent from the ledger
+    * (reference change detection, src/pipeline.py:192-220; SURVEY §2.3 J1/J2).
+    */
+  private def qAntiJoin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(
+        t(s, dir, "orders").where(col("o_orderdate") >= lit("1998-01-01")),
+        col("c_custkey") === col("o_custkey"),
+        "left_anti"
+      )
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** Existence semi-join (SURVEY §2.3 J3). */
+  private def qSemiJoin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(
+        t(s, dir, "orders").where(col("o_totalprice") > 400000),
+        col("c_custkey") === col("o_custkey"),
+        "left_semi"
+      )
+      .select("c_custkey", "c_acctbal")
+      .orderBy("c_custkey")
+
+  /** Top-k by score: plans as TakeOrderedAndProject — per-partition k-heaps,
+    * no global sort (SURVEY §2.5 W3).
+    */
+  private def qTopkOrders(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select("o_orderkey", "o_totalprice")
+      .orderBy(desc("o_totalprice"), col("o_orderkey"))
+      .limit(10)
+
+  /** Per-group top-n via row_number window (SURVEY §2.5 W1/W2). */
+  private def qWindowTopnPerCust(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(desc("o_totalprice"), col("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .where(col("rn") <= 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** Running cumulative sum window — the token-budget aggregation shape
+    * (SURVEY §2.4 A5).
+    */
+  private def qRunningTotal(s: SparkSession, dir: String): DataFrame = {
+    val w = Window
+      .partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "orders")
+      .where(col("o_custkey") < 100)
+      .withColumn("cum_spend", sum(col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double"))
+      .select("o_custkey", "o_orderkey", "cum_spend")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** DISTINCT (SURVEY §2.7). */
+  private def qDistinctFlags(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select("l_returnflag", "l_linestatus")
+      .distinct()
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** UNION with dedup (SURVEY §2.7). */
+  private def qUnionSegments(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    c.where(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+      .union(c.where(col("c_acctbal") > 9000).select("c_custkey"))
+      .distinct()
+      .orderBy("c_custkey")
+  }
+
+  /** Status histogram — the reference's stats endpoint
+    * (src/pipeline.py:297-311; SURVEY §2.4 A1).
+    */
+  private def qStatusHistogram(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("o_orderstatus")
+
+  /** Count-enrichment left join (document detail view, SURVEY §2.3 J4). */
+  private def qCountEnrichment(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("order_count"))
+      .orderBy("c_custkey")
+
+  /** Point lookup by key — parquet min/max pruned (SURVEY §2.2 F6). */
+  private def qPointLookup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .where(col("l_orderkey") === 1)
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+      .orderBy("l_linenumber")
+
+  /** sha256/md5 content hashing (reference file-hash X1,
+    * src/extract/pymupdf_extractor.py:25-31).
+    */
+  private def qScalarHash(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .select(
+        col("c_custkey"),
+        md5(col("c_name")).as("name_md5"),
+        concat(lit("sha256:"), lower(sha2(col("c_name"), 256))).as("name_sha")
+      )
+      .orderBy("c_custkey")
+
+  /** Title-from-filename regexp chain (X2,
+    * src/extract/pymupdf_extractor.py:33-51) applied to part names.
+    */
+  private def qTitleClean(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .select(
+        col("p_partkey"),
+        trim(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(col("p_name"), "^[A-Z]{2,3}\\d{2,4}\\s*", ""),
+              "[_\\s]?\\d{6}$",
+              ""
+            ),
+            "[_\\s]?\\d{4}$",
+            ""
+          )
+        ).as("clean_title")
+      )
+      .orderBy("p_partkey")
+
+  /** words*1.3 token estimate (X4, src/transform/chunker.py:124-126). */
+  private def qTokenEstimate(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        floor(TextFunctions.wordCount(col("text")).cast("double") * 1.3)
+          .cast("long")
+          .as("token_est")
+      )
+      .orderBy("doc_id")
+
+  /** Extraction-quality metric projection (F2,
+    * src/extract/pymupdf_extractor.py:173-205) — page_count=1 per doc.
+    */
+  private def qQualityMetrics(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("chars"),
+        TextFunctions.wordCount(col("text")).cast("long").as("words"),
+        TextFunctions.avgWordLength(col("text")).as("avg_word_len"),
+        TextFunctions.whitespaceRatio(col("text")).as("ws_ratio"),
+        TextFunctions.nonAsciiRatio(col("text")).as("non_ascii_ratio")
+      )
+      .orderBy("doc_id")
+
+  /** Quality-threshold routing CASE chain (F3,
+    * src/extract/pymupdf_extractor.py:207-236), single-page semantics.
+    */
+  private def qQualityGate(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        coalesce(
+          TextFunctions.qualityFallbackReason(col("text"), lit(1)),
+          lit("ok")
+        ).as("gate")
+      )
+      .orderBy("doc_id")
+
+  /** LIKE-containment title filter (F4,
+    * src/retrieve/hybrid_retriever.py:76-81) — parameterized, injection-proof.
+    */
+  private def qLikeFilter(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .where(col("text").contains("spark"))
+      .select("doc_id", "source")
+      .orderBy("doc_id")
+
+  /** Date bucketing + formatting (X7). */
+  private def qDateHistogram(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+      .orderBy("month")
+
+  /** JSON field extraction (X8 — the reference JSON-encodes metadata,
+    * src/load/sqlite_store.py:358).
+    */
+  private def qJsonExtract(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .select(col("event_type"), get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("k").as("k_sum"))
+      .orderBy("event_type")
+
+  /** Multi-column sort + limit (O2: images by page, index). */
+  private def qSortMulti(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts_us"))
+      .orderBy("user_id", "ts_us", "event_id")
+      .limit(100)
+
+  /** Tumbling-window event aggregation (streaming-shaped batch form;
+    * SURVEY §2.11).
+    */
+  private def qEventTumbling(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(
+        date_format(date_trunc("hour", timestamp_micros(col("ts_us"))), "yyyy-MM-dd HH:mm:ss")
+          .as("window_start"),
+        col("event_type")
+      )
+      .agg(count(lit(1)).as("n_events"), dsum(col("value"), 6).as("total_value"))
+      .orderBy("window_start", "event_type")
+
+  /** Sessionization: 30-min-gap sessions via lag + cumulative flag sum —
+    * the batch twin of flatMapGroupsWithState sessionization.
+    */
+  private def qSessionize(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, dir)
+      .where(col("user_id") < 50)
+      .select(col("user_id"), col("event_id"), col("ts_us"))
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(byUser))
+      .withColumn(
+        "is_new",
+        when(col("prev_us").isNull || col("ts_us") - col("prev_us") > 1800L * 1000000L, 1L)
+          .otherwise(0L)
+      )
+      .withColumn("session_id", sum("is_new").over(cum))
+      .groupBy("user_id", "session_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min("ts_us").as("session_start_us"),
+        max("ts_us").as("session_end_us")
+      )
+      .orderBy("user_id", "session_id")
+  }
+
+  /** Exact near-dup grouping on a normalized-prefix hash (dedup: exact;
+    * prefix-30 so the synthetic corpus actually has collision groups).
+    */
+  private def qDedupExact(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        md5(substring(Dedup.normalized(col("text")), 1, 30)).as("text_hash")
+      )
+      .groupBy("text_hash")
+      .agg(count(lit(1)).as("n_dups"), sort_array(collect_list(col("doc_id"))).as("ids"))
+      .where(col("n_dups") > 1)
+      .orderBy("text_hash")
+
+  /** Word-3-gram Jaccard near-dup pairs, gram-blocked (dedup: n-gram). */
+  private def qNgramJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup
+      .ngramJaccardPairs(
+        t(s, dir, "documents").where(col("doc_id") < 250),
+        "doc_id",
+        "text",
+        n = 3,
+        threshold = 0.2
+      )
+      .select(
+        col("id_a"),
+        col("id_b"),
+        round(col("jaccard"), 6).as("jaccard")
+      )
+      .orderBy("id_a", "id_b")
+
+  /** Language-ID heuristic over stopword hits (text analysis). */
+  private def qLangId(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.langId(col("text")).as("pred_lang"), col("lang"))
+      .orderBy("doc_id")
+
+  /** Brute-force cosine top-k over the embeddings table (similarity
+    * search baseline; Q1 vector search).
+    */
+  private def qAnnCosine(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val qv = emb.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
+    emb
+      .withColumn(
+        "score",
+        round(VectorFunctions.cosineSim(col("embedding"), typedlit(qv)), 6)
+      )
+      .select("vec_id", "score")
+      .orderBy(desc("score"), col("vec_id"))
+      .limit(20)
+  }
+
+  /** BM25 keyword search over documents (Q2/S7/A7/J7: inverted index +
+    * postings join + score agg + top-k).
+    */
+  private def qBm25(s: SparkSession, dir: String): DataFrame = {
+    val idx = FtsIndex.build(t(s, dir, "documents"), "doc_id", "text")
+    FtsIndex
+      .search(s, idx, "spark query data", 20)
+      .select(col("doc_id"), round(col("score"), 6).as("score"))
+      .orderBy(desc("score"), col("doc_id"))
+      .limit(20)
+  }
+
+  /** Hybrid RRF fusion of vector + BM25 rankings (Q3/W4 — the reference's
+    * signature composite, plans/etl-pipeline-plan.md:1117-1129).
+    */
+  private def qRrfHybrid(s: SparkSession, dir: String): DataFrame = {
+    val ann = qAnnCosine(s, dir).withColumnRenamed("vec_id", "id")
+    val bm = qBm25(s, dir).withColumnRenamed("doc_id", "id")
+    HybridSearch
+      .rrf(ann, bm, "id", "score", k = 10)
+      .select(
+        col("id"),
+        col("rank_vec").cast("long").as("rank_vec"),
+        col("rank_kw").cast("long").as("rank_kw"),
+        round(col("rrf_score"), 8).as("rrf_score")
+      )
+  }
+
+  /** Token-budget context selection (Q6/A5): longest score-ordered prefix
+    * of BM25 hits whose cumulative words*1.3 fits the budget.
+    */
+  private def qContextBudget(s: SparkSession, dir: String): DataFrame = {
+    val hits = qBm25(s, dir)
+      .join(t(s, dir, "documents").select("doc_id", "text"), "doc_id")
+    ContextAssembly
+      .selectWithinBudget(hits, "score", "doc_id", maxTokens = 500)
+      .select(col("doc_id"), round(col("cum_tokens"), 4).as("cum_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** Cascade-delete as anti-join rewrite (S10/J5,
+    * src/pipeline.py:270-295): surviving row count after deleting a
+    * document set.
+    */
+  private def qCascadeDelete(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .join(
+        t(s, dir, "orders").where(col("o_orderstatus") === "F").select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"),
+        "left_anti"
+      )
+      .agg(count(lit(1)).as("surviving_rows"))
+
+  // =====================================================================
+  // Contract maps
+  // =====================================================================
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pricing_summary" -> (qPricingSummary _),
+    "q_filter_range" -> (qFilterRange _),
+    "q_join_revenue_by_region" -> (qJoinRevenueByRegion _),
+    "q_anti_join" -> (qAntiJoin _),
+    "q_semi_join" -> (qSemiJoin _),
+    "q_topk_orders" -> (qTopkOrders _),
+    "q_window_topn_per_cust" -> (qWindowTopnPerCust _),
+    "q_running_total" -> (qRunningTotal _),
+    "q_distinct_flags" -> (qDistinctFlags _),
+    "q_union_segments" -> (qUnionSegments _),
+    "q_status_histogram" -> (qStatusHistogram _),
+    "q_count_enrichment" -> (qCountEnrichment _),
+    "q_point_lookup" -> (qPointLookup _),
+    "q_scalar_hash" -> (qScalarHash _),
+    "q_title_clean" -> (qTitleClean _),
+    "q_token_estimate" -> (qTokenEstimate _),
+    "q_quality_metrics" -> (qQualityMetrics _),
+    "q_quality_gate" -> (qQualityGate _),
+    "q_like_filter" -> (qLikeFilter _),
+    "q_date_histogram" -> (qDateHistogram _),
+    "q_json_extract" -> (qJsonExtract _),
+    "q_sort_multi" -> (qSortMulti _),
+    "q_event_tumbling" -> (qEventTumbling _),
+    "q_sessionize" -> (qSessionize _),
+    "q_dedup_exact" -> (qDedupExact _),
+    "q_ngram_jaccard" -> (qNgramJaccard _),
+    "q_lang_id" -> (qLangId _),
+    "q_ann_cosine" -> (qAnnCosine _),
+    "q_bm25" -> (qBm25 _),
+    "q_rrf_hybrid" -> (qRrfHybrid _),
+    "q_context_budget" -> (qContextBudget _),
+    "q_cascade_delete" -> (qCascadeDelete _)
+  )
+
+  def oracleSql: Map[String, String] = OracleSql.all
 }
