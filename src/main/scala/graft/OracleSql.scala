@@ -273,6 +273,35 @@ object OracleSql {
 
     "q_cascade_delete" ->
       """SELECT COUNT(*) AS surviving_rows FROM lineitem
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey AND o_orderstatus = 'F')""".stripMargin
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey AND o_orderstatus = 'F')""".stripMargin,
+
+    "q_minhash_lsh" ->
+      """WITH d AS (SELECT doc_id AS id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+        |           FROM documents WHERE doc_id < 250),
+        |w AS (SELECT id, string_split(norm, ' ') AS wrds FROM d),
+        |g0 AS (SELECT id, list_distinct(list_transform(range(1, CAST(GREATEST(len(wrds) - 2, 0) AS BIGINT) + 1),
+        |         i -> wrds[i] || ' ' || wrds[i+1] || ' ' || wrds[i+2])) AS sh FROM w),
+        |gn AS (SELECT id, sh, len(sh) AS n_sh FROM g0 WHERE len(sh) > 0),
+        |grams AS (SELECT id, n_sh, UNNEST(sh) AS gram FROM gn),
+        |mh AS (SELECT id, seed, MIN(md5(CAST(seed AS VARCHAR) || ':' || gram)) AS h
+        |       FROM grams, UNNEST([0,1,2,3,4,5,6,7]) AS t(seed) GROUP BY id, seed),
+        |sig AS (SELECT id,
+        |          MAX(CASE WHEN seed=0 THEN h END) AS h0, MAX(CASE WHEN seed=1 THEN h END) AS h1,
+        |          MAX(CASE WHEN seed=2 THEN h END) AS h2, MAX(CASE WHEN seed=3 THEN h END) AS h3,
+        |          MAX(CASE WHEN seed=4 THEN h END) AS h4, MAX(CASE WHEN seed=5 THEN h END) AS h5,
+        |          MAX(CASE WHEN seed=6 THEN h END) AS h6, MAX(CASE WHEN seed=7 THEN h END) AS h7
+        |        FROM mh GROUP BY id),
+        |bands AS (SELECT id, 0 AS b, md5(h0 || '|' || h1 || '|' || h2 || '|' || h3) AS bh FROM sig
+        |          UNION ALL
+        |          SELECT id, 1 AS b, md5(h4 || '|' || h5 || '|' || h6 || '|' || h7) AS bh FROM sig),
+        |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        |         FROM bands a JOIN bands b ON a.b = b.b AND a.bh = b.bh AND a.id < b.id),
+        |inter AS (SELECT ga.id AS id_a, gb.id AS id_b, ga.n_sh AS na, gb.n_sh AS nb, COUNT(*) AS inter
+        |          FROM grams ga JOIN grams gb ON ga.gram = gb.gram AND ga.id < gb.id
+        |          GROUP BY 1, 2, 3, 4)
+        |SELECT c.id_a, c.id_b, ROUND(CAST(inter AS DOUBLE) / ((na + nb) - inter), 6) AS jaccard
+        |FROM cand c JOIN inter i ON c.id_a = i.id_a AND c.id_b = i.id_b
+        |WHERE CAST(inter AS DOUBLE) / ((na + nb) - inter) >= 0.8
+        |ORDER BY c.id_a, c.id_b""".stripMargin
   )
 }

@@ -437,6 +437,113 @@ object SparkEntry {
       )
       .agg(count(lit(1)).as("surviving_rows"))
 
+  /** MinHash+LSH near-dup pairs with an md5-based (engine-portable) hash
+    * family so the relational skeleton is oracle-checkable: shingle ->
+    * 8 min-hashes -> 2 bands of 4 -> bucket join -> exact Jaccard verify.
+    * (The library's fast path, Dedup.minhashLshPairs, uses xxhash64.)
+    */
+  private def qMinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").where(col("doc_id") < 250)
+    val withSh = docs
+      .select(col("doc_id").as("id"), Dedup.shingles(col("text"), 3).as("sh"))
+      .where(size(col("sh")) > 0)
+    val grams = withSh.select(col("id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("gram"))
+
+    val mh = grams
+      .select(col("id"), col("gram"), explode(typedlit((0 until 8).toList)).as("seed"))
+      .groupBy("id", "seed")
+      .agg(min(md5(concat(col("seed").cast("string"), lit(":"), col("gram")))).as("h"))
+    val sig = mh
+      .groupBy("id")
+      .agg(
+        (0 until 8).map(i => max(when(col("seed") === i, col("h"))).as(s"h$i")).head,
+        (0 until 8).map(i => max(when(col("seed") === i, col("h"))).as(s"h$i")).tail: _*
+      )
+    val bands = sig.select(
+      col("id"),
+      explode(
+        array(
+          struct(lit(0).as("b"), md5(concat_ws("|", col("h0"), col("h1"), col("h2"), col("h3"))).as("bh")),
+          struct(lit(1).as("b"), md5(concat_ws("|", col("h4"), col("h5"), col("h6"), col("h7"))).as("bh"))
+        )
+      ).as("band")
+    )
+    val cand = bands
+      .as("a")
+      .join(bands.as("b"), col("a.band") === col("b.band") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val inter = grams
+      .as("ga")
+      .join(grams.as("gb"), col("ga.gram") === col("gb.gram") && col("ga.id") < col("gb.id"))
+      .groupBy(
+        col("ga.id").as("id_a"),
+        col("gb.id").as("id_b"),
+        col("ga.n_sh").as("na"),
+        col("gb.n_sh").as("nb")
+      )
+      .agg(count(lit(1)).as("inter"))
+    cand
+      .join(inter, Seq("id_a", "id_b"))
+      .withColumn("jaccard", col("inter").cast("double") / ((col("na") + col("nb")) - col("inter")))
+      .where(col("jaccard") >= 0.8)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Hybrid chunker as a distributed flatMap over the documents corpus
+    * (U4+U5; rows-only check — the splitter has no SQL equivalent).
+    */
+  private def qChunker(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        Chunker.chunk(text, ChunkingConfig(chunkSize = 256, chunkOverlap = 32)).map { c =>
+          (id, c.chunkIndex, c.totalChunks, c.isSectionStart, c.tokenCount, c.text)
+        }
+      }
+      .toDF("doc_id", "chunk_index", "total_chunks", "is_section_start", "token_count", "chunk_text")
+      .orderBy("doc_id", "chunk_index")
+  }
+
+  /** Deterministic hashing embedder over chunk text (U6; rows-only). */
+  private def qEmbedChunks(s: SparkSession, dir: String): DataFrame =
+    Embedder
+      .withEmbedding(t(s, dir, "documents").select("doc_id", "text"), "text", "embedding")
+      .select(
+        col("doc_id"),
+        size(col("embedding")).as("dim"),
+        round(VectorFunctions.cosineSim(col("embedding"), col("embedding")), 6).as("self_sim")
+      )
+      .orderBy("doc_id")
+
+  /** SimHash-LSH approximate nearest neighbors (scale path of Q1;
+    * rows-only — exercises signature bucketing + exact re-rank).
+    */
+  private def qAnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val qv = emb.where(col("vec_id") === 0).head().getSeq[Float](1).toArray
+    val lsh = VectorSearch.SimHashLsh(nBits = 16, dim = qv.length)
+    val indexed = lsh.withSignature(emb, "embedding")
+    lsh
+      .annTopK(indexed, "embedding", qv, 10, col("vec_id"), maxHamming = 8)
+      .select(col("vec_id"), round(col("score"), 6).as("score"))
+  }
+
+  /** SimHash near-dup pairs over documents (rows-only). */
+  private def qSimhashPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup
+      .simhashPairs(t(s, dir, "documents").where(col("doc_id") < 250), "doc_id", "text", maxHamming = 12)
+      .orderBy("id_a", "id_b")
+
+  /** Rolling-hash document fingerprint (rows-only; xxhash64-based). */
+  private def qFingerprint(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id")
+
   // =====================================================================
   // Contract maps
   // =====================================================================
@@ -473,7 +580,13 @@ object SparkEntry {
     "q_bm25" -> (qBm25 _),
     "q_rrf_hybrid" -> (qRrfHybrid _),
     "q_context_budget" -> (qContextBudget _),
-    "q_cascade_delete" -> (qCascadeDelete _)
+    "q_cascade_delete" -> (qCascadeDelete _),
+    "q_minhash_lsh" -> (qMinhashLsh _),
+    "q_chunker" -> (qChunker _),
+    "q_embed_chunks" -> (qEmbedChunks _),
+    "q_ann_lsh" -> (qAnnLsh _),
+    "q_simhash_pairs" -> (qSimhashPairs _),
+    "q_fingerprint" -> (qFingerprint _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -102,7 +102,7 @@ object Embedder {
       cfg: EmbeddingConfig = EmbeddingConfig()
   ): DataFrame = {
     val p = provider(cfg)
-    val embedUdf = udf { (s: String) => if (s == null) null else p.embedOne(s) }
+    val embedUdf = udf { (s: String) => Option(s).map(p.embedOne) }
     df.withColumn(outCol, embedUdf(col(textCol)))
   }
 }

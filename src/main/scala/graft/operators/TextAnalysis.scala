@@ -68,7 +68,7 @@ object TextAnalysis {
     aggregate(
       words,
       lit(0),
-      (acc, w) => acc + lit(1) + greatest(ceil((length(w) - 4).cast("double") / 4.0), lit(0)).cast("int")
+      (acc, w) => acc + lit(1) + greatest(floor((length(w) - 4).cast("double") / 4.0), lit(0)).cast("int")
     )
   }
 

@@ -80,7 +80,7 @@ object VectorSearch {
       */
     def withSignature(corpus: DataFrame, vecCol: String): DataFrame = {
       val self = this
-      val sigUdf = udf { (v: Seq[Float]) => if (v == null) null else self.signatureOf(v) }
+      val sigUdf = udf { (v: Seq[Float]) => Option(v).map(self.signatureOf) }
       corpus.withColumn("sig", sigUdf(col(vecCol)))
     }
 

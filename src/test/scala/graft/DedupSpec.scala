@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, TextAnalysis}
+
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "The quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "The quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 1
+    (3L, "The quick brown fox jumps over the lazy dog near the river bank yesterday"), // near dup
+    (4L, "Completely different content about cooking pasta with tomato sauce and basil"),
+    (5L, "the  QUICK   brown fox jumps over the lazy dog near the river bank today") // ws/case dup of 1
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups normalize case and whitespace") {
+    val groups = Dedup.exactGroups(docs, "doc_id", "text").collect()
+    assert(groups.length == 1)
+    assert(groups.head.getAs[scala.collection.Seq[Long]]("ids").toSeq == Seq(1L, 2L, 5L))
+    val kept = Dedup.exactDedup(docs, "doc_id", "text").select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 4L))
+  }
+
+  test("minhash LSH finds exact and near duplicates, not unrelated docs") {
+    val pairs = Dedup
+      .minhashLshPairs(docs, "doc_id", "text", threshold = 0.5)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+      .toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 5L)))
+    assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("simhash: identical docs identical signatures; near dups low hamming") {
+    val sigs = Dedup.simhash(docs, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("simhash")).toMap
+    assert(sigs(1L) == sigs(2L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sigs(1L), sigs(3L)) < ham(sigs(1L), sigs(4L)))
+
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("ngram jaccard: dup pair scores 1.0, near pair high, disjoint absent") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.3)
+      .collect()
+      .map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")), r.getAs[Double]("jaccard")))
+      .toMap
+    assert(pairs((1L, 2L)) == 1.0)
+    assert(pairs.contains((1L, 3L)) && pairs((1L, 3L)) < 1.0)
+    assert(!pairs.keys.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("shingles produce distinct word k-grams; short docs drop out") {
+    val sh = Seq((1L, "a b"), (2L, "a b c d")).toDF("id", "text")
+      .select(col("id"), Dedup.shingles(col("text"), 3).as("sh"))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[scala.collection.Seq[String]]("sh").toSeq).toMap
+    assert(sh(1L).isEmpty)
+    assert(sh(2L) == Seq("a b c", "b c d"))
+  }
+}

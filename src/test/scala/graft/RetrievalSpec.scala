@@ -1,0 +1,85 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{ContextAssembly, FtsIndex, HybridSearch, VectorSearch, HashingEmbedder}
+
+class RetrievalSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "spark makes distributed data processing simple"),
+    (2L, "the cat sat on the mat"),
+    (3L, "spark sql query optimization with catalyst"),
+    (4L, "gardening tips for spring flowers"),
+    (5L, "spark spark spark streaming streaming data")
+  ).toDF("doc_id", "text")
+
+  test("BM25: term-matching docs rank first; scores positive and ordered") {
+    val idx = FtsIndex.build(docs, "doc_id", "text")
+    assert(idx.numDocs == 5)
+    val hits = FtsIndex.search(spark, idx, "spark data", 5).collect()
+    assert(hits.nonEmpty)
+    val ids = hits.map(_.getLong(0)).toSeq
+    assert(Set(1L, 3L, 5L).contains(ids.head))
+    assert(!ids.contains(2L) && !ids.contains(4L))
+    val scores = hits.map(_.getDouble(1))
+    assert(scores.sameElements(scores.sorted.reverse))
+  }
+
+  test("BM25: empty query yields empty result") {
+    val idx = FtsIndex.build(docs, "doc_id", "text")
+    assert(FtsIndex.search(spark, idx, "???", 5).count() == 0)
+  }
+
+  test("vector topK: self-similarity wins") {
+    val e = HashingEmbedder(32)
+    val emb = docs
+      .as[(Long, String)]
+      .map { case (id, t) => (id, t, e.embedOne(t).toSeq) }
+      .toDF("doc_id", "text", "vec")
+    val q = e.embedOne("spark sql query optimization with catalyst")
+    val top = VectorSearch.topK(emb, "vec", q, 3, col("doc_id")).collect()
+    assert(top.head.getAs[Long]("doc_id") == 3L)
+    assert(top.head.getAs[Double]("score") > 0.99)
+  }
+
+  test("LSH signature: identical vectors share signature; ANN finds exact top hit") {
+    val e = HashingEmbedder(32)
+    val lsh = VectorSearch.SimHashLsh(nBits = 12, dim = 32)
+    val emb = docs
+      .as[(Long, String)]
+      .map { case (id, t) => (id, e.embedOne(t)) }
+      .toDF("doc_id", "vec")
+    val indexed = lsh.withSignature(emb, "vec")
+    val q = e.embedOne("spark makes distributed data processing simple")
+    val ann = lsh.annTopK(indexed, "vec", q, 1, col("doc_id"), maxHamming = 6).collect()
+    assert(ann.nonEmpty && ann.head.getAs[Long]("doc_id") == 1L)
+  }
+
+  test("RRF: doc present in both lists outranks docs in one list at same ranks") {
+    val v = Seq((10L, 0.9), (11L, 0.8), (12L, 0.7)).toDF("id", "score")
+    val k = Seq((10L, 5.0), (13L, 4.0), (14L, 3.0)).toDF("id", "score")
+    val fused = HybridSearch.rrf(v, k, "id", "score", 5).collect()
+    assert(fused.head.getAs[Long]("id") == 10L)
+    val s10 = fused.head.getAs[Double]("rrf_score")
+    assert(math.abs(s10 - (1.0 / 61 + 1.0 / 61)) < 1e-12)
+  }
+
+  test("context budget: longest prefix within budget, formatting matches reference shape") {
+    val hits = Seq(
+      (1L, 10.0, "ten words " * 5, "Doc A"), // ~10 words -> 13 tokens
+      (2L, 9.0, "w " * 100, "Doc B"), // 100 words -> 130 tokens
+      (3L, 8.0, "x " * 10, "Doc A")
+    ).toDF("doc_id", "score", "text", "title")
+    val sel = ContextAssembly.selectWithinBudget(hits, "score", "doc_id", maxTokens = 100)
+    val ids = sel.orderBy(desc("score")).select("doc_id").as[Long].collect().toSeq
+    assert(ids == Seq(1L), "second doc overflows budget and stops selection (break semantics)")
+
+    val rows = sel.orderBy(desc("score")).collect()
+    val ctx = ContextAssembly.formatContext(rows, "title", "text")
+    assert(ctx.startsWith("Documents referenced:\n- Doc A"))
+    assert(ctx.contains("[Source: Doc A]"))
+  }
+}
