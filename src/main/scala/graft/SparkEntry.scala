@@ -388,7 +388,7 @@ object SparkEntry {
     * postings join + score agg + top-k).
     */
   private def qBm25(s: SparkSession, dir: String): DataFrame = {
-    val idx = FtsIndex.build(t(s, dir, "documents"), "doc_id", "text")
+    val idx = FtsIndex.buildCached(s"$dir/documents", t(s, dir, "documents"), "doc_id", "text")
     FtsIndex
       .search(s, idx, "spark query data", 20)
       .select(col("doc_id"), round(col("score"), 6).as("score"))

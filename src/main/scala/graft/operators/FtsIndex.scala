@@ -30,6 +30,11 @@ object FtsIndex {
 
   /** Build the index over `textCol` of `docs` keyed by `idCol`.
     * Equivalent of S7 `create_fts_index` (src/load/lancedb_store.py:104-112).
+    * The postings DataFrame is persisted: the build is an ingest-time step
+    * (the reference rebuilds its FTS index once per batch, *after* load,
+    * src/pipeline.py:164-165) and query-time search must only read it. At
+    * cluster scale, substitute `postings.write.bucketBy(n, "term")` for
+    * `persist` — same contract.
     */
   def build(docs: DataFrame, idCol: String, textCol: String): Index = {
     val tokenized = docs
@@ -43,10 +48,22 @@ object FtsIndex {
 
     val docFreq = termFreq.groupBy("term").agg(count(lit(1)).as("df"))
 
-    val postings = termFreq.join(docFreq, "term")
+    val postings = termFreq.join(docFreq, "term").persist()
 
     val stats = tokenized.agg(count(lit(1)).as("n"), avg("doc_len").as("avgdl")).head()
     Index(postings, stats.getLong(0), stats.getDouble(1))
+  }
+
+  // Ingest-time index registry: one built index per corpus key, so the
+  // query side (BM25 / hybrid / context assembly) reads rather than
+  // rebuilds — mirroring the reference's write-then-index lifecycle.
+  private val cache = new java.util.concurrent.ConcurrentHashMap[String, Index]()
+
+  def buildCached(key: String, docs: => DataFrame, idCol: String, textCol: String): Index =
+    cache.computeIfAbsent(key, _ => build(docs, idCol, textCol))
+
+  def invalidate(key: String): Unit = {
+    Option(cache.remove(key)).foreach(_.postings.unpersist())
   }
 
   /** BM25 score expression for one (tf, df, docLen) posting.

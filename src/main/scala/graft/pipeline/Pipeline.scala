@@ -1,0 +1,191 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{ChunkingConfig, GraftConfig}
+import graft.functions.TextFunctions
+import graft.model.DocumentStatus
+import graft.operators.{Chunker, Embedder, FtsIndex}
+import graft.sources.{Catalog, MarkdownSource, PdfSource}
+
+/** Batch ingestion pipeline — the distributed re-expression of the
+  * reference's `Pipeline.process_document` / `process_directory` /
+  * `process_new_documents` (reference: src/pipeline.py:47-220).
+  *
+  * One lazy DAG per batch:
+  *   binaryFile scan -> incremental anti-join vs ledger (J1) -> validate
+  *   (F1) -> extract (U1, mapPartitions provider) -> markdown checkpoint
+  *   (S4) -> chunk flatMap (U4+U5) -> embed (U6) -> load documents +
+  *   chunks tables -> rebuild FTS index (S7).
+  *
+  * Scale notes: every stage until the table writes is a narrow,
+  * per-partition transformation — no shuffle. The only shuffles in the
+  * whole ingest are inside the FTS index build aggregations. Document ids
+  * are content-derived (sha2 of file hash), not UUIDs, so re-runs are
+  * idempotent and oracle-testable (SURVEY §7.4.7).
+  */
+final class Pipeline(spark: SparkSession, config: GraftConfig = GraftConfig.default) {
+
+  val catalog = new Catalog(spark, config.warehouseDir)
+  private def ftsKey = s"${config.warehouseDir}/chunks"
+
+  /** Process every new-or-previously-failed PDF under `pdfDir`
+    * (incremental semantics of src/pipeline.py:192-220). Returns the
+    * number of documents ingested.
+    */
+  def processDirectory(pdfDir: String, markdownDir: Option[String] = None): Long = {
+    val scanned = PdfSource
+      .scan(spark, pdfDir)
+      .withColumn("file_hash", TextFunctions.fileHash(col("content")))
+
+    // J1: keep files whose hash is absent from the ledger, or present with
+    // status=failed (re-admit). Ledger is small relative to the scan ->
+    // broadcast anti-join, no shuffle of the scan side.
+    val fresh =
+      if (!catalog.exists("documents")) scanned
+      else {
+        val ledger = broadcast(
+          catalog.read("documents").select(col("file_hash"), col("status"))
+        )
+        scanned
+          .join(
+            ledger.where(col("status") =!= DocumentStatus.Failed).select("file_hash"),
+            Seq("file_hash"),
+            "left_anti"
+          )
+      }
+
+    val extracted = PdfSource
+      .withExtraction(fresh, config.extraction)
+      .withColumn(
+        "validation",
+        PdfSource.validationVerdict(col("length"), col("content"), col("page_count"), config.extraction)
+      )
+      .withColumn("id", sha2(col("file_hash"), 256))
+      .withColumn("title", TextFunctions.titleFromFilename(col("path")))
+      .withColumn(
+        "quality_fallback",
+        TextFunctions.qualityFallbackReason(col("markdown"), col("page_count"))
+      )
+
+    val valid = extracted.where(col("validation") === "valid").persist()
+    // Materialize (and cache) BEFORE writing to the documents table: the
+    // parquet write refreshes that path's cache entries, and `valid`'s
+    // lineage reads the ledger — recomputing it after the append would
+    // anti-join this batch against itself and see zero fresh rows.
+    val nIngested = valid.count()
+    val invalid = extracted.where(col("validation") =!= "valid")
+
+    // S4: markdown checkpoint (re-chunk without re-extract, pipeline.py:222-268)
+    markdownDir.foreach { dir =>
+      val rendered = valid.withColumn(
+        "md_text",
+        MarkdownSource.renderColumn(
+          col("id"),
+          element_at(split(col("path"), "/"), -1),
+          col("title"),
+          col("page_count"),
+          date_format(current_timestamp(), "yyyy-MM-dd'T'HH:mm:ss"),
+          lit(config.extraction.method),
+          col("file_hash"),
+          col("markdown")
+        )
+      )
+      MarkdownSource.write(rendered.withColumnRenamed("id", "document_id"), dir)
+    }
+
+    // U4+U5: chunk; U6: embed — both narrow.
+    val chunkCfg = config.chunking
+    import spark.implicits._
+    val chunkRows = valid
+      .select(col("id"), col("title"), col("markdown"))
+      .as[(String, String, String)]
+      .flatMap { case (docId, title, md) =>
+        Chunker.chunk(md, chunkCfg).map { c =>
+          (
+            s"$docId-${c.chunkIndex}",
+            docId,
+            title,
+            c.text,
+            c.h1,
+            c.h2,
+            c.h3,
+            c.chunkIndex,
+            c.totalChunks,
+            Seq.empty[Int], // page_numbers: vestigial in the reference (SURVEY §7.4.5)
+            c.tokenCount,
+            c.isSectionStart
+          )
+        }
+      }
+      .toDF(
+        "id", "document_id", "document_title", "text", "section_h1", "section_h2",
+        "section_h3", "chunk_index", "total_chunks", "page_numbers", "token_count",
+        "is_section_start"
+      )
+    val chunks = Embedder
+      .withEmbedding(chunkRows, "text", "embedding", config.embedding)
+      .withColumn("created_at", current_timestamp())
+
+    // Load: documents ledger rows (completed + failed) and chunks.
+    val totalByDoc = chunks.groupBy(col("document_id").as("id")).agg(count(lit(1)).as("total_chunks"))
+    val docRows = valid
+      .select(
+        col("id"), col("path").as("source_path"), col("title"), col("file_hash"),
+        col("length").as("file_size_bytes"), col("page_count"),
+        lit(config.extraction.method).as("extraction_method"),
+        col("quality_fallback")
+      )
+      .join(broadcast(totalByDoc), Seq("id"), "left")
+      .withColumn("total_chunks", coalesce(col("total_chunks"), lit(0L)))
+      .withColumn("status", lit(DocumentStatus.Completed))
+      .withColumn("error_message", lit(null).cast("string"))
+      .withColumn("uploaded_at", current_timestamp())
+      .withColumn("processed_at", current_timestamp())
+
+    val failedRows = invalid
+      .select(
+        col("id"), col("path").as("source_path"), col("title"), col("file_hash"),
+        col("length").as("file_size_bytes"), col("page_count"),
+        lit(config.extraction.method).as("extraction_method"),
+        col("quality_fallback")
+      )
+      .withColumn("total_chunks", lit(0L))
+      .withColumn("status", lit(DocumentStatus.Failed))
+      .withColumn("error_message", lit("validation failed"))
+      .withColumn("uploaded_at", current_timestamp())
+      .withColumn("processed_at", lit(null).cast("timestamp"))
+
+    catalog.append(docRows.unionByName(failedRows), "documents")
+    catalog.append(chunks, "chunks")
+
+    // S7: rebuild the FTS index after load (write-then-index,
+    // pipeline.py:164-165)
+    FtsIndex.invalidate(ftsKey)
+    FtsIndex.buildCached(ftsKey, catalog.read("chunks"), "id", "text")
+
+    valid.unpersist()
+    nIngested
+  }
+
+  /** Cached FTS index over the chunks table (built on demand). */
+  def ftsIndex: FtsIndex.Index =
+    FtsIndex.buildCached(ftsKey, catalog.read("chunks"), "id", "text")
+
+  /** Cascade delete (S10/J5, src/pipeline.py:270-295): remove a document
+    * and its chunks; anti-join rewrite of both tables.
+    */
+  def deleteDocument(documentId: String): Unit = {
+    catalog.deleteWhere("chunks", col("document_id") === documentId)
+    catalog.deleteWhere("documents", col("id") === documentId)
+    FtsIndex.invalidate(ftsKey)
+  }
+
+  /** Status histogram + chunk count (A1/A2, src/pipeline.py:297-311). */
+  def stats(): DataFrame = {
+    val byStatus = catalog.read("documents").groupBy("status").agg(count(lit(1)).as("n"))
+    val totalChunks = if (catalog.exists("chunks")) catalog.read("chunks").count() else 0L
+    byStatus.withColumn("total_chunks", lit(totalChunks))
+  }
+}

@@ -1,0 +1,121 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.GraftConfig
+import graft.operators.{ContextAssembly, Embedder, FtsIndex, HybridSearch, VectorSearch}
+
+/** Query-side façade — the reference's HybridRetriever
+  * (reference: src/retrieve/hybrid_retriever.py:21-206): mode dispatch
+  * (vector / keyword / hybrid-RRF), title prefiltering, known-topic
+  * routing, and LLM-context assembly under a token budget.
+  */
+object SearchMode extends Enumeration {
+  val Vector, Keyword, Hybrid = Value
+}
+
+final class Retriever(spark: SparkSession, pipeline: Pipeline, config: GraftConfig = GraftConfig.default) {
+
+  private val embedder = Embedder.provider(config.embedding)
+
+  /** Topic keywords for title routing (reference KNOWN_TOPICS,
+    * hybrid_retriever.py:32-50).
+    */
+  val knownTopics: Seq[String] = Seq(
+    "pregnancy", "nutrition", "diabetes", "vaccination", "contraception",
+    "menopause", "fertility", "labor", "cesarean", "breastfeeding",
+    "depression", "exercise", "cancer", "incontinence", "hysterectomy",
+    "infection", "bleeding"
+  )
+
+  /** First known topic contained in the query, if any (X5,
+    * hybrid_retriever.py:92-126).
+    */
+  def extractTopic(query: String): Option[String] = {
+    val q = query.toLowerCase
+    knownTopics.find(q.contains)
+  }
+
+  private def chunks: DataFrame = pipeline.catalog.read("chunks")
+
+  private def titlePred(titleFilter: Option[String]): Option[Column] =
+    // Column-parameterized containment — injection-proof by construction
+    // (the reference must escape LIKE metacharacters by hand,
+    // hybrid_retriever.py:76-81).
+    titleFilter.map(t => lower(col("document_title")).contains(t.toLowerCase))
+
+  def vectorSearch(query: String, k: Int, titleFilter: Option[String] = None): DataFrame = {
+    val qv = embedder.embedOne(query)
+    VectorSearch
+      .topK(chunks, "embedding", qv, k, col("id"), titlePred(titleFilter))
+      .select(col("id"), col("document_id"), col("document_title"), col("text"),
+        col("section_h1"), col("section_h2"), col("chunk_index"), col("score"))
+  }
+
+  def keywordSearch(query: String, k: Int, titleFilter: Option[String] = None): DataFrame = {
+    val idx = pipeline.ftsIndex
+    val scored = FtsIndex.search(spark, idx, query, math.max(k * 4, k),
+      config.search.bm25K1, config.search.bm25B)
+      .withColumnRenamed("doc_id", "id")
+    val joined = chunks.join(scored, "id")
+    val filtered = titlePred(titleFilter).map(joined.where).getOrElse(joined)
+    filtered
+      .orderBy(desc("score"), col("id"))
+      .limit(k)
+      .select(col("id"), col("document_id"), col("document_title"), col("text"),
+        col("section_h1"), col("section_h2"), col("chunk_index"), col("score"))
+  }
+
+  /** Hybrid = RRF fusion of vector + keyword rankings (Q3/W4), with
+    * vector fallback on keyword failure (lancedb_store.py:187-190).
+    */
+  def hybridSearch(query: String, k: Int, titleFilter: Option[String] = None): DataFrame = {
+    val v = vectorSearch(query, k, titleFilter).select(col("id"), col("score"))
+    val kw =
+      try keywordSearch(query, k, titleFilter).select(col("id"), col("score"))
+      catch { case _: Throwable => return vectorSearch(query, k, titleFilter) }
+    val fused = HybridSearch.rrf(v, kw, "id", "score", k, config.search.rrfK)
+    fused
+      .select(col("id"), col("rrf_score").as("score"))
+      .join(chunks, "id")
+      .orderBy(desc("score"), col("id"))
+      .select(col("id"), col("document_id"), col("document_title"), col("text"),
+        col("section_h1"), col("section_h2"), col("chunk_index"), col("score"))
+  }
+
+  /** Mode dispatch + topic routing (Q4/Q5,
+    * hybrid_retriever.py:57-90,148-151).
+    */
+  def search(
+      query: String,
+      mode: SearchMode.Value = SearchMode.Hybrid,
+      k: Int = 10,
+      titleFilter: Option[String] = None,
+      routeByTopic: Boolean = false
+  ): DataFrame = {
+    val filter = titleFilter.orElse(if (routeByTopic) extractTopic(query) else None)
+    mode match {
+      case SearchMode.Vector  => vectorSearch(query, k, filter)
+      case SearchMode.Keyword => keywordSearch(query, k, filter)
+      case SearchMode.Hybrid  => hybridSearch(query, k, filter)
+    }
+  }
+
+  /** LLM-context assembly (Q6, hybrid_retriever.py:167-206): over-fetch,
+    * select the longest prefix within the token budget, format with
+    * source attribution.
+    */
+  def getContext(
+      query: String,
+      maxTokens: Int = 4000,
+      mode: SearchMode.Value = SearchMode.Hybrid
+  ): String = {
+    val hits = search(query, mode, config.search.contextOverfetchK)
+    val selected = ContextAssembly
+      .selectWithinBudget(hits, "score", "id", maxTokens.toDouble)
+      .orderBy(desc("score"), col("id"))
+      .collect()
+    ContextAssembly.formatContext(selected, "document_title", "text")
+  }
+}

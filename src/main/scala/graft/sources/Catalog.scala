@@ -1,0 +1,72 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Parquet-backed table catalog — the single columnar store that replaces
+  * the reference's SQLite (metadata rows) + LanceDB (text/vectors) dual
+  * store (SURVEY.md §1.3): one `chunks` table serves both roles because
+  * Spark's column pruning reads only referenced columns.
+  *
+  * Mutation model: parquet is immutable, so updates/deletes are
+  * read -> transform -> write-to-temp -> atomic-swap cycles (the
+  * reference's row-level UPDATE/DELETE, src/load/sqlite_store.py:153-172,
+  * 229-240, recast for immutable storage — SURVEY §7.4.4). At cluster
+  * scale the same contract is served by a transactional table format; the
+  * swap here is the single-writer equivalent.
+  */
+final class Catalog(spark: SparkSession, warehouseDir: String) {
+
+  private def tablePath(name: String): Path = Paths.get(warehouseDir, name)
+
+  def exists(name: String): Boolean = Files.exists(tablePath(name))
+
+  def read(name: String): DataFrame = {
+    val p = tablePath(name).toString
+    spark.catalog.refreshByPath(p) // tables mutate by swap; never serve stale listings
+    spark.read.parquet(p)
+  }
+
+  /** Append rows (the reference's INSERT path, sqlite_store.py:120-151). */
+  def append(df: DataFrame, name: String): Unit =
+    df.write.mode(SaveMode.Append).parquet(tablePath(name).toString)
+
+  /** Full overwrite via temp-dir + atomic move. */
+  def overwrite(df: DataFrame, name: String): Unit = {
+    val target = tablePath(name)
+    val tmp = Paths.get(warehouseDir, s".${name}_tmp_${System.nanoTime()}")
+    df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val old = Paths.get(warehouseDir, s".${name}_old_${System.nanoTime()}")
+    if (Files.exists(target)) Files.move(target, old, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+    if (Files.exists(old)) deleteRecursively(old)
+  }
+
+  /** Delete rows matching `pred` — anti-join rewrite (S10/J5: the
+    * reference's DELETE WHERE document_id = x, sqlite_store.py:229-240).
+    */
+  def deleteWhere(name: String, pred: Column): Unit =
+    if (exists(name)) {
+      val remaining = read(name).where(!coalesce(pred, lit(false)))
+      overwrite(remaining, name)
+    }
+
+  /** Update columns on rows matching `pred` (the reference's status-flip
+    * UPDATE, sqlite_store.py:153-172).
+    */
+  def updateWhere(name: String, pred: Column, assignments: Map[String, Column]): Unit =
+    if (exists(name)) {
+      val updated = assignments.foldLeft(read(name)) { case (df, (c, v)) =>
+        df.withColumn(c, when(coalesce(pred, lit(false)), v).otherwise(col(c)))
+      }
+      overwrite(updated, name)
+    }
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p)) {
+      Files.list(p).forEach(deleteRecursively)
+    }
+    Files.deleteIfExists(p)
+  }
+}

@@ -1,0 +1,87 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.GraftConfig
+import graft.functions.TextFunctions
+import graft.operators.{Chunker, Embedder}
+import graft.sources.Catalog
+
+/** Structured-Streaming lift of the reference's incremental batch
+  * ingestion (reference: src/pipeline.py:192-220 — hash-diff the directory
+  * against the ledger, process only new files).
+  *
+  * The streaming file source + `checkpointLocation` replaces the
+  * hash-ledger as the change detector (SURVEY.md §2.11): each discovered
+  * file is processed exactly once across restarts. `Trigger.AvailableNow`
+  * gives run-to-completion batch semantics on the same code path, and
+  * `foreachBatch` performs the multi-table load (documents + chunks) like
+  * the batch pipeline does.
+  *
+  * Scale: the per-batch transformation chain is identical to the batch
+  * pipeline (narrow flatMap chunking + embedding); a real deployment sets
+  * `maxFilesPerTrigger` for backpressure.
+  */
+final class StreamingIngest(spark: SparkSession, config: GraftConfig = GraftConfig.default) {
+
+  private val catalog = new Catalog(spark, config.warehouseDir)
+
+  /** Start a streaming ingest of text/markdown documents under `dir`.
+    * Returns the query; call `processAllAvailable()`/`awaitTermination()`.
+    */
+  def start(dir: String, checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val files = spark.readStream
+      .format("text")
+      .option("wholetext", "true")
+      .option("maxFilesPerTrigger", 64)
+      .load(dir)
+      .withColumn("path", input_file_name())
+
+    files.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) => ingestBatch(batch, batchId) }
+      .start()
+  }
+
+  /** The per-microbatch load: id/title/hash derivation, chunk, embed,
+    * append to both tables — mirrors Pipeline.processDirectory's tail.
+    */
+  private[streaming] def ingestBatch(batch: DataFrame, batchId: Long): Unit = {
+    if (batch.isEmpty) return
+    val s = batch.sparkSession
+    import s.implicits._
+
+    val docs = batch
+      .withColumn("file_hash", TextFunctions.fileHash(encode(col("value"), "UTF-8")))
+      .withColumn("id", sha2(col("file_hash"), 256))
+      .withColumn("title", TextFunctions.titleFromFilename(col("path")))
+
+    val chunkCfg = config.chunking
+    val chunkRows = docs
+      .select(col("id"), col("title"), col("value"))
+      .as[(String, String, String)]
+      .flatMap { case (docId, title, text) =>
+        Chunker.chunk(text, chunkCfg).map { c =>
+          (s"$docId-${c.chunkIndex}", docId, title, c.text, c.chunkIndex, c.totalChunks,
+            c.tokenCount, c.isSectionStart)
+        }
+      }
+      .toDF("id", "document_id", "document_title", "text", "chunk_index",
+        "total_chunks", "token_count", "is_section_start")
+
+    val chunks = Embedder.withEmbedding(chunkRows, "text", "embedding", config.embedding)
+
+    catalog.append(
+      docs.select(
+        col("id"), col("path").as("source_path"), col("title"), col("file_hash"),
+        lit("stream").as("extraction_method"), lit("completed").as("status"),
+        current_timestamp().as("processed_at"), lit(batchId).as("batch_id")
+      ),
+      "documents_stream"
+    )
+    catalog.append(chunks, "chunks_stream")
+  }
+}

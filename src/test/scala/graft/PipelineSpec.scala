@@ -1,0 +1,120 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{Pipeline, Retriever, SearchMode}
+import graft.sources.MarkdownSource
+
+class PipelineSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  private def mkPdf(dir: String, name: String, body: String): Unit =
+    Files.write(Paths.get(dir, name), s"%PDF-1.4\n$body".getBytes("UTF-8"))
+
+  private def freshDirs(): (String, String, String) = {
+    val base = Files.createTempDirectory("graft-e2e").toString
+    val pdf = s"$base/pdfs"; val wh = s"$base/warehouse"; val md = s"$base/markdown"
+    Files.createDirectories(Paths.get(pdf))
+    (pdf, wh, md)
+  }
+
+  test("end-to-end: ingest -> search all modes -> context -> delete -> incremental") {
+    val (pdfDir, wh, mdDir) = freshDirs()
+    mkPdf(pdfDir, "EP001 Spark Guide.pdf",
+      "# Spark Guide\n\nspark processes distributed data with resilient datasets. " +
+        "spark sql runs queries through the catalyst optimizer.\n\n## Tuning\n\n" +
+        "partition tuning and broadcast joins make spark queries fast.")
+    mkPdf(pdfDir, "EP002 Cooking.pdf",
+      "# Cooking\n\npasta with tomato sauce and fresh basil is a classic dish. " +
+        "slow cooking brings out flavor in vegetables and herbs.")
+    Files.write(Paths.get(pdfDir, "notes.txt"), "not a pdf".getBytes) // glob-excluded
+
+    val cfg = GraftConfig(warehouseDir = wh)
+    val pipe = new Pipeline(spark, cfg)
+    val n = pipe.processDirectory(pdfDir, markdownDir = Some(mdDir))
+    assert(n == 2)
+
+    val docs = pipe.catalog.read("documents")
+    assert(docs.count() == 2)
+    assert(docs.where(col("status") === "completed").count() == 2)
+    assert(docs.where(col("title") === "Spark Guide").count() == 1, "EP-prefix stripped")
+
+    val chunks = pipe.catalog.read("chunks")
+    assert(chunks.count() >= 2)
+    assert(chunks.where(col("embedding").isNull).count() == 0)
+    assert(chunks.where(col("section_h1").isNotNull).count() > 0)
+
+    // markdown checkpoints written and re-parseable (S3/S4 round trip)
+    val mds = MarkdownSource.read(spark, mdDir)
+    assert(mds.count() == 2)
+    assert(mds.where(col("title") === "Spark Guide").count() == 1)
+    assert(mds.where(col("content").contains("catalyst")).count() == 1)
+
+    // retrieval: all three modes surface the spark doc for a spark query
+    val ret = new Retriever(spark, pipe, cfg)
+    for (mode <- Seq(SearchMode.Vector, SearchMode.Keyword, SearchMode.Hybrid)) {
+      val top = ret.search("spark catalyst optimizer queries", mode, 3).collect()
+      assert(top.nonEmpty, s"$mode returned nothing")
+      assert(top.head.getAs[String]("document_title") == "Spark Guide", s"$mode top hit wrong")
+    }
+
+    // title filter restricts results
+    val filtered = ret.search("spark catalyst", SearchMode.Vector, 5, titleFilter = Some("cooking"))
+    assert(filtered.collect().forall(_.getAs[String]("document_title") == "Cooking"))
+
+    // context assembly shape
+    val ctx = ret.getContext("spark tuning", maxTokens = 200)
+    assert(ctx.startsWith("Documents referenced:"))
+    assert(ctx.contains("[Source: Spark Guide]"))
+
+    // stats
+    val st = pipe.stats().collect()
+    assert(st.exists(r => r.getAs[String]("status") == "completed" && r.getAs[Long]("n") == 2))
+
+    // incremental: nothing new -> 0 ingested, tables unchanged
+    assert(pipe.processDirectory(pdfDir) == 0)
+    assert(pipe.catalog.read("documents").count() == 2)
+
+    // add a file -> only it is processed
+    mkPdf(pdfDir, "EP003 Gardening.pdf", "# Gardening\n\nroses need pruning in early spring.")
+    assert(pipe.processDirectory(pdfDir) == 1)
+    assert(pipe.catalog.read("documents").count() == 3)
+
+    // cascade delete
+    val sparkDocId = docs.where(col("title") === "Spark Guide").head().getAs[String]("id")
+    pipe.deleteDocument(sparkDocId)
+    assert(pipe.catalog.read("documents").count() == 2)
+    assert(pipe.catalog.read("chunks").where(col("document_id") === sparkDocId).count() == 0)
+  }
+
+  test("oversized and corrupted files are failed, not ingested") {
+    val (pdfDir, wh, _) = freshDirs()
+    mkPdf(pdfDir, "ok.pdf", "# Fine\n\nperfectly reasonable text content for a document here.")
+    Files.write(Paths.get(pdfDir, "bad.pdf"), Array.fill[Byte](64)(0x01)) // no %PDF magic
+
+    val cfg = GraftConfig(warehouseDir = wh)
+    val pipe = new Pipeline(spark, cfg)
+    assert(pipe.processDirectory(pdfDir) == 1)
+    val docs = pipe.catalog.read("documents")
+    assert(docs.where(col("status") === "failed").count() == 1)
+    assert(docs.where(col("status") === "completed").count() == 1)
+    // failed doc re-admitted on next run (and fails again, staying failed)
+    assert(pipe.processDirectory(pdfDir) == 0)
+    assert(docs.count() >= 2)
+  }
+
+  test("catalog update/delete primitives") {
+    val base = Files.createTempDirectory("graft-cat").toString
+    val cat = new graft.sources.Catalog(spark, base)
+    import spark.implicits._
+    cat.append(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"), "t")
+    cat.updateWhere("t", col("id") === 2, Map("v" -> lit("B")))
+    assert(cat.read("t").where(col("v") === "B").count() == 1)
+    cat.deleteWhere("t", col("id") === 1)
+    assert(cat.read("t").count() == 2)
+    cat.append(Seq((4L, "d")).toDF("id", "v"), "t")
+    assert(cat.read("t").count() == 3)
+  }
+}
