@@ -34,7 +34,11 @@ final class Pipeline(spark: SparkSession, config: GraftConfig = GraftConfig.defa
     * (incremental semantics of src/pipeline.py:192-220). Returns the
     * number of documents ingested.
     */
-  def processDirectory(pdfDir: String, markdownDir: Option[String] = None): Long = {
+  def processDirectory(
+      pdfDir: String,
+      markdownDir: Option[String] = None,
+      imagesDir: Option[String] = None
+  ): Long = {
     val scanned = PdfSource
       .scan(spark, pdfDir)
       .withColumn("file_hash", TextFunctions.fileHash(col("content")))
@@ -93,6 +97,15 @@ final class Pipeline(spark: SparkSession, config: GraftConfig = GraftConfig.defa
         )
       )
       MarkdownSource.write(rendered.withColumnRenamed("id", "document_id"), dir)
+    }
+
+    // U3/S8: image extraction fan-out + file sink + images table.
+    imagesDir.foreach { dir =>
+      val images = graft.sources.ImageExtraction.extractImages(valid)
+      val meta = graft.sources.ImageExtraction
+        .writeImageFiles(images, dir)
+        .withColumn("created_at", current_timestamp())
+      catalog.append(meta, "images")
     }
 
     // U4+U5: chunk; U6: embed — both narrow.
@@ -178,9 +191,18 @@ final class Pipeline(spark: SparkSession, config: GraftConfig = GraftConfig.defa
     */
   def deleteDocument(documentId: String): Unit = {
     catalog.deleteWhere("chunks", col("document_id") === documentId)
+    catalog.deleteWhere("images", col("document_id") === documentId)
     catalog.deleteWhere("documents", col("id") === documentId)
     FtsIndex.invalidate(ftsKey)
   }
+
+  /** Point lookup + ordered listing of a document's images (S9/O2,
+    * src/load/sqlite_store.py:379-381).
+    */
+  def listImages(documentId: String): org.apache.spark.sql.DataFrame =
+    catalog.read("images")
+      .where(col("document_id") === documentId)
+      .orderBy("page_number", "image_index")
 
   /** Status histogram + chunk count (A1/A2, src/pipeline.py:297-311). */
   def stats(): DataFrame = {

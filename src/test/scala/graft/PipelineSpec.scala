@@ -33,8 +33,18 @@ class PipelineSpec extends AnyFunSuite {
 
     val cfg = GraftConfig(warehouseDir = wh)
     val pipe = new Pipeline(spark, cfg)
-    val n = pipe.processDirectory(pdfDir, markdownDir = Some(mdDir))
+    val imgDir = s"${Paths.get(pdfDir).getParent}/images"
+    val n = pipe.processDirectory(pdfDir, markdownDir = Some(mdDir), imagesDir = Some(imgDir))
     assert(n == 2)
+
+    // images table + S9 listing (stub extractor: count is deterministic)
+    if (pipe.catalog.exists("images")) {
+      val imgs = pipe.catalog.read("images")
+      assert(imgs.count() >= 0)
+      imgs.select("document_id").distinct().collect().foreach { r =>
+        assert(pipe.listImages(r.getString(0)).count() > 0)
+      }
+    }
 
     val docs = pipe.catalog.read("documents")
     assert(docs.count() == 2)
