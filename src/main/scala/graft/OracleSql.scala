@@ -302,6 +302,12 @@ object OracleSql {
         |SELECT c.id_a, c.id_b, ROUND(CAST(inter AS DOUBLE) / ((na + nb) - inter), 6) AS jaccard
         |FROM cand c JOIN inter i ON c.id_a = i.id_a AND c.id_b = i.id_b
         |WHERE CAST(inter AS DOUBLE) / ((na + nb) - inter) >= 0.8
-        |ORDER BY c.id_a, c.id_b""".stripMargin
+        |ORDER BY c.id_a, c.id_b""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
   )
 }

@@ -544,6 +544,27 @@ object SparkEntry {
       .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
       .orderBy("doc_id")
 
+  /** IVF-ANN (k-means coarse quantizer, probe 4 of 16 cells, exact
+    * re-rank) — rows-only check; the scale path of similarity search.
+    */
+  private def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val qv = emb.where(col("vec_id") === 0).head().getSeq[Float](1).toArray
+    val ivf = VectorSearch.buildIvf(emb, "embedding", nLists = 16)
+    ivf
+      .annTopK(qv, 10, col("vec_id"), nProbe = 4)
+      .select(col("vec_id"), round(col("score"), 6).as("score"))
+  }
+
+  /** ROLLUP subtotal aggregation (free via Catalyst once the engine
+    * exposes SQL — SURVEY §2.4 note on grouping sets).
+    */
+  private def qRollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
   // =====================================================================
   // Contract maps
   // =====================================================================
@@ -586,7 +607,9 @@ object SparkEntry {
     "q_embed_chunks" -> (qEmbedChunks _),
     "q_ann_lsh" -> (qAnnLsh _),
     "q_simhash_pairs" -> (qSimhashPairs _),
-    "q_fingerprint" -> (qFingerprint _)
+    "q_fingerprint" -> (qFingerprint _),
+    "q_ann_ivf" -> (qAnnIvf _),
+    "q_rollup" -> (qRollup _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

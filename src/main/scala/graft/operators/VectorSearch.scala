@@ -99,6 +99,54 @@ object VectorSearch {
     }
   }
 
+  /** IVF (inverted-file) ANN: a k-means coarse quantizer partitions the
+    * corpus into `nLists` cells; a query probes only the `nProbe` cells
+    * whose centroids are nearest, then exact-reranks within them. The
+    * standard trade: recall vs the fraction of the corpus scanned
+    * (nProbe/nLists). At cluster scale the corpus is *written partitioned
+    * by cell id*, so probing is partition pruning on the parquet scan —
+    * a 100 TB corpus answers a query by reading only probed cells.
+    */
+  final case class IvfIndex(
+      indexed: org.apache.spark.sql.DataFrame,
+      centroids: Array[Array[Double]],
+      vecCol: String
+  ) {
+    def annTopK(queryVec: Array[Float], k: Int, tieBreak: Column, nProbe: Int = 4): org.apache.spark.sql.DataFrame = {
+      val q = queryVec.map(_.toDouble)
+      val probes = centroids.zipWithIndex
+        .map { case (c, i) =>
+          var d = 0.0
+          var j = 0
+          val n = math.min(c.length, q.length)
+          while (j < n) { val t = c(j) - q(j); d += t * t; j += 1 }
+          (i, d)
+        }
+        .sortBy(_._2)
+        .take(nProbe)
+        .map(_._1)
+      topK(indexed.where(col("ivf_cell").isin(probes.toSeq: _*)), vecCol, queryVec, k, tieBreak)
+    }
+  }
+
+  /** Build an IVF index over an `array<float>` column with a seeded
+    * k-means quantizer (deterministic).
+    */
+  def buildIvf(corpus: org.apache.spark.sql.DataFrame, vecCol: String, nLists: Int = 16, seed: Long = 42L): IvfIndex = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val withVec = corpus.withColumn("_v", array_to_vector(col(vecCol).cast("array<double>")))
+    val model = new KMeans()
+      .setK(nLists)
+      .setSeed(seed)
+      .setMaxIter(10)
+      .setFeaturesCol("_v")
+      .setPredictionCol("ivf_cell")
+      .fit(withVec)
+    val indexed = model.transform(withVec).drop("_v").persist()
+    IvfIndex(indexed, model.clusterCenters.map(_.toArray), vecCol)
+  }
+
   /** All-pairs near-duplicate detection by embedding cosine, LSH-blocked:
     * only pairs sharing a signature band are compared — the classic
     * O(n^2) -> O(n·bucket) reduction. Returns (id_a, id_b, score) with

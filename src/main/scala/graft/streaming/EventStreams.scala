@@ -1,0 +1,99 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Event-time streaming operators over the `events` schema
+  * (event_id, ts, user_id, event_type, value): watermarked tumbling/sliding
+  * window aggregation, and stateful sessionization via
+  * flatMapGroupsWithState.
+  *
+  * The reference has no streaming runtime (SURVEY.md §2.11) — these are the
+  * engine's forward-looking stream surface, with semantics matching the
+  * batch twins in SparkEntry (q_event_tumbling / q_sessionize) so batch
+  * backfill and streaming produce the same tables.
+  *
+  * Scale notes: the watermark bounds state (no unbounded window buffers);
+  * sessionization state is one small case class per active user, dropped
+  * on event-time timeout; both operators shuffle once on their grouping key.
+  */
+object EventStreams {
+
+  /** Watermarked tumbling-window counts/sums per event type. Append mode:
+    * a window emits only once its watermark passes — late events beyond
+    * `lateness` are dropped, matching the contract of the batch backfill.
+    */
+  def tumblingAgg(events: DataFrame, windowLen: String = "1 hour", lateness: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("total_value")
+      )
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"),
+        col("n_events"),
+        col("total_value")
+      )
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long, value: Double)
+  final case class SessionState(start: Long, end: Long, n: Long, total: Double)
+  final case class Session(
+      user_id: Long,
+      session_start_us: Long,
+      session_end_us: Long,
+      n_events: Long,
+      total_value: Double
+  )
+
+  /** Stateful sessionization: a session closes after `gapSeconds` of
+    * event-time silence (state timeout), emitting one row. The streaming
+    * twin of the batch lag/cumsum sessionizer (SparkEntry.qSessionize).
+    */
+  def sessionize(
+      events: Dataset[Event],
+      gapSeconds: Long = 1800
+  ): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapSeconds * 1000000L
+
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()
+      ) { (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+        if (batch.isEmpty && state.hasTimedOut) {
+          // silence gap elapsed: close and emit the session
+          val s = state.get
+          state.remove()
+          Iterator.single(Session(userId, s.start, s.end, s.n, s.total))
+        } else {
+          val out = scala.collection.mutable.ListBuffer.empty[Session]
+          var cur = state.getOption
+          batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            val us = e.ts.getTime * 1000L
+            cur match {
+              case Some(s) if us - s.end <= gapUs =>
+                cur = Some(s.copy(end = us, n = s.n + 1, total = s.total + e.value))
+              case Some(s) =>
+                out += Session(userId, s.start, s.end, s.n, s.total)
+                cur = Some(SessionState(us, us, 1, e.value))
+              case None =>
+                cur = Some(SessionState(us, us, 1, e.value))
+            }
+          }
+          cur.foreach { s =>
+            state.update(s)
+            state.setTimeoutTimestamp(s.end / 1000L + gapSeconds * 1000L)
+          }
+          out.iterator
+        }
+      }
+  }
+}

@@ -1,0 +1,93 @@
+package graft
+
+import java.sql.Timestamp
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.Event
+
+class EventStreamsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  private def ts(minute: Int): Timestamp = new Timestamp(1700000000000L + minute * 60000L)
+
+  test("watermarked tumbling aggregation emits closed windows, drops late data") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String, Double)]
+    val events = input.toDF().toDF("event_id", "ts", "event_type", "value")
+    val agg = EventStreams.tumblingAgg(events, windowLen = "10 minutes", lateness = "5 minutes")
+    val q = agg.writeStream.format("memory").queryName("tumbling_out")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      input.addData((1L, ts(1), "click", 1.0), (2L, ts(4), "click", 2.0), (3L, ts(2), "view", 5.0))
+      q.processAllAvailable()
+      // advance watermark far past the first window
+      input.addData((4L, ts(40), "click", 1.0))
+      q.processAllAvailable()
+      // this event is older than the watermark -> dropped
+      input.addData((5L, ts(3), "click", 100.0))
+      q.processAllAvailable()
+      input.addData((6L, ts(80), "click", 1.0))
+      q.processAllAvailable()
+
+      val out = spark.table("tumbling_out").collect()
+      // 10-min windows align to wall-clock boundaries, not to ts(0)
+      val w0 = ts(1).getTime / 600000L * 600000L
+      val clickW1 = out.filter(r => r.getAs[String]("event_type") == "click" &&
+        r.getAs[Timestamp]("window_start").getTime == w0)
+      assert(clickW1.length == 1)
+      assert(clickW1.head.getAs[Long]("n_events") == 2, "late event must not be counted")
+      assert(clickW1.head.getAs[Double]("total_value") == 3.0)
+    } finally q.stop()
+  }
+
+  test("stateful sessionization closes sessions on event-time gaps") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val sessions = EventStreams.sessionize(input.toDS(), gapSeconds = 600)
+    val q = sessions.writeStream.format("memory").queryName("sessions_out")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // user 1: two events close together; user 2: one event
+      input.addData(Event(1, ts(0), 1L, 1.0), Event(2, ts(5), 1L, 2.0), Event(3, ts(1), 2L, 7.0))
+      q.processAllAvailable()
+      // much later events: watermark passes, timeouts fire, old sessions emit
+      input.addData(Event(4, ts(120), 1L, 1.0), Event(5, ts(120), 2L, 1.0))
+      q.processAllAvailable()
+      input.addData(Event(6, ts(600), 3L, 1.0))
+      q.processAllAvailable()
+
+      val out = spark.table("sessions_out").as[EventStreams.Session].collect()
+      val u1 = out.filter(_.user_id == 1L)
+      assert(u1.exists(s => s.n_events == 2 && s.total_value == 3.0),
+        s"user1 first session missing: ${out.mkString(";")}")
+      val u2 = out.filter(_.user_id == 2L)
+      assert(u2.exists(s => s.n_events == 1 && s.total_value == 7.0))
+    } finally q.stop()
+  }
+
+  test("IVF ANN: probing finds the exact top hit at a fraction of the scan") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val dim = 16
+    // 8 well-separated clusters of 50 points
+    val data = (0 until 8).flatMap { c =>
+      val center = Array.fill(dim)(rnd.nextGaussian() * 5)
+      (0 until 50).map { i =>
+        val v = center.map(x => (x + rnd.nextGaussian() * 0.1).toFloat)
+        (c.toLong * 100 + i, v)
+      }
+    }
+    val df = data.toDF("id", "vec")
+    val ivf = graft.operators.VectorSearch.buildIvf(df, "vec", nLists = 8)
+    val query = data.head._2
+    val hits = ivf.annTopK(query, 5, col("id"), nProbe = 2).collect()
+    assert(hits.nonEmpty)
+    assert(hits.head.getAs[Long]("id") == data.head._1, "self vector must rank first")
+    assert(hits.head.getAs[Double]("score") > 0.999)
+  }
+}
