@@ -9,6 +9,21 @@ import org.apache.spark.sql.SparkSession
   * query; queries run in sorted name order for stable comparisons.
   */
 object Bench {
+
+  /** Fixed headline set: the "value" metric sums ONLY these, so the
+    * recorded number stays comparable across rounds even as the query
+    * inventory grows. Chosen to span scan/filter, shuffle agg, broadcast
+    * join, window, top-k, text, dedup, and the retrieval composites.
+    */
+  val Headline: Seq[String] = Seq(
+    "q_pricing_summary", "q_filter_range", "q_join_revenue_by_region",
+    "q_anti_join", "q_window_topn_per_cust", "q_running_total",
+    "q_topk_orders", "q_sessionize", "q_event_tumbling", "q_json_extract",
+    "q_quality_metrics", "q_token_estimate", "q_dedup_exact", "q_minhash_lsh",
+    "q_ngram_jaccard", "q_ann_cosine", "q_bm25", "q_rrf_hybrid",
+    "q_context_budget", "q_chunker"
+  )
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -35,8 +50,11 @@ object Bench {
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
+    val headline = results.filter(r => Headline.contains(r._1)).map(_._2).sum
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(
+      f"""{"metric":"headline_total","value":$headline%.3f,"unit":"sec","queries":$qs,"all_queries_total":$total%.3f,"n_queries":${results.length},"sf":"$sfDir"}"""
+    )
     spark.stop()
   }
 }

@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation utilities. AQE's skew-join splitting
+  * (`spark.sql.adaptive.skewJoin.enabled`, on by default in
+  * [[graft.GraftSession]]) handles sort-merge skew at runtime; explicit
+  * salting remains the tool for pathological hot keys in aggregations and
+  * for joins AQE can't split (e.g. bucketed inputs).
+  */
+object Skew {
+
+  /** Salted skew join: replicate each `right` row `salt` times and scatter
+    * `left` across the replicas, so one hot key spreads over `salt`
+    * reducers instead of one. Use when `right` is small-ish per key (it is
+    * replicated) and `left` carries the skew.
+    */
+  def saltedJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      salt: Int,
+      joinType: String = "inner"
+  ): DataFrame = {
+    val saltedLeft = left.withColumn("_salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(salt)).cast("int"))
+    val saltedRight = right.withColumn("_salt", explode(typedlit((0 until salt).toList)))
+    saltedLeft
+      .join(saltedRight, Seq(key, "_salt"), joinType)
+      .drop("_salt")
+  }
+
+  /** Two-phase skewed aggregation: partial-aggregate on (key, salt), then
+    * final-aggregate on key. Spark's hash aggregate already does map-side
+    * partials; this helps when a single reduce key overflows one task
+    * (e.g. giant collect_list groups).
+    */
+  def twoPhaseCount(df: DataFrame, key: String, salt: Int = 16): DataFrame =
+    df.withColumn("_salt", pmod(hash(col(key), monotonically_increasing_id()), lit(salt)))
+      .groupBy(col(key), col("_salt"))
+      .agg(count(lit(1)).as("_partial"))
+      .groupBy(col(key))
+      .agg(sum("_partial").as("n"))
+}
