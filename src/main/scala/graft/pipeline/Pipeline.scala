@@ -204,6 +204,42 @@ final class Pipeline(spark: SparkSession, config: GraftConfig = GraftConfig.defa
       .where(col("document_id") === documentId)
       .orderBy("page_number", "image_index")
 
+  /** Single-file ingest (S2 — the upload path,
+    * src/api/routes/documents.py:112-168): process one PDF already on
+    * disk; `force` re-admits a known hash by deleting the prior document
+    * first (J2 force-replace).
+    */
+  def processFile(pdfPath: String, force: Boolean = false): Long = {
+    val p = java.nio.file.Paths.get(pdfPath)
+    if (force && catalog.exists("documents")) {
+      val content = java.nio.file.Files.readAllBytes(p)
+      val hash = "sha256:" + java.security.MessageDigest.getInstance("SHA-256")
+        .digest(content).map("%02x".format(_)).mkString
+      catalog.read("documents").where(col("file_hash") === hash)
+        .select("id").collect().foreach(r => deleteDocument(r.getString(0)))
+    }
+    processDirectory(p.getParent.toString)
+  }
+
+  /** Document listing with optional status filter (F5,
+    * src/load/sqlite_store.py:213-227).
+    */
+  def listDocuments(status: Option[String] = None, limit: Int = 100): org.apache.spark.sql.DataFrame = {
+    val docs = catalog.read("documents")
+    status.map(s => docs.where(col("status") === s)).getOrElse(docs)
+      .orderBy(desc("uploaded_at"), col("id"))
+      .limit(limit)
+  }
+
+  /** Chunk listing for a document, ordered by chunk_index (Q7/O1,
+    * src/load/lancedb_store.py:229-255).
+    */
+  def listChunks(documentId: String, limit: Int = 1000): org.apache.spark.sql.DataFrame =
+    catalog.read("chunks")
+      .where(col("document_id") === documentId)
+      .orderBy("chunk_index")
+      .limit(limit)
+
   /** Status histogram + chunk count (A1/A2, src/pipeline.py:297-311). */
   def stats(): DataFrame = {
     val byStatus = catalog.read("documents").groupBy("status").agg(count(lit(1)).as("n"))

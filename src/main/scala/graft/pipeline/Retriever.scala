@@ -47,8 +47,14 @@ final class Retriever(spark: SparkSession, pipeline: Pipeline, config: GraftConf
 
   def vectorSearch(query: String, k: Int, titleFilter: Option[String] = None): DataFrame = {
     val qv = embedder.embedOne(query)
+    // F9: embedding-less chunks are excluded from vector search (the
+    // reference skips them at vector-store write, lancedb_store.py:78-83;
+    // with a single chunks table the filter moves to the read side)
+    val pred = titlePred(titleFilter)
+      .map(_ && col("embedding").isNotNull)
+      .getOrElse(col("embedding").isNotNull)
     VectorSearch
-      .topK(chunks, "embedding", qv, k, col("id"), titlePred(titleFilter))
+      .topK(chunks, "embedding", qv, k, col("id"), Some(pred))
       .select(col("id"), col("document_id"), col("document_title"), col("text"),
         col("section_h1"), col("section_h2"), col("chunk_index"), col("score"))
   }

@@ -92,6 +92,13 @@ class PipelineSpec extends AnyFunSuite {
     assert(pipe.processDirectory(pdfDir) == 1)
     assert(pipe.catalog.read("documents").count() == 3)
 
+    // listings (F5/Q7/O1)
+    assert(pipe.listDocuments(Some("completed")).count() == 3)
+    assert(pipe.listDocuments(Some("failed")).count() == 0)
+    val anyDoc = docs.head().getAs[String]("id")
+    val chunkList = pipe.listChunks(anyDoc).select("chunk_index").collect().map(_.getInt(0)).toSeq
+    assert(chunkList == chunkList.sorted)
+
     // cascade delete
     val sparkDocId = docs.where(col("title") === "Spark Guide").head().getAs[String]("id")
     pipe.deleteDocument(sparkDocId)
