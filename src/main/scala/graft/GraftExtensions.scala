@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.VectorFunctions
+import graft.plans.ChunkText
+
+/** SparkSessionExtensions installer: makes graft's custom Catalyst
+  * functions available in every session of a cluster via
+  *
+  * {{{
+  * spark.sql.extensions=graft.GraftExtensions
+  * }}}
+  *
+  * (or `SparkSession.builder().withExtensions(new GraftExtensions)`),
+  * instead of per-session registry calls — the deployment story for the
+  * SQL surface.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(
+      (
+        FunctionIdentifier("cosine_sim"),
+        new ExpressionInfo(classOf[VectorFunctions.CosineSimilarity].getName, "cosine_sim"),
+        (children: Seq[Expression]) => VectorFunctions.CosineSimilarity(children(0), children(1))
+      )
+    )
+    ext.injectFunction(
+      (
+        FunctionIdentifier("chunk_text"),
+        new ExpressionInfo(classOf[ChunkText].getName, "chunk_text"),
+        (children: Seq[Expression]) =>
+          children match {
+            case Seq(text) => ChunkText(text, 512, 50)
+            case Seq(text, size, overlap) =>
+              ChunkText(
+                text,
+                size.eval(null).asInstanceOf[Number].intValue(),
+                overlap.eval(null).asInstanceOf[Number].intValue()
+              )
+            case other =>
+              throw new IllegalArgumentException(s"chunk_text takes 1 or 3 args, got ${other.length}")
+          }
+      )
+    )
+  }
+}

@@ -550,7 +550,7 @@ object SparkEntry {
   private def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     val qv = emb.where(col("vec_id") === 0).head().getSeq[Float](1).toArray
-    val ivf = VectorSearch.buildIvf(emb, "embedding", nLists = 16)
+    val ivf = VectorSearch.buildIvfCached(s"$dir/embeddings", emb, "embedding", nLists = 16)
     ivf
       .annTopK(qv, 10, col("vec_id"), nProbe = 4)
       .select(col("vec_id"), round(col("score"), 6).as("score"))

@@ -147,6 +147,18 @@ object VectorSearch {
     IvfIndex(indexed, model.clusterCenters.map(_.toArray), vecCol)
   }
 
+  // Index registry (ingest-time build, query-time read — same lifecycle
+  // as FtsIndex.buildCached; at cluster scale the indexed DF is a table
+  // partitioned by ivf_cell instead of an in-memory persist).
+  private val ivfCache = new java.util.concurrent.ConcurrentHashMap[String, IvfIndex]()
+
+  def buildIvfCached(key: String, corpus: => org.apache.spark.sql.DataFrame, vecCol: String,
+      nLists: Int = 16, seed: Long = 42L): IvfIndex =
+    ivfCache.computeIfAbsent(key, _ => buildIvf(corpus, vecCol, nLists, seed))
+
+  def invalidateIvf(key: String): Unit =
+    Option(ivfCache.remove(key)).foreach(_.indexed.unpersist())
+
   /** All-pairs near-duplicate detection by embedding cosine, LSH-blocked:
     * only pairs sharing a signature band are compared — the classic
     * O(n^2) -> O(n·bucket) reduction. Returns (id_a, id_b, score) with

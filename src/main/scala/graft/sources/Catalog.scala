@@ -65,7 +65,9 @@ final class Catalog(spark: SparkSession, warehouseDir: String) {
 
   private def deleteRecursively(p: Path): Unit = {
     if (Files.isDirectory(p)) {
-      Files.list(p).forEach(deleteRecursively)
+      val children = Files.list(p)
+      try children.forEach(deleteRecursively)
+      finally children.close()
     }
     Files.deleteIfExists(p)
   }
