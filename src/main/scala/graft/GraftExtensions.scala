@@ -32,18 +32,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (
         FunctionIdentifier("chunk_text"),
         new ExpressionInfo(classOf[ChunkText].getName, "chunk_text"),
-        (children: Seq[Expression]) =>
-          children match {
-            case Seq(text) => ChunkText(text, 512, 50)
-            case Seq(text, size, overlap) =>
-              ChunkText(
-                text,
-                size.eval(null).asInstanceOf[Number].intValue(),
-                overlap.eval(null).asInstanceOf[Number].intValue()
-              )
-            case other =>
-              throw new IllegalArgumentException(s"chunk_text takes 1 or 3 args, got ${other.length}")
-          }
+        ChunkText.builder(ChunkingConfig())
       )
     )
   }

@@ -154,10 +154,12 @@ object VectorSearch {
 
   def buildIvfCached(key: String, corpus: => org.apache.spark.sql.DataFrame, vecCol: String,
       nLists: Int = 16, seed: Long = 42L): IvfIndex =
-    ivfCache.computeIfAbsent(key, _ => buildIvf(corpus, vecCol, nLists, seed))
+    // build params are part of the cache identity: same corpus with a
+    // different nLists/seed must not serve the old quantizer
+    ivfCache.computeIfAbsent(s"$key:$nLists:$seed", _ => buildIvf(corpus, vecCol, nLists, seed))
 
-  def invalidateIvf(key: String): Unit =
-    Option(ivfCache.remove(key)).foreach(_.indexed.unpersist())
+  def invalidateIvf(key: String, nLists: Int = 16, seed: Long = 42L): Unit =
+    Option(ivfCache.remove(s"$key:$nLists:$seed")).foreach(_.indexed.unpersist())
 
   /** All-pairs near-duplicate detection by embedding cosine, LSH-blocked:
     * only pairs sharing a signature band are compared — the classic

@@ -61,21 +61,38 @@ case class ChunkText(child: Expression, chunkSize: Int, chunkOverlap: Int)
 }
 
 object ChunkText {
+
+  /** Arity dispatch shared by the per-session registration and the
+    * [[graft.GraftExtensions]] installer. Size/overlap must be foldable
+    * integer literals; anything else gets a descriptive error instead of
+    * an internal eval failure.
+    */
+  def builder(cfg: ChunkingConfig): Seq[Expression] => Expression = {
+    def intLit(e: Expression, argName: String): Int = {
+      if (!e.foldable)
+        throw new IllegalArgumentException(s"chunk_text: $argName must be an integer literal")
+      e.eval(null) match {
+        case n: Number => n.intValue()
+        case other =>
+          throw new IllegalArgumentException(
+            s"chunk_text: $argName must be an integer literal, got $other"
+          )
+      }
+    }
+    {
+      case Seq(text) => ChunkText(text, cfg.chunkSize, cfg.chunkOverlap)
+      case Seq(text, size, overlap) =>
+        ChunkText(text, intLit(size, "chunk_size"), intLit(overlap, "chunk_overlap"))
+      case other =>
+        throw new IllegalArgumentException(s"chunk_text takes 1 or 3 args, got ${other.length}")
+    }
+  }
+
   /** Register `chunk_text` (1- and 3-arg forms) on a session. */
   def register(spark: SparkSession, cfg: ChunkingConfig = ChunkingConfig()): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "chunk_text",
-      {
-        case Seq(text) => ChunkText(text, cfg.chunkSize, cfg.chunkOverlap)
-        case Seq(text, size, overlap) =>
-          ChunkText(
-            text,
-            size.eval(null).asInstanceOf[Number].intValue(),
-            overlap.eval(null).asInstanceOf[Number].intValue()
-          )
-        case other =>
-          throw new IllegalArgumentException(s"chunk_text takes 1 or 3 args, got ${other.length}")
-      },
+      builder(cfg),
       "scala_udf"
     )
 }

@@ -6,7 +6,13 @@ import org.apache.spark.sql.SparkSession
 class ExtensionsSpec extends AnyFunSuite {
 
   test("GraftExtensions installs cosine_sim and chunk_text for SQL") {
-    // a separate session in the same JVM, configured purely via extensions
+    // getOrCreate would silently reuse an existing default session (and
+    // skip extensions), so make this session guaranteed-fresh: newSession
+    // isolation isn't enough — extensions apply only at build time.
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
     val spark = SparkSession.builder()
       .master("local[2]")
       .appName("graft-ext-test")
@@ -21,9 +27,17 @@ class ExtensionsSpec extends AnyFunSuite {
         "SELECT c.* FROM (SELECT 'word word word' AS t) LATERAL VIEW chunk_text(t, 8, 2) c"
       ).count()
       assert(n > 1)
+      // 3-arg form with a non-literal arg must fail cleanly, not with an
+      // internal eval error
+      val err = intercept[Exception] {
+        spark.sql("SELECT c.* FROM (SELECT 'w w' AS t, 8 AS s) LATERAL VIEW chunk_text(t, s + s, 2) c").collect()
+      }
+      assert(err.getMessage.contains("chunk_text"), s"unexpected: ${err.getMessage}")
     } finally {
-      // do not stop(): the session context is shared with other suites
+      SparkSession.clearDefaultSession()
       SparkSession.clearActiveSession()
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
     }
   }
 }
