@@ -565,6 +565,31 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
+  /** Embedding-cosine near-duplicate pairs, brute-force (exact, oracle-
+    * checkable). The library's scale path is the LSH-blocked
+    * [[VectorSearch.nearDuplicatePairs]] (q_embed_neardup_lsh).
+    */
+  private def qEmbedNeardup(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
+    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("score", VectorFunctions.cosineSim(col("ea"), col("eb")))
+      .where(col("score") >= 0.45)
+      .select(col("id_a"), col("id_b"), round(col("score"), 6).as("score"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** LSH-blocked variant of embedding near-dup (rows-only: banding is a
+    * recall/cost trade, so the pair set is a deterministic subset of the
+    * brute-force one).
+    */
+  private def qEmbedNeardupLsh(s: SparkSession, dir: String): DataFrame =
+    VectorSearch
+      .nearDuplicatePairs(t(s, dir, "embeddings"), "vec_id", "embedding", threshold = 0.45)
+      .select(col("id_a"), col("id_b"), round(col("score"), 6).as("score"))
+      .orderBy("id_a", "id_b")
+
   // =====================================================================
   // Contract maps
   // =====================================================================
@@ -609,7 +634,9 @@ object SparkEntry {
     "q_simhash_pairs" -> (qSimhashPairs _),
     "q_fingerprint" -> (qFingerprint _),
     "q_ann_ivf" -> (qAnnIvf _),
-    "q_rollup" -> (qRollup _)
+    "q_rollup" -> (qRollup _),
+    "q_embed_neardup" -> (qEmbedNeardup _),
+    "q_embed_neardup_lsh" -> (qEmbedNeardupLsh _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
