@@ -88,12 +88,15 @@ object Dedup {
     val withShingles = docs
       .select(col(idCol).as("id"), shingles(col(textCol), shingleK).as("sh"))
       .where(size(col("sh")) > 0)
+      .persist()
     val withSig = withShingles.withColumn("sig", minhashSignature(col("sh"), numHashes))
 
+    // Band join carries ONLY (id, band): at scale the shingle arrays are
+    // the payload, and shuffling them through the self-join would dwarf
+    // the join itself. Attributes re-attach by id after the distinct.
     val numBands = numHashes / bandSize
     val banded = withSig.select(
       col("id"),
-      col("sh"),
       explode(
         array((0 until numBands).map { bi =>
           struct(lit(bi).as("band_idx"), xxhash64(slice(col("sig"), bi * bandSize + 1, bandSize)).as("band_hash"))
@@ -105,15 +108,18 @@ object Dedup {
     val b = banded.as("b")
     val candidates = a
       .join(b, col("a.band") === col("b.band") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
 
-    candidates
+    val result = candidates
+      .join(withShingles.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(withShingles.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("uni", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
       .withColumn("jaccard", col("inter").cast("double") / col("uni"))
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+    result
   }
 
   /** 64-bit SimHash over word unigrams: per-bit majority vote of token

@@ -173,11 +173,13 @@ object VectorSearch {
       threshold: Double,
       lsh: SimHashLsh = SimHashLsh()
   ): DataFrame = {
-    val sigd = lsh.withSignature(corpus.select(col(idCol).as("id"), col(vecCol).as("v")), "v")
-    // band the signature into 4-bit bands; pairs matching any band meet
+    val slim = corpus.select(col(idCol).as("id"), col(vecCol).as("v")).persist()
+    val sigd = lsh.withSignature(slim, "v")
+    // band the signature into 4-bit bands; pairs matching any band meet.
+    // The band self-join carries only (id, band) — vectors re-attach by id
+    // after the distinct, so embedding payloads are never shuffled twice.
     val banded = sigd.select(
       col("id"),
-      col("v"),
       explode(
         array((0 until lsh.nBits by 4).map(s => concat_ws(":", lit(s), shiftright(col("sig"), s).bitwiseAND(lit(0xf)))): _*)
       ).as("band")
@@ -185,8 +187,10 @@ object VectorSearch {
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("a.v").as("va"), col("b.v").as("vb"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
+      .join(slim.select(col("id").as("id_a"), col("v").as("va")), "id_a")
+      .join(slim.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
       .withColumn("score", VectorFunctions.cosineSim(col("va"), col("vb")))
       .where(col("score") >= threshold)
       .select("id_a", "id_b", "score")
