@@ -315,6 +315,24 @@ object OracleSql {
         |  ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS score
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.45
-        |ORDER BY id_a, id_b""".stripMargin
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_ann_filtered" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+        |s AS (SELECT vec_id, label,
+        |        list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT qv FROM q)) AS raw
+        |      FROM embeddings WHERE label < 5)
+        |SELECT vec_id, label, ROUND(raw, 6) AS score FROM s
+        |ORDER BY raw DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q_event_sliding" ->
+      """WITH e AS (SELECT epoch_us(ts) AS ts_us, event_type, value FROM events),
+        |w AS (SELECT event_type, value,
+        |        ((ts_us // 1800000000) * 1800000000 - k * 1800000000) AS ws_us
+        |      FROM e, UNNEST([0, 1]) AS t(k))
+        |SELECT strftime(make_timestamp(ws_us), '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM w GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
   )
 }

@@ -590,6 +590,34 @@ object SparkEntry {
       .select(col("id_a"), col("id_b"), round(col("score"), 6).as("score"))
       .orderBy("id_a", "id_b")
 
+  /** Filtered vector search: predicate pushed below the similarity
+    * top-k — the reference's LanceDB "prefilter" semantics
+    * (src/load/lancedb_store.py:148-150).
+    */
+  private def qAnnFiltered(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val qv = emb.where(col("vec_id") === 0).head().getSeq[Float](1).toArray
+    VectorSearch
+      .topK(emb, "embedding", qv, 10, col("vec_id"), prefilter = Some(col("label") < 5))
+      .select(col("vec_id"), col("label"), round(col("score"), 6).as("score"))
+  }
+
+  /** Sliding event-time windows (1h length, 30min slide): each event lands
+    * in two overlapping windows — the batch twin of
+    * `window(ts, "1 hour", "30 minutes")`.
+    */
+  private def qEventSliding(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(
+        date_format(
+          window(timestamp_micros(col("ts_us")), "1 hour", "30 minutes")("start"),
+          "yyyy-MM-dd HH:mm:ss"
+        ).as("window_start"),
+        col("event_type")
+      )
+      .agg(count(lit(1)).as("n_events"), dsum(col("value"), 6).as("total_value"))
+      .orderBy("window_start", "event_type")
+
   // =====================================================================
   // Contract maps
   // =====================================================================
@@ -636,7 +664,9 @@ object SparkEntry {
     "q_ann_ivf" -> (qAnnIvf _),
     "q_rollup" -> (qRollup _),
     "q_embed_neardup" -> (qEmbedNeardup _),
-    "q_embed_neardup_lsh" -> (qEmbedNeardupLsh _)
+    "q_embed_neardup_lsh" -> (qEmbedNeardupLsh _),
+    "q_ann_filtered" -> (qAnnFiltered _),
+    "q_event_sliding" -> (qEventSliding _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
