@@ -73,13 +73,40 @@ final class Pipeline(spark: SparkSession, config: GraftConfig = GraftConfig.defa
         TextFunctions.qualityFallbackReason(col("markdown"), col("page_count"))
       )
 
-    val valid = extracted.where(col("validation") === "valid").persist()
-    // Materialize (and cache) BEFORE writing to the documents table: the
-    // parquet write refreshes that path's cache entries, and `valid`'s
-    // lineage reads the ledger — recomputing it after the append would
-    // anti-join this batch against itself and see zero fresh rows.
+    // U3/S8: image extraction fan-out + file sink + images table. Needs
+    // the raw `content` bytes, so it runs BEFORE the lineage cut below
+    // (and before any documents-table mutation, which would invalidate
+    // this plan's cached ledger read).
+    imagesDir.foreach { dir =>
+      val images = graft.sources.ImageExtraction
+        .extractImages(extracted.where(col("validation") === "valid"))
+      val meta = graft.sources.ImageExtraction
+        .writeImageFiles(images, dir)
+        .withColumn("created_at", current_timestamp())
+      catalog.append(meta, "images")
+    }
+
+    // Materialize the batch and CUT its lineage before mutating the
+    // documents table: downstream writes refresh the ledger path's cache,
+    // and a recompute through the anti-join would see this batch's own
+    // rows (or the upsert-delete below) and corrupt results. The raw
+    // `content` bytes are dropped first — extraction is done, so only
+    // markdown + metadata need to be held. (At cluster scale this
+    // checkpoint is a staging table write instead.)
+    val batch = extracted.drop("content").localCheckpoint()
+
+    val valid = batch.where(col("validation") === "valid")
     val nIngested = valid.count()
-    val invalid = extracted.where(col("validation") =!= "valid")
+    val invalid = batch.where(col("validation") =!= "valid")
+
+    // Upsert semantics for re-admitted files (the reference UPDATEs the
+    // document row on reprocess, sqlite_store.py:153-172): drop any
+    // existing ledger rows for this batch's hashes before appending.
+    if (catalog.exists("documents")) {
+      val batchHashes = batch.select("file_hash").distinct().collect().map(_.getString(0))
+      if (batchHashes.nonEmpty)
+        catalog.deleteWhere("documents", col("file_hash").isin(batchHashes.toSeq: _*))
+    }
 
     // S4: markdown checkpoint (re-chunk without re-extract, pipeline.py:222-268)
     markdownDir.foreach { dir =>
@@ -97,15 +124,6 @@ final class Pipeline(spark: SparkSession, config: GraftConfig = GraftConfig.defa
         )
       )
       MarkdownSource.write(rendered.withColumnRenamed("id", "document_id"), dir)
-    }
-
-    // U3/S8: image extraction fan-out + file sink + images table.
-    imagesDir.foreach { dir =>
-      val images = graft.sources.ImageExtraction.extractImages(valid)
-      val meta = graft.sources.ImageExtraction
-        .writeImageFiles(images, dir)
-        .withColumn("created_at", current_timestamp())
-      catalog.append(meta, "images")
     }
 
     // U4+U5: chunk; U6: embed — both narrow.
@@ -178,7 +196,6 @@ final class Pipeline(spark: SparkSession, config: GraftConfig = GraftConfig.defa
     FtsIndex.invalidate(ftsKey)
     FtsIndex.buildCached(ftsKey, catalog.read("chunks"), "id", "text")
 
-    valid.unpersist()
     nIngested
   }
 

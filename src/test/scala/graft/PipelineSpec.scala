@@ -92,15 +92,17 @@ class PipelineSpec extends AnyFunSuite {
     assert(pipe.processDirectory(pdfDir) == 1)
     assert(pipe.catalog.read("documents").count() == 3)
 
-    // listings (F5/Q7/O1)
+    // listings (F5/Q7/O1) — re-read: table dirs swap on upsert, so
+    // DataFrames captured before a processDirectory call are stale
     assert(pipe.listDocuments(Some("completed")).count() == 3)
     assert(pipe.listDocuments(Some("failed")).count() == 0)
-    val anyDoc = docs.head().getAs[String]("id")
+    val anyDoc = pipe.catalog.read("documents").head().getAs[String]("id")
     val chunkList = pipe.listChunks(anyDoc).select("chunk_index").collect().map(_.getInt(0)).toSeq
     assert(chunkList == chunkList.sorted)
 
     // cascade delete
-    val sparkDocId = docs.where(col("title") === "Spark Guide").head().getAs[String]("id")
+    val sparkDocId = pipe.catalog.read("documents")
+      .where(col("title") === "Spark Guide").head().getAs[String]("id")
     pipe.deleteDocument(sparkDocId)
     assert(pipe.catalog.read("documents").count() == 2)
     assert(pipe.catalog.read("chunks").where(col("document_id") === sparkDocId).count() == 0)
@@ -114,12 +116,13 @@ class PipelineSpec extends AnyFunSuite {
     val cfg = GraftConfig(warehouseDir = wh)
     val pipe = new Pipeline(spark, cfg)
     assert(pipe.processDirectory(pdfDir) == 1)
-    val docs = pipe.catalog.read("documents")
-    assert(docs.where(col("status") === "failed").count() == 1)
-    assert(docs.where(col("status") === "completed").count() == 1)
-    // failed doc re-admitted on next run (and fails again, staying failed)
+    assert(pipe.catalog.read("documents").where(col("status") === "failed").count() == 1)
+    assert(pipe.catalog.read("documents").where(col("status") === "completed").count() == 1)
+    // failed doc re-admitted on next run (and fails again): upsert, not a
+    // duplicate failed row
     assert(pipe.processDirectory(pdfDir) == 0)
-    assert(docs.count() >= 2)
+    assert(pipe.catalog.read("documents").count() == 2)
+    assert(pipe.catalog.read("documents").where(col("status") === "failed").count() == 1)
   }
 
   test("catalog update/delete primitives") {
