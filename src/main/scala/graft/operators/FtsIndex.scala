@@ -54,6 +54,33 @@ object FtsIndex {
     Index(postings, stats.getLong(0), stats.getDouble(1))
   }
 
+  /** Persist an index as a parquet postings table + stats sidecar — the
+    * durable form of the build (query clusters load this instead of
+    * rebuilding). At real scale write with
+    * `.bucketBy(n, "term").sortBy("term")` into a catalog table so
+    * query-time term lookups read only matching buckets.
+    */
+  def write(index: Index, path: String): Unit = {
+    index.postings.write.mode("overwrite").parquet(s"$path/postings")
+    val stats = s"""{"numDocs":${index.numDocs},"avgDocLen":${index.avgDocLen}}"""
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(path, "stats.json"),
+      stats.getBytes("UTF-8")
+    )
+  }
+
+  /** Load a persisted index. */
+  def load(spark: SparkSession, path: String): Index = {
+    val stats = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path, "stats.json")),
+      "UTF-8"
+    )
+    val numDocs = "\"numDocs\":(\\d+)".r.findFirstMatchIn(stats).get.group(1).toLong
+    val avgDocLen = "\"avgDocLen\":([0-9.Ee+-]+)".r.findFirstMatchIn(stats).get.group(1).toDouble
+    Index(spark.read.parquet(s"$path/postings"), numDocs, avgDocLen)
+  }
+
   // Ingest-time index registry: one built index per corpus key, so the
   // query side (BM25 / hybrid / context assembly) reads rather than
   // rebuilds — mirroring the reference's write-then-index lifecycle.
