@@ -91,9 +91,12 @@ object Embedder {
       )
   }
 
-  /** Attach an `embedding: array<float>` column computed from `textCol`.
-    * Runs as mapPartitions-style batched execution inside a deterministic
-    * UDF; batching happens per provider call.
+  /** Attach an `embedding: array<float>` column computed from `textCol`,
+    * via mapPartitions with `cfg.batchSize` texts per provider call — the
+    * reference's batch-of-100 HTTP pattern (embedder.py:66-87) made
+    * partition-local. Row identity is preserved by construction (the
+    * vector is appended to its own row), so no positional re-join exists
+    * anywhere (SURVEY §2.3 J6). Null/absent text embeds to null.
     */
   def withEmbedding(
       df: DataFrame,
@@ -102,7 +105,21 @@ object Embedder {
       cfg: EmbeddingConfig = EmbeddingConfig()
   ): DataFrame = {
     val p = provider(cfg)
-    val embedUdf = udf { (s: String) => Option(s).map(p.embedOne) }
-    df.withColumn(outCol, embedUdf(col(textCol)))
+    val batchSize = math.max(1, cfg.batchSize)
+    val textIdx = df.schema.fieldIndex(textCol)
+    val outSchema = df.schema.add(outCol, org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.FloatType))
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        val texts = batch.map(r => if (r.isNullAt(textIdx)) null else r.getString(textIdx))
+        // one provider call per batch; null slots bypass the provider
+        val present = texts.filter(_ != null)
+        val embedded = if (present.isEmpty) Iterator.empty else p.embedBatch(present).iterator
+        batch.zip(texts).map { case (r, t) =>
+          val vec = if (t == null) null else embedded.next().toSeq
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ vec)
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 }

@@ -35,6 +35,25 @@ class EmbedderSpec extends AnyFunSuite {
     assert(cos(base, near) > cos(base, far))
   }
 
+  test("withEmbedding: batched mapPartitions preserves row identity, handles nulls") {
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    val df = Seq((1L, "alpha beta"), (2L, null.asInstanceOf[String]), (3L, "gamma delta"))
+      .toDF("id", "text")
+    val out = graft.operators.Embedder
+      .withEmbedding(df, "text", "embedding", EmbeddingConfig(batchSize = 2))
+      .collect()
+      .map(r => r.getLong(0) -> Option(r.get(2)))
+      .toMap
+    assert(out(1L).isDefined && out(3L).isDefined)
+    assert(out(2L).isEmpty, "null text must embed to null")
+    val direct = e.embedOne("alpha beta").toSeq
+    val viaDf = graft.operators.Embedder
+      .withEmbedding(df.where($"id" === 1), "text", "embedding", EmbeddingConfig(batchSize = 100))
+      .head().getSeq[Float](2)
+    assert(viaDf == direct, "batched path must equal per-text embedding")
+  }
+
   test("batch preserves order and row identity") {
     val texts = Seq("a b c", "d e f", "a b c")
     val vs = e.embedBatch(texts)
