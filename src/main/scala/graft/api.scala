@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+import graft.operators.{Chunker, Embedder, FtsIndex}
+import graft.pipeline.{Pipeline, Retriever, SearchMode}
+import graft.sources.PdfSource
+
+/** Top-level functional API, mirroring the reference package's exported
+  * convenience functions (reference: src/__init__.py:68-232 —
+  * `extract_pdf`, `chunk_text`, `embed_chunks`, `process_pdf`,
+  * `search_documents`) as thin delegations over the engine operators.
+  */
+object api {
+
+  /** Extract text + page count from PDFs under `dir` (U1 surface). */
+  def extractPdf(spark: SparkSession, dir: String,
+      config: GraftConfig = GraftConfig.default): DataFrame =
+    PdfSource.withExtraction(PdfSource.scan(spark, dir), config.extraction)
+
+  /** Chunk one text (pure function; U4+U5 surface). */
+  def chunkText(text: String,
+      config: ChunkingConfig = ChunkingConfig()): Seq[Chunker.TextChunk] =
+    Chunker.chunk(text, config)
+
+  /** Attach embeddings to any DataFrame with a text column (U6 surface). */
+  def embedChunks(df: DataFrame, textCol: String = "text",
+      config: GraftConfig = GraftConfig.default): DataFrame =
+    Embedder.withEmbedding(df, textCol, "embedding", config.embedding)
+
+  /** Full single-directory ingest (the `process_pdf` composite). */
+  def processPdfs(spark: SparkSession, pdfDir: String,
+      config: GraftConfig = GraftConfig.default,
+      markdownDir: Option[String] = None,
+      imagesDir: Option[String] = None): Long =
+    new Pipeline(spark, config).processDirectory(pdfDir, markdownDir, imagesDir)
+
+  /** Search the ingested corpus (the `search_documents` composite). */
+  def searchDocuments(spark: SparkSession, query: String,
+      mode: SearchMode.Value = SearchMode.Hybrid, k: Int = 10,
+      config: GraftConfig = GraftConfig.default): DataFrame = {
+    val pipe = new Pipeline(spark, config)
+    new Retriever(spark, pipe, config).search(query, mode, k)
+  }
+
+  /** Build (or fetch the cached) BM25 index over a corpus (S7 surface). */
+  def buildFtsIndex(docs: DataFrame, idCol: String, textCol: String,
+      cacheKey: Option[String] = None): FtsIndex.Index =
+    cacheKey match {
+      case Some(k) => FtsIndex.buildCached(k, docs, idCol, textCol)
+      case None    => FtsIndex.build(docs, idCol, textCol)
+    }
+}

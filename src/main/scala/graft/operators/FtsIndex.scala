@@ -48,6 +48,9 @@ object FtsIndex {
 
     val docFreq = termFreq.groupBy("term").agg(count(lit(1)).as("df"))
 
+    // lazy persist: the full postings materialize on the first search that
+    // touches them (tokenization is cheap relative to the agg shuffles, so
+    // re-deriving it for the stats row costs less than eager caching here)
     val postings = termFreq.join(docFreq, "term").persist()
 
     val stats = tokenized.agg(count(lit(1)).as("n"), avg("doc_len").as("avgdl")).head()
