@@ -85,10 +85,12 @@ object Dedup {
       numHashes: Int = 16,
       bandSize: Int = 4
   ): DataFrame = {
+    // not persisted: the three consumers below share identical subplans,
+    // so Spark's ReusedExchange covers the shuffle-side duplication, and a
+    // lazy API must not leak cache entries it can never unpersist
     val withShingles = docs
       .select(col(idCol).as("id"), shingles(col(textCol), shingleK).as("sh"))
       .where(size(col("sh")) > 0)
-      .persist()
     val withSig = withShingles.withColumn("sig", minhashSignature(col("sh"), numHashes))
 
     // Band join carries ONLY (id, band): at scale the shingle arrays are

@@ -106,10 +106,13 @@ object Embedder {
   ): DataFrame = {
     val p = provider(cfg)
     val batchSize = math.max(1, cfg.batchSize)
-    val textIdx = df.schema.fieldIndex(textCol)
-    val outSchema = df.schema.add(outCol, org.apache.spark.sql.types.ArrayType(
+    // replace semantics: re-embedding a frame that already has outCol must
+    // not produce a duplicate (ambiguous) column
+    val base = if (df.columns.contains(outCol)) df.drop(outCol) else df
+    val textIdx = base.schema.fieldIndex(textCol)
+    val outSchema = base.schema.add(outCol, org.apache.spark.sql.types.ArrayType(
       org.apache.spark.sql.types.FloatType))
-    df.mapPartitions { rows =>
+    base.mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
         val texts = batch.map(r => if (r.isNullAt(textIdx)) null else r.getString(textIdx))
         // one provider call per batch; null slots bypass the provider

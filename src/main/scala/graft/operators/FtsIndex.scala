@@ -65,20 +65,24 @@ object FtsIndex {
     */
   def write(index: Index, path: String): Unit = {
     index.postings.write.mode("overwrite").parquet(s"$path/postings")
+    // stats sidecar goes through the Hadoop FileSystem of the target path
+    // (not java.nio), so hdfs:// and s3a:// index locations work
     val stats = s"""{"numDocs":${index.numDocs},"avgDocLen":${index.avgDocLen}}"""
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(path, "stats.json"),
-      stats.getBytes("UTF-8")
-    )
+    val p = new org.apache.hadoop.fs.Path(s"$path/stats.json")
+    val fs = p.getFileSystem(index.postings.sparkSession.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(stats.getBytes("UTF-8"))
+    finally out.close()
   }
 
   /** Load a persisted index. */
   def load(spark: SparkSession, path: String): Index = {
-    val stats = new String(
-      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path, "stats.json")),
-      "UTF-8"
-    )
+    val p = new org.apache.hadoop.fs.Path(s"$path/stats.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val stats =
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+      finally in.close()
     val numDocs = "\"numDocs\":(\\d+)".r.findFirstMatchIn(stats).get.group(1).toLong
     val avgDocLen = "\"avgDocLen\":([0-9.Ee+-]+)".r.findFirstMatchIn(stats).get.group(1).toDouble
     Index(spark.read.parquet(s"$path/postings"), numDocs, avgDocLen)

@@ -173,7 +173,9 @@ object VectorSearch {
       threshold: Double,
       lsh: SimHashLsh = SimHashLsh()
   ): DataFrame = {
-    val slim = corpus.select(col(idCol).as("id"), col(vecCol).as("v")).persist()
+    // not persisted (lazy API, no unpersist hook): the re-attach joins
+    // recompute a narrow projection of the source scan
+    val slim = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
     val sigd = lsh.withSignature(slim, "v")
     // band the signature into 4-bit bands; pairs matching any band meet.
     // The band self-join carries only (id, band) — vectors re-attach by id

@@ -73,39 +73,46 @@ final class Pipeline(spark: SparkSession, config: GraftConfig = GraftConfig.defa
         TextFunctions.qualityFallbackReason(col("markdown"), col("page_count"))
       )
 
-    // U3/S8: image extraction fan-out + file sink + images table. Needs
-    // the raw `content` bytes, so it runs BEFORE the lineage cut below
-    // (and before any documents-table mutation, which would invalidate
-    // this plan's cached ledger read).
-    imagesDir.foreach { dir =>
-      val images = graft.sources.ImageExtraction
-        .extractImages(extracted.where(col("validation") === "valid"))
-      val meta = graft.sources.ImageExtraction
-        .writeImageFiles(images, dir)
-        .withColumn("created_at", current_timestamp())
-      catalog.append(meta, "images")
-    }
-
-    // Materialize the batch and CUT its lineage before mutating the
+    // Materialize the batch ONCE and CUT its lineage before mutating the
     // documents table: downstream writes refresh the ledger path's cache,
     // and a recompute through the anti-join would see this batch's own
-    // rows (or the upsert-delete below) and corrupt results. The raw
-    // `content` bytes are dropped first — extraction is done, so only
-    // markdown + metadata need to be held. (At cluster scale this
-    // checkpoint is a staging table write instead.)
-    val batch = extracted.drop("content").localCheckpoint()
+    // rows (or the upsert-delete below) and corrupt results. When image
+    // extraction is requested the checkpoint keeps the raw bytes (so the
+    // scan+extract DAG still runs exactly once) and drops them right
+    // after; otherwise bytes are dropped before the checkpoint. (At
+    // cluster scale this checkpoint is a staging-table write instead.)
+    val batch =
+      if (imagesDir.isDefined) {
+        val withContent = extracted.localCheckpoint()
+        imagesDir.foreach { dir =>
+          val images = graft.sources.ImageExtraction
+            .extractImages(withContent.where(col("validation") === "valid"))
+          val meta = graft.sources.ImageExtraction
+            .writeImageFiles(images, dir)
+            .withColumn("created_at", current_timestamp())
+          catalog.append(meta, "images")
+        }
+        withContent.drop("content")
+      } else extracted.drop("content").localCheckpoint()
 
     val valid = batch.where(col("validation") === "valid")
     val nIngested = valid.count()
     val invalid = batch.where(col("validation") =!= "valid")
 
     // Upsert semantics for re-admitted files (the reference UPDATEs the
-    // document row on reprocess, sqlite_store.py:153-172): drop any
-    // existing ledger rows for this batch's hashes before appending.
+    // document row on reprocess, sqlite_store.py:153-172). Only
+    // previously-FAILED ledger rows can re-enter a batch (the anti-join
+    // excludes everything else), so the delete is restricted to that
+    // intersection — no table rewrite happens on the common all-new path,
+    // and the collected literal list is bounded by the failed set.
     if (catalog.exists("documents")) {
-      val batchHashes = batch.select("file_hash").distinct().collect().map(_.getString(0))
-      if (batchHashes.nonEmpty)
-        catalog.deleteWhere("documents", col("file_hash").isin(batchHashes.toSeq: _*))
+      val readmittedHashes = catalog.read("documents")
+        .where(col("status") === DocumentStatus.Failed)
+        .select("file_hash")
+        .join(batch.select("file_hash"), Seq("file_hash"), "left_semi")
+        .collect().map(_.getString(0))
+      if (readmittedHashes.nonEmpty)
+        catalog.deleteWhere("documents", col("file_hash").isin(readmittedHashes.toSeq: _*))
     }
 
     // S4: markdown checkpoint (re-chunk without re-extract, pipeline.py:222-268)
