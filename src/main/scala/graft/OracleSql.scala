@@ -333,6 +333,26 @@ object OracleSql {
         |SELECT strftime(make_timestamp(ws_us), '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
         |  COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
-        |FROM w GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+        |FROM w GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+
+    "q_percentile" ->
+      """SELECT l_returnflag,
+        |  ROUND(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+        |  ROUND(quantile_cont(l_quantity, 0.9), 6) AS p90_qty,
+        |  ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS median_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_above_avg" ->
+      """SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey FROM customer c1
+        |WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer c2
+        |                   WHERE c2.c_nationkey = c1.c_nationkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_minmax_dates" ->
+      """SELECT l_returnflag,
+        |  epoch_us(MIN(l_shipdate)) AS first_ship_us,
+        |  epoch_us(MAX(l_shipdate)) AS last_ship_us,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   )
 }

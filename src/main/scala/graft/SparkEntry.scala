@@ -618,6 +618,42 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_events"), dsum(col("value"), 6).as("total_value"))
       .orderBy("window_start", "event_type")
 
+  /** Exact interpolated percentiles (median / p90) per group. */
+  private def qPercentile(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_quantity, 0.5)"), 6).as("median_qty"),
+        round(expr("percentile(l_quantity, 0.9)"), 6).as("p90_qty"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("median_price")
+      )
+      .orderBy("l_returnflag")
+
+  /** Correlated above-average filter: customers richer than their
+    * nation's average balance (decorrelates to a join against a grouped
+    * aggregate — Catalyst does this for free when exposed via SQL).
+    */
+  private def qAboveAvg(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val avgByNation = c.groupBy(col("c_nationkey").as("nk"))
+      .agg(avg(col("c_acctbal")).as("nation_avg"))
+    c.join(broadcast(avgByNation), col("c_nationkey") === col("nk"))
+      .where(col("c_acctbal") > col("nation_avg"))
+      .select(col("c_custkey"), col("c_nationkey").cast("long").as("c_nationkey"))
+      .orderBy("c_custkey")
+  }
+
+  /** Min/max aggregates over timestamps (as epoch micros). */
+  private def qMinMaxDates(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        unix_micros(min(col("l_shipdate")).cast("timestamp")).as("first_ship_us"),
+        unix_micros(max(col("l_shipdate")).cast("timestamp")).as("last_ship_us"),
+        count(lit(1)).as("n")
+      )
+      .orderBy("l_returnflag")
+
   // =====================================================================
   // Contract maps
   // =====================================================================
@@ -666,7 +702,10 @@ object SparkEntry {
     "q_embed_neardup" -> (qEmbedNeardup _),
     "q_embed_neardup_lsh" -> (qEmbedNeardupLsh _),
     "q_ann_filtered" -> (qAnnFiltered _),
-    "q_event_sliding" -> (qEventSliding _)
+    "q_event_sliding" -> (qEventSliding _),
+    "q_percentile" -> (qPercentile _),
+    "q_above_avg" -> (qAboveAvg _),
+    "q_minmax_dates" -> (qMinMaxDates _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
