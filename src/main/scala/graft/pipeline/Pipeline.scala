@@ -264,6 +264,15 @@ final class Pipeline(spark: SparkSession, config: GraftConfig = GraftConfig.defa
       .orderBy("chunk_index")
       .limit(limit)
 
+  /** Typed view of the chunks table (`Dataset[Chunk]`) — the typed core
+    * API of SURVEY §1.3; the parquet schema aligns with the case class by
+    * construction.
+    */
+  def chunksDS: org.apache.spark.sql.Dataset[graft.model.Chunk] = {
+    import spark.implicits._
+    catalog.read("chunks").as[graft.model.Chunk]
+  }
+
   /** Status histogram + chunk count (A1/A2, src/pipeline.py:297-311). */
   def stats(): DataFrame = {
     val byStatus = catalog.read("documents").groupBy("status").agg(count(lit(1)).as("n"))

@@ -94,12 +94,68 @@ object PdfSource {
     }
   }
 
+  /** STUB OCR extractor — the U2 seam (reference:
+    * src/extract/google_vision_extractor.py:51-177 renders each page at
+    * 300 DPI and concatenates per-page `<!-- Page N -->` markers; gated
+    * behind an availability flag exactly like this). Deterministic here:
+    * same text recovery as [[StubExtractor]], paginated with the
+    * reference's page-marker format.
+    */
+  object OcrStubExtractor extends PdfExtractor {
+    override val name = "ocr_stub"
+    override def extract(path: String, content: Array[Byte]): Extraction = {
+      val base = StubExtractor.extract(path, content)
+      val perPage = math.max(1, base.markdown.length / base.pageCount)
+      val pages = base.markdown.grouped(perPage).toSeq.take(base.pageCount)
+      val joined = pages.zipWithIndex
+        .map { case (p, i) => s"<!-- Page ${i + 1} -->\n\n$p" }
+        .mkString("\n\n")
+      Extraction(joined, base.pageCount, None)
+    }
+  }
+
   def extractor(cfg: ExtractionConfig): PdfExtractor = cfg.method match {
-    case "stub" => StubExtractor
+    case "stub"     => StubExtractor
+    case "ocr_stub" => OcrStubExtractor
     case other =>
       throw new IllegalArgumentException(
-        s"Extraction provider '$other' not available in this build (offline: 'stub')"
+        s"Extraction provider '$other' not available in this build (offline: 'stub', 'ocr_stub')"
       )
+  }
+
+  /** Quality-routed extraction (the reference's F3->U2 fallback flow,
+    * src/extract/pymupdf_extractor.py:207-236 feeding the extractor switch):
+    * extract with the primary provider, evaluate the text-density quality
+    * gate, and re-extract ONLY the failing rows with the OCR provider — a
+    * per-row conditional inside one narrow pass (failing rows are the only
+    * ones that pay the OCR cost). Adds `extraction_method_used`.
+    */
+  def withFallbackExtraction(
+      scanned: DataFrame,
+      cfg: ExtractionConfig = ExtractionConfig()
+  ): DataFrame = {
+    val primary = withExtraction(scanned, cfg)
+    val ocr = extractor(cfg.copy(method = "ocr_stub"))
+    val ocrUdf = udf { (path: String, content: Array[Byte]) =>
+      val e = ocr.extract(path, content)
+      (e.markdown, e.pageCount)
+    }
+    val qfail = graft.functions.TextFunctions
+      .qualityFallbackReason(
+        col("markdown"), col("page_count"),
+        cfg.minCharsPerPage.toDouble, cfg.minWordsPerPage.toDouble,
+        cfg.minAvgWordLength, cfg.maxAvgWordLength, cfg.maxNonAsciiRatio
+      )
+      .isNotNull
+    primary
+      .withColumn("_ocr", when(qfail, ocrUdf(col("path"), col("content"))))
+      .withColumn("markdown", coalesce(col("_ocr._1"), col("markdown")))
+      .withColumn("page_count", coalesce(col("_ocr._2"), col("page_count")))
+      .withColumn(
+        "extraction_method_used",
+        when(col("_ocr").isNotNull, lit("ocr_stub")).otherwise(lit(cfg.method))
+      )
+      .drop("_ocr")
   }
 
   /** Run extraction over a binaryFile scan: adds markdown, page_count,

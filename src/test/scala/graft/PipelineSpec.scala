@@ -92,6 +92,11 @@ class PipelineSpec extends AnyFunSuite {
     assert(pipe.processDirectory(pdfDir) == 1)
     assert(pipe.catalog.read("documents").count() == 3)
 
+    // typed Dataset[Chunk] view (SURVEY §1.3 typed core API)
+    val typedChunks = pipe.chunksDS.collect()
+    assert(typedChunks.nonEmpty)
+    assert(typedChunks.forall(c => c.embedding.isDefined && c.total_chunks > 0))
+
     // listings (F5/Q7/O1) — re-read: table dirs swap on upsert, so
     // DataFrames captured before a processDirectory call are stale
     assert(pipe.listDocuments(Some("completed")).count() == 3)
