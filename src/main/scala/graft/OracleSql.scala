@@ -353,6 +353,11 @@ object OracleSql {
         |  epoch_us(MIN(l_shipdate)) AS first_ship_us,
         |  epoch_us(MAX(l_shipdate)) AS last_ship_us,
         |  COUNT(*) AS n
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_topk_per_group_agg" ->
+      """SELECT o_custkey,
+        |  (LIST(o_orderkey ORDER BY o_totalprice DESC, o_orderkey))[1:3] AS ids
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
   )
 }

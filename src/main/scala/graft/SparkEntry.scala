@@ -654,6 +654,17 @@ object SparkEntry {
       )
       .orderBy("l_returnflag")
 
+  /** Grouped top-k via the native TopKBy aggregate (bounded heap per
+    * group, no sort, <=k rows per group cross the shuffle) — the scale
+    * path of W1's window formulation.
+    */
+  private def qTopkPerGroupAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy("o_custkey")
+      .agg(graft.plans.TopKBy.topKBy(col("o_totalprice"), col("o_orderkey"), 3).as("top"))
+      .select(col("o_custkey"), expr("transform(top, x -> x.id)").as("ids"))
+      .orderBy("o_custkey")
+
   // =====================================================================
   // Contract maps
   // =====================================================================
@@ -705,7 +716,8 @@ object SparkEntry {
     "q_event_sliding" -> (qEventSliding _),
     "q_percentile" -> (qPercentile _),
     "q_above_avg" -> (qAboveAvg _),
-    "q_minmax_dates" -> (qMinMaxDates _)
+    "q_minmax_dates" -> (qMinMaxDates _),
+    "q_topk_per_group_agg" -> (qTopkPerGroupAgg _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
