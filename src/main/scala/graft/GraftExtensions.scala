@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.functions.VectorFunctions
-import graft.plans.ChunkText
+import graft.plans.{ChunkText, TopKBy}
 
 /** SparkSessionExtensions installer: makes graft's custom Catalyst
   * functions available in every session of a cluster via
@@ -26,6 +26,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         FunctionIdentifier("cosine_sim"),
         new ExpressionInfo(classOf[VectorFunctions.CosineSimilarity].getName, "cosine_sim"),
         (children: Seq[Expression]) => VectorFunctions.CosineSimilarity(children(0), children(1))
+      )
+    )
+    ext.injectFunction(
+      (
+        FunctionIdentifier("top_k_by"),
+        new ExpressionInfo(classOf[TopKBy].getName, "top_k_by"),
+        (children: Seq[Expression]) => {
+          require(children.length == 3, s"top_k_by(score, id, k) takes 3 args, got ${children.length}")
+          val k = children(2).eval(null) match {
+            case n: Number => n.intValue()
+            case other => throw new IllegalArgumentException(s"top_k_by: k must be an integer literal, got $other")
+          }
+          TopKBy(children(0), children(1), k).toAggregateExpression()
+        }
       )
     )
     ext.injectFunction(

@@ -358,6 +358,11 @@ object OracleSql {
     "q_topk_per_group_agg" ->
       """SELECT o_custkey,
         |  (LIST(o_orderkey ORDER BY o_totalprice DESC, o_orderkey))[1:3] AS ids
-        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "q_fuzzy_match" ->
+      """SELECT c_custkey, CAST(levenshtein(c_name, 'Customer#000000100') AS BIGINT) AS edit_dist
+        |FROM customer WHERE levenshtein(c_name, 'Customer#000000100') <= 2
+        |ORDER BY c_custkey""".stripMargin
   )
 }

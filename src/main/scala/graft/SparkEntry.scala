@@ -665,6 +665,18 @@ object SparkEntry {
       .select(col("o_custkey"), expr("transform(top, x -> x.id)").as("ids"))
       .orderBy("o_custkey")
 
+  /** Fuzzy name matching by edit distance (text-analysis family: the
+    * third dedup axis besides token sets and embeddings).
+    */
+  private def qFuzzyMatch(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .select(
+        col("c_custkey"),
+        levenshtein(col("c_name"), lit("Customer#000000100")).cast("long").as("edit_dist")
+      )
+      .where(col("edit_dist") <= 2)
+      .orderBy("c_custkey")
+
   // =====================================================================
   // Contract maps
   // =====================================================================
@@ -717,7 +729,8 @@ object SparkEntry {
     "q_percentile" -> (qPercentile _),
     "q_above_avg" -> (qAboveAvg _),
     "q_minmax_dates" -> (qMinMaxDates _),
-    "q_topk_per_group_agg" -> (qTopkPerGroupAgg _)
+    "q_topk_per_group_agg" -> (qTopkPerGroupAgg _),
+    "q_fuzzy_match" -> (qFuzzyMatch _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

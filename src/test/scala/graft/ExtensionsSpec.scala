@@ -27,6 +27,12 @@ class ExtensionsSpec extends AnyFunSuite {
         "SELECT c.* FROM (SELECT 'word word word' AS t) LATERAL VIEW chunk_text(t, 8, 2) c"
       ).count()
       assert(n > 1)
+      val topk = spark.sql(
+        """SELECT g, transform(top_k_by(s, i, 2), x -> x.id) AS ids
+          |FROM VALUES (1, 5.0D, 10L), (1, 7.0D, 11L), (1, 6.0D, 12L) AS t(g, s, i)
+          |GROUP BY g""".stripMargin
+      ).head().getSeq[Long](1)
+      assert(topk == Seq(11L, 12L))
       // 3-arg form with a non-literal arg must fail cleanly, not with an
       // internal eval error
       val err = intercept[Exception] {
