@@ -363,6 +363,15 @@ object OracleSql {
     "q_fuzzy_match" ->
       """SELECT c_custkey, CAST(levenshtein(c_name, 'Customer#000000100') AS BIGINT) AS edit_dist
         |FROM customer WHERE levenshtein(c_name, 'Customer#000000100') <= 2
-        |ORDER BY c_custkey""".stripMargin
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_asof_join" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value FROM events),
+        |a AS (SELECT event_id, user_id, ts_us FROM e WHERE event_type = 'click' AND user_id < 100),
+        |b AS (SELECT event_id, user_id, ts_us, value FROM e WHERE event_type = 'purchase')
+        |SELECT a.event_id, a.user_id, a.ts_us,
+        |       b.event_id AS asof_event_id, b.value AS asof_value
+        |FROM a ASOF LEFT JOIN b ON a.user_id = b.user_id AND a.ts_us >= b.ts_us
+        |ORDER BY a.event_id""".stripMargin
   )
 }

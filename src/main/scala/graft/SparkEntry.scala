@@ -677,6 +677,23 @@ object SparkEntry {
       .where(col("edit_dist") <= 2)
       .orderBy("c_custkey")
 
+  /** As-of join: each click enriched with the latest preceding purchase
+    * per user (composition of built-ins — see operators/AsOfJoin; the
+    * oracle uses DuckDB's native ASOF LEFT JOIN).
+    */
+  private def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).select(
+      col("event_id"), col("user_id"), col("ts_us"), col("event_type"), col("value")
+    )
+    val clicks = e.where(col("event_type") === "click" && col("user_id") < 100)
+      .select("event_id", "user_id", "ts_us")
+    val purchases = e.where(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts_us", "value")
+    AsOfJoin
+      .asofJoin(clicks, purchases, "user_id", "ts_us", Seq("event_id", "value"))
+      .orderBy("event_id")
+  }
+
   // =====================================================================
   // Contract maps
   // =====================================================================
@@ -730,7 +747,8 @@ object SparkEntry {
     "q_above_avg" -> (qAboveAvg _),
     "q_minmax_dates" -> (qMinMaxDates _),
     "q_topk_per_group_agg" -> (qTopkPerGroupAgg _),
-    "q_fuzzy_match" -> (qFuzzyMatch _)
+    "q_fuzzy_match" -> (qFuzzyMatch _),
+    "q_asof_join" -> (qAsofJoin _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
