@@ -54,7 +54,9 @@ object FtsIndex {
     val postings = termFreq.join(docFreq, "term").persist()
 
     val stats = tokenized.agg(count(lit(1)).as("n"), avg("doc_len").as("avgdl")).head()
-    Index(postings, stats.getLong(0), stats.getDouble(1))
+    // avg over an empty corpus is NULL — an empty index must still search
+    val avgdl = if (stats.isNullAt(1)) 0.0 else stats.getDouble(1)
+    Index(postings, stats.getLong(0), avgdl)
   }
 
   /** Persist an index as a parquet postings table + stats sidecar — the

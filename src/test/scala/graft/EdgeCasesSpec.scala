@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+class EdgeCasesSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private lazy val emptyDocs =
+    Seq.empty[(Long, String)].toDF("doc_id", "text")
+
+  test("chunker: empty and whitespace-only input") {
+    assert(Chunker.chunk("").isEmpty)
+    assert(Chunker.chunk("   \n\n  ").isEmpty)
+    assert(Chunker.chunk("# only a header").nonEmpty)
+    assert(Chunker.recursiveSplit("", 100, 10).isEmpty)
+  }
+
+  test("FTS index over an empty corpus searches to empty, no crash") {
+    val idx = FtsIndex.build(emptyDocs, "doc_id", "text")
+    assert(idx.numDocs == 0)
+    assert(FtsIndex.search(spark, idx, "anything", 5).count() == 0)
+  }
+
+  test("dedup operators over empty and single-row corpora") {
+    assert(Dedup.exactGroups(emptyDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.minhashLshPairs(emptyDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.simhashPairs(emptyDocs, "doc_id", "text").count() == 0)
+    val one = Seq((1L, "a single document here")).toDF("doc_id", "text")
+    assert(Dedup.minhashLshPairs(one, "doc_id", "text").count() == 0)
+    assert(Dedup.ngramJaccardPairs(one, "doc_id", "text").count() == 0)
+  }
+
+  test("vector search over empty corpus and empty-ish vectors") {
+    val emptyVecs = Seq.empty[(Long, Array[Float])].toDF("id", "vec")
+    assert(VectorSearch.topK(emptyVecs, "vec", Array(1.0f, 2.0f), 5, col("id")).count() == 0)
+    val lsh = VectorSearch.SimHashLsh(nBits = 8, dim = 2)
+    assert(lsh.annTopK(lsh.withSignature(emptyVecs, "vec"), "vec", Array(1.0f, 2.0f), 5, col("id")).count() == 0)
+  }
+
+  test("text analysis on empty strings: no NaN, no crash") {
+    val df = Seq((1L, ""), (2L, "   ")).toDF("id", "text")
+    val rows = df.select(
+      TextAnalysis.langId(col("text")).as("lang"),
+      TextAnalysis.qualityScore(col("text")).as("q"),
+      TextAnalysis.bpeTokenEstimate(col("text")).as("toks")
+    ).collect()
+    rows.foreach { r =>
+      assert(r.getString(0) == "und")
+      assert(!r.getDouble(1).isNaN)
+      assert(r.getInt(2) >= 0)
+    }
+  }
+
+  test("context budget with zero budget selects nothing") {
+    val hits = Seq((1L, 5.0, "some words here")).toDF("doc_id", "score", "text")
+    assert(ContextAssembly.selectWithinBudget(hits, "score", "doc_id", 0.0).count() == 0)
+  }
+
+  test("asof join with empty right side keeps left rows with null asof") {
+    val left = Seq((1L, 10L, 100L)).toDF("k", "ts", "lid")
+    val right = Seq.empty[(Long, Long, Double)].toDF("k", "ts", "rv")
+    val out = AsOfJoin.asofJoin(left, right, "k", "ts", Seq("rv")).collect()
+    assert(out.length == 1 && out.head.isNullAt(out.head.fieldIndex("asof_rv")))
+  }
+}
