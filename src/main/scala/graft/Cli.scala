@@ -36,24 +36,30 @@ object Cli {
 
     command match {
       case "process" =>
+        require(rest.nonEmpty, "usage: process <pdfDir>")
         val n = pipe.processDirectory(rest(0))
         println(s"processed $n documents")
       case "list" =>
         pipe.listDocuments(rest.headOption).show(50, truncate = false)
       case "search" =>
-        val mode = rest.headOption
-          .collect {
-            case "vector"  => SearchMode.Vector
-            case "keyword" => SearchMode.Keyword
-          }
-          .getOrElse(SearchMode.Hybrid)
-        val query = (if (rest.length > 1) rest.drop(1) else rest).mkString(" ")
-        retriever.search(query, mode, config.search.defaultK).show(20, 60)
+        // only consume the first word as a mode when it actually IS one
+        val parsedMode = rest.headOption.collect {
+          case "vector"  => SearchMode.Vector
+          case "keyword" => SearchMode.Keyword
+          case "hybrid"  => SearchMode.Hybrid
+        }
+        val queryWords = if (parsedMode.isDefined) rest.drop(1) else rest
+        require(queryWords.nonEmpty, "usage: search [vector|keyword|hybrid] <query...>")
+        retriever
+          .search(queryWords.mkString(" "), parsedMode.getOrElse(SearchMode.Hybrid), config.search.defaultK)
+          .show(20, 60)
       case "context" =>
+        require(rest.nonEmpty, "usage: context <query...>")
         println(retriever.getContext(rest.mkString(" "), config.search.defaultMaxTokens))
       case "stats" =>
         pipe.stats().show()
       case "delete" =>
+        require(rest.nonEmpty, "usage: delete <documentId>")
         pipe.deleteDocument(rest(0))
         println(s"deleted ${rest(0)}")
       case "sql" =>

@@ -38,7 +38,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             case n: Number => n.intValue()
             case other => throw new IllegalArgumentException(s"top_k_by: k must be an integer literal, got $other")
           }
-          TopKBy(children(0), children(1), k).toAggregateExpression()
+          import org.apache.spark.sql.catalyst.expressions.Cast
+          import org.apache.spark.sql.types.{DoubleType, LongType}
+          TopKBy(Cast(children(0), DoubleType), Cast(children(1), LongType), k)
+            .toAggregateExpression()
         }
       )
     )

@@ -34,17 +34,24 @@ object AsOfJoin {
       rightVals: Seq[String]
   ): DataFrame = {
     val leftCols = left.columns.toSeq
+    // Carry ALL right values as ONE struct: a per-column running last()
+    // with ignoreNulls would skip a genuinely-NULL right value and stitch
+    // the output from different right rows. The struct is non-null exactly
+    // on right rows, so last(struct, ignoreNulls) always selects one
+    // whole right row (matching native ASOF semantics).
+    val rvStruct = struct(rightVals.map(col): _*)
+    val rvType = org.apache.spark.sql.types.StructType(
+      rightVals.map(c => org.apache.spark.sql.types.StructField(c, right.schema(c).dataType))
+    )
     val tagged =
       right
         .select(
-          (Seq(col(keyCol), col(tsCol), lit(0).as("_side")) ++
-            rightVals.map(c => col(c).as(s"_rv_$c")) ++
+          (Seq(col(keyCol), col(tsCol), lit(0).as("_side"), rvStruct.as("_rv")) ++
             leftCols.filterNot(c => c == keyCol || c == tsCol).map(c => lit(null).as(c))): _*
         )
         .unionByName(
           left.select(
-            (Seq(col(keyCol), col(tsCol), lit(1).as("_side")) ++
-              rightVals.map(c => lit(null).cast(right.schema(c).dataType).as(s"_rv_$c")) ++
+            (Seq(col(keyCol), col(tsCol), lit(1).as("_side"), lit(null).cast(rvType).as("_rv")) ++
               leftCols.filterNot(c => c == keyCol || c == tsCol).map(col)): _*
           )
         )
@@ -55,12 +62,9 @@ object AsOfJoin {
       .orderBy(col(tsCol), col("_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val withAsof = rightVals.foldLeft(tagged) { (df, c) =>
-      df.withColumn(s"asof_$c", last(col(s"_rv_$c"), ignoreNulls = true).over(w))
-    }
-
-    withAsof
+    tagged
+      .withColumn("_asof", last(col("_rv"), ignoreNulls = true).over(w))
       .where(col("_side") === 1)
-      .select((leftCols.map(col) ++ rightVals.map(c => col(s"asof_$c"))): _*)
+      .select((leftCols.map(col) ++ rightVals.map(c => col(s"_asof.$c").as(s"asof_$c"))): _*)
   }
 }

@@ -34,6 +34,17 @@ case class TopKBy(
 
   require(k > 0, "top_k_by: k must be positive")
 
+  // fail at analysis, not with executor ClassCastExceptions: the eval
+  // path casts to Double/Long (builders insert Casts for other numerics)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    if (score.dataType != DoubleType)
+      TypeCheckFailure(s"top_k_by: score must be DOUBLE (cast it), got ${score.dataType.sql}")
+    else if (id.dataType != LongType)
+      TypeCheckFailure(s"top_k_by: id must be BIGINT (cast it), got ${id.dataType.sql}")
+    else TypeCheckSuccess
+  }
+
   // "better" = higher score, ties -> smaller id. Under this ordering the
   // best entry is the SMALLEST, so the PriorityQueue (a max-heap) keeps
   // the worst retained entry at `head` — the one to test for eviction.
@@ -107,10 +118,13 @@ case class TopKBy(
 
 object TopKBy {
 
-  /** Column API: `top_k_by(scoreCol.cast(double), idCol.cast(long), k)`. */
+  /** Column API: numeric score/id columns are cast to double/long. */
   def topKBy(score: Column, id: Column, k: Int): Column =
     graftbridge.column(
-      TopKBy(graftbridge.expression(score), graftbridge.expression(id), k)
-        .toAggregateExpression()
+      TopKBy(
+        graftbridge.expression(score.cast("double")),
+        graftbridge.expression(id.cast("long")),
+        k
+      ).toAggregateExpression()
     )
 }

@@ -105,8 +105,9 @@ object PdfSource {
     override val name = "ocr_stub"
     override def extract(path: String, content: Array[Byte]): Extraction = {
       val base = StubExtractor.extract(path, content)
-      val perPage = math.max(1, base.markdown.length / base.pageCount)
-      val pages = base.markdown.grouped(perPage).toSeq.take(base.pageCount)
+      // ceil so grouping covers the whole string (no tail truncation)
+      val perPage = math.max(1, (base.markdown.length + base.pageCount - 1) / base.pageCount)
+      val pages = base.markdown.grouped(perPage).toSeq
       val joined = pages.zipWithIndex
         .map { case (p, i) => s"<!-- Page ${i + 1} -->\n\n$p" }
         .mkString("\n\n")

@@ -30,4 +30,16 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(got(102L).contains(9.0), "latest preceding wins")
     assert(got(103L).isEmpty, "no preceding right row -> null")
   }
+
+  test("asof join: NULL right values carry as NULL, not stitched from older rows") {
+    val left = Seq((1L, 6L, 100L)).toDF("k", "ts", "lid")
+    val right = Seq(
+      (1L, 1L, Some(10.0), 900L),
+      (1L, 5L, None: Option[Double], 901L) // latest row has NULL value
+    ).toDF("k", "ts", "rv", "rid")
+    val out = AsOfJoin.asofJoin(left, right, "k", "ts", Seq("rid", "rv")).head()
+    assert(out.getAs[Long]("asof_rid") == 901L)
+    assert(out.isNullAt(out.fieldIndex("asof_rv")),
+      "value must come from the matched row (901), which is NULL — not from row 900")
+  }
 }
