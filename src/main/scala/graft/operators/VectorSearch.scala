@@ -136,10 +136,14 @@ object VectorSearch {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val withVec = corpus.withColumn("_v", array_to_vector(col(vecCol).cast("array<double>")))
+    // a coarse quantizer only partitions space — random seeded init + few
+    // iterations is the standard IVF training regime (k-means|| init and
+    // full convergence buy recall we re-gain via nProbe)
     val model = new KMeans()
       .setK(nLists)
       .setSeed(seed)
-      .setMaxIter(10)
+      .setMaxIter(5)
+      .setInitMode("random")
       .setFeaturesCol("_v")
       .setPredictionCol("ivf_cell")
       .fit(withVec)
