@@ -34,6 +34,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(classOf[TopKBy].getName, "top_k_by"),
         (children: Seq[Expression]) => {
           require(children.length == 3, s"top_k_by(score, id, k) takes 3 args, got ${children.length}")
+          if (!children(2).foldable)
+            throw new IllegalArgumentException("top_k_by: k must be an integer literal")
           val k = children(2).eval(null) match {
             case n: Number => n.intValue()
             case other => throw new IllegalArgumentException(s"top_k_by: k must be an integer literal, got $other")

@@ -79,6 +79,10 @@ object Chunker {
     }
 
     for (rawLine <- text.split("\n", -1)) {
+      // parity note: the reference's splitter strips EVERY line (including
+      // inside code fences) before accumulating — "opaque" means fence
+      // content can't introduce headers/sections, not that indentation is
+      // preserved. Intentionally matched here.
       val line = rawLine.trim
       if (!inCodeBlock) {
         if (line.startsWith("```") && line.sliding(3).count(_ == "```") == 1) {

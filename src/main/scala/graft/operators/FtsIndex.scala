@@ -135,9 +135,12 @@ object FtsIndex {
   ): DataFrame = {
     val terms = query.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).distinct
     if (terms.isEmpty)
-      return index.postings.sparkSession.emptyDataFrame
-        .withColumn("doc_id", lit(null))
-        .withColumn("score", lit(null).cast("double"))
+      // empty result with the SAME schema as the scored path (doc_id keeps
+      // the postings' type, score is double) so callers can union/join
+      // uniformly across queries
+      return index.postings
+        .select(col("doc_id"))
+        .withColumn("score", lit(0.0))
         .limit(0)
 
     index.postings

@@ -23,6 +23,12 @@ object Skew {
       salt: Int,
       joinType: String = "inner"
   ): DataFrame = {
+    // right rows are replicated `salt` times, so join types that emit
+    // unmatched RIGHT rows would duplicate them `salt`-fold
+    require(
+      Set("inner", "left", "left_outer", "leftouter").contains(joinType.toLowerCase),
+      s"saltedJoin supports inner/left joins only (right side is replicated), got $joinType"
+    )
     val saltedLeft = left.withColumn("_salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(salt)).cast("int"))
     val saltedRight = right.withColumn("_salt", explode(typedlit((0 until salt).toList)))
     saltedLeft

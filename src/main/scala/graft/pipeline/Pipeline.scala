@@ -42,6 +42,9 @@ final class Pipeline(spark: SparkSession, config: GraftConfig = GraftConfig.defa
     val scanned = PdfSource
       .scan(spark, pdfDir)
       .withColumn("file_hash", TextFunctions.fileHash(col("content")))
+      // same content under two names in ONE batch is one document (ids are
+      // content-derived; without this the batch would write colliding ids)
+      .dropDuplicates("file_hash")
 
     // J1: keep files whose hash is absent from the ledger, or present with
     // status=failed (re-admit). Ledger is small relative to the scan ->
@@ -85,12 +88,17 @@ final class Pipeline(spark: SparkSession, config: GraftConfig = GraftConfig.defa
       if (imagesDir.isDefined) {
         val withContent = extracted.localCheckpoint()
         imagesDir.foreach { dir =>
+          // persist: the file-sink foreachPartition and the metadata append
+          // are two actions — without caching, the extraction fan-out
+          // would execute twice
           val images = graft.sources.ImageExtraction
             .extractImages(withContent.where(col("validation") === "valid"))
+            .persist()
           val meta = graft.sources.ImageExtraction
             .writeImageFiles(images, dir)
             .withColumn("created_at", current_timestamp())
           catalog.append(meta, "images")
+          images.unpersist()
         }
         withContent.drop("content")
       } else extracted.drop("content").localCheckpoint()
@@ -167,7 +175,10 @@ final class Pipeline(spark: SparkSession, config: GraftConfig = GraftConfig.defa
       .withColumn("created_at", current_timestamp())
 
     // Load: documents ledger rows (completed + failed) and chunks.
-    val totalByDoc = chunks.groupBy(col("document_id").as("id")).agg(count(lit(1)).as("total_chunks"))
+    // Per-doc counts aggregate over the PRE-embedding chunk rows —
+    // aggregating over `chunks` would run the (expensive) embedding stage
+    // a second time just to count rows.
+    val totalByDoc = chunkRows.groupBy(col("document_id").as("id")).agg(count(lit(1)).as("total_chunks"))
     val docRows = valid
       .select(
         col("id"), col("path").as("source_path"), col("title"), col("file_hash"),
@@ -242,13 +253,24 @@ final class Pipeline(spark: SparkSession, config: GraftConfig = GraftConfig.defa
       catalog.read("documents").where(col("file_hash") === hash)
         .select("id").collect().foreach(r => deleteDocument(r.getString(0)))
     }
-    processDirectory(p.getParent.toString)
+    // the binaryFile source accepts a single-file path: only THIS file is
+    // ingested, never its siblings in the parent directory
+    processDirectory(pdfPath)
   }
 
   /** Document listing with optional status filter (F5,
-    * src/load/sqlite_store.py:213-227).
+    * src/load/sqlite_store.py:213-227). Empty result (not a path error)
+    * on a fresh warehouse.
     */
   def listDocuments(status: Option[String] = None, limit: Int = 100): org.apache.spark.sql.DataFrame = {
+    if (!catalog.exists("documents"))
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("status", org.apache.spark.sql.types.StringType)
+        ))
+      )
     val docs = catalog.read("documents")
     status.map(s => docs.where(col("status") === s)).getOrElse(docs)
       .orderBy(desc("uploaded_at"), col("id"))
@@ -258,11 +280,13 @@ final class Pipeline(spark: SparkSession, config: GraftConfig = GraftConfig.defa
   /** Chunk listing for a document, ordered by chunk_index (Q7/O1,
     * src/load/lancedb_store.py:229-255).
     */
-  def listChunks(documentId: String, limit: Int = 1000): org.apache.spark.sql.DataFrame =
+  def listChunks(documentId: String, limit: Int = 1000): org.apache.spark.sql.DataFrame = {
+    require(catalog.exists("chunks"), "no chunks table yet — ingest documents first")
     catalog.read("chunks")
       .where(col("document_id") === documentId)
       .orderBy("chunk_index")
       .limit(limit)
+  }
 
   /** Typed view of the chunks table (`Dataset[Chunk]`) — the typed core
     * API of SURVEY §1.3; the parquet schema aligns with the case class by
@@ -273,8 +297,13 @@ final class Pipeline(spark: SparkSession, config: GraftConfig = GraftConfig.defa
     catalog.read("chunks").as[graft.model.Chunk]
   }
 
-  /** Status histogram + chunk count (A1/A2, src/pipeline.py:297-311). */
+  /** Status histogram + chunk count (A1/A2, src/pipeline.py:297-311).
+    * Empty histogram (not a path error) on a fresh warehouse.
+    */
   def stats(): DataFrame = {
+    import spark.implicits._
+    if (!catalog.exists("documents"))
+      return Seq.empty[(String, Long, Long)].toDF("status", "n", "total_chunks")
     val byStatus = catalog.read("documents").groupBy("status").agg(count(lit(1)).as("n"))
     val totalChunks = if (catalog.exists("chunks")) catalog.read("chunks").count() else 0L
     byStatus.withColumn("total_chunks", lit(totalChunks))

@@ -78,9 +78,19 @@ final class Retriever(spark: SparkSession, pipeline: Pipeline, config: GraftConf
     */
   def hybridSearch(query: String, k: Int, titleFilter: Option[String] = None): DataFrame = {
     val v = vectorSearch(query, k, titleFilter).select(col("id"), col("score"))
+    // Force the keyword branch to EXECUTE inside the try (k is small, so
+    // materializing here is cheap): a lazy plan would defer failures past
+    // this fallback to the caller's action (reference falls back to pure
+    // vector on FTS failure, lancedb_store.py:187-190).
     val kw =
-      try keywordSearch(query, k, titleFilter).select(col("id"), col("score"))
-      catch { case _: Throwable => return vectorSearch(query, k, titleFilter) }
+      try {
+        import spark.implicits._
+        val rows = keywordSearch(query, k, titleFilter)
+          .select(col("id"), col("score"))
+          .as[(String, Double)]
+          .collect()
+        spark.createDataFrame(rows.toSeq).toDF("id", "score")
+      } catch { case _: Throwable => return vectorSearch(query, k, titleFilter) }
     val fused = HybridSearch.rrf(v, kw, "id", "score", k, config.search.rrfK)
     fused
       .select(col("id"), col("rrf_score").as("score"))

@@ -130,6 +130,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(pipe.catalog.read("documents").where(col("status") === "failed").count() == 1)
   }
 
+  test("single-file ingest touches only that file; duplicate content collapses") {
+    val (pdfDir, wh, _) = freshDirs()
+    mkPdf(pdfDir, "a.pdf", "# A\n\nalpha document body with several words here.")
+    mkPdf(pdfDir, "b.pdf", "# B\n\nbeta document body with different words entirely.")
+    val pipe = new Pipeline(spark, GraftConfig(warehouseDir = wh))
+
+    // S2: only a.pdf must be ingested, not its sibling
+    assert(pipe.processFile(s"$pdfDir/a.pdf") == 1)
+    assert(pipe.catalog.read("documents").count() == 1)
+
+    // two files with identical content in one batch -> ONE document
+    mkPdf(pdfDir, "b_copy.pdf", "# B\n\nbeta document body with different words entirely.")
+    assert(pipe.processDirectory(pdfDir) == 1)
+    val docs = pipe.catalog.read("documents")
+    assert(docs.count() == 2)
+    assert(docs.select("id").distinct().count() == 2, "no colliding ids")
+
+    // fresh-warehouse guards: stats/listDocuments empty, not path errors
+    val fresh = new Pipeline(spark, GraftConfig(warehouseDir = s"$wh-empty"))
+    assert(fresh.stats().count() == 0)
+    assert(fresh.listDocuments().count() == 0)
+  }
+
   test("catalog update/delete primitives") {
     val base = Files.createTempDirectory("graft-cat").toString
     val cat = new graft.sources.Catalog(spark, base)
