@@ -168,6 +168,9 @@ object Chunker {
       chunkOverlap: Int = 50,
       separators: Seq[String] = DefaultSeparators
   ): Seq[String] = {
+    require(chunkSize > 0, s"chunkSize must be positive, got $chunkSize")
+    require(chunkOverlap >= 0 && chunkOverlap < chunkSize,
+      s"chunkOverlap must be in [0, chunkSize), got $chunkOverlap for size $chunkSize")
 
     def splitWithSeparator(t: String, sep: String): Seq[String] =
       if (sep.isEmpty) t.map(_.toString)

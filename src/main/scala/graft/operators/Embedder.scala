@@ -38,6 +38,7 @@ trait EmbeddingProvider extends Serializable {
   * vector search meaningful (and fully reproducible) behavior offline.
   */
 final case class HashingEmbedder(dimension: Int = 64) extends EmbeddingProvider {
+  require(dimension > 0, s"embedding dimension must be positive, got $dimension")
 
   private def tokens(text: String): Seq[String] = {
     val words = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq

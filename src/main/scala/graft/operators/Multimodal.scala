@@ -122,6 +122,8 @@ object Multimodal {
     */
   def sampleFrames(df: DataFrame, everyNth: Int, maxFrames: Int,
       contentCol: String = "content", codec: MediaCodec = StubCodec): DataFrame = {
+    require(everyNth > 0, s"sampleFrames: everyNth must be positive, got $everyNth")
+    require(maxFrames > 0, s"sampleFrames: maxFrames must be positive, got $maxFrames")
     val framesUdf = udf { (bytes: Array[Byte]) =>
       if (bytes == null) Seq.empty[(Int, Array[Byte])]
       else {

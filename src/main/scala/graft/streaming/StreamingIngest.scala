@@ -54,8 +54,23 @@ final class StreamingIngest(spark: SparkSession, config: GraftConfig = GraftConf
     val s = batch.sparkSession
     import s.implicits._
 
-    val docs = batch
+    val hashed = batch
       .withColumn("file_hash", TextFunctions.fileHash(encode(col("value"), "UTF-8")))
+      // content-level dedup, the streaming twin of the batch J1 anti-join:
+      // within the micro-batch (two files, same bytes) and against the
+      // already-ingested ledger (same content re-appearing in a later file)
+      .dropDuplicates("file_hash")
+    val deduped =
+      if (!catalog.exists("documents_stream")) hashed
+      else
+        hashed.join(
+          broadcast(catalog.read("documents_stream").select("file_hash")),
+          Seq("file_hash"),
+          "left_anti"
+        )
+    if (deduped.isEmpty) return
+
+    val docs = deduped
       .withColumn("id", sha2(col("file_hash"), 256))
       .withColumn("title", TextFunctions.titleFromFilename(col("path")))
 

@@ -32,5 +32,11 @@ class StreamingSpec extends AnyFunSuite {
     q2.awaitTermination()
     assert(cat.read("documents_stream").count() == 3)
     assert(cat.read("documents_stream").select("id").distinct().count() == 3)
+
+    // a NEW file carrying already-seen content: content-level dedup drops it
+    Files.write(Paths.get(in, "d1_copy.md"), "# One\n\nspark streaming processes data incrementally.".getBytes)
+    val q3 = ingest.start(in, ckpt)
+    q3.awaitTermination()
+    assert(cat.read("documents_stream").count() == 3, "duplicate content must not re-ingest")
   }
 }
