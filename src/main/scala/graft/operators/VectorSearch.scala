@@ -129,6 +129,36 @@ object VectorSearch {
     }
   }
 
+  /** Persist an IVF index partitioned BY CELL: probing then becomes
+    * parquet partition pruning — a query reads only `nProbe` of `nLists`
+    * directories. Returns the reloaded, storage-backed index.
+    */
+  def writeIvf(index: IvfIndex, path: String): Unit = {
+    index.indexed.write.mode("overwrite").partitionBy("ivf_cell").parquet(s"$path/cells")
+    val centroids = index.centroids.zipWithIndex
+      .map { case (c, i) => s"""{"cell":$i,"centroid":[${c.mkString(",")}]}""" }
+      .mkString("[", ",", "]")
+    val p = new org.apache.hadoop.fs.Path(s"$path/centroids.json")
+    val fs = p.getFileSystem(index.indexed.sparkSession.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(centroids.getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  def loadIvf(spark: org.apache.spark.sql.SparkSession, path: String, vecCol: String): IvfIndex = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/centroids.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val json =
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+      finally in.close()
+    val centroids = """"centroid":\[([^\]]*)\]""".r
+      .findAllMatchIn(json)
+      .map(_.group(1).split(",").map(_.toDouble))
+      .toArray
+    IvfIndex(spark.read.parquet(s"$path/cells"), centroids, vecCol)
+  }
+
   /** Build an IVF index over an `array<float>` column with a seeded
     * k-means quantizer (deterministic).
     */
