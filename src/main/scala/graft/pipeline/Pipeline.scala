@@ -297,6 +297,53 @@ final class Pipeline(spark: SparkSession, config: GraftConfig = GraftConfig.defa
     catalog.read("chunks").as[graft.model.Chunk]
   }
 
+  /** Re-chunk + re-embed from the markdown checkpoints WITHOUT
+    * re-extracting PDFs (the reference's reprocess flow,
+    * src/pipeline.py:222-268 — the whole point of the S4 checkpoint).
+    * Replaces the chunks of every document found under `markdownDir`;
+    * useful after a chunking-config change. Returns documents reprocessed.
+    */
+  def reprocessFromMarkdown(markdownDir: String): Long = {
+    import spark.implicits._
+    val parsed = MarkdownSource.read(spark, markdownDir)
+      .select(col("document_id"), col("title"), col("content"))
+      .localCheckpoint() // cut lineage before mutating the chunks table
+    val docIds = parsed.select("document_id").as[String].collect()
+    if (docIds.isEmpty) return 0L
+
+    val chunkCfg = config.chunking
+    val chunkRows = parsed
+      .as[(String, String, String)]
+      .flatMap { case (docId, title, md) =>
+        Chunker.chunk(md, chunkCfg).map { c =>
+          (s"$docId-${c.chunkIndex}", docId, title, c.text, c.h1, c.h2, c.h3,
+            c.chunkIndex, c.totalChunks, Seq.empty[Int], c.tokenCount, c.isSectionStart)
+        }
+      }
+      .toDF(
+        "id", "document_id", "document_title", "text", "section_h1", "section_h2",
+        "section_h3", "chunk_index", "total_chunks", "page_numbers", "token_count",
+        "is_section_start"
+      )
+    val chunks = Embedder
+      .withEmbedding(chunkRows, "text", "embedding", config.embedding)
+      .withColumn("created_at", current_timestamp())
+
+    catalog.deleteWhere("chunks", col("document_id").isin(docIds.toSeq: _*))
+    catalog.append(chunks, "chunks")
+    FtsIndex.invalidate(ftsKey)
+    docIds.length.toLong
+  }
+
+  /** Point lookups (F6, src/load/sqlite_store.py:174-211). */
+  def getDocument(id: String): Option[org.apache.spark.sql.Row] =
+    if (!catalog.exists("documents")) None
+    else catalog.read("documents").where(col("id") === id).collect().headOption
+
+  def getDocumentByHash(fileHash: String): Option[org.apache.spark.sql.Row] =
+    if (!catalog.exists("documents")) None
+    else catalog.read("documents").where(col("file_hash") === fileHash).collect().headOption
+
   /** Status histogram + chunk count (A1/A2, src/pipeline.py:297-311).
     * Empty histogram (not a path error) on a fresh warehouse.
     */

@@ -105,6 +105,19 @@ class PipelineSpec extends AnyFunSuite {
     val chunkList = pipe.listChunks(anyDoc).select("chunk_index").collect().map(_.getInt(0)).toSeq
     assert(chunkList == chunkList.sorted)
 
+    // reprocess from markdown checkpoints: re-chunks WITHOUT the pdfs
+    val chunksBefore = pipe.catalog.read("chunks").count()
+    assert(pipe.reprocessFromMarkdown(mdDir) == 2)
+    val chunksAfter = pipe.catalog.read("chunks")
+    assert(chunksAfter.select("document_id").distinct().count() == 3)
+    assert(chunksAfter.where(col("embedding").isNull).count() == 0)
+    assert(chunksAfter.count() == chunksBefore, "same config -> same chunking")
+
+    // point lookups
+    val someId = pipe.catalog.read("documents").head().getAs[String]("id")
+    assert(pipe.getDocument(someId).isDefined)
+    assert(pipe.getDocument("nope").isEmpty)
+
     // cascade delete
     val sparkDocId = pipe.catalog.read("documents")
       .where(col("title") === "Spark Guide").head().getAs[String]("id")
