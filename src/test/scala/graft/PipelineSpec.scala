@@ -79,6 +79,12 @@ class PipelineSpec extends AnyFunSuite {
     assert(ctx.startsWith("Documents referenced:"))
     assert(ctx.contains("[Source: Spark Guide]"))
 
+    // topic routing (X5/Q5): first known topic in the query drives the
+    // title filter; no topic -> no filter
+    assert(ret.extractTopic("advice on nutrition during pregnancy").contains("pregnancy"))
+    assert(ret.extractTopic("NUTRITION basics").contains("nutrition"))
+    assert(ret.extractTopic("spark shuffle tuning").isEmpty)
+
     // stats
     val st = pipe.stats().collect()
     assert(st.exists(r => r.getAs[String]("status") == "completed" && r.getAs[Long]("n") == 2))
