@@ -372,6 +372,14 @@ object OracleSql {
         |SELECT a.event_id, a.user_id, a.ts_us,
         |       b.event_id AS asof_event_id, b.value AS asof_value
         |FROM a ASOF LEFT JOIN b ON a.user_id = b.user_id AND a.ts_us >= b.ts_us
-        |ORDER BY a.event_id""".stripMargin
+        |ORDER BY a.event_id""".stripMargin,
+
+    "q_ann_batch" ->
+      """SELECT a.vec_id AS query_id,
+        |  (LIST(b.vec_id ORDER BY
+        |     list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) DESC,
+        |     b.vec_id))[1:3] AS ids
+        |FROM (SELECT * FROM embeddings WHERE vec_id < 5) a CROSS JOIN embeddings b
+        |GROUP BY a.vec_id ORDER BY query_id""".stripMargin
   )
 }

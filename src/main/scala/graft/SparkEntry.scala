@@ -694,6 +694,18 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** Batched multi-query ANN: top-3 neighbors for each of 5 query vectors
+    * in ONE job (TopKBy bounded-heap aggregate — no sort, <=k rows per
+    * query cross the shuffle).
+    */
+  private def qAnnBatch(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    VectorSearch
+      .topKBatch(emb.where(col("vec_id") < 5), emb, "vec_id", "embedding", "vec_id", "embedding", 3)
+      .select(col("query_id"), expr("transform(top, x -> x.id)").as("ids"))
+      .orderBy("query_id")
+  }
+
   // =====================================================================
   // Contract maps
   // =====================================================================
@@ -748,7 +760,8 @@ object SparkEntry {
     "q_minmax_dates" -> (qMinMaxDates _),
     "q_topk_per_group_agg" -> (qTopkPerGroupAgg _),
     "q_fuzzy_match" -> (qFuzzyMatch _),
-    "q_asof_join" -> (qAsofJoin _)
+    "q_asof_join" -> (qAsofJoin _),
+    "q_ann_batch" -> (qAnnBatch _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -38,6 +38,44 @@ object VectorSearch {
       .limit(k)
   }
 
+  /** Batched multi-query top-k: one job answers MANY query vectors (the
+    * training-pipeline shape: retrieve neighbors for every document of a
+    * batch, e.g. for distillation or hard-negative mining). Built on the
+    * [[graft.plans.TopKBy]] bounded-heap aggregate, so the grouped top-k
+    * never sorts: each (partition, query) keeps a k-heap and the shuffle
+    * carries <= k rows per query.
+    *
+    * `blockBits > 0` adds SimHash blocking: query x corpus pairs are
+    * joined on matching signature prefixes instead of a full cross
+    * product (recall/cost trade, exact when 0).
+    */
+  def topKBatch(
+      queries: DataFrame,
+      corpus: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      corpusIdCol: String,
+      corpusVecCol: String,
+      k: Int,
+      blockBits: Int = 0
+  ): DataFrame = {
+    val q = queries.select(col(queryIdCol).as("query_id"), col(queryVecCol).as("qv"))
+    val c = corpus.select(col(corpusIdCol).as("corpus_id"), col(corpusVecCol).as("cv"))
+    val paired =
+      if (blockBits <= 0) q.crossJoin(c)
+      else {
+        val lsh = SimHashLsh(nBits = blockBits)
+        val qs = lsh.withSignature(q, "qv").withColumnRenamed("sig", "qsig")
+        val cs = lsh.withSignature(c, "cv").withColumnRenamed("sig", "csig")
+        qs.join(cs, col("qsig") === col("csig")).drop("qsig", "csig")
+      }
+    paired
+      .withColumn("score", VectorFunctions.cosineSim(col("qv"), col("cv")))
+      .groupBy("query_id")
+      .agg(graft.plans.TopKBy.topKBy(col("score"), col("corpus_id"), k).as("top"))
+      .select(col("query_id"), col("top"))
+  }
+
   /** Random-hyperplane (SimHash) LSH for cosine distance.
     *
     * `nBits` hyperplanes with deterministic pseudo-random components give
