@@ -17,6 +17,54 @@ object OracleSql {
   private val ftsToks =
     """list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)"""
 
+  // quality-score building blocks (identical forms verified standalone in
+  // q_quality_metrics / q_lang_id)
+  private val awl =
+    s"""(CAST(COALESCE(list_sum(list_transform($words, w -> len(w))), 0) AS DOUBLE) / GREATEST(len($words), 1))"""
+  private val wsRatio =
+    """(CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE) / GREATEST(length(text), 1))"""
+  private val naRatio =
+    """(CAST(length(regexp_replace(text, '[\x00-\x7F]', '', 'g')) AS DOUBLE) / GREATEST(length(text), 1))"""
+
+  /** TextAnalysis.qualityScore mirror (same association order). */
+  private val quality =
+    s"""ROUND((((LEAST(CAST(length(text) AS DOUBLE) / 200.0, 1.0)
+       | + CASE WHEN $awl >= 2.0 AND $awl <= 15.0 THEN 1.0 ELSE 0.0 END)
+       | + CASE WHEN $wsRatio > 0.05 AND $wsRatio < 0.5 THEN 1.0 ELSE 0.0 END)
+       | + (1.0 - LEAST($naRatio / 0.15, 1.0))) / 4.0, 6)""".stripMargin.replace("\n", "")
+
+  private def langHits(stops: String) =
+    s"""len(list_filter(regexp_split_to_array(lower(text), '[^a-zà-ÿ]+'),
+       |        w -> list_contains([$stops], w)))""".stripMargin.replace("\n", " ")
+
+  /** TextAnalysis.langId mirror (en >= de >= fr >= es tie priority). */
+  private val langCase = {
+    val en = langHits("'the','and','of','to','in','is','that','for','with','are'")
+    val de = langHits("'der','die','und','das','ist','nicht','mit','ein','den','von'")
+    val fr = langHits("'le','la','les','et','des','est','dans','que','pour','une'")
+    val es = langHits("'el','la','los','las','es','en','que','por','con','para'")
+    s"""CASE WHEN $en >= $de AND $en >= $fr AND $en >= $es AND $en > 0 THEN 'en'
+       |     WHEN $de >= $fr AND $de >= $es AND $de > 0 THEN 'de'
+       |     WHEN $fr >= $es AND $fr > 0 THEN 'fr'
+       |     WHEN $es > 0 THEN 'es'
+       |     ELSE 'und' END""".stripMargin
+  }
+
+  /** Curation CTE: enrich -> filter -> exact-dedup keep-min-id. */
+  private val curationCte =
+    s"""enriched AS (
+       |  SELECT doc_id, text, $langCase AS pred_lang, $quality AS quality,
+       |         CAST(FLOOR(CAST(len($words) AS DOUBLE) * 1.3) AS BIGINT) AS token_est
+       |  FROM documents),
+       |filtered AS (SELECT * FROM enriched
+       |             WHERE quality >= 0.5 AND pred_lang IN ('en', 'de')),
+       |curated AS (
+       |  SELECT doc_id, pred_lang, quality, token_est FROM (
+       |    SELECT *, ROW_NUMBER() OVER (
+       |      PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+       |      ORDER BY doc_id) AS rn
+       |    FROM filtered) WHERE rn = 1)""".stripMargin
+
   /** BM25 scoring CTE chain over `documents` for query terms
     * ('spark','query','data'), k1=1.2 b=0.75 — mirrors FtsIndex exactly,
     * including expression association.
@@ -380,6 +428,16 @@ object OracleSql {
         |     list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) DESC,
         |     b.vec_id))[1:3] AS ids
         |FROM (SELECT * FROM embeddings WHERE vec_id < 5) a CROSS JOIN embeddings b
-        |GROUP BY a.vec_id ORDER BY query_id""".stripMargin
+        |GROUP BY a.vec_id ORDER BY query_id""".stripMargin,
+
+    "q_curation" ->
+      s"""WITH $curationCte
+         |SELECT doc_id, pred_lang, quality, token_est FROM curated ORDER BY doc_id""".stripMargin,
+
+    "q_curation_stats" ->
+      s"""WITH $curationCte
+         |SELECT pred_lang, COUNT(*) AS n_docs,
+         |       CAST(SUM(token_est) AS BIGINT) AS total_tokens
+         |FROM curated GROUP BY pred_lang ORDER BY pred_lang""".stripMargin
   )
 }

@@ -706,6 +706,23 @@ object SparkEntry {
       .orderBy("query_id")
   }
 
+  /** LLM corpus curation composite: language filter + quality gate +
+    * exact dedup + token accounting in one declarative plan.
+    */
+  private def qCuration(s: SparkSession, dir: String): DataFrame =
+    Curation
+      .curate(t(s, dir, "documents"), "doc_id", "text",
+        langs = Set("en", "de"), minQuality = 0.5)
+      .select(col("doc_id"), col("pred_lang"), col("quality"), col("token_est"))
+      .orderBy("doc_id")
+
+  /** Curated-corpus accounting (docs + tokens kept per language). */
+  private def qCurationStats(s: SparkSession, dir: String): DataFrame =
+    Curation.stats(
+      Curation.curate(t(s, dir, "documents"), "doc_id", "text",
+        langs = Set("en", "de"), minQuality = 0.5)
+    ).withColumn("total_tokens", col("total_tokens").cast("long"))
+
   // =====================================================================
   // Contract maps
   // =====================================================================
@@ -761,7 +778,9 @@ object SparkEntry {
     "q_topk_per_group_agg" -> (qTopkPerGroupAgg _),
     "q_fuzzy_match" -> (qFuzzyMatch _),
     "q_asof_join" -> (qAsofJoin _),
-    "q_ann_batch" -> (qAnnBatch _)
+    "q_ann_batch" -> (qAnnBatch _),
+    "q_curation" -> (qCuration _),
+    "q_curation_stats" -> (qCurationStats _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** The canonical training-data curation composite: language filter ->
+  * quality gate -> exact dedup (keep one representative) -> token
+  * accounting. One declarative plan: the filters fuse into the scan, the
+  * only shuffle is the dedup's hash-partition, and every stage is the
+  * already-verified column algebra from TextAnalysis/Dedup.
+  *
+  * This is the standard corpus-prep sweep run before LLM training — the
+  * operator a 100 TB pipeline executes most often.
+  */
+object Curation {
+
+  /** Filter + dedup a corpus. Returns the curated rows with
+    * `pred_lang`, `quality`, `token_est` columns attached.
+    *
+    * @param langs     keep docs whose predicted language is in this set
+    *                  (empty = keep all)
+    * @param minQuality keep docs with qualityScore >= this
+    * @param dedupe    drop exact duplicates (normalized text), keeping the
+    *                  smallest id per group
+    */
+  def curate(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      langs: Set[String] = Set("en"),
+      minQuality: Double = 0.5,
+      dedupe: Boolean = true
+  ): DataFrame = {
+    val enriched = docs
+      .withColumn("pred_lang", TextAnalysis.langId(col(textCol)))
+      .withColumn("quality", TextAnalysis.qualityScore(col(textCol)))
+      .withColumn(
+        "token_est",
+        floor(TextFunctions.wordCount(col(textCol)).cast("double") * 1.3).cast("long")
+      )
+    val filtered = enriched
+      .where(col("quality") >= minQuality)
+      .where(if (langs.isEmpty) lit(true) else col("pred_lang").isin(langs.toSeq: _*))
+    if (!dedupe) filtered
+    else {
+      val w = Window
+        .partitionBy(md5(Dedup.normalized(col(textCol))))
+        .orderBy(col(idCol))
+      filtered.withColumn("_rn", row_number().over(w)).where(col("_rn") === 1).drop("_rn")
+    }
+  }
+
+  /** Corpus accounting after curation: docs and tokens kept per language. */
+  def stats(curated: DataFrame): DataFrame =
+    curated
+      .groupBy("pred_lang")
+      .agg(count(lit(1)).as("n_docs"), sum("token_est").as("total_tokens"))
+      .orderBy("pred_lang")
+}

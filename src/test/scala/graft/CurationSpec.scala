@@ -1,0 +1,37 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Curation
+
+class CurationSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox is in the garden and the dog is with it for now"),
+    (2L, "the quick brown fox is in the garden and the dog is with it for now"), // dup of 1
+    (3L, "der hund ist nicht mit der katze und das ist ein gutes haus von den leuten"),
+    (4L, "le chat est dans la maison et les fleurs pour une belle fete des amis"), // fr: filtered
+    (5L, "zz") // junk: quality-filtered
+  ).toDF("doc_id", "text")
+
+  test("curate filters by language and quality, dedups keeping min id") {
+    val out = Curation.curate(docs, "doc_id", "text", langs = Set("en", "de"), minQuality = 0.4)
+    val kept = out.select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L), s"got $kept")
+    val langs = out.select("doc_id", "pred_lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(langs(1L) == "en" && langs(3L) == "de")
+  }
+
+  test("dedupe=false keeps duplicates; stats account tokens per language") {
+    val out = Curation.curate(docs, "doc_id", "text", Set("en", "de"), 0.4, dedupe = false)
+    assert(out.count() == 3)
+    val st = Curation.stats(out).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(st("en")._1 == 2)
+    assert(st("de")._1 == 1)
+    assert(st("en")._2 > 0)
+  }
+}
