@@ -44,6 +44,22 @@ object api {
     new Retriever(spark, pipe, config).search(query, mode, k)
   }
 
+  /** Curate a text corpus for training: language + quality filters, exact
+    * dedup, token accounting (the most common 100 TB sweep).
+    */
+  def curateCorpus(docs: DataFrame, idCol: String, textCol: String,
+      langs: Set[String] = Set("en"), minQuality: Double = 0.5): DataFrame =
+    graft.operators.Curation.curate(docs, idCol, textCol, langs, minQuality)
+
+  /** Top-k neighbors for EVERY query vector in one job (distillation /
+    * hard-negative mining shape).
+    */
+  def batchNeighbors(queries: DataFrame, corpus: DataFrame,
+      queryIdCol: String, queryVecCol: String,
+      corpusIdCol: String, corpusVecCol: String, k: Int): DataFrame =
+    graft.operators.VectorSearch.topKBatch(
+      queries, corpus, queryIdCol, queryVecCol, corpusIdCol, corpusVecCol, k)
+
   /** Build (or fetch the cached) BM25 index over a corpus (S7 surface). */
   def buildFtsIndex(docs: DataFrame, idCol: String, textCol: String,
       cacheKey: Option[String] = None): FtsIndex.Index =
