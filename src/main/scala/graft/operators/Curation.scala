@@ -37,20 +37,13 @@ object Curation {
     val enriched = docs
       .withColumn("pred_lang", TextAnalysis.langId(col(textCol)))
       .withColumn("quality", TextAnalysis.qualityScore(col(textCol)))
-      .withColumn(
-        "token_est",
-        floor(TextFunctions.wordCount(col(textCol)).cast("double") * 1.3).cast("long")
-      )
+      // == floor(words*1.3) for non-negative counts: one canonical formula
+      .withColumn("token_est", TextFunctions.tokenEstimate(col(textCol)).cast("long"))
     val filtered = enriched
       .where(col("quality") >= minQuality)
       .where(if (langs.isEmpty) lit(true) else col("pred_lang").isin(langs.toSeq: _*))
     if (!dedupe) filtered
-    else {
-      val w = Window
-        .partitionBy(md5(Dedup.normalized(col(textCol))))
-        .orderBy(col(idCol))
-      filtered.withColumn("_rn", row_number().over(w)).where(col("_rn") === 1).drop("_rn")
-    }
+    else Dedup.exactDedup(filtered, idCol, textCol)
   }
 
   /** Corpus accounting after curation: docs and tokens kept per language. */

@@ -59,6 +59,17 @@ object VectorSearch {
       k: Int,
       blockBits: Int = 0
   ): DataFrame = {
+    // TopKBy carries ids as longs through its heap buffer: a string id
+    // would null-out (or ANSI-error) in the cast and silently empty the
+    // results — fail loudly instead. Pre-map string ids to a numeric
+    // surrogate before calling.
+    corpus.schema(corpusIdCol).dataType match {
+      case _: org.apache.spark.sql.types.NumericType => ()
+      case other =>
+        throw new IllegalArgumentException(
+          s"topKBatch: corpus id column '$corpusIdCol' must be numeric (got ${other.sql}); map string ids to a numeric surrogate first"
+        )
+    }
     val q = queries.select(col(queryIdCol).as("query_id"), col(queryVecCol).as("qv"))
     val c = corpus.select(col(corpusIdCol).as("corpus_id"), col(corpusVecCol).as("cv"))
     val paired =

@@ -142,37 +142,8 @@ final class Pipeline(spark: SparkSession, config: GraftConfig = GraftConfig.defa
     }
 
     // U4+U5: chunk; U6: embed — both narrow.
-    val chunkCfg = config.chunking
-    import spark.implicits._
-    val chunkRows = valid
-      .select(col("id"), col("title"), col("markdown"))
-      .as[(String, String, String)]
-      .flatMap { case (docId, title, md) =>
-        Chunker.chunk(md, chunkCfg).map { c =>
-          (
-            s"$docId-${c.chunkIndex}",
-            docId,
-            title,
-            c.text,
-            c.h1,
-            c.h2,
-            c.h3,
-            c.chunkIndex,
-            c.totalChunks,
-            Seq.empty[Int], // page_numbers: vestigial in the reference (SURVEY §7.4.5)
-            c.tokenCount,
-            c.isSectionStart
-          )
-        }
-      }
-      .toDF(
-        "id", "document_id", "document_title", "text", "section_h1", "section_h2",
-        "section_h3", "chunk_index", "total_chunks", "page_numbers", "token_count",
-        "is_section_start"
-      )
-    val chunks = Embedder
-      .withEmbedding(chunkRows, "text", "embedding", config.embedding)
-      .withColumn("created_at", current_timestamp())
+    val chunkRows = chunkDocs(valid.select(col("id"), col("title"), col("markdown")))
+    val chunks = embedChunkRows(chunkRows)
 
     // Load: documents ledger rows (completed + failed) and chunks.
     // Per-doc counts aggregate over the PRE-embedding chunk rows —
@@ -216,6 +187,46 @@ final class Pipeline(spark: SparkSession, config: GraftConfig = GraftConfig.defa
 
     nIngested
   }
+
+  /** Chunk a (doc_id, title, markdown)-shaped frame into chunk rows —
+    * the ONE place the chunks-table schema is constructed (shared by
+    * ingest and reprocess so the table can never go mixed-schema).
+    */
+  private def chunkDocs(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val chunkCfg = config.chunking
+    docs
+      .toDF("id", "title", "markdown")
+      .as[(String, String, String)]
+      .flatMap { case (docId, title, md) =>
+        Chunker.chunk(md, chunkCfg).map { c =>
+          (
+            s"$docId-${c.chunkIndex}",
+            docId,
+            title,
+            c.text,
+            c.h1,
+            c.h2,
+            c.h3,
+            c.chunkIndex,
+            c.totalChunks,
+            Seq.empty[Int], // page_numbers: vestigial in the reference (SURVEY §7.4.5)
+            c.tokenCount,
+            c.isSectionStart
+          )
+        }
+      }
+      .toDF(
+        "id", "document_id", "document_title", "text", "section_h1", "section_h2",
+        "section_h3", "chunk_index", "total_chunks", "page_numbers", "token_count",
+        "is_section_start"
+      )
+  }
+
+  private def embedChunkRows(chunkRows: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    Embedder
+      .withEmbedding(chunkRows, "text", "embedding", config.embedding)
+      .withColumn("created_at", current_timestamp())
 
   /** Cached FTS index over the chunks table (built on demand). */
   def ftsIndex: FtsIndex.Index =
@@ -305,32 +316,37 @@ final class Pipeline(spark: SparkSession, config: GraftConfig = GraftConfig.defa
     */
   def reprocessFromMarkdown(markdownDir: String): Long = {
     import spark.implicits._
+    if (!catalog.exists("documents")) return 0L
+    // trust the LEDGER, not the directory: a checkpoint file left behind
+    // by deleteDocument must not resurrect orphan chunks
     val parsed = MarkdownSource.read(spark, markdownDir)
       .select(col("document_id"), col("title"), col("content"))
+      .join(
+        catalog.read("documents").select(col("id").as("document_id")),
+        Seq("document_id"),
+        "left_semi"
+      )
       .localCheckpoint() // cut lineage before mutating the chunks table
     val docIds = parsed.select("document_id").as[String].collect()
     if (docIds.isEmpty) return 0L
 
-    val chunkCfg = config.chunking
-    val chunkRows = parsed
-      .as[(String, String, String)]
-      .flatMap { case (docId, title, md) =>
-        Chunker.chunk(md, chunkCfg).map { c =>
-          (s"$docId-${c.chunkIndex}", docId, title, c.text, c.h1, c.h2, c.h3,
-            c.chunkIndex, c.totalChunks, Seq.empty[Int], c.tokenCount, c.isSectionStart)
-        }
-      }
-      .toDF(
-        "id", "document_id", "document_title", "text", "section_h1", "section_h2",
-        "section_h3", "chunk_index", "total_chunks", "page_numbers", "token_count",
-        "is_section_start"
-      )
-    val chunks = Embedder
-      .withEmbedding(chunkRows, "text", "embedding", config.embedding)
-      .withColumn("created_at", current_timestamp())
+    val chunkRows = chunkDocs(parsed)
+    val chunks = embedChunkRows(chunkRows)
 
     catalog.deleteWhere("chunks", col("document_id").isin(docIds.toSeq: _*))
     catalog.append(chunks, "chunks")
+
+    // keep the ledger's total_chunks consistent with the new chunking
+    val newTotals = chunkRows
+      .groupBy(col("document_id").as("id"))
+      .agg(count(lit(1)).as("_new_total"))
+    val updatedDocs = catalog.read("documents")
+      .join(broadcast(newTotals), Seq("id"), "left")
+      .withColumn("total_chunks", coalesce(col("_new_total"), col("total_chunks")))
+      .drop("_new_total")
+      .localCheckpoint() // lineage reads the documents table being replaced
+    catalog.overwrite(updatedDocs, "documents")
+
     FtsIndex.invalidate(ftsKey)
     docIds.length.toLong
   }

@@ -13,7 +13,8 @@ class CurationSpec extends AnyFunSuite {
     (2L, "the quick brown fox is in the garden and the dog is with it for now"), // dup of 1
     (3L, "der hund ist nicht mit der katze und das ist ein gutes haus von den leuten"),
     (4L, "le chat est dans la maison et les fleurs pour une belle fete des amis"), // fr: filtered
-    (5L, "zz") // junk: quality-filtered
+    (5L, "zz"), // junk: filtered by language (und) and length
+    (6L, "the aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa") // en, but fails the QUALITY gate
   ).toDF("doc_id", "text")
 
   test("curate filters by language and quality, dedups keeping min id") {
@@ -23,6 +24,12 @@ class CurationSpec extends AnyFunSuite {
     val langs = out.select("doc_id", "pred_lang").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(langs(1L) == "en" && langs(3L) == "de")
+  }
+
+  test("quality gate excludes an in-language doc below the threshold") {
+    val out = Curation.curate(docs, "doc_id", "text", Set("en", "de"), minQuality = 0.4)
+    assert(!out.select("doc_id").as[Long].collect().contains(6L),
+      "doc 6 is English but low-quality — must be dropped by the quality predicate")
   }
 
   test("dedupe=false keeps duplicates; stats account tokens per language") {

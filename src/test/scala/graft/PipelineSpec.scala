@@ -118,6 +118,10 @@ class PipelineSpec extends AnyFunSuite {
     assert(chunksAfter.select("document_id").distinct().count() == 3)
     assert(chunksAfter.where(col("embedding").isNull).count() == 0)
     assert(chunksAfter.count() == chunksBefore, "same config -> same chunking")
+    // ledger total_chunks stays consistent with the chunks table
+    val ledgerSum = pipe.catalog.read("documents")
+      .agg(sum("total_chunks")).head().getLong(0)
+    assert(ledgerSum == chunksAfter.count())
 
     // point lookups
     val someId = pipe.catalog.read("documents").head().getAs[String]("id")
