@@ -438,6 +438,19 @@ object OracleSql {
       s"""WITH $curationCte
          |SELECT pred_lang, COUNT(*) AS n_docs,
          |       CAST(SUM(token_est) AS BIGINT) AS total_tokens
-         |FROM curated GROUP BY pred_lang ORDER BY pred_lang""".stripMargin
+         |FROM curated GROUP BY pred_lang ORDER BY pred_lang""".stripMargin,
+
+    "q_ntile" ->
+      """SELECT c_custkey,
+        |  CAST(NTILE(4) OVER (ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS quartile
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q_range_frame" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+        |    PARTITION BY user_id ORDER BY epoch_us(ts)
+        |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_hour_value
+        |FROM events WHERE user_id < 20
+        |ORDER BY user_id, ts_us, event_id""".stripMargin
   )
 }

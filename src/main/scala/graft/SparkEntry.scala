@@ -723,6 +723,34 @@ object SparkEntry {
         langs = Set("en", "de"), minQuality = 0.5)
     ).withColumn("total_tokens", col("total_tokens").cast("long"))
 
+  /** ntile bucketing (quartiles by account balance). */
+  private def qNtile(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(desc("c_acctbal"), col("c_custkey"))
+    t(s, dir, "customer")
+      .select(
+        col("c_custkey"),
+        ntile(4).over(w).cast("long").as("quartile")
+      )
+      .orderBy("c_custkey")
+  }
+
+  /** RANGE-frame window: per user, total event value within the trailing
+    * 1-hour event-time range (value-range frame, not row frame).
+    */
+  private def qRangeFrame(s: SparkSession, dir: String): DataFrame = {
+    val w = Window
+      .partitionBy("user_id")
+      .orderBy(col("ts_us"))
+      .rangeBetween(-3600L * 1000000L, Window.currentRow)
+    events(s, dir)
+      .where(col("user_id") < 20)
+      .select(
+        col("user_id"), col("event_id"), col("ts_us"),
+        sum(col("value").cast("decimal(18,6)")).over(w).cast("double").as("trailing_hour_value")
+      )
+      .orderBy("user_id", "ts_us", "event_id")
+  }
+
   // =====================================================================
   // Contract maps
   // =====================================================================
@@ -780,7 +808,9 @@ object SparkEntry {
     "q_asof_join" -> (qAsofJoin _),
     "q_ann_batch" -> (qAnnBatch _),
     "q_curation" -> (qCuration _),
-    "q_curation_stats" -> (qCurationStats _)
+    "q_curation_stats" -> (qCurationStats _),
+    "q_ntile" -> (qNtile _),
+    "q_range_frame" -> (qRangeFrame _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
