@@ -73,6 +73,31 @@ final class Retriever(spark: SparkSession, pipeline: Pipeline, config: GraftConf
         col("section_h1"), col("section_h2"), col("chunk_index"), col("score"))
   }
 
+  /** Batch vector retrieval: top-k chunks for MANY queries in one job
+    * (training-pipeline shape — e.g. mine context for a whole eval set).
+    * Chunk ids are strings, so a deterministic numeric surrogate
+    * (row_number over id) carries them through the TopKBy heap and joins
+    * back after.
+    */
+  def vectorSearchMany(queryTexts: Seq[String], k: Int): DataFrame = {
+    import spark.implicits._
+    val queries = queryTexts.zipWithIndex
+      .map { case (t, i) => (i.toLong, embedder.embedOne(t)) }
+      .toDF("query_id", "qvec")
+    val surrogate = org.apache.spark.sql.expressions.Window.orderBy("id")
+    val corpus = chunks
+      .where(col("embedding").isNotNull)
+      .withColumn("sid", row_number().over(surrogate).cast("long"))
+    val top = VectorSearch
+      .topKBatch(queries, corpus, "query_id", "qvec", "sid", "embedding", k)
+      .select(col("query_id"), explode(col("top")).as("hit"))
+      .select(col("query_id"), col("hit.id").as("sid"), col("hit.score").as("score"))
+    top
+      .join(corpus.select(col("sid"), col("id"), col("document_id"), col("document_title"), col("text")), "sid")
+      .drop("sid")
+      .orderBy(col("query_id"), desc("score"), col("id"))
+  }
+
   /** Hybrid = RRF fusion of vector + keyword rankings (Q3/W4), with
     * vector fallback on keyword failure (lancedb_store.py:187-190).
     */
