@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
+
+/** Plan-shape regression guards: the SCALE.md/explain-audit properties as
+  * assertions, so a refactor that silently degrades a plan (lost pushdown,
+  * broadcast -> shuffle join, top-k -> global sort) fails the suite.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String = {
+    val qe = SparkEntry.queries(q)(spark, dir).queryExecution
+    qe.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  test("filters and projection reach the parquet scan") {
+    val p = plan("q_filter_range")
+    assert(p.contains("PushedFilters:") && p.contains("GreaterThan(l_quantity,30.0)"),
+      p.take(1200))
+    assert(p.contains("ReadSchema:") && !p.contains("l_tax"), "unused columns must prune")
+  }
+
+  test("star join broadcasts dimensions, never sort-merge-joins them") {
+    val p = plan("q_join_revenue_by_region")
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(!p.contains("SortMergeJoin"), "dimension joins must broadcast")
+  }
+
+  test("anti-join ledger pattern broadcasts the ledger side") {
+    val p = plan("q_anti_join")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p.take(1200))
+  }
+
+  test("vector top-k plans as TakeOrderedAndProject with no shuffle") {
+    val p = plan("q_ann_cosine")
+    assert(p.contains("TakeOrderedAndProject"), p.take(1200))
+    assert(!p.contains("Exchange"), "brute-force top-k must not shuffle")
+  }
+
+  test("aggregations are partial+final hash aggregates (map-side combine)") {
+    val p = plan("q_pricing_summary")
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p.take(1200))
+    assert(!p.contains("SortAggregate"), "pricing summary must hash-aggregate")
+  }
+
+  test("grouped top-k aggregate itself never sorts") {
+    import spark.implicits._
+    // no presentation orderBy here: the guard is about the AGGREGATE
+    val df = (1 to 100).map(i => (i % 5L, i.toDouble, i.toLong)).toDF("g", "s", "i")
+      .groupBy("g").agg(graft.plans.TopKBy.topKBy(col("s"), col("i"), 2))
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("ObjectHashAggregate"), p.take(1200))
+    assert(!p.contains("Sort "), "bounded-heap aggregate must not sort")
+  }
+}
