@@ -72,10 +72,57 @@ object VectorFunctions {
     if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** Pure dot product — the fast scoring path when BOTH sides are unit
+    * vectors (then dot == cosine, at a third of the flops). The default
+    * embedder L2-normalizes, so retrieval uses this; use
+    * [[CosineSimilarity]] when normalization isn't guaranteed.
+    */
+  case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullIntolerant: Boolean = true
+
+    private def isDoubleArr(e: Expression): Boolean = e.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _                        => false
+    }
+
+    override def nullSafeEval(l: Any, r: Any): Any =
+      VectorFunctions.dot(
+        l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData],
+        isDoubleArr(left), isDoubleArr(right)
+      )
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = graft.functions.VectorFunctions.dot($a, $b, ${isDoubleArr(left)}, ${isDoubleArr(right)});")
+
+    override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  def dot(a: ArrayData, b: ArrayData, aDouble: Boolean, bDouble: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var d = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (aDouble) a.getDouble(i) else a.getFloat(i).toDouble
+      val y = if (bDouble) b.getDouble(i) else b.getFloat(i).toDouble
+      d += x * y
+      i += 1
+    }
+    d
+  }
+
   /** Column API: cosine similarity of two array<float> / array<double> columns. */
   def cosineSim(a: Column, b: Column): Column =
     graftbridge.column(
       CosineSimilarity(graftbridge.expression(a), graftbridge.expression(b))
+    )
+
+  /** Column API: dot product (== cosine for unit vectors). */
+  def dotProduct(a: Column, b: Column): Column =
+    graftbridge.column(
+      DotProduct(graftbridge.expression(a), graftbridge.expression(b))
     )
 
   /** Register SQL function `cosine_sim` on a session. */

@@ -53,8 +53,14 @@ final class Retriever(spark: SparkSession, pipeline: Pipeline, config: GraftConf
     val pred = titlePred(titleFilter)
       .map(_ && col("embedding").isNotNull)
       .getOrElse(col("embedding").isNotNull)
-    VectorSearch
-      .topK(chunks, "embedding", qv, k, col("id"), Some(pred))
+    // HashingEmbedder emits unit vectors: score with the dot product
+    // (== cosine at a third of the per-row flops on the scan hot path)
+    import org.apache.spark.sql.functions.{desc, typedlit}
+    chunks
+      .where(pred)
+      .withColumn("score", graft.functions.VectorFunctions.dotProduct(col("embedding"), typedlit(qv.toSeq)))
+      .orderBy(desc("score"), col("id"))
+      .limit(k)
       .select(col("id"), col("document_id"), col("document_title"), col("text"),
         col("section_h1"), col("section_h2"), col("chunk_index"), col("score"))
   }

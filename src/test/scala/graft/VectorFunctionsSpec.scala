@@ -42,6 +42,18 @@ class VectorFunctionsSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
   }
 
+  test("dot product equals cosine for unit vectors, within fp tolerance") {
+    val e = graft.operators.HashingEmbedder(32)
+    val df = Seq("alpha beta gamma", "delta epsilon", "zeta eta theta words")
+      .map(t => Tuple1(e.embedOne(t))).toDF("v")
+    val q = e.embedOne("alpha beta words")
+    val rows = df.select(
+      VectorFunctions.dotProduct(col("v"), typedlit(q.toSeq)).as("d"),
+      VectorFunctions.cosineSim(col("v"), typedlit(q.toSeq)).as("c")
+    ).collect()
+    rows.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-6))
+  }
+
   test("SQL registration works") {
     VectorFunctions.register(spark)
     val r = spark.sql("SELECT cosine_sim(array(1.0F, 0.0F), array(1.0F, 0.0F)) AS c").head()
