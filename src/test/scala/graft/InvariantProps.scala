@@ -69,4 +69,25 @@ object InvariantProps extends Properties("graft.invariants") {
       val words = text.split("\\s+").count(_.nonEmpty)
       Chunker.estimateTokens(text) == (words * 1.3).toInt
     }
+
+  property("TopKBy heap semantics == sort-take on random data (pure heap logic)") = {
+    val entriesGen = Gen.chooseNum(0, 60).flatMap { n =>
+      Gen.listOfN(n, Gen.zip(Gen.chooseNum(0.0, 10.0), Gen.chooseNum(0L, 20L)))
+    }
+    forAll(entriesGen, Gen.chooseNum(1, 8)) { (entries, k) =>
+      // drive the aggregate buffer directly: update then eval
+      val agg = graft.plans.TopKBy(
+        org.apache.spark.sql.catalyst.expressions.BoundReference(0, org.apache.spark.sql.types.DoubleType, nullable = false),
+        org.apache.spark.sql.catalyst.expressions.BoundReference(1, org.apache.spark.sql.types.LongType, nullable = false),
+        k
+      )
+      val buf = entries.foldLeft(agg.createAggregationBuffer()) { (b, e) =>
+        agg.update(b, org.apache.spark.sql.catalyst.InternalRow(e._1, e._2))
+      }
+      val got = agg.eval(buf).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val gotIds = (0 until got.numElements()).map(i => got.getStruct(i, 2).getLong(1))
+      val expected = entries.sortBy { case (s, i) => (-s, i) }.take(k).map(_._2)
+      gotIds == expected
+    }
+  }
 }
