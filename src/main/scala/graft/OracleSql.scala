@@ -451,6 +451,26 @@ object OracleSql {
         |    PARTITION BY user_id ORDER BY epoch_us(ts)
         |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_hour_value
         |FROM events WHERE user_id < 20
-        |ORDER BY user_id, ts_us, event_id""".stripMargin
+        |ORDER BY user_id, ts_us, event_id""".stripMargin,
+
+    "q_simhash_sig" -> {
+      def digit(k: Int) = s"(strpos('0123456789abcdef', substr(h, $k, 1)) - 1)"
+      val bitSums = (0 until 64).map { b =>
+        val bit = s"((${digit(b / 4 + 1)} // ${1 << (b % 4)}) % 2)"
+        s"SUM(CASE WHEN $bit = 1 THEN 1 ELSE -1 END) AS b$b"
+      }.mkString(", ")
+      val hexDigits = (0 until 16).map { nib =>
+        val v = (0 until 4)
+          .map(j => s"(CASE WHEN b${nib * 4 + j} > 0 THEN ${1 << j} ELSE 0 END)")
+          .mkString(" + ")
+        s"substr('0123456789abcdef', ($v) + 1, 1)"
+      }.mkString(" || ")
+      s"""WITH toks AS (
+         |  SELECT doc_id, md5(tok) AS h
+         |  FROM (SELECT doc_id, UNNEST($ftsToks) AS tok
+         |        FROM documents WHERE doc_id < 250)),
+         |sums AS (SELECT doc_id, $bitSums FROM toks GROUP BY doc_id)
+         |SELECT doc_id, $hexDigits AS simhash_hex FROM sums ORDER BY doc_id""".stripMargin
+    }
   )
 }

@@ -751,6 +751,37 @@ object SparkEntry {
       .orderBy("user_id", "ts_us", "event_id")
   }
 
+  /** Portable 64-bit SimHash signature, oracle-checkable: token hash =
+    * first 16 hex digits of md5; per-bit majority vote over tokens;
+    * signature re-assembled as a 16-hex-digit string. Same construction
+    * in DuckDB (the library's fast path, Dedup.simhash, uses xxhash64 —
+    * this variant verifies the per-bit-vote relational skeleton exactly).
+    */
+  private def qSimhashSig(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .where(col("doc_id") < 250)
+      .select(col("doc_id"), explode(TextFunctions.ftsTokens(col("text"))).as("tok"))
+      .withColumn("h", md5(col("tok")))
+    // hex digit k (1..16) of the md5 as an int 0..15
+    def digit(k: Int): String = s"(locate(substring(h, $k, 1), '0123456789abcdef') - 1)"
+    // per-bit +/-1 contributions, summed per doc
+    val bitSums = (0 until 64).map { b =>
+      val bit = s"((${digit(b / 4 + 1)} div ${1 << (b % 4)}) % 2)"
+      sum(expr(s"CASE WHEN $bit = 1 THEN 1 ELSE -1 END")).as(s"b$b")
+    }
+    val summed = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    // reassemble 16 hex digits from 4-bit groups (bit value = sum > 0)
+    val hexDigits = (0 until 16).map { nib =>
+      val v = (0 until 4)
+        .map(j => s"(CASE WHEN b${nib * 4 + j} > 0 THEN ${1 << j} ELSE 0 END)")
+        .mkString(" + ")
+      expr(s"substring('0123456789abcdef', ($v) + 1, 1)")
+    }
+    summed
+      .select(col("doc_id"), concat(hexDigits: _*).as("simhash_hex"))
+      .orderBy("doc_id")
+  }
+
   // =====================================================================
   // Contract maps
   // =====================================================================
@@ -810,7 +841,8 @@ object SparkEntry {
     "q_curation" -> (qCuration _),
     "q_curation_stats" -> (qCurationStats _),
     "q_ntile" -> (qNtile _),
-    "q_range_frame" -> (qRangeFrame _)
+    "q_range_frame" -> (qRangeFrame _),
+    "q_simhash_sig" -> (qSimhashSig _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
