@@ -20,8 +20,10 @@ import graft.functions.VectorFunctions
   */
 object VectorSearch {
 
-  /** Exact brute-force cosine top-k. `tieBreak` makes the k-set
-    * deterministic under score ties.
+  /** Exact brute-force top-k. `tieBreak` makes the k-set deterministic
+    * under score ties. `scorer` defaults to full cosine; pass
+    * [[VectorFunctions.dotProduct]] when both sides are unit vectors
+    * (same ranking, a third of the flops).
     */
   def topK(
       corpus: DataFrame,
@@ -29,11 +31,12 @@ object VectorSearch {
       queryVec: Array[Float],
       k: Int,
       tieBreak: Column,
-      prefilter: Option[Column] = None
+      prefilter: Option[Column] = None,
+      scorer: (Column, Column) => Column = VectorFunctions.cosineSim
   ): DataFrame = {
     val base = prefilter.map(corpus.where).getOrElse(corpus)
     base
-      .withColumn("score", VectorFunctions.cosineSim(col(vecCol), typedLit(queryVec.toSeq)))
+      .withColumn("score", scorer(col(vecCol), typedLit(queryVec.toSeq)))
       .orderBy(desc("score"), tieBreak)
       .limit(k)
   }

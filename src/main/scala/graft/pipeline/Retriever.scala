@@ -55,12 +55,9 @@ final class Retriever(spark: SparkSession, pipeline: Pipeline, config: GraftConf
       .getOrElse(col("embedding").isNotNull)
     // HashingEmbedder emits unit vectors: score with the dot product
     // (== cosine at a third of the per-row flops on the scan hot path)
-    import org.apache.spark.sql.functions.{desc, typedlit}
-    chunks
-      .where(pred)
-      .withColumn("score", graft.functions.VectorFunctions.dotProduct(col("embedding"), typedlit(qv.toSeq)))
-      .orderBy(desc("score"), col("id"))
-      .limit(k)
+    VectorSearch
+      .topK(chunks, "embedding", qv, k, col("id"), Some(pred),
+        scorer = graft.functions.VectorFunctions.dotProduct)
       .select(col("id"), col("document_id"), col("document_title"), col("text"),
         col("section_h1"), col("section_h2"), col("chunk_index"), col("score"))
   }
@@ -90,10 +87,12 @@ final class Retriever(spark: SparkSession, pipeline: Pipeline, config: GraftConf
     val queries = queryTexts.zipWithIndex
       .map { case (t, i) => (i.toLong, embedder.embedOne(t)) }
       .toDF("query_id", "qvec")
-    val surrogate = org.apache.spark.sql.expressions.Window.orderBy("id")
+    // shuffle-free deterministic surrogate: a global-window row_number
+    // would single-partition-sort the whole corpus (the exact shape the
+    // heap aggregate avoids); a 64-bit hash of the unique id doesn't
     val corpus = chunks
       .where(col("embedding").isNotNull)
-      .withColumn("sid", row_number().over(surrogate).cast("long"))
+      .withColumn("sid", xxhash64(col("id")))
     val top = VectorSearch
       .topKBatch(queries, corpus, "query_id", "qvec", "sid", "embedding", k)
       .select(col("query_id"), explode(col("top")).as("hit"))
