@@ -39,6 +39,10 @@ object GraftSession {
   def getOrCreate(): SparkSession = {
     val spark = builder().getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // the engine's SQL surface is always available on a graft session
+    // (cluster-wide deployments use GraftExtensions via spark.sql.extensions)
+    graft.functions.VectorFunctions.register(spark)
+    graft.plans.ChunkText.register(spark)
     spark
   }
 }
