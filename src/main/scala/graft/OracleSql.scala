@@ -246,7 +246,8 @@ object OracleSql {
 
     "q_dedup_exact" ->
       """SELECT md5(substr(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 30)) AS text_hash,
-        |       COUNT(*) AS n_dups, LIST(doc_id ORDER BY doc_id) AS ids
+        |       COUNT(*) AS n_dups,
+        |       array_to_string(LIST(doc_id ORDER BY doc_id), ',') AS ids
         |FROM documents GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY text_hash""".stripMargin,
 
     "q_ngram_jaccard" ->
@@ -405,7 +406,7 @@ object OracleSql {
 
     "q_topk_per_group_agg" ->
       """SELECT o_custkey,
-        |  (LIST(o_orderkey ORDER BY o_totalprice DESC, o_orderkey))[1:3] AS ids
+        |  array_to_string((LIST(o_orderkey ORDER BY o_totalprice DESC, o_orderkey))[1:3], ',') AS ids
         |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
     "q_fuzzy_match" ->
@@ -424,9 +425,9 @@ object OracleSql {
 
     "q_ann_batch" ->
       """SELECT a.vec_id AS query_id,
-        |  (LIST(b.vec_id ORDER BY
+        |  array_to_string((LIST(b.vec_id ORDER BY
         |     list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) DESC,
-        |     b.vec_id))[1:3] AS ids
+        |     b.vec_id))[1:3], ',') AS ids
         |FROM (SELECT * FROM embeddings WHERE vec_id < 5) a CROSS JOIN embeddings b
         |GROUP BY a.vec_id ORDER BY query_id""".stripMargin,
 

@@ -341,8 +341,15 @@ object SparkEntry {
         md5(substring(Dedup.normalized(col("text")), 1, 30)).as("text_hash")
       )
       .groupBy("text_hash")
-      .agg(count(lit(1)).as("n_dups"), sort_array(collect_list(col("doc_id"))).as("ids"))
+      .agg(count(lit(1)).as("n_dups"), sort_array(collect_list(col("doc_id"))).as("ids_arr"))
       .where(col("n_dups") > 1)
+      // ids as a comma-joined string: the driver's comparator sorts every
+      // column, and array cells are unhashable there — string is portable.
+      .select(
+        col("text_hash"),
+        col("n_dups"),
+        array_join(transform(col("ids_arr"), x => x.cast("string")), ",").as("ids")
+      )
       .orderBy("text_hash")
 
   /** Word-3-gram Jaccard near-dup pairs, gram-blocked (dedup: n-gram). */
@@ -662,7 +669,10 @@ object SparkEntry {
     t(s, dir, "orders")
       .groupBy("o_custkey")
       .agg(graft.plans.TopKBy.topKBy(col("o_totalprice"), col("o_orderkey"), 3).as("top"))
-      .select(col("o_custkey"), expr("transform(top, x -> x.id)").as("ids"))
+      .select(
+        col("o_custkey"),
+        expr("array_join(transform(top, x -> cast(x.id as string)), ',')").as("ids")
+      )
       .orderBy("o_custkey")
 
   /** Fuzzy name matching by edit distance (text-analysis family: the
@@ -702,7 +712,10 @@ object SparkEntry {
     val emb = t(s, dir, "embeddings")
     VectorSearch
       .topKBatch(emb.where(col("vec_id") < 5), emb, "vec_id", "embedding", "vec_id", "embedding", 3)
-      .select(col("query_id"), expr("transform(top, x -> x.id)").as("ids"))
+      .select(
+        col("query_id"),
+        expr("array_join(transform(top, x -> cast(x.id as string)), ',')").as("ids")
+      )
       .orderBy("query_id")
   }
 

@@ -35,12 +35,35 @@ object Dedup {
       .agg(count(lit(1)).as("n_dups"), sort_array(collect_list(col("id"))).as("ids"))
       .where(col("n_dups") > 1)
 
-  /** Keep one representative per exact-duplicate group (min id wins). */
-  def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  /** Keep one representative per exact-duplicate group (min id wins).
+    *
+    * Scale shape: the ranking runs on an (id, digest)-only projection, so
+    * the window's hash-partition shuffles 40 bytes/row no matter how wide
+    * the text is. The full rows are then thinned with an anti-join against
+    * the LOSER ids (duplicate non-winners) — typically a small minority of
+    * the corpus, so it broadcasts and the payload never crosses the wire.
+    * For pathologically duplicate-heavy corpora pass
+    * `broadcastLosers = false`: the anti-join degrades to a shuffle on the
+    * uniform id key (still no text in any exchange *key*, one payload
+    * shuffle — strictly cheaper than the old full-row window, which
+    * shuffled AND sorted the payload unconditionally).
+    */
+  def exactDedup(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      broadcastLosers: Boolean = true
+  ): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(md5(normalized(col(textCol))))
-      .orderBy(col(idCol))
-    docs.withColumn("_rn", row_number().over(w)).where(col("_rn") === 1).drop("_rn")
+      .partitionBy("_dd_h")
+      .orderBy("_dd_id")
+    val losers = docs
+      .select(col(idCol).as("_dd_id"), md5(normalized(col(textCol))).as("_dd_h"))
+      .withColumn("_dd_rn", row_number().over(w))
+      .where(col("_dd_rn") > 1)
+      .select("_dd_id")
+    val rhs = if (broadcastLosers) broadcast(losers) else losers
+    docs.join(rhs, col(idCol) === col("_dd_id"), "left_anti")
   }
 
   /** Word k-shingles of normalized text as an array column. */

@@ -30,16 +30,46 @@ object TextAnalysis {
     }
   }
 
-  /** Heuristic language ID over a text column -> 2-letter code or "und". */
+  /** Bind `value` once as a lambda variable and apply `body` to it.
+    * Higher-order functions are interpreted (not codegen'd, so no common
+    * subexpression elimination): an expression tree that embeds the same
+    * expensive subtree k times really evaluates it k times per row. Routing
+    * the subtree through a single-element `transform` makes every reference
+    * in `body` a cheap bound-variable read.
+    */
+  private def bindOnce(value: Column, body: Column => Column): Column =
+    element_at(transform(array(value), body), 1)
+
+  /** Heuristic language ID over a text column -> 2-letter code or "und".
+    *
+    * All per-language counts are accumulated in ONE pass over the token
+    * array (a struct accumulator), then the argmax chain reads the bound
+    * struct's fields — each stopword scan runs exactly once per row.
+    */
   def langId(text: Column): Column = {
-    val scores = langScores(text)
-    // argmax by score, ties broken by list order (en first)
-    val best = scores.reverse.foldLeft((lit("und"), lit(0))) {
-      case ((bestLang, bestScore), (lang, score)) =>
-        (when(score >= bestScore && score > 0, lit(lang)).otherwise(bestLang),
-         greatest(score, bestScore))
-    }
-    best._1
+    val words = split(lower(text), "[^a-z\\u00e0-\\u00ff]+")
+    val zero = struct(StopwordLists.map { case (lang, _) => lit(0).as(lang) }: _*)
+    val counts = aggregate(
+      words,
+      zero,
+      (acc, w) =>
+        struct(StopwordLists.map { case (lang, stops) =>
+          (acc(lang) + when(w.isInCollection(stops), 1).otherwise(0)).as(lang)
+        }: _*)
+    )
+    // argmax by score, ties broken by list order (en first): lang i wins
+    // iff its score is positive and >= every later language's score.
+    bindOnce(counts, c =>
+      StopwordLists.indices.foldRight(lit("und")) { (i, fallback) =>
+        val lang = StopwordLists(i)._1
+        val s = c(lang)
+        val cond = StopwordLists.indices
+          .drop(i + 1)
+          .map(j => s >= c(StopwordLists(j)._1))
+          .foldLeft(s > 0)(_ && _)
+        when(cond, lit(lang)).otherwise(fallback)
+      }
+    )
   }
 
   /** Composite quality score in [0,1]: mean of clamped signals —
@@ -48,15 +78,30 @@ object TextAnalysis {
     * signals (src/extract/pymupdf_extractor.py:173-236) recast as a score.
     */
   def qualityScore(text: Column): Column = {
-    val len = length(text)
-    val awl = TextFunctions.avgWordLength(text)
-    val wsRatio = TextFunctions.whitespaceRatio(text)
-    val naRatio = TextFunctions.nonAsciiRatio(text)
-    val lenSignal = least(len.cast("double") / 200.0, lit(1.0))
-    val wordSignal = when(awl >= 2.0 && awl <= 15.0, 1.0).otherwise(0.0)
-    val wsSignal = when(wsRatio > 0.05 && wsRatio < 0.5, 1.0).otherwise(0.0)
-    val asciiSignal = lit(1.0) - least(naRatio / 0.15, lit(1.0))
-    round((lenSignal + wordSignal + wsSignal + asciiSignal) / 4.0, 6)
+    // One pass over the word array for (total word length, word count);
+    // every signal lands in a struct evaluated once per row, and the
+    // combination below reads bound fields (see bindOnce).
+    val words = filter(split(text, "\\s+"), w => length(w) > 0)
+    val wordAgg = aggregate(
+      words,
+      struct(lit(0).as("wsum"), lit(0).as("nw")),
+      (acc, w) => struct((acc("wsum") + length(w)).as("wsum"), (acc("nw") + 1).as("nw"))
+    )
+    val sig = struct(
+      length(text).as("len"),
+      wordAgg.as("wa"),
+      TextFunctions.whitespaceRatio(text).as("wsr"),
+      TextFunctions.nonAsciiRatio(text).as("nar")
+    )
+    bindOnce(sig, s => {
+      // identical arithmetic/association order to the OracleSql mirror
+      val awl = s("wa")("wsum").cast("double") / greatest(s("wa")("nw"), lit(1))
+      val lenSignal = least(s("len").cast("double") / 200.0, lit(1.0))
+      val wordSignal = when(awl >= 2.0 && awl <= 15.0, 1.0).otherwise(0.0)
+      val wsSignal = when(s("wsr") > 0.05 && s("wsr") < 0.5, 1.0).otherwise(0.0)
+      val asciiSignal = lit(1.0) - least(s("nar") / 0.15, lit(1.0))
+      round((lenSignal + wordSignal + wsSignal + asciiSignal) / 4.0, 6)
+    })
   }
 
   /** Whitespace token count plus a BPE-ish subword estimate: words are
