@@ -47,6 +47,31 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortAggregate"), "pricing summary must hash-aggregate")
   }
 
+  test("exact dedup shuffles only (id, digest) — never the text payload") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // AQE off so the static executedPlan exposes the exchanges directly
+    // (under AQE they hide inside AdaptiveSparkPlanExec query stages)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val (deduped, exchanges) = {
+      val prev = spark.conf.get("spark.sql.adaptive.enabled")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val df = graft.operators.Dedup.exactDedup(docs, "doc_id", "text")
+        // force physical planning while AQE is off
+        (df, df.queryExecution.executedPlan.collect { case e: ShuffleExchangeExec => e })
+      } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    }
+    assert(exchanges.nonEmpty, "expected the (id, digest) ranking shuffle")
+    exchanges.foreach { e =>
+      val cols = e.output.map(_.name)
+      assert(!cols.contains("text"),
+        s"dedup exchange must not carry the text payload, got: $cols")
+    }
+    // and the thinning join is a broadcast anti-join (loser ids only)
+    val p = deduped.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p.take(1200))
+  }
+
   test("grouped top-k aggregate itself never sorts") {
     import spark.implicits._
     // no presentation orderBy here: the guard is about the AGGREGATE
