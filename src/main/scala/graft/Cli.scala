@@ -22,6 +22,7 @@ object Cli {
     }
     graft.functions.VectorFunctions.register(spark)
     graft.plans.ChunkText.register(spark, config.chunking)
+    graft.plans.TopKBy.register(spark)
   }
 
   def main(args: Array[String]): Unit = {

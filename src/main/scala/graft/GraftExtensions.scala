@@ -32,19 +32,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (
         FunctionIdentifier("top_k_by"),
         new ExpressionInfo(classOf[TopKBy].getName, "top_k_by"),
-        (children: Seq[Expression]) => {
-          require(children.length == 3, s"top_k_by(score, id, k) takes 3 args, got ${children.length}")
-          if (!children(2).foldable)
-            throw new IllegalArgumentException("top_k_by: k must be an integer literal")
-          val k = children(2).eval(null) match {
-            case n: Number => n.intValue()
-            case other => throw new IllegalArgumentException(s"top_k_by: k must be an integer literal, got $other")
-          }
-          import org.apache.spark.sql.catalyst.expressions.Cast
-          import org.apache.spark.sql.types.{DoubleType, LongType}
-          TopKBy(Cast(children(0), DoubleType), Cast(children(1), LongType), k)
-            .toAggregateExpression()
-        }
+        TopKBy.sqlBuilder
       )
     )
     ext.injectFunction(

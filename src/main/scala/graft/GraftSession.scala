@@ -43,6 +43,7 @@ object GraftSession {
     // (cluster-wide deployments use GraftExtensions via spark.sql.extensions)
     graft.functions.VectorFunctions.register(spark)
     graft.plans.ChunkText.register(spark)
+    graft.plans.TopKBy.register(spark)
     spark
   }
 }

@@ -168,9 +168,12 @@ object Dedup {
     bitSums.select(col("id"), sigExpr.as("simhash"))
   }
 
-  /** SimHash near-dup pairs within `maxHamming` bits, banded on 16-bit
-    * chunks (pigeonhole: any pair within Hamming distance 3 shares at least
-    * one of 4 16-bit bands exactly).
+  /** SimHash near-dup pairs within `maxHamming` bits, banded into
+    * `maxHamming + 1` chunks of the 64-bit signature (pigeonhole: a pair
+    * differing in at most `maxHamming` bits must agree exactly on at least
+    * one band). Deriving the band count from the parameter keeps recall
+    * complete for ANY `maxHamming` in [0, 63] — a fixed 4-way split would
+    * silently miss pairs beyond distance 3.
     */
   def simhashPairs(
       docs: DataFrame,
@@ -178,12 +181,21 @@ object Dedup {
       textCol: String,
       maxHamming: Int = 3
   ): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, s"maxHamming must be in [0, 63], got $maxHamming")
+    val numBands = maxHamming + 1
+    val bandWidth = (64 + numBands - 1) / numBands // ceil: bands cover all 64 bits
     val sigs = simhash(docs, idCol, textCol)
     val banded = sigs.select(
       col("id"),
       col("simhash"),
-      explode(array((0 until 4).map { bi =>
-        struct(lit(bi).as("band_idx"), shiftright(col("simhash"), bi * 16).bitwiseAND(lit(0xffffL)).as("band_val"))
+      explode(array((0 until numBands).map { bi =>
+        val lo = bi * bandWidth
+        val width = math.min(bandWidth, 64 - lo)
+        val mask = if (width >= 64) -1L else (1L << width) - 1L
+        struct(
+          lit(bi).as("band_idx"),
+          shiftright(col("simhash"), lo).bitwiseAND(lit(mask)).as("band_val")
+        )
       }: _*)).as("band")
     )
     val a = banded.as("a")

@@ -93,6 +93,17 @@ final class Retriever(spark: SparkSession, pipeline: Pipeline, config: GraftConf
     val corpus = chunks
       .where(col("embedding").isNotNull)
       .withColumn("sid", xxhash64(col("id")))
+    // Surrogate-collision guard: a 64-bit collision would silently
+    // attribute one chunk's score to another and fan out duplicate hits.
+    // One ids-only aggregation (no payload) per call — negligible next to
+    // the scan, and it turns an undetectable corruption into a hard error.
+    val counts = corpus.agg(
+      countDistinct(col("sid")).as("n_sid"),
+      countDistinct(col("id")).as("n_id")
+    ).head()
+    require(counts.getLong(0) == counts.getLong(1),
+      s"xxhash64 surrogate collision in chunk ids (${counts.getLong(1)} ids -> " +
+        s"${counts.getLong(0)} surrogates); re-key the corpus or use a composite key")
     val top = VectorSearch
       .topKBatch(queries, corpus, "query_id", "qvec", "sid", "embedding", k)
       .select(col("query_id"), explode(col("top")).as("hit"))
@@ -120,7 +131,16 @@ final class Retriever(spark: SparkSession, pipeline: Pipeline, config: GraftConf
           .as[(String, Double)]
           .collect()
         spark.createDataFrame(rows.toSeq).toDF("id", "score")
-      } catch { case _: Throwable => return vectorSearch(query, k, titleFilter) }
+      } catch {
+        // NonFatal only: an OOM/fatal JVM error must propagate, not
+        // masquerade as a silent mode switch; log the branch failure so
+        // genuine FTS bugs stay visible.
+        case scala.util.control.NonFatal(e) =>
+          org.slf4j.LoggerFactory
+            .getLogger(classOf[Retriever])
+            .warn(s"keyword branch failed, falling back to vector-only search: $e")
+          return vectorSearch(query, k, titleFilter)
+      }
     val fused = HybridSearch.rrf(v, kw, "id", "score", k, config.search.rrfK)
     fused
       .select(col("id"), col("rrf_score").as("score"))

@@ -127,4 +127,29 @@ object TopKBy {
         k
       ).toAggregateExpression()
     )
+
+  /** SQL builder for `top_k_by(score, id, k)` with a literal k — shared by
+    * [[graft.GraftExtensions]] and the per-session [[register]] path so
+    * both SQL surfaces accept the same signature.
+    */
+  def sqlBuilder: Seq[Expression] => Expression = { children =>
+    require(children.length == 3, s"top_k_by(score, id, k) takes 3 args, got ${children.length}")
+    if (!children(2).foldable)
+      throw new IllegalArgumentException("top_k_by: k must be an integer literal")
+    val k = children(2).eval(null) match {
+      case n: Number => n.intValue()
+      case other => throw new IllegalArgumentException(s"top_k_by: k must be an integer literal, got $other")
+    }
+    import org.apache.spark.sql.catalyst.expressions.Cast
+    TopKBy(Cast(children(0), DoubleType), Cast(children(1), LongType), k)
+      .toAggregateExpression()
+  }
+
+  /** Register `top_k_by` on one session (the extensions-free path). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "top_k_by",
+      sqlBuilder,
+      "scala_udf"
+    )
 }

@@ -60,7 +60,7 @@ final class StreamingIngest(spark: SparkSession, config: GraftConfig = GraftConf
       // within the micro-batch (two files, same bytes) and against the
       // already-ingested ledger (same content re-appearing in a later file)
       .dropDuplicates("file_hash")
-    val deduped =
+    val antiJoined =
       if (!catalog.exists("documents_stream")) hashed
       else
         hashed.join(
@@ -68,6 +68,12 @@ final class StreamingIngest(spark: SparkSession, config: GraftConfig = GraftConf
           Seq("file_hash"),
           "left_anti"
         )
+    // Lineage cut (same hazard as Pipeline.processDirectory): the chunks
+    // append below is a second action whose lineage would re-run this
+    // anti-join AFTER the documents_stream append refreshed the file
+    // listing — silently dropping the whole batch's chunks. Pin the
+    // deduped batch on the executors before the first append.
+    val deduped = antiJoined.localCheckpoint()
     if (deduped.isEmpty) return
 
     val docs = deduped

@@ -40,6 +40,18 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(n128 > n512)
   }
 
+  test("top_k_by is registered on the session surface (parity with GraftExtensions)") {
+    graft.plans.TopKBy.register(spark)
+    (1 to 50).map(i => (i % 5L, i.toDouble, i.toLong)).toDF("g", "s", "i")
+      .createOrReplaceTempView("topk_sql")
+    val rows = spark.sql(
+      "SELECT g, transform(top_k_by(s, i, 2), x -> x.id) AS ids FROM topk_sql GROUP BY g ORDER BY g"
+    ).collect()
+    assert(rows.length == 5)
+    // group 0: members 5,10,...,50 — top-2 by score are ids 50, 45
+    assert(rows.head.getSeq[Long](1) == Seq(50L, 45L))
+  }
+
   test("salted join matches plain join results") {
     val left = (1 to 1000).map(i => (i % 7L, i.toLong)).toDF("k", "v")
     val right = Seq((0L, "a"), (1L, "b"), (2L, "c"), (6L, "z")).toDF("k", "name")
