@@ -9,11 +9,12 @@ import org.apache.spark.sql.types._
   * decode / feature-extract / resize / frame-sample operators.
   *
   * The Spark-side plumbing — schemas, partition-preserving mapPartitions
-  * execution, batch shape, null handling — is real and tested. The codec
-  * layer is STUBBED (this container ships no image/audio libraries): each
-  * stub is deterministic from the payload bytes so tests are exact, and is
-  * clearly marked. Swap [[MediaCodec]] for a real implementation (javax
-  * imageio / ffmpeg bindings) without touching the operators.
+  * execution, batch shape, null handling — is real and tested. Two codecs
+  * plug into the [[MediaCodec]] seam: [[ImageIoCodec]] REALLY decodes
+  * PNG/JPEG/GIF/BMP via the JDK's javax.imageio (dims, resize, grid
+  * features); [[StubCodec]] remains for audio/video payloads and synthetic
+  * fixtures (no ffmpeg in this build) — deterministic from payload bytes
+  * so tests are exact, and clearly marked.
   *
   * Scale notes: media payloads dominate row size, so operators never
   * shuffle payloads — all transforms are narrow; anything aggregate-shaped
@@ -76,6 +77,85 @@ object Multimodal {
         i += 1
       }
       v
+    }
+  }
+
+  /** REAL codec on the JDK's javax.imageio — no external dependency.
+    * Decodes actual PNG/JPEG/GIF/BMP bytes (reference decodes with PIL for
+    * exactly this metadata, src/extract/image_extractor.py:125-136):
+    *
+    *   - `imageDims` reads only the header via an ImageReader (no full
+    *     raster decode — cheap even for multi-MB payloads)
+    *   - `resize` is a real bilinear rescale, re-encoded as PNG
+    *   - `embed` is a deterministic grid-luminance feature: mean luminance
+    *     over `dim` row-major cells, L2-normalized
+    *
+    * Throws IllegalArgumentException on undecodable payloads — callers
+    * that must tolerate junk bytes keep using [[StubCodec]] or filter
+    * first.
+    */
+  object ImageIoCodec extends MediaCodec {
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    import javax.imageio.ImageIO
+
+    override def imageDims(bytes: Array[Byte]): (Int, Int) = {
+      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+      try {
+        val readers = ImageIO.getImageReaders(iis)
+        if (!readers.hasNext)
+          throw new IllegalArgumentException("imageDims: undecodable image payload")
+        val r = readers.next()
+        try {
+          r.setInput(iis)
+          (r.getWidth(0), r.getHeight(0))
+        } finally r.dispose()
+      } finally iis.close()
+    }
+
+    private def decode(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+      val img = ImageIO.read(new ByteArrayInputStream(bytes))
+      if (img == null)
+        throw new IllegalArgumentException("decode: undecodable image payload")
+      img
+    }
+
+    override def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      val src = decode(bytes)
+      val dst = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = dst.createGraphics()
+      try {
+        g.setRenderingHint(
+          java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR
+        )
+        g.drawImage(src, 0, 0, w, h, null)
+      } finally g.dispose()
+      val out = new ByteArrayOutputStream()
+      ImageIO.write(dst, "png", out)
+      out.toByteArray
+    }
+
+    override def embed(bytes: Array[Byte], dim: Int): Array[Float] = {
+      val img = decode(bytes)
+      val (w, h) = (img.getWidth, img.getHeight)
+      val sums = new Array[Double](dim)
+      val counts = new Array[Long](dim)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val cell = math.min(dim - 1, ((y.toLong * w + x) * dim / (w.toLong * h)).toInt)
+          val rgb = img.getRGB(x, y)
+          val lum = 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+          sums(cell) += lum / 255.0
+          counts(cell) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val v = Array.tabulate(dim)(i => if (counts(i) == 0) 0f else (sums(i) / counts(i)).toFloat)
+      val norm = math.sqrt(v.map(f => f.toDouble * f).sum)
+      if (norm == 0) v else v.map(f => (f / norm).toFloat)
     }
   }
 

@@ -64,17 +64,29 @@ object ImageExtraction {
 
   /** Fan a documents scan (id, path, content) out into image rows, with
     * the >= minPx size filter (F7, image_extractor.py:28-29,134-136).
+    *
+    * `decodeDims = true` re-derives width/height by REALLY decoding each
+    * payload's header with [[Multimodal.ImageIoCodec]] (the reference
+    * decodes with PIL for exactly this, image_extractor.py:125-136) rather
+    * than trusting the extractor's claim; payloads imageio cannot read
+    * keep the extractor-reported dims.
     */
   def extractImages(
       docs: DataFrame,
       minPx: Int = 100,
-      extractor: ImageExtractor = StubImageExtractor
+      extractor: ImageExtractor = StubImageExtractor,
+      decodeDims: Boolean = false
   ): DataFrame = {
     val exUdf = udf(
       new org.apache.spark.sql.api.java.UDF2[String, Array[Byte], Array[Row]] {
         override def call(path: String, content: Array[Byte]): Array[Row] =
           extractor.extract(path, content).map { im =>
-            Row(im.pageNumber, im.imageIndex, im.format, im.width, im.height,
+            val (w, h) =
+              if (!decodeDims) (im.width, im.height)
+              else
+                try Multimodal.ImageIoCodec.imageDims(im.bytes)
+                catch { case _: IllegalArgumentException => (im.width, im.height) }
+            Row(im.pageNumber, im.imageIndex, im.format, w, h,
               im.bytes.length.toLong, im.bytes)
           }.toArray
       },

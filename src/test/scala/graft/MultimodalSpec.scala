@@ -34,6 +34,65 @@ class MultimodalSpec extends AnyFunSuite {
     assert(e.length == 16)
   }
 
+  /** A REAL PNG encoded in-memory: w x h with a deterministic gradient. */
+  private def realPng(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, ((x * 255 / w) << 16) | ((y * 255 / h) << 8) | 0x40)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  test("ImageIoCodec decodes REAL dims from a real PNG and resizes for real") {
+    val bytes = realPng(120, 80)
+    assert(Multimodal.ImageIoCodec.imageDims(bytes) == (120, 80))
+
+    // resize produces a decodable PNG with the requested dims
+    val resized = Multimodal.ImageIoCodec.resize(bytes, 40, 30)
+    assert(Multimodal.ImageIoCodec.imageDims(resized) == (40, 30))
+
+    // grid-luminance embedding: right shape, unit norm, deterministic
+    val e1 = Multimodal.ImageIoCodec.embed(bytes, 16)
+    val e2 = Multimodal.ImageIoCodec.embed(bytes, 16)
+    assert(e1.toSeq == e2.toSeq)
+    assert(e1.length == 16)
+    assert(math.abs(e1.map(f => f.toDouble * f).sum - 1.0) < 1e-5)
+
+    // junk bytes are a hard error, not silent garbage
+    intercept[IllegalArgumentException](Multimodal.ImageIoCodec.imageDims(Array[Byte](1, 2, 3)))
+  }
+
+  test("withImageMeta with ImageIoCodec reports true decoded dimensions") {
+    val df = Seq((1L, realPng(150, 101)), (2L, realPng(30, 30))).toDF("id", "content")
+    val meta = Multimodal.withImageMeta(df, codec = Multimodal.ImageIoCodec)
+      .select(col("id"), col("image_meta.*")).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(meta(1L).getAs[String]("format") == "png")
+    assert(meta(1L).getAs[Int]("width") == 150 && meta(1L).getAs[Int]("height") == 101)
+    assert(meta(2L).getAs[Int]("width") == 30 && meta(2L).getAs[Int]("height") == 30)
+  }
+
+  test("extractImages(decodeDims = true) filters icons by REAL decoded size") {
+    // extractor that lies about dims: claims 500x500 for a real 50x50 icon
+    // and 10x10 for a real 200x150 image — decode must correct both
+    val icon = realPng(50, 50)
+    val big = realPng(200, 150)
+    val lyingExtractor = new ImageExtraction.ImageExtractor {
+      override def extract(path: String, content: Array[Byte]): Seq[ImageExtraction.RawImage] =
+        Seq(
+          ImageExtraction.RawImage(1, 0, "png", 500, 500, icon),
+          ImageExtraction.RawImage(1, 1, "png", 10, 10, big)
+        )
+    }
+    val docs = Seq(("docR", "/x/r.pdf", "payload".getBytes)).toDF("id", "path", "content")
+    val rows = ImageExtraction
+      .extractImages(docs, minPx = 100, extractor = lyingExtractor, decodeDims = true)
+      .collect()
+    assert(rows.length == 1, "only the truly >=100px image survives")
+    assert(rows.head.getAs[Int]("width") == 200 && rows.head.getAs[Int]("height") == 150)
+  }
+
   test("frame sampling explodes one row per sampled frame, capped") {
     val video = Array.fill[Byte](8192)(42) // "8 frames"
     val df = Seq((1L, video)).toDF("id", "content")
