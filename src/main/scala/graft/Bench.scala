@@ -24,6 +24,19 @@ object Bench {
     "q_context_budget", "q_chunker"
   )
 
+  /** The engine's only remaining unpartitioned windows run over BOUNDED
+    * inputs (<= k-row top-k lists in HybridSearch.rrf / ContextAssembly;
+    * audited round 2 — the unbounded case, global NTILE, is a two-pass
+    * distributed rank now). WindowExec's single-partition warning is a
+    * false alarm for those, so the driver mains drop that one logger to
+    * ERROR; library users keep the warning for their own queries.
+    */
+  private[graft] def silenceBoundedWindowWarning(): Unit =
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR
+    )
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -36,6 +49,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    silenceBoundedWindowWarning()
 
     // warm-up: JIT, codegen, parquet footer caches
     spark.range(1000000L).selectExpr("sum(id)").collect()

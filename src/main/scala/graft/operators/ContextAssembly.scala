@@ -26,6 +26,8 @@ object ContextAssembly {
       tieBreak: String,
       maxTokens: Double
   ): DataFrame = {
+    // Deliberately single-partition: the input is a bounded
+    // (<= overfetch-k) hit list, not an unbounded table.
     val w = Window
       .orderBy(desc(scoreCol), col(tieBreak))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -27,6 +27,10 @@ object HybridSearch {
       k: Int,
       rrfK: Int = 60
   ): DataFrame = {
+    // Deliberately single-partition: inputs are bounded top-k lists
+    // (k <= 100), so this is NOT the unbounded-global-window anti-pattern.
+    // (A constant partitionBy key doesn't help — Catalyst folds literals
+    // out of the partition spec and WindowExec still warns.)
     val wV = Window.orderBy(desc(scoreCol), col(idCol))
     val ranksV = byVector.select(col(idCol), col(scoreCol))
       .withColumn("rank_vec", row_number().over(wV))
