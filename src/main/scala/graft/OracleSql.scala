@@ -9,6 +9,20 @@ package graft
   */
 object OracleSql {
 
+  /** Deterministic ±1 hyperplane signs shared by the Spark q_embed_neardup_lsh
+    * query and its DuckDB twin: both sides embed the SAME literal matrix, so
+    * the LSH bucketing (sign of an integer dot product) is bit-identical
+    * across engines. Plain LCG — any fixed matrix works, portability comes
+    * from embedding it as literals on both sides.
+    */
+  private[graft] def lshSigns(nBits: Int, dim: Int): IndexedSeq[IndexedSeq[Int]] = {
+    var seed = 0x9e3779b97f4a7c15L
+    IndexedSeq.fill(nBits)(IndexedSeq.fill(dim) {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      if (((seed >>> 32) & 1L) == 1L) 1 else -1
+    })
+  }
+
   /** Python-`str.split()` word list: whitespace split, empties dropped. */
   private val words =
     """list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0)"""
@@ -366,6 +380,44 @@ object OracleSql {
         |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.45
         |ORDER BY id_a, id_b""".stripMargin,
 
+    "q_embed_neardup_lsh" -> {
+      // mirrors qEmbedNeardupLsh exactly: same literal sign matrix, same
+      // integer quantization, same band keys, same cosine re-rank
+      val nBits = 16; val nBands = 4; val bandSize = 4; val dim = 64
+      val signs = lshSigns(nBits, dim)
+      val bitExprs = (0 until nBits).map { i =>
+        val dot = (0 until dim)
+          .map(j => s"iq[${j + 1}] * (${signs(i)(j)})")
+          .mkString(" + ")
+        s"(CASE WHEN ($dot) >= 0 THEN 1 ELSE 0 END) AS bit$i"
+      }.mkString(",\n         ")
+      val bandKeys = (0 until nBands).map { bi =>
+        val v = (0 until bandSize)
+          .map(j => s"bit${bi * bandSize + j} * ${1 << j}")
+          .mkString(" + ")
+        s"($v + ${bi * 16})"
+      }.mkString(", ")
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding,
+         |         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS iq
+         |  FROM embeddings),
+         |sig AS (
+         |  SELECT vec_id, $bitExprs
+         |  FROM e),
+         |banded AS (
+         |  SELECT vec_id, UNNEST([$bandKeys]) AS band_key FROM sig),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM banded a JOIN banded b ON a.band_key = b.band_key AND a.vec_id < b.vec_id)
+         |SELECT c.id_a, c.id_b,
+         |  ROUND(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])), 6) AS score
+         |FROM cand c
+         |JOIN embeddings ea ON ea.vec_id = c.id_a
+         |JOIN embeddings eb ON eb.vec_id = c.id_b
+         |WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])) >= 0.45
+         |ORDER BY id_a, id_b""".stripMargin
+    },
+
     "q_ann_filtered" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
         |s AS (SELECT vec_id, label,
@@ -472,6 +524,38 @@ object OracleSql {
          |        FROM documents WHERE doc_id < 250)),
          |sums AS (SELECT doc_id, $bitSums FROM toks GROUP BY doc_id)
          |SELECT doc_id, $hexDigits AS simhash_hex FROM sums ORDER BY doc_id""".stripMargin
+    },
+
+    "q_simhash_pairs" -> {
+      // brute-force twin of the banded Spark query: 13 bands over 16
+      // nibbles give complete pigeonhole recall at maxHamming = 12, so
+      // banded == brute force and the pair sets must match exactly
+      def digit(k: Int) = s"(strpos('0123456789abcdef', substr(h, $k, 1)) - 1)"
+      val bitSums = (0 until 64).map { b =>
+        val bit = s"((${digit(b / 4 + 1)} // ${1 << (b % 4)}) % 2)"
+        s"SUM(CASE WHEN $bit = 1 THEN 1 ELSE -1 END) AS b$b"
+      }.mkString(", ")
+      val hexDigits = (0 until 16).map { nib =>
+        val v = (0 until 4)
+          .map(j => s"(CASE WHEN b${nib * 4 + j} > 0 THEN ${1 << j} ELSE 0 END)")
+          .mkString(" + ")
+        s"substr('0123456789abcdef', ($v) + 1, 1)"
+      }.mkString(" || ")
+      def nibVal(side: String, k: Int) =
+        s"(strpos('0123456789abcdef', substr($side.sig, $k, 1)) - 1)"
+      val hamming = (1 to 16)
+        .map(k => s"bit_count(xor(${nibVal("a", k)}, ${nibVal("b", k)}))")
+        .mkString(" + ")
+      s"""WITH toks AS (
+         |  SELECT doc_id, md5(tok) AS h
+         |  FROM (SELECT doc_id, UNNEST($ftsToks) AS tok
+         |        FROM documents WHERE doc_id < 250)),
+         |sums AS (SELECT doc_id, $bitSums FROM toks GROUP BY doc_id),
+         |sig AS (SELECT doc_id, $hexDigits AS sig FROM sums)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST($hamming AS BIGINT) AS hamming
+         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |WHERE ($hamming) <= 12
+         |ORDER BY id_a, id_b""".stripMargin
     }
   )
 }

@@ -540,10 +540,36 @@ object SparkEntry {
   }
 
   /** SimHash near-dup pairs over documents (rows-only). */
-  private def qSimhashPairs(s: SparkSession, dir: String): DataFrame =
-    Dedup
-      .simhashPairs(t(s, dir, "documents").where(col("doc_id") < 250), "doc_id", "text", maxHamming = 12)
+  /** SimHash near-dup pairs over the PORTABLE md5-nibble signature (same
+    * signature q_simhash_sig oracle-proved), banded into 13 nibble-groups
+    * so pigeonhole recall is complete at maxHamming = 12 — the banded set
+    * therefore EQUALS brute force and is exactly oracle-checkable. The
+    * xxhash64 production path ([[Dedup.simhashPairs]]) keeps its own spec.
+    */
+  private def qSimhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val maxHamming = 12
+    val sigs = portableSimhashHex(s, dir).select(col("doc_id").as("id"), col("simhash_hex").as("sig"))
+    // 13 bands over 16 nibbles: 3 bands of 2 nibbles + 10 of 1 (>= maxHamming+1)
+    val bandRanges = Seq((1, 2), (3, 2), (5, 2)) ++ (7 to 16).map(k => (k, 1))
+    val banded = sigs.select(
+      col("id"),
+      col("sig"),
+      explode(array(bandRanges.zipWithIndex.map { case ((start, len), bi) =>
+        concat(lit(s"$bi:"), substring(col("sig"), start, len))
+      }: _*)).as("band")
+    )
+    def nib(side: String, k: Int) = s"(locate(substring(${side}_sig, $k, 1), '0123456789abcdef') - 1)"
+    val hammingExpr = (1 to 16).map(k => s"bit_count(${nib("a", k)} ^ ${nib("b", k)})").mkString(" + ")
+    banded.as("a")
+      .join(banded.as("b"), col("a.band") === col("b.band") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sig").as("a_sig"), col("b.sig").as("b_sig"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", expr(hammingExpr).cast("long"))
+      .where(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
       .orderBy("id_a", "id_b")
+  }
 
   /** Rolling-hash document fingerprint (rows-only; xxhash64-based). */
   private def qFingerprint(s: SparkSession, dir: String): DataFrame =
@@ -587,15 +613,47 @@ object SparkEntry {
       .orderBy("id_a", "id_b")
   }
 
-  /** LSH-blocked variant of embedding near-dup (rows-only: banding is a
-    * recall/cost trade, so the pair set is a deterministic subset of the
-    * brute-force one).
+  /** LSH-blocked embedding near-dup with a PORTABLE signature, exactly
+    * oracle-checkable: embeddings are integer-quantized (floor(x*1000) —
+    * order-independent integer dots, so bucket signs can't drift on FP
+    * association), hyperplane signs are a fixed ±1 literal matrix embedded
+    * identically in the DuckDB twin ([[OracleSql.lshSigns]]), and the
+    * banded candidate set + exact cosine re-rank replicate on both sides.
+    * The production operator ([[VectorSearch.nearDuplicatePairs]]) keeps
+    * its own spec coverage.
     */
-  private def qEmbedNeardupLsh(s: SparkSession, dir: String): DataFrame =
-    VectorSearch
-      .nearDuplicatePairs(t(s, dir, "embeddings"), "vec_id", "embedding", threshold = 0.45)
+  private def qEmbedNeardupLsh(s: SparkSession, dir: String): DataFrame = {
+    val nBits = 16; val nBands = 4; val bandSize = 4; val dim = 64
+    val signs = OracleSql.lshSigns(nBits, dim)
+    val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val iq = emb.withColumn(
+      "iq",
+      expr("transform(embedding, x -> cast(floor(cast(x as double) * 1000.0D) as bigint))")
+    )
+    val bits = (0 until nBits).map { i =>
+      val dot = (0 until dim).map(j => col("iq")(j) * lit(signs(i)(j).toLong)).reduce(_ + _)
+      when(dot >= 0, lit(1)).otherwise(lit(0)).as(s"bit$i")
+    }
+    val sig = iq.select(col("vec_id") +: bits: _*)
+    // band key = band_idx * 16 + 4-bit band value (single int, join-friendly)
+    val bandKeys = (0 until nBands).map { bi =>
+      (0 until bandSize)
+        .map(j => col(s"bit${bi * bandSize + j}") * lit(1 << j))
+        .reduce(_ + _) + lit(bi * 16)
+    }
+    val banded = sig.select(col("vec_id"), explode(array(bandKeys: _*)).as("band_key"))
+    val cands = banded.as("a")
+      .join(banded.as("b"), col("a.band_key") === col("b.band_key") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    cands
+      .join(emb.select(col("vec_id").as("id_a"), col("embedding").as("ea")), "id_a")
+      .join(emb.select(col("vec_id").as("id_b"), col("embedding").as("eb")), "id_b")
+      .withColumn("score", VectorFunctions.cosineSim(col("ea"), col("eb")))
+      .where(col("score") >= 0.45)
       .select(col("id_a"), col("id_b"), round(col("score"), 6).as("score"))
       .orderBy("id_a", "id_b")
+  }
 
   /** Filtered vector search: predicate pushed below the similarity
     * top-k — the reference's LanceDB "prefilter" semantics
@@ -803,7 +861,13 @@ object SparkEntry {
     * in DuckDB (the library's fast path, Dedup.simhash, uses xxhash64 —
     * this variant verifies the per-bit-vote relational skeleton exactly).
     */
-  private def qSimhashSig(s: SparkSession, dir: String): DataFrame = {
+  private def qSimhashSig(s: SparkSession, dir: String): DataFrame =
+    portableSimhashHex(s, dir)
+
+  /** Portable SimHash signature (md5-nibble majority vote, hex string) —
+    * shared by q_simhash_sig and the q_simhash_pairs banding.
+    */
+  private def portableSimhashHex(s: SparkSession, dir: String): DataFrame = {
     val toks = t(s, dir, "documents")
       .where(col("doc_id") < 250)
       .select(col("doc_id"), explode(TextFunctions.ftsTokens(col("text"))).as("tok"))
