@@ -61,13 +61,30 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    // Steady-state re-measure: these queries bill one-time index builds /
+    // first-touch caches (FTS postings, IVF cells) to their first run
+    // above. A second run with indexes warm is the honest per-query
+    // latency; headline_total keeps the FIRST-run numbers so the metric
+    // stays comparable across rounds (the build cost is real ingest work).
+    val steadySet = Seq("q_bm25", "q_ann_ivf", "q_rrf_hybrid", "q_context_budget")
+    val steady = steadySet.flatMap { name =>
+      SparkEntry.queries.get(name).map { fn =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() }
+        catch { case e: Throwable => System.err.println(s"[bench] steady $name failed: ${e.getMessage}") }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+    }
     val qs = results
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    val steadyJson = steady
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val headline = results.filter(r => Headline.contains(r._1)).map(_._2).sum
     val total = results.map(_._2).sum
     println(
-      f"""{"metric":"headline_total","value":$headline%.3f,"unit":"sec","queries":$qs,"all_queries_total":$total%.3f,"n_queries":${results.length},"sf":"$sfDir"}"""
+      f"""{"metric":"headline_total","value":$headline%.3f,"unit":"sec","queries":$qs,"steady":$steadyJson,"all_queries_total":$total%.3f,"n_queries":${results.length},"sf":"$sfDir"}"""
     )
     spark.stop()
   }

@@ -383,7 +383,7 @@ object OracleSql {
     "q_embed_neardup_lsh" -> {
       // mirrors qEmbedNeardupLsh exactly: same literal sign matrix, same
       // integer quantization, same band keys, same cosine re-rank
-      val nBits = 16; val nBands = 4; val bandSize = 4; val dim = 64
+      val nBits = 32; val nBands = 4; val bandSize = 8; val dim = 64
       val signs = lshSigns(nBits, dim)
       val bitExprs = (0 until nBits).map { i =>
         val dot = (0 until dim)
@@ -395,7 +395,7 @@ object OracleSql {
         val v = (0 until bandSize)
           .map(j => s"bit${bi * bandSize + j} * ${1 << j}")
           .mkString(" + ")
-        s"($v + ${bi * 16})"
+        s"($v + ${bi * (1 << bandSize)})"
       }.mkString(", ")
       s"""WITH e AS (
          |  SELECT vec_id, embedding,

@@ -623,23 +623,34 @@ object SparkEntry {
     * its own spec coverage.
     */
   private def qEmbedNeardupLsh(s: SparkSession, dir: String): DataFrame = {
-    val nBits = 16; val nBands = 4; val bandSize = 4; val dim = 64
+    // 8-bit bands: the synthetic corpus is ~10 tight clusters, so 4-bit
+    // bands put whole clusters in one bucket (O(cluster^2) candidates);
+    // requiring agreement on 8 consecutive signs keeps only genuinely
+    // close pairs co-bucketed
+    val nBits = 32; val nBands = 4; val bandSize = 8; val dim = 64
     val signs = OracleSql.lshSigns(nBits, dim)
     val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
     val iq = emb.withColumn(
       "iq",
       expr("transform(embedding, x -> cast(floor(cast(x as double) * 1000.0D) as bigint))")
     )
+    // integer dot via zip_with+aggregate: order-independent (so exactly
+    // portable) and a compact expression — a 32 x 64 flat term tree blows
+    // up codegen/compile time far beyond the actual row work
     val bits = (0 until nBits).map { i =>
-      val dot = (0 until dim).map(j => col("iq")(j) * lit(signs(i)(j).toLong)).reduce(_ + _)
+      val dot = aggregate(
+        zip_with(col("iq"), typedLit(signs(i).map(_.toLong)), (x, sgn) => x * sgn),
+        lit(0L),
+        (acc, x) => acc + x
+      )
       when(dot >= 0, lit(1)).otherwise(lit(0)).as(s"bit$i")
     }
     val sig = iq.select(col("vec_id") +: bits: _*)
-    // band key = band_idx * 16 + 4-bit band value (single int, join-friendly)
+    // band key = band_idx * 2^bandSize + band value (single int, join-friendly)
     val bandKeys = (0 until nBands).map { bi =>
       (0 until bandSize)
         .map(j => col(s"bit${bi * bandSize + j}") * lit(1 << j))
-        .reduce(_ + _) + lit(bi * 16)
+        .reduce(_ + _) + lit(bi * (1 << bandSize))
     }
     val banded = sig.select(col("vec_id"), explode(array(bandKeys: _*)).as("band_key"))
     val cands = banded.as("a")
