@@ -55,11 +55,21 @@ object Bench {
     spark.range(1000000L).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // failures record -1.0, never elapsed-to-failure (which would read as
+    // a plausible fast run in the JSON)
+    def timeQuery(tag: String, name: String,
+        fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): (String, Double) = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() }
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-      name -> (System.nanoTime() - t0) / 1e9
+      try { fn(spark, sfDir).count(); name -> (System.nanoTime() - t0) / 1e9 }
+      catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $tag $name failed: ${e.getMessage}")
+          name -> -1.0
+      }
+    }
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      timeQuery("query", name, fn)
     }
     // Steady-state re-measure: these queries bill one-time index builds /
     // first-touch caches (FTS postings, IVF cells) to their first run
@@ -67,22 +77,20 @@ object Bench {
     // latency; headline_total keeps the FIRST-run numbers so the metric
     // stays comparable across rounds (the build cost is real ingest work).
     val steadySet = Seq("q_bm25", "q_ann_ivf", "q_rrf_hybrid", "q_context_budget")
-    val steady = steadySet.flatMap { name =>
-      SparkEntry.queries.get(name).map { fn =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() }
-        catch { case e: Throwable => System.err.println(s"[bench] steady $name failed: ${e.getMessage}") }
-        name -> (System.nanoTime() - t0) / 1e9
-      }
-    }
+    require(steadySet.forall(SparkEntry.queries.contains),
+      s"steady set names must resolve: ${steadySet.filterNot(SparkEntry.queries.contains)}")
+    val steady = steadySet.map(name => timeQuery("steady", name, SparkEntry.queries(name)))
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val steadyJson = steady
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val headline = results.filter(r => Headline.contains(r._1)).map(_._2).sum
-    val total = results.map(_._2).sum
+    // exclude failure sentinels from the sums (a failed query must make
+    // the totals look suspicious-high via the driver's correctness gate,
+    // not quietly shrink them)
+    val headline = results.filter(r => Headline.contains(r._1) && r._2 >= 0).map(_._2).sum
+    val total = results.filter(_._2 >= 0).map(_._2).sum
     println(
       f"""{"metric":"headline_total","value":$headline%.3f,"unit":"sec","queries":$qs,"steady":$steadyJson,"all_queries_total":$total%.3f,"n_queries":${results.length},"sf":"$sfDir"}"""
     )

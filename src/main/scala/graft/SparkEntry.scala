@@ -638,8 +638,11 @@ object SparkEntry {
     // portable) and a compact expression — a 32 x 64 flat term tree blows
     // up codegen/compile time far beyond the actual row work
     val bits = (0 until nBits).map { i =>
+      // slice to dim first: zip_with null-pads the shorter side, so a
+      // >dim-element vector would poison the dot to NULL (bit 0) and
+      // diverge from the oracle, which reads exactly iq[1..dim]
       val dot = aggregate(
-        zip_with(col("iq"), typedLit(signs(i).map(_.toLong)), (x, sgn) => x * sgn),
+        zip_with(slice(col("iq"), 1, dim), typedLit(signs(i).map(_.toLong)), (x, sgn) => x * sgn),
         lit(0L),
         (acc, x) => acc + x
       )
