@@ -38,10 +38,12 @@ object TextFunctions {
     (wordCount(text) * lit(1.3)).cast("int")
 
   /** Count of whitespace-separated words (Python `len(s.split())` semantics:
-    * leading/trailing whitespace produces no empty words).
+    * leading/trailing whitespace produces no empty words). `\S+` run count
+    * is the same value as size(filter(split(\s+), len>0)) but stays inside
+    * whole-stage codegen — higher-order functions are interpreted.
     */
   def wordCount(text: Column): Column =
-    size(filter(split(text, "\\s+"), w => length(w) > 0))
+    regexp_count(text, lit("\\S+"))
 
   /** Extraction-quality metric columns (reference:
     * src/extract/pymupdf_extractor.py:173-205): chars/page, words/page, avg
@@ -55,9 +57,11 @@ object TextFunctions {
     wordCount(text).cast("double") / pageCount
 
   def avgWordLength(text: Column): Column = {
-    val words = filter(split(text, "\\s+"), w => length(w) > 0)
-    val totalLen = aggregate(words, lit(0), (acc, w) => acc + length(w))
-    totalLen.cast("double") / greatest(size(words), lit(1))
+    // sum of word lengths == count of non-whitespace chars; word count ==
+    // \S+ runs — identical values to the old aggregate-over-split form,
+    // but pure codegen'd built-ins
+    val totalLen = length(regexp_replace(text, "\\s", ""))
+    totalLen.cast("double") / greatest(wordCount(text), lit(1))
   }
 
   def whitespaceRatio(text: Column): Column =

@@ -22,11 +22,18 @@ object TextAnalysis {
     "es" -> Seq("el", "la", "los", "las", "es", "en", "que", "por", "con", "para")
   )
 
-  /** Per-language stopword-hit count columns + argmax language code. */
+  /** Per-language stopword-hit count columns + argmax language code.
+    *
+    * Counted with regexp_count over the lowercased text: a token (maximal
+    * `[a-zà-ÿ]` run) equals a stopword iff the stopword occurs
+    * with non-token-char boundaries on both sides — identical counts to
+    * splitting and filtering, but fully codegen'd (no interpreted HOFs).
+    */
   def langScores(text: Column): Seq[(String, Column)] = {
-    val words = split(lower(text), "[^a-z\\u00e0-\\u00ff]+")
+    val boundary = "[a-z\\u00e0-\\u00ff]"
     StopwordLists.map { case (lang, stops) =>
-      lang -> size(filter(words, w => w.isInCollection(stops)))
+      val pattern = s"(?<!$boundary)(?:${stops.mkString("|")})(?!$boundary)"
+      lang -> regexp_count(lower(text), lit(pattern))
     }
   }
 
@@ -42,23 +49,17 @@ object TextAnalysis {
 
   /** Heuristic language ID over a text column -> 2-letter code or "und".
     *
-    * All per-language counts are accumulated in ONE pass over the token
-    * array (a struct accumulator), then the argmax chain reads the bound
-    * struct's fields — each stopword scan runs exactly once per row.
+    * Each per-language regexp scan runs exactly once per row (the counts
+    * land in a struct bound via [[bindOnce]]); the argmax chain reads the
+    * bound struct's fields.
     */
   def langId(text: Column): Column = {
-    val words = split(lower(text), "[^a-z\\u00e0-\\u00ff]+")
-    val zero = struct(StopwordLists.map { case (lang, _) => lit(0).as(lang) }: _*)
-    val counts = aggregate(
-      words,
-      zero,
-      (acc, w) =>
-        struct(StopwordLists.map { case (lang, stops) =>
-          (acc(lang) + when(w.isInCollection(stops), 1).otherwise(0)).as(lang)
-        }: _*)
-    )
+    val counts = struct(langScores(text).map { case (lang, c) => c.as(lang) }: _*)
     // argmax by score, ties broken by list order (en first): lang i wins
     // iff its score is positive and >= every later language's score.
+    // bindOnce matters even with codegen'd counts: filter-pushdown inlines
+    // this whole tree into predicates, and without the binding each regexp
+    // would re-run per reference (measured 2.2s vs 1.5s on curate@sf0.1).
     bindOnce(counts, c =>
       StopwordLists.indices.foldRight(lit("und")) { (i, fallback) =>
         val lang = StopwordLists(i)._1
@@ -78,26 +79,20 @@ object TextAnalysis {
     * signals (src/extract/pymupdf_extractor.py:173-236) recast as a score.
     */
   def qualityScore(text: Column): Column = {
-    // One pass over the word array for (total word length, word count);
-    // every signal lands in a struct evaluated once per row, and the
-    // combination below reads bound fields (see bindOnce).
-    val words = filter(split(text, "\\s+"), w => length(w) > 0)
-    val wordAgg = aggregate(
-      words,
-      struct(lit(0).as("wsum"), lit(0).as("nw")),
-      (acc, w) => struct((acc("wsum") + length(w)).as("wsum"), (acc("nw") + 1).as("nw"))
-    )
+    // All signals are codegen'd built-ins (avgWordLength is a
+    // regexp_count/length form); the struct + bindOnce guarantees each is
+    // evaluated once per row even after filter-pushdown inlines the tree
+    // into predicates (see langId note).
     val sig = struct(
       length(text).as("len"),
-      wordAgg.as("wa"),
+      TextFunctions.avgWordLength(text).as("awl"),
       TextFunctions.whitespaceRatio(text).as("wsr"),
       TextFunctions.nonAsciiRatio(text).as("nar")
     )
     bindOnce(sig, s => {
       // identical arithmetic/association order to the OracleSql mirror
-      val awl = s("wa")("wsum").cast("double") / greatest(s("wa")("nw"), lit(1))
       val lenSignal = least(s("len").cast("double") / 200.0, lit(1.0))
-      val wordSignal = when(awl >= 2.0 && awl <= 15.0, 1.0).otherwise(0.0)
+      val wordSignal = when(s("awl") >= 2.0 && s("awl") <= 15.0, 1.0).otherwise(0.0)
       val wsSignal = when(s("wsr") > 0.05 && s("wsr") < 0.5, 1.0).otherwise(0.0)
       val asciiSignal = lit(1.0) - least(s("nar") / 0.15, lit(1.0))
       round((lenSignal + wordSignal + wsSignal + asciiSignal) / 4.0, 6)
