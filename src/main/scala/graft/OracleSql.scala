@@ -526,6 +526,21 @@ object OracleSql {
          |SELECT doc_id, $hexDigits AS simhash_hex FROM sums ORDER BY doc_id""".stripMargin
     },
 
+    "q_fingerprint" ->
+      // mirrors TextAnalysis.fingerprintPortable(k=8, keep=4): md5 char
+      // 8-gram hashes over normalized text, lexicographic min-4, md5 of
+      // the concatenation
+      """WITH d AS (
+        |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+        |  FROM documents WHERE text IS NOT NULL),
+        |g AS (
+        |  SELECT doc_id,
+        |         list_transform(range(1, GREATEST(length(norm) - 7, 1) + 1),
+        |                        i -> md5(substr(norm, CAST(i AS INT), 8))) AS hs
+        |  FROM d)
+        |SELECT doc_id, md5(array_to_string(list_sort(hs)[1:4], '')) AS fp
+        |FROM g ORDER BY doc_id""".stripMargin,
+
     "q_simhash_pairs" -> {
       // brute-force twin of the banded Spark query: 13 bands over 16
       // nibbles give complete pigeonhole recall at maxHamming = 12, so

@@ -571,10 +571,13 @@ object SparkEntry {
       .orderBy("id_a", "id_b")
   }
 
-  /** Rolling-hash document fingerprint (rows-only; xxhash64-based). */
+  /** Rolling-hash document fingerprint — portable md5 variant, exactly
+    * oracle-checked (the xxhash64 fast path keeps its spec coverage).
+    */
   private def qFingerprint(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
-      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .where(col("text").isNotNull)
+      .select(col("doc_id"), TextAnalysis.fingerprintPortable(col("text")).as("fp"))
       .orderBy("doc_id")
 
   /** IVF-ANN (k-means coarse quantizer, probe 4 of 16 cells, exact

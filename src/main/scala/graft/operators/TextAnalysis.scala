@@ -126,4 +126,19 @@ object TextAnalysis {
     )
     xxhash64(slice(sort_array(grams), 1, keep))
   }
+
+  /** Cross-engine-checkable twin of [[fingerprint]]: md5 gram hashes,
+    * lexicographic min-`keep` selection, md5 of the concatenation — every
+    * step expressible identically in standard SQL (the DuckDB oracle),
+    * unlike the xxhash64 fast path above.
+    */
+  def fingerprintPortable(text: Column, k: Int = 8, keep: Int = 4): Column = {
+    val norm = Dedup.normalized(text)
+    val n = length(norm)
+    val grams = transform(
+      sequence(lit(1), greatest(n - (k - 1), lit(1))),
+      i => md5(substr(norm, i, lit(k)))
+    )
+    md5(concat_ws("", slice(array_sort(grams), 1, keep)))
+  }
 }

@@ -185,6 +185,8 @@ final class Pipeline(spark: SparkSession, config: GraftConfig = GraftConfig.defa
     FtsIndex.invalidate(ftsKey)
     FtsIndex.buildCached(ftsKey, catalog.read("chunks"), "id", "text")
 
+    graft.util.JsonLog.info("ingest_directory",
+      "dir" -> pdfDir, "ingested_docs" -> nIngested)
     nIngested
   }
 
@@ -240,6 +242,7 @@ final class Pipeline(spark: SparkSession, config: GraftConfig = GraftConfig.defa
     catalog.deleteWhere("images", col("document_id") === documentId)
     catalog.deleteWhere("documents", col("id") === documentId)
     FtsIndex.invalidate(ftsKey)
+    graft.util.JsonLog.info("delete_document", "document_id" -> documentId)
   }
 
   /** Point lookup + ordered listing of a document's images (S9/O2,

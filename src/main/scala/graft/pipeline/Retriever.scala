@@ -136,9 +136,8 @@ final class Retriever(spark: SparkSession, pipeline: Pipeline, config: GraftConf
         // masquerade as a silent mode switch; log the branch failure so
         // genuine FTS bugs stay visible.
         case scala.util.control.NonFatal(e) =>
-          org.slf4j.LoggerFactory
-            .getLogger(classOf[Retriever])
-            .warn(s"keyword branch failed, falling back to vector-only search: $e")
+          graft.util.JsonLog.warn("hybrid_keyword_fallback",
+            "error" -> e.toString, "mode" -> "vector_only")
           return vectorSearch(query, k, titleFilter)
       }
     val fused = HybridSearch.rrf(v, kw, "id", "score", k, config.search.rrfK)

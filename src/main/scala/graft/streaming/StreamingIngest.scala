@@ -104,5 +104,6 @@ final class StreamingIngest(spark: SparkSession, config: GraftConfig = GraftConf
       "documents_stream"
     )
     catalog.append(chunks, "chunks_stream")
+    graft.util.JsonLog.info("stream_batch_ingested", "batch_id" -> batchId)
   }
 }
