@@ -66,8 +66,13 @@ object Cli {
       case "sql" =>
         attachSql(spark, config)
         spark.sql(rest.mkString(" ")).show(100, truncate = false)
+      case "serve" =>
+        val port = rest.headOption.map(_.toInt).getOrElse(8080)
+        val server = new RestServer(spark, config).start(port)
+        println(s"serving on http://127.0.0.1:${server.getAddress.getPort} (ctrl-c to stop)")
+        Thread.currentThread.join() // serve until interrupted
       case other =>
-        sys.error(s"unknown command: $other (process|list|search|context|stats|delete|sql)")
+        sys.error(s"unknown command: $other (process|list|search|context|stats|delete|sql|serve)")
     }
     spark.stop()
   }

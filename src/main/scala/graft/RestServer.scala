@@ -1,0 +1,201 @@
+package graft
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+
+import graft.pipeline.{Pipeline, Retriever, SearchMode}
+
+/** Minimal REST surface over the engine — the reference's FastAPI app
+  * (reference: src/api/main.py:82 and routes/{documents,search,chunks,
+  * images,stats}.py) re-expressed as a thin wrapper over
+  * [[graft.pipeline.Pipeline]] / [[graft.pipeline.Retriever]]. Zero new
+  * dependencies: `com.sun.net.httpserver` ships with the JDK and jackson
+  * rides in with Spark.
+  *
+  * Endpoints (GET unless noted):
+  *   - `/stats`                          (routes/stats.py:12)
+  *   - `/documents?status=&limit=`       (routes/documents.py:23)
+  *   - `/documents/{id}`                 (routes/documents.py:52)
+  *   - `/documents/{id}` DELETE          (routes/documents.py:171)
+  *   - `/documents/{id}/chunks`          (routes/chunks.py:14)
+  *   - `/documents/{id}/images`          (routes/images.py:15)
+  *   - `/search` POST {query,mode,limit,title_filter} (routes/search.py:17)
+  *   - `/search/context` POST {query,max_tokens}      (routes/search.py:62)
+  *
+  * Driver-side ops/debug surface: each handler runs a Spark action on the
+  * driver, exactly like the reference's single-process FastAPI app runs a
+  * local store query. It is NOT a data-plane service — at cluster scale
+  * the per-request work is still distributed by Spark, but request
+  * concurrency is bounded by the driver.
+  */
+final class RestServer(spark: SparkSession, config: GraftConfig = GraftConfig.default) {
+
+  private val pipeline = new Pipeline(spark, config)
+  private val retriever = new Retriever(spark, pipeline, config)
+  private val mapper = new ObjectMapper()
+
+  // ---------------------------------------------------------------- JSON
+
+  private def setField(node: ObjectNode, name: String, v: Any): Unit = v match {
+    case null                => node.putNull(name)
+    case s: String           => node.put(name, s)
+    case i: Int              => node.put(name, i)
+    case l: Long             => node.put(name, l)
+    case d: Double           => node.put(name, d)
+    case f: Float            => node.put(name, f.toDouble)
+    case b: Boolean          => node.put(name, b)
+    case seq: scala.collection.Seq[_] =>
+      val arr = node.putArray(name)
+      seq.foreach {
+        case i: Int    => arr.add(i)
+        case l: Long   => arr.add(l)
+        case d: Double => arr.add(d)
+        case f: Float  => arr.add(f.toDouble)
+        case other     => arr.add(String.valueOf(other))
+      }
+    case other               => node.put(name, other.toString)
+  }
+
+  private def rowToNode(row: Row): ObjectNode = {
+    val node = mapper.createObjectNode()
+    row.schema.fieldNames.zipWithIndex.foreach { case (name, i) =>
+      setField(node, name, row.get(i))
+    }
+    node
+  }
+
+  /** Rows as a JSON array; heavy payload columns are dropped, matching the
+    * reference's response models (ChunkResponse has no embedding field).
+    */
+  private def dfToArray(df: DataFrame, limit: Int = 1000): ArrayNode = {
+    val slim = df.drop("embedding", "bytes", "content")
+    val arr = mapper.createArrayNode()
+    slim.limit(limit).collect().foreach(r => arr.add(rowToNode(r)))
+    arr
+  }
+
+  // ------------------------------------------------------------- routing
+
+  private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, bytes.length)
+    try ex.getResponseBody.write(bytes)
+    finally ex.close()
+  }
+
+  private def error(ex: HttpExchange, code: Int, detail: String): Unit = {
+    val node = mapper.createObjectNode()
+    node.put("detail", detail)
+    respond(ex, code, node.toString)
+  }
+
+  private def queryParams(ex: HttpExchange): Map[String, String] =
+    Option(ex.getRequestURI.getQuery).toSeq
+      .flatMap(_.split("&").toSeq)
+      .flatMap { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) => Some(k -> java.net.URLDecoder.decode(v, "UTF-8"))
+          case _           => None
+        }
+      }
+      .toMap
+
+  private def handle(ex: HttpExchange): Unit = {
+    val method = ex.getRequestMethod
+    val segments = ex.getRequestURI.getPath.split("/").filter(_.nonEmpty).toList
+    try {
+      (method, segments) match {
+        case ("GET", "stats" :: Nil) =>
+          val byStatus = mapper.createObjectNode()
+          pipeline.stats().collect().foreach { r =>
+            byStatus.put(r.getAs[String]("status"), r.getAs[Long]("n"))
+          }
+          val docs = if (pipeline.catalog.exists("documents")) pipeline.catalog.read("documents").count() else 0L
+          val chunks = if (pipeline.catalog.exists("chunks")) pipeline.catalog.read("chunks").count() else 0L
+          val node = mapper.createObjectNode()
+          node.put("total_documents", docs)
+          node.put("total_chunks", chunks)
+          node.set[ObjectNode]("by_status", byStatus)
+          respond(ex, 200, node.toString)
+
+        case ("GET", "documents" :: Nil) =>
+          val p = queryParams(ex)
+          val df = pipeline.listDocuments(p.get("status"), p.get("limit").map(_.toInt).getOrElse(100))
+          respond(ex, 200, dfToArray(df).toString)
+
+        case ("GET", "documents" :: id :: Nil) =>
+          pipeline.getDocument(id) match {
+            case Some(row) => respond(ex, 200, rowToNode(row).toString)
+            case None      => error(ex, 404, s"Document not found: $id")
+          }
+
+        case ("DELETE", "documents" :: id :: Nil) =>
+          if (pipeline.getDocument(id).isEmpty) error(ex, 404, s"Document not found: $id")
+          else {
+            pipeline.deleteDocument(id)
+            val node = mapper.createObjectNode()
+            node.put("deleted", id)
+            respond(ex, 200, node.toString)
+          }
+
+        case ("GET", "documents" :: id :: "chunks" :: Nil) =>
+          respond(ex, 200, dfToArray(pipeline.listChunks(id)).toString)
+
+        case ("GET", "documents" :: id :: "images" :: Nil) =>
+          respond(ex, 200, dfToArray(pipeline.listImages(id)).toString)
+
+        case ("POST", "search" :: Nil) =>
+          val req = mapper.readTree(ex.getRequestBody)
+          val query = Option(req.get("query")).map(_.asText).getOrElse("")
+          if (query.isEmpty) { error(ex, 400, "query is required"); return }
+          val modeName = Option(req.get("mode")).map(_.asText).getOrElse("hybrid")
+          val mode = modeName match {
+            case "vector"  => SearchMode.Vector
+            case "keyword" => SearchMode.Keyword
+            case "hybrid"  => SearchMode.Hybrid
+            case other =>
+              error(ex, 400, s"Invalid search mode: $other. Use: vector, hybrid, keyword")
+              return
+          }
+          val k = Option(req.get("limit")).map(_.asInt).getOrElse(10)
+          val titleFilter = Option(req.get("title_filter")).map(_.asText).filter(_.nonEmpty)
+          respond(ex, 200, dfToArray(retriever.search(query, mode, k, titleFilter)).toString)
+
+        case ("POST", "search" :: "context" :: Nil) =>
+          val req = mapper.readTree(ex.getRequestBody)
+          val query = Option(req.get("query")).map(_.asText).getOrElse("")
+          if (query.isEmpty) { error(ex, 400, "query is required"); return }
+          val maxTokens = Option(req.get("max_tokens")).map(_.asInt).getOrElse(4000)
+          val node = mapper.createObjectNode()
+          node.put("query", query)
+          node.put("context", retriever.getContext(query, maxTokens))
+          respond(ex, 200, node.toString)
+
+        case _ => error(ex, 404, s"No route: $method /${segments.mkString("/")}")
+      }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        graft.util.JsonLog.warn("rest_error", "method" -> method,
+          "path" -> segments.mkString("/"), "error" -> e.toString)
+        error(ex, 500, e.toString)
+    }
+  }
+
+  /** Start on 127.0.0.1:`port` (0 = ephemeral); returns the server — call
+    * `.stop(0)` to shut down. Single dispatch thread: driver-side Spark
+    * actions serialize anyway.
+    */
+  def start(port: Int = 8080): HttpServer = {
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+    server.createContext("/", (ex: HttpExchange) => handle(ex))
+    server.start()
+    graft.util.JsonLog.info("rest_started", "port" -> server.getAddress.getPort)
+    server
+  }
+}
