@@ -66,13 +66,17 @@ object Cli {
       case "sql" =>
         attachSql(spark, config)
         spark.sql(rest.mkString(" ")).show(100, truncate = false)
+      case "flush" =>
+        val dryRun = rest.contains("--dry-run")
+        val dropped = pipe.catalog.flush(dryRun)
+        println(s"${if (dryRun) "would drop" else "dropped"}: ${dropped.mkString(", ")}")
       case "serve" =>
         val port = rest.headOption.map(_.toInt).getOrElse(8080)
         val server = new RestServer(spark, config).start(port)
         println(s"serving on http://127.0.0.1:${server.getAddress.getPort} (ctrl-c to stop)")
         Thread.currentThread.join() // serve until interrupted
       case other =>
-        sys.error(s"unknown command: $other (process|list|search|context|stats|delete|sql|serve)")
+        sys.error(s"unknown command: $other (process|list|search|context|stats|delete|sql|serve|flush)")
     }
     spark.stop()
   }

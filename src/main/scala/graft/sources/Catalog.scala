@@ -63,6 +63,27 @@ final class Catalog(spark: SparkSession, warehouseDir: String) {
       overwrite(updated, name)
     }
 
+  /** Flush the warehouse: drop every table directory (the reference's
+    * flush_data.py reset utility, scripts/flush_data.py — source inputs
+    * are never touched, matching its default no-`--all` mode). Returns the
+    * dropped table names; `dryRun = true` only reports them.
+    */
+  def flush(dryRun: Boolean = false): Seq[String] = {
+    val root = Paths.get(warehouseDir)
+    if (!Files.exists(root)) return Seq.empty
+    import scala.jdk.CollectionConverters._
+    val listing = Files.list(root)
+    val tables =
+      try listing.iterator().asScala.toSeq
+        .filterNot(_.getFileName.toString.startsWith("."))
+      finally listing.close()
+    if (!dryRun) tables.foreach { p =>
+      deleteRecursively(p)
+      spark.catalog.refreshByPath(p.toString)
+    }
+    tables.map(_.getFileName.toString).sorted
+  }
+
   private def deleteRecursively(p: Path): Unit = {
     if (Files.isDirectory(p)) {
       val children = Files.list(p)

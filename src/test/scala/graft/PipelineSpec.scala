@@ -197,4 +197,19 @@ class PipelineSpec extends AnyFunSuite {
     cat.append(Seq((4L, "d")).toDF("id", "v"), "t")
     assert(cat.read("t").count() == 3)
   }
+
+  test("catalog flush drops all tables; dry-run only reports") {
+    val base = Files.createTempDirectory("graft-flush").toString
+    val cat = new graft.sources.Catalog(spark, base)
+    import spark.implicits._
+    cat.append(Seq((1L, "a")).toDF("id", "v"), "t1")
+    cat.append(Seq((2L, "b")).toDF("id", "v"), "t2")
+
+    assert(cat.flush(dryRun = true) == Seq("t1", "t2"))
+    assert(cat.exists("t1") && cat.exists("t2"), "dry run must not delete")
+
+    assert(cat.flush() == Seq("t1", "t2"))
+    assert(!cat.exists("t1") && !cat.exists("t2"))
+    assert(cat.flush() == Seq.empty, "idempotent on empty warehouse")
+  }
 }
