@@ -47,6 +47,29 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("simhash banded pairs == brute-force pairs (pigeonhole recall complete) across maxHamming") {
+    // 20 docs with overlapping token sets so several pairs land at varied
+    // hamming distances; recall must be complete for every maxHamming
+    val corpus = (1 to 20).map { i =>
+      val base = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta")
+      val words = base.take(4 + i % 4) ++ Seq(s"doc$i", s"tail${i % 5}", s"x${i % 3}")
+      (i.toLong, words.mkString(" "))
+    }.toDF("doc_id", "text")
+    val sigs = Dedup.simhash(corpus, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("simhash")).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    for (maxHamming <- Seq(0, 3, 7, 12, 23)) {
+      val expected = (for {
+        a <- sigs.keys; b <- sigs.keys if a < b
+        if ham(sigs(a), sigs(b)) <= maxHamming
+      } yield (a, b)).toSet
+      val banded = Dedup.simhashPairs(corpus, "doc_id", "text", maxHamming).collect()
+        .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+      assert(banded == expected, s"maxHamming=$maxHamming: banding must not lose pairs")
+    }
+    intercept[IllegalArgumentException](Dedup.simhashPairs(corpus, "doc_id", "text", 64))
+  }
+
   test("ngram jaccard: dup pair scores 1.0, near pair high, disjoint absent") {
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.3)
       .collect()
