@@ -119,18 +119,16 @@ final class Retriever(spark: SparkSession, pipeline: Pipeline, config: GraftConf
     */
   def hybridSearch(query: String, k: Int, titleFilter: Option[String] = None): DataFrame = {
     val v = vectorSearch(query, k, titleFilter).select(col("id"), col("score"))
-    // Force the keyword branch to EXECUTE inside the try (k is small, so
-    // materializing here is cheap): a lazy plan would defer failures past
-    // this fallback to the caller's action (reference falls back to pure
-    // vector on FTS failure, lancedb_store.py:187-190).
+    // Force the keyword branch to EXECUTE inside the try: a lazy plan
+    // would defer failures past this fallback to the caller's action
+    // (reference falls back to pure vector on FTS failure,
+    // lancedb_store.py:187-190). localCheckpoint (eager) materializes on
+    // the executors — no driver round-trip for the k rows.
     val kw =
       try {
-        import spark.implicits._
-        val rows = keywordSearch(query, k, titleFilter)
+        keywordSearch(query, k, titleFilter)
           .select(col("id"), col("score"))
-          .as[(String, Double)]
-          .collect()
-        spark.createDataFrame(rows.toSeq).toDF("id", "score")
+          .localCheckpoint()
       } catch {
         // NonFatal only: an OOM/fatal JVM error must propagate, not
         // masquerade as a silent mode switch; log the branch failure so
