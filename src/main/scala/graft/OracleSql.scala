@@ -526,6 +526,33 @@ object OracleSql {
          |SELECT doc_id, $hexDigits AS simhash_hex FROM sums ORDER BY doc_id""".stripMargin
     },
 
+    "q_stratified_sample" -> {
+      // mirrors Sampling.hashBucket: first 6 md5 nibbles as int, mod 100
+      val bucket = (1 to 6)
+        .map { k =>
+          val c = s"ascii(substr(md5(CAST(doc_id AS VARCHAR)), $k, 1))"
+          s"(CASE WHEN $c >= 97 THEN $c - 87 ELSE $c - 48 END) * ${1 << ((6 - k) * 4)}"
+        }
+        .mkString("(", " + ", ") % 100")
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE $bucket < (CASE WHEN lang = 'en' THEN 50.0 WHEN lang = 'de' THEN 30.0 ELSE 10.0 END)
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "q_train_split" -> {
+      val bucket = (1 to 6)
+        .map { k =>
+          val c = s"ascii(substr(md5(CAST(doc_id AS VARCHAR)), $k, 1))"
+          s"(CASE WHEN $c >= 97 THEN $c - 87 ELSE $c - 48 END) * ${1 << ((6 - k) * 4)}"
+        }
+        .mkString("(", " + ", ") % 100")
+      s"""SELECT (CASE WHEN $bucket < 80 THEN 'train'
+         |             WHEN $bucket < 90 THEN 'val'
+         |             ELSE 'test' END) AS split,
+         |       COUNT(*) AS n
+         |FROM documents GROUP BY 1 ORDER BY split""".stripMargin
+    },
+
     "q_fingerprint" ->
       // mirrors TextAnalysis.fingerprintPortable(k=8, keep=4): md5 char
       // 8-gram hashes over normalized text, lexicographic min-4, md5 of

@@ -909,6 +909,26 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Deterministic stratified corpus mixing (training-data op): keep 50%
+    * of en, 30% of de, 10% of everything else, membership derived from a
+    * portable md5 bucket of the doc id — reproducible across engines,
+    * partitionings, and retries.
+    */
+  private def qStratifiedSample(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling
+      .stratifiedSample(t(s, dir, "documents"), "lang", "doc_id",
+        Map("en" -> 0.5, "de" -> 0.3), fallback = 0.1)
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id")
+
+  /** Deterministic train/val/test split histogram (80/10/10 by id hash). */
+  private def qTrainSplit(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling
+      .withSplit(t(s, dir, "documents"), "doc_id")
+      .groupBy("split")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("split")
+
   // =====================================================================
   // Contract maps
   // =====================================================================
@@ -969,7 +989,9 @@ object SparkEntry {
     "q_curation_stats" -> (qCurationStats _),
     "q_ntile" -> (qNtile _),
     "q_range_frame" -> (qRangeFrame _),
-    "q_simhash_sig" -> (qSimhashSig _)
+    "q_simhash_sig" -> (qSimhashSig _),
+    "q_stratified_sample" -> (qStratifiedSample _),
+    "q_train_split" -> (qTrainSplit _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data pipelines: corpus mixing
+  * (keep X% of stratum A, Y% of stratum B) and train/test splits that are
+  * REPRODUCIBLE — membership depends only on the row id, never on
+  * partitioning, task retries, or row order. `df.sample()` can't promise
+  * that across re-runs and engines; a content-hash bucket can.
+  *
+  * The bucket is derived from md5 of the id (first 6 hex nibbles as an
+  * integer, mod 100), so any engine with md5 computes the identical
+  * membership — the DuckDB oracle checks it exactly. Pure column algebra:
+  * a narrow filter that fuses into the scan, no shuffle, no RNG state.
+  */
+object Sampling {
+
+  /** Pseudo-uniform bucket in [0, 100) from md5(id) — portable: nibble
+    * values via ascii arithmetic ('0'-'9' -> 0-9, 'a'-'f' -> 10-15), no
+    * engine-specific hash. ~16.7M distinct 6-nibble values spread evenly
+    * mod 100.
+    */
+  def hashBucket(id: Column): Column = {
+    val h = md5(id.cast("string"))
+    val v = (1 to 6)
+      .map { k =>
+        val c = ascii(substring(h, k, 1))
+        when(c >= 97, c - 87).otherwise(c - 48) * lit(1 << ((6 - k) * 4))
+      }
+      .reduce(_ + _)
+    v % 100
+  }
+
+  /** Keep rows of each stratum with probability `fractions(stratum)`
+    * (default `fallback` for unlisted strata), deterministically in the
+    * row id. 0.0 drops the stratum, 1.0 keeps it whole.
+    */
+  def stratifiedSample(
+      df: DataFrame,
+      stratumCol: String,
+      idCol: String,
+      fractions: Map[String, Double],
+      fallback: Double = 0.0
+  ): DataFrame = {
+    require(fractions.values.forall(f => f >= 0.0 && f <= 1.0), "fractions must be in [0,1]")
+    require(fallback >= 0.0 && fallback <= 1.0, "fallback must be in [0,1]")
+    val pct = fractions.foldLeft(lit(fallback * 100): Column) { case (acc, (s, f)) =>
+      when(col(stratumCol) === s, lit(f * 100)).otherwise(acc)
+    }
+    df.where(hashBucket(col(idCol)) < pct)
+  }
+
+  /** Attach a train/validation/test split column: bucket < trainPct ->
+    * "train", < trainPct+valPct -> "val", else "test". Deterministic in
+    * the id, so document and derived-chunk rows can be split consistently
+    * by splitting on the parent document id.
+    */
+  def withSplit(
+      df: DataFrame,
+      idCol: String,
+      trainPct: Int = 80,
+      valPct: Int = 10,
+      outCol: String = "split"
+  ): DataFrame = {
+    require(trainPct >= 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"invalid split: train=$trainPct val=$valPct")
+    val b = hashBucket(col(idCol))
+    df.withColumn(
+      outCol,
+      when(b < trainPct, "train").when(b < trainPct + valPct, "val").otherwise("test")
+    )
+  }
+}

@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Sampling
+
+class SamplingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private lazy val docs = (1L to 2000L).map(i => (i, if (i % 2 == 0) "en" else "de"))
+    .toDF("id", "lang")
+
+  test("stratified sample is deterministic and tracks the requested fractions") {
+    val take = Sampling.stratifiedSample(docs, "lang", "id", Map("en" -> 0.5, "de" -> 0.2))
+    val again = Sampling.stratifiedSample(docs, "lang", "id", Map("en" -> 0.5, "de" -> 0.2))
+    assert(take.collect().map(_.getLong(0)).toSet == again.collect().map(_.getLong(0)).toSet,
+      "same ids every run")
+
+    val byLang = take.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(byLang("en") - 500L) < 75, s"~50% of 1000 en docs, got ${byLang("en")}")
+    assert(math.abs(byLang("de") - 200L) < 60, s"~20% of 1000 de docs, got ${byLang("de")}")
+
+    // fallback 0.0 drops unlisted strata entirely
+    assert(Sampling.stratifiedSample(docs, "lang", "id", Map("en" -> 1.0)).where($"lang" === "de").count() == 0)
+    // fraction 1.0 keeps the stratum whole
+    assert(Sampling.stratifiedSample(docs, "lang", "id", Map("en" -> 1.0)).count() == 1000)
+  }
+
+  test("train/val/test split: exhaustive, disjoint, ~80/10/10, stable under repartitioning") {
+    val split = Sampling.withSplit(docs, "id")
+    val counts = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 2000)
+    assert(math.abs(counts("train") - 1600L) < 120, counts.toString)
+    assert(math.abs(counts("val") - 200L) < 70, counts.toString)
+    assert(math.abs(counts("test") - 200L) < 70, counts.toString)
+
+    // membership is a pure function of the id: immune to partitioning
+    val shuffled = Sampling.withSplit(docs.repartition(7, $"lang"), "id")
+    val a = split.select("id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = shuffled.select("id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b)
+  }
+
+  test("invalid fractions and splits are rejected") {
+    intercept[IllegalArgumentException](
+      Sampling.stratifiedSample(docs, "lang", "id", Map("en" -> 1.5)))
+    intercept[IllegalArgumentException](Sampling.withSplit(docs, "id", trainPct = 95, valPct = 10))
+  }
+}
