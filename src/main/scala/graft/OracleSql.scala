@@ -526,6 +526,23 @@ object OracleSql {
          |SELECT doc_id, $hexDigits AS simhash_hex FROM sums ORDER BY doc_id""".stripMargin
     },
 
+    "q_seq_pack" ->
+      // concat-then-chunk: seq_index = floor(start_offset / 2048) where
+      // start_offset is the running token sum before the doc (id order
+      // within source) — mirrors SequencePacking.assignSequences
+      s"""WITH d AS (
+         |  SELECT doc_id, source,
+         |         CAST(FLOOR(CAST(len($words) AS DOUBLE) * 1.3) AS BIGINT) AS tok
+         |  FROM documents),
+         |o AS (
+         |  SELECT source, tok,
+         |         SUM(tok) OVER (PARTITION BY source ORDER BY doc_id
+         |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tok AS start_offset
+         |  FROM d)
+         |SELECT source, CAST(FLOOR(CAST(start_offset AS DOUBLE) / 2048) AS BIGINT) AS seq_index,
+         |       COUNT(*) AS n_docs, SUM(tok) AS seq_tokens
+         |FROM o GROUP BY source, seq_index ORDER BY source, seq_index""".stripMargin,
+
     "q_stratified_sample" -> {
       // mirrors Sampling.hashBucket: first 6 md5 nibbles as int, mod 100
       val bucket = (1 to 6)

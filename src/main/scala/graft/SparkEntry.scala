@@ -921,6 +921,21 @@ object SparkEntry {
       .select(col("doc_id"), col("lang"))
       .orderBy("doc_id")
 
+  /** Sequence packing (training-data op): concat-then-chunk documents
+    * into 2048-token training sequences per source, GPT-pretraining
+    * style — per (source, sequence) doc count and token sum.
+    */
+  private def qSeqPack(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SequencePacking
+      .assignSequences(
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            graft.functions.TextFunctions.tokenEstimate(col("text")).cast("long").as("tok")),
+        "source", "doc_id", "tok", budget = 2048)
+      .groupBy("source", "seq_index")
+      .agg(count(lit(1)).as("n_docs"), sum("tok").as("seq_tokens"))
+      .orderBy("source", "seq_index")
+
   /** Deterministic train/val/test split histogram (80/10/10 by id hash). */
   private def qTrainSplit(s: SparkSession, dir: String): DataFrame =
     graft.operators.Sampling
@@ -991,7 +1006,8 @@ object SparkEntry {
     "q_range_frame" -> (qRangeFrame _),
     "q_simhash_sig" -> (qSimhashSig _),
     "q_stratified_sample" -> (qStratifiedSample _),
-    "q_train_split" -> (qTrainSplit _)
+    "q_train_split" -> (qTrainSplit _),
+    "q_seq_pack" -> (qSeqPack _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

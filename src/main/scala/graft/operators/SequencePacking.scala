@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Sequence packing for LLM pretraining pipelines: lay documents out into
+  * fixed token-budget training sequences.
+  *
+  * Two standard models:
+  *
+  *   - [[assignSequences]] — concat-then-chunk (GPT-style): within each
+  *     group, documents are concatenated in id order and the stream is cut
+  *     every `budget` tokens; a document belongs to the sequence where its
+  *     start offset falls (documents may straddle a cut — that is the
+  *     point of this model). Pure window algebra: one shuffle on the group
+  *     key, exactly SQL-expressible (oracle-checked).
+  *
+  *   - [[packGreedy]] — strict-budget first-fit: bins NEVER exceed the
+  *     budget (an oversized document gets a bin alone). Greedy packing is
+  *     inherently sequential, so it runs partition-local via
+  *     mapPartitions: deterministic given deterministic partitioning
+  *     (sort-within-partitions on id), bins are per-partition (bin ids
+  *     are (partition, local-index) pairs — no global coordination, which
+  *     is what makes it scale).
+  */
+object SequencePacking {
+
+  /** Concat-then-chunk sequence assignment. Adds `seq_index` (0-based
+    * sequence number within the group) and `start_offset` (token offset of
+    * the document within its group's stream).
+    */
+  def assignSequences(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      tokenCol: String,
+      budget: Int
+  ): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val w = Window.partitionBy(groupCol).orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("start_offset", sum(col(tokenCol)).over(w) - col(tokenCol))
+      .withColumn("seq_index", floor(col("start_offset") / budget).cast("long"))
+  }
+
+  /** Strict-budget greedy first-fit packing. Returns (id, tokens, bin_id)
+    * with `bin_id` unique across the frame (partition-prefixed). Every
+    * bin's token sum is <= budget unless it holds a single oversized
+    * document.
+    */
+  def packGreedy(
+      df: DataFrame,
+      idCol: String,
+      tokenCol: String,
+      budget: Int,
+      partitions: Int = 0
+  ): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val spark = df.sparkSession
+    val prepared0 = df.select(col(idCol).cast("long").as("id"), col(tokenCol).cast("long").as("tokens"))
+    val prepared =
+      (if (partitions > 0) prepared0.repartitionByRange(partitions, col("id")) else prepared0)
+        .sortWithinPartitions("id")
+    val outSchema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("tokens", LongType),
+      StructField("bin_id", LongType)
+    ))
+    prepared.mapPartitions { rows =>
+      // bin ids are (partitionId << 32 | local bin index): globally unique
+      // with zero cross-partition coordination
+      val pid = org.apache.spark.TaskContext.getPartitionId().toLong
+      var binIdx = -1L
+      var binTokens = budget.toLong + 1 // forces a fresh bin on the first row
+      rows.map { r =>
+        val tokens = r.getLong(1)
+        if (binTokens + tokens > budget) { binIdx += 1; binTokens = 0L }
+        binTokens += tokens
+        Row(r.getLong(0), tokens, (pid << 32) | binIdx)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+}

@@ -1,0 +1,43 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.SequencePacking
+
+class SequencePackingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  test("assignSequences: contiguous id order per group, offsets exact, straddling allowed") {
+    val docs = Seq(
+      (1L, "a", 600L), (2L, "a", 600L), (3L, "a", 600L), (4L, "a", 600L),
+      (5L, "b", 100L), (6L, "b", 2500L)
+    ).toDF("id", "grp", "tok")
+    val out = SequencePacking.assignSequences(docs, "grp", "id", "tok", budget = 1000)
+      .collect().map(r => r.getLong(0) -> (r.getAs[Long]("start_offset"), r.getAs[Long]("seq_index"))).toMap
+    // group a stream: offsets 0,600,1200,1800 -> seqs 0,0,1,1
+    assert(out(1L) == (0L, 0L) && out(2L) == (600L, 0L))
+    assert(out(3L) == (1200L, 1L) && out(4L) == (1800L, 1L))
+    // group b: the 2500-token doc starts at offset 100 -> seq 0 (straddles)
+    assert(out(5L) == (0L, 0L) && out(6L) == (100L, 0L))
+  }
+
+  test("packGreedy: no bin over budget (except oversize-alone), all docs packed once, deterministic") {
+    val docs = (1L to 500L).map(i => (i, (i * 37 % 400) + 50)).toDF("id", "tok")
+    val packed = SequencePacking.packGreedy(docs, "id", "tok", budget = 1000).collect()
+    assert(packed.length == 500, "every doc packed exactly once")
+    val byBin = packed.groupBy(_.getLong(2)).view.mapValues(_.map(_.getLong(1)).sum).toMap
+    assert(byBin.values.forall(_ <= 1000), "no bin over budget")
+
+    // oversize doc gets a bin alone
+    val over = Seq((1L, 300L), (2L, 5000L), (3L, 300L)).toDF("id", "tok")
+    val p2 = SequencePacking.packGreedy(over, "id", "tok", budget = 1000).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(p2(2L) != p2(1L) && p2(2L) != p2(3L))
+
+    // deterministic across runs at fixed partitioning
+    val a = SequencePacking.packGreedy(docs, "id", "tok", 1000, partitions = 4).collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val b = SequencePacking.packGreedy(docs, "id", "tok", 1000, partitions = 4).collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(a == b)
+  }
+}
