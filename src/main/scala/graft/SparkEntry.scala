@@ -885,16 +885,22 @@ object SparkEntry {
     * shared by q_simhash_sig and the q_simhash_pairs banding.
     */
   private def portableSimhashHex(s: SparkSession, dir: String): DataFrame = {
+    // pre-aggregate to (doc, token, count): md5 hashes once per DISTINCT
+    // token and the 64-column bit aggregate reads far fewer rows; the
+    // per-bit sums weight by cnt — integer math identical to summing
+    // per-occurrence (+/-1 per occurrence == +/-cnt per distinct token)
     val toks = t(s, dir, "documents")
       .where(col("doc_id") < 250)
       .select(col("doc_id"), explode(TextFunctions.ftsTokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("cnt"))
       .withColumn("h", md5(col("tok")))
     // hex digit k (1..16) of the md5 as an int 0..15
     def digit(k: Int): String = s"(locate(substring(h, $k, 1), '0123456789abcdef') - 1)"
     // per-bit +/-1 contributions, summed per doc
     val bitSums = (0 until 64).map { b =>
       val bit = s"((${digit(b / 4 + 1)} div ${1 << (b % 4)}) % 2)"
-      sum(expr(s"CASE WHEN $bit = 1 THEN 1 ELSE -1 END")).as(s"b$b")
+      sum(expr(s"CASE WHEN $bit = 1 THEN cnt ELSE -cnt END")).as(s"b$b")
     }
     val summed = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
     // reassemble 16 hex digits from 4-bit groups (bit value = sum > 0)

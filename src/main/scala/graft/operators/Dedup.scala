@@ -152,14 +152,17 @@ object Dedup {
     * contributions summed per doc.
     */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = docs.select(
-      col(idCol).as("id"),
-      explode(TextFunctions.ftsTokens(col(textCol))).as("tok")
-    )
+    // (id, token, count) pre-aggregation: one hash per distinct token and
+    // a smaller input to the 64-column aggregate; weighting the per-bit
+    // vote by cnt is integer-identical to voting once per occurrence
+    val toks = docs
+      .select(col(idCol).as("id"), explode(TextFunctions.ftsTokens(col(textCol))).as("tok"))
+      .groupBy("id", "tok")
+      .agg(count(lit(1)).as("cnt"))
     val hashed = toks.withColumn("h", xxhash64(col("tok")))
-    // sum of per-bit contributions: bit set -> +1 else -1
+    // sum of per-bit contributions: bit set -> +cnt else -cnt
     val bitCols = (0 until 64).map { bit =>
-      sum(when(shiftright(col("h"), bit).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"b$bit")
+      sum(when(shiftright(col("h"), bit).bitwiseAND(lit(1L)) === 1L, col("cnt")).otherwise(-col("cnt"))).as(s"b$bit")
     }
     val bitSums = hashed.groupBy("id").agg(bitCols.head, bitCols.tail: _*)
     val sigExpr = (0 until 64)
