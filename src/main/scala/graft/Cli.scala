@@ -68,7 +68,7 @@ object Cli {
         spark.sql(rest.mkString(" ")).show(100, truncate = false)
       case "flush" =>
         val dryRun = rest.contains("--dry-run")
-        val dropped = pipe.catalog.flush(dryRun)
+        val dropped = pipe.flush(dryRun)
         println(s"${if (dryRun) "would drop" else "dropped"}: ${dropped.mkString(", ")}")
       case "serve" =>
         val port = rest.headOption.map(_.toInt).getOrElse(8080)

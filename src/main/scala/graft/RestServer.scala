@@ -4,7 +4,7 @@ import java.net.InetSocketAddress
 import java.nio.charset.StandardCharsets
 
 import com.fasterxml.jackson.databind.ObjectMapper
-import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import com.fasterxml.jackson.databind.node.ObjectNode
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 
@@ -69,15 +69,18 @@ final class RestServer(spark: SparkSession, config: GraftConfig = GraftConfig.de
     node
   }
 
-  /** Rows as a JSON array; heavy payload columns are dropped, matching the
-    * reference's response models (ChunkResponse has no embedding field).
+  /** Rows as a JSON array via Spark's own row serializer (handles every
+    * nested type correctly); heavy payload columns are dropped, matching
+    * the reference's response models (ChunkResponse has no embedding
+    * field). `limit` is the response cap — pass the client's requested
+    * limit through rather than silently truncating below it.
     */
-  private def dfToArray(df: DataFrame, limit: Int = 1000): ArrayNode = {
-    val slim = df.drop("embedding", "bytes", "content")
-    val arr = mapper.createArrayNode()
-    slim.limit(limit).collect().foreach(r => arr.add(rowToNode(r)))
-    arr
-  }
+  private def dfToJsonArray(df: DataFrame, limit: Int = 1000): String =
+    df.drop("embedding", "bytes", "content")
+      .limit(limit)
+      .toJSON
+      .collect()
+      .mkString("[", ",", "]")
 
   // ------------------------------------------------------------- routing
 
@@ -106,28 +109,39 @@ final class RestServer(spark: SparkSession, config: GraftConfig = GraftConfig.de
       }
       .toMap
 
+  /** Body parse failures are client errors (400), not server errors. */
+  private def parseBody(ex: HttpExchange): Either[String, com.fasterxml.jackson.databind.JsonNode] =
+    try Right(mapper.readTree(ex.getRequestBody))
+    catch { case e: com.fasterxml.jackson.core.JacksonException => Left(s"malformed JSON body: ${e.getOriginalMessage}") }
+
+  /** Field as non-null text (JSON null and absent both map to None). */
+  private def textField(node: com.fasterxml.jackson.databind.JsonNode, name: String): Option[String] =
+    Option(node.get(name)).filterNot(_.isNull).map(_.asText)
+
   private def handle(ex: HttpExchange): Unit = {
     val method = ex.getRequestMethod
     val segments = ex.getRequestURI.getPath.split("/").filter(_.nonEmpty).toList
     try {
       (method, segments) match {
         case ("GET", "stats" :: Nil) =>
+          // one stats() pass: total_documents is the sum of the per-status
+          // counts and total_chunks rides along on every row — no extra
+          // full-table count jobs per request
+          val rows = pipeline.stats().collect()
           val byStatus = mapper.createObjectNode()
-          pipeline.stats().collect().foreach { r =>
-            byStatus.put(r.getAs[String]("status"), r.getAs[Long]("n"))
-          }
-          val docs = if (pipeline.catalog.exists("documents")) pipeline.catalog.read("documents").count() else 0L
-          val chunks = if (pipeline.catalog.exists("chunks")) pipeline.catalog.read("chunks").count() else 0L
+          rows.foreach(r => byStatus.put(r.getAs[String]("status"), r.getAs[Long]("n")))
           val node = mapper.createObjectNode()
-          node.put("total_documents", docs)
-          node.put("total_chunks", chunks)
+          node.put("total_documents", rows.map(_.getAs[Long]("n")).sum)
+          node.put("total_chunks", rows.headOption.map(_.getAs[Long]("total_chunks")).getOrElse(0L))
           node.set[ObjectNode]("by_status", byStatus)
           respond(ex, 200, node.toString)
 
         case ("GET", "documents" :: Nil) =>
           val p = queryParams(ex)
-          val df = pipeline.listDocuments(p.get("status"), p.get("limit").map(_.toInt).getOrElse(100))
-          respond(ex, 200, dfToArray(df).toString)
+          val limit = p.get("limit").map(v => v.toIntOption.getOrElse(-1)).getOrElse(100)
+          if (limit < 0) { error(ex, 400, s"limit must be a non-negative integer, got: ${p("limit")}"); return }
+          val df = pipeline.listDocuments(p.get("status"), limit)
+          respond(ex, 200, dfToJsonArray(df, limit))
 
         case ("GET", "documents" :: id :: Nil) =>
           pipeline.getDocument(id) match {
@@ -145,16 +159,19 @@ final class RestServer(spark: SparkSession, config: GraftConfig = GraftConfig.de
           }
 
         case ("GET", "documents" :: id :: "chunks" :: Nil) =>
-          respond(ex, 200, dfToArray(pipeline.listChunks(id)).toString)
+          respond(ex, 200, dfToJsonArray(pipeline.listChunks(id)))
 
         case ("GET", "documents" :: id :: "images" :: Nil) =>
-          respond(ex, 200, dfToArray(pipeline.listImages(id)).toString)
+          respond(ex, 200, dfToJsonArray(pipeline.listImages(id)))
 
         case ("POST", "search" :: Nil) =>
-          val req = mapper.readTree(ex.getRequestBody)
-          val query = Option(req.get("query")).map(_.asText).getOrElse("")
+          val req = parseBody(ex) match {
+            case Left(msg) => error(ex, 400, msg); return
+            case Right(n)  => n
+          }
+          val query = textField(req, "query").getOrElse("")
           if (query.isEmpty) { error(ex, 400, "query is required"); return }
-          val modeName = Option(req.get("mode")).map(_.asText).getOrElse("hybrid")
+          val modeName = textField(req, "mode").getOrElse("hybrid")
           val mode = modeName match {
             case "vector"  => SearchMode.Vector
             case "keyword" => SearchMode.Keyword
@@ -163,15 +180,18 @@ final class RestServer(spark: SparkSession, config: GraftConfig = GraftConfig.de
               error(ex, 400, s"Invalid search mode: $other. Use: vector, hybrid, keyword")
               return
           }
-          val k = Option(req.get("limit")).map(_.asInt).getOrElse(10)
-          val titleFilter = Option(req.get("title_filter")).map(_.asText).filter(_.nonEmpty)
-          respond(ex, 200, dfToArray(retriever.search(query, mode, k, titleFilter)).toString)
+          val k = Option(req.get("limit")).filterNot(_.isNull).map(_.asInt).getOrElse(10)
+          val titleFilter = textField(req, "title_filter").filter(_.nonEmpty)
+          respond(ex, 200, dfToJsonArray(retriever.search(query, mode, k, titleFilter), math.max(k, 1)))
 
         case ("POST", "search" :: "context" :: Nil) =>
-          val req = mapper.readTree(ex.getRequestBody)
-          val query = Option(req.get("query")).map(_.asText).getOrElse("")
+          val req = parseBody(ex) match {
+            case Left(msg) => error(ex, 400, msg); return
+            case Right(n)  => n
+          }
+          val query = textField(req, "query").getOrElse("")
           if (query.isEmpty) { error(ex, 400, "query is required"); return }
-          val maxTokens = Option(req.get("max_tokens")).map(_.asInt).getOrElse(4000)
+          val maxTokens = Option(req.get("max_tokens")).filterNot(_.isNull).map(_.asInt).getOrElse(4000)
           val node = mapper.createObjectNode()
           node.put("query", query)
           node.put("context", retriever.getContext(query, maxTokens))

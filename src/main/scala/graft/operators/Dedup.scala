@@ -171,6 +171,21 @@ object Dedup {
     bitSums.select(col("id"), sigExpr.as("simhash"))
   }
 
+  /** Partition [0, 64) into exactly `numBands` contiguous non-empty bit
+    * ranges as (lo, width) pairs. Even distribution (`lo = bi*64/numBands`)
+    * — NOT ceil-width strides, which over-shoot 64 for many band counts,
+    * producing fewer effective bands (recall loss) or zero-width bands
+    * (mask 0 -> every row in one bucket -> unblocked cross product).
+    */
+  private[graft] def bandRanges(numBands: Int): Seq[(Int, Int)] = {
+    require(numBands >= 1 && numBands <= 64, s"numBands must be in [1, 64], got $numBands")
+    (0 until numBands).map { bi =>
+      val lo = bi * 64 / numBands
+      val hi = (bi + 1) * 64 / numBands
+      (lo, hi - lo)
+    }
+  }
+
   /** SimHash near-dup pairs within `maxHamming` bits, banded into
     * `maxHamming + 1` chunks of the 64-bit signature (pigeonhole: a pair
     * differing in at most `maxHamming` bits must agree exactly on at least
@@ -185,15 +200,11 @@ object Dedup {
       maxHamming: Int = 3
   ): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64, s"maxHamming must be in [0, 63], got $maxHamming")
-    val numBands = maxHamming + 1
-    val bandWidth = (64 + numBands - 1) / numBands // ceil: bands cover all 64 bits
     val sigs = simhash(docs, idCol, textCol)
     val banded = sigs.select(
       col("id"),
       col("simhash"),
-      explode(array((0 until numBands).map { bi =>
-        val lo = bi * bandWidth
-        val width = math.min(bandWidth, 64 - lo)
+      explode(array(bandRanges(maxHamming + 1).zipWithIndex.map { case ((lo, width), bi) =>
         val mask = if (width >= 64) -1L else (1L << width) - 1L
         struct(
           lit(bi).as("band_idx"),

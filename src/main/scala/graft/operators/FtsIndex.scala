@@ -102,6 +102,12 @@ object FtsIndex {
     Option(cache.remove(key)).foreach(_.postings.unpersist())
   }
 
+  /** Drop every cached index — the warehouse-flush companion. */
+  def invalidateAll(): Unit = {
+    cache.values.forEach(idx => idx.postings.unpersist())
+    cache.clear()
+  }
+
   /** BM25 score expression for one (tf, df, docLen) posting.
     * idf = ln(1 + (N - df + 0.5)/(df + 0.5)) — the Robertson-Sparck Jones
     * form used by Lucene/Tantivy (the engine behind the reference's FTS).

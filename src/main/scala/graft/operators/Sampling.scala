@@ -21,16 +21,21 @@ object Sampling {
     * engine-specific hash. ~16.7M distinct 6-nibble values spread evenly
     * mod 100.
     */
-  def hashBucket(id: Column): Column = {
-    val h = md5(id.cast("string"))
-    val v = (1 to 6)
-      .map { k =>
-        val c = ascii(substring(h, k, 1))
-        when(c >= 97, c - 87).otherwise(c - 48) * lit(1 << ((6 - k) * 4))
-      }
-      .reduce(_ + _)
-    v % 100
-  }
+  def hashBucket(id: Column): Column =
+    // md5 is bound once via a single-element transform: this tree lands
+    // verbatim inside WHERE predicates, and FilterExec does no
+    // subexpression elimination — unbound, every scanned row would pay
+    // six md5 computations instead of one
+    element_at(
+      transform(array(md5(id.cast("string"))), h =>
+        (1 to 6)
+          .map { k =>
+            val c = ascii(substring(h, k, 1))
+            when(c >= 97, c - 87).otherwise(c - 48) * lit(1 << ((6 - k) * 4))
+          }
+          .reduce(_ + _) % 100),
+      1
+    )
 
   /** Keep rows of each stratum with probability `fractions(stratum)`
     * (default `fallback` for unlisted strata), deterministically in the

@@ -17,10 +17,13 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   *     point of this model). Pure window algebra: one shuffle on the group
   *     key, exactly SQL-expressible (oracle-checked).
   *
-  *   - [[packGreedy]] — strict-budget first-fit: bins NEVER exceed the
-  *     budget (an oversized document gets a bin alone). Greedy packing is
-  *     inherently sequential, so it runs partition-local via
-  *     mapPartitions: deterministic given deterministic partitioning
+  *   - [[packGreedy]] — strict-budget NEXT-fit: bins NEVER exceed the
+  *     budget (an oversized document gets a bin alone); only the current
+  *     bin is considered, closed bins are never revisited — the streaming
+  *     variant (first-fit would need all open bins in memory and packs
+  *     somewhat denser; next-fit is the standard single-pass trade).
+  *     Greedy packing is inherently sequential, so it runs partition-local
+  *     via mapPartitions: deterministic given deterministic partitioning
   *     (sort-within-partitions on id), bins are per-partition (bin ids
   *     are (partition, local-index) pairs — no global coordination, which
   *     is what makes it scale).
@@ -45,10 +48,10 @@ object SequencePacking {
       .withColumn("seq_index", floor(col("start_offset") / budget).cast("long"))
   }
 
-  /** Strict-budget greedy first-fit packing. Returns (id, tokens, bin_id)
-    * with `bin_id` unique across the frame (partition-prefixed). Every
-    * bin's token sum is <= budget unless it holds a single oversized
-    * document.
+  /** Strict-budget greedy next-fit packing (see class doc). Returns
+    * (id, tokens, bin_id) with `bin_id` unique across the frame
+    * (partition-prefixed). Every bin's token sum is <= budget unless it
+    * holds a single oversized document.
     */
   def packGreedy(
       df: DataFrame,

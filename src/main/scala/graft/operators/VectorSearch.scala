@@ -247,6 +247,12 @@ object VectorSearch {
   def invalidateIvf(key: String, nLists: Int = 16, seed: Long = 42L): Unit =
     Option(ivfCache.remove(s"$key:$nLists:$seed")).foreach(_.indexed.unpersist())
 
+  /** Drop every cached IVF index — the warehouse-flush companion. */
+  def invalidateAllIvf(): Unit = {
+    ivfCache.values.forEach(idx => idx.indexed.unpersist())
+    ivfCache.clear()
+  }
+
   /** All-pairs near-duplicate detection by embedding cosine, LSH-blocked:
     * only pairs sharing a signature band are compared — the classic
     * O(n^2) -> O(n·bucket) reduction. Returns (id_a, id_b, score) with

@@ -245,6 +245,19 @@ final class Pipeline(spark: SparkSession, config: GraftConfig = GraftConfig.defa
     graft.util.JsonLog.info("delete_document", "document_id" -> documentId)
   }
 
+  /** Flush the warehouse AND the in-memory index caches — every other
+    * mutation path invalidates the FTS cache, and flush must too, or a
+    * long-lived session would serve BM25 hits for a deleted corpus.
+    */
+  def flush(dryRun: Boolean = false): Seq[String] = {
+    val dropped = catalog.flush(dryRun)
+    if (!dryRun) {
+      FtsIndex.invalidateAll()
+      graft.operators.VectorSearch.invalidateAllIvf()
+    }
+    dropped
+  }
+
   /** Point lookup + ordered listing of a document's images (S9/O2,
     * src/load/sqlite_store.py:379-381).
     */

@@ -14,7 +14,8 @@ object JsonLog {
 
   private val logger = org.slf4j.LoggerFactory.getLogger("graft")
 
-  private def esc(s: String): String = s.flatMap {
+  /** JSON string-escape (shared — e.g. Verify's oracle_sql.json dump). */
+  private[graft] def esc(s: String): String = s.flatMap {
     case '"'           => "\\\""
     case '\\'          => "\\\\"
     case '\n'          => "\\n"
@@ -27,8 +28,9 @@ object JsonLog {
   private def render(v: Any): String = v match {
     case null                                      => "null"
     case n @ (_: Int | _: Long | _: Short | _: Byte) => n.toString
-    case d: Double                                 => d.toString
-    case f: Float                                  => f.toString
+    // NaN/Infinity are not JSON literals — quote them so lines stay parseable
+    case d: Double if java.lang.Double.isFinite(d) => d.toString
+    case f: Float if java.lang.Float.isFinite(f)   => f.toString
     case b: Boolean                                => b.toString
     case other                                     => "\"" + esc(other.toString) + "\""
   }

@@ -47,6 +47,21 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("bandRanges partitions all 64 bits into exactly numBands non-empty ranges") {
+    for (numBands <- 1 to 64) {
+      val ranges = Dedup.bandRanges(numBands)
+      assert(ranges.length == numBands, s"numBands=$numBands")
+      assert(ranges.forall(_._2 > 0), s"numBands=$numBands: zero-width band")
+      val covered = ranges.flatMap { case (lo, w) => lo until (lo + w) }
+      assert(covered == (0 until 64), s"numBands=$numBands: must cover [0,64) exactly once")
+    }
+    // the old ceil-width arithmetic failed here: maxHamming=23 -> 24 bands
+    // of width 3 overshoot bit 64 (22 effective bands, pigeonhole broken);
+    // maxHamming=16 -> a zero-width band put every row in one bucket
+    assert(Dedup.bandRanges(24).map(_._2).sum == 64)
+    assert(Dedup.bandRanges(17).forall(_._2 > 0))
+  }
+
   test("simhash banded pairs == brute-force pairs (pigeonhole recall complete) across maxHamming") {
     // 20 docs with overlapping token sets so several pairs land at varied
     // hamming distances; recall must be complete for every maxHamming
