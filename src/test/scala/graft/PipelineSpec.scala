@@ -212,4 +212,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(!cat.exists("t1") && !cat.exists("t2"))
     assert(cat.flush() == Seq.empty, "idempotent on empty warehouse")
   }
+
+  test("pipeline flush invalidates the cached FTS index (no stale-corpus search results)") {
+    val (pdfDir, wh, _) = freshDirs()
+    mkPdf(pdfDir, "EP001 Widget.pdf",
+      "# Widget\n\nthe widget assembly manual describes gears and sprockets in detail.")
+    val cfg = GraftConfig(warehouseDir = wh)
+    val pipe = new Pipeline(spark, cfg)
+    pipe.processDirectory(pdfDir)
+    val retriever = new Retriever(spark, pipe, cfg)
+    assert(retriever.keywordSearch("widget gears", 5).count() > 0, "corpus searchable pre-flush")
+
+    pipe.flush()
+    // post-flush keyword search must NOT serve hits from the deleted
+    // corpus's cached postings — the chunks table is gone, so the search
+    // path fails loudly (table missing) rather than returning stale hits
+    intercept[Exception](retriever.keywordSearch("widget gears", 5).count())
+  }
 }

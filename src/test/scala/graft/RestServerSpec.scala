@@ -69,6 +69,10 @@ class RestServerSpec extends AnyFunSuite {
       assert(hits.get(0).has("score") && hits.get(0).has("document_title"))
       assert(post("/search", """{"query":"x","mode":"nope"}""").statusCode == 400)
       assert(post("/search", """{}""").statusCode == 400)
+      assert(post("/search", """{"query":null}""").statusCode == 400, "JSON null query is a 400")
+      assert(post("/search", "definitely not json").statusCode == 400, "malformed body is a 400")
+      assert(get("/documents?limit=abc").statusCode == 400, "non-integer limit is a 400")
+      assert(mapper.readTree(ok(get("/documents?limit=1"))).size == 1, "limit honored in response")
 
       // context assembly
       val ctx = mapper.readTree(ok(post("/search/context", """{"query":"spark tuning","max_tokens":500}""")))
