@@ -195,6 +195,99 @@ object Multimodal {
     df.withColumn(outCol, f(col(contentCol)))
   }
 
+  val audioMetaSchema: StructType = StructType(Seq(
+    StructField("encoding", StringType),
+    StructField("sample_rate", FloatType),
+    StructField("channels", IntegerType),
+    StructField("frames", LongType),
+    StructField("duration_ms", DoubleType)
+  ))
+
+  /** REAL audio decode for WAV/AIFF/AU on the JDK's javax.sound.sampled —
+    * no external dependency (the ffmpeg-class formats stay stubbed).
+    * Header metadata (encoding, sample rate, channels, frame count,
+    * duration) plus [[audioEnergy]] real RMS-per-window features from the
+    * PCM stream.
+    */
+  object JavaSoundCodec extends Serializable {
+    import javax.sound.sampled.AudioSystem
+    import java.io.ByteArrayInputStream
+
+    def audioMeta(bytes: Array[Byte]): (String, Float, Int, Long, Double) = {
+      val in = new ByteArrayInputStream(bytes)
+      val fmt = AudioSystem.getAudioFileFormat(in)
+      val af = fmt.getFormat
+      val frames = fmt.getFrameLength.toLong
+      val durationMs =
+        if (af.getFrameRate > 0 && frames >= 0) frames * 1000.0 / af.getFrameRate else -1.0
+      (af.getEncoding.toString, af.getSampleRate, af.getChannels, frames, durationMs)
+    }
+
+    /** RMS energy per fixed-size window over the decoded PCM samples
+      * (first channel), normalized to [0,1] — a real, deterministic audio
+      * feature from real bytes.
+      */
+    def audioEnergy(bytes: Array[Byte], windows: Int): Array[Float] = {
+      require(windows > 0, s"audioEnergy: windows must be positive, got $windows")
+      val stream = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+      try {
+        val af = stream.getFormat
+        require(af.getSampleSizeInBits == 16, s"audioEnergy expects 16-bit PCM, got ${af.getSampleSizeInBits}")
+        val bytesPerFrame = af.getFrameSize
+        val data = stream.readAllBytes()
+        val nFrames = data.length / bytesPerFrame
+        val sums = new Array[Double](windows)
+        val counts = new Array[Long](windows)
+        val bigEndian = af.isBigEndian
+        var i = 0
+        while (i < nFrames) {
+          val off = i * bytesPerFrame
+          val sample =
+            if (bigEndian) ((data(off) << 8) | (data(off + 1) & 0xff)).toShort
+            else ((data(off + 1) << 8) | (data(off) & 0xff)).toShort
+          val w = math.min(windows - 1, (i.toLong * windows / math.max(nFrames, 1)).toInt)
+          val norm = sample / 32768.0
+          sums(w) += norm * norm
+          counts(w) += 1
+          i += 1
+        }
+        Array.tabulate(windows)(w =>
+          if (counts(w) == 0) 0f else math.sqrt(sums(w) / counts(w)).toFloat)
+      } finally stream.close()
+    }
+  }
+
+  /** Attach real audio metadata (javax.sound header read) to a binary
+    * column; undecodable payloads yield a null struct.
+    */
+  def withAudioMeta(df: DataFrame, contentCol: String = "content"): DataFrame = {
+    val metaUdf = udf(
+      new org.apache.spark.sql.api.java.UDF1[Array[Byte], Row] {
+        override def call(bytes: Array[Byte]): Row =
+          if (bytes == null) null
+          else
+            try {
+              val (enc, rate, ch, frames, dur) = JavaSoundCodec.audioMeta(bytes)
+              Row(enc, rate, ch, frames, dur)
+            } catch { case _: Exception => null }
+      },
+      audioMetaSchema
+    )
+    df.withColumn("audio_meta", metaUdf(col(contentCol)))
+  }
+
+  /** Real RMS-energy feature column over WAV payloads (null if undecodable). */
+  def withAudioEnergy(df: DataFrame, windows: Int = 16, contentCol: String = "content",
+      outCol: String = "audio_energy"): DataFrame = {
+    val f = udf { (bytes: Array[Byte]) =>
+      Option(bytes).flatMap { b =>
+        try Some(JavaSoundCodec.audioEnergy(b, windows))
+        catch { case _: Exception => None }
+      }
+    }
+    df.withColumn(outCol, f(col(contentCol)))
+  }
+
   /** Frame-sample a video payload: emit one row per sampled frame index
     * with a deterministic frame payload (STUB: frames are hash-derived
     * slices; a real codec extracts I-frames). `explode`-shaped — the

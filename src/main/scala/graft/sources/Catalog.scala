@@ -63,6 +63,25 @@ final class Catalog(spark: SparkSession, warehouseDir: String) {
       overwrite(updated, name)
     }
 
+  /** Write `df` as a BUCKETED catalog table: rows are hash-partitioned
+    * into `buckets` files per partition by `keys` at WRITE time, so any
+    * later equi-join or aggregation on `keys` between co-bucketed tables
+    * runs with NO shuffle exchange (PlanShapeSpec proves this on a real
+    * plan). This is the cluster-scale layout for the chunks/documents
+    * join axis — pre-paying the shuffle once at ingest instead of on
+    * every query. Bucketed tables go through the session catalog
+    * (`spark.table(name)`), not the path-based read.
+    */
+  def writeBucketedTable(df: DataFrame, name: String, buckets: Int, keys: Seq[String]): Unit = {
+    require(keys.nonEmpty, "bucketing needs at least one key column")
+    df.write
+      .mode(SaveMode.Overwrite)
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .format("parquet")
+      .saveAsTable(name)
+  }
+
   /** Flush the warehouse: drop every table directory (the reference's
     * flush_data.py reset utility, scripts/flush_data.py — source inputs
     * are never touched, matching its default no-`--all` mode). Returns the

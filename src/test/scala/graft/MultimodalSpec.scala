@@ -93,6 +93,51 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows.head.getAs[Int]("width") == 200 && rows.head.getAs[Int]("height") == 150)
   }
 
+  /** A REAL 16-bit PCM WAV encoded in-memory: loud sine first half,
+    * silence second half.
+    */
+  private def realWav(sampleRate: Float = 8000f, seconds: Double = 0.5): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val n = (sampleRate * seconds).toInt
+    val pcm = new Array[Byte](n * 2)
+    for (i <- 0 until n / 2) { // first half: 440 Hz at 80% amplitude
+      val s = (math.sin(2 * math.Pi * 440 * i / sampleRate) * 0.8 * 32767).toShort
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new AudioFormat(sampleRate, 16, 1, true, false)
+    val stream = new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(stream, AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  test("JavaSoundCodec reads REAL WAV metadata and RMS energy from real bytes") {
+    val bytes = realWav()
+    val (enc, rate, ch, frames, durMs) = Multimodal.JavaSoundCodec.audioMeta(bytes)
+    assert(enc == "PCM_SIGNED" && rate == 8000f && ch == 1)
+    assert(frames == 4000L)
+    assert(math.abs(durMs - 500.0) < 1.0)
+
+    val energy = Multimodal.JavaSoundCodec.audioEnergy(bytes, windows = 8)
+    assert(energy.length == 8)
+    // loud first half, silent second half
+    assert(energy.take(4).forall(_ > 0.3), energy.mkString(","))
+    assert(energy.drop(4).forall(_ < 0.01), energy.mkString(","))
+
+    intercept[Exception](Multimodal.JavaSoundCodec.audioMeta(Array[Byte](1, 2, 3)))
+  }
+
+  test("withAudioMeta/withAudioEnergy attach real columns; junk payloads go null") {
+    val df = Seq((1L, realWav()), (2L, Array[Byte](9, 9, 9))).toDF("id", "content")
+    val rows = Multimodal.withAudioEnergy(Multimodal.withAudioMeta(df), windows = 4)
+      .select(col("id"), col("audio_meta"), col("audio_energy")).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows(1L).getStruct(1).getAs[Float]("sample_rate") == 8000f)
+    assert(rows(1L).getSeq[Float](2).length == 4)
+    assert(rows(2L).isNullAt(1) && rows(2L).isNullAt(2))
+  }
+
   test("frame sampling explodes one row per sampled frame, capped") {
     val video = Array.fill[Byte](8192)(42) // "8 frames"
     val df = Seq((1L, video)).toDF("id", "content")
