@@ -24,7 +24,12 @@ import graft.functions.TextFunctions
 object FtsIndex {
 
   /** Inverted index: one row per (doc, term) with term frequency and doc
-    * length, plus `df` (document frequency) attached per term.
+    * length. Document frequencies are NOT materialized in the postings —
+    * they are derived query-side over the query's terms only (a window
+    * count on the already-filtered postings). That keeps index
+    * maintenance a pure APPEND: a new batch's postings union in without
+    * touching (or staleing) any existing row, which is what makes
+    * incremental ingest O(batch) instead of O(corpus) — see [[append]].
     */
   final case class Index(postings: DataFrame, numDocs: Long, avgDocLen: Double)
 
@@ -46,17 +51,31 @@ object FtsIndex {
       .groupBy("doc_id", "doc_len", "term")
       .agg(count(lit(1)).as("tf"))
 
-    val docFreq = termFreq.groupBy("term").agg(count(lit(1)).as("df"))
-
     // lazy persist: the full postings materialize on the first search that
-    // touches them (tokenization is cheap relative to the agg shuffles, so
+    // touches them (tokenization is cheap relative to the agg shuffle, so
     // re-deriving it for the stats row costs less than eager caching here)
-    val postings = termFreq.join(docFreq, "term").persist()
+    val postings = termFreq.persist()
 
     val stats = tokenized.agg(count(lit(1)).as("n"), avg("doc_len").as("avgdl")).head()
     // avg over an empty corpus is NULL — an empty index must still search
     val avgdl = if (stats.isNullAt(1)) 0.0 else stats.getDouble(1)
     Index(postings, stats.getLong(0), avgdl)
+  }
+
+  /** Incremental maintenance: extend `index` with `newDocs` WITHOUT
+    * touching the existing postings — an O(batch) union plus a constant
+    * stats update (numDocs, running-mean avgdl), vs the reference's
+    * O(corpus) per-batch index rebuild. Sound for append-only ingest; a
+    * deletion/upsert batch still wants a rebuild (df would be stale
+    * nowhere — df is query-derived — but removed docs' postings must go).
+    */
+  def append(index: Index, newDocs: DataFrame, idCol: String, textCol: String): Index = {
+    val batch = build(newDocs, idCol, textCol)
+    val total = index.numDocs + batch.numDocs
+    val avgdl =
+      if (total == 0) 0.0
+      else (index.avgDocLen * index.numDocs + batch.avgDocLen * batch.numDocs) / total
+    Index(index.postings.unionByName(batch.postings), total, avgdl)
   }
 
   /** Persist an index as a parquet postings table + stats sidecar — the
@@ -149,8 +168,14 @@ object FtsIndex {
         .withColumn("score", lit(0.0))
         .limit(0)
 
+    // df derived over the FILTERED postings: the filter keeps every row of
+    // the query's terms, so a per-term window count IS the corpus-wide
+    // document frequency — tiny (query-term rows only), and it is what
+    // lets the index itself stay df-free (append-only maintenance)
+    val wTerm = org.apache.spark.sql.expressions.Window.partitionBy("term")
     index.postings
       .where(col("term").isin(terms.toSeq: _*))
+      .withColumn("df", count(lit(1)).over(wTerm))
       .withColumn(
         "term_score",
         bm25TermScore(col("tf"), col("df"), col("doc_len"), index.numDocs, index.avgDocLen, k1, b)

@@ -16,6 +16,18 @@ class RetrievalSpec extends AnyFunSuite {
     (5L, "spark spark spark streaming streaming data")
   ).toDF("doc_id", "text")
 
+  test("incremental append == full rebuild (scores bit-identical, stats exact)") {
+    val batchA = docs.where($"doc_id" <= 3)
+    val batchB = docs.where($"doc_id" > 3)
+    val incremental = FtsIndex.append(FtsIndex.build(batchA, "doc_id", "text"), batchB, "doc_id", "text")
+    val full = FtsIndex.build(docs, "doc_id", "text")
+    assert(incremental.numDocs == full.numDocs)
+    assert(math.abs(incremental.avgDocLen - full.avgDocLen) < 1e-12)
+    val a = FtsIndex.search(spark, incremental, "spark data", 5).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val b = FtsIndex.search(spark, full, "spark data", 5).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(a.toSeq == b.toSeq, "append-maintained index must score identically to a rebuild")
+  }
+
   test("BM25: term-matching docs rank first; scores positive and ordered") {
     val idx = FtsIndex.build(docs, "doc_id", "text")
     assert(idx.numDocs == 5)
