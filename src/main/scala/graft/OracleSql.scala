@@ -526,6 +526,50 @@ object OracleSql {
          |SELECT doc_id, $hexDigits AS simhash_hex FROM sums ORDER BY doc_id""".stripMargin
     },
 
+    "q_pii_scrub" -> {
+      // same patterns as CorpusHygiene; DuckDB needs the 'g' flag for
+      // replace-all (Spark's regexp_replace is always global)
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phone = "(?:\\+?[0-9]{1,3}[-. ])?\\(?[0-9]{3}\\)?[-. ]?[0-9]{3}[-. ]?[0-9]{4}"
+      val ip = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '$email')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(text, '$phone')) AS BIGINT) AS n_phones,
+         |  CAST(len(regexp_extract_all(text, '$ip')) AS BIGINT) AS n_ips,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+         |        '$email', '<EMAIL>', 'g'),
+         |        '$phone', '<PHONE>', 'g'),
+         |        '$ip', '<IP>', 'g')) AS clean_hash
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
+    "q_gopher_repetition" ->
+      """WITH l AS (
+        |  SELECT doc_id,
+        |         list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+        |                     x -> len(x) > 0) AS lines
+        |  FROM documents)
+        |SELECT doc_id,
+        |  ROUND(CASE WHEN len(lines) <= 1 THEN 0.0
+        |        ELSE CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE) / len(lines)
+        |        END, 6) AS dup_line_frac
+        |FROM l ORDER BY doc_id""".stripMargin,
+
+    "q_decontaminate" -> {
+      def shingleSql(src: String, n: Int) = {
+        val terms = (0 until n).map(j => s"w[i+$j]").mkString(" || ' ' || ")
+        s"""SELECT doc_id, UNNEST(list_distinct(list_transform(
+           |         range(1, CAST(GREATEST(len(w) - ${n - 1}, 0) AS BIGINT) + 1),
+           |         i -> $terms))) AS gram
+           |  FROM (SELECT doc_id,
+           |          string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+           |        FROM $src)""".stripMargin
+      }
+      s"""WITH cg AS (${shingleSql("documents", 8)}),
+         |eg AS (SELECT DISTINCT gram FROM (${shingleSql("(SELECT * FROM documents WHERE doc_id < 5)", 8)}))
+         |SELECT DISTINCT cg.doc_id FROM cg JOIN eg USING (gram) ORDER BY doc_id""".stripMargin
+    },
+
     "q_seq_pack" ->
       // concat-then-chunk: seq_index = floor(start_offset / 2048) where
       // start_offset is the running token sum before the doc (id order

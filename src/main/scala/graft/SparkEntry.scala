@@ -942,6 +942,46 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_docs"), sum("tok").as("seq_tokens"))
       .orderBy("source", "seq_index")
 
+  /** PII scrub audit (corpus-hygiene op): per-doc hit counts for
+    * email/phone/IP plus a digest of the scrubbed text (digest, not the
+    * text, so the comparator diffs compactly).
+    */
+  private def qPiiScrub(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        graft.operators.CorpusHygiene.piiCounts(col("text")).as("pii"),
+        md5(graft.operators.CorpusHygiene.scrubPii(col("text"))).as("clean_hash")
+      )
+      .select(
+        col("doc_id"),
+        col("pii.emails").cast("long").as("n_emails"),
+        col("pii.phones").cast("long").as("n_phones"),
+        col("pii.ips").cast("long").as("n_ips"),
+        col("clean_hash")
+      )
+      .orderBy("doc_id")
+
+  /** Gopher duplicate-line-fraction repetition signal per doc. */
+  private def qGopherRepetition(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        round(graft.operators.CorpusHygiene.duplicateLineFraction(col("text")), 6).as("dup_line_frac")
+      )
+      .orderBy("doc_id")
+
+  /** Eval-set decontamination: corpus docs sharing any word 8-gram with
+    * the held-out set (docs 0-4) — the pre-training contamination sweep.
+    */
+  private def qDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    graft.operators.CorpusHygiene
+      .contaminatedIds(docs, "doc_id", "text", docs.where(col("doc_id") < 5), "text", n = 8)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
   /** Deterministic train/val/test split histogram (80/10/10 by id hash). */
   private def qTrainSplit(s: SparkSession, dir: String): DataFrame =
     graft.operators.Sampling
@@ -1013,7 +1053,10 @@ object SparkEntry {
     "q_simhash_sig" -> (qSimhashSig _),
     "q_stratified_sample" -> (qStratifiedSample _),
     "q_train_split" -> (qTrainSplit _),
-    "q_seq_pack" -> (qSeqPack _)
+    "q_seq_pack" -> (qSeqPack _),
+    "q_pii_scrub" -> (qPiiScrub _),
+    "q_gopher_repetition" -> (qGopherRepetition _),
+    "q_decontaminate" -> (qDecontaminate _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

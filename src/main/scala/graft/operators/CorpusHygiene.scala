@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-hygiene operators for training-data preparation: PII scrubbing,
+  * repetition-based quality signals (the published Gopher/MassiveText
+  * heuristics), and eval-set decontamination. All pure DataFrame algebra:
+  * the scrub and the repetition signals fuse into the scan; the
+  * decontamination join is gram-blocked like the dedup family.
+  */
+object CorpusHygiene {
+
+  /** Regex patterns for the classic scrubbing targets. Deliberately
+    * simple, portable forms (both Spark and standard-SQL regex engines
+    * accept them) — production filters layer stricter validators behind
+    * the same rewrite shape.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "(?:\\+?[0-9]{1,3}[-. ])?\\(?[0-9]{3}\\)?[-. ]?[0-9]{3}[-. ]?[0-9]{4}"
+  val Ipv4Pattern = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+
+  /** Replace emails, phone numbers, and IPv4 addresses with typed
+    * placeholder tokens — the standard pre-training scrub. Order matters
+    * and is fixed (email first: a phone regex must never eat an address's
+    * digits after the email was replaced, and vice versa).
+    */
+  def scrubPii(text: Column): Column = {
+    val noEmail = regexp_replace(text, EmailPattern, "<EMAIL>")
+    val noPhone = regexp_replace(noEmail, PhonePattern, "<PHONE>")
+    regexp_replace(noPhone, Ipv4Pattern, "<IP>")
+  }
+
+  /** Count of PII hits per kind — the audit metric next to the scrub. */
+  def piiCounts(text: Column): Column =
+    struct(
+      regexp_count(text, lit(EmailPattern)).as("emails"),
+      regexp_count(text, lit(PhonePattern)).as("phones"),
+      regexp_count(text, lit(Ipv4Pattern)).as("ips")
+    )
+
+  /** Fraction of lines that are duplicates of an earlier line — the
+    * Gopher repetition signal `duplicate_line_fraction`
+    * (Rae et al. 2021, "Scaling Language Models", table A1). 0.0 for
+    * texts of at most one line.
+    */
+  def duplicateLineFraction(text: Column): Column = {
+    val lines = filter(transform(split(text, "\n"), l => trim(l)), l => length(l) > 0)
+    val n = size(lines)
+    when(n <= 1, lit(0.0)).otherwise(
+      (n - size(array_distinct(lines))).cast("double") / n
+    )
+  }
+
+  /** Documents whose word `n`-grams overlap an evaluation set — the
+    * standard pre-training decontamination sweep (the published recipe:
+    * drop training docs sharing any 13-gram with a benchmark). The join
+    * is gram-blocked: only (id, gram) pairs shuffle, the eval side is
+    * tiny and broadcasts, and the result is the distinct set of
+    * contaminated corpus ids (left-semi — never a fan-out).
+    */
+  def contaminatedIds(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      evalSet: DataFrame,
+      evalTextCol: String,
+      n: Int = 13
+  ): DataFrame = {
+    val corpusGrams = corpus
+      .select(col(idCol).as("id"), explode(Dedup.shingles(col(textCol), n)).as("gram"))
+    val evalGrams = evalSet
+      .select(explode(Dedup.shingles(col(evalTextCol), n)).as("gram"))
+      .distinct()
+    corpusGrams
+      .join(broadcast(evalGrams), "gram")
+      .select("id")
+      .distinct()
+  }
+
+  /** Drop contaminated documents from the corpus (anti-join of
+    * [[contaminatedIds]]).
+    */
+  def decontaminate(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      evalSet: DataFrame,
+      evalTextCol: String,
+      n: Int = 13
+  ): DataFrame = {
+    val bad = contaminatedIds(corpus, idCol, textCol, evalSet, evalTextCol, n)
+    corpus.join(broadcast(bad), corpus(idCol) === bad("id"), "left_anti")
+  }
+}

@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.CorpusHygiene
+
+class CorpusHygieneSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  test("scrubPii replaces emails, phones, and IPs with typed placeholders") {
+    val df = Seq(
+      (1L, "contact jane.doe+x@example.com or call 555-123-4567 from 192.168.1.100 today"),
+      (2L, "no pii in this sentence at all")
+    ).toDF("id", "text")
+    val out = df.select(col("id"), CorpusHygiene.scrubPii(col("text")).as("clean"),
+      CorpusHygiene.piiCounts(col("text")).as("c")).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val clean = out(1L).getString(1)
+    assert(clean.contains("<EMAIL>") && clean.contains("<PHONE>") && clean.contains("<IP>"))
+    assert(!clean.contains("example.com") && !clean.contains("4567") && !clean.contains("192.168"))
+    val counts = out(1L).getStruct(2)
+    assert(counts.getInt(0) == 1 && counts.getInt(1) == 1 && counts.getInt(2) == 1)
+    assert(out(2L).getString(1) == "no pii in this sentence at all")
+  }
+
+  test("duplicateLineFraction: Gopher repetition signal") {
+    val df = Seq(
+      (1L, "alpha\nbeta\nalpha\nalpha"),     // 4 lines, 2 distinct -> 0.5
+      (2L, "one line only"),                  // <= 1 line -> 0.0
+      (3L, "a\nb\nc\nd")                      // all distinct -> 0.0
+    ).toDF("id", "text")
+    val out = df.select(col("id"), CorpusHygiene.duplicateLineFraction(col("text")).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(1L) == 0.5)
+    assert(out(2L) == 0.0)
+    assert(out(3L) == 0.0)
+  }
+
+  test("decontaminate drops exactly the docs sharing an n-gram with the eval set") {
+    val evalSet = Seq((100L, "the quick brown fox jumps over the lazy dog")).toDF("id", "text")
+    val corpus = Seq(
+      (1L, "prefix words then the quick brown fox jumps over the lazy dog and more"), // contaminated
+      (2L, "completely unrelated content about cooking pasta with tomato sauce here"),
+      (3L, "the quick brown cat naps beside the lazy dog every single day")           // shares < 8-gram
+    ).toDF("id", "text")
+    val bad = CorpusHygiene.contaminatedIds(corpus, "id", "text", evalSet, "text", n = 8)
+      .collect().map(_.getLong(0)).toSet
+    assert(bad == Set(1L))
+    val kept = CorpusHygiene.decontaminate(corpus, "id", "text", evalSet, "text", n = 8)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L))
+  }
+}
