@@ -555,6 +555,21 @@ object OracleSql {
         |        END, 6) AS dup_line_frac
         |FROM l ORDER BY doc_id""".stripMargin,
 
+    "q_top_ngram_frac" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |         UNNEST(list_transform(range(1, CAST(GREATEST(len(w) - 1, 0) AS BIGINT) + 1),
+        |                i -> w[i] || ' ' || w[i+1])) AS gram
+        |  FROM w),
+        |pg AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g GROUP BY doc_id, gram),
+        |pd AS (SELECT doc_id, CAST(MAX(cnt) AS DOUBLE) / SUM(cnt) AS f FROM pg GROUP BY doc_id)
+        |SELECT d.doc_id, ROUND(COALESCE(pd.f, 0.0), 6) AS top_ngram_frac
+        |FROM documents d LEFT JOIN pd USING (doc_id) ORDER BY doc_id""".stripMargin,
+
     "q_decontaminate" -> {
       def shingleSql(src: String, n: Int) = {
         val terms = (0 until n).map(j => s"w[i+$j]").mkString(" || ' ' || ")

@@ -971,6 +971,13 @@ object SparkEntry {
       )
       .orderBy("doc_id")
 
+  /** Gopher top-2-gram-fraction repetition signal per doc. */
+  private def qTopNgramFrac(s: SparkSession, dir: String): DataFrame =
+    graft.operators.CorpusHygiene
+      .topNgramFraction(t(s, dir, "documents"), "doc_id", "text", n = 2)
+      .select(col("id").as("doc_id"), round(col("top_ngram_frac"), 6).as("top_ngram_frac"))
+      .orderBy("doc_id")
+
   /** Eval-set decontamination: corpus docs sharing any word 8-gram with
     * the held-out set (docs 0-4) — the pre-training contamination sweep.
     */
@@ -1056,6 +1063,7 @@ object SparkEntry {
     "q_seq_pack" -> (qSeqPack _),
     "q_pii_scrub" -> (qPiiScrub _),
     "q_gopher_repetition" -> (qGopherRepetition _),
+    "q_top_ngram_frac" -> (qTopNgramFrac _),
     "q_decontaminate" -> (qDecontaminate _)
   )
 

@@ -52,6 +52,43 @@ object CorpusHygiene {
     )
   }
 
+  /** Fraction of the document's word `n`-gram occurrences taken by its
+    * single most frequent `n`-gram — the other Gopher repetition signal
+    * (`top_2gram_fraction` etc., Rae et al. 2021 table A1). Explode-shaped
+    * (per-doc gram histograms don't fit a scalar expression): one shuffle
+    * on (id, gram), then a max-share aggregate. Docs with fewer than `n`
+    * words score 0.0.
+    */
+  def topNgramFraction(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 2
+  ): DataFrame = {
+    val words = split(Dedup.normalized(col(textCol)), " ")
+    val grams = docs
+      .select(
+        col(idCol).as("id"),
+        explode(
+          filter(
+            transform(
+              sequence(lit(0), greatest(size(words) - n, lit(0))),
+              i => when(size(words) >= n, concat_ws(" ", slice(words, i + 1, lit(n))))
+            ),
+            g => g.isNotNull
+          )
+        ).as("gram")
+      )
+    val perGram = grams.groupBy("id", "gram").agg(count(lit(1)).as("cnt"))
+    val perDoc = perGram.groupBy("id")
+      .agg(max("cnt").as("top_cnt"), sum("cnt").as("total"))
+      .select(col("id"), (col("top_cnt").cast("double") / col("total")).as("top_ngram_frac"))
+    // docs shorter than n words emit no grams — restore them with 0.0
+    docs.select(col(idCol).as("id"))
+      .join(perDoc, Seq("id"), "left")
+      .withColumn("top_ngram_frac", coalesce(col("top_ngram_frac"), lit(0.0)))
+  }
+
   /** Documents whose word `n`-grams overlap an evaluation set — the
     * standard pre-training decontamination sweep (the published recipe:
     * drop training docs sharing any 13-gram with a benchmark). The join

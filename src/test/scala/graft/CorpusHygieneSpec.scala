@@ -37,6 +37,19 @@ class CorpusHygieneSpec extends AnyFunSuite {
     assert(out(3L) == 0.0)
   }
 
+  test("topNgramFraction: max bigram share; short docs score 0.0") {
+    val df = Seq(
+      (1L, "go go go go"),          // bigrams: "go go" x3 -> 3/3 = 1.0
+      (2L, "a b a b a"),            // "a b" x2, "b a" x2 -> 2/4 = 0.5
+      (3L, "single")                // < 2 words -> no grams -> 0.0
+    ).toDF("id", "text")
+    val out = CorpusHygiene.topNgramFraction(df, "id", "text", n = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(1L) == 1.0)
+    assert(out(2L) == 0.5)
+    assert(out(3L) == 0.0)
+  }
+
   test("decontaminate drops exactly the docs sharing an n-gram with the eval set") {
     val evalSet = Seq((100L, "the quick brown fox jumps over the lazy dog")).toDF("id", "text")
     val corpus = Seq(
