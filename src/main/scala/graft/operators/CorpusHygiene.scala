@@ -65,17 +65,22 @@ object CorpusHygiene {
       textCol: String,
       n: Int = 2
   ): DataFrame = {
-    val words = split(Dedup.normalized(col(textCol)), " ")
+    // words bound once (see Dedup.shingles note); occurrences kept — no
+    // distinct, the histogram needs every sliding position
     val grams = docs
       .select(
         col(idCol).as("id"),
         explode(
-          filter(
-            transform(
-              sequence(lit(0), greatest(size(words) - n, lit(0))),
-              i => when(size(words) >= n, concat_ws(" ", slice(words, i + 1, lit(n))))
-            ),
-            g => g.isNotNull
+          element_at(
+            transform(array(split(Dedup.normalized(col(textCol)), " ")), w =>
+              filter(
+                transform(
+                  sequence(lit(0), greatest(size(w) - n, lit(0))),
+                  i => when(size(w) >= n, concat_ws(" ", slice(w, i + 1, lit(n))))
+                ),
+                g => g.isNotNull
+              )),
+            1
           )
         ).as("gram")
       )
