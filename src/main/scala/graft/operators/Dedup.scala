@@ -75,20 +75,17 @@ object Dedup {
     * the 8-gram decontamination sweep at sf0.1).
     */
   def shingles(text: Column, k: Int = 3): Column =
-    element_at(
-      transform(array(split(normalized(text), " ")), w =>
-        // sliding window of k words joined by space; empty when < k words
-        array_distinct(
-          filter(
-            transform(
-              sequence(lit(0), greatest(size(w) - k, lit(0))),
-              i => when(size(w) >= k, concat_ws(" ", slice(w, i + 1, lit(k))))
-            ),
-            s => s.isNotNull
-          )
-        )),
-      1
-    )
+    TextFunctions.bindOnce(split(normalized(text), " "), w =>
+      // sliding window of k words joined by space; empty when < k words
+      array_distinct(
+        filter(
+          transform(
+            sequence(lit(0), greatest(size(w) - k, lit(0))),
+            i => when(size(w) >= k, concat_ws(" ", slice(w, i + 1, lit(k))))
+          ),
+          s => s.isNotNull
+        )
+      ))
 
   /** MinHash signature: for each of `numHashes` seeded hash functions, the
     * minimum hash over the shingle set. Uses Spark's 64-bit xxhash64 with

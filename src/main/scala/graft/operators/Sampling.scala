@@ -22,19 +22,19 @@ object Sampling {
     * mod 100.
     */
   def hashBucket(id: Column): Column =
-    // md5 is bound once via a single-element transform: this tree lands
-    // verbatim inside WHERE predicates, and FilterExec does no
-    // subexpression elimination — unbound, every scanned row would pay
-    // six md5 computations instead of one
-    element_at(
-      transform(array(md5(id.cast("string"))), h =>
+    // md5 bound once (TextFunctions.bindOnce): this tree lands verbatim
+    // inside WHERE predicates, and FilterExec does no subexpression
+    // elimination — unbound, every scanned row would pay six md5
+    // computations instead of one
+    graft.functions.TextFunctions.bindOnce(
+      md5(id.cast("string")),
+      h =>
         (1 to 6)
           .map { k =>
             val c = ascii(substring(h, k, 1))
             when(c >= 97, c - 87).otherwise(c - 48) * lit(1 << ((6 - k) * 4))
           }
-          .reduce(_ + _) % 100),
-      1
+          .reduce(_ + _) % 100
     )
 
   /** Keep rows of each stratum with probability `fractions(stratum)`

@@ -37,15 +37,8 @@ object TextAnalysis {
     }
   }
 
-  /** Bind `value` once as a lambda variable and apply `body` to it.
-    * Higher-order functions are interpreted (not codegen'd, so no common
-    * subexpression elimination): an expression tree that embeds the same
-    * expensive subtree k times really evaluates it k times per row. Routing
-    * the subtree through a single-element `transform` makes every reference
-    * in `body` a cheap bound-variable read.
-    */
   private def bindOnce(value: Column, body: Column => Column): Column =
-    element_at(transform(array(value), body), 1)
+    TextFunctions.bindOnce(value, body)
 
   /** Heuristic language ID over a text column -> 2-letter code or "und".
     *
