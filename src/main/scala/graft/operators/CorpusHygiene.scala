@@ -121,7 +121,11 @@ object CorpusHygiene {
   }
 
   /** Drop contaminated documents from the corpus (anti-join of
-    * [[contaminatedIds]]).
+    * [[contaminatedIds]]). The contaminated-id set is usually a small
+    * minority and broadcasts; for corpora where boilerplate n-grams
+    * (license headers, templates) contaminate a large fraction, pass
+    * `broadcastIds = false` to fall back to a shuffled anti-join on the
+    * uniform id key instead of collecting the set to the driver.
     */
   def decontaminate(
       corpus: DataFrame,
@@ -129,9 +133,11 @@ object CorpusHygiene {
       textCol: String,
       evalSet: DataFrame,
       evalTextCol: String,
-      n: Int = 13
+      n: Int = 13,
+      broadcastIds: Boolean = true
   ): DataFrame = {
     val bad = contaminatedIds(corpus, idCol, textCol, evalSet, evalTextCol, n)
-    corpus.join(broadcast(bad), corpus(idCol) === bad("id"), "left_anti")
+    val rhs = if (broadcastIds) broadcast(bad) else bad
+    corpus.join(rhs, corpus(idCol) === rhs("id"), "left_anti")
   }
 }

@@ -15,8 +15,10 @@ import graft.functions.TextFunctions
   *     postings table is written bucketed by term so query-time term lookups
   *     touch only matching buckets.
   *   - Corpus stats (N, avgdl) are two scalars; per-term document
-  *     frequencies for the *query's* terms only are joined — a broadcast of
-  *     a handful of rows, never a full-corpus shuffle.
+  *     frequencies are derived at QUERY time over the query's terms only
+  *     (a window count on the isin-filtered postings) — never a
+  *     full-corpus shuffle, and the index itself stays df-free so batch
+  *     extension is a pure append.
   *   - Query-side scoring is: semi-join postings on the query's terms
   *     (partition-pruned), per-(doc,term) BM25 term score, then a single
   *     `groupBy(doc)` sum — one narrow shuffle over candidate docs only.
@@ -31,7 +33,20 @@ object FtsIndex {
     * touching (or staleing) any existing row, which is what makes
     * incremental ingest O(batch) instead of O(corpus) — see [[append]].
     */
-  final case class Index(postings: DataFrame, numDocs: Long, avgDocLen: Double)
+  final case class Index(
+      postings: DataFrame,
+      numDocs: Long,
+      avgDocLen: Double,
+      // persisted fragments behind `postings` (append builds a union of
+      // persisted batches): invalidate must unpersist ALL of them, or a
+      // long-lived session leaks one block-manager entry per batch
+      retained: Seq[DataFrame] = Nil
+  ) {
+    private[operators] def unpersistAll(): Unit = {
+      postings.unpersist()
+      retained.foreach(_.unpersist())
+    }
+  }
 
   /** Build the index over `textCol` of `docs` keyed by `idCol`.
     * Equivalent of S7 `create_fts_index` (src/load/lancedb_store.py:104-112).
@@ -75,7 +90,12 @@ object FtsIndex {
     val avgdl =
       if (total == 0) 0.0
       else (index.avgDocLen * index.numDocs + batch.avgDocLen * batch.numDocs) / total
-    Index(index.postings.unionByName(batch.postings), total, avgdl)
+    Index(
+      index.postings.unionByName(batch.postings),
+      total,
+      avgdl,
+      retained = (index.retained :+ index.postings :+ batch.postings).distinct
+    )
   }
 
   /** Persist an index as a parquet postings table + stats sidecar — the
@@ -117,13 +137,21 @@ object FtsIndex {
   def buildCached(key: String, docs: => DataFrame, idCol: String, textCol: String): Index =
     cache.computeIfAbsent(key, _ => build(docs, idCol, textCol))
 
+  /** Incrementally extend the CACHED index under `key` (no-op None if the
+    * key isn't built yet — first search will build from the full table).
+    * The replaced entry's fragments stay persisted because the new index
+    * retains them; a later invalidate unpersists the whole chain.
+    */
+  def appendCached(key: String, newDocs: DataFrame, idCol: String, textCol: String): Option[Index] =
+    Option(cache.computeIfPresent(key, (_, idx) => append(idx, newDocs, idCol, textCol)))
+
   def invalidate(key: String): Unit = {
-    Option(cache.remove(key)).foreach(_.postings.unpersist())
+    Option(cache.remove(key)).foreach(_.unpersistAll())
   }
 
   /** Drop every cached index — the warehouse-flush companion. */
   def invalidateAll(): Unit = {
-    cache.values.forEach(idx => idx.postings.unpersist())
+    cache.values.forEach(_.unpersistAll())
     cache.clear()
   }
 

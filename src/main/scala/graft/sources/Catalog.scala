@@ -79,6 +79,10 @@ final class Catalog(spark: SparkSession, warehouseDir: String) {
       .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .format("parquet")
+      // external table rooted in THIS warehouse: the files live where
+      // flush() can see them, and two Catalogs with different
+      // warehouseDirs never collide on storage
+      .option("path", tablePath(name).toString)
       .saveAsTable(name)
   }
 
@@ -99,6 +103,13 @@ final class Catalog(spark: SparkSession, warehouseDir: String) {
     if (!dryRun) tables.foreach { p =>
       deleteRecursively(p)
       spark.catalog.refreshByPath(p.toString)
+      // a bucketed table of this warehouse shares its directory name:
+      // drop the catalog entry too, or spark.table(name) would keep
+      // resolving metadata for data that no longer exists
+      val name = p.getFileName.toString
+      val isPersistentTable = spark.catalog.tableExists(name) &&
+        Option(spark.catalog.getTable(name).tableType).exists(_ != "TEMPORARY")
+      if (isPersistentTable) spark.sql(s"DROP TABLE IF EXISTS `$name`")
     }
     tables.map(_.getFileName.toString).sorted
   }
