@@ -101,6 +101,18 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("decontamination broadcasts the eval grams; corpus text never crosses an exchange") {
+    val p = plan("q_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    // every Exchange in the plan carries grams/ids only — the corpus text
+    // column must stay on the scan side of the broadcast join
+    val exchangeOutputs = "(?s)\\(\\d+\\) Exchange\\s*\\nInput \\[\\d+\\]: \\[([^\\]]*)\\]".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(exchangeOutputs.nonEmpty)
+    exchangeOutputs.foreach(cols =>
+      assert(!cols.contains("text"), s"exchange must not carry text: $cols"))
+  }
+
   test("grouped top-k aggregate itself never sorts") {
     import spark.implicits._
     // no presentation orderBy here: the guard is about the AGGREGATE
