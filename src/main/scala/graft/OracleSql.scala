@@ -555,6 +555,17 @@ object OracleSql {
         |        END, 6) AS dup_line_frac
         |FROM l ORDER BY doc_id""".stripMargin,
 
+    "q_chunk_fixed" ->
+      // mirrors qChunkFixed: size 256, overlap 32, stride 224
+      """WITH e AS (
+        |  SELECT doc_id, text,
+        |         UNNEST(range(0, CAST(FLOOR(CAST(GREATEST(length(text) - 1, 0) AS DOUBLE) / 224) AS BIGINT) + 1)) AS i
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT doc_id, i AS chunk_index,
+        |       CAST(length(substr(text, CAST(i * 224 + 1 AS INT), 256)) AS BIGINT) AS chunk_len,
+        |       md5(substr(text, CAST(i * 224 + 1 AS INT), 256)) AS chunk_hash
+        |FROM e ORDER BY doc_id, chunk_index""".stripMargin,
+
     "q_top_ngram_frac" ->
       """WITH w AS (
         |  SELECT doc_id,

@@ -971,6 +971,33 @@ object SparkEntry {
       )
       .orderBy("doc_id")
 
+  /** Fixed-window character chunking with overlap — the SQL-expressible
+    * member of the chunker family (U4/U5's recursive splitter keeps its
+    * golden specs; this one is exactly oracle-checked): stride
+    * size-overlap, chunk i = substr(text, 1 + i*stride, size).
+    */
+  private def qChunkFixed(s: SparkSession, dir: String): DataFrame = {
+    val size = 256; val overlap = 32; val stride = size - overlap
+    val chunks = graft.functions.TextFunctions.bindOnce(
+      col("text"),
+      t =>
+        transform(
+          sequence(lit(0), floor((greatest(length(t) - 1, lit(0))).cast("double") / stride).cast("long")),
+          i => substring(t, (i * stride + 1).cast("int"), lit(size))
+        )
+    )
+    t(s, dir, "documents")
+      .where(col("text").isNotNull)
+      .select(col("doc_id"), posexplode(chunks).as(Seq("chunk_index", "chunk")))
+      .select(
+        col("doc_id"),
+        col("chunk_index").cast("long").as("chunk_index"),
+        length(col("chunk")).cast("long").as("chunk_len"),
+        md5(col("chunk")).as("chunk_hash")
+      )
+      .orderBy("doc_id", "chunk_index")
+  }
+
   /** Gopher top-2-gram-fraction repetition signal per doc. */
   private def qTopNgramFrac(s: SparkSession, dir: String): DataFrame =
     graft.operators.CorpusHygiene
@@ -1064,7 +1091,8 @@ object SparkEntry {
     "q_pii_scrub" -> (qPiiScrub _),
     "q_gopher_repetition" -> (qGopherRepetition _),
     "q_top_ngram_frac" -> (qTopNgramFrac _),
-    "q_decontaminate" -> (qDecontaminate _)
+    "q_decontaminate" -> (qDecontaminate _),
+    "q_chunk_fixed" -> (qChunkFixed _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
