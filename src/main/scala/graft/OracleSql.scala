@@ -555,6 +555,35 @@ object OracleSql {
         |        END, 6) AS dup_line_frac
         |FROM l ORDER BY doc_id""".stripMargin,
 
+    "q_embed_portable" -> {
+      // mirrors qEmbedPortable: unigrams + '_'-joined bigrams, md5 bucket
+      // (first 6 nibbles % 16) and sign (nibble 7 >= 8 -> -1)
+      def nib(k: Int) = {
+        val c = s"ascii(substr(h, $k, 1))"
+        s"(CASE WHEN $c >= 97 THEN $c - 87 ELSE $c - 48 END)"
+      }
+      val bucket = (1 to 6).map(k => s"${nib(k)} * ${1 << ((6 - k) * 4)}").mkString("(", " + ", ") % 16")
+      val sums = (0 until 16)
+        .map(b => s"SUM(CASE WHEN bucket = $b THEN sgn ELSE 0 END) AS v$b")
+        .mkString(", ")
+      val vec = (0 until 16).map(b => s"CAST(v$b AS VARCHAR)").mkString(" || ',' || ")
+      s"""WITH w AS (
+         |  SELECT doc_id, $ftsToks AS w FROM documents WHERE doc_id < 250),
+         |toks AS (
+         |  SELECT doc_id, UNNEST(
+         |    list_concat(w,
+         |      list_filter(list_transform(range(1, CAST(GREATEST(len(w) - 1, 1) AS BIGINT) + 1),
+         |        i -> CASE WHEN len(w) >= 2 AND i < len(w) THEN w[i] || '_' || w[i+1] END),
+         |        x -> x IS NOT NULL))) AS tok
+         |  FROM w),
+         |hashed AS (
+         |  SELECT doc_id, $bucket AS bucket,
+         |         CASE WHEN ${nib(7)} >= 8 THEN -1 ELSE 1 END AS sgn
+         |  FROM (SELECT doc_id, md5(tok) AS h FROM toks)),
+         |sums AS (SELECT doc_id, $sums FROM hashed GROUP BY doc_id)
+         |SELECT doc_id, $vec AS vec FROM sums ORDER BY doc_id""".stripMargin
+    },
+
     "q_chunk_fixed" ->
       // mirrors qChunkFixed: size 256, overlap 32, stride 224
       """WITH e AS (

@@ -971,6 +971,56 @@ object SparkEntry {
       )
       .orderBy("doc_id")
 
+  /** Portable integer hashing-trick vectorizer — oracle-checks the
+    * EMBEDDER family's core semantics (tokenize -> bucket by hash -> ±1
+    * sign accumulation) with md5-derived buckets both engines compute
+    * identically. The production HashingEmbedder keeps its own specs (its
+    * xxhash+float-normalize path isn't SQL-portable); q_embed_chunks
+    * stays rows-only for that exact path.
+    */
+  private def qEmbedPortable(s: SparkSession, dir: String): DataFrame = {
+    val dim = 16
+    val toks = t(s, dir, "documents")
+      .where(col("doc_id") < 250)
+      .select(
+        col("doc_id"),
+        graft.functions.TextFunctions.bindOnce(
+          TextFunctions.ftsTokens(col("text")),
+          w =>
+            concat(
+              w,
+              filter(
+                // greatest(.., 1) not 0: sequence(1, 0) would generate a
+                // DESCENDING [1, 0] and hit element_at(w, 0)
+                transform(sequence(lit(1), greatest(size(w) - 1, lit(1))),
+                  i => when(size(w) >= 2, concat_ws("_", element_at(w, i), element_at(w, (i + 1).cast("int"))))),
+                x => x.isNotNull
+              )
+            )
+        ).as("toks")
+      )
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .withColumn("h", md5(col("tok")))
+    // bucket = first-6-nibble value % dim; sign from nibble 7 (>= 8 -> -1)
+    def nib(k: Int) = {
+      val c = ascii(substring(col("h"), k, 1))
+      when(c >= 97, c - 87).otherwise(c - 48)
+    }
+    val hashed = toks
+      .withColumn("bucket", (1 to 6).map(k => nib(k) * lit(1 << ((6 - k) * 4))).reduce(_ + _) % dim)
+      .withColumn("sgn", when(nib(7) >= 8, -1).otherwise(1))
+    val sums = (0 until dim).map(b =>
+      sum(when(col("bucket") === b, col("sgn")).otherwise(0)).as(s"v$b"))
+    hashed
+      .groupBy("doc_id")
+      .agg(sums.head, sums.tail: _*)
+      .select(
+        col("doc_id"),
+        concat_ws(",", (0 until dim).map(b => col(s"v$b").cast("string")): _*).as("vec")
+      )
+      .orderBy("doc_id")
+  }
+
   /** Fixed-window character chunking with overlap — the SQL-expressible
     * member of the chunker family (U4/U5's recursive splitter keeps its
     * golden specs; this one is exactly oracle-checked): stride
@@ -1092,7 +1142,8 @@ object SparkEntry {
     "q_gopher_repetition" -> (qGopherRepetition _),
     "q_top_ngram_frac" -> (qTopNgramFrac _),
     "q_decontaminate" -> (qDecontaminate _),
-    "q_chunk_fixed" -> (qChunkFixed _)
+    "q_chunk_fixed" -> (qChunkFixed _),
+    "q_embed_portable" -> (qEmbedPortable _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
