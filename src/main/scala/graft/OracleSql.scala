@@ -714,6 +714,46 @@ object OracleSql {
          |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
          |WHERE ($hamming) <= 12
          |ORDER BY id_a, id_b""".stripMargin
+    },
+
+    "q_dedup_clusters" -> {
+      // transitive closure of the same portable simhash pair set:
+      // recursive reachability, cluster = MIN reachable id — the SQL twin
+      // of Spark's min-label propagation
+      def digit(k: Int) = s"(strpos('0123456789abcdef', substr(h, $k, 1)) - 1)"
+      val bitSums = (0 until 64).map { b =>
+        val bit = s"((${digit(b / 4 + 1)} // ${1 << (b % 4)}) % 2)"
+        s"SUM(CASE WHEN $bit = 1 THEN 1 ELSE -1 END) AS b$b"
+      }.mkString(", ")
+      val hexDigits = (0 until 16).map { nib =>
+        val v = (0 until 4)
+          .map(j => s"(CASE WHEN b${nib * 4 + j} > 0 THEN ${1 << j} ELSE 0 END)")
+          .mkString(" + ")
+        s"substr('0123456789abcdef', ($v) + 1, 1)"
+      }.mkString(" || ")
+      def nibVal(side: String, k: Int) =
+        s"(strpos('0123456789abcdef', substr($side.sig, $k, 1)) - 1)"
+      val hamming = (1 to 16)
+        .map(k => s"bit_count(xor(${nibVal("a", k)}, ${nibVal("b", k)}))")
+        .mkString(" + ")
+      s"""WITH RECURSIVE toks AS (
+         |  SELECT doc_id, md5(tok) AS h
+         |  FROM (SELECT doc_id, UNNEST($ftsToks) AS tok
+         |        FROM documents WHERE doc_id < 250)),
+         |sums AS (SELECT doc_id, $bitSums FROM toks GROUP BY doc_id),
+         |sig AS (SELECT doc_id, $hexDigits AS sig FROM sums),
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |  WHERE ($hamming) <= 12),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents WHERE doc_id < 250
+         |  UNION
+         |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src)
+         |SELECT id AS doc_id, MIN(r) AS cluster
+         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
     }
   )
 }

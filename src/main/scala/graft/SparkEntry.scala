@@ -546,7 +546,13 @@ object SparkEntry {
     * therefore EQUALS brute force and is exactly oracle-checkable. The
     * xxhash64 production path ([[Dedup.simhashPairs]]) keeps its own spec.
     */
-  private def qSimhashPairs(s: SparkSession, dir: String): DataFrame = {
+  private def qSimhashPairs(s: SparkSession, dir: String): DataFrame =
+    portableSimhashPairs(s, dir).orderBy("id_a", "id_b")
+
+  /** Banded portable simhash pairs (shared by q_simhash_pairs and the
+    * q_dedup_clusters edge set).
+    */
+  private def portableSimhashPairs(s: SparkSession, dir: String): DataFrame = {
     val maxHamming = 12
     val sigs = portableSimhashHex(s, dir).select(col("doc_id").as("id"), col("simhash_hex").as("sig"))
     // 13 bands over 16 nibbles: 3 bands of 2 nibbles + 10 of 1 (>= maxHamming+1)
@@ -568,8 +574,21 @@ object SparkEntry {
       .withColumn("hamming", expr(hammingExpr).cast("long"))
       .where(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
-      .orderBy("id_a", "id_b")
   }
+
+  /** Connected-components dedup clustering: transitive closure of the
+    * portable near-dup pairs, every doc labeled with its cluster's min id
+    * (min-label propagation; oracle: recursive-CTE reachability closure).
+    */
+  private def qDedupClusters(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup
+      .nearDupClusters(
+        t(s, dir, "documents").where(col("doc_id") < 250),
+        "doc_id",
+        portableSimhashPairs(s, dir)
+      )
+      .select(col("id").as("doc_id"), col("cluster"))
+      .orderBy("doc_id")
 
   /** Rolling-hash document fingerprint — portable md5 variant, exactly
     * oracle-checked (the xxhash64 fast path keeps its spec coverage).
@@ -1143,7 +1162,8 @@ object SparkEntry {
     "q_top_ngram_frac" -> (qTopNgramFrac _),
     "q_decontaminate" -> (qDecontaminate _),
     "q_chunk_fixed" -> (qChunkFixed _),
-    "q_embed_portable" -> (qEmbedPortable _)
+    "q_embed_portable" -> (qEmbedPortable _),
+    "q_dedup_clusters" -> (qDedupClusters _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

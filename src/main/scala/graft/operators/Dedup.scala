@@ -230,6 +230,60 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
   }
 
+  /** Connected components over a near-dup pair set: every document gets
+    * the MIN id of its transitive near-dup cluster — the step that turns
+    * pairwise dedup output into canonical groups (keep one per cluster,
+    * attribute all members to it).
+    *
+    * Min-label propagation: each iteration every node takes the min of
+    * its own label and its neighbors' labels; converges in O(cluster
+    * diameter) rounds (near-dup clusters are shallow). Scale shape: the
+    * only shuffles are id-keyed joins/aggregates carrying (id, label)
+    * pairs; labels are localCheckpointed per round so iteration does not
+    * grow lineage. Deterministic output regardless of partitioning.
+    */
+  def nearDupClusters(
+      nodes: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      idACol: String = "id_a",
+      idBCol: String = "id_b",
+      maxIterations: Int = 50
+  ): DataFrame = {
+    val edges = pairs
+      .select(col(idACol).as("src"), col(idBCol).as("dst"))
+      .unionByName(pairs.select(col(idBCol).as("src"), col(idACol).as("dst")))
+      .localCheckpoint()
+    var labels = nodes
+      .select(col(idCol).as("id"))
+      .distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIterations) {
+      val nbrMin = edges
+        .join(labels, edges("src") === labels("id"))
+        .groupBy(col("dst"))
+        .agg(min("label").as("nbr_label"))
+      val updated = labels
+        .join(nbrMin, labels("id") === nbrMin("dst"), "left")
+        .select(
+          labels("id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label")
+        )
+        .localCheckpoint()
+      val changed = updated
+        .join(labels.withColumnRenamed("label", "old_label"), "id")
+        .where(col("label") < col("old_label"))
+        .count()
+      labels = updated
+      converged = changed == 0
+      iter += 1
+    }
+    labels.withColumnRenamed("label", "cluster")
+  }
+
   /** Word n-gram Jaccard similarity for all pairs above `threshold`,
     * blocked by shared n-grams (a pair is compared only if it shares at
     * least one n-gram — which any pair above a positive threshold must).

@@ -85,6 +85,28 @@ class DedupSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Dedup.simhashPairs(corpus, "doc_id", "text", 64))
   }
 
+  test("nearDupClusters: transitive closure to min-id labels; singletons self-labeled") {
+    // chain 1-2-3 (transitively one cluster even though (1,3) is no pair),
+    // pair 10-11, singleton 20
+    val nodes = Seq(1L, 2L, 3L, 10L, 11L, 20L).toDF("id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val out = Dedup.nearDupClusters(nodes, "id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L, 20L -> 20L))
+
+    // determinism under different partitioning
+    val again = Dedup.nearDupClusters(nodes.repartition(5), "id", pairs.repartition(3))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == out)
+
+    // a longer chain exercises multiple propagation rounds
+    val chain = (1L to 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val chainNodes = (1L to 41L).toDF("id")
+    val labels = Dedup.nearDupClusters(chainNodes, "id", chain)
+      .collect().map(_.getLong(1)).distinct
+    assert(labels.toSeq == Seq(1L), "41-node chain collapses to one cluster")
+  }
+
   test("ngram jaccard: dup pair scores 1.0, near pair high, disjoint absent") {
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.3)
       .collect()
