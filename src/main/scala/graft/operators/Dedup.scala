@@ -266,18 +266,19 @@ object Dedup {
         .join(labels, edges("src") === labels("id"))
         .groupBy(col("dst"))
         .agg(min("label").as("nbr_label"))
+      // old label rides along through the ONE checkpoint action, so the
+      // convergence check is a cheap filter-count on checkpointed data
+      // instead of a second join per round
       val updated = labels
         .join(nbrMin, labels("id") === nbrMin("dst"), "left")
         .select(
           labels("id"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label")
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
+          labels("label").as("old_label")
         )
         .localCheckpoint()
-      val changed = updated
-        .join(labels.withColumnRenamed("label", "old_label"), "id")
-        .where(col("label") < col("old_label"))
-        .count()
-      labels = updated
+      val changed = updated.where(col("label") < col("old_label")).count()
+      labels = updated.select("id", "label")
       converged = changed == 0
       iter += 1
     }
