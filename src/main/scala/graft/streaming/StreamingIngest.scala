@@ -6,7 +6,7 @@ import org.apache.spark.sql.streaming.Trigger
 
 import graft.GraftConfig
 import graft.functions.TextFunctions
-import graft.operators.{Chunker, Embedder}
+import graft.operators.{Chunker, Embedder, FtsIndex}
 import graft.sources.Catalog
 
 /** Structured-Streaming lift of the reference's incremental batch
@@ -104,6 +104,18 @@ final class StreamingIngest(spark: SparkSession, config: GraftConfig = GraftConf
       "documents_stream"
     )
     catalog.append(chunks, "chunks_stream")
+    // Incremental FTS maintenance: if a live index exists for the stream
+    // corpus, extend it with THIS batch's chunks (O(batch) append — the
+    // point of the df-free postings design) instead of letting the next
+    // search rebuild from the whole table. No-op before the first search
+    // builds the index.
+    FtsIndex.appendCached(ftsKey, chunks, "id", "text")
     graft.util.JsonLog.info("stream_batch_ingested", "batch_id" -> batchId)
   }
+
+  /** FTS cache key of the streaming corpus — searches over the stream
+    * table should build through this key to benefit from the incremental
+    * per-batch maintenance above.
+    */
+  def ftsKey: String = s"${config.warehouseDir}/chunks_stream"
 }

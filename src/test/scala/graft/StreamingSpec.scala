@@ -39,4 +39,32 @@ class StreamingSpec extends AnyFunSuite {
     q3.awaitTermination()
     assert(cat.read("documents_stream").count() == 3, "duplicate content must not re-ingest")
   }
+
+  test("streaming batches extend a live FTS index incrementally (no rebuild)") {
+    import graft.operators.FtsIndex
+    val base = Files.createTempDirectory("graft-stream-fts").toString
+    val in = s"$base/in"; val wh = s"$base/wh"; val ckpt = s"$base/ckpt"
+    Files.createDirectories(Paths.get(in))
+    Files.write(Paths.get(in, "a.md"), "# A\n\ncatalyst optimizes logical plans before execution.".getBytes)
+
+    val cfg = GraftConfig(warehouseDir = wh)
+    val ingest = new StreamingIngest(spark, cfg)
+    ingest.start(in, ckpt).awaitTermination()
+
+    // first search builds the cached index over batch-1 chunks
+    val cat = new Catalog(spark, wh)
+    val idx1 = FtsIndex.buildCached(ingest.ftsKey, cat.read("chunks_stream"), "id", "text")
+    assert(FtsIndex.search(spark, idx1, "catalyst plans", 5).count() > 0)
+
+    // batch 2 must extend the LIVE index (appendCached), so a search via
+    // the same cache key sees the new doc without any invalidate/rebuild
+    Files.write(Paths.get(in, "b.md"), "# B\n\ntungsten generates compact bytecode for expressions.".getBytes)
+    ingest.start(in, ckpt).awaitTermination()
+    val idx2 = FtsIndex.buildCached(ingest.ftsKey, cat.read("chunks_stream"), "id", "text")
+    assert(idx2.numDocs == idx1.numDocs + 1, "cached index extended in place")
+    assert(idx2.retained.nonEmpty, "extension happened via append, not rebuild")
+    assert(FtsIndex.search(spark, idx2, "tungsten bytecode", 5).count() > 0)
+
+    FtsIndex.invalidate(ingest.ftsKey)
+  }
 }
