@@ -639,7 +639,7 @@ object OracleSql {
          |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tok AS start_offset
          |  FROM d)
          |SELECT source, CAST(FLOOR(CAST(start_offset AS DOUBLE) / 2048) AS BIGINT) AS seq_index,
-         |       COUNT(*) AS n_docs, SUM(tok) AS seq_tokens
+         |       COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS seq_tokens
          |FROM o GROUP BY source, seq_index ORDER BY source, seq_index""".stripMargin,
 
     "q_stratified_sample" -> {

@@ -70,6 +70,18 @@ for name in sorted(oracle):
         print(f"FAIL {name}: rows spark={len(s)} duck={len(d)}")
         n_fail += 1
         continue
+    # the driver's comparator hashes values as-typed: an int64 Spark column
+    # vs a float64 DuckDB column (e.g. uncast SUM -> HUGEINT -> float64)
+    # hash-mismatches even when values are numerically equal. Mirror that.
+    kind_bad = [
+        (c, s[c].dtype.kind, d[c].dtype.kind)
+        for c in s.columns
+        if {s[c].dtype.kind, d[c].dtype.kind} == {"i", "f"}
+    ]
+    if kind_bad:
+        print(f"FAIL {name}: dtype kind mismatch (int vs float) {kind_bad}")
+        n_fail += 1
+        continue
     bad = []
     for c in s.columns:
         sv, dv = s[c].tolist(), d[c].tolist()
