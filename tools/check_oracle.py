@@ -17,6 +17,12 @@ for t in TABLES:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+# dev loop: Verify may have dumped a subset — only check queries that have
+# spark output present (the driver always dumps the full inventory)
+present = {n for n in oracle if glob.glob(os.path.join(outdir, n, "*.parquet"))}
+if present and len(present) < len(oracle):
+    print(f"[subset] checking {len(present)}/{len(oracle)} queries with spark output")
+    oracle = {n: oracle[n] for n in present}
 
 
 def norm(df):
