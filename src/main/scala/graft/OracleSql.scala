@@ -754,6 +754,66 @@ object OracleSql {
          |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src)
          |SELECT id AS doc_id, MIN(r) AS cluster
          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
-    }
+    },
+
+    "q_range_join" ->
+      """WITH bands(lo, hi, band) AS (VALUES
+        |  (900.0, 925.0, 'b1_low'), (925.0, 950.0, 'b2_midlow'),
+        |  (950.0, 975.0, 'b3_midhigh'), (975.0, 1000.0, 'b4_high'))
+        |SELECT band, COUNT(*) AS n_parts,
+        |       CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice < hi
+        |GROUP BY band ORDER BY band""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT l_returnflag,
+        |  COUNT(*) FILTER (WHERE l_linestatus = 'F') AS cnt_f,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS qty_f,
+        |  COUNT(*) FILTER (WHERE l_linestatus = 'O') AS cnt_o,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (WHERE l_linestatus = 'O') AS DOUBLE) AS qty_o
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_cube" ->
+      """SELECT COALESCE(l_returnflag, '(all)') AS returnflag,
+        |       COALESCE(l_linestatus, '(all)') AS linestatus,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin,
+
+    "q_lag_delta" ->
+      """SELECT o_custkey, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2))
+        |       - LAG(CAST(o_totalprice AS DECIMAL(18,2)), 1) OVER w AS DOUBLE) AS delta_prev,
+        |  CAST(LEAD(CAST(o_totalprice AS DECIMAL(18,2)), 1) OVER w
+        |       - CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS delta_next
+        |FROM orders WHERE o_custkey < 300
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_kmv_distinct" -> {
+      // mirrors Sketches.md5Hash32: first 8 md5 nibbles as a 32-bit int
+      val hash32 = (1 to 8)
+        .map { k =>
+          val c = s"ascii(substr(md5(CAST(l_partkey AS VARCHAR)), $k, 1))"
+          s"(CASE WHEN $c >= 97 THEN $c - 87 ELSE $c - 48 END) * CAST(${1L << ((8 - k) * 4)} AS BIGINT)"
+        }
+        .mkString("(", " + ", ")")
+      s"""WITH h AS (SELECT DISTINCT $hash32 AS h
+         |           FROM lineitem WHERE l_partkey IS NOT NULL),
+         |k AS (SELECT h FROM h ORDER BY h LIMIT 64)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS k_used,
+         |       CAST(MAX(h) AS BIGINT) AS kth_hash,
+         |       CASE WHEN COUNT(*) < 64 THEN CAST(COUNT(*) AS DOUBLE)
+         |            ELSE 63.0 * 4294967296.0 / MAX(h) END AS kmv_estimate
+         |FROM k""".stripMargin
+    },
+
+    "q_skew_agg" ->
+      """SELECT l_returnflag,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS value_sum,
+        |       COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   )
 }

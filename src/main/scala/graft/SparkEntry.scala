@@ -1093,6 +1093,94 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"))
       .orderBy("split")
 
+  /** Grid-blocked range join (SURVEY §2.3 extension): parts matched to
+    * [lo, hi) price bands via [[RangeJoin.bandJoin]] — intervals exploded
+    * to coarse cells, equi-join on the cell key + residual filter, no
+    * nested loop. Scales to interval tables beyond broadcast size.
+    */
+  private def qRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bands = Seq(
+      (900.0, 925.0, "b1_low"),
+      (925.0, 950.0, "b2_midlow"),
+      (950.0, 975.0, "b3_midhigh"),
+      (975.0, 1000.0, "b4_high")
+    ).toDF("lo", "hi", "band")
+    RangeJoin
+      .bandJoin(t(s, dir, "part"), "p_retailprice", bands, "lo", "hi", cellWidth = 25.0)
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_parts"), dsum(col("p_retailprice")).as("sum_price"))
+      .orderBy("band")
+  }
+
+  /** Pivot (wide aggregation): per returnflag, count + quantity sum
+    * pivoted by linestatus — Spark's `pivot` operator with explicit
+    * values (no extra value-discovery job, scale-safe).
+    */
+  private def qPivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(count(lit(1)).as("cnt"), dsum(col("l_quantity")).as("qty"))
+      .select(
+        col("l_returnflag"),
+        coalesce(col("F_cnt"), lit(0L)).as("cnt_f"),
+        col("F_qty").as("qty_f"),
+        coalesce(col("O_cnt"), lit(0L)).as("cnt_o"),
+        col("O_qty").as("qty_o")
+      )
+      .orderBy("l_returnflag")
+
+  /** CUBE over (returnflag, linestatus): all 2^2 grouping sets in one
+    * pass (Spark expands the sets into a single shuffle). Rolled-up keys
+    * surface as '(all)' so ordering is engine-independent.
+    */
+  private def qCube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("sum_price"))
+      .select(
+        coalesce(col("l_returnflag"), lit("(all)")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("(all)")).as("linestatus"),
+        col("n"),
+        col("sum_price")
+      )
+      .orderBy("returnflag", "linestatus")
+
+  /** lag/lead deltas: per-customer order-price change vs previous and
+    * next order (event-time diff pattern; decimal-exact subtraction).
+    */
+  private def qLagDelta(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    val price = col("o_totalprice").cast("decimal(18,2)")
+    t(s, dir, "orders")
+      .where(col("o_custkey") < 300)
+      .select(
+        col("o_custkey"),
+        col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        (price - lag(price, 1).over(w)).cast("double").as("delta_prev"),
+        (lead(price, 1).over(w) - price).cast("double").as("delta_next")
+      )
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** KMV distinct-count sketch over lineitem part keys — fixed-size
+    * (k longs) cardinality estimate, exactly oracle-checkable because the
+    * whole sketch is portable md5 column algebra ([[Sketches]]).
+    */
+  private def qKmvDistinct(s: SparkSession, dir: String): DataFrame =
+    Sketches.kmvDistinct(t(s, dir, "lineitem"), "l_partkey", k = 64)
+
+  /** Salted hot-key aggregation: two-phase sum/count via
+    * [[Skew.saltedSumCount]] — decimal-exact, so the result is
+    * bit-identical to the direct groupBy the oracle runs.
+    */
+  private def qSkewAgg(s: SparkSession, dir: String): DataFrame =
+    Skew
+      .saltedSumCount(t(s, dir, "lineitem"), Seq("l_returnflag"), col("l_extendedprice"), salt = 16)
+      .orderBy("l_returnflag")
+
   // =====================================================================
   // Contract maps
   // =====================================================================
@@ -1163,7 +1251,13 @@ object SparkEntry {
     "q_decontaminate" -> (qDecontaminate _),
     "q_chunk_fixed" -> (qChunkFixed _),
     "q_embed_portable" -> (qEmbedPortable _),
-    "q_dedup_clusters" -> (qDedupClusters _)
+    "q_dedup_clusters" -> (qDedupClusters _),
+    "q_range_join" -> (qRangeJoin _),
+    "q_pivot" -> (qPivot _),
+    "q_cube" -> (qCube _),
+    "q_lag_delta" -> (qLagDelta _),
+    "q_kmv_distinct" -> (qKmvDistinct _),
+    "q_skew_agg" -> (qSkewAgg _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

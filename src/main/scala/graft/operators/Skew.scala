@@ -47,4 +47,33 @@ object Skew {
       .agg(count(lit(1)).as("_partial"))
       .groupBy(col(key))
       .agg(sum("_partial").as("n"))
+
+  /** Salted sum+count: the general hot-key aggregation. Phase 1 spreads
+    * each group over `salt` reducers (partial sum/count per (keys, salt)),
+    * phase 2 combines the <= salt partials per key — so the heaviest key
+    * costs 1/salt of a reducer instead of one whole reducer. The value is
+    * summed as decimal(28,4): decimal addition is exact and associative,
+    * so the result is bit-identical to the unsalted `groupBy(keys).agg`
+    * regardless of how rows land in salt buckets.
+    */
+  def saltedSumCount(
+      df: DataFrame,
+      keys: Seq[String],
+      value: Column,
+      salt: Int = 16
+  ): DataFrame = {
+    require(salt >= 2, s"salt must be >= 2, got $salt")
+    val keyCols = keys.map(col)
+    df.withColumn("_salt", pmod(hash(monotonically_increasing_id()), lit(salt)))
+      .groupBy(keyCols :+ col("_salt"): _*)
+      .agg(
+        sum(value.cast("decimal(28,4)")).as("_psum"),
+        count(lit(1)).as("_pcnt")
+      )
+      .groupBy(keyCols: _*)
+      .agg(
+        sum("_psum").cast("double").as("value_sum"),
+        sum("_pcnt").as("n")
+      )
+  }
 }

@@ -69,4 +69,17 @@ class SqlSurfaceSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(plain == salted)
   }
+
+  test("salted sum+count is bit-identical to the direct groupBy") {
+    // one pathologically hot key, fractional values (decimal exactness)
+    val df = (1 to 2000).map(i => (if (i % 10 == 0) "cold" + (i % 5) else "hot", i / 7.0))
+      .toDF("k", "v")
+    val direct = df.groupBy("k")
+      .agg(sum(col("v").cast("decimal(28,4)")).cast("double").as("value_sum"),
+        count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    val salted = Skew.saltedSumCount(df, Seq("k"), col("v"), salt = 16)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(direct == salted)
+  }
 }
