@@ -109,6 +109,25 @@ object OracleSql {
       |               (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS score
       |  FROM embeddings ORDER BY score DESC, vec_id LIMIT 20)""".stripMargin
 
+  /** Shared by q_decontaminate and q_decontaminate_bloom (the bloom
+    * prefilter is exactness-preserving, so both paths answer to the same
+    * oracle).
+    */
+  private val decontaminateSql: String = {
+    def shingleSql(src: String, n: Int) = {
+      val terms = (0 until n).map(j => s"w[i+$j]").mkString(" || ' ' || ")
+      s"""SELECT doc_id, UNNEST(list_distinct(list_transform(
+         |         range(1, CAST(GREATEST(len(w) - ${n - 1}, 0) AS BIGINT) + 1),
+         |         i -> $terms))) AS gram
+         |  FROM (SELECT doc_id,
+         |          string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+         |        FROM $src)""".stripMargin
+    }
+    s"""WITH cg AS (${shingleSql("documents", 8)}),
+       |eg AS (SELECT DISTINCT gram FROM (${shingleSql("(SELECT * FROM documents WHERE doc_id < 5)", 8)}))
+       |SELECT DISTINCT cg.doc_id FROM cg JOIN eg USING (gram) ORDER BY doc_id""".stripMargin
+  }
+
   val all: Map[String, String] = Map(
     "q_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -610,20 +629,12 @@ object OracleSql {
         |SELECT d.doc_id, ROUND(COALESCE(pd.f, 0.0), 6) AS top_ngram_frac
         |FROM documents d LEFT JOIN pd USING (doc_id) ORDER BY doc_id""".stripMargin,
 
-    "q_decontaminate" -> {
-      def shingleSql(src: String, n: Int) = {
-        val terms = (0 until n).map(j => s"w[i+$j]").mkString(" || ' ' || ")
-        s"""SELECT doc_id, UNNEST(list_distinct(list_transform(
-           |         range(1, CAST(GREATEST(len(w) - ${n - 1}, 0) AS BIGINT) + 1),
-           |         i -> $terms))) AS gram
-           |  FROM (SELECT doc_id,
-           |          string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
-           |        FROM $src)""".stripMargin
-      }
-      s"""WITH cg AS (${shingleSql("documents", 8)}),
-         |eg AS (SELECT DISTINCT gram FROM (${shingleSql("(SELECT * FROM documents WHERE doc_id < 5)", 8)}))
-         |SELECT DISTINCT cg.doc_id FROM cg JOIN eg USING (gram) ORDER BY doc_id""".stripMargin
-    },
+    "q_decontaminate" -> decontaminateSql,
+
+    // the bloom prefilter is exactness-preserving by construction (confirm
+    // join erases false positives; blooms have no false negatives), so the
+    // scale path shares the exact path's oracle verbatim
+    "q_decontaminate_bloom" -> decontaminateSql,
 
     "q_seq_pack" ->
       // concat-then-chunk: seq_index = floor(start_offset / 2048) where

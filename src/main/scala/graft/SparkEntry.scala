@@ -1085,6 +1085,18 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Bloom-prefiltered decontamination (the big-eval-set scale path):
+    * same contract and same oracle as q_decontaminate — the Bloom
+    * prefilter + exact confirm join must change nothing but the plan.
+    */
+  private def qDecontaminateBloom(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    graft.operators.CorpusHygiene
+      .contaminatedIdsBloom(docs, "doc_id", "text", docs.where(col("doc_id") < 5), "text", n = 8)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
   /** Deterministic train/val/test split histogram (80/10/10 by id hash). */
   private def qTrainSplit(s: SparkSession, dir: String): DataFrame =
     graft.operators.Sampling
@@ -1257,7 +1269,8 @@ object SparkEntry {
     "q_cube" -> (qCube _),
     "q_lag_delta" -> (qLagDelta _),
     "q_kmv_distinct" -> (qKmvDistinct _),
-    "q_skew_agg" -> (qSkewAgg _)
+    "q_skew_agg" -> (qSkewAgg _),
+    "q_decontaminate_bloom" -> (qDecontaminateBloom _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

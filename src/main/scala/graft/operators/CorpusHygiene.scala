@@ -140,4 +140,39 @@ object CorpusHygiene {
     val rhs = if (broadcastIds) broadcast(bad) else bad
     corpus.join(rhs, corpus(idCol) === rhs("id"), "left_anti")
   }
+
+  /** [[contaminatedIds]] for eval sets too large to broadcast-hash-join
+    * (decontaminating against another corpus, not a benchmark): a Bloom
+    * filter over the eval grams — a few bits per gram, so ~100M grams fit
+    * in a couple hundred MB and still broadcast — prunes corpus grams
+    * MAP-SIDE, so only probable hits (true matches + `fpp` false
+    * positives) reach the shuffled confirm join. The confirm join keeps
+    * the result EXACT: bloom false positives are eliminated there, and a
+    * bloom filter has no false negatives, so no contaminated id is lost.
+    */
+  def contaminatedIdsBloom(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      evalSet: DataFrame,
+      evalTextCol: String,
+      n: Int = 13,
+      fpp: Double = 0.01
+  ): DataFrame = {
+    val spark = corpus.sparkSession
+    val evalGrams = evalSet
+      .select(explode(Dedup.shingles(col(evalTextCol), n)).as("gram"))
+      .distinct()
+      .localCheckpoint() // sized once, reused by build + confirm join
+    val nGrams = math.max(evalGrams.count(), 1L)
+    val bloom = evalGrams.stat.bloomFilter("gram", nGrams, fpp)
+    val bloomBc = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf((g: String) => g != null && bloomBc.value.mightContain(g))
+    corpus
+      .select(col(idCol).as("id"), explode(Dedup.shingles(col(textCol), n)).as("gram"))
+      .where(mightContain(col("gram"))) // narrow, pre-shuffle prune
+      .join(evalGrams, "gram") // exact confirm — removes false positives
+      .select("id")
+      .distinct()
+  }
 }

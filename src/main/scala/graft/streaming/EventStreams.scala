@@ -40,6 +40,46 @@ object EventStreams {
         col("total_value")
       )
 
+  /** Streaming exact dedup: drop events whose `keyCols` were already seen
+    * within the watermark horizon — the streaming twin of the batch exact
+    * dedup (Dedup.exactDedup) for at-least-once sources that can replay.
+    * `dropDuplicatesWithinWatermark` keeps per-key state only until the
+    * watermark passes the key's last-seen time, so state is bounded by
+    * (arrival rate x lateness), never by stream length.
+    */
+  def dedupStream(
+      events: DataFrame,
+      keyCols: Seq[String],
+      lateness: String = "10 minutes"
+  ): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark(keyCols)
+
+  /** Watermarked stream-stream interval join: match each `left` event to
+    * `right` events of the same `keyCol` whose timestamp falls within
+    * `[left.ts, left.ts + windowSeconds]` (e.g. click -> purchase
+    * attribution). Both sides carry watermarks and the join condition
+    * bounds event-time distance, so Spark can expire buffered state —
+    * the required shape for an unbounded stream-stream join.
+    */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      windowSeconds: Long,
+      lateness: String = "10 minutes"
+  ): DataFrame = {
+    val l = left.withWatermark("ts", lateness).alias("l")
+    val r = right.withWatermark("ts", lateness).alias("r")
+    l.join(
+      r,
+      col(s"l.$keyCol") === col(s"r.$keyCol") &&
+        col("r.ts") >= col("l.ts") &&
+        col("r.ts") <= col("l.ts") + expr(s"INTERVAL $windowSeconds SECONDS")
+    )
+  }
+
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long, value: Double)
   final case class SessionState(start: Long, end: Long, n: Long, total: Double)
   final case class Session(

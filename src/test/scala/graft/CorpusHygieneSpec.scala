@@ -64,4 +64,27 @@ class CorpusHygieneSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(kept == Set(2L, 3L))
   }
+
+  test("bloom-prefiltered decontamination matches the exact path") {
+    // 200 corpus docs, 10 of which embed an eval 5-gram
+    val evalSet = Seq(
+      (900L, "alpha bravo charlie delta echo"),
+      (901L, "golf hotel india juliet kilo")
+    ).toDF("id", "text")
+    val corpus = (1 to 200).map { i =>
+      val base = s"document number $i with filler text token$i about topic${i % 17}"
+      val text =
+        if (i % 37 == 0) s"$base alpha bravo charlie delta echo trailing words"
+        else if (i % 41 == 0) s"leading golf hotel india juliet kilo $base"
+        else base
+      (i.toLong, text)
+    }.toDF("id", "text")
+
+    val exact = CorpusHygiene.contaminatedIds(corpus, "id", "text", evalSet, "text", n = 5)
+      .collect().map(_.getLong(0)).toSet
+    val bloom = CorpusHygiene.contaminatedIdsBloom(corpus, "id", "text", evalSet, "text", n = 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(exact.nonEmpty, "fixture must actually contaminate some docs")
+    assert(bloom == exact, "confirm join must erase bloom false positives; bloom has no false negatives")
+  }
 }

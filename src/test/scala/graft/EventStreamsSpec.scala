@@ -70,6 +70,57 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup drops replayed keys within the watermark horizon") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val events = input.toDF().toDF("event_id", "ts", "payload")
+    val deduped = EventStreams.dedupStream(events, Seq("event_id"), lateness = "5 minutes")
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      input.addData((1L, ts(1), "a"), (2L, ts(2), "b"))
+      q.processAllAvailable()
+      // at-least-once source replays event 1 (same key, later arrival)
+      input.addData((1L, ts(3), "a-replay"), (3L, ts(4), "c"))
+      q.processAllAvailable()
+      val out = spark.table("dedup_out").collect().map(_.getAs[Long]("event_id")).toSeq
+      assert(out.sorted == Seq(1L, 2L, 3L), s"replay must be dropped, got $out")
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join attributes right events within the window, expiring state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp, Long)]
+    val buys = MemoryStream[(Long, Timestamp, Long)]
+    val joined = EventStreams.intervalJoin(
+      clicks.toDF().toDF("click_id", "ts", "user_id"),
+      buys.toDF().toDF("buy_id", "ts", "user_id"),
+      keyCol = "user_id",
+      windowSeconds = 600,
+      lateness = "5 minutes"
+    ).select(col("l.click_id"), col("r.buy_id"))
+    val q = joined.writeStream.format("memory").queryName("attrib_out")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      clicks.addData((10L, ts(0), 1L), (11L, ts(0), 2L))
+      buys.addData((20L, ts(5), 1L))   // within 10 min of click 10 -> match
+      buys.addData((21L, ts(30), 2L))  // 30 min after click 11 -> no match
+      clicks.addData((12L, ts(60), 3L))
+      buys.addData((22L, ts(61), 3L))  // match
+      // advance both watermarks so earlier state can expire and emit
+      clicks.addData((13L, ts(200), 9L))
+      buys.addData((23L, ts(200), 9L))
+      q.processAllAvailable()
+      val got = spark.table("attrib_out").collect()
+        .map(r => (r.getAs[Long]("click_id"), r.getAs[Long]("buy_id"))).toSet
+      assert(got.contains((10L, 20L)), s"in-window purchase must match, got $got")
+      assert(got.contains((12L, 22L)))
+      assert(!got.exists(_._2 == 21L), "out-of-window purchase must not match")
+    } finally q.stop()
+  }
+
   test("IVF ANN: probing finds the exact top hit at a fraction of the scan") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
