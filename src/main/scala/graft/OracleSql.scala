@@ -825,6 +825,43 @@ object OracleSql {
       """SELECT l_returnflag,
         |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS value_sum,
         |       COUNT(*) AS n
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_weighted_sample" -> {
+      // mirrors Sketches.md5Hash32 (first 8 md5 nibbles as 32-bit int)
+      val hash32 = (1 to 8)
+        .map { k =>
+          val c = s"ascii(substr(md5(CAST(doc_id AS VARCHAR)), $k, 1))"
+          s"(CASE WHEN $c >= 97 THEN $c - 87 ELSE $c - 48 END) * CAST(${1L << ((8 - k) * 4)} AS BIGINT)"
+        }
+        .mkString("(", " + ", ")")
+      s"""WITH d AS (SELECT doc_id,
+         |  CAST(FLOOR(CAST(len($words) AS DOUBLE) * 1.3) AS BIGINT) AS tok
+         |  FROM documents)
+         |SELECT doc_id, tok FROM d
+         |WHERE $hash32 * 400 < tok * 1 * 4294967296
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "q_bigram_lift" ->
+      """WITH toks AS (
+        |  SELECT list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+        |                     x -> len(x) > 0) AS w
+        |  FROM documents),
+        |uni AS (SELECT UNNEST(w) AS word FROM toks),
+        |uc AS (SELECT word, COUNT(*) AS c FROM uni GROUP BY word),
+        |tot AS (SELECT COUNT(*) AS n FROM uni),
+        |bi AS (SELECT UNNEST(list_transform(range(1, CAST(len(w) AS BIGINT)),
+        |                     i -> struct_pack(w1 := w[i], w2 := w[i + 1]))) AS g
+        |       FROM toks WHERE len(w) >= 2),
+        |bc AS (SELECT g.w1 AS w1, g.w2 AS w2, COUNT(*) AS c_ab
+        |       FROM bi GROUP BY 1, 2 HAVING COUNT(*) >= 5)
+        |SELECT bc.w1, bc.w2, bc.c_ab,
+        |       CAST(bc.c_ab * (SELECT n FROM tot) AS DOUBLE)
+        |         / CAST(uc1.c * uc2.c AS DOUBLE) AS lift
+        |FROM bc
+        |JOIN uc uc1 ON bc.w1 = uc1.word
+        |JOIN uc uc2 ON bc.w2 = uc2.word
+        |ORDER BY lift DESC, bc.w1, bc.w2 LIMIT 20""".stripMargin
   )
 }

@@ -1193,6 +1193,30 @@ object SparkEntry {
       .saltedSumCount(t(s, dir, "lineitem"), Seq("l_returnflag"), col("l_extendedprice"), salt = 16)
       .orderBy("l_returnflag")
 
+  /** Weighted Bernoulli sampling: keep docs with probability
+    * token_est/400 — importance-sampling long documents. Integer-exact
+    * hash-vs-weight comparison ([[Sampling.weightedBernoulli]]), so the
+    * oracle checks membership exactly.
+    */
+  private def qWeightedSample(s: SparkSession, dir: String): DataFrame =
+    Sampling
+      .weightedBernoulli(
+        t(s, dir, "documents")
+          .withColumn("tok", TextFunctions.tokenEstimate(col("text")).cast("long")),
+        "doc_id",
+        "tok",
+        rateNum = 1,
+        rateDen = 400
+      )
+      .select("doc_id", "tok")
+      .orderBy("doc_id")
+
+  /** Corpus collocations: top-20 bigrams by lift (PMI ordering without
+    * the unportable log) with min count 5 ([[TextAnalysis.bigramLift]]).
+    */
+  private def qBigramLift(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bigramLift(t(s, dir, "documents"), "text", minCount = 5, k = 20)
+
   // =====================================================================
   // Contract maps
   // =====================================================================
@@ -1270,7 +1294,9 @@ object SparkEntry {
     "q_lag_delta" -> (qLagDelta _),
     "q_kmv_distinct" -> (qKmvDistinct _),
     "q_skew_agg" -> (qSkewAgg _),
-    "q_decontaminate_bloom" -> (qDecontaminateBloom _)
+    "q_decontaminate_bloom" -> (qDecontaminateBloom _),
+    "q_weighted_sample" -> (qWeightedSample _),
+    "q_bigram_lift" -> (qBigramLift _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

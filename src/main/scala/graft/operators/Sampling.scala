@@ -76,4 +76,32 @@ object Sampling {
       when(b < trainPct, "train").when(b < trainPct + valPct, "val").otherwise("test")
     )
   }
+
+  /** Weighted Bernoulli sampling: keep each row independently with
+    * probability `weight * rate` (clamped at 1) — importance sampling for
+    * corpus mixing, e.g. upweighting long or high-quality documents. The
+    * coin is the row id's 32-bit md5 hash compared against the weight in
+    * PURE INTEGER arithmetic (`hash * scale < weight * rate * scale * 2^32`
+    * rearranged to avoid division), so membership is deterministic,
+    * partition-independent, identical across engines — exactly
+    * oracle-checkable, unlike `ln`-based A-ES keys whose libm rounding
+    * differs per platform. Narrow filter, fuses into the scan.
+    *
+    * `weightCol` must be a non-negative integral column (token counts,
+    * byte sizes...); `rate` is given as `rateNum / rateDen` to stay in
+    * integers end to end.
+    */
+  def weightedBernoulli(
+      df: DataFrame,
+      idCol: String,
+      weightCol: String,
+      rateNum: Long,
+      rateDen: Long
+  ): DataFrame = {
+    require(rateNum > 0 && rateDen > 0, s"rate must be positive, got $rateNum/$rateDen")
+    // P(keep) = min(1, w * rateNum / rateDen); hash32 uniform on [0, 2^32)
+    // keep  <=>  hash32 * rateDen < w * rateNum * 2^32
+    val h = Sketches.md5Hash32(col(idCol))
+    df.where(h * lit(rateDen) < col(weightCol).cast("long") * lit(rateNum) * lit(4294967296L))
+  }
 }

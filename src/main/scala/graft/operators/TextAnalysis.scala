@@ -134,4 +134,60 @@ object TextAnalysis {
     )
     md5(concat_ws("", slice(array_sort(grams), 1, keep)))
   }
+
+  /** Corpus collocations: top-`k` word bigrams by lift
+    * `P(ab) / (P(a)P(b)) = c_ab * N / (c_a * c_b)` with a minimum bigram
+    * count (PMI's argument without the log — same ranking, and exact
+    * integer arithmetic until one final division, so it is
+    * oracle-checkable where libm `log` is not). Two shuffles (unigram and
+    * bigram histograms) + a broadcast-sized join of the min-count
+    * survivors against the unigram counts.
+    */
+  def bigramLift(
+      docs: DataFrame,
+      textCol: String,
+      minCount: Long = 5,
+      k: Int = 20
+  ): DataFrame = {
+    val toks = docs.select(
+      TextFunctions
+        .bindOnce(split(Dedup.normalized(col(textCol)), " "), w => filter(w, t => length(t) > 0))
+        .as("w")
+    )
+    val uni = toks
+      .select(explode(col("w")).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("c"))
+    val n = uni.agg(sum("c")).head().getLong(0)
+    // size >= 2 guard: Spark's sequence(1, 0) DESCENDS, so a one-word doc
+    // would otherwise emit out-of-range indices instead of no bigrams
+    val bi = toks
+      .where(size(col("w")) >= 2)
+      .select(
+        explode(
+          transform(
+            sequence(lit(1), size(col("w")) - 1),
+            i => struct(element_at(col("w"), i).as("w1"), element_at(col("w"), i + 1).as("w2"))
+          )
+        ).as("g")
+      )
+      .select(col("g.w1").as("w1"), col("g.w2").as("w2"))
+      .groupBy("w1", "w2")
+      .agg(count(lit(1)).as("c_ab"))
+      .where(col("c_ab") >= minCount)
+    val uc1 = uni.select(col("word").as("w1"), col("c").as("c_a"))
+    val uc2 = uni.select(col("word").as("w2"), col("c").as("c_b"))
+    bi
+      .join(uc1, "w1")
+      .join(uc2, "w2")
+      .select(
+        col("w1"),
+        col("w2"),
+        col("c_ab"),
+        ((col("c_ab") * lit(n)).cast("double") / (col("c_a") * col("c_b")).cast("double"))
+          .as("lift")
+      )
+      .orderBy(desc("lift"), col("w1"), col("w2"))
+      .limit(k)
+  }
 }

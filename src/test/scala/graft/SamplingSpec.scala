@@ -49,4 +49,22 @@ class SamplingSpec extends AnyFunSuite {
       Sampling.stratifiedSample(docs, "lang", "id", Map("en" -> 1.5)))
     intercept[IllegalArgumentException](Sampling.withSplit(docs, "id", trainPct = 95, valPct = 10))
   }
+
+  test("weighted Bernoulli keep-rate tracks the weight and is partition-independent") {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val rows = spark.range(4000).select(
+      col("id"),
+      // half the corpus weight 100, half weight 400 -> keep rates 10% / 40%
+      when(col("id") % 2 === 0, lit(100L)).otherwise(lit(400L)).as("wt")
+    )
+    val kept = Sampling.weightedBernoulli(rows, "id", "wt", rateNum = 1, rateDen = 1000)
+    val byWt = kept.groupBy("wt").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 2000 trials each; 3 sigma ~ 3*sqrt(2000*p*(1-p)) ~ 40 / 66
+    assert(math.abs(byWt(100L) - 200L) < 60, byWt.toString)
+    assert(math.abs(byWt(400L) - 800L) < 90, byWt.toString)
+
+    val again = Sampling.weightedBernoulli(rows.repartition(13), "id", "wt", 1, 1000)
+    assert(again.select("id").collect().map(_.getLong(0)).toSet ==
+      kept.select("id").collect().map(_.getLong(0)).toSet)
+  }
 }

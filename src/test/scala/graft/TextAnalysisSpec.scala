@@ -83,4 +83,22 @@ class TextAnalysisSpec extends AnyFunSuite {
     val got = df.select(TextFunctions.titleFromFilename(col("f"))).as[String].collect().toSeq
     assert(got == Seq("Nutrition During Pregnancy", "COVID-19 and Pregnancy", "Guide"))
   }
+
+  test("bigramLift ranks a true collocation above independent co-occurrences") {
+    // "new york" always together (lift >> 1); "the cat/dog/car" spread out
+    val docs = (1 to 30).map { i =>
+      val filler = s"the ${Seq("cat", "dog", "car")(i % 3)} sat near item$i"
+      (i.toLong, s"$filler new york $filler")
+    }.toDF("id", "text")
+    val out = TextAnalysis.bigramLift(docs, "text", minCount = 5, k = 5).collect()
+    assert(out.nonEmpty)
+    val top = out.head
+    assert((top.getAs[String]("w1"), top.getAs[String]("w2")) == ("new", "york"),
+      out.map(r => (r.getString(0), r.getString(1), r.getAs[Double]("lift"))).mkString(";"))
+    // lift of a perfect pair: c_ab=30, c_a=c_b=30 -> lift = N/30 > 1
+    assert(top.getAs[Double]("lift") > 1.0)
+    // single-word docs must not break the gram builder
+    val tiny = Seq((1L, "word"), (2L, "")).toDF("id", "text")
+    assert(TextAnalysis.bigramLift(tiny, "text", minCount = 1, k = 5).count() == 0)
+  }
 }
