@@ -109,6 +109,19 @@ object OracleSql {
       |               (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS score
       |  FROM embeddings ORDER BY score DESC, vec_id LIMIT 20)""".stripMargin
 
+  /** First `n` md5 nibbles of SQL expression `expr` as a BIGINT — the
+    * single source of the ascii-nibble arithmetic mirrored by
+    * `Sampling.hashBucket` (n=6, then % 100) and `Sketches.md5Hash32`
+    * (n=8). Keep the Scala twins and this builder in lockstep.
+    */
+  private def md5NibbleIntSql(expr: String, n: Int): String =
+    (1 to n)
+      .map { k =>
+        val c = s"ascii(substr(md5($expr), $k, 1))"
+        s"(CASE WHEN $c >= 97 THEN $c - 87 ELSE $c - 48 END) * CAST(${1L << ((n - k) * 4)} AS BIGINT)"
+      }
+      .mkString("(", " + ", ")")
+
   /** Shared by q_decontaminate and q_decontaminate_bloom (the bloom
     * prefilter is exactness-preserving, so both paths answer to the same
     * oracle).
@@ -655,24 +668,14 @@ object OracleSql {
 
     "q_stratified_sample" -> {
       // mirrors Sampling.hashBucket: first 6 md5 nibbles as int, mod 100
-      val bucket = (1 to 6)
-        .map { k =>
-          val c = s"ascii(substr(md5(CAST(doc_id AS VARCHAR)), $k, 1))"
-          s"(CASE WHEN $c >= 97 THEN $c - 87 ELSE $c - 48 END) * ${1 << ((6 - k) * 4)}"
-        }
-        .mkString("(", " + ", ") % 100")
+      val bucket = s"(${md5NibbleIntSql("CAST(doc_id AS VARCHAR)", 6)} % 100)"
       s"""SELECT doc_id, lang FROM documents
          |WHERE $bucket < (CASE WHEN lang = 'en' THEN 50.0 WHEN lang = 'de' THEN 30.0 ELSE 10.0 END)
          |ORDER BY doc_id""".stripMargin
     },
 
     "q_train_split" -> {
-      val bucket = (1 to 6)
-        .map { k =>
-          val c = s"ascii(substr(md5(CAST(doc_id AS VARCHAR)), $k, 1))"
-          s"(CASE WHEN $c >= 97 THEN $c - 87 ELSE $c - 48 END) * ${1 << ((6 - k) * 4)}"
-        }
-        .mkString("(", " + ", ") % 100")
+      val bucket = s"(${md5NibbleIntSql("CAST(doc_id AS VARCHAR)", 6)} % 100)"
       s"""SELECT (CASE WHEN $bucket < 80 THEN 'train'
          |             WHEN $bucket < 90 THEN 'val'
          |             ELSE 'test' END) AS split,
@@ -805,12 +808,7 @@ object OracleSql {
 
     "q_kmv_distinct" -> {
       // mirrors Sketches.md5Hash32: first 8 md5 nibbles as a 32-bit int
-      val hash32 = (1 to 8)
-        .map { k =>
-          val c = s"ascii(substr(md5(CAST(l_partkey AS VARCHAR)), $k, 1))"
-          s"(CASE WHEN $c >= 97 THEN $c - 87 ELSE $c - 48 END) * CAST(${1L << ((8 - k) * 4)} AS BIGINT)"
-        }
-        .mkString("(", " + ", ")")
+      val hash32 = md5NibbleIntSql("CAST(l_partkey AS VARCHAR)", 8)
       s"""WITH h AS (SELECT DISTINCT $hash32 AS h
          |           FROM lineitem WHERE l_partkey IS NOT NULL),
          |k AS (SELECT h FROM h ORDER BY h LIMIT 64)
@@ -828,18 +826,14 @@ object OracleSql {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_weighted_sample" -> {
-      // mirrors Sketches.md5Hash32 (first 8 md5 nibbles as 32-bit int)
-      val hash32 = (1 to 8)
-        .map { k =>
-          val c = s"ascii(substr(md5(CAST(doc_id AS VARCHAR)), $k, 1))"
-          s"(CASE WHEN $c >= 97 THEN $c - 87 ELSE $c - 48 END) * CAST(${1L << ((8 - k) * 4)} AS BIGINT)"
-        }
-        .mkString("(", " + ", ")")
+      // mirrors Sketches.md5Hash32 (first 8 md5 nibbles as 32-bit int);
+      // HUGEINT threshold mirrors the Spark side's decimal(38,0) exactness
+      val hash32 = md5NibbleIntSql("CAST(doc_id AS VARCHAR)", 8)
       s"""WITH d AS (SELECT doc_id,
          |  CAST(FLOOR(CAST(len($words) AS DOUBLE) * 1.3) AS BIGINT) AS tok
          |  FROM documents)
          |SELECT doc_id, tok FROM d
-         |WHERE $hash32 * 400 < tok * 1 * 4294967296
+         |WHERE CAST($hash32 AS HUGEINT) * 400 < CAST(tok AS HUGEINT) * 1 * 4294967296
          |ORDER BY doc_id""".stripMargin
     },
 

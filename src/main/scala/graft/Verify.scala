@@ -20,15 +20,24 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     Bench.silenceBoundedWindowWarning()
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
+    val unknown = only.diff(SparkEntry.queries.keySet)
+    require(unknown.isEmpty, s"unknown query names: ${unknown.mkString(", ")}")
+    val attempted = SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only.contains(name) }
-      .foreach { case (name, fn) =>
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-        catch { case e: Throwable =>
-          System.err.println(s"[verify] $name failed: ${e.getMessage}")
-        }
+    attempted.foreach { case (name, fn) =>
+      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/$name")
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+    }
+    // manifest of what SHOULD be on disk: check_oracle counts an attempted
+    // query with no parquet output as a failure (a thrown query must never
+    // make the gate pass by being invisible)
+    Files.writeString(
+      Paths.get(s"$outDir/attempted.json"),
+      attempted.keys.toSeq.sorted.map(n => "\"" + n + "\"").mkString("[", ",", "]")
+    )
     // JSON string escape (shared table in JsonLog.esc): a tab or CR in
     // builder-authored SQL would otherwise make the driver's json.load
     // fail and silently zero the round's correctness.

@@ -276,6 +276,9 @@ object Dedup {
         .join(labels, edges("src") === labels("id"))
         .groupBy(col("dst"))
         .agg(min("label").as("nbr_label"))
+      // checkpointed BEFORE the self-join below: un-materialized, the
+      // neighbor-min join+aggregate subtree would execute once per side
+      // (ReuseExchange dedups exchanges, not post-shuffle join/agg work)
       val stepped = labels
         .join(nbrMin, labels("id") === nbrMin("dst"), "left")
         .select(
@@ -283,6 +286,7 @@ object Dedup {
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
           labels("label").as("old_label")
         )
+        .localCheckpoint()
       // path-halving: label <- label(label). Every label is itself a node
       // id present in `stepped`, so the lookup is total (left join only
       // for safety).

@@ -101,7 +101,13 @@ object Sampling {
     require(rateNum > 0 && rateDen > 0, s"rate must be positive, got $rateNum/$rateDen")
     // P(keep) = min(1, w * rateNum / rateDen); hash32 uniform on [0, 2^32)
     // keep  <=>  hash32 * rateDen < w * rateNum * 2^32
+    // The right side is decimal(38,0): byte-size weights near 2^31 would
+    // silently wrap a Long product (and diverge from the oracle, whose
+    // checked arithmetic errors instead); decimal multiply is exact to
+    // 1e38 — far beyond any (weight x rate) this can see.
     val h = Sketches.md5Hash32(col(idCol))
-    df.where(h * lit(rateDen) < col(weightCol).cast("long") * lit(rateNum) * lit(4294967296L))
+    val threshold =
+      col(weightCol).cast("decimal(38,0)") * lit(rateNum) * lit(4294967296L)
+    df.where(h.cast("decimal(38,0)") * lit(rateDen) < threshold)
   }
 }

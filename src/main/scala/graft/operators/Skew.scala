@@ -16,6 +16,18 @@ object Skew {
     * reducers instead of one. Use when `right` is small-ish per key (it is
     * replicated) and `left` carries the skew.
     */
+  /** Deterministic salt in [0, salt) from the full row content. Salting
+    * must be a pure function of the row: partition-id / monotonic-id
+    * schemes reassign salts when a task is recomputed after a fetch
+    * failure, and reducers that already fetched the first attempt's
+    * blocks then see some rows twice and others never (the SPARK-23207
+    * class of silent corruption). Content-hashing keys identical rows to
+    * the same bucket — acceptable: real rows are near-unique, and any
+    * FIXED assignment preserves exactness of downstream sum/count.
+    */
+  private def rowSalt(df: DataFrame, salt: Int): Column =
+    pmod(xxhash64(df.columns.map(col): _*), lit(salt)).cast("int")
+
   def saltedJoin(
       left: DataFrame,
       right: DataFrame,
@@ -29,7 +41,7 @@ object Skew {
       Set("inner", "left", "left_outer", "leftouter").contains(joinType.toLowerCase),
       s"saltedJoin supports inner/left joins only (right side is replicated), got $joinType"
     )
-    val saltedLeft = left.withColumn("_salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(salt)).cast("int"))
+    val saltedLeft = left.withColumn("_salt", rowSalt(left, salt))
     val saltedRight = right.withColumn("_salt", explode(typedlit((0 until salt).toList)))
     saltedLeft
       .join(saltedRight, Seq(key, "_salt"), joinType)
@@ -42,7 +54,7 @@ object Skew {
     * (e.g. giant collect_list groups).
     */
   def twoPhaseCount(df: DataFrame, key: String, salt: Int = 16): DataFrame =
-    df.withColumn("_salt", pmod(hash(col(key), monotonically_increasing_id()), lit(salt)))
+    df.withColumn("_salt", rowSalt(df, salt))
       .groupBy(col(key), col("_salt"))
       .agg(count(lit(1)).as("_partial"))
       .groupBy(col(key))
@@ -64,7 +76,7 @@ object Skew {
   ): DataFrame = {
     require(salt >= 2, s"salt must be >= 2, got $salt")
     val keyCols = keys.map(col)
-    df.withColumn("_salt", pmod(hash(monotonically_increasing_id()), lit(salt)))
+    df.withColumn("_salt", rowSalt(df, salt))
       .groupBy(keyCols :+ col("_salt"): _*)
       .agg(
         sum(value.cast("decimal(28,4)")).as("_psum"),

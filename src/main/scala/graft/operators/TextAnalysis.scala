@@ -158,7 +158,10 @@ object TextAnalysis {
       .select(explode(col("w")).as("word"))
       .groupBy("word")
       .agg(count(lit(1)).as("c"))
-    val n = uni.agg(sum("c")).head().getLong(0)
+    // total carried as a 1-row plan (broadcast into the final projection):
+    // no eager driver action, no second tokenize-and-shuffle pass, and an
+    // empty corpus yields an empty result instead of an NPE
+    val tot = uni.agg(coalesce(sum("c"), lit(0L)).as("n_total"))
     // size >= 2 guard: Spark's sequence(1, 0) DESCENDS, so a one-word doc
     // would otherwise emit out-of-range indices instead of no bigrams
     val bi = toks
@@ -180,11 +183,12 @@ object TextAnalysis {
     bi
       .join(uc1, "w1")
       .join(uc2, "w2")
+      .crossJoin(broadcast(tot))
       .select(
         col("w1"),
         col("w2"),
         col("c_ab"),
-        ((col("c_ab") * lit(n)).cast("double") / (col("c_a") * col("c_b")).cast("double"))
+        ((col("c_ab") * col("n_total")).cast("double") / (col("c_a") * col("c_b")).cast("double"))
           .as("lift")
       )
       .orderBy(desc("lift"), col("w1"), col("w2"))

@@ -17,12 +17,16 @@ for t in TABLES:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
-# dev loop: Verify may have dumped a subset — only check queries that have
-# spark output present (the driver always dumps the full inventory)
-present = {n for n in oracle if glob.glob(os.path.join(outdir, n, "*.parquet"))}
-if present and len(present) < len(oracle):
-    print(f"[subset] checking {len(present)}/{len(oracle)} queries with spark output")
-    oracle = {n: oracle[n] for n in present}
+# dev loop: Verify may have dumped a subset — its attempted.json manifest
+# says which queries SHOULD have output. A query that was attempted but
+# produced no parquet (it threw) stays in the check set and fails as MISS;
+# only queries that were never attempted are skipped.
+manifest = f"{outdir}/attempted.json"
+if os.path.exists(manifest):
+    attempted = set(json.load(open(manifest)))
+    if attempted < set(oracle):
+        print(f"[subset] checking {len(attempted)}/{len(oracle)} attempted queries")
+        oracle = {n: oracle[n] for n in oracle if n in attempted}
 
 
 def norm(df):
