@@ -856,6 +856,17 @@ object OracleSql {
         |FROM bc
         |JOIN uc uc1 ON bc.w1 = uc1.word
         |JOIN uc uc2 ON bc.w2 = uc2.word
-        |ORDER BY lift DESC, bc.w1, bc.w2 LIMIT 20""".stripMargin
+        |ORDER BY lift DESC, bc.w1, bc.w2 LIMIT 20""".stripMargin,
+
+    "q_overlap_join" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS okey,
+        |         datediff('day', DATE '1970-01-01', o_orderdate) AS lo,
+        |         datediff('day', DATE '1970-01-01', o_orderdate) + 30 AS hi
+        |  FROM orders WHERE o_custkey < 50)
+        |SELECT a.okey AS okey_a, b.okey AS okey_b, a.lo AS lo_a, b.lo AS lo_b
+        |FROM o a JOIN o b
+        |  ON a.lo < b.hi AND b.lo < a.hi AND a.okey < b.okey
+        |ORDER BY okey_a, okey_b""".stripMargin
   )
 }

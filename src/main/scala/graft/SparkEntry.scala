@@ -1217,6 +1217,28 @@ object SparkEntry {
   private def qBigramLift(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.bigramLift(t(s, dir, "documents"), "text", minCount = 5, k = 20)
 
+  /** Interval-overlap self-join: pairs of orders whose 30-day windows
+    * intersect ([[RangeJoin.overlapJoin]] — grid-blocked both sides,
+    * duplicate pairs eliminated arithmetically via the first shared cell,
+    * no dropDuplicates shuffle).
+    */
+  private def qOverlapJoin(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .where(col("o_custkey") < 50)
+      .select(
+        col("o_orderkey"),
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01").cast("date")).cast("long").as("lo")
+      )
+      .withColumn("hi", col("lo") + 30)
+    val a = o.select(col("o_orderkey").as("okey_a"), col("lo").as("lo_a"), col("hi").as("hi_a"))
+    val b = o.select(col("o_orderkey").as("okey_b"), col("lo").as("lo_b"), col("hi").as("hi_b"))
+    RangeJoin
+      .overlapJoin(a, "lo_a", "hi_a", b, "lo_b", "hi_b", cellWidth = 30.0)
+      .where(col("okey_a") < col("okey_b"))
+      .select("okey_a", "okey_b", "lo_a", "lo_b")
+      .orderBy("okey_a", "okey_b")
+  }
+
   // =====================================================================
   // Contract maps
   // =====================================================================
@@ -1296,7 +1318,8 @@ object SparkEntry {
     "q_skew_agg" -> (qSkewAgg _),
     "q_decontaminate_bloom" -> (qDecontaminateBloom _),
     "q_weighted_sample" -> (qWeightedSample _),
-    "q_bigram_lift" -> (qBigramLift _)
+    "q_bigram_lift" -> (qBigramLift _),
+    "q_overlap_join" -> (qOverlapJoin _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -54,4 +54,44 @@ object RangeJoin {
       .where(col(valueCol) >= col(loCol) && col(valueCol) < col(hiCol))
       .drop("_cell")
   }
+
+  /** Interval-overlap join: match `left` rows to `right` rows whose
+    * `[lo, hi)` intervals overlap (`l.lo < r.hi AND r.lo < l.hi`) — the
+    * session/span intersection primitive. Same grid blocking as
+    * [[bandJoin]], on both sides; an overlapping pair shares at least one
+    * cell. Duplicate elimination is arithmetic, not a shuffle: a pair is
+    * emitted only from the FIRST cell both intervals cover
+    * (`floor(max(lo_l, lo_r) / w)`), so no `dropDuplicates` pass and no
+    * second shuffle. Prefix the two sides' columns distinctly before
+    * calling (the result carries both).
+    */
+  def overlapJoin(
+      left: DataFrame,
+      leftLo: String,
+      leftHi: String,
+      right: DataFrame,
+      rightLo: String,
+      rightHi: String,
+      cellWidth: Double
+  ): DataFrame = {
+    require(cellWidth > 0, s"cellWidth must be positive, got $cellWidth")
+    def explodeCells(df: DataFrame, lo: String, hi: String): DataFrame =
+      df.withColumn(
+        "_cell",
+        explode(
+          sequence(
+            floor(col(lo) / cellWidth).cast("long"),
+            floor(col(hi) / cellWidth).cast("long")
+          )
+        )
+      )
+    val l = explodeCells(left, leftLo, leftHi)
+    val r = explodeCells(right, rightLo, rightHi).withColumnRenamed("_cell", "_cell_r")
+    l.join(r, col("_cell") === col("_cell_r"))
+      .where(col(leftLo) < col(rightHi) && col(rightLo) < col(leftHi))
+      // first shared cell only: kills the multi-cell duplicates without a
+      // dropDuplicates shuffle
+      .where(col("_cell") === floor(greatest(col(leftLo), col(rightLo)) / cellWidth).cast("long"))
+      .drop("_cell", "_cell_r")
+  }
 }

@@ -49,6 +49,25 @@ class RangeJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("overlapJoin matches the naive overlap join, each pair exactly once") {
+    val rnd = new scala.util.Random(7)
+    val l = (1 to 120).map { i =>
+      val lo = rnd.nextInt(500).toDouble; (i.toLong, lo, lo + 1 + rnd.nextInt(80))
+    }.toDF("lid", "lo_l", "hi_l")
+    val r = (1 to 120).map { i =>
+      val lo = rnd.nextInt(500).toDouble; (i.toLong, lo, lo + 1 + rnd.nextInt(80))
+    }.toDF("rid", "lo_r", "hi_r")
+    val naive = l
+      .join(r, col("lo_l") < col("hi_r") && col("lo_r") < col("hi_l"))
+      .select("lid", "rid").as[(Long, Long)].collect().toSeq
+    for (w <- Seq(10.0, 37.0, 200.0)) {
+      val got = RangeJoin.overlapJoin(l, "lo_l", "hi_l", r, "lo_r", "hi_r", cellWidth = w)
+        .select("lid", "rid").as[(Long, Long)].collect().toSeq
+      assert(got.sorted == naive.sorted, s"cellWidth=$w (duplicates or misses)")
+      assert(got.size == got.toSet.size, s"cellWidth=$w produced duplicate pairs")
+    }
+  }
+
   test("plan is an equi-join on the cell key, not a nested loop") {
     val fact = spark.range(100).select((col("id") * 7 % 1000).cast("double").as("v"))
     val plan = RangeJoin
