@@ -122,6 +122,46 @@ object OracleSql {
       }
       .mkString("(", " + ", ")")
 
+  /** Recursive-CTE transitive closure of the portable simhash pair set —
+    * the SQL twin of Spark's min-label propagation. Ends with the `reach`
+    * CTE open so q_dedup_clusters (labels) and q_near_dedup (keepers)
+    * both finish it.
+    */
+  private val dedupClustersCte: String = {
+    def digit(k: Int) = s"(strpos('0123456789abcdef', substr(h, $k, 1)) - 1)"
+    val bitSums = (0 until 64).map { b =>
+      val bit = s"((${digit(b / 4 + 1)} // ${1 << (b % 4)}) % 2)"
+      s"SUM(CASE WHEN $bit = 1 THEN 1 ELSE -1 END) AS b$b"
+    }.mkString(", ")
+    val hexDigits = (0 until 16).map { nib =>
+      val v = (0 until 4)
+        .map(j => s"(CASE WHEN b${nib * 4 + j} > 0 THEN ${1 << j} ELSE 0 END)")
+        .mkString(" + ")
+      s"substr('0123456789abcdef', ($v) + 1, 1)"
+    }.mkString(" || ")
+    def nibVal(side: String, k: Int) =
+      s"(strpos('0123456789abcdef', substr($side.sig, $k, 1)) - 1)"
+    val hamming = (1 to 16)
+      .map(k => s"bit_count(xor(${nibVal("a", k)}, ${nibVal("b", k)}))")
+      .mkString(" + ")
+    s"""WITH RECURSIVE toks AS (
+       |  SELECT doc_id, md5(tok) AS h
+       |  FROM (SELECT doc_id, UNNEST($ftsToks) AS tok
+       |        FROM documents WHERE doc_id < 250)),
+       |sums AS (SELECT doc_id, $bitSums FROM toks GROUP BY doc_id),
+       |sig AS (SELECT doc_id, $hexDigits AS sig FROM sums),
+       |pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |  WHERE ($hamming) <= 12),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |          UNION ALL SELECT id_b, id_a FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT doc_id, doc_id FROM documents WHERE doc_id < 250
+       |  UNION
+       |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src)""".stripMargin
+  }
+
   /** Shared by q_decontaminate and q_decontaminate_bloom (the bloom
     * prefilter is exactness-preserving, so both paths answer to the same
     * oracle).
@@ -730,45 +770,17 @@ object OracleSql {
          |ORDER BY id_a, id_b""".stripMargin
     },
 
-    "q_dedup_clusters" -> {
-      // transitive closure of the same portable simhash pair set:
-      // recursive reachability, cluster = MIN reachable id — the SQL twin
-      // of Spark's min-label propagation
-      def digit(k: Int) = s"(strpos('0123456789abcdef', substr(h, $k, 1)) - 1)"
-      val bitSums = (0 until 64).map { b =>
-        val bit = s"((${digit(b / 4 + 1)} // ${1 << (b % 4)}) % 2)"
-        s"SUM(CASE WHEN $bit = 1 THEN 1 ELSE -1 END) AS b$b"
-      }.mkString(", ")
-      val hexDigits = (0 until 16).map { nib =>
-        val v = (0 until 4)
-          .map(j => s"(CASE WHEN b${nib * 4 + j} > 0 THEN ${1 << j} ELSE 0 END)")
-          .mkString(" + ")
-        s"substr('0123456789abcdef', ($v) + 1, 1)"
-      }.mkString(" || ")
-      def nibVal(side: String, k: Int) =
-        s"(strpos('0123456789abcdef', substr($side.sig, $k, 1)) - 1)"
-      val hamming = (1 to 16)
-        .map(k => s"bit_count(xor(${nibVal("a", k)}, ${nibVal("b", k)}))")
-        .mkString(" + ")
-      s"""WITH RECURSIVE toks AS (
-         |  SELECT doc_id, md5(tok) AS h
-         |  FROM (SELECT doc_id, UNNEST($ftsToks) AS tok
-         |        FROM documents WHERE doc_id < 250)),
-         |sums AS (SELECT doc_id, $bitSums FROM toks GROUP BY doc_id),
-         |sig AS (SELECT doc_id, $hexDigits AS sig FROM sums),
-         |pairs AS (
-         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-         |  WHERE ($hamming) <= 12),
-         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-         |          UNION ALL SELECT id_b, id_a FROM pairs),
-         |reach(id, r) AS (
-         |  SELECT doc_id, doc_id FROM documents WHERE doc_id < 250
-         |  UNION
-         |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src)
+    "q_dedup_clusters" ->
+      s"""$dedupClustersCte
          |SELECT id AS doc_id, MIN(r) AS cluster
-         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
-    },
+         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    // keep-the-representative composition of the same closure: a doc
+    // survives iff it IS its cluster's min id
+    "q_near_dedup" ->
+      s"""$dedupClustersCte,
+         |lab AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id)
+         |SELECT id AS doc_id FROM lab WHERE id = cluster ORDER BY doc_id""".stripMargin,
 
     "q_range_join" ->
       """WITH bands(lo, hi, band) AS (VALUES
@@ -857,6 +869,24 @@ object OracleSql {
         |JOIN uc uc1 ON bc.w1 = uc1.word
         |JOIN uc uc2 ON bc.w2 = uc2.word
         |ORDER BY lift DESC, bc.w1, bc.w2 LIMIT 20""".stripMargin,
+
+    "q_hist_quantile" ->
+      """WITH b AS (
+        |  SELECT LEAST(CAST(FLOOR((l_extendedprice - 0.0) / 100.0) AS BIGINT), 999) AS bin,
+        |         COUNT(*) AS c
+        |  FROM lineitem
+        |  WHERE l_extendedprice >= 0.0 AND l_extendedprice < 100000.0
+        |  GROUP BY 1),
+        |cum AS (
+        |  SELECT bin, c,
+        |         CAST(SUM(c) OVER (ORDER BY bin) AS BIGINT) AS cum,
+        |         CAST(SUM(c) OVER () AS BIGINT) AS n
+        |  FROM b),
+        |q(q) AS (VALUES (0.5), (0.9), (0.99))
+        |SELECT q, MAX(n) AS n, MIN(bin) AS bin,
+        |       0.0 + (MIN(bin) + 0.5) * 100.0 AS estimate
+        |FROM q JOIN cum ON CAST(cum AS DOUBLE) >= q * n
+        |GROUP BY q ORDER BY q""".stripMargin,
 
     "q_overlap_join" ->
       """WITH o AS (

@@ -1239,6 +1239,35 @@ object SparkEntry {
       .orderBy("okey_a", "okey_b")
   }
 
+  /** Near-dup dedup keepers: one canonical doc (min id) per transitive
+    * simhash cluster ([[Dedup.nearDedup]] — the composition of
+    * q_dedup_clusters into the keep-the-representative contract).
+    */
+  private def qNearDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup
+      .nearDedup(
+        t(s, dir, "documents").where(col("doc_id") < 250),
+        "doc_id",
+        portableSimhashPairs(s, dir)
+      )
+      .select("doc_id")
+      .orderBy("doc_id")
+
+  /** Histogram quantile sketch over lineitem prices: p50/p90/p99 from a
+    * 1000-bin fixed histogram ([[Sketches.histogramQuantile]] — the
+    * sketch crossing the shuffle is <= 1000 rows regardless of input
+    * size; error bounded by the bin width).
+    */
+  private def qHistQuantile(s: SparkSession, dir: String): DataFrame =
+    Sketches.histogramQuantile(
+      t(s, dir, "lineitem"),
+      "l_extendedprice",
+      lo = 0.0,
+      hi = 100000.0,
+      nBins = 1000,
+      quantiles = Seq(0.5, 0.9, 0.99)
+    )
+
   // =====================================================================
   // Contract maps
   // =====================================================================
@@ -1319,7 +1348,9 @@ object SparkEntry {
     "q_decontaminate_bloom" -> (qDecontaminateBloom _),
     "q_weighted_sample" -> (qWeightedSample _),
     "q_bigram_lift" -> (qBigramLift _),
-    "q_overlap_join" -> (qOverlapJoin _)
+    "q_overlap_join" -> (qOverlapJoin _),
+    "q_near_dedup" -> (qNearDedup _),
+    "q_hist_quantile" -> (qHistQuantile _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -311,6 +311,26 @@ object Dedup {
     labels.withColumnRenamed("label", "cluster")
   }
 
+  /** Near-duplicate dedup: keep one canonical document (the min id) per
+    * transitive near-dup cluster — [[nearDupClusters]] composed into the
+    * same keep-the-representative contract as [[exactDedup]]. The
+    * keeper set is (id == cluster) on the label table — id-only columns —
+    * and thins the full rows by a semi-join, so document payloads never
+    * shuffle.
+    */
+  def nearDedup(
+      docs: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      idACol: String = "id_a",
+      idBCol: String = "id_b"
+  ): DataFrame = {
+    val keepers = nearDupClusters(docs, idCol, pairs, idACol, idBCol)
+      .where(col("id") === col("cluster"))
+      .select(col("id").as(idCol))
+    docs.join(keepers, Seq(idCol), "left_semi")
+  }
+
   /** Word n-gram Jaccard similarity for all pairs above `threshold`,
     * blocked by shared n-grams (a pair is compared only if it shares at
     * least one n-gram — which any pair above a positive threshold must).

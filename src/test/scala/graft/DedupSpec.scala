@@ -107,6 +107,15 @@ class DedupSpec extends AnyFunSuite {
     assert(labels.toSeq == Seq(1L), "41-node chain collapses to one cluster")
   }
 
+  test("nearDedup keeps exactly the min id of each cluster plus singletons, rows intact") {
+    val docs = Seq((1L, "a"), (2L, "b"), (3L, "c"), (10L, "d"), (11L, "e"), (20L, "f"))
+      .toDF("id", "payload")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val kept = Dedup.nearDedup(docs, "id", pairs).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[String]("payload")).toMap
+    assert(kept == Map(1L -> "a", 10L -> "d", 20L -> "f"))
+  }
+
   test("ngram jaccard: dup pair scores 1.0, near pair high, disjoint absent") {
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.3)
       .collect()

@@ -39,4 +39,33 @@ class SketchesSpec extends AnyFunSuite {
     val b = Sketches.kmvDistinct(df.repartition(17), "v", 64).head()
     assert(a == b)
   }
+
+  test("histogram quantile lands within one bin width of the exact percentile") {
+    val n = 10000
+    val df = spark.range(n).select((col("id") % 1000).cast("double").as("v"))
+    val out = Sketches
+      .histogramQuantile(df, "v", lo = 0.0, hi = 1000.0, nBins = 100, quantiles = Seq(0.5, 0.9))
+      .collect()
+      .map(r => r.getAs[Double]("q") -> r.getAs[Double]("estimate"))
+      .toMap
+    // exact p50 of 0..999 uniform is ~499.5; p90 ~899; bin width 10
+    assert(math.abs(out(0.5) - 499.5) <= 10.0, out.toString)
+    assert(math.abs(out(0.9) - 899.1) <= 10.0, out.toString)
+    // total row count carried through
+    val n2 = Sketches
+      .histogramQuantile(df, "v", 0.0, 1000.0, 100, Seq(0.5))
+      .head().getAs[Long]("n")
+    assert(n2 == n)
+  }
+
+  test("histogram quantile: out-of-range rows excluded; q=1 hits the last occupied bin") {
+    val df = (Seq.fill(90)(5.0) ++ Seq.fill(10)(95.0) ++ Seq(-1.0, 200.0)).toDF("v")
+    val out = Sketches
+      .histogramQuantile(df, "v", lo = 0.0, hi = 100.0, nBins = 10, quantiles = Seq(0.5, 1.0))
+      .collect()
+      .map(r => (r.getAs[Double]("q"), r.getAs[Long]("n"), r.getAs[Double]("estimate")))
+    assert(out.forall(_._2 == 100L), s"out-of-range rows must not count: ${out.toSeq}")
+    assert(out.find(_._1 == 0.5).get._3 == 5.0)
+    assert(out.find(_._1 == 1.0).get._3 == 95.0)
+  }
 }
