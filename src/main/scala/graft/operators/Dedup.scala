@@ -291,17 +291,19 @@ object Dedup {
       // id present in `stepped`, so the lookup is total (left join only
       // for safety).
       val parent = stepped.select(col("id").as("pid"), col("label").as("plabel"))
-      def hop(df: DataFrame): DataFrame =
-        df.join(parent, df("label") === parent("pid"), "left")
-          .select(
-            df("id"),
-            least(df("label"), coalesce(col("plabel"), df("label"))).as("label"),
-            df("old_label")
-          )
       // old label rides along through the ONE checkpoint action, so the
       // convergence check is a cheap filter-count on checkpointed data
-      // instead of a second join per round
-      val updated = hop(stepped).localCheckpoint()
+      // instead of a second join per round. (A second chained hop was
+      // measured and rejected: it saves one round but its extra join
+      // costs more than the round saved.)
+      val updated = stepped
+        .join(parent, stepped("label") === parent("pid"), "left")
+        .select(
+          stepped("id"),
+          least(stepped("label"), coalesce(col("plabel"), stepped("label"))).as("label"),
+          stepped("old_label")
+        )
+        .localCheckpoint()
       val changed = updated.where(col("label") < col("old_label")).count()
       labels = updated.select("id", "label")
       converged = changed == 0

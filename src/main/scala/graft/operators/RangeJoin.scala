@@ -24,6 +24,28 @@ object RangeJoin {
     * `[bands(loCol), bands(hiCol))`. Appends all `bands` columns to the
     * matching fact rows (inner join; non-matching fact rows drop).
     */
+  /** Explode each `[lo, hi)` interval row to the coarse grid cells it
+    * covers. hi is exclusive, but covering through floor(hi/w) is still
+    * correct (a value == hi lands in that cell and is removed by the
+    * caller's residual filter); one extra candidate cell beats an
+    * off-by-one at the edge.
+    */
+  private def explodeCells(
+      df: DataFrame,
+      loCol: String,
+      hiCol: String,
+      cellWidth: Double
+  ): DataFrame =
+    df.withColumn(
+      "_cell",
+      explode(
+        sequence(
+          floor(col(loCol) / cellWidth).cast("long"),
+          floor(col(hiCol) / cellWidth).cast("long")
+        )
+      )
+    )
+
   def bandJoin(
       fact: DataFrame,
       valueCol: String,
@@ -33,18 +55,7 @@ object RangeJoin {
       cellWidth: Double
   ): DataFrame = {
     require(cellWidth > 0, s"cellWidth must be positive, got $cellWidth")
-    // hi is exclusive, but covering through floor(hi/w) is still correct
-    // (a value == hi lands in that cell and is removed by the residual
-    // filter); one extra candidate cell beats an off-by-one at the edge.
-    val cells = bands.withColumn(
-      "_cell",
-      explode(
-        sequence(
-          floor(col(loCol) / cellWidth).cast("long"),
-          floor(col(hiCol) / cellWidth).cast("long")
-        )
-      )
-    )
+    val cells = explodeCells(bands, loCol, hiCol, cellWidth)
     fact
       .withColumn("_cell", floor(col(valueCol) / cellWidth).cast("long"))
       .join(
@@ -75,18 +86,8 @@ object RangeJoin {
       cellWidth: Double
   ): DataFrame = {
     require(cellWidth > 0, s"cellWidth must be positive, got $cellWidth")
-    def explodeCells(df: DataFrame, lo: String, hi: String): DataFrame =
-      df.withColumn(
-        "_cell",
-        explode(
-          sequence(
-            floor(col(lo) / cellWidth).cast("long"),
-            floor(col(hi) / cellWidth).cast("long")
-          )
-        )
-      )
-    val l = explodeCells(left, leftLo, leftHi)
-    val r = explodeCells(right, rightLo, rightHi).withColumnRenamed("_cell", "_cell_r")
+    val l = explodeCells(left, leftLo, leftHi, cellWidth)
+    val r = explodeCells(right, rightLo, rightHi, cellWidth).withColumnRenamed("_cell", "_cell_r")
     l.join(r, col("_cell") === col("_cell_r"))
       .where(col(leftLo) < col(rightHi) && col(rightLo) < col(leftHi))
       // first shared cell only: kills the multi-cell duplicates without a

@@ -64,8 +64,11 @@ object Sketches {
     * is portable and exactly oracle-checkable, unlike t-digest/KLL.
     * Error is bounded by the bin width `(hi - lo) / nBins`.
     *
-    * Returns one row per quantile: `q`, `n` (total rows in range),
-    * `bin` (chosen cell), `estimate` (cell midpoint).
+    * Returns one row per quantile — `q`, `n` (total rows in range),
+    * `bin` (chosen cell), `estimate` (cell midpoint) — and NO rows when
+    * no input value falls inside `[lo, hi)` (there is no quantile of an
+    * empty population; callers indexing by q should handle the empty
+    * frame).
     */
   def histogramQuantile(
       df: DataFrame,
