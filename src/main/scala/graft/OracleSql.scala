@@ -870,6 +870,21 @@ object OracleSql {
         |JOIN uc uc2 ON bc.w2 = uc2.word
         |ORDER BY lift DESC, bc.w1, bc.w2 LIMIT 20""".stripMargin,
 
+    "q_kmv_by_group" -> {
+      val hash32 = md5NibbleIntSql("CAST(l_partkey AS VARCHAR)", 8)
+      s"""WITH h AS (SELECT DISTINCT l_returnflag, $hash32 AS h
+         |           FROM lineitem WHERE l_partkey IS NOT NULL),
+         |r AS (SELECT l_returnflag, h,
+         |             ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn
+         |      FROM h),
+         |k AS (SELECT l_returnflag, MAX(h) AS kth_hash, COUNT(*) AS k_used
+         |      FROM r WHERE rn <= 64 GROUP BY 1)
+         |SELECT l_returnflag, CAST(k_used AS BIGINT) AS k_used, kth_hash,
+         |       CASE WHEN k_used < 64 THEN CAST(k_used AS DOUBLE)
+         |            ELSE 63.0 * 4294967296.0 / kth_hash END AS kmv_estimate
+         |FROM k ORDER BY l_returnflag""".stripMargin
+    },
+
     "q_hist_quantile" ->
       """WITH b AS (
         |  SELECT LEAST(CAST(FLOOR((l_extendedprice - 0.0) / 100.0) AS BIGINT), 999) AS bin,

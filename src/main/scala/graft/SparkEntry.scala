@@ -1268,6 +1268,15 @@ object SparkEntry {
       quantiles = Seq(0.5, 0.9, 0.99)
     )
 
+  /** Per-group KMV distinct estimate: distinct part keys per returnflag
+    * in one bounded-heap aggregation pass ([[Sketches.kmvDistinctBy]] —
+    * the grouped `approx_count_distinct` shape, deterministic).
+    */
+  private def qKmvByGroup(s: SparkSession, dir: String): DataFrame =
+    Sketches
+      .kmvDistinctBy(t(s, dir, "lineitem"), Seq("l_returnflag"), "l_partkey", k = 64)
+      .orderBy("l_returnflag")
+
   // =====================================================================
   // Contract maps
   // =====================================================================
@@ -1350,7 +1359,8 @@ object SparkEntry {
     "q_bigram_lift" -> (qBigramLift _),
     "q_overlap_join" -> (qOverlapJoin _),
     "q_near_dedup" -> (qNearDedup _),
-    "q_hist_quantile" -> (qHistQuantile _)
+    "q_hist_quantile" -> (qHistQuantile _),
+    "q_kmv_by_group" -> (qKmvByGroup _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

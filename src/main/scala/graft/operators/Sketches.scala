@@ -54,6 +54,38 @@ object Sketches {
     )
   }
 
+  /** Per-group KMV: distinct-count estimate for `valueCol` within each
+    * `keys` group, in ONE aggregation pass over the native bounded-heap
+    * aggregate ([[graft.plans.TopKBy]] with score = -hash keeps each
+    * group's k smallest hashes; partial heaps combine, so at most k longs
+    * per (partition, group) cross the shuffle). The grouped shape of
+    * `approx_count_distinct`, but deterministic and oracle-checkable.
+    */
+  def kmvDistinctBy(df: DataFrame, keys: Seq[String], valueCol: String, k: Int = 256): DataFrame = {
+    require(k >= 2, s"kmv needs k >= 2, got $k")
+    val keyCols = keys.map(col)
+    val hashed = df
+      .where(col(valueCol).isNotNull)
+      .select(keyCols :+ md5Hash32(col(valueCol)).as("h"): _*)
+      .distinct()
+    hashed
+      .groupBy(keyCols: _*)
+      // entries come back as (score, id) structs ordered (score desc,
+      // id asc) = hash ascending, so the LAST id is the k-th smallest
+      .agg(graft.plans.TopKBy.topKBy((-col("h")).cast("double"), col("h"), k).as("top"))
+      .select(
+        keyCols ++ Seq(
+          size(col("top")).cast("long").as("k_used"),
+          element_at(col("top"), size(col("top"))).getField("id").as("kth_hash")
+        ): _*
+      )
+      .withColumn(
+        "kmv_estimate",
+        when(col("k_used") < k, col("k_used").cast("double"))
+          .otherwise(lit((k - 1).toDouble * 4294967296.0) / col("kth_hash"))
+      )
+  }
+
   /** Fixed-histogram quantile sketch: bin `valueCol` into `nBins` equal
     * cells over `[lo, hi)`, then answer each requested quantile with the
     * midpoint of the first bin whose cumulative count reaches `q * n`.

@@ -122,4 +122,34 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("ObjectHashAggregate"), p.take(1200))
     assert(!p.contains("Sort "), "bounded-heap aggregate must not sort")
   }
+
+  test("KMV sketch truncates per partition: TakeOrderedAndProject, no global sort") {
+    val p = plan("q_kmv_distinct")
+    assert(p.contains("TakeOrderedAndProject"), p.take(1200))
+    assert(!p.contains("(Sort "), "k smallest hashes must come from per-partition heaps")
+  }
+
+  test("salted aggregation is two-phase: first shuffle keyed on (key, salt)") {
+    val p = plan("q_skew_agg")
+    assert(p.contains("_salt"), "salt column must reach the partitioning")
+    assert("hashpartitioning\\([^)]*_salt".r.findFirstIn(p).isDefined,
+      "phase-1 exchange must include the salt key:\n" + p.take(1500))
+  }
+
+  test("weighted sampling is a pure scan-side filter: no exchange at all") {
+    val p = plan("q_weighted_sample")
+    // presentation orderBy is allowed to exchange; strip everything after
+    // the Sort for the guard
+    val beforeSort = p.split("Sort \\[")(0)
+    assert(!beforeSort.contains("Exchange hashpartitioning"),
+      "membership must be decided at the scan, not after a shuffle:\n" + p.take(1500))
+  }
+
+  test("range join never degrades to a nested-loop or cartesian join") {
+    for (q <- Seq("q_range_join", "q_overlap_join")) {
+      val p = plan(q)
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"$q:\n" + p.take(1200))
+    }
+  }
 }

@@ -40,6 +40,28 @@ class SketchesSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("grouped kmv matches per-group single kmv and is exact below k") {
+    import org.apache.spark.sql.functions.col
+    val df = spark.range(3000).select(
+      (col("id") % 3).cast("string").as("g"),
+      // group "0": 1000 distinct; "1": 10 distinct; "2": 500 distinct
+      when(col("id") % 3 === 0, col("id"))
+        .when(col("id") % 3 === 1, col("id") % 30)
+        .otherwise(col("id") % 1500).as("v")
+    )
+    val grouped = Sketches.kmvDistinctBy(df, Seq("g"), "v", k = 64)
+      .collect().map(r => r.getString(0) -> r).toMap
+    // small group is exact
+    assert(grouped("1").getAs[Long]("k_used") == 10L)
+    assert(grouped("1").getAs[Double]("kmv_estimate") == 10.0)
+    // each group's sketch equals running single-column kmv on that slice
+    for (g <- Seq("0", "2")) {
+      val single = Sketches.kmvDistinct(df.where(col("g") === g), "v", k = 64).head()
+      assert(grouped(g).getAs[Long]("kth_hash") == single.getAs[Long]("kth_hash"), s"group $g")
+      assert(grouped(g).getAs[Double]("kmv_estimate") == single.getAs[Double]("kmv_estimate"))
+    }
+  }
+
   test("histogram quantile lands within one bin width of the exact percentile") {
     val n = 10000
     val df = spark.range(n).select((col("id") % 1000).cast("double").as("v"))
