@@ -34,16 +34,49 @@ object Curation {
       minQuality: Double = 0.5,
       dedupe: Boolean = true
   ): DataFrame = {
+    val filtered = filterStage(docs, textCol, langs, minQuality)
+    if (!dedupe) filtered
+    else Dedup.exactDedup(filtered, idCol, textCol)
+  }
+
+  /** [[curate]] with NEAR-duplicate removal: the same language/quality
+    * gates, then MinHash-LSH pair detection + transitive clustering +
+    * keep-the-min-id ([[Dedup.nearDedup]]) instead of exact-hash dedup —
+    * the full published pre-training recipe (filter, then fuzzy-dedup at
+    * document level) in one call. Pairs are detected on the FILTERED
+    * corpus, so boilerplate that the quality gate already dropped can't
+    * bridge unrelated near-dup clusters.
+    */
+  def curateNear(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      langs: Set[String] = Set("en"),
+      minQuality: Double = 0.5,
+      jaccardThreshold: Double = 0.8
+  ): DataFrame = {
+    val filtered = filterStage(docs, textCol, langs, minQuality)
+    // pair detection re-reads `filtered` (banded self-join); checkpoint
+    // so the enrich+filter expressions evaluate once, not once per leg
+    val pinned = filtered.localCheckpoint()
+    val pairs = Dedup.minhashLshPairs(pinned, idCol, textCol, threshold = jaccardThreshold)
+    Dedup.nearDedup(pinned, idCol, pairs)
+  }
+
+  private def filterStage(
+      docs: DataFrame,
+      textCol: String,
+      langs: Set[String],
+      minQuality: Double
+  ): DataFrame = {
     val enriched = docs
       .withColumn("pred_lang", TextAnalysis.langId(col(textCol)))
       .withColumn("quality", TextAnalysis.qualityScore(col(textCol)))
       // == floor(words*1.3) for non-negative counts: one canonical formula
       .withColumn("token_est", TextFunctions.tokenEstimate(col(textCol)).cast("long"))
-    val filtered = enriched
+    enriched
       .where(col("quality") >= minQuality)
       .where(if (langs.isEmpty) lit(true) else col("pred_lang").isin(langs.toSeq: _*))
-    if (!dedupe) filtered
-    else Dedup.exactDedup(filtered, idCol, textCol)
   }
 
   /** Corpus accounting after curation: docs and tokens kept per language. */

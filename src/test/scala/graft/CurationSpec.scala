@@ -41,4 +41,21 @@ class CurationSpec extends AnyFunSuite {
     assert(st("de")._1 == 1)
     assert(st("en")._2 > 0)
   }
+
+  test("curateNear drops fuzzy near-duplicates that exact dedup keeps") {
+    val base = "the quick brown fox jumps over the lazy dog and then walks slowly home " +
+      "through the quiet evening streets of the old town where people gather for food"
+    val near = base.replace("slowly", "quite slowly") // ~same shingle set, different hash
+    val other = "completely different content about database engines and their storage " +
+      "layouts with columnar formats compression encodings and vectorized execution today"
+    val corpus = Seq((1L, base), (2L, near), (3L, other)).toDF("doc_id", "text")
+    val exact = Curation.curate(corpus, "doc_id", "text", langs = Set.empty, minQuality = 0.0)
+      .select("doc_id").as[Long].collect().toSet
+    assert(exact == Set(1L, 2L, 3L), "exact dedup cannot see the paraphrase")
+    val fuzzy = Curation
+      .curateNear(corpus, "doc_id", "text", langs = Set.empty, minQuality = 0.0,
+        jaccardThreshold = 0.7)
+      .select("doc_id").as[Long].collect().toSet
+    assert(fuzzy == Set(1L, 3L), s"near-dup must collapse to the min id, got $fuzzy")
+  }
 }
