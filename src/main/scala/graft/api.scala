@@ -67,4 +67,18 @@ object api {
       case Some(k) => FtsIndex.buildCached(k, docs, idCol, textCol)
       case None    => FtsIndex.build(docs, idCol, textCol)
     }
+
+  /** [[curateCorpus]] with fuzzy (MinHash-LSH) document dedup instead of
+    * exact — the full published pre-training recipe.
+    */
+  def curateCorpusNear(docs: DataFrame, idCol: String, textCol: String,
+      langs: Set[String] = Set("en"), minQuality: Double = 0.5,
+      jaccardThreshold: Double = 0.8): DataFrame =
+    graft.operators.Curation.curateNear(docs, idCol, textCol, langs, minQuality, jaccardThreshold)
+
+  /** Distinct-count estimate (KMV sketch; deterministic, cross-engine
+    * checkable — see Sketches for the grouped and quantile variants).
+    */
+  def estimateDistinct(df: DataFrame, valueCol: String, k: Int = 256): DataFrame =
+    graft.operators.Sketches.kmvDistinct(df, valueCol, k)
 }
