@@ -154,29 +154,41 @@ object TextAnalysis {
         .bindOnce(split(Dedup.normalized(col(textCol)), " "), w => filter(w, t => length(t) > 0))
         .as("w")
     )
-    val uni = toks
-      .select(explode(col("w")).as("word"))
-      .groupBy("word")
-      .agg(count(lit(1)).as("c"))
-    // total carried as a 1-row plan (broadcast into the final projection):
-    // no eager driver action, no second tokenize-and-shuffle pass, and an
-    // empty corpus yields an empty result instead of an NPE
-    val tot = uni.agg(coalesce(sum("c"), lit(0L)).as("n_total"))
-    // size >= 2 guard: Spark's sequence(1, 0) DESCENDS, so a one-word doc
-    // would otherwise emit out-of-range indices instead of no bigrams
-    val bi = toks
-      .where(size(col("w")) >= 2)
+    // ONE corpus scan + ONE corpus-size shuffle: every word position i
+    // emits (w[i], w[i+1] | null-for-last), so the (w1, w2) histogram
+    // simultaneously encodes the bigram counts (w2 non-null groups) and
+    // the unigram counts (sum over each w1's groups — aggregated from the
+    // already-tiny histogram, not the corpus).
+    val pos = toks
+      .where(size(col("w")) >= 1)
       .select(
         explode(
           transform(
-            sequence(lit(1), size(col("w")) - 1),
-            i => struct(element_at(col("w"), i).as("w1"), element_at(col("w"), i + 1).as("w2"))
+            sequence(lit(1), size(col("w"))),
+            i =>
+              struct(
+                element_at(col("w"), i).as("w1"),
+                // element_at(w, size+1) is an out-of-range error, not
+                // null — guard the last position explicitly
+                when(i < size(col("w")), element_at(col("w"), i + 1)).as("w2")
+              )
           )
         ).as("g")
       )
       .select(col("g.w1").as("w1"), col("g.w2").as("w2"))
       .groupBy("w1", "w2")
-      .agg(count(lit(1)).as("c_ab"))
+      .agg(count(lit(1)).as("c_pair"))
+    // pos is read three ways below; its shuffle is shared via
+    // ReuseExchange, so the corpus-side tokenize/explode/partial-agg runs
+    // once and only histogram-sized final aggregates repeat
+    val uni = pos.groupBy("w1").agg(sum("c_pair").as("c")).withColumnRenamed("w1", "word")
+    // total carried as a 1-row plan (broadcast into the final projection):
+    // no eager driver action, and an empty corpus yields an empty result
+    // instead of an NPE
+    val tot = uni.agg(coalesce(sum("c"), lit(0L)).as("n_total"))
+    val bi = pos
+      .where(col("w2").isNotNull)
+      .select(col("w1"), col("w2"), col("c_pair").as("c_ab"))
       .where(col("c_ab") >= minCount)
     val uc1 = uni.select(col("word").as("w1"), col("c").as("c_a"))
     val uc2 = uni.select(col("word").as("w2"), col("c").as("c_b"))
