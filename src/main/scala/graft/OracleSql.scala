@@ -911,7 +911,7 @@ object OracleSql {
         |  FROM orders WHERE o_custkey < 50)
         |SELECT a.okey AS okey_a, b.okey AS okey_b, a.lo AS lo_a, b.lo AS lo_b
         |FROM o a JOIN o b
-        |  ON a.lo < b.hi AND b.lo < a.hi AND a.okey < b.okey
+        |  ON GREATEST(a.lo, b.lo) < LEAST(a.hi, b.hi) AND a.okey < b.okey
         |ORDER BY okey_a, okey_b""".stripMargin
   )
 }

@@ -67,11 +67,14 @@ object RangeJoin {
   }
 
   /** Interval-overlap join: match `left` rows to `right` rows whose
-    * `[lo, hi)` intervals overlap (`l.lo < r.hi AND r.lo < l.hi`) — the
-    * session/span intersection primitive. Same grid blocking as
-    * [[bandJoin]], on both sides; an overlapping pair shares at least one
-    * cell. Duplicate elimination is arithmetic, not a shuffle: a pair is
-    * emitted only from the FIRST cell both intervals cover
+    * `[lo, hi)` intervals have a NON-EMPTY intersection
+    * (`greatest(lo_l, lo_r) < least(hi_l, hi_r)` — not the textbook
+    * `l.lo < r.hi AND r.lo < l.hi`, which spuriously matches empty
+    * `[x, x)` intervals sitting inside the other range). The session/span
+    * intersection primitive. Same grid blocking as [[bandJoin]], on both
+    * sides; an overlapping pair shares at least one cell. Duplicate
+    * elimination is arithmetic, not a shuffle: a pair is emitted only
+    * from the FIRST cell both intervals cover
     * (`floor(max(lo_l, lo_r) / w)`), so no `dropDuplicates` pass and no
     * second shuffle. Prefix the two sides' columns distinctly before
     * calling (the result carries both).
@@ -89,9 +92,12 @@ object RangeJoin {
     val l = explodeCells(left, leftLo, leftHi, cellWidth)
     val r = explodeCells(right, rightLo, rightHi, cellWidth).withColumnRenamed("_cell", "_cell_r")
     l.join(r, col("_cell") === col("_cell_r"))
-      .where(col(leftLo) < col(rightHi) && col(rightLo) < col(leftHi))
+      .where(
+        greatest(col(leftLo), col(rightLo)) < least(col(leftHi), col(rightHi))
+      )
       // first shared cell only: kills the multi-cell duplicates without a
-      // dropDuplicates shuffle
+      // dropDuplicates shuffle (max(lo) lies in both intervals whenever
+      // the intersection is non-empty, so its cell is covered by both)
       .where(col("_cell") === floor(greatest(col(leftLo), col(rightLo)) / cellWidth).cast("long"))
       .drop("_cell", "_cell_r")
   }

@@ -65,4 +65,32 @@ class EdgeCasesSpec extends AnyFunSuite {
     val out = AsOfJoin.asofJoin(left, right, "k", "ts", Seq("rv")).collect()
     assert(out.length == 1 && out.head.isNullAt(out.head.fieldIndex("asof_rv")))
   }
+
+  test("range joins: empty band table, zero-width intervals, empty fact side") {
+    val fact = Seq(1.0, 50.0).toDF("v")
+    val noBands = Seq.empty[(Double, Double, String)].toDF("lo", "hi", "band")
+    assert(RangeJoin.bandJoin(fact, "v", noBands, "lo", "hi", 10.0).count() == 0)
+    // zero-width [x, x) matches nothing (hi exclusive)
+    val degenerate = Seq((50.0, 50.0, "empty")).toDF("lo", "hi", "band")
+    assert(RangeJoin.bandJoin(fact, "v", degenerate, "lo", "hi", 10.0).count() == 0)
+    val l = Seq((1L, 0.0, 0.0)).toDF("lid", "lo_l", "hi_l") // zero-width left interval
+    val r = Seq((2L, -5.0, 5.0)).toDF("rid", "lo_r", "hi_r")
+    assert(RangeJoin.overlapJoin(l, "lo_l", "hi_l", r, "lo_r", "hi_r", 10.0).count() == 0,
+      "an empty interval overlaps nothing")
+  }
+
+  test("sketches: empty inputs produce empty/zero results, never a crash") {
+    val empty = Seq.empty[Double].toDF("v")
+    assert(Sketches.histogramQuantile(empty, "v", 0.0, 1.0, 10, Seq(0.5)).count() == 0)
+    val kmv = Sketches.kmvDistinct(emptyDocs, "text", k = 16).head()
+    assert(kmv.getAs[Long]("k_used") == 0L)
+    assert(Sketches.kmvDistinctBy(emptyDocs, Seq("doc_id"), "text", 16).count() == 0)
+  }
+
+  test("weighted Bernoulli: zero weight always drops, huge weight always keeps") {
+    val rows = Seq((1L, 0L), (2L, 3000000000L)).toDF("id", "wt") // 3e9 > 2^31
+    val kept = Sampling.weightedBernoulli(rows, "id", "wt", 1, 1000)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(2L), "w=0 -> P=0; w*rate >= 1 -> P=1 (and no Long overflow)")
+  }
 }

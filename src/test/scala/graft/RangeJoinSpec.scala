@@ -58,7 +58,7 @@ class RangeJoinSpec extends AnyFunSuite {
       val lo = rnd.nextInt(500).toDouble; (i.toLong, lo, lo + 1 + rnd.nextInt(80))
     }.toDF("rid", "lo_r", "hi_r")
     val naive = l
-      .join(r, col("lo_l") < col("hi_r") && col("lo_r") < col("hi_l"))
+      .join(r, greatest(col("lo_l"), col("lo_r")) < least(col("hi_l"), col("hi_r")))
       .select("lid", "rid").as[(Long, Long)].collect().toSeq
     for (w <- Seq(10.0, 37.0, 200.0)) {
       val got = RangeJoin.overlapJoin(l, "lo_l", "hi_l", r, "lo_r", "hi_r", cellWidth = w)
