@@ -46,6 +46,10 @@ object Curation {
     * document level) in one call. Pairs are detected on the FILTERED
     * corpus, so boilerplate that the quality gate already dropped can't
     * bridge unrelated near-dup clusters.
+    *
+    * NOT lazy: the transitive-clustering loop inside runs Spark jobs at
+    * call time (iterative connected components cannot be expressed as one
+    * deferred plan), unlike [[curate]].
     */
   def curateNear(
       docs: DataFrame,
@@ -56,9 +60,14 @@ object Curation {
       jaccardThreshold: Double = 0.8
   ): DataFrame = {
     val filtered = filterStage(docs, textCol, langs, minQuality)
-    // pair detection re-reads `filtered` (banded self-join); checkpoint
-    // so the enrich+filter expressions evaluate once, not once per leg
-    val pinned = filtered.localCheckpoint()
+    // pair detection re-reads `filtered` several times (banded self-join
+    // legs + re-attach); lazily checkpoint so the enrich+filter
+    // expressions evaluate once when the caller first acts, not once per
+    // leg — and construction itself stays action-free. The checkpointed
+    // blocks live until the application ends (a lazy API has no unpersist
+    // point); callers curating repeatedly in one long session can
+    // unpersist via the returned plan's lineage or re-create the session.
+    val pinned = filtered.localCheckpoint(eager = false)
     val pairs = Dedup.minhashLshPairs(pinned, idCol, textCol, threshold = jaccardThreshold)
     Dedup.nearDedup(pinned, idCol, pairs)
   }

@@ -29,6 +29,15 @@ object Sketches {
   private[graft] def md5Hash32(value: Column): Column =
     conv(substring(md5(value.cast("string")), 1, 8), 16, 10).cast("long")
 
+  /** The KMV estimator: exact when fewer than k distinct hashes were
+    * observed, else (k-1) / normalized k-th minimum. ONE definition shared
+    * by the global and grouped paths — both oracles mirror this exact
+    * arithmetic.
+    */
+  private def kmvEstimate(kUsed: Column, kthHash: Column, k: Int): Column =
+    when(kUsed < k, kUsed.cast("double"))
+      .otherwise(lit((k - 1).toDouble * 4294967296.0) / kthHash)
+
   /** KMV distinct-count estimate for `df(valueCol)`. Returns one row:
     * `k_used` (min(k, observed distinct hashes)), `kth_hash` (the k-th
     * smallest 32-bit hash), `kmv_estimate` (estimated distinct count;
@@ -48,21 +57,23 @@ object Sketches {
     ).select(
       col("k_used"),
       col("kth_hash"),
-      when(col("k_used") < k, col("k_used").cast("double"))
-        .otherwise(lit((k - 1).toDouble * 4294967296.0) / col("kth_hash"))
-        .as("kmv_estimate")
+      kmvEstimate(col("k_used"), col("kth_hash"), k).as("kmv_estimate")
     )
   }
 
   /** Per-group KMV: distinct-count estimate for `valueCol` within each
-    * `keys` group, in ONE aggregation pass over the native bounded-heap
-    * aggregate ([[graft.plans.TopKBy]] with score = -hash keeps each
-    * group's k smallest hashes; partial heaps combine, so at most k longs
-    * per (partition, group) cross the shuffle). The grouped shape of
-    * `approx_count_distinct`, but deterministic and oracle-checkable.
+    * `keys` group over the native bounded-heap aggregate
+    * ([[graft.plans.TopKBy]] with score = -hash keeps each group's k
+    * smallest hashes). Two shuffles: the prerequisite distinct carries
+    * every distinct (key, hash) pair — corpus-cardinality, required
+    * because the heap does not dedup — and the heap aggregation itself is
+    * k-bounded (at most k longs per (partition, group)). The grouped
+    * shape of `approx_count_distinct`, but deterministic and
+    * oracle-checkable.
     */
   def kmvDistinctBy(df: DataFrame, keys: Seq[String], valueCol: String, k: Int = 256): DataFrame = {
     require(k >= 2, s"kmv needs k >= 2, got $k")
+    require(keys.nonEmpty, "kmvDistinctBy needs grouping keys; use kmvDistinct for the global sketch")
     val keyCols = keys.map(col)
     val hashed = df
       .where(col(valueCol).isNotNull)
@@ -71,7 +82,9 @@ object Sketches {
     hashed
       .groupBy(keyCols: _*)
       // entries come back as (score, id) structs ordered (score desc,
-      // id asc) = hash ascending, so the LAST id is the k-th smallest
+      // id asc) = hash ascending, so the LAST id is the k-th smallest.
+      // (Groups exist only for observed rows, so the heap is never empty
+      // and the element_at index is always >= 1.)
       .agg(graft.plans.TopKBy.topKBy((-col("h")).cast("double"), col("h"), k).as("top"))
       .select(
         keyCols ++ Seq(
@@ -79,11 +92,7 @@ object Sketches {
           element_at(col("top"), size(col("top"))).getField("id").as("kth_hash")
         ): _*
       )
-      .withColumn(
-        "kmv_estimate",
-        when(col("k_used") < k, col("k_used").cast("double"))
-          .otherwise(lit((k - 1).toDouble * 4294967296.0) / col("kth_hash"))
-      )
+      .withColumn("kmv_estimate", kmvEstimate(col("k_used"), col("kth_hash"), k))
   }
 
   /** Fixed-histogram quantile sketch: bin `valueCol` into `nBins` equal

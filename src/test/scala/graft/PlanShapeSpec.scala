@@ -126,7 +126,9 @@ class PlanShapeSpec extends AnyFunSuite {
   test("KMV sketch truncates per partition: TakeOrderedAndProject, no global sort") {
     val p = plan("q_kmv_distinct")
     assert(p.contains("TakeOrderedAndProject"), p.take(1200))
-    assert(!p.contains("(Sort "), "k smallest hashes must come from per-partition heaps")
+    // formatted mode renders sort nodes as "(8) Sort" — match the node id
+    assert("\\(\\d+\\) Sort\\b".r.findFirstIn(p).isEmpty,
+      "k smallest hashes must come from per-partition heaps:\n" + p.take(1500))
   }
 
   test("salted aggregation is two-phase: first shuffle keyed on (key, salt)") {
@@ -136,13 +138,13 @@ class PlanShapeSpec extends AnyFunSuite {
       "phase-1 exchange must include the salt key:\n" + p.take(1500))
   }
 
-  test("weighted sampling is a pure scan-side filter: no exchange at all") {
+  test("weighted sampling is a pure scan-side filter: no hash exchange at all") {
     val p = plan("q_weighted_sample")
-    // presentation orderBy is allowed to exchange; strip everything after
-    // the Sort for the guard
-    val beforeSort = p.split("Sort \\[")(0)
-    assert(!beforeSort.contains("Exchange hashpartitioning"),
-      "membership must be decided at the scan, not after a shuffle:\n" + p.take(1500))
+    // the presentation orderBy exchanges with RANGEpartitioning; membership
+    // itself must never hash-shuffle, so any hashpartitioning exchange
+    // argument in the plan is a regression
+    assert(!p.contains("hashpartitioning"),
+      "membership must be decided at the scan, not after a hash shuffle:\n" + p.take(1500))
   }
 
   test("range join never degrades to a nested-loop or cartesian join") {
