@@ -158,24 +158,22 @@ object TextAnalysis {
     // emits (w[i], w[i+1] | null-for-last), so the (w1, w2) histogram
     // simultaneously encodes the bigram counts (w2 non-null groups) and
     // the unigram counts (sum over each w1's groups — aggregated from the
-    // already-tiny histogram, not the corpus).
+    // already-tiny histogram, not the corpus). The pairing is arrays_zip
+    // of the word array with its left-shift (padded with one null) —
+    // a far smaller expression tree than an indexed transform, which
+    // matters because codegen compilation is a real per-query cost.
     val pos = toks
       .where(size(col("w")) >= 1)
       .select(
         explode(
-          transform(
-            sequence(lit(1), size(col("w"))),
-            i =>
-              struct(
-                element_at(col("w"), i).as("w1"),
-                // element_at(w, size+1) is an out-of-range error, not
-                // null — guard the last position explicitly
-                when(i < size(col("w")), element_at(col("w"), i + 1)).as("w2")
-              )
+          arrays_zip(
+            col("w"),
+            concat(slice(col("w"), lit(2), greatest(size(col("w")) - 1, lit(0))),
+              array(lit(null).cast("string")))
           )
         ).as("g")
       )
-      .select(col("g.w1").as("w1"), col("g.w2").as("w2"))
+      .select(col("g.w").as("w1"), col("g.1").as("w2"))
       .groupBy("w1", "w2")
       .agg(count(lit(1)).as("c_pair"))
     // pos is read three ways below; its shuffle is shared via
