@@ -67,4 +67,19 @@ class SamplingSpec extends AnyFunSuite {
     assert(again.select("id").collect().map(_.getLong(0)).toSet ==
       kept.select("id").collect().map(_.getLong(0)).toSet)
   }
+
+  test("weighted Bernoulli samples are monotone in rate (progressive sampling)") {
+    import org.apache.spark.sql.functions.col
+    val rows = spark.range(2000).select(col("id"), (col("id") % 97 + 1).as("wt"))
+    // same hash coin at every rate -> raising the rate only ADDS rows.
+    // This is the property that lets a 100 TB pipeline grow a sample
+    // (1% -> 5% -> 25%) without re-reading or churning earlier picks.
+    val sets = Seq(1L, 5L, 25L).map { num =>
+      Sampling.weightedBernoulli(rows, "id", "wt", num, 10000)
+        .select("id").as[Long].collect().toSet
+    }
+    assert(sets(0).subsetOf(sets(1)) && sets(1).subsetOf(sets(2)),
+      s"sizes: ${sets.map(_.size)}")
+    assert(sets(0).size < sets(2).size, "higher rate must actually add rows")
+  }
 }
