@@ -516,9 +516,15 @@ object OracleSql {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_above_avg" ->
-      """SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey FROM customer c1
-        |WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer c2
-        |                   WHERE c2.c_nationkey = c1.c_nationkey)
+      // cross-multiplied decimal comparison == bal > avg, but exact (no
+      // float summation-order sensitivity between the engines)
+      """WITH a AS (SELECT c_nationkey AS nk,
+        |                  SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS bal_sum,
+        |                  COUNT(*) AS n_cust
+        |           FROM customer GROUP BY 1)
+        |SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey
+        |FROM customer JOIN a ON c_nationkey = nk
+        |WHERE CAST(c_acctbal AS DECIMAL(18,2)) * n_cust > bal_sum
         |ORDER BY c_custkey""".stripMargin,
 
     "q_minmax_dates" ->

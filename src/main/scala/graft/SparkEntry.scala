@@ -206,14 +206,15 @@ object SparkEntry {
     t(s, dir, "part")
       .select(
         col("p_partkey"),
+        // explicit ws class: see TextFunctions.Ws (Java \s vs RE2 \s)
         trim(
           regexp_replace(
             regexp_replace(
-              regexp_replace(col("p_name"), "^[A-Z]{2,3}\\d{2,4}\\s*", ""),
-              "[_\\s]?\\d{6}$",
+              regexp_replace(col("p_name"), "^[A-Z]{2,3}\\d{2,4}[ \\t\\n\\f\\r]*", ""),
+              "[_ \\t\\n\\f\\r]?\\d{6}$",
               ""
             ),
-            "[_\\s]?\\d{4}$",
+            "[_ \\t\\n\\f\\r]?\\d{4}$",
             ""
           )
         ).as("clean_title")
@@ -396,8 +397,12 @@ object SparkEntry {
     */
   private def qBm25(s: SparkSession, dir: String): DataFrame = {
     val idx = FtsIndex.buildCached(s"$dir/documents", t(s, dir, "documents"), "doc_id", "text")
+    // top-20 selected on the ROUNDED score (scoreAll, then round, then
+    // truncate) exactly like the oracle's bm CTE — truncating on raw
+    // scores first could disagree with the oracle at the rank-20 boundary
+    // when two docs round to the same 6-decimal score
     FtsIndex
-      .search(s, idx, "spark query data", 20)
+      .scoreAll(s, idx, "spark query data")
       .select(col("doc_id"), round(col("score"), 6).as("score"))
       .orderBy(desc("score"), col("doc_id"))
       .limit(20)
@@ -505,6 +510,8 @@ object SparkEntry {
     import s.implicits._
     t(s, dir, "documents")
       .select(col("doc_id"), col("text"))
+      // Chunker.chunk NPEs on null text; sibling queries filter the same
+      .where(col("text").isNotNull)
       .as[(Long, String)]
       .flatMap { case (id, text) =>
         Chunker.chunk(text, ChunkingConfig(chunkSize = 256, chunkOverlap = 32)).map { c =>
@@ -736,10 +743,17 @@ object SparkEntry {
     */
   private def qAboveAvg(s: SparkSession, dir: String): DataFrame = {
     val c = t(s, dir, "customer")
+    // membership gated on bal > avg, expressed as the cross-multiplied
+    // DECIMAL comparison bal * n > sum: exact in both engines, where a
+    // floating AVG's partial-aggregation summation order could flip a
+    // borderline row between Spark and the sequential-summing oracle
     val avgByNation = c.groupBy(col("c_nationkey").as("nk"))
-      .agg(avg(col("c_acctbal")).as("nation_avg"))
+      .agg(
+        sum(col("c_acctbal").cast("decimal(18,2)")).as("bal_sum"),
+        count(lit(1)).as("n_cust")
+      )
     c.join(broadcast(avgByNation), col("c_nationkey") === col("nk"))
-      .where(col("c_acctbal") > col("nation_avg"))
+      .where(col("c_acctbal").cast("decimal(18,2)") * col("n_cust") > col("bal_sum"))
       .select(col("c_custkey"), col("c_nationkey").cast("long").as("c_nationkey"))
       .orderBy("c_custkey")
   }

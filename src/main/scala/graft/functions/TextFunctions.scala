@@ -38,25 +38,35 @@ object TextFunctions {
       "\\.[pP][dD][fF]$",
       ""
     )
-    val noPrefix = regexp_replace(stem, "^[A-Z]{2,3}\\d{2,4}\\s*", "")
-    val noDate6 = regexp_replace(noPrefix, "[_\\s]?\\d{6}$", "")
-    val noDate4 = regexp_replace(noDate6, "[_\\s]?\\d{4}$", "")
+    val noPrefix = regexp_replace(stem, s"^[A-Z]{2,3}\\d{2,4}$Ws*", "")
+    val noDate6 = regexp_replace(noPrefix, s"[_ \\t\\n\\f\\r]?\\d{6}$$", "")
+    val noDate4 = regexp_replace(noDate6, s"[_ \\t\\n\\f\\r]?\\d{4}$$", "")
     trim(noDate4)
   }
 
   /** Rough token estimate: whitespace words x 1.3, truncated to int
     * (reference: src/transform/chunker.py:124-126).
     */
+  /** Cross-engine whitespace class. Java regex `\s` is `[ \t\n\x0B\f\r]`
+    * but RE2 (DuckDB, the oracle) excludes vertical tab — a document
+    * containing `\x0B` would silently diverge every word-count/
+    * normalization oracle at once. The explicit class pins BOTH engines
+    * to the RE2 semantics. Use these (not bare `\s`/`\S`) in any pattern
+    * whose output reaches an oracle-checked query.
+    */
+  val Ws = "[ \\t\\n\\f\\r]"
+  val NonWs = "[^ \\t\\n\\f\\r]"
+
   def tokenEstimate(text: Column): Column =
     (wordCount(text) * lit(1.3)).cast("int")
 
   /** Count of whitespace-separated words (Python `len(s.split())` semantics:
-    * leading/trailing whitespace produces no empty words). `\S+` run count
-    * is the same value as size(filter(split(\s+), len>0)) but stays inside
+    * leading/trailing whitespace produces no empty words). Non-ws run count
+    * is the same value as size(filter(split(ws+), len>0)) but stays inside
     * whole-stage codegen — higher-order functions are interpreted.
     */
   def wordCount(text: Column): Column =
-    regexp_count(text, lit("\\S+"))
+    regexp_count(text, lit(NonWs + "+"))
 
   /** Extraction-quality metric columns (reference:
     * src/extract/pymupdf_extractor.py:173-205): chars/page, words/page, avg
@@ -71,9 +81,9 @@ object TextFunctions {
 
   def avgWordLength(text: Column): Column = {
     // sum of word lengths == count of non-whitespace chars; word count ==
-    // \S+ runs — identical values to the old aggregate-over-split form,
+    // non-ws runs — identical values to the old aggregate-over-split form,
     // but pure codegen'd built-ins
-    val totalLen = length(regexp_replace(text, "\\s", ""))
+    val totalLen = length(regexp_replace(text, Ws, ""))
     totalLen.cast("double") / greatest(wordCount(text), lit(1))
   }
 

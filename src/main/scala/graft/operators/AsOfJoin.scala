@@ -56,10 +56,15 @@ object AsOfJoin {
           )
         )
 
-    // right (side 0) sorts before left (side 1) at equal ts -> `<=` match
+    // right (side 0) sorts before left (side 1) at equal ts -> `<=` match.
+    // `_rv` as the final key totally orders right rows that share a
+    // (key, ts): without it, last() picks whichever tied right row the
+    // partitioning happened to place later — nondeterministic across runs.
+    // (Among tied LEFT rows _rv is uniformly null, and each tied left row
+    // sees the same preceding right rows, so their results are unaffected.)
     val w = Window
       .partitionBy(keyCol)
-      .orderBy(col(tsCol), col("_side"))
+      .orderBy(col(tsCol), col("_side"), col("_rv"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     tagged

@@ -41,7 +41,9 @@ object Chunker {
     * (reference: src/transform/chunker.py:124-126).
     */
   def estimateTokens(text: String): Int = {
-    val words = text.split("\\s+").count(_.nonEmpty)
+    // explicit ws class (TextFunctions.Ws): keep driver-side token math
+    // identical to the column-side/oracle word counting
+    val words = text.split("[ \\t\\n\\f\\r]+").count(_.nonEmpty)
     (words * 1.3).toInt
   }
 

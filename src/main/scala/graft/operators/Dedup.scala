@@ -21,7 +21,9 @@ object Dedup {
 
   /** Normalize text for dedup purposes: lowercase, collapse whitespace. */
   def normalized(text: Column): Column =
-    trim(regexp_replace(lower(text), "\\s+", " "))
+    // explicit ws class (TextFunctions.Ws): Java \s includes \x0B, RE2
+    // (the DuckDB oracle) does not — pin both engines to the same class
+    trim(regexp_replace(lower(text), graft.functions.TextFunctions.Ws + "+", " "))
 
   /** Exact duplicate groups: md5 over normalized text. Returns one row per
     * hash with the sorted list of member ids and the group size; groups of

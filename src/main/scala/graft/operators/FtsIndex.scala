@@ -174,15 +174,16 @@ object FtsIndex {
     idf * tfSat
   }
 
-  /** Top-k BM25 search. The query is tokenized driver-side (it is one short
-    * string); candidate postings are filtered with an `isin` predicate that
-    * Catalyst pushes into the postings scan.
+  /** BM25 scores for EVERY candidate document (one row per doc matching
+    * at least one query term) — [[search]] without the top-k truncation.
+    * Use when the ranking will be re-ordered downstream (prefilter +
+    * re-rank, cross-engine comparison on rounded scores): truncating
+    * before a downstream filter/re-sort silently loses rows.
     */
-  def search(
+  def scoreAll(
       spark: SparkSession,
       index: Index,
       query: String,
-      k: Int,
       k1: Double = 1.2,
       b: Double = 0.75
   ): DataFrame = {
@@ -210,7 +211,21 @@ object FtsIndex {
       )
       .groupBy("doc_id")
       .agg(sum("term_score").as("score"))
+  }
+
+  /** Top-k BM25 search. The query is tokenized driver-side (it is one short
+    * string); candidate postings are filtered with an `isin` predicate that
+    * Catalyst pushes into the postings scan.
+    */
+  def search(
+      spark: SparkSession,
+      index: Index,
+      query: String,
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75
+  ): DataFrame =
+    scoreAll(spark, index, query, k1, b)
       .orderBy(desc("score"), col("doc_id"))
       .limit(k)
-  }
 }

@@ -97,7 +97,7 @@ object TextAnalysis {
     * beyond the first 4 (approximating byte-pair splitting of rare words).
     */
   def bpeTokenEstimate(text: Column): Column = {
-    val words = filter(split(text, "\\s+"), w => length(w) > 0)
+    val words = filter(split(text, TextFunctions.Ws + "+"), w => length(w) > 0)
     aggregate(
       words,
       lit(0),

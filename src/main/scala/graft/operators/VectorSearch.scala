@@ -60,7 +60,8 @@ object VectorSearch {
       corpusIdCol: String,
       corpusVecCol: String,
       k: Int,
-      blockBits: Int = 0
+      blockBits: Int = 0,
+      blockDim: Int = 0
   ): DataFrame = {
     // TopKBy carries ids as longs through its heap buffer: a string id
     // would null-out (or ANSI-error) in the cast and silently empty the
@@ -78,7 +79,15 @@ object VectorSearch {
     val paired =
       if (blockBits <= 0) q.crossJoin(c)
       else {
-        val lsh = SimHashLsh(nBits = blockBits)
+        // the signature planes must span the FULL vector: SimHashLsh's
+        // default dim (64) would silently ignore every component past 64
+        // of a longer embedding and collapse blocking recall. Derive the
+        // dimension from the corpus when not supplied (one 1-row action —
+        // acceptable for an explicitly requested blocking mode).
+        val dim =
+          if (blockDim > 0) blockDim
+          else c.select(size(col("cv"))).head().getInt(0)
+        val lsh = SimHashLsh(nBits = blockBits, dim = dim)
         val qs = lsh.withSignature(q, "qv").withColumnRenamed("sig", "qsig")
         val cs = lsh.withSignature(c, "cv").withColumnRenamed("sig", "csig")
         qs.join(cs, col("qsig") === col("csig")).drop("qsig", "csig")
@@ -183,7 +192,8 @@ object VectorSearch {
 
   /** Persist an IVF index partitioned BY CELL: probing then becomes
     * parquet partition pruning — a query reads only `nProbe` of `nLists`
-    * directories. Returns the reloaded, storage-backed index.
+    * directories. Pair with [[loadIvf]] to get the storage-backed index
+    * back (this method only writes).
     */
   def writeIvf(index: IvfIndex, path: String): Unit = {
     index.indexed.write.mode("overwrite").partitionBy("ivf_cell").parquet(s"$path/cells")
@@ -240,12 +250,14 @@ object VectorSearch {
 
   def buildIvfCached(key: String, corpus: => org.apache.spark.sql.DataFrame, vecCol: String,
       nLists: Int = 16, seed: Long = 42L): IvfIndex =
-    // build params are part of the cache identity: same corpus with a
-    // different nLists/seed must not serve the old quantizer
-    ivfCache.computeIfAbsent(s"$key:$nLists:$seed", _ => buildIvf(corpus, vecCol, nLists, seed))
+    // build params are part of the cache identity: the same key with a
+    // different vector column, nLists, or seed must not serve the old
+    // quantizer
+    ivfCache.computeIfAbsent(s"$key:$vecCol:$nLists:$seed",
+      _ => buildIvf(corpus, vecCol, nLists, seed))
 
-  def invalidateIvf(key: String, nLists: Int = 16, seed: Long = 42L): Unit =
-    Option(ivfCache.remove(s"$key:$nLists:$seed")).foreach(_.indexed.unpersist())
+  def invalidateIvf(key: String, vecCol: String, nLists: Int = 16, seed: Long = 42L): Unit =
+    Option(ivfCache.remove(s"$key:$vecCol:$nLists:$seed")).foreach(_.indexed.unpersist())
 
   /** Drop every cached IVF index — the warehouse-flush companion. */
   def invalidateAllIvf(): Unit = {

@@ -64,9 +64,19 @@ final class Retriever(spark: SparkSession, pipeline: Pipeline, config: GraftConf
 
   def keywordSearch(query: String, k: Int, titleFilter: Option[String] = None): DataFrame = {
     val idx = pipeline.ftsIndex
-    val scored = FtsIndex.search(spark, idx, query, math.max(k * 4, k),
-      config.search.bm25K1, config.search.bm25B)
-      .withColumnRenamed("doc_id", "id")
+    // With a title filter the PREDICATE must see every scored candidate
+    // (the reference's LanceDB FTS prefilters before its limit): a k*4
+    // overfetch truncated on unfiltered score could rank all
+    // title-matching chunks below the cut and return fewer than k — or
+    // zero — matching rows. Without a filter the bounded overfetch is the
+    // cheaper plan.
+    val scored = (titleFilter match {
+      case Some(_) =>
+        FtsIndex.scoreAll(spark, idx, query, config.search.bm25K1, config.search.bm25B)
+      case None =>
+        FtsIndex.search(spark, idx, query, math.max(k * 4, k),
+          config.search.bm25K1, config.search.bm25B)
+    }).withColumnRenamed("doc_id", "id")
     val joined = chunks.join(scored, "id")
     val filtered = titlePred(titleFilter).map(joined.where).getOrElse(joined)
     filtered

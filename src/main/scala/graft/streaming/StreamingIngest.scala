@@ -93,7 +93,23 @@ final class StreamingIngest(spark: SparkSession, config: GraftConfig = GraftConf
       .toDF("id", "document_id", "document_title", "text", "chunk_index",
         "total_chunks", "token_count", "is_section_start")
 
+    // One materialization of the chunk+embed work: the batch feeds the
+    // table append AND the FTS extension, and without the pin each
+    // consumer (plus the index's lazily-persisted postings) would re-run
+    // the embedding mapPartitions.
     val chunks = Embedder.withEmbedding(chunkRows, "text", "embedding", config.embedding)
+      .localCheckpoint()
+
+    // Incremental FTS maintenance BEFORE the table append: if a live
+    // index exists, extend it with THIS batch (O(batch) — the point of
+    // the df-free postings design). Done in this order, a concurrent
+    // search can never double-count the batch: with an index present the
+    // extension is atomic in the cache (no rebuild can interleave); with
+    // no index this is a no-op and the next search builds from the table
+    // — which only then gains the batch. The reverse order had a race
+    // where a search between append and extension built an index already
+    // containing the batch, and the extension unioned it AGAIN.
+    val extended = FtsIndex.appendCached(ftsKey, chunks, "id", "text")
 
     catalog.append(
       docs.select(
@@ -104,12 +120,11 @@ final class StreamingIngest(spark: SparkSession, config: GraftConfig = GraftConf
       "documents_stream"
     )
     catalog.append(chunks, "chunks_stream")
-    // Incremental FTS maintenance: if a live index exists for the stream
-    // corpus, extend it with THIS batch's chunks (O(batch) append — the
-    // point of the df-free postings design) instead of letting the next
-    // search rebuild from the whole table. No-op before the first search
-    // builds the index.
-    FtsIndex.appendCached(ftsKey, chunks, "id", "text")
+    // no live index retained the batch postings -> the checkpointed batch
+    // has no remaining consumers; free its blocks (when an index DID
+    // extend, the postings reference the checkpoint and invalidate() is
+    // the release point)
+    if (extended.isEmpty) chunks.unpersist()
     graft.util.JsonLog.info("stream_batch_ingested", "batch_id" -> batchId)
   }
 
