@@ -210,11 +210,12 @@ object SparkEntry {
         trim(
           regexp_replace(
             regexp_replace(
-              regexp_replace(col("p_name"), "^[A-Z]{2,3}\\d{2,4}[ \\t\\n\\f\\r]*", ""),
-              "[_ \\t\\n\\f\\r]?\\d{6}$",
+              regexp_replace(col("p_name"),
+                s"^[A-Z]{2,3}\\d{2,4}${TextFunctions.Ws}*", ""),
+              s"[_${TextFunctions.WsChars}]?\\d{6}$$",
               ""
             ),
-            "[_ \\t\\n\\f\\r]?\\d{4}$",
+            s"[_${TextFunctions.WsChars}]?\\d{4}$$",
             ""
           )
         ).as("clean_title")

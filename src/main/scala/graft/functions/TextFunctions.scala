@@ -39,8 +39,8 @@ object TextFunctions {
       ""
     )
     val noPrefix = regexp_replace(stem, s"^[A-Z]{2,3}\\d{2,4}$Ws*", "")
-    val noDate6 = regexp_replace(noPrefix, s"[_ \\t\\n\\f\\r]?\\d{6}$$", "")
-    val noDate4 = regexp_replace(noDate6, s"[_ \\t\\n\\f\\r]?\\d{4}$$", "")
+    val noDate6 = regexp_replace(noPrefix, s"[_$WsChars]?\\d{6}$$", "")
+    val noDate4 = regexp_replace(noDate6, s"[_$WsChars]?\\d{4}$$", "")
     trim(noDate4)
   }
 
@@ -52,10 +52,12 @@ object TextFunctions {
     * containing `\x0B` would silently diverge every word-count/
     * normalization oracle at once. The explicit class pins BOTH engines
     * to the RE2 semantics. Use these (not bare `\s`/`\S`) in any pattern
-    * whose output reaches an oracle-checked query.
+    * whose output reaches an oracle-checked query; compose custom classes
+    * from `WsChars` so there is exactly one definition to adjust.
     */
-  val Ws = "[ \\t\\n\\f\\r]"
-  val NonWs = "[^ \\t\\n\\f\\r]"
+  val WsChars = " \\t\\n\\f\\r"
+  val Ws = s"[$WsChars]"
+  val NonWs = s"[^$WsChars]"
 
   def tokenEstimate(text: Column): Column =
     (wordCount(text) * lit(1.3)).cast("int")

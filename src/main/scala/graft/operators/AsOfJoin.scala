@@ -62,9 +62,17 @@ object AsOfJoin {
     // partitioning happened to place later — nondeterministic across runs.
     // (Among tied LEFT rows _rv is uniformly null, and each tied left row
     // sees the same preceding right rows, so their results are unaffected.)
+    // Unorderable payload types (maps) can't join the sort order — those
+    // fall back to the binary ordering and keep the documented
+    // pick-any-tied-row semantics rather than failing analysis.
+    val rvOrderable =
+      org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(rvType)
+    val orderKeys =
+      if (rvOrderable) Seq(col(tsCol), col("_side"), col("_rv"))
+      else Seq(col(tsCol), col("_side"))
     val w = Window
       .partitionBy(keyCol)
-      .orderBy(col(tsCol), col("_side"), col("_rv"))
+      .orderBy(orderKeys: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     tagged

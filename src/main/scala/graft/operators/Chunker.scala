@@ -43,7 +43,7 @@ object Chunker {
   def estimateTokens(text: String): Int = {
     // explicit ws class (TextFunctions.Ws): keep driver-side token math
     // identical to the column-side/oracle word counting
-    val words = text.split("[ \\t\\n\\f\\r]+").count(_.nonEmpty)
+    val words = text.split("[" + graft.functions.TextFunctions.WsChars + "]+").count(_.nonEmpty)
     (words * 1.3).toInt
   }
 

@@ -40,7 +40,11 @@ object FtsIndex {
       // persisted fragments behind `postings` (append builds a union of
       // persisted batches): invalidate must unpersist ALL of them, or a
       // long-lived session leaks one block-manager entry per batch
-      retained: Seq[DataFrame] = Nil
+      retained: Seq[DataFrame] = Nil,
+      // id of the last streaming micro-batch unioned in — the idempotence
+      // stamp that lets a replayed batch skip re-extension (see
+      // extendForBatch)
+      lastBatchId: Option[Long] = None
   ) {
     private[operators] def unpersistAll(): Unit = {
       postings.unpersist()
@@ -144,6 +148,46 @@ object FtsIndex {
     */
   def appendCached(key: String, newDocs: DataFrame, idCol: String, textCol: String): Option[Index] =
     Option(cache.computeIfPresent(key, (_, idx) => append(idx, newDocs, idCol, textCol)))
+
+  /** Streaming-safe incremental maintenance: atomically ensure the cached
+    * index under `key` includes micro-batch `batchId`. Exactly one of
+    * three things happens, all inside the map's per-key compute (which
+    * also serializes against concurrent [[buildCached]] calls):
+    *
+    *   - index present, `lastBatchId == batchId`: REPLAYED batch — no-op
+    *     (a retried micro-batch must not union its postings twice);
+    *   - index present otherwise: extend with the batch, stamp batchId;
+    *   - index absent: build from `preBatchCorpus` (the table BEFORE this
+    *     batch lands), then extend with the batch, stamp.
+    *
+    * Call BEFORE appending the batch to the table: then a concurrent
+    * search can neither double-count the batch (any index it builds/uses
+    * is the one this compute produced or preceded) nor lose it (the
+    * table only gains the batch after the index already has it). The
+    * absent case means the first streaming batch pays one build of the
+    * pre-existing corpus even if no search ever runs — the price of
+    * closing the build-vs-extend race windows on both sides.
+    */
+  def extendForBatch(
+      key: String,
+      batchId: Long,
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      preBatchCorpus: => DataFrame
+  ): Index =
+    cache.compute(
+      key,
+      (_, existing) =>
+        existing match {
+          case null =>
+            append(build(preBatchCorpus, idCol, textCol), newDocs, idCol, textCol)
+              .copy(lastBatchId = Some(batchId))
+          case idx if idx.lastBatchId.contains(batchId) => idx
+          case idx =>
+            append(idx, newDocs, idCol, textCol).copy(lastBatchId = Some(batchId))
+        }
+    )
 
   def invalidate(key: String): Unit = {
     Option(cache.remove(key)).foreach(_.unpersistAll())

@@ -83,10 +83,13 @@ object VectorSearch {
         // default dim (64) would silently ignore every component past 64
         // of a longer embedding and collapse blocking recall. Derive the
         // dimension from the corpus when not supplied (one 1-row action —
-        // acceptable for an explicitly requested blocking mode).
+        // acceptable for an explicitly requested blocking mode). An empty
+        // or all-null-vector corpus yields no rows from the join anyway;
+        // any positive dim keeps the plan valid.
         val dim =
           if (blockDim > 0) blockDim
-          else c.select(size(col("cv"))).head().getInt(0)
+          else c.where(col("cv").isNotNull).select(size(col("cv")))
+            .limit(1).collect().headOption.map(_.getInt(0)).getOrElse(1)
         val lsh = SimHashLsh(nBits = blockBits, dim = dim)
         val qs = lsh.withSignature(q, "qv").withColumnRenamed("sig", "qsig")
         val cs = lsh.withSignature(c, "cv").withColumnRenamed("sig", "csig")

@@ -96,20 +96,27 @@ final class StreamingIngest(spark: SparkSession, config: GraftConfig = GraftConf
     // One materialization of the chunk+embed work: the batch feeds the
     // table append AND the FTS extension, and without the pin each
     // consumer (plus the index's lazily-persisted postings) would re-run
-    // the embedding mapPartitions.
+    // the embedding mapPartitions. The checkpointed blocks are retained
+    // by the live index's batch postings; FtsIndex.invalidate is the
+    // release point (Dataset.unpersist cannot free checkpoint RDDs —
+    // they go through the block manager, not the cache manager).
     val chunks = Embedder.withEmbedding(chunkRows, "text", "embedding", config.embedding)
       .localCheckpoint()
 
-    // Incremental FTS maintenance BEFORE the table append: if a live
-    // index exists, extend it with THIS batch (O(batch) — the point of
-    // the df-free postings design). Done in this order, a concurrent
-    // search can never double-count the batch: with an index present the
-    // extension is atomic in the cache (no rebuild can interleave); with
-    // no index this is a no-op and the next search builds from the table
-    // — which only then gains the batch. The reverse order had a race
-    // where a search between append and extension built an index already
-    // containing the batch, and the extension unioned it AGAIN.
-    val extended = FtsIndex.appendCached(ftsKey, chunks, "id", "text")
+    // Incremental FTS maintenance BEFORE the table append, atomically and
+    // idempotently (FtsIndex.extendForBatch): a replayed micro-batch
+    // (table append failed, Structured Streaming re-runs the batch) skips
+    // re-extension via the batchId stamp; a concurrent search serializes
+    // against this compute, so it can neither build an index that already
+    // contains the batch and then have us union it AGAIN (the old
+    // double-count race) nor build from the pre-append table after a
+    // no-op extension and permanently miss the batch (the lost-update
+    // race of extending only when an index exists).
+    FtsIndex.extendForBatch(
+      ftsKey, batchId, chunks, "id", "text",
+      preBatchCorpus =
+        if (catalog.exists("chunks_stream")) catalog.read("chunks_stream") else chunks.limit(0)
+    )
 
     catalog.append(
       docs.select(
@@ -120,11 +127,6 @@ final class StreamingIngest(spark: SparkSession, config: GraftConfig = GraftConf
       "documents_stream"
     )
     catalog.append(chunks, "chunks_stream")
-    // no live index retained the batch postings -> the checkpointed batch
-    // has no remaining consumers; free its blocks (when an index DID
-    // extend, the postings reference the checkpoint and invalidate() is
-    // the release point)
-    if (extended.isEmpty) chunks.unpersist()
     graft.util.JsonLog.info("stream_batch_ingested", "batch_id" -> batchId)
   }
 
