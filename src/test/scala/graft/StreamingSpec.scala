@@ -3,6 +3,7 @@ package graft
 import java.nio.file.{Files, Paths}
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
+import graft.operators.FtsIndex
 import graft.streaming.StreamingIngest
 import graft.sources.Catalog
 
@@ -66,5 +67,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(FtsIndex.search(spark, idx2, "tungsten bytecode", 5).count() > 0)
 
     FtsIndex.invalidate(ingest.ftsKey)
+  }
+
+  test("extendForBatch: replayed batch is a no-op; new batch extends; absent key builds") {
+    import spark.implicits._
+    val key = "spec:extend-for-batch"
+    FtsIndex.invalidate(key)
+    val base = Seq((1L, "alpha bravo"), (2L, "charlie delta")).toDF("id", "text")
+    val batch7 = Seq((3L, "echo foxtrot")).toDF("id", "text")
+    val batch8 = Seq((4L, "golf hotel")).toDF("id", "text")
+    try {
+      // absent key: builds from the pre-batch corpus, then extends
+      val idx = FtsIndex.extendForBatch(key, 7L, batch7, "id", "text", base)
+      assert(idx.numDocs == 3 && idx.lastBatchId.contains(7L))
+      // replay of batch 7 (failed table append, micro-batch retry): no-op
+      val replayed = FtsIndex.extendForBatch(key, 7L, batch7, "id", "text", base)
+      assert(replayed.numDocs == 3, "a replayed batch must not union its postings twice")
+      // the next batch extends normally
+      val next = FtsIndex.extendForBatch(key, 8L, batch8, "id", "text", base)
+      assert(next.numDocs == 4 && next.lastBatchId.contains(8L))
+      assert(FtsIndex.search(spark, next, "echo golf", 5).count() == 2)
+    } finally FtsIndex.invalidate(key)
   }
 }
