@@ -72,6 +72,17 @@ class RetrievalSpec extends AnyFunSuite {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("scoreAll returns EVERY matching doc — the prefilter contract a truncating search can't give") {
+    // Retriever.keywordSearch with a title filter depends on this: the
+    // filter must see all scored candidates, or selective filters lose
+    // rows that a bounded overfetch cut before filtering.
+    val idx = FtsIndex.build(docs, "doc_id", "text")
+    val matching = docs.where(col("text").contains("spark")).count()
+    assert(matching == 3)
+    assert(FtsIndex.scoreAll(spark, idx, "spark").count() == matching)
+    assert(FtsIndex.search(spark, idx, "spark", 1).count() == 1, "search(k) truncates")
+  }
+
   test("BM25: empty query yields empty result") {
     val idx = FtsIndex.build(docs, "doc_id", "text")
     assert(FtsIndex.search(spark, idx, "???", 5).count() == 0)
