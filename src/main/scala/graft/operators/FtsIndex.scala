@@ -41,10 +41,14 @@ object FtsIndex {
       // persisted batches): invalidate must unpersist ALL of them, or a
       // long-lived session leaks one block-manager entry per batch
       retained: Seq[DataFrame] = Nil,
-      // id of the last streaming micro-batch unioned in — the idempotence
-      // stamp that lets a replayed batch skip re-extension (see
-      // extendForBatch)
-      lastBatchId: Option[Long] = None
+      // RUN-SCOPED token of the last streaming micro-batch unioned in —
+      // the idempotence stamp that lets a replayed batch skip
+      // re-extension (see extendForBatch). Includes the run identity
+      // (checkpoint path), not just the batch id: batch ids restart from
+      // 0 on a fresh checkpoint, and a bare-id stamp would misread a new
+      // run's batch N as a replay of the old run's batch N and silently
+      // drop it from the index.
+      lastBatchToken: Option[String] = None
   ) {
     private[operators] def unpersistAll(): Unit = {
       postings.unpersist()
@@ -150,13 +154,15 @@ object FtsIndex {
     Option(cache.computeIfPresent(key, (_, idx) => append(idx, newDocs, idCol, textCol)))
 
   /** Streaming-safe incremental maintenance: atomically ensure the cached
-    * index under `key` includes micro-batch `batchId`. Exactly one of
-    * three things happens, all inside the map's per-key compute (which
+    * index under `key` includes the micro-batch identified by
+    * `batchToken` (a RUN-SCOPED identity, e.g. "checkpointDir#batchId" —
+    * bare batch ids collide across runs/checkpoint resets). Exactly one
+    * of three things happens, all inside the map's per-key compute (which
     * also serializes against concurrent [[buildCached]] calls):
     *
-    *   - index present, `lastBatchId == batchId`: REPLAYED batch — no-op
-    *     (a retried micro-batch must not union its postings twice);
-    *   - index present otherwise: extend with the batch, stamp batchId;
+    *   - index present, `lastBatchToken == batchToken`: REPLAYED batch —
+    *     no-op (a retried micro-batch must not union its postings twice);
+    *   - index present otherwise: extend with the batch, stamp the token;
     *   - index absent: build from `preBatchCorpus` (the table BEFORE this
     *     batch lands), then extend with the batch, stamp.
     *
@@ -167,10 +173,17 @@ object FtsIndex {
     * absent case means the first streaming batch pays one build of the
     * pre-existing corpus even if no search ever runs — the price of
     * closing the build-vs-extend race windows on both sides.
+    *
+    * Note on lock scope: the Spark work runs inside
+    * ConcurrentHashMap.compute, which locks the hash BIN — an unrelated
+    * corpus key in the same bin waits for the build. Single-stream (the
+    * intended deployment: one live index per warehouse) never notices;
+    * many concurrent corpora under one JVM would want a per-key monitor
+    * map instead.
     */
   def extendForBatch(
       key: String,
-      batchId: Long,
+      batchToken: String,
       newDocs: DataFrame,
       idCol: String,
       textCol: String,
@@ -182,10 +195,10 @@ object FtsIndex {
         existing match {
           case null =>
             append(build(preBatchCorpus, idCol, textCol), newDocs, idCol, textCol)
-              .copy(lastBatchId = Some(batchId))
-          case idx if idx.lastBatchId.contains(batchId) => idx
+              .copy(lastBatchToken = Some(batchToken))
+          case idx if idx.lastBatchToken.contains(batchToken) => idx
           case idx =>
-            append(idx, newDocs, idCol, textCol).copy(lastBatchId = Some(batchId))
+            append(idx, newDocs, idCol, textCol).copy(lastBatchToken = Some(batchToken))
         }
     )
 

@@ -42,14 +42,20 @@ final class StreamingIngest(spark: SparkSession, config: GraftConfig = GraftConf
     files.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, batchId: Long) => ingestBatch(batch, batchId) }
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestBatch(batch, batchId, runToken = checkpointDir)
+      }
       .start()
   }
 
   /** The per-microbatch load: id/title/hash derivation, chunk, embed,
     * append to both tables — mirrors Pipeline.processDirectory's tail.
+    * `runToken` scopes the batch id to THIS run (the checkpoint path):
+    * batch ids restart at 0 on a fresh checkpoint, and the FTS
+    * idempotence stamp must not confuse a new run's batch N with a
+    * replay of an old run's batch N.
     */
-  private[streaming] def ingestBatch(batch: DataFrame, batchId: Long): Unit = {
+  private[streaming] def ingestBatch(batch: DataFrame, batchId: Long, runToken: String): Unit = {
     if (batch.isEmpty) return
     val s = batch.sparkSession
     import s.implicits._
@@ -103,21 +109,39 @@ final class StreamingIngest(spark: SparkSession, config: GraftConfig = GraftConf
     val chunks = Embedder.withEmbedding(chunkRows, "text", "embedding", config.embedding)
       .localCheckpoint()
 
-    // Incremental FTS maintenance BEFORE the table append, atomically and
-    // idempotently (FtsIndex.extendForBatch): a replayed micro-batch
-    // (table append failed, Structured Streaming re-runs the batch) skips
-    // re-extension via the batchId stamp; a concurrent search serializes
-    // against this compute, so it can neither build an index that already
-    // contains the batch and then have us union it AGAIN (the old
-    // double-count race) nor build from the pre-append table after a
-    // no-op extension and permanently miss the batch (the lost-update
-    // race of extending only when an index exists).
+    // Incremental FTS maintenance FIRST, atomically and idempotently
+    // (FtsIndex.extendForBatch): a replayed micro-batch skips
+    // re-extension via the run-scoped stamp; a concurrent search
+    // serializes against this compute, so it can neither build an index
+    // that already contains the batch and then have us union it AGAIN
+    // (double-count race) nor build from the pre-append table after a
+    // no-op extension and permanently miss the batch (lost-update race).
     FtsIndex.extendForBatch(
-      ftsKey, batchId, chunks, "id", "text",
+      ftsKey, s"$runToken#$batchId", chunks, "id", "text",
       preBatchCorpus =
         if (catalog.exists("chunks_stream")) catalog.read("chunks_stream") else chunks.limit(0)
     )
 
+    // Replay-safe write order: chunks first, the documents LEDGER last.
+    // The anti-join above keys replay detection on documents_stream, so
+    // the ledger row must be the FINAL effect of the batch — with the old
+    // docs-first order, a crash between the two appends left committed
+    // ledger rows whose chunks never landed, and the replay's anti-join
+    // then skipped the whole batch (chunks lost for good). Chunks already
+    // present from a partially-failed earlier attempt are dropped by
+    // doc-id (parquet appends commit atomically per job, so a doc's
+    // chunks are all-or-nothing).
+    val batchDocIds = docs.select("id").as[String].collect().toSeq
+    val presentDocIds =
+      if (!catalog.exists("chunks_stream")) Set.empty[String]
+      else
+        catalog.read("chunks_stream")
+          .where(col("document_id").isin(batchDocIds: _*))
+          .select("document_id").distinct().as[String].collect().toSet
+    val newChunks =
+      if (presentDocIds.isEmpty) chunks
+      else chunks.where(!col("document_id").isin(presentDocIds.toSeq: _*))
+    catalog.append(newChunks, "chunks_stream")
     catalog.append(
       docs.select(
         col("id"), col("path").as("source_path"), col("title"), col("file_hash"),
@@ -126,7 +150,6 @@ final class StreamingIngest(spark: SparkSession, config: GraftConfig = GraftConf
       ),
       "documents_stream"
     )
-    catalog.append(chunks, "chunks_stream")
     graft.util.JsonLog.info("stream_batch_ingested", "batch_id" -> batchId)
   }
 

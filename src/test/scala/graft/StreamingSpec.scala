@@ -52,41 +52,50 @@ class StreamingSpec extends AnyFunSuite {
     val ingest = new StreamingIngest(spark, cfg)
     ingest.start(in, ckpt).awaitTermination()
 
-    // first search builds the cached index over batch-1 chunks
+    // batch 1 already created the live index (extendForBatch's absent
+    // path builds-then-extends during ingest); this buildCached is a
+    // cache HIT on that index, not a cold build
     val cat = new Catalog(spark, wh)
     val idx1 = FtsIndex.buildCached(ingest.ftsKey, cat.read("chunks_stream"), "id", "text")
+    assert(idx1.lastBatchToken.isDefined, "ingest-created index carries its batch stamp")
     assert(FtsIndex.search(spark, idx1, "catalyst plans", 5).count() > 0)
 
-    // batch 2 must extend the LIVE index (appendCached), so a search via
-    // the same cache key sees the new doc without any invalidate/rebuild
+    // batch 2 must extend the LIVE index in place, so a search via the
+    // same cache key sees the new doc without any invalidate/rebuild
     Files.write(Paths.get(in, "b.md"), "# B\n\ntungsten generates compact bytecode for expressions.".getBytes)
     ingest.start(in, ckpt).awaitTermination()
     val idx2 = FtsIndex.buildCached(ingest.ftsKey, cat.read("chunks_stream"), "id", "text")
     assert(idx2.numDocs == idx1.numDocs + 1, "cached index extended in place")
-    assert(idx2.retained.nonEmpty, "extension happened via append, not rebuild")
+    assert(idx2.lastBatchToken != idx1.lastBatchToken, "batch-2 stamp replaced batch-1's")
     assert(FtsIndex.search(spark, idx2, "tungsten bytecode", 5).count() > 0)
 
     FtsIndex.invalidate(ingest.ftsKey)
   }
 
-  test("extendForBatch: replayed batch is a no-op; new batch extends; absent key builds") {
+  test("extendForBatch: replay no-op, new batch extends, absent key builds, runs don't collide") {
     import spark.implicits._
     val key = "spec:extend-for-batch"
     FtsIndex.invalidate(key)
     val base = Seq((1L, "alpha bravo"), (2L, "charlie delta")).toDF("id", "text")
     val batch7 = Seq((3L, "echo foxtrot")).toDF("id", "text")
     val batch8 = Seq((4L, "golf hotel")).toDF("id", "text")
+    val otherRun7 = Seq((5L, "india juliet")).toDF("id", "text")
     try {
       // absent key: builds from the pre-batch corpus, then extends
-      val idx = FtsIndex.extendForBatch(key, 7L, batch7, "id", "text", base)
-      assert(idx.numDocs == 3 && idx.lastBatchId.contains(7L))
+      val idx = FtsIndex.extendForBatch(key, "runA#7", batch7, "id", "text", base)
+      assert(idx.numDocs == 3 && idx.lastBatchToken.contains("runA#7"))
       // replay of batch 7 (failed table append, micro-batch retry): no-op
-      val replayed = FtsIndex.extendForBatch(key, 7L, batch7, "id", "text", base)
+      val replayed = FtsIndex.extendForBatch(key, "runA#7", batch7, "id", "text", base)
       assert(replayed.numDocs == 3, "a replayed batch must not union its postings twice")
       // the next batch extends normally
-      val next = FtsIndex.extendForBatch(key, 8L, batch8, "id", "text", base)
-      assert(next.numDocs == 4 && next.lastBatchId.contains(8L))
+      val next = FtsIndex.extendForBatch(key, "runA#8", batch8, "id", "text", base)
+      assert(next.numDocs == 4 && next.lastBatchToken.contains("runA#8"))
       assert(FtsIndex.search(spark, next, "echo golf", 5).count() == 2)
+      // a DIFFERENT run's batch 8 is new content, not a replay: the
+      // run-scoped token must not misread it (bare batch ids collide
+      // after a checkpoint reset)
+      val otherRun = FtsIndex.extendForBatch(key, "runB#8", otherRun7, "id", "text", base)
+      assert(otherRun.numDocs == 5, "same batch id from another run must extend, not skip")
     } finally FtsIndex.invalidate(key)
   }
 }
