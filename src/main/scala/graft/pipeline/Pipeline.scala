@@ -111,16 +111,16 @@ final class Pipeline(spark: SparkSession, config: GraftConfig = GraftConfig.defa
     // document row on reprocess, sqlite_store.py:153-172). Only
     // previously-FAILED ledger rows can re-enter a batch (the anti-join
     // excludes everything else), so the delete is restricted to that
-    // intersection — no table rewrite happens on the common all-new path,
-    // and the collected literal list is bounded by the failed set.
+    // intersection, expressed structurally: deleteMatching keeps the
+    // doomed set a DataFrame (no driver collect, no isin literal tree)
+    // and skips the table rewrite when it is empty — the common all-new
+    // ingest path pays nothing.
     if (catalog.exists("documents")) {
-      val readmittedHashes = catalog.read("documents")
+      val readmitted = catalog.read("documents")
         .where(col("status") === DocumentStatus.Failed)
         .select("file_hash")
         .join(batch.select("file_hash"), Seq("file_hash"), "left_semi")
-        .collect().map(_.getString(0))
-      if (readmittedHashes.nonEmpty)
-        catalog.deleteWhere("documents", col("file_hash").isin(readmittedHashes.toSeq: _*))
+      catalog.deleteMatching("documents", readmitted, Seq("file_hash"))
     }
 
     // S4: markdown checkpoint (re-chunk without re-extract, pipeline.py:222-268)
@@ -343,13 +343,15 @@ final class Pipeline(spark: SparkSession, config: GraftConfig = GraftConfig.defa
         "left_semi"
       )
       .localCheckpoint() // cut lineage before mutating the chunks table
-    val docIds = parsed.select("document_id").as[String].collect()
-    if (docIds.isEmpty) return 0L
+    val nDocs = parsed.count()
+    if (nDocs == 0) return 0L
 
     val chunkRows = chunkDocs(parsed)
     val chunks = embedChunkRows(chunkRows)
 
-    catalog.deleteWhere("chunks", col("document_id").isin(docIds.toSeq: _*))
+    // structural delete: a bulk reprocess of millions of checkpoints stays
+    // one anti-join — no collected id list, no giant isin expression tree
+    catalog.deleteMatching("chunks", parsed.select("document_id"), Seq("document_id"))
     catalog.append(chunks, "chunks")
 
     // keep the ledger's total_chunks consistent with the new chunking
@@ -364,7 +366,7 @@ final class Pipeline(spark: SparkSession, config: GraftConfig = GraftConfig.defa
     catalog.overwrite(updatedDocs, "documents")
 
     FtsIndex.invalidate(ftsKey)
-    docIds.length.toLong
+    nDocs
   }
 
   /** Point lookups (F6, src/load/sqlite_store.py:174-211). */

@@ -52,6 +52,26 @@ final class Catalog(spark: SparkSession, warehouseDir: String) {
       overwrite(remaining, name)
     }
 
+  /** Delete rows whose `keys` appear in `ids` — the structural form of
+    * [[deleteWhere]] for set-valued deletes: the doomed set stays a
+    * DataFrame end to end, so a bulk delete of millions of ids is one
+    * anti-join instead of a collected `isin` literal tree (which would be
+    * driver-bounded and stall Catalyst on a million-term expression).
+    * No-op (no table rewrite) when `ids` is empty — the common all-new
+    * ingest path must not pay an overwrite cycle.
+    */
+  def deleteMatching(name: String, ids: DataFrame, keys: Seq[String]): Unit =
+    if (exists(name)) {
+      // pin the doomed set before the swap: its lineage may read the very
+      // table the overwrite below replaces (e.g. re-admitted hashes are
+      // derived FROM the documents table being rewritten)
+      val doomed = ids.select(keys.map(col): _*).distinct().localCheckpoint()
+      if (!doomed.isEmpty) {
+        val remaining = read(name).join(doomed, keys, "left_anti")
+        overwrite(remaining, name)
+      }
+    }
+
   /** Update columns on rows matching `pred` (the reference's status-flip
     * UPDATE, sqlite_store.py:153-172).
     */

@@ -55,7 +55,7 @@ final class StreamingIngest(spark: SparkSession, config: GraftConfig = GraftConf
     * idempotence stamp must not confuse a new run's batch N with a
     * replay of an old run's batch N.
     */
-  private[streaming] def ingestBatch(batch: DataFrame, batchId: Long, runToken: String): Unit = {
+  private[graft] def ingestBatch(batch: DataFrame, batchId: Long, runToken: String): Unit = {
     if (batch.isEmpty) return
     val s = batch.sparkSession
     import s.implicits._
@@ -109,6 +109,25 @@ final class StreamingIngest(spark: SparkSession, config: GraftConfig = GraftConf
     val chunks = Embedder.withEmbedding(chunkRows, "text", "embedding", config.embedding)
       .localCheckpoint()
 
+    // Crash-replay view of the table, computed structurally (no collected
+    // id lists, no isin literals). A doc of THIS batch can already have
+    // rows in chunks_stream only if an earlier attempt crashed after the
+    // chunk append but before the ledger append below (the anti-join
+    // above keys replay detection on documents_stream, which is written
+    // LAST). Both consumers must agree on what is "pre-batch":
+    //   - the FTS build corpus must EXCLUDE the batch's docs: a replay
+    //     with a cold index cache takes extendForBatch's build path, and
+    //     a build over the raw table (which already holds the crashed
+    //     attempt's chunks) followed by the batch union would double-count
+    //     this batch's postings — inflated tf/df until invalidated;
+    //   - the table append must SKIP docs whose chunks already landed
+    //     (parquet appends commit atomically per job, so a doc's chunks
+    //     are all-or-nothing).
+    val batchDocs = docs.select(col("id").as("document_id"))
+    val tableChunks =
+      if (catalog.exists("chunks_stream")) catalog.read("chunks_stream") else chunks.limit(0)
+    val preBatchChunks = tableChunks.join(broadcast(batchDocs), Seq("document_id"), "left_anti")
+
     // Incremental FTS maintenance FIRST, atomically and idempotently
     // (FtsIndex.extendForBatch): a replayed micro-batch skips
     // re-extension via the run-scoped stamp; a concurrent search
@@ -118,29 +137,20 @@ final class StreamingIngest(spark: SparkSession, config: GraftConfig = GraftConf
     // no-op extension and permanently miss the batch (lost-update race).
     FtsIndex.extendForBatch(
       ftsKey, s"$runToken#$batchId", chunks, "id", "text",
-      preBatchCorpus =
-        if (catalog.exists("chunks_stream")) catalog.read("chunks_stream") else chunks.limit(0)
+      preBatchCorpus = preBatchChunks
     )
 
     // Replay-safe write order: chunks first, the documents LEDGER last.
-    // The anti-join above keys replay detection on documents_stream, so
-    // the ledger row must be the FINAL effect of the batch — with the old
-    // docs-first order, a crash between the two appends left committed
-    // ledger rows whose chunks never landed, and the replay's anti-join
-    // then skipped the whole batch (chunks lost for good). Chunks already
-    // present from a partially-failed earlier attempt are dropped by
-    // doc-id (parquet appends commit atomically per job, so a doc's
-    // chunks are all-or-nothing).
-    val batchDocIds = docs.select("id").as[String].collect().toSeq
-    val presentDocIds =
-      if (!catalog.exists("chunks_stream")) Set.empty[String]
-      else
-        catalog.read("chunks_stream")
-          .where(col("document_id").isin(batchDocIds: _*))
-          .select("document_id").distinct().as[String].collect().toSet
-    val newChunks =
-      if (presentDocIds.isEmpty) chunks
-      else chunks.where(!col("document_id").isin(presentDocIds.toSeq: _*))
+    // With the old docs-first order, a crash between the two appends left
+    // committed ledger rows whose chunks never landed, and the replay's
+    // anti-join then skipped the whole batch (chunks lost for good).
+    // presentDocs is pinned (eager localCheckpoint) so the append job
+    // below never re-scans the table it is writing into.
+    val presentDocs = tableChunks
+      .join(broadcast(batchDocs), Seq("document_id"), "left_semi")
+      .select("document_id").distinct()
+      .localCheckpoint()
+    val newChunks = chunks.join(broadcast(presentDocs), Seq("document_id"), "left_anti")
     catalog.append(newChunks, "chunks_stream")
     catalog.append(
       docs.select(

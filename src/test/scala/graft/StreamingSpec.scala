@@ -72,6 +72,41 @@ class StreamingSpec extends AnyFunSuite {
     FtsIndex.invalidate(ingest.ftsKey)
   }
 
+  test("crash-replay (chunks landed, ledger didn't, cold cache) does not double-count the FTS index") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-stream-crash").toString
+    val wh = s"$base/wh"
+    val cfg = GraftConfig(warehouseDir = wh)
+    val ingest = new StreamingIngest(spark, cfg)
+    val cat = new Catalog(spark, wh)
+    val batch = Seq(
+      ("# Crash\n\nexactly once semantics survive a replay after partial commit.", "file:///crash/c1.md")
+    ).toDF("value", "path")
+    try {
+      // attempt 1 commits the chunk append...
+      ingest.ingestBatch(batch, 0L, runToken = "ckptX")
+      val chunkCount = cat.read("chunks_stream").count()
+      assert(chunkCount > 0)
+      // ...then the crash window: the ledger append is not visible (drop
+      // the table) and the process died (cold FTS cache, no replay stamp)
+      FtsIndex.invalidate(ingest.ftsKey)
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        Paths.get(wh, "documents_stream").toFile)
+      // restart replays the SAME micro-batch
+      ingest.ingestBatch(batch, 0L, runToken = "ckptX")
+      assert(cat.read("chunks_stream").count() == chunkCount,
+        "replayed chunks must not re-append to the table")
+      // the replay's cold-cache build corpus must have EXCLUDED this
+      // batch's docs (they were already in the table from attempt 1), so
+      // stats are exact and every (doc, term) has exactly one postings row
+      val idx = FtsIndex.buildCached(ingest.ftsKey, cat.read("chunks_stream"), "id", "text")
+      assert(idx.numDocs == chunkCount,
+        s"index numDocs ${idx.numDocs} != table rows $chunkCount: batch double-counted on replay")
+      val dup = idx.postings.groupBy("doc_id", "term").count().where(col("count") > 1).count()
+      assert(dup == 0, "duplicated postings rows after crash-replay")
+    } finally FtsIndex.invalidate(ingest.ftsKey)
+  }
+
   test("extendForBatch: replay no-op, new batch extends, absent key builds, runs don't collide") {
     import spark.implicits._
     val key = "spec:extend-for-batch"
