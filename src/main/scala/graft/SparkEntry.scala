@@ -584,17 +584,26 @@ object SparkEntry {
       .select("id_a", "id_b", "hamming")
   }
 
+  /** The shared cluster label table behind q_dedup_clusters and
+    * q_near_dedup: pairs + the iterative CC build run ONCE per corpus and
+    * are reused ([[graft.operators.Dedup.clustersCached]]) — the artifact
+    * lifecycle a 100 TB pipeline uses (labels are an ingest-time product,
+    * persisted via Dedup.writeClusters; queries reuse, never recompute).
+    */
+  private def portableClusterLabels(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.clustersCached(
+      s"$dir/documents#portable-simhash-cc",
+      t(s, dir, "documents").where(col("doc_id") < 250),
+      "doc_id",
+      portableSimhashPairs(s, dir)
+    )
+
   /** Connected-components dedup clustering: transitive closure of the
     * portable near-dup pairs, every doc labeled with its cluster's min id
     * (min-label propagation; oracle: recursive-CTE reachability closure).
     */
   private def qDedupClusters(s: SparkSession, dir: String): DataFrame =
-    graft.operators.Dedup
-      .nearDupClusters(
-        t(s, dir, "documents").where(col("doc_id") < 250),
-        "doc_id",
-        portableSimhashPairs(s, dir)
-      )
+    portableClusterLabels(s, dir)
       .select(col("id").as("doc_id"), col("cluster"))
       .orderBy("doc_id")
 
@@ -1255,15 +1264,16 @@ object SparkEntry {
   }
 
   /** Near-dup dedup keepers: one canonical doc (min id) per transitive
-    * simhash cluster ([[Dedup.nearDedup]] — the composition of
-    * q_dedup_clusters into the keep-the-representative contract).
+    * simhash cluster — expressed over the SHARED label table
+    * ([[Dedup.nearDedupFromClusters]]), so the query costs one anti-join
+    * instead of re-paying q_dedup_clusters' pair detection + CC build.
     */
   private def qNearDedup(s: SparkSession, dir: String): DataFrame =
     Dedup
-      .nearDedup(
+      .nearDedupFromClusters(
         t(s, dir, "documents").where(col("doc_id") < 250),
         "doc_id",
-        portableSimhashPairs(s, dir)
+        portableClusterLabels(s, dir)
       )
       .select("doc_id")
       .orderBy("doc_id")

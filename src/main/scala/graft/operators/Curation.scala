@@ -57,19 +57,74 @@ object Curation {
       textCol: String,
       langs: Set[String] = Set("en"),
       minQuality: Double = 0.5,
+      jaccardThreshold: Double = 0.8,
+      clusters: Option[DataFrame] = None
+  ): DataFrame = clusters match {
+    // artifact reuse: with a precomputed label table (ingest-time
+    // Dedup.nearDupClusters -> writeClusters) the whole fuzzy-dedup pass
+    // is the filter stage plus ONE anti-join — no pair detection, no
+    // iterative CC, nothing checkpointed (and so nothing to release)
+    case Some(labels) =>
+      Dedup.nearDedupFromClusters(filterStage(docs, textCol, langs, minQuality), idCol, labels)
+    case None =>
+      val filtered = filterStage(docs, textCol, langs, minQuality)
+      // pair detection re-reads `filtered` several times (banded self-join
+      // legs + re-attach); lazily checkpoint so the enrich+filter
+      // expressions evaluate once when the caller first acts, not once per
+      // leg — and construction itself stays action-free. The checkpointed
+      // blocks live until the application ends unless the caller goes
+      // through [[curateNearManaged]], whose handle releases them.
+      val pinned = filtered.localCheckpoint(eager = false)
+      val pairs = Dedup.minhashLshPairs(pinned, idCol, textCol, threshold = jaccardThreshold)
+      Dedup.nearDedup(pinned, idCol, pairs)
+  }
+
+  /** The blocks a curation pass pins (lazy input checkpoint + the CC
+    * loop's per-round label checkpoints), releasable once the caller has
+    * consumed the result. `close()` is terminal: the checkpoints cut
+    * lineage, so the curated DataFrame cannot be recomputed afterwards.
+    */
+  final class CurationHandle private[Curation] (
+      val curated: DataFrame,
+      spark: org.apache.spark.sql.SparkSession,
+      trackedIds: Set[Int]
+  ) extends AutoCloseable {
+    private[graft] def tracked: Set[Int] = trackedIds
+    override def close(): Unit =
+      trackedIds.foreach { id =>
+        spark.sparkContext.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false))
+      }
+  }
+
+  /** [[curateNear]] with a release hook for the checkpointed blocks.
+    *
+    * `Dataset.unpersist` cannot free localCheckpoint blocks (they live in
+    * the block manager, not the cache manager), so the handle tracks the
+    * RDDs registered during this call — the CC loop materializes all of
+    * its checkpoints eagerly, and the lazy input pin registers its persist
+    * at construction — and unpersists exactly those on `close()`. A
+    * long-lived session curating repeatedly stops accumulating block-
+    * manager entries. The delta-tracking assumes no CONCURRENT persist
+    * activity on the same SparkContext during the call (curation is a
+    * batch step; run it single-threaded).
+    */
+  def curateNearManaged(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      langs: Set[String] = Set("en"),
+      minQuality: Double = 0.5,
       jaccardThreshold: Double = 0.8
-  ): DataFrame = {
-    val filtered = filterStage(docs, textCol, langs, minQuality)
-    // pair detection re-reads `filtered` several times (banded self-join
-    // legs + re-attach); lazily checkpoint so the enrich+filter
-    // expressions evaluate once when the caller first acts, not once per
-    // leg — and construction itself stays action-free. The checkpointed
-    // blocks live until the application ends (a lazy API has no unpersist
-    // point); callers curating repeatedly in one long session can
-    // unpersist via the returned plan's lineage or re-create the session.
-    val pinned = filtered.localCheckpoint(eager = false)
-    val pairs = Dedup.minhashLshPairs(pinned, idCol, textCol, threshold = jaccardThreshold)
-    Dedup.nearDedup(pinned, idCol, pairs)
+  ): CurationHandle = {
+    val spark = docs.sparkSession
+    val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    val curated = curateNear(docs, idCol, textCol, langs, minQuality, jaccardThreshold)
+    // the CC loop inside nearDedup has already run its jobs (it is not
+    // expressible as one deferred plan), so every checkpoint this pass
+    // will ever register is registered by now — including the lazy input
+    // pin, whose persist is recorded at construction time
+    val tracked = spark.sparkContext.getPersistentRDDs.keySet.toSet -- before
+    new CurationHandle(curated, spark, tracked)
   }
 
   private def filterStage(

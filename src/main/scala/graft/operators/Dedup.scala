@@ -328,12 +328,59 @@ object Dedup {
       pairs: DataFrame,
       idACol: String = "id_a",
       idBCol: String = "id_b"
-  ): DataFrame = {
-    val keepers = nearDupClusters(docs, idCol, pairs, idACol, idBCol)
-      .where(col("id") === col("cluster"))
-      .select(col("id").as(idCol))
-    docs.join(keepers, Seq(idCol), "left_semi")
+  ): DataFrame =
+    // losers (cluster != id) rather than keepers: the loser set is the
+    // smaller side of a near-dup thinning, and the anti-join keeps
+    // unlabeled docs by construction — the same contract
+    // nearDedupFromClusters offers for precomputed label tables
+    nearDedupFromClusters(docs, idCol, nearDupClusters(docs, idCol, pairs, idACol, idBCol))
+
+  /** [[nearDedup]] over a PRECOMPUTED label table (the output of
+    * [[nearDupClusters]], possibly persisted with [[writeClusters]]):
+    * drop every doc whose cluster label names a different canonical id.
+    * Docs absent from `clusters` are KEPT — an unlabeled doc is its own
+    * cluster — so a label table computed over a filtered subset of the
+    * corpus stays usable against the full table.
+    *
+    * This is the artifact-reuse half of near-dup dedup: the iterative CC
+    * build runs ONCE at ingest ([[nearDupClusters]] -> [[writeClusters]]),
+    * and every later dedup/curation pass is this one anti-join — losers
+    * are id-only and typically a small minority, so AQE broadcasts them
+    * and document payloads never shuffle.
+    */
+  def nearDedupFromClusters(docs: DataFrame, idCol: String, clusters: DataFrame): DataFrame = {
+    val losers = clusters.where(col("id") =!= col("cluster")).select(col("id").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
   }
+
+  /** Persist a cluster label table as a parquet artifact — the durable
+    * form of [[nearDupClusters]] (same lifecycle as `FtsIndex.write` and
+    * `VectorSearch.writeIvf`): pairs and labels are ingest-time products,
+    * and recomputing the pair set plus the whole CC iteration per query
+    * is exactly the recompute a 100 TB pipeline cannot afford.
+    */
+  def writeClusters(labels: DataFrame, path: String): Unit =
+    labels.select("id", "cluster").write.mode("overwrite").parquet(path)
+
+  /** Load a persisted label table written by [[writeClusters]]. */
+  def loadClusters(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  // Label-table registry (ingest-time build, query-time reuse — the same
+  // lifecycle as FtsIndex.buildCached): one CC run per corpus key per
+  // session. At cluster scale the table is written with writeClusters and
+  // loaded back; the in-session cache serves the local/bench lifecycle.
+  private val clusterCache = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** Build-once cluster labels per corpus `key`; later callers reuse the
+    * checkpointed label table instead of re-running pair detection + the
+    * iterative CC build.
+    */
+  def clustersCached(key: String, nodes: => DataFrame, idCol: String, pairs: => DataFrame): DataFrame =
+    clusterCache.computeIfAbsent(key, _ => nearDupClusters(nodes, idCol, pairs))
+
+  /** Drop every cached label table (companion of Pipeline.flush). */
+  def invalidateClusters(): Unit = clusterCache.clear()
 
   /** Word n-gram Jaccard similarity for all pairs above `threshold`,
     * blocked by shared n-grams (a pair is compared only if it shares at

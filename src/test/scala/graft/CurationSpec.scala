@@ -42,13 +42,17 @@ class CurationSpec extends AnyFunSuite {
     assert(st("en")._2 > 0)
   }
 
-  test("curateNear drops fuzzy near-duplicates that exact dedup keeps") {
+  private def nearDupCorpus = {
     val base = "the quick brown fox jumps over the lazy dog and then walks slowly home " +
       "through the quiet evening streets of the old town where people gather for food"
     val near = base.replace("slowly", "quite slowly") // ~same shingle set, different hash
     val other = "completely different content about database engines and their storage " +
       "layouts with columnar formats compression encodings and vectorized execution today"
-    val corpus = Seq((1L, base), (2L, near), (3L, other)).toDF("doc_id", "text")
+    Seq((1L, base), (2L, near), (3L, other)).toDF("doc_id", "text")
+  }
+
+  test("curateNear drops fuzzy near-duplicates that exact dedup keeps") {
+    val corpus = nearDupCorpus
     val exact = Curation.curate(corpus, "doc_id", "text", langs = Set.empty, minQuality = 0.0)
       .select("doc_id").as[Long].collect().toSet
     assert(exact == Set(1L, 2L, 3L), "exact dedup cannot see the paraphrase")
@@ -57,5 +61,41 @@ class CurationSpec extends AnyFunSuite {
         jaccardThreshold = 0.7)
       .select("doc_id").as[Long].collect().toSet
     assert(fuzzy == Set(1L, 3L), s"near-dup must collapse to the min id, got $fuzzy")
+  }
+
+  test("curateNear with a precomputed label table == inline curateNear, no CC recompute") {
+    import graft.operators.Dedup
+    val corpus = nearDupCorpus
+    val inline = Curation
+      .curateNear(corpus, "doc_id", "text", langs = Set.empty, minQuality = 0.0,
+        jaccardThreshold = 0.7)
+      .select("doc_id").as[Long].collect().toSet
+
+    // ingest-time artifact: pairs + CC once, labels persisted
+    val pairs = Dedup.minhashLshPairs(corpus, "doc_id", "text", threshold = 0.7)
+    val path = java.nio.file.Files.createTempDirectory("graft-curate-labels").toString + "/labels"
+    Dedup.writeClusters(Dedup.nearDupClusters(corpus, "doc_id", pairs), path)
+
+    val reused = Curation
+      .curateNear(corpus, "doc_id", "text", langs = Set.empty, minQuality = 0.0,
+        clusters = Some(Dedup.loadClusters(spark, path)))
+      .select("doc_id").as[Long].collect().toSet
+    assert(reused == inline, s"label-table curation diverged: $reused vs $inline")
+  }
+
+  test("curateNearManaged releases its checkpointed blocks on close") {
+    val sc = spark.sparkContext
+    val handle = Curation.curateNearManaged(
+      nearDupCorpus, "doc_id", "text", langs = Set.empty, minQuality = 0.0,
+      jaccardThreshold = 0.7)
+    val kept = handle.curated.select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L))
+    val tracked = handle.tracked
+    assert(tracked.nonEmpty, "a curation pass must have pinned checkpoint blocks")
+    assert(tracked.forall(sc.getPersistentRDDs.contains),
+      "tracked blocks should be registered while the handle is open")
+    handle.close()
+    assert(tracked.forall(id => !sc.getPersistentRDDs.contains(id)),
+      "close() must unpersist every block the pass pinned")
   }
 }

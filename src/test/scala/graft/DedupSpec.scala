@@ -116,6 +116,40 @@ class DedupSpec extends AnyFunSuite {
     assert(kept == Map(1L -> "a", 10L -> "d", 20L -> "f"))
   }
 
+  test("write -> load -> nearDedupFromClusters == inline nearDedup; unlabeled docs kept") {
+    val docs = Seq((1L, "a"), (2L, "b"), (3L, "c"), (10L, "d"), (11L, "e"), (20L, "f"))
+      .toDF("id", "payload")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val inline = Dedup.nearDedup(docs, "id", pairs)
+      .collect().map(_.getAs[Long]("id")).toSet
+
+    val path = java.nio.file.Files.createTempDirectory("graft-clusters").toString + "/labels"
+    Dedup.writeClusters(Dedup.nearDupClusters(docs, "id", pairs), path)
+    val loaded = Dedup.loadClusters(spark, path)
+    val reused = Dedup.nearDedupFromClusters(docs, "id", loaded)
+      .collect().map(_.getAs[Long]("id")).toSet
+    assert(reused == inline, s"persisted-label dedup diverged: $reused vs $inline")
+
+    // a doc the label table has never seen must survive the anti-join
+    val grown = docs.unionByName(Seq((99L, "new")).toDF("id", "payload"))
+    val keptGrown = Dedup.nearDedupFromClusters(grown, "id", loaded)
+      .collect().map(_.getAs[Long]("id")).toSet
+    assert(keptGrown == inline + 99L, "unlabeled doc must be its own cluster (kept)")
+  }
+
+  test("clustersCached builds once per key and reuses the label table") {
+    val nodes = Seq(1L, 2L, 7L).toDF("id")
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val key = s"spec:clusters-cached-${System.nanoTime()}"
+    val first = Dedup.clustersCached(key, nodes, "id", pairs)
+    var rebuilt = false
+    val second = Dedup.clustersCached(key, { rebuilt = true; nodes }, "id", { rebuilt = true; pairs })
+    assert(second eq first, "cache hit must return the same label table instance")
+    assert(!rebuilt, "cache hit must not re-evaluate the corpus or the pair plan")
+    assert(first.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(1L -> 1L, 2L -> 1L, 7L -> 7L))
+  }
+
   test("ngram jaccard: dup pair scores 1.0, near pair high, disjoint absent") {
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.3)
       .collect()
