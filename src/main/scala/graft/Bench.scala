@@ -68,8 +68,20 @@ object Bench {
       }
     }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      timeQuery("query", name, fn)
+    val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
+    val results = sorted.map { case (name, fn) => timeQuery("query", name, fn) }
+    // Median-of-3: two more passes, then the per-query median across all
+    // three. Run 1 stays the recorded "queries"/"headline_total" (it bills
+    // one-time index builds — real ingest work — and is comparable with
+    // earlier rounds); the medians are the noise-resistant per-query
+    // numbers for round-over-round comparison (container-load swings of
+    // 2-4x on sub-second queries made single-run diffs archaeology).
+    val rerunA = sorted.map { case (name, fn) => timeQuery("rerunA", name, fn) }.toMap
+    val rerunB = sorted.map { case (name, fn) => timeQuery("rerunB", name, fn) }.toMap
+    val medians = results.map { case (name, first) =>
+      val ok = Seq(first, rerunA(name), rerunB(name)).filter(_ >= 0).sorted
+      // median over the successful runs; -1 only if every run failed
+      name -> (if (ok.isEmpty) -1.0 else ok(ok.length / 2))
     }
     // Steady-state re-measure: these queries bill one-time index builds /
     // first-touch caches (FTS postings, IVF cells) to their first run
@@ -86,13 +98,17 @@ object Bench {
     val steadyJson = steady
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
+    val mediansJson = medians
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
     // exclude failure sentinels from the sums (a failed query must make
     // the totals look suspicious-high via the driver's correctness gate,
     // not quietly shrink them)
     val headline = results.filter(r => Headline.contains(r._1) && r._2 >= 0).map(_._2).sum
+    val headlineMedian = medians.filter(r => Headline.contains(r._1) && r._2 >= 0).map(_._2).sum
     val total = results.filter(_._2 >= 0).map(_._2).sum
     println(
-      f"""{"metric":"headline_total","value":$headline%.3f,"unit":"sec","queries":$qs,"steady":$steadyJson,"all_queries_total":$total%.3f,"n_queries":${results.length},"sf":"$sfDir"}"""
+      f"""{"metric":"headline_total","value":$headline%.3f,"unit":"sec","queries":$qs,"queries_median":$mediansJson,"headline_median":$headlineMedian%.3f,"steady":$steadyJson,"all_queries_total":$total%.3f,"n_queries":${results.length},"sf":"$sfDir"}"""
     )
     spark.stop()
   }

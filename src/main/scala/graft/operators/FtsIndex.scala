@@ -142,8 +142,27 @@ object FtsIndex {
   // rebuilds — mirroring the reference's write-then-index lifecycle.
   private val cache = new java.util.concurrent.ConcurrentHashMap[String, Index]()
 
+  // Per-key monitors: index builds run SPARK JOBS while holding their
+  // lock, so the lock must never be a CHM bin lock (compute() would stall
+  // an unrelated corpus key hashing to the same bin behind a full build,
+  // and a reentrant cache access from the same thread would throw).
+  // Monitor objects are never removed — one Object per corpus key ever
+  // seen, bounded and tiny — so two threads can never hold DIFFERENT
+  // monitors for the same key.
+  private val keyLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def lockFor(key: String): Object =
+    keyLocks.computeIfAbsent(key, _ => new Object)
+
   def buildCached(key: String, docs: => DataFrame, idCol: String, textCol: String): Index =
-    cache.computeIfAbsent(key, _ => build(docs, idCol, textCol))
+    lockFor(key).synchronized {
+      val existing = cache.get(key)
+      if (existing != null) existing
+      else {
+        val idx = build(docs, idCol, textCol)
+        cache.put(key, idx)
+        idx
+      }
+    }
 
   /** Incrementally extend the CACHED index under `key` (no-op None if the
     * key isn't built yet — first search will build from the full table).
@@ -151,7 +170,13 @@ object FtsIndex {
     * retains them; a later invalidate unpersists the whole chain.
     */
   def appendCached(key: String, newDocs: DataFrame, idCol: String, textCol: String): Option[Index] =
-    Option(cache.computeIfPresent(key, (_, idx) => append(idx, newDocs, idCol, textCol)))
+    lockFor(key).synchronized {
+      Option(cache.get(key)).map { idx =>
+        val next = append(idx, newDocs, idCol, textCol)
+        cache.put(key, next)
+        next
+      }
+    }
 
   /** Streaming-safe incremental maintenance: atomically ensure the cached
     * index under `key` includes the micro-batch identified by
@@ -168,18 +193,15 @@ object FtsIndex {
     *
     * Call BEFORE appending the batch to the table: then a concurrent
     * search can neither double-count the batch (any index it builds/uses
-    * is the one this compute produced or preceded) nor lose it (the
-    * table only gains the batch after the index already has it). The
+    * is the one this critical section produced or preceded) nor lose it
+    * (the table only gains the batch after the index already has it). The
     * absent case means the first streaming batch pays one build of the
     * pre-existing corpus even if no search ever runs — the price of
     * closing the build-vs-extend race windows on both sides.
     *
-    * Note on lock scope: the Spark work runs inside
-    * ConcurrentHashMap.compute, which locks the hash BIN — an unrelated
-    * corpus key in the same bin waits for the build. Single-stream (the
-    * intended deployment: one live index per warehouse) never notices;
-    * many concurrent corpora under one JVM would want a per-key monitor
-    * map instead.
+    * Lock scope: the Spark work runs under the PER-KEY monitor (not a
+    * CHM bin lock), so an unrelated corpus key never waits behind this
+    * build, and multi-corpus streaming under one JVM stays safe.
     */
   def extendForBatch(
       key: String,
@@ -189,27 +211,28 @@ object FtsIndex {
       textCol: String,
       preBatchCorpus: => DataFrame
   ): Index =
-    cache.compute(
-      key,
-      (_, existing) =>
-        existing match {
-          case null =>
-            append(build(preBatchCorpus, idCol, textCol), newDocs, idCol, textCol)
-              .copy(lastBatchToken = Some(batchToken))
-          case idx if idx.lastBatchToken.contains(batchToken) => idx
-          case idx =>
-            append(idx, newDocs, idCol, textCol).copy(lastBatchToken = Some(batchToken))
-        }
-    )
+    lockFor(key).synchronized {
+      val next = cache.get(key) match {
+        case null =>
+          append(build(preBatchCorpus, idCol, textCol), newDocs, idCol, textCol)
+            .copy(lastBatchToken = Some(batchToken))
+        case idx if idx.lastBatchToken.contains(batchToken) => idx
+        case idx =>
+          append(idx, newDocs, idCol, textCol).copy(lastBatchToken = Some(batchToken))
+      }
+      cache.put(key, next)
+      next
+    }
 
-  def invalidate(key: String): Unit = {
-    Option(cache.remove(key)).foreach(_.unpersistAll())
-  }
+  def invalidate(key: String): Unit =
+    lockFor(key).synchronized {
+      Option(cache.remove(key)).foreach(_.unpersistAll())
+    }
 
   /** Drop every cached index — the warehouse-flush companion. */
   def invalidateAll(): Unit = {
-    cache.values.forEach(_.unpersistAll())
-    cache.clear()
+    import scala.jdk.CollectionConverters._
+    cache.keySet().asScala.toSeq.foreach(invalidate)
   }
 
   /** BM25 score expression for one (tf, df, docLen) posting.

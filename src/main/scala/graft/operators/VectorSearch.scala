@@ -231,14 +231,20 @@ object VectorSearch {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val withVec = corpus.withColumn("_v", array_to_vector(col(vecCol).cast("array<double>")))
-    // a coarse quantizer only partitions space — random seeded init + few
-    // iterations is the standard IVF training regime (k-means|| init and
-    // full convergence buy recall we re-gain via nProbe)
+    // a coarse quantizer only partitions space, so few iterations suffice —
+    // but init quality is cheap recall: k-means|| seeding lifted measured
+    // recall@10 from 0.625 to 0.755 at nLists=16/nProbe=4 on the sf0.01
+    // corpus (VectorFunctionsSpec) for a constant extra init passes over
+    // a SAMPLE of the corpus. Sizing guidance: recall is governed by how
+    // cells align with corpus structure — over-partitioning (nLists >>
+    // natural clusters) splits neighbor sets across cells; the spec
+    // measures 0.91@nProbe=4 when nLists matches the structure vs 0.755
+    // when 1.6x over-partitioned.
     val model = new KMeans()
       .setK(nLists)
       .setSeed(seed)
       .setMaxIter(5)
-      .setInitMode("random")
+      .setInitMode("k-means||")
       .setFeaturesCol("_v")
       .setPredictionCol("ivf_cell")
       .fit(withVec)

@@ -107,6 +107,47 @@ class StreamingSpec extends AnyFunSuite {
     } finally FtsIndex.invalidate(ingest.ftsKey)
   }
 
+  test("a search during streaming extension never observes a half-extended index") {
+    import spark.implicits._
+    val key = "spec:concurrent-extend"
+    FtsIndex.invalidate(key)
+    def docsUpTo(n: Int) = (0 to n).map(i => (i.toLong, s"token$i shared")).toDF("id", "text")
+    FtsIndex.buildCached(key, docsUpTo(0), "id", "text")
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+    // the searcher hammers the cache while batches extend it: every index
+    // it sees must be internally consistent (stats match postings) and
+    // must contain a PREFIX of the batch sequence — a half-extended state
+    // (stats bumped but postings missing, or vice versa) fails both
+    val searcher = new Thread(() => {
+      try {
+        while (!done.get()) {
+          val idx = FtsIndex.buildCached(key, docsUpTo(0), "id", "text")
+          val ids = idx.postings.select("doc_id").distinct().as[Long].collect().sorted.toSeq
+          if (idx.numDocs != ids.length)
+            errors.add(s"numDocs ${idx.numDocs} != ${ids.length} distinct postings docs")
+          if (ids.nonEmpty && ids != (0L to ids.max))
+            errors.add(s"non-prefix visible doc set $ids")
+        }
+      } catch { case e: Throwable => errors.add(s"searcher died: ${e.getMessage}") }
+    })
+    searcher.start()
+    try {
+      (1 to 6).foreach { i =>
+        FtsIndex.extendForBatch(
+          key, s"runC#$i",
+          Seq((i.toLong, s"token$i shared")).toDF("id", "text"),
+          "id", "text",
+          docsUpTo(i - 1)
+        )
+      }
+    } finally { done.set(true); searcher.join() }
+    val idx = FtsIndex.buildCached(key, docsUpTo(0), "id", "text")
+    assert(idx.numDocs == 7, "all six batches extended the seed index")
+    assert(errors.isEmpty, s"inconsistent index states observed: $errors")
+    FtsIndex.invalidate(key)
+  }
+
   test("extendForBatch: replay no-op, new batch extends, absent key builds, runs don't collide") {
     import spark.implicits._
     val key = "spec:extend-for-batch"
