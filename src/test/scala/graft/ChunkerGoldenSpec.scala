@@ -47,4 +47,65 @@ class ChunkerGoldenSpec extends AnyFunSuite {
     val expected = Seq("aaaa bbbb", "bbbb cccc", "cccc dddd", "dddd eeee", "eeee ffff", "ffff gggg", "gggg hhhh")
     assert(got == expected, s"got: $got")
   }
+
+  test("golden: overlap at separator-cascade fallback (space, then char-level)") {
+    // no "\n\n"/"\n"/". " present: the cascade falls through to " ", and
+    // the 30-char unbroken run (> chunkSize) falls all the way to the ""
+    // (char) separator. Hand-verified: overlap pops carry "gamma" across
+    // chunks 0-1 and "epsilon" across 1-2 (keep-separator-at-start, pop
+    // until total <= overlap); the x-run splits at char level into
+    // 19 + 19 with an 8-char overlap (19 + 11 new = 30).
+    val text = "alpha beta gamma delta epsilon zeta " + "x" * 30 + " tail words here"
+    val got = Chunker.recursiveSplit(text, chunkSize = 20, chunkOverlap = 8)
+    val expected = Seq(
+      "alpha beta gamma",
+      "gamma delta epsilon",
+      "epsilon zeta",
+      "x" * 19,
+      "x" * 19,
+      "tail words here"
+    )
+    assert(got == expected, s"got:\n${got.mkString("\n")}")
+    assert(got.forall(_.length <= 20), "strict size bound holds at every cascade level")
+  }
+
+  test("golden: header-looking lines inside a fence stay opaque content") {
+    val md =
+      """# Real
+        |intro line
+        |```
+        |# not a header
+        |## also not
+        |code()
+        |```
+        |after fence
+        |## Sub
+        |sub content""".stripMargin
+    val got = Chunker.chunk(md, ChunkingConfig(chunkSize = 200, chunkOverlap = 20))
+      .map(c => (c.chunkIndex, c.h1, c.h2, c.isSectionStart, c.text))
+    // the fenced '#'/'##' lines create no sections and poison no header
+    // stack: everything up to the real '## Sub' is ONE section under Real
+    val expected = Seq(
+      (0, Some("Real"), None, true,
+        "# Real\nintro line\n```\n# not a header\n## also not\ncode()\n```\nafter fence"),
+      (1, Some("Real"), Some("Sub"), true, "## Sub\nsub content")
+    )
+    assert(got == expected, s"golden mismatch:\n${got.mkString("\n")}")
+  }
+
+  test("golden: CRLF input chunks identically to LF input") {
+    val lf = "# Title\nfirst para line.\n\n## Part\nsecond para with more words in it."
+    val crlf = lf.replace("\n", "\r\n")
+    val cfg = ChunkingConfig(chunkSize = 60, chunkOverlap = 10)
+    val a = Chunker.chunk(lf, cfg).map(c => (c.chunkIndex, c.h1, c.h2, c.isSectionStart, c.text))
+    val b = Chunker.chunk(crlf, cfg).map(c => (c.chunkIndex, c.h1, c.h2, c.isSectionStart, c.text))
+    assert(a == b, s"CRLF diverged:\nLF:   ${a.mkString("; ")}\nCRLF: ${b.mkString("; ")}")
+    assert(b.forall(c => !c._5.contains("\r")), "no carriage returns may leak into chunk text")
+    // and the LF shape itself is pinned
+    val expected = Seq(
+      (0, Some("Title"), None, true, "# Title\nfirst para line."),
+      (1, Some("Title"), Some("Part"), true, "## Part\nsecond para with more words in it.")
+    )
+    assert(a == expected, s"golden mismatch:\n${a.mkString("\n")}")
+  }
 }
