@@ -1,0 +1,117 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+
+import graft.operators.{Curation, Dedup}
+
+/** sf1 scale rehearsal of the dedup/curation family (VERDICT r3 #5).
+  *
+  * No sf1 parquet exists in the container, so the corpus is a
+  * deterministic 10x blow-up of the sf0.1 documents table built
+  * IN-MEMORY (measurement only — never an oracle input): each source doc
+  * gets 10 copies with remapped ids; copies 0-4 keep the text byte-
+  * identical (a 5-member near/exact-dup family per source doc — dense
+  * LSH buckets, the stress case for the banded join and CC), copies 5-9
+  * append a copy-specific marker sentence (mostly-unique tail, the
+  * realistic mix). 5,000 docs -> 50,000.
+  *
+  * For each query the run records wall time, total shuffle read/write
+  * bytes, peak per-task execution memory (a task-level OOM proxy), and
+  * for the CC build the rounds-to-convergence — at 1x and at 10x.
+  * Results are pasted into SCALE.md.
+  *
+  * Run: GRAFT_DEBUG_CC=1 SPARK_GRAFT_CPUS=32 sbt "runMain graft.tools.ScaleRehearsal"
+  */
+object ScaleRehearsal {
+
+  private final class Meter extends SparkListener {
+    val shuffleWrite = new java.util.concurrent.atomic.AtomicLong
+    val shuffleRead = new java.util.concurrent.atomic.AtomicLong
+    val peakTaskMem = new java.util.concurrent.atomic.AtomicLong
+    override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+      val m = te.taskMetrics
+      if (m != null) {
+        shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        shuffleRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        peakTaskMem.updateAndGet(x => math.max(x, m.peakExecutionMemory))
+      }
+    }
+    def snapshot: (Long, Long, Long) =
+      (shuffleWrite.get(), shuffleRead.get(), peakTaskMem.get())
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.Bench.silenceBoundedWindowWarning()
+    val meter = new Meter
+    spark.sparkContext.addSparkListener(meter)
+
+    val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      .select("doc_id", "text", "lang", "source")
+
+    def blowUp(factor: Int): DataFrame =
+      if (factor == 1) base.localCheckpoint()
+      else
+        (0 until factor)
+          .map { i =>
+            base.select(
+              (col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+              (if (i < factor / 2) col("text")
+               else concat(col("text"), lit(s" scalecopy$i distinct marker sentence"))).as("text"),
+              col("lang"), col("source")
+            )
+          }
+          .reduce(_ unionByName _)
+          // pin the synthetic corpus so every query reads materialized rows
+          // (not a 10-way union re-derivation) — same footing as a table
+          .localCheckpoint()
+
+    def measure(tag: String)(work: => Long): Unit = {
+      val (w0, r0, _) = meter.snapshot
+      val t0 = System.nanoTime()
+      val rows = work
+      val sec = (System.nanoTime() - t0) / 1e9
+      val (w1, r1, peak) = meter.snapshot
+      println(f"[scale] $tag rows=$rows time=$sec%.2fs shuffleWrite=${(w1 - w0) / 1e6}%.1fMB " +
+        f"shuffleRead=${(r1 - r0) / 1e6}%.1fMB peakTaskMem=${peak / 1e6}%.1fMB")
+    }
+
+    for (factor <- Seq(1, 10)) {
+      println(s"[scale] ===== factor $factor =====")
+      val docs = blowUp(factor)
+      println(s"[scale] corpus rows = ${docs.count()}")
+
+      // pairs are built once and reused by clusters/near-dedup — the
+      // ingest-artifact lifecycle under measurement
+      var pairs: DataFrame = null
+      measure(s"minhash_lsh_x$factor") {
+        pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", threshold = 0.8)
+          .localCheckpoint()
+        pairs.count()
+      }
+      var labels: DataFrame = null
+      measure(s"dedup_clusters_x$factor") {
+        labels = Dedup.nearDupClusters(docs, "doc_id", pairs)
+        labels.count()
+      }
+      measure(s"near_dedup_from_labels_x$factor") {
+        Dedup.nearDedupFromClusters(docs, "doc_id", labels).count()
+      }
+      measure(s"curation_x$factor") {
+        Curation.curate(docs, "doc_id", "text", langs = Set("en", "de"), minQuality = 0.5).count()
+      }
+    }
+    spark.stop()
+  }
+}
