@@ -445,6 +445,57 @@ object OracleSql {
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
 
+    "q_span_dedup" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(text, '[ \t\n\f\r]+'), x -> len(x) > 0) AS words
+        |  FROM documents WHERE text IS NOT NULL),
+        |segs AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS seg_idx,
+        |         array_to_string(words[((i-1)*8+1):(i*8)], ' ') AS seg
+        |  FROM w, UNNEST(range(1, CAST(ceil(len(words)/8.0) AS BIGINT) + 1)) AS t(i)
+        |  WHERE len(words) >= 1),
+        |ranked AS (
+        |  SELECT doc_id, seg_idx, seg,
+        |         row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+        |  FROM segs)
+        |SELECT doc_id,
+        |       COALESCE(string_agg(CASE WHEN rn = 1 THEN seg END, ' ' ORDER BY seg_idx), '') AS clean_text,
+        |       COUNT(*) AS n_spans,
+        |       CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+        |FROM ranked GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_vocab_coverage" ->
+      """WITH toks AS (
+        |  SELECT list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+        |                     x -> len(x) > 0) AS w
+        |  FROM documents),
+        |uni AS (SELECT UNNEST(w) AS word FROM toks),
+        |uc AS (SELECT word, COUNT(*) AS cnt FROM uni GROUP BY word),
+        |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_total FROM uc),
+        |top AS (SELECT word, cnt, row_number() OVER (ORDER BY cnt DESC, word) AS rank
+        |        FROM uc ORDER BY cnt DESC, word LIMIT 50)
+        |SELECT rank, word, cnt,
+        |       ROUND(CAST(SUM(cnt) OVER (ORDER BY rank ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+        |               / CAST((SELECT n_total FROM tot) AS DOUBLE), 6) AS cum_frac
+        |FROM top ORDER BY rank""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q_full_outer" ->
+      """WITH c AS (SELECT c_nationkey AS nationkey, COUNT(*) AS n_cust
+        |           FROM customer WHERE c_acctbal > 9900 GROUP BY c_nationkey),
+        |s AS (SELECT s_nationkey AS nationkey, COUNT(*) AS n_supp
+        |      FROM supplier WHERE s_acctbal > 9000 GROUP BY s_nationkey)
+        |SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey, c.n_cust, s.n_supp
+        |FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+        |ORDER BY nationkey""".stripMargin,
+
     "q_embed_neardup" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |  ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS score

@@ -628,6 +628,56 @@ object SparkEntry {
       .select(col("vec_id"), round(col("score"), 6).as("score"))
   }
 
+  /** Global duplicated-span removal (exact-substring dedup at 8-word
+    * span granularity, [[Dedup.dedupSpansGlobal]]): only the corpus-wide
+    * FIRST occurrence of every span survives; documents are stitched back
+    * from their surviving spans.
+    */
+  private def qSpanDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup
+      .dedupSpansGlobal(
+        t(s, dir, "documents").where(col("text").isNotNull), "doc_id", "text", k = 8)
+      .orderBy("doc_id")
+
+  /** Top-50 vocabulary with cumulative corpus coverage
+    * ([[TextAnalysis.vocabCoverage]] — the tokenizer-design histogram).
+    * Rounding applies AFTER the rank ordering on both engines.
+    */
+  private def qVocabCoverage(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis
+      .vocabCoverage(t(s, dir, "documents"), "text", k = 50)
+      .select(col("rank"), col("word"), col("cnt"), round(col("cum_frac"), 6).as("cum_frac"))
+      .orderBy("rank")
+
+  /** Explicit GROUPING SETS aggregation — the general form behind
+    * rollup/cube (SURVEY §2.4), exercising a set combination neither of
+    * those specials covers: ((rf, ls), (ls), ()).
+    */
+  private def qGroupingSets(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")), Seq(col("l_linestatus")), Seq.empty),
+        col("l_returnflag"), col("l_linestatus")
+      )
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** FULL OUTER join: per-nation high-balance customer and supplier
+    * counts — each side sparse (top-of-range balance filters), so both
+    * unmatched directions actually occur in the result.
+    */
+  private def qFullOuter(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+      .where(col("c_acctbal") > 9900)
+      .groupBy(col("c_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_cust"))
+    val supp = t(s, dir, "supplier")
+      .where(col("s_acctbal") > 9000)
+      .groupBy(col("s_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_supp"))
+    cust.join(supp, Seq("nationkey"), "full_outer").orderBy("nationkey")
+  }
+
   /** ROLLUP subtotal aggregation (free via Catalyst once the engine
     * exposes SQL — SURVEY §2.4 note on grouping sets).
     */
@@ -1373,6 +1423,10 @@ object SparkEntry {
     "q_chunk_fixed" -> (qChunkFixed _),
     "q_embed_portable" -> (qEmbedPortable _),
     "q_dedup_clusters" -> (qDedupClusters _),
+    "q_span_dedup" -> (qSpanDedup _),
+    "q_vocab_coverage" -> (qVocabCoverage _),
+    "q_grouping_sets" -> (qGroupingSets _),
+    "q_full_outer" -> (qFullOuter _),
     "q_range_join" -> (qRangeJoin _),
     "q_pivot" -> (qPivot _),
     "q_cube" -> (qCube _),

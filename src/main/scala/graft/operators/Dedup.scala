@@ -382,6 +382,77 @@ object Dedup {
   /** Drop every cached label table (companion of Pipeline.flush). */
   def invalidateClusters(): Unit = clusterCache.clear()
 
+  /** Global duplicated-SPAN removal — exact-substring dedup at fixed
+    * k-word span granularity (the "remove repeated passages" step of
+    * published pretraining pipelines, cf. Lee et al. 2022's
+    * exact-substring dedup; span granularity trades their suffix-array
+    * generality for a pure DataFrame plan). Documents are cut into
+    * consecutive k-word spans; across the WHOLE corpus only the first
+    * occurrence of each span survives (document order, then span
+    * position); surviving spans are stitched back per document.
+    *
+    * Returns (idCol, clean_text, n_spans, n_removed) — one row per input
+    * doc with at least one word; a fully-duplicate doc comes back with
+    * clean_text = "".
+    *
+    * Scale shape: one shuffle keyed by the span text for the global
+    * first-occurrence window (payload: span + (id, idx) — ~tens of bytes
+    * per span), one reassembly shuffle keyed by doc id carrying only
+    * surviving spans. At 100 TB key the window by xxhash64(span) and
+    * carry the hash alone through the exchange, re-attaching span text by
+    * (id, idx) afterwards; the span text itself is kept as the key here
+    * for oracle-exactness.
+    */
+  def dedupSpansGlobal(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8
+  ): DataFrame = {
+    require(k >= 1, s"span width must be >= 1, got $k")
+    val spans = docs
+      .select(
+        col(idCol),
+        TextFunctions.bindOnce(
+          filter(split(col(textCol), TextFunctions.Ws + "+"), w => length(w) > 0),
+          ws =>
+            // ceil(size/k) spans; sequence() DESCENDS on an empty doc
+            // (sequence(0,-1)), so guard size >= 1
+            when(
+              size(ws) >= 1,
+              transform(
+                sequence(lit(0), (size(ws) + lit(k - 1)).divide(lit(k)).cast("int") - 1),
+                i => array_join(slice(ws, i * k + 1, lit(k)), " ")
+              )
+            )
+        ).as("spans")
+      )
+      .where(col("spans").isNotNull)
+      .select(col(idCol), posexplode(col("spans")).as(Seq("seg_idx", "seg")))
+
+    val firstSeen = org.apache.spark.sql.expressions.Window
+      .partitionBy("seg")
+      .orderBy(col(idCol), col("seg_idx"))
+    spans
+      .withColumn("rn", row_number().over(firstSeen))
+      .groupBy(col(idCol))
+      .agg(
+        // when() without otherwise yields NULL for removed spans and
+        // collect_list drops nulls — surviving spans only, re-ordered by
+        // position via the struct sort (collect_list alone is
+        // partition-order-dependent)
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("rn") === 1, struct(col("seg_idx"), col("seg"))))),
+            x => x.getField("seg")
+          ),
+          " "
+        ).as("clean_text"),
+        count(lit(1)).as("n_spans"),
+        sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_removed")
+      )
+  }
+
   /** Word n-gram Jaccard similarity for all pairs above `threshold`,
     * blocked by shared n-grams (a pair is compared only if it shares at
     * least one n-gram — which any pair above a positive threshold must).

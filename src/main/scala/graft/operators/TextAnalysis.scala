@@ -204,4 +204,46 @@ object TextAnalysis {
       .orderBy(desc("lift"), col("w1"), col("w2"))
       .limit(k)
   }
+
+  /** Top-`k` vocabulary with cumulative corpus coverage — the tokenizer-
+    * design question ("how much of the corpus do the top-N tokens cover")
+    * answered in one pass. Returns (rank, word, cnt, cum_frac) ordered by
+    * rank, where cum_frac is the fraction of ALL token occurrences covered
+    * by ranks 1..rank.
+    *
+    * Scale shape: ONE corpus-size shuffle (the word histogram); the top-k
+    * selection is TakeOrderedAndProject (k-heaps per partition, k rows to
+    * the driver side of the plan); the running sum then windows over k
+    * rows only, and the corpus total arrives as a 1-row broadcast — no
+    * full-vocab global sort anywhere. Integer-exact except the one final
+    * division (mirrored verbatim in the oracle).
+    */
+  def vocabCoverage(docs: DataFrame, textCol: String, k: Int = 50): DataFrame = {
+    val words = docs
+      .select(explode(
+        TextFunctions.bindOnce(
+          split(Dedup.normalized(col(textCol)), " "),
+          w => filter(w, t => length(t) > 0)
+        )
+      ).as("word"))
+    val counts = words.groupBy("word").agg(count(lit(1)).as("cnt"))
+    val top = counts.orderBy(desc("cnt"), col("word")).limit(k)
+    val tot = counts.agg(sum("cnt").as("n_total"))
+    // bounded window: k rows after the limit — never a corpus-wide sort
+    val byRank = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("cnt"), col("word"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    top
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(desc("cnt"), col("word"))))
+      .withColumn("cum_cnt", sum("cnt").over(byRank))
+      .crossJoin(broadcast(tot))
+      .select(
+        col("rank"),
+        col("word"),
+        col("cnt"),
+        (col("cum_cnt").cast("double") / col("n_total").cast("double")).as("cum_frac")
+      )
+      .orderBy("rank")
+  }
 }

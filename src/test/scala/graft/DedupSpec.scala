@@ -150,6 +150,25 @@ class DedupSpec extends AnyFunSuite {
       Map(1L -> 1L, 2L -> 1L, 7L -> 7L))
   }
 
+  test("dedupSpansGlobal keeps only the corpus-wide first occurrence of each span") {
+    val docs = Seq(
+      (1L, "a b c d e f"),       // spans(k=3): [a b c][d e f] — all first
+      (2L, "a b c x y z"),       // [a b c] duplicates doc 1 -> removed
+      (3L, "a b c"),             // fully duplicate -> empty clean_text
+      (4L, "p q r p q r"),       // within-doc repeat -> second span removed
+      (5L, "  g h  i ")          // ragged whitespace; partial span kept
+    ).toDF("id", "text")
+    val out = Dedup.dedupSpansGlobal(docs, "id", "text", k = 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out(1L) == (("a b c d e f", 2L, 0L)))
+    assert(out(2L) == (("x y z", 2L, 1L)), s"got ${out(2L)}")
+    assert(out(3L) == (("", 1L, 1L)), "fully-duplicate doc comes back empty, not dropped")
+    assert(out(4L) == (("p q r", 2L, 1L)), "within-doc repeats are removed too")
+    assert(out(5L) == (("g h i", 1L, 0L)), "whitespace runs collapse; short tail span kept")
+  }
+
   test("ngram jaccard: dup pair scores 1.0, near pair high, disjoint absent") {
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.3)
       .collect()

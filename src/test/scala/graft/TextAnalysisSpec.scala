@@ -101,4 +101,18 @@ class TextAnalysisSpec extends AnyFunSuite {
     val tiny = Seq((1L, "word"), (2L, "")).toDF("id", "text")
     assert(TextAnalysis.bigramLift(tiny, "text", minCount = 1, k = 5).count() == 0)
   }
+
+  test("vocabCoverage ranks by count then word; cum_frac reaches the corpus total") {
+    val docs = Seq((1L, "a a a b"), (2L, "b c")).toDF("id", "text")
+    // counts: a=3, b=2, c=1; total 6
+    val out = TextAnalysis.vocabCoverage(docs, "text", k = 3)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      (1, "a", 3L, 3.0 / 6),
+      (2, "b", 2L, 5.0 / 6),
+      (3, "c", 1L, 1.0)
+    ), out.mkString(";"))
+    // k larger than the vocabulary truncates cleanly
+    assert(TextAnalysis.vocabCoverage(docs, "text", k = 100).count() == 3)
+  }
 }
