@@ -62,8 +62,18 @@ object Curation {
   ): DataFrame = clusters match {
     // artifact reuse: with a precomputed label table (ingest-time
     // Dedup.nearDupClusters -> writeClusters) the whole fuzzy-dedup pass
-    // is the filter stage plus ONE anti-join — no pair detection, no
-    // iterative CC, nothing checkpointed (and so nothing to release)
+    // is the filter stage plus the label-table thinning — no pair
+    // detection, no iterative CC, nothing checkpointed (and so nothing to
+    // release). `jaccardThreshold` is ignored on this path: the threshold
+    // was baked in when the labels were built. The representative is the
+    // min-id member SURVIVING the filter (nearDedupFromClusters), so a
+    // cluster whose canonical doc the quality gate dropped keeps its next
+    // member. Residual divergence from the inline path: labels built over
+    // the UNFILTERED corpus can merge clusters through documents the
+    // filter would have removed (the inline path detects pairs
+    // post-filter, so boilerplate can't bridge clusters there) — build
+    // ingest-time labels over the same gates you curate with when that
+    // matters.
     case Some(labels) =>
       Dedup.nearDedupFromClusters(filterStage(docs, textCol, langs, minQuality), idCol, labels)
     case None =>

@@ -337,19 +337,28 @@ object Dedup {
 
   /** [[nearDedup]] over a PRECOMPUTED label table (the output of
     * [[nearDupClusters]], possibly persisted with [[writeClusters]]):
-    * drop every doc whose cluster label names a different canonical id.
-    * Docs absent from `clusters` are KEPT — an unlabeled doc is its own
-    * cluster — so a label table computed over a filtered subset of the
-    * corpus stays usable against the full table.
+    * keep the MIN-id member of each cluster AMONG THE DOCS PRESENT. The
+    * representative is computed over `docs`, not assumed to be the label
+    * value: when the canonical doc was filtered away upstream (quality
+    * gate, language gate), its cluster falls to the next surviving member
+    * instead of vanishing from the corpus. Docs absent from `clusters`
+    * are kept — an unlabeled doc is its own cluster — so a label table
+    * computed over a sub- or super-set corpus stays usable.
     *
     * This is the artifact-reuse half of near-dup dedup: the iterative CC
     * build runs ONCE at ingest ([[nearDupClusters]] -> [[writeClusters]]),
-    * and every later dedup/curation pass is this one anti-join — losers
-    * are id-only and typically a small minority, so AQE broadcasts them
-    * and document payloads never shuffle.
+    * and every later dedup/curation pass is this per-cluster min plus one
+    * anti-join — all on id-only columns, so document payloads never
+    * shuffle. (When `docs` IS the label corpus, the min present member is
+    * the label itself and this reduces to the plain losers anti-join.)
     */
   def nearDedupFromClusters(docs: DataFrame, idCol: String, clusters: DataFrame): DataFrame = {
-    val losers = clusters.where(col("id") =!= col("cluster")).select(col("id").as(idCol))
+    val present = docs
+      .select(col(idCol).as("id"))
+      .join(clusters, Seq("id"), "inner") // (id, cluster) of surviving members
+    val keepers = present.groupBy("cluster").agg(min("id").as("id")).select("id")
+    val losers = present.select("id").join(keepers, Seq("id"), "left_anti")
+      .select(col("id").as(idCol))
     docs.join(losers, Seq(idCol), "left_anti")
   }
 
@@ -370,17 +379,58 @@ object Dedup {
   // lifecycle as FtsIndex.buildCached): one CC run per corpus key per
   // session. At cluster scale the table is written with writeClusters and
   // loaded back; the in-session cache serves the local/bench lifecycle.
-  private val clusterCache = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  // Entries record the checkpoint RDD ids the build pinned so
+  // invalidation can actually release the blocks (the returned labels are
+  // a projection over localCheckpoint blocks, which Dataset.unpersist
+  // cannot free). Cached DataFrames are bound to the building session;
+  // the cache must be invalidated across session restarts.
+  private final case class CachedLabels(labels: DataFrame, pinnedRddIds: Set[Int])
+  private val clusterCache = new java.util.concurrent.ConcurrentHashMap[String, CachedLabels]()
+  // Per-key monitors, NOT CHM bin locks: the CC build runs many Spark
+  // jobs while holding its lock (same rationale as FtsIndex.lockFor — a
+  // bin lock would stall unrelated keys and break on reentrancy).
+  private val clusterLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def clusterLockFor(key: String): Object =
+    clusterLocks.computeIfAbsent(key, _ => new Object)
 
   /** Build-once cluster labels per corpus `key`; later callers reuse the
     * checkpointed label table instead of re-running pair detection + the
-    * iterative CC build.
+    * iterative CC build. The build's checkpoint blocks are tracked by
+    * persistent-RDD-id delta (assumes no CONCURRENT persist activity on
+    * the same SparkContext during a cold build — curation/clustering is a
+    * batch step) and released by [[invalidateClusters]].
     */
   def clustersCached(key: String, nodes: => DataFrame, idCol: String, pairs: => DataFrame): DataFrame =
-    clusterCache.computeIfAbsent(key, _ => nearDupClusters(nodes, idCol, pairs))
+    clusterLockFor(key).synchronized {
+      val hit = clusterCache.get(key)
+      if (hit != null) hit.labels
+      else {
+        val n = nodes
+        val sc = n.sparkSession.sparkContext
+        val before = sc.getPersistentRDDs.keySet.toSet
+        val labels = nearDupClusters(n, idCol, pairs)
+        val pinned = sc.getPersistentRDDs.keySet.toSet -- before
+        clusterCache.put(key, CachedLabels(labels, pinned))
+        labels
+      }
+    }
 
-  /** Drop every cached label table (companion of Pipeline.flush). */
-  def invalidateClusters(): Unit = clusterCache.clear()
+  /** Drop every cached label table and release its checkpoint blocks
+    * (companion of Pipeline.flush).
+    */
+  def invalidateClusters(): Unit = {
+    import scala.jdk.CollectionConverters._
+    clusterCache.keySet().asScala.toSeq.foreach { key =>
+      clusterLockFor(key).synchronized {
+        Option(clusterCache.remove(key)).foreach { cached =>
+          val sc = cached.labels.sparkSession.sparkContext
+          cached.pinnedRddIds.foreach { id =>
+            sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false))
+          }
+        }
+      }
+    }
+  }
 
   /** Global duplicated-SPAN removal — exact-substring dedup at fixed
     * k-word span granularity (the "remove repeated passages" step of

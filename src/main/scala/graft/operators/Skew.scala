@@ -28,22 +28,22 @@ object Skew {
     * CAVEAT (the near-unique-row assumption): byte-identical rows all
     * land in ONE salt bucket, so a hot key whose rows are duplicates —
     * e.g. a key-only or key+constant projection — gets ZERO spread: the
-    * skew the salt exists to fix silently survives. Callers aggregating
-    * narrow projections should pass a distinguishing `uniqueCol`
-    * (an id/offset column NOT in the projection) via the public methods;
-    * it is folded into the salt hash and restores the spread while
-    * keeping retry-determinism.
+    * skew the salt exists to fix silently survives. No deterministic
+    * function of the row can spread identical rows, so the fix is on the
+    * INPUT side: carry a distinguishing column (an id, a file offset)
+    * through the projection you aggregate — it is hashed into the salt
+    * automatically (all input columns are) and never reaches the output,
+    * which is shaped by the grouping keys alone.
     */
-  private def rowSalt(df: DataFrame, salt: Int, uniqueCol: Option[Column]): Column =
-    pmod(xxhash64(df.columns.map(col) ++ uniqueCol: _*), lit(salt)).cast("int")
+  private def rowSalt(df: DataFrame, salt: Int): Column =
+    pmod(xxhash64(df.columns.map(col): _*), lit(salt)).cast("int")
 
   def saltedJoin(
       left: DataFrame,
       right: DataFrame,
       key: String,
       salt: Int,
-      joinType: String = "inner",
-      uniqueCol: Option[Column] = None
+      joinType: String = "inner"
   ): DataFrame = {
     // right rows are replicated `salt` times, so join types that emit
     // unmatched RIGHT rows would duplicate them `salt`-fold
@@ -51,7 +51,7 @@ object Skew {
       Set("inner", "left", "left_outer", "leftouter").contains(joinType.toLowerCase),
       s"saltedJoin supports inner/left joins only (right side is replicated), got $joinType"
     )
-    val saltedLeft = left.withColumn("_salt", rowSalt(left, salt, uniqueCol))
+    val saltedLeft = left.withColumn("_salt", rowSalt(left, salt))
     val saltedRight = right.withColumn("_salt", explode(typedlit((0 until salt).toList)))
     saltedLeft
       .join(saltedRight, Seq(key, "_salt"), joinType)
@@ -63,13 +63,8 @@ object Skew {
     * partials; this helps when a single reduce key overflows one task
     * (e.g. giant collect_list groups).
     */
-  def twoPhaseCount(
-      df: DataFrame,
-      key: String,
-      salt: Int = 16,
-      uniqueCol: Option[Column] = None
-  ): DataFrame =
-    df.withColumn("_salt", rowSalt(df, salt, uniqueCol))
+  def twoPhaseCount(df: DataFrame, key: String, salt: Int = 16): DataFrame =
+    df.withColumn("_salt", rowSalt(df, salt))
       .groupBy(col(key), col("_salt"))
       .agg(count(lit(1)).as("_partial"))
       .groupBy(col(key))
@@ -87,12 +82,11 @@ object Skew {
       df: DataFrame,
       keys: Seq[String],
       value: Column,
-      salt: Int = 16,
-      uniqueCol: Option[Column] = None
+      salt: Int = 16
   ): DataFrame = {
     require(salt >= 2, s"salt must be >= 2, got $salt")
     val keyCols = keys.map(col)
-    df.withColumn("_salt", rowSalt(df, salt, uniqueCol))
+    df.withColumn("_salt", rowSalt(df, salt))
       .groupBy(keyCols :+ col("_salt"): _*)
       .agg(
         sum(value.cast("decimal(28,4)")).as("_psum"),

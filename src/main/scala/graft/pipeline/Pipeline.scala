@@ -254,6 +254,7 @@ final class Pipeline(spark: SparkSession, config: GraftConfig = GraftConfig.defa
     if (!dryRun) {
       FtsIndex.invalidateAll()
       graft.operators.VectorSearch.invalidateAllIvf()
+      graft.operators.Dedup.invalidateClusters()
     }
     dropped
   }

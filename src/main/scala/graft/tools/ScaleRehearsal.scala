@@ -38,8 +38,12 @@ object ScaleRehearsal {
         peakTaskMem.updateAndGet(x => math.max(x, m.peakExecutionMemory))
       }
     }
-    def snapshot: (Long, Long, Long) =
-      (shuffleWrite.get(), shuffleRead.get(), peakTaskMem.get())
+    def snapshot: (Long, Long) = (shuffleWrite.get(), shuffleRead.get())
+    // peak is reset per query (shuffle counters are diffed instead): an
+    // un-reset running max would misattribute the heaviest query's peak
+    // to every row after it
+    def resetPeak(): Unit = peakTaskMem.set(0L)
+    def peak: Long = peakTaskMem.get()
   }
 
   def main(args: Array[String]): Unit = {
@@ -78,13 +82,14 @@ object ScaleRehearsal {
           .localCheckpoint()
 
     def measure(tag: String)(work: => Long): Unit = {
-      val (w0, r0, _) = meter.snapshot
+      val (w0, r0) = meter.snapshot
+      meter.resetPeak()
       val t0 = System.nanoTime()
       val rows = work
       val sec = (System.nanoTime() - t0) / 1e9
-      val (w1, r1, peak) = meter.snapshot
+      val (w1, r1) = meter.snapshot
       println(f"[scale] $tag rows=$rows time=$sec%.2fs shuffleWrite=${(w1 - w0) / 1e6}%.1fMB " +
-        f"shuffleRead=${(r1 - r0) / 1e6}%.1fMB peakTaskMem=${peak / 1e6}%.1fMB")
+        f"shuffleRead=${(r1 - r0) / 1e6}%.1fMB peakTaskMem=${meter.peak / 1e6}%.1fMB")
     }
 
     for (factor <- Seq(1, 10)) {

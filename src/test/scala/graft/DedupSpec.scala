@@ -135,6 +135,15 @@ class DedupSpec extends AnyFunSuite {
     val keptGrown = Dedup.nearDedupFromClusters(grown, "id", loaded)
       .collect().map(_.getAs[Long]("id")).toSet
     assert(keptGrown == inline + 99L, "unlabeled doc must be its own cluster (kept)")
+
+    // orphaned canonical: with the cluster representative (id 1) filtered
+    // out of `docs`, the cluster must fall to its next surviving member
+    // (id 2) — not vanish from the corpus
+    val withoutCanonical = docs.where(col("id") =!= 1L)
+    val keptOrphan = Dedup.nearDedupFromClusters(withoutCanonical, "id", loaded)
+      .collect().map(_.getAs[Long]("id")).toSet
+    assert(keptOrphan == Set(2L, 10L, 20L),
+      s"cluster {1,2,3} minus canonical 1 must keep 2, got $keptOrphan")
   }
 
   test("clustersCached builds once per key and reuses the label table") {
@@ -148,6 +157,19 @@ class DedupSpec extends AnyFunSuite {
     assert(!rebuilt, "cache hit must not re-evaluate the corpus or the pair plan")
     assert(first.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
       Map(1L -> 1L, 2L -> 1L, 7L -> 7L))
+
+    // invalidation must RELEASE the build's checkpoint blocks, not just
+    // drop the map entry (Dataset.unpersist can't free checkpoint RDDs)
+    val sc = spark.sparkContext
+    val pinnedBefore = sc.getPersistentRDDs.size
+    Dedup.invalidateClusters()
+    assert(sc.getPersistentRDDs.size < pinnedBefore,
+      "invalidateClusters must unpersist the CC build's checkpoint blocks")
+    val third = Dedup.clustersCached(key, nodes, "id", pairs)
+    assert(!(third eq first), "a fresh build must follow invalidation")
+    assert(third.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(1L -> 1L, 2L -> 1L, 7L -> 7L))
+    Dedup.invalidateClusters()
   }
 
   test("dedupSpansGlobal keeps only the corpus-wide first occurrence of each span") {

@@ -83,19 +83,19 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(direct == salted)
   }
 
-  test("explicit uniqueCol salt stays exact on duplicate-row projections") {
+  test("carrying a unique column through the salted input restores spread, stays exact") {
     // byte-identical rows (key + constant value): content salting alone
     // puts them all in ONE bucket (zero spread — the documented caveat);
-    // folding a unique id into the salt restores the spread. The contract
-    // under test: the result is exact either way.
+    // carrying a unique id column through the aggregation input spreads
+    // them (all input columns feed the salt hash) without reaching the
+    // output, which is shaped by the grouping keys alone. The contract
+    // under test: the result is exact either way and identically shaped.
     val df = (1L to 1200L).map(i => ("hot", 1.0, i)).toDF("k", "v", "uid")
     val expected = ("hot", 1200.0, 1200L)
-    val plain = Skew.saltedSumCount(df.select("k", "v"), Seq("k"), col("v"), salt = 8)
-      .collect().head
-    assert((plain.getString(0), plain.getDouble(1), plain.getLong(2)) == expected)
-    val withId = Skew.saltedSumCount(df, Seq("k"), col("v"), salt = 8,
-      uniqueCol = Some(col("uid")))
-      .collect().head
-    assert((withId.getString(0), withId.getDouble(1), withId.getLong(2)) == expected)
+    Seq(df.select("k", "v"), df).foreach { input =>
+      val r = Skew.saltedSumCount(input, Seq("k"), col("v"), salt = 8).collect().head
+      assert((r.getString(0), r.getDouble(1), r.getLong(2)) == expected,
+        s"columns=${input.columns.mkString(",")}")
+    }
   }
 }
