@@ -960,6 +960,32 @@ object OracleSql {
         |FROM q JOIN cum ON CAST(cum AS DOUBLE) >= q * n
         |GROUP BY q ORDER BY q""".stripMargin,
 
+    "q_pagerank" -> {
+      // 3 unrolled PageRank rounds (DuckDB's recursive CTEs forbid the
+      // grouped aggregate each round needs). Arithmetic mirrors
+      // GraphOps.pageRank EXACTLY: BIGINT fixed-point (Scale = 1e6),
+      // floor division (`//` here, `div` in Spark), dangling mass dropped.
+      val rounds = (1 to 3).map { i =>
+        s"""s$i AS (SELECT e.dst AS node, SUM(r.rank // d.outdeg) AS s
+           |     FROM e JOIN deg d ON e.src = d.src
+           |     JOIN r${i - 1} r ON e.src = r.node GROUP BY e.dst),
+           |r$i AS (SELECT n.node,
+           |     CAST(150000 + (85 * COALESCE(s.s, 0)) // 100 AS BIGINT) AS rank
+           |     FROM nodes n LEFT JOIN s$i s ON n.node = s.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT 'c' || o_custkey AS c, 's' || l_suppkey AS s
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |e AS (SELECT c AS src, s AS dst FROM pairs
+         |      UNION ALL SELECT s, c FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS node FROM e
+         |          UNION SELECT DISTINCT dst AS node FROM e),
+         |deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+         |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes),
+         |$rounds
+         |SELECT node, rank FROM r3 ORDER BY rank DESC, node LIMIT 20""".stripMargin
+    },
+
     "q_overlap_join" ->
       """WITH o AS (
         |  SELECT o_orderkey AS okey,

@@ -1352,6 +1352,30 @@ object SparkEntry {
       .kmvDistinctBy(t(s, dir, "lineitem"), Seq("l_returnflag"), "l_partkey", k = 64)
       .orderBy("l_returnflag")
 
+  /** Link-graph authority scoring: fixed-point PageRank
+    * ([[GraphOps.pageRank]], 3 rounds, integer arithmetic) over the
+    * bipartite customer↔supplier trade graph (both directions of every
+    * distinct (customer, supplier) pair that shares an order line). Top-20
+    * nodes by rank — the "domain authority" prior a web-scale curation
+    * pipeline derives from its hyperlink graph.
+    */
+  private def qPageRank(s: SparkSession, dir: String): DataFrame = {
+    val pairs = t(s, dir, "orders")
+      .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .select(
+        concat(lit("c"), col("o_custkey")).as("c"),
+        concat(lit("s"), col("l_suppkey")).as("sup")
+      )
+      .distinct()
+    val edges = pairs
+      .select(col("c").as("src"), col("sup").as("dst"))
+      .unionByName(pairs.select(col("sup").as("src"), col("c").as("dst")))
+    GraphOps
+      .pageRank(edges, "src", "dst", iters = 3)
+      .orderBy(desc("rank"), col("node"))
+      .limit(20)
+  }
+
   // =====================================================================
   // Contract maps
   // =====================================================================
@@ -1439,7 +1463,8 @@ object SparkEntry {
     "q_overlap_join" -> (qOverlapJoin _),
     "q_near_dedup" -> (qNearDedup _),
     "q_hist_quantile" -> (qHistQuantile _),
-    "q_kmv_by_group" -> (qKmvByGroup _)
+    "q_kmv_by_group" -> (qKmvByGroup _),
+    "q_pagerank" -> (qPageRank _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

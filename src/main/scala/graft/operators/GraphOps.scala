@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph operators for corpus-level authority scoring.
+  *
+  * Large-scale curation pipelines score document sources by link-graph
+  * authority (domain-level PageRank over the hyperlink graph is a standard
+  * web-corpus quality prior). The reference has no graph surface; this is
+  * part of the training-data extension mandated alongside SURVEY.md §2.13.
+  *
+  * Complements [[Dedup.nearDupClusters]] (min-label propagation): same
+  * per-round shape — (node, value)-only shuffles, localCheckpoint per
+  * round to cut lineage — but with rank mass instead of labels.
+  */
+object GraphOps {
+
+  /** Rank fixed-point scale: ranks are BIGINTs in units of 1e-6. */
+  val Scale: Long = 1000000L
+
+  /** Synchronous PageRank over an edge list, `iters` rounds, in FIXED-POINT
+    * integer arithmetic — deliberately not floating point:
+    *
+    *   r_0(v)     = Scale                        (i.e. 1.0)
+    *   r_{t+1}(v) = floor(0.15 * Scale)
+    *              + (85 * sum over incoming u of (r_t(u) div outdeg(u))) div 100
+    *
+    * Every operation is integer (`div` = floor division on BIGINT), so the
+    * per-node sum is an exact associative long addition: the result is
+    * bit-identical across partitionings and re-runs, and reproducible in
+    * any SQL engine — a floating-point PageRank's groupBy-sum order would
+    * break both. Precision cost: each div truncates < 1e-6 of rank mass.
+    *
+    * Semantics notes (both mirrored exactly by the oracle):
+    *   - duplicate edges are collapsed (DISTINCT) before degree counting;
+    *   - dangling-node mass (outdeg = 0) is dropped, not redistributed —
+    *     ranks are a relative authority ordering, not a distribution;
+    *   - nodes = src ∪ dst of the edge list.
+    *
+    * Scale shape: the edge table is the only corpus-sized input; it is
+    * localCheckpointed once (re-read per round, never recomputed). Each
+    * round shuffles (node, rank) pairs for the contribution aggregate —
+    * the same bounded per-round footprint as
+    * [[Dedup.nearDupClusters]] — and ranks are re-checkpointed per round
+    * so the `iters`-deep loop does not grow lineage. Long overflow bound:
+    * node in-mass is at most N * Scale * 85, safe below ~1e11 nodes;
+    * shrink `Scale` beyond that.
+    *
+    * Returns (node, rank) — every node, rank in Scale units.
+    */
+  def pageRank(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iters: Int = 3
+  ): DataFrame = {
+    require(iters >= 1, s"need iters >= 1, got $iters")
+    val e = edges
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    // (src, dst, outdeg) — checkpointed once; per-round joins re-read it
+    val withDeg = e.join(deg, "src").localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint()
+    val base = (0.15 * Scale).toLong
+    var ranks = nodes.withColumn("rank", lit(Scale))
+    for (_ <- 1 to iters) {
+      val contribs = withDeg
+        .join(ranks, withDeg("src") === ranks("node"))
+        .select(col("dst").as("node"), expr("rank div outdeg").as("c"))
+        .groupBy("node")
+        .agg(sum("c").as("s"))
+      ranks = nodes
+        .join(contribs, Seq("node"), "left")
+        .select(
+          col("node"),
+          (lit(base) + expr("(85 * coalesce(s, CAST(0 AS BIGINT))) div 100")).as("rank")
+        )
+        .localCheckpoint()
+    }
+    ranks
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.GraphOps
+
+class GraphOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  /** Scalar twin of GraphOps.pageRank — same fixed-point formula, plain
+    * Scala Maps. The spec's ground truth.
+    */
+  private def refPageRank(edges: Seq[(String, String)], iters: Int): Map[String, Long] = {
+    val e = edges.distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+    val outdeg = e.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    var rank = nodes.map(_ -> GraphOps.Scale).toMap
+    for (_ <- 1 to iters) {
+      val in = e
+        .map { case (s, d) => d -> rank(s) / outdeg(s) }
+        .groupBy(_._1)
+        .map { case (d, cs) => d -> cs.map(_._2).sum }
+      rank = nodes.map(n => n -> (150000L + 85L * in.getOrElse(n, 0L) / 100L)).toMap
+    }
+    rank
+  }
+
+  private val diamond = Seq(
+    ("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"), ("d", "a")
+  )
+
+  test("pageRank matches the scalar fixed-point reference on a small graph") {
+    val got = GraphOps
+      .pageRank(diamond.toDF("src", "dst"), "src", "dst", iters = 4)
+      .as[(String, Long)]
+      .collect()
+      .toMap
+    assert(got == refPageRank(diamond, 4))
+  }
+
+  test("pageRank is bit-identical across partitionings and duplicate edges") {
+    // duplicated edge rows must collapse (DISTINCT) before degree counting
+    val dup = (diamond ++ diamond ++ Seq(("b", "d"))).toDF("src", "dst")
+    val r1 = GraphOps.pageRank(dup.repartition(1), "src", "dst", 3).as[(String, Long)].collect().toMap
+    val r7 = GraphOps.pageRank(dup.repartition(7), "src", "dst", 3).as[(String, Long)].collect().toMap
+    assert(r1 == r7)
+    assert(r1 == refPageRank(diamond, 3))
+  }
+
+  test("dangling nodes keep base rank; sinks accumulate") {
+    // x -> y : y is dangling (no outgoing). After 1 round:
+    //   x = 150000 (no incoming), y = 150000 + 85 * (Scale / 1) / 100
+    val got = GraphOps
+      .pageRank(Seq(("x", "y")).toDF("src", "dst"), "src", "dst", iters = 1)
+      .as[(String, Long)]
+      .collect()
+      .toMap
+    assert(got("x") == 150000L)
+    assert(got("y") == 150000L + 85L * GraphOps.Scale / 100L)
+  }
+
+  test("null endpoints are dropped, not nodes") {
+    val withNulls = Seq(
+      (Some("a"), Some("b")),
+      (None, Some("z")),
+      (Some("z"), None)
+    ).toDF("src", "dst")
+    val nodes = GraphOps.pageRank(withNulls, "src", "dst", 1).select("node").as[String].collect().toSet
+    assert(nodes == Set("a", "b"))
+  }
+}
