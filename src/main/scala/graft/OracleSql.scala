@@ -986,6 +986,58 @@ object OracleSql {
          |SELECT node, rank FROM r3 ORDER BY rank DESC, node LIMIT 20""".stripMargin
     },
 
+    "q_tfidf" ->
+      // fixed-point TF-IDF twin of TextAnalysis.tfidfTopTerms: same
+      // tokenizer as q_bigram_lift, integer floor-division score
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         UNNEST(list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+        |                x -> len(x) > 0)) AS word
+        |  FROM documents),
+        |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        |df AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n_total FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.word, tf.tf,
+        |         CAST((tf.tf * (SELECT n_total FROM n) * 1000000) // df.df AS BIGINT) AS score_fp
+        |  FROM tf JOIN df ON tf.word = df.word),
+        |r AS (SELECT doc_id, word, tf, score_fp,
+        |             ROW_NUMBER() OVER (PARTITION BY doc_id
+        |                                ORDER BY score_fp DESC, word) AS rn
+        |      FROM scored)
+        |SELECT doc_id, word, CAST(tf AS BIGINT) AS tf, score_fp, CAST(rn AS BIGINT) AS rn
+        |FROM r WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin,
+
+    "q_boilerplate" ->
+      // TextAnalysis.boilerplateCoverage twin: md5-digested 3-grams,
+      // df >= 5 distinct docs, fixed-point coverage. range(1, L-1) is
+      // exclusive-end = positions 1..L-2 = L-(n-1) grams for n=3.
+      """WITH w AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+        |                     x -> len(x) > 0) AS w
+        |  FROM documents),
+        |g AS (SELECT doc_id,
+        |             CASE WHEN len(w) >= 3
+        |                  THEN list_transform(range(1, CAST(len(w) AS BIGINT) - 1),
+        |                         i -> md5(w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]))
+        |                  ELSE CAST([] AS VARCHAR[]) END AS grams
+        |      FROM w),
+        |pos AS (SELECT doc_id, UNNEST(grams) AS g FROM g),
+        |dfg AS (SELECT g, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, g FROM pos) GROUP BY g),
+        |boiler AS (SELECT g FROM dfg WHERE df >= 5),
+        |cov AS (SELECT doc_id, COUNT(*) AS boiler_grams FROM pos
+        |        WHERE g IN (SELECT g FROM boiler) GROUP BY doc_id),
+        |tot AS (SELECT doc_id, CAST(len(grams) AS BIGINT) AS total_grams FROM g)
+        |SELECT t.doc_id, t.total_grams,
+        |       CAST(COALESCE(c.boiler_grams, 0) AS BIGINT) AS boiler_grams,
+        |       CAST(CASE WHEN t.total_grams > 0
+        |                 THEN (COALESCE(c.boiler_grams, 0) * 1000000) // t.total_grams
+        |                 ELSE 0 END AS BIGINT) AS coverage_fp
+        |FROM tot t LEFT JOIN cov c ON t.doc_id = c.doc_id
+        |WHERE COALESCE(c.boiler_grams, 0) > 0
+        |ORDER BY t.doc_id""".stripMargin,
+
     "q_overlap_join" ->
       """WITH o AS (
         |  SELECT o_orderkey AS okey,

@@ -1376,6 +1376,27 @@ object SparkEntry {
       .limit(20)
   }
 
+  /** Per-document characteristic terms: TF-IDF top-3
+    * ([[TextAnalysis.tfidfTopTerms]] — fixed-point integer scoring, one
+    * corpus-size shuffle, 1-row broadcast total). The keyword-extraction
+    * stage of a curation pipeline, oracle-exact.
+    */
+  private def qTfidf(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis
+      .tfidfTopTerms(t(s, dir, "documents"), "doc_id", "text", k = 3)
+      .orderBy("doc_id", "rn")
+
+  /** Corpus-wide boilerplate coverage: per-doc fraction of 3-gram
+    * positions covered by grams recurring in >= 5 distinct documents
+    * ([[TextAnalysis.boilerplateCoverage]] — digest-keyed shuffles, the
+    * C4-style repeated-span filter).
+    */
+  private def qBoilerplate(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis
+      .boilerplateCoverage(t(s, dir, "documents"), "doc_id", "text", n = 3, minDocs = 5)
+      .where(col("boiler_grams") > 0)
+      .orderBy("doc_id")
+
   // =====================================================================
   // Contract maps
   // =====================================================================
@@ -1464,7 +1485,9 @@ object SparkEntry {
     "q_near_dedup" -> (qNearDedup _),
     "q_hist_quantile" -> (qHistQuantile _),
     "q_kmv_by_group" -> (qKmvByGroup _),
-    "q_pagerank" -> (qPageRank _)
+    "q_pagerank" -> (qPageRank _),
+    "q_tfidf" -> (qTfidf _),
+    "q_boilerplate" -> (qBoilerplate _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -205,6 +205,129 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Per-document TF-IDF top terms: the `k` most characteristic words of
+    * each document, scored tf * N / df in FIXED-POINT integer arithmetic
+    * (score_fp = tf * N * 1e6 div df, floor division) so ranking is
+    * bit-identical across engines and partitionings — no float log, no
+    * sum-order dependence. (The classic log-idf is monotone in N/df for
+    * fixed tf; the ranking differs only in how tf and idf trade off, and
+    * the linear-idf trade is the deterministic one.)
+    *
+    * Scale shape: one corpus scan + explode; the (doc, word) tf aggregate
+    * is the only corpus-sized shuffle; df comes from the tf table (already
+    * histogram-sized per word) and joins back by word; the corpus doc
+    * count N arrives as a 1-row broadcast (lazy — no driver action). The
+    * final top-k window partitions by document, and a document's group is
+    * bounded by its own vocabulary, so the per-group sort is small and
+    * embarrassingly parallel. Overflow bound: tf * N * 1e6 must fit a
+    * BIGINT — safe to ~9e12 doc-count×tf product; shrink the 1e6 scale
+    * beyond that.
+    *
+    * Returns (doc_id, word, tf, score_fp, rn), rn = 1..k per doc ordered
+    * (score_fp desc, word asc).
+    */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    val toks = docs.select(
+      col(idCol).as("doc_id"),
+      explode(
+        TextFunctions.bindOnce(
+          split(Dedup.normalized(col(textCol)), " "),
+          w => filter(w, t => length(t) > 0)
+        )
+      ).as("word")
+    )
+    val tf = toks.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_total"))
+    val scored = tf
+      .join(dfreq, "word")
+      .crossJoin(broadcast(n))
+      .select(
+        col("doc_id"),
+        col("word"),
+        col("tf"),
+        expr("(tf * n_total * 1000000) div df").as("score_fp")
+      )
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id")
+      .orderBy(desc("score_fp"), col("word"))
+    scored
+      .withColumn("rn", row_number().over(win).cast("long"))
+      .where(col("rn") <= k)
+  }
+
+  /** Cross-document boilerplate detection: word n-grams that recur in at
+    * least `minDocs` DISTINCT documents are "boilerplate" (headers,
+    * footers, license blurbs — the C4-style corpus-wide repeated-span
+    * filter, as opposed to [[qualityScore]]'s within-document repetition
+    * signals). Returns per-document coverage: how many of the document's
+    * n-gram positions are covered by a boilerplate gram.
+    *
+    * Scale shape: gram STRINGS never shuffle — every gram is md5-digested
+    * at the scan (32-byte keys, portable to the oracle; swap in xxhash64
+    * for a cheaper non-oracle digest), so the two corpus-sized shuffles
+    * (distinct (doc, digest) pairs for document frequency; the covered-
+    * position count) carry only ids + digests. The boilerplate digest set
+    * is df-thresholded and therefore small; the final count rides a
+    * semi-join against it. Per-doc totals come from the gram-array size —
+    * no extra shuffle. Fixed-point coverage (1e-6 units) keeps the output
+    * integer-exact.
+    *
+    * Returns (doc_id, total_grams, boiler_grams, coverage_fp) for every
+    * document (zeros when shorter than n words).
+    */
+  def boilerplateCoverage(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      minDocs: Long = 5
+  ): DataFrame = {
+    require(n >= 1, s"need n >= 1, got $n")
+    require(minDocs >= 2, s"boilerplate needs minDocs >= 2, got $minDocs")
+    val wordsExpr = TextFunctions.bindOnce(
+      split(Dedup.normalized(col(textCol)), " "),
+      w => filter(w, t => length(t) > 0)
+    )
+    // sequence(1, stop) counts DOWN when stop < 1, so guard short docs
+    // with an explicit empty array instead
+    val gramsExpr = TextFunctions.bindOnce(
+      wordsExpr,
+      w =>
+        when(
+          size(w) >= n,
+          transform(
+            sequence(lit(1), size(w) - (n - 1)),
+            i => md5(array_join(slice(w, i, lit(n)), " "))
+          )
+        ).otherwise(array().cast("array<string>"))
+    )
+    val withGrams = docs.select(col(idCol).as("doc_id"), gramsExpr.as("grams"))
+    val pos = withGrams.select(col("doc_id"), explode(col("grams")).as("g"))
+    val dfg = pos.distinct().groupBy("g").agg(count(lit(1)).as("df"))
+    val boiler = dfg.where(col("df") >= minDocs).select("g")
+    val covered = pos
+      .join(boiler, Seq("g"), "left_semi")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("boiler_grams"))
+    withGrams
+      .select(col("doc_id"), size(col("grams")).cast("long").as("total_grams"))
+      .join(covered, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("total_grams"),
+        coalesce(col("boiler_grams"), lit(0L)).as("boiler_grams")
+      )
+      .withColumn(
+        "coverage_fp",
+        when(
+          col("total_grams") > 0,
+          expr("(boiler_grams * 1000000) div total_grams")
+        ).otherwise(lit(0L))
+      )
+  }
+
   /** Top-`k` vocabulary with cumulative corpus coverage — the tokenizer-
     * design question ("how much of the corpus do the top-N tokens cover")
     * answered in one pass. Returns (rank, word, cnt, cum_frac) ordered by

@@ -115,4 +115,55 @@ class TextAnalysisSpec extends AnyFunSuite {
     // k larger than the vocabulary truncates cleanly
     assert(TextAnalysis.vocabCoverage(docs, "text", k = 100).count() == 3)
   }
+
+  test("tfidfTopTerms surfaces rare terms over common ones") {
+    // "shared" is in every doc (df=3 -> low idf); "uniqueN" is df=1
+    val docs = Seq(
+      (1L, "shared shared unique1"),
+      (2L, "shared unique2 unique2"),
+      (3L, "shared unique3")
+    ).toDF("id", "text")
+    val out = TextAnalysis.tfidfTopTerms(docs, "id", "text", k = 1)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("word"))).toMap
+    // doc1: shared tf=2 score 2*3/3=2.0; unique1 tf=1 score 1*3/1=3.0
+    assert(out == Map(1L -> "unique1", 2L -> "unique2", 3L -> "unique3"), out.toString)
+    // fixed-point value check: doc2/unique2 tf=2, N=3, df=1 -> 6e6
+    val d2 = TextAnalysis.tfidfTopTerms(docs, "id", "text", k = 1)
+      .where(col("doc_id") === 2L).collect().head
+    assert(d2.getAs[Long]("score_fp") == 6000000L)
+    assert(d2.getAs[Long]("tf") == 2L)
+  }
+
+  test("tfidfTopTerms ties break by word; rn is dense 1..k") {
+    val docs = Seq((1L, "b a b a"), (2L, "a b")).toDF("id", "text")
+    // doc1: a and b both tf=2, df=2 -> equal scores; 'a' must rank first
+    val rows = TextAnalysis.tfidfTopTerms(docs, "id", "text", k = 2)
+      .where(col("doc_id") === 1L).orderBy("rn")
+      .collect().map(r => (r.getAs[String]("word"), r.getAs[Long]("rn")))
+    assert(rows.toSeq == Seq(("a", 1L), ("b", 2L)))
+  }
+
+  test("boilerplateCoverage counts repeated-gram positions, zeros for short docs") {
+    // gram "x y z" appears in docs 1..4 (df=4 >= minDocs=2 threshold);
+    // doc5 too short for any 3-gram; doc6 has no shared grams
+    val docs = Seq(
+      (1L, "x y z a b"),
+      (2L, "c x y z"),
+      (3L, "x y z x y z"),
+      (4L, "q x y z"),
+      (5L, "one two"),
+      (6L, "p q r s")
+    ).toDF("id", "text")
+    val out = TextAnalysis.boilerplateCoverage(docs, "id", "text", n = 3, minDocs = 4)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("total_grams"), r.getAs[Long]("boiler_grams"), r.getAs[Long]("coverage_fp"))))
+      .toMap
+    assert(out(1L) == ((3L, 1L, 333333L)), out.toString)   // 1/3 covered
+    assert(out(2L) == ((2L, 1L, 500000L)))
+    // doc3 contains "x y z" at TWO positions (1 and 4) -> both count
+    assert(out(3L)._2 == 2L)
+    assert(out(5L) == ((0L, 0L, 0L)))
+    assert(out(6L) == ((2L, 0L, 0L)))
+  }
 }
