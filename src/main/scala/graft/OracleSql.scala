@@ -1038,6 +1038,45 @@ object OracleSql {
         |WHERE COALESCE(c.boiler_grams, 0) > 0
         |ORDER BY t.doc_id""".stripMargin,
 
+    "q_kmv_overlap" -> {
+      // Sketches.kmvOverlap twin: per-source k-min sketches over the
+      // md5-digested 3-grams (same gram builder as q_boilerplate), then
+      // |k-min(A ∪ B) ∩ A ∩ B| / k per source pair.
+      val hash32 = md5NibbleIntSql("v", 8)
+      s"""WITH w AS (
+         |  SELECT source,
+         |         list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+         |                     x -> len(x) > 0) AS w
+         |  FROM documents),
+         |g AS (SELECT source,
+         |             CASE WHEN len(w) >= 3
+         |                  THEN list_transform(range(1, CAST(len(w) AS BIGINT) - 1),
+         |                         i -> md5(w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]))
+         |                  ELSE CAST([] AS VARCHAR[]) END AS grams
+         |      FROM w),
+         |pos AS (SELECT source, UNNEST(grams) AS v FROM g),
+         |h AS (SELECT DISTINCT source AS gg, $hash32 AS h FROM pos),
+         |r AS (SELECT gg, h, ROW_NUMBER() OVER (PARTITION BY gg ORDER BY h) AS rn FROM h),
+         |sk AS (SELECT gg, h FROM r WHERE rn <= 64),
+         |gs AS (SELECT DISTINCT gg FROM sk),
+         |p AS (SELECT a.gg AS ga, b.gg AS gb FROM gs a JOIN gs b ON a.gg < b.gg),
+         |uh AS (SELECT p.ga, p.gb, s.h FROM p JOIN sk s ON s.gg = p.ga OR s.gg = p.gb
+         |       GROUP BY 1, 2, 3),
+         |ur AS (SELECT ga, gb, h,
+         |              ROW_NUMBER() OVER (PARTITION BY ga, gb ORDER BY h) AS rn FROM uh),
+         |uk AS (SELECT ga, gb, h FROM ur WHERE rn <= 64),
+         |cnt AS (SELECT uk.ga, uk.gb, COUNT(*) AS k_used,
+         |               COUNT(*) FILTER (WHERE sa.h IS NOT NULL AND sb.h IS NOT NULL) AS inter_cnt
+         |        FROM uk
+         |        LEFT JOIN sk sa ON sa.gg = uk.ga AND sa.h = uk.h
+         |        LEFT JOIN sk sb ON sb.gg = uk.gb AND sb.h = uk.h
+         |        GROUP BY 1, 2)
+         |SELECT ga AS g_a, gb AS g_b, CAST(k_used AS BIGINT) AS k_used,
+         |       CAST(inter_cnt AS BIGINT) AS inter_cnt,
+         |       CAST((inter_cnt * 1000000) // k_used AS BIGINT) AS jaccard_fp
+         |FROM cnt ORDER BY g_a, g_b""".stripMargin
+    },
+
     "q_overlap_join" ->
       """WITH o AS (
         |  SELECT o_orderkey AS okey,

@@ -1397,6 +1397,17 @@ object SparkEntry {
       .where(col("boiler_grams") > 0)
       .orderBy("doc_id")
 
+  /** Source-overlap contamination matrix: pairwise 3-gram-shingle Jaccard
+    * between every pair of document sources, estimated from per-source KMV
+    * sketches ([[Sketches.kmvOverlap]] — k longs per source cross the
+    * shuffle; the pairwise stage is sketch-sized).
+    */
+  private def qKmvOverlap(s: SparkSession, dir: String): DataFrame = {
+    val grams = t(s, dir, "documents")
+      .select(col("source"), explode(TextAnalysis.wordGrams(col("text"), 3)).as("gram"))
+    Sketches.kmvOverlap(grams, "source", "gram", k = 64).orderBy("g_a", "g_b")
+  }
+
   // =====================================================================
   // Contract maps
   // =====================================================================
@@ -1487,7 +1498,8 @@ object SparkEntry {
     "q_kmv_by_group" -> (qKmvByGroup _),
     "q_pagerank" -> (qPageRank _),
     "q_tfidf" -> (qTfidf _),
-    "q_boilerplate" -> (qBoilerplate _)
+    "q_boilerplate" -> (qBoilerplate _),
+    "q_kmv_overlap" -> (qKmvOverlap _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -95,6 +95,55 @@ object Sketches {
       .withColumn("kmv_estimate", kmvEstimate(col("k_used"), col("kth_hash"), k))
   }
 
+  /** Pairwise content overlap between corpus slices (sources, shards,
+    * snapshots) WITHOUT comparing the slices row-by-row: per-group KMV
+    * sketches, then the standard KMV Jaccard estimator on every group
+    * pair — |{k-min of A ∪ B} ∩ A ∩ B| / k. The contamination-matrix
+    * question ("how much does shard X share with shard Y") answered from
+    * k longs per group.
+    *
+    * Scale shape: the only corpus-sized work is the distinct (group,
+    * hash) projection feeding the bounded-heap sketch build (identical to
+    * [[kmvDistinctBy]]); the pairwise stage is a self-join of the SKETCH
+    * table — #groups rows of k longs each — so its nested-loop pairing is
+    * sketch-sized, never data-sized. All arithmetic integer fixed-point:
+    * deterministic, oracle-exact.
+    *
+    * Returns (g_a, g_b, k_used, inter_cnt, jaccard_fp) for every unordered
+    * group pair (g_a < g_b), jaccard_fp in 1e-6 units.
+    */
+  def kmvOverlap(df: DataFrame, groupCol: String, valueCol: String, k: Int = 64): DataFrame = {
+    require(k >= 2, s"kmv needs k >= 2, got $k")
+    val hashed = df
+      .where(col(valueCol).isNotNull)
+      .select(col(groupCol).as("g"), md5Hash32(col(valueCol)).as("h"))
+      .distinct()
+    val sk = hashed
+      .groupBy("g")
+      // entries ordered (score desc, id asc) = hash ascending
+      .agg(graft.plans.TopKBy.topKBy((-col("h")).cast("double"), col("h"), k).as("top"))
+      .select(col("g"), transform(col("top"), e => e.getField("id")).as("arr"))
+    val a = sk.select(col("g").as("g_a"), col("arr").as("arr_a"))
+    val b = sk.select(col("g").as("g_b"), col("arr").as("arr_b"))
+    a.join(b, col("g_a") < col("g_b"))
+      .select(
+        col("g_a"),
+        col("g_b"),
+        slice(array_sort(array_union(col("arr_a"), col("arr_b"))), 1, k).as("uk"),
+        col("arr_a"),
+        col("arr_b")
+      )
+      .select(
+        col("g_a"),
+        col("g_b"),
+        size(col("uk")).cast("long").as("k_used"),
+        size(array_intersect(array_intersect(col("uk"), col("arr_a")), col("arr_b")))
+          .cast("long")
+          .as("inter_cnt")
+      )
+      .withColumn("jaccard_fp", expr("(inter_cnt * 1000000) div k_used"))
+  }
+
   /** Fixed-histogram quantile sketch: bin `valueCol` into `nBins` equal
     * cells over `[lo, hi)`, then answer each requested quantile with the
     * midpoint of the first bin whose cumulative count reaches `q * n`.

@@ -257,6 +257,33 @@ object TextAnalysis {
       .where(col("rn") <= k)
   }
 
+  /** Array of md5-digested word `n`-grams of `text` (one per position,
+    * duplicates kept). Digesting at the scan means gram STRINGS never
+    * leave the stage — downstream shuffles carry 32-byte keys. Shared by
+    * [[boilerplateCoverage]] and the source-overlap sketches; the oracle
+    * mirrors the digest byte-for-byte.
+    */
+  def wordGrams(text: Column, n: Int): Column = {
+    require(n >= 1, s"need n >= 1, got $n")
+    val wordsExpr = TextFunctions.bindOnce(
+      split(Dedup.normalized(text), " "),
+      w => filter(w, t => length(t) > 0)
+    )
+    // sequence(1, stop) counts DOWN when stop < 1, so guard short docs
+    // with an explicit empty array instead
+    TextFunctions.bindOnce(
+      wordsExpr,
+      w =>
+        when(
+          size(w) >= n,
+          transform(
+            sequence(lit(1), size(w) - (n - 1)),
+            i => md5(array_join(slice(w, i, lit(n)), " "))
+          )
+        ).otherwise(array().cast("array<string>"))
+    )
+  }
+
   /** Cross-document boilerplate detection: word n-grams that recur in at
     * least `minDocs` DISTINCT documents are "boilerplate" (headers,
     * footers, license blurbs — the C4-style corpus-wide repeated-span
@@ -286,24 +313,7 @@ object TextAnalysis {
   ): DataFrame = {
     require(n >= 1, s"need n >= 1, got $n")
     require(minDocs >= 2, s"boilerplate needs minDocs >= 2, got $minDocs")
-    val wordsExpr = TextFunctions.bindOnce(
-      split(Dedup.normalized(col(textCol)), " "),
-      w => filter(w, t => length(t) > 0)
-    )
-    // sequence(1, stop) counts DOWN when stop < 1, so guard short docs
-    // with an explicit empty array instead
-    val gramsExpr = TextFunctions.bindOnce(
-      wordsExpr,
-      w =>
-        when(
-          size(w) >= n,
-          transform(
-            sequence(lit(1), size(w) - (n - 1)),
-            i => md5(array_join(slice(w, i, lit(n)), " "))
-          )
-        ).otherwise(array().cast("array<string>"))
-    )
-    val withGrams = docs.select(col(idCol).as("doc_id"), gramsExpr.as("grams"))
+    val withGrams = docs.select(col(idCol).as("doc_id"), wordGrams(col(textCol), n).as("grams"))
     val pos = withGrams.select(col("doc_id"), explode(col("grams")).as("g"))
     val dfg = pos.distinct().groupBy("g").agg(count(lit(1)).as("df"))
     val boiler = dfg.where(col("df") >= minDocs).select("g")

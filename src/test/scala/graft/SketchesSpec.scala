@@ -90,4 +90,36 @@ class SketchesSpec extends AnyFunSuite {
     assert(out.find(_._1 == 0.5).get._3 == 5.0)
     assert(out.find(_._1 == 1.0).get._3 == 95.0)
   }
+
+  test("kmvOverlap is EXACT when both groups fit inside k") {
+    // A = {1..40}, B = {21..60}: |A ∩ B| = 20, |A ∪ B| = 60 -> J = 1/3.
+    // With k = 64 > 60 the union sketch holds every hash, so the
+    // estimator degenerates to the exact Jaccard.
+    val rows = (1 to 40).map(v => ("A", s"v$v")) ++ (21 to 60).map(v => ("B", s"v$v"))
+    val out = Sketches.kmvOverlap(rows.toDF("g", "v"), "g", "v", k = 64).head()
+    assert(out.getAs[Long]("k_used") == 60L)
+    assert(out.getAs[Long]("inter_cnt") == 20L)
+    assert(out.getAs[Long]("jaccard_fp") == 20L * 1000000L / 60L)
+  }
+
+  test("kmvOverlap approximates large overlaps and is partition-invariant") {
+    val rows = (1 to 2000).map(v => ("A", s"x$v")) ++
+      (1001 to 3000).map(v => ("B", s"x$v")) ++
+      (9001 to 9500).map(v => ("C", s"x$v"))
+    val df = rows.toDF("g", "v")
+    val got = Sketches.kmvOverlap(df, "g", "v", k = 128)
+      .collect()
+      .map(r => (r.getAs[String]("g_a"), r.getAs[String]("g_b")) -> r.getAs[Long]("jaccard_fp"))
+      .toMap
+    // true J(A,B) = 1000/3000 = 0.333; sketch error ~ 1/sqrt(128) = 0.09
+    assert(math.abs(got(("A", "B")) / 1e6 - 1.0 / 3) < 0.15, got.toString)
+    // C is disjoint from both: a few spurious sketch hits are impossible
+    // (hashes of distinct values collide with prob ~ 1e-7 here)
+    assert(got(("A", "C")) == 0L && got(("B", "C")) == 0L)
+    val rep = Sketches.kmvOverlap(df.repartition(13), "g", "v", k = 128)
+      .collect()
+      .map(r => (r.getAs[String]("g_a"), r.getAs[String]("g_b")) -> r.getAs[Long]("jaccard_fp"))
+      .toMap
+    assert(rep == got)
+  }
 }
