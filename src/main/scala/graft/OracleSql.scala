@@ -1077,6 +1077,16 @@ object OracleSql {
          |FROM cnt ORDER BY g_a, g_b""".stripMargin
     },
 
+    "q_quality_percentile" ->
+      // CorpusHygiene.percentileGate twin: per-language percent_rank over
+      // (word count, doc_id) — integer ranks, so the doubles agree exactly
+      s"""WITH d AS (SELECT doc_id, lang, CAST(len($words) AS BIGINT) AS wc FROM documents),
+         |r AS (SELECT doc_id, lang, wc,
+         |             PERCENT_RANK() OVER (PARTITION BY lang ORDER BY wc, doc_id) AS pct
+         |      FROM d)
+         |SELECT doc_id, lang, wc, pct FROM r WHERE pct >= 0.9
+         |ORDER BY lang, doc_id""".stripMargin,
+
     "q_overlap_join" ->
       """WITH o AS (
         |  SELECT o_orderkey AS okey,

@@ -1408,6 +1408,23 @@ object SparkEntry {
     Sketches.kmvOverlap(grams, "source", "gram", k = 64).orderBy("g_a", "g_b")
   }
 
+  /** Calibrated quality gate: keep each language's top decile by word
+    * count ([[CorpusHygiene.percentileGate]] — within-group percent_rank,
+    * so low-metric languages are not systematically discarded the way an
+    * absolute threshold would).
+    */
+  private def qQualityPercentile(s: SparkSession, dir: String): DataFrame =
+    CorpusHygiene
+      .percentileGate(
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), TextFunctions.wordCount(col("text")).cast("long").as("wc")),
+        byCol = "lang",
+        valueCol = "wc",
+        tieCol = "doc_id",
+        minPct = 0.9
+      )
+      .orderBy("lang", "doc_id")
+
   // =====================================================================
   // Contract maps
   // =====================================================================
@@ -1499,7 +1516,8 @@ object SparkEntry {
     "q_pagerank" -> (qPageRank _),
     "q_tfidf" -> (qTfidf _),
     "q_boilerplate" -> (qBoilerplate _),
-    "q_kmv_overlap" -> (qKmvOverlap _)
+    "q_kmv_overlap" -> (qKmvOverlap _),
+    "q_quality_percentile" -> (qQualityPercentile _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

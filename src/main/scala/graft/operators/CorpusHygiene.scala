@@ -175,4 +175,36 @@ object CorpusHygiene {
       .select("id")
       .distinct()
   }
+
+  /** Per-group percentile calibration: rank every row's `valueCol` WITHIN
+    * its `byCol` group (percent_rank — ties impossible because `tieCol`
+    * joins the ordering) and keep rows at or above `minPct`. The
+    * distribution-aware quality gate: an absolute threshold over a mixed
+    * corpus systematically biases against languages/sources whose metric
+    * runs low (a short-sentence language is not a low-quality language),
+    * so curation pipelines gate on the within-group percentile instead.
+    *
+    * percent_rank = (rank - 1) / (n - 1) is computed from exact integer
+    * ranks, so the doubles — and the >= comparison — are bit-identical in
+    * any engine. Scale shape: one shuffle on `byCol`; each group sorts
+    * independently (the same shape as any per-group window; salt the group
+    * key upstream if one group dominates).
+    *
+    * Returns the input columns + `pct`, single-row groups kept (their
+    * percent_rank is 0, Spark and standard SQL agree) only when
+    * minPct <= 0.
+    */
+  def percentileGate(
+      df: DataFrame,
+      byCol: String,
+      valueCol: String,
+      tieCol: String,
+      minPct: Double
+  ): DataFrame = {
+    require(minPct >= 0.0 && minPct <= 1.0, s"minPct must be in [0, 1], got $minPct")
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(byCol)
+      .orderBy(col(valueCol), col(tieCol))
+    df.withColumn("pct", percent_rank().over(win)).where(col("pct") >= minPct)
+  }
 }

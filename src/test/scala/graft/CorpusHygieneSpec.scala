@@ -87,4 +87,18 @@ class CorpusHygieneSpec extends AnyFunSuite {
     assert(exact.nonEmpty, "fixture must actually contaminate some docs")
     assert(bloom == exact, "confirm join must erase bloom false positives; bloom has no false negatives")
   }
+
+  test("percentileGate keeps each group's top slice, not a global one") {
+    // group a: values 1..10 (top-30% = 8,9,10); group b: values 101..104
+    // (an absolute gate at any a-threshold would keep ALL of b)
+    val df = ((1 to 10).map(v => ("a", v.toLong, v.toLong)) ++
+      (101 to 104).map(v => ("b", v.toLong, v.toLong))).toDF("g", "id", "v")
+    val kept = CorpusHygiene.percentileGate(df, "g", "v", "id", minPct = 0.7)
+      .collect().map(r => (r.getAs[String]("g"), r.getAs[Long]("v"))).toSet
+    assert(kept == Set(("a", 8L), ("a", 9L), ("a", 10L), ("b", 104L)), kept.toString)
+    // boundary: percent_rank of the max is exactly 1.0; of a singleton 0.0
+    val single = Seq(("solo", 1L, 42L)).toDF("g", "id", "v")
+    assert(CorpusHygiene.percentileGate(single, "g", "v", "id", 0.5).count() == 0)
+    assert(CorpusHygiene.percentileGate(single, "g", "v", "id", 0.0).count() == 1)
+  }
 }
