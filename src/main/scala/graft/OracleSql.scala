@@ -1087,6 +1087,18 @@ object OracleSql {
          |SELECT doc_id, lang, wc, pct FROM r WHERE pct >= 0.9
          |ORDER BY lang, doc_id""".stripMargin,
 
+    "q_mixture_balance" -> {
+      // Sampling.balanceStrata twin: 20 smallest (hash32(id), id) per source
+      val hash32 = md5NibbleIntSql("CAST(doc_id AS VARCHAR)", 8)
+      s"""WITH r AS (
+         |  SELECT doc_id, source,
+         |         ROW_NUMBER() OVER (PARTITION BY source
+         |                            ORDER BY $hash32, doc_id) AS rn
+         |  FROM documents)
+         |SELECT doc_id, source FROM r WHERE rn <= 20
+         |ORDER BY source, doc_id""".stripMargin
+    },
+
     "q_overlap_join" ->
       """WITH o AS (
         |  SELECT o_orderkey AS okey,

@@ -1425,6 +1425,17 @@ object SparkEntry {
       )
       .orderBy("lang", "doc_id")
 
+  /** Domain rebalancing: exactly 20 docs per source, picked by
+    * deterministic hash order ([[Sampling.balanceStrata]] — exact target
+    * counts, reproducible across engines/retries, unlike rate-based
+    * Bernoulli which only hits targets in expectation).
+    */
+  private def qMixtureBalance(s: SparkSession, dir: String): DataFrame =
+    Sampling
+      .balanceStrata(t(s, dir, "documents"), "source", "doc_id", perStratum = 20)
+      .select("doc_id", "source")
+      .orderBy("source", "doc_id")
+
   // =====================================================================
   // Contract maps
   // =====================================================================
@@ -1517,7 +1528,8 @@ object SparkEntry {
     "q_tfidf" -> (qTfidf _),
     "q_boilerplate" -> (qBoilerplate _),
     "q_kmv_overlap" -> (qKmvOverlap _),
-    "q_quality_percentile" -> (qQualityPercentile _)
+    "q_quality_percentile" -> (qQualityPercentile _),
+    "q_mixture_balance" -> (qMixtureBalance _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

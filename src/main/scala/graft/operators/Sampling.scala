@@ -110,4 +110,33 @@ object Sampling {
       col(weightCol).cast("decimal(38,0)") * lit(rateNum) * lit(4294967296L)
     df.where(h.cast("decimal(38,0)") * lit(rateDen) < threshold)
   }
+
+  /** Mixture balancing: EXACTLY `min(perStratum, n_s)` rows from every
+    * stratum — the "rebalance a skew-mixed corpus to uniform domain
+    * weights" step. Membership = the `perStratum` smallest (hash32(id),
+    * id) rows per stratum, so the pick is a uniform without-replacement
+    * sample that is deterministic across partitionings, retries, and
+    * engines (same reasoning as [[hashBucket]]), AND hits the target
+    * count exactly — a rate-based Bernoulli only hits it in expectation.
+    *
+    * Scale shape: one shuffle on the stratum key, then per-stratum sort —
+    * the standard per-group window. For a stratum holding a dominant
+    * share of 100 TB, prefilter first (`weightedBernoulli` at rate
+    * ~1.2 * perStratum / count_s, then exact-rank the survivors): the
+    * window then sorts only ~1.2x the target instead of the full stratum.
+    */
+  def balanceStrata(
+      df: DataFrame,
+      stratumCol: String,
+      idCol: String,
+      perStratum: Int
+  ): DataFrame = {
+    require(perStratum >= 1, s"need perStratum >= 1, got $perStratum")
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratumCol)
+      .orderBy(Sketches.md5Hash32(col(idCol)), col(idCol))
+    df.withColumn("rn_balance", row_number().over(win))
+      .where(col("rn_balance") <= perStratum)
+      .drop("rn_balance")
+  }
 }

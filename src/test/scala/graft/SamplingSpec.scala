@@ -82,4 +82,21 @@ class SamplingSpec extends AnyFunSuite {
       s"sizes: ${sets.map(_.size)}")
     assert(sets(0).size < sets(2).size, "higher rate must actually add rows")
   }
+
+  test("balanceStrata: exact per-stratum counts, deterministic, short strata kept whole") {
+    val df = ((1 to 100).map(i => (i.toLong, "big")) ++
+      (101 to 103).map(i => (i.toLong, "small"))).toDF("id", "g")
+    val out = Sampling.balanceStrata(df, "g", "id", perStratum = 10)
+    val counts = out.groupBy("g").count().collect()
+      .map(r => r.getAs[String]("g") -> r.getAs[Long]("count")).toMap
+    assert(counts == Map("big" -> 10L, "small" -> 3L), counts.toString)
+    // same membership at different parallelism
+    val a = out.select("id").as[Long].collect().toSet
+    val b = Sampling.balanceStrata(df.repartition(17), "g", "id", 10)
+      .select("id").as[Long].collect().toSet
+    assert(a == b)
+    // growing the target only ADDS members (hash order is a fixed ranking)
+    val bigger = Sampling.balanceStrata(df, "g", "id", 20).select("id").as[Long].collect().toSet
+    assert(a.subsetOf(bigger))
+  }
 }
