@@ -1360,18 +1360,23 @@ object SparkEntry {
     * pipeline derives from its hyperlink graph.
     */
   private def qPageRank(s: SparkSession, dir: String): DataFrame = {
+    // dedup on the raw INT key pair (cheap shuffle), then mint the string
+    // node ids; the c*/s* namespaces are disjoint and the pair set is
+    // already unique, so the union is distinct by construction and
+    // pageRank can skip its own corpus-wide DISTINCT
     val pairs = t(s, dir, "orders")
       .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
-      .select(
-        concat(lit("c"), col("o_custkey")).as("c"),
-        concat(lit("s"), col("l_suppkey")).as("sup")
-      )
+      .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk"))
       .distinct()
+      .select(
+        concat(lit("c"), col("ck")).as("c"),
+        concat(lit("s"), col("sk")).as("sup")
+      )
     val edges = pairs
       .select(col("c").as("src"), col("sup").as("dst"))
       .unionByName(pairs.select(col("sup").as("src"), col("c").as("dst")))
     GraphOps
-      .pageRank(edges, "src", "dst", iters = 3)
+      .pageRank(edges, "src", "dst", iters = 3, edgesAreDistinct = true)
       .orderBy(desc("rank"), col("node"))
       .limit(20)
   }

@@ -33,17 +33,22 @@ object GraphOps {
     * break both. Precision cost: each div truncates < 1e-6 of rank mass.
     *
     * Semantics notes (both mirrored exactly by the oracle):
-    *   - duplicate edges are collapsed (DISTINCT) before degree counting;
+    *   - duplicate edges are collapsed (DISTINCT) before degree counting
+    *     (callers that can guarantee uniqueness pass `edgesAreDistinct =
+    *     true` and skip that corpus-wide shuffle);
     *   - dangling-node mass (outdeg = 0) is dropped, not redistributed —
     *     ranks are a relative authority ordering, not a distribution;
     *   - nodes = src ∪ dst of the edge list.
     *
-    * Scale shape: the edge table is the only corpus-sized input; it is
-    * localCheckpointed once (re-read per round, never recomputed). Each
-    * round shuffles (node, rank) pairs for the contribution aggregate —
-    * the same bounded per-round footprint as
-    * [[Dedup.nearDupClusters]] — and ranks are re-checkpointed per round
-    * so the `iters`-deep loop does not grow lineage. Long overflow bound:
+    * Scale shape: ONE materialization of the corpus-sized input — the
+    * edge table, hash-partitioned on src with out-degree attached by a
+    * same-partitioning window (no degree join, no second pass). The
+    * checkpointed LogicalRDD keeps partitioning + ordering, so every
+    * round's ranks join is already clustered on the edge side and the
+    * only per-round corpus-sized exchange is the inherent contribution
+    * groupBy(dst); ranks themselves are (node, rank)-only and
+    * re-checkpointed per round so the loop does not grow lineage — the
+    * same footprint as [[Dedup.nearDupClusters]]. Long overflow bound:
     * node in-mass is at most N * Scale * 85, safe below ~1e11 nodes;
     * shrink `Scale` beyond that.
     *
@@ -53,23 +58,25 @@ object GraphOps {
       edges: DataFrame,
       srcCol: String,
       dstCol: String,
-      iters: Int = 3
+      iters: Int = 3,
+      edgesAreDistinct: Boolean = false
   ): DataFrame = {
     require(iters >= 1, s"need iters >= 1, got $iters")
-    val e = edges
+    val e0 = edges
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull)
-      .distinct()
-    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    // (src, dst, outdeg) — checkpointed once; per-round joins re-read it
-    val withDeg = e.join(deg, "src").localCheckpoint()
-    val nodes = e.select(col("src").as("node"))
-      .unionByName(e.select(col("dst").as("node")))
+    val e = if (edgesAreDistinct) e0 else e0.distinct()
+    val srcWin = org.apache.spark.sql.expressions.Window.partitionBy("src")
+    val withDeg = e
+      .withColumn("outdeg", count(lit(1)).over(srcWin))
+      .localCheckpoint()
+    val nodes = withDeg.select(col("src").as("node"))
+      .unionByName(withDeg.select(col("dst").as("node")))
       .distinct()
       .localCheckpoint()
     val base = (0.15 * Scale).toLong
     var ranks = nodes.withColumn("rank", lit(Scale))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contribs = withDeg
         .join(ranks, withDeg("src") === ranks("node"))
         .select(col("dst").as("node"), expr("rank div outdeg").as("c"))
@@ -81,7 +88,11 @@ object GraphOps {
           col("node"),
           (lit(base) + expr("(85 * coalesce(s, CAST(0 AS BIGINT))) div 100")).as("rank")
         )
-        .localCheckpoint()
+      // per-round checkpoint: bounds lineage for deep iteration AND keeps
+      // ranks' hash(node) partitioning visible to the next round's join
+      // (measured equal-or-better than one deep pipelined plan even at
+      // iters=3, where the uncheckpointed variant hides partitioning)
+      if (i < iters) ranks = ranks.localCheckpoint()
     }
     ranks
   }
