@@ -1008,22 +1008,25 @@ object OracleSql {
         |SELECT doc_id, word, CAST(tf AS BIGINT) AS tf, score_fp, CAST(rn AS BIGINT) AS rn
         |FROM r WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin,
 
-    "q_boilerplate" ->
-      // TextAnalysis.boilerplateCoverage twin: md5-digested 3-grams,
-      // df >= 5 distinct docs, fixed-point coverage. range(1, L-1) is
-      // exclusive-end = positions 1..L-2 = L-(n-1) grams for n=3.
-      """WITH w AS (
+    "q_boilerplate" -> {
+      // TextAnalysis.boilerplateCoverage twin: 3-grams digested to the
+      // first 60 md5 bits (15 nibbles -> BIGINT), df >= 5 distinct docs,
+      // fixed-point coverage. range(1, L-1) is exclusive-end = positions
+      // 1..L-2 = L-(n-1) grams for n=3.
+      val hash60 = md5NibbleIntSql("vs", 15)
+      s"""WITH w AS (
         |  SELECT doc_id,
-        |         list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+        |         list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
         |                     x -> len(x) > 0) AS w
         |  FROM documents),
         |g AS (SELECT doc_id,
         |             CASE WHEN len(w) >= 3
         |                  THEN list_transform(range(1, CAST(len(w) AS BIGINT) - 1),
-        |                         i -> md5(w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]))
+        |                         i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])
         |                  ELSE CAST([] AS VARCHAR[]) END AS grams
         |      FROM w),
-        |pos AS (SELECT doc_id, UNNEST(grams) AS g FROM g),
+        |pos AS (SELECT doc_id, $hash60 AS g
+        |        FROM (SELECT doc_id, UNNEST(grams) AS vs FROM g)),
         |dfg AS (SELECT g, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, g FROM pos) GROUP BY g),
         |boiler AS (SELECT g FROM dfg WHERE df >= 5),
         |cov AS (SELECT doc_id, COUNT(*) AS boiler_grams FROM pos
@@ -1036,13 +1039,15 @@ object OracleSql {
         |                 ELSE 0 END AS BIGINT) AS coverage_fp
         |FROM tot t LEFT JOIN cov c ON t.doc_id = c.doc_id
         |WHERE COALESCE(c.boiler_grams, 0) > 0
-        |ORDER BY t.doc_id""".stripMargin,
+        |ORDER BY t.doc_id""".stripMargin
+    },
 
     "q_kmv_overlap" -> {
       // Sketches.kmvOverlap twin: per-source k-min sketches over the
-      // md5-digested 3-grams (same gram builder as q_boilerplate), then
-      // |k-min(A ∪ B) ∩ A ∩ B| / k per source pair.
-      val hash32 = md5NibbleIntSql("v", 8)
+      // 60-bit-digested 3-grams (same gram builder as q_boilerplate),
+      // then |k-min(A ∪ B) ∩ A ∩ B| / k per source pair.
+      val hash60 = md5NibbleIntSql("vs", 15)
+      val hash32 = md5NibbleIntSql("CAST(v AS VARCHAR)", 8)
       s"""WITH w AS (
          |  SELECT source,
          |         list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
@@ -1051,10 +1056,11 @@ object OracleSql {
          |g AS (SELECT source,
          |             CASE WHEN len(w) >= 3
          |                  THEN list_transform(range(1, CAST(len(w) AS BIGINT) - 1),
-         |                         i -> md5(w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]))
+         |                         i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])
          |                  ELSE CAST([] AS VARCHAR[]) END AS grams
          |      FROM w),
-         |pos AS (SELECT source, UNNEST(grams) AS v FROM g),
+         |pos AS (SELECT source, $hash60 AS v
+         |        FROM (SELECT source, UNNEST(grams) AS vs FROM g)),
          |h AS (SELECT DISTINCT source AS gg, $hash32 AS h FROM pos),
          |r AS (SELECT gg, h, ROW_NUMBER() OVER (PARTITION BY gg ORDER BY h) AS rn FROM h),
          |sk AS (SELECT gg, h FROM r WHERE rn <= 64),

@@ -80,6 +80,60 @@ object EventStreams {
     )
   }
 
+  /** Watermarked sliding-window term counts over a text stream — the
+    * "what is trending in the ingest feed" aggregation. One row per
+    * (window, word) emitted when the watermark closes the window (append
+    * mode). Tokenization matches the batch engine
+    * ([[graft.operators.Dedup.normalized]] split), so stream counts agree
+    * with a batch backfill over the same rows.
+    *
+    * State is bounded by (windows open under the watermark) x (vocabulary
+    * arriving in them), never by stream length. The explode multiplies
+    * rows before the shuffle, but each carries only (ts, word) — the
+    * document body never reaches the aggregation.
+    *
+    * Top-k per window is deliberately NOT computed here: ranking needs a
+    * window function over a closed group, which streaming aggregation
+    * cannot express incrementally. Pair with [[trendingTerms]] over the
+    * emitted sink — the same lambda-free split as FtsIndex streaming
+    * maintenance (O(batch) stream work, rank on read).
+    */
+  def windowedTermCounts(
+      docs: DataFrame,
+      tsCol: String,
+      textCol: String,
+      windowLen: String = "1 hour",
+      slide: String = "1 hour",
+      lateness: String = "10 minutes"
+  ): DataFrame =
+    docs
+      .withWatermark(tsCol, lateness)
+      .select(
+        col(tsCol).as("ts"),
+        explode(
+          filter(
+            split(graft.operators.Dedup.normalized(col(textCol)), " "),
+            t => length(t) > 0
+          )
+        ).as("word")
+      )
+      .groupBy(window(col("ts"), windowLen, slide), col("word"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("word"), col("n"))
+
+  /** Batch rank over a [[windowedTermCounts]] sink: the k most frequent
+    * words of every closed window, ties broken alphabetically.
+    */
+  def trendingTerms(counts: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("window_start")
+      .orderBy(desc("n"), col("word"))
+    counts
+      .withColumn("rn", row_number().over(win).cast("long"))
+      .where(col("rn") <= k)
+  }
+
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long, value: Double)
   final case class SessionState(start: Long, end: Long, n: Long, total: Double)
   final case class Session(

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 
-import graft.operators.{Curation, Dedup}
+import graft.operators.{Curation, Dedup, GraphOps, Sketches, TextAnalysis}
 
 /** sf1 scale rehearsal of the dedup/curation family (VERDICT r3 #5).
   *
@@ -115,6 +115,51 @@ object ScaleRehearsal {
       }
       measure(s"curation_x$factor") {
         Curation.curate(docs, "doc_id", "text", langs = Set("en", "de"), minQuality = 0.5).count()
+      }
+      // round-4 operators over the same corpus
+      measure(s"boilerplate_x$factor") {
+        // count() alone lets Catalyst prune the coverage join entirely
+        // (observed: 0 shuffle bytes) — filter on the output column to
+        // force the full plan
+        TextAnalysis.boilerplateCoverage(docs, "doc_id", "text", n = 3, minDocs = 5)
+          .where(col("coverage_fp") >= 0).count()
+      }
+      measure(s"tfidf_x$factor") {
+        TextAnalysis.tfidfTopTerms(docs, "doc_id", "text", k = 3).count()
+      }
+      measure(s"kmv_overlap_x$factor") {
+        val grams = docs.select(col("source"),
+          explode(TextAnalysis.wordGrams(col("text"), 3)).as("gram"))
+        Sketches.kmvOverlap(grams, "source", "gram", k = 64).count()
+      }
+    }
+
+    // PageRank blow-up: `factor` DISJOINT copies of the sf0.1
+    // customer↔supplier graph (keys offset per copy) — edge count scales
+    // by `factor` while diameter stays fixed, isolating per-round shuffle
+    // growth from convergence effects.
+    val basePairs = {
+      val orders = spark.read.parquet("/root/testdata/sf0.1/orders.parquet")
+      val li = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+      orders.join(li, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk"))
+        .distinct()
+        .localCheckpoint()
+    }
+    for (factor <- Seq(1, 10)) {
+      val pairsN = (0 until factor)
+        .map { i =>
+          basePairs.select(
+            concat(lit("c"), col("ck") + lit(i * 10000000L)).as("c"),
+            concat(lit("s"), col("sk") + lit(i * 10000000L)).as("sup")
+          )
+        }
+        .reduce(_ unionByName _)
+        .localCheckpoint()
+      val edges = pairsN.select(col("c").as("src"), col("sup").as("dst"))
+        .unionByName(pairsN.select(col("sup").as("src"), col("c").as("dst")))
+      measure(s"pagerank3_x$factor") {
+        GraphOps.pageRank(edges, "src", "dst", iters = 3, edgesAreDistinct = true).count()
       }
     }
     spark.stop()

@@ -121,6 +121,41 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("windowed term counts close with the watermark; trendingTerms ranks the sink") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val docs = input.toDF().toDF("ts", "text")
+    val counts = EventStreams.windowedTermCounts(
+      docs, "ts", "text", windowLen = "10 minutes", slide = "10 minutes", lateness = "5 minutes")
+    val q = counts.writeStream.format("memory").queryName("terms_out")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      input.addData((ts(1), "spark spark flink"), (ts(4), "spark beam"))
+      q.processAllAvailable()
+      assert(spark.table("terms_out").isEmpty, "window must not emit before the watermark closes it")
+      // advance watermark past the first window; then a late doc arrives
+      input.addData((ts(40), "later window"))
+      q.processAllAvailable()
+      input.addData((ts(2), "spark spark spark late-and-dropped"))
+      q.processAllAvailable()
+
+      val w0 = ts(1).getTime / 600000L * 600000L
+      val first = spark.table("terms_out").collect()
+        .filter(_.getAs[Timestamp]("window_start").getTime == w0)
+        .map(r => r.getAs[String]("word") -> r.getAs[Long]("n")).toMap
+      assert(first == Map("spark" -> 3L, "flink" -> 1L, "beam" -> 1L),
+        s"late doc must not inflate counts: $first")
+
+      val top = EventStreams.trendingTerms(spark.table("terms_out"), k = 2)
+        .where(col("window_start") === new Timestamp(w0))
+        .orderBy("rn").collect()
+        .map(r => (r.getAs[String]("word"), r.getAs[Long]("n"), r.getAs[Long]("rn")))
+      // tie between beam/flink at n=1: alphabetical wins rank 2
+      assert(top.toSeq == Seq(("spark", 3L, 1L), ("beam", 1L, 2L)), top.mkString(";"))
+    } finally q.stop()
+  }
+
   test("IVF ANN: probing finds the exact top hit at a fraction of the scan") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
