@@ -839,6 +839,21 @@ object OracleSql {
          |lab AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id)
          |SELECT id AS doc_id FROM lab WHERE id = cluster ORDER BY doc_id""".stripMargin,
 
+    // quality-aware thinning of the same closure: each cluster keeps its
+    // highest-word-count member (score desc, id asc — total order)
+    "q_cluster_reps" ->
+      s"""$dedupClustersCte,
+         |lab AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id),
+         |scored AS (
+         |  SELECT d.doc_id, lab.cluster, CAST(len($words) AS BIGINT) AS wc
+         |  FROM documents d JOIN lab ON d.doc_id = lab.id
+         |  WHERE d.doc_id < 250),
+         |rr AS (SELECT doc_id, cluster, wc,
+         |              ROW_NUMBER() OVER (PARTITION BY cluster
+         |                                 ORDER BY wc DESC, doc_id) AS rn
+         |       FROM scored)
+         |SELECT doc_id, cluster, wc FROM rr WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
     "q_range_join" ->
       """WITH bands(lo, hi, band) AS (VALUES
         |  (900.0, 925.0, 'b1_low'), (925.0, 950.0, 'b2_midlow'),

@@ -1441,6 +1441,25 @@ object SparkEntry {
       .select("doc_id", "source")
       .orderBy("source", "doc_id")
 
+  /** Quality-aware dedup: each near-dup cluster keeps its highest-word-
+    * count member ([[Dedup.clusterRepresentatives]] over the SHARED
+    * persisted label table — one join + a cluster-bounded window, no pair
+    * or CC recompute).
+    */
+  private def qClusterReps(s: SparkSession, dir: String): DataFrame =
+    Dedup
+      .clusterRepresentatives(
+        t(s, dir, "documents")
+          .where(col("doc_id") < 250)
+          .select(col("doc_id"), TextFunctions.wordCount(col("text")).cast("long").as("wc")),
+        "doc_id",
+        portableClusterLabels(s, dir),
+        scoreCol = "wc",
+        n = 1
+      )
+      .select("doc_id", "cluster", "wc")
+      .orderBy("doc_id")
+
   // =====================================================================
   // Contract maps
   // =====================================================================
@@ -1534,7 +1553,8 @@ object SparkEntry {
     "q_boilerplate" -> (qBoilerplate _),
     "q_kmv_overlap" -> (qKmvOverlap _),
     "q_quality_percentile" -> (qQualityPercentile _),
-    "q_mixture_balance" -> (qMixtureBalance _)
+    "q_mixture_balance" -> (qMixtureBalance _),
+    "q_cluster_reps" -> (qClusterReps _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -362,6 +362,38 @@ object Dedup {
     docs.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Quality-aware cluster thinning: keep the `n` BEST-scoring members of
+    * every near-dup cluster instead of the min-id one — the curation stance
+    * when duplicates differ in extraction quality (keep the cleanest copy,
+    * or top-n for deliberate benign duplication). Ordering is (score desc,
+    * id asc), a total order, so the survivors are deterministic.
+    *
+    * Same artifact lifecycle as [[nearDedupFromClusters]]: `clusters` is
+    * the persisted (id, cluster) label table; this pass costs one join to
+    * the labels + a per-cluster window bounded by cluster size (near-dup
+    * clusters are small by construction; a pathological mega-cluster is a
+    * data bug the pair threshold should have caught). Docs absent from the
+    * label table are dropped, matching the contract that labels cover the
+    * clustered corpus slice.
+    */
+  def clusterRepresentatives(
+      docs: DataFrame,
+      idCol: String,
+      clusters: DataFrame,
+      scoreCol: String,
+      n: Int = 1
+  ): DataFrame = {
+    require(n >= 1, s"need n >= 1, got $n")
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster")
+      .orderBy(col(scoreCol).desc, col(idCol))
+    docs
+      .join(clusters.withColumnRenamed("id", idCol), Seq(idCol), "inner")
+      .withColumn("rn_rep", row_number().over(win))
+      .where(col("rn_rep") <= n)
+      .drop("rn_rep")
+  }
+
   /** Persist a cluster label table as a parquet artifact — the durable
     * form of [[nearDupClusters]] (same lifecycle as `FtsIndex.write` and
     * `VectorSearch.writeIvf`): pairs and labels are ingest-time products,

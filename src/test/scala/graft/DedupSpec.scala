@@ -208,4 +208,19 @@ class DedupSpec extends AnyFunSuite {
     assert(sh(1L).isEmpty)
     assert(sh(2L) == Seq("a b c", "b c d"))
   }
+
+  test("clusterRepresentatives keeps the best-scoring member, not the min id") {
+    // cluster 1 = {1, 2, 3} with scores 5, 9, 9 -> id 2 wins (score desc,
+    // id asc beats 3); cluster 10 = {10} singleton survives
+    val members = Seq((1L, 5L), (2L, 9L), (3L, 9L), (10L, 7L)).toDF("doc_id", "score")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L)).toDF("id", "cluster")
+    val kept = Dedup.clusterRepresentatives(members, "doc_id", labels, "score", n = 1)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 10L), kept.toString)
+    // n = 2 keeps the two best; docs missing from the label table drop
+    val kept2 = Dedup.clusterRepresentatives(members, "doc_id", labels.where(col("id") =!= 10L),
+        "score", n = 2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept2 == Set(2L, 3L), kept2.toString)
+  }
 }

@@ -1,0 +1,27 @@
+#!/usr/bin/env python3
+"""Determinism gate: compare two Verify dump dirs (e.g. different thread
+counts) cell-by-cell. Usage: python3 tools/compare_runs.py dirA dirB"""
+import sys, glob, os
+import pandas as pd, numpy as np
+
+a_dir, b_dir = sys.argv[1], sys.argv[2]
+names = sorted(os.path.basename(p) for p in glob.glob(f"{a_dir}/q_*"))
+n_fail = 0
+for name in names:
+    try:
+        a = pd.read_parquet(f"{a_dir}/{name}")
+        b = pd.read_parquet(f"{b_dir}/{name}")
+    except Exception as e:
+        print(f"MISS {name}: {e}"); n_fail += 1; continue
+    for df in (a, b):
+        for c in df.columns:
+            if len(df) and isinstance(df[c].iloc[0], (list, np.ndarray)):
+                df[c] = df[c].apply(lambda v: tuple(v))
+    a = a[sorted(a.columns)].sort_values(by=sorted(a.columns), ignore_index=True)
+    b = b[sorted(b.columns)].sort_values(by=sorted(b.columns), ignore_index=True)
+    if not a.equals(b):
+        print(f"DIFF {name}: rows {len(a)} vs {len(b)}"); n_fail += 1
+    else:
+        print(f"OK   {name}: {len(a)} rows")
+print(f"\n{'ALL IDENTICAL' if n_fail == 0 else f'{n_fail} DIFFS'} / {len(names)} queries")
+sys.exit(1 if n_fail else 0)
