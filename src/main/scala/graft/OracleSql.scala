@@ -854,6 +854,31 @@ object OracleSql {
          |       FROM scored)
          |SELECT doc_id, cluster, wc FROM rr WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
+    "q_snapshot_diff" ->
+      // Curation.snapshotDiff twin: digest compare across two derived
+      // snapshots (old = id < 400; new = id >= 100 with [150,200) edited)
+      """WITH o AS (
+        |  SELECT doc_id AS id,
+        |         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS d_old
+        |  FROM documents WHERE doc_id < 400),
+        |n AS (
+        |  SELECT doc_id AS id,
+        |         md5(trim(regexp_replace(lower(
+        |           CASE WHEN doc_id >= 150 AND doc_id < 200
+        |                THEN text || ' edited v2' ELSE text END), '\s+', ' ', 'g'))) AS d_new
+        |  FROM documents WHERE doc_id >= 100)
+        |SELECT COALESCE(o.id, n.id) AS id,
+        |       CASE WHEN n.d_new IS NULL THEN 'removed'
+        |            WHEN o.d_old IS NULL THEN 'added'
+        |            WHEN o.d_old <> n.d_new THEN 'changed'
+        |            ELSE 'unchanged' END AS status
+        |FROM o FULL OUTER JOIN n ON o.id = n.id
+        |WHERE (CASE WHEN n.d_new IS NULL THEN 'removed'
+        |            WHEN o.d_old IS NULL THEN 'added'
+        |            WHEN o.d_old <> n.d_new THEN 'changed'
+        |            ELSE 'unchanged' END) <> 'unchanged'
+        |ORDER BY id""".stripMargin,
+
     "q_range_join" ->
       """WITH bands(lo, hi, band) AS (VALUES
         |  (900.0, 925.0, 'b1_low'), (925.0, 950.0, 'b2_midlow'),

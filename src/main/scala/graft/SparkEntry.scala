@@ -1460,6 +1460,27 @@ object SparkEntry {
       .select("doc_id", "cluster", "wc")
       .orderBy("doc_id")
 
+  /** Incremental-processing delta: old snapshot = doc_id < 400, new
+    * snapshot = doc_id >= 100 with a synthetic edit on [150, 200)
+    * ([[Curation.snapshotDiff]] — digest-only full outer join; the work
+    * list an incremental pipeline re-embeds / cascade-deletes).
+    */
+  private def qSnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val oldSnap = docs.where(col("doc_id") < 400)
+    val newSnap = docs
+      .where(col("doc_id") >= 100)
+      .withColumn(
+        "text",
+        when(col("doc_id") >= 150 && col("doc_id") < 200, concat(col("text"), lit(" edited v2")))
+          .otherwise(col("text"))
+      )
+    Curation
+      .snapshotDiff(oldSnap, newSnap, "doc_id", "text")
+      .where(col("status") =!= "unchanged")
+      .orderBy("id")
+  }
+
   // =====================================================================
   // Contract maps
   // =====================================================================
@@ -1554,7 +1575,8 @@ object SparkEntry {
     "q_kmv_overlap" -> (qKmvOverlap _),
     "q_quality_percentile" -> (qQualityPercentile _),
     "q_mixture_balance" -> (qMixtureBalance _),
-    "q_cluster_reps" -> (qClusterReps _)
+    "q_cluster_reps" -> (qClusterReps _),
+    "q_snapshot_diff" -> (qSnapshotDiff _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

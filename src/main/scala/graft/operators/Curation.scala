@@ -159,4 +159,35 @@ object Curation {
       .groupBy("pred_lang")
       .agg(count(lit(1)).as("n_docs"), sum("token_est").as("total_tokens"))
       .orderBy("pred_lang")
+
+  /** Snapshot delta detection: classify every id across two corpus
+    * snapshots as added / removed / changed / unchanged by comparing
+    * content digests (md5 over [[Dedup.normalized]] text — the exact-dedup
+    * digest convention). The front door of incremental processing: a
+    * 100 TB pipeline re-chunks/re-embeds only `added ∪ changed` and
+    * cascade-deletes `removed`, never re-reading the unchanged mass.
+    *
+    * Scale shape: each side is digested at its scan, so the full outer
+    * join shuffles only (id, 32-byte digest) pairs — document payloads
+    * stay in place. Returns (id, status); filter `status != 'unchanged'`
+    * for the work list.
+    */
+  def snapshotDiff(
+      oldDocs: DataFrame,
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String
+  ): DataFrame = {
+    val o = oldDocs.select(col(idCol).as("id"), md5(Dedup.normalized(col(textCol))).as("d_old"))
+    val n = newDocs.select(col(idCol).as("id"), md5(Dedup.normalized(col(textCol))).as("d_new"))
+    o.join(n, Seq("id"), "full_outer")
+      .select(
+        col("id"),
+        when(col("d_new").isNull, lit("removed"))
+          .when(col("d_old").isNull, lit("added"))
+          .when(col("d_old") =!= col("d_new"), lit("changed"))
+          .otherwise(lit("unchanged"))
+          .as("status")
+      )
+  }
 }

@@ -98,4 +98,14 @@ class CurationSpec extends AnyFunSuite {
     assert(tracked.forall(id => !sc.getPersistentRDDs.contains(id)),
       "close() must unpersist every block the pass pinned")
   }
+
+  test("snapshotDiff classifies added/removed/changed; normalization-equal is unchanged") {
+    val oldSnap = Seq((1L, "same text"), (2L, "will change"), (3L, "gone")).toDF("id", "text")
+    val newSnap = Seq((1L, "same  TEXT"), (2L, "has changed"), (4L, "brand new")).toDF("id", "text")
+    val got = Curation.snapshotDiff(oldSnap, newSnap, "id", "text")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("status")).toMap
+    // id 1: digests equal after normalization (case/whitespace) -> unchanged
+    assert(got == Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed", 4L -> "added"),
+      got.toString)
+  }
 }
