@@ -154,4 +154,44 @@ class PlanShapeSpec extends AnyFunSuite {
         s"$q:\n" + p.take(1200))
     }
   }
+
+  test("mixture balance costs exactly one exchange (the stratum window)") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = graft.operators.Sampling.balanceStrata(docs, "source", "doc_id", 5)
+      val exchanges = df.queryExecution.executedPlan.collect { case e: ShuffleExchangeExec => e }
+      assert(exchanges.length == 1, df.queryExecution.executedPlan.toString.take(1500))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("tf-idf aggregates partially before its shuffles; the doc total broadcasts") {
+    val p = plan("q_tfidf")
+    assert("HashAggregate".r.findAllIn(p).length >= 4, p.take(1500))
+    assert(p.contains("BroadcastExchange"), "the 1-row corpus total must broadcast")
+  }
+
+  test("boilerplate coverage shuffles digested longs, not gram strings") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = graft.operators.TextAnalysis
+        .boilerplateCoverage(docs, "doc_id", "text", n = 3, minDocs = 5)
+      df.queryExecution.executedPlan // force planning
+      val exchanges = df.queryExecution.executedPlan.collect { case e: ShuffleExchangeExec => e }
+      assert(exchanges.nonEmpty)
+      // every shuffled attribute is an id or a LongType digest — the gram
+      // text (StringType g) must have been digested before any exchange
+      exchanges.foreach { e =>
+        val stringCols = e.child.output.filter(_.dataType ==
+          org.apache.spark.sql.types.StringType)
+        assert(stringCols.isEmpty,
+          s"gram strings crossed a shuffle: ${e.child.output.mkString(", ")}")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
 }
