@@ -1481,6 +1481,26 @@ object SparkEntry {
       .orderBy("id")
   }
 
+  /** Diversity re-rank: MMR over the exact top-20 cosine candidates for
+    * query vec 0, picking 10 ([[VectorSearch.mmrRerank]] — per-query
+    * bounded greedy after candidate generation). Rows-only by design
+    * (greedy float marginals have no portable SQL twin); the spec pins
+    * the contract: rank 1 == the exact cosine top-1, near-dup candidates
+    * demote below diverse ones, output partition-invariant.
+    */
+  private def qMmr(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val qv = emb.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
+    val cands = emb
+      .withColumn("score", VectorFunctions.cosineSim(col("embedding"), typedlit(qv)))
+      .orderBy(desc("score"), col("vec_id"))
+      .limit(20)
+      .withColumn("qid", lit(0L))
+    VectorSearch
+      .mmrRerank(cands, "qid", "vec_id", "embedding", "score", k = 10, lambda = 0.7)
+      .orderBy("mmr_rank")
+  }
+
   // =====================================================================
   // Contract maps
   // =====================================================================
@@ -1576,7 +1596,8 @@ object SparkEntry {
     "q_quality_percentile" -> (qQualityPercentile _),
     "q_mixture_balance" -> (qMixtureBalance _),
     "q_cluster_reps" -> (qClusterReps _),
-    "q_snapshot_diff" -> (qSnapshotDiff _)
+    "q_snapshot_diff" -> (qSnapshotDiff _),
+    "q_mmr" -> (qMmr _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -41,6 +41,99 @@ object VectorSearch {
       .limit(k)
   }
 
+  /** MMR (maximal marginal relevance) diversity re-rank: greedily pick
+    * `k` of each query's candidates maximizing
+    * `lambda * relevance - (1 - lambda) * max cosine to already-picked`,
+    * so near-duplicate hits don't crowd the result page — the standard
+    * fix for retrieval over a corpus with residual near-dups, and the
+    * diversity knob for RAG context assembly.
+    *
+    * Scale shape: MMR is inherently sequential in k, so it runs AFTER
+    * candidate generation over each query's BOUNDED top-N (pass ~5-10x k
+    * candidates from [[topK]]/[[topKBatch]]/IVF). One shuffle groups
+    * candidates by query; each group is an in-memory greedy loop over
+    * <= N vectors (flatMapGroups — the [[graft.streaming.EventStreams
+    * .sessionize]] precedent: per-group bounded sequential logic, never a
+    * corpus-wide loop). Deterministic: candidates are sorted (score desc,
+    * id asc) before the loop and ties pick the smaller id, so the output
+    * is partition-invariant.
+    *
+    * Returns (qid, id, mmr_rank, mmr_score) with mmr_rank = 1..k in pick
+    * order; mmr_score is the marginal score at pick time (rank 1 keeps
+    * pure relevance).
+    */
+  def mmrRerank(
+      candidates: DataFrame,
+      qidCol: String,
+      idCol: String,
+      vecCol: String,
+      scoreCol: String,
+      k: Int,
+      lambda: Double = 0.7
+  ): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0, 1], got $lambda")
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val ds = candidates
+      .select(
+        col(qidCol).cast("long").as("qid"),
+        col(idCol).cast("long").as("id"),
+        col(vecCol).as("vec"),
+        col(scoreCol).cast("double").as("score")
+      )
+      .as[(Long, Long, Array[Float], Double)]
+    ds.groupByKey(_._1)
+      .flatMapGroups { (qid: Long, it: Iterator[(Long, Long, Array[Float], Double)]) =>
+        val cands = it.toArray.sortBy(c => (-c._4, c._2))
+        val norms = cands.map(c => math.sqrt(c._3.foldLeft(0.0)((s, x) => s + x * x)))
+        def cos(i: Int, j: Int): Double = {
+          val (a, b) = (cands(i)._3, cands(j)._3)
+          val denom = norms(i) * norms(j)
+          if (denom == 0.0) 0.0
+          else {
+            var s = 0.0; var p = 0; val n = math.min(a.length, b.length)
+            while (p < n) { s += a(p).toDouble * b(p).toDouble; p += 1 }
+            s / denom
+          }
+        }
+        val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+        val pickedIdx = scala.collection.mutable.ArrayBuffer.empty[Int]
+        // maxSim(i) = max cosine from candidate i to the picked set so far;
+        // updated incrementally after each pick (O(N) per round, O(Nk) total)
+        val maxSim = Array.fill(cands.length)(Double.NegativeInfinity)
+        val used = Array.fill(cands.length)(false)
+        var rank = 1
+        while (rank <= k && rank <= cands.length) {
+          var best = -1
+          var bestScore = Double.NegativeInfinity
+          var i = 0
+          while (i < cands.length) {
+            if (!used(i)) {
+              val marginal =
+                if (pickedIdx.isEmpty) cands(i)._4
+                else lambda * cands(i)._4 - (1 - lambda) * maxSim(i)
+              // strict > plus score-desc/id-asc candidate order = ties
+              // resolve to the higher relevance, then the smaller id
+              if (marginal > bestScore) { bestScore = marginal; best = i }
+            }
+            i += 1
+          }
+          used(best) = true
+          pickedIdx += best
+          picked += ((qid, cands(best)._2, bestScore))
+          var j = 0
+          while (j < cands.length) {
+            if (!used(j)) maxSim(j) = math.max(maxSim(j), cos(j, best))
+            j += 1
+          }
+          rank += 1
+        }
+        picked.iterator.zipWithIndex.map { case ((q, id, s), idx) => (q, id, idx + 1L, s) }
+      }
+      .toDF("qid", "id", "mmr_rank", "mmr_score")
+  }
+
   /** Batched multi-query top-k: one job answers MANY query vectors (the
     * training-pipeline shape: retrieve neighbors for every document of a
     * batch, e.g. for distillation or hard-negative mining). Built on the

@@ -97,4 +97,35 @@ class VectorFunctionsSpec extends AnyFunSuite {
     val r = spark.sql("SELECT cosine_sim(array(1.0F, 0.0F), array(1.0F, 0.0F)) AS c").head()
     assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
   }
+
+  test("MMR re-rank: top hit kept, near-duplicate demoted below a diverse hit") {
+    import spark.implicits._
+    // qid 0: candidates 1 and 2 are nearly identical vectors (both highly
+    // relevant); candidate 3 is orthogonal-ish and less relevant. Plain
+    // relevance order: 1, 2, 3. MMR must pick 1, then 3 (2 is redundant).
+    val cands = Seq(
+      (0L, 1L, Array(1.0f, 0.0f, 0.0f), 0.99),
+      (0L, 2L, Array(0.999f, 0.04f, 0.0f), 0.98),
+      (0L, 3L, Array(0.0f, 1.0f, 0.0f), 0.80),
+      // qid 7 runs in the same job: grouping must not leak across queries
+      (7L, 9L, Array(0.0f, 0.0f, 1.0f), 0.5)
+    ).toDF("qid", "id", "vec", "score")
+    val out = graft.operators.VectorSearch
+      .mmrRerank(cands, "qid", "id", "vec", "score", k = 2, lambda = 0.5)
+    val q0 = out.where(col("qid") === 0).orderBy("mmr_rank")
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("mmr_rank")))
+    assert(q0.toSeq == Seq((1L, 1L), (3L, 2L)), q0.mkString(";"))
+    // rank-1 marginal is pure relevance
+    assert(out.where(col("qid") === 0 && col("mmr_rank") === 1)
+      .head().getAs[Double]("mmr_score") == 0.99)
+    val q7 = out.where(col("qid") === 7).collect()
+    assert(q7.length == 1 && q7.head.getAs[Long]("id") == 9L)
+    // partition invariance + k beyond candidate count truncates
+    val rep = graft.operators.VectorSearch
+      .mmrRerank(cands.repartition(5), "qid", "id", "vec", "score", k = 10, lambda = 0.5)
+    assert(rep.where(col("qid") === 0).count() == 3)
+    val repQ0 = rep.where(col("qid") === 0).orderBy("mmr_rank")
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("mmr_rank")))
+    assert(repQ0.take(2).toSeq == Seq((1L, 1L), (3L, 2L)))
+  }
 }
