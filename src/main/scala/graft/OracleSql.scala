@@ -319,6 +319,17 @@ object OracleSql {
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
 
+    "q_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |s1 AS (SELECT user_id, MIN(ts_us) AS t1 FROM e WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, MIN(e.ts_us) AS t2 FROM e JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.event_type = 'click' AND e.ts_us > s1.t1 GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, MIN(e.ts_us) AS t3 FROM e JOIN s2 ON e.user_id = s2.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts_us > s2.t2 GROUP BY e.user_id)
+        |SELECT (SELECT COUNT(*) FROM s1) AS n_view,
+        |       (SELECT COUNT(*) FROM s2) AS n_view_click,
+        |       (SELECT COUNT(*) FROM s3) AS n_view_click_purchase""".stripMargin,
+
     "q_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events WHERE user_id < 50),
         |l AS (SELECT user_id, event_id, ts_us,

@@ -1501,6 +1501,29 @@ object SparkEntry {
       .orderBy("mmr_rank")
   }
 
+  /** Ordered conversion funnel: view -> click (strictly after the first
+    * view) -> purchase (strictly after that click), counted per user then
+    * rolled up. Each step joins the previous step's (user, t) table —
+    * user-cardinality, not event-cardinality — so the sequential
+    * dependency costs two small joins, never a per-user event sort.
+    */
+  private def qFunnel(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).select("user_id", "event_type", "ts_us")
+    val s1 = e.where(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts_us").as("t1"))
+    val s2 = e.where(col("event_type") === "click")
+      .join(s1, "user_id")
+      .where(col("ts_us") > col("t1"))
+      .groupBy("user_id").agg(min("ts_us").as("t2"))
+    val s3 = e.where(col("event_type") === "purchase")
+      .join(s2, "user_id")
+      .where(col("ts_us") > col("t2"))
+      .groupBy("user_id").agg(min("ts_us").as("t3"))
+    s1.agg(count(lit(1)).as("n_view"))
+      .crossJoin(s2.agg(count(lit(1)).as("n_view_click")))
+      .crossJoin(s3.agg(count(lit(1)).as("n_view_click_purchase")))
+  }
+
   // =====================================================================
   // Contract maps
   // =====================================================================
@@ -1597,7 +1620,8 @@ object SparkEntry {
     "q_mixture_balance" -> (qMixtureBalance _),
     "q_cluster_reps" -> (qClusterReps _),
     "q_snapshot_diff" -> (qSnapshotDiff _),
-    "q_mmr" -> (qMmr _)
+    "q_mmr" -> (qMmr _),
+    "q_funnel" -> (qFunnel _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

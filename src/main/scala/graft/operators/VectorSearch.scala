@@ -286,6 +286,44 @@ object VectorSearch {
     }
   }
 
+  /** Incrementally extend an IVF index with new vectors WITHOUT
+    * re-training: each new vector is assigned to its nearest existing
+    * centroid (squared-L2 argmin — the same metric KMeans trained with,
+    * ties to the smaller cell id) and appended to that cell. The
+    * streaming-ingest contract of [[graft.operators.FtsIndex]]
+    * `extendForBatch`, for the vector side: O(batch) work, no O(corpus)
+    * rebuild; assignment is `nLists` column-algebra dot products fused
+    * into the batch scan (no UDF, no shuffle). The frozen quantizer drifts
+    * as the corpus grows — re-train periodically as a compaction job
+    * (recall is measured, not assumed: VectorFunctionsSpec's recall
+    * contract covers the aligned and over-partitioned cases).
+    *
+    * `newVectors` must carry the index's original corpus schema (it is
+    * unioned by name under the cell assignment).
+    */
+  def extendIvf(index: IvfIndex, newVectors: DataFrame): IvfIndex = {
+    // ||v - c||^2 = ||v||^2 - 2 v.c + ||c||^2; ||v||^2 is constant per row,
+    // so argmin_j is argmin of (||c_j||^2 - 2 v.c_j) — one dot product per
+    // cell, assembled into a struct argmin (least compares (dist, cell)
+    // lexicographically: exact ties pick the smaller cell, matching the
+    // sortBy in annTopK's probe order)
+    val candidates = index.centroids.zipWithIndex.map { case (c, j) =>
+      val c2 = c.foldLeft(0.0)((s, x) => s + x * x)
+      struct(
+        (lit(c2) - lit(2.0) * VectorFunctions.dotProduct(
+          col(index.vecCol),
+          typedLit(c.toSeq)
+        )).as("dist"),
+        lit(j).as("cell")
+      )
+    }
+    val assigned = newVectors.withColumn(
+      "ivf_cell",
+      least(candidates: _*).getField("cell")
+    )
+    IvfIndex(index.indexed.unionByName(assigned), index.centroids, index.vecCol)
+  }
+
   /** Persist an IVF index partitioned BY CELL: probing then becomes
     * parquet partition pruning — a query reads only `nProbe` of `nLists`
     * directories. Pair with [[loadIvf]] to get the storage-backed index

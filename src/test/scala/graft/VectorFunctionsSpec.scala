@@ -98,6 +98,34 @@ class VectorFunctionsSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
   }
 
+  test("extendIvf appends to the nearest frozen cell; probes find new vectors") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val dim = 8
+    val centers = (0 until 4).map(_ => Array.fill(dim)(rnd.nextGaussian() * 5))
+    val data = centers.zipWithIndex.flatMap { case (c, ci) =>
+      (0 until 30).map(i => (ci.toLong * 100 + i, c.map(x => (x + rnd.nextGaussian() * 0.1).toFloat)))
+    }
+    val ivf = graft.operators.VectorSearch.buildIvf(data.toDF("id", "vec"), "vec", nLists = 4)
+    // a new vector sitting on cluster 2's center
+    val newVec = centers(2).map(_.toFloat)
+    val extended = graft.operators.VectorSearch.extendIvf(
+      ivf, Seq((9999L, newVec)).toDF("id", "vec"))
+    // assignment = scalar nearest-centroid argmin
+    val expectedCell = ivf.centroids.zipWithIndex.minBy { case (c, _) =>
+      c.zip(newVec.map(_.toDouble)).map { case (a, b) => (a - b) * (a - b) }.sum
+    }._2
+    val gotCell = extended.indexed.where(col("id") === 9999L)
+      .select("ivf_cell").head().getInt(0)
+    assert(gotCell == expectedCell)
+    // probing with the new vector itself returns it as top-1
+    val hit = extended.annTopK(newVec, 1, col("id"), nProbe = 1).head()
+    assert(hit.getAs[Long]("id") == 9999L, hit.toString)
+    // old content unaffected
+    assert(extended.indexed.count() == 121)
+    assert(extended.centroids.sameElements(ivf.centroids), "quantizer must stay frozen")
+  }
+
   test("MMR re-rank: top hit kept, near-duplicate demoted below a diverse hit") {
     import spark.implicits._
     // qid 0: candidates 1 and 2 are nearly identical vectors (both highly
