@@ -319,6 +319,15 @@ object OracleSql {
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
 
+    "q_retention" ->
+      """WITH e AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+        |f AS (SELECT user_id, MIN(day) AS cohort_day FROM e GROUP BY user_id)
+        |SELECT f.cohort_day, e.day - f.cohort_day AS day_offset,
+        |       COUNT(*) AS n_users
+        |FROM e JOIN f ON e.user_id = f.user_id
+        |GROUP BY 1, 2 HAVING e.day - f.cohort_day <= 7
+        |ORDER BY cohort_day, day_offset""".stripMargin,
+
     "q_funnel" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
         |s1 AS (SELECT user_id, MIN(ts_us) AS t1 FROM e WHERE event_type = 'view' GROUP BY user_id),

@@ -1524,6 +1524,24 @@ object SparkEntry {
       .crossJoin(s3.agg(count(lit(1)).as("n_view_click_purchase")))
   }
 
+  /** Retention cohorts: users bucketed by first-seen day, counted by
+    * activity-day offset — the cohort triangle. Two aggregations: the
+    * first-seen table is user-cardinality, then one (cohort, offset)
+    * histogram; distinct (user, day) pairs first so multi-event days
+    * count once.
+    */
+  private def qRetention(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+      .select(col("user_id"), expr("ts_us div 86400000000").as("day"))
+      .distinct()
+    val first = e.groupBy("user_id").agg(min("day").as("cohort_day"))
+    e.join(first, "user_id")
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .where(col("day_offset") <= 7)
+      .orderBy("cohort_day", "day_offset")
+  }
+
   // =====================================================================
   // Contract maps
   // =====================================================================
@@ -1621,7 +1639,8 @@ object SparkEntry {
     "q_cluster_reps" -> (qClusterReps _),
     "q_snapshot_diff" -> (qSnapshotDiff _),
     "q_mmr" -> (qMmr _),
-    "q_funnel" -> (qFunnel _)
+    "q_funnel" -> (qFunnel _),
+    "q_retention" -> (qRetention _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -93,4 +93,27 @@ class EdgeCasesSpec extends AnyFunSuite {
       .select("id").as[Long].collect().toSet
     assert(kept == Set(2L), "w=0 -> P=0; w*rate >= 1 -> P=1 (and no Long overflow)")
   }
+
+  test("round-4 operators: empty inputs produce empty results, never a crash") {
+    val emptyEdges = Seq.empty[(String, String)].toDF("src", "dst")
+    assert(GraphOps.pageRank(emptyEdges, "src", "dst", iters = 2).count() == 0)
+    assert(TextAnalysis.tfidfTopTerms(emptyDocs, "doc_id", "text", k = 3).count() == 0)
+    assert(TextAnalysis.boilerplateCoverage(emptyDocs, "doc_id", "text").count() == 0)
+    assert(Sketches.kmvOverlap(emptyDocs, "doc_id", "text", k = 8).count() == 0)
+    assert(Sampling.balanceStrata(emptyDocs, "doc_id", "doc_id", 5).count() == 0)
+    assert(CorpusHygiene.percentileGate(emptyDocs, "doc_id", "doc_id", "doc_id", 0.5).count() == 0)
+    val emptyCands = Seq.empty[(Long, Long, Array[Float], Double)].toDF("qid", "id", "vec", "score")
+    assert(VectorSearch.mmrRerank(emptyCands, "qid", "id", "vec", "score", k = 3).count() == 0)
+    assert(Curation.snapshotDiff(emptyDocs, emptyDocs, "doc_id", "text").count() == 0)
+  }
+
+  test("kmvOverlap with a single group yields no pairs; boilerplate whole-corpus dup") {
+    val one = Seq(("g", "v1"), ("g", "v2")).toDF("g", "v")
+    assert(Sketches.kmvOverlap(one, "g", "v", k = 8).count() == 0)
+    // every doc identical: every gram is boilerplate, coverage = 100%
+    val dup = (1L to 4L).map(i => (i, "a b c d e")).toDF("id", "text")
+    val cov = TextAnalysis.boilerplateCoverage(dup, "id", "text", n = 3, minDocs = 4)
+      .select("coverage_fp").as[Long].collect()
+    assert(cov.length == 4 && cov.forall(_ == 1000000L), cov.mkString(","))
+  }
 }
