@@ -323,12 +323,18 @@ object TextAnalysis {
     require(minDocs >= 2, s"boilerplate needs minDocs >= 2, got $minDocs")
     val withGrams = docs.select(col(idCol).as("doc_id"), wordGrams(col(textCol), n).as("grams"))
     val pos = withGrams.select(col("doc_id"), explode(col("grams")).as("g"))
-    val dfg = pos.distinct().groupBy("g").agg(count(lit(1)).as("df"))
+    // ONE corpus-sized pass: the (doc, gram) count table carries position
+    // multiplicity, so document frequency (rows per gram) AND covered
+    // positions (sum of cnt over boilerplate grams) both derive from it —
+    // the digest/explode work runs once, and the two downstream consumers
+    // that need clustering on `g` share one exchange (ReuseExchange).
+    val posCounts = pos.groupBy("doc_id", "g").agg(count(lit(1)).as("cnt"))
+    val dfg = posCounts.groupBy("g").agg(count(lit(1)).as("df"))
     val boiler = dfg.where(col("df") >= minDocs).select("g")
-    val covered = pos
+    val covered = posCounts
       .join(boiler, Seq("g"), "left_semi")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("boiler_grams"))
+      .agg(sum("cnt").as("boiler_grams"))
     withGrams
       .select(col("doc_id"), size(col("grams")).cast("long").as("total_grams"))
       .join(covered, Seq("doc_id"), "left")
