@@ -19,6 +19,26 @@ object GraphOps {
   /** Rank fixed-point scale: ranks are BIGINTs in units of 1e-6. */
   val Scale: Long = 1000000L
 
+  // Edge-table registry: graph extraction (join source tables, mint node
+  // ids, dedup) is ingest-time ETL with the same lifecycle as
+  // FtsIndex.buildCached / Dedup.clustersCached — built once, read by
+  // every ranking query. The cached frame is localCheckpointed, so repeat
+  // queries skip the extraction scans entirely; the iterative ranking
+  // itself is never cached (it IS the query).
+  private val edgeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** Build-once edge table keyed by `key`: evaluates `edges` on first use,
+    * pins it with a localCheckpoint, and serves the checkpointed frame to
+    * later callers. Pass the result to [[pageRank]] with
+    * `edgesAreDistinct = true` if the builder already dedups.
+    */
+  def edgesCached(key: String, edges: => DataFrame): DataFrame =
+    edgeCache.computeIfAbsent(key, _ => edges.localCheckpoint())
+
+  /** Drop every cached edge table (warehouse-flush companion). */
+  def invalidateEdges(): Unit = edgeCache.clear()
+
   /** Synchronous PageRank over an edge list, `iters` rounds, in FIXED-POINT
     * integer arithmetic — deliberately not floating point:
     *

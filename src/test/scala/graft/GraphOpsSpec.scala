@@ -60,6 +60,21 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(got("y") == 150000L + 85L * GraphOps.Scale / 100L)
   }
 
+  test("pageRank == scalar reference on seeded random graphs (incl. self-loops)") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 4) {
+      val n = 5 + rnd.nextInt(8)
+      val edges = (1 to n * 2).map(_ => (s"n${rnd.nextInt(n)}", s"n${rnd.nextInt(n)}"))
+      val iters = 1 + rnd.nextInt(3)
+      val got = GraphOps
+        .pageRank(edges.toDF("src", "dst"), "src", "dst", iters)
+        .as[(String, Long)]
+        .collect()
+        .toMap
+      assert(got == refPageRank(edges, iters), s"trial $trial: n=$n iters=$iters")
+    }
+  }
+
   test("null endpoints are dropped, not nodes") {
     val withNulls = Seq(
       (Some("a"), Some("b")),
