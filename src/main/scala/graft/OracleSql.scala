@@ -319,6 +319,27 @@ object OracleSql {
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
 
+    "q_length_batches" ->
+      // SequencePacking.lengthBucketBatches twin: exact-rank buckets and
+      // batch cuts, rolled up to per-batch padding accounting
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |         CAST(FLOOR(CAST(len($words) AS DOUBLE) * 1.3) AS BIGINT) AS tokens
+         |  FROM documents),
+         |r AS (SELECT doc_id, tokens,
+         |             CAST(ROW_NUMBER() OVER (ORDER BY tokens, doc_id) AS BIGINT) AS rk,
+         |             CAST(COUNT(*) OVER () AS BIGINT) AS n
+         |      FROM d),
+         |b AS (SELECT doc_id, tokens, ((rk - 1) * 8) // n AS bucket FROM r),
+         |bb AS (SELECT doc_id, tokens, bucket,
+         |              (CAST(ROW_NUMBER() OVER (PARTITION BY bucket
+         |                    ORDER BY tokens, doc_id) AS BIGINT) - 1) // 16 AS batch_id
+         |       FROM b)
+         |SELECT CAST(bucket AS BIGINT) AS bucket, CAST(batch_id AS BIGINT) AS batch_id,
+         |       COUNT(*) AS n_docs, MAX(tokens) AS max_tokens,
+         |       CAST(MAX(tokens) * COUNT(*) - SUM(tokens) AS BIGINT) AS padding_tokens
+         |FROM bb GROUP BY 1, 2 ORDER BY bucket, batch_id""".stripMargin,
+
     "q_retention" ->
       """WITH e AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
         |f AS (SELECT user_id, MIN(day) AS cohort_day FROM e GROUP BY user_id)

@@ -1546,6 +1546,30 @@ object SparkEntry {
       .orderBy("cohort_day", "day_offset")
   }
 
+  /** Padding-efficient batching: 8 length buckets x 16-doc batches over
+    * token counts ([[SequencePacking.lengthBucketBatches]] — exact-rank
+    * integer arithmetic, deterministic). Output is the per-batch padding
+    * accounting (max-len * n - sum-len), the quantity the layout
+    * minimizes.
+    */
+  private def qLengthBatches(s: SparkSession, dir: String): DataFrame =
+    SequencePacking
+      .lengthBucketBatches(
+        t(s, dir, "documents")
+          .select(col("doc_id"), TextFunctions.tokenEstimate(col("text")).cast("long").as("tokens")),
+        "doc_id",
+        "tokens",
+        nBuckets = 8,
+        batchSize = 16
+      )
+      .groupBy("bucket", "batch_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        max("tokens").as("max_tokens"),
+        (max("tokens") * count(lit(1)) - sum("tokens")).as("padding_tokens")
+      )
+      .orderBy("bucket", "batch_id")
+
   // =====================================================================
   // Contract maps
   // =====================================================================
@@ -1644,7 +1668,8 @@ object SparkEntry {
     "q_snapshot_diff" -> (qSnapshotDiff _),
     "q_mmr" -> (qMmr _),
     "q_funnel" -> (qFunnel _),
-    "q_retention" -> (qRetention _)
+    "q_retention" -> (qRetention _),
+    "q_length_batches" -> (qLengthBatches _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

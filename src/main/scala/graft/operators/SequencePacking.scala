@@ -48,6 +48,54 @@ object SequencePacking {
       .withColumn("seq_index", floor(col("start_offset") / budget).cast("long"))
   }
 
+  /** Length-bucketed batch assignment: group documents of similar token
+    * length into fixed-size batches so per-batch padding (batch_max -
+    * doc_len summed) stays small — the dynamic-batching trick for
+    * efficient fine-tuning/inference, as a deterministic batch layout.
+    *
+    * Documents are ranked by (tokens, id) — a total order — and cut into
+    * `nBuckets` equal-population buckets by a two-pass distributed ntile
+    * (rank from a window, bucket = (rank - 1) * nBuckets / n); within a
+    * bucket, consecutive runs of `batchSize` docs (same ordering) form a
+    * batch. Every step is integer arithmetic on exact ranks:
+    * deterministic, partition-invariant, oracle-exact.
+    *
+    * Returns the input + (bucket, batch_id, batch_seq): batch_id unique
+    * within bucket, batch_seq = position inside the batch.
+    */
+  def lengthBucketBatches(
+      df: DataFrame,
+      idCol: String,
+      tokenCol: String,
+      nBuckets: Int,
+      batchSize: Int
+  ): DataFrame = {
+    require(nBuckets >= 1, s"need nBuckets >= 1, got $nBuckets")
+    require(batchSize >= 1, s"need batchSize >= 1, got $batchSize")
+    val w = Window.orderBy(col(tokenCol), col(idCol))
+    // NOTE: a global rank window is a single-partition sort in stock
+    // Spark; for the 100 TB layout substitute the two-pass distributed
+    // rank used by qNtile (per-partition rank + partition-offset
+    // broadcast). The bucket/batch arithmetic below is identical either
+    // way — only the rank source changes.
+    df.withColumn("_rk", row_number().over(w).cast("long"))
+      .withColumn(
+        "_n",
+        count(lit(1)).over(
+          Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+      )
+      .withColumn("bucket", expr(s"((_rk - 1) * $nBuckets) div _n"))
+      .withColumn(
+        "_bk",
+        row_number()
+          .over(Window.partitionBy("bucket").orderBy(col(tokenCol), col(idCol)))
+          .cast("long")
+      )
+      .withColumn("batch_id", expr(s"(_bk - 1) div $batchSize"))
+      .withColumn("batch_seq", expr(s"(_bk - 1) % $batchSize"))
+      .drop("_rk", "_n", "_bk")
+  }
+
   /** Strict-budget greedy next-fit packing (see class doc). Returns
     * (id, tokens, bin_id) with `bin_id` unique across the frame
     * (partition-prefixed). Every bin's token sum is <= budget unless it

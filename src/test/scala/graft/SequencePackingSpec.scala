@@ -40,4 +40,29 @@ class SequencePackingSpec extends AnyFunSuite {
     val b = SequencePacking.packGreedy(docs, "id", "tok", 1000, partitions = 4).collect().map(r => (r.getLong(0), r.getLong(2))).toSet
     assert(a == b)
   }
+
+  test("length-bucketed batches pad far less than id-order batches") {
+    // bimodal lengths interleaved by id: id-order batches mix short+long
+    val rows = (1L to 128L).map(i => (i, if (i % 2 == 0) 1000L else 10L)).toDF("id", "tokens")
+    val out = SequencePacking.lengthBucketBatches(rows, "id", "tokens", nBuckets = 2, batchSize = 16)
+    def padding(df: org.apache.spark.sql.DataFrame, batchCols: Seq[String]): Long =
+      df.groupBy(batchCols.map(col): _*)
+        .agg((max("tokens") * count(lit(1)) - sum("tokens")).as("pad"))
+        .agg(sum("pad")).head().getLong(0)
+    val bucketedPad = padding(out, Seq("bucket", "batch_id"))
+    val idOrderPad = padding(
+      rows.withColumn("batch_id", expr("(id - 1) div 16")), Seq("batch_id"))
+    // perfectly separable lengths -> zero padding; id-order pays ~990/doc
+    assert(bucketedPad == 0L, s"bucketed padding $bucketedPad")
+    assert(idOrderPad > 50000L, s"id-order padding $idOrderPad")
+    // every batch is full (128 docs / 16 exactly)
+    val sizes = out.groupBy("bucket", "batch_id").count()
+      .select("count").as[Long].collect()
+    assert(sizes.forall(_ == 16L))
+    // partition-invariant
+    val rep = SequencePacking.lengthBucketBatches(rows.repartition(7), "id", "tokens", 2, 16)
+      .select("id", "bucket", "batch_id").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val base = out.select("id", "bucket", "batch_id").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rep == base)
+  }
 }
