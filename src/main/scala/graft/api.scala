@@ -81,4 +81,28 @@ object api {
     */
   def estimateDistinct(df: DataFrame, valueCol: String, k: Int = 256): DataFrame =
     graft.operators.Sketches.kmvDistinct(df, valueCol, k)
+
+  /** Link-graph authority ranks (fixed-point PageRank — see GraphOps). */
+  def rankAuthority(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 3): DataFrame =
+    graft.operators.GraphOps.pageRank(edges, srcCol, dstCol, iters)
+
+  /** Per-document characteristic terms (TF-IDF top-k — see TextAnalysis). */
+  def topTerms(docs: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame =
+    graft.operators.TextAnalysis.tfidfTopTerms(docs, idCol, textCol, k)
+
+  /** Rebalance a skewed corpus to exactly `perStratum` rows per stratum
+    * (deterministic — see Sampling.balanceStrata).
+    */
+  def balanceCorpus(docs: DataFrame, stratumCol: String, idCol: String,
+      perStratum: Int): DataFrame =
+    graft.operators.Sampling.balanceStrata(docs, stratumCol, idCol, perStratum)
+
+  /** Work list for incremental reprocessing: ids added/removed/changed
+    * between two snapshots (see Curation.snapshotDiff).
+    */
+  def corpusDelta(oldDocs: DataFrame, newDocs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    graft.operators.Curation.snapshotDiff(oldDocs, newDocs, idCol, textCol)
+      .where(col("status") =!= "unchanged")
 }

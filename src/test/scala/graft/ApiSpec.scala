@@ -34,4 +34,15 @@ class ApiSpec extends AnyFunSuite {
     assert(hits.count() > 0)
     assert(hits.head().getAs[String]("document_title") == "Sample Doc")
   }
+
+  test("round-4 facade delegations return sane shapes") {
+    import spark.implicits._
+    val ranks = api.rankAuthority(Seq(("a", "b"), ("b", "a")).toDF("s", "d"), "s", "d", iters = 2)
+    assert(ranks.count() == 2)
+    val docs = Seq((1L, "alpha beta", "s1"), (2L, "alpha gamma", "s2")).toDF("id", "text", "src")
+    assert(api.topTerms(docs, "id", "text", k = 1).count() == 2)
+    assert(api.balanceCorpus(docs, "src", "id", perStratum = 1).count() == 2)
+    val delta = api.corpusDelta(docs.where($"id" === 1L), docs, "id", "text")
+    assert(delta.collect().map(r => (r.getLong(0), r.getString(1))).toSet == Set((2L, "added")))
+  }
 }
