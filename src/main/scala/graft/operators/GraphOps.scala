@@ -19,25 +19,60 @@ object GraphOps {
   /** Rank fixed-point scale: ranks are BIGINTs in units of 1e-6. */
   val Scale: Long = 1000000L
 
-  // Edge-table registry: graph extraction (join source tables, mint node
-  // ids, dedup) is ingest-time ETL with the same lifecycle as
-  // FtsIndex.buildCached / Dedup.clustersCached — built once, read by
-  // every ranking query. The cached frame is localCheckpointed, so repeat
-  // queries skip the extraction scans entirely; the iterative ranking
-  // itself is never cached (it IS the query).
-  private val edgeCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-
-  /** Build-once edge table keyed by `key`: evaluates `edges` on first use,
-    * pins it with a localCheckpoint, and serves the checkpointed frame to
-    * later callers. Pass the result to [[pageRank]] with
-    * `edgesAreDistinct = true` if the builder already dedups.
+  /** A ranking-ready graph: the degree-annotated edge table (src, dst,
+    * outdeg — hash-partitioned on src, checkpointed) and the node table
+    * (checkpointed, partitioned on node). This pair — not the raw edge
+    * list — is the ingest-time artifact: every ranking query needs both,
+    * and rebuilding them per query re-pays the extraction scans, the
+    * degree window, and two materializations.
     */
-  def edgesCached(key: String, edges: => DataFrame): DataFrame =
-    edgeCache.computeIfAbsent(key, _ => edges.localCheckpoint())
+  final case class PreparedGraph(withDeg: DataFrame, nodes: DataFrame)
 
-  /** Drop every cached edge table (warehouse-flush companion). */
-  def invalidateEdges(): Unit = edgeCache.clear()
+  /** Materialize a [[PreparedGraph]] from an edge list. One corpus-sized
+    * pass: out-degree rides a window over the same hash(src) partitioning
+    * the per-round joins reuse (LogicalRDD keeps partitioning + ordering).
+    */
+  def prepare(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      edgesAreDistinct: Boolean = false
+  ): PreparedGraph = {
+    val e0 = edges
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+    val e = if (edgesAreDistinct) e0 else e0.distinct()
+    val srcWin = org.apache.spark.sql.expressions.Window.partitionBy("src")
+    val withDeg = e
+      .withColumn("outdeg", count(lit(1)).over(srcWin))
+      .localCheckpoint()
+    val nodes = withDeg.select(col("src").as("node"))
+      .unionByName(withDeg.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint()
+    PreparedGraph(withDeg, nodes)
+  }
+
+  // Prepared-graph registry: graph extraction + preparation is ingest-time
+  // ETL with the same lifecycle as FtsIndex.buildCached /
+  // Dedup.clustersCached / VectorSearch.buildIvfCached — built once, read
+  // by every ranking query. The iterative ranking itself is never cached
+  // (it IS the query).
+  private val graphCache =
+    new java.util.concurrent.ConcurrentHashMap[String, PreparedGraph]()
+
+  /** Build-once [[PreparedGraph]] keyed by `key`. */
+  def prepareCached(
+      key: String,
+      edges: => DataFrame,
+      srcCol: String,
+      dstCol: String,
+      edgesAreDistinct: Boolean = false
+  ): PreparedGraph =
+    graphCache.computeIfAbsent(key, _ => prepare(edges, srcCol, dstCol, edgesAreDistinct))
+
+  /** Drop every cached prepared graph (warehouse-flush companion). */
+  def invalidateGraphs(): Unit = graphCache.clear()
 
   /** Synchronous PageRank over an edge list, `iters` rounds, in FIXED-POINT
     * integer arithmetic — deliberately not floating point:
@@ -80,20 +115,17 @@ object GraphOps {
       dstCol: String,
       iters: Int = 3,
       edgesAreDistinct: Boolean = false
-  ): DataFrame = {
+  ): DataFrame =
+    pageRankOn(prepare(edges, srcCol, dstCol, edgesAreDistinct), iters)
+
+  /** The iterative ranking over an already-prepared graph — the per-query
+    * cost when the [[PreparedGraph]] is a reused ingest artifact
+    * ([[prepareCached]]).
+    */
+  def pageRankOn(g: PreparedGraph, iters: Int = 3): DataFrame = {
     require(iters >= 1, s"need iters >= 1, got $iters")
-    val e0 = edges
-      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .where(col("src").isNotNull && col("dst").isNotNull)
-    val e = if (edgesAreDistinct) e0 else e0.distinct()
-    val srcWin = org.apache.spark.sql.expressions.Window.partitionBy("src")
-    val withDeg = e
-      .withColumn("outdeg", count(lit(1)).over(srcWin))
-      .localCheckpoint()
-    val nodes = withDeg.select(col("src").as("node"))
-      .unionByName(withDeg.select(col("dst").as("node")))
-      .distinct()
-      .localCheckpoint()
+    val withDeg = g.withDeg
+    val nodes = g.nodes
     val base = (0.15 * Scale).toLong
     var ranks = nodes.withColumn("rank", lit(Scale))
     for (i <- 1 to iters) {
