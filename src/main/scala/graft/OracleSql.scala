@@ -319,6 +319,23 @@ object OracleSql {
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
 
+    "q_countmin" -> {
+      // Sketches.countMin twin: identical md5-derived row hashes rebuild
+      // the exact counter matrix, then min-over-rows point queries
+      val bHash = md5NibbleIntSql("CAST(t.r AS VARCHAR) || ':' || CAST(l_suppkey AS VARCHAR)", 8)
+      val kHash = md5NibbleIntSql("CAST(t.r AS VARCHAR) || ':' || CAST(k.key AS VARCHAR)", 8)
+      s"""WITH rows(r) AS (VALUES (0), (1), (2), (3)),
+         |rb AS (SELECT t.r AS row, $bHash % 256 AS bucket
+         |       FROM lineitem CROSS JOIN rows t WHERE l_suppkey IS NOT NULL),
+         |sk AS (SELECT row, bucket, COUNT(*) AS cnt FROM rb GROUP BY 1, 2),
+         |k AS (SELECT DISTINCT l_suppkey AS key FROM lineitem WHERE l_suppkey <= 10),
+         |kq AS (SELECT k.key, t.r AS row, $kHash % 256 AS bucket
+         |       FROM k CROSS JOIN rows t)
+         |SELECT kq.key, MIN(COALESCE(sk.cnt, 0)) AS est
+         |FROM kq LEFT JOIN sk ON sk.row = kq.row AND sk.bucket = kq.bucket
+         |GROUP BY kq.key ORDER BY key""".stripMargin
+    },
+
     "q_length_batches" ->
       // SequencePacking.lengthBucketBatches twin: exact-rank buckets and
       // batch cuts, rolled up to per-batch padding accounting

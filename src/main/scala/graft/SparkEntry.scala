@@ -1571,6 +1571,22 @@ object SparkEntry {
       )
       .orderBy("bucket", "batch_id")
 
+  /** Count-min frequency floor: build a 4x256 sketch over lineitem
+    * supplier keys, then point-query suppliers 1-10
+    * ([[Sketches.countMin]] / [[Sketches.countMinEstimate]] — fixed
+    * `depth * width` counters regardless of corpus size, mergeable,
+    * never undercounts; deterministic md5 row hashes make it
+    * oracle-exact, unlike the native RNG-seeded aggregate).
+    */
+  private def qCountMin(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val sketch = Sketches.countMin(li, "l_suppkey", width = 256, depth = 4)
+    val keys = li.where(col("l_suppkey") <= 10).select(col("l_suppkey"))
+    Sketches
+      .countMinEstimate(sketch, keys, "l_suppkey", width = 256, depth = 4)
+      .orderBy("key")
+  }
+
   // =====================================================================
   // Contract maps
   // =====================================================================
@@ -1670,7 +1686,8 @@ object SparkEntry {
     "q_mmr" -> (qMmr _),
     "q_funnel" -> (qFunnel _),
     "q_retention" -> (qRetention _),
-    "q_length_batches" -> (qLengthBatches _)
+    "q_length_batches" -> (qLengthBatches _),
+    "q_countmin" -> (qCountMin _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -144,6 +144,69 @@ object Sketches {
       .withColumn("jaccard_fp", expr("(inter_cnt * 1000000) div k_used"))
   }
 
+  /** Count-min sketch: approximate per-value frequencies in
+    * `depth * width` counters no matter how many distinct values exist —
+    * the heavy-hitter / frequency-floor sketch for corpora whose exact
+    * value histogram would itself be corpus-sized (URLs, shingles,
+    * n-grams). Estimates NEVER undercount (min over `depth` independent
+    * hash rows only overestimates, by <= 2n/width with probability
+    * 1 - (1/2)^depth), and the sketch is mergeable: bucket-wise SUM of
+    * two sketches is the sketch of the union — the property that lets
+    * per-shard sketches roll up without a second corpus pass.
+    *
+    * Deterministic (md5-derived row hashes, no RNG), so unlike Spark's
+    * native CountMinSketch aggregate this one is exactly reproducible in
+    * any SQL engine — the oracle rebuilds the identical counter matrix.
+    *
+    * Scale shape: one corpus pass; each row emits `depth` (row, bucket)
+    * pairs that partially aggregate map-side, so the shuffle carries at
+    * most `depth * width` counters per partition. Returns (row, bucket,
+    * cnt) — query it with [[countMinEstimate]].
+    */
+  def countMin(df: DataFrame, valueCol: String, width: Int = 256, depth: Int = 4): DataFrame = {
+    require(width >= 2, s"need width >= 2, got $width")
+    require(depth >= 1, s"need depth >= 1, got $depth")
+    val rows = (0 until depth).map { r =>
+      struct(
+        lit(r).as("row"),
+        (md5Hash32(concat_ws(":", lit(r), col(valueCol).cast("string"))) % width).as("bucket")
+      )
+    }
+    df.where(col(valueCol).isNotNull)
+      .select(explode(array(rows: _*)).as("rb"))
+      .select(col("rb.row").as("row"), col("rb.bucket").as("bucket"))
+      .groupBy("row", "bucket")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-query a [[countMin]] sketch: the estimated frequency of every
+    * key in `keys(keyCol)` = min over hash rows of that key's bucket
+    * counter (0 when a bucket was never touched). `width`/`depth` must
+    * match the build.
+    */
+  def countMinEstimate(
+      sketch: DataFrame,
+      keys: DataFrame,
+      keyCol: String,
+      width: Int = 256,
+      depth: Int = 4
+  ): DataFrame = {
+    val rows = (0 until depth).map { r =>
+      struct(
+        lit(r).as("row"),
+        (md5Hash32(concat_ws(":", lit(r), col("key").cast("string"))) % width).as("bucket")
+      )
+    }
+    keys
+      .select(col(keyCol).as("key"))
+      .distinct()
+      .select(col("key"), explode(array(rows: _*)).as("rb"))
+      .select(col("key"), col("rb.row").as("row"), col("rb.bucket").as("bucket"))
+      .join(sketch, Seq("row", "bucket"), "left")
+      .groupBy("key")
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
+
   /** Fixed-histogram quantile sketch: bin `valueCol` into `nBins` equal
     * cells over `[lo, hi)`, then answer each requested quantile with the
     * midpoint of the first bin whose cumulative count reaches `q * n`.

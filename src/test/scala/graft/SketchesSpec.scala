@@ -91,6 +91,42 @@ class SketchesSpec extends AnyFunSuite {
     assert(out.find(_._1 == 1.0).get._3 == 95.0)
   }
 
+  test("count-min: never undercounts, exact at generous width, sketches merge") {
+    val rnd = new scala.util.Random(5)
+    val values = (1 to 2000).map(_ => s"v${rnd.nextInt(50)}")
+    val df = values.toDF("v")
+    val exact = values.groupBy(identity).map { case (k, vs) => (k, vs.size.toLong) }
+    val keys = exact.keys.toSeq.toDF("v")
+
+    // tight sketch (collisions likely): estimates are >= truth, always
+    val tight = Sketches.countMin(df, "v", width = 16, depth = 4)
+    val estT = Sketches.countMinEstimate(tight, keys, "v", width = 16, depth = 4)
+      .collect().map(r => r.getAs[String]("key") -> r.getAs[Long]("est")).toMap
+    exact.foreach { case (k, n) => assert(estT(k) >= n, s"$k: est ${estT(k)} < true $n") }
+
+    // generous width (50 distinct into 4x4096): collisions in all 4 rows
+    // are vanishingly unlikely -> exact
+    val wide = Sketches.countMin(df, "v", width = 4096, depth = 4)
+    val estW = Sketches.countMinEstimate(wide, keys, "v", width = 4096, depth = 4)
+      .collect().map(r => r.getAs[String]("key") -> r.getAs[Long]("est")).toMap
+    assert(estW == exact.toMap, "4x4096 over 50 keys must be collision-free")
+
+    // mergeability: sketch(A) + sketch(B) bucket-wise == sketch(A ∪ B)
+    val (a, b) = values.splitAt(900)
+    val merged = Sketches.countMin(a.toDF("v"), "v", 16, 4)
+      .unionByName(Sketches.countMin(b.toDF("v"), "v", 16, 4))
+      .groupBy("row", "bucket").agg(sum("cnt").as("cnt"))
+    val whole = Sketches.countMin(df, "v", 16, 4)
+    assert(merged.orderBy("row", "bucket").collect().toSeq ==
+      whole.orderBy("row", "bucket").collect().toSeq)
+
+    // missing key estimates 0 unless its buckets collide — use a generous
+    // width so all rows are empty for it
+    val missing = Sketches.countMinEstimate(wide, Seq("never-seen").toDF("v"), "v", 4096, 4)
+      .head().getAs[Long]("est")
+    assert(missing == 0L)
+  }
+
   test("kmvOverlap is EXACT when both groups fit inside k") {
     // A = {1..40}, B = {21..60}: |A ∩ B| = 20, |A ∪ B| = 60 -> J = 1/3.
     // With k = 64 > 60 the union sketch holds every hash, so the
