@@ -319,6 +319,26 @@ object OracleSql {
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
 
+    "q_hist_quantile_by" ->
+      // grouped twin of q_hist_quantile: PARTITION BY event_type
+      """WITH b AS (
+        |  SELECT event_type,
+        |         LEAST(CAST(FLOOR((value - 0.0) / 1.0) AS BIGINT), 499) AS bin,
+        |         COUNT(*) AS c
+        |  FROM events
+        |  WHERE value >= 0.0 AND value < 500.0
+        |  GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT event_type, bin, c,
+        |         CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY bin) AS BIGINT) AS cum,
+        |         CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM b),
+        |q(q) AS (VALUES (0.5), (0.95))
+        |SELECT event_type, q, MAX(n) AS n, MIN(bin) AS bin,
+        |       0.0 + (MIN(bin) + 0.5) * 1.0 AS estimate
+        |FROM q JOIN cum ON CAST(cum AS DOUBLE) >= q * n
+        |GROUP BY event_type, q ORDER BY event_type, q""".stripMargin,
+
     "q_countmin" -> {
       // Sketches.countMin twin: identical md5-derived row hashes rebuild
       // the exact counter matrix, then min-over-rows point queries

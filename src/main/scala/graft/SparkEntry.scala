@@ -1587,6 +1587,24 @@ object SparkEntry {
       .orderBy("key")
   }
 
+  /** Grouped quantile sketch: p50/p95 of event value per event type from
+    * a 500-bin histogram ([[Sketches.histogramQuantileBy]] — <= nBins
+    * sketch rows per group cross the shuffle, windows run over the
+    * sketch).
+    */
+  private def qHistQuantileBy(s: SparkSession, dir: String): DataFrame =
+    Sketches
+      .histogramQuantileBy(
+        events(s, dir),
+        Seq("event_type"),
+        "value",
+        lo = 0.0,
+        hi = 500.0,
+        nBins = 500,
+        quantiles = Seq(0.5, 0.95)
+      )
+      .orderBy("event_type", "q")
+
   // =====================================================================
   // Contract maps
   // =====================================================================
@@ -1687,7 +1705,8 @@ object SparkEntry {
     "q_funnel" -> (qFunnel _),
     "q_retention" -> (qRetention _),
     "q_length_batches" -> (qLengthBatches _),
-    "q_countmin" -> (qCountMin _)
+    "q_countmin" -> (qCountMin _),
+    "q_hist_quantile_by" -> (qHistQuantileBy _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

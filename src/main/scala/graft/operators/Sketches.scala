@@ -207,6 +207,63 @@ object Sketches {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
   }
 
+  /** Per-group [[histogramQuantile]]: the same fixed-bin sketch computed
+    * WITHIN each `keys` group in one pass — p50/p95 per event type /
+    * language / source, the form production accounting actually needs.
+    * The shuffle carries at most `nBins` (group, bin, count) rows per
+    * group; the cumulative window runs over each group's <= nBins sketch
+    * rows, never the data. Groups with no in-range rows yield no rows
+    * (same contract as the global form).
+    */
+  def histogramQuantileBy(
+      df: DataFrame,
+      keys: Seq[String],
+      valueCol: String,
+      lo: Double,
+      hi: Double,
+      nBins: Int,
+      quantiles: Seq[Double]
+  ): DataFrame = {
+    require(keys.nonEmpty, "histogramQuantileBy needs grouping keys; use histogramQuantile")
+    require(hi > lo, s"need hi > lo, got [$lo, $hi)")
+    require(nBins >= 2, s"need nBins >= 2, got $nBins")
+    require(quantiles.nonEmpty && quantiles.forall(q => q > 0 && q <= 1),
+      s"quantiles must be in (0, 1], got $quantiles")
+    val w = (hi - lo) / nBins
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keyCols = keys.map(col)
+    val binned = df
+      .where(col(valueCol) >= lo && col(valueCol) < hi)
+      .select(keyCols :+
+        least(floor((col(valueCol) - lo) / w).cast("long"), lit(nBins - 1L)).as("bin"): _*)
+      .groupBy(keyCols :+ col("bin"): _*)
+      .agg(count(lit(1)).as("c"))
+    val cumWin = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy("bin")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val totWin = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val cum = binned
+      .withColumn("cum", sum("c").over(cumWin))
+      .withColumn("n", sum("c").over(totWin))
+    quantiles.toDF("q")
+      .crossJoin(cum)
+      .where(col("cum") * lit(1.0) >= col("q") * col("n"))
+      .groupBy(keyCols :+ col("q"): _*)
+      .agg(min("bin").as("bin"), max("n").as("n"))
+      .select(keyCols ++ Seq(
+        col("q"),
+        col("n"),
+        col("bin"),
+        (lit(lo) + (col("bin") + lit(0.5)) * lit(w)).as("estimate")
+      ): _*)
+  }
+
   /** Fixed-histogram quantile sketch: bin `valueCol` into `nBins` equal
     * cells over `[lo, hi)`, then answer each requested quantile with the
     * midpoint of the first bin whose cumulative count reaches `q * n`.

@@ -127,6 +127,28 @@ class SketchesSpec extends AnyFunSuite {
     assert(missing == 0L)
   }
 
+  test("grouped histogram quantile: per-group answers match the global form per slice") {
+    val df = ((1 to 900).map(i => ("a", i.toDouble)) ++
+      (1 to 100).map(i => ("b", i * 10.0))).toDF("g", "v")
+    val grouped = Sketches
+      .histogramQuantileBy(df, Seq("g"), "v", lo = 0.0, hi = 1000.0, nBins = 100,
+        quantiles = Seq(0.5, 0.95))
+      .collect()
+      .map(r => (r.getAs[String]("g"), r.getAs[Double]("q")) -> r.getAs[Double]("estimate"))
+      .toMap
+    for (g <- Seq("a", "b"); q <- Seq(0.5, 0.95)) {
+      val solo = Sketches
+        .histogramQuantile(df.where(col("g") === g), "v", 0.0, 1000.0, 100, Seq(q))
+        .head().getAs[Double]("estimate")
+      assert(grouped((g, q)) == solo, s"group $g q=$q: ${grouped((g, q))} vs solo $solo")
+    }
+    // group with no in-range rows yields no rows
+    val out = Sketches.histogramQuantileBy(
+      df.withColumn("v", when(col("g") === "b", -1.0).otherwise(col("v"))),
+      Seq("g"), "v", 0.0, 1000.0, 100, Seq(0.5))
+    assert(out.where(col("g") === "b").count() == 0)
+  }
+
   test("kmvOverlap is EXACT when both groups fit inside k") {
     // A = {1..40}, B = {21..60}: |A ∩ B| = 20, |A ∪ B| = 60 -> J = 1/3.
     // With k = 64 > 60 the union sketch holds every hash, so the
