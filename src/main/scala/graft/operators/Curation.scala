@@ -178,13 +178,22 @@ object Curation {
       idCol: String,
       textCol: String
   ): DataFrame = {
-    val o = oldDocs.select(col(idCol).as("id"), md5(Dedup.normalized(col(textCol))).as("d_old"))
-    val n = newDocs.select(col(idCol).as("id"), md5(Dedup.normalized(col(textCol))).as("d_new"))
-    o.join(n, Seq("id"), "full_outer")
+    // presence must come from ROW existence, not digest nullness: a doc
+    // whose text is null still exists (md5(null) is null, and reading
+    // that as absence would cascade-delete a live document). Null text
+    // digests to a sentinel no real md5 hex can collide with.
+    def side(df: DataFrame, digest: String, present: String) =
+      df.select(
+        col(idCol).as("id"),
+        coalesce(md5(Dedup.normalized(col(textCol))), lit("<null-text>")).as(digest),
+        lit(true).as(present)
+      )
+    side(oldDocs, "d_old", "in_old")
+      .join(side(newDocs, "d_new", "in_new"), Seq("id"), "full_outer")
       .select(
         col("id"),
-        when(col("d_new").isNull, lit("removed"))
-          .when(col("d_old").isNull, lit("added"))
+        when(col("in_new").isNull, lit("removed"))
+          .when(col("in_old").isNull, lit("added"))
           .when(col("d_old") =!= col("d_new"), lit("changed"))
           .otherwise(lit("unchanged"))
           .as("status")

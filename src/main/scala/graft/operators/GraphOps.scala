@@ -57,11 +57,23 @@ object GraphOps {
   // ETL with the same lifecycle as FtsIndex.buildCached /
   // Dedup.clustersCached / VectorSearch.buildIvfCached — built once, read
   // by every ranking query. The iterative ranking itself is never cached
-  // (it IS the query).
+  // (it IS the query). Entries record the checkpoint RDD ids the prepare
+  // pinned so invalidation can release the blocks (Dataset.unpersist
+  // cannot free localCheckpoint blocks). Builds run under PER-KEY
+  // monitors, not the CHM's compute bin lock: prepare() runs Spark jobs,
+  // and a bin lock would stall unrelated keys and break on reentrancy
+  // (the FtsIndex.lockFor / Dedup.clusterLockFor rationale).
+  private final case class CachedGraph(graph: PreparedGraph, pinnedRddIds: Set[Int])
   private val graphCache =
-    new java.util.concurrent.ConcurrentHashMap[String, PreparedGraph]()
+    new java.util.concurrent.ConcurrentHashMap[String, CachedGraph]()
+  private val graphLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def graphLockFor(key: String): Object =
+    graphLocks.computeIfAbsent(key, _ => new Object)
 
-  /** Build-once [[PreparedGraph]] keyed by `key`. */
+  /** Build-once [[PreparedGraph]] keyed by `key`. Pinned-block tracking
+    * assumes no concurrent persist activity on the same SparkContext
+    * during a cold build (graph prep is a batch step).
+    */
   def prepareCached(
       key: String,
       edges: => DataFrame,
@@ -69,10 +81,36 @@ object GraphOps {
       dstCol: String,
       edgesAreDistinct: Boolean = false
   ): PreparedGraph =
-    graphCache.computeIfAbsent(key, _ => prepare(edges, srcCol, dstCol, edgesAreDistinct))
+    graphLockFor(key).synchronized {
+      val hit = graphCache.get(key)
+      if (hit != null) hit.graph
+      else {
+        val g0 = edges
+        val sc = g0.sparkSession.sparkContext
+        val before = sc.getPersistentRDDs.keySet.toSet
+        val g = prepare(g0, srcCol, dstCol, edgesAreDistinct)
+        val pinned = sc.getPersistentRDDs.keySet.toSet -- before
+        graphCache.put(key, CachedGraph(g, pinned))
+        g
+      }
+    }
 
-  /** Drop every cached prepared graph (warehouse-flush companion). */
-  def invalidateGraphs(): Unit = graphCache.clear()
+  /** Drop every cached prepared graph and release its checkpoint blocks
+    * (companion of Pipeline.flush).
+    */
+  def invalidateGraphs(): Unit = {
+    import scala.jdk.CollectionConverters._
+    graphCache.keySet().asScala.toSeq.foreach { key =>
+      graphLockFor(key).synchronized {
+        Option(graphCache.remove(key)).foreach { cached =>
+          val sc = cached.graph.withDeg.sparkSession.sparkContext
+          cached.pinnedRddIds.foreach { id =>
+            sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false))
+          }
+        }
+      }
+    }
+  }
 
   /** Synchronous PageRank over an edge list, `iters` rounds, in FIXED-POINT
     * integer arithmetic — deliberately not floating point:

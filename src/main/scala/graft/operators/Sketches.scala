@@ -163,17 +163,24 @@ object Sketches {
     * most `depth * width` counters per partition. Returns (row, bucket,
     * cnt) — query it with [[countMinEstimate]].
     */
-  def countMin(df: DataFrame, valueCol: String, width: Int = 256, depth: Int = 4): DataFrame = {
+  // The single source of the count-min (row, bucket) hash layout: build
+  // and estimate MUST derive buckets identically or point queries read
+  // the wrong counters — keeping one definition makes that true by
+  // construction (the OracleSql twin mirrors this exact expression).
+  private def cmBuckets(value: Column, width: Int, depth: Int): Column = {
     require(width >= 2, s"need width >= 2, got $width")
     require(depth >= 1, s"need depth >= 1, got $depth")
-    val rows = (0 until depth).map { r =>
+    array((0 until depth).map { r =>
       struct(
         lit(r).as("row"),
-        (md5Hash32(concat_ws(":", lit(r), col(valueCol).cast("string"))) % width).as("bucket")
+        (md5Hash32(concat_ws(":", lit(r), value.cast("string"))) % width).as("bucket")
       )
-    }
+    }: _*)
+  }
+
+  def countMin(df: DataFrame, valueCol: String, width: Int = 256, depth: Int = 4): DataFrame = {
     df.where(col(valueCol).isNotNull)
-      .select(explode(array(rows: _*)).as("rb"))
+      .select(explode(cmBuckets(col(valueCol), width, depth)).as("rb"))
       .select(col("rb.row").as("row"), col("rb.bucket").as("bucket"))
       .groupBy("row", "bucket")
       .agg(count(lit(1)).as("cnt"))
@@ -191,16 +198,10 @@ object Sketches {
       width: Int = 256,
       depth: Int = 4
   ): DataFrame = {
-    val rows = (0 until depth).map { r =>
-      struct(
-        lit(r).as("row"),
-        (md5Hash32(concat_ws(":", lit(r), col("key").cast("string"))) % width).as("bucket")
-      )
-    }
     keys
       .select(col(keyCol).as("key"))
       .distinct()
-      .select(col("key"), explode(array(rows: _*)).as("rb"))
+      .select(col("key"), explode(cmBuckets(col("key"), width, depth)).as("rb"))
       .select(col("key"), col("rb.row").as("row"), col("rb.bucket").as("bucket"))
       .join(sketch, Seq("row", "bucket"), "left")
       .groupBy("key")

@@ -104,7 +104,8 @@ object VectorSearch {
         val maxSim = Array.fill(cands.length)(Double.NegativeInfinity)
         val used = Array.fill(cands.length)(false)
         var rank = 1
-        while (rank <= k && rank <= cands.length) {
+        var exhausted = false
+        while (!exhausted && rank <= k && rank <= cands.length) {
           var best = -1
           var bestScore = Double.NegativeInfinity
           var i = 0
@@ -119,6 +120,11 @@ object VectorSearch {
             }
             i += 1
           }
+          // every remaining marginal NaN (zero-vector candidates score
+          // NaN from 0/0 cosine): nothing comparable is left to pick —
+          // stop instead of dereferencing best = -1
+          if (best == -1) exhausted = true
+          else {
           used(best) = true
           pickedIdx += best
           picked += ((qid, cands(best)._2, bestScore))
@@ -128,6 +134,7 @@ object VectorSearch {
             j += 1
           }
           rank += 1
+          }
         }
         picked.iterator.zipWithIndex.map { case ((q, id, s), idx) => (q, id, idx + 1L, s) }
       }
@@ -317,10 +324,11 @@ object VectorSearch {
         lit(j).as("cell")
       )
     }
-    val assigned = newVectors.withColumn(
-      "ivf_cell",
-      least(candidates: _*).getField("cell")
-    )
+    // least() needs >= 2 args; a single-cell quantizer assigns trivially
+    val cellExpr =
+      if (candidates.length == 1) lit(0)
+      else least(candidates: _*).getField("cell")
+    val assigned = newVectors.withColumn("ivf_cell", cellExpr)
     IvfIndex(index.indexed.unionByName(assigned), index.centroids, index.vecCol)
   }
 

@@ -255,6 +255,7 @@ final class Pipeline(spark: SparkSession, config: GraftConfig = GraftConfig.defa
       FtsIndex.invalidateAll()
       graft.operators.VectorSearch.invalidateAllIvf()
       graft.operators.Dedup.invalidateClusters()
+      graft.operators.GraphOps.invalidateGraphs()
     }
     dropped
   }

@@ -108,4 +108,13 @@ class CurationSpec extends AnyFunSuite {
     assert(got == Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed", 4L -> "added"),
       got.toString)
   }
+
+  test("snapshotDiff: presence is row existence, not digest nullness") {
+    val oldSnap = Seq((1L, Some("text")), (2L, None), (3L, None)).toDF("id", "text")
+    val newSnap = Seq((1L, None), (2L, Some("now set")), (3L, None)).toDF("id", "text")
+    val got = Curation.snapshotDiff(oldSnap, newSnap, "id", "text")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("status")).toMap
+    // a doc whose text BECAME null still exists -> changed, never removed
+    assert(got == Map(1L -> "changed", 2L -> "changed", 3L -> "unchanged"), got.toString)
+  }
 }

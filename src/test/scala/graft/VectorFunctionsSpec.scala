@@ -156,4 +156,38 @@ class VectorFunctionsSpec extends AnyFunSuite {
       .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("mmr_rank")))
     assert(repQ0.take(2).toSeq == Seq((1L, 1L), (3L, 2L)))
   }
+
+  test("MMR survives all-NaN marginals (zero vectors) without crashing") {
+    import spark.implicits._
+    // zero vectors score NaN from 0/0 cosine: the greedy loop must stop
+    // cleanly instead of dereferencing best = -1
+    val cands = Seq(
+      (0L, 1L, Array(0.0f, 0.0f), Double.NaN),
+      (0L, 2L, Array(0.0f, 0.0f), Double.NaN)
+    ).toDF("qid", "id", "vec", "score")
+    assert(graft.operators.VectorSearch
+      .mmrRerank(cands, "qid", "id", "vec", "score", k = 2).count() == 0)
+    // mixed: real-scored candidates still picked, NaN tail dropped
+    val mixed = Seq(
+      (0L, 1L, Array(1.0f, 0.0f), 0.9),
+      (0L, 2L, Array(0.0f, 0.0f), Double.NaN)
+    ).toDF("qid", "id", "vec", "score")
+    val got = graft.operators.VectorSearch
+      .mmrRerank(mixed, "qid", "id", "vec", "score", k = 2)
+      .select("id").as[Long].collect().toSeq
+    assert(got == Seq(1L))
+  }
+
+  test("extendIvf works on a single-cell quantizer") {
+    import spark.implicits._
+    // buildIvf can't produce k=1 (Spark ML KMeans requires k >= 2), but a
+    // degenerate one-cell index is constructible directly (e.g. a loaded
+    // artifact) and extendIvf must not feed least() a single argument
+    val indexed = (1 to 20).map(i => (i.toLong, Array(i.toFloat, 1.0f), 0))
+      .toDF("id", "vec", "ivf_cell")
+    val ivf = graft.operators.VectorSearch.IvfIndex(indexed, Array(Array(10.0, 1.0)), "vec")
+    val ext = graft.operators.VectorSearch.extendIvf(ivf, Seq((99L, Array(5.0f, 1.0f))).toDF("id", "vec"))
+    assert(ext.indexed.where(col("id") === 99L).select("ivf_cell").head().getInt(0) == 0)
+    assert(ext.indexed.count() == 21)
+  }
 }

@@ -5,7 +5,14 @@ import sys, glob, os
 import pandas as pd, numpy as np
 
 a_dir, b_dir = sys.argv[1], sys.argv[2]
-names = sorted(os.path.basename(p) for p in glob.glob(f"{a_dir}/q_*"))
+# union of BOTH sides: a query present in only one dump is a failure, and
+# an empty/typo'd dir must not pass vacuously
+names = sorted(
+    {os.path.basename(p) for p in glob.glob(f"{a_dir}/q_*")} |
+    {os.path.basename(p) for p in glob.glob(f"{b_dir}/q_*")})
+if not names:
+    print(f"no query dumps found under {a_dir} or {b_dir}")
+    sys.exit(1)
 n_fail = 0
 for name in names:
     try:
@@ -15,8 +22,11 @@ for name in names:
         print(f"MISS {name}: {e}"); n_fail += 1; continue
     for df in (a, b):
         for c in df.columns:
-            if len(df) and isinstance(df[c].iloc[0], (list, np.ndarray)):
-                df[c] = df[c].apply(lambda v: tuple(v))
+            # sniff ANY cell (not just row 0 — it may be null) for
+            # list-typed values that need tuple conversion to sort/compare
+            if any(isinstance(v, (list, np.ndarray)) for v in df[c]):
+                df[c] = df[c].apply(
+                    lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v)
     a = a[sorted(a.columns)].sort_values(by=sorted(a.columns), ignore_index=True)
     b = b[sorted(b.columns)].sort_values(by=sorted(b.columns), ignore_index=True)
     if not a.equals(b):
