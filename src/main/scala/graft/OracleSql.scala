@@ -1223,6 +1223,37 @@ object OracleSql {
          |ORDER BY source, doc_id""".stripMargin
     },
 
+    "q_ppr_seeded" -> {
+      // personalized twin of q_pagerank: r0 and the per-round base are
+      // seed-gated (nation-1 customers); otherwise the identical
+      // fixed-point rounds
+      val rounds = (1 to 3).map { i =>
+        s"""s$i AS (SELECT e.dst AS node, SUM(r.rank // d.outdeg) AS s
+           |     FROM e JOIN deg d ON e.src = d.src
+           |     JOIN r${i - 1} r ON e.src = r.node GROUP BY e.dst),
+           |r$i AS (SELECT n.node,
+           |     CAST(CASE WHEN n.node IN (SELECT node FROM seeds) THEN 150000 ELSE 0 END
+           |          + (85 * COALESCE(s.s, 0)) // 100 AS BIGINT) AS rank
+           |     FROM nodes n LEFT JOIN s$i s ON n.node = s.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT 'c' || o_custkey AS c, 's' || l_suppkey AS s
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |e AS (SELECT c AS src, s AS dst FROM pairs
+         |      UNION ALL SELECT s, c FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS node FROM e
+         |          UNION SELECT DISTINCT dst AS node FROM e),
+         |deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+         |seeds AS (SELECT DISTINCT 'c' || c_custkey AS node FROM customer
+         |          WHERE c_nationkey = 1),
+         |r0 AS (SELECT node,
+         |       CAST(CASE WHEN node IN (SELECT node FROM seeds)
+         |                 THEN 1000000 ELSE 0 END AS BIGINT) AS rank FROM nodes),
+         |$rounds
+         |SELECT node, rank FROM r3 WHERE rank > 0
+         |ORDER BY rank DESC, node LIMIT 20""".stripMargin
+    },
+
     "q_overlap_join" ->
       """WITH o AS (
         |  SELECT o_orderkey AS okey,

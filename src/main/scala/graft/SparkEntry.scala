@@ -1360,28 +1360,8 @@ object SparkEntry {
     * pipeline derives from its hyperlink graph.
     */
   private def qPageRank(s: SparkSession, dir: String): DataFrame = {
-    // graph extraction + preparation is ingest ETL (GraphOps.prepareCached
-    // — built once per table dir, checkpointed with degrees and nodes);
-    // only the iterative ranking bills per query. Dedup on the raw INT key
-    // pair (cheap shuffle), then mint the string node ids; the c*/s*
-    // namespaces are disjoint and the pair set is already unique, so the
-    // union is distinct by construction and prepare can skip its own
-    // corpus-wide DISTINCT.
-    val graph = GraphOps.prepareCached(s"$dir/trade-graph", {
-      val pairs = t(s, dir, "orders")
-        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
-        .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk"))
-        .distinct()
-        .select(
-          concat(lit("c"), col("ck")).as("c"),
-          concat(lit("s"), col("sk")).as("sup")
-        )
-      pairs
-        .select(col("c").as("src"), col("sup").as("dst"))
-        .unionByName(pairs.select(col("sup").as("src"), col("c").as("dst")))
-    }, "src", "dst", edgesAreDistinct = true)
     GraphOps
-      .pageRankOn(graph, iters = 3)
+      .pageRankOn(tradeGraph(s, dir), iters = 3)
       .orderBy(desc("rank"), col("node"))
       .limit(20)
   }
@@ -1605,6 +1585,47 @@ object SparkEntry {
       )
       .orderBy("event_type", "q")
 
+  /** The customer↔supplier trade graph as a cached prepared artifact
+    * (GraphOps.prepareCached — built once per table dir, checkpointed
+    * with degrees and nodes); only the iterative ranking bills per query.
+    * Dedup on the raw INT key pair (cheap shuffle), then mint the string
+    * node ids; the c- and s-prefixed namespaces are disjoint and the pair
+    * set is already unique, so the union is distinct by construction and
+    * prepare can skip its own corpus-wide DISTINCT.
+    */
+  private def tradeGraph(s: SparkSession, dir: String): GraphOps.PreparedGraph =
+    GraphOps.prepareCached(s"$dir/trade-graph", {
+      val pairs = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk"))
+        .distinct()
+        .select(
+          concat(lit("c"), col("ck")).as("c"),
+          concat(lit("s"), col("sk")).as("sup")
+        )
+      pairs
+        .select(col("c").as("src"), col("sup").as("dst"))
+        .unionByName(pairs.select(col("sup").as("src"), col("c").as("dst")))
+    }, "src", "dst", edgesAreDistinct = true)
+
+  /** Personalized PageRank: rank mass seeded ONLY at nation-1 customers,
+    * so scores measure trade-graph proximity to that trusted set
+    * ([[GraphOps.pageRankOn]] with seeds — the "related to this set"
+    * retrieval prior; reuses the same cached prepared graph as
+    * q_pagerank).
+    */
+  private def qPprSeeded(s: SparkSession, dir: String): DataFrame = {
+    val graph = tradeGraph(s, dir)
+    val seeds = t(s, dir, "customer")
+      .where(col("c_nationkey") === 1)
+      .select(concat(lit("c"), col("c_custkey")).as("node"))
+    GraphOps
+      .pageRankOn(graph, iters = 3, seeds = Some(seeds))
+      .where(col("rank") > 0)
+      .orderBy(desc("rank"), col("node"))
+      .limit(20)
+  }
+
   // =====================================================================
   // Contract maps
   // =====================================================================
@@ -1706,7 +1727,8 @@ object SparkEntry {
     "q_retention" -> (qRetention _),
     "q_length_batches" -> (qLengthBatches _),
     "q_countmin" -> (qCountMin _),
-    "q_hist_quantile_by" -> (qHistQuantileBy _)
+    "q_hist_quantile_by" -> (qHistQuantileBy _),
+    "q_ppr_seeded" -> (qPprSeeded _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -159,13 +159,38 @@ object GraphOps {
   /** The iterative ranking over an already-prepared graph — the per-query
     * cost when the [[PreparedGraph]] is a reused ingest artifact
     * ([[prepareCached]]).
+    *
+    * `seeds` switches to PERSONALIZED PageRank: initial mass and the
+    * per-round base term go only to the seed set (a one-column DataFrame
+    * of node ids), so ranks measure graph proximity TO THE SEEDS — the
+    * "documents related to this trusted set" retrieval prior — instead
+    * of global authority. Same fixed-point arithmetic:
+    *   r_0(v)     = Scale            if v ∈ seeds else 0
+    *   base(v)    = floor(0.15 * Scale) if v ∈ seeds else 0
+    * Seeds join the node table once (id-only broadcast-sized in the
+    * typical trusted-set case); each round is otherwise identical.
     */
-  def pageRankOn(g: PreparedGraph, iters: Int = 3): DataFrame = {
+  def pageRankOn(
+      g: PreparedGraph,
+      iters: Int = 3,
+      seeds: Option[DataFrame] = None
+  ): DataFrame = {
     require(iters >= 1, s"need iters >= 1, got $iters")
     val withDeg = g.withDeg
-    val nodes = g.nodes
     val base = (0.15 * Scale).toLong
-    var ranks = nodes.withColumn("rank", lit(Scale))
+    val nodes = seeds match {
+      case None =>
+        g.nodes.withColumn("is_seed", lit(true))
+      case Some(sd) =>
+        val seedIds = sd.select(col(sd.columns.head).as("node")).distinct()
+          .withColumn("_s", lit(true))
+        g.nodes.join(seedIds, Seq("node"), "left")
+          .select(col("node"), coalesce(col("_s"), lit(false)).as("is_seed"))
+    }
+    val baseCol = when(col("is_seed"), lit(base)).otherwise(lit(0L))
+    var ranks = nodes
+      .withColumn("rank", when(col("is_seed"), lit(Scale)).otherwise(lit(0L)))
+      .select("node", "rank", "is_seed")
     for (i <- 1 to iters) {
       val contribs = withDeg
         .join(ranks, withDeg("src") === ranks("node"))
@@ -176,7 +201,8 @@ object GraphOps {
         .join(contribs, Seq("node"), "left")
         .select(
           col("node"),
-          (lit(base) + expr("(85 * coalesce(s, CAST(0 AS BIGINT))) div 100")).as("rank")
+          (baseCol + expr("(85 * coalesce(s, CAST(0 AS BIGINT))) div 100")).as("rank"),
+          col("is_seed")
         )
       // per-round checkpoint: bounds lineage for deep iteration AND keeps
       // ranks' hash(node) partitioning visible to the next round's join
@@ -184,6 +210,6 @@ object GraphOps {
       // iters=3, where the uncheckpointed variant hides partitioning)
       if (i < iters) ranks = ranks.localCheckpoint()
     }
-    ranks
+    ranks.select("node", "rank")
   }
 }

@@ -75,6 +75,33 @@ class GraphOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("personalized PageRank: mass flows only from seeds; unreachable nodes rank 0") {
+    // a -> b -> c, plus isolated pair x -> y. Seed = {a}.
+    val edges = Seq(("a", "b"), ("b", "c"), ("x", "y")).toDF("src", "dst")
+    val g = graft.operators.GraphOps.prepare(edges, "src", "dst")
+    val got = graft.operators.GraphOps
+      .pageRankOn(g, iters = 3, seeds = Some(Seq("a").toDF("node")))
+      .as[(String, Long)]
+      .collect()
+      .toMap
+    // scalar twin with seed-gated base/init
+    val e = Seq(("a", "b"), ("b", "c"), ("x", "y"))
+    val outdeg = e.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    var rank = Map("a" -> 1000000L, "b" -> 0L, "c" -> 0L, "x" -> 0L, "y" -> 0L)
+    for (_ <- 1 to 3) {
+      val in = e.map { case (s, d) => d -> rank(s) / outdeg(s) }
+        .groupBy(_._1).map { case (d, cs) => d -> cs.map(_._2).sum }
+      rank = rank.keys.map { n =>
+        val base = if (n == "a") 150000L else 0L
+        n -> (base + 85L * in.getOrElse(n, 0L) / 100L)
+      }.toMap
+    }
+    assert(got == rank, s"got $got expected $rank")
+    // the x/y component never receives mass
+    assert(got("x") == 0L && got("y") == 0L)
+    assert(got("a") > 0L && got("b") > 0L && got("c") > 0L)
+  }
+
   test("null endpoints are dropped, not nodes") {
     val withNulls = Seq(
       (Some("a"), Some("b")),
