@@ -6,11 +6,13 @@ package graft
   * comparable at parity.
   */
 final case class ExtractionConfig(
-    /** Extraction provider: "stub" (deterministic, offline) is the default
-      * in this zero-egress build; the reference defaults to "pymupdf"
-      * (src/config.py:47) with "google_vision" optional.
+    /** Extraction provider: "jvm" (the pure-JVM PDF parser,
+      * [[graft.sources.pdf.PdfParser]]) is the default — the analog of the
+      * reference's "pymupdf" default (src/config.py:47). "stub"/"ocr_stub"
+      * remain as the deterministic offline providers ("google_vision" in
+      * the reference is likewise gated behind availability).
       */
-    method: String = "stub",
+    method: String = "jvm",
     ocrDpi: Int = 300,
     // Quality thresholds for text-density heuristics (src/config.py:52-57)
     minCharsPerPage: Int = 100,

@@ -76,10 +76,13 @@ object TextFunctions {
     * `text.count(" ")`), non-ASCII ratio.
     */
   def charsPerPage(text: Column, pageCount: Column): Column =
-    length(text).cast("double") / pageCount
+    // page_count = 0 (unparseable doc) → 0 metrics, the reference's
+    // empty-document branch (pymupdf_extractor.py:181-189); also keeps
+    // ANSI mode from raising DIVIDE_BY_ZERO on failed rows
+    length(text).cast("double") / greatest(pageCount, lit(1))
 
   def wordsPerPage(text: Column, pageCount: Column): Column =
-    wordCount(text).cast("double") / pageCount
+    wordCount(text).cast("double") / greatest(pageCount, lit(1))
 
   def avgWordLength(text: Column): Column = {
     // sum of word lengths == count of non-whitespace chars; word count ==

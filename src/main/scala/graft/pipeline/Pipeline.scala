@@ -67,7 +67,8 @@ final class Pipeline(spark: SparkSession, config: GraftConfig = GraftConfig.defa
       .withExtraction(fresh, config.extraction)
       .withColumn(
         "validation",
-        PdfSource.validationVerdict(col("length"), col("content"), col("page_count"), config.extraction)
+        PdfSource.validationVerdict(
+          col("length"), col("content"), col("page_count"), col("extract_error"), config.extraction)
       )
       .withColumn("id", sha2(col("file_hash"), 256))
       .withColumn("title", TextFunctions.titleFromFilename(col("path")))
@@ -169,11 +170,11 @@ final class Pipeline(spark: SparkSession, config: GraftConfig = GraftConfig.defa
         col("id"), col("path").as("source_path"), col("title"), col("file_hash"),
         col("length").as("file_size_bytes"), col("page_count"),
         lit(config.extraction.method).as("extraction_method"),
-        col("quality_fallback")
+        col("quality_fallback"),
+        concat(lit("validation failed: "), col("validation")).as("error_message")
       )
       .withColumn("total_chunks", lit(0L))
       .withColumn("status", lit(DocumentStatus.Failed))
-      .withColumn("error_message", lit("validation failed"))
       .withColumn("uploaded_at", current_timestamp())
       .withColumn("processed_at", lit(null).cast("timestamp"))
 
@@ -279,8 +280,15 @@ final class Pipeline(spark: SparkSession, config: GraftConfig = GraftConfig.defa
       val content = java.nio.file.Files.readAllBytes(p)
       val hash = "sha256:" + java.security.MessageDigest.getInstance("SHA-256")
         .digest(content).map("%02x".format(_)).mkString
-      catalog.read("documents").where(col("file_hash") === hash)
-        .select("id").collect().foreach(r => deleteDocument(r.getString(0)))
+      // batch the cascade: ONE anti-join rewrite per table for the whole
+      // matching set, instead of per-id deleteDocument calls that rewrite
+      // all 3 tables O(n) times (VERDICT r4 #5)
+      val doomed = catalog.read("documents")
+        .where(col("file_hash") === hash).select("id")
+      catalog.deleteMatching("chunks", doomed.withColumnRenamed("id", "document_id"), Seq("document_id"))
+      catalog.deleteMatching("images", doomed.withColumnRenamed("id", "document_id"), Seq("document_id"))
+      catalog.deleteMatching("documents", doomed, Seq("id"))
+      FtsIndex.invalidate(ftsKey)
     }
     // the binaryFile source accepts a single-file path: only THIS file is
     // ingested, never its siblings in the parent directory

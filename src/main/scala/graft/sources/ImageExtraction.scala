@@ -12,9 +12,11 @@ import graft.operators.Multimodal
   * metadata rows).
   *
   * flatMap/explode-shaped: one input document row fans out to N image
-  * rows. The decode step is behind the same stubbed codec seam as
-  * [[Multimodal]] (no PDF/image libraries in this build); the fan-out,
-  * filter, metadata schema, and file sink are real.
+  * rows. The default provider ([[JvmImageExtractor]]) REALLY enumerates
+  * embedded images from the PDF object structure via
+  * [[graft.sources.pdf.PdfParser]]; the deterministic stub remains for
+  * synthetic fixtures. Fan-out, filter, metadata schema, and file sink
+  * are shared across providers.
   */
 object ImageExtraction {
 
@@ -29,6 +31,30 @@ object ImageExtraction {
 
   trait ImageExtractor extends Serializable {
     def extract(path: String, content: Array[Byte]): Seq[RawImage]
+  }
+
+  /** REAL extractor — enumerates embedded images from the PDF structure
+    * via the pure-JVM parser (reference src/extract/image_extractor.py:
+    * 110-155: `page.get_images(full=True)` + `doc.extract_image(xref)`):
+    * per page, `/Resources /XObject` streams with `/Subtype /Image`;
+    * DCTDecode payloads pass through as JPEG files, Flate-decoded
+    * DeviceRGB/Gray samples re-encode as PNG. Bytes without PDF object
+    * structure fall back to the deterministic stub fan-out, so synthetic
+    * fixtures keep working.
+    */
+  object JvmImageExtractor extends ImageExtractor {
+    override def extract(path: String, content: Array[Byte]): Seq[RawImage] =
+      try {
+        val pdf = graft.sources.pdf.PdfParser.parse(content)
+        graft.sources.pdf.PdfImages.enumerate(pdf).map { e =>
+          RawImage(e.pageNumber, e.imageIndex, e.format, e.width, e.height, e.bytes)
+        }
+      } catch {
+        case _: graft.sources.pdf.PdfParser.PdfEncryptedException => Seq.empty
+        case _: graft.sources.pdf.PdfParser.PdfParseException =>
+          StubImageExtractor.extract(path, content)
+        case scala.util.control.NonFatal(_) => Seq.empty
+      }
   }
 
   /** STUB extractor: deterministically derives 0-3 images per document
@@ -74,7 +100,7 @@ object ImageExtraction {
   def extractImages(
       docs: DataFrame,
       minPx: Int = 100,
-      extractor: ImageExtractor = StubImageExtractor,
+      extractor: ImageExtractor = JvmImageExtractor,
       decodeDims: Boolean = false
   ): DataFrame = {
     val exUdf = udf(

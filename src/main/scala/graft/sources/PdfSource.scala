@@ -17,12 +17,13 @@ import graft.model.ValidationResult
   * (password, corruption) live in the extraction provider.
   *
   * Extraction (U1/U2, reference src/extract/pymupdf_extractor.py:53-148
-  * and google_vision_extractor.py:51-177): behind [[PdfExtractor]] — the
-  * container has no PDF parser library (zero-egress build), so the
-  * default provider is a clearly-marked deterministic stub, exactly as
-  * the reference gates its Google Vision provider behind an availability
-  * flag (src/extract/__init__.py:7-12). The Spark-side plumbing (binary
-  * scan -> mapPartitions extraction -> markdown checkpoint) is real.
+  * and google_vision_extractor.py:51-177): behind [[PdfExtractor]]. The
+  * default provider is [[JvmExtractor]] — a REAL pure-JVM PDF parser
+  * ([[graft.sources.pdf.PdfParser]]: xref/objects, FlateDecode, text
+  * operators, page tree) with zero dependencies beyond `java.util.zip`.
+  * "stub"/"ocr_stub" remain as deterministic offline providers (the OCR
+  * path is network-gated in the reference too,
+  * src/extract/__init__.py:7-12).
   */
 object PdfSource {
 
@@ -44,12 +45,31 @@ object PdfSource {
       length: Column,
       content: Column,
       pageCount: Column,
-      cfg: ExtractionConfig = ExtractionConfig()
+      cfg: ExtractionConfig
+  ): Column =
+    validationVerdict(length, content, pageCount, lit(null).cast("string"), cfg)
+
+  def validationVerdict(length: Column, content: Column, pageCount: Column): Column =
+    validationVerdict(length, content, pageCount, lit(null).cast("string"), ExtractionConfig())
+
+  /** Verdict including parse-level outcomes surfaced by the extraction
+    * provider (`extract_error`): password protection and unrecoverable
+    * corruption (reference src/extract/validator.py:58-75 checks
+    * `doc.is_encrypted` and catches open failures the same way).
+    */
+  def validationVerdict(
+      length: Column,
+      content: Column,
+      pageCount: Column,
+      extractError: Column,
+      cfg: ExtractionConfig
   ): Column = {
     val maxBytes = cfg.maxFileSizeMb.toLong * 1024 * 1024
     when(length > maxBytes, lit(ValidationResult.FileTooLarge))
       // %PDF- magic header = 0x255044462d
       .when(!startsWithPdfMagic(content), lit(ValidationResult.Corrupted))
+      .when(extractError === ValidationResult.PasswordProtected, lit(ValidationResult.PasswordProtected))
+      .when(extractError === ValidationResult.Corrupted, lit(ValidationResult.Corrupted))
       .when(pageCount.isNotNull && pageCount === 0, lit(ValidationResult.NoPages))
       .when(pageCount.isNotNull && pageCount > cfg.maxPageCount, lit(ValidationResult.TooManyPages))
       .otherwise(lit(ValidationResult.Valid))
@@ -115,12 +135,49 @@ object PdfSource {
     }
   }
 
+  /** REAL extractor — the pure-JVM PDF parser ([[graft.sources.pdf.PdfParser]]):
+    * xref/object parse, FlateDecode via `java.util.zip.Inflater`, BT/ET
+    * `Tj`/`TJ` text operators with a line heuristic, page count from the
+    * page tree. Replaces the reference's PyMuPDF call
+    * (src/extract/pymupdf_extractor.py:53-148) with zero new dependencies.
+    *
+    * Outcomes:
+    *   - structured PDF → real markdown text + real page count
+    *   - /Encrypt → `password_protected` error (validator branch,
+    *     src/extract/validator.py:58-66)
+    *   - bytes with a %PDF header but no object structure → text-salvage
+    *     recovery (the [[StubExtractor]] behavior): whatever printable
+    *     payload exists is kept, so damaged files still route through the
+    *     quality gates instead of crashing the batch
+    */
+  object JvmExtractor extends PdfExtractor {
+    override val name = "jvm"
+    override def extract(path: String, content: Array[Byte]): Extraction =
+      try {
+        val pdf = graft.sources.pdf.PdfParser.parse(content)
+        val md = graft.sources.pdf.PdfText.extractMarkdown(pdf)
+        val pages = pdf.pageCount
+        if (md.trim.isEmpty && pdf.pages.isEmpty)
+          // parsed but no page tree / no text: salvage
+          StubExtractor.extract(path, content)
+        else Extraction(md, math.max(pages, 1), None)
+      } catch {
+        case _: graft.sources.pdf.PdfParser.PdfEncryptedException =>
+          Extraction("", 0, Some(ValidationResult.PasswordProtected))
+        case _: graft.sources.pdf.PdfParser.PdfParseException =>
+          StubExtractor.extract(path, content)
+        case scala.util.control.NonFatal(_) =>
+          StubExtractor.extract(path, content)
+      }
+  }
+
   def extractor(cfg: ExtractionConfig): PdfExtractor = cfg.method match {
+    case "jvm"      => JvmExtractor
     case "stub"     => StubExtractor
     case "ocr_stub" => OcrStubExtractor
     case other =>
       throw new IllegalArgumentException(
-        s"Extraction provider '$other' not available in this build (offline: 'stub', 'ocr_stub')"
+        s"Extraction provider '$other' not available in this build (offline: 'jvm', 'stub', 'ocr_stub')"
       )
   }
 

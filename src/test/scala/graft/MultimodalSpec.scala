@@ -171,7 +171,7 @@ class MultimodalSpec extends AnyFunSuite {
     val out = graft.sources.PdfSource.withFallbackExtraction(df)
       .select("path", "extraction_method_used", "markdown")
       .collect().map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
-    assert(out("/x/good.pdf")._1 == "stub")
+    assert(out("/x/good.pdf")._1 == "jvm")
     assert(out("/x/sparse.pdf")._1 == "ocr_stub")
     assert(out("/x/sparse.pdf")._2.contains("<!-- Page 1 -->"))
     assert(!out("/x/good.pdf")._2.contains("<!-- Page"))

@@ -162,6 +162,62 @@ class PipelineSpec extends AnyFunSuite {
     assert(pipe.catalog.read("documents").where(col("status") === "failed").count() == 1)
   }
 
+  test("REAL PDF ingest end-to-end: structured parse, true page count, chunks searchable") {
+    import graft.pdf.PdfGen
+    import graft.pdf.PdfGen.{Img, Run}
+    val (pdfDir, wh, mdDir) = freshDirs()
+    val real = PdfGen.pdf(
+      Seq(
+        Seq(Run("Prenatal Vitamins", 24.0),
+          Run("Folic acid supplementation reduces neural tube defect risk."),
+          Run("Iron supports increased maternal blood volume in pregnancy.")),
+        Seq(Run("Dietary Sources", 24.0),
+          Run("Leafy greens and fortified cereals provide dietary folate."))
+      ),
+      compress = true,
+      images = Seq(
+        Img(page = 0, width = 200, height = 150, bytes = PdfGen.realJpeg(200, 150), jpeg = true),
+        Img(page = 0, width = 40, height = 40, bytes = PdfGen.realJpeg(40, 40), jpeg = true) // icon
+      )
+    )
+    Files.write(Paths.get(pdfDir, "EP003 Prenatal Vitamins.pdf"), real)
+    val locked = PdfGen.pdf(Seq(Seq(Run("secret"))), encrypted = true)
+    Files.write(Paths.get(pdfDir, "locked.pdf"), locked)
+
+    val pipe = new Pipeline(spark, GraftConfig(warehouseDir = wh))
+    val imgDir = s"${Paths.get(pdfDir).getParent}/images"
+    assert(pipe.processDirectory(pdfDir, markdownDir = Some(mdDir), imagesDir = Some(imgDir)) == 1)
+
+    val docs = pipe.catalog.read("documents").collect().map(r =>
+      r.getAs[String]("source_path") -> r).toMap
+    val ok = docs.keys.find(_.contains("EP003")).map(docs).get
+    assert(ok.getAs[String]("status") == "completed")
+    assert(ok.getAs[Int]("page_count") == 2, "page count must come from the real page tree")
+    assert(ok.getAs[String]("title") == "Prenatal Vitamins")
+
+    // the encrypted doc failed with the password_protected verdict
+    val bad = docs.keys.find(_.contains("locked")).map(docs).get
+    assert(bad.getAs[String]("status") == "failed")
+    assert(bad.getAs[String]("error_message").contains("password_protected"))
+
+    // REAL extracted text reached the chunk store and is findable
+    val chunks = pipe.catalog.read("chunks")
+    assert(chunks.where(col("text").contains("neural tube defect")).count() >= 1,
+      "real PDF text must reach chunks")
+    // header promotion drove sectioning: the size-24 line became a heading
+    assert(chunks.where(col("section_h1") === "Prenatal Vitamins").count() >= 1)
+
+    // REAL embedded image extracted: the 200x150 JPEG kept, the 40px icon filtered
+    val imgs = pipe.catalog.read("images")
+    assert(imgs.count() == 1)
+    val im = imgs.head()
+    assert(im.getAs[Int]("width") == 200 && im.getAs[Int]("height") == 150)
+    assert(im.getAs[String]("file_format") == "jpeg")
+    // payload written to the file sink is a real decodable JPEG
+    val payload = Files.readAllBytes(Paths.get(imgDir, im.getAs[String]("file_path")))
+    assert(graft.operators.Multimodal.ImageIoCodec.imageDims(payload) == (200, 150))
+  }
+
   test("single-file ingest touches only that file; duplicate content collapses") {
     val (pdfDir, wh, _) = freshDirs()
     mkPdf(pdfDir, "a.pdf", "# A\n\nalpha document body with several words here.")
@@ -183,6 +239,33 @@ class PipelineSpec extends AnyFunSuite {
     val fresh = new Pipeline(spark, GraftConfig(warehouseDir = s"$wh-empty"))
     assert(fresh.stats().count() == 0)
     assert(fresh.listDocuments().count() == 0)
+  }
+
+  test("force-replace: batched cascade replaces only the matching document") {
+    val (pdfDir, wh, _) = freshDirs()
+    mkPdf(pdfDir, "keep.pdf", "# Keep\n\nthis unrelated document must survive the force path.")
+    mkPdf(pdfDir, "swap.pdf", "# Swap\n\noriginal content that will be force-replaced shortly.")
+    val pipe = new Pipeline(spark, GraftConfig(warehouseDir = wh))
+    assert(pipe.processDirectory(pdfDir) == 2)
+    val keepId = pipe.catalog.read("documents")
+      .where(col("title") === "keep").head().getAs[String]("id")
+    val oldSwapId = pipe.catalog.read("documents")
+      .where(col("title") === "swap").head().getAs[String]("id")
+
+    // same content re-uploaded with force: old doc + chunks replaced in
+    // ONE batched cascade (one anti-join rewrite per table), keep.pdf
+    // untouched
+    assert(pipe.processFile(s"$pdfDir/swap.pdf", force = true) == 1)
+    val docs = pipe.catalog.read("documents")
+    assert(docs.count() == 2)
+    assert(docs.where(col("id") === keepId).count() == 1, "unrelated doc must survive")
+    // content identical -> same content-derived id, but exactly one row
+    assert(docs.where(col("id") === oldSwapId).count() == 1)
+    val chunks = pipe.catalog.read("chunks")
+    assert(chunks.where(col("document_id") === oldSwapId).select("id").distinct().count() ==
+      chunks.where(col("document_id") === oldSwapId).count(), "no duplicated chunks after force")
+    // non-force duplicate upload is a no-op (dedup semi-join)
+    assert(pipe.processFile(s"$pdfDir/swap.pdf") == 0)
   }
 
   test("catalog update/delete primitives") {

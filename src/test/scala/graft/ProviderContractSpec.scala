@@ -64,6 +64,22 @@ class ProviderContractSpec extends AnyFunSuite {
     conforms(PdfSource.StubExtractor)
   }
 
+  test("jvm provider (real parser) satisfies the extraction contract") {
+    conforms(PdfSource.JvmExtractor)
+  }
+
+  test("jvm provider on a REAL document satisfies the contract and extracts true content") {
+    val real = graft.pdf.PdfGen.pdf(
+      Seq(Seq(graft.pdf.PdfGen.Run("Contract Title", 24.0),
+        graft.pdf.PdfGen.Run("Contract body text with several words."))),
+      compress = true)
+    val e1 = PdfSource.JvmExtractor.extract("/in/real.pdf", real)
+    val e2 = PdfSource.JvmExtractor.extract("/in/real.pdf", real)
+    assert(e1 == e2, "jvm: non-deterministic on real documents")
+    assert(e1.error.isEmpty && e1.pageCount == 1)
+    assert(e1.markdown.contains("Contract Title") && e1.markdown.contains("Contract body text"))
+  }
+
   test("ocr_stub provider satisfies the extraction contract") {
     conforms(PdfSource.OcrStubExtractor)
   }
