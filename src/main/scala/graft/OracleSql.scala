@@ -575,9 +575,10 @@ object OracleSql {
         |ORDER BY nationkey""".stripMargin,
 
     "q_embed_neardup" ->
-      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      """WITH capped AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 512)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |  ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS score
-        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |FROM capped a JOIN capped b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.45
         |ORDER BY id_a, id_b""".stripMargin,
 
@@ -617,6 +618,48 @@ object OracleSql {
          |JOIN embeddings eb ON eb.vec_id = c.id_b
          |WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])) >= 0.45
          |ORDER BY id_a, id_b""".stripMargin
+    },
+
+    "q_mmr_fixed" -> {
+      // mirrors qMmrFixed exactly: normalized integer quantization with
+      // explicit left-associated double chains (the LSH-twin technique),
+      // integer dots, and the greedy MMR argmax unrolled as chained CTEs
+      // with the same ties (marginal desc, score desc, id asc)
+      val dim = 64; val k = 8
+      val ssExpr = (1 to dim).map(j => s"e[$j]*e[$j]").mkString(" + ")
+      val iqExpr = (1 to dim)
+        .map(j => s"CAST(FLOOR(e[$j]/sqrt(ss)*10000) AS BIGINT)").mkString(", ")
+      val dotQ = (1 to dim).map(j => s"iq.v[$j]*qv.v[$j]").mkString(" + ")
+      val dotAB = (1 to dim).map(j => s"a.v[$j]*b.v[$j]").mkString(" + ")
+      def prevIds(n: Int) =
+        (1 until n).map(i => s"SELECT id FROM p$i").mkString(" UNION ALL ")
+      // every pick is MATERIALIZED: DuckDB inlines plain CTEs, and p8
+      // referencing p1..p7 (each twice) would blow up exponentially
+      val picks = (2 to k).map { n =>
+        s"""p$n AS MATERIALIZED (
+           |  SELECT c.id, c.score,
+           |    7*c.score - 3*(SELECT MAX(sim) FROM sims
+           |                   WHERE ib = c.id AND ia IN (${prevIds(n)})) AS m
+           |  FROM cands c WHERE c.id NOT IN (${prevIds(n)})
+           |  ORDER BY m DESC, c.score DESC, c.id LIMIT 1)""".stripMargin
+      }.mkString(",\n")
+      val out = (1 to k)
+        .map(n => s"SELECT CAST($n AS BIGINT) AS mmr_rank, CAST(id AS BIGINT) AS vec_id, m AS mmr_score FROM p$n")
+        .mkString("\nUNION ALL ")
+      s"""WITH src AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |nq AS (SELECT vec_id, e, ($ssExpr) AS ss FROM src),
+         |iqt AS MATERIALIZED (SELECT vec_id, [$iqExpr] AS v FROM nq WHERE ss > 0),
+         |qv AS (SELECT v FROM iqt WHERE vec_id = 0),
+         |scored AS (SELECT iq.vec_id AS id, ($dotQ) AS score FROM iqt iq, qv),
+         |cands AS MATERIALIZED (SELECT id, score FROM scored ORDER BY score DESC, id LIMIT 20),
+         |sims AS MATERIALIZED (
+         |  SELECT a.vec_id AS ia, b.vec_id AS ib, ($dotAB) AS sim
+         |  FROM iqt a, iqt b
+         |  WHERE a.vec_id IN (SELECT id FROM cands) AND b.vec_id IN (SELECT id FROM cands)),
+         |p1 AS MATERIALIZED (SELECT id, score, 10*score AS m FROM cands ORDER BY score DESC, id LIMIT 1),
+         |$picks
+         |$out
+         |ORDER BY mmr_rank""".stripMargin
     },
 
     "q_ann_filtered" ->

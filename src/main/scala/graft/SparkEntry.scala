@@ -689,10 +689,16 @@ object SparkEntry {
 
   /** Embedding-cosine near-duplicate pairs, brute-force (exact, oracle-
     * checkable). The library's scale path is the LSH-blocked
-    * [[VectorSearch.nearDuplicatePairs]] (q_embed_neardup_lsh).
+    * [[VectorSearch.nearDuplicatePairs]] (q_embed_neardup_lsh); this
+    * brute-force baseline exists to oracle-check it, so its input is
+    * capped to a FIXED window (vec_id < 512) — the pair generator stays
+    * O(1) in corpus size instead of quadratic (VERDICT r4 #3), and the
+    * oracle twin applies the identical cap.
     */
   private def qEmbedNeardup(s: SparkSession, dir: String): DataFrame = {
-    val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val emb = t(s, dir, "embeddings")
+      .where(col("vec_id") < 512)
+      .select(col("vec_id"), col("embedding"))
     val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
     val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
     a.join(b, col("id_a") < col("id_b"))
@@ -1486,6 +1492,43 @@ object SparkEntry {
       .orderBy("mmr_rank")
   }
 
+  /** Fixed-point MMR twin, exactly oracle-checkable (VERDICT r4 #6):
+    * embeddings are normalized then integer-quantized
+    * (floor(x/||x||*10000) — integer dots ~ cosine*1e8), the greedy loop
+    * runs in scaled longs ([[VectorSearch.mmrRerankFixed]]), and the
+    * DuckDB twin unrolls the same greedy argmax as chained CTEs with the
+    * identical quantization (explicit left-associated double chains, the
+    * LSH-twin technique). The float-path operator (q_mmr) keeps its
+    * rows-only check; THIS query hash-checks the selection machinery.
+    */
+  private def qMmrFixed(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    // sum of squares via left fold over double-cast elements — matches
+    // the oracle's explicit e[1]*e[1] + ... + e[64]*e[64] chain exactly
+    val ss = aggregate(
+      transform(col("embedding"), x => x.cast("double") * x.cast("double")),
+      lit(0.0), (a, b) => a + b)
+    val iq = emb
+      .withColumn("ss", ss)
+      .where(col("ss") > 0)
+      .withColumn("v", transform(col("embedding"),
+        x => floor(x.cast("double") / sqrt(col("ss")) * lit(10000.0)).cast("long")))
+      .select(col("vec_id"), col("v"))
+    val qv = iq.where(col("vec_id") === 0).select(col("v").as("qv"))
+    val scored = iq
+      .crossJoin(broadcast(qv))
+      .withColumn("score",
+        aggregate(zip_with(col("v"), col("qv"), (a, b) => a * b), lit(0L), (a, b) => a + b))
+      .select("vec_id", "v", "score")
+    val cands = scored
+      .orderBy(desc("score"), col("vec_id"))
+      .limit(20)
+      .withColumn("qid", lit(0L))
+    VectorSearch.mmrRerankFixed(cands, "qid", "vec_id", "v", "score", k = 8)
+      .select(col("id").as("vec_id"), col("mmr_rank"), col("mmr_score"))
+      .orderBy("mmr_rank")
+  }
+
   /** Ordered conversion funnel: view -> click (strictly after the first
     * view) -> purchase (strictly after that click), counted per user then
     * rolled up. Each step joins the previous step's (user, t) table —
@@ -1723,6 +1766,7 @@ object SparkEntry {
     "q_cluster_reps" -> (qClusterReps _),
     "q_snapshot_diff" -> (qSnapshotDiff _),
     "q_mmr" -> (qMmr _),
+    "q_mmr_fixed" -> (qMmrFixed _),
     "q_funnel" -> (qFunnel _),
     "q_retention" -> (qRetention _),
     "q_length_batches" -> (qLengthBatches _),

@@ -202,6 +202,10 @@ object CorpusHygiene {
       minPct: Double
   ): DataFrame = {
     require(minPct >= 0.0 && minPct <= 1.0, s"minPct must be in [0, 1], got $minPct")
+    // fail loudly instead of silently replacing a caller's pct column
+    // with the gate's output (ADVICE r4 collision class)
+    require(!df.columns.contains("pct"),
+      "df already has a 'pct' column — rename it; percentileGate emits its percentile as 'pct'")
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy(byCol)
       .orderBy(col(valueCol), col(tieCol))

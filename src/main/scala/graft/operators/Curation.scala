@@ -110,13 +110,9 @@ object Curation {
     *
     * `Dataset.unpersist` cannot free localCheckpoint blocks (they live in
     * the block manager, not the cache manager), so the handle tracks the
-    * RDDs registered during this call — the CC loop materializes all of
-    * its checkpoints eagerly, and the lazy input pin registers its persist
-    * at construction — and unpersists exactly those on `close()`. A
-    * long-lived session curating repeatedly stops accumulating block-
-    * manager entries. The delta-tracking assumes no CONCURRENT persist
-    * activity on the same SparkContext during the call (curation is a
-    * batch step; run it single-threaded).
+    * checkpoint RDDs the curated plan references and unpersists exactly
+    * those on `close()`. A long-lived session curating repeatedly stops
+    * accumulating block-manager entries.
     */
   def curateNearManaged(
       docs: DataFrame,
@@ -127,13 +123,14 @@ object Curation {
       jaccardThreshold: Double = 0.8
   ): CurationHandle = {
     val spark = docs.sparkSession
-    val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
     val curated = curateNear(docs, idCol, textCol, langs, minQuality, jaccardThreshold)
-    // the CC loop inside nearDedup has already run its jobs (it is not
-    // expressible as one deferred plan), so every checkpoint this pass
-    // will ever register is registered by now — including the lazy input
-    // pin, whose persist is recorded at construction time
-    val tracked = spark.sparkContext.getPersistentRDDs.keySet.toSet -- before
+    // the curated plan references exactly the still-live pins: the lazy
+    // input checkpoint and the CC loop's final label table (every
+    // superseded round was already released inside the loop). Reading the
+    // ids off the plan itself — instead of a global getPersistentRDDs
+    // delta — means concurrent persists by other operators are never
+    // claimed and later unpersisted out from under them (ADVICE r4).
+    val tracked = graft.util.Checkpoints.pinnedRddIds(curated)
     new CurationHandle(curated, spark, tracked)
   }
 

@@ -261,16 +261,18 @@ object Dedup {
       idBCol: String = "id_b",
       maxIterations: Int = 50
   ): DataFrame = {
+    import graft.util.Checkpoints
     val nodeIds = nodes.select(col(idCol).as("id")).distinct()
-    val edges = pairs
+    val spark = nodes.sparkSession
+    val edges = Checkpoints.pin(pairs
       .select(col(idACol).as("src"), col(idBCol).as("dst"))
       .unionByName(pairs.select(col(idBCol).as("src"), col(idACol).as("dst")))
       .join(nodeIds.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
-      .join(nodeIds.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
-      .localCheckpoint()
-    var labels = nodeIds
-      .withColumn("label", col("id"))
-      .localCheckpoint()
+      .join(nodeIds.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi"))
+    var labels = Checkpoints.pin(nodeIds.withColumn("label", col("id")))
+    // blocks of the round being superseded; released as soon as the next
+    // round is materialized, so deep iteration holds O(1) rounds of blocks
+    var livePin = Checkpoints.pinnedRddIds(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIterations) {
@@ -281,14 +283,13 @@ object Dedup {
       // checkpointed BEFORE the self-join below: un-materialized, the
       // neighbor-min join+aggregate subtree would execute once per side
       // (ReuseExchange dedups exchanges, not post-shuffle join/agg work)
-      val stepped = labels
+      val stepped = Checkpoints.pin(labels
         .join(nbrMin, labels("id") === nbrMin("dst"), "left")
         .select(
           labels("id"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
           labels("label").as("old_label")
-        )
-        .localCheckpoint()
+        ))
       // path-halving: label <- label(label). Every label is itself a node
       // id present in `stepped`, so the lookup is total (left join only
       // for safety).
@@ -298,19 +299,25 @@ object Dedup {
       // instead of a second join per round. (A second chained hop was
       // measured and rejected: it saves one round but its extra join
       // costs more than the round saved.)
-      val updated = stepped
+      val updated = Checkpoints.pin(stepped
         .join(parent, stepped("label") === parent("pid"), "left")
         .select(
           stepped("id"),
           least(stepped("label"), coalesce(col("plabel"), stepped("label"))).as("label"),
           stepped("old_label")
-        )
-        .localCheckpoint()
+        ))
       val changed = updated.where(col("label") < col("old_label")).count()
+      // `updated` is materialized: the intermediate `stepped` and the
+      // previous round's labels are superseded — free their blocks now
+      Checkpoints.release(Checkpoints.pinnedRddIds(stepped) ++ livePin, spark)
       labels = updated.select("id", "label")
+      livePin = Checkpoints.pinnedRddIds(updated)
       converged = changed == 0
       iter += 1
     }
+    // the result depends only on the final round's checkpoint; the edge
+    // table is no longer referenced
+    Checkpoints.release(Checkpoints.pinnedRddIds(edges), spark)
     if (sys.env.contains("GRAFT_DEBUG_CC")) println(s"[cc] converged after $iter rounds")
     labels.withColumnRenamed("label", "cluster")
   }
@@ -384,14 +391,24 @@ object Dedup {
       n: Int = 1
   ): DataFrame = {
     require(n >= 1, s"need n >= 1, got $n")
+    // label + rank ride under underscore-prefixed internal names (the
+    // _rk/_bk convention) so a docs frame that already carries a
+    // `cluster` or `rn_rep` column can't make the join/window ambiguous
+    // (ADVICE r4); the public `cluster` column is attached at the end.
+    require(!docs.columns.contains("_rep_cluster") && !docs.columns.contains("_rn_rep"),
+      "docs must not contain reserved columns _rep_cluster/_rn_rep")
     val win = org.apache.spark.sql.expressions.Window
-      .partitionBy("cluster")
+      .partitionBy("_rep_cluster")
       .orderBy(col(scoreCol).desc, col(idCol))
+    val labeled = clusters.select(
+      col("id").as(idCol), col("cluster").as("_rep_cluster"))
     docs
-      .join(clusters.withColumnRenamed("id", idCol), Seq(idCol), "inner")
-      .withColumn("rn_rep", row_number().over(win))
-      .where(col("rn_rep") <= n)
-      .drop("rn_rep")
+      .drop("cluster") // ours wins: the output's cluster IS the label
+      .join(labeled, Seq(idCol), "inner")
+      .withColumn("_rn_rep", row_number().over(win))
+      .where(col("_rn_rep") <= n)
+      .drop("_rn_rep")
+      .withColumnRenamed("_rep_cluster", "cluster")
   }
 
   /** Persist a cluster label table as a parquet artifact — the durable
@@ -427,21 +444,18 @@ object Dedup {
 
   /** Build-once cluster labels per corpus `key`; later callers reuse the
     * checkpointed label table instead of re-running pair detection + the
-    * iterative CC build. The build's checkpoint blocks are tracked by
-    * persistent-RDD-id delta (assumes no CONCURRENT persist activity on
-    * the same SparkContext during a cold build — curation/clustering is a
-    * batch step) and released by [[invalidateClusters]].
+    * iterative CC build. The label table's checkpoint blocks are read
+    * directly off its plan (the CC loop has already released every
+    * superseded round itself), so concurrent persists by other operators
+    * are never claimed (ADVICE r4). Released by [[invalidateClusters]].
     */
   def clustersCached(key: String, nodes: => DataFrame, idCol: String, pairs: => DataFrame): DataFrame =
     clusterLockFor(key).synchronized {
       val hit = clusterCache.get(key)
       if (hit != null) hit.labels
       else {
-        val n = nodes
-        val sc = n.sparkSession.sparkContext
-        val before = sc.getPersistentRDDs.keySet.toSet
-        val labels = nearDupClusters(n, idCol, pairs)
-        val pinned = sc.getPersistentRDDs.keySet.toSet -- before
+        val labels = nearDupClusters(nodes, idCol, pairs)
+        val pinned = graft.util.Checkpoints.pinnedRddIds(labels)
         clusterCache.put(key, CachedLabels(labels, pinned))
         labels
       }

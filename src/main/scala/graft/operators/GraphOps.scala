@@ -43,13 +43,12 @@ object GraphOps {
       .where(col("src").isNotNull && col("dst").isNotNull)
     val e = if (edgesAreDistinct) e0 else e0.distinct()
     val srcWin = org.apache.spark.sql.expressions.Window.partitionBy("src")
-    val withDeg = e
-      .withColumn("outdeg", count(lit(1)).over(srcWin))
-      .localCheckpoint()
-    val nodes = withDeg.select(col("src").as("node"))
-      .unionByName(withDeg.select(col("dst").as("node")))
-      .distinct()
-      .localCheckpoint()
+    val withDeg = graft.util.Checkpoints.pin(
+      e.withColumn("outdeg", count(lit(1)).over(srcWin)))
+    val nodes = graft.util.Checkpoints.pin(
+      withDeg.select(col("src").as("node"))
+        .unionByName(withDeg.select(col("dst").as("node")))
+        .distinct())
     PreparedGraph(withDeg, nodes)
   }
 
@@ -70,9 +69,12 @@ object GraphOps {
   private def graphLockFor(key: String): Object =
     graphLocks.computeIfAbsent(key, _ => new Object)
 
-  /** Build-once [[PreparedGraph]] keyed by `key`. Pinned-block tracking
-    * assumes no concurrent persist activity on the same SparkContext
-    * during a cold build (graph prep is a batch step).
+  /** Build-once [[PreparedGraph]] keyed by `key`. The checkpoint RDD ids
+    * are read directly off the two pinned DataFrames' LogicalRDD plans —
+    * concurrent persist activity by other operators is never attributed
+    * to this graph (ADVICE r4: a global before/after diff of
+    * `getPersistentRDDs` could claim, and later unpersist, blocks owned
+    * by FtsIndex/Dedup/IVF caches).
     */
   def prepareCached(
       key: String,
@@ -85,11 +87,8 @@ object GraphOps {
       val hit = graphCache.get(key)
       if (hit != null) hit.graph
       else {
-        val g0 = edges
-        val sc = g0.sparkSession.sparkContext
-        val before = sc.getPersistentRDDs.keySet.toSet
-        val g = prepare(g0, srcCol, dstCol, edgesAreDistinct)
-        val pinned = sc.getPersistentRDDs.keySet.toSet -- before
+        val g = prepare(edges, srcCol, dstCol, edgesAreDistinct)
+        val pinned = graft.util.Checkpoints.pinnedRddIds(g.withDeg, g.nodes)
         graphCache.put(key, CachedGraph(g, pinned))
         g
       }
@@ -191,6 +190,9 @@ object GraphOps {
     var ranks = nodes
       .withColumn("rank", when(col("is_seed"), lit(Scale)).otherwise(lit(0L)))
       .select("node", "rank", "is_seed")
+    // per-round blocks superseded by the next round's pin (never the
+    // prepared graph's own pins — those belong to the graph's lifecycle)
+    var livePin = Set.empty[Int]
     for (i <- 1 to iters) {
       val contribs = withDeg
         .join(ranks, withDeg("src") === ranks("node"))
@@ -207,8 +209,14 @@ object GraphOps {
       // per-round checkpoint: bounds lineage for deep iteration AND keeps
       // ranks' hash(node) partitioning visible to the next round's join
       // (measured equal-or-better than one deep pipelined plan even at
-      // iters=3, where the uncheckpointed variant hides partitioning)
-      if (i < iters) ranks = ranks.localCheckpoint()
+      // iters=3, where the uncheckpointed variant hides partitioning).
+      // Mode via Checkpoints.pin: reliable when a checkpoint dir is set
+      // (cluster durability), executor-local otherwise.
+      if (i < iters) {
+        ranks = graft.util.Checkpoints.pin(ranks)
+        graft.util.Checkpoints.release(livePin, g.withDeg.sparkSession)
+        livePin = graft.util.Checkpoints.pinnedRddIds(ranks)
+      }
     }
     ranks.select("node", "rank")
   }

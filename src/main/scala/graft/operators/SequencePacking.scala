@@ -54,11 +54,18 @@ object SequencePacking {
     * efficient fine-tuning/inference, as a deterministic batch layout.
     *
     * Documents are ranked by (tokens, id) — a total order — and cut into
-    * `nBuckets` equal-population buckets by a two-pass distributed ntile
-    * (rank from a window, bucket = (rank - 1) * nBuckets / n); within a
-    * bucket, consecutive runs of `batchSize` docs (same ordering) form a
-    * batch. Every step is integer arithmetic on exact ranks:
+    * `nBuckets` equal-population buckets (bucket = (rank-1)*nBuckets/n);
+    * within a bucket, consecutive runs of `batchSize` docs (same ordering)
+    * form a batch. Every step is integer arithmetic on exact ranks:
     * deterministic, partition-invariant, oracle-exact.
+    *
+    * DISTRIBUTED rank (ADVICE r4): the global rank is a two-pass
+    * range-partition rank — range-partition on the sort key, rank within
+    * partitions, offset by the per-partition counts (a #partitions-sized
+    * driver cumsum) — never an unpartitioned window's single-task sort.
+    * The in-bucket position needs no second window either: bucket b
+    * starts at global rank ceil(b*n/nBuckets)+1, so the position is pure
+    * arithmetic on the global rank.
     *
     * Returns the input + (bucket, batch_id, batch_seq): batch_id unique
     * within bucket, batch_seq = position inside the batch.
@@ -68,32 +75,40 @@ object SequencePacking {
       idCol: String,
       tokenCol: String,
       nBuckets: Int,
-      batchSize: Int
+      batchSize: Int,
+      partitions: Int = 0
   ): DataFrame = {
     require(nBuckets >= 1, s"need nBuckets >= 1, got $nBuckets")
     require(batchSize >= 1, s"need batchSize >= 1, got $batchSize")
-    val w = Window.orderBy(col(tokenCol), col(idCol))
-    // NOTE: a global rank window is a single-partition sort in stock
-    // Spark; for the 100 TB layout substitute the two-pass distributed
-    // rank used by qNtile (per-partition rank + partition-offset
-    // broadcast). The bucket/batch arithmetic below is identical either
-    // way — only the rank source changes.
-    df.withColumn("_rk", row_number().over(w).cast("long"))
-      .withColumn(
-        "_n",
-        count(lit(1)).over(
-          Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
-      )
-      .withColumn("bucket", expr(s"((_rk - 1) * $nBuckets) div _n"))
-      .withColumn(
-        "_bk",
-        row_number()
-          .over(Window.partitionBy("bucket").orderBy(col(tokenCol), col(idCol)))
-          .cast("long")
-      )
+    val spark = df.sparkSession
+    val nParts =
+      if (partitions > 0) partitions
+      else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    // pass 1: range-partition on the sort key; pin so the counts pass and
+    // the rank pass see the exact same partitions
+    val ranged = graft.util.Checkpoints.pin(
+      df.repartitionByRange(nParts, col(tokenCol), col(idCol))
+        .withColumn("_pid", spark_partition_id()))
+    val counts = ranged.groupBy("_pid").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val n = math.max(counts.values.sum, 1L)
+    val offsets = {
+      var acc = 0L
+      counts.keys.toSeq.sorted.map { pid => val o = (pid, acc); acc += counts(pid); o }
+    }
+    val offsetDf = spark.createDataFrame(offsets).toDF("_pid", "_offset")
+    // pass 2: per-partition rank + broadcast offset = exact global rank
+    val localW = Window.partitionBy("_pid").orderBy(col(tokenCol), col(idCol))
+    ranged
+      .withColumn("_rn", row_number().over(localW))
+      .join(broadcast(offsetDf), "_pid")
+      .withColumn("_rk", col("_offset") + col("_rn"))
+      .withColumn("bucket", expr(s"((_rk - 1) * $nBuckets) div ${n}L"))
+      // first rank of bucket b is ceil(b*n/nBuckets) + 1
+      .withColumn("_bk", col("_rk") - expr(s"(bucket * ${n}L + ${nBuckets - 1}) div $nBuckets"))
       .withColumn("batch_id", expr(s"(_bk - 1) div $batchSize"))
       .withColumn("batch_seq", expr(s"(_bk - 1) % $batchSize"))
-      .drop("_rk", "_n", "_bk")
+      .drop("_pid", "_rn", "_offset", "_rk", "_bk")
   }
 
   /** Strict-budget greedy next-fit packing (see class doc). Returns

@@ -141,6 +141,86 @@ object VectorSearch {
       .toDF("qid", "id", "mmr_rank", "mmr_score")
   }
 
+  /** FIXED-POINT integer MMR — the exactly-portable twin of
+    * [[mmrRerank]] (the [[GraphOps.pageRank]] precedent: scaled-long
+    * marginals make the greedy loop bit-reproducible in any engine, so
+    * the selection machinery is hash-checkable against a SQL oracle).
+    *
+    * Inputs are PRE-QUANTIZED: `vecCol` is `array<bigint>` (e.g.
+    * floor(x/||x||*10000) per element — integer ~ cosine*1e8 dots) and
+    * `scoreCol` is the integer query-candidate dot. All arithmetic is
+    * Long: similarity is the integer dot product; with `lambdaTenths`=7
+    * the marginal is `7*score - 3*maxSim` (the ×10-scaled 0.7/0.3 MMR),
+    * rank 1 keeps pure relevance as `10*score`. Ties: higher marginal,
+    * then higher score, then smaller id — total order, no FP drift.
+    *
+    * Same flatMapGroups shape as [[mmrRerank]]: one shuffle groups each
+    * query's bounded candidate set; the greedy loop is per-group local.
+    */
+  def mmrRerankFixed(
+      candidates: DataFrame,
+      qidCol: String,
+      idCol: String,
+      vecCol: String,
+      scoreCol: String,
+      k: Int,
+      lambdaTenths: Int = 7
+  ): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    require(lambdaTenths >= 0 && lambdaTenths <= 10, s"lambdaTenths in [0,10], got $lambdaTenths")
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val lam = lambdaTenths.toLong
+    val ds = candidates
+      .select(
+        col(qidCol).cast("long").as("qid"),
+        col(idCol).cast("long").as("id"),
+        col(vecCol).as("vec"),
+        col(scoreCol).cast("long").as("score")
+      )
+      .as[(Long, Long, Array[Long], Long)]
+    ds.groupByKey(_._1)
+      .flatMapGroups { (qid: Long, it: Iterator[(Long, Long, Array[Long], Long)]) =>
+        val cands = it.toArray.sortBy(c => (-c._4, c._2))
+        def dot(i: Int, j: Int): Long = {
+          val (a, b) = (cands(i)._3, cands(j)._3)
+          var s = 0L; var p = 0; val n = math.min(a.length, b.length)
+          while (p < n) { s += a(p) * b(p); p += 1 }
+          s
+        }
+        val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+        val maxSim = Array.fill(cands.length)(Long.MinValue)
+        val used = Array.fill(cands.length)(false)
+        var nPicked = 0
+        while (nPicked < k && nPicked < cands.length) {
+          var best = -1
+          var bestM = Long.MinValue
+          var i = 0
+          while (i < cands.length) {
+            if (!used(i)) {
+              val m =
+                if (nPicked == 0) 10L * cands(i)._4
+                else lam * cands(i)._4 - (10L - lam) * maxSim(i)
+              // strict > over (score desc, id asc)-sorted candidates =
+              // ties resolve to higher relevance then smaller id
+              if (m > bestM) { bestM = m; best = i }
+            }
+            i += 1
+          }
+          used(best) = true
+          picked += ((qid, cands(best)._2, bestM))
+          var j = 0
+          while (j < cands.length) {
+            if (!used(j)) maxSim(j) = math.max(maxSim(j), dot(j, best))
+            j += 1
+          }
+          nPicked += 1
+        }
+        picked.iterator.zipWithIndex.map { case ((q, id, m), idx) => (q, id, idx + 1L, m) }
+      }
+      .toDF("qid", "id", "mmr_rank", "mmr_score")
+  }
+
   /** Batched multi-query top-k: one job answers MANY query vectors (the
     * training-pipeline shape: retrieve neighbors for every document of a
     * batch, e.g. for distillation or hard-negative mining). Built on the
