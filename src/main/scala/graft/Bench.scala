@@ -31,11 +31,20 @@ object Bench {
     * false alarm for those, so the driver mains drop that one logger to
     * ERROR; library users keep the warning for their own queries.
     */
-  private[graft] def silenceBoundedWindowWarning(): Unit =
+  private[graft] def silenceBoundedWindowWarning(): Unit = {
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.sql.execution.window.WindowExec",
       org.apache.logging.log4j.Level.ERROR
     )
+    // iterative operators RELEASE superseded localCheckpoint rounds on
+    // purpose (Checkpoints.release); Spark warns per released RDD that
+    // its truncated lineage cannot recompute — true and intended, the
+    // round is never referenced again
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd.MapPartitionsRDD",
+      org.apache.logging.log4j.Level.ERROR
+    )
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

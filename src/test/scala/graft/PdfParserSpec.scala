@@ -153,6 +153,37 @@ class PdfParserSpec extends AnyFunSuite {
     assert(e.markdown.contains("Folic acid intake matters"))
   }
 
+  test("CID/Type0 font with /ToUnicode CMap decodes to the true text") {
+    // subset-embedded fonts use arbitrary glyph codes; only the embedded
+    // ToUnicode CMap recovers the text — the real-world PDF shape
+    val text = "Folate helps; so does B12!"
+    val bytes = PdfGen.cidPdf(text)
+    val doc = PdfParser.parse(bytes)
+    assert(doc.pageCount == 1)
+    val md = PdfText.extractMarkdown(doc)
+    assert(md.contains(text), s"CMap decode failed: '$md'")
+  }
+
+  test("bfrange CMaps map code ranges with incrementing targets") {
+    val cmap =
+      """begincmap
+        |1 begincodespacerange
+        |<00> <FF>
+        |endcodespacerange
+        |1 beginbfrange
+        |<41> <43> <0061>
+        |endbfrange
+        |2 beginbfchar
+        |<01> <0048>
+        |<02> <0069>
+        |endbfchar
+        |endcmap""".stripMargin.getBytes("ISO-8859-1")
+    val tu = PdfText.parseToUnicode(cmap)
+    assert(tu.codeLen == 1)
+    // range 0x41..0x43 -> 'a','b','c'; chars 0x01/0x02 -> 'H','i'
+    assert(tu.decode(Array[Byte](0x41, 0x42, 0x43, 0x01, 0x02)) == "abcHi")
+  }
+
   test("JvmExtractor text-salvage on unstructured %PDF payloads") {
     val fake = "%PDF-1.4\n# Title From Content\n\nBody text.".getBytes("UTF-8")
     val e = PdfSource.JvmExtractor.extract("/in/fake.pdf", fake)

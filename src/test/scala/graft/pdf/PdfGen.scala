@@ -155,6 +155,62 @@ object PdfGen {
   private def fmt(d: Double): String =
     if (d == math.rint(d)) d.toLong.toString else d.toString
 
+  /** A PDF using a CID-keyed (Type0/Identity-H) font whose glyph codes
+    * are arbitrary 2-byte values mapped to `text`'s characters only via
+    * an embedded /ToUnicode CMap — the subset-font shape real-world PDF
+    * producers emit. Without CMap decoding the extracted text is
+    * garbage; with it, exactly `text`.
+    */
+  def cidPdf(text: String): Array[Byte] = {
+    val distinct = text.distinct
+    val codeOf = distinct.zipWithIndex.map { case (c, i) => c -> (i + 1) }.toMap
+    val hexCodes = text.map(c => f"${codeOf(c)}%04X").mkString
+    val bfchars = distinct
+      .map(c => f"<${codeOf(c)}%04X> <${c.toInt}%04X>")
+      .mkString("\n")
+    val cmap =
+      s"""/CIDInit /ProcSet findresource begin
+         |12 dict begin
+         |begincmap
+         |1 begincodespacerange
+         |<0000> <FFFF>
+         |endcodespacerange
+         |${distinct.length} beginbfchar
+         |$bfchars
+         |endbfchar
+         |endcmap
+         |CMapName currentdict /CMap defineresource pop
+         |end
+         |end""".stripMargin.getBytes("ISO-8859-1")
+    val content = s"BT\n/F1 12 Tf\n72 720 Td\n<$hexCodes> Tj\nET\n".getBytes("ISO-8859-1")
+
+    val out = new ByteArrayOutputStream()
+    def ascii(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    ascii("%PDF-1.4\n")
+    val offsets = scala.collection.mutable.Map.empty[Int, Int]
+    def obj(num: Int)(body: => Unit): Unit = {
+      offsets(num) = out.size()
+      ascii(s"$num 0 obj\n"); body; ascii("\nendobj\n")
+    }
+    obj(1)(ascii("<< /Type /Catalog /Pages 2 0 R >>"))
+    obj(2)(ascii("<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>"))
+    obj(3)(ascii("<< /Type /Page /Parent 2 0 R /MediaBox [ 0 0 612 792 ] " +
+      "/Resources << /Font << /F1 4 0 R >> >> /Contents 5 0 R >>"))
+    obj(4)(ascii("<< /Type /Font /Subtype /Type0 /BaseFont /ABCDEF+Subset " +
+      "/Encoding /Identity-H /ToUnicode 6 0 R >>"))
+    obj(5) {
+      ascii(s"<< /Length ${content.length} >>\nstream\n"); out.write(content); ascii("\nendstream")
+    }
+    obj(6) {
+      ascii(s"<< /Length ${cmap.length} >>\nstream\n"); out.write(cmap); ascii("\nendstream")
+    }
+    val xrefPos = out.size()
+    ascii("xref\n0 7\n0000000000 65535 f \n")
+    (1 to 6).foreach(n => ascii(f"${offsets(n)}%010d 00000 n \n"))
+    ascii(s"trailer\n<< /Size 7 /Root 1 0 R >>\nstartxref\n$xrefPos\n%%EOF\n")
+    out.toByteArray
+  }
+
   /** A real JPEG payload (JFIF) of the given size, via ImageIO. */
   def realJpeg(w: Int, h: Int): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
