@@ -20,8 +20,8 @@ import scala.collection.mutable
   *     scan as the recovery path for PDFs with broken offsets
   *   - filters: FlateDecode (java.util.zip.Inflater) with PNG
   *     (Sub/Up/Average/Paeth) and TIFF predictors, ASCIIHexDecode,
-  *     RunLengthDecode; DCTDecode payloads pass through raw (they ARE a
-  *     JPEG file)
+  *     ASCII85Decode, RunLengthDecode; DCTDecode payloads pass through
+  *     raw (they ARE a JPEG file)
   *   - page tree walk with attribute inheritance (/Resources, /Contents)
   *   - encryption detection (/Encrypt in the trailer → password_protected,
   *     the validator branch at reference src/extract/validator.py:58-66)
@@ -390,6 +390,35 @@ object PdfParser {
     out.toByteArray
   }
 
+  def ascii85Decode(in: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val grp = new Array[Int](5)
+    var n = 0
+    var i = 0
+    var done = false
+    def emit(count: Int): Unit = { // count = bytes to emit (group may be partial)
+      var v = 0L
+      var k = 0
+      while (k < 5) { v = v * 85 + (if (k < n) grp(k) else 84); k += 1 } // pad with 'u'
+      var shift = 24
+      var e = 0
+      while (e < count) { out.write(((v >>> shift) & 0xff).toInt); shift -= 8; e += 1 }
+    }
+    while (i < in.length && !done) {
+      val c = in(i) & 0xff
+      if (c == '~') done = true // "~>" terminator
+      else if (c == 'z' && n == 0) out.write(Array[Byte](0, 0, 0, 0))
+      else if (c >= '!' && c <= 'u') {
+        grp(n) = c - '!'
+        n += 1
+        if (n == 5) { emit(4); n = 0 }
+      } // whitespace and junk: skipped
+      i += 1
+    }
+    if (n >= 2) emit(n - 1)
+    out.toByteArray
+  }
+
   def runLengthDecode(in: Array[Byte]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     var i = 0
@@ -465,6 +494,7 @@ object PdfParser {
                   int(d, "Columns").getOrElse(1))
             }
           case "ASCIIHexDecode" | "AHx" => data = asciiHexDecode(data)
+          case "ASCII85Decode" | "A85" => data = ascii85Decode(data)
           case "RunLengthDecode" | "RL" => data = runLengthDecode(data)
           case "DCTDecode" | "DCT" | "JPXDecode" => // raw payload IS the image file
           case _ => // unknown filter (CCITT, LZW...): leave raw

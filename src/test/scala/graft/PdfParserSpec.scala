@@ -82,6 +82,17 @@ class PdfParserSpec extends AnyFunSuite {
     assert(out.toSeq == Seq[Byte](10, 20, 30, 40, 15, 20, 30, 40).toSeq)
   }
 
+  test("ASCII85Decode: full groups, z shorthand, partial tail, terminator") {
+    // "Man " -> 9jqo^ is the canonical example; verify round structure
+    def dec(s: String) = new String(PdfParser.ascii85Decode(s.getBytes("ISO-8859-1")), "ISO-8859-1")
+    assert(dec("9jqo^~>") == "Man ")
+    assert(dec("z~>") == "\u0000" * 4) // z = 4 zero bytes
+    // partial group: 3 chars -> 2 bytes ("Ma" encodes as 9jqo truncated)
+    assert(dec("9jn~>").length == 2)
+    // whitespace inside the stream is ignored
+    assert(dec("9jq o^~>") == "Man ")
+  }
+
   test("TIFF predictor 2 horizontal differencing") {
     val raw = Array[Byte](10, 1, 1, 1)
     val out = PdfParser.applyPredictor(raw, predictor = 2, colors = 1, bpc = 8, columns = 4)
@@ -188,5 +199,40 @@ class PdfParserSpec extends AnyFunSuite {
     val fake = "%PDF-1.4\n# Title From Content\n\nBody text.".getBytes("UTF-8")
     val e = PdfSource.JvmExtractor.extract("/in/fake.pdf", fake)
     assert(e.error.isEmpty && e.markdown.contains("Title From Content"))
+  }
+
+  test("totality fuzz: mutated documents never escape as exceptions") {
+    // ingest routes bad files to the failed ledger status; a parser
+    // exception would instead kill the whole executor task. 200 seeded
+    // corruptions of a real document (byte flips, truncations, splices)
+    // must all come back as SOME Extraction.
+    val base = PdfGen.pdf(twoPages, compress = true,
+      images = Seq(Img(0, 120, 80, PdfGen.rawRgb(120, 80), jpeg = false)))
+    val rnd = new scala.util.Random(42)
+    (1 to 200).foreach { i =>
+      val mutated = base.clone()
+      rnd.nextInt(3) match {
+        case 0 => // flip up to 8 bytes
+          (0 until 1 + rnd.nextInt(8)).foreach { _ =>
+            val p = rnd.nextInt(mutated.length)
+            mutated(p) = (mutated(p) ^ (1 << rnd.nextInt(8))).toByte
+          }
+        case 1 => // truncate
+          val cut = 8 + rnd.nextInt(mutated.length - 8)
+          val t = java.util.Arrays.copyOf(mutated, cut)
+          val e = PdfSource.JvmExtractor.extract(s"/fuzz/$i.pdf", t)
+          assert(e != null); ()
+        case 2 => // splice a random window over another offset
+          val from = rnd.nextInt(mutated.length / 2)
+          val to = mutated.length / 2 + rnd.nextInt(mutated.length / 2 - 1)
+          val len = math.min(64, mutated.length - math.max(from, to))
+          System.arraycopy(base, from, mutated, to, len)
+      }
+      val e = PdfSource.JvmExtractor.extract(s"/fuzz/$i.pdf", mutated)
+      assert(e != null, s"mutation $i must still yield an Extraction")
+      // image enumeration must be total too
+      val imgs = graft.sources.ImageExtraction.JvmImageExtractor.extract(s"/fuzz/$i.pdf", mutated)
+      assert(imgs != null)
+    }
   }
 }

@@ -115,7 +115,7 @@ object PdfGen {
         if (im.jpeg) (im.bytes, "/DCTDecode", "")
         else (deflate(im.bytes), "/FlateDecode", "")
       val dict = s"<< /Type /XObject /Subtype /Image /Width ${im.width} /Height ${im.height} " +
-        s"/ColorSpace ${if (im.jpeg) "/DeviceRGB" else "/DeviceRGB"} /BitsPerComponent 8 " +
+        s"/ColorSpace /DeviceRGB /BitsPerComponent 8 " +
         s"/Filter $filter$extra /Length ${payload.length} >>\nstream\n"
       objects += imgObj(j) ->
         (dict.getBytes("ISO-8859-1") ++ payload ++ "\nendstream".getBytes("ISO-8859-1"))
