@@ -76,8 +76,7 @@ object PdfImages {
       // decoded samples → PNG when we understand the layout
       val data = pdf.decodedStream(s)
       val bpc = pdf.int(s.dict, "BitsPerComponent").getOrElse(8)
-      val cs = colorSpaceName(pdf, s.dict)
-      val png = toPng(data, w, h, bpc, cs)
+      val png = toPng(pdf, s.dict, data, w, h, bpc)
       png match {
         case Some(bytes) => Embedded(page, idx, "png", w, h, bytes)
         case None        => Embedded(page, idx, "bin", w, h, data)
@@ -85,20 +84,37 @@ object PdfImages {
     }
   }
 
-  private def colorSpaceName(pdf: Pdf, d: PDict): String =
+  /** (colorSpaceName, palette) — palette is the RGB lookup for /Indexed. */
+  private def colorSpace(pdf: Pdf, d: PDict): (String, Option[Array[Byte]]) =
     pdf.get(d, "ColorSpace") match {
-      case Some(PName(n)) => n
+      case Some(PName(n)) => (n, None)
       case Some(PArr(a)) if a.nonEmpty =>
-        pdf.resolve(a.head) match { case PName(n) => n; case _ => "" }
-      case _ => ""
+        pdf.resolve(a.head) match {
+          case PName("Indexed") if a.length >= 4 =>
+            val base = pdf.resolve(a(1)) match { case PName(b) => b; case _ => "" }
+            val lookup = pdf.resolve(a(3)) match {
+              case PString(b)   => Some(b)
+              case st: PStream  => Some(pdf.decodedStream(st))
+              case _            => None
+            }
+            // only RGB-base palettes are materialized (the common case)
+            if (base == "DeviceRGB") ("Indexed", lookup) else ("", None)
+          case PName(n) => (n, None)
+          case _        => ("", None)
+        }
+      case _ => ("", None)
     }
 
-  /** Raw samples → PNG via ImageIO for the layouts we can name. */
-  private def toPng(data: Array[Byte], w: Int, h: Int, bpc: Int, cs: String): Option[Array[Byte]] = {
-    if (w <= 0 || h <= 0 || bpc != 8) return None
+  /** Raw samples → PNG via ImageIO for the layouts we can name:
+    * 8-bit DeviceRGB/DeviceGray, 1-bit DeviceGray (scan masks), and
+    * 8-bit /Indexed with a DeviceRGB palette.
+    */
+  private def toPng(pdf: Pdf, dict: PDict, data: Array[Byte], w: Int, h: Int, bpc: Int): Option[Array[Byte]] = {
+    if (w <= 0 || h <= 0) return None
     import java.awt.image.BufferedImage
-    val img = cs match {
-      case "DeviceRGB" if data.length >= w * h * 3 =>
+    val (cs, palette) = colorSpace(pdf, dict)
+    val img = (cs, bpc) match {
+      case ("DeviceRGB", 8) if data.length >= w * h * 3 =>
         val im = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
         var y = 0
         while (y < h) {
@@ -112,9 +128,42 @@ object PdfImages {
           y += 1
         }
         Some(im)
-      case "DeviceGray" if data.length >= w * h =>
+      case ("DeviceGray", 8) if data.length >= w * h =>
         val im = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
         im.getRaster.setDataElements(0, 0, w, h, java.util.Arrays.copyOf(data, w * h))
+        Some(im)
+      case ("DeviceGray", 1) if data.length >= ((w + 7) / 8) * h =>
+        // bit-packed rows, MSB first, 1 = white
+        val rowLen = (w + 7) / 8
+        val im = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val bit = (data(y * rowLen + (x >> 3)) >> (7 - (x & 7))) & 1
+            im.getRaster.setSample(x, y, 0, if (bit == 1) 255 else 0)
+            x += 1
+          }
+          y += 1
+        }
+        Some(im)
+      case ("Indexed", 8) if palette.isDefined && data.length >= w * h =>
+        val lut = palette.get
+        val im = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val ix = (data(y * w + x) & 0xff) * 3
+            val rgb =
+              if (ix + 2 < lut.length)
+                ((lut(ix) & 0xff) << 16) | ((lut(ix + 1) & 0xff) << 8) | (lut(ix + 2) & 0xff)
+              else 0
+            im.setRGB(x, y, rgb)
+            x += 1
+          }
+          y += 1
+        }
         Some(im)
       case _ => None
     }

@@ -18,10 +18,10 @@ import scala.collection.mutable
   *     (/Type /XRef with /W field widths + PNG predictors), and compressed
   *     object streams (/Type /ObjStm) — plus a lexical full-file object
   *     scan as the recovery path for PDFs with broken offsets
-  *   - filters: FlateDecode (java.util.zip.Inflater) with PNG
-  *     (Sub/Up/Average/Paeth) and TIFF predictors, ASCIIHexDecode,
-  *     ASCII85Decode, RunLengthDecode; DCTDecode payloads pass through
-  *     raw (they ARE a JPEG file)
+  *   - filters: FlateDecode (java.util.zip.Inflater) and LZWDecode,
+  *     both with PNG (Sub/Up/Average/Paeth) and TIFF predictors,
+  *     ASCIIHexDecode, ASCII85Decode, RunLengthDecode; DCTDecode
+  *     payloads pass through raw (they ARE a JPEG file)
   *   - page tree walk with attribute inheritance (/Resources, /Contents)
   *   - encryption detection (/Encrypt in the trailer → password_protected,
   *     the validator branch at reference src/extract/validator.py:58-66)
@@ -419,6 +419,56 @@ object PdfParser {
     out.toByteArray
   }
 
+  /** PDF-variant LZW (spec 7.4.4): 9→12-bit MSB-first codes, 256=clear,
+    * 257=EOD, `earlyChange` widens one code early (the default).
+    */
+  def lzwDecode(in: Array[Byte], earlyChange: Int = 1): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val dict = new scala.collection.mutable.ArrayBuffer[Array[Byte]](4096)
+    def reset(): Unit = {
+      dict.clear()
+      var i = 0
+      while (i < 256) { dict += Array(i.toByte); i += 1 }
+      dict += null; dict += null // 256 clear, 257 EOD
+    }
+    reset()
+    var width = 9
+    var bitPos = 0L
+    val totalBits = in.length.toLong * 8
+    def read(): Int = {
+      if (bitPos + width > totalBits) return 257
+      var v = 0
+      var i = 0
+      while (i < width) {
+        val b = in((bitPos >> 3).toInt) & 0xff
+        v = (v << 1) | ((b >> (7 - (bitPos & 7).toInt)) & 1)
+        bitPos += 1
+        i += 1
+      }
+      v
+    }
+    var prev: Array[Byte] = null
+    var done = false
+    while (!done) {
+      val code = read()
+      if (code == 257) done = true
+      else if (code == 256) { reset(); width = 9; prev = null }
+      else {
+        val entry: Array[Byte] =
+          if (code < dict.length && dict(code) != null) dict(code)
+          else if (prev != null && code == dict.length) prev :+ prev(0) // KwKwK case
+          else { done = true; null }
+        if (entry != null) {
+          out.write(entry)
+          if (prev != null) dict += (prev :+ entry(0))
+          prev = entry
+          if (dict.length + earlyChange >= (1 << width) && width < 12) width += 1
+        }
+      }
+    }
+    out.toByteArray
+  }
+
   def runLengthDecode(in: Array[Byte]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     var i = 0
@@ -496,8 +546,20 @@ object PdfParser {
           case "ASCIIHexDecode" | "AHx" => data = asciiHexDecode(data)
           case "ASCII85Decode" | "A85" => data = ascii85Decode(data)
           case "RunLengthDecode" | "RL" => data = runLengthDecode(data)
+          case "LZWDecode" | "LZW" =>
+            val early = pm.flatMap(d => int(d, "EarlyChange")).getOrElse(1)
+            data = lzwDecode(data, early)
+            pm.foreach { d =>
+              val pred = int(d, "Predictor").getOrElse(1)
+              if (pred > 1)
+                data = applyPredictor(
+                  data, pred,
+                  int(d, "Colors").getOrElse(1),
+                  int(d, "BitsPerComponent").getOrElse(8),
+                  int(d, "Columns").getOrElse(1))
+            }
           case "DCTDecode" | "DCT" | "JPXDecode" => // raw payload IS the image file
-          case _ => // unknown filter (CCITT, LZW...): leave raw
+          case _ => // unknown filter (CCITT, JBIG2...): leave raw
         }
         i += 1
       }

@@ -93,6 +93,14 @@ class PdfParserSpec extends AnyFunSuite {
     assert(dec("9jq o^~>") == "Man ")
   }
 
+  test("LZWDecode: the PDF-spec worked example round-trips") {
+    // PDF 32000 §7.4.4.2 example: LZW of bytes (45 45 45 45 45 65 45 45
+    // 45 66, decimal) is 80 0B 60 50 22 0C 0C 85 01
+    val enc = Array(0x80, 0x0B, 0x60, 0x50, 0x22, 0x0C, 0x0C, 0x85, 0x01).map(_.toByte)
+    val dec = PdfParser.lzwDecode(enc)
+    assert(dec.toSeq == Seq(45, 45, 45, 45, 45, 65, 45, 45, 45, 66).map(_.toByte))
+  }
+
   test("TIFF predictor 2 horizontal differencing") {
     val raw = Array[Byte](10, 1, 1, 1)
     val out = PdfParser.applyPredictor(raw, predictor = 2, colors = 1, bpc = 8, columns = 4)
@@ -154,6 +162,40 @@ class PdfParserSpec extends AnyFunSuite {
     assert(p.pageNumber == 2 && p.width == 120 && p.height == 80)
     // Flate RGB re-encoded to a REAL decodable PNG
     assert(graft.operators.Multimodal.ImageIoCodec.imageDims(p.bytes) == (120, 80))
+  }
+
+  test("Indexed-palette and 1-bit gray images materialize as real PNGs") {
+    // indexed: 120x110, each pixel indexes a 4-entry RGB palette
+    val (iw, ih) = (120, 110)
+    val palette = Array[Byte](
+      0, 0, 0, -1, 0, 0, 0, -1, 0, 0, 0, -1) // black, red, green, blue
+    val paletteHex = palette.map(b => f"${b & 0xff}%02x").mkString
+    val indexed = Array.tabulate[Byte](iw * ih)(i => (i % 4).toByte)
+    // 1-bit gray: 128x104 checkerboard, bit-packed rows
+    val (gw, gh) = (128, 104)
+    val rowLen = (gw + 7) / 8
+    val bilevel = Array.tabulate[Byte](rowLen * gh) { i =>
+      val y = i / rowLen
+      (if (y % 2 == 0) 0xAA else 0x55).toByte
+    }
+    val bytes = PdfGen.pdf(
+      Seq(Seq(Run("images in exotic spaces"))),
+      images = Seq(
+        Img(0, iw, ih, indexed, jpeg = false,
+          colorSpace = s"[ /Indexed /DeviceRGB 3 <$paletteHex> ]"),
+        Img(0, gw, gh, bilevel, jpeg = false, colorSpace = "/DeviceGray", bpc = 1)
+      )
+    )
+    val imgs = PdfImages.enumerate(PdfParser.parse(bytes))
+    assert(imgs.length == 2)
+    imgs.foreach { im =>
+      assert(im.format == "png", s"expected png, got ${im.format}")
+      assert(graft.operators.Multimodal.ImageIoCodec.imageDims(im.bytes) == (im.width, im.height))
+    }
+    // palette actually applied: the indexed PNG contains a pure-red pixel
+    val ipng = imgs.find(i => i.width == iw).get
+    val decoded = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(ipng.bytes))
+    assert((decoded.getRGB(1, 0) & 0xffffff) == 0xff0000, "palette index 1 must be red")
   }
 
   test("JvmExtractor on a real PDF: real text, real page count") {

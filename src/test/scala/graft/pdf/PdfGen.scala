@@ -19,9 +19,19 @@ object PdfGen {
 
   /** An embedded image on `page` (0-based). `jpeg=true` embeds the bytes
     * as a DCTDecode stream (bytes must be a JFIF payload); otherwise
-    * `bytes` are raw RGB samples deflated into a FlateDecode stream.
+    * `bytes` are raw samples deflated into a FlateDecode stream with the
+    * given `colorSpace` (a literal PDF value — name or Indexed array) and
+    * bits-per-component.
     */
-  final case class Img(page: Int, width: Int, height: Int, bytes: Array[Byte], jpeg: Boolean)
+  final case class Img(
+      page: Int,
+      width: Int,
+      height: Int,
+      bytes: Array[Byte],
+      jpeg: Boolean,
+      colorSpace: String = "/DeviceRGB",
+      bpc: Int = 8
+  )
 
   def deflate(data: Array[Byte]): Array[Byte] = {
     val d = new Deflater()
@@ -115,7 +125,7 @@ object PdfGen {
         if (im.jpeg) (im.bytes, "/DCTDecode", "")
         else (deflate(im.bytes), "/FlateDecode", "")
       val dict = s"<< /Type /XObject /Subtype /Image /Width ${im.width} /Height ${im.height} " +
-        s"/ColorSpace /DeviceRGB /BitsPerComponent 8 " +
+        s"/ColorSpace ${im.colorSpace} /BitsPerComponent ${im.bpc} " +
         s"/Filter $filter$extra /Length ${payload.length} >>\nstream\n"
       objects += imgObj(j) ->
         (dict.getBytes("ISO-8859-1") ++ payload ++ "\nendstream".getBytes("ISO-8859-1"))
