@@ -101,9 +101,7 @@ object Curation {
   ) extends AutoCloseable {
     private[graft] def tracked: Set[Int] = trackedIds
     override def close(): Unit =
-      trackedIds.foreach { id =>
-        spark.sparkContext.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false))
-      }
+      graft.util.Checkpoints.release(trackedIds, spark)
   }
 
   /** [[curateNear]] with a release hook for the checkpointed blocks.

@@ -85,7 +85,11 @@ object SequencePacking {
       if (partitions > 0) partitions
       else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     // pass 1: range-partition on the sort key; pin so the counts pass and
-    // the rank pass see the exact same partitions
+    // the rank pass see the exact same partitions. The pin's storage is
+    // referenced by the returned plan and is freed by Spark's
+    // ContextCleaner once the caller drops the result
+    // (spark.cleaner.referenceTracking, on by default) — same lifecycle
+    // as any cached intermediate.
     val ranged = graft.util.Checkpoints.pin(
       df.repartitionByRange(nParts, col(tokenCol), col(idCol))
         .withColumn("_pid", spark_partition_id()))

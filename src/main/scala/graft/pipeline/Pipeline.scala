@@ -289,6 +289,7 @@ final class Pipeline(spark: SparkSession, config: GraftConfig = GraftConfig.defa
       catalog.deleteMatching("images", doomed.withColumnRenamed("id", "document_id"), Seq("document_id"))
       catalog.deleteMatching("documents", doomed, Seq("id"))
       FtsIndex.invalidate(ftsKey)
+      graft.util.JsonLog.info("force_replace_delete", "file_hash" -> hash)
     }
     // the binaryFile source accepts a single-file path: only THIS file is
     // ingested, never its siblings in the parent directory

@@ -63,11 +63,7 @@ object PdfImages {
   private def materialize(pdf: Pdf, s: PStream, page: Int, idx: Int): Embedded = {
     val w = pdf.int(s.dict, "Width").getOrElse(0)
     val h = pdf.int(s.dict, "Height").getOrElse(0)
-    val filters: Seq[String] = pdf.get(s.dict, "Filter") match {
-      case Some(PName(n)) => Seq(n)
-      case Some(PArr(a))  => a.map(pdf.resolve).collect { case PName(n) => n }
-      case _              => Seq.empty
-    }
+    val filters = pdf.filtersOf(s.dict)
     if (filters.contains("DCTDecode") || filters.contains("DCT"))
       Embedded(page, idx, "jpeg", w, h, s.raw)
     else if (filters.contains("JPXDecode"))

@@ -97,40 +97,51 @@ object PdfParser {
       t
     }
 
+    // recursion guard: arrays/dicts nest through parseObj; a malformed
+    // file of 50k '[' bytes would otherwise StackOverflowError — fatal,
+    // NOT caught by the extractors' NonFatal handlers, so it would kill
+    // the Spark task instead of routing the file to the failed ledger
+    private var depth = 0
+    private val MaxDepth = 200
+
     /** Parses the next object. `refs = true` resolves `N G R` lookahead. */
     def parseObj(): PdfObj = {
       skipWs()
       if (atEnd) throw new PdfParseException("unexpected end of data")
-      val b = cur
-      b match {
-        case '/' => parseName()
-        case '(' => parseLiteralString()
-        case '[' => parseArray()
-        case '<' =>
-          if (pos + 1 < end && data(pos + 1) == '<') parseDictOrStream()
-          else parseHexString()
-        case _ =>
-          val tok = readToken()
-          if (tok.isEmpty) { pos += 1; return PNull } // stray delimiter; skip
-          tok match {
-            case "true"  => PBool(true)
-            case "false" => PBool(false)
-            case "null"  => PNull
-            case _ =>
-              // number, possibly the start of an `N G R` indirect reference
-              val n = numOf(tok).getOrElse(throw new PdfParseException(s"bad token '$tok' @ $pos"))
-              val save = pos
-              val t2 = readToken()
-              numOf(t2) match {
-                case Some(g) if t2.nonEmpty && t2.forall(_.isDigit) =>
-                  val save2 = pos
-                  val t3 = readToken()
-                  if (t3 == "R") PRef(n.toInt, g.toInt)
-                  else { pos = save; PNum(n) }
-                case _ => pos = save; PNum(n)
-              }
-          }
-      }
+      depth += 1
+      if (depth > MaxDepth) { depth -= 1; throw new PdfParseException(s"nesting deeper than $MaxDepth") }
+      try {
+        val b = cur
+        b match {
+          case '/' => parseName()
+          case '(' => parseLiteralString()
+          case '[' => parseArray()
+          case '<' =>
+            if (pos + 1 < end && data(pos + 1) == '<') parseDictOrStream()
+            else parseHexString()
+          case _ =>
+            val tok = readToken()
+            if (tok.isEmpty) { pos += 1; return PNull } // stray delimiter; skip
+            tok match {
+              case "true"  => PBool(true)
+              case "false" => PBool(false)
+              case "null"  => PNull
+              case _ =>
+                // number, possibly the start of an `N G R` indirect reference
+                val n = numOf(tok).getOrElse(throw new PdfParseException(s"bad token '$tok' @ $pos"))
+                val save = pos
+                val t2 = readToken()
+                numOf(t2) match {
+                  // length cap: a digit run past Int range must not throw
+                  case Some(_) if t2.nonEmpty && t2.length <= 9 && t2.forall(_.isDigit) =>
+                    val t3 = readToken()
+                    if (t3 == "R") PRef(n.toInt, t2.toInt)
+                    else { pos = save; PNum(n) }
+                  case _ => pos = save; PNum(n)
+                }
+            }
+        }
+      } finally depth -= 1
     }
 
     private def numOf(s: String): Option[Double] =
@@ -496,9 +507,19 @@ object PdfParser {
       val objects: Map[Int, PdfObj],
       val trailer: PDict
   ) {
-    def resolve(o: PdfObj): PdfObj = o match {
-      case PRef(n, _) => objects.get(n).map(resolve).getOrElse(PNull)
-      case other      => other
+    def resolve(o: PdfObj): PdfObj = resolveHops(o, 0)
+
+    // hop cap: a reference cycle (1 0 R -> 2 0 R -> 1 0 R) must resolve
+    // to null, not recurse forever
+    @annotation.tailrec
+    private def resolveHops(o: PdfObj, hops: Int): PdfObj = o match {
+      case PRef(n, _) =>
+        if (hops >= 64) PNull
+        else objects.get(n) match {
+          case Some(x) => resolveHops(x, hops + 1)
+          case None    => PNull
+        }
+      case other => other
     }
     def dictOf(o: PdfObj): Option[PDict] = resolve(o) match {
       case d: PDict      => Some(d)
@@ -515,13 +536,19 @@ object PdfParser {
       case _              => None
     }
 
+    /** A stream dict's /Filter chain, normalized to names (single name,
+      * array, or absent) — shared by text decode and image enumeration
+      * so the two can never disagree on the same stream.
+      */
+    def filtersOf(d: PDict): Seq[String] = get(d, "Filter") match {
+      case Some(PName(fn)) => Seq(fn)
+      case Some(PArr(a))   => a.map(resolve).collect { case PName(fn) => fn }
+      case _               => Seq.empty
+    }
+
     /** Decodes a stream through its /Filter chain (+ /DecodeParms). */
     def decodedStream(s: PStream): Array[Byte] = {
-      val filters: Seq[String] = get(s.dict, "Filter") match {
-        case Some(PName(n))   => Seq(n)
-        case Some(PArr(a))    => a.map(resolve).collect { case PName(n) => n }
-        case _                => Seq.empty
-      }
+      val filters = filtersOf(s.dict)
       val parms: Seq[Option[PDict]] = get(s.dict, "DecodeParms").orElse(get(s.dict, "DP")) match {
         case Some(d: PDict) => Seq(Some(d))
         case Some(PArr(a))  => a.map(x => dictOf(x))
@@ -574,7 +601,11 @@ object PdfParser {
     def pages: Vector[PDict] = {
       val out = Vector.newBuilder[PDict]
       val seen = mutable.Set.empty[Int] // cycle guard on node refs
-      def walk(node: PDict, inherited: Map[String, PdfObj]): Unit = {
+      // depth cap: a (malformed) linear chain of distinct Pages nodes
+      // would otherwise recurse to StackOverflowError — fatal, unlike
+      // PdfParseException
+      def walk(node: PDict, inherited: Map[String, PdfObj], depth: Int): Unit = {
+        if (depth > 256) return
         val inh = inherited ++ node.m.view.filterKeys(k =>
           k == "Resources" || k == "MediaBox" || k == "Rotate" || k == "CropBox").toMap
         name(node, "Type") match {
@@ -584,8 +615,8 @@ object PdfParser {
               case Some(PArr(kids)) =>
                 kids.foreach {
                   case r @ PRef(n, _) =>
-                    if (!seen.contains(n)) { seen += n; dictOf(r).foreach(walk(_, inh)) }
-                  case k => dictOf(k).foreach(walk(_, inh))
+                    if (!seen.contains(n)) { seen += n; dictOf(r).foreach(walk(_, inh, depth + 1)) }
+                  case k => dictOf(k).foreach(walk(_, inh, depth + 1))
                 }
               case _ =>
                 // malformed node that still looks like a page
@@ -594,7 +625,7 @@ object PdfParser {
         }
       }
       catalog.flatMap(c => get(c, "Pages")).flatMap(dictOf) match {
-        case Some(root) => walk(root, Map.empty)
+        case Some(root) => walk(root, Map.empty, 0)
         case None =>
           // no catalog (damaged file): every /Type /Page object in order
           objects.toSeq.sortBy(_._1).foreach {
@@ -647,6 +678,7 @@ object PdfParser {
       throw new PdfParseException("missing %PDF header")
 
     val objects = mutable.Map.empty[Int, PdfObj]
+    val objOffsets = mutable.Map.empty[Int, Int] // file offset of each direct object
     // 1. lexical object scan
     var i = 0
     val n = bytes.length
@@ -666,13 +698,17 @@ object PdfParser {
             val numEnd = j
             while (j >= 0 && isDigit(bytes(j))) j -= 1
             val numStart = j + 1
-            if (numEnd >= numStart &&
+            // <= 9 digits: a longer run cannot be a real object number and
+            // .toInt on it would throw NumberFormatException (outside the
+            // parse-failure contract)
+            if (numEnd >= numStart && numEnd - numStart < 9 &&
               (numStart == 0 || !isRegular(bytes(numStart - 1)))) {
               val objNum = new String(bytes, numStart, numEnd - numStart + 1, "US-ASCII").toInt
               val lx = new Lexer(bytes, i + 3, n)
               try {
                 val obj = lx.parseObj()
                 objects(objNum) = obj
+                objOffsets(objNum) = numStart
                 i = lx.pos - 1
               } catch { case _: Exception => () }
             }
@@ -697,7 +733,9 @@ object PdfParser {
           while (k < count) {
             val num = hdr.readToken()
             val off = hdr.readToken()
-            if (num.nonEmpty && off.nonEmpty) pairs += ((num.toInt, off.toInt))
+            if (num.nonEmpty && num.length <= 9 && num.forall(_.isDigit) &&
+              off.nonEmpty && off.length <= 9 && off.forall(_.isDigit))
+              pairs += ((num.toInt, off.toInt))
             k += 1
           }
           pairs.result().foreach { case (num, off) =>
@@ -711,12 +749,16 @@ object PdfParser {
       case _ => ()
     }
 
-    // 3. trailer: classic keyword(s) + xref-stream dicts, last wins per key
-    var trailerMap = Map.empty[String, PdfObj]
-    // xref stream dicts first (lower precedence than explicit trailers)
-    objects.values.foreach {
-      case PStream(d, _) if d.get("Type").contains(PName("XRef")) =>
-        trailerMap = trailerMap ++ d.m
+    // 3. trailer: classic `trailer` dicts AND /Type /XRef stream dicts,
+    // merged in FILE order (later wins per key) — incremental updates are
+    // appended, so the last-written section must decide /Root regardless
+    // of whether it is a classic trailer or an xref stream; merging one
+    // kind wholesale before the other (or in hash order) can resurrect a
+    // replaced catalog in hybrid/incrementally-updated files
+    val trailerSources = mutable.ArrayBuffer.empty[(Int, Map[String, PdfObj])]
+    objects.foreach {
+      case (num, PStream(d, _)) if d.get("Type").contains(PName("XRef")) =>
+        trailerSources += ((objOffsets.getOrElse(num, 0), d.m))
       case _ => ()
     }
     var t = indexOf(bytes, "trailer", 0)
@@ -724,12 +766,14 @@ object PdfParser {
       val lx = new Lexer(bytes, t + 7, n)
       try {
         lx.parseObj() match {
-          case PDict(m) => trailerMap = trailerMap ++ m
+          case PDict(m) => trailerSources += ((t, m))
           case _        => ()
         }
       } catch { case _: Exception => () }
       t = indexOf(bytes, "trailer", t + 7)
     }
+    var trailerMap = Map.empty[String, PdfObj]
+    trailerSources.sortBy(_._1).foreach { case (_, m) => trailerMap = trailerMap ++ m }
     if (!trailerMap.contains("Root")) {
       // recovery: any object with /Type /Catalog
       objects.collectFirst {

@@ -21,13 +21,26 @@ import org.apache.spark.sql.DataFrame
   */
 object Checkpoints {
 
+  // reliable-mode bookkeeping: rdd id -> checkpoint file path, so
+  // release() can delete superseded rounds' FILES too (Spark only cleans
+  // checkpoint files itself with referenceTracking.cleanCheckpoints=true,
+  // off by default — without this a 50-round build would leave ~50 full
+  // table copies in the checkpoint dir)
+  private val checkpointFiles = new java.util.concurrent.ConcurrentHashMap[Int, String]()
+
   /** Materialize `df` and cut its lineage: reliable `checkpoint()` when a
     * checkpoint dir is configured, `localCheckpoint()` otherwise. Both
     * are eager and both preserve partitioning/ordering via LogicalRDD.
     */
   def pin(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
-    else df.localCheckpoint()
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) {
+      val out = df.checkpoint()
+      out.queryExecution.analyzed.collect {
+        case r: org.apache.spark.sql.execution.LogicalRDD =>
+          r.rdd.getCheckpointFile.foreach(f => checkpointFiles.put(r.rdd.id, f))
+      }
+      out
+    } else df.localCheckpoint()
 
   /** The RDD ids a pinned DataFrame holds persisted blocks under — empty
     * in reliable mode (files, not blocks). Used by operator caches to
@@ -42,13 +55,20 @@ object Checkpoints {
       }
     }.toSet
 
-  /** Unpersist the blocks behind the given pinned RDD ids (no-op for ids
-    * that hold no blocks — e.g. reliable-checkpoint files). Iterative
-    * loops call this on each superseded round so a 50-round build holds
-    * at most two rounds of blocks, not fifty.
+  /** Release the storage behind the given pinned RDD ids: unpersist
+    * blocks (local mode) and delete checkpoint files (reliable mode).
+    * Iterative loops call this on each superseded round so a 50-round
+    * build holds at most two rounds of storage, not fifty — in either
+    * mode.
     */
   def release(ids: Set[Int], spark: org.apache.spark.sql.SparkSession): Unit =
     ids.foreach { id =>
       spark.sparkContext.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false))
+      Option(checkpointFiles.remove(id)).foreach { f =>
+        try {
+          val p = new org.apache.hadoop.fs.Path(f)
+          p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+        } catch { case scala.util.control.NonFatal(_) => () } // best-effort cleanup
+      }
     }
 }

@@ -128,6 +128,12 @@ class GraphOpsSpec extends AnyFunSuite {
       val wrote = java.nio.file.Files.walk(dir)
         .filter(java.nio.file.Files.isRegularFile(_)).count()
       assert(wrote > 0, "reliable mode must write checkpoint files")
+      // superseded rounds' FILES were deleted too (Checkpoints.release):
+      // only the final rounds + prepared-graph pins remain, not one
+      // file-set per iteration
+      val rddDirs = java.nio.file.Files.walk(dir, 2)
+        .filter(p => p.getFileName.toString.startsWith("rdd-")).count()
+      assert(rddDirs <= 10, s"released rounds must delete their checkpoint files (found $rddDirs rdd dirs)")
     } finally {
       // restore block-based mode for the rest of the shared-session suite
       classOf[org.apache.spark.SparkContext]

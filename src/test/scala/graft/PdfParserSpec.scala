@@ -243,6 +243,43 @@ class PdfParserSpec extends AnyFunSuite {
     assert(e.error.isEmpty && e.markdown.contains("Title From Content"))
   }
 
+  test("adversarial structures: deep nesting, ref cycles, huge numbers never crash") {
+    // 50k '[' would StackOverflowError without the recursion cap — fatal,
+    // NOT caught by the extractors' NonFatal handlers
+    val deep = ("%PDF-1.4\n1 0 obj\n" + "[" * 50000).getBytes("ISO-8859-1")
+    assert(PdfSource.JvmExtractor.extract("/adv/deep.pdf", deep) != null)
+
+    // reference cycle: 1 0 R -> 2 0 R -> 1 0 R must resolve to null
+    val cyc = ("%PDF-1.4\n1 0 obj\n2 0 R\nendobj\n2 0 obj\n1 0 R\nendobj\n" +
+      "3 0 obj\n<< /Type /Catalog /Pages 1 0 R >>\nendobj\n" +
+      "trailer\n<< /Root 3 0 R >>\n%%EOF").getBytes("ISO-8859-1")
+    val doc = graft.sources.pdf.PdfParser.parse(cyc)
+    assert(doc.pageCount == 0)
+
+    // digit run past Int range before ' 0 obj' must not throw
+    val big = "%PDF-1.4\n99999999999 0 obj\n<< >>\nendobj\n".getBytes("ISO-8859-1")
+    assert(PdfSource.JvmExtractor.extract("/adv/big.pdf", big) != null)
+    assert(graft.sources.ImageExtraction.JvmImageExtractor.extract("/adv/big.pdf", big) != null)
+  }
+
+  test("incremental update: the appended trailer's /Root wins over the original") {
+    // simulate an incremental save: original catalog -> pages A; appended
+    // update writes a replacement catalog + trailer pointing at pages B
+    val orig = PdfGen.pdf(Seq(Seq(Run("OLD CONTENT"))))
+    val updated = new java.io.ByteArrayOutputStream()
+    updated.write(orig)
+    def ascii(s: String): Unit = updated.write(s.getBytes("ISO-8859-1"))
+    val newText = "BT /F1 12 Tf 72 720 Td (NEW CONTENT) Tj ET"
+    ascii(s"\n50 0 obj\n<< /Length ${newText.length} >>\nstream\n$newText\nendstream\nendobj\n")
+    ascii("51 0 obj\n<< /Type /Page /Parent 52 0 R /Contents 50 0 R >>\nendobj\n")
+    ascii("52 0 obj\n<< /Type /Pages /Kids [ 51 0 R ] /Count 1 >>\nendobj\n")
+    ascii("53 0 obj\n<< /Type /Catalog /Pages 52 0 R >>\nendobj\n")
+    ascii("trailer\n<< /Size 54 /Root 53 0 R >>\n%%EOF\n")
+    val md = PdfText.extractMarkdown(PdfParser.parse(updated.toByteArray))
+    assert(md.contains("NEW CONTENT"), s"appended update must win: '$md'")
+    assert(!md.contains("OLD CONTENT"), "replaced catalog must not resurrect")
+  }
+
   test("totality fuzz: mutated documents never escape as exceptions") {
     // ingest routes bad files to the failed ledger status; a parser
     // exception would instead kill the whole executor task. 200 seeded
