@@ -321,13 +321,15 @@ object TextAnalysis {
   ): DataFrame = {
     require(n >= 1, s"need n >= 1, got $n")
     require(minDocs >= 2, s"boilerplate needs minDocs >= 2, got $minDocs")
-    val withGrams = docs.select(col(idCol).as("doc_id"), wordGrams(col(textCol), n).as("grams"))
-    val pos = withGrams.select(col("doc_id"), explode(col("grams")).as("g"))
-    // ONE corpus-sized pass: the (doc, gram) count table carries position
-    // multiplicity, so document frequency (rows per gram) AND covered
-    // positions (sum of cnt over boilerplate grams) both derive from it —
-    // the digest/explode work runs once, and the two downstream consumers
-    // that need clustering on `g` share one exchange (ReuseExchange).
+    val pos = docs
+      .select(col(idCol).as("doc_id"), explode(wordGrams(col(textCol), n)).as("g"))
+    // ONE corpus-sized text pass: the (doc, gram) count table carries
+    // position multiplicity, so document frequency (rows per gram),
+    // covered positions (sum of cnt over boilerplate grams), AND the
+    // per-doc gram totals (sum of all cnt — equal to size(grams)) all
+    // derive from it. The gram digest/explode sits below the first
+    // exchange, which ReuseExchange shares across the three consumers —
+    // previously total_grams recomputed the gram pipeline a second time.
     val posCounts = pos.groupBy("doc_id", "g").agg(count(lit(1)).as("cnt"))
     val dfg = posCounts.groupBy("g").agg(count(lit(1)).as("df"))
     val boiler = dfg.where(col("df") >= minDocs).select("g")
@@ -335,12 +337,16 @@ object TextAnalysis {
       .join(boiler, Seq("g"), "left_semi")
       .groupBy("doc_id")
       .agg(sum("cnt").as("boiler_grams"))
-    withGrams
-      .select(col("doc_id"), size(col("grams")).cast("long").as("total_grams"))
+    val totals = posCounts.groupBy("doc_id").agg(sum("cnt").as("total_grams"))
+    // id-only left joins keep docs with zero grams in the result (they
+    // have no posCounts rows); the id scan prunes to one column
+    docs
+      .select(col(idCol).as("doc_id"))
+      .join(totals, Seq("doc_id"), "left")
       .join(covered, Seq("doc_id"), "left")
       .select(
         col("doc_id"),
-        col("total_grams"),
+        coalesce(col("total_grams"), lit(0L)).as("total_grams"),
         coalesce(col("boiler_grams"), lit(0L)).as("boiler_grams")
       )
       .withColumn(
