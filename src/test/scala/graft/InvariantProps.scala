@@ -90,4 +90,25 @@ object InvariantProps extends Properties("graft.invariants") {
       gotIds == expected
     }
   }
+
+  // ---- PDF writer/parser round-trip ------------------------------------
+
+  private val pdfLine: Gen[String] =
+    Gen.chooseNum(1, 8).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+  private val pdfPage: Gen[Seq[graft.pdf.PdfGen.Run]] = for {
+    nLines <- Gen.chooseNum(1, 6)
+    lines <- Gen.listOfN(nLines, pdfLine)
+  } yield lines.map(graft.pdf.PdfGen.Run(_))
+
+  property("pdf round-trip: page count exact, every line recovered, compression-invariant") =
+    forAll(Gen.chooseNum(1, 4).flatMap(Gen.listOfN(_, pdfPage)), Gen.oneOf(true, false)) {
+      (pages, compress) =>
+        val bytes = graft.pdf.PdfGen.pdf(pages, compress = compress)
+        val doc = graft.sources.pdf.PdfParser.parse(bytes)
+        val md = graft.sources.pdf.PdfText.extractMarkdown(doc)
+        Prop.all(
+          doc.pageCount == pages.length,
+          pages.flatten.forall(r => md.contains(r.text))
+        )
+    }
 }
