@@ -454,6 +454,24 @@ object OracleSql {
       s"""WITH $annCte
          |SELECT vec_id, score FROM ann""".stripMargin,
 
+    "q_phrase" ->
+      // token-array adjacency count with the SAME tokenization as
+      // TextFunctions.ftsTokens; range(1, len) = 1-based indices with a
+      // valid successor, so each list element tests one start position —
+      // exactly the positional-join count (adjacent occurrences that
+      // share a delimiter are both counted, unlike replace()-counting)
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(range(1, len(toks)),
+        |                         i -> toks[i] = 'hash' AND toks[i+1] = 'join')) AS BIGINT) AS n_hits
+        |  FROM t)
+        |SELECT doc_id, n_hits FROM h WHERE n_hits > 0
+        |ORDER BY n_hits DESC, doc_id LIMIT 20""".stripMargin,
+
     "q_bm25" ->
       s"""WITH $bm25Ctes
          |SELECT doc_id, score FROM bm""".stripMargin,

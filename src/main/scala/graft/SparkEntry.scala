@@ -547,6 +547,18 @@ object SparkEntry {
       .select(col("vec_id"), round(col("score"), 6).as("score"))
   }
 
+  /** Exact phrase search via positional postings (FtsIndex
+    * .phraseOccurrences): "hash join" as a consecutive token run, ranked
+    * by occurrence count. Oracle counts token-array adjacency with the
+    * identical tokenization.
+    */
+  private def qPhrase(s: SparkSession, dir: String): DataFrame =
+    FtsIndex
+      .phraseOccurrences(t(s, dir, "documents"), "doc_id", "text", Seq("hash", "join"))
+      .select(col("id").as("doc_id"), col("n_hits"))
+      .orderBy(desc("n_hits"), col("doc_id"))
+      .limit(20)
+
   /** SimHash near-dup pairs over documents (rows-only). */
   /** SimHash near-dup pairs over the PORTABLE md5-nibble signature (same
     * signature q_simhash_sig oracle-proved), banded into 13 nibble-groups
@@ -1703,6 +1715,7 @@ object SparkEntry {
     "q_lang_id" -> (qLangId _),
     "q_ann_cosine" -> (qAnnCosine _),
     "q_bm25" -> (qBm25 _),
+    "q_phrase" -> (qPhrase _),
     "q_rrf_hybrid" -> (qRrfHybrid _),
     "q_context_budget" -> (qContextBudget _),
     "q_cascade_delete" -> (qCascadeDelete _),

@@ -308,4 +308,44 @@ object FtsIndex {
     scoreAll(spark, index, query, k1, b)
       .orderBy(desc("score"), col("doc_id"))
       .limit(k)
+
+  /** Exact PHRASE search: documents where the query tokens occur as a
+    * consecutive run (the FTS feature BM25's bag-of-words scoring cannot
+    * express — "hash join" must not match "join ... hash"). Returns
+    * (id, n_hits) with n_hits = number of occurrence start positions.
+    *
+    * Positional-postings shape: tokenize with positions (posexplode of
+    * the shared [[graft.functions.TextFunctions.ftsTokens]]), then —
+    * crucially for scale — FILTER to the phrase's own vocabulary BEFORE
+    * any join, so the adjacency self-joins shuffle only (id, pos) pairs
+    * of the few matching terms, never the corpus token stream. Each
+    * phrase word joins on (id, pos - offset): k-1 equi-joins for a
+    * k-word phrase, all hash-partitioned on the same (id, pos) key.
+    * Occurrences may share a word with an adjacent occurrence; counting
+    * start positions matches the oracle's token-array adjacency count.
+    */
+  def phraseOccurrences(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      phrase: Seq[String]
+  ): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one token")
+    val toks = docs
+      .select(
+        col(idCol).as("id"),
+        posexplode(graft.functions.TextFunctions.ftsTokens(col(textCol))).as(Seq("pos", "tok"))
+      )
+      .where(col("tok").isin(phrase.distinct: _*))
+    val first = toks.where(col("tok") === phrase.head).select(col("id"), col("pos"))
+    val matched = phrase.zipWithIndex.drop(1).foldLeft(first) { case (acc, (w, i)) =>
+      val ti = toks
+        .where(col("tok") === w)
+        .select(col("id").as("_id_i"), (col("pos") - i).as("_pos_i"))
+      acc
+        .join(ti, col("id") === col("_id_i") && col("pos") === col("_pos_i"))
+        .select(col("id"), col("pos"))
+    }
+    matched.groupBy("id").agg(count(lit(1)).as("n_hits"))
+  }
 }

@@ -137,4 +137,24 @@ class RetrievalSpec extends AnyFunSuite {
     assert(ctx.startsWith("Documents referenced:\n- Doc A"))
     assert(ctx.contains("[Source: Doc A]"))
   }
+
+  test("phrase search: consecutive runs only, order-sensitive, start-position counts") {
+    val docs = Seq(
+      (1L, "alpha beta gamma"),          // one occurrence
+      (2L, "beta alpha"),                // reversed: bag-of-words would match, phrase must not
+      (3L, "alpha beta alpha beta"),     // two start positions (shared delimiter)
+      (4L, "alpha gamma beta"),          // non-adjacent: no match
+      (5L, "Alpha, BETA!")               // tokenizer normalizes case/punct
+    ).toDF("doc_id", "text")
+    val hits = graft.operators.FtsIndex
+      .phraseOccurrences(docs, "doc_id", "text", Seq("alpha", "beta"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits == Map(1L -> 1L, 3L -> 2L, 5L -> 1L))
+
+    // three-word phrase: both adjacency joins must hold
+    val tri = graft.operators.FtsIndex
+      .phraseOccurrences(docs, "doc_id", "text", Seq("alpha", "beta", "gamma"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tri == Map(1L -> 1L))
+  }
 }
