@@ -472,6 +472,28 @@ object OracleSql {
         |SELECT doc_id, n_hits FROM h WHERE n_hits > 0
         |ORDER BY n_hits DESC, doc_id LIMIT 20""".stripMargin,
 
+    "q_proximity" ->
+      // unnested (doc, pos) postings for the two terms, joined with the
+      // identical ordered gap predicate 0 < posB - posA <= 5; parallel
+      // UNNESTs zip token with its 1-based position
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, UNNEST(toks) AS tok,
+        |         UNNEST(range(1, CAST(len(toks) AS BIGINT) + 1)) AS pos
+        |  FROM t),
+        |pa AS (SELECT doc_id, pos FROM p WHERE tok = 'filter'),
+        |pb AS (SELECT doc_id, pos FROM p WHERE tok = 'scan'),
+        |h AS (
+        |  SELECT pa.doc_id, CAST(COUNT(*) AS BIGINT) AS n_pairs
+        |  FROM pa JOIN pb ON pa.doc_id = pb.doc_id
+        |                 AND pb.pos > pa.pos AND pb.pos - pa.pos <= 5
+        |  GROUP BY pa.doc_id)
+        |SELECT doc_id, n_pairs FROM h
+        |ORDER BY n_pairs DESC, doc_id LIMIT 20""".stripMargin,
+
     "q_bm25" ->
       s"""WITH $bm25Ctes
          |SELECT doc_id, score FROM bm""".stripMargin,

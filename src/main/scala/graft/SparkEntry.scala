@@ -559,6 +559,18 @@ object SparkEntry {
       .orderBy(desc("n_hits"), col("doc_id"))
       .limit(20)
 
+  /** Ordered proximity search (FtsIndex.proximityOccurrences): "filter"
+    * followed by "scan" within 5 tokens, ranked by qualifying pair
+    * count. Oracle joins the two terms' unnested (doc, pos) postings
+    * with the identical gap predicate.
+    */
+  private def qProximity(s: SparkSession, dir: String): DataFrame =
+    FtsIndex
+      .proximityOccurrences(t(s, dir, "documents"), "doc_id", "text", "filter", "scan", 5)
+      .select(col("id").as("doc_id"), col("n_pairs"))
+      .orderBy(desc("n_pairs"), col("doc_id"))
+      .limit(20)
+
   /** SimHash near-dup pairs over documents (rows-only). */
   /** SimHash near-dup pairs over the PORTABLE md5-nibble signature (same
     * signature q_simhash_sig oracle-proved), banded into 13 nibble-groups
@@ -1716,6 +1728,7 @@ object SparkEntry {
     "q_ann_cosine" -> (qAnnCosine _),
     "q_bm25" -> (qBm25 _),
     "q_phrase" -> (qPhrase _),
+    "q_proximity" -> (qProximity _),
     "q_rrf_hybrid" -> (qRrfHybrid _),
     "q_context_budget" -> (qContextBudget _),
     "q_cascade_delete" -> (qCascadeDelete _),

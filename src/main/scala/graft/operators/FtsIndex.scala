@@ -348,4 +348,44 @@ object FtsIndex {
     }
     matched.groupBy("id").agg(count(lit(1)).as("n_hits"))
   }
+
+  /** Ordered PROXIMITY search: count of token-position pairs where
+    * `termA` occurs and `termB` follows within `slop` positions ("filter
+    * NEAR/5 scan") — the relevance signal between exact phrase (slop=1)
+    * and BM25's bag-of-words (slop=∞).
+    *
+    * Same positional-postings scale shape as [[phraseOccurrences]]: the
+    * corpus token stream is filtered to the TWO query terms before the
+    * join, so only their (id, pos) postings shuffle. The join itself is
+    * an equi-join on id; the `(0, slop]` gap predicate is evaluated as a
+    * post-join filter within each id's co-partitioned postings, bounded
+    * by tfA(id) * tfB(id) per document — never a corpus-sized cross
+    * product. Returns (id, n_pairs) for documents with at least one
+    * qualifying pair.
+    */
+  def proximityOccurrences(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      termA: String,
+      termB: String,
+      slop: Int
+  ): DataFrame = {
+    require(slop >= 1, s"need slop >= 1, got $slop")
+    val toks = docs
+      .select(
+        col(idCol).as("id"),
+        posexplode(graft.functions.TextFunctions.ftsTokens(col(textCol))).as(Seq("pos", "tok"))
+      )
+      .where(col("tok").isin(Seq(termA, termB).distinct: _*))
+    val a = toks.where(col("tok") === termA).select(col("id"), col("pos").as("_pos_a"))
+    val b = toks.where(col("tok") === termB).select(col("id").as("_id_b"), col("pos").as("_pos_b"))
+    a.join(
+      b,
+      col("id") === col("_id_b") &&
+        col("_pos_b") > col("_pos_a") &&
+        col("_pos_b") - col("_pos_a") <= slop
+    ).groupBy("id")
+      .agg(count(lit(1)).as("n_pairs"))
+  }
 }

@@ -157,4 +157,25 @@ class RetrievalSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(tri == Map(1L -> 1L))
   }
+
+  test("proximity search: ordered, gap-bounded, pair counts") {
+    val docs = Seq(
+      (1L, "alpha beta"),                      // gap 1: pair
+      (2L, "alpha x y z w beta"),              // gap 5: exactly at slop
+      (3L, "alpha x y z w v beta"),            // gap 6: beyond slop
+      (4L, "beta alpha"),                      // wrong order
+      (5L, "alpha x beta alpha beta"),         // pairs: (1,3),(4,5) in-slop; (1,5) gap 4 also
+      (6L, "alpha alpha beta")                 // both alphas pair with one beta
+    ).toDF("doc_id", "text")
+    val hits = graft.operators.FtsIndex
+      .proximityOccurrences(docs, "doc_id", "text", "alpha", "beta", 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits == Map(1L -> 1L, 2L -> 1L, 5L -> 3L, 6L -> 2L))
+
+    // slop=1 degenerates to the adjacent-pair (bigram) count
+    val adj = graft.operators.FtsIndex
+      .proximityOccurrences(docs, "doc_id", "text", "alpha", "beta", 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(adj == Map(1L -> 1L, 5L -> 1L, 6L -> 1L))
+  }
 }
