@@ -494,6 +494,46 @@ object OracleSql {
         |SELECT doc_id, n_pairs FROM h
         |ORDER BY n_pairs DESC, doc_id LIMIT 20""".stripMargin,
 
+    "q_dsir" -> {
+      // ImportanceSampling twin: bigrams digested to 60-bit md5 ints mod
+      // 4096 buckets; exact BIGINT ratio weights with the identical two
+      // floor divisions (K folded first); occurrence-weighted per-doc
+      // sums. pos is referenced five times -> MATERIALIZED (DuckDB
+      // would otherwise recompute the md5 digests per reference).
+      val hash60 = md5NibbleIntSql("vs", 15)
+      """WITH w AS MATERIALIZED (
+        |  SELECT doc_id, lang,
+        |         list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+        |                     x -> len(x) > 0) AS w
+        |  FROM documents),
+        |g AS MATERIALIZED (
+        |  SELECT doc_id, lang,
+        |         CASE WHEN len(w) >= 2
+        |              THEN list_transform(range(1, CAST(len(w) AS BIGINT)),
+        |                     i -> w[i] || ' ' || w[i + 1])
+        |              ELSE CAST([] AS VARCHAR[]) END AS grams
+        |  FROM w),
+        |pos AS MATERIALIZED (
+        |  SELECT doc_id, lang, (HASH60) % 4096 AS b
+        |  FROM (SELECT doc_id, lang, UNNEST(grams) AS vs FROM g)),
+        |cr AS (SELECT b, COUNT(*) AS cr FROM pos GROUP BY 1),
+        |ct AS (SELECT b, COUNT(*) AS ct FROM pos WHERE lang = 'en' GROUP BY 1),
+        |nr AS (SELECT COUNT(*) AS nr FROM pos),
+        |nt AS (SELECT COUNT(*) AS nt FROM pos WHERE lang = 'en'),
+        |wt AS MATERIALIZED (
+        |  SELECT cr.b,
+        |         (10000 * (COALESCE(ct.ct, 0) + 1) *
+        |          ((10000 * ((SELECT nr FROM nr) + 4096)) // ((SELECT nt FROM nt) + 4096)))
+        |         // ((cr.cr + 1) * 10000) AS w
+        |  FROM cr LEFT JOIN ct ON cr.b = ct.b),
+        |sc AS (SELECT pos.doc_id, SUM(wt.w) AS score
+        |       FROM pos JOIN wt ON pos.b = wt.b GROUP BY 1)
+        |SELECT d.doc_id, CAST(COALESCE(sc.score, 0) AS BIGINT) AS score
+        |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+        |ORDER BY score DESC, d.doc_id LIMIT 20""".stripMargin
+        .replace("HASH60", hash60)
+    },
+
     "q_bm25" ->
       s"""WITH $bm25Ctes
          |SELECT doc_id, score FROM bm""".stripMargin,

@@ -571,6 +571,24 @@ object SparkEntry {
       .orderBy(desc("n_pairs"), col("doc_id"))
       .limit(20)
 
+  /** DSIR-style importance scoring (ImportanceSampling): every document
+    * scored by how target-like (lang='en' slice as the target corpus) its
+    * hashed bigram distribution is, exact BIGINT ratio weights. Oracle
+    * mirrors the 60-bit gram digests mod 4096 and the double floor
+    * division bit-for-bit.
+    */
+  private def qDsir(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val target = docs.where(col("lang") === "en")
+    val w = graft.operators.ImportanceSampling
+      .ratioWeights(docs, "text", target, "text", n = 2, buckets = 4096, scale = 10000L)
+    graft.operators.ImportanceSampling
+      .importanceScores(docs, "doc_id", "text", w, n = 2, buckets = 4096)
+      .select(col("doc_id"), col("score"))
+      .orderBy(desc("score"), col("doc_id"))
+      .limit(20)
+  }
+
   /** SimHash near-dup pairs over documents (rows-only). */
   /** SimHash near-dup pairs over the PORTABLE md5-nibble signature (same
     * signature q_simhash_sig oracle-proved), banded into 13 nibble-groups
@@ -1729,6 +1747,7 @@ object SparkEntry {
     "q_bm25" -> (qBm25 _),
     "q_phrase" -> (qPhrase _),
     "q_proximity" -> (qProximity _),
+    "q_dsir" -> (qDsir _),
     "q_rrf_hybrid" -> (qRrfHybrid _),
     "q_context_budget" -> (qContextBudget _),
     "q_cascade_delete" -> (qCascadeDelete _),
