@@ -589,6 +589,17 @@ object SparkEntry {
       .limit(20)
   }
 
+  /** Seeded fixed-point k-means over the embeddings table (Clustering
+    * .kmeansAssign): k=10 lowest-id seeds, 3 Lloyd's rounds, all-integer
+    * arithmetic — assignments bit-identical to the oracle's unrolled
+    * iterations.
+    */
+  private def qKmeans(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Clustering
+      .kmeansAssign(t(s, dir, "embeddings"), "vec_id", "embedding", k = 10, iters = 3)
+      .select(col("vec_id"), col("cluster"))
+      .orderBy("vec_id")
+
   /** SimHash near-dup pairs over documents (rows-only). */
   /** SimHash near-dup pairs over the PORTABLE md5-nibble signature (same
     * signature q_simhash_sig oracle-proved), banded into 13 nibble-groups
@@ -1748,6 +1759,7 @@ object SparkEntry {
     "q_phrase" -> (qPhrase _),
     "q_proximity" -> (qProximity _),
     "q_dsir" -> (qDsir _),
+    "q_kmeans" -> (qKmeans _),
     "q_rrf_hybrid" -> (qRrfHybrid _),
     "q_context_budget" -> (qContextBudget _),
     "q_cascade_delete" -> (qCascadeDelete _),

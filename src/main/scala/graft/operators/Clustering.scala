@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Seeded Lloyd's k-means over embedding columns, in EXACT fixed-point
+  * integer arithmetic — the clustering stage of cluster-based corpus
+  * curation (SemDeDup-style cluster-then-dedup, cluster-balanced
+  * sampling, per-cluster quality gates). Feed the assignment into
+  * [[Dedup.clusterRepresentatives]] to keep the best-scoring members of
+  * each semantic cluster.
+  *
+  * Reference scope: the reference pipeline
+  * (dabsdamoon/ETL-pdf-pipepline) stores embeddings for retrieval only
+  * (`src/vectordb/chroma_manager.py`); corpus-level semantic clustering
+  * is a beyond-reference capability for training-data curation.
+  *
+  * Determinism/portability: embeddings are quantized once
+  * (floor(x * quantScale) per element, BIGINT); distances are integer
+  * sums of squared diffs; argmin ties break on the lower cluster id via
+  * struct ordering; centroid updates are floor divisions
+  * (`math.floorDiv`). Every operation is integer and
+  * association-order-free, so assignments are bit-identical in any
+  * engine, at any parallelism — the DuckDB oracle unrolls the same
+  * iterations. Seeding is the k lowest-id rows (deterministic), cluster
+  * ids 0..k-1 in that id order; an emptied cluster keeps its previous
+  * centroid.
+  *
+  * Scale shape (100 TB): the canonical distributed k-means. Per
+  * iteration: one NARROW pass computes k distances per row against the
+  * broadcast centroid literals (k*dim longs — trivially broadcastable),
+  * and one shuffle carries at most k*dim (cluster, pos, partial-sum)
+  * rows per map task (map-side partial aggregation) to the driver-side
+  * centroid rebuild — the same aggregate-collect loop MLlib's KMeans
+  * runs. The quantized input is pinned once (reliable checkpoint when a
+  * checkpoint dir is set) and re-scanned per iteration, never
+  * recomputed.
+  *
+  * Overflow bounds (ANSI-safe): per-dim squared diff <=
+  * (2 * quantScale * max|x|)^2, summed over dim — for unit-normalized
+  * embeddings at quantScale=1000 that is ~4e6 * dim, far inside BIGINT.
+  * Per-cluster per-dim sums stay exact in BIGINT for any real cluster
+  * size (quantScale * n < 2^63).
+  */
+object Clustering {
+
+  /** Quantized copy of the vector column: floor(x * quantScale) per
+    * element as BIGINT (the engine-portable quantization used by the LSH
+    * and MMR fixed-point twins).
+    */
+  private def quantized(vecCol: String, quantScale: Int): Column =
+    expr(s"transform($vecCol, x -> cast(floor(cast(x as double) * $quantScale.0D) as bigint))")
+
+  /** Integer squared L2 distance from the quantized row vector to one
+    * centroid literal.
+    */
+  private def distTo(c: Array[Long]): Column =
+    aggregate(
+      zip_with(col("_km_q"), typedLit(c.toSeq), (a, b) => (a - b) * (a - b)),
+      lit(0L),
+      (acc, x) => acc + x
+    )
+
+  /** (input columns) + `cluster` (BIGINT in 0..k-1): the Lloyd's
+    * assignment after `iters` rounds from the deterministic lowest-id
+    * seeds.
+    */
+  def kmeansAssign(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int,
+      quantScale: Int = 1000
+  ): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    require(iters >= 1, s"need iters >= 1, got $iters")
+    require(quantScale >= 1, s"need quantScale >= 1, got $quantScale")
+    require(!df.columns.contains("cluster"), "df must not contain reserved column cluster")
+
+    // pinned once, re-scanned per iteration AND referenced by the
+    // returned plan — storage is freed by Spark's ContextCleaner once the
+    // caller drops the result (the SequencePacking pin lifecycle), so no
+    // explicit release here.
+    val q: DataFrame = graft.util.Checkpoints.pin(
+      df.select(col(idCol).as("_km_id"), quantized(vecCol, quantScale).as("_km_q"))
+    )
+    val seeds = q.orderBy("_km_id").limit(k).collect()
+    require(seeds.length == k, s"need at least k=$k rows, got ${seeds.length}")
+    var centroids: Array[Array[Long]] =
+      seeds.map(_.getSeq[Long](1).toArray)
+    val dim = centroids.head.length
+    require(centroids.forall(_.length == dim), "all vectors must share one dimension")
+
+    def assign(cs: Array[Array[Long]]): DataFrame = {
+      val packed = array(cs.zipWithIndex.map { case (c, i) =>
+        struct(distTo(c).as("d"), lit(i).as("c"))
+      }: _*)
+      q.withColumn("_km_c", array_min(packed).getField("c"))
+    }
+
+    for (_ <- 1 to iters) {
+      val sums = assign(centroids)
+        .select(col("_km_c"), posexplode(col("_km_q")).as(Seq("_km_p", "_km_v")))
+        .groupBy("_km_c", "_km_p")
+        .agg(sum("_km_v").as("s"), count(lit(1)).as("n"))
+        .collect() // <= k*dim rows — the distributed-kmeans driver step
+      val byCluster = sums.groupBy(_.getInt(0))
+      centroids = centroids.zipWithIndex.map { case (old, c) =>
+        byCluster.get(c) match {
+          case Some(rows) =>
+            val next = old.clone()
+            rows.foreach { r =>
+              next(r.getInt(1)) = math.floorDiv(r.getLong(2), r.getLong(3))
+            }
+            next
+          case None => old // emptied cluster keeps its centroid
+        }
+      }
+    }
+
+    val last = assign(centroids)
+      .select(col("_km_id"), col("_km_c").cast("long").as("cluster"))
+    df.join(last, df(idCol) === last("_km_id")).drop("_km_id")
+  }
+
+  /** Cluster sizes and mean quantized vector norm — the usual first look
+    * at a clustering's balance. One shuffle over (cluster) keys.
+    */
+  def clusterSizes(assigned: DataFrame): DataFrame =
+    assigned
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("cluster")
+}

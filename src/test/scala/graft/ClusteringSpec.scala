@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Clustering
+
+class ClusteringSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  // three well-separated 2-D blobs; ids chosen so the three lowest ids
+  // (the seeds) land one per blob
+  private lazy val blobs = Seq(
+    (1L, Array(0.0f, 0.0f)), (4L, Array(0.05f, 0.1f)), (5L, Array(0.1f, 0.0f)),
+    (2L, Array(5.0f, 5.0f)), (6L, Array(5.1f, 4.9f)), (7L, Array(4.9f, 5.05f)),
+    (3L, Array(-5.0f, 5.0f)), (8L, Array(-5.1f, 5.1f)), (9L, Array(-4.9f, 4.95f))
+  ).toDF("vec_id", "embedding")
+
+  test("separated blobs resolve to their seed clusters") {
+    val got = Clustering
+      .kmeansAssign(blobs, "vec_id", "embedding", k = 3, iters = 2)
+      .select("vec_id", "cluster")
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    // seeds: ids 1,2,3 -> clusters 0,1,2 in id order
+    assert(got == Map(
+      1L -> 0L, 4L -> 0L, 5L -> 0L,
+      2L -> 1L, 6L -> 1L, 7L -> 1L,
+      3L -> 2L, 8L -> 2L, 9L -> 2L
+    ), s"got $got")
+  }
+
+  test("assignment is invariant to input partitioning") {
+    val a = Clustering.kmeansAssign(blobs.repartition(1), "vec_id", "embedding", 3, 3)
+      .select("vec_id", "cluster").collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    val b = Clustering.kmeansAssign(blobs.repartition(7), "vec_id", "embedding", 3, 3)
+      .select("vec_id", "cluster").collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    assert(a == b)
+  }
+
+  test("an emptied cluster keeps its previous centroid (k > distinct points)") {
+    // two coincident groups, k=3: one seed's cluster empties after the
+    // first update; the run must still converge deterministically
+    val df = Seq(
+      (1L, Array(0.0f, 0.0f)), (2L, Array(0.001f, 0.0f)), (3L, Array(10.0f, 10.0f)),
+      (4L, Array(10.0f, 10.001f)), (5L, Array(0.0f, 0.001f))
+    ).toDF("vec_id", "embedding")
+    val got = Clustering.kmeansAssign(df, "vec_id", "embedding", k = 3, iters = 3)
+      .select("vec_id", "cluster").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 5)
+    assert(got(3L) == got(4L), "far blob stays together")
+    assert(got(1L) != got(3L), "blobs must not merge")
+  }
+
+  test("cluster sizes aggregate") {
+    val assigned = Clustering.kmeansAssign(blobs, "vec_id", "embedding", 3, 2)
+    val sizes = Clustering.clusterSizes(assigned).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(sizes.toSeq == Seq((0L, 3L), (1L, 3L), (2L, 3L)))
+  }
+}
