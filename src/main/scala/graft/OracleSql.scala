@@ -122,6 +122,49 @@ object OracleSql {
       }
       .mkString("(", " + ", ")")
 
+  /** Clustering.kmeansAssign twin, shared by q_kmeans and q_semdedup:
+    * quantize floor(x*1000) -> BIGINT, seed with the 10 lowest vec_ids
+    * (cid 0..9 in id order), 3 unrolled Lloyd's rounds, final assignment
+    * `a4` with the fully-updated c3 (the MLlib "iters assign+update
+    * cycles, then label" convention). dist = integer sum of squared
+    * diffs; argmin ties break on lower cid; centroid update floor(s/n)
+    * (floor-toward--inf = math.floorDiv — DuckDB's // truncates, so go
+    * through DOUBLE, exact below 2^53); emptied clusters keep their
+    * previous centroid via the LEFT JOIN. Everything MATERIALIZED —
+    * DuckDB inlines plain CTEs and each a_i is referenced downstream.
+    */
+  private val kmeansCtes: String = {
+    def assignCte(name: String, prev: String, withQ: Boolean) =
+      s"""$name AS MATERIALIZED (
+         |  SELECT vec_id, ${if (withQ) "q, " else ""}cid FROM (
+         |    SELECT p.vec_id, ${if (withQ) "p.q, " else ""}c.cid,
+         |           ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY
+         |             list_sum(list_transform(range(1, 65),
+         |               i -> (p.q[i] - c.c[i]) * (p.q[i] - c.c[i]))), c.cid) AS rn
+         |    FROM q p CROSS JOIN $prev c)
+         |  WHERE rn = 1)""".stripMargin
+    val rounds = (1 to 3).map { i =>
+      assignCte(s"a$i", s"c${i - 1}", withQ = true) + ",\n" +
+        s"""s$i AS (
+           |  SELECT cid, t.i AS i, SUM(q[t.i]) AS s, COUNT(*) AS n
+           |  FROM a$i, range(1, 65) t(i) GROUP BY 1, 2),
+           |c$i AS MATERIALIZED (
+           |  SELECT p.cid, COALESCE(u.c, p.c) AS c
+           |  FROM c${i - 1} p LEFT JOIN (
+           |    SELECT cid, list(CAST(floor(CAST(s AS DOUBLE) / n) AS BIGINT) ORDER BY i) AS c
+           |    FROM s$i GROUP BY cid) u ON p.cid = u.cid)""".stripMargin
+    }.mkString(",\n") + ",\n" + assignCte("a4", "c3", withQ = false)
+    s"""q AS MATERIALIZED (
+       |  SELECT vec_id,
+       |         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |c0 AS MATERIALIZED (
+       |  SELECT rn - 1 AS cid, q AS c FROM (
+       |    SELECT vec_id, q, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn FROM q)
+       |  WHERE rn <= 10),
+       |$rounds""".stripMargin
+  }
+
   /** Recursive-CTE transitive closure of the portable simhash pair set —
     * the SQL twin of Spark's min-label propagation. Ends with the `reach`
     * CTE open so q_dedup_clusters (labels) and q_near_dedup (keepers)
@@ -534,48 +577,33 @@ object OracleSql {
         .replace("HASH60", hash60)
     },
 
-    "q_kmeans" -> {
-      // Clustering.kmeansAssign twin: quantize floor(x*1000) -> BIGINT,
-      // seed with the 10 lowest vec_ids (cid 0..9 in id order), 3
-      // unrolled Lloyd's rounds. dist = integer sum of squared diffs;
-      // argmin ties break on lower cid; centroid update floor(s/n)
-      // (floor-toward--inf, = math.floorDiv — DuckDB's // truncates, so
-      // go through DOUBLE, exact below 2^53); emptied clusters keep
-      // their previous centroid via the LEFT JOIN.
-      // round i (1..3): assign a_i with centroids c_{i-1}, update to c_i;
-      // a4 is the FINAL assignment with the fully-updated c3 — Lloyd's
-      // "iters assign+update cycles, then label with the final centroids"
-      // (the MLlib convention Clustering.kmeansAssign follows)
-      def assignCte(name: String, prev: String, withQ: Boolean) =
-        s"""$name AS MATERIALIZED (
-           |  SELECT vec_id, ${if (withQ) "q, " else ""}cid FROM (
-           |    SELECT p.vec_id, ${if (withQ) "p.q, " else ""}c.cid,
-           |           ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY
-           |             list_sum(list_transform(range(1, 65),
-           |               i -> (p.q[i] - c.c[i]) * (p.q[i] - c.c[i]))), c.cid) AS rn
-           |    FROM q p CROSS JOIN $prev c)
-           |  WHERE rn = 1)""".stripMargin
-      val rounds = (1 to 3).map { i =>
-        assignCte(s"a$i", s"c${i - 1}", withQ = true) + ",\n" +
-          s"""s$i AS (
-             |  SELECT cid, t.i AS i, SUM(q[t.i]) AS s, COUNT(*) AS n
-             |  FROM a$i, range(1, 65) t(i) GROUP BY 1, 2),
-             |c$i AS MATERIALIZED (
-             |  SELECT p.cid, COALESCE(u.c, p.c) AS c
-             |  FROM c${i - 1} p LEFT JOIN (
-             |    SELECT cid, list(CAST(floor(CAST(s AS DOUBLE) / n) AS BIGINT) ORDER BY i) AS c
-             |    FROM s$i GROUP BY cid) u ON p.cid = u.cid)""".stripMargin
-      }.mkString(",\n") + ",\n" + assignCte("a4", "c3", withQ = false)
-      s"""WITH q AS MATERIALIZED (
-         |  SELECT vec_id,
-         |         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS q
-         |  FROM embeddings),
-         |c0 AS MATERIALIZED (
-         |  SELECT rn - 1 AS cid, q AS c FROM (
-         |    SELECT vec_id, q, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn FROM q)
-         |  WHERE rn <= 10),
-         |$rounds
-         |SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM a4 ORDER BY vec_id""".stripMargin
+    "q_kmeans" ->
+      s"""WITH $kmeansCtes
+         |SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM a4 ORDER BY vec_id""".stripMargin,
+
+    "q_semdedup" -> {
+      // Clustering.withinClusterNearDupPairs twin: the shared k-means
+      // assignment blocks candidates per cluster; similarity is the
+      // integer dot of normalized quantized vectors (the MMR-twin
+      // quantization: left-associated ss chain, floor(e/sqrt(ss)*1e4))
+      val dim = 64
+      val ssExpr = (1 to dim).map(j => s"e[$j]*e[$j]").mkString(" + ")
+      val iqExpr = (1 to dim)
+        .map(j => s"CAST(FLOOR(e[$j]/sqrt(ss)*10000) AS BIGINT)").mkString(", ")
+      val dotAB = (1 to dim).map(j => s"va.v[$j]*vb.v[$j]").mkString(" + ")
+      s"""WITH $kmeansCtes,
+         |srcn AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |nq AS (SELECT vec_id, e, ($ssExpr) AS ss FROM srcn),
+         |nv AS MATERIALIZED (SELECT vec_id, [$iqExpr] AS v FROM nq WHERE ss > 0),
+         |pairs AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, ($dotAB) AS sim_fp,
+         |         CAST(a.cid AS BIGINT) AS cluster
+         |  FROM a4 a JOIN a4 b ON a.cid = b.cid AND a.vec_id < b.vec_id
+         |  JOIN nv va ON va.vec_id = a.vec_id
+         |  JOIN nv vb ON vb.vec_id = b.vec_id)
+         |SELECT id_a, id_b, sim_fp, cluster FROM pairs
+         |WHERE sim_fp >= 35000000
+         |ORDER BY id_a, id_b""".stripMargin
     },
 
     "q_bm25" ->

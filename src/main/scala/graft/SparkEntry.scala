@@ -600,6 +600,18 @@ object SparkEntry {
       .select(col("vec_id"), col("cluster"))
       .orderBy("vec_id")
 
+  /** SemDeDup candidate pairs (Clustering.withinClusterNearDupPairs):
+    * the shared 10-cluster k-means assignment blocks the pair space,
+    * integer dots of normalized quantized vectors >= 0.35*1e8 qualify.
+    * Oracle shares the unrolled k-means CTEs with q_kmeans.
+    */
+  private def qSemdedup(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Clustering
+      .withinClusterNearDupPairs(
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 10, iters = 3, simFp = 35000000L)
+      .orderBy("id_a", "id_b")
+
   /** SimHash near-dup pairs over documents (rows-only). */
   /** SimHash near-dup pairs over the PORTABLE md5-nibble signature (same
     * signature q_simhash_sig oracle-proved), banded into 13 nibble-groups
@@ -1760,6 +1772,7 @@ object SparkEntry {
     "q_proximity" -> (qProximity _),
     "q_dsir" -> (qDsir _),
     "q_kmeans" -> (qKmeans _),
+    "q_semdedup" -> (qSemdedup _),
     "q_rrf_hybrid" -> (qRrfHybrid _),
     "q_context_budget" -> (qContextBudget _),
     "q_cascade_delete" -> (qCascadeDelete _),

@@ -132,4 +132,84 @@ object Clustering {
       .groupBy("cluster")
       .agg(count(lit(1)).as("n"))
       .orderBy("cluster")
+
+  /** SemDeDup candidate generation (Abbas et al. 2023): near-duplicate
+    * pairs WITHIN each k-means cluster — the clustering blocks the
+    * candidate space so the quadratic pair stage runs per cluster
+    * (~n²/k for balanced clusters), never corpus-wide. Similarity is the
+    * integer dot of normalized quantized vectors
+    * (floor(x/||x||*normScale) per element — the oracle-portable
+    * ~cosine*normScale² used by the MMR fixed twin); a pair qualifies
+    * when dot >= simFp. Zero-norm vectors cannot be normalized and take
+    * part in clustering but not in pairing.
+    *
+    * Returns (id_a, id_b, sim_fp, cluster) with id_a < id_b.
+    *
+    * Scale shape: one equi-join on the cluster key; each cluster's pairs
+    * form independently. A pathologically dominant cluster re-creates
+    * the all-pairs problem — raise k, or run the LSH-banded
+    * [[VectorSearch]] pair generator inside the offending cluster.
+    */
+  def withinClusterNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int,
+      simFp: Long,
+      quantScale: Int = 1000,
+      normScale: Int = 10000
+  ): DataFrame = {
+    require(normScale >= 1, s"need normScale >= 1, got $normScale")
+    val assigned = kmeansAssign(df, idCol, vecCol, k, iters, quantScale)
+      .select(col(idCol).as("_sd_id"), col("cluster"))
+    // left-fold sum of squares over double-cast elements — matches the
+    // oracle's explicit left-associated chain exactly (the MMR-twin
+    // technique)
+    val ss = aggregate(
+      transform(col(vecCol), x => x.cast("double") * x.cast("double")),
+      lit(0.0),
+      (a, b) => a + b
+    )
+    val nv = df
+      .withColumn("_sd_ss", ss)
+      .where(col("_sd_ss") > 0)
+      .select(
+        col(idCol).as("_sd_id"),
+        transform(
+          col(vecCol),
+          x => floor(x.cast("double") / sqrt(col("_sd_ss")) * lit(normScale.toDouble)).cast("long")
+        ).as("_sd_v")
+      )
+    val members = assigned.join(nv, "_sd_id")
+    val a = members.select(col("_sd_id").as("id_a"), col("cluster"), col("_sd_v").as("_sd_va"))
+    val b = members.select(col("_sd_id").as("id_b"), col("cluster").as("_sd_cb"), col("_sd_v").as("_sd_vb"))
+    a.join(b, col("cluster") === col("_sd_cb") && col("id_a") < col("id_b"))
+      .withColumn(
+        "sim_fp",
+        aggregate(zip_with(col("_sd_va"), col("_sd_vb"), (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+      )
+      .where(col("sim_fp") >= simFp)
+      .select("id_a", "id_b", "sim_fp", "cluster")
+  }
+
+  /** Full SemDeDup pass: cluster, pair within clusters, close the pair
+    * graph into duplicate groups, keep the `n` best-scoring members of
+    * each group ([[Dedup.clusterRepresentatives]]). Documents in no
+    * qualifying pair survive untouched (singleton groups).
+    */
+  def semanticRepresentatives(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      scoreCol: String,
+      k: Int,
+      iters: Int,
+      simFp: Long,
+      n: Int = 1
+  ): DataFrame = {
+    val pairs = withinClusterNearDupPairs(df, idCol, vecCol, k, iters, simFp)
+    val labels = Dedup.nearDupClusters(df.select(col(idCol)), idCol, pairs)
+    Dedup.clusterRepresentatives(df, idCol, labels, scoreCol, n)
+  }
 }

@@ -57,4 +57,34 @@ class ClusteringSpec extends AnyFunSuite {
     val sizes = Clustering.clusterSizes(assigned).collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(sizes.toSeq == Seq((0L, 3L), (1L, 3L), (2L, 3L)))
   }
+
+  test("semdedup: pairs form only within clusters, above the threshold") {
+    // blob A holds a near-duplicate pair (1,4) plus an orthogonal-ish
+    // member; blob B parallels blob A's direction but must not pair with
+    // it (different cluster)
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f)), (4L, Array(0.999f, 0.01f)), (5L, Array(0.6f, 0.8f)),
+      (2L, Array(100.0f, 0.0f)), (6L, Array(100.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Clustering
+      .withinClusterNearDupPairs(df, "vec_id", "embedding", k = 2, iters = 2, simFp = 99000000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // (1,4) near-identical direction within one cluster; (2,6) also near-
+    // parallel within the other; (1,2)/(4,2) cross-cluster -> excluded
+    assert(pairs.contains((1L, 4L)), s"expected (1,4) in $pairs")
+    assert(pairs.forall { case (a, b) => Set((1L, 4L), (2L, 6L)).contains((a, b)) }, s"got $pairs")
+  }
+
+  test("semanticRepresentatives keeps the best-scoring member per duplicate group") {
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f), 0.2),
+      (4L, Array(0.999f, 0.01f), 0.9), // duplicate of 1, higher quality
+      (5L, Array(0.0f, 1.0f), 0.5),    // no duplicate: survives
+      (2L, Array(50.0f, 50.0f), 0.7)   // other cluster, singleton
+    ).toDF("vec_id", "embedding", "quality")
+    val kept = Clustering
+      .semanticRepresentatives(df, "vec_id", "embedding", "quality", k = 2, iters = 2, simFp = 99000000L)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(4L, 5L, 2L), s"got $kept")
+  }
 }
