@@ -105,4 +105,36 @@ object api {
       textCol: String): DataFrame =
     graft.operators.Curation.snapshotDiff(oldDocs, newDocs, idCol, textCol)
       .where(col("status") =!= "unchanged")
+
+  /** Exact phrase hits: documents containing the words as a consecutive
+    * run, with occurrence counts (see FtsIndex.phraseOccurrences).
+    */
+  def searchPhrase(docs: DataFrame, idCol: String, textCol: String,
+      phrase: Seq[String]): DataFrame =
+    graft.operators.FtsIndex.phraseOccurrences(docs, idCol, textCol, phrase)
+
+  /** Score documents by similarity to a target corpus' hashed n-gram
+    * distribution — DSIR-style data selection (see ImportanceSampling).
+    */
+  def scoreAgainstTarget(raw: DataFrame, idCol: String, textCol: String,
+      target: DataFrame, targetTextCol: String): DataFrame = {
+    val w = graft.operators.ImportanceSampling
+      .ratioWeights(raw, textCol, target, targetTextCol)
+    graft.operators.ImportanceSampling.importanceScores(raw, idCol, textCol, w)
+  }
+
+  /** Semantic clusters over an embedding column (deterministic seeded
+    * k-means — see Clustering.kmeansAssign).
+    */
+  def clusterEmbeddings(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int = 3): DataFrame =
+    graft.operators.Clustering.kmeansAssign(df, idCol, vecCol, k, iters)
+
+  /** SemDeDup: drop semantic near-duplicates, keeping the best-scoring
+    * member of every duplicate group (see Clustering.semanticRepresentatives).
+    */
+  def dedupSemantic(df: DataFrame, idCol: String, vecCol: String,
+      scoreCol: String, k: Int, simFp: Long): DataFrame =
+    graft.operators.Clustering
+      .semanticRepresentatives(df, idCol, vecCol, scoreCol, k, iters = 3, simFp = simFp)
 }

@@ -194,4 +194,34 @@ class PlanShapeSpec extends AnyFunSuite {
       }
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
+
+  test("phrase/proximity postings joins: text never shuffles, no nested-loop joins") {
+    for (q <- Seq("q_phrase", "q_proximity")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q must stay an equi-join: ${p.take(800)}")
+      // the corpus text column is consumed by the posexplode at the scan
+      // side; only (id, pos) postings may cross an exchange
+      val exchangeOutputs = "(?s)\\(\\d+\\) Exchange\\s*\\nInput \\[\\d+\\]: \\[([^\\]]*)\\]".r
+        .findAllMatchIn(p).map(_.group(1)).toSeq
+      exchangeOutputs.foreach(cols =>
+        assert(!cols.contains("text"), s"$q exchange must not carry text: $cols"))
+    }
+  }
+
+  test("DSIR scoring broadcasts the weight table; gram strings never shuffle") {
+    val p = plan("q_dsir")
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    val exchangeOutputs = "(?s)\\(\\d+\\) Exchange\\s*\\nInput \\[\\d+\\]: \\[([^\\]]*)\\]".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(exchangeOutputs.nonEmpty)
+    exchangeOutputs.foreach(cols =>
+      assert(!cols.contains("text"), s"exchange must not carry text: $cols"))
+  }
+
+  test("semdedup pair stage is an equi-join on the cluster key, never a cartesian") {
+    val p = plan("q_semdedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pair join must be cluster-keyed: ${p.take(800)}")
+  }
 }
