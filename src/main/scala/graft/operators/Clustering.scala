@@ -61,9 +61,92 @@ object Clustering {
       (acc, x) => acc + x
     )
 
+  /** Trained centroids — plain data, serializable, the unit of
+    * incremental reuse: fit once at ingest, [[assignWith]] every later
+    * batch against the FROZEN centroids in one narrow pass (the
+    * [[VectorSearch.extendIvf]] contract for clustering: O(batch), no
+    * refit; re-fit = periodic compaction).
+    */
+  final case class KmeansModel(centroids: Array[Array[Long]], quantScale: Int) {
+    def k: Int = centroids.length
+    def dim: Int = centroids.head.length
+  }
+
+  /** Run the Lloyd's loop and return the trained model. The quantized
+    * input is pinned for the duration of the fit ONLY — the model is
+    * plain data, so the pin is released before returning (unlike
+    * plan-shaped artifacts, nothing downstream references it).
+    */
+  def kmeansFit(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int,
+      quantScale: Int = 1000
+  ): KmeansModel = {
+    require(k >= 1, s"need k >= 1, got $k")
+    require(iters >= 1, s"need iters >= 1, got $iters")
+    require(quantScale >= 1, s"need quantScale >= 1, got $quantScale")
+
+    val q: DataFrame = graft.util.Checkpoints.pin(
+      df.select(col(idCol).as("_km_id"), quantized(vecCol, quantScale).as("_km_q"))
+    )
+    try {
+      val seeds = q.orderBy("_km_id").limit(k).collect()
+      require(seeds.length == k, s"need at least k=$k rows, got ${seeds.length}")
+      var centroids: Array[Array[Long]] =
+        seeds.map(_.getSeq[Long](1).toArray)
+      val dim = centroids.head.length
+      require(centroids.forall(_.length == dim), "all vectors must share one dimension")
+
+      for (_ <- 1 to iters) {
+        val packed = array(centroids.zipWithIndex.map { case (c, i) =>
+          struct(distTo(c).as("d"), lit(i).as("c"))
+        }: _*)
+        val sums = q
+          .withColumn("_km_c", array_min(packed).getField("c"))
+          .select(col("_km_c"), posexplode(col("_km_q")).as(Seq("_km_p", "_km_v")))
+          .groupBy("_km_c", "_km_p")
+          .agg(sum("_km_v").as("s"), count(lit(1)).as("n"))
+          .collect() // <= k*dim rows — the distributed-kmeans driver step
+        val byCluster = sums.groupBy(_.getInt(0))
+        centroids = centroids.zipWithIndex.map { case (old, c) =>
+          byCluster.get(c) match {
+            case Some(rows) =>
+              val next = old.clone()
+              rows.foreach { r =>
+                next(r.getInt(1)) = math.floorDiv(r.getLong(2), r.getLong(3))
+              }
+              next
+            case None => old // emptied cluster keeps its centroid
+          }
+        }
+      }
+      KmeansModel(centroids, quantScale)
+    } finally {
+      graft.util.Checkpoints.release(graft.util.Checkpoints.pinnedRddIds(q), df.sparkSession)
+    }
+  }
+
+  /** Assign rows to the nearest FROZEN model centroid: one narrow pass
+    * (k distances per row against broadcast literals), no shuffle, no
+    * driver action — the incremental-batch path. Returns the input +
+    * `cluster` (BIGINT).
+    */
+  def assignWith(model: KmeansModel, df: DataFrame, vecCol: String): DataFrame = {
+    require(!df.columns.contains("cluster"), "df must not contain reserved column cluster")
+    val packed = array(model.centroids.zipWithIndex.map { case (c, i) =>
+      struct(distTo(c).as("d"), lit(i).as("c"))
+    }: _*)
+    df.withColumn("_km_q", quantized(vecCol, model.quantScale))
+      .withColumn("cluster", array_min(packed).getField("c").cast("long"))
+      .drop("_km_q")
+  }
+
   /** (input columns) + `cluster` (BIGINT in 0..k-1): the Lloyd's
     * assignment after `iters` rounds from the deterministic lowest-id
-    * seeds.
+    * seeds — [[kmeansFit]] + [[assignWith]] in one call.
     */
   def kmeansAssign(
       df: DataFrame,
@@ -72,57 +155,8 @@ object Clustering {
       k: Int,
       iters: Int,
       quantScale: Int = 1000
-  ): DataFrame = {
-    require(k >= 1, s"need k >= 1, got $k")
-    require(iters >= 1, s"need iters >= 1, got $iters")
-    require(quantScale >= 1, s"need quantScale >= 1, got $quantScale")
-    require(!df.columns.contains("cluster"), "df must not contain reserved column cluster")
-
-    // pinned once, re-scanned per iteration AND referenced by the
-    // returned plan — storage is freed by Spark's ContextCleaner once the
-    // caller drops the result (the SequencePacking pin lifecycle), so no
-    // explicit release here.
-    val q: DataFrame = graft.util.Checkpoints.pin(
-      df.select(col(idCol).as("_km_id"), quantized(vecCol, quantScale).as("_km_q"))
-    )
-    val seeds = q.orderBy("_km_id").limit(k).collect()
-    require(seeds.length == k, s"need at least k=$k rows, got ${seeds.length}")
-    var centroids: Array[Array[Long]] =
-      seeds.map(_.getSeq[Long](1).toArray)
-    val dim = centroids.head.length
-    require(centroids.forall(_.length == dim), "all vectors must share one dimension")
-
-    def assign(cs: Array[Array[Long]]): DataFrame = {
-      val packed = array(cs.zipWithIndex.map { case (c, i) =>
-        struct(distTo(c).as("d"), lit(i).as("c"))
-      }: _*)
-      q.withColumn("_km_c", array_min(packed).getField("c"))
-    }
-
-    for (_ <- 1 to iters) {
-      val sums = assign(centroids)
-        .select(col("_km_c"), posexplode(col("_km_q")).as(Seq("_km_p", "_km_v")))
-        .groupBy("_km_c", "_km_p")
-        .agg(sum("_km_v").as("s"), count(lit(1)).as("n"))
-        .collect() // <= k*dim rows — the distributed-kmeans driver step
-      val byCluster = sums.groupBy(_.getInt(0))
-      centroids = centroids.zipWithIndex.map { case (old, c) =>
-        byCluster.get(c) match {
-          case Some(rows) =>
-            val next = old.clone()
-            rows.foreach { r =>
-              next(r.getInt(1)) = math.floorDiv(r.getLong(2), r.getLong(3))
-            }
-            next
-          case None => old // emptied cluster keeps its centroid
-        }
-      }
-    }
-
-    val last = assign(centroids)
-      .select(col("_km_id"), col("_km_c").cast("long").as("cluster"))
-    df.join(last, df(idCol) === last("_km_id")).drop("_km_id")
-  }
+  ): DataFrame =
+    assignWith(kmeansFit(df, idCol, vecCol, k, iters, quantScale), df, vecCol)
 
   /** Cluster sizes and mean quantized vector norm — the usual first look
     * at a clustering's balance. One shuffle over (cluster) keys.

@@ -58,6 +58,25 @@ class ClusteringSpec extends AnyFunSuite {
     assert(sizes.toSeq == Seq((0L, 3L), (1L, 3L), (2L, 3L)))
   }
 
+  test("incremental assignment: frozen model labels a new batch like a rerun would") {
+    val model = Clustering.kmeansFit(blobs, "vec_id", "embedding", k = 3, iters = 2)
+    // new batch near the three blob centers
+    val batch = Seq(
+      (100L, Array(0.02f, 0.05f)),
+      (101L, Array(5.05f, 4.95f)),
+      (102L, Array(-5.05f, 5.02f))
+    ).toDF("vec_id", "embedding")
+    val got = Clustering.assignWith(model, batch, "embedding")
+      .select("vec_id", "cluster").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(100L -> 0L, 101L -> 1L, 102L -> 2L), s"got $got")
+    // fit+assign in one call == the two-step path on the SAME data
+    val oneCall = Clustering.kmeansAssign(blobs, "vec_id", "embedding", 3, 2)
+      .select("vec_id", "cluster").collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    val twoStep = Clustering.assignWith(model, blobs, "embedding")
+      .select("vec_id", "cluster").collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    assert(oneCall == twoStep)
+  }
+
   test("semdedup: pairs form only within clusters, above the threshold") {
     // blob A holds a near-duplicate pair (1,4) plus an orthogonal-ish
     // member; blob B parallels blob A's direction but must not pair with
