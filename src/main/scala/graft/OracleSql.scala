@@ -606,6 +606,25 @@ object OracleSql {
          |ORDER BY id_a, id_b""".stripMargin
     },
 
+    "q_snippet" ->
+      // FtsIndex.snippets twin: same tokenization, list_position first
+      // hit, inclusive list_slice window (both engines truncate slices
+      // at the array bounds). Absent-term guard is pos > 0, NOT IS NOT
+      // NULL — DuckDB's list_position returns 0 for a missing element,
+      // matching Spark's array_position
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, CAST(list_position(toks, 'window') AS BIGINT) AS pos, toks
+        |  FROM t WHERE COALESCE(list_position(toks, 'window'), 0) > 0),
+        |s AS (
+        |  SELECT doc_id, pos,
+        |         array_to_string(list_slice(toks, GREATEST(pos - 6, 1), pos + 6), ' ') AS snippet
+        |  FROM h)
+        |SELECT doc_id, pos, snippet FROM s ORDER BY doc_id LIMIT 50""".stripMargin,
+
     "q_bm25" ->
       s"""WITH $bm25Ctes
          |SELECT doc_id, score FROM bm""".stripMargin,

@@ -612,6 +612,18 @@ object SparkEntry {
         k = 10, iters = 3, simFp = 35000000L)
       .orderBy("id_a", "id_b")
 
+  /** Keyword-in-context snippets (FtsIndex.snippets): ±6 tokens around
+    * the first "window" hit per document — the search-result display
+    * string, computed in one narrow pass. Oracle slices the same token
+    * array with list_position/list_slice.
+    */
+  private def qSnippet(s: SparkSession, dir: String): DataFrame =
+    FtsIndex
+      .snippets(t(s, dir, "documents"), "doc_id", "text", "window", 6)
+      .select(col("id").as("doc_id"), col("pos"), col("snippet"))
+      .orderBy("doc_id")
+      .limit(50)
+
   /** SimHash near-dup pairs over documents (rows-only). */
   /** SimHash near-dup pairs over the PORTABLE md5-nibble signature (same
     * signature q_simhash_sig oracle-proved), banded into 13 nibble-groups
@@ -1773,6 +1785,7 @@ object SparkEntry {
     "q_dsir" -> (qDsir _),
     "q_kmeans" -> (qKmeans _),
     "q_semdedup" -> (qSemdedup _),
+    "q_snippet" -> (qSnippet _),
     "q_rrf_hybrid" -> (qRrfHybrid _),
     "q_context_budget" -> (qContextBudget _),
     "q_cascade_delete" -> (qCascadeDelete _),

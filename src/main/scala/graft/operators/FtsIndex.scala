@@ -388,4 +388,37 @@ object FtsIndex {
     ).groupBy("id")
       .agg(count(lit(1)).as("n_pairs"))
   }
+
+  /** Keyword-in-context snippets: for every document containing `term`,
+    * the ±`width`-token window around the FIRST occurrence, joined with
+    * single spaces — the search-result display string. Returns
+    * (id, pos, snippet) with pos = 1-based token position of the hit.
+    *
+    * Pure narrow pass (tokenize, position, slice at the scan — no
+    * explode, no shuffle); the caller typically semi-joins it to a top-k
+    * result, so only k documents ever materialize snippets.
+    */
+  def snippets(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      term: String,
+      width: Int
+  ): DataFrame = {
+    require(width >= 0, s"need width >= 0, got $width")
+    val toks = graft.functions.TextFunctions.ftsTokens(col(textCol))
+    docs
+      .select(col(idCol).as("id"), toks.as("_toks"))
+      .withColumn("pos", array_position(col("_toks"), term))
+      .where(col("pos") > 0)
+      .withColumn("_start", greatest(col("pos") - width, lit(1L)))
+      .select(
+        col("id"),
+        col("pos"),
+        array_join(
+          slice(col("_toks"), col("_start").cast("int"), (col("pos") + width - col("_start") + 1).cast("int")),
+          " "
+        ).as("snippet")
+      )
+  }
 }

@@ -178,4 +178,23 @@ class RetrievalSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(adj == Map(1L -> 1L, 5L -> 1L, 6L -> 1L))
   }
+
+  test("snippets: first-hit window, edge-clamped, tokenizer-normalized") {
+    val docs = Seq(
+      (1L, "a b c hit d e f"),          // centered window
+      (2L, "hit x y z"),                // hit at start: left edge clamps
+      (3L, "p q r s t u v w hit"),      // hit at end: right edge clamps
+      (4L, "no match here"),            // absent: filtered out
+      (5L, "zz hit aa hit bb")          // first occurrence wins
+    ).toDF("doc_id", "text")
+    val got = graft.operators.FtsIndex
+      .snippets(docs, "doc_id", "text", "hit", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toList.sortBy(_._1)
+    assert(got == List(
+      (1L, 4L, "b c hit d e"),
+      (2L, 1L, "hit x y"),
+      (3L, 9L, "v w hit"),
+      (5L, 2L, "zz hit aa hit")
+    ), s"got $got")
+  }
 }
