@@ -625,6 +625,20 @@ object OracleSql {
         |  FROM h)
         |SELECT doc_id, pos, snippet FROM s ORDER BY doc_id LIMIT 50""".stripMargin,
 
+    "q_temperature" -> {
+      // Sampling.temperatureSample twin: keep iff hash32(id)^2 * n_s <
+      // n_min * 2^64 — the squared form of hash/2^32 < sqrt(n_min/n_s),
+      // HUGEINT here / decimal(38,0) in Spark, both exact
+      val hash32 = md5NibbleIntSql("CAST(doc_id AS VARCHAR)", 8)
+      s"""WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+         |m AS (SELECT MIN(n) AS nmin FROM c),
+         |h AS (SELECT doc_id, lang, $hash32 AS h FROM documents)
+         |SELECT h.doc_id, h.lang FROM h JOIN c ON h.lang = c.lang
+         |WHERE CAST(h.h AS HUGEINT) * h.h * c.n
+         |      < CAST((SELECT nmin FROM m) AS HUGEINT) * CAST('18446744073709551616' AS HUGEINT)
+         |ORDER BY h.doc_id""".stripMargin
+    },
+
     "q_bm25" ->
       s"""WITH $bm25Ctes
          |SELECT doc_id, score FROM bm""".stripMargin,

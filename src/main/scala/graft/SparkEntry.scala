@@ -624,6 +624,19 @@ object SparkEntry {
       .orderBy("doc_id")
       .limit(50)
 
+  /** α=1/2 temperature resampling over languages (Sampling
+    * .temperatureSample): surviving allocation ∝ sqrt(n_s), smallest
+    * language kept whole, exact-integer Bernoulli trials (the `source`
+    * strata are exactly uniform in this corpus — lang is the skewed
+    * mixture, en ≈ 3.4x fr). Oracle mirrors the squared-hash comparison
+    * in HUGEINT.
+    */
+  private def qTemperature(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling
+      .temperatureSample(t(s, dir, "documents"), "lang", "doc_id")
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id")
+
   /** SimHash near-dup pairs over documents (rows-only). */
   /** SimHash near-dup pairs over the PORTABLE md5-nibble signature (same
     * signature q_simhash_sig oracle-proved), banded into 13 nibble-groups
@@ -1786,6 +1799,7 @@ object SparkEntry {
     "q_kmeans" -> (qKmeans _),
     "q_semdedup" -> (qSemdedup _),
     "q_snippet" -> (qSnippet _),
+    "q_temperature" -> (qTemperature _),
     "q_rrf_hybrid" -> (qRrfHybrid _),
     "q_context_budget" -> (qContextBudget _),
     "q_cascade_delete" -> (qCascadeDelete _),

@@ -113,6 +113,13 @@ object api {
       phrase: Seq[String]): DataFrame =
     graft.operators.FtsIndex.phraseOccurrences(docs, idCol, textCol, phrase)
 
+  /** Keyword-in-context display snippets around the first term hit
+    * (see FtsIndex.snippets).
+    */
+  def snippets(docs: DataFrame, idCol: String, textCol: String,
+      term: String, width: Int = 6): DataFrame =
+    graft.operators.FtsIndex.snippets(docs, idCol, textCol, term, width)
+
   /** Score documents by similarity to a target corpus' hashed n-gram
     * distribution — DSIR-style data selection (see ImportanceSampling).
     */

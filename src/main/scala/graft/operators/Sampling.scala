@@ -139,4 +139,41 @@ object Sampling {
       .where(col("rn_balance") <= perStratum)
       .drop("rn_balance")
   }
+
+  /** Temperature-based mixture resampling at α = 1/2 — the multilingual /
+    * multi-source pre-training recipe (sample stratum s proportionally to
+    * n_s^α instead of n_s, flattening dominant sources while keeping rare
+    * ones whole). Downsample-only: the smallest stratum keeps rate 1 and
+    * every other stratum keeps rate sqrt(n_min / n_s), so the surviving
+    * allocation is ∝ sqrt(n_s).
+    *
+    * The Bernoulli trial is EXACT INTEGER arithmetic — no sqrt, no
+    * floating point: keep row i of stratum s  ⟺
+    * `hash32(id_i)² * n_s < n_min * 2^64`
+    * (squaring both sides of hash/2^32 < sqrt(n_min/n_s); decimal(38,0)
+    * products, exact for n_s < ~5e18). Deterministic in the row id —
+    * partition-independent, retry-safe, engine-portable, same reasoning
+    * as [[hashBucket]]/[[weightedBernoulli]].
+    *
+    * Scale shape: one count aggregation over the stratum key (tiny
+    * result, broadcast back) + a 1-row broadcast minimum; the trial
+    * itself is a scan-side filter — no shuffle of the data rows.
+    */
+  def temperatureSample(
+      df: DataFrame,
+      stratumCol: String,
+      idCol: String
+  ): DataFrame = {
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("_ts_n"))
+    val minN = counts.agg(min("_ts_n").as("_ts_min"))
+    val two64 = lit("18446744073709551616").cast("decimal(38,0)")
+    val keep = graft.functions.TextFunctions.bindOnce(
+      Sketches.md5Hash32(col(idCol)).cast("decimal(38,0)"),
+      h => h * h * col("_ts_n").cast("decimal(38,0)") < col("_ts_min").cast("decimal(38,0)") * two64
+    )
+    df.join(broadcast(counts), stratumCol)
+      .crossJoin(broadcast(minN))
+      .where(keep)
+      .drop("_ts_n", "_ts_min")
+  }
 }

@@ -83,6 +83,26 @@ class SamplingSpec extends AnyFunSuite {
     assert(sets(0).size < sets(2).size, "higher rate must actually add rows")
   }
 
+  test("temperature sampling: sqrt allocation, smallest stratum whole, partition-independent") {
+    // strata of 1600 / 400 / 100 rows: keep rates 1/4, 1/2, 1 ->
+    // expected survivors ~400 / ~200 / 100 (sqrt-proportional: 4:2:1)
+    val skewed = ((1L to 1600L).map(i => (i, "big")) ++
+      (2001L to 2400L).map(i => (i, "mid")) ++
+      (3001L to 3100L).map(i => (i, "rare"))).toDF("id", "stratum")
+    val kept = Sampling.temperatureSample(skewed, "stratum", "id")
+      .groupBy("stratum").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("rare") == 100L, s"smallest stratum must survive whole: $kept")
+    assert(math.abs(kept("big") - 400.0) < 60, s"big ~ 1600*sqrt(100/1600) = 400: $kept")
+    assert(math.abs(kept("mid") - 200.0) < 40, s"mid ~ 400*sqrt(100/400) = 200: $kept")
+
+    // deterministic under repartitioning
+    val a = Sampling.temperatureSample(skewed.repartition(1), "stratum", "id")
+      .select("id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.temperatureSample(skewed.repartition(13), "stratum", "id")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+  }
+
   test("balanceStrata: exact per-stratum counts, deterministic, short strata kept whole") {
     val df = ((1 to 100).map(i => (i.toLong, "big")) ++
       (101 to 103).map(i => (i.toLong, "small"))).toDF("id", "g")
