@@ -133,7 +133,7 @@ object OracleSql {
     * previous centroid via the LEFT JOIN. Everything MATERIALIZED —
     * DuckDB inlines plain CTEs and each a_i is referenced downstream.
     */
-  private val kmeansCtes: String = {
+  private def kmeansCtes(srcWhere: String = ""): String = {
     def assignCte(name: String, prev: String, withQ: Boolean) =
       s"""$name AS MATERIALIZED (
          |  SELECT vec_id, ${if (withQ) "q, " else ""}cid FROM (
@@ -157,7 +157,7 @@ object OracleSql {
     s"""q AS MATERIALIZED (
        |  SELECT vec_id,
        |         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS q
-       |  FROM embeddings),
+       |  FROM embeddings$srcWhere),
        |c0 AS MATERIALIZED (
        |  SELECT rn - 1 AS cid, q AS c FROM (
        |    SELECT vec_id, q, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn FROM q)
@@ -578,7 +578,7 @@ object OracleSql {
     },
 
     "q_kmeans" ->
-      s"""WITH $kmeansCtes
+      s"""WITH ${kmeansCtes()}
          |SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM a4 ORDER BY vec_id""".stripMargin,
 
     "q_semdedup" -> {
@@ -591,8 +591,8 @@ object OracleSql {
       val iqExpr = (1 to dim)
         .map(j => s"CAST(FLOOR(e[$j]/sqrt(ss)*10000) AS BIGINT)").mkString(", ")
       val dotAB = (1 to dim).map(j => s"va.v[$j]*vb.v[$j]").mkString(" + ")
-      s"""WITH $kmeansCtes,
-         |srcn AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      s"""WITH ${kmeansCtes(" WHERE vec_id < 2000")},
+         |srcn AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id < 2000),
          |nq AS (SELECT vec_id, e, ($ssExpr) AS ss FROM srcn),
          |nv AS MATERIALIZED (SELECT vec_id, [$iqExpr] AS v FROM nq WHERE ss > 0),
          |pairs AS (
@@ -637,6 +637,21 @@ object OracleSql {
          |WHERE CAST(h.h AS HUGEINT) * h.h * c.n
          |      < CAST((SELECT nmin FROM m) AS HUGEINT) * CAST('18446744073709551616' AS HUGEINT)
          |ORDER BY h.doc_id""".stripMargin
+    },
+
+    "q_negatives" -> {
+      // Sampling.negativePairs twin: 0-based rank in doc_id order,
+      // hash32(anchor#j) mod (N-1), skip-self shift, join back by rank
+      val hash32j = md5NibbleIntSql("CAST(anchor AS VARCHAR) || '#' || CAST(j AS VARCHAR)", 8)
+      s"""WITH r AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS pos FROM documents),
+         |n AS (SELECT COUNT(*) AS n FROM documents),
+         |d AS (SELECT r.doc_id AS anchor, r.pos AS apos, j.j
+         |      FROM r CROSS JOIN (SELECT UNNEST(range(1, 3)) AS j) j),
+         |t AS (SELECT anchor, apos, j, ($hash32j) % ((SELECT n FROM n) - 1) AS tr FROM d),
+         |s AS (SELECT anchor, j, CASE WHEN tr >= apos THEN tr + 1 ELSE tr END AS tpos FROM t)
+         |SELECT s.anchor, CAST(s.j AS BIGINT) AS j, r2.doc_id AS negative
+         |FROM s JOIN r r2 ON s.tpos = r2.pos
+         |ORDER BY s.anchor, s.j""".stripMargin
     },
 
     "q_bm25" ->

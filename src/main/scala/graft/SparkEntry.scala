@@ -604,11 +604,18 @@ object SparkEntry {
     * the shared 10-cluster k-means assignment blocks the pair space,
     * integer dots of normalized quantized vectors >= 0.35*1e8 qualify.
     * Oracle shares the unrolled k-means CTEs with q_kmeans.
+    *
+    * Bench-inventory cap (the q_embed_neardup precedent): fixed k with a
+    * growing corpus makes the within-cluster pair stage quadratic, so
+    * THIS query bounds its input to vec_id < 2000 (a pushed-down
+    * predicate). The production contract is k ∝ n — SemDeDup's cluster
+    * count scales with the corpus so per-cluster pair work stays flat.
     */
   private def qSemdedup(s: SparkSession, dir: String): DataFrame =
     graft.operators.Clustering
       .withinClusterNearDupPairs(
-        t(s, dir, "embeddings"), "vec_id", "embedding",
+        t(s, dir, "embeddings").where(col("vec_id") < 2000),
+        "vec_id", "embedding",
         k = 10, iters = 3, simFp = 35000000L)
       .orderBy("id_a", "id_b")
 
@@ -636,6 +643,17 @@ object SparkEntry {
       .temperatureSample(t(s, dir, "documents"), "lang", "doc_id")
       .select(col("doc_id"), col("lang"))
       .orderBy("doc_id")
+
+  /** Deterministic uniform negative sampling (Sampling.negativePairs):
+    * 2 contrastive negatives per anchor document, md5-arithmetic draws
+    * over the distributed id-order rank. Oracle mirrors the rank, the
+    * (id#j) hash, and the skip-self shift.
+    */
+  private def qNegatives(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling
+      .negativePairs(t(s, dir, "documents"), "doc_id", k = 2)
+      .select(col("anchor"), col("j"), col("negative"))
+      .orderBy("anchor", "j")
 
   /** SimHash near-dup pairs over documents (rows-only). */
   /** SimHash near-dup pairs over the PORTABLE md5-nibble signature (same
@@ -1800,6 +1818,7 @@ object SparkEntry {
     "q_semdedup" -> (qSemdedup _),
     "q_snippet" -> (qSnippet _),
     "q_temperature" -> (qTemperature _),
+    "q_negatives" -> (qNegatives _),
     "q_rrf_hybrid" -> (qRrfHybrid _),
     "q_context_budget" -> (qContextBudget _),
     "q_cascade_delete" -> (qCascadeDelete _),

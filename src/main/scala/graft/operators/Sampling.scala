@@ -176,4 +176,74 @@ object Sampling {
       .where(keep)
       .drop("_ts_n", "_ts_min")
   }
+
+  /** Deterministic uniform negative sampling — the contrastive-training
+    * set constructor: for every anchor row, `k` pseudo-random partner
+    * ids drawn uniformly from the OTHER rows, reproducible across
+    * engines, partitionings, and retries (no RNG state; the draw is md5
+    * arithmetic on (id, j)).
+    *
+    * Draw j for anchor a: `target = hash32(id_a # j) mod (N-1)`, then
+    * targets at or past a's own position shift up by one — a uniform
+    * draw over the N-1 non-self positions. Positions come from a
+    * DISTRIBUTED two-pass rank over `idCol` order (range-partition,
+    * rank within partitions, add per-partition offsets — the
+    * SequencePacking/qNtile shape, never an unpartitioned window's
+    * single-task sort). Returns (anchor, j, negative).
+    *
+    * Scale shape: the rank table is (id, rank) only; the k-fold explode
+    * carries (anchor rank, j, target rank) and equi-joins back on the
+    * uniform rank key. Two row-sized shuffles + a 1-row broadcast count
+    * — no quadratics anywhere.
+    */
+  def negativePairs(
+      df: DataFrame,
+      idCol: String,
+      k: Int,
+      partitions: Int = 0
+  ): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    val spark = df.sparkSession
+    val nParts =
+      if (partitions > 0) partitions
+      else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val ranged = graft.util.Checkpoints.pin(
+      df.select(col(idCol).as("_np_id"))
+        .repartitionByRange(nParts, col("_np_id"))
+        .withColumn("_np_pid", spark_partition_id())
+    )
+    val partCounts = ranged.groupBy("_np_pid").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val n = partCounts.values.sum
+    require(n >= 2, s"need at least 2 rows, got $n")
+    val offsets = {
+      var acc = 0L
+      (0 until nParts).map { p =>
+        val o = acc; acc += partCounts.getOrElse(p, 0L); p -> o
+      }.toMap
+    }
+    val offsetCol = offsets.foldLeft(lit(0L)) { case (acc, (p, o)) =>
+      when(col("_np_pid") === p, lit(o)).otherwise(acc)
+    }
+    val pw = org.apache.spark.sql.expressions.Window
+      .partitionBy("_np_pid").orderBy("_np_id")
+    // 0-based global position in id order
+    val ranks = ranged
+      .withColumn("_np_pos", row_number().over(pw).cast("long") + offsetCol - 1L)
+      .select(col("_np_id"), col("_np_pos"))
+    val draws = ranks
+      .select(
+        col("_np_id").as("anchor"), col("_np_pos").as("_np_apos"),
+        explode(sequence(lit(1), lit(k))).as("j")
+      )
+      .withColumn(
+        "_np_t",
+        Sketches.md5Hash32(concat_ws("#", col("anchor"), col("j"))) % (n - 1L)
+      )
+      // skip-self shift: targets >= own position move up one
+      .withColumn("_np_tpos", when(col("_np_t") >= col("_np_apos"), col("_np_t") + 1L).otherwise(col("_np_t")))
+    draws
+      .join(ranks.select(col("_np_id").as("negative"), col("_np_pos")), col("_np_tpos") === col("_np_pos"))
+      .select(col("anchor"), col("j").cast("long").as("j"), col("negative"))
+  }
 }

@@ -103,6 +103,21 @@ class SamplingSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("negative sampling: k non-self negatives per anchor, deterministic, well-spread") {
+    val ids = (1L to 200L).map(i => Tuple1(i * 7)).toDF("id") // non-dense ids
+    val neg = Sampling.negativePairs(ids, "id", k = 3)
+    val rows = neg.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == 600, s"3 draws per anchor: ${rows.length}")
+    assert(rows.forall { case (a, _, n) => a != n }, "no self-negatives")
+    assert(rows.map { case (a, j, _) => (a, j) }.distinct.length == 600)
+    // uniform-ish spread: many distinct negatives drawn overall
+    assert(rows.map(_._3).distinct.length > 120, "draws must cover the corpus")
+    // partition independence
+    val b = Sampling.negativePairs(ids.repartition(11), "id", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows.toSet == b)
+  }
+
   test("balanceStrata: exact per-stratum counts, deterministic, short strata kept whole") {
     val df = ((1 to 100).map(i => (i.toLong, "big")) ++
       (101 to 103).map(i => (i.toLong, "small"))).toDF("id", "g")
