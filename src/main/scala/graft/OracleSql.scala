@@ -933,6 +933,18 @@ object OracleSql {
         |FROM (SELECT * FROM embeddings WHERE vec_id < 5) a CROSS JOIN embeddings b
         |GROUP BY a.vec_id ORDER BY query_id""".stripMargin,
 
+    "q_hard_negatives" ->
+      // VectorSearch.hardNegatives twin: label-excluded cross join,
+      // ranked exactly like q_ann_batch (cosine DESC, id ASC)
+      """SELECT a.vec_id AS anchor_id,
+        |  array_to_string((LIST(b.vec_id ORDER BY
+        |     list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) DESC,
+        |     b.vec_id))[1:3], ',') AS ids
+        |FROM (SELECT * FROM embeddings WHERE vec_id < 5) a
+        |CROSS JOIN embeddings b
+        |WHERE a.label <> b.label
+        |GROUP BY a.vec_id ORDER BY anchor_id""".stripMargin,
+
     "q_curation" ->
       s"""WITH $curationCte
          |SELECT doc_id, pred_lang, quality, token_est FROM curated ORDER BY doc_id""".stripMargin,

@@ -1001,6 +1001,24 @@ object SparkEntry {
       .orderBy("query_id")
   }
 
+  /** Hard-negative mining (VectorSearch.hardNegatives): for anchors
+    * vec_id < 5, the 3 most-cosine-similar vectors with a DIFFERENT
+    * label — the contrastive-training "looks relevant but is not"
+    * signal. Oracle ranks the label-excluded cross join.
+    */
+  private def qHardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    VectorSearch
+      .hardNegatives(
+        emb.where(col("vec_id") < 5), emb,
+        "vec_id", "embedding", "label", "vec_id", "embedding", "label", 3)
+      .select(
+        col("anchor_id"),
+        expr("array_join(transform(top, x -> cast(x.id as string)), ',')").as("ids")
+      )
+      .orderBy("anchor_id")
+  }
+
   /** LLM corpus curation composite: language filter + quality gate +
     * exact dedup + token accounting in one declarative plan.
     */
@@ -1819,6 +1837,7 @@ object SparkEntry {
     "q_snippet" -> (qSnippet _),
     "q_temperature" -> (qTemperature _),
     "q_negatives" -> (qNegatives _),
+    "q_hard_negatives" -> (qHardNegatives _),
     "q_rrf_hybrid" -> (qRrfHybrid _),
     "q_context_budget" -> (qContextBudget _),
     "q_cascade_delete" -> (qCascadeDelete _),

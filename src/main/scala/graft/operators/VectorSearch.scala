@@ -282,6 +282,42 @@ object VectorSearch {
       .select(col("query_id"), col("top"))
   }
 
+  /** Hard-negative mining for contrastive retrieval training: for every
+    * anchor, the `k` corpus vectors MOST similar by cosine whose label
+    * differs from the anchor's — the "looks relevant but is not" training
+    * signal (vs [[Sampling.negativePairs]]' uniform easy negatives).
+    *
+    * Same shape as [[topKBatch]]: the anchor batch broadcasts against a
+    * single corpus scan, the label exclusion is a narrow post-join
+    * filter, and per-anchor selection runs in [[graft.plans.TopKBy]]
+    * bounded heaps (map-side partial, no per-anchor sort). Anchor
+    * cardinality is query-batch-sized by contract.
+    *
+    * Returns (anchor_id, top) with top = [(score, id)] ranked best-first.
+    */
+  def hardNegatives(
+      anchors: DataFrame,
+      corpus: DataFrame,
+      anchorIdCol: String,
+      anchorVecCol: String,
+      anchorLabelCol: String,
+      corpusIdCol: String,
+      corpusVecCol: String,
+      corpusLabelCol: String,
+      k: Int
+  ): DataFrame = {
+    val q = anchors.select(
+      col(anchorIdCol).as("anchor_id"), col(anchorVecCol).as("qv"), col(anchorLabelCol).as("_hn_ql"))
+    val c = corpus.select(
+      col(corpusIdCol).as("corpus_id"), col(corpusVecCol).as("cv"), col(corpusLabelCol).as("_hn_cl"))
+    q.crossJoin(c)
+      .where(col("_hn_ql") =!= col("_hn_cl"))
+      .withColumn("score", VectorFunctions.cosineSim(col("qv"), col("cv")))
+      .groupBy("anchor_id")
+      .agg(graft.plans.TopKBy.topKBy(col("score"), col("corpus_id"), k).as("top"))
+      .select(col("anchor_id"), col("top"))
+  }
+
   /** Random-hyperplane (SimHash) LSH for cosine distance.
     *
     * `nBits` hyperplanes with deterministic pseudo-random components give

@@ -179,6 +179,22 @@ class RetrievalSpec extends AnyFunSuite {
     assert(adj == Map(1L -> 1L, 5L -> 1L, 6L -> 1L))
   }
 
+  test("hard negatives: same-label excluded, nearest different-label ranked first") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), 0),   // anchor, label 0
+      (1L, Array(0.99f, 0.1f), 0),  // same label: excluded even though nearest
+      (2L, Array(0.9f, 0.2f), 1),   // different label, very close -> rank 1
+      (3L, Array(0.5f, 0.8f), 1),   // different label, farther -> rank 2
+      (4L, Array(-1.0f, 0.0f), 2)   // different label, opposite -> rank 3
+    ).toDF("vec_id", "embedding", "label")
+    val got = graft.operators.VectorSearch
+      .hardNegatives(emb.where($"vec_id" === 0), emb,
+        "vec_id", "embedding", "label", "vec_id", "embedding", "label", 3)
+      .selectExpr("anchor_id", "transform(top, x -> x.id) AS ids")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    assert(got == Map(0L -> List(2L, 3L, 4L)), s"got $got")
+  }
+
   test("snippets: first-hit window, edge-clamped, tokenizer-normalized") {
     val docs = Seq(
       (1L, "a b c hit d e f"),          // centered window
