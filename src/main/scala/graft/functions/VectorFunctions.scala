@@ -114,6 +114,75 @@ object VectorFunctions {
   }
 
   /** Column API: cosine similarity of two array<float> / array<double> columns. */
+  /** Integer dot product over two array<bigint> columns — the codegen'd
+    * kernel behind the fixed-point similarity paths (semdedup pair
+    * scoring, MMR twins). Exact BIGINT arithmetic, bit-identical to the
+    * `aggregate(zip_with(...))` fold it replaces (long addition is
+    * associative), but a tight generated loop instead of an interpreted
+    * higher-order lambda per element.
+    *
+    * Caller contract: inputs are QUANTIZED vectors (|v| <= ~2e4 at the
+    * standard scales), so products are far from Long range. Unlike the
+    * ANSI fold, this raw-Java kernel would wrap silently on overflow —
+    * keep it on quantized inputs, never raw counters.
+    */
+  case class LongDot(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = LongType
+    override def nullIntolerant: Boolean = true
+
+    override def nullSafeEval(l: Any, r: Any): Any =
+      VectorFunctions.longDot(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = graft.functions.VectorFunctions.longDot($a, $b);")
+
+    override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  def longDot(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) { s += a.getLong(i) * b.getLong(i); i += 1 }
+    s
+  }
+
+  /** Integer squared L2 distance over two array<bigint> columns — the
+    * codegen'd kernel behind the fixed-point k-means assignment.
+    */
+  case class LongSqDist(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = LongType
+    override def nullIntolerant: Boolean = true
+
+    override def nullSafeEval(l: Any, r: Any): Any =
+      VectorFunctions.longSqDist(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = graft.functions.VectorFunctions.longSqDist($a, $b);")
+
+    override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  def longSqDist(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) { val d = a.getLong(i) - b.getLong(i); s += d * d; i += 1 }
+    s
+  }
+
+  /** Column API: integer dot over array<bigint>. */
+  def longDotCol(a: Column, b: Column): Column =
+    graftbridge.column(LongDot(graftbridge.expression(a), graftbridge.expression(b)))
+
+  /** Column API: integer squared L2 distance over array<bigint>. */
+  def longSqDistCol(a: Column, b: Column): Column =
+    graftbridge.column(LongSqDist(graftbridge.expression(a), graftbridge.expression(b)))
+
   def cosineSim(a: Column, b: Column): Column =
     graftbridge.column(
       CosineSimilarity(graftbridge.expression(a), graftbridge.expression(b))

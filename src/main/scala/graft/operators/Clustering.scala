@@ -52,14 +52,13 @@ object Clustering {
     expr(s"transform($vecCol, x -> cast(floor(cast(x as double) * $quantScale.0D) as bigint))")
 
   /** Integer squared L2 distance from the quantized row vector to one
-    * centroid literal.
+    * centroid literal — the codegen'd
+    * [[graft.functions.VectorFunctions.LongSqDist]] kernel (a tight
+    * generated loop; the interpreted aggregate/zip_with fold computed
+    * the identical sum ~3x slower).
     */
   private def distTo(c: Array[Long]): Column =
-    aggregate(
-      zip_with(col("_km_q"), typedLit(c.toSeq), (a, b) => (a - b) * (a - b)),
-      lit(0L),
-      (acc, x) => acc + x
-    )
+    graft.functions.VectorFunctions.longSqDistCol(col("_km_q"), typedLit(c.toSeq))
 
   /** Trained centroids — plain data, serializable, the unit of
     * incremental reuse: fit once at ingest, [[assignWith]] every later
@@ -221,7 +220,7 @@ object Clustering {
     a.join(b, col("cluster") === col("_sd_cb") && col("id_a") < col("id_b"))
       .withColumn(
         "sim_fp",
-        aggregate(zip_with(col("_sd_va"), col("_sd_vb"), (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+        graft.functions.VectorFunctions.longDotCol(col("_sd_va"), col("_sd_vb"))
       )
       .where(col("sim_fp") >= simFp)
       .select("id_a", "id_b", "sim_fp", "cluster")

@@ -59,6 +59,22 @@ class ImportanceSamplingSpec extends AnyFunSuite {
     assert(w.nonEmpty && w.values.forall(_ >= 0L))
   }
 
+  test("slice weights == two-frame weights when target is a raw slice") {
+    val tagged = Seq(
+      (1L, "quantum field theory explains particle interactions", true),
+      (2L, "buy cheap pills now best price", false),
+      (3L, "quantum mechanics and field equations", true),
+      (4L, "click here free offer limited", false)
+    ).toDF("doc_id", "text", "is_sci")
+    val twoFrame = ImportanceSampling
+      .ratioWeights(tagged, "text", tagged.where($"is_sci"), "text", n = 2, buckets = 128)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val onePass = ImportanceSampling
+      .ratioWeightsSlice(tagged, "text", $"is_sci", n = 2, buckets = 128)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(twoFrame == onePass)
+  }
+
   test("log-ratio weights order buckets the same way as ratio weights") {
     val r = ImportanceSampling
       .ratioWeights(raw, "text", target, "ttext", n = 2, buckets = 64, scale = 1000000L)

@@ -42,6 +42,28 @@ class VectorFunctionsSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
   }
 
+  test("integer dot and squared-distance kernels match the fold they replace") {
+    val df = Seq(
+      (Seq(3L, -2L, 7L), Seq(10L, 4L, -1L)),
+      (Seq(0L, 0L, 0L), Seq(5L, 5L, 5L)),
+      (Seq(-20000L, 19999L, 12345L), Seq(20000L, -19999L, 9999L)) // quantization envelope
+    ).toDF("a", "b")
+    val got = df.select(
+      VectorFunctions.longDotCol(col("a"), col("b")).as("d"),
+      VectorFunctions.longSqDistCol(col("a"), col("b")).as("s"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y), lit(0L), (acc, x) => acc + x).as("dRef"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x).as("sRef")
+    ).collect()
+    got.foreach { r =>
+      assert(r.getLong(0) == r.getLong(2), s"dot mismatch: $r")
+      assert(r.getLong(1) == r.getLong(3), s"sqdist mismatch: $r")
+    }
+    // null-safe: null array -> null result
+    val nulls = Seq((Some(Seq(1L)), Option.empty[Seq[Long]])).toDF("a", "b")
+      .select(VectorFunctions.longDotCol(col("a"), col("b"))).collect()
+    assert(nulls.head.isNullAt(0))
+  }
+
   test("dot product equals cosine for unit vectors, within fp tolerance") {
     val e = graft.operators.HashingEmbedder(32)
     val df = Seq("alpha beta gamma", "delta epsilon", "zeta eta theta words")
