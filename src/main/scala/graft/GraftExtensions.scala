@@ -30,6 +30,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     )
     ext.injectFunction(
       (
+        FunctionIdentifier("long_dot"),
+        new ExpressionInfo(classOf[VectorFunctions.LongDot].getName, "long_dot"),
+        (children: Seq[Expression]) => VectorFunctions.LongDot(children(0), children(1))
+      )
+    )
+    ext.injectFunction(
+      (
+        FunctionIdentifier("long_sq_dist"),
+        new ExpressionInfo(classOf[VectorFunctions.LongSqDist].getName, "long_sq_dist"),
+        (children: Seq[Expression]) => VectorFunctions.LongSqDist(children(0), children(1))
+      )
+    )
+    ext.injectFunction(
+      (
         FunctionIdentifier("top_k_by"),
         new ExpressionInfo(classOf[TopKBy].getName, "top_k_by"),
         TopKBy.sqlBuilder

@@ -33,6 +33,10 @@ class ExtensionsSpec extends AnyFunSuite {
           |GROUP BY g""".stripMargin
       ).head().getSeq[Long](1)
       assert(topk == Seq(11L, 12L))
+      val ld = spark.sql(
+        "SELECT long_dot(array(3L,-2L), array(10L,4L)) AS d, long_sq_dist(array(1L,5L), array(4L,1L)) AS s"
+      ).head()
+      assert(ld.getLong(0) == 22L && ld.getLong(1) == 25L)
       // 3-arg form with a non-literal arg must fail cleanly, not with an
       // internal eval error
       val err = intercept[Exception] {
