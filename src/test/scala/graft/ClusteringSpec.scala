@@ -77,6 +77,31 @@ class ClusteringSpec extends AnyFunSuite {
     assert(oneCall == twoStep)
   }
 
+  test("streaming: frozen model labels micro-batches via foreachBatch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx = spark.sqlContext
+    val model = Clustering.kmeansFit(blobs, "vec_id", "embedding", k = 3, iters = 2)
+    val input = MemoryStream[(Long, Array[Float])]
+    val labeled = scala.collection.mutable.Map[Long, Long]()
+    val q = input.toDF().toDF("vec_id", "embedding")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        Clustering.assignWith(model, batch, "embedding")
+          .select("vec_id", "cluster").collect()
+          .foreach(r => labeled.synchronized { labeled(r.getLong(0)) = r.getLong(1) })
+      }
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      input.addData((200L, Array(0.1f, 0.05f)), (201L, Array(5.0f, 5.1f)))
+      q.processAllAvailable()
+      input.addData((202L, Array(-5.0f, 5.0f)))
+      q.processAllAvailable()
+      assert(labeled.toMap == Map(200L -> 0L, 201L -> 1L, 202L -> 2L), s"got $labeled")
+    } finally q.stop()
+  }
+
   test("semdedup: pairs form only within clusters, above the threshold") {
     // blob A holds a near-duplicate pair (1,4) plus an orthogonal-ish
     // member; blob B parallels blob A's direction but must not pair with
