@@ -1518,6 +1518,78 @@ object OracleSql {
         |SELECT a.okey AS okey_a, b.okey AS okey_b, a.lo AS lo_a, b.lo AS lo_b
         |FROM o a JOIN o b
         |  ON GREATEST(a.lo, b.lo) < LEAST(a.hi, b.hi) AND a.okey < b.okey
-        |ORDER BY okey_a, okey_b""".stripMargin
+        |ORDER BY okey_a, okey_b""".stripMargin,
+
+    "q_train_order" ->
+      """WITH ranked AS (
+        |  SELECT doc_id,
+        |         ROW_NUMBER() OVER (ORDER BY md5('r5:' || CAST(doc_id AS VARCHAR)),
+        |                            CAST(doc_id AS VARCHAR)) AS pos
+        |  FROM documents)
+        |SELECT doc_id, pos, (pos - 1) % 4 AS shard
+        |FROM ranked ORDER BY pos""".stripMargin,
+
+    "q_zorder" -> {
+      // 16-bit -> 32-bit Morton bit-spread, unrolled magic-mask ladder;
+      // BIGINT from the first step (the final <<1 overflows INT32)
+      def zspread(e: String): String = {
+        val x0 = s"((CAST(($e) AS BIGINT)) & 65535)"
+        val x1 = s"((($x0 | ($x0 << 8)) & 16711935))"
+        val x2 = s"((($x1 | ($x1 << 4)) & 252645135))"
+        val x3 = s"((($x2 | ($x2 << 2)) & 858993459))"
+        s"((($x3 | ($x3 << 1)) & 1431655765))"
+      }
+      s"""SELECT o_orderkey,
+         |  (${zspread("o_custkey")} | (${zspread("o_orderkey")} << 1)) AS zval
+         |FROM orders ORDER BY zval, o_orderkey LIMIT 50""".stripMargin
+    },
+
+    "q_unigram_surprisal" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         UNNEST(list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+        |                            x -> len(x) > 0)) AS word
+        |  FROM documents),
+        |counts AS (SELECT word, COUNT(*) AS cnt FROM toks GROUP BY word),
+        |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_total FROM counts),
+        |per_doc AS (
+        |  SELECT doc_id, COUNT(*) AS n_toks,
+        |         CAST(SUM(len(bin(n_total)) - len(bin(cnt))) AS BIGINT) AS surprisal_bits
+        |  FROM toks JOIN counts USING (word), tot
+        |  GROUP BY doc_id)
+        |SELECT doc_id, n_toks, surprisal_bits,
+        |       (surprisal_bits * 10000) // n_toks AS mean_surprisal_fp
+        |FROM per_doc ORDER BY doc_id""".stripMargin,
+
+    "q_incremental_lsh" ->
+      """WITH d AS (SELECT doc_id AS id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+        |           FROM documents WHERE doc_id < 300),
+        |w AS (SELECT id, string_split(norm, ' ') AS wrds FROM d),
+        |g0 AS (SELECT id, list_distinct(list_transform(range(1, CAST(GREATEST(len(wrds) - 2, 0) AS BIGINT) + 1),
+        |         i -> wrds[i] || ' ' || wrds[i+1] || ' ' || wrds[i+2])) AS sh FROM w),
+        |grams AS (SELECT id, UNNEST(sh) AS gram FROM g0 WHERE len(sh) > 0),
+        |mh AS (SELECT id, seed, MIN(md5(CAST(seed AS VARCHAR) || ':' || gram)) AS h
+        |       FROM grams, UNNEST([0,1,2,3,4,5,6,7]) AS t(seed) GROUP BY id, seed),
+        |sig AS (SELECT id,
+        |          MAX(CASE WHEN seed=0 THEN h END) AS h0, MAX(CASE WHEN seed=1 THEN h END) AS h1,
+        |          MAX(CASE WHEN seed=2 THEN h END) AS h2, MAX(CASE WHEN seed=3 THEN h END) AS h3,
+        |          MAX(CASE WHEN seed=4 THEN h END) AS h4, MAX(CASE WHEN seed=5 THEN h END) AS h5,
+        |          MAX(CASE WHEN seed=6 THEN h END) AS h6, MAX(CASE WHEN seed=7 THEN h END) AS h7
+        |        FROM mh GROUP BY id),
+        |bands AS (SELECT id, 0 AS b, h0 || '|' || h1 || '|' || h2 || '|' || h3 AS bk FROM sig
+        |          UNION ALL
+        |          SELECT id, 1 AS b, h4 || '|' || h5 || '|' || h6 || '|' || h7 AS bk FROM sig),
+        |cand AS (SELECT DISTINCT LEAST(a.id, b.id) AS id_a, GREATEST(a.id, b.id) AS id_b
+        |         FROM bands a JOIN bands b
+        |           ON a.b = b.b AND a.bk = b.bk AND a.id <> b.id AND b.id >= 150),
+        |est AS (SELECT c.id_a, c.id_b,
+        |          ((CASE WHEN sa.h0=sb.h0 THEN 1 ELSE 0 END) + (CASE WHEN sa.h1=sb.h1 THEN 1 ELSE 0 END)
+        |         + (CASE WHEN sa.h2=sb.h2 THEN 1 ELSE 0 END) + (CASE WHEN sa.h3=sb.h3 THEN 1 ELSE 0 END)
+        |         + (CASE WHEN sa.h4=sb.h4 THEN 1 ELSE 0 END) + (CASE WHEN sa.h5=sb.h5 THEN 1 ELSE 0 END)
+        |         + (CASE WHEN sa.h6=sb.h6 THEN 1 ELSE 0 END) + (CASE WHEN sa.h7=sb.h7 THEN 1 ELSE 0 END)) AS matches
+        |        FROM cand c JOIN sig sa ON sa.id = c.id_a JOIN sig sb ON sb.id = c.id_b)
+        |SELECT id_a, id_b, CAST(matches AS DOUBLE) / 8 AS est_jaccard
+        |FROM est WHERE CAST(matches AS DOUBLE) / 8 >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin
   )
 }

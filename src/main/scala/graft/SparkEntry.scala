@@ -1796,6 +1796,48 @@ object SparkEntry {
       .limit(20)
   }
 
+  /** Deterministic training-order shuffle + shard assignment
+    * (TrainingOrder): md5-keyed permutation, exact distributed rank,
+    * round-robin shards.
+    */
+  private def qTrainOrder(s: SparkSession, dir: String): DataFrame =
+    TrainingOrder.shuffled(
+      t(s, dir, "documents").select("doc_id"), "doc_id", "r5", 4)
+      .select(col("doc_id"), col("pos"), col("shard"))
+      .orderBy("pos")
+
+  /** Z-order (Morton) clustering key for 2-D scan locality (Layout):
+    * bit-spread ladder as plain BIGINT column algebra.
+    */
+  private def qZorder(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        Layout.zorder2(col("o_custkey"), col("o_orderkey")).as("zval"))
+      .orderBy("zval", "o_orderkey")
+      .limit(50)
+
+  /** Integer-exact unigram surprisal quality score (TextAnalysis) — the
+    * whole-bit analog of the CCNet perplexity filter.
+    */
+  private def qUnigramSurprisal(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.unigramSurprisal(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+
+  /** Incremental near-dup: new batch (doc_id in [150, 300)) against the
+    * persisted signature index of the existing corpus (doc_id < 150) —
+    * signature-agreement Jaccard estimate, no old-text access.
+    */
+  private def qIncrementalLsh(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").where(col("doc_id") < 300)
+    val index = Dedup.minhashSignaturePortable(
+      docs.where(col("doc_id") < 150), "doc_id", "text")
+    val batch = Dedup.minhashSignaturePortable(
+      docs.where(col("doc_id") >= 150), "doc_id", "text")
+    Dedup.incrementalSigPairs(index, batch, bandSize = 4, minEst = 0.5)
+      .orderBy("id_a", "id_b")
+  }
+
   // =====================================================================
   // Contract maps
   // =====================================================================
@@ -1908,7 +1950,11 @@ object SparkEntry {
     "q_length_batches" -> (qLengthBatches _),
     "q_countmin" -> (qCountMin _),
     "q_hist_quantile_by" -> (qHistQuantileBy _),
-    "q_ppr_seeded" -> (qPprSeeded _)
+    "q_ppr_seeded" -> (qPprSeeded _),
+    "q_train_order" -> (qTrainOrder _),
+    "q_zorder" -> (qZorder _),
+    "q_unigram_surprisal" -> (qUnigramSurprisal _),
+    "q_incremental_lsh" -> (qIncrementalLsh _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

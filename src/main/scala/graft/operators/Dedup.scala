@@ -155,6 +155,97 @@ object Dedup {
     result
   }
 
+  /** Portable MinHash signature table: (id, sig) where sig is an array of
+    * `numHashes` md5-hex minima over word-3-shingles — the md5 twin of
+    * [[minhashSignature]] (which uses the faster xxhash64), chosen when
+    * the signature itself must be an engine-portable persisted artifact
+    * (the incremental dedup index, oracle twins). Docs with no shingles
+    * (under 3 words) produce no row — they cannot near-dup by shingles.
+    */
+  def minhashSignaturePortable(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 8,
+      shingleK: Int = 3
+  ): DataFrame = {
+    val grams = docs
+      .select(col(idCol).as("id"), explode(shingles(col(textCol), shingleK)).as("gram"))
+    val mh = grams
+      .select(col("id"), col("gram"),
+        explode(typedlit((0 until numHashes).toList)).as("seed"))
+      .groupBy("id", "seed")
+      .agg(min(md5(concat(col("seed").cast("string"), lit(":"), col("gram")))).as("h"))
+    mh.groupBy("id")
+      .agg(array_sort(collect_list(struct(col("seed"), col("h")))).as("sh"))
+      .select(col("id"), expr("transform(sh, x -> x.h)").as("sig"))
+  }
+
+  /** Incremental near-dup detection: a NEW batch of signatures against an
+    * append-only signature index — the daily-ingest shape, where the
+    * existing corpus is never re-shingled, re-hashed, or re-joined against
+    * itself.
+    *
+    * `index` and `batch` are (id, sig) frames ([[minhashSignaturePortable]]
+    * or [[minhashSignature]] output; ids must be disjoint). Candidates
+    * share at least one band of `bandSize` consecutive signature slots;
+    * old-old pairs are excluded by construction — old bands enter the
+    * join only on the build side against new bands, so the join cost is
+    * O(batch x bucket overlap), independent of corpus self-pair count.
+    * Similarity is the signature agreement fraction (the standard unbiased
+    * Jaccard estimate), so verification needs NO access to old text — the
+    * index alone suffices. Pairs with estimate >= `minEst` are returned as
+    * (id_a, id_b, est_jaccard) with id_a < id_b.
+    *
+    * Band keys join on the concatenated slot VALUES, so candidacy is
+    * exactly reproducible across engines; at scale the key would be
+    * digested to 8 bytes ([[minhashLshPairs]] does) — a pure bandwidth
+    * trade that cannot change the result beyond hash collisions.
+    */
+  def incrementalSigPairs(
+      index: DataFrame,
+      batch: DataFrame,
+      bandSize: Int = 4,
+      minEst: Double = 0.5
+  ): DataFrame = {
+    def bands(sigs: DataFrame): DataFrame =
+      sigs.select(
+        col("id"),
+        explode(
+          transform(
+            expr(s"sequence(0, size(sig) div $bandSize - 1)"),
+            bi => struct(
+              bi.as("band_idx"),
+              concat_ws("|",
+                transform(slice(col("sig"), bi * bandSize + 1, lit(bandSize)),
+                  s => s.cast("string"))).as("band_key"))
+          )
+        ).as("band")
+      )
+    // old-old pairs are excluded STRUCTURALLY: the probe side is new bands
+    // only, so old bands never meet each other
+    val newBands = bands(batch)
+    val allBands = bands(index).unionByName(newBands)
+    // (id, band)-only join; sigs re-attach by id afterwards
+    val cand = allBands.as("a")
+      .join(newBands.as("b"),
+        col("a.band") === col("b.band") && col("a.id") =!= col("b.id"))
+      .select(
+        least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val sigs = index.unionByName(batch)
+    cand
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      .withColumn("matches",
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1L).otherwise(0L)), lit(0L), (acc, v) => acc + v))
+      .withColumn("est_jaccard", col("matches").cast("double") / size(col("sig_a")))
+      .where(col("est_jaccard") >= minEst)
+      .select("id_a", "id_b", "est_jaccard")
+  }
+
   /** 64-bit SimHash over word unigrams: per-bit majority vote of token
     * hashes. Pure column algebra: explode tokens, xxhash64, per-bit +/-1
     * contributions summed per doc.

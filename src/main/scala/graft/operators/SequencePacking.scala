@@ -59,10 +59,9 @@ object SequencePacking {
     * form a batch. Every step is integer arithmetic on exact ranks:
     * deterministic, partition-invariant, oracle-exact.
     *
-    * DISTRIBUTED rank (ADVICE r4): the global rank is a two-pass
-    * range-partition rank — range-partition on the sort key, rank within
-    * partitions, offset by the per-partition counts (a #partitions-sized
-    * driver cumsum) — never an unpartitioned window's single-task sort.
+    * DISTRIBUTED rank (ADVICE r4): the global rank is
+    * [[Ranks.withGlobalRank]]'s two-pass range-partition rank — never an
+    * unpartitioned window's single-task sort.
     * The in-bucket position needs no second window either: bucket b
     * starts at global rank ceil(b*n/nBuckets)+1, so the position is pure
     * arithmetic on the global rank.
@@ -80,39 +79,16 @@ object SequencePacking {
   ): DataFrame = {
     require(nBuckets >= 1, s"need nBuckets >= 1, got $nBuckets")
     require(batchSize >= 1, s"need batchSize >= 1, got $batchSize")
-    val spark = df.sparkSession
-    val nParts =
-      if (partitions > 0) partitions
-      else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    // pass 1: range-partition on the sort key; pin so the counts pass and
-    // the rank pass see the exact same partitions. The pin's storage is
-    // referenced by the returned plan and is freed by Spark's
-    // ContextCleaner once the caller drops the result
-    // (spark.cleaner.referenceTracking, on by default) — same lifecycle
-    // as any cached intermediate.
-    val ranged = graft.util.Checkpoints.pin(
-      df.repartitionByRange(nParts, col(tokenCol), col(idCol))
-        .withColumn("_pid", spark_partition_id()))
-    val counts = ranged.groupBy("_pid").count().collect()
-      .map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val n = math.max(counts.values.sum, 1L)
-    val offsets = {
-      var acc = 0L
-      counts.keys.toSeq.sorted.map { pid => val o = (pid, acc); acc += counts(pid); o }
-    }
-    val offsetDf = spark.createDataFrame(offsets).toDF("_pid", "_offset")
-    // pass 2: per-partition rank + broadcast offset = exact global rank
-    val localW = Window.partitionBy("_pid").orderBy(col(tokenCol), col(idCol))
-    ranged
-      .withColumn("_rn", row_number().over(localW))
-      .join(broadcast(offsetDf), "_pid")
-      .withColumn("_rk", col("_offset") + col("_rn"))
+    val (ranked, n0) = Ranks.withGlobalRank(
+      df, Seq(col(tokenCol), col(idCol)), "_rk", partitions)
+    val n = math.max(n0, 1L)
+    ranked
       .withColumn("bucket", expr(s"((_rk - 1) * $nBuckets) div ${n}L"))
       // first rank of bucket b is ceil(b*n/nBuckets) + 1
       .withColumn("_bk", col("_rk") - expr(s"(bucket * ${n}L + ${nBuckets - 1}) div $nBuckets"))
       .withColumn("batch_id", expr(s"(_bk - 1) div $batchSize"))
       .withColumn("batch_seq", expr(s"(_bk - 1) % $batchSize"))
-      .drop("_pid", "_rn", "_offset", "_rk", "_bk")
+      .drop("_rk", "_bk")
   }
 
   /** Strict-budget greedy next-fit packing (see class doc). Returns

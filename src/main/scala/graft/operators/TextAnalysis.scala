@@ -257,6 +257,59 @@ object TextAnalysis {
       .where(col("rn") <= k)
   }
 
+  /** Unigram surprisal quality score — the integer-exact analog of the
+    * CCNet/KenLM perplexity filter. A token's information content is
+    * measured in WHOLE BITS as `bits(N) - bits(cnt)` where `cnt` is the
+    * token's corpus frequency, `N` the corpus token count, and
+    * `bits(x) = length(bin(x))` (= floor(log2 x) + 1) — pure integer, so
+    * the per-document sum is exact, associative, partition-invariant,
+    * and reproducible in any SQL engine (no libm log in sight).
+    *
+    * Docs whose mean surprisal is far ABOVE the corpus norm are
+    * rare-token-heavy (OCR noise, codes, non-language); far BELOW means
+    * degenerate/boilerplate repetition — the same two tails the
+    * perplexity filter cuts. Compose with
+    * [[CorpusHygiene.percentileGate]] for the gate itself.
+    *
+    * Scale shape: the token explode feeds one (word)-keyed count shuffle
+    * with map-side partial aggregation; docs then re-join counts by word.
+    * The unigram table is vocabulary-sized — at 100 TB it is the small
+    * side and broadcastable after a frequency cut; here it flows through
+    * a regular shuffle join.
+    *
+    * Returns (doc_id, n_toks, surprisal_bits, mean_surprisal_fp) where
+    * mean_surprisal_fp = (surprisal_bits * scale) div n_toks.
+    */
+  def unigramSurprisal(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      scale: Int = 10000
+  ): DataFrame = {
+    val toks = docs.select(
+      col(idCol).as("doc_id"),
+      explode(
+        TextFunctions.bindOnce(
+          split(Dedup.normalized(col(textCol)), " "),
+          w => filter(w, t => length(t) > 0)
+        )
+      ).as("word")
+    )
+    val counts = toks.groupBy("word").agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum("cnt").as("n_total"))
+    toks
+      .join(counts, "word")
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_toks"),
+        sum(length(bin(col("n_total"))) - length(bin(col("cnt")))).cast("long")
+          .as("surprisal_bits")
+      )
+      .withColumn("mean_surprisal_fp",
+        expr(s"(surprisal_bits * ${scale}L) div n_toks"))
+  }
+
   /** Array of digested word `n`-grams of `text` (one per position,
     * duplicates kept). Each gram is the first 60 bits of its md5 as a
     * BIGINT — digesting at the scan means gram STRINGS never leave the

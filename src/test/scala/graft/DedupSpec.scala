@@ -223,4 +223,41 @@ class DedupSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSet
     assert(kept2 == Set(2L, 3L), kept2.toString)
   }
+
+  test("incrementalSigPairs: new-vs-index and new-vs-new pairs, never old-vs-old") {
+    // old corpus: 1 ~ 2 (identical text -> identical signatures, but an
+    // old-old pair must NOT be reported by the incremental pass);
+    // new batch: 10 duplicates old 1, 11 duplicates new 10, 12 is unrelated
+    val dup = "the quick brown fox jumps over the lazy dog again and again"
+    val old = Seq((1L, dup), (2L, dup), (3L, "completely different ancient text body here"))
+      .toDF("doc_id", "text")
+    val batch = Seq((10L, dup), (11L, dup), (12L, "nothing like anything else at all written"))
+      .toDF("doc_id", "text")
+    val index = Dedup.minhashSignaturePortable(old, "doc_id", "text")
+    val sigs = Dedup.minhashSignaturePortable(batch, "doc_id", "text")
+    val pairs = Dedup.incrementalSigPairs(index, sigs, bandSize = 4, minEst = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val ids = pairs.map(p => (p._1, p._2)).toSet
+    assert(ids == Set((1L, 10L), (2L, 10L), (1L, 11L), (2L, 11L), (10L, 11L)), pairs.toString)
+    assert(pairs.forall(_._3 == 1.0), s"identical docs estimate 1.0: $pairs")
+  }
+
+  test("incrementalSigPairs estimate equals the signature agreement fraction") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("sig", ArrayType(StringType))))
+    // 8-slot sigs agreeing on slots 1-4 (band 0) and slot 5: est = 5/8
+    val mk = (id: Long, tail: Seq[String]) =>
+      Row(id, Seq("h1", "h2", "h3", "h4") ++ tail)
+    val index = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(mk(1L, Seq("x5", "x6", "x7", "x8")))), schema)
+    val batch = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(mk(9L, Seq("x5", "y6", "y7", "y8")))), schema)
+    val got = Dedup.incrementalSigPairs(index, batch, bandSize = 4, minEst = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((1L, 9L, 0.625)), got.toSeq.toString)
+    // below the threshold -> dropped even though banded together
+    assert(Dedup.incrementalSigPairs(index, batch, bandSize = 4, minEst = 0.7).count() == 0)
+  }
 }

@@ -166,4 +166,25 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(5L) == ((0L, 0L, 0L)))
     assert(out(6L) == ((2L, 0L, 0L)))
   }
+
+  test("unigramSurprisal: whole-bit information, hand-computed corpus") {
+    // corpus: "a a a b" + "b c" -> counts a=3, b=2, c=1; N=6, bits(6)=3
+    // per-token surprisal: a -> 3-2=1, b -> 3-2=1, c -> 3-1=2
+    val docs = Seq((1L, "a a a b"), (2L, "b c")).toDF("id", "text")
+    val out = TextAnalysis.unigramSurprisal(docs, "id", "text")
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_toks"), r.getAs[Long]("surprisal_bits"), r.getAs[Long]("mean_surprisal_fp"))))
+      .toMap
+    assert(out(1L) == ((4L, 4L, 10000L)), out.toString) // (1+1+1+1)/4
+    assert(out(2L) == ((2L, 3L, 15000L)), out.toString) // (1+2)/2 = 1.5
+  }
+
+  test("unigramSurprisal separates rare-token-heavy docs from common-token docs") {
+    val common = (1L to 40L).map(i => (i, "the cat sat on the mat"))
+    val rare = Seq((99L, s"zyxgarble qwfpluv mntrosk"))
+    val out = TextAnalysis.unigramSurprisal((common ++ rare).toDF("id", "text"), "id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("mean_surprisal_fp")).toMap
+    assert(out(99L) > out(1L), s"rare-token doc must score higher surprisal: $out")
+  }
 }
