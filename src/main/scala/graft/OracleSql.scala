@@ -1590,6 +1590,35 @@ object OracleSql {
         |        FROM cand c JOIN sig sa ON sa.id = c.id_a JOIN sig sb ON sb.id = c.id_b)
         |SELECT id_a, id_b, CAST(matches AS DOUBLE) / 8 AS est_jaccard
         |FROM est WHERE CAST(matches AS DOUBLE) / 8 >= 0.5
-        |ORDER BY id_a, id_b""".stripMargin
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_sq8_ann" ->
+      // SQ8 codes: floor((x * 127.0) / maxabs) — floor of an IEEE double
+      // division is bit-stable across engines; score_q is pure-integer,
+      // score_dq mirrors Spark's ((score_q * qmx) * mx) / 127^2 association
+      """WITH v AS (
+        |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS ve,
+        |         list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS mx
+        |  FROM embeddings),
+        |qc AS (
+        |  SELECT id, mx,
+        |         CASE WHEN mx = 0 THEN list_transform(ve, x -> CAST(0 AS BIGINT))
+        |              ELSE list_transform(ve, x -> CAST(floor((x * 127.0) / mx) AS BIGINT)) END AS qvec
+        |  FROM v),
+        |q0 AS (SELECT qvec AS qv, mx AS qmx FROM qc WHERE id = 0),
+        |sc AS (
+        |  SELECT qc.id AS vec_id, qc.mx AS mx, q0.qmx AS qmx,
+        |         CAST(list_sum(list_transform(range(1, len(qc.qvec) + 1),
+        |                                      i -> qc.qvec[i] * q0.qv[i])) AS BIGINT) AS score_q
+        |  FROM qc, q0)
+        |SELECT vec_id, score_q,
+        |       ROUND(((score_q * qmx) * mx) / 16129.0, 6) AS score_dq
+        |FROM sc ORDER BY score_dq DESC, vec_id LIMIT 20""".stripMargin,
+
+    "q_mrl" ->
+      """SELECT vec_id,
+        |       ROUND(list_cosine_similarity(CAST(embedding[1:16] AS DOUBLE[]),
+        |             (SELECT CAST(embedding[1:16] AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS score
+        |FROM embeddings ORDER BY score DESC, vec_id LIMIT 20""".stripMargin
   )
 }

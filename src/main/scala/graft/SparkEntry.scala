@@ -1838,6 +1838,33 @@ object SparkEntry {
       .orderBy("id_a", "id_b")
   }
 
+  /** SQ8 storage quantization + exact-integer dot-product search
+    * (VectorSearch.quantizeInt8/topKInt8): the 4x bandwidth cut for a
+    * 100 TB vector corpus, scored engine-portably in integers.
+    */
+  private def qSq8Ann(s: SparkSession, dir: String): DataFrame = {
+    val q = VectorSearch.quantizeInt8(t(s, dir, "embeddings"), "vec_id", "embedding")
+    val q0 = q.where(col("id") === 0).select("qvec", "mx").head()
+    VectorSearch.topKInt8(q, q0.getSeq[Long](0), q0.getDouble(1), 20)
+      .withColumnRenamed("id", "vec_id")
+  }
+
+  /** Matryoshka truncated-dimension retrieval: cosine top-k over the
+    * first 16 of 64 dims (VectorSearch.matryoshkaTopK semantics, with the
+    * qAnnCosine round-then-order idiom for oracle determinism).
+    */
+  private def qMrl(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val qv = emb.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
+    emb
+      .withColumn("score",
+        round(VectorFunctions.cosineSim(
+          slice(col("embedding"), 1, 16), typedlit(qv.take(16))), 6))
+      .select("vec_id", "score")
+      .orderBy(desc("score"), col("vec_id"))
+      .limit(20)
+  }
+
   // =====================================================================
   // Contract maps
   // =====================================================================
@@ -1954,7 +1981,9 @@ object SparkEntry {
     "q_train_order" -> (qTrainOrder _),
     "q_zorder" -> (qZorder _),
     "q_unigram_surprisal" -> (qUnigramSurprisal _),
-    "q_incremental_lsh" -> (qIncrementalLsh _)
+    "q_incremental_lsh" -> (qIncrementalLsh _),
+    "q_sq8_ann" -> (qSq8Ann _),
+    "q_mrl" -> (qMrl _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

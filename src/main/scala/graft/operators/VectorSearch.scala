@@ -41,6 +41,79 @@ object VectorSearch {
       .limit(k)
   }
 
+  /** Int8 scalar quantization (SQ8) for embedding storage: per-vector
+    * absolute-max scale, components mapped to `floor(x * 127 / mx)` in
+    * [-127, 127]. The standard 4x storage/bandwidth cut for a 100 TB
+    * vector corpus (float32 -> int8), with search running on EXACT
+    * integer dot products over the quantized codes — associative,
+    * partition-invariant, engine-portable (floor of an IEEE double
+    * division is bit-stable; no round-half ambiguity).
+    *
+    * Returns (id, mx, qvec: array<bigint> with values in [-127, 127]).
+    * Zero vectors quantize to all-zero codes.
+    */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol).as("id"), col(vecCol).as("_v"))
+      .withColumn("mx",
+        aggregate(col("_v"), lit(0.0d), (a, x) => greatest(a, abs(x.cast("double")))))
+      .withColumn("qvec",
+        when(col("mx") === 0.0d, transform(col("_v"), _ => lit(0L)))
+          .otherwise(transform(col("_v"),
+            x => floor(x.cast("double") * 127.0d / col("mx")).cast("long"))))
+      .select("id", "mx", "qvec")
+
+  /** Exact integer dot product of two quantized code arrays. */
+  def intDot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** Brute-force top-k over SQ8 codes. The integer dot `score_q` is
+    * exact but scale-blind (each vector has its own quantization step),
+    * so ranking uses the dequantized `score_dq = score_q * qmx * mx /
+    * 127^2` — the approximate DOT product. For cosine retrieval,
+    * L2-normalize vectors BEFORE [[quantizeInt8]] (cosine is the dot of
+    * unit vectors); rescore the k winners in float32 if exactness
+    * matters. `queryCodes`/`queryMx` come from the query's own
+    * [[quantizeInt8]] row.
+    */
+  def topKInt8(
+      quantized: DataFrame,
+      queryCodes: Seq[Long],
+      queryMx: Double,
+      k: Int
+  ): DataFrame =
+    quantized
+      .withColumn("score_q", intDot(col("qvec"), typedLit(queryCodes)))
+      .withColumn("score_dq",
+        round(col("score_q") * lit(queryMx) * col("mx") / lit(16129.0d), 6))
+      .orderBy(desc("score_dq"), col("id"))
+      .limit(k)
+      .select("id", "score_q", "score_dq")
+
+  /** Matryoshka (MRL) truncated-dimension retrieval: cosine top-k over
+    * only the first `dims` components. MRL-trained embeddings keep most
+    * of their signal in the prefix, so the coarse pass scans a `dims/d`
+    * fraction of the bytes (e.g. 16 of 64 dims = 4x less IO) and the
+    * full-dimension rescore runs only on the shortlist. Renormalization
+    * is unnecessary — cosine normalizes both sides by construction.
+    */
+  def matryoshkaTopK(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryVec: Array[Float],
+      dims: Int,
+      k: Int
+  ): DataFrame = {
+    require(dims >= 1, s"need dims >= 1, got $dims")
+    corpus
+      .withColumn("score",
+        VectorFunctions.cosineSim(
+          slice(col(vecCol), 1, dims), typedLit(queryVec.take(dims).toSeq)))
+      .orderBy(desc("score"), col(idCol))
+      .limit(k)
+      .select(col(idCol), col("score"))
+  }
+
   /** MMR (maximal marginal relevance) diversity re-rank: greedily pick
     * `k` of each query's candidates maximizing
     * `lambda * relevance - (1 - lambda) * max cosine to already-picked`,

@@ -260,4 +260,41 @@ class DedupSpec extends AnyFunSuite {
     // below the threshold -> dropped even though banded together
     assert(Dedup.incrementalSigPairs(index, batch, bandSize = 4, minEst = 0.7).count() == 0)
   }
+
+  test("streaming: signature index grows across micro-batches, dups surface on arrival") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dup = "the quick brown fox jumps over the lazy dog again and again"
+    val other = "an entirely unrelated body of text with no overlap whatsoever here"
+    val input = MemoryStream[(Long, String)]
+    // the index is a plain DataFrame the driver appends to per batch —
+    // at scale this is an append-only parquet table
+    var index = Dedup.minhashSignaturePortable(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "doc_id", "text")
+    index.cache().count()
+    val found = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    val q = input.toDF().toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val sigs = Dedup.minhashSignaturePortable(batch, "doc_id", "text")
+        sigs.cache().count()
+        Dedup.incrementalSigPairs(index, sigs).select("id_a", "id_b").collect()
+          .foreach(r => found.synchronized { found += ((r.getLong(0), r.getLong(1))) })
+        index = index.unionByName(sigs)
+        ()
+      }
+      .start()
+    try {
+      input.addData((1L, dup), (2L, other))
+      q.processAllAvailable()
+      assert(found.isEmpty, s"no dups inside batch 1: $found")
+      input.addData((3L, dup))
+      q.processAllAvailable()
+      assert(found.toSet == Set((1L, 3L)), s"doc 3 dups doc 1 on arrival: $found")
+      input.addData((4L, dup))
+      q.processAllAvailable()
+      // doc 4 pairs with BOTH earlier dups; (1,3) is not re-reported
+      assert(found.toSet == Set((1L, 3L), (1L, 4L), (3L, 4L)), found.toString)
+    } finally q.stop()
+  }
 }

@@ -253,4 +253,56 @@ class VectorFunctionsSpec extends AnyFunSuite {
     assert(ext.indexed.where(col("id") === 99L).select("ivf_cell").head().getInt(0) == 0)
     assert(ext.indexed.count() == 21)
   }
+
+  test("quantizeInt8: codes bounded, extremes exact, zero vector safe") {
+    import graft.operators.VectorSearch
+    val df = Seq(
+      (1L, Seq(1.0f, -1.0f, 0.5f, 0.0f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f, 0.0f))
+    ).toDF("id", "vec")
+    val q = VectorSearch.quantizeInt8(df, "id", "vec")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](2)).toMap
+    // mx=1: 1.0 -> 127, -1.0 -> floor(-127.0) = -127, 0.5 -> floor(63.5) = 63
+    assert(q(1L) == Seq(127L, -127L, 63L, 0L), q.toString)
+    assert(q(2L) == Seq(0L, 0L, 0L, 0L))
+    assert(q.values.flatten.forall(v => v >= -127 && v <= 127), "int8-safe range")
+  }
+
+  test("SQ8 top-k recall vs exact cosine is high on a unit-normalized corpus") {
+    import graft.operators.VectorSearch
+    val rnd = new scala.util.Random(7)
+    // the documented cosine path: L2-normalize BEFORE quantizing, so the
+    // dequantized dot approximates cosine
+    val corpus = (0L until 300L).map { i =>
+      val raw = Array.fill(32)(rnd.nextGaussian())
+      val n = math.sqrt(raw.map(x => x * x).sum)
+      (i, raw.map(x => (x / n).toFloat).toSeq)
+    }.toDF("id", "vec")
+    val q = VectorSearch.quantizeInt8(corpus, "id", "vec").cache()
+    val q0 = q.where(col("id") === 0L).select("qvec", "mx").head()
+    val sq8Top = VectorSearch.topKInt8(q, q0.getSeq[Long](0), q0.getDouble(1), 10)
+      .select("id").as[Long].collect().toSet
+    val qv = corpus.where(col("id") === 0L).select("vec").head().getSeq[Float](0).toArray
+    val exactTop = VectorSearch.topK(corpus, "vec", qv, 10, col("id"))
+      .select("id").as[Long].collect().toSet
+    val recall = (sq8Top & exactTop).size / 10.0
+    assert(recall >= 0.8, s"SQ8 recall@10 = $recall")
+    q.unpersist()
+  }
+
+  test("matryoshkaTopK scores equal full cosine over the truncated prefix") {
+    import graft.operators.VectorSearch
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.0f, 5.0f, 5.0f)),
+      (2L, Seq(0.0f, 1.0f, 5.0f, 5.0f)),
+      (3L, Seq(1.0f, 1.0f, -5.0f, -5.0f))
+    ).toDF("id", "vec")
+    val query = Array(1.0f, 0.0f, 0.0f, 0.0f)
+    val got = VectorSearch.matryoshkaTopK(corpus, "id", "vec", query, dims = 2, k = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // prefix-2 cosines vs (1,0): id1 = 1.0, id3 = 1/sqrt(2), id2 = 0.0 —
+    // the full-dim tail (which would rank id2 ~ id1) is ignored
+    assert(got.map(_._1).toSeq == Seq(1L, 3L, 2L), got.toSeq.toString)
+    assert(math.abs(got(1)._2 - 1.0 / math.sqrt(2)) < 1e-9)
+  }
 }
