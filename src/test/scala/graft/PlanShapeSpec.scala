@@ -224,4 +224,43 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"pair join must be cluster-keyed: ${p.take(800)}")
   }
+
+  test("training-order rank never collapses to a single-partition window") {
+    // the rank's own range shuffle happens inside the pinned checkpoint
+    // (lineage truncated), so the visible guard is: the window runs
+    // partitioned by _pid and nothing in the plan is single-partition
+    val p = plan("q_train_order")
+    assert(p.contains("Window") && p.contains("_pid"),
+      s"rank window must be per-range-partition: ${p.take(800)}")
+    assert(!p.contains("SinglePartition"),
+      "the global rank must stay distributed (no unpartitioned window)")
+  }
+
+  test("z-order key computation is pure column algebra over a pruned scan") {
+    val p = plan("q_zorder")
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+    assert(p.contains("ReadSchema:") && !p.contains("o_orderdate") && !p.contains("o_totalprice"),
+      "only the two key columns may be read")
+    assert(!p.contains("BatchEvalPython") && !p.contains("Invoke"),
+      "the Morton ladder must stay in codegen'd column algebra")
+  }
+
+  test("SQ8 search scans only (vec_id, embedding) and plans as top-k, not global sort") {
+    val p = plan("q_sq8_ann")
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+    assert(!p.contains("doc_id"), "only the embeddings table's columns may appear")
+  }
+
+  test("incremental LSH candidates join on band keys — no cartesian, no nested loop") {
+    val p = plan("q_incremental_lsh")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"band join must be an equi-join: ${p.take(800)}")
+  }
+
+  test("unigram surprisal aggregates partially before its shuffles") {
+    val p = plan("q_unigram_surprisal")
+    assert("partial".r.findAllIn(p.toLowerCase).nonEmpty &&
+      "HashAggregate".r.findAllIn(p).length >= 2,
+      s"token counts must map-side combine: ${p.take(800)}")
+  }
 }
