@@ -511,6 +511,21 @@ object Dedup {
   def writeClusters(labels: DataFrame, path: String): Unit =
     labels.select("id", "cluster").write.mode("overwrite").parquet(path)
 
+  /** Persist a MinHash signature index ([[minhashSignaturePortable]] /
+    * [[minhashSignature]] output) as the durable artifact behind
+    * [[incrementalSigPairs]]. `append = true` is the daily-ingest path:
+    * the new batch's signatures land as ADDITIONAL parquet files — old
+    * rows are never rewritten, so index maintenance cost is O(batch)
+    * regardless of corpus size.
+    */
+  def writeSigIndex(sigs: DataFrame, path: String, append: Boolean = false): Unit =
+    sigs.select("id", "sig").write
+      .mode(if (append) "append" else "overwrite").parquet(path)
+
+  /** Load a persisted signature index written by [[writeSigIndex]]. */
+  def loadSigIndex(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
   /** Load a persisted label table written by [[writeClusters]]. */
   def loadClusters(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
     spark.read.parquet(path)

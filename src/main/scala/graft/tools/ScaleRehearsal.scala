@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 
-import graft.operators.{Curation, Dedup, GraphOps, Sketches, TextAnalysis}
+import graft.operators.{Curation, Dedup, GraphOps, Sketches, TextAnalysis, TrainingOrder}
 
 /** sf1 scale rehearsal of the dedup/curation family (VERDICT r3 #5).
   *
@@ -131,6 +131,25 @@ object ScaleRehearsal {
         val grams = docs.select(col("source"),
           explode(TextAnalysis.wordGrams(col("text"), 3)).as("gram"))
         Sketches.kmvOverlap(grams, "source", "gram", k = 64).count()
+      }
+      // round-5 operators over the same corpus
+      measure(s"train_order_x$factor") {
+        // filter on the output so the rank window can't be pruned away
+        TrainingOrder.shuffled(docs, "doc_id", "sr", 32)
+          .where(col("pos") >= 1).count()
+      }
+      measure(s"unigram_surprisal_x$factor") {
+        TextAnalysis.unigramSurprisal(docs, "doc_id", "text")
+          .where(col("n_toks") >= 0).count()
+      }
+      // incremental dedup: the 90% index is a pre-built ingest artifact;
+      // the measured cost is signing the 10% daily batch + the band probe
+      val idxSigs = Dedup.minhashSignaturePortable(
+        docs.where(pmod(col("doc_id"), lit(10)) =!= 0), "doc_id", "text").localCheckpoint()
+      measure(s"incremental_probe_x$factor") {
+        val batch = Dedup.minhashSignaturePortable(
+          docs.where(pmod(col("doc_id"), lit(10)) === 0), "doc_id", "text")
+        Dedup.incrementalSigPairs(idxSigs, batch).count()
       }
     }
 

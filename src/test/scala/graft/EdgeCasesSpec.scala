@@ -107,6 +107,30 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(Curation.snapshotDiff(emptyDocs, emptyDocs, "doc_id", "text").count() == 0)
   }
 
+  test("round-5 operators over empty and degenerate inputs") {
+    // empty frame: rank helper must survive zero partitions-with-rows
+    assert(TrainingOrder.shuffled(emptyDocs, "doc_id", "s", 4).count() == 0)
+    assert(TextAnalysis.unigramSurprisal(emptyDocs, "doc_id", "text").count() == 0)
+    assert(VectorSearch.quantizeInt8(
+      Seq.empty[(Long, Seq[Float])].toDF("id", "vec"), "id", "vec").count() == 0)
+    // single row still ranks 1 and lands in shard 0
+    val one = Seq((7L, "x")).toDF("doc_id", "text")
+    val r = TrainingOrder.shuffled(one, "doc_id", "s", 4).select("pos", "shard").head()
+    assert(r.getLong(0) == 1L && r.getLong(1) == 0L)
+    // incremental probe against an empty index finds only in-batch pairs;
+    // an empty batch probes to nothing
+    val dup = "a b c d e f g h i j k l"
+    val sigs = Dedup.minhashSignaturePortable(
+      Seq((1L, dup), (2L, dup)).toDF("doc_id", "text"), "doc_id", "text")
+    val emptySigs = Dedup.minhashSignaturePortable(emptyDocs, "doc_id", "text")
+    assert(Dedup.incrementalSigPairs(emptySigs, sigs)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet == Set((1L, 2L)))
+    assert(Dedup.incrementalSigPairs(sigs, emptySigs).count() == 0)
+    // null text never reaches a signature (no shingles), zorder of nulls is null
+    val withNull = Seq((1L, Option.empty[String]), (2L, Some("a b c d"))).toDF("doc_id", "text")
+    assert(Dedup.minhashSignaturePortable(withNull, "doc_id", "text").count() == 1)
+  }
+
   test("kmvOverlap with a single group yields no pairs; boilerplate whole-corpus dup") {
     val one = Seq(("g", "v1"), ("g", "v2")).toDF("g", "v")
     assert(Sketches.kmvOverlap(one, "g", "v", k = 8).count() == 0)

@@ -39,4 +39,27 @@ class IndexPersistenceSpec extends AnyFunSuite {
     assert(plan.contains("PartitionFilters: [") && plan.contains("ivf_cell"),
       s"expected partition pruning on ivf_cell in:\n${plan.take(2000)}")
   }
+
+  test("signature index: write, append a day's batch, probe the loaded artifact") {
+    import graft.operators.Dedup
+    val dir = java.nio.file.Files.createTempDirectory("sig-index").toString + "/sigs"
+    val dup = "one two three four five six seven eight nine ten eleven twelve"
+    val day0 = Seq((1L, dup), (2L, "totally different starting corpus text here")).toDF("doc_id", "text")
+    val day1 = Seq((10L, dup)).toDF("doc_id", "text")
+    val day2 = Seq((20L, dup)).toDF("doc_id", "text")
+
+    Dedup.writeSigIndex(Dedup.minhashSignaturePortable(day0, "doc_id", "text"), dir)
+    val sig1 = Dedup.minhashSignaturePortable(day1, "doc_id", "text")
+    val p1 = Dedup.incrementalSigPairs(Dedup.loadSigIndex(spark, dir), sig1)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(p1 == Set((1L, 10L)), p1.toString)
+    Dedup.writeSigIndex(sig1, dir, append = true)
+
+    // day 2 probes the grown index: pairs against BOTH day-0 and day-1 docs
+    val sig2 = Dedup.minhashSignaturePortable(day2, "doc_id", "text")
+    val p2 = Dedup.incrementalSigPairs(Dedup.loadSigIndex(spark, dir), sig2)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(p2 == Set((1L, 20L), (10L, 20L)), p2.toString)
+    assert(Dedup.loadSigIndex(spark, dir).count() == 3)
+  }
 }
