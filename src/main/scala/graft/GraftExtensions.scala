@@ -56,5 +56,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ChunkText.builder(ChunkingConfig())
       )
     )
+    ext.injectFunction(
+      (
+        FunctionIdentifier("zorder2"),
+        new ExpressionInfo(graft.operators.Layout.getClass.getName, "zorder2"),
+        (children: Seq[Expression]) => graft.operators.Layout.zorder2Expr(children(0), children(1))
+      )
+    )
   }
 }

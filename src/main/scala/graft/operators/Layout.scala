@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{catalyst, Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Z-order (Morton-curve) data layout — multi-dimensional clustering for
@@ -37,6 +37,35 @@ object Layout {
     */
   def zorder2(a: Column, b: Column): Column =
     spread16(a).bitwiseOR(shiftleft(spread16(b), 1))
+
+  /** [[zorder2]] as a raw Catalyst expression tree (the same magic-mask
+    * ladder over BitwiseAnd/BitwiseOr/ShiftLeft nodes), for SQL-surface
+    * registration: `SELECT zorder2(a, b)` — every node is a builtin
+    * codegen'd expression, so the SQL path compiles into the same
+    * whole-stage-codegen arithmetic as the Column API.
+    */
+  def zorder2Expr(a: catalyst.expressions.Expression,
+                  b: catalyst.expressions.Expression): catalyst.expressions.Expression = {
+    import catalyst.expressions._
+    import org.apache.spark.sql.types.LongType
+    def spread(e: Expression): Expression = {
+      def step(x: Expression, sh: Int, mask: Long): Expression =
+        BitwiseAnd(BitwiseOr(x, ShiftLeft(x, Literal(sh))), Literal(mask))
+      val x0 = BitwiseAnd(Cast(e, LongType), Literal(0xFFFFL))
+      step(step(step(step(x0, 8, 0x00FF00FFL), 4, 0x0F0F0F0FL), 2, 0x33333333L), 1, 0x55555555L)
+    }
+    BitwiseOr(spread(a), ShiftLeft(spread(b), Literal(1)))
+  }
+
+  /** Session-local SQL registration (cluster-wide deployment goes through
+    * [[graft.GraftExtensions]]).
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "zorder2",
+      exprs => zorder2Expr(exprs(0), exprs(1)),
+      "scala_udf"
+    )
 
   /** Lay `df` out z-ordered on (`colA`, `colB`): range-partition + sort
     * within partitions by the Morton code (ties broken by the inputs so

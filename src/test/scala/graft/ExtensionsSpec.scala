@@ -37,6 +37,9 @@ class ExtensionsSpec extends AnyFunSuite {
         "SELECT long_dot(array(3L,-2L), array(10L,4L)) AS d, long_sq_dist(array(1L,5L), array(4L,1L)) AS s"
       ).head()
       assert(ld.getLong(0) == 22L && ld.getLong(1) == 25L)
+      // zorder2: interleave(3, 1) = (spread(3)=0b101) | (spread(1)=0b1)<<1 = 0b111
+      val z = spark.sql("SELECT zorder2(3, 1) AS z, zorder2(65535, 65535) AS zmax").head()
+      assert(z.getLong(0) == 7L && z.getLong(1) == 0xFFFFFFFFL, z.toString)
       // 3-arg form with a non-literal arg must fail cleanly, not with an
       // internal eval error
       val err = intercept[Exception] {
