@@ -1619,6 +1619,24 @@ object OracleSql {
       """SELECT vec_id,
         |       ROUND(list_cosine_similarity(CAST(embedding[1:16] AS DOUBLE[]),
         |             (SELECT CAST(embedding[1:16] AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS score
-        |FROM embeddings ORDER BY score DESC, vec_id LIMIT 20""".stripMargin
+        |FROM embeddings ORDER BY score DESC, vec_id LIMIT 20""".stripMargin,
+
+    "q_epochs" -> {
+      // mirrors Sampling.epochRepeat: per-mille factors, whole copies +
+      // exact-integer fractional Bernoulli on md5Hash32(id)
+      val hash32 = md5NibbleIntSql("CAST(doc_id AS VARCHAR)", 8)
+      s"""WITH d AS (
+         |  SELECT doc_id, source,
+         |         CASE source WHEN 'src0' THEN 2400 WHEN 'src1' THEN 500
+         |                     WHEN 'src2' THEN 0 ELSE 1000 END AS f,
+         |         $hash32 AS h32
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, source,
+         |         (f // 1000) + (CASE WHEN h32 * 1000 < (f % 1000) * 4294967296 THEN 1 ELSE 0 END) AS copies
+         |  FROM d)
+         |SELECT doc_id, source, CAST(UNNEST(range(0, copies)) AS BIGINT) AS epoch
+         |FROM c ORDER BY doc_id, epoch""".stripMargin
+    }
   )
 }

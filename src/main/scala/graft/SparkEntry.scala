@@ -1865,6 +1865,18 @@ object SparkEntry {
       .limit(20)
   }
 
+  /** Mixture-epoch materialization (Sampling.epochRepeat): src0 x2.4,
+    * src1 x0.5, src2 dropped, everything else x1.0 — integer-exact
+    * fractional-copy Bernoulli per id.
+    */
+  private def qEpochs(s: SparkSession, dir: String): DataFrame =
+    Sampling.epochRepeat(
+      t(s, dir, "documents").select("doc_id", "source"),
+      "doc_id", "source",
+      Map("src0" -> 2400L, "src1" -> 500L, "src2" -> 0L))
+      .select("doc_id", "source", "epoch")
+      .orderBy("doc_id", "epoch")
+
   // =====================================================================
   // Contract maps
   // =====================================================================
@@ -1983,7 +1995,8 @@ object SparkEntry {
     "q_unigram_surprisal" -> (qUnigramSurprisal _),
     "q_incremental_lsh" -> (qIncrementalLsh _),
     "q_sq8_ann" -> (qSq8Ann _),
-    "q_mrl" -> (qMrl _)
+    "q_mrl" -> (qMrl _),
+    "q_epochs" -> (qEpochs _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -111,6 +111,52 @@ object Sampling {
     df.where(h.cast("decimal(38,0)") * lit(rateDen) < threshold)
   }
 
+  /** Epoch materialization for mixture weighting: repeat each document
+    * according to its domain's repeat factor — the Pile/LLaMA-style
+    * "web x1.0, books x2.4, code x0.5" upsampling, materialized as
+    * actual training rows.
+    *
+    * Factors are PER-MILLE integers (2400 = 2.4 epochs). Every doc gets
+    * `f div 1000` whole copies; the fractional remainder is a
+    * deterministic per-id Bernoulli (extra copy iff
+    * `hash32(id) * 1000 < (f mod 1000) * 2^32` — the exact-integer
+    * [[weightedBernoulli]] trick), so realized domain sizes hit the
+    * target in expectation with zero RNG state and full partition/engine
+    * reproducibility. Factor 0 drops the domain.
+    *
+    * Scale shape: a narrow per-row explode that fuses into the scan — no
+    * shuffle, no driver state; output size is the mixture-weighted corpus
+    * by construction. Compose with [[TrainingOrder.shuffled]] downstream
+    * (copies of a doc then scatter across shards: distinct (id, epoch)
+    * pairs get distinct shuffle keys if the caller keys on both).
+    *
+    * Returns input columns + `epoch` (0-based copy index, BIGINT).
+    */
+  def epochRepeat(
+      df: DataFrame,
+      idCol: String,
+      domainCol: String,
+      factorsPerMille: Map[String, Long],
+      fallbackPerMille: Long = 1000L
+  ): DataFrame = {
+    require(factorsPerMille.values.forall(_ >= 0) && fallbackPerMille >= 0,
+      "repeat factors must be non-negative")
+    val f = coalesce(
+      element_at(typedlit(factorsPerMille), col(domainCol)),
+      lit(fallbackPerMille))
+    val h = Sketches.md5Hash32(col(idCol))
+    val fl = f.cast("long")
+    val copies = floor(fl / 1000L).cast("long") +
+      when(h * 1000L < (fl % 1000L) * 4294967296L, 1L).otherwise(0L)
+    df.withColumn("_copies", copies)
+      // sequence(0, -1) would generate a DESCENDING [0, -1] — guard the
+      // zero-copy case to an empty array so explode drops the row
+      .withColumn("epoch",
+        explode(when(col("_copies") > 0, sequence(lit(0L), col("_copies") - 1))
+          .otherwise(array().cast("array<bigint>"))))
+      .drop("_copies")
+  }
+
   /** Mixture balancing: EXACTLY `min(perStratum, n_s)` rows from every
     * stratum — the "rebalance a skew-mixed corpus to uniform domain
     * weights" step. Membership = the `perStratum` smallest (hash32(id),

@@ -134,4 +134,28 @@ class SamplingSpec extends AnyFunSuite {
     val bigger = Sampling.balanceStrata(df, "g", "id", 20).select("id").as[Long].collect().toSet
     assert(a.subsetOf(bigger))
   }
+
+  test("epochRepeat: whole copies exact, fractional tracks the target, zero drops") {
+    val corpus = (1L to 3000L).map(i => (i, s"dom${i % 3}")).toDF("id", "dom")
+    val out = Sampling.epochRepeat(corpus, "id", "dom",
+      Map("dom0" -> 2400L, "dom1" -> 0L), fallbackPerMille = 1000L).cache()
+    val byDom = out.groupBy("dom").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // dom0 (1000 docs, x2.4): every doc twice + ~40% a third time
+    assert(byDom("dom0") >= 2250 && byDom("dom0") <= 2550, byDom.toString)
+    assert(!byDom.contains("dom1"), "factor 0 drops the domain entirely")
+    assert(byDom("dom2") == 1000L, "fallback x1.0 is exactly one copy each")
+    // epoch indices are dense 0..copies-1 per doc
+    val eps = out.where($"dom" === "dom0").groupBy("id")
+      .agg(count(lit(1)).as("n"), max("epoch").as("mx"), min("epoch").as("mn"))
+      .where($"mx" =!= $"n" - 1 || $"mn" =!= 0L)
+    assert(eps.count() == 0, "epoch must be dense 0-based per doc")
+    // pure function of (id, domain, factors): partition-invariant
+    val again = Sampling.epochRepeat(corpus.repartition(13), "id", "dom",
+      Map("dom0" -> 2400L, "dom1" -> 0L))
+      .select("id", "epoch").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val first = out.select("id", "epoch").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(first == again)
+    out.unpersist()
+  }
 }
