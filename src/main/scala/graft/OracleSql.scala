@@ -1637,6 +1637,35 @@ object OracleSql {
          |  FROM d)
          |SELECT doc_id, source, CAST(UNNEST(range(0, copies)) AS BIGINT) AS epoch
          |FROM c ORDER BY doc_id, epoch""".stripMargin
-    }
+    },
+
+    "q_triangles" ->
+      // id-ordered 3-way join twin of the degree-ordered Spark operator:
+      // both enumerate the same set {a<b<c : (a,b),(b,c),(a,c) edges}
+      """WITH cp AS (SELECT DISTINCT o_custkey AS c, l_partkey AS p
+        |            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |e0 AS (SELECT a.c AS u, b.c AS v FROM cp a JOIN cp b ON a.p = b.p AND a.c < b.c
+        |       GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+        |SELECT e1.u AS n1, e1.v AS n2, e2.v AS n3
+        |FROM e0 e1 JOIN e0 e2 ON e1.v = e2.u JOIN e0 e3 ON e3.u = e1.u AND e3.v = e2.v
+        |ORDER BY n1, n2, n3 LIMIT 1000""".stripMargin,
+
+    "q_gap_fill" ->
+      """WITH b AS (SELECT epoch_us(ts) - (epoch_us(ts) % 3600000000) AS bin_start_us FROM events),
+        |c AS (SELECT bin_start_us, COUNT(*) AS n FROM b GROUP BY 1),
+        |bounds AS (SELECT MIN(bin_start_us) AS lo, MAX(bin_start_us) AS hi FROM c),
+        |spine AS (SELECT UNNEST(range(lo, hi + 1, 3600000000)) AS bin_start_us FROM bounds)
+        |SELECT s.bin_start_us, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+        |FROM spine s LEFT JOIN c USING (bin_start_us)
+        |ORDER BY bin_start_us""".stripMargin,
+
+    "q_transitions" ->
+      """WITH seq AS (
+        |  SELECT event_type,
+        |         LAG(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev
+        |  FROM events)
+        |SELECT prev AS from_type, event_type AS to_type, COUNT(*) AS n
+        |FROM seq WHERE prev IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin
   )
 }

@@ -1877,6 +1877,39 @@ object SparkEntry {
       .select("doc_id", "source", "epoch")
       .orderBy("doc_id", "epoch")
 
+  /** Degree-ordered triangle enumeration (GraphOps.triangles) over the
+    * customer co-purchase graph (>= 3 shared parts) — community structure
+    * in the transaction graph, the clustering-coefficient precursor.
+    */
+  private def qTriangles(s: SparkSession, dir: String): DataFrame = {
+    val cp = t(s, dir, "orders")
+      .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+      .distinct()
+    val edges = cp.as("a")
+      .join(cp.as("b"), col("a.p") === col("b.p") && col("a.c") < col("b.c"))
+      .groupBy(col("a.c").as("u"), col("b.c").as("v"))
+      .agg(count(lit(1)).as("shared"))
+      .where(col("shared") >= 3)
+      .select("u", "v")
+    GraphOps.triangles(edges, "u", "v").orderBy("n1", "n2", "n3").limit(1000)
+  }
+
+  /** Zero-filled hourly resample of the event stream
+    * (TimeSeries.gapFillCounts): every bin in the observed span present.
+    */
+  private def qGapFill(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.gapFillCounts(events(s, dir), "ts_us", 3600000000L)
+      .orderBy("bin_start_us")
+
+  /** Event-type transition matrix (TimeSeries.transitionCounts): Markov
+    * bigram counts of "what follows what" per user, corpus-aggregated.
+    */
+  private def qTransitions(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.transitionCounts(
+      events(s, dir), "user_id", Seq(col("ts_us"), col("event_id")), "event_type")
+      .orderBy("from_type", "to_type")
+
   // =====================================================================
   // Contract maps
   // =====================================================================
@@ -1996,7 +2029,10 @@ object SparkEntry {
     "q_incremental_lsh" -> (qIncrementalLsh _),
     "q_sq8_ann" -> (qSq8Ann _),
     "q_mrl" -> (qMrl _),
-    "q_epochs" -> (qEpochs _)
+    "q_epochs" -> (qEpochs _),
+    "q_triangles" -> (qTriangles _),
+    "q_gap_fill" -> (qGapFill _),
+    "q_transitions" -> (qTransitions _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -220,4 +220,61 @@ object GraphOps {
     }
     ranks.select("node", "rank")
   }
+
+  /** Triangle enumeration with DEGREE ORDERING — the standard
+    * O(m^{3/2}) distributed formulation (each edge oriented from its
+    * lower-(degree, id) endpoint; wedges are generated only at each
+    * node's out-neighbors, so a celebrity node of degree d contributes
+    * O(d) oriented out-edges instead of O(d^2) wedges — THE skew guard
+    * that makes triangle counting survive power-law graphs at 100 TB).
+    *
+    * Every triangle has exactly one out-degree-2 node under an acyclic
+    * orientation, so each is emitted exactly once: wedge (x -> y, x -> z)
+    * with ord(y) < ord(z), closed by the oriented edge (y -> z). All
+    * joins are equi-joins on node ids (wedge: on x; closure: on (y, z));
+    * the ord comparison is a post-join filter on broadcast-free columns.
+    *
+    * Input edges may be directed/duplicated; they are normalized to
+    * distinct undirected pairs first. Returns (n1, n2, n3) — the
+    * triangle's nodes in ascending id order.
+    */
+  def triangles(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val und = edges
+      .select(
+        least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .where(col("u") =!= col("v") && col("u").isNotNull && col("v").isNotNull)
+      .distinct()
+    val deg = und.select(explode(array(col("u"), col("v"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    // orient low-ord -> high-ord, carrying the head's ord for the wedge
+    // ordering; (deg, id) is a total order so the orientation is acyclic
+    val withDeg = und
+      .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
+    // pinned: the oriented edge list is referenced THREE times (both
+    // wedge sides + the closure probe) and everything upstream — the
+    // caller's edge derivation, normalization, degree join — would
+    // otherwise re-execute per reference (measured 5.9 s -> the edge
+    // build dominating q_triangles; ReusedExchange does not cover the
+    // differently-keyed subtrees). The pin is edge-count-sized; storage
+    // follows the ContextCleaner lifecycle once the caller drops the
+    // result.
+    val oriented = graft.util.Checkpoints.pin(withDeg.select(
+      when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
+        struct(col("u").as("t"), col("v").as("h"), col("dv").as("dh")))
+        .otherwise(struct(col("v").as("t"), col("u").as("h"), col("du").as("dh")))
+        .as("e"))
+      .select(col("e.t").as("t"), col("e.h").as("h"), col("e.dh").as("dh")))
+    val wedges = oriented.as("e1")
+      .join(oriented.as("e2"),
+        col("e1.t") === col("e2.t") &&
+          (col("e1.dh") < col("e2.dh") ||
+            (col("e1.dh") === col("e2.dh") && col("e1.h") < col("e2.h"))))
+      .select(col("e1.t").as("x"), col("e1.h").as("y"), col("e2.h").as("z"))
+    wedges
+      .join(oriented.select(col("t").as("y"), col("h").as("z")), Seq("y", "z"))
+      .select(sort_array(array(col("x"), col("y"), col("z"))).as("tri"))
+      .select(col("tri")(0).as("n1"), col("tri")(1).as("n2"), col("tri")(2).as("n3"))
+  }
 }

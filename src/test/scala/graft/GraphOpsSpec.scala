@@ -151,4 +151,33 @@ class GraphOpsSpec extends AnyFunSuite {
     val nodes = GraphOps.pageRank(withNulls, "src", "dst", 1).select("node").as[String].collect().toSet
     assert(nodes == Set("a", "b"))
   }
+
+  test("triangles: K4 has 4, squares have none, duplicates/direction don't matter") {
+    def tri(edges: Seq[(Long, Long)]) =
+      GraphOps.triangles(edges.toDF("s", "d"), "s", "d")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    assert(tri(k4) == Set((1L, 2L, 3L), (1L, 2L, 4L), (1L, 3L, 4L), (2L, 3L, 4L)))
+    // 4-cycle: no triangle; adding one diagonal makes exactly two
+    val square = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+    assert(tri(square).isEmpty)
+    assert(tri(square :+ (1L -> 3L)) == Set((1L, 2L, 3L), (1L, 3L, 4L)))
+    // reversed duplicates, self-loops, repeats: normalized away
+    val messy = k4 ++ k4.map(_.swap) ++ Seq((2L, 2L), (1L, 2L))
+    assert(tri(messy) == tri(k4))
+  }
+
+  test("triangles match a brute-force reference on a random graph") {
+    val rnd = new scala.util.Random(13)
+    val edges = (1 to 120).map(_ => (rnd.nextInt(20).toLong, rnd.nextInt(20).toLong))
+    val got = GraphOps.triangles(edges.toDF("s", "d"), "s", "d")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val und = edges.collect { case (a, b) if a != b => (math.min(a, b), math.max(a, b)) }.toSet
+    val nodes = und.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    val expected = (for {
+      a <- nodes; b <- nodes if a < b && und((a, b))
+      c <- nodes if b < c && und((b, c)) && und((a, c))
+    } yield (a, b, c)).toSet
+    assert(got == expected, s"got ${got.size}, expected ${expected.size}")
+  }
 }
