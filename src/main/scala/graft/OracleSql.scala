@@ -1603,7 +1603,7 @@ object OracleSql {
         |qc AS (
         |  SELECT id, mx,
         |         CASE WHEN mx = 0 THEN list_transform(ve, x -> CAST(0 AS BIGINT))
-        |              ELSE list_transform(ve, x -> CAST(floor((x * 127.0) / mx) AS BIGINT)) END AS qvec
+        |              ELSE list_transform(ve, x -> GREATEST(CAST(floor((x * 127.0) / mx) AS BIGINT), -127)) END AS qvec
         |  FROM v),
         |q0 AS (SELECT qvec AS qv, mx AS qmx FROM qc WHERE id = 0),
         |sc AS (

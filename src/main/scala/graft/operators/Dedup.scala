@@ -209,19 +209,27 @@ object Dedup {
       minEst: Double = 0.5
   ): DataFrame = {
     def bands(sigs: DataFrame): DataFrame =
-      sigs.select(
-        col("id"),
-        explode(
-          transform(
-            expr(s"sequence(0, size(sig) div $bandSize - 1)"),
-            bi => struct(
-              bi.as("band_idx"),
-              concat_ws("|",
-                transform(slice(col("sig"), bi * bandSize + 1, lit(bandSize)),
-                  s => s.cast("string"))).as("band_key"))
-          )
-        ).as("band")
-      )
+      sigs
+        // a signature shorter than one band can never be a candidate
+        // (sequence(0, -1) would DESCEND and fabricate a band shared by
+        // everyone — the epochRepeat hazard); null slots (xxhash64 sigs
+        // of shingle-less docs) would concat_ws-collapse to one shared
+        // "" key and cross-product all short docs — drop both up front
+        .where(size(col("sig")) >= bandSize &&
+          !exists(col("sig"), s => s.isNull))
+        .select(
+          col("id"),
+          explode(
+            transform(
+              expr(s"sequence(0, size(sig) div $bandSize - 1)"),
+              bi => struct(
+                bi.as("band_idx"),
+                concat_ws("|",
+                  transform(slice(col("sig"), bi * bandSize + 1, lit(bandSize)),
+                    s => s.cast("string"))).as("band_key"))
+            )
+          ).as("band")
+        )
     // old-old pairs are excluded STRUCTURALLY: the probe side is new bands
     // only, so old bands never meet each other
     val newBands = bands(batch)
@@ -518,9 +526,24 @@ object Dedup {
     * rows are never rewritten, so index maintenance cost is O(batch)
     * regardless of corpus size.
     */
-  def writeSigIndex(sigs: DataFrame, path: String, append: Boolean = false): Unit =
+  def writeSigIndex(sigs: DataFrame, path: String, append: Boolean = false): Unit = {
+    if (append) {
+      // parquet append does NOT validate schemas across files: appending
+      // array<bigint> sigs onto an array<string> index would corrupt it
+      // silently, surfacing only on the next probe's scan — fail at
+      // write time instead
+      try {
+        val existing = sigs.sparkSession.read.parquet(path).schema("sig").dataType
+        val incoming = sigs.schema("sig").dataType
+        require(existing == incoming,
+          s"sig index at $path holds $existing, refusing to append $incoming")
+      } catch {
+        case _: org.apache.spark.sql.AnalysisException => () // first write
+      }
+    }
     sigs.select("id", "sig").write
       .mode(if (append) "append" else "overwrite").parquet(path)
+  }
 
   /** Load a persisted signature index written by [[writeSigIndex]]. */
   def loadSigIndex(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =

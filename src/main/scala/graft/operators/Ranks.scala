@@ -33,6 +33,9 @@ object Ranks {
       partitions: Int = 0
   ): (DataFrame, Long) = {
     require(sortCols.nonEmpty, "need at least one sort column")
+    val reserved = Seq("_pid", "_rn", "_offset", rankCol)
+    require(!df.columns.exists(reserved.contains),
+      s"df must not contain reserved columns ${reserved.mkString("/")}")
     val spark = df.sparkSession
     val nParts =
       if (partitions > 0) partitions

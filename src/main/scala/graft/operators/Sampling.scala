@@ -141,6 +141,8 @@ object Sampling {
   ): DataFrame = {
     require(factorsPerMille.values.forall(_ >= 0) && fallbackPerMille >= 0,
       "repeat factors must be non-negative")
+    require(!df.columns.contains("_copies") && !df.columns.contains("epoch"),
+      "df must not contain reserved/output columns _copies/epoch")
     val f = coalesce(
       element_at(typedlit(factorsPerMille), col(domainCol)),
       lit(fallbackPerMille))

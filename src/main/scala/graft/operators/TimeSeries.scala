@@ -34,10 +34,13 @@ object TimeSeries {
   ): DataFrame = {
     require(binUs > 0, s"binUs must be positive, got $binUs")
     val spark = df.sparkSession
-    val binned = df
+    // pinned: referenced by both the bounds action and the spine join —
+    // unpinned, the full input would be scanned and aggregated twice;
+    // the pin is bin-cardinality-sized
+    val binned = graft.util.Checkpoints.pin(df
       .select((col(tsCol) - pmod(col(tsCol), lit(binUs))).as("bin_start_us"))
       .groupBy("bin_start_us")
-      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n")))
     val bounds = binned.agg(min("bin_start_us"), max("bin_start_us")).head()
     if (bounds.isNullAt(0)) {
       spark.range(0).select(col("id").as("bin_start_us"), col("id").as("n"))

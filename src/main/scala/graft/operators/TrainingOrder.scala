@@ -39,8 +39,9 @@ object TrainingOrder {
       partitions: Int = 0
   ): DataFrame = {
     require(nShards >= 1, s"need nShards >= 1, got $nShards")
-    require(!df.columns.contains("_shuffle_key"),
-      "df must not contain reserved column _shuffle_key")
+    val reserved = Seq("_shuffle_key", "pos", "shard")
+    require(!df.columns.exists(reserved.contains),
+      s"df must not contain reserved/output columns ${reserved.mkString("/")}")
     val keyed = df.withColumn(
       "_shuffle_key", md5(concat(lit(seed), lit(":"), col(idCol).cast("string"))))
     val (ranked, _) = Ranks.withGlobalRank(

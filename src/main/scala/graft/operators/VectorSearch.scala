@@ -59,7 +59,13 @@ object VectorSearch {
       .withColumn("qvec",
         when(col("mx") === 0.0d, transform(col("_v"), _ => lit(0L)))
           .otherwise(transform(col("_v"),
-            x => floor(x.cast("double") * 127.0d / col("mx")).cast("long"))))
+            // clamp: for double inputs, (x * 127.0) / mx at x = -mx can
+            // land at -127.000...01 (twice-rounded), whose floor is -128 —
+            // outside the documented symmetric range (float inputs are
+            // exact and never hit this)
+            x => greatest(
+              floor(x.cast("double") * 127.0d / col("mx")).cast("long"),
+              lit(-127L)))))
       .select("id", "mx", "qvec")
 
   /** Exact integer dot product of two quantized code arrays. */

@@ -259,6 +259,20 @@ class DedupSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, 9L, 0.625)), got.toSeq.toString)
     // below the threshold -> dropped even though banded together
     assert(Dedup.incrementalSigPairs(index, batch, bandSize = 4, minEst = 0.7).count() == 0)
+    // bandSize wider than the signature: no bands, no candidates — NOT a
+    // fabricated descending-sequence band colliding everyone
+    assert(Dedup.incrementalSigPairs(index, batch, bandSize = 16, minEst = 0.0).count() == 0)
+    // null signature slots (xxhash64 sigs of shingle-less docs) never band
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val nullSchema = StructType(Seq(
+      StructField("id", LongType), StructField("sig", ArrayType(StringType))))
+    val nullSigs = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(100L, Seq(null, null, null, null, null, null, null, null)),
+        Row(101L, Seq(null, null, null, null, null, null, null, null)))), nullSchema)
+    assert(Dedup.incrementalSigPairs(nullSigs, nullSigs.where(col("id") === 101L),
+      bandSize = 4, minEst = 0.0).count() == 0)
   }
 
   test("streaming: signature index grows across micro-batches, dups surface on arrival") {

@@ -61,5 +61,13 @@ class IndexPersistenceSpec extends AnyFunSuite {
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(p2 == Set((1L, 20L), (10L, 20L)), p2.toString)
     assert(Dedup.loadSigIndex(spark, dir).count() == 3)
+
+    // appending a differently-typed signature frame is refused at write
+    // time (parquet append would otherwise silently mix schemas)
+    val longSigs = Seq((99L, Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L))).toDF("id", "sig")
+    val err = intercept[IllegalArgumentException] {
+      Dedup.writeSigIndex(longSigs, dir, append = true)
+    }
+    assert(err.getMessage.contains("refusing to append"), err.getMessage)
   }
 }

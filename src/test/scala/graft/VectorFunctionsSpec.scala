@@ -266,6 +266,15 @@ class VectorFunctionsSpec extends AnyFunSuite {
     assert(q(1L) == Seq(127L, -127L, 63L, 0L), q.toString)
     assert(q(2L) == Seq(0L, 0L, 0L, 0L))
     assert(q.values.flatten.forall(v => v >= -127 && v <= 127), "int8-safe range")
+    // double inputs: (x * 127.0) / mx at x = -mx can round to -127.0000...1
+    // whose floor is -128 — the clamp must hold the documented range
+    val mags = Seq(835765.1039200339, 1.0000000000000002, 3.3333333333333335e-7)
+    val dbl = mags.zipWithIndex.map { case (m, i) => (i.toLong, Seq(-m, m, m / 3)) }
+      .toDF("id", "vec")
+    val qd = VectorSearch.quantizeInt8(dbl, "id", "vec")
+      .collect().flatMap(_.getSeq[Long](2))
+    assert(qd.forall(v => v >= -127 && v <= 127), s"clamped: ${qd.toSeq}")
+    assert(qd.count(_ == -127L) == mags.size, "the -mx component quantizes to -127 exactly")
   }
 
   test("SQ8 top-k recall vs exact cosine is high on a unit-normalized corpus") {
