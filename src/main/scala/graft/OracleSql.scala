@@ -581,6 +581,28 @@ object OracleSql {
       s"""WITH ${kmeansCtes()}
          |SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM a4 ORDER BY vec_id""".stripMargin,
 
+    "q_ivf_fixed" ->
+      // SparkEntry.qIvfFixed twin: probe the 4 cells of the SHARED
+      // fixed-point quantizer (kmeansCtes — the q_kmeans centroids c3 /
+      // assignment a4) nearest the quantized query (integer L2, ties to
+      // the lower cid), exact-cosine rerank within them rounded to 6dp
+      s"""WITH ${kmeansCtes()},
+         |qv AS MATERIALIZED (SELECT q FROM q WHERE vec_id = 0),
+         |probe AS MATERIALIZED (
+         |  SELECT cid FROM (
+         |    SELECT c.cid,
+         |           list_sum(list_transform(range(1, 65),
+         |             i -> (c.c[i] - v.q[i]) * (c.c[i] - v.q[i]))) AS d
+         |    FROM c3 c CROSS JOIN qv v)
+         |  ORDER BY d, cid LIMIT 4),
+         |ann AS (
+         |  SELECT e.vec_id, CAST(a.cid AS BIGINT) AS cell,
+         |         ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+         |               (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS score
+         |  FROM a4 a JOIN embeddings e ON a.vec_id = e.vec_id
+         |  WHERE a.cid IN (SELECT cid FROM probe))
+         |SELECT vec_id, cell, score FROM ann ORDER BY score DESC, vec_id LIMIT 20""".stripMargin,
+
     "q_semdedup" -> {
       // Clustering.withinClusterNearDupPairs twin: the shared k-means
       // assignment blocks candidates per cluster; similarity is the
@@ -641,13 +663,13 @@ object OracleSql {
 
     "q_negatives" -> {
       // Sampling.negativePairs twin: 0-based rank in doc_id order,
-      // hash32(anchor#j) mod (N-1), skip-self shift, join back by rank
-      val hash32j = md5NibbleIntSql("CAST(anchor AS VARCHAR) || '#' || CAST(j AS VARCHAR)", 8)
+      // hash60(anchor#j) mod (N-1), skip-self shift, join back by rank
+      val hash60j = md5NibbleIntSql("CAST(anchor AS VARCHAR) || '#' || CAST(j AS VARCHAR)", 15)
       s"""WITH r AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS pos FROM documents),
          |n AS (SELECT COUNT(*) AS n FROM documents),
          |d AS (SELECT r.doc_id AS anchor, r.pos AS apos, j.j
          |      FROM r CROSS JOIN (SELECT UNNEST(range(1, 3)) AS j) j),
-         |t AS (SELECT anchor, apos, j, ($hash32j) % ((SELECT n FROM n) - 1) AS tr FROM d),
+         |t AS (SELECT anchor, apos, j, ($hash60j) % ((SELECT n FROM n) - 1) AS tr FROM d),
          |s AS (SELECT anchor, j, CASE WHEN tr >= apos THEN tr + 1 ELSE tr END AS tpos FROM t)
          |SELECT s.anchor, CAST(s.j AS BIGINT) AS j, r2.doc_id AS negative
          |FROM s JOIN r r2 ON s.tpos = r2.pos
@@ -1639,16 +1661,23 @@ object OracleSql {
          |FROM c ORDER BY doc_id, epoch""".stripMargin
     },
 
-    "q_triangles" ->
+    "q_triangles" -> {
       // id-ordered 3-way join twin of the degree-ordered Spark operator:
-      // both enumerate the same set {a<b<c : (a,b),(b,c),(a,c) edges}
-      """WITH cp AS (SELECT DISTINCT o_custkey AS c, l_partkey AS p
-        |            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-        |e0 AS (SELECT a.c AS u, b.c AS v FROM cp a JOIN cp b ON a.p = b.p AND a.c < b.c
-        |       GROUP BY 1, 2 HAVING COUNT(*) >= 3)
-        |SELECT e1.u AS n1, e1.v AS n2, e2.v AS n3
-        |FROM e0 e1 JOIN e0 e2 ON e1.v = e2.u JOIN e0 e3 ON e3.u = e1.u AND e3.v = e2.v
-        |ORDER BY n1, n2, n3 LIMIT 1000""".stripMargin,
+      // both enumerate the same set {a<b<c : (a,b),(b,c),(a,c) edges}.
+      // The per-part degree cap (16 customers by md5-hash32 rank, ties on
+      // c) mirrors the Spark skew guard exactly.
+      val h32c = md5NibbleIntSql("CAST(c AS VARCHAR)", 8)
+      s"""WITH cp AS (SELECT DISTINCT o_custkey AS c, l_partkey AS p
+         |            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |capped AS (SELECT c, p FROM (
+         |           SELECT c, p, ROW_NUMBER() OVER (PARTITION BY p ORDER BY $h32c, c) AS r FROM cp)
+         |           WHERE r <= 16),
+         |e0 AS (SELECT a.c AS u, b.c AS v FROM capped a JOIN capped b ON a.p = b.p AND a.c < b.c
+         |       GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+         |SELECT e1.u AS n1, e1.v AS n2, e2.v AS n3
+         |FROM e0 e1 JOIN e0 e2 ON e1.v = e2.u JOIN e0 e3 ON e3.u = e1.u AND e3.v = e2.v
+         |ORDER BY n1, n2, n3 LIMIT 1000""".stripMargin
+    },
 
     "q_gap_fill" ->
       """WITH b AS (SELECT epoch_us(ts) - (epoch_us(ts) % 3600000000) AS bin_start_us FROM events),

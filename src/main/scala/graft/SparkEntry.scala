@@ -737,6 +737,35 @@ object SparkEntry {
       .select(col("vec_id"), round(col("score"), 6).as("score"))
   }
 
+  /** Hash-checked IVF twin (the q_mmr_fixed recipe, VERDICT r5 #4): the
+    * same probe-then-rerank plan shape as [[qAnnIvf]], but the coarse
+    * quantizer is the ORACLE-EXACT fixed-point Lloyd's fit
+    * (Clustering.kmeansFit — the q_kmeans centroids) instead of MLlib's
+    * k-means||, so every stage is reproducible in DuckDB: probe = 4 of
+    * 10 cells nearest the quantized query (integer L2, ties to the lower
+    * cell id), rerank = exact cosine within the probed cells rounded to
+    * 6dp. q_ann_ivf keeps the MLlib production path (recall contract in
+    * VectorFunctionsSpec); THIS query pins the IVF semantics to a hash.
+    */
+  private def qIvfFixed(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val qv = emb.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
+    val model = Clustering.kmeansFit(emb, "vec_id", "embedding", k = 10, iters = 3)
+    val qq = qv.map(x => math.floor(x.toDouble * 1000.0).toLong).toArray
+    val probes = model.centroids.zipWithIndex.map { case (c, i) =>
+      var d = 0L
+      var j = 0
+      while (j < c.length) { val t0 = c(j) - qq(j); d += t0 * t0; j += 1 }
+      (d, i)
+    }.sorted.take(4).map(_._2.toLong)
+    Clustering.assignWith(model, emb, "embedding")
+      .where(col("cluster").isin(probes: _*))
+      .withColumn("score", round(VectorFunctions.cosineSim(col("embedding"), typedlit(qv)), 6))
+      .select(col("vec_id"), col("cluster").as("cell"), col("score"))
+      .orderBy(desc("score"), col("vec_id"))
+      .limit(20)
+  }
+
   /** Global duplicated-span removal (exact-substring dedup at 8-word
     * span granularity, [[Dedup.dedupSpansGlobal]]): only the corpus-wide
     * FIRST occurrence of every span survives; documents are stitched back
@@ -1880,14 +1909,28 @@ object SparkEntry {
   /** Degree-ordered triangle enumeration (GraphOps.triangles) over the
     * customer co-purchase graph (>= 3 shared parts) — community structure
     * in the transaction graph, the clustering-coefficient precursor.
+    *
+    * Skew guard (VERDICT r5 #1): a hot part bought by k customers emits
+    * k²/2 pairs inside ONE join key — per-key-quadratic, the
+    * executor-OOM shape under a viral part at 100x scale. The projection
+    * keeps at most 16 customers per part, selected by deterministic hash
+    * rank (standard co-occurrence practice), so per-key pair output is
+    * bounded by a constant (<= 120 pairs/part) at ANY corpus size; the
+    * cap is mirrored exactly in the DuckDB twin.
     */
   private def qTriangles(s: SparkSession, dir: String): DataFrame = {
     val cp = t(s, dir, "orders")
       .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
       .distinct()
-    val edges = cp.as("a")
-      .join(cp.as("b"), col("a.p") === col("b.p") && col("a.c") < col("b.c"))
+    val byHash = Window.partitionBy("p")
+      .orderBy(Sketches.md5Hash32(col("c")), col("c"))
+    val capped = cp
+      .withColumn("_deg_r", row_number().over(byHash))
+      .where(col("_deg_r") <= 16)
+      .drop("_deg_r")
+    val edges = capped.as("a")
+      .join(capped.as("b"), col("a.p") === col("b.p") && col("a.c") < col("b.c"))
       .groupBy(col("a.c").as("u"), col("b.c").as("v"))
       .agg(count(lit(1)).as("shared"))
       .where(col("shared") >= 3)
@@ -2029,6 +2072,7 @@ object SparkEntry {
     "q_incremental_lsh" -> (qIncrementalLsh _),
     "q_sq8_ann" -> (qSq8Ann _),
     "q_mrl" -> (qMrl _),
+    "q_ivf_fixed" -> (qIvfFixed _),
     "q_epochs" -> (qEpochs _),
     "q_triangles" -> (qTriangles _),
     "q_gap_fill" -> (qGapFill _),

@@ -135,6 +135,10 @@ object Clustering {
     */
   def assignWith(model: KmeansModel, df: DataFrame, vecCol: String): DataFrame = {
     require(!df.columns.contains("cluster"), "df must not contain reserved column cluster")
+    // the scratch column would silently overwrite (then drop) a
+    // caller-supplied column of the same name — same reserved-column
+    // collision class as `cluster` above, so reject it the same way
+    require(!df.columns.contains("_km_q"), "df must not contain reserved column _km_q")
     val packed = array(model.centroids.zipWithIndex.map { case (c, i) =>
       struct(distTo(c).as("d"), lit(i).as("c"))
     }: _*)
@@ -194,6 +198,11 @@ object Clustering {
       normScale: Int = 10000
   ): DataFrame = {
     require(normScale >= 1, s"need normScale >= 1, got $normScale")
+    // _sd_* scratch columns (and _km_q via kmeansAssign) would clobber
+    // caller data of the same name — reject reserved names up front
+    val reserved = df.columns.filter(c => c.startsWith("_sd_") || c == "_km_q")
+    require(reserved.isEmpty,
+      s"df must not contain reserved columns: ${reserved.mkString(", ")}")
     val assigned = kmeansAssign(df, idCol, vecCol, k, iters, quantScale)
       .select(col(idCol).as("_sd_id"), col("cluster"))
     // left-fold sum of squares over double-cast elements — matches the
@@ -226,10 +235,50 @@ object Clustering {
       .select("id_a", "id_b", "sim_fp", "cluster")
   }
 
+  /** Cluster count that keeps the EXPECTED cluster size at
+    * `targetClusterSize` regardless of corpus size — the k ∝ n contract
+    * SemDeDup needs: within-cluster pair work is ~size²/2 per cluster, so
+    * a FIXED k over a growing corpus goes quadratic, while k = n/target
+    * keeps per-cluster work flat and spends the growth on more clusters
+    * (which parallelize). Ceil division so small corpora still split.
+    */
+  def scaledK(n: Long, targetClusterSize: Long = 1000L, kMin: Int = 4): Int = {
+    require(targetClusterSize >= 1, s"need targetClusterSize >= 1, got $targetClusterSize")
+    require(kMin >= 1, s"need kMin >= 1, got $kMin")
+    val k = (n + targetClusterSize - 1) / targetClusterSize
+    math.min(math.max(k, kMin.toLong), Int.MaxValue.toLong).toInt
+  }
+
+  /** [[withinClusterNearDupPairs]] with the cluster count derived from the
+    * corpus size (k = max(kMin, ceil(n / targetClusterSize))) — the
+    * default entry point for SemDeDup at scale: callers who do not pick k
+    * get flat per-cluster pair work by construction instead of by reading
+    * a doc comment. Costs one count() of the input up front (the fit
+    * already runs driver actions for seeding, so this adds no new
+    * synchronization class).
+    */
+  def withinClusterNearDupPairsScaled(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      iters: Int,
+      simFp: Long,
+      targetClusterSize: Long = 1000L,
+      quantScale: Int = 1000,
+      normScale: Int = 10000
+  ): DataFrame = {
+    val k = scaledK(df.count(), targetClusterSize)
+    withinClusterNearDupPairs(df, idCol, vecCol, k, iters, simFp, quantScale, normScale)
+  }
+
   /** Full SemDeDup pass: cluster, pair within clusters, close the pair
     * graph into duplicate groups, keep the `n` best-scoring members of
     * each group ([[Dedup.clusterRepresentatives]]). Documents in no
     * qualifying pair survive untouched (singleton groups).
+    *
+    * Fixed-k variant — callers at scale should prefer
+    * [[semanticRepresentativesScaled]] (k ∝ corpus size) unless k was
+    * already derived from n.
     */
   def semanticRepresentatives(
       df: DataFrame,
@@ -245,4 +294,21 @@ object Clustering {
     val labels = Dedup.nearDupClusters(df.select(col(idCol)), idCol, pairs)
     Dedup.clusterRepresentatives(df, idCol, labels, scoreCol, n)
   }
+
+  /** [[semanticRepresentatives]] with k = scaledK(count, targetClusterSize)
+    * — the corpus-size-proportional default.
+    */
+  def semanticRepresentativesScaled(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      scoreCol: String,
+      iters: Int,
+      simFp: Long,
+      targetClusterSize: Long = 1000L,
+      n: Int = 1
+  ): DataFrame =
+    semanticRepresentatives(
+      df, idCol, vecCol, scoreCol,
+      scaledK(df.count(), targetClusterSize), iters, simFp, n)
 }

@@ -246,9 +246,21 @@ object Dedup {
     cand
       .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
       .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      // zip_with truncates to the shorter array, so an index and batch
+      // signed with different numHashes would silently skew est_jaccard
+      // (matches / size(sig_a) with a truncated zip). Mixed lengths mean
+      // the index is mis-built — fail the job loudly rather than emit
+      // biased estimates ([[writeSigIndex]] also validates on append).
       .withColumn("matches",
-        aggregate(zip_with(col("sig_a"), col("sig_b"),
-          (x, y) => when(x === y, 1L).otherwise(0L)), lit(0L), (acc, v) => acc + v))
+        when(size(col("sig_a")) === size(col("sig_b")),
+          aggregate(zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => when(x === y, 1L).otherwise(0L)), lit(0L), (acc, v) => acc + v))
+          .otherwise(raise_error(concat(
+            lit("incrementalSigPairs: signature length mismatch ("),
+            size(col("sig_a")), lit(" vs "), size(col("sig_b")),
+            lit(") for pair "), col("id_a").cast("string"), lit("/"),
+            col("id_b").cast("string"),
+            lit(") — index and batch must use the same numHashes")))))
       .withColumn("est_jaccard", col("matches").cast("double") / size(col("sig_a")))
       .where(col("est_jaccard") >= minEst)
       .select("id_a", "id_b", "est_jaccard")
@@ -527,6 +539,14 @@ object Dedup {
     * regardless of corpus size.
     */
   def writeSigIndex(sigs: DataFrame, path: String, append: Boolean = false): Unit = {
+    // numHashes of THIS batch (O(batch) scan — append-path maintenance
+    // cost stays proportional to the batch, never the corpus)
+    val batchLen = sigs.agg(
+      min(size(col("sig"))).as("lo"), max(size(col("sig"))).as("hi")).head()
+    val emptyBatch = batchLen.isNullAt(0)
+    val (lo, hi) = if (emptyBatch) (0, 0) else (batchLen.getInt(0), batchLen.getInt(1))
+    require(emptyBatch || lo == hi,
+      s"sig batch mixes signature lengths $lo..$hi — one numHashes per index")
     if (append) {
       // parquet append does NOT validate schemas across files: appending
       // array<bigint> sigs onto an array<string> index would corrupt it
@@ -540,9 +560,45 @@ object Dedup {
       } catch {
         case _: org.apache.spark.sql.AnalysisException => () // first write
       }
+      // numHashes must match too: mixed-length signatures skew the
+      // agreement-fraction estimate downstream (the sidecar read is one
+      // small file, not an index scan)
+      sigMetaNumHashes(path).foreach { idxLen =>
+        require(emptyBatch || idxLen == hi,
+          s"sig index at $path was built with numHashes=$idxLen, refusing to append numHashes=$hi")
+      }
     }
     sigs.select("id", "sig").write
       .mode(if (append) "append" else "overwrite").parquet(path)
+    if (!emptyBatch) writeSigMeta(path, hi)
+  }
+
+  /** numHashes sidecar for a persisted signature index: one tiny JSON file
+    * next to the parquet parts, validated on append so a probe can trust
+    * every signature in the index shares one length.
+    */
+  private def sigMetaPath(path: String) =
+    new org.apache.hadoop.fs.Path(path, "_graft_sig_meta.json")
+
+  private def writeSigMeta(path: String, numHashes: Int): Unit = {
+    val p = sigMetaPath(path)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val out = fs.create(p, true)
+    try out.write(s"""{"numHashes":$numHashes}""".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private[graft] def sigMetaNumHashes(path: String): Option[Int] = {
+    val p = sigMetaPath(path)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val body =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      "\"numHashes\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(body).map(_.group(1).toInt)
+    }
   }
 
   /** Load a persisted signature index written by [[writeSigIndex]]. */

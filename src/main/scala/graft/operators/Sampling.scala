@@ -284,9 +284,12 @@ object Sampling {
         col("_np_id").as("anchor"), col("_np_pos").as("_np_apos"),
         explode(sequence(lit(1), lit(k))).as("j")
       )
+      // 60-bit draw: a 32-bit hash mod (n-1) would strand every position
+      // >= 2^32 at 100 TB corpus sizes (and bias low positions as n
+      // approaches 2^32); 60 bits keep the draw uniform to n ~ 10^14
       .withColumn(
         "_np_t",
-        Sketches.md5Hash32(concat_ws("#", col("anchor"), col("j"))) % (n - 1L)
+        Sketches.md5Hash60(concat_ws("#", col("anchor"), col("j"))) % (n - 1L)
       )
       // skip-self shift: targets >= own position move up one
       .withColumn("_np_tpos", when(col("_np_t") >= col("_np_apos"), col("_np_t") + 1L).otherwise(col("_np_t")))

@@ -29,6 +29,15 @@ object Sketches {
   private[graft] def md5Hash32(value: Column): Column =
     conv(substring(md5(value.cast("string")), 1, 8), 16, 10).cast("long")
 
+  /** 60-bit variant (15 nibbles — positive in a signed long) for draws
+    * over a POSITION SPACE that can exceed 2^32 at corpus scale: a 32-bit
+    * draw modulo n would never reach positions >= 2^32 and carries modulo
+    * bias as n approaches 2^32. Oracle twin: OracleSql.md5NibbleIntSql
+    * with n=15.
+    */
+  private[graft] def md5Hash60(value: Column): Column =
+    conv(substring(md5(value.cast("string")), 1, 15), 16, 10).cast("long")
+
   /** The KMV estimator: exact when fewer than k distinct hashes were
     * observed, else (k-1) / normalized k-th minimum. ONE definition shared
     * by the global and grouped paths — both oracles mirror this exact

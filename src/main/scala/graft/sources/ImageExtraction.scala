@@ -38,9 +38,11 @@ object ImageExtraction {
     * 110-155: `page.get_images(full=True)` + `doc.extract_image(xref)`):
     * per page, `/Resources /XObject` streams with `/Subtype /Image`;
     * DCTDecode payloads pass through as JPEG files, Flate-decoded
-    * DeviceRGB/Gray samples re-encode as PNG. Bytes without PDF object
-    * structure fall back to the deterministic stub fan-out, so synthetic
-    * fixtures keep working.
+    * DeviceRGB/Gray samples re-encode as PNG. A %PDF-headed file the
+    * parser cannot open yields NO image rows (fabricating payloads for a
+    * damaged real PDF would poison the images table); only non-PDF
+    * fixture bytes fall back to the deterministic stub fan-out, so
+    * synthetic specs keep working.
     */
   object JvmImageExtractor extends ImageExtractor {
     override def extract(path: String, content: Array[Byte]): Seq[RawImage] =
@@ -52,7 +54,8 @@ object ImageExtraction {
       } catch {
         case _: graft.sources.pdf.PdfParser.PdfEncryptedException => Seq.empty
         case _: graft.sources.pdf.PdfParser.PdfParseException =>
-          StubImageExtractor.extract(path, content)
+          if (PdfSource.hasPdfMagic(content)) Seq.empty
+          else StubImageExtractor.extract(path, content)
         case scala.util.control.NonFatal(_) => Seq.empty
       }
   }

@@ -78,6 +78,11 @@ object PdfSource {
   def startsWithPdfMagic(content: Column): Column =
     substring(content, 1, 5) === lit("%PDF-".getBytes("US-ASCII"))
 
+  /** Driver/executor-side twin of [[startsWithPdfMagic]] for provider code. */
+  private[sources] def hasPdfMagic(content: Array[Byte]): Boolean =
+    content.length >= 5 && content(0) == '%' && content(1) == 'P' &&
+      content(2) == 'D' && content(3) == 'F' && content(4) == '-'
+
   /** One extracted document: markdown text + page count (+failure). */
   final case class Extraction(markdown: String, pageCount: Int, error: Option[String])
 
@@ -145,10 +150,14 @@ object PdfSource {
     *   - structured PDF → real markdown text + real page count
     *   - /Encrypt → `password_protected` error (validator branch,
     *     src/extract/validator.py:58-66)
-    *   - bytes with a %PDF header but no object structure → text-salvage
-    *     recovery (the [[StubExtractor]] behavior): whatever printable
-    *     payload exists is kept, so damaged files still route through the
-    *     quality gates instead of crashing the batch
+    *   - %PDF-headed bytes with no object structure but a mostly-printable
+    *     payload → text-salvage recovery (the [[StubExtractor]] behavior;
+    *     this is the synthetic-fixture shape used throughout the specs)
+    *   - %PDF-headed bytes with no recoverable structure AND a binary
+    *     payload → `corrupted` via extract_error (the reference validator
+    *     routes open failures to corrupted, src/extract/validator.py:67-75;
+    *     fabricating placeholder text + page counts for a genuinely
+    *     damaged file would poison the ledger as "valid")
     */
   object JvmExtractor extends PdfExtractor {
     override val name = "jvm"
@@ -158,16 +167,33 @@ object PdfSource {
         val md = graft.sources.pdf.PdfText.extractMarkdown(pdf)
         val pages = pdf.pageCount
         if (md.trim.isEmpty && pdf.pages.isEmpty)
-          // parsed but no page tree / no text: salvage
-          StubExtractor.extract(path, content)
+          // parsed but no page tree / no text: salvage or flag
+          salvageOrCorrupt(path, content)
         else Extraction(md, math.max(pages, 1), None)
       } catch {
         case _: graft.sources.pdf.PdfParser.PdfEncryptedException =>
           Extraction("", 0, Some(ValidationResult.PasswordProtected))
         case _: graft.sources.pdf.PdfParser.PdfParseException =>
-          StubExtractor.extract(path, content)
+          salvageOrCorrupt(path, content)
         case scala.util.control.NonFatal(_) =>
+          salvageOrCorrupt(path, content)
+      }
+
+    /** Parse-failure routing: printable-payload fixtures keep stub text
+      * salvage; a %PDF-headed file whose payload is binary garbage is
+      * surfaced as corrupted instead of salvaged with invented metadata.
+      * Non-%PDF bytes also salvage — the magic-header validator upstream
+      * ([[validationVerdict]]) already flags those corrupted on its own.
+      */
+    private def salvageOrCorrupt(path: String, content: Array[Byte]): Extraction =
+      if (!hasPdfMagic(content)) StubExtractor.extract(path, content)
+      else {
+        val body = new String(content, java.nio.charset.StandardCharsets.UTF_8)
+        val text = body.dropWhile(_ != '\n').drop(1)
+        val printable = text.count(c => c >= ' ' || c == '\n' || c == '\t')
+        if (text.nonEmpty && printable.toDouble / text.length > 0.9)
           StubExtractor.extract(path, content)
+        else Extraction("", 0, Some(ValidationResult.Corrupted))
       }
   }
 
