@@ -246,7 +246,12 @@ object Clustering {
     require(targetClusterSize >= 1, s"need targetClusterSize >= 1, got $targetClusterSize")
     require(kMin >= 1, s"need kMin >= 1, got $kMin")
     val k = (n + targetClusterSize - 1) / targetClusterSize
-    math.min(math.max(k, kMin.toLong), Int.MaxValue.toLong).toInt
+    // the kMin floor must never push k past n: kmeansFit seeds k distinct
+    // rows, so k > n crashes the "default entry point" on tiny corpora
+    // (1-3 rows). Cap at max(n, 1) AFTER the floor; an empty corpus still
+    // returns 1 so the failure, if any, names the real problem (no rows).
+    val floored = math.max(k, kMin.toLong)
+    math.min(math.min(floored, math.max(n, 1L)), Int.MaxValue.toLong).toInt
   }
 
   /** [[withinClusterNearDupPairs]] with the cluster count derived from the

@@ -547,30 +547,42 @@ object Dedup {
     val (lo, hi) = if (emptyBatch) (0, 0) else (batchLen.getInt(0), batchLen.getInt(1))
     require(emptyBatch || lo == hi,
       s"sig batch mixes signature lengths $lo..$hi — one numHashes per index")
+    val hconf = sigs.sparkSession.sparkContext.hadoopConfiguration
     if (append) {
       // parquet append does NOT validate schemas across files: appending
       // array<bigint> sigs onto an array<string> index would corrupt it
       // silently, surfacing only on the next probe's scan — fail at
       // write time instead
-      try {
-        val existing = sigs.sparkSession.read.parquet(path).schema("sig").dataType
+      val existingDf =
+        try Some(sigs.sparkSession.read.parquet(path))
+        catch { case _: org.apache.spark.sql.AnalysisException => None } // first write
+      existingDf.foreach { idx =>
+        val existing = idx.schema("sig").dataType
         val incoming = sigs.schema("sig").dataType
         require(existing == incoming,
           s"sig index at $path holds $existing, refusing to append $incoming")
-      } catch {
-        case _: org.apache.spark.sql.AnalysisException => () // first write
-      }
-      // numHashes must match too: mixed-length signatures skew the
-      // agreement-fraction estimate downstream (the sidecar read is one
-      // small file, not an index scan)
-      sigMetaNumHashes(path).foreach { idxLen =>
-        require(emptyBatch || idxLen == hi,
-          s"sig index at $path was built with numHashes=$idxLen, refusing to append numHashes=$hi")
+        // numHashes must match too: mixed-length signatures skew the
+        // agreement-fraction estimate downstream (the sidecar read is one
+        // small file, not an index scan). An index written before the
+        // sidecar existed has no certificate — derive numHashes from one
+        // stored row instead of trusting the NEW batch to define it
+        // (stamping the batch's length would falsely certify uniformity
+        // for a possibly different-length index).
+        val idxLen = sigMetaNumHashes(path, hconf).orElse(
+          idx.select(size(col("sig")).as("n")).limit(1).collect()
+            .headOption.map(_.getInt(0)))
+        idxLen.foreach { n =>
+          require(emptyBatch || n == hi,
+            s"sig index at $path was built with numHashes=$n, refusing to append numHashes=$hi")
+          // pre-sidecar index gains its certificate here even when the
+          // batch itself is empty
+          writeSigMeta(path, n, hconf)
+        }
       }
     }
     sigs.select("id", "sig").write
       .mode(if (append) "append" else "overwrite").parquet(path)
-    if (!emptyBatch) writeSigMeta(path, hi)
+    if (!emptyBatch) writeSigMeta(path, hi, hconf)
   }
 
   /** numHashes sidecar for a persisted signature index: one tiny JSON file
@@ -580,17 +592,22 @@ object Dedup {
   private def sigMetaPath(path: String) =
     new org.apache.hadoop.fs.Path(path, "_graft_sig_meta.json")
 
-  private def writeSigMeta(path: String, numHashes: Int): Unit = {
+  private def writeSigMeta(path: String, numHashes: Int,
+      hconf: org.apache.hadoop.conf.Configuration): Unit = {
     val p = sigMetaPath(path)
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = p.getFileSystem(hconf)
     val out = fs.create(p, true)
     try out.write(s"""{"numHashes":$numHashes}""".getBytes("UTF-8"))
     finally out.close()
   }
 
-  private[graft] def sigMetaNumHashes(path: String): Option[Int] = {
+  // the session's hadoopConfiguration, not a fresh Configuration(): the
+  // sidecar must resolve the SAME filesystem (S3A credentials, HDFS
+  // settings supplied via spark.hadoop.*) as the adjacent parquet write
+  private[graft] def sigMetaNumHashes(path: String,
+      hconf: org.apache.hadoop.conf.Configuration): Option[Int] = {
     val p = sigMetaPath(path)
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = p.getFileSystem(hconf)
     if (!fs.exists(p)) None
     else {
       val in = fs.open(p)

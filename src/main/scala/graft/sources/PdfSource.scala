@@ -188,10 +188,19 @@ object PdfSource {
     private def salvageOrCorrupt(path: String, content: Array[Byte]): Extraction =
       if (!hasPdfMagic(content)) StubExtractor.extract(path, content)
       else {
-        val body = new String(content, java.nio.charset.StandardCharsets.UTF_8)
-        val text = body.dropWhile(_ != '\n').drop(1)
-        val printable = text.count(c => c >= ' ' || c == '\n' || c == '\t')
-        if (text.nonEmpty && printable.toDouble / text.length > 0.9)
+        // printability is judged over the RAW BYTES: a UTF-8 decode first
+        // would collapse every byte >= 0x80 into U+FFFD (which passes a
+        // `c >= ' '` test) and shrink invalid multi-byte runs, letting
+        // genuinely binary payloads score as printable and get salvaged
+        // with fabricated stub text. 7-bit printable = b >= 0x20 plus
+        // \n \t \r; anything with the high bit set counts as binary.
+        val nl = content.indexOf('\n'.toByte)
+        val payload =
+          if (nl < 0 || nl + 1 >= content.length) Array.empty[Byte]
+          else java.util.Arrays.copyOfRange(content, nl + 1, content.length)
+        val printable = payload.count(b =>
+          b >= 0x20 || b == '\n'.toByte || b == '\t'.toByte || b == '\r'.toByte)
+        if (payload.nonEmpty && printable.toDouble / payload.length > 0.9)
           StubExtractor.extract(path, content)
         else Extraction("", 0, Some(ValidationResult.Corrupted))
       }
