@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify driver parses the LAST stdout line as JSON. sbt's
+// default LoggedOutput strategy prefixes every forked-process line with
+// "[info] " and appends a "[success] Total time..." line, so the JSON
+// line never parses. StdoutOutput passes the program's stdout through
+// bare; showSuccess drops the trailing [success] line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
