@@ -18,13 +18,24 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** events.parquet carries TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects; read nanos as long and expose a derived `ts_us`
-    * (microseconds) column matching DuckDB's `epoch_us(ts)`.
+  /** events.parquet has shipped with two physical `ts` encodings across
+    * driver generations: TIMESTAMP(NANOS) — which Spark's vectorized reader
+    * only surfaces as a nanos long under `nanosAsLong` — and plain
+    * timestamp[us] (read as TIMESTAMP_NTZ). Expose a derived `ts_us`
+    * (microseconds since epoch) matching DuckDB's `epoch_us(ts)` for
+    * either encoding. The NTZ branch requires the UTC session timezone
+    * every graft entry point sets (GraftSession/Verify/Bench), so the
+    * naive-local → instant cast is identity, exactly like DuckDB's
+    * epoch_us over a naive timestamp.
     */
-  private def events(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, dir, "events").withColumn("ts_us", expr("ts DIV 1000"))
+    val df = t(s, dir, "events")
+    val tsUs = df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts DIV 1000")
+      case _ => unix_micros(col("ts").cast("timestamp"))
+    }
+    df.withColumn("ts_us", tsUs)
   }
 
   // decimal-exact sum of a double column, emitted as double (identical in
