@@ -559,8 +559,12 @@ object Dedup {
       existingDf.foreach { idx =>
         val existing = idx.schema("sig").dataType
         val incoming = sigs.schema("sig").dataType
-        require(existing == incoming,
-          s"sig index at $path holds $existing, refusing to append $incoming")
+        // catalogString drops nullability: a persisted index reads back
+        // with containsNull=true while a freshly computed batch carries
+        // containsNull=false — identical element types must still append
+        require(existing.catalogString == incoming.catalogString,
+          s"sig index at $path holds ${existing.catalogString}, " +
+            s"refusing to append ${incoming.catalogString}")
         // numHashes must match too: mixed-length signatures skew the
         // agreement-fraction estimate downstream (the sidecar read is one
         // small file, not an index scan). An index written before the

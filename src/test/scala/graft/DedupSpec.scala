@@ -311,4 +311,73 @@ class DedupSpec extends AnyFunSuite {
       assert(found.toSet == Set((1L, 3L), (1L, 4L), (3L, 4L)), found.toString)
     } finally q.stop()
   }
+
+  private def messageChain(t: Throwable): String =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+      .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+
+  test("incrementalSigPairs fails loudly when index and batch numHashes differ") {
+    // band 0 (slots 1-4) matches, so the pair IS a candidate; the zipped
+    // agreement count would silently truncate to the shorter signature
+    // without the guard
+    val index = Seq((1L, Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L))).toDF("id", "sig")
+    val batch = Seq((2L, Seq(1L, 2L, 3L, 4L, 9L, 9L, 9L, 9L, 9L, 9L, 9L, 9L)))
+      .toDF("id", "sig")
+    val ex = intercept[Throwable] {
+      Dedup.incrementalSigPairs(index, batch, bandSize = 4, minEst = 0.0).collect()
+    }
+    assert(messageChain(ex).contains("signature length mismatch"), messageChain(ex))
+  }
+
+  test("writeSigIndex refuses to append a batch with a different numHashes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sigidx").toString + "/idx"
+    Dedup.writeSigIndex(Seq((1L, Seq(1L, 2L, 3L, 4L))).toDF("id", "sig"), dir)
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.writeSigIndex(
+        Seq((2L, Seq(1L, 2L, 3L, 4L, 5L, 6L))).toDF("id", "sig"), dir, append = true)
+    }
+    assert(ex.getMessage.contains("refusing to append numHashes=6"), ex.getMessage)
+    // a matching batch still appends, and the index stays probe-able
+    Dedup.writeSigIndex(Seq((3L, Seq(9L, 9L, 9L, 9L))).toDF("id", "sig"), dir, append = true)
+    assert(Dedup.loadSigIndex(spark, dir).count() == 2)
+  }
+
+  test("writeSigIndex still refuses a genuinely different sig element type") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sigtype").toString + "/idx"
+    Dedup.writeSigIndex(Seq((1L, Seq(1L, 2L, 3L, 4L))).toDF("id", "sig"), dir)
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.writeSigIndex(
+        Seq((2L, Seq("a", "b", "c", "d"))).toDF("id", "sig"), dir, append = true)
+    }
+    assert(ex.getMessage.contains("refusing to append array<string>"), ex.getMessage)
+  }
+
+  test("writeSigIndex rejects a batch that mixes signature lengths") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sigmix").toString + "/idx"
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.writeSigIndex(
+        Seq((1L, Seq(1L, 2L, 3L, 4L)), (2L, Seq(1L, 2L))).toDF("id", "sig"), dir)
+    }
+    assert(ex.getMessage.contains("mixes signature lengths"), ex.getMessage)
+  }
+
+  test("pre-sidecar index derives numHashes from a stored row and gains its certificate") {
+    val base = java.nio.file.Files.createTempDirectory("graft-sigpre").toString
+    val dir = s"$base/idx"
+    Dedup.writeSigIndex(Seq((1L, Seq(1L, 2L, 3L, 4L))).toDF("id", "sig"), dir)
+    val sidecar = new java.io.File(dir, "_graft_sig_meta.json")
+    assert(sidecar.exists, "writeSigIndex must stamp the sidecar")
+    assert(sidecar.delete(), "simulate an index written before the sidecar existed")
+    // wrong-length append still refused — numHashes re-derived from data,
+    // NOT trusted from the incoming batch
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.writeSigIndex(
+        Seq((2L, Seq(1L, 2L, 3L, 4L, 5L, 6L))).toDF("id", "sig"), dir, append = true)
+    }
+    assert(ex.getMessage.contains("refusing to append numHashes=6"), ex.getMessage)
+    // matching append succeeds and re-certifies the index
+    Dedup.writeSigIndex(Seq((3L, Seq(7L, 7L, 7L, 7L))).toDF("id", "sig"), dir, append = true)
+    assert(sidecar.exists, "append must restore the sidecar certificate")
+    assert(Dedup.loadSigIndex(spark, dir).count() == 2)
+  }
 }
