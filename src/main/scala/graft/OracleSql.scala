@@ -603,6 +603,39 @@ object OracleSql {
          |  WHERE a.cid IN (SELECT cid FROM probe))
          |SELECT vec_id, cell, score FROM ann ORDER BY score DESC, vec_id LIMIT 20""".stripMargin,
 
+    "q_lsh_fixed" -> {
+      // SparkEntry.qLshFixed twin: portable hyperplanes (md5-60-bit of
+      // 'lsh:j:i' % 2001 - 1000), quantized integer dots -> 16-bit
+      // signature (bit j set iff dot_j >= 0), Hamming<=6 candidate
+      // filter against the vec_id=0 signature, exact-cosine rerank
+      // rounded to 6dp
+      val md560 = md5NibbleIntSql("'lsh:' || CAST(j AS VARCHAR) || ':' || CAST(i AS VARCHAR)", 15)
+      s"""WITH planes AS MATERIALIZED (
+         |  SELECT j, i, ($md560 % 2001) - 1000 AS p
+         |  FROM range(0, 16) t(j) CROSS JOIN range(1, 65) s(i)),
+         |qs AS MATERIALIZED (
+         |  SELECT vec_id,
+         |         list_transform(CAST(embedding AS DOUBLE[]),
+         |           x -> CAST(FLOOR(x * 1000) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |dots AS (
+         |  SELECT s.vec_id, pl.j, SUM(s.q[pl.i] * pl.p) AS dot
+         |  FROM qs s CROSS JOIN planes pl GROUP BY 1, 2),
+         |sig AS MATERIALIZED (
+         |  SELECT vec_id,
+         |         CAST(SUM(CASE WHEN dot >= 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS BIGINT) AS sig
+         |  FROM dots GROUP BY 1),
+         |qsig AS (SELECT sig FROM sig WHERE vec_id = 0),
+         |cand AS (
+         |  SELECT s.vec_id, s.sig FROM sig s, qsig
+         |  WHERE bit_count(xor(s.sig, qsig.sig)) <= 6)
+         |SELECT c.vec_id, c.sig,
+         |       ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+         |             (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS score
+         |FROM cand c JOIN embeddings e ON c.vec_id = e.vec_id
+         |ORDER BY score DESC, c.vec_id LIMIT 20""".stripMargin
+    },
+
     "q_semdedup" -> {
       // Clustering.withinClusterNearDupPairs twin: the shared k-means
       // assignment blocks candidates per cluster; similarity is the

@@ -558,6 +558,63 @@ object SparkEntry {
       .select(col("vec_id"), round(col("score"), 6).as("score"))
   }
 
+  /** Portable hyperplanes for [[qLshFixed]]: component (j, i) derives
+    * from md5("lsh:j:i") exactly like OracleSql.md5NibbleIntSql(_, 15) —
+    * the first 15 hex nibbles as a 60-bit int — mapped into
+    * [-1000, 1000]. 16 planes x 64 components, computed once driver-side.
+    */
+  private lazy val lshFixedPlanes: Seq[Seq[Long]] =
+    (0 until 16).map { j =>
+      (1 to 64).map { i =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(s"lsh:$j:$i".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.substring(0, 15)
+        (java.lang.Long.parseLong(hex, 16) % 2001L) - 1000L
+      }
+    }
+
+  /** Hash-checked SimHash-LSH twin (the q_ivf_fixed recipe applied to the
+    * last rows-only ANN entry): the same bucket-then-rerank plan shape as
+    * [[qAnnLsh]], but the hyperplanes are PORTABLE integers
+    * ([[lshFixedPlanes]]) and vectors quantize to floor(x*1000) ints, so
+    * the 16-bit signature, the Hamming<=6 candidate filter, and the
+    * exact-cosine rerank are all reproducible in DuckDB and the result
+    * pins to a hash. q_ann_lsh keeps the production SplitMix planes
+    * (recall behavior spec'd in VectorFunctionsSpec); THIS query pins the
+    * bucket-then-rerank semantics.
+    */
+  private def qLshFixed(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val qv = emb.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
+    val planesLit = typedlit(lshFixedPlanes)
+    def quant(vec: Column): Column =
+      transform(vec, x => floor(x.cast("double") * lit(1000.0)).cast("long"))
+    // MSB-first fold: after visiting j = 15..0, bit_j carries weight 2^j
+    def sigCol(vec: Column): Column =
+      aggregate(
+        sequence(lit(15), lit(0), lit(-1)),
+        lit(0L),
+        (acc, j) =>
+          acc * 2 + when(
+            aggregate(
+              zip_with(quant(vec), element_at(planesLit, j + 1), (a, b) => a * b),
+              lit(0L), (s2, v) => s2 + v) >= 0, lit(1L)).otherwise(lit(0L)))
+    // the query's signature: the identical integer fold on the driver
+    val qq = qv.map(x => math.floor(x.toDouble * 1000.0).toLong)
+    val qSig = (15 to 0 by -1).foldLeft(0L) { (acc, j) =>
+      val dot = lshFixedPlanes(j).iterator.zip(qq.iterator).map { case (p, v) => p * v }.sum
+      acc * 2 + (if (dot >= 0) 1L else 0L)
+    }
+    emb
+      .withColumn("sig", sigCol(col("embedding")))
+      .where(bit_count(col("sig").bitwiseXOR(lit(qSig))) <= lit(6))
+      .withColumn("score",
+        round(VectorFunctions.cosineSim(col("embedding"), typedlit(qv)), 6))
+      .select(col("vec_id"), col("sig"), col("score"))
+      .orderBy(desc("score"), col("vec_id"))
+      .limit(20)
+  }
+
   /** Exact phrase search via positional postings (FtsIndex
     * .phraseOccurrences): "hash join" as a consecutive token run, ranked
     * by occurrence count. Oracle counts token-array adjacency with the
@@ -2014,6 +2071,7 @@ object SparkEntry {
     "q_chunker" -> (qChunker _),
     "q_embed_chunks" -> (qEmbedChunks _),
     "q_ann_lsh" -> (qAnnLsh _),
+    "q_lsh_fixed" -> (qLshFixed _),
     "q_simhash_pairs" -> (qSimhashPairs _),
     "q_fingerprint" -> (qFingerprint _),
     "q_ann_ivf" -> (qAnnIvf _),

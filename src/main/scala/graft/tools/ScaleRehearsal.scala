@@ -92,7 +92,12 @@ object ScaleRehearsal {
         f"shuffleRead=${(r1 - r0) / 1e6}%.1fMB peakTaskMem=${meter.peak / 1e6}%.1fMB")
     }
 
-    for (factor <- Seq(1, 10)) {
+    // GRAFT_SCALE_ONLY=<substring> reruns a single section (fresh rows
+    // for one operator family without the full sweep); unset = everything
+    val only = sys.env.get("GRAFT_SCALE_ONLY")
+    def sectionEnabled(name: String): Boolean = only.forall(name.contains)
+
+    if (sectionEnabled("docs")) for (factor <- Seq(1, 10)) {
       println(s"[scale] ===== factor $factor =====")
       val docs = blowUp(factor)
       println(s"[scale] corpus rows = ${docs.count()}")
@@ -153,11 +158,59 @@ object ScaleRehearsal {
       }
     }
 
+    // SemDeDup scaled-k (VERDICT r6 #3): with k = scaledK(n) the
+    // per-cluster pair work (mean over clusters of size^2) must stay FLAT
+    // as the corpus grows — the growth is spent on MORE clusters, which
+    // parallelize, never on bigger ones. The blow-up must be
+    // distribution-stationary: every copy bumps ONE vec_id+copy-dependent
+    // component by 0.5 (~26 deg rotation — outside the 0.99 near-dup
+    // band, so no factor^2 dup-family pairs), applied at factor 1 too so
+    // 1x and 10x draw from the same transformed family. A uniform
+    // per-copy shift instead would park every k-means seed (the lowest
+    // ids) in copy block 0 and measure the synthetic layout, not the
+    // blocking.
+    val baseEmb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+      .select("vec_id", "embedding")
+    import graft.operators.Clustering
+    if (sectionEnabled("semdedup")) for (factor <- Seq(1, 10)) {
+      val emb = (0 until factor)
+        .map { i =>
+          baseEmb.select(
+            (col("vec_id") + lit(i * 10000000L)).as("vec_id"),
+            transform(col("embedding"), (x, idx) =>
+              when(idx === pmod(col("vec_id") + lit(i), lit(64)).cast("int"),
+                (x + lit(0.5f)).cast("float")).otherwise(x)).as("embedding")
+          )
+        }
+        .reduce(_ unionByName _)
+        .localCheckpoint()
+      val n = emb.count()
+      val k = Clustering.scaledK(n, targetClusterSize = 500)
+      measure(s"semdedup_scaled_x$factor") {
+        Clustering.semanticRepresentativesScaled(
+          emb.withColumn("score", pmod(col("vec_id"), lit(97L))),
+          "vec_id", "embedding", "score",
+          iters = 2, simFp = 99000000L, targetClusterSize = 500
+        ).count()
+      }
+      val stats = Clustering.kmeansAssign(emb, "vec_id", "embedding", k, iters = 2)
+        .groupBy("cluster").count()
+        .agg(
+          count(lit(1)).as("used"),
+          avg("count").as("avg_size"),
+          max("count").as("max_size"),
+          avg(col("count") * col("count")).as("avg_pair_work"))
+        .head()
+      println(f"[scale] semdedup_scaled_x$factor n=$n k=$k usedClusters=${stats.getLong(0)} " +
+        f"avgSize=${stats.getDouble(1)}%.1f maxSize=${stats.getLong(2)} " +
+        f"avgPairWork=${stats.getDouble(3)}%.1f")
+    }
+
     // PageRank blow-up: `factor` DISJOINT copies of the sf0.1
     // customer↔supplier graph (keys offset per copy) — edge count scales
     // by `factor` while diameter stays fixed, isolating per-round shuffle
     // growth from convergence effects.
-    val basePairs = {
+    lazy val basePairs = {
       val orders = spark.read.parquet("/root/testdata/sf0.1/orders.parquet")
       val li = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
       orders.join(li, col("o_orderkey") === col("l_orderkey"))
@@ -165,7 +218,7 @@ object ScaleRehearsal {
         .distinct()
         .localCheckpoint()
     }
-    for (factor <- Seq(1, 10)) {
+    if (sectionEnabled("pagerank")) for (factor <- Seq(1, 10)) {
       val pairsN = (0 until factor)
         .map { i =>
           basePairs.select(

@@ -108,4 +108,37 @@ class ChunkerGoldenSpec extends AnyFunSuite {
     )
     assert(a == expected, s"golden mismatch:\n${a.mkString("\n")}")
   }
+
+  test("golden: corpus-level digest of every chunk over sf0.01") {
+    // One hash over EVERY chunk the q_chunker config produces on the real
+    // sf0.01 corpus: any drift in the splitter cascade, overlap pops,
+    // header stack, token counts, or chunk ordering — on any document —
+    // flips this digest. The small fixtures above localize a failure;
+    // this pins the whole surface (q_chunker itself is rows-only at the
+    // driver gate).
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, sha2}
+    val perChunk = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .where(col("text").isNotNull)
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        Chunker.chunk(text, ChunkingConfig(chunkSize = 256, chunkOverlap = 32)).map { c =>
+          s"$id|${c.chunkIndex}|${c.totalChunks}|${c.isSectionStart}|${c.tokenCount}|${c.text}"
+        }
+      }
+      .toDF("row")
+      .select(sha2(col("row"), 256).as("h"))
+      .orderBy("h")
+      .as[String]
+      .collect()
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    perChunk.foreach(h => md.update(h.getBytes("UTF-8")))
+    val corpusDigest = md.digest().map("%02x".format(_)).mkString
+    assert(perChunk.length == 714, s"chunk count drifted: ${perChunk.length}")
+    assert(
+      corpusDigest == "2364c1d89fcf5fea844d660d14c9217c5748e5dd9cc83fb3a0701a63a796dcf8",
+      s"corpus digest drifted: $corpusDigest")
+  }
 }
