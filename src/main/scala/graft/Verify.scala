@@ -18,6 +18,10 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // GRAFT_CHECKPOINT_DIR flips Checkpoints.pin into its reliable
+    // checkpoint() branch (the cluster mode) so the determinism gate can
+    // exercise it over the full inventory; unset = localCheckpoint
+    sys.env.get("GRAFT_CHECKPOINT_DIR").foreach(spark.sparkContext.setCheckpointDir)
     Bench.silenceBoundedWindowWarning()
     new java.io.File(outDir).mkdirs()
     val unknown = only.diff(SparkEntry.queries.keySet)
