@@ -18,6 +18,9 @@ run / fork := true
 // bare; showSuccess drops the trailing [success] line.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 Global / showSuccess := false
+// showSuccess is consumed by sbt's command layer, not by settings/tasks,
+// so the unused-key lint false-positives on it
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
