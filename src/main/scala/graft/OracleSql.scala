@@ -319,6 +319,21 @@ object OracleSql {
          |  CAST(FLOOR(CAST(len($words) AS DOUBLE) * 1.3) AS BIGINT) AS token_est
          |FROM documents ORDER BY doc_id""".stripMargin,
 
+    "q_token_bpe" -> {
+      // TextFunctions.bpeTokenCount twin: the SAME pattern constant, so
+      // the two engines cannot drift (only SQL quote-escaping differs);
+      // est_subword mirrors TextAnalysis.bpeTokenEstimate's per-word
+      // 1 + max(floor((len-4)/4), 0) fold (empty word list -> 0, the
+      // Spark aggregate's init value, via COALESCE)
+      val pat = graft.functions.TextFunctions.BpeTokenPattern.replace("'", "''")
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(lower(text), '$pat')) AS BIGINT) AS bpe_tokens,
+         |  CAST(len($words) AS BIGINT) AS ws_words,
+         |  COALESCE(CAST(list_sum(list_transform($words,
+         |    w -> 1 + GREATEST(CAST(FLOOR(CAST(len(w) - 4 AS DOUBLE) / 4.0) AS BIGINT), 0))) AS BIGINT), 0) AS est_subword
+         |FROM documents WHERE text IS NOT NULL ORDER BY doc_id""".stripMargin
+    },
+
     "q_quality_metrics" ->
       s"""SELECT doc_id,
          |  CAST(length(text) AS BIGINT) AS chars,

@@ -244,6 +244,24 @@ object SparkEntry {
       )
       .orderBy("doc_id")
 
+  /** The corpus token-accounting triple a training pipeline budgets
+    * with, per doc in one scan: the GPT-2-style regex pre-tokenizer
+    * count ([[TextFunctions.bpeTokenCount]]), the whitespace word count,
+    * and the word-length subword heuristic
+    * ([[TextAnalysis.bpeTokenEstimate]] — previously spec-only, now
+    * oracle-checked). No shuffle before the output sort.
+    */
+  private def qTokenBpe(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .where(col("text").isNotNull)
+      .select(
+        col("doc_id"),
+        TextFunctions.bpeTokenCount(col("text")).as("bpe_tokens"),
+        TextFunctions.wordCount(col("text")).cast("long").as("ws_words"),
+        TextAnalysis.bpeTokenEstimate(col("text")).cast("long").as("est_subword")
+      )
+      .orderBy("doc_id")
+
   /** Extraction-quality metric projection (F2,
     * src/extract/pymupdf_extractor.py:173-205) — page_count=1 per doc.
     */
@@ -2042,6 +2060,7 @@ object SparkEntry {
     "q_scalar_hash" -> (qScalarHash _),
     "q_title_clean" -> (qTitleClean _),
     "q_token_estimate" -> (qTokenEstimate _),
+    "q_token_bpe" -> (qTokenBpe _),
     "q_quality_metrics" -> (qQualityMetrics _),
     "q_quality_gate" -> (qQualityGate _),
     "q_like_filter" -> (qLikeFilter _),

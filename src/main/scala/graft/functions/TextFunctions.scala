@@ -70,6 +70,24 @@ object TextFunctions {
   def wordCount(text: Column): Column =
     regexp_count(text, lit(NonWs + "+"))
 
+  /** BPE-ish pre-tokenizer alternation (GPT-2 shape: contraction
+    * suffixes, space-prefixed letter runs, digit runs, punctuation runs)
+    * made RE2-compatible — no lookahead, and the [[WsChars]] class spelled
+    * out so Java (Spark) and RE2 (DuckDB) count identically. Whitespace
+    * not absorbed by a token's optional leading space is skipped by the
+    * scan, not counted.
+    */
+  val BpeTokenPattern: String =
+    s"'(s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9$WsChars]+"
+
+  /** BPE-ish token count over lowercased text — the sharper corpus
+    * token-budget signal next to [[tokenEstimate]]'s words x 1.3
+    * (reference src/transform/chunker.py:124-126) for accounting at a
+    * scale where running the real BPE on every document is off the table.
+    */
+  def bpeTokenCount(text: Column): Column =
+    regexp_count(lower(text), lit(BpeTokenPattern)).cast("long")
+
   /** Extraction-quality metric columns (reference:
     * src/extract/pymupdf_extractor.py:173-205): chars/page, words/page, avg
     * word length, whitespace ratio (spaces only, matching

@@ -187,4 +187,25 @@ class TextAnalysisSpec extends AnyFunSuite {
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("mean_surprisal_fp")).toMap
     assert(out(99L) > out(1L), s"rare-token doc must score higher surprisal: $out")
   }
+
+  test("bpeTokenCount: hand-counted GPT-2-style pre-tokenization") {
+    val cases = Seq(
+      // don | 't | " stop" | "!" | " 123" | " abc"
+      ("don't stop! 123 abc", 6L),
+      // contractions win at each apostrophe: i|'ll| we|'re| you|'ve| he|'s
+      ("I'll we're you've he's", 8L),
+      // case folds before the scan; letter and digit runs split
+      ("ABC123def", 3L),
+      // whitespace not absorbed as a token's leading space is skipped
+      ("   spaced    out   ", 2L),
+      // wait | "..." | " '" (space-prefixed punct run fires at the space,
+      // before the apostrophe position where the contraction would) | tis
+      ("wait... 'tis", 4L),
+      ("", 0L)
+    )
+    val got = cases.map(_._1).toDF("text")
+      .select(TextFunctions.bpeTokenCount(col("text")).as("n"))
+      .as[Long].collect().toSeq
+    assert(got == cases.map(_._2), s"got $got, expected ${cases.map(_._2)}")
+  }
 }
