@@ -263,4 +263,21 @@ class PlanShapeSpec extends AnyFunSuite {
       "HashAggregate".r.findAllIn(p).length >= 2,
       s"token counts must map-side combine: ${p.take(800)}")
   }
+
+  test("fixed-plane LSH search is one scan + top-k — no join, no pre-limit shuffle") {
+    val p = plan("q_lsh_fixed")
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+    assert(!p.contains("Join"), "signature + Hamming filter must stay per-row column algebra")
+    assert(!p.contains("BatchEvalPython"), "no out-of-codegen eval")
+  }
+
+  test("token accounting is a single scan with no shuffle before the output sort") {
+    val p = plan("q_token_bpe")
+    // exactly the final orderBy's range exchange — the three token
+    // signals must come from one pass over the text column (formatted
+    // mode prints each node in the tree AND a details section, so count
+    // the numbered details headers)
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).length == 1, p.take(800))
+    assert(p.contains("ReadSchema:") && !p.contains("lang"), "only doc_id/text may be read")
+  }
 }
