@@ -209,20 +209,23 @@ object OracleSql {
     * prefilter is exactness-preserving, so both paths answer to the same
     * oracle).
     */
-  private val decontaminateSql: String = {
-    def shingleSql(src: String, n: Int) = {
-      val terms = (0 until n).map(j => s"w[i+$j]").mkString(" || ' ' || ")
-      s"""SELECT doc_id, UNNEST(list_distinct(list_transform(
-         |         range(1, CAST(GREATEST(len(w) - ${n - 1}, 0) AS BIGINT) + 1),
-         |         i -> $terms))) AS gram
-         |  FROM (SELECT doc_id,
-         |          string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
-         |        FROM $src)""".stripMargin
-    }
+  /** Dedup.shingles twin: per-doc DISTINCT word n-grams over the
+    * normalized text (shared by the decontamination family).
+    */
+  private def shingleSql(src: String, n: Int): String = {
+    val terms = (0 until n).map(j => s"w[i+$j]").mkString(" || ' ' || ")
+    s"""SELECT doc_id, UNNEST(list_distinct(list_transform(
+       |         range(1, CAST(GREATEST(len(w) - ${n - 1}, 0) AS BIGINT) + 1),
+       |         i -> $terms))) AS gram
+       |  FROM (SELECT doc_id,
+       |          string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+       |        FROM $src)""".stripMargin
+  }
+
+  private val decontaminateSql: String =
     s"""WITH cg AS (${shingleSql("documents", 8)}),
        |eg AS (SELECT DISTINCT gram FROM (${shingleSql("(SELECT * FROM documents WHERE doc_id < 5)", 8)}))
        |SELECT DISTINCT cg.doc_id FROM cg JOIN eg USING (gram) ORDER BY doc_id""".stripMargin
-  }
 
   val all: Map[String, String] = Map(
     "q_pricing_summary" ->
@@ -1143,6 +1146,25 @@ object OracleSql {
         |FROM documents d LEFT JOIN pd USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     "q_decontaminate" -> decontaminateSql,
+
+    "q_contamination_frac" ->
+      // CorpusHygiene.contaminationFraction twin: per-doc distinct-gram
+      // count, hit count against the distinct eval grams, double-divided
+      // fraction rounded 6dp; zero-shingle docs surface as (0, 0, 0.0)
+      s"""WITH src AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+         |cg AS (${shingleSql("src", 8)}),
+         |eg AS (SELECT DISTINCT gram FROM (${shingleSql("(SELECT * FROM src WHERE doc_id < 5)", 8)})),
+         |cnt AS (SELECT doc_id, COUNT(*) AS n_grams FROM cg GROUP BY 1),
+         |hits AS (SELECT cg.doc_id, COUNT(*) AS n_hits FROM cg JOIN eg USING (gram) GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CAST(COALESCE(cnt.n_grams, 0) AS BIGINT) AS n_grams,
+         |  CAST(COALESCE(hits.n_hits, 0) AS BIGINT) AS n_hits,
+         |  ROUND(CASE WHEN COALESCE(cnt.n_grams, 0) > 0
+         |        THEN CAST(COALESCE(hits.n_hits, 0) AS DOUBLE) / cnt.n_grams
+         |        ELSE 0.0 END, 6) AS frac
+         |FROM src d
+         |LEFT JOIN cnt USING (doc_id) LEFT JOIN hits USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
 
     // the bloom prefilter is exactness-preserving by construction (confirm
     // join erases false positives; blooms have no false negatives), so the

@@ -1407,6 +1407,23 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Graded contamination scoring ([[CorpusHygiene.contaminationFraction]]):
+    * per-doc fraction of distinct 8-gram shingles present in the eval
+    * set — the threshold-curation signal next to the binary
+    * q_decontaminate gate.
+    */
+  private def qContaminationFrac(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").where(col("text").isNotNull)
+    graft.operators.CorpusHygiene
+      .contaminationFraction(docs, "doc_id", "text", docs.where(col("doc_id") < 5), "text", n = 8)
+      .select(
+        col("id").as("doc_id"),
+        col("n_grams"),
+        col("n_hits"),
+        round(col("frac"), 6).as("frac"))
+      .orderBy("doc_id")
+  }
+
   /** Bloom-prefiltered decontamination (the big-eval-set scale path):
     * same contract and same oracle as q_decontaminate — the Bloom
     * prefilter + exact confirm join must change nothing but the plan.
@@ -2118,6 +2135,7 @@ object SparkEntry {
     "q_gopher_repetition" -> (qGopherRepetition _),
     "q_top_ngram_frac" -> (qTopNgramFrac _),
     "q_decontaminate" -> (qDecontaminate _),
+    "q_contamination_frac" -> (qContaminationFrac _),
     "q_chunk_fixed" -> (qChunkFixed _),
     "q_embed_portable" -> (qEmbedPortable _),
     "q_dedup_clusters" -> (qDedupClusters _),

@@ -120,6 +120,39 @@ object CorpusHygiene {
       .distinct()
   }
 
+  /** Per-document contamination SCORE: the fraction of a document's
+    * distinct n-gram shingles present in the eval set — the graded
+    * signal behind [[decontaminate]]'s binary gate (threshold curation,
+    * partial-overlap audits, leakage dashboards). Same plan shape as
+    * [[contaminatedIds]]: corpus grams left-join the BROADCAST distinct
+    * eval grams, then one (id)-keyed count aggregation — corpus text
+    * never shuffles. Documents with fewer than `n` words have zero
+    * shingles and score (0, 0, 0.0) via the explode_outer row.
+    */
+  def contaminationFraction(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      evalSet: DataFrame,
+      evalTextCol: String,
+      n: Int = 13
+  ): DataFrame = {
+    // shingles are already per-doc distinct (Dedup.shingles array_distincts)
+    val corpusGrams = corpus
+      .select(col(idCol).as("id"), explode_outer(Dedup.shingles(col(textCol), n)).as("gram"))
+    val evalGrams = evalSet
+      .select(explode(Dedup.shingles(col(evalTextCol), n)).as("gram"))
+      .distinct()
+    corpusGrams
+      .join(broadcast(evalGrams.withColumn("_ch_hit", lit(1))), Seq("gram"), "left")
+      .groupBy("id")
+      .agg(count(col("gram")).as("n_grams"), count(col("_ch_hit")).as("n_hits"))
+      .withColumn(
+        "frac",
+        when(col("n_grams") > 0, col("n_hits").cast("double") / col("n_grams"))
+          .otherwise(lit(0.0)))
+  }
+
   /** Drop contaminated documents from the corpus (anti-join of
     * [[contaminatedIds]]). The contaminated-id set is usually a small
     * minority and broadcasts; for corpora where boilerplate n-grams

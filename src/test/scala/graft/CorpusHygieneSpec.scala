@@ -101,4 +101,27 @@ class CorpusHygieneSpec extends AnyFunSuite {
     assert(CorpusHygiene.percentileGate(single, "g", "v", "id", 0.5).count() == 0)
     assert(CorpusHygiene.percentileGate(single, "g", "v", "id", 0.0).count() == 1)
   }
+
+  test("contaminationFraction grades partial overlap; short docs score zero over zero") {
+    val eval = Seq((100L, "alpha beta gamma delta")).toDF("id", "text")
+    val corpus = Seq(
+      // grams (n=2): "alpha beta","beta gamma","gamma delta" — all 3 hit
+      (1L, "alpha beta gamma delta"),
+      // grams: "alpha beta"(hit), "beta zeta", "zeta eta" — 1 of 3
+      (2L, "alpha beta zeta eta"),
+      // no shared grams
+      (3L, "one two three four"),
+      // a single word yields zero 2-gram shingles
+      (4L, "alpha")
+    ).toDF("id", "text")
+    val got = CorpusHygiene
+      .contaminationFraction(corpus, "id", "text", eval, "text", n = 2)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got(1L) == ((3L, 3L, 1.0)), s"got $got")
+    assert(got(2L) == ((3L, 1L, 1.0 / 3.0)), s"got $got")
+    assert(got(3L) == ((3L, 0L, 0.0)), s"got $got")
+    assert(got(4L) == ((0L, 0L, 0.0)), "zero-shingle docs must still appear, scored 0")
+  }
 }
