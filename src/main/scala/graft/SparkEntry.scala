@@ -23,13 +23,15 @@ object SparkEntry {
     * only surfaces as a nanos long under `nanosAsLong` — and plain
     * timestamp[us] (read as TIMESTAMP_NTZ). Expose a derived `ts_us`
     * (microseconds since epoch) matching DuckDB's `epoch_us(ts)` for
-    * either encoding. The NTZ branch requires the UTC session timezone
-    * every graft entry point sets (GraftSession/Verify/Bench), so the
+    * either encoding. The NTZ branch needs a UTC session timezone so the
     * naive-local → instant cast is identity, exactly like DuckDB's
-    * epoch_us over a naive timestamp.
+    * epoch_us over a naive timestamp — every graft entry point sets it
+    * (GraftSession/Verify/Bench), but a caller-built session must not be
+    * able to get silently-shifted epochs, so it is pinned here too.
     */
   private[graft] def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.conf.set("spark.sql.session.timeZone", "UTC")
     val df = t(s, dir, "events")
     val tsUs = df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => expr("ts DIV 1000")
@@ -568,7 +570,10 @@ object SparkEntry {
     */
   private def qAnnLsh(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
-    val qv = emb.where(col("vec_id") === 0).head().getSeq[Float](1).toArray
+    val qv = emb.where(col("vec_id") === 0).limit(1).collect().headOption
+      .getOrElse(throw new IllegalStateException(
+        s"q_ann_lsh: no embeddings row with vec_id=0 in $dir/embeddings.parquet"))
+      .getSeq[Float](1).toArray
     val lsh = VectorSearch.SimHashLsh(nBits = 16, dim = qv.length)
     val indexed = lsh.withSignature(emb, "embedding")
     lsh
@@ -603,7 +608,18 @@ object SparkEntry {
     */
   private def qLshFixed(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
-    val qv = emb.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
+    val qv = emb.where(col("vec_id") === 0).select("embedding")
+      .limit(1).collect().headOption
+      .getOrElse(throw new IllegalStateException(
+        s"q_lsh_fixed: no embeddings row with vec_id=0 in $dir/embeddings.parquet — " +
+          "the fixed query vector is gone"))
+      .getSeq[Float](0)
+    // the 16x64 plane table spans exactly 64 components; a shorter vector
+    // would zip-truncate driver-side while the Spark zip_with path nulls
+    // the signature and the DuckDB twin NULL-skips — three silently
+    // diverging answers. Fail loudly on dimension drift instead.
+    require(qv.length == 64,
+      s"q_lsh_fixed: expected 64-dim embeddings, got ${qv.length} — lshFixedPlanes span 64 components")
     val planesLit = typedlit(lshFixedPlanes)
     def quant(vec: Column): Column =
       transform(vec, x => floor(x.cast("double") * lit(1000.0)).cast("long"))

@@ -128,6 +128,14 @@ object CorpusHygiene {
     * eval grams, then one (id)-keyed count aggregation — corpus text
     * never shuffles. Documents with fewer than `n` words have zero
     * shingles and score (0, 0, 0.0) via the explode_outer row.
+    *
+    * Size contract (same as [[contaminatedIds]]/[[decontaminate]]): the
+    * eval side is a BENCHMARK, not a corpus — its distinct gram set must
+    * fit the broadcast/driver limit (tens of millions of grams ≈ a few
+    * GB; typical eval suites are orders of magnitude under that). Scoring
+    * against an eval set too large to broadcast wants the Bloom-prefilter
+    * shape ([[contaminatedIdsBloom]]) with the count aggregation applied
+    * to its confirm join instead.
     */
   def contaminationFraction(
       corpus: DataFrame,

@@ -25,6 +25,16 @@ object Curation {
     * @param minQuality keep docs with qualityScore >= this
     * @param dedupe    drop exact duplicates (normalized text), keeping the
     *                  smallest id per group
+    * @param evalSet   when set, decontaminate against this eval benchmark:
+    *                  docs whose GRADED contamination
+    *                  ([[CorpusHygiene.contaminationFraction]] — the
+    *                  fraction of the doc's distinct `contamN`-gram
+    *                  shingles present in the eval set) reaches
+    *                  `maxContamination` are dropped. `maxContamination`
+    *                  near 0 approaches the published binary any-13-gram
+    *                  drop ([[CorpusHygiene.decontaminate]]); higher
+    *                  thresholds keep docs that merely quote a line of a
+    *                  benchmark while still dropping wholesale inclusions.
     */
   def curate(
       docs: DataFrame,
@@ -32,9 +42,15 @@ object Curation {
       textCol: String,
       langs: Set[String] = Set("en"),
       minQuality: Double = 0.5,
-      dedupe: Boolean = true
+      dedupe: Boolean = true,
+      evalSet: Option[DataFrame] = None,
+      evalTextCol: String = "text",
+      maxContamination: Double = 1.0,
+      contamN: Int = 13
   ): DataFrame = {
-    val filtered = filterStage(docs, textCol, langs, minQuality)
+    val filtered = contaminationGate(
+      filterStage(docs, textCol, langs, minQuality),
+      idCol, textCol, evalSet, evalTextCol, maxContamination, contamN)
     if (!dedupe) filtered
     else Dedup.exactDedup(filtered, idCol, textCol)
   }
@@ -58,7 +74,11 @@ object Curation {
       langs: Set[String] = Set("en"),
       minQuality: Double = 0.5,
       jaccardThreshold: Double = 0.8,
-      clusters: Option[DataFrame] = None
+      clusters: Option[DataFrame] = None,
+      evalSet: Option[DataFrame] = None,
+      evalTextCol: String = "text",
+      maxContamination: Double = 1.0,
+      contamN: Int = 13
   ): DataFrame = clusters match {
     // artifact reuse: with a precomputed label table (ingest-time
     // Dedup.nearDupClusters -> writeClusters) the whole fuzzy-dedup pass
@@ -75,9 +95,14 @@ object Curation {
     // ingest-time labels over the same gates you curate with when that
     // matters.
     case Some(labels) =>
-      Dedup.nearDedupFromClusters(filterStage(docs, textCol, langs, minQuality), idCol, labels)
+      Dedup.nearDedupFromClusters(
+        contaminationGate(filterStage(docs, textCol, langs, minQuality),
+          idCol, textCol, evalSet, evalTextCol, maxContamination, contamN),
+        idCol, labels)
     case None =>
-      val filtered = filterStage(docs, textCol, langs, minQuality)
+      val filtered = contaminationGate(
+        filterStage(docs, textCol, langs, minQuality),
+        idCol, textCol, evalSet, evalTextCol, maxContamination, contamN)
       // pair detection re-reads `filtered` several times (banded self-join
       // legs + re-attach); lazily checkpoint so the enrich+filter
       // expressions evaluate once when the caller first acts, not once per
@@ -130,6 +155,37 @@ object Curation {
     // claimed and later unpersisted out from under them (ADVICE r4).
     val tracked = graft.util.Checkpoints.pinnedRddIds(curated)
     new CurationHandle(curated, spark, tracked)
+  }
+
+  /** Threshold decontamination stage: drop docs whose graded eval-overlap
+    * score ([[CorpusHygiene.contaminationFraction]]) reaches
+    * `maxContamination`; identity when no eval set is supplied. Runs
+    * AFTER the language/quality gates (fewer docs to shingle) and BEFORE
+    * dedup, so a near-dup cluster whose canonical doc is contaminated
+    * keeps its next clean member — the same survival rule the quality
+    * gate gets. Plan shape: the contaminated-id minority broadcasts into
+    * a left-anti join, corpus text never shuffles (the score side moves
+    * only (id, gram-digest) pairs against broadcast eval grams).
+    */
+  private def contaminationGate(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      evalSet: Option[DataFrame],
+      evalTextCol: String,
+      maxContamination: Double,
+      contamN: Int
+  ): DataFrame = evalSet match {
+    case None => df
+    case Some(eval) =>
+      require(maxContamination > 0.0 && maxContamination <= 1.0,
+        s"maxContamination must be in (0, 1]: $maxContamination (0 would drop every doc — " +
+          "frac >= 0 always holds; for the binary any-gram drop use CorpusHygiene.decontaminate)")
+      val bad = CorpusHygiene
+        .contaminationFraction(df, idCol, textCol, eval, evalTextCol, contamN)
+        .where(col("frac") >= maxContamination)
+        .select(col("id"))
+      df.join(broadcast(bad), df(idCol) === bad("id"), "left_anti")
   }
 
   private def filterStage(

@@ -309,7 +309,11 @@ object VectorSearch {
     *
     * `blockBits > 0` adds SimHash blocking: query x corpus pairs are
     * joined on matching signature prefixes instead of a full cross
-    * product (recall/cost trade, exact when 0).
+    * product (recall/cost trade, exact when 0). Blocking mode requires an
+    * explicit `blockDim` (the embedding dimension): the signature planes
+    * must span the FULL vector, and the caller knows the corpus dimension
+    * statically — inferring it here would cost a driver-side action on
+    * the corpus (the operator path stays action-free).
     */
   def topKBatch(
       queries: DataFrame,
@@ -333,23 +337,15 @@ object VectorSearch {
           s"topKBatch: corpus id column '$corpusIdCol' must be numeric (got ${other.sql}); map string ids to a numeric surrogate first"
         )
     }
+    require(blockBits <= 0 || blockDim > 0,
+      s"topKBatch: blocking mode (blockBits=$blockBits) needs an explicit blockDim > 0 " +
+        "(the embedding dimension) — planes shorter than the vectors silently truncate recall")
     val q = queries.select(col(queryIdCol).as("query_id"), col(queryVecCol).as("qv"))
     val c = corpus.select(col(corpusIdCol).as("corpus_id"), col(corpusVecCol).as("cv"))
     val paired =
       if (blockBits <= 0) q.crossJoin(c)
       else {
-        // the signature planes must span the FULL vector: SimHashLsh's
-        // default dim (64) would silently ignore every component past 64
-        // of a longer embedding and collapse blocking recall. Derive the
-        // dimension from the corpus when not supplied (one 1-row action —
-        // acceptable for an explicitly requested blocking mode). An empty
-        // or all-null-vector corpus yields no rows from the join anyway;
-        // any positive dim keeps the plan valid.
-        val dim =
-          if (blockDim > 0) blockDim
-          else c.where(col("cv").isNotNull).select(size(col("cv")))
-            .limit(1).collect().headOption.map(_.getInt(0)).getOrElse(1)
-        val lsh = SimHashLsh(nBits = blockBits, dim = dim)
+        val lsh = SimHashLsh(nBits = blockBits, dim = blockDim)
         val qs = lsh.withSignature(q, "qv").withColumnRenamed("sig", "qsig")
         val cs = lsh.withSignature(c, "cv").withColumnRenamed("sig", "csig")
         qs.join(cs, col("qsig") === col("csig")).drop("qsig", "csig")

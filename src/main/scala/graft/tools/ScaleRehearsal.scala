@@ -92,10 +92,15 @@ object ScaleRehearsal {
         f"shuffleRead=${(r1 - r0) / 1e6}%.1fMB peakTaskMem=${meter.peak / 1e6}%.1fMB")
     }
 
-    // GRAFT_SCALE_ONLY=<substring> reruns a single section (fresh rows
-    // for one operator family without the full sweep); unset = everything
+    // GRAFT_SCALE_ONLY=<section> reruns a single section (fresh rows for
+    // one operator family without the full sweep); unset = everything.
+    // EXACT name match against the known sections: substring matching let
+    // e.g. 'd' enable several sections and a typo silently run nothing.
+    val sections = Seq("docs", "semdedup", "pagerank", "iterative100")
     val only = sys.env.get("GRAFT_SCALE_ONLY")
-    def sectionEnabled(name: String): Boolean = only.forall(name.contains)
+    only.foreach(o => require(sections.contains(o),
+      s"GRAFT_SCALE_ONLY='$o' is not a section; known: ${sections.mkString(", ")}"))
+    def sectionEnabled(name: String): Boolean = only.forall(_ == name)
 
     if (sectionEnabled("docs")) for (factor <- Seq(1, 10)) {
       println(s"[scale] ===== factor $factor =====")
@@ -169,7 +174,7 @@ object ScaleRehearsal {
     // per-copy shift instead would park every k-means seed (the lowest
     // ids) in copy block 0 and measure the synthetic layout, not the
     // blocking.
-    val baseEmb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    lazy val baseEmb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
       .select("vec_id", "embedding")
     import graft.operators.Clustering
     if (sectionEnabled("semdedup")) for (factor <- Seq(1, 10)) {

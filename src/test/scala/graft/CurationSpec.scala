@@ -99,6 +99,51 @@ class CurationSpec extends AnyFunSuite {
       "close() must unpersist every block the pass pinned")
   }
 
+  // graded decontamination: frac = |doc shingles ∩ eval shingles| / |doc shingles|
+  // eval "alpha beta gamma delta epsilon" has 3-gram shingles {abg, bgd, gde};
+  // doc 1 embeds it in a longer doc (8 shingles, 3 hits -> 0.375), doc 2 is a
+  // near-wholesale inclusion (4 shingles, 3 hits -> 0.75), doc 3 is clean (0.0)
+  private def contamCorpus = Seq(
+    (1L, "alpha beta gamma delta epsilon zulu yankee xray whiskey victor"),
+    (2L, "alpha beta gamma delta epsilon extra"),
+    (3L, "uniform tango sierra romeo quebec papa oscar november mike lima")
+  ).toDF("doc_id", "text")
+
+  private def evalSet = Seq(Tuple1("alpha beta gamma delta epsilon")).toDF("text")
+
+  test("curate maxContamination: partial overlap survives below threshold, dropped at/above it") {
+    def keptAt(t: Double): Set[Long] = Curation
+      .curate(contamCorpus, "doc_id", "text", langs = Set.empty, minQuality = 0.0,
+        evalSet = Some(evalSet), maxContamination = t, contamN = 3)
+      .select("doc_id").as[Long].collect().toSet
+    // t=0.5: the quoting doc (0.375 < t) survives, the wholesale inclusion (0.75 >= t) drops
+    assert(keptAt(0.5) == Set(1L, 3L), s"t=0.5 got ${keptAt(0.5)}")
+    // t=0.2: both overlapping docs reach the threshold
+    assert(keptAt(0.2) == Set(3L), s"t=0.2 got ${keptAt(0.2)}")
+    // boundary is inclusive: frac(doc 2) == 0.75 drops exactly at t=0.75
+    assert(keptAt(0.75) == Set(1L, 3L), s"t=0.75 got ${keptAt(0.75)}")
+    assert(keptAt(0.76) == Set(1L, 2L, 3L), s"t=0.76 got ${keptAt(0.76)}")
+  }
+
+  test("curate maxContamination: no eval set = identity; t=0 rejected loudly") {
+    val plain = Curation.curate(contamCorpus, "doc_id", "text", langs = Set.empty, minQuality = 0.0)
+      .select("doc_id").as[Long].collect().toSet
+    assert(plain == Set(1L, 2L, 3L))
+    val e = intercept[IllegalArgumentException] {
+      Curation.curate(contamCorpus, "doc_id", "text", langs = Set.empty, minQuality = 0.0,
+        evalSet = Some(evalSet), maxContamination = 0.0, contamN = 3).count()
+    }
+    assert(e.getMessage.contains("maxContamination"), e.getMessage)
+  }
+
+  test("curateNear applies the contamination gate before pair detection") {
+    val kept = Curation
+      .curateNear(contamCorpus, "doc_id", "text", langs = Set.empty, minQuality = 0.0,
+        jaccardThreshold = 0.7, evalSet = Some(evalSet), maxContamination = 0.5, contamN = 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L), s"got $kept")
+  }
+
   test("snapshotDiff classifies added/removed/changed; normalization-equal is unchanged") {
     val oldSnap = Seq((1L, "same text"), (2L, "will change"), (3L, "gone")).toDF("id", "text")
     val newSnap = Seq((1L, "same  TEXT"), (2L, "has changed"), (4L, "brand new")).toDF("id", "text")
