@@ -64,6 +64,24 @@ object Bench {
     spark.range(1000000L).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
 
+    // Noise canary (VERDICT r8 #1): a FIXED-WORK job — 200M-row arithmetic
+    // sum over a pinned 32-partition range, no IO, no data dependence —
+    // timed 3x after warm-up, median emitted as `calibration_sec`. The
+    // work is identical every round and every environment, so cross-round
+    // comparison can normalize container load out of the artifact itself:
+    // a per-query delta only counts as a regression if it exceeds the
+    // calibration ratio between the two runs (BASELINE.md records the
+    // quiet-band calibration this compares against). Three of the last
+    // four driver-side benches ran ~1.5x hot vs the builder's quiet band
+    // on identical code; this field makes that visible in-artifact.
+    val calibration = (1 to 3)
+      .map { _ =>
+        val t0 = System.nanoTime()
+        spark.range(0L, 200000000L, 1L, 32).selectExpr("sum(id % 97)").collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      .sorted.apply(1)
+
     // failures record -1.0, never elapsed-to-failure (which would read as
     // a plausible fast run in the JSON)
     def timeQuery(tag: String, name: String,
@@ -113,7 +131,7 @@ object Bench {
     val headlineMedian = medians.filter(r => Headline.contains(r._1) && r._2 >= 0).map(_._2).sum
     val total = results.filter(_._2 >= 0).map(_._2).sum
     val scalars =
-      f""""metric":"headline_total","value":$headline%.3f,"unit":"sec","headline_median":$headlineMedian%.3f,"all_queries_total":$total%.3f,"n_queries":${results.length},"sf":"$sfDir""""
+      f""""metric":"headline_total","value":$headline%.3f,"unit":"sec","headline_median":$headlineMedian%.3f,"all_queries_total":$total%.3f,"n_queries":${results.length},"calibration_sec":$calibration%.3f,"sf":"$sfDir""""
     // Full artifact (first-run + median + steady maps) goes to a FILE —
     // the r4 stdout capture truncated a ~7KB line, cutting the first ~20
     // queries (VERDICT r4 #8). Round-5 evidence (BENCH_r05.json "tail"):

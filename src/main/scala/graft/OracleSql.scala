@@ -515,6 +515,15 @@ object OracleSql {
       s"""WITH $annCte
          |SELECT vec_id, score FROM ann""".stripMargin,
 
+    // q_lsh_persisted reassembles the FULL corpus through the persisted
+    // index lifecycle (80% build -> write -> load -> 20% extend) and then
+    // answers exactly, so its oracle is the same brute-force top-20 as
+    // q_ann_cosine: any roundtrip corruption, dropped/duplicated batch
+    // row, or plane mismatch breaks the hash.
+    "q_lsh_persisted" ->
+      s"""WITH $annCte
+         |SELECT vec_id, score FROM ann""".stripMargin,
+
     "q_phrase" ->
       // token-array adjacency count with the SAME tokenization as
       // TextFunctions.ftsTokens; range(1, len) = 1-based indices with a

@@ -649,6 +649,44 @@ object SparkEntry {
       .limit(20)
   }
 
+  /** Persisted-LSH index lifecycle (the writeIvf/loadIvf story for the
+    * SimHash family, VERDICT r8 #8): build the signature index over the
+    * 80% base corpus (vec_id % 5 != 0), WRITE it partitioned by signature
+    * prefix, LOAD the artifact back, EXTEND it with the 20% batch under
+    * the loaded planes, and answer an exact top-20 over the result. The
+    * hash pins the LIFECYCLE: the partitioned-parquet roundtrip must
+    * preserve every embedding bit, the extend must add exactly the batch
+    * (same planes — nothing duplicates or drops), so exact search over
+    * the reassembled corpus equals brute force over the table (the
+    * q_ann_cosine oracle). The APPROXIMATE operating point — Hamming
+    * radius + signature-prefix partition pruning via LshIndex.annTopK —
+    * is pinned by IndexPersistenceSpec (result parity with a fresh-built
+    * index + a PartitionFilters plan assertion) and the measured recall
+    * contracts in VectorFunctionsSpec.
+    */
+  private def qLshPersisted(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val qv = emb.where(col("vec_id") === 0).select("embedding")
+      .limit(1).collect().headOption
+      .getOrElse(throw new IllegalStateException(
+        s"q_lsh_persisted: no embeddings row with vec_id=0 in $dir/embeddings.parquet"))
+      .getSeq[Float](0)
+    val lsh = VectorSearch.SimHashLsh(nBits = 16, dim = qv.length)
+    val path = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      "graft_lsh_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+    val base = VectorSearch.buildLshIndex(
+      emb.where(pmod(col("vec_id"), lit(5)) =!= 0), "embedding", lsh)
+    VectorSearch.writeLsh(base, path)
+    val loaded = VectorSearch.loadLsh(s, path)
+    val extended = VectorSearch.extendLsh(loaded, emb.where(pmod(col("vec_id"), lit(5)) === 0))
+    extended.indexed
+      .withColumn("score", round(VectorFunctions.cosineSim(col("embedding"), typedlit(qv)), 6))
+      .select("vec_id", "score")
+      .orderBy(desc("score"), col("vec_id"))
+      .limit(20)
+  }
+
   /** Exact phrase search via positional postings (FtsIndex
     * .phraseOccurrences): "hash join" as a consecutive token run, ranked
     * by occurrence count. Oracle counts token-array adjacency with the
@@ -2127,6 +2165,7 @@ object SparkEntry {
     "q_simhash_pairs" -> (qSimhashPairs _),
     "q_fingerprint" -> (qFingerprint _),
     "q_ann_ivf" -> (qAnnIvf _),
+    "q_lsh_persisted" -> (qLshPersisted _),
     "q_rollup" -> (qRollup _),
     "q_embed_neardup" -> (qEmbedNeardup _),
     "q_embed_neardup_lsh" -> (qEmbedNeardupLsh _),

@@ -454,6 +454,109 @@ object VectorSearch {
     }
   }
 
+  /** Persisted SimHash-LSH index: the corpus with its signature attached
+    * ONCE at build time — the per-query signature pass over the whole
+    * corpus (what [[SimHashLsh.withSignature]] costs when applied inside
+    * each query) is exactly what this removes — plus an 8-bit signature
+    * PREFIX column for storage partitioning. Mirrors [[IvfIndex]]'s
+    * lifecycle: build → [[writeLsh]] (partitioned by prefix) →
+    * [[loadLsh]] → [[extendLsh]] (incremental, O(batch), same planes).
+    */
+  final case class LshIndex(indexed: DataFrame, lsh: SimHashLsh, vecCol: String) {
+
+    /** ANN top-k over the indexed corpus: Hamming-radius candidate filter
+      * + exact cosine re-rank, with signature-PREFIX pruning in front.
+      * Total Hamming <= `maxHamming` bounds prefix Hamming by the same
+      * radius, so only prefixes within `maxHamming` of the query's can
+      * hold candidates — against a [[writeLsh]]-partitioned corpus that
+      * filter is parquet partition pruning (the IndexPersistenceSpec plan
+      * assertion), shrinking the scan to matching directories. The prefix
+      * filter is skipped when the radius admits every prefix.
+      */
+    def annTopK(queryVec: Array[Float], k: Int, tieBreak: Column, maxHamming: Int = 4): DataFrame = {
+      val qSig = lsh.signatureOf(queryVec.toIndexedSeq)
+      val pb = LshIndex.prefixBits(lsh.nBits)
+      val qPrefix = qSig >>> (lsh.nBits - pb)
+      val allowed = (0 until (1 << pb))
+        .filter(p => java.lang.Long.bitCount(p.toLong ^ qPrefix) <= maxHamming)
+      val pruned =
+        if (allowed.length == (1 << pb)) indexed
+        else indexed.where(col("sig_prefix").isin(allowed.map(_.toLong): _*))
+      topK(
+        pruned.where(bit_count(col("sig").bitwiseXOR(lit(qSig))) <= maxHamming),
+        vecCol, queryVec, k, tieBreak)
+    }
+  }
+
+  object LshIndex {
+    /** Partition-prefix width: 8 bits (256 directories) caps the
+      * partition count at a filesystem-friendly size; narrower
+      * signatures use their full width.
+      */
+    private[operators] def prefixBits(nBits: Int): Int = math.min(8, nBits)
+  }
+
+  /** Build an LSH index: sign every vector with `lsh`'s planes and attach
+    * the partition prefix. One pass over the corpus, done at ingest time.
+    */
+  def buildLshIndex(corpus: DataFrame, vecCol: String, lsh: SimHashLsh = SimHashLsh()): LshIndex = {
+    val pb = LshIndex.prefixBits(lsh.nBits)
+    val indexed = lsh.withSignature(corpus, vecCol)
+      .withColumn("sig_prefix",
+        shiftrightunsigned(col("sig"), lsh.nBits - pb).cast("int"))
+    LshIndex(indexed, lsh, vecCol)
+  }
+
+  /** Incrementally extend an LSH index with a batch WITHOUT touching
+    * existing rows: the batch is signed with the index's OWN planes (a
+    * fresh signer here would silently split the signature space) and
+    * unioned — O(batch), the [[extendIvf]] contract for the LSH family.
+    * `newVectors` must carry the index's original corpus schema.
+    */
+  def extendLsh(index: LshIndex, newVectors: DataFrame): LshIndex = {
+    val pb = LshIndex.prefixBits(index.lsh.nBits)
+    val signed = index.lsh.withSignature(newVectors, index.vecCol)
+      .withColumn("sig_prefix",
+        shiftrightunsigned(col("sig"), index.lsh.nBits - pb).cast("int"))
+    LshIndex(index.indexed.unionByName(signed), index.lsh, index.vecCol)
+  }
+
+  /** Persist an LSH index partitioned BY SIGNATURE PREFIX: probing
+    * becomes parquet partition pruning, the [[writeIvf]] story for the
+    * LSH family. The plane parameters ride in a params sidecar so
+    * [[loadLsh]] reconstructs the identical signer (extending or probing
+    * a loaded index with different planes is meaningless).
+    */
+  def writeLsh(index: LshIndex, path: String): Unit = {
+    index.indexed.write.mode("overwrite").partitionBy("sig_prefix").parquet(s"$path/buckets")
+    val params =
+      s"""{"nBits":${index.lsh.nBits},"dim":${index.lsh.dim},"seed":${index.lsh.seed},"vecCol":"${index.vecCol}"}"""
+    val p = new org.apache.hadoop.fs.Path(s"$path/params.json")
+    val fs = p.getFileSystem(index.indexed.sparkSession.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(params.getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Load a persisted LSH index (inverse of [[writeLsh]]). */
+  def loadLsh(spark: org.apache.spark.sql.SparkSession, path: String): LshIndex = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/params.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val json =
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+      finally in.close()
+    def num(key: String): Long =
+      s""""$key":(-?\\d+)""".r.findFirstMatchIn(json)
+        .getOrElse(throw new IllegalStateException(s"loadLsh: no '$key' in $path/params.json"))
+        .group(1).toLong
+    val vecCol = """"vecCol":"([^"]+)"""".r.findFirstMatchIn(json)
+      .getOrElse(throw new IllegalStateException(s"loadLsh: no 'vecCol' in $path/params.json"))
+      .group(1)
+    val lsh = SimHashLsh(nBits = num("nBits").toInt, dim = num("dim").toInt, seed = num("seed"))
+    LshIndex(spark.read.parquet(s"$path/buckets"), lsh, vecCol)
+  }
+
   /** IVF (inverted-file) ANN: a k-means coarse quantizer partitions the
     * corpus into `nLists` cells; a query probes only the `nProbe` cells
     * whose centroids are nearest, then exact-reranks within them. The

@@ -239,6 +239,85 @@ object ScaleRehearsal {
         GraphOps.pageRank(edges, "src", "dst", iters = 3, edgesAreDistinct = true).count()
       }
     }
+
+    // 100x rehearsal of the ITERATIVE family (VERDICT r8 #2) — opt-in
+    // (GRAFT_SCALE_ONLY=iterative100, with GRAFT_DEBUG_CC=1 for round
+    // counts and SPARK_DRIVER_MEM=24g headroom), not part of the default
+    // sweep: the 100x legs run minutes, not seconds. Three claims, each
+    // with its third data point:
+    //   - CC rounds track log(component diameter), NOT corpus size:
+    //     fixed-diameter 16-node chains at 1x/10x/100x nodes must
+    //     converge in the SAME round count with shuffle linear in n;
+    //   - the other axis: 16x the diameter at FIXED n must add ~log2(16)
+    //     rounds — rounds move with diameter, and only with diameter;
+    //   - PageRank / triangles over `factor` DISJOINT graph copies keep
+    //     per-task peak flat (work parallelizes across copies; nothing
+    //     per-key grows), with shuffle linear in edges.
+    if (only.contains("iterative100")) {
+      for (factor <- Seq(1, 10, 100)) {
+        val n = 100000L * factor
+        val nodes = spark.range(n).select(col("id").as("doc_id")).localCheckpoint()
+        val chainPairs = spark.range(n).where(pmod(col("id"), lit(16)) =!= 15)
+          .select(col("id").as("id_a"), (col("id") + 1L).as("id_b"))
+        measure(s"cc_chain16_x$factor") {
+          Dedup.nearDupClusters(nodes, "doc_id", chainPairs).count()
+        }
+      }
+      for (len <- Seq(16, 256)) {
+        val n = 1000000L
+        val nodes = spark.range(n).select(col("id").as("doc_id")).localCheckpoint()
+        val chainPairs = spark.range(n).where(pmod(col("id"), lit(len.toLong)) =!= (len - 1).toLong)
+          .select(col("id").as("id_a"), (col("id") + 1L).as("id_b"))
+        measure(s"cc_diameter${len}_n1M") {
+          Dedup.nearDupClusters(nodes, "doc_id", chainPairs).count()
+        }
+      }
+      for (factor <- Seq(100)) {
+        val pairsN = (0 until factor)
+          .map { i =>
+            basePairs.select(
+              concat(lit("c"), col("ck") + lit(i * 10000000L)).as("c"),
+              concat(lit("s"), col("sk") + lit(i * 10000000L)).as("sup")
+            )
+          }
+          .reduce(_ unionByName _)
+          .localCheckpoint()
+        val edges = pairsN.select(col("c").as("src"), col("sup").as("dst"))
+          .unionByName(pairsN.select(col("sup").as("src"), col("c").as("dst")))
+        measure(s"pagerank3_x$factor") {
+          GraphOps.pageRank(edges, "src", "dst", iters = 3, edgesAreDistinct = true).count()
+        }
+      }
+      // triangle base: the q_triangles co-purchase graph (cap-16 per part,
+      // >= 3 shared parts) built ONCE from sf0.1, then factor disjoint
+      // copies — triangles per copy constant, total work linear
+      val orders = spark.read.parquet("/root/testdata/sf0.1/orders.parquet")
+      val li = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+      val cp = orders.join(li, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+        .distinct()
+      val byHash = org.apache.spark.sql.expressions.Window.partitionBy("p")
+        .orderBy(Sketches.md5Hash32(col("c")), col("c"))
+      val capped = cp.withColumn("_r", row_number().over(byHash)).where(col("_r") <= 16).drop("_r")
+      val baseEdges = capped.as("a")
+        .join(capped.as("b"), col("a.p") === col("b.p") && col("a.c") < col("b.c"))
+        .groupBy(col("a.c").as("u"), col("b.c").as("v"))
+        .agg(count(lit(1)).as("shared"))
+        .where(col("shared") >= 3)
+        .select("u", "v")
+        .localCheckpoint()
+      println(s"[scale] triangle base edges = ${baseEdges.count()}")
+      for (factor <- Seq(1, 10, 100)) {
+        val edgesN = (0 until factor)
+          .map(i => baseEdges.select(
+            (col("u") + lit(i * 10000000L)).as("u"), (col("v") + lit(i * 10000000L)).as("v")))
+          .reduce(_ unionByName _)
+          .localCheckpoint()
+        measure(s"triangles_x$factor") {
+          GraphOps.triangles(edgesN, "u", "v").count()
+        }
+      }
+    }
     spark.stop()
   }
 }

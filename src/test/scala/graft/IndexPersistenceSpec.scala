@@ -40,6 +40,58 @@ class IndexPersistenceSpec extends AnyFunSuite {
       s"expected partition pruning on ivf_cell in:\n${plan.take(2000)}")
   }
 
+  test("LSH index: write/load preserves signatures and planes; extend signs with the loaded planes") {
+    val rnd = new scala.util.Random(7)
+    val dim = 16
+    def vecs(ids: Range): Seq[(Long, Array[Float])] =
+      ids.map(i => (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat)))
+    val baseRows = vecs(0 until 60)
+    val batchRows = vecs(100 until 120)
+    val lsh = VectorSearch.SimHashLsh(nBits = 12, dim = dim, seed = 9L)
+
+    val built = VectorSearch.buildLshIndex(baseRows.toDF("id", "vec"), "vec", lsh)
+    val dir = java.nio.file.Files.createTempDirectory("graft-lsh").toString
+    VectorSearch.writeLsh(built, dir)
+    val loaded = VectorSearch.loadLsh(spark, dir)
+
+    // params sidecar reconstructs the identical signer
+    assert(loaded.lsh == lsh, s"params roundtrip drifted: ${loaded.lsh} vs $lsh")
+    assert(loaded.vecCol == "vec")
+    // every persisted signature equals the driver-side recomputation
+    val sigMap = loaded.indexed.select("id", "sig").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    baseRows.foreach { case (id, v) =>
+      assert(sigMap(id) == lsh.signatureOf(v.toIndexedSeq), s"sig mismatch for id=$id")
+    }
+
+    // extend signs the batch with the LOADED planes, not fresh ones
+    val extended = VectorSearch.extendLsh(loaded, batchRows.toDF("id", "vec"))
+    val extMap = extended.indexed.select("id", "sig").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(extMap.size == 80)
+    batchRows.foreach { case (id, v) =>
+      assert(extMap(id) == lsh.signatureOf(v.toIndexedSeq), s"batch sig mismatch for id=$id")
+    }
+
+    // loaded+extended answers exactly like a fresh index built on the
+    // full corpus, at the APPROXIMATE operating point
+    val query = batchRows.head._2
+    val fresh = VectorSearch.buildLshIndex((baseRows ++ batchRows).toDF("id", "vec"), "vec", lsh)
+    def answer(idx: VectorSearch.LshIndex) =
+      idx.annTopK(query, 5, col("id"), maxHamming = 3)
+        .select(col("id"), round(col("score"), 6).as("score"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(answer(extended) == answer(fresh),
+      "persisted-then-extended index diverged from a fresh build")
+
+    // probing the PERSISTED artifact prunes parquet partitions by
+    // signature prefix (the SCALE.md read-shrink claim, made executable)
+    val plan = loaded.annTopK(query, 5, col("id"), maxHamming = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("sig_prefix"),
+      s"expected partition pruning on sig_prefix in:\n${plan.take(2000)}")
+  }
+
   test("signature index: write, append a day's batch, probe the loaded artifact") {
     import graft.operators.Dedup
     val dir = java.nio.file.Files.createTempDirectory("sig-index").toString + "/sigs"

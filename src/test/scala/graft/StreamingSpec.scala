@@ -128,6 +128,13 @@ class StreamingSpec extends AnyFunSuite {
             errors.add(s"numDocs ${idx.numDocs} != ${ids.length} distinct postings docs")
           if (ids.nonEmpty && ids != (0L to ids.max))
             errors.add(s"non-prefix visible doc set $ids")
+          // the real query path: every doc carries 'shared', so a BM25
+          // search over a pre- or post-batch index returns exactly its
+          // numDocs hits — a torn index (stats from one state, postings
+          // from another) breaks the equality
+          val hits = FtsIndex.search(spark, idx, "shared", 100).count()
+          if (hits != idx.numDocs)
+            errors.add(s"search saw $hits hits against an index claiming ${idx.numDocs} docs")
         }
       } catch { case e: Throwable => errors.add(s"searcher died: ${e.getMessage}") }
     })
