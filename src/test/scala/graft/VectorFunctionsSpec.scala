@@ -155,6 +155,64 @@ class VectorFunctionsSpec extends AnyFunSuite {
     assert(widened >= atOperating - 0.05, "recall must not collapse as the radius widens")
   }
 
+  test("ANN recall floors hold at the bench scale factor (sf0.1: IVF >= 0.9, LSH >= 0.8)") {
+    import graft.operators.VectorSearch
+    // recall is the one correctness property the oracle can't see, and it
+    // DEGRADES with corpus density: the sf0.01 contracts above could hold
+    // while the 4x-denser bench corpus silently decayed. Same floors,
+    // same operating points, measured where Bench measures (VERDICT r8
+    // #5); the numbers are recorded in SCALE.md.
+    val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    val queryIds = 0L until 20L
+    val queries = emb.where(col("vec_id").isin(queryIds: _*))
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val exactSets = queryIds.map { qid =>
+      qid -> VectorSearch.topK(emb, "embedding", queries(qid), 10, col("vec_id"))
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+    }.toMap
+    def recallOf(fetch: Long => Set[Long]): Double =
+      queryIds.map(qid => (exactSets(qid) & fetch(qid)).size / 10.0).sum / queryIds.size
+
+    // IVF. The sf0.01 "structure-aligned" premise does NOT transfer: at
+    // sf0.1 every learned cell contains all 10 labels (measured via
+    // tools/RecallProbe — the corpus has no k-means-separable
+    // macro-structure), so recall tracks the SCAN FRACTION nProbe/nLists,
+    // and the sf0.01 operating point (10/4) measures 0.770 here. The
+    // sf0.1 operating point compensates with a higher probed fraction:
+    // nLists=8 nProbe=6 measures 0.945 (nProbe=5: 0.900). Both the
+    // degradation and the compensating point are recorded in SCALE.md —
+    // this is exactly the "recall degrades with corpus density/structure"
+    // failure mode the oracle can't see, caught by measuring at the
+    // bench scale factor.
+    def ivfRecallAt(nLists: Int, nProbe: Int): Double = {
+      val ivf = VectorSearch.buildIvf(emb, "embedding", nLists = nLists, seed = 42L)
+      val r = recallOf { qid =>
+        ivf.annTopK(queries(qid), 10, col("vec_id"), nProbe = nProbe)
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+      }
+      ivf.indexed.unpersist()
+      r
+    }
+    val ivfOld = ivfRecallAt(10, 4)
+    info(f"sf0.1 IVF recall@10 at the sf0.01 operating point (nLists=10 nProbe=4): $ivfOld%.3f")
+    val ivfRecall = ivfRecallAt(8, 6)
+    info(f"sf0.1 IVF recall@10 at the sf0.1 operating point (nLists=8 nProbe=6): $ivfRecall%.3f")
+    assert(ivfRecall >= 0.9, f"sf0.1 IVF recall@10 $ivfRecall%.3f below 0.9 at its operating point")
+
+    // SimHash-LSH at the q_ann_lsh operating point (nBits=16, radius 8)
+    val lsh = VectorSearch.SimHashLsh(nBits = 16, dim = queries(0L).length)
+    val indexed = lsh.withSignature(emb, "embedding").persist()
+    val lshRecall = recallOf { qid =>
+      lsh.annTopK(indexed, "embedding", queries(qid), 10, col("vec_id"), maxHamming = 8)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+    }
+    indexed.unpersist()
+    info(f"sf0.1 SimHash-LSH recall@10, nBits=16 maxHamming=8: $lshRecall%.3f")
+    assert(lshRecall >= 0.8,
+      f"sf0.1 LSH recall@10 $lshRecall%.3f below the 0.8 operating-point floor")
+  }
+
   test("SQL registration works") {
     VectorFunctions.register(spark)
     val r = spark.sql("SELECT cosine_sim(array(1.0F, 0.0F), array(1.0F, 0.0F)) AS c").head()
