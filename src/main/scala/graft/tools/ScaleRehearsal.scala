@@ -272,6 +272,16 @@ object ScaleRehearsal {
           Dedup.nearDupClusters(nodes, "doc_id", chainPairs).count()
         }
       }
+      // Partitions scale with data — the sizing rule SCALE.md states,
+      // applied: 117M directed string-keyed edges over the session's 32
+      // shuffle partitions put ~3.7M aggregation keys in each task's
+      // hash map and exhausted execution memory (measured: AGGREGATE_
+      // OUT_OF_MEMORY at 24g heap). 256 partitions restore the ~16MB/task
+      // state every other query in this harness runs at; a 1000-executor
+      // cluster applies exactly this rule via
+      // spark.sql.shuffle.partitions / AQE target size.
+      val savedParts = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "256")
       for (factor <- Seq(100)) {
         val pairsN = (0 until factor)
           .map { i =>
@@ -317,6 +327,7 @@ object ScaleRehearsal {
           GraphOps.triangles(edgesN, "u", "v").count()
         }
       }
+      spark.conf.set("spark.sql.shuffle.partitions", savedParts)
     }
     spark.stop()
   }
