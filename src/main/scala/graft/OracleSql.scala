@@ -1774,6 +1774,99 @@ object OracleSql {
         |  FROM events)
         |SELECT prev AS from_type, event_type AS to_type, COUNT(*) AS n
         |FROM seq WHERE prev IS NOT NULL
-        |GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin
+        |GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin,
+
+    "q_retrieval_eval" ->
+      // RetrievalEval.summary twin: MRL-16 prefix system vs full-dim
+      // nearest-neighbor truth; ranking by (round(cos,6) DESC, id) on
+      // both sides (the q_mrl idiom), metrics integer-exact with
+      // lcm(1..10)=2520-scaled reciprocal ranks and three final divisions
+      // written in the same association as the Spark plan
+      """WITH q AS (
+        |  SELECT vec_id AS query_id,
+        |         CAST(embedding[1:16] AS DOUBLE[]) AS qpre,
+        |         CAST(embedding AS DOUBLE[]) AS qfull
+        |  FROM embeddings WHERE vec_id < 20),
+        |ranked AS (
+        |  SELECT q.query_id, b.vec_id AS doc_id,
+        |         ROW_NUMBER() OVER (
+        |           PARTITION BY q.query_id
+        |           ORDER BY ROUND(list_cosine_similarity(CAST(b.embedding[1:16] AS DOUBLE[]), q.qpre), 6) DESC,
+        |                    b.vec_id) AS rnk
+        |  FROM q JOIN embeddings b ON b.vec_id <> q.query_id),
+        |sys AS (SELECT query_id, doc_id, rnk FROM ranked WHERE rnk <= 10),
+        |truth AS (
+        |  SELECT q.query_id,
+        |         (LIST(b.vec_id ORDER BY
+        |            ROUND(list_cosine_similarity(CAST(b.embedding AS DOUBLE[]), q.qfull), 6) DESC,
+        |            b.vec_id))[1] AS rel_id
+        |  FROM q JOIN embeddings b ON b.vec_id <> q.query_id
+        |  GROUP BY q.query_id),
+        |pq AS (
+        |  SELECT t.query_id,
+        |         COUNT(t.rel_id) AS n_rel,
+        |         COUNT(s.rnk) AS n_found,
+        |         MIN(s.rnk) AS first_rank
+        |  FROM truth t LEFT JOIN sys s
+        |    ON s.query_id = t.query_id AND s.doc_id = t.rel_id
+        |  GROUP BY t.query_id)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+        |       CAST(SUM(n_rel) AS BIGINT) AS n_rel,
+        |       CAST(SUM(n_found) AS BIGINT) AS n_found,
+        |       CAST(SUM(n_found) AS DOUBLE) / CAST(SUM(n_rel) AS BIGINT) AS recall_at_k,
+        |       CAST(SUM(CASE WHEN n_found > 0 THEN 1 ELSE 0 END) AS BIGINT) AS hits_at_k,
+        |       CAST(SUM(CASE WHEN n_found > 0 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS BIGINT) AS success_at_k,
+        |       CAST(SUM(COALESCE(2520 // first_rank, 0)) AS BIGINT) AS mrr_num,
+        |       CAST(SUM(COALESCE(2520 // first_rank, 0)) AS BIGINT) / (2520.0 * CAST(COUNT(*) AS BIGINT)) AS mrr_at_k
+        |FROM pq""".stripMargin,
+
+    "q_drift" ->
+      // DriftMonitor.categoricalDrift twin: integer-exact ppm
+      // proportions (floor division), chi-square contributions x 1e9 in
+      // HUGEINT (Spark: decimal(38,0)) via the folded two-sample
+      // identity chi2_i = D^2 / ((cnt_a+cnt_b)*tot_a*tot_b),
+      // D = cnt_a*tot_b - cnt_b*tot_a
+      """WITH e AS (
+        |  SELECT event_type AS category,
+        |         CASE WHEN epoch_us(ts) < 1705363200000000 THEN 1 ELSE 0 END AS in_a
+        |  FROM events),
+        |pc AS (
+        |  SELECT category,
+        |         CAST(SUM(in_a) AS BIGINT) AS cnt_a,
+        |         CAST(SUM(1 - in_a) AS BIGINT) AS cnt_b
+        |  FROM e GROUP BY category),
+        |t AS (SELECT CAST(SUM(cnt_a) AS BIGINT) AS tot_a, CAST(SUM(cnt_b) AS BIGINT) AS tot_b FROM pc)
+        |SELECT category, cnt_a, cnt_b,
+        |       CAST(cnt_a * 1000000 // tot_a AS BIGINT) AS ppm_a,
+        |       CAST(cnt_b * 1000000 // tot_b AS BIGINT) AS ppm_b,
+        |       ABS(CAST(cnt_a * 1000000 // tot_a AS BIGINT) - CAST(cnt_b * 1000000 // tot_b AS BIGINT)) AS abs_ppm_diff,
+        |       CAST((CAST(cnt_a * tot_b - cnt_b * tot_a AS HUGEINT)
+        |             * (cnt_a * tot_b - cnt_b * tot_a) * 1000000000)
+        |            // (CAST(cnt_a + cnt_b AS HUGEINT) * tot_a * tot_b) AS BIGINT) AS chi2_ppb
+        |FROM pc, t ORDER BY category""".stripMargin,
+
+    "q_drift_value" ->
+      // DriftMonitor.numericDrift twin: fixed 20-bin equal-width binning
+      // on [0, 600) — floor of the identical IEEE expression, clamped —
+      // then the categoricalDrift machinery over bins
+      """WITH e AS (
+        |  SELECT CASE WHEN value IS NULL THEN -1
+        |              ELSE LEAST(GREATEST(CAST(floor((CAST(value AS DOUBLE) - 0.0) * 20.0 / 600.0) AS BIGINT), 0), 19) END AS bin,
+        |         CASE WHEN epoch_us(ts) < 1705363200000000 THEN 1 ELSE 0 END AS in_a
+        |  FROM events),
+        |pc AS (
+        |  SELECT bin,
+        |         CAST(SUM(in_a) AS BIGINT) AS cnt_a,
+        |         CAST(SUM(1 - in_a) AS BIGINT) AS cnt_b
+        |  FROM e GROUP BY bin),
+        |t AS (SELECT CAST(SUM(cnt_a) AS BIGINT) AS tot_a, CAST(SUM(cnt_b) AS BIGINT) AS tot_b FROM pc)
+        |SELECT bin, cnt_a, cnt_b,
+        |       CAST(cnt_a * 1000000 // tot_a AS BIGINT) AS ppm_a,
+        |       CAST(cnt_b * 1000000 // tot_b AS BIGINT) AS ppm_b,
+        |       ABS(CAST(cnt_a * 1000000 // tot_a AS BIGINT) - CAST(cnt_b * 1000000 // tot_b AS BIGINT)) AS abs_ppm_diff,
+        |       CAST((CAST(cnt_a * tot_b - cnt_b * tot_a AS HUGEINT)
+        |             * (cnt_a * tot_b - cnt_b * tot_a) * 1000000000)
+        |            // (CAST(cnt_a + cnt_b AS HUGEINT) * tot_a * tot_b) AS BIGINT) AS chi2_ppb
+        |FROM pc, t ORDER BY bin""".stripMargin
   )
 }

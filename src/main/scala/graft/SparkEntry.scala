@@ -2110,6 +2110,67 @@ object SparkEntry {
       events(s, dir), "user_id", Seq(col("ts_us"), col("event_id")), "event_type")
       .orderBy("from_type", "to_type")
 
+  /** Retrieval-quality evaluation harness (RetrievalEval.summary): the
+    * Matryoshka 16-of-64-dim prefix index retrieves top-10 per query
+    * (vec_id < 20, self excluded, TopKBy heaps — no global sort) and is
+    * scored against the full-dimension nearest neighbor as ground truth:
+    * recall@10 / success@10 / MRR@10 of the 4x-cheaper coarse index.
+    * Integer-exact aggregates (lcm(1..10)-scaled reciprocal ranks),
+    * three final divisions — the distributed eval loop a 100 TB
+    * retrieval deployment runs over millions of labeled queries.
+    * Ranking rounds cosine to 6dp with id tiebreak (the qMrl idiom) so
+    * both engines rank identically at the precision boundary.
+    */
+  private def qRetrievalEval(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.where(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val scored = t(s, dir, "embeddings")
+      .select(col("vec_id").as("doc_id"), col("embedding").as("dv"))
+      .crossJoin(broadcast(queries))
+      .where(col("doc_id") =!= col("query_id"))
+    val sys = scored
+      .withColumn(
+        "score",
+        round(VectorFunctions.cosineSim(slice(col("dv"), 1, 16), slice(col("qv"), 1, 16)), 6))
+      .groupBy("query_id")
+      .agg(graft.plans.TopKBy.topKBy(col("score"), col("doc_id"), 10).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).as("rank"), col("col.id").as("doc_id"))
+    val truth = scored
+      .withColumn("fscore", round(VectorFunctions.cosineSim(col("dv"), col("qv")), 6))
+      .groupBy("query_id")
+      .agg(graft.plans.TopKBy.topKBy(col("fscore"), col("doc_id"), 1).as("top"))
+      .select(col("query_id"), col("top").getItem(0).getField("id").as("rel_id"))
+    RetrievalEval.summary(sys, "query_id", "doc_id", "rank", truth, "query_id", "rel_id", 10)
+  }
+
+  /** Categorical drift monitor (DriftMonitor.categoricalDrift): event-type
+    * mix of the first 15 days of 2024-01 vs the rest — per-category
+    * counts, ppm proportions, TVD contributions, and chi-square
+    * contributions x 1e9, all integer-exact. The per-batch ingest
+    * guardrail ("does today's data look like yesterday's?").
+    */
+  private def qDrift(s: SparkSession, dir: String): DataFrame =
+    DriftMonitor.categoricalDrift(
+        events(s, dir).select(col("event_type"), col("ts_us")),
+        "event_type",
+        col("ts_us") < lit(1705363200000000L)) // 2024-01-16T00:00:00Z
+      .orderBy("category")
+
+  /** Numeric drift monitor (DriftMonitor.numericDrift): the events value
+    * distribution over 20 fixed-width bins on [0, 600), first half-month
+    * vs rest — the no-floating-point PSI/KS stand-in over exact bin
+    * counts.
+    */
+  private def qDriftValue(s: SparkSession, dir: String): DataFrame =
+    DriftMonitor.numericDrift(
+        events(s, dir).select(col("value"), col("ts_us")),
+        "value",
+        col("ts_us") < lit(1705363200000000L),
+        lo = 0.0, hi = 600.0, nBins = 20)
+      .orderBy("bin")
+
   // =====================================================================
   // Contract maps
   // =====================================================================
@@ -2237,7 +2298,10 @@ object SparkEntry {
     "q_epochs" -> (qEpochs _),
     "q_triangles" -> (qTriangles _),
     "q_gap_fill" -> (qGapFill _),
-    "q_transitions" -> (qTransitions _)
+    "q_transitions" -> (qTransitions _),
+    "q_retrieval_eval" -> (qRetrievalEval _),
+    "q_drift" -> (qDrift _),
+    "q_drift_value" -> (qDriftValue _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

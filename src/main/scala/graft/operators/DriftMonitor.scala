@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distribution-drift monitoring between two slices of a corpus or
+  * event stream — the ingest-time guardrail a 100 TB pipeline runs on
+  * every batch: "does today's data look like yesterday's?" (category
+  * mix shift, value-distribution shift). Catches upstream breakage —
+  * a source gone silent, a schema change flooding one category, an
+  * encoding bug shifting a numeric field — before it contaminates
+  * training shards. The reference pipeline has no monitoring surface;
+  * this generalizes its status-histogram inspection
+  * (src/api/routes.py stats endpoint) into a comparable two-slice form.
+  *
+  * Determinism/portability contract: all statistics are integer-exact —
+  * per-mille/ppm proportions via integer floor division, chi-square
+  * contributions in parts-per-billion via exact decimal(38,0)
+  * arithmetic — so outputs hash-match across engines and partitionings
+  * (no floating point anywhere; the standard graft oracle discipline).
+  *
+  * Scale shape: ONE category-keyed aggregation with map-side partial
+  * combine (a slice-tag indicator summed per category — never a
+  * shuffle of raw rows), output bounded by |categories|; totals join
+  * back as a broadcast 1-row plan, not a driver action.
+  */
+object DriftMonitor {
+
+  /** Two-slice categorical drift. `inA` is a boolean Column over `df`'s
+    * rows assigning each row to slice A (true) or slice B (false) —
+    * e.g. a time-window predicate or a source tag.
+    *
+    * Output, one row per category observed in EITHER slice:
+    *  - `category`, `cnt_a`, `cnt_b` — exact counts
+    *  - `ppm_a`, `ppm_b` — proportion of each slice in parts-per-million
+    *    (`cnt * 1000000 DIV slice_total`; null if the slice is empty)
+    *  - `abs_ppm_diff` — the per-category total-variation contribution:
+    *    `sum(abs_ppm_diff) / 2e6` is the total variation distance
+    *  - `chi2_ppb` — this category's two-sample chi-square contribution
+    *    x 1e9: with `D = cnt_a*tot_b - cnt_b*tot_a`, the exact identity
+    *    `chi2_i = D^2 / ((cnt_a+cnt_b) * tot_a * tot_b)` (the two
+    *    (obs-exp)^2/exp terms folded algebraically), computed in
+    *    decimal(38,0) so D^2 cannot overflow at any corpus size where
+    *    counts fit a long.
+    *
+    * Rows are NOT ordered; order in the caller. Unordered-slice caveat:
+    * null categories group as a single null row (Spark and most engines
+    * agree on null grouping).
+    */
+  def categoricalDrift(df: DataFrame, catCol: String, inA: Column): DataFrame = {
+    val perCat = df
+      .select(col(catCol).as("category"), when(inA, 1L).otherwise(0L).as("_in_a"))
+      .groupBy("category")
+      .agg(
+        sum(col("_in_a")).as("cnt_a"),
+        sum(lit(1L) - col("_in_a")).as("cnt_b"))
+    val totals = perCat.agg(
+      sum(col("cnt_a")).as("tot_a"),
+      sum(col("cnt_b")).as("tot_b"))
+    perCat
+      .crossJoin(broadcast(totals))
+      .withColumn("ppm_a", when(col("tot_a") > 0, expr("cnt_a * 1000000 DIV tot_a")))
+      .withColumn("ppm_b", when(col("tot_b") > 0, expr("cnt_b * 1000000 DIV tot_b")))
+      .withColumn("abs_ppm_diff", abs(col("ppm_a") - col("ppm_b")))
+      .withColumn(
+        "chi2_ppb",
+        when(
+          col("tot_a") > 0 && col("tot_b") > 0,
+          expr(
+            """CAST(
+              |  (CAST(cnt_a * tot_b - cnt_b * tot_a AS DECIMAL(38,0))
+              |   * (cnt_a * tot_b - cnt_b * tot_a) * 1000000000)
+              |  DIV (CAST(cnt_a + cnt_b AS DECIMAL(38,0)) * tot_a * tot_b)
+              |AS BIGINT)""".stripMargin)))
+      .select("category", "cnt_a", "cnt_b", "ppm_a", "ppm_b", "abs_ppm_diff", "chi2_ppb")
+  }
+
+  /** Two-slice numeric drift over fixed equal-width bins: the
+    * no-floating-point PSI/KS stand-in. Values are binned by
+    * `floor((v - lo) * nBins / (hi - lo))` clamped into [0, nBins-1]
+    * (floor of an IEEE double product/division is bit-stable across
+    * engines — the [[VectorSearch.quantizeInt8]] argument), then the
+    * bins drift-compare exactly like categories. Fixed bounds, not
+    * quantiles, so two runs (or two engines) bin identically; pick
+    * lo/hi from domain knowledge or a prior
+    * [[Sketches.histogramQuantile]] pass. Null values land in bin -1.
+    *
+    * Output: [[categoricalDrift]] columns with `bin` (long) as the
+    * category.
+    */
+  def numericDrift(
+      df: DataFrame,
+      valueCol: String,
+      inA: Column,
+      lo: Double,
+      hi: Double,
+      nBins: Int
+  ): DataFrame = {
+    require(nBins >= 1, s"numericDrift: nBins must be >= 1, got $nBins")
+    require(hi > lo, s"numericDrift: need hi > lo, got [$lo, $hi]")
+    val bin = when(col(valueCol).isNull, lit(-1L)).otherwise(
+      least(
+        greatest(
+          floor((col(valueCol).cast("double") - lit(lo)) * lit(nBins.toDouble) / lit(hi - lo))
+            .cast("long"),
+          lit(0L)),
+        lit(nBins - 1L)))
+    categoricalDrift(df.withColumn("bin", bin), "bin", inA)
+      .withColumnRenamed("category", "bin")
+  }
+}

@@ -1,0 +1,106 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.DriftMonitor
+
+class DriftMonitorSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  test("identical slices show zero drift") {
+    val df = (Seq.fill(40)(("x", true)) ++ Seq.fill(40)(("x", false)) ++
+      Seq.fill(10)(("y", true)) ++ Seq.fill(10)(("y", false)))
+      .toDF("cat", "a")
+    val out = DriftMonitor.categoricalDrift(df, "cat", col("a")).orderBy("category").collect()
+    assert(out.length == 2)
+    out.foreach { r =>
+      assert(r.getAs[Long]("abs_ppm_diff") == 0L)
+      assert(r.getAs[Long]("chi2_ppb") == 0L)
+      assert(r.getAs[Long]("ppm_a") == r.getAs[Long]("ppm_b"))
+    }
+  }
+
+  test("hand-computed ppm and chi-square on a known 2x2 table") {
+    // A: 30 x, 10 y (tot 40); B: 10 x, 30 y (tot 40)
+    val df = (Seq.fill(30)(("x", true)) ++ Seq.fill(10)(("y", true)) ++
+      Seq.fill(10)(("x", false)) ++ Seq.fill(30)(("y", false)))
+      .toDF("cat", "a")
+    val out = DriftMonitor.categoricalDrift(df, "cat", col("a"))
+      .orderBy("category").collect()
+    val x = out(0)
+    assert(x.getAs[String]("category") == "x")
+    assert(x.getAs[Long]("cnt_a") == 30L && x.getAs[Long]("cnt_b") == 10L)
+    assert(x.getAs[Long]("ppm_a") == 750000L && x.getAs[Long]("ppm_b") == 250000L)
+    assert(x.getAs[Long]("abs_ppm_diff") == 500000L)
+    // D = 30*40 - 10*40 = 800; chi2_x = D^2/((30+10)*40*40) = 640000/64000 = 10
+    assert(x.getAs[Long]("chi2_ppb") == 10L * 1000000000L)
+    // TVD = (|.75-.25| + |.25-.75|)/2 = 0.5 -> sum(abs_ppm_diff) = 1e6
+    assert(out.map(_.getAs[Long]("abs_ppm_diff")).sum == 1000000L)
+    // total chi2 = 20 == n * TVD-ish sanity; both category contributions equal
+    assert(out.map(_.getAs[Long]("chi2_ppb")).sum == 20L * 1000000000L)
+  }
+
+  test("category present in only one slice still reports") {
+    val df = (Seq.fill(5)(("only_a", true)) ++ Seq.fill(5)(("both", true)) ++
+      Seq.fill(5)(("both", false))).toDF("cat", "a")
+    val out = DriftMonitor.categoricalDrift(df, "cat", col("a"))
+      .where(col("category") === "only_a").head()
+    assert(out.getAs[Long]("cnt_a") == 5L && out.getAs[Long]("cnt_b") == 0L)
+    assert(out.getAs[Long]("ppm_b") == 0L)
+  }
+
+  test("empty slice yields null proportions, not a crash") {
+    val df = Seq.fill(10)(("x", true)).toDF("cat", "a")
+    val out = DriftMonitor.categoricalDrift(df, "cat", col("a")).head()
+    assert(out.getAs[Long]("ppm_a") == 1000000L)
+    assert(out.isNullAt(out.fieldIndex("ppm_b")))
+    assert(out.isNullAt(out.fieldIndex("chi2_ppb")))
+  }
+
+  test("drift is partition-invariant") {
+    val df = spark.range(10000).select(
+      concat(lit("c"), col("id") % 7).as("cat"),
+      (col("id") % 3 === 0).as("a"))
+    val a = DriftMonitor.categoricalDrift(df.repartition(3), "cat", col("a"))
+      .orderBy("category").collect().toSeq
+    val b = DriftMonitor.categoricalDrift(df.repartition(17), "cat", col("a"))
+      .orderBy("category").collect().toSeq
+    assert(a == b)
+  }
+
+  test("numericDrift bins clamp and route nulls to bin -1") {
+    val df = Seq[(java.lang.Double, Boolean)](
+      (-5.0, true),   // below lo -> bin 0
+      (0.0, true),    // bin 0
+      (9.9, true),    // bin 0
+      (10.0, true),   // bin 1
+      (95.0, true),   // bin 9
+      (1000.0, true), // above hi -> clamped to bin 9
+      (null, true),
+      (50.0, false)
+    ).toDF("v", "a")
+    val out = DriftMonitor.numericDrift(df, "v", col("a"), lo = 0.0, hi = 100.0, nBins = 10)
+      .orderBy("bin").collect()
+    val counts = out.map(r => r.getAs[Long]("bin") -> (r.getAs[Long]("cnt_a"), r.getAs[Long]("cnt_b"))).toMap
+    assert(counts(-1L) == (1L, 0L))
+    assert(counts(0L) == (3L, 0L))
+    assert(counts(1L) == (1L, 0L))
+    assert(counts(5L) == (0L, 1L))
+    assert(counts(9L) == (2L, 0L))
+  }
+
+  test("a shifted numeric distribution shows mass moving between bins") {
+    val df = spark.range(2000).select(
+      when(col("id") < 1000, col("id") % 100)
+        .otherwise(col("id") % 100 + 50).cast("double").as("v"),
+      (col("id") < 1000).as("a"))
+    val out = DriftMonitor.numericDrift(df, "v", col("a"), 0.0, 200.0, 4)
+      .orderBy("bin").collect()
+    // slice A occupies bins 0-1, slice B bins 1-2: bins 0 and 2 fully drift
+    val m = out.map(r => r.getAs[Long]("bin") -> r).toMap
+    assert(m(0L).getAs[Long]("cnt_b") == 0L)
+    assert(m(2L).getAs[Long]("cnt_a") == 0L)
+    assert(m(0L).getAs[Long]("abs_ppm_diff") == 500000L)
+  }
+}
