@@ -19,10 +19,13 @@ import org.apache.spark.sql.functions._
   * arithmetic — so outputs hash-match across engines and partitionings
   * (no floating point anywhere; the standard graft oracle discipline).
   *
-  * Scale shape: ONE category-keyed aggregation with map-side partial
-  * combine (a slice-tag indicator summed per category — never a
-  * shuffle of raw rows), output bounded by |categories|; totals join
-  * back as a broadcast 1-row plan, not a driver action.
+  * Scale shape: ONE scan and ONE category-keyed aggregation with
+  * map-side partial combine (a slice-tag indicator summed per category
+  * — never a shuffle of raw rows), output bounded by |categories|;
+  * slice totals come from an unpartitioned window over that BOUNDED
+  * aggregate (<= |categories| rows — the audited bounded-window
+  * pattern), not from a second aggregation that would re-scan the
+  * input at 100 TB.
   */
 object DriftMonitor {
 
@@ -54,11 +57,17 @@ object DriftMonitor {
       .agg(
         sum(col("_in_a")).as("cnt_a"),
         sum(lit(1L) - col("_in_a")).as("cnt_b"))
-    val totals = perCat.agg(
-      sum(col("cnt_a")).as("tot_a"),
-      sum(col("cnt_b")).as("tot_b"))
+    // totals over the bounded per-category table — an unpartitioned
+    // whole-frame window over <= |categories| rows, so the input scans
+    // exactly once (a separate `.agg` would recompute the aggregation
+    // subtree and re-scan the corpus)
+    val whole = org.apache.spark.sql.expressions.Window
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
     perCat
-      .crossJoin(broadcast(totals))
+      .withColumn("tot_a", sum(col("cnt_a")).over(whole))
+      .withColumn("tot_b", sum(col("cnt_b")).over(whole))
       .withColumn("ppm_a", when(col("tot_a") > 0, expr("cnt_a * 1000000 DIV tot_a")))
       .withColumn("ppm_b", when(col("tot_b") > 0, expr("cnt_b * 1000000 DIV tot_b")))
       .withColumn("abs_ppm_diff", abs(col("ppm_a") - col("ppm_b")))

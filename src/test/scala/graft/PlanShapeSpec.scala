@@ -271,6 +271,27 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("BatchEvalPython"), "no out-of-codegen eval")
   }
 
+  test("drift monitor is ONE scan: totals come from the bounded window, not a re-aggregation") {
+    val p = plan("q_drift")
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).length == 1,
+      s"a second scan means the totals side recomputed the aggregate subtree: ${p.take(800)}")
+    assert(p.contains("partial_sum"), "slice-tag counts must map-side combine")
+    assert(!p.contains("Join"), "no join — totals are a window over the bounded per-category table")
+    assert(p.contains("ReadSchema:") && !p.contains("props") && !p.contains("user_id"),
+      "only ts/event_type may be read")
+  }
+
+  test("retrieval eval ranks via heap aggregates and broadcasts the query batch — no corpus sort") {
+    val p = plan("q_retrieval_eval")
+    assert(p.contains("ObjectHashAggregate"), s"top-k must be the TopKBy heap: ${p.take(800)}")
+    assert(p.contains("BroadcastExchange"), "the 20-row query batch must broadcast against the corpus")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(!p.contains("TakeOrderedAndProject") &&
+      "partial_topkby|ObjectHashAggregate".r.findAllIn(p).nonEmpty,
+      "per-query ranking must not globally sort the scored corpus")
+    assert(p.contains("ReadSchema:") && !p.contains("label"), "embeddings scans must prune label")
+  }
+
   test("token accounting is a single scan with no shuffle before the output sort") {
     val p = plan("q_token_bpe")
     // exactly the final orderBy's range exchange — the three token
