@@ -1820,6 +1820,54 @@ object OracleSql {
         |       CAST(SUM(COALESCE(2520 // first_rank, 0)) AS BIGINT) / (2520.0 * CAST(COUNT(*) AS BIGINT)) AS mrr_at_k
         |FROM pq""".stripMargin,
 
+    "q_bm25_eval" ->
+      // FtsIndex.searchMany + RetrievalEval.summary twin: known-item
+      // search (query = first 6 tokens of doc i, relevant = doc i).
+      // BM25 identical to the q_bm25 CTEs; per-(query,doc) term scores
+      // sum as DECIMAL(18,9) (order-free exactness, mirroring the Spark
+      // plan), ranking by (round(score,6) DESC, doc_id); metrics as in
+      // q_retrieval_eval
+      s"""WITH toks AS (SELECT doc_id, $ftsToks AS tokens FROM documents),
+         |dl AS (SELECT doc_id, len(tokens) AS doc_len, tokens FROM toks),
+         |tf AS (SELECT doc_id, doc_len, term, COUNT(*) AS tf
+         |       FROM (SELECT doc_id, doc_len, UNNEST(tokens) AS term FROM dl)
+         |       GROUP BY doc_id, doc_len, term),
+         |stats AS (SELECT COUNT(*) AS n, AVG(doc_len) AS avgdl FROM dl),
+         |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+         |qt AS (SELECT DISTINCT doc_id AS query_id, UNNEST(tokens[1:6]) AS term
+         |       FROM dl WHERE doc_id < 30),
+         |cand AS (
+         |  SELECT qt.query_id, tf.doc_id,
+         |         ROUND(CAST(SUM(CAST(
+         |           ln(1.0 + ((CAST((SELECT n FROM stats) AS DOUBLE) - dfreq.df) + 0.5) / (dfreq.df + 0.5))
+         |           * ((tf.tf * (1.2 + 1.0)) / (tf.tf + 1.2 * ((1.0 - 0.75) + (0.75 * tf.doc_len) / (SELECT avgdl FROM stats))))
+         |         AS DECIMAL(18,9))) AS DOUBLE), 6) AS score
+         |  FROM tf JOIN dfreq USING (term) JOIN qt USING (term)
+         |  GROUP BY qt.query_id, tf.doc_id),
+         |ranked AS (
+         |  SELECT query_id, doc_id,
+         |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+         |  FROM cand),
+         |sys AS (SELECT query_id, doc_id, rnk FROM ranked WHERE rnk <= 10),
+         |q AS (SELECT doc_id AS query_id, doc_id AS rel_id FROM dl WHERE doc_id < 30),
+         |pq AS (
+         |  SELECT t.query_id,
+         |         COUNT(t.rel_id) AS n_rel,
+         |         COUNT(s.rnk) AS n_found,
+         |         MIN(s.rnk) AS first_rank
+         |  FROM q t LEFT JOIN sys s
+         |    ON s.query_id = t.query_id AND s.doc_id = t.rel_id
+         |  GROUP BY t.query_id)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+         |       CAST(SUM(n_rel) AS BIGINT) AS n_rel,
+         |       CAST(SUM(n_found) AS BIGINT) AS n_found,
+         |       CAST(SUM(n_found) AS DOUBLE) / CAST(SUM(n_rel) AS BIGINT) AS recall_at_k,
+         |       CAST(SUM(CASE WHEN n_found > 0 THEN 1 ELSE 0 END) AS BIGINT) AS hits_at_k,
+         |       CAST(SUM(CASE WHEN n_found > 0 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS BIGINT) AS success_at_k,
+         |       CAST(SUM(COALESCE(2520 // first_rank, 0)) AS BIGINT) AS mrr_num,
+         |       CAST(SUM(COALESCE(2520 // first_rank, 0)) AS BIGINT) / (2520.0 * CAST(COUNT(*) AS BIGINT)) AS mrr_at_k
+         |FROM pq""".stripMargin,
+
     "q_drift" ->
       // DriftMonitor.categoricalDrift twin: integer-exact ppm
       // proportions (floor division), chi-square contributions x 1e9 in

@@ -2145,6 +2145,26 @@ object SparkEntry {
     RetrievalEval.summary(sys, "query_id", "doc_id", "rank", truth, "query_id", "rel_id", 10)
   }
 
+  /** Known-item BM25 eval end-to-end (FtsIndex.searchMany +
+    * RetrievalEval.summary): each query is the first 6 tokens of a
+    * document (doc_id < 30), the relevant answer is that document —
+    * the standard known-item-search protocol. The whole loop — batch
+    * tokenize, df-scored postings join, per-query heap ranking, metric
+    * roll-up — is ONE distributed job; at 100 TB the same plan scores
+    * millions of labeled queries against the corpus index.
+    */
+  private def qBm25Eval(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val idx = FtsIndex.buildCached(s"$dir/documents", docs, "doc_id", "text")
+    val queries = docs.where(col("doc_id") < 30)
+      .select(
+        col("doc_id").as("query_id"),
+        concat_ws(" ", slice(TextFunctions.ftsTokens(col("text")), 1, 6)).as("qtext"))
+    val sys = FtsIndex.searchMany(queries, "query_id", "qtext", idx, 10)
+    val qrels = queries.select(col("query_id"), col("query_id").as("rel_id"))
+    RetrievalEval.summary(sys, "query_id", "doc_id", "rank", qrels, "query_id", "rel_id", 10)
+  }
+
   /** Categorical drift monitor (DriftMonitor.categoricalDrift): event-type
     * mix of the first 15 days of 2024-01 vs the rest — per-category
     * counts, ppm proportions, TVD contributions, and chi-square
@@ -2300,6 +2320,7 @@ object SparkEntry {
     "q_gap_fill" -> (qGapFill _),
     "q_transitions" -> (qTransitions _),
     "q_retrieval_eval" -> (qRetrievalEval _),
+    "q_bm25_eval" -> (qBm25Eval _),
     "q_drift" -> (qDrift _),
     "q_drift_value" -> (qDriftValue _)
   )

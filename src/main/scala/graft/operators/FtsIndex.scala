@@ -309,6 +309,64 @@ object FtsIndex {
       .orderBy(desc("score"), col("doc_id"))
       .limit(k)
 
+  /** Batch BM25: ranked top-k per query for a whole query TABLE against
+    * the same postings index in ONE job — the shape for scoring millions
+    * of eval/mining queries at cluster scale, where looping [[search]]
+    * per query would plan a job per query.
+    *
+    * Scale shape: queries tokenize distributed (the shared
+    * [[graft.functions.TextFunctions.ftsTokens]]); the postings scan is
+    * semi-join-filtered to the batch's term VOCABULARY first (so the
+    * per-term window count over the survivors is still the exact
+    * corpus-wide document frequency, and only matching terms' postings
+    * flow), then joined to the per-query terms — both query-side tables
+    * broadcast while the batch is small, and degrade to term-keyed
+    * shuffle joins beyond that. Per-(query, doc) scores aggregate
+    * term scores cast to decimal(18,9) — exact and summation-order-free,
+    * unlike a raw double sum whose low bits would depend on partition
+    * order across a large batch — and ranking uses the 6-decimal-rounded
+    * score with doc-id tiebreak through a bounded [[graft.plans.TopKBy]]
+    * heap (no global sort of the scored candidates).
+    *
+    * Returns (query_id, rank, doc_id, score) with 1-based ranks — feed
+    * directly to [[RetrievalEval.summary]].
+    */
+  def searchMany(
+      queries: DataFrame,
+      queryIdCol: String,
+      queryTextCol: String,
+      index: Index,
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75
+  ): DataFrame = {
+    val qTerms = queries
+      .select(
+        col(queryIdCol).as("query_id"),
+        explode(array_distinct(TextFunctions.ftsTokens(col(queryTextCol)))).as("term"))
+    val vocab = qTerms.select("term").distinct()
+    val wTerm = org.apache.spark.sql.expressions.Window.partitionBy("term")
+    val cand = index.postings
+      .join(broadcast(vocab), Seq("term"), "left_semi")
+      .withColumn("df", count(lit(1)).over(wTerm))
+      .withColumn(
+        "term_score",
+        bm25TermScore(col("tf"), col("df"), col("doc_len"), index.numDocs, index.avgDocLen, k1, b))
+    cand
+      .join(broadcast(qTerms), Seq("term"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("term_score").cast("decimal(18,9)")).cast("double").as("score"))
+      .withColumn("score", round(col("score"), 6))
+      .groupBy("query_id")
+      .agg(graft.plans.TopKBy.topKBy(col("score"), col("doc_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(
+        col("query_id"),
+        (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("doc_id"),
+        col("col.score").as("score"))
+  }
+
   /** Exact PHRASE search: documents where the query tokens occur as a
     * consecutive run (the FTS feature BM25's bag-of-words scoring cannot
     * express — "hash join" must not match "join ... hash"). Returns

@@ -213,4 +213,53 @@ class RetrievalSpec extends AnyFunSuite {
       (5L, 2L, "zz hit aa hit")
     ), s"got $got")
   }
+
+  test("searchMany: single-query batch ranks like search (rounded-score order)") {
+    val idx = FtsIndex.build(docs, "doc_id", "text")
+    val batch = Seq((100L, "spark data")).toDF("qid", "qtext")
+    val many = FtsIndex.searchMany(batch, "qid", "qtext", idx, 5)
+      .orderBy("rank").collect()
+    val single = FtsIndex.search(spark, idx, "spark data", 5)
+      .select(col("doc_id"), round(col("score"), 6).as("score"))
+      .orderBy(desc("score"), col("doc_id")).collect()
+    assert(many.map(_.getAs[Long]("doc_id")).toSeq == single.map(_.getLong(0)).toSeq)
+    assert(many.map(_.getAs[Double]("score")).toSeq == single.map(_.getDouble(1)).toSeq)
+    assert(many.map(_.getAs[Long]("rank")).toSeq == (1L to many.length))
+  }
+
+  test("searchMany: a query's scores are unaffected by other queries in the batch") {
+    // the df window runs over vocabulary-filtered postings; a second
+    // query sharing (or adding) terms must not perturb document
+    // frequencies — batch results for q1 must equal its solo results
+    val idx = FtsIndex.build(docs, "doc_id", "text")
+    val solo = FtsIndex.searchMany(
+      Seq((1L, "spark data")).toDF("qid", "qtext"), "qid", "qtext", idx, 5).collect()
+    val batch = FtsIndex.searchMany(
+      Seq((1L, "spark data"), (2L, "cat mat spark"), (3L, "streaming")).toDF("qid", "qtext"),
+      "qid", "qtext", idx, 5)
+      .where(col("query_id") === 1L).collect()
+    assert(solo.map(r => (r.getAs[Long]("rank"), r.getAs[Long]("doc_id"), r.getAs[Double]("score"))).toSet ==
+      batch.map(r => (r.getAs[Long]("rank"), r.getAs[Long]("doc_id"), r.getAs[Double]("score"))).toSet)
+  }
+
+  test("searchMany: queries are isolated and a no-term query returns no rows") {
+    val idx = FtsIndex.build(docs, "doc_id", "text")
+    val out = FtsIndex.searchMany(
+      Seq((1L, "gardening"), (2L, "???!!!"), (3L, "cat")).toDF("qid", "qtext"),
+      "qid", "qtext", idx, 5)
+    val byQ = out.collect().groupBy(_.getAs[Long]("query_id"))
+    assert(byQ(1L).map(_.getAs[Long]("doc_id")).toSet == Set(4L))
+    assert(!byQ.contains(2L), "a query with no indexable terms must return nothing")
+    assert(byQ(3L).map(_.getAs[Long]("doc_id")).toSet == Set(2L))
+  }
+
+  test("searchMany is partition-invariant") {
+    val idx = FtsIndex.build(docs.repartition(4), "doc_id", "text")
+    val batch = Seq((1L, "spark data"), (2L, "cat"), (3L, "streaming data")).toDF("qid", "qtext")
+    val a = FtsIndex.searchMany(batch.repartition(1), "qid", "qtext", idx, 5)
+      .orderBy("query_id", "rank").collect().toSeq
+    val b = FtsIndex.searchMany(batch.repartition(7), "qid", "qtext", idx, 5)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(a == b)
+  }
 }
