@@ -1893,6 +1893,31 @@ object OracleSql {
         |            // (CAST(cnt_a + cnt_b AS HUGEINT) * tot_a * tot_b) AS BIGINT) AS chi2_ppb
         |FROM pc, t ORDER BY category""".stripMargin,
 
+    "q_embed_drift" ->
+      // DriftMonitor.embeddingDrift twin: floor(x*1000) quantization,
+      // exact per-dim integer sums (64-row cross join enumerates dims),
+      // truncating integer division for the milli-quantized shift
+      // (DuckDB // and Spark DIV both truncate toward zero)
+      """WITH v AS (
+        |  SELECT CASE WHEN label < 5 THEN 1 ELSE 0 END AS in_a,
+        |         list_transform(CAST(embedding AS DOUBLE[]),
+        |                        x -> CAST(floor(x * 1000.0) AS BIGINT)) AS qvec
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |comp AS (
+        |  SELECT CAST(d.dim AS BIGINT) AS dim, v.in_a, v.qvec[d.dim] AS qv
+        |  FROM v, (SELECT UNNEST(range(1, 65)) AS dim) d),
+        |agg AS (
+        |  SELECT dim,
+        |         CAST(SUM(in_a) AS BIGINT) AS cnt_a,
+        |         CAST(SUM(1 - in_a) AS BIGINT) AS cnt_b,
+        |         CAST(SUM(qv * in_a) AS BIGINT) AS sum_a,
+        |         CAST(SUM(qv * (1 - in_a)) AS BIGINT) AS sum_b
+        |  FROM comp GROUP BY dim)
+        |SELECT dim, cnt_a, cnt_b, sum_a, sum_b,
+        |       CAST((sum_a * cnt_b - sum_b * cnt_a) * 1000 // (cnt_a * cnt_b) AS BIGINT) AS shift_milliq,
+        |       ABS(CAST((sum_a * cnt_b - sum_b * cnt_a) * 1000 // (cnt_a * cnt_b) AS BIGINT)) AS abs_shift_milliq
+        |FROM agg ORDER BY dim""".stripMargin,
+
     "q_drift_value" ->
       // DriftMonitor.numericDrift twin: fixed 20-bin equal-width binning
       // on [0, 600) — floor of the identical IEEE expression, clamped —

@@ -2191,6 +2191,19 @@ object SparkEntry {
         lo = 0.0, hi = 600.0, nBins = 20)
       .orderBy("bin")
 
+  /** Embedding drift monitor (DriftMonitor.embeddingDrift): per-dimension
+    * centroid shift between the label<5 and label>=5 halves of the
+    * embedding corpus — the encoder-regression / source-mix guardrail
+    * for the vector side of a multimodal pipeline, integer-exact via
+    * quantized component sums.
+    */
+  private def qEmbedDrift(s: SparkSession, dir: String): DataFrame =
+    DriftMonitor.embeddingDrift(
+        t(s, dir, "embeddings").select(col("embedding"), col("label")),
+        "embedding",
+        col("label") < 5)
+      .orderBy("dim")
+
   // =====================================================================
   // Contract maps
   // =====================================================================
@@ -2322,7 +2335,8 @@ object SparkEntry {
     "q_retrieval_eval" -> (qRetrievalEval _),
     "q_bm25_eval" -> (qBm25Eval _),
     "q_drift" -> (qDrift _),
-    "q_drift_value" -> (qDriftValue _)
+    "q_drift_value" -> (qDriftValue _),
+    "q_embed_drift" -> (qEmbedDrift _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -84,6 +84,63 @@ object DriftMonitor {
       .select("category", "cnt_a", "cnt_b", "ppm_a", "ppm_b", "abs_ppm_diff", "chi2_ppb")
   }
 
+  /** Two-slice EMBEDDING drift: per-dimension centroid shift between
+    * slice A and slice B of a vector column — the drift guardrail for
+    * the embedding side of a multimodal corpus (a re-trained or
+    * mis-versioned encoder, a source mix change, or an upstream
+    * normalization bug all move the per-dimension means long before
+    * they are visible in retrieval quality).
+    *
+    * Exactness: components quantize to `floor(x * scale)` longs (floor
+    * of an IEEE double product is bit-stable — the
+    * [[VectorSearch.quantizeInt8]] argument), so the per-dimension sums
+    * are exact integers and the centroid difference
+    * `shift_milliq = (sum_a*cnt_b - sum_b*cnt_a) * 1000 DIV (cnt_a*cnt_b)`
+    * (milli-quantized-units, i.e. 1e-3 of one quantization step) is
+    * deterministic across engines and partitionings.
+    *
+    * Scale shape: one posexplode to (dim, component) rows, ONE
+    * dim-keyed aggregation with map-side partial combine — the shuffle
+    * carries at most `dims` rows per task, never vectors; output is
+    * `dims` rows. Null vectors are excluded from both slices.
+    *
+    * Output per dimension (1-based `dim`): `cnt_a`, `cnt_b`, `sum_a`,
+    * `sum_b` (exact quantized sums), `shift_milliq`, `abs_shift_milliq`.
+    *
+    * Size contract: `sum * cnt * 1000` must fit a long — with unit-norm
+    * components and scale=1000 that holds to ~1e12 vectors per slice,
+    * far beyond any single drift batch; shard the comparison (or lower
+    * `scale`) beyond that.
+    */
+  def embeddingDrift(
+      df: DataFrame,
+      vecCol: String,
+      inA: Column,
+      scale: Long = 1000L
+  ): DataFrame = {
+    require(scale >= 1L, s"embeddingDrift: scale must be >= 1, got $scale")
+    df
+      .where(col(vecCol).isNotNull)
+      .select(
+        when(inA, 1L).otherwise(0L).as("_in_a"),
+        posexplode(transform(
+          col(vecCol),
+          x => floor(x.cast("double") * lit(scale.toDouble)).cast("long"))))
+      .select((col("pos") + 1).cast("long").as("dim"), col("_in_a"), col("col").as("qv"))
+      .groupBy("dim")
+      .agg(
+        sum(col("_in_a")).as("cnt_a"),
+        sum(lit(1L) - col("_in_a")).as("cnt_b"),
+        sum(col("qv") * col("_in_a")).as("sum_a"),
+        sum(col("qv") * (lit(1L) - col("_in_a"))).as("sum_b"))
+      .withColumn(
+        "shift_milliq",
+        when(
+          col("cnt_a") > 0 && col("cnt_b") > 0,
+          expr("(sum_a * cnt_b - sum_b * cnt_a) * 1000 DIV (cnt_a * cnt_b)")))
+      .withColumn("abs_shift_milliq", abs(col("shift_milliq")))
+  }
+
   /** Two-slice numeric drift over fixed equal-width bins: the
     * no-floating-point PSI/KS stand-in. Values are binned by
     * `floor((v - lo) * nBins / (hi - lo))` clamped into [0, nBins-1]

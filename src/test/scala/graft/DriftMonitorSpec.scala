@@ -90,6 +90,64 @@ class DriftMonitorSpec extends AnyFunSuite {
     assert(counts(9L) == (2L, 0L))
   }
 
+  test("embeddingDrift: hand-computed per-dim shift, including negative (truncating DIV)") {
+    // A: vectors (1.0, -0.5), (0.5, -0.25); B: (0.25, 0.5)
+    // quantized (scale 1000): A sums = (1500, -750); B sums = (250, 500)
+    // dim1: (1500*1 - 250*2)*1000 / 2 = 500000  -> mean shift +500 milli-q
+    // dim2: (-750*1 - 500*2)*1000 / 2 = -875000 (truncation exact here)
+    val df = Seq(
+      (Seq(1.0f, -0.5f), true),
+      (Seq(0.5f, -0.25f), true),
+      (Seq(0.25f, 0.5f), false)
+    ).toDF("vec", "a")
+    val out = DriftMonitor.embeddingDrift(df, "vec", col("a")).orderBy("dim").collect()
+    assert(out.map(_.getAs[Long]("dim")).toSeq == Seq(1L, 2L))
+    val d1 = out(0); val d2 = out(1)
+    assert(d1.getAs[Long]("sum_a") == 1500L && d1.getAs[Long]("sum_b") == 250L)
+    assert(d1.getAs[Long]("shift_milliq") == 500000L)
+    assert(d2.getAs[Long]("sum_a") == -750L && d2.getAs[Long]("sum_b") == 500L)
+    assert(d2.getAs[Long]("shift_milliq") == -875000L)
+    assert(d2.getAs[Long]("abs_shift_milliq") == 875000L)
+  }
+
+  test("embeddingDrift: truncation toward zero on a non-exact negative quotient") {
+    // A: (0.0), (0.001); B: (0.002), (0.002), (0.002)
+    // sums: a=1, b=6; D = 1*3 - 6*2 = -9; -9*1000/(2*3) = -1500 exactly;
+    // use counts that do not divide: A has 3 vectors -> D = 1*3 - 6*3 = -15,
+    // -15000/9 = -1666.66 -> trunc -1666 (floor would give -1667)
+    val df = Seq(
+      (Seq(0.0f), true), (Seq(0.001f), true), (Seq(0.0f), true),
+      (Seq(0.002f), false), (Seq(0.002f), false), (Seq(0.002f), false)
+    ).toDF("vec", "a")
+    val out = DriftMonitor.embeddingDrift(df, "vec", col("a")).head()
+    assert(out.getAs[Long]("sum_a") == 1L && out.getAs[Long]("sum_b") == 6L)
+    assert(out.getAs[Long]("shift_milliq") == -1666L,
+      s"DIV must truncate toward zero like the oracle's //: got ${out.getAs[Long]("shift_milliq")}")
+  }
+
+  test("embeddingDrift: identical slices drift zero; null vectors excluded") {
+    val df = Seq(
+      (Seq(0.5f, 0.5f), true), (Seq(0.5f, 0.5f), false),
+      (null.asInstanceOf[Seq[Float]], true)
+    ).toDF("vec", "a")
+    val out = DriftMonitor.embeddingDrift(df, "vec", col("a")).orderBy("dim").collect()
+    out.foreach { r =>
+      assert(r.getAs[Long]("cnt_a") == 1L && r.getAs[Long]("cnt_b") == 1L)
+      assert(r.getAs[Long]("shift_milliq") == 0L)
+    }
+  }
+
+  test("embeddingDrift is partition-invariant") {
+    val df = spark.range(1000).select(
+      org.apache.spark.sql.functions.array(
+        (col("id") % 13).cast("float") / 13f,
+        (col("id") % 7).cast("float") / 7f).as("vec"),
+      (col("id") % 3 === 0).as("a"))
+    val a = DriftMonitor.embeddingDrift(df.repartition(2), "vec", col("a")).orderBy("dim").collect().toSeq
+    val b = DriftMonitor.embeddingDrift(df.repartition(11), "vec", col("a")).orderBy("dim").collect().toSeq
+    assert(a == b)
+  }
+
   test("a shifted numeric distribution shows mass moving between bins") {
     val df = spark.range(2000).select(
       when(col("id") < 1000, col("id") % 100)
