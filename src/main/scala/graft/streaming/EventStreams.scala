@@ -40,6 +40,77 @@ object EventStreams {
         col("total_value")
       )
 
+  /** Streaming drift guardrail, stream side: watermarked per-window
+    * category counts — the sink [[windowDrift]] compares against a
+    * reference distribution. Append mode: a window's counts emit once
+    * the watermark closes it (the [[tumblingAgg]] contract), so the
+    * drift readout only ever sees complete windows. State is bounded by
+    * open windows x |categories|.
+    */
+  def windowedCategoryCounts(
+      events: DataFrame,
+      tsCol: String,
+      catCol: String,
+      windowLen: String = "1 hour",
+      lateness: String = "10 minutes"
+  ): DataFrame =
+    events
+      .withWatermark(tsCol, lateness)
+      .groupBy(window(col(tsCol), windowLen), col(catCol).as("category"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("category"), col("n"))
+
+  /** Batch drift readout over a [[windowedCategoryCounts]] sink: every
+    * closed window's category mix against a static REFERENCE
+    * distribution `(category, n)` — yesterday's mix, a golden profile,
+    * or a long-run average. Per (window, category):
+    * observed/reference proportions in ppm (integer floor division, the
+    * [[graft.operators.DriftMonitor]] arithmetic), their absolute
+    * difference, and `tvd2_ppm` = the window's summed |Δppm| (2e6 x the
+    * window's total-variation distance — alert when it crosses a
+    * threshold). Categories in the reference but absent from a window
+    * report n=0; NOVEL categories absent from the reference report
+    * ref_n=0 — both directions of "the mix changed" surface as rows.
+    *
+    * Scale shape: the reference broadcasts against the bounded
+    * distinct-window list; per-window totals and the TVD sum are
+    * windows over <= |categories| rows per window partition.
+    */
+  def windowDrift(
+      counts: DataFrame,
+      reference: DataFrame,
+      refCatCol: String,
+      refNCol: String
+  ): DataFrame = {
+    val ref = reference.select(col(refCatCol).as("category"), col(refNCol).cast("long").as("ref_n"))
+    val wins = counts.select("window_start").distinct()
+    // the observed side re-aliases every column: wins derives from counts,
+    // and a full join straight back onto counts would carry conflicting
+    // attribute references into the same plan
+    val obs = counts.select(
+      col("window_start").as("_w"),
+      col("category").as("_c"),
+      col("n").cast("long").as("_n"))
+    val full = wins
+      .crossJoin(broadcast(ref))
+      .join(obs, col("window_start") === col("_w") && col("category") === col("_c"), "full")
+      .select(
+        coalesce(col("window_start"), col("_w")).as("window_start"),
+        coalesce(col("category"), col("_c")).as("category"),
+        coalesce(col("_n"), lit(0L)).as("n"),
+        coalesce(col("ref_n"), lit(0L)).as("ref_n"))
+    val perWin = org.apache.spark.sql.expressions.Window.partitionBy("window_start")
+    full
+      .withColumn("tot_n", sum(col("n")).over(perWin))
+      .withColumn("ref_tot", sum(col("ref_n")).over(perWin))
+      .withColumn("ppm_obs", when(col("tot_n") > 0, expr("n * 1000000 DIV tot_n")))
+      .withColumn("ppm_ref", when(col("ref_tot") > 0, expr("ref_n * 1000000 DIV ref_tot")))
+      .withColumn("abs_ppm_diff", abs(col("ppm_obs") - col("ppm_ref")))
+      .withColumn("tvd2_ppm", sum(col("abs_ppm_diff")).over(perWin))
+      .select("window_start", "category", "n", "ref_n",
+        "ppm_obs", "ppm_ref", "abs_ppm_diff", "tvd2_ppm")
+  }
+
   /** Streaming exact dedup: drop events whose `keyCols` were already seen
     * within the watermark horizon — the streaming twin of the batch exact
     * dedup (Dedup.exactDedup) for at-least-once sources that can replay.

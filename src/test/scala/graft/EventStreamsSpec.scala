@@ -176,4 +176,54 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(hits.head.getAs[Long]("id") == data.head._1, "self vector must rank first")
     assert(hits.head.getAs[Double]("score") > 0.999)
   }
+
+  test("streaming category counts close with the watermark; windowDrift scores the sink") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val events = input.toDF().toDF("ts", "cat")
+    val counts = EventStreams.windowedCategoryCounts(
+      events, "ts", "cat", windowLen = "10 minutes", lateness = "5 minutes")
+    val q = counts.writeStream.format("memory").queryName("drift_counts")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // window 0: 3 click, 1 error (reference expects 50/50)
+      input.addData((ts(1), "click"), (ts(2), "click"), (ts(3), "click"), (ts(4), "error"))
+      q.processAllAvailable()
+      assert(spark.table("drift_counts").isEmpty, "window must not emit before the watermark closes")
+      input.addData((ts(40), "click")) // advance watermark past window 0
+      q.processAllAvailable()
+
+      val reference = Seq(("click", 10L), ("error", 10L), ("view", 0L)).toDF("category", "n")
+      val w0 = new Timestamp(ts(1).getTime / 600000L * 600000L)
+      val out = EventStreams.windowDrift(
+          spark.table("drift_counts"), reference, "category", "n")
+        .where(col("window_start") === w0)
+        .orderBy("category").collect()
+      val byCat = out.map(r => r.getAs[String]("category") -> r).toMap
+      // click: obs 3/4 = 750000 ppm vs ref 10/20 = 500000 -> |diff| 250000
+      assert(byCat("click").getAs[Long]("n") == 3L)
+      assert(byCat("click").getAs[Long]("ppm_obs") == 750000L)
+      assert(byCat("click").getAs[Long]("ppm_ref") == 500000L)
+      assert(byCat("click").getAs[Long]("abs_ppm_diff") == 250000L)
+      // error: 250000 vs 500000 -> 250000; view: reference-only row, 0 vs 0
+      assert(byCat("error").getAs[Long]("abs_ppm_diff") == 250000L)
+      assert(byCat("view").getAs[Long]("n") == 0L && byCat("view").getAs[Long]("abs_ppm_diff") == 0L)
+      // tvd2 = 500000 on every row of the window (TVD = 0.25)
+      assert(out.forall(_.getAs[Long]("tvd2_ppm") == 500000L))
+    } finally q.stop()
+  }
+
+  test("windowDrift surfaces novel categories absent from the reference") {
+    import spark.implicits._
+    val counts = Seq((ts(0), "click", 1L), (ts(0), "weird_new_type", 1L))
+      .toDF("window_start", "category", "n")
+    val reference = Seq(("click", 5L)).toDF("category", "n")
+    val out = EventStreams.windowDrift(counts, reference, "category", "n")
+      .orderBy("category").collect()
+    val novel = out.find(_.getAs[String]("category") == "weird_new_type").get
+    assert(novel.getAs[Long]("ref_n") == 0L)
+    assert(novel.getAs[Long]("ppm_obs") == 500000L && novel.getAs[Long]("ppm_ref") == 0L)
+    assert(novel.getAs[Long]("abs_ppm_diff") == 500000L)
+  }
 }
