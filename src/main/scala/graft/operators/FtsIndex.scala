@@ -320,8 +320,16 @@ object FtsIndex {
     * per-term window count over the survivors is still the exact
     * corpus-wide document frequency, and only matching terms' postings
     * flow), then joined to the per-query terms — both query-side tables
-    * broadcast while the batch is small, and degrade to term-keyed
-    * shuffle joins beyond that. Per-(query, doc) scores aggregate
+    * broadcast while the batch is small (the default); pass
+    * `broadcastQueries = false` for batches beyond the broadcast limit
+    * (millions of queries) and both become term-keyed shuffle joins
+    * with identical results. `maxDfFraction` < 1.0 drops query terms
+    * whose document frequency exceeds that fraction of the corpus from
+    * SCORING (classic common-term pruning): a term matching most of the
+    * corpus contributes near-zero BM25 idf but costs |batch| x df join
+    * rows — the worst case of bag-of-words batch scoring. Off by
+    * default because it changes scores (slightly — only near-zero-idf
+    * terms drop). Per-(query, doc) scores aggregate
     * term scores cast to decimal(18,9) — exact and summation-order-free,
     * unlike a raw double sum whose low bits would depend on partition
     * order across a large batch — and ranking uses the 6-decimal-rounded
@@ -338,22 +346,33 @@ object FtsIndex {
       index: Index,
       k: Int,
       k1: Double = 1.2,
-      b: Double = 0.75
+      b: Double = 0.75,
+      broadcastQueries: Boolean = true,
+      maxDfFraction: Double = 1.0
   ): DataFrame = {
+    require(maxDfFraction > 0.0 && maxDfFraction <= 1.0,
+      s"searchMany: maxDfFraction must be in (0, 1], got $maxDfFraction")
     val qTerms = queries
       .select(
         col(queryIdCol).as("query_id"),
         explode(array_distinct(TextFunctions.ftsTokens(col(queryTextCol)))).as("term"))
+    def side(df: DataFrame): DataFrame = if (broadcastQueries) broadcast(df) else df
     val vocab = qTerms.select("term").distinct()
     val wTerm = org.apache.spark.sql.expressions.Window.partitionBy("term")
-    val cand = index.postings
-      .join(broadcast(vocab), Seq("term"), "left_semi")
+    val scored = index.postings
+      .join(side(vocab), Seq("term"), "left_semi")
       .withColumn("df", count(lit(1)).over(wTerm))
+    // common-term pruning runs AFTER the df window (df stays the true
+    // corpus-wide frequency) and BEFORE the per-query fan-out join —
+    // the |batch| x df blow-up is exactly what it exists to cut
+    val cand = (if (maxDfFraction < 1.0)
+      scored.where(col("df") <= lit(maxDfFraction * index.numDocs))
+    else scored)
       .withColumn(
         "term_score",
         bm25TermScore(col("tf"), col("df"), col("doc_len"), index.numDocs, index.avgDocLen, k1, b))
     cand
-      .join(broadcast(qTerms), Seq("term"))
+      .join(side(qTerms), Seq("term"))
       .groupBy("query_id", "doc_id")
       .agg(sum(col("term_score").cast("decimal(18,9)")).cast("double").as("score"))
       .withColumn("score", round(col("score"), 6))

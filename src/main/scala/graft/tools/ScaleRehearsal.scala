@@ -96,7 +96,7 @@ object ScaleRehearsal {
     // one operator family without the full sweep); unset = everything.
     // EXACT name match against the known sections: substring matching let
     // e.g. 'd' enable several sections and a typo silently run nothing.
-    val sections = Seq("docs", "semdedup", "pagerank", "iterative100")
+    val sections = Seq("docs", "semdedup", "pagerank", "iterative100", "bm25batch")
     val only = sys.env.get("GRAFT_SCALE_ONLY")
     only.foreach(o => require(sections.contains(o),
       s"GRAFT_SCALE_ONLY='$o' is not a section; known: ${sections.mkString(", ")}"))
@@ -160,6 +160,52 @@ object ScaleRehearsal {
         val batch = Dedup.minhashSignaturePortable(
           docs.where(pmod(col("doc_id"), lit(10)) === 0), "doc_id", "text")
         Dedup.incrementalSigPairs(idxSigs, batch).count()
+      }
+    }
+
+    // Batch BM25 (r9): wall time and shuffle bytes vs query-batch size
+    // over a FIXED corpus index — the eval-loop scale claim is that cost
+    // grows with the batch's postings footprint (sub-linear in batch
+    // size once the vocabulary saturates: a 100x bigger batch re-uses
+    // the same filtered postings), not with corpus x batch. The 3000-
+    // query leg also runs in shuffle-join mode (broadcastQueries=false)
+    // to price the degrade path a million-query batch would take.
+    if (sectionEnabled("bm25batch")) {
+      import graft.operators.{FtsIndex, RetrievalEval}
+      val corpus = base.localCheckpoint()
+      val idx = FtsIndex.build(corpus, "doc_id", "text")
+      idx.postings.count() // index build is ingest, not query cost
+      for (batchSize <- Seq(30, 300, 3000)) {
+        val queries = corpus.where(col("doc_id") < batchSize)
+          .select(col("doc_id").as("query_id"),
+            concat_ws(" ", slice(graft.functions.TextFunctions.ftsTokens(col("text")), 1, 6)).as("qtext"))
+          .localCheckpoint()
+        measure(s"bm25_batch_q$batchSize") {
+          FtsIndex.searchMany(queries, "query_id", "qtext", idx, 10).count()
+        }
+      }
+      val bigBatch = corpus.where(col("doc_id") < 3000)
+        .select(col("doc_id").as("query_id"),
+          concat_ws(" ", slice(graft.functions.TextFunctions.ftsTokens(col("text")), 1, 6)).as("qtext"))
+        .localCheckpoint()
+      measure("bm25_batch_q3000_shufflejoin") {
+        FtsIndex.searchMany(bigBatch, "query_id", "qtext", idx, 10,
+          broadcastQueries = false).count()
+      }
+      // common-term pruning at the largest batch: this synthetic corpus
+      // is the bag-of-words worst case (a ~60-word vocabulary — every
+      // query term matches most of the corpus), and df-pruning is the
+      // standard cut for exactly that shape
+      measure("bm25_batch_q3000_dfpruned") {
+        FtsIndex.searchMany(bigBatch, "query_id", "qtext", idx, 10,
+          maxDfFraction = 0.3).count()
+      }
+      // the full eval loop at the largest batch: metrics roll-up on top
+      measure("bm25_eval_q3000") {
+        val sys = FtsIndex.searchMany(bigBatch, "query_id", "qtext", idx, 10)
+        val qrels = bigBatch.select(col("query_id"), col("query_id").as("rel_id"))
+        RetrievalEval.summary(sys, "query_id", "doc_id", "rank",
+          qrels, "query_id", "rel_id", 10).count()
       }
     }
 

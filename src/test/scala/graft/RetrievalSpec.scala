@@ -253,6 +253,33 @@ class RetrievalSpec extends AnyFunSuite {
     assert(byQ(3L).map(_.getAs[Long]("doc_id")).toSet == Set(2L))
   }
 
+  test("searchMany: shuffle-join mode (broadcastQueries = false) is bit-identical") {
+    val idx = FtsIndex.build(docs, "doc_id", "text")
+    val batch = Seq((1L, "spark data"), (2L, "cat"), (3L, "streaming data")).toDF("qid", "qtext")
+    val bc = FtsIndex.searchMany(batch, "qid", "qtext", idx, 5)
+      .orderBy("query_id", "rank").collect().toSeq
+    val sh = FtsIndex.searchMany(batch, "qid", "qtext", idx, 5, broadcastQueries = false)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(bc == sh)
+  }
+
+  test("searchMany: maxDfFraction prunes common terms from scoring, df stays corpus-wide") {
+    // "spark" appears in 3 of 5 docs (df 0.6); "gardening" in 1 (df 0.2).
+    // At maxDfFraction = 0.5 the spark term must stop contributing, so a
+    // "spark gardening" query ranks ONLY by gardening.
+    val idx = FtsIndex.build(docs, "doc_id", "text")
+    val out = FtsIndex.searchMany(
+      Seq((1L, "spark gardening")).toDF("qid", "qtext"), "qid", "qtext", idx, 5,
+      maxDfFraction = 0.5).collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSet == Set(4L),
+      s"only the gardening doc may score: ${out.mkString(";")}")
+    // and the surviving term's score equals its unpruned score (df was
+    // computed before pruning, so pruning cannot inflate idf)
+    val unpruned = FtsIndex.searchMany(
+      Seq((1L, "gardening")).toDF("qid", "qtext"), "qid", "qtext", idx, 5).collect()
+    assert(out.head.getAs[Double]("score") == unpruned.head.getAs[Double]("score"))
+  }
+
   test("searchMany is partition-invariant") {
     val idx = FtsIndex.build(docs.repartition(4), "doc_id", "text")
     val batch = Seq((1L, "spark data"), (2L, "cat"), (3L, "streaming data")).toDF("qid", "qtext")
