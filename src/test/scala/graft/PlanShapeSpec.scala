@@ -292,6 +292,24 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("ReadSchema:") && !p.contains("label"), "embeddings scans must prune label")
   }
 
+  test("embedding drift is one scan + one dim-keyed aggregation, null filter pushed down") {
+    val p = plan("q_embed_drift")
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).length == 1, p.take(800))
+    assert(p.contains("partial_sum"), "component sums must map-side combine")
+    assert(!p.contains("Join"), "no join anywhere in the drift plan")
+    assert(p.contains("PushedFilters: [IsNotNull(embedding)]"),
+      "the null-vector filter must reach the parquet scan")
+  }
+
+  test("batch BM25 eval filters postings by vocabulary semi-join and ranks via heaps") {
+    val p = plan("q_bm25_eval")
+    assert(p.contains("BroadcastHashJoin LeftSemi"),
+      s"the postings scan must be vocabulary-filtered before any fan-out: ${p.take(800)}")
+    assert(p.contains("ObjectHashAggregate"), "per-query ranking must be the TopKBy heap")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "all joins must be equi-joins")
+  }
+
   test("token accounting is a single scan with no shuffle before the output sort") {
     val p = plan("q_token_bpe")
     // exactly the final orderBy's range exchange — the three token
