@@ -1883,15 +1883,18 @@ object OracleSql {
         |         CAST(SUM(in_a) AS BIGINT) AS cnt_a,
         |         CAST(SUM(1 - in_a) AS BIGINT) AS cnt_b
         |  FROM e GROUP BY category),
-        |t AS (SELECT CAST(SUM(cnt_a) AS BIGINT) AS tot_a, CAST(SUM(cnt_b) AS BIGINT) AS tot_b FROM pc)
+        |t AS (SELECT CAST(SUM(cnt_a) AS BIGINT) AS tot_a, CAST(SUM(cnt_b) AS BIGINT) AS tot_b FROM pc),
+        |d AS (SELECT category, cnt_a, cnt_b, tot_a, tot_b,
+        |             CAST(cnt_a AS HUGEINT) * tot_b - CAST(cnt_b AS HUGEINT) * tot_a AS dd,
+        |             CAST(cnt_a + cnt_b AS HUGEINT) * tot_a * tot_b AS denom
+        |      FROM pc, t)
         |SELECT category, cnt_a, cnt_b,
         |       CAST(cnt_a * 1000000 // tot_a AS BIGINT) AS ppm_a,
         |       CAST(cnt_b * 1000000 // tot_b AS BIGINT) AS ppm_b,
         |       ABS(CAST(cnt_a * 1000000 // tot_a AS BIGINT) - CAST(cnt_b * 1000000 // tot_b AS BIGINT)) AS abs_ppm_diff,
-        |       CAST((CAST(cnt_a * tot_b - cnt_b * tot_a AS HUGEINT)
-        |             * (cnt_a * tot_b - cnt_b * tot_a) * 1000000000)
-        |            // (CAST(cnt_a + cnt_b AS HUGEINT) * tot_a * tot_b) AS BIGINT) AS chi2_ppb
-        |FROM pc, t ORDER BY category""".stripMargin,
+        |       CAST((dd * dd // denom) * 1000000000
+        |            + ((dd * dd % denom) * 1000000000) // denom AS BIGINT) AS chi2_ppb
+        |FROM d ORDER BY category""".stripMargin,
 
     "q_embed_drift" ->
       // DriftMonitor.embeddingDrift twin: floor(x*1000) quantization,
@@ -1902,7 +1905,9 @@ object OracleSql {
         |  SELECT CASE WHEN label < 5 THEN 1 ELSE 0 END AS in_a,
         |         list_transform(CAST(embedding AS DOUBLE[]),
         |                        x -> CAST(floor(x * 1000.0) AS BIGINT)) AS qvec
-        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |  FROM embeddings
+        |  WHERE embedding IS NOT NULL
+        |    AND len(list_filter(CAST(embedding AS DOUBLE[]), x -> isnan(x) OR isinf(x))) = 0),
         |comp AS (
         |  SELECT CAST(d.dim AS BIGINT) AS dim, v.in_a, v.qvec[d.dim] AS qv
         |  FROM v, (SELECT UNNEST(range(1, 65)) AS dim) d),
@@ -1914,8 +1919,10 @@ object OracleSql {
         |         CAST(SUM(qv * (1 - in_a)) AS BIGINT) AS sum_b
         |  FROM comp GROUP BY dim)
         |SELECT dim, cnt_a, cnt_b, sum_a, sum_b,
-        |       CAST((sum_a * cnt_b - sum_b * cnt_a) * 1000 // (cnt_a * cnt_b) AS BIGINT) AS shift_milliq,
-        |       ABS(CAST((sum_a * cnt_b - sum_b * cnt_a) * 1000 // (cnt_a * cnt_b) AS BIGINT)) AS abs_shift_milliq
+        |       CAST((CAST(sum_a AS HUGEINT) * cnt_b - CAST(sum_b AS HUGEINT) * cnt_a)
+        |            * 1000 // (CAST(cnt_a AS HUGEINT) * cnt_b) AS BIGINT) AS shift_milliq,
+        |       ABS(CAST((CAST(sum_a AS HUGEINT) * cnt_b - CAST(sum_b AS HUGEINT) * cnt_a)
+        |            * 1000 // (CAST(cnt_a AS HUGEINT) * cnt_b) AS BIGINT)) AS abs_shift_milliq
         |FROM agg ORDER BY dim""".stripMargin,
 
     "q_drift_value" ->
@@ -1923,7 +1930,7 @@ object OracleSql {
       // on [0, 600) — floor of the identical IEEE expression, clamped —
       // then the categoricalDrift machinery over bins
       """WITH e AS (
-        |  SELECT CASE WHEN value IS NULL THEN -1
+        |  SELECT CASE WHEN value IS NULL OR isnan(CAST(value AS DOUBLE)) OR isinf(CAST(value AS DOUBLE)) THEN -1
         |              ELSE LEAST(GREATEST(CAST(floor((CAST(value AS DOUBLE) - 0.0) * 20.0 / 600.0) AS BIGINT), 0), 19) END AS bin,
         |         CASE WHEN epoch_us(ts) < 1705363200000000 THEN 1 ELSE 0 END AS in_a
         |  FROM events),
@@ -1932,14 +1939,17 @@ object OracleSql {
         |         CAST(SUM(in_a) AS BIGINT) AS cnt_a,
         |         CAST(SUM(1 - in_a) AS BIGINT) AS cnt_b
         |  FROM e GROUP BY bin),
-        |t AS (SELECT CAST(SUM(cnt_a) AS BIGINT) AS tot_a, CAST(SUM(cnt_b) AS BIGINT) AS tot_b FROM pc)
+        |t AS (SELECT CAST(SUM(cnt_a) AS BIGINT) AS tot_a, CAST(SUM(cnt_b) AS BIGINT) AS tot_b FROM pc),
+        |d AS (SELECT bin, cnt_a, cnt_b, tot_a, tot_b,
+        |             CAST(cnt_a AS HUGEINT) * tot_b - CAST(cnt_b AS HUGEINT) * tot_a AS dd,
+        |             CAST(cnt_a + cnt_b AS HUGEINT) * tot_a * tot_b AS denom
+        |      FROM pc, t)
         |SELECT bin, cnt_a, cnt_b,
         |       CAST(cnt_a * 1000000 // tot_a AS BIGINT) AS ppm_a,
         |       CAST(cnt_b * 1000000 // tot_b AS BIGINT) AS ppm_b,
         |       ABS(CAST(cnt_a * 1000000 // tot_a AS BIGINT) - CAST(cnt_b * 1000000 // tot_b AS BIGINT)) AS abs_ppm_diff,
-        |       CAST((CAST(cnt_a * tot_b - cnt_b * tot_a AS HUGEINT)
-        |             * (cnt_a * tot_b - cnt_b * tot_a) * 1000000000)
-        |            // (CAST(cnt_a + cnt_b AS HUGEINT) * tot_a * tot_b) AS BIGINT) AS chi2_ppb
-        |FROM pc, t ORDER BY bin""".stripMargin
+        |       CAST((dd * dd // denom) * 1000000000
+        |            + ((dd * dd % denom) * 1000000000) // denom AS BIGINT) AS chi2_ppb
+        |FROM d ORDER BY bin""".stripMargin
   )
 }

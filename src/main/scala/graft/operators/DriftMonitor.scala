@@ -29,6 +29,16 @@ import org.apache.spark.sql.functions._
   */
 object DriftMonitor {
 
+  /** `cntCol * 1e6 DIV totCol`, null when the slice is empty — the ONE
+    * definition of a drift proportion in parts-per-million, shared by
+    * every drift surface (batch and [[graft.streaming.EventStreams
+    * .windowDrift]]) so the arithmetic cannot silently diverge. Takes
+    * column NAMES (integral `DIV` only exists as a SQL operator).
+    * Exact while `cnt * 1e6` fits a long, i.e. counts to ~9e12.
+    */
+  def ppm(cntCol: String, totCol: String): Column =
+    when(col(totCol) > 0, expr(s"$cntCol * 1000000 DIV $totCol"))
+
   /** Two-slice categorical drift. `inA` is a boolean Column over `df`'s
     * rows assigning each row to slice A (true) or slice B (false) —
     * e.g. a time-window predicate or a source tag.
@@ -42,9 +52,13 @@ object DriftMonitor {
     *  - `chi2_ppb` — this category's two-sample chi-square contribution
     *    x 1e9: with `D = cnt_a*tot_b - cnt_b*tot_a`, the exact identity
     *    `chi2_i = D^2 / ((cnt_a+cnt_b) * tot_a * tot_b)` (the two
-    *    (obs-exp)^2/exp terms folded algebraically), computed in
-    *    decimal(38,0) so D^2 cannot overflow at any corpus size where
-    *    counts fit a long.
+    *    (obs-exp)^2/exp terms folded algebraically). Computed in
+    *    decimal(38,0) with the x1e9 scaling split into an exact
+    *    quotient-plus-remainder second step — `q*1e9 + (r*1e9) DIV
+    *    denom` — so nothing exceeds 38 digits for slices up to ~3e9
+    *    rows (D^2 <= 8.5e37; a naive `D^2 * 1e9` overflows the decimal
+    *    cap already at ~2e7 rows/slice). Beyond ~3e9 rows per slice,
+    *    shard the comparison.
     *
     * Rows are NOT ordered; order in the caller. Unordered-slice caveat:
     * null categories group as a single null row (Spark and most engines
@@ -61,6 +75,16 @@ object DriftMonitor {
     // whole-frame window over <= |categories| rows, so the input scans
     // exactly once (a separate `.agg` would recompute the aggregation
     // subtree and re-scan the corpus)
+    statsFromCounts(perCat)
+  }
+
+  /** The drift statistics over an already-aggregated per-category count
+    * table `(category, cnt_a, cnt_b)` — the arithmetic half of
+    * [[categoricalDrift]], public so count tables from other
+    * aggregations (or tests probing the large-count arithmetic) can
+    * reuse it verbatim.
+    */
+  def statsFromCounts(perCat: DataFrame): DataFrame = {
     val whole = org.apache.spark.sql.expressions.Window
       .rowsBetween(
         org.apache.spark.sql.expressions.Window.unboundedPreceding,
@@ -68,18 +92,23 @@ object DriftMonitor {
     perCat
       .withColumn("tot_a", sum(col("cnt_a")).over(whole))
       .withColumn("tot_b", sum(col("cnt_b")).over(whole))
-      .withColumn("ppm_a", when(col("tot_a") > 0, expr("cnt_a * 1000000 DIV tot_a")))
-      .withColumn("ppm_b", when(col("tot_b") > 0, expr("cnt_b * 1000000 DIV tot_b")))
+      .withColumn("ppm_a", ppm("cnt_a", "tot_a"))
+      .withColumn("ppm_b", ppm("cnt_b", "tot_b"))
       .withColumn("abs_ppm_diff", abs(col("ppm_a") - col("ppm_b")))
+      // D and the denominator in decimal(38,0) FIRST (their raw-long
+      // products overflow at ~3e9 rows/slice); D^2 <= 8.5e37 then fits,
+      // and the two-step scaling keeps every intermediate under 38 digits
+      .withColumn("_d",
+        expr("CAST(cnt_a AS DECIMAL(38,0)) * tot_b - CAST(cnt_b AS DECIMAL(38,0)) * tot_a"))
+      .withColumn("_denom",
+        expr("CAST(cnt_a + cnt_b AS DECIMAL(38,0)) * tot_a * tot_b"))
       .withColumn(
         "chi2_ppb",
         when(
           col("tot_a") > 0 && col("tot_b") > 0,
           expr(
-            """CAST(
-              |  (CAST(cnt_a * tot_b - cnt_b * tot_a AS DECIMAL(38,0))
-              |   * (cnt_a * tot_b - cnt_b * tot_a) * 1000000000)
-              |  DIV (CAST(cnt_a + cnt_b AS DECIMAL(38,0)) * tot_a * tot_b)
+            """CAST((_d * _d DIV _denom) * 1000000000
+              |  + ((_d * _d % _denom) * 1000000000) DIV _denom
               |AS BIGINT)""".stripMargin)))
       .select("category", "cnt_a", "cnt_b", "ppm_a", "ppm_b", "abs_ppm_diff", "chi2_ppb")
   }
@@ -107,10 +136,14 @@ object DriftMonitor {
     * Output per dimension (1-based `dim`): `cnt_a`, `cnt_b`, `sum_a`,
     * `sum_b` (exact quantized sums), `shift_milliq`, `abs_shift_milliq`.
     *
-    * Size contract: `sum * cnt * 1000` must fit a long — with unit-norm
-    * components and scale=1000 that holds to ~1e12 vectors per slice,
-    * far beyond any single drift batch; shard the comparison (or lower
-    * `scale`) beyond that.
+    * Size contract: the quantized sums must fit a long (`n * scale *
+    * max|component|` — ~9e12 unit-norm vectors per slice at
+    * scale=1000); the centroid-difference cross products are computed
+    * in decimal(38,0), so they never overflow where the sums fit.
+    * Vectors containing a non-finite component (NaN/Inf) are EXCLUDED
+    * like nulls — floor(NaN) casts to 0 on this engine but errors on
+    * others, so masking them as zeros would both hide the upstream bug
+    * this monitor exists to catch and break engine parity.
     */
   def embeddingDrift(
       df: DataFrame,
@@ -119,8 +152,11 @@ object DriftMonitor {
       scale: Long = 1000L
   ): DataFrame = {
     require(scale >= 1L, s"embeddingDrift: scale must be >= 1, got $scale")
+    val nonFinite = exists(
+      col(vecCol),
+      x => isnan(x.cast("double")) || abs(x.cast("double")) === lit(Double.PositiveInfinity))
     df
-      .where(col(vecCol).isNotNull)
+      .where(col(vecCol).isNotNull && !nonFinite)
       .select(
         when(inA, 1L).otherwise(0L).as("_in_a"),
         posexplode(transform(
@@ -135,9 +171,14 @@ object DriftMonitor {
         sum(col("qv") * (lit(1L) - col("_in_a"))).as("sum_b"))
       .withColumn(
         "shift_milliq",
+        // cross products in decimal(38,0): raw-long `sum * cnt` already
+        // overflows at ~3e6 vectors/slice with unit components, five
+        // orders below the documented sum bound
         when(
           col("cnt_a") > 0 && col("cnt_b") > 0,
-          expr("(sum_a * cnt_b - sum_b * cnt_a) * 1000 DIV (cnt_a * cnt_b)")))
+          expr(
+            """(CAST(sum_a AS DECIMAL(38,0)) * cnt_b - CAST(sum_b AS DECIMAL(38,0)) * cnt_a)
+              |  * 1000 DIV (CAST(cnt_a AS DECIMAL(38,0)) * cnt_b)""".stripMargin)))
       .withColumn("abs_shift_milliq", abs(col("shift_milliq")))
   }
 
@@ -149,7 +190,11 @@ object DriftMonitor {
     * bins drift-compare exactly like categories. Fixed bounds, not
     * quantiles, so two runs (or two engines) bin identically; pick
     * lo/hi from domain knowledge or a prior
-    * [[Sketches.histogramQuantile]] pass. Null values land in bin -1.
+    * [[Sketches.histogramQuantile]] pass. Null AND non-finite values
+    * (NaN/Inf — the classic upstream-encoder bug this monitor exists
+    * to surface) land in bin -1: floor(NaN) silently casts to 0 on
+    * this engine but errors on others, so folding them into the lo
+    * edge would both mask the bug and break engine parity.
     *
     * Output: [[categoricalDrift]] columns with `bin` (long) as the
     * category.
@@ -164,7 +209,10 @@ object DriftMonitor {
   ): DataFrame = {
     require(nBins >= 1, s"numericDrift: nBins must be >= 1, got $nBins")
     require(hi > lo, s"numericDrift: need hi > lo, got [$lo, $hi]")
-    val bin = when(col(valueCol).isNull, lit(-1L)).otherwise(
+    val v = col(valueCol).cast("double")
+    val bin = when(
+      col(valueCol).isNull || isnan(v) || abs(v) === lit(Double.PositiveInfinity),
+      lit(-1L)).otherwise(
       least(
         greatest(
           floor((col(valueCol).cast("double") - lit(lo)) * lit(nBins.toDouble) / lit(hi - lo))

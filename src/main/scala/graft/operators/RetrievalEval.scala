@@ -57,6 +57,12 @@ object RetrievalEval {
     * `first_rank` (min rank of any relevant doc, null if none),
     * `rr_num` = lcm(1..k) DIV first_rank (0 on miss) — the integer MRR
     * numerator.
+    *
+    * Duplicate (query, doc) rows in `results` — e.g. from unioned
+    * retrieval shards — collapse to their best rank BEFORE the label
+    * join: without that, each duplicate would fan the qrels row out and
+    * inflate both n_rel and n_found (recall over 1.0, denominators
+    * dependent on the system's output).
     */
   def perQuery(
       results: DataFrame,
@@ -75,9 +81,14 @@ object RetrievalEval {
       col(docCol).as("_r_doc"),
       col(rankCol).cast("long").as("rank"))
       .where(col("rank") <= k)
+      .groupBy("_r_query", "_r_doc")
+      .agg(min(col("rank")).as("rank"))
+    // qrels dedup for the same reason: a doubled label row would count
+    // its document twice in n_rel/n_found
     val q = qrels.select(
       col(qrelQueryCol).as("query_id"),
       col(relCol).as("rel_id"))
+      .distinct()
     q.join(
         r,
         col("query_id") === col("_r_query") && col("rel_id") === col("_r_doc"),

@@ -103,8 +103,10 @@ object EventStreams {
     full
       .withColumn("tot_n", sum(col("n")).over(perWin))
       .withColumn("ref_tot", sum(col("ref_n")).over(perWin))
-      .withColumn("ppm_obs", when(col("tot_n") > 0, expr("n * 1000000 DIV tot_n")))
-      .withColumn("ppm_ref", when(col("ref_tot") > 0, expr("ref_n * 1000000 DIV ref_tot")))
+      // the ONE shared proportion definition (DriftMonitor.ppm) — batch
+      // and streaming drift must not hand-maintain diverging arithmetic
+      .withColumn("ppm_obs", graft.operators.DriftMonitor.ppm("n", "tot_n"))
+      .withColumn("ppm_ref", graft.operators.DriftMonitor.ppm("ref_n", "ref_tot"))
       .withColumn("abs_ppm_diff", abs(col("ppm_obs") - col("ppm_ref")))
       .withColumn("tvd2_ppm", sum(col("abs_ppm_diff")).over(perWin))
       .select("window_start", "category", "n", "ref_n",

@@ -90,6 +90,71 @@ class DriftMonitorSpec extends AnyFunSuite {
     assert(counts(9L) == (2L, 0L))
   }
 
+  test("statsFromCounts: chi-square exact at counts where a naive D^2*1e9 overflows decimal(38,0)") {
+    // the monitor's own alarm case: a source wholly in one slice at 2e7
+    // rows/slice — D^2 * 1e9 = 1.6e38 would overflow the 38-digit cap,
+    // so the two-step quotient+remainder scaling must carry it exactly
+    val counts = Seq(
+      ("gone_silent", 20000000L, 0L),
+      ("other", 0L, 20000000L)
+    ).toDF("category", "cnt_a", "cnt_b")
+    val out = DriftMonitor.statsFromCounts(counts).orderBy("category").collect()
+    out.foreach { r =>
+      assert(r.getAs[Long]("chi2_ppb") == 20000000000000000L,
+        s"exact chi2 x 1e9 = N = 4e7 -> 2e16 ppb per category: $r")
+      assert(r.getAs[Long]("abs_ppm_diff") == 1000000L)
+    }
+  }
+
+  test("statsFromCounts: exact at billions of rows per slice (python-verified value)") {
+    val counts = Seq(
+      ("x", 2000000000L, 1000000000L),
+      ("y", 1000000000L, 1500000000L)
+    ).toDF("category", "cnt_a", "cnt_b")
+    val x = DriftMonitor.statsFromCounts(counts)
+      .where(col("category") === "x").head()
+    assert(x.getAs[Long]("ppm_a") == 666666L && x.getAs[Long]("ppm_b") == 400000L)
+    assert(x.getAs[Long]("chi2_ppb") == 177777777777777777L,
+      s"exact ((D^2)*1e9)//(n*tot_a*tot_b): got ${x.getAs[Long]("chi2_ppb")}")
+  }
+
+  test("numericDrift routes NaN and infinities to bin -1, never the lo/hi edges") {
+    val df = Seq[(java.lang.Double, Boolean)](
+      (Double.NaN, true),
+      (Double.PositiveInfinity, true),
+      (Double.NegativeInfinity, false),
+      (5.0, true)
+    ).toDF("v", "a")
+    val out = DriftMonitor.numericDrift(df, "v", col("a"), 0.0, 100.0, 10)
+      .orderBy("bin").collect()
+    val counts = out.map(r => r.getAs[Long]("bin") -> (r.getAs[Long]("cnt_a"), r.getAs[Long]("cnt_b"))).toMap
+    assert(counts(-1L) == (2L, 1L), s"non-finite values must not masquerade as edge bins: $counts")
+    assert(counts(0L) == (1L, 0L))
+  }
+
+  test("embeddingDrift: exact shift at millions of vectors per slice; non-finite vectors excluded") {
+    // 4e6 vectors per slice, constant component 0.75 vs 0.25 -> quantized
+    // sums 750*4e6 vs 250*4e6; raw-long sum*cnt would be 1.2e16*4e6 =
+    // overflow; decimal cross products keep it exact: shift = 500*1000
+    val n = 4000000
+    val df = spark.range(2L * n).select(
+      org.apache.spark.sql.functions.array(
+        when(col("id") < n, 0.75f).otherwise(0.25f)).as("vec"),
+      (col("id") < n).as("a"))
+    val out = DriftMonitor.embeddingDrift(df, "vec", col("a")).head()
+    assert(out.getAs[Long]("cnt_a") == n && out.getAs[Long]("cnt_b") == n)
+    assert(out.getAs[Long]("shift_milliq") == 500000L,
+      s"mean shift 0.5 = 500 quantized units = 500000 milli-q: $out")
+
+    val withBad = Seq(
+      (Seq(Float.NaN), true), (Seq(0.5f), true), (Seq(0.5f), false),
+      (Seq(Float.PositiveInfinity), false)
+    ).toDF("vec", "a")
+    val clean = DriftMonitor.embeddingDrift(withBad, "vec", col("a")).head()
+    assert(clean.getAs[Long]("cnt_a") == 1L && clean.getAs[Long]("cnt_b") == 1L,
+      "non-finite vectors must be excluded, not quantized to garbage")
+  }
+
   test("embeddingDrift: hand-computed per-dim shift, including negative (truncating DIV)") {
     // A: vectors (1.0, -0.5), (0.5, -0.25); B: (0.25, 0.5)
     // quantized (scale 1000): A sums = (1500, -750); B sums = (250, 500)

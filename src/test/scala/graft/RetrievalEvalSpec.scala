@@ -76,6 +76,18 @@ class RetrievalEvalSpec extends AnyFunSuite {
     assert(row.getAs[Double]("mrr_at_k") == 0.3125)
   }
 
+  test("duplicate (query, doc) result rows collapse to best rank; duplicate qrels collapse") {
+    // e.g. two unioned retrieval shards both returned doc 11 for query 1
+    val r = results((1L, 11L, 7L), (1L, 11L, 2L), (1L, 12L, 1L))
+    val q = qrels((1L, 11L), (1L, 11L))
+    val row = RetrievalEval.perQuery(r, "q", "d", "r", q, "q", "rel", k = 10).head()
+    assert(row.getAs[Long]("n_rel") == 1L, s"n_rel must never depend on the system's output: $row")
+    assert(row.getAs[Long]("n_found") == 1L)
+    assert(row.getAs[Long]("first_rank") == 2L, "duplicates collapse to their BEST rank")
+    val s = RetrievalEval.summary(r, "q", "d", "r", q, "q", "rel", k = 10).head()
+    assert(s.getAs[Double]("recall_at_k") == 1.0, "recall must stay <= 1 under duplicate rows")
+  }
+
   test("summary is partition-invariant") {
     val r = results((1L to 50L).map(i => (i, i * 10, 1L + (i % 7))): _*)
     val q = qrels((1L to 60L).map(i => (i, i * 10)): _*)
