@@ -18,24 +18,42 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** The fixed ANN probe vector (vec_id = 0), failing loudly if the
+    * corpus lost it — one definition for every LSH/persisted-index
+    * query (the three per-query copies had already drifted apart).
+    */
+  private def queryVec(emb: DataFrame, queryName: String, dir: String): Seq[Float] =
+    emb.where(col("vec_id") === 0).select("embedding")
+      .limit(1).collect().headOption
+      .getOrElse(throw new IllegalStateException(
+        s"$queryName: no embeddings row with vec_id=0 in $dir/embeddings.parquet — " +
+          "the fixed query vector is gone"))
+      .getSeq[Float](0)
+
   /** events.parquet has shipped with two physical `ts` encodings across
     * driver generations: TIMESTAMP(NANOS) — which Spark's vectorized reader
     * only surfaces as a nanos long under `nanosAsLong` — and plain
     * timestamp[us] (read as TIMESTAMP_NTZ). Expose a derived `ts_us`
     * (microseconds since epoch) matching DuckDB's `epoch_us(ts)` for
-    * either encoding. The NTZ branch needs a UTC session timezone so the
-    * naive-local → instant cast is identity, exactly like DuckDB's
-    * epoch_us over a naive timestamp — every graft entry point sets it
-    * (GraftSession/Verify/Bench), but a caller-built session must not be
-    * able to get silently-shifted epochs, so it is pinned here too.
+    * either encoding. The NTZ branch derives the epoch TIMEZONE-
+    * INDEPENDENTLY as `timestampdiff(MICROSECOND, NTZ epoch, ts)` —
+    * pure field arithmetic between two naive timestamps, no
+    * local-to-instant conversion anywhere — exactly DuckDB's `epoch_us`
+    * over a naive timestamp. A caller-built session with ANY session
+    * timezone gets identical epochs, and this helper never mutates the
+    * caller's timezone conf (an earlier revision pinned
+    * `spark.sql.session.timeZone = UTC` here, which silently shifted
+    * the CALLER's own unrelated timestamp queries; and a
+    * cast/to_utc_timestamp derivation is session-tz-dependent for NTZ
+    * input — both rejected, tz-invariance spec-pinned under a non-UTC
+    * session in EventsSchemaSpec).
     */
   private[graft] def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.conf.set("spark.sql.session.timeZone", "UTC")
     val df = t(s, dir, "events")
     val tsUs = df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => expr("ts DIV 1000")
-      case _ => unix_micros(col("ts").cast("timestamp"))
+      case _ => expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)")
     }
     df.withColumn("ts_us", tsUs)
   }
@@ -570,10 +588,7 @@ object SparkEntry {
     */
   private def qAnnLsh(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
-    val qv = emb.where(col("vec_id") === 0).limit(1).collect().headOption
-      .getOrElse(throw new IllegalStateException(
-        s"q_ann_lsh: no embeddings row with vec_id=0 in $dir/embeddings.parquet"))
-      .getSeq[Float](1).toArray
+    val qv = queryVec(emb, "q_ann_lsh", dir).toArray
     val lsh = VectorSearch.SimHashLsh(nBits = 16, dim = qv.length)
     val indexed = lsh.withSignature(emb, "embedding")
     lsh
@@ -608,12 +623,7 @@ object SparkEntry {
     */
   private def qLshFixed(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
-    val qv = emb.where(col("vec_id") === 0).select("embedding")
-      .limit(1).collect().headOption
-      .getOrElse(throw new IllegalStateException(
-        s"q_lsh_fixed: no embeddings row with vec_id=0 in $dir/embeddings.parquet — " +
-          "the fixed query vector is gone"))
-      .getSeq[Float](0)
+    val qv = queryVec(emb, "q_lsh_fixed", dir)
     // the 16x64 plane table spans exactly 64 components; a shorter vector
     // would zip-truncate driver-side while the Spark zip_with path nulls
     // the signature and the DuckDB twin NULL-skips — three silently
@@ -666,15 +676,15 @@ object SparkEntry {
     */
   private def qLshPersisted(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
-    val qv = emb.where(col("vec_id") === 0).select("embedding")
-      .limit(1).collect().headOption
-      .getOrElse(throw new IllegalStateException(
-        s"q_lsh_persisted: no embeddings row with vec_id=0 in $dir/embeddings.parquet"))
-      .getSeq[Float](0)
+    val qv = queryVec(emb, "q_lsh_persisted", dir)
     val lsh = VectorSearch.SimHashLsh(nBits = 16, dim = qv.length)
+    // per-PROCESS path: a shared fixed path races overwrite-vs-load when
+    // two graft JVMs (e.g. the determinism gate's 8- and 16-thread
+    // Verify runs) exercise the lifecycle for the same sf dir at once
     val path = new java.io.File(
       sys.props("java.io.tmpdir"),
-      "graft_lsh_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+      "graft_lsh_" + Integer.toHexString(dir.hashCode) +
+        "_p" + ProcessHandle.current().pid()).getAbsolutePath
     val base = VectorSearch.buildLshIndex(
       emb.where(pmod(col("vec_id"), lit(5)) =!= 0), "embedding", lsh)
     VectorSearch.writeLsh(base, path)

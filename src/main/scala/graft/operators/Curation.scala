@@ -46,11 +46,13 @@ object Curation {
       evalSet: Option[DataFrame] = None,
       evalTextCol: String = "text",
       maxContamination: Double = 1.0,
-      contamN: Int = 13
+      contamN: Int = 13,
+      broadcastContaminatedIds: Boolean = true
   ): DataFrame = {
     val filtered = contaminationGate(
       filterStage(docs, textCol, langs, minQuality),
-      idCol, textCol, evalSet, evalTextCol, maxContamination, contamN)
+      idCol, textCol, evalSet, evalTextCol, maxContamination, contamN,
+      broadcastContaminatedIds)
     if (!dedupe) filtered
     else Dedup.exactDedup(filtered, idCol, textCol)
   }
@@ -78,7 +80,8 @@ object Curation {
       evalSet: Option[DataFrame] = None,
       evalTextCol: String = "text",
       maxContamination: Double = 1.0,
-      contamN: Int = 13
+      contamN: Int = 13,
+      broadcastContaminatedIds: Boolean = true
   ): DataFrame = clusters match {
     // artifact reuse: with a precomputed label table (ingest-time
     // Dedup.nearDupClusters -> writeClusters) the whole fuzzy-dedup pass
@@ -97,12 +100,14 @@ object Curation {
     case Some(labels) =>
       Dedup.nearDedupFromClusters(
         contaminationGate(filterStage(docs, textCol, langs, minQuality),
-          idCol, textCol, evalSet, evalTextCol, maxContamination, contamN),
+          idCol, textCol, evalSet, evalTextCol, maxContamination, contamN,
+          broadcastContaminatedIds),
         idCol, labels)
     case None =>
       val filtered = contaminationGate(
         filterStage(docs, textCol, langs, minQuality),
-        idCol, textCol, evalSet, evalTextCol, maxContamination, contamN)
+        idCol, textCol, evalSet, evalTextCol, maxContamination, contamN,
+        broadcastContaminatedIds)
       // pair detection re-reads `filtered` several times (banded self-join
       // legs + re-attach); lazily checkpoint so the enrich+filter
       // expressions evaluate once when the caller first acts, not once per
@@ -165,7 +170,11 @@ object Curation {
     * keeps its next clean member — the same survival rule the quality
     * gate gets. Plan shape: the contaminated-id minority broadcasts into
     * a left-anti join, corpus text never shuffles (the score side moves
-    * only (id, gram-digest) pairs against broadcast eval grams).
+    * only (id, gram-digest) pairs against broadcast eval grams). When
+    * boilerplate overlap makes the contaminated set itself large, pass
+    * `broadcastContaminatedIds = false` (the [[CorpusHygiene
+    * .decontaminate]] escape hatch) to anti-join by shuffle instead of
+    * collecting the ids to the driver.
     */
   private def contaminationGate(
       df: DataFrame,
@@ -174,7 +183,8 @@ object Curation {
       evalSet: Option[DataFrame],
       evalTextCol: String,
       maxContamination: Double,
-      contamN: Int
+      contamN: Int,
+      broadcastIds: Boolean
   ): DataFrame = evalSet match {
     case None => df
     case Some(eval) =>
@@ -185,7 +195,8 @@ object Curation {
         .contaminationFraction(df, idCol, textCol, eval, evalTextCol, contamN)
         .where(col("frac") >= maxContamination)
         .select(col("id"))
-      df.join(broadcast(bad), df(idCol) === bad("id"), "left_anti")
+      val rhs = if (broadcastIds) broadcast(bad) else bad
+      df.join(rhs, df(idCol) === bad("id"), "left_anti")
   }
 
   private def filterStage(

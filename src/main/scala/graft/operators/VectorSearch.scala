@@ -470,8 +470,21 @@ object VectorSearch {
       * radius, so only prefixes within `maxHamming` of the query's can
       * hold candidates — against a [[writeLsh]]-partitioned corpus that
       * filter is parquet partition pruning (the IndexPersistenceSpec plan
-      * assertion), shrinking the scan to matching directories. The prefix
-      * filter is skipped when the radius admits every prefix.
+      * assertion), shrinking the scan to matching directories.
+      *
+      * HOW MUCH it prunes is radius-dependent: the admitted fraction is
+      * `sum_(i=0..min(r,p)) C(p,i) / 2^p` for prefix width p — with the
+      * 8-bit prefix that is 14% at r=2, 64% at r=4, and **100% at r >=
+      * 8**: at the recall-safe 16-bit/radius-8 operating point the
+      * prefix filter admits EVERY partition and is skipped (the prefix
+      * layout still clusters similar signatures into the same files for
+      * row-group-level locality, but the query reads all directories).
+      * Pruning earns its keep when the radius is small relative to the
+      * prefix — which at 100 TB means LONGER signatures (radius budgets
+      * stay put as bits grow, so r/p shrinks) or pigeonhole multi-index
+      * probing (split the signature into m chunks; a radius-r match has
+      * some chunk within r/m — probe each chunk's tight ball) — the
+      * documented next seam, not what this single-prefix layout does.
       */
     def annTopK(queryVec: Array[Float], k: Int, tieBreak: Column, maxHamming: Int = 4): DataFrame = {
       val qSig = lsh.signatureOf(queryVec.toIndexedSeq)
@@ -670,7 +683,7 @@ object VectorSearch {
   /** Build an IVF index over an `array<float>` column with a seeded
     * k-means quantizer (deterministic).
     */
-  def buildIvf(corpus: org.apache.spark.sql.DataFrame, vecCol: String, nLists: Int = 16, seed: Long = 42L): IvfIndex = {
+  def buildIvf(corpus: org.apache.spark.sql.DataFrame, vecCol: String, nLists: Int = 16, seed: Long = 42L, maxIter: Int = 5): IvfIndex = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val withVec = corpus.withColumn("_v", array_to_vector(col(vecCol).cast("array<double>")))
@@ -686,7 +699,7 @@ object VectorSearch {
     val model = new KMeans()
       .setK(nLists)
       .setSeed(seed)
-      .setMaxIter(5)
+      .setMaxIter(maxIter)
       .setInitMode("k-means||")
       .setFeaturesCol("_v")
       .setPredictionCol("ivf_cell")

@@ -2,8 +2,6 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.functions.array_to_vector
 
 import graft.operators.VectorSearch
 
@@ -40,17 +38,14 @@ object RecallProbe {
     def recallOf(fetch: Long => Set[Long]): Double =
       queryIds.map(qid => (exactSets(qid) & fetch(qid)).size / 10.0).sum / queryIds.size
 
-    // buildIvf pins maxIter=5; the probe also sweeps iterations to show
+    // the probe sweeps iterations (beyond buildIvf's default 5) to show
     // the recall plateau is a data property (no macro-structure), not an
-    // under-converged quantizer
-    def buildIters(nLists: Int, iters: Int, seed: Long): VectorSearch.IvfIndex = {
-      val withVec = emb.withColumn("_v", array_to_vector(col("embedding").cast("array<double>")))
-      val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(iters)
-        .setInitMode("k-means||").setFeaturesCol("_v").setPredictionCol("ivf_cell").fit(withVec)
-      VectorSearch.IvfIndex(
-        model.transform(withVec).drop("_v").persist(),
-        model.clusterCenters.map(_.toArray), "embedding")
-    }
+    // under-converged quantizer — through the SAME buildIvf code path the
+    // production queries use, so the probe can never measure a
+    // differently-assembled index than the one it is choosing operating
+    // points for
+    def buildIters(nLists: Int, iters: Int, seed: Long): VectorSearch.IvfIndex =
+      VectorSearch.buildIvf(emb, "embedding", nLists, seed, maxIter = iters)
     for (nLists <- Seq(8, 10, 16); iters <- Seq(5, 20); nProbe <- Seq(4, 5, 6)) {
       val ivf = buildIters(nLists, iters, 42L)
       val r = recallOf { qid =>

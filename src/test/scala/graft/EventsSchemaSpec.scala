@@ -71,4 +71,18 @@ class EventsSchemaSpec extends AnyFunSuite {
     assert(df.schema("ts_us").dataType == org.apache.spark.sql.types.LongType)
     assert(df.where(col("ts_us").isNull).isEmpty)
   }
+
+  test("ts_us is timezone-independent and events() never mutates the caller's timezone") {
+    val utc = SparkEntry.events(spark, "/root/testdata/sf0.001")
+      .orderBy("event_id").select("ts_us").limit(5).collect().map(_.getLong(0)).toSeq
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val ny = SparkEntry.events(spark, "/root/testdata/sf0.001")
+        .orderBy("event_id").select("ts_us").limit(5).collect().map(_.getLong(0)).toSeq
+      assert(ny == utc, "epoch derivation must not depend on the session timezone")
+      assert(spark.conf.get("spark.sql.session.timeZone") == "America/New_York",
+        "events() must not overwrite the caller's session timezone as a side effect")
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
 }

@@ -90,6 +90,18 @@ class IndexPersistenceSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters: [") && plan.contains("sig_prefix"),
       s"expected partition pruning on sig_prefix in:\n${plan.take(2000)}")
+
+    // and the DOCUMENTED no-op: once the radius reaches the prefix
+    // width, every prefix is admitted and the filter is skipped — the
+    // recall-safe wide-radius operating point reads all partitions
+    // (scaladoc: pruning fraction = sum C(p,i)/2^p; the scale path is
+    // longer signatures or multi-index probing, not this prefix)
+    val pb = 8.min(lsh.nBits)
+    val wideRadius = pb
+    val widePlan = loaded.annTopK(query, 5, col("id"), maxHamming = wideRadius)
+      .queryExecution.executedPlan.toString
+    assert(!widePlan.contains("sig_prefix IN"),
+      s"radius >= prefix width must not fabricate a prefix filter:\n${widePlan.take(1500)}")
   }
 
   test("signature index: write, append a day's batch, probe the loaded artifact") {
