@@ -1868,6 +1868,22 @@ object OracleSql {
          |       CAST(SUM(COALESCE(2520 // first_rank, 0)) AS BIGINT) / (2520.0 * CAST(COUNT(*) AS BIGINT)) AS mrr_at_k
          |FROM pq""".stripMargin,
 
+    "q_bpe_pairs" ->
+      // TextAnalysis.bpePairStats twin: word histogram over the shared
+      // tokenization, then adjacent 2-char substrings of each distinct
+      // word weighted by frequency — word-internal pairs only
+      s"""WITH w AS (
+         |  SELECT word, COUNT(*) AS freq
+         |  FROM (SELECT UNNEST($ftsToks) AS word FROM documents)
+         |  GROUP BY word),
+         |pairs AS (
+         |  SELECT w.freq, substring(w.word, CAST(i AS INTEGER), 2) AS pair
+         |  FROM w, UNNEST(range(1, len(w.word))) AS t(i)
+         |  WHERE len(w.word) >= 2)
+         |SELECT pair, CAST(SUM(freq) AS BIGINT) AS n
+         |FROM pairs GROUP BY pair
+         |ORDER BY n DESC, pair LIMIT 20""".stripMargin,
+
     "q_drift" ->
       // DriftMonitor.categoricalDrift twin: integer-exact ppm
       // proportions (floor division), chi-square contributions x 1e9 in

@@ -2201,6 +2201,15 @@ object SparkEntry {
         lo = 0.0, hi = 600.0, nBins = 20)
       .orderBy("bin")
 
+  /** BPE merge-pair statistics (TextAnalysis.bpePairStats): top-20
+    * adjacent character pairs by corpus frequency over the initial BPE
+    * state — the distributed first iteration of tokenizer training.
+    * Corpus-sized work is only the word histogram; pair generation runs
+    * over the vocabulary.
+    */
+  private def qBpePairs(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bpePairStats(t(s, dir, "documents"), "text", 20)
+
   /** Embedding drift monitor (DriftMonitor.embeddingDrift): per-dimension
     * centroid shift between the label<5 and label>=5 halves of the
     * embedding corpus — the encoder-regression / source-mix guardrail
@@ -2346,7 +2355,8 @@ object SparkEntry {
     "q_bm25_eval" -> (qBm25Eval _),
     "q_drift" -> (qDrift _),
     "q_drift_value" -> (qDriftValue _),
-    "q_embed_drift" -> (qEmbedDrift _)
+    "q_embed_drift" -> (qEmbedDrift _),
+    "q_bpe_pairs" -> (qBpePairs _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -452,4 +452,38 @@ object TextAnalysis {
       )
       .orderBy("rank")
   }
+
+  /** BPE merge-pair statistics: the top-`k` adjacent CHARACTER pairs by
+    * corpus frequency over the initial (all-single-character) BPE state
+    * — the first-iteration inner loop of byte-pair-encoding tokenizer
+    * training, run distributed. Pair count = sum over vocabulary words
+    * of (occurrences of the pair inside the word) x (word's corpus
+    * frequency) — word-internal only, never across word boundaries,
+    * matching standard BPE pre-tokenization.
+    *
+    * Scale shape: the only corpus-sized work is the word histogram (one
+    * word-keyed shuffle with map-side combine, output bounded by
+    * vocabulary). Pair generation then explodes the VOCABULARY — |vocab|
+    * x avg word length rows, independent of corpus size — aggregates to
+    * the pair alphabet, and takes top-k without a global sort
+    * (TakeOrderedAndProject). Subsequent merge iterations re-run the
+    * same plan over the re-segmented vocabulary; corpus text is never
+    * touched again.
+    */
+  def bpePairStats(docs: DataFrame, textCol: String, k: Int = 20): DataFrame = {
+    require(k >= 1, s"bpePairStats: k must be >= 1, got $k")
+    val wordCounts = docs
+      .select(explode(TextFunctions.ftsTokens(col(textCol))).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("freq"))
+    wordCounts
+      .where(length(col("word")) >= 2)
+      .select(
+        col("freq"),
+        explode(expr("transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))")).as("pair"))
+      .groupBy("pair")
+      .agg(sum("freq").as("n"))
+      .orderBy(desc("n"), col("pair"))
+      .limit(k)
+  }
 }

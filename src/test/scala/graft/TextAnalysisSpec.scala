@@ -208,4 +208,22 @@ class TextAnalysisSpec extends AnyFunSuite {
       .as[Long].collect().toSeq
     assert(got == cases.map(_._2), s"got $got, expected ${cases.map(_._2)}")
   }
+
+  test("bpePairStats: hand-computed pair counts — frequency-weighted, word-internal, overlapping") {
+    // words: aa x2, aaa x1, ab x1, b x1 (single char: no pairs)
+    // pairs: "aa" = 2 (from aa) + 2 (overlapping inside aaa) = 4; "ab" = 1
+    val docs = Seq("aa ab aaa", "aa b").toDF("text")
+    val out = TextAnalysis.bpePairStats(docs, "text", k = 10).collect()
+      .map(r => r.getAs[String]("pair") -> r.getAs[Long]("n")).toSeq
+    assert(out == Seq("aa" -> 4L, "ab" -> 1L), s"got $out")
+  }
+
+  test("bpePairStats: pairs never cross word boundaries and ranking ties break by pair") {
+    // "xy yx" must NOT produce the cross-boundary pair "yy" (or "y y");
+    // xy and yx tie at 1 -> lexicographic order
+    val docs = Seq("xy yx").toDF("text")
+    val out = TextAnalysis.bpePairStats(docs, "text", k = 10).collect()
+      .map(r => r.getAs[String]("pair") -> r.getAs[Long]("n")).toSeq
+    assert(out == Seq("xy" -> 1L, "yx" -> 1L), s"got $out")
+  }
 }
