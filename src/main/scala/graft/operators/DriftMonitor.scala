@@ -169,6 +169,18 @@ object DriftMonitor {
         sum(lit(1L) - col("_in_a")).as("cnt_b"),
         sum(col("qv") * col("_in_a")).as("sum_a"),
         sum(col("qv") * (lit(1L) - col("_in_a"))).as("sum_b"))
+      .transform(shiftFromSums)
+  }
+
+  /** The centroid-shift arithmetic over an already-aggregated
+    * per-dimension sums table `(cnt_a, cnt_b, sum_a, sum_b` + any
+    * passthrough columns`)` — the exact-arithmetic half of
+    * [[embeddingDrift]], shared by the streaming per-window variant
+    * ([[graft.streaming.EventStreams.vectorWindowDrift]]) so the two
+    * surfaces cannot diverge. Adds `shift_milliq` / `abs_shift_milliq`.
+    */
+  def shiftFromSums(perDim: DataFrame): DataFrame =
+    perDim
       .withColumn(
         "shift_milliq",
         // cross products in decimal(38,0): raw-long `sum * cnt` already
@@ -180,7 +192,6 @@ object DriftMonitor {
             """(CAST(sum_a AS DECIMAL(38,0)) * cnt_b - CAST(sum_b AS DECIMAL(38,0)) * cnt_a)
               |  * 1000 DIV (CAST(cnt_a AS DECIMAL(38,0)) * cnt_b)""".stripMargin)))
       .withColumn("abs_shift_milliq", abs(col("shift_milliq")))
-  }
 
   /** Two-slice numeric drift over fixed equal-width bins: the
     * no-floating-point PSI/KS stand-in. Values are binned by

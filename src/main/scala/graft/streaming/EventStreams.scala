@@ -113,6 +113,71 @@ object EventStreams {
         "ppm_obs", "ppm_ref", "abs_ppm_diff", "tvd2_ppm")
   }
 
+  /** Streaming EMBEDDING drift, stream side: watermarked per-window
+    * quantized per-dimension component sums over a vector column — the
+    * vector half of the drift matrix ([[windowedCategoryCounts]] is the
+    * categorical half). Same quantization contract as
+    * [[graft.operators.DriftMonitor.embeddingDrift]]: components map to
+    * `floor(x * scale)` longs (exact integer sums), null and
+    * non-finite vectors are EXCLUDED. Append mode — a window's sums
+    * emit once the watermark closes it; aggregation state is bounded by
+    * open windows x dims.
+    */
+  def windowedVectorSums(
+      stream: DataFrame,
+      tsCol: String,
+      vecCol: String,
+      windowLen: String = "1 hour",
+      lateness: String = "10 minutes",
+      scale: Long = 1000L
+  ): DataFrame = {
+    require(scale >= 1L, s"windowedVectorSums: scale must be >= 1, got $scale")
+    val nonFinite = exists(
+      col(vecCol),
+      x => isnan(x.cast("double")) || abs(x.cast("double")) === lit(Double.PositiveInfinity))
+    stream
+      .withWatermark(tsCol, lateness)
+      .where(col(vecCol).isNotNull && !nonFinite)
+      .select(
+        col(tsCol).as("ts"),
+        posexplode(transform(
+          col(vecCol),
+          x => floor(x.cast("double") * lit(scale.toDouble)).cast("long"))))
+      .select(col("ts"), (col("pos") + 1).cast("long").as("dim"), col("col").as("qv"))
+      .groupBy(window(col("ts"), windowLen), col("dim"))
+      .agg(count(lit(1)).as("cnt"), sum(col("qv")).as("qsum"))
+      .select(col("window.start").as("window_start"), col("dim"), col("cnt"), col("qsum"))
+  }
+
+  /** Batch drift readout over a [[windowedVectorSums]] sink: every
+    * closed window's per-dimension centroid against a static REFERENCE
+    * sums table `(dim, cnt, qsum)` — yesterday's windows aggregated, or
+    * a golden profile built by the same quantization. Output per
+    * (window, dim): the window's and reference's counts/sums plus the
+    * exact `shift_milliq` from [[graft.operators.DriftMonitor
+    * .shiftFromSums]] — ONE shared arithmetic for batch and streaming
+    * embedding drift. The reference broadcasts (it is dims-sized).
+    */
+  def vectorWindowDrift(
+      sums: DataFrame,
+      reference: DataFrame,
+      refDimCol: String,
+      refCntCol: String,
+      refSumCol: String
+  ): DataFrame = {
+    val ref = reference.select(
+      col(refDimCol).as("dim"),
+      col(refCntCol).cast("long").as("cnt_b"),
+      col(refSumCol).cast("long").as("sum_b"))
+    graft.operators.DriftMonitor.shiftFromSums(
+      sums
+        .select(col("window_start"), col("dim"),
+          col("cnt").as("cnt_a"), col("qsum").as("sum_a"))
+        .join(broadcast(ref), Seq("dim")))
+      .select("window_start", "dim", "cnt_a", "cnt_b", "sum_a", "sum_b",
+        "shift_milliq", "abs_shift_milliq")
+  }
+
   /** Streaming exact dedup: drop events whose `keyCols` were already seen
     * within the watermark horizon — the streaming twin of the batch exact
     * dedup (Dedup.exactDedup) for at-least-once sources that can replay.

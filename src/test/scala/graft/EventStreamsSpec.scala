@@ -214,6 +214,44 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming vector sums close with the watermark; vectorWindowDrift scores the sink") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Seq[Float])]
+    val stream = input.toDF().toDF("ts", "vec")
+    val sums = EventStreams.windowedVectorSums(
+      stream, "ts", "vec", windowLen = "10 minutes", lateness = "5 minutes")
+    val q = sums.writeStream.format("memory").queryName("vec_sums")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // window 0: vectors (0.75, 0.25) and (0.25, 0.25); a NaN vector must drop
+      input.addData(
+        (ts(1), Seq(0.75f, 0.25f)),
+        (ts(3), Seq(0.25f, 0.25f)),
+        (ts(4), Seq(Float.NaN, 1.0f)))
+      q.processAllAvailable()
+      input.addData((ts(40), Seq(0.5f, 0.5f))) // advance watermark past window 0
+      q.processAllAvailable()
+
+      val w0 = new Timestamp(ts(1).getTime / 600000L * 600000L)
+      val closed = spark.table("vec_sums").where(col("window_start") === w0)
+        .orderBy("dim").collect()
+      // dim1: 750 + 250 = 1000 over 2 vectors; dim2: 250 + 250 = 500
+      assert(closed.map(r => (r.getAs[Long]("dim"), r.getAs[Long]("cnt"), r.getAs[Long]("qsum"))).toSeq
+        == Seq((1L, 2L, 1000L), (2L, 2L, 500L)), closed.mkString(";"))
+
+      // reference centroid (0.25, 0.25) from 4 vectors: sums (1000, 1000)
+      val ref = Seq((1L, 4L, 1000L), (2L, 4L, 1000L)).toDF("dim", "cnt", "qsum")
+      val drift = EventStreams.vectorWindowDrift(
+          spark.table("vec_sums").where(col("window_start") === w0),
+          ref, "dim", "cnt", "qsum")
+        .orderBy("dim").collect()
+      // dim1: window mean 500 vs ref 250 -> +250000 milli-q; dim2: 250 vs 250 -> 0
+      assert(drift.map(_.getAs[Long]("shift_milliq")).toSeq == Seq(250000L, 0L),
+        drift.mkString(";"))
+    } finally q.stop()
+  }
+
   test("windowDrift surfaces novel categories absent from the reference") {
     import spark.implicits._
     val counts = Seq((ts(0), "click", 1L), (ts(0), "weird_new_type", 1L))
