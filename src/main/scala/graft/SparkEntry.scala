@@ -909,7 +909,7 @@ object SparkEntry {
       (d, i)
     }.sorted.take(4).map(_._2.toLong)
     Clustering.assignWith(model, emb, "embedding")
-      .where(col("cluster").isin(probes: _*))
+      .where(col("cluster").isin(probes.toIndexedSeq: _*))
       .withColumn("score", round(VectorFunctions.cosineSim(col("embedding"), typedlit(qv)), 6))
       .select(col("vec_id"), col("cluster").as("cell"), col("score"))
       .orderBy(desc("score"), col("vec_id"))

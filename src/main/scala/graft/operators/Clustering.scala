@@ -100,7 +100,7 @@ object Clustering {
       require(centroids.forall(_.length == dim), "all vectors must share one dimension")
 
       for (_ <- 1 to iters) {
-        val packed = array(centroids.zipWithIndex.map { case (c, i) =>
+        val packed = array(centroids.zipWithIndex.toIndexedSeq.map { case (c, i) =>
           struct(distTo(c).as("d"), lit(i).as("c"))
         }: _*)
         val sums = q
@@ -139,7 +139,7 @@ object Clustering {
     // caller-supplied column of the same name — same reserved-column
     // collision class as `cluster` above, so reject it the same way
     require(!df.columns.contains("_km_q"), "df must not contain reserved column _km_q")
-    val packed = array(model.centroids.zipWithIndex.map { case (c, i) =>
+    val packed = array(model.centroids.zipWithIndex.toIndexedSeq.map { case (c, i) =>
       struct(distTo(c).as("d"), lit(i).as("c"))
     }: _*)
     df.withColumn("_km_q", quantized(vecCol, model.quantScale))

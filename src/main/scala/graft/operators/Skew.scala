@@ -36,7 +36,7 @@ object Skew {
     * which is shaped by the grouping keys alone.
     */
   private def rowSalt(df: DataFrame, salt: Int): Column =
-    pmod(xxhash64(df.columns.map(col): _*), lit(salt)).cast("int")
+    pmod(xxhash64(df.columns.toIndexedSeq.map(col): _*), lit(salt)).cast("int")
 
   def saltedJoin(
       left: DataFrame,

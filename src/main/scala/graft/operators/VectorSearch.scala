@@ -640,7 +640,7 @@ object VectorSearch {
     // least() needs >= 2 args; a single-cell quantizer assigns trivially
     val cellExpr =
       if (candidates.length == 1) lit(0)
-      else least(candidates: _*).getField("cell")
+      else least(candidates.toIndexedSeq: _*).getField("cell")
     val assigned = newVectors.withColumn("ivf_cell", cellExpr)
     IvfIndex(index.indexed.unionByName(assigned), index.centroids, index.vecCol)
   }
