@@ -1912,6 +1912,38 @@ object OracleSql {
         |            + ((dd * dd % denom) * 1000000000) // denom AS BIGINT) AS chi2_ppb
         |FROM d ORDER BY category""".stripMargin,
 
+    "q_window_drift" ->
+      // EventStreams.windowDrift twin: weekly tumbling event-type mixes
+      // vs the whole-corpus reference mix; integer ppm floor divisions,
+      // per-window TVD sum — hash-gates the streaming readout arithmetic
+      """WITH e AS (SELECT event_type AS category, epoch_us(ts) AS ts_us FROM events),
+        |counts AS (
+        |  SELECT ts_us - (ts_us % 604800000000) AS window_start, category, COUNT(*) AS n
+        |  FROM e GROUP BY 1, 2),
+        |ref AS (SELECT category, COUNT(*) AS ref_n FROM e GROUP BY category),
+        |wins AS (SELECT DISTINCT window_start FROM counts),
+        |grid AS (SELECT w.window_start, r.category, r.ref_n FROM wins w CROSS JOIN ref r),
+        |fj AS (
+        |  SELECT COALESCE(g.window_start, c.window_start) AS window_start,
+        |         COALESCE(g.category, c.category) AS category,
+        |         CAST(COALESCE(c.n, 0) AS BIGINT) AS n,
+        |         CAST(COALESCE(g.ref_n, 0) AS BIGINT) AS ref_n
+        |  FROM grid g FULL OUTER JOIN counts c
+        |    ON g.window_start = c.window_start AND g.category = c.category),
+        |tots AS (
+        |  SELECT *, SUM(n) OVER (PARTITION BY window_start) AS tot_n,
+        |         SUM(ref_n) OVER (PARTITION BY window_start) AS ref_tot
+        |  FROM fj),
+        |ppms AS (
+        |  SELECT window_start, category, n, ref_n,
+        |         CAST(n * 1000000 // tot_n AS BIGINT) AS ppm_obs,
+        |         CAST(ref_n * 1000000 // ref_tot AS BIGINT) AS ppm_ref,
+        |         ABS(CAST(n * 1000000 // tot_n AS BIGINT) - CAST(ref_n * 1000000 // ref_tot AS BIGINT)) AS abs_ppm_diff
+        |  FROM tots)
+        |SELECT window_start, category, n, ref_n, ppm_obs, ppm_ref, abs_ppm_diff,
+        |       SUM(abs_ppm_diff) OVER (PARTITION BY window_start) AS tvd2_ppm
+        |FROM ppms ORDER BY window_start, category""".stripMargin,
+
     "q_embed_drift" ->
       // DriftMonitor.embeddingDrift twin: floor(x*1000) quantization,
       // exact per-dim integer sums (64-row cross join enumerates dims),

@@ -2210,6 +2210,25 @@ object SparkEntry {
   private def qBpePairs(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.bpePairStats(t(s, dir, "documents"), "text", 20)
 
+  /** Per-window drift readout (EventStreams.windowDrift) as a BATCH
+    * query: weekly event-type mixes against the whole month's mix as
+    * the reference — the exact integer-ppm arithmetic the streaming
+    * sink readout uses, hash-gated. Window = 7-day tumbling bins over
+    * ts_us (window_start emitted as epoch micros).
+    */
+  private def qWindowDrift(s: SparkSession, dir: String): DataFrame = {
+    val weekUs = 604800000000L
+    val e = events(s, dir).select(col("event_type"), col("ts_us"))
+    val counts = e
+      .groupBy(
+        (col("ts_us") - pmod(col("ts_us"), lit(weekUs))).as("window_start"),
+        col("event_type").as("category"))
+      .agg(count(lit(1)).as("n"))
+    val reference = e.groupBy(col("event_type").as("category")).agg(count(lit(1)).as("n"))
+    graft.streaming.EventStreams.windowDrift(counts, reference, "category", "n")
+      .orderBy("window_start", "category")
+  }
+
   /** Embedding drift monitor (DriftMonitor.embeddingDrift): per-dimension
     * centroid shift between the label<5 and label>=5 halves of the
     * embedding corpus — the encoder-regression / source-mix guardrail
@@ -2356,7 +2375,8 @@ object SparkEntry {
     "q_drift" -> (qDrift _),
     "q_drift_value" -> (qDriftValue _),
     "q_embed_drift" -> (qEmbedDrift _),
-    "q_bpe_pairs" -> (qBpePairs _)
+    "q_bpe_pairs" -> (qBpePairs _),
+    "q_window_drift" -> (qWindowDrift _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

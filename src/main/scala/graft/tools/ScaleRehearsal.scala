@@ -209,6 +209,36 @@ object ScaleRehearsal {
         RetrievalEval.summary(sys, "query_id", "doc_id", "rank",
           qrels, "query_id", "rel_id", 10).count()
       }
+
+      // Zipf-real counterpoint: the sf corpus has a ~60-word vocabulary
+      // (every term a stopword — the adversarial case above). A realistic
+      // corpus has a Zipf vocabulary where most query terms are
+      // SELECTIVE. 50k synthetic docs x 40 words over a ~20k-word
+      // log-uniform (Zipf-1-tail) vocabulary, same 3000-query protocol —
+      // the wall-clock gap between this and the adversarial leg IS the
+      // common-term cost, measured.
+      val zipfDocs = spark.range(0L, 50000L * 40L, 1L, 32)
+        .select((col("id") / 40).cast("long").as("doc_id"),
+          concat(lit("w"),
+            floor(exp((pmod(xxhash64(col("id")), lit(1000000L)).cast("double") + 1.0)
+              / 1000001.0 * log(lit(20000.0)))).cast("long")).as("word"))
+        .groupBy("doc_id")
+        .agg(concat_ws(" ", collect_list(col("word"))).as("text"))
+        .localCheckpoint()
+      val zIdx = FtsIndex.build(zipfDocs, "doc_id", "text")
+      zIdx.postings.count()
+      val zBatch = zipfDocs.where(col("doc_id") < 3000)
+        .select(col("doc_id").as("query_id"),
+          concat_ws(" ", slice(graft.functions.TextFunctions.ftsTokens(col("text")), 1, 6)).as("qtext"))
+        .localCheckpoint()
+      measure("bm25_batch_zipf_q3000") {
+        FtsIndex.searchMany(zBatch, "query_id", "qtext", zIdx, 10).count()
+      }
+      measure("bm25_batch_zipf_q3000_dfpruned") {
+        FtsIndex.searchMany(zBatch, "query_id", "qtext", zIdx, 10,
+          maxDfFraction = 0.3).count()
+      }
+      zIdx.postings.unpersist()
     }
 
     // SemDeDup scaled-k (VERDICT r6 #3): with k = scaledK(n) the
