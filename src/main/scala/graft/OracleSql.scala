@@ -1941,7 +1941,7 @@ object OracleSql {
         |         ABS(CAST(n * 1000000 // tot_n AS BIGINT) - CAST(ref_n * 1000000 // ref_tot AS BIGINT)) AS abs_ppm_diff
         |  FROM tots)
         |SELECT window_start, category, n, ref_n, ppm_obs, ppm_ref, abs_ppm_diff,
-        |       SUM(abs_ppm_diff) OVER (PARTITION BY window_start) AS tvd2_ppm
+        |       CAST(SUM(abs_ppm_diff) OVER (PARTITION BY window_start) AS BIGINT) AS tvd2_ppm
         |FROM ppms ORDER BY window_start, category""".stripMargin,
 
     "q_embed_drift" ->
