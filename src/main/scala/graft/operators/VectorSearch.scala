@@ -479,12 +479,20 @@ object VectorSearch {
       * prefix filter admits EVERY partition and is skipped (the prefix
       * layout still clusters similar signatures into the same files for
       * row-group-level locality, but the query reads all directories).
-      * Pruning earns its keep when the radius is small relative to the
-      * prefix — which at 100 TB means LONGER signatures (radius budgets
-      * stay put as bits grow, so r/p shrinks) or pigeonhole multi-index
-      * probing (split the signature into m chunks; a radius-r match has
-      * some chunk within r/m — probe each chunk's tight ball) — the
-      * documented next seam, not what this single-prefix layout does.
+      *
+      * That no-op is FUNDAMENTAL to single-table Hamming probing, not a
+      * tuning miss: SimHash Hamming distance concentrates at
+      * nBits * angle / pi, so the radius needed for a target recall
+      * GROWS with the signature length — r/p stays angle-determined and
+      * wide for any useful recall. The 100 TB read-shrink path is the
+      * multi-TABLE band-OR layout (L independent short signatures, one
+      * EXACT-match bucket probe per table — the [[SimHashLsh]] band /
+      * [[graft.operators.Dedup.minhashLshPairs]] structure applied to
+      * the storage layout: L partition columns, L single-partition
+      * probes unioned, recall tuned by L instead of a radius); this
+      * single-prefix layout keeps the simpler lifecycle and relies on
+      * the Hamming filter + locality, honest about reading every
+      * directory at wide radii.
       */
     def annTopK(queryVec: Array[Float], k: Int, tieBreak: Column, maxHamming: Int = 4): DataFrame = {
       val qSig = lsh.signatureOf(queryVec.toIndexedSeq)
