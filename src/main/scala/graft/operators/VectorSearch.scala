@@ -584,6 +584,106 @@ object VectorSearch {
     LshIndex(spark.read.parquet(s"$path/buckets"), lsh, vecCol)
   }
 
+  /** Multi-table band-OR LSH — the layout the [[LshIndex]] scaladoc
+    * points to as the REAL 100 TB read-shrink path: `L` independent
+    * short SimHash signatures ("bands", distinct plane seeds), the
+    * corpus persisted ONCE PER TABLE partitioned by that table's band,
+    * and a query probing exactly ONE partition per table (exact bucket
+    * match, no Hamming radius) before the exact cosine rerank. Recall
+    * is tuned by `L` (miss probability (1 - p^b)^L for per-plane
+    * agreement p = 1 - angle/pi), not by a radius — so every probe is a
+    * single-directory read at ANY recall target, the property
+    * single-table Hamming probing fundamentally cannot have. Cost:
+    * L x the index storage (the standard LSH trade).
+    */
+  final case class BandedLshIndex(
+      tables: Seq[DataFrame],
+      bands: Seq[SimHashLsh],
+      idCol: String,
+      vecCol: String
+  ) {
+    require(tables.length == bands.length && tables.nonEmpty,
+      s"BandedLshIndex: ${tables.length} tables vs ${bands.length} bands")
+
+    /** Candidates = union of each table's exact-match bucket, deduped by
+      * id (a vector can land in several tables' buckets), then exact
+      * top-k. Over a [[writeBandedLsh]]-persisted index each leg is one
+      * parquet partition directory.
+      */
+    def annTopK(queryVec: Array[Float], k: Int, tieBreak: Column): DataFrame = {
+      val cands = tables.zip(bands)
+        .map { case (t, b) =>
+          t.where(col("band") === lit(b.signatureOf(queryVec.toIndexedSeq))).drop("band")
+        }
+        .reduce(_ unionByName _)
+        .dropDuplicates(idCol)
+      topK(cands, vecCol, queryVec, k, tieBreak)
+    }
+  }
+
+  /** Build a banded LSH index: sign the corpus once per table with that
+    * table's OWN planes. `dim` is explicit (the topKBatch precedent —
+    * planes shorter than the vectors silently truncate recall).
+    */
+  def buildBandedLsh(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      numTables: Int = 6,
+      bandBits: Int = 8,
+      seed: Long = 42L
+  ): BandedLshIndex = {
+    require(numTables >= 1 && bandBits >= 1,
+      s"buildBandedLsh: need numTables >= 1 and bandBits >= 1, got $numTables/$bandBits")
+    val bands = (0 until numTables)
+      .map(i => SimHashLsh(nBits = bandBits, dim = dim, seed = seed + 7919L * i))
+    val tables = bands.map(b =>
+      b.withSignature(corpus, vecCol).withColumnRenamed("sig", "band"))
+    BandedLshIndex(tables, bands, idCol, vecCol)
+  }
+
+  /** Persist each table partitioned by its band — L directories of
+    * single-partition buckets; params sidecar reconstructs the signers.
+    */
+  def writeBandedLsh(index: BandedLshIndex, path: String): Unit = {
+    index.tables.zipWithIndex.foreach { case (t, i) =>
+      t.repartition(col("band"))
+        .write.mode("overwrite").partitionBy("band").parquet(s"$path/table_$i/buckets")
+    }
+    val b0 = index.bands.head
+    val params =
+      s"""{"numTables":${index.bands.length},"bandBits":${b0.nBits},"dim":${b0.dim},"seed":${b0.seed},"idCol":"${index.idCol}","vecCol":"${index.vecCol}"}"""
+    val p = new org.apache.hadoop.fs.Path(s"$path/params.json")
+    val fs = p.getFileSystem(index.tables.head.sparkSession.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(params.getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Load a persisted banded LSH index (inverse of [[writeBandedLsh]]). */
+  def loadBandedLsh(spark: org.apache.spark.sql.SparkSession, path: String): BandedLshIndex = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/params.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val json =
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+      finally in.close()
+    def num(key: String): Long =
+      s""""$key":(-?\\d+)""".r.findFirstMatchIn(json)
+        .getOrElse(throw new IllegalStateException(s"loadBandedLsh: no '$key' in $path/params.json"))
+        .group(1).toLong
+    def str(key: String): String =
+      s""""$key":"([^"]+)"""".r.findFirstMatchIn(json)
+        .getOrElse(throw new IllegalStateException(s"loadBandedLsh: no '$key' in $path/params.json"))
+        .group(1)
+    val (n, bits, dim, seed) =
+      (num("numTables").toInt, num("bandBits").toInt, num("dim").toInt, num("seed"))
+    val bands = (0 until n).map(i => SimHashLsh(nBits = bits, dim = dim, seed = seed + 7919L * i))
+    val tables = (0 until n).map(i => spark.read.parquet(s"$path/table_$i/buckets"))
+    BandedLshIndex(tables, bands, str("idCol"), str("vecCol"))
+  }
+
   /** IVF (inverted-file) ANN: a k-means coarse quantizer partitions the
     * corpus into `nLists` cells; a query probes only the `nProbe` cells
     * whose centroids are nearest, then exact-reranks within them. The

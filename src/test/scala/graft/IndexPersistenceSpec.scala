@@ -104,6 +104,47 @@ class IndexPersistenceSpec extends AnyFunSuite {
       s"radius >= prefix width must not fabricate a prefix filter:\n${widePlan.take(1500)}")
   }
 
+  test("banded LSH: write/load parity, one-partition probes per table, recall on clustered data") {
+    import graft.operators.VectorSearch
+    val rnd = new scala.util.Random(13)
+    val dim = 16
+    val centers = (0 until 5).map(_ => Array.fill(dim)(rnd.nextGaussian() * 5))
+    val rows = centers.zipWithIndex.flatMap { case (c, ci) =>
+      (0 until 40).map(i => (ci.toLong * 100 + i, c.map(x => (x + rnd.nextGaussian() * 0.15).toFloat)))
+    }
+    val corpus = rows.toDF("id", "vec")
+    val built = VectorSearch.buildBandedLsh(corpus, "id", "vec", dim, numTables = 8, bandBits = 8, seed = 5L)
+    val dir = java.nio.file.Files.createTempDirectory("banded-lsh").toString + "/idx"
+    VectorSearch.writeBandedLsh(built, dir)
+    val loaded = VectorSearch.loadBandedLsh(spark, dir)
+
+    def answer(ix: VectorSearch.BandedLshIndex, q: Array[Float]) =
+      ix.annTopK(q, 10, col("id")).select("id").collect().map(_.getLong(0)).toSeq
+    val queries = Seq(0L, 105L, 210L, 315L, 420L).map(id => rows.find(_._1 == id).get._2)
+
+    // 1) persisted round-trip answers exactly like the in-memory build
+    queries.foreach(q => assert(answer(loaded, q) == answer(built, q),
+      "loaded banded index diverged from the fresh build"))
+
+    // 2) each probe leg of the LOADED index is parquet partition pruning
+    //    on that table's band — the one-directory-per-table read
+    val plan = loaded.annTopK(queries.head, 5, col("id"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("band"),
+      s"expected per-table partition pruning on band in:\n${plan.take(2000)}")
+
+    // 3) recall vs exact on tight clusters: near neighbors agree on most
+    //    hyperplanes, so 8 tables of 8 bits recover the top-10 —
+    //    the L-tunes-recall contract (miss prob (1 - p^8)^8)
+    val recalls = queries.map { q =>
+      val exact = VectorSearch.topK(corpus, "vec", q, 10, col("id"))
+        .select("id").collect().map(_.getLong(0)).toSet
+      (exact & answer(loaded, q).toSet).size / 10.0
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.8, s"banded recall@10 $mean below 0.8 floor (per-query: $recalls)")
+  }
+
   test("signature index: write, append a day's batch, probe the loaded artifact") {
     import graft.operators.Dedup
     val dir = java.nio.file.Files.createTempDirectory("sig-index").toString + "/sigs"
