@@ -524,6 +524,51 @@ object OracleSql {
       s"""WITH $annCte
          |SELECT vec_id, score FROM ann""".stripMargin,
 
+    // q_lsh_banded reassembles the corpus through the BANDED lifecycle
+    // (build 6 tables -> writeBandedLsh -> load -> real probe self-check
+    // -> union-dedup of all tables) and then answers exactly, so its
+    // oracle is the same brute-force top-20: any per-table roundtrip
+    // corruption, dedup slip, or signer drift breaks the hash (signer
+    // drift via the probe require in SparkEntry.qLshBanded).
+    "q_lsh_banded" ->
+      s"""WITH $annCte
+         |SELECT vec_id, score FROM ann""".stripMargin,
+
+    "q_banded_fixed" -> {
+      // SparkEntry.qBandedFixed twin: 4 tables x 8 portable planes
+      // (md5-60-bit of 'blsh:t:j:i' % 2001 - 1000), quantized integer
+      // dots -> per-table 8-bit signatures, candidates = EXACT bucket
+      // match with vec_id=0's signature in >= 1 table (n_tabs counts
+      // the matching tables), exact-cosine rerank rounded to 6dp
+      val md560 = md5NibbleIntSql(
+        "'blsh:' || CAST(tb AS VARCHAR) || ':' || CAST(j AS VARCHAR) || ':' || CAST(i AS VARCHAR)", 15)
+      s"""WITH planes AS MATERIALIZED (
+         |  SELECT tb, j, i, ($md560 % 2001) - 1000 AS p
+         |  FROM range(0, 4) tt(tb) CROSS JOIN range(0, 8) t(j) CROSS JOIN range(1, 65) s(i)),
+         |qs AS MATERIALIZED (
+         |  SELECT vec_id,
+         |         list_transform(CAST(embedding AS DOUBLE[]),
+         |           x -> CAST(FLOOR(x * 1000) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |dots AS (
+         |  SELECT s.vec_id, pl.tb, pl.j, SUM(s.q[pl.i] * pl.p) AS dot
+         |  FROM qs s CROSS JOIN planes pl GROUP BY 1, 2, 3),
+         |sig AS MATERIALIZED (
+         |  SELECT vec_id, tb,
+         |         CAST(SUM(CASE WHEN dot >= 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS BIGINT) AS sig
+         |  FROM dots GROUP BY 1, 2),
+         |qsig AS (SELECT tb, sig FROM sig WHERE vec_id = 0),
+         |cand AS (
+         |  SELECT s.vec_id, CAST(COUNT(*) AS BIGINT) AS n_tabs
+         |  FROM sig s JOIN qsig ON s.tb = qsig.tb AND s.sig = qsig.sig
+         |  GROUP BY 1)
+         |SELECT c.vec_id, c.n_tabs,
+         |       ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+         |             (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS score
+         |FROM cand c JOIN embeddings e ON c.vec_id = e.vec_id
+         |ORDER BY score DESC, c.vec_id LIMIT 20""".stripMargin
+    },
+
     "q_phrase" ->
       // token-array adjacency count with the SAME tokenization as
       // TextFunctions.ftsTokens; range(1, len) = 1-based indices with a

@@ -30,6 +30,29 @@ object SparkEntry {
           "the fixed query vector is gone"))
       .getSeq[Float](0)
 
+  /** Per-process scratch path for a persisted-index lifecycle query,
+    * deleted RECURSIVELY at JVM exit: the returned DataFrame still reads
+    * the artifact lazily (deleting after the build would break the
+    * query's own execution), but without cleanup every Verify/Bench
+    * process leaks a full index directory in java.io.tmpdir (round-9
+    * ADVICE). One shutdown hook per path; by exit all queries are done.
+    */
+  private def tmpIndexPath(prefix: String, dir: String): String = {
+    val f = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      prefix + "_" + Integer.toHexString(dir.hashCode) +
+        "_p" + ProcessHandle.current().pid())
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(x: java.io.File): Unit = {
+        val kids = x.listFiles()
+        if (kids != null) kids.foreach(rm)
+        x.delete(): Unit
+      }
+      rm(f)
+    }))
+    f.getAbsolutePath
+  }
+
   /** events.parquet has shipped with two physical `ts` encodings across
     * driver generations: TIMESTAMP(NANOS) — which Spark's vectorized reader
     * only surfaces as a nanos long under `nanosAsLong` — and plain
@@ -681,10 +704,7 @@ object SparkEntry {
     // per-PROCESS path: a shared fixed path races overwrite-vs-load when
     // two graft JVMs (e.g. the determinism gate's 8- and 16-thread
     // Verify runs) exercise the lifecycle for the same sf dir at once
-    val path = new java.io.File(
-      sys.props("java.io.tmpdir"),
-      "graft_lsh_" + Integer.toHexString(dir.hashCode) +
-        "_p" + ProcessHandle.current().pid()).getAbsolutePath
+    val path = tmpIndexPath("graft_lsh", dir)
     val base = VectorSearch.buildLshIndex(
       emb.where(pmod(col("vec_id"), lit(5)) =!= 0), "embedding", lsh)
     VectorSearch.writeLsh(base, path)
@@ -693,6 +713,121 @@ object SparkEntry {
     extended.indexed
       .withColumn("score", round(VectorFunctions.cosineSim(col("embedding"), typedlit(qv)), 6))
       .select("vec_id", "score")
+      .orderBy(desc("score"), col("vec_id"))
+      .limit(20)
+  }
+
+  /** Banded multi-table LSH lifecycle (the q_lsh_persisted recipe for
+    * the band-OR layout VectorSearch.scala names as the real 100 TB ANN
+    * path): BUILD L=6 tables over the corpus, [[VectorSearch
+    * .writeBandedLsh]] them partitioned by band, LOAD the artifact, run
+    * the REAL probe (L single-partition legs + exact rerank — asserted
+    * below), then answer an exact top-20 over the union-dedup
+    * reassembly of all L persisted tables. The hash pins the LIFECYCLE:
+    * every table's parquet roundtrip must preserve every embedding bit
+    * and the id-dedup reassembly must recover exactly the corpus, so
+    * the answer equals brute force (the q_ann_cosine oracle). The probe
+    * run pins SIGNER RECONSTRUCTION loudly: the query vector IS
+    * vec_id=0's embedding, so its persisted band (signed at BUILD time)
+    * equals the probe band (signed by the LOADED bands) in every table
+    * iff loadBandedLsh rebuilt the identical signers — any drift and
+    * the self-match vanishes. The APPROXIMATE operating point — L
+    * one-directory probe legs, recall tuned by L — is pinned by
+    * IndexPersistenceSpec (fresh/loaded parity, per-leg
+    * PartitionFilters, recall floor) and the q_banded_fixed hash twin.
+    */
+  private def qLshBanded(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val qv = queryVec(emb, "q_lsh_banded", dir)
+    val path = tmpIndexPath("graft_blsh", dir)
+    val built = VectorSearch.buildBandedLsh(
+      emb, "vec_id", "embedding", dim = qv.length, numTables = 6, bandBits = 8)
+    VectorSearch.writeBandedLsh(built, path)
+    val loaded = VectorSearch.loadBandedLsh(s, path)
+    // the real probe path: L single-partition legs + exact rerank. A
+    // bounded point-check, not a result source — the query row matches
+    // its own bucket in ALL L tables only under faithfully
+    // reconstructed signers (score 1.0 tops the rerank).
+    val self = loaded.annTopK(qv.toArray, 1, col("vec_id"))
+      .select("vec_id").limit(1).collect()
+    require(self.nonEmpty && self.head.getLong(0) == 0L,
+      s"q_lsh_banded: probe of the loaded index lost the query row itself " +
+        s"(got ${self.toSeq}) — loadBandedLsh reconstructed different signers")
+    val reassembled = loaded.tables.map(_.drop("band")).reduce(_ unionByName _)
+      .dropDuplicates("vec_id")
+    reassembled
+      .withColumn("score", round(VectorFunctions.cosineSim(col("embedding"), typedlit(qv)), 6))
+      .select("vec_id", "score")
+      .orderBy(desc("score"), col("vec_id"))
+      .limit(20)
+  }
+
+  /** Portable hyperplanes for [[qBandedFixed]]: component (t, j, i)
+    * derives from md5("blsh:t:j:i") exactly like
+    * OracleSql.md5NibbleIntSql(_, 15) — the first 15 hex nibbles as a
+    * 60-bit int — mapped into [-1000, 1000]. 4 tables x 8 planes x 64
+    * components, computed once driver-side.
+    */
+  private lazy val bandedFixedPlanes: Seq[Seq[Seq[Long]]] =
+    (0 until 4).map { tb =>
+      (0 until 8).map { j =>
+        (1 to 64).map { i =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val hex = md.digest(s"blsh:$tb:$j:$i".getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString.substring(0, 15)
+          (java.lang.Long.parseLong(hex, 16) % 2001L) - 1000L
+        }
+      }
+    }
+
+  /** Hash-checked band-OR twin (the q_lsh_fixed recipe applied to the
+    * multi-table layout): 4 tables of 8-bit signatures over PORTABLE
+    * integer planes ([[bandedFixedPlanes]]), vectors quantized to
+    * floor(x*1000) ints, candidates = rows whose signature EXACTLY
+    * matches the query's in >= 1 table (the band-OR union-dedup,
+    * expressed as n_tabs > 0 so the multi-table collision count rides
+    * in the hash), exact-cosine rerank. Everything is integer-exact and
+    * reproducible in DuckDB, so the ENTIRE band-OR probe semantics —
+    * per-table exact bucket match, cross-table OR, dedup, rerank — pins
+    * to a hash. q_lsh_banded pins the persisted lifecycle with the
+    * production SplitMix planes; THIS query pins the probe semantics.
+    */
+  private def qBandedFixed(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val qv = queryVec(emb, "q_banded_fixed", dir)
+    require(qv.length == 64,
+      s"q_banded_fixed: expected 64-dim embeddings, got ${qv.length} — bandedFixedPlanes span 64 components")
+    val planesLit = typedlit(bandedFixedPlanes)
+    // quantize ONCE per row; each of the 32 plane dots reuses it
+    def quant(vec: Column): Column =
+      transform(vec, x => floor(x.cast("double") * lit(1000.0)).cast("long"))
+    // MSB-first fold over table tb's 8 planes: bit_j carries weight 2^j
+    def sigCol(q: Column, tb: Int): Column =
+      aggregate(
+        sequence(lit(7), lit(0), lit(-1)),
+        lit(0L),
+        (acc, j) =>
+          acc * 2 + when(
+            aggregate(
+              zip_with(q, element_at(element_at(planesLit, tb + 1), j + 1), (a, b) => a * b),
+              lit(0L), (s2, v) => s2 + v) >= 0, lit(1L)).otherwise(lit(0L)))
+    val qq = qv.map(x => math.floor(x.toDouble * 1000.0).toLong)
+    val qSigs: Seq[Long] = (0 until 4).map { tb =>
+      (7 to 0 by -1).foldLeft(0L) { (acc, j) =>
+        val dot = bandedFixedPlanes(tb)(j).iterator.zip(qq.iterator).map { case (p, v) => p * v }.sum
+        acc * 2 + (if (dot >= 0) 1L else 0L)
+      }
+    }
+    emb
+      .withColumn("_q", quant(col("embedding")))
+      .withColumn("n_tabs",
+        (0 until 4)
+          .map(tb => when(sigCol(col("_q"), tb) === lit(qSigs(tb)), 1L).otherwise(0L))
+          .reduce(_ + _))
+      .where(col("n_tabs") > 0)
+      .withColumn("score",
+        round(VectorFunctions.cosineSim(col("embedding"), typedlit(qv)), 6))
+      .select(col("vec_id"), col("n_tabs"), col("score"))
       .orderBy(desc("score"), col("vec_id"))
       .limit(20)
   }
@@ -2298,6 +2433,8 @@ object SparkEntry {
     "q_fingerprint" -> (qFingerprint _),
     "q_ann_ivf" -> (qAnnIvf _),
     "q_lsh_persisted" -> (qLshPersisted _),
+    "q_lsh_banded" -> (qLshBanded _),
+    "q_banded_fixed" -> (qBandedFixed _),
     "q_rollup" -> (qRollup _),
     "q_embed_neardup" -> (qEmbedNeardup _),
     "q_embed_neardup_lsh" -> (qEmbedNeardupLsh _),

@@ -33,11 +33,15 @@ object DriftMonitor {
     * definition of a drift proportion in parts-per-million, shared by
     * every drift surface (batch and [[graft.streaming.EventStreams
     * .windowDrift]]) so the arithmetic cannot silently diverge. Takes
-    * column NAMES (integral `DIV` only exists as a SQL operator).
+    * column NAMES (integral `DIV` only exists as a SQL operator);
+    * names are backtick-quoted so dotted/spaced identifiers resolve
+    * like they do in the Column-based rest of the module.
     * Exact while `cnt * 1e6` fits a long, i.e. counts to ~9e12.
     */
-  def ppm(cntCol: String, totCol: String): Column =
-    when(col(totCol) > 0, expr(s"$cntCol * 1000000 DIV $totCol"))
+  def ppm(cntCol: String, totCol: String): Column = {
+    def q(n: String) = "`" + n.replace("`", "``") + "`"
+    when(col(totCol) > 0, expr(s"${q(cntCol)} * 1000000 DIV ${q(totCol)}"))
+  }
 
   /** Two-slice categorical drift. `inA` is a boolean Column over `df`'s
     * rows assigning each row to slice A (true) or slice B (false) —

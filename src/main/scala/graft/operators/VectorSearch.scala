@@ -549,6 +549,8 @@ object VectorSearch {
     * a loaded index with different planes is meaningless).
     */
   def writeLsh(index: LshIndex, path: String): Unit = {
+    require(!index.vecCol.exists(c => c == '"' || c == '\\'),
+      s"writeLsh: vecCol '${index.vecCol}' contains a quote or backslash, unsupported by the params sidecar")
     // cluster rows by prefix before the partitioned write: partitionBy
     // alone makes every input partition open a file per prefix it holds
     // (up to partitions x 256 tiny files — measured 5x the write time at
@@ -645,13 +647,32 @@ object VectorSearch {
 
   /** Persist each table partitioned by its band — L directories of
     * single-partition buckets; params sidecar reconstructs the signers.
+    *
+    * The sidecar stores only the HEAD band's (seed, nBits, dim) and
+    * [[loadBandedLsh]] re-derives band i as seed + 7919*i — the
+    * [[buildBandedLsh]] derivation. An index whose bands were
+    * constructed any other way would round-trip to DIFFERENT signers
+    * and probe wrong buckets with silent recall collapse, so the write
+    * validates the derivation and fails loudly instead.
     */
   def writeBandedLsh(index: BandedLshIndex, path: String): Unit = {
+    val b0 = index.bands.head
+    index.bands.zipWithIndex.foreach { case (b, i) =>
+      require(b.nBits == b0.nBits && b.dim == b0.dim && b.seed == b0.seed + 7919L * i,
+        s"writeBandedLsh: band $i (nBits=${b.nBits}, dim=${b.dim}, seed=${b.seed}) does not " +
+          s"match the buildBandedLsh derivation (nBits=${b0.nBits}, dim=${b0.dim}, " +
+          s"seed=${b0.seed + 7919L * i}); loadBandedLsh would reconstruct different signers")
+    }
+    // the regex-parsed sidecar cannot represent quotes/backslashes in
+    // identifiers — reject rather than corrupt (loud-failure discipline)
+    Seq("idCol" -> index.idCol, "vecCol" -> index.vecCol).foreach { case (name, v) =>
+      require(!v.exists(c => c == '"' || c == '\\'),
+        s"writeBandedLsh: $name '$v' contains a quote or backslash, unsupported by the params sidecar")
+    }
     index.tables.zipWithIndex.foreach { case (t, i) =>
       t.repartition(col("band"))
         .write.mode("overwrite").partitionBy("band").parquet(s"$path/table_$i/buckets")
     }
-    val b0 = index.bands.head
     val params =
       s"""{"numTables":${index.bands.length},"bandBits":${b0.nBits},"dim":${b0.dim},"seed":${b0.seed},"idCol":"${index.idCol}","vecCol":"${index.vecCol}"}"""
     val p = new org.apache.hadoop.fs.Path(s"$path/params.json")

@@ -127,11 +127,15 @@ class IndexPersistenceSpec extends AnyFunSuite {
       "loaded banded index diverged from the fresh build"))
 
     // 2) each probe leg of the LOADED index is parquet partition pruning
-    //    on that table's band — the one-directory-per-table read
+    //    on that table's band — the one-directory-per-table read. EVERY
+    //    leg must carry its own band PartitionFilter: exactly L of them
+    //    (a single global hit could be one pruned leg and 7 full scans)
     val plan = loaded.annTopK(queries.head, 5, col("id"))
       .queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters: [") && plan.contains("band"),
-      s"expected per-table partition pruning on band in:\n${plan.take(2000)}")
+    val prunedLegs = "PartitionFilters: \\[[^\\]]*band[^\\]]*\\]".r
+      .findAllIn(plan).length
+    assert(prunedLegs == 8,
+      s"expected 8 probe legs each pruned on band, found $prunedLegs in:\n${plan.take(2000)}")
 
     // 3) recall vs exact on tight clusters: near neighbors agree on most
     //    hyperplanes, so 8 tables of 8 bits recover the top-10 —
@@ -143,6 +147,34 @@ class IndexPersistenceSpec extends AnyFunSuite {
     }
     val mean = recalls.sum / recalls.size
     assert(mean >= 0.8, s"banded recall@10 $mean below 0.8 floor (per-query: $recalls)")
+  }
+
+  test("banded LSH write refuses indexes the sidecar cannot round-trip") {
+    import graft.operators.VectorSearch
+    val corpus = Seq((1L, Array(0.1f, 0.2f)), (2L, Array(0.3f, 0.4f))).toDF("id", "vec")
+    val built = VectorSearch.buildBandedLsh(corpus, "id", "vec", dim = 2, numTables = 2, bandBits = 4, seed = 11L)
+    val dir = java.nio.file.Files.createTempDirectory("banded-guard").toString
+
+    // a hand-built index whose bands don't follow the seed + 7919*i
+    // derivation would silently round-trip to DIFFERENT signers (the
+    // sidecar stores only the head band) — the write must fail loudly.
+    // (A UNIFORM shift of every seed still satisfies the head-relative
+    // derivation and round-trips fine; the bug is NON-uniform bands.)
+    val rogue = built.copy(bands = built.bands.zipWithIndex.map {
+      case (b, i) => if (i == 1) b.copy(seed = b.seed + 1) else b
+    })
+    val e1 = intercept[IllegalArgumentException] {
+      VectorSearch.writeBandedLsh(rogue, s"$dir/rogue")
+    }
+    assert(e1.getMessage.contains("derivation"), e1.getMessage)
+
+    // identifiers the regex-parsed params sidecar cannot represent are
+    // rejected rather than written corrupted
+    val quoted = built.copy(idCol = "id\"x")
+    val e2 = intercept[IllegalArgumentException] {
+      VectorSearch.writeBandedLsh(quoted, s"$dir/quoted")
+    }
+    assert(e2.getMessage.contains("quote"), e2.getMessage)
   }
 
   test("signature index: write, append a day's batch, probe the loaded artifact") {
