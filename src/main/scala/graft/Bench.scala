@@ -74,13 +74,19 @@ object Bench {
     // quiet-band calibration this compares against). Three of the last
     // four driver-side benches ran ~1.5x hot vs the builder's quiet band
     // on identical code; this field makes that visible in-artifact.
-    val calibration = (1 to 3)
-      .map { _ =>
-        val t0 = System.nanoTime()
-        spark.range(0L, 200000000L, 1L, 32).selectExpr("sum(id % 97)").collect()
-        (System.nanoTime() - t0) / 1e9
-      }
-      .sorted.apply(1)
+    def calProbe(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 200000000L, 1L, 32).selectExpr("sum(id % 97)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val calibration = Seq(calProbe(), calProbe(), calProbe()).sorted.apply(1)
+    // Interleaved samples (VERDICT r9 #1): the single start-of-run
+    // median cannot see a MID-run load spike — round 9's one unexplained
+    // number (q_semdedup 8.2 s vs a 3.2 s quiet band under a quiet start
+    // calibration) is exactly the blind spot. One probe lands after each
+    // timing pass; a sample far above the start value marks the passes
+    // it brackets as load-suspect.
+    val calSamples = scala.collection.mutable.ArrayBuffer[(String, Double)]("start" -> calibration)
 
     // failures record -1.0, never elapsed-to-failure (which would read as
     // a plausible fast run in the JSON)
@@ -97,6 +103,7 @@ object Bench {
 
     val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
     val results = sorted.map { case (name, fn) => timeQuery("query", name, fn) }
+    calSamples += "after_first_pass" -> calProbe()
     // Median-of-3: two more passes, then the per-query median across all
     // three. Run 1 stays the recorded "queries"/"headline_total" (it bills
     // one-time index builds — real ingest work — and is comparable with
@@ -104,10 +111,12 @@ object Bench {
     // numbers for round-over-round comparison (container-load swings of
     // 2-4x on sub-second queries made single-run diffs archaeology).
     val rerunA = sorted.map { case (name, fn) => timeQuery("rerunA", name, fn) }.toMap
+    calSamples += "after_rerun_a" -> calProbe()
     val rerunB = sorted.map { case (name, fn) => timeQuery("rerunB", name, fn) }.toMap
+    calSamples += "after_rerun_b" -> calProbe()
+    // median over the successful runs; -1 only if every run failed
     val medians = results.map { case (name, first) =>
       val ok = Seq(first, rerunA(name), rerunB(name)).filter(_ >= 0).sorted
-      // median over the successful runs; -1 only if every run failed
       name -> (if (ok.isEmpty) -1.0 else ok(ok.length / 2))
     }
     // Steady-state re-measure: these queries bill one-time index builds /
@@ -121,6 +130,20 @@ object Bench {
     val steady = steadySet.map(name => timeQuery("steady", name, SparkEntry.queries(name)))
     def jmap(m: Seq[(String, Double)]): String =
       m.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    // End-of-run retime of the heaviest queries (VERDICT r9 #1): each
+    // retime is BRACKETED by calibration probes, so a median that ran
+    // hot mid-pass gets one load-attributable second reading — if the
+    // bracketing probes sit in the quiet band and the retime matches
+    // the builder's quiet number, the pass-time median was load; if the
+    // retime stays high under quiet probes, the regression is real.
+    val retimes = medians.sortBy(-_._2).take(2).map { case (name, med) =>
+      val before = calProbe()
+      val (_, rt) = timeQuery("retime", name, SparkEntry.queries(name))
+      val after = calProbe()
+      name -> f"""{"median":$med%.3f,"retime":$rt%.3f,"cal_before":$before%.3f,"cal_after":$after%.3f}"""
+    }
+    val retimeJson = retimes.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val calSamplesJson = jmap(calSamples.toSeq)
     val qs = jmap(results)
     val steadyJson = jmap(steady)
     val mediansJson = jmap(medians)
@@ -131,7 +154,7 @@ object Bench {
     val headlineMedian = medians.filter(r => Headline.contains(r._1) && r._2 >= 0).map(_._2).sum
     val total = results.filter(_._2 >= 0).map(_._2).sum
     val scalars =
-      f""""metric":"headline_total","value":$headline%.3f,"unit":"sec","headline_median":$headlineMedian%.3f,"all_queries_total":$total%.3f,"n_queries":${results.length},"calibration_sec":$calibration%.3f,"sf":"$sfDir""""
+      f""""metric":"headline_total","value":$headline%.3f,"unit":"sec","headline_median":$headlineMedian%.3f,"all_queries_total":$total%.3f,"n_queries":${results.length},"calibration_sec":$calibration%.3f,"calibration_samples":$calSamplesJson,"retime":$retimeJson,"sf":"$sfDir""""
     // Full artifact (first-run + median + steady maps) goes to a FILE —
     // the r4 stdout capture truncated a ~7KB line, cutting the first ~20
     // queries (VERDICT r4 #8). Round-5 evidence (BENCH_r05.json "tail"):

@@ -602,24 +602,36 @@ object VectorSearch {
       tables: Seq[DataFrame],
       bands: Seq[SimHashLsh],
       idCol: String,
-      vecCol: String
+      vecCol: String,
+      combined: Option[DataFrame] = None
   ) {
     require(tables.length == bands.length && tables.nonEmpty,
       s"BandedLshIndex: ${tables.length} tables vs ${bands.length} bands")
 
     /** Candidates = union of each table's exact-match bucket, deduped by
       * id (a vector can land in several tables' buckets), then exact
-      * top-k. Over a [[writeBandedLsh]]-persisted index each leg is one
-      * parquet partition directory.
+      * top-k. Over a [[writeBandedLsh]]-persisted index (`combined`
+      * set) the L legs collapse into ONE scan whose OR-of-(tbl, band)
+      * predicate is pure partition pruning — the whole probe reads
+      * exactly L leaf directories in a single job.
       */
     def annTopK(queryVec: Array[Float], k: Int, tieBreak: Column): DataFrame = {
-      val cands = tables.zip(bands)
-        .map { case (t, b) =>
-          t.where(col("band") === lit(b.signatureOf(queryVec.toIndexedSeq))).drop("band")
-        }
-        .reduce(_ unionByName _)
-        .dropDuplicates(idCol)
-      topK(cands, vecCol, queryVec, k, tieBreak)
+      val cands = combined match {
+        case Some(c) =>
+          val pred = bands.zipWithIndex
+            .map { case (b, i) =>
+              col("tbl") === lit(i) && col("band") === lit(b.signatureOf(queryVec.toIndexedSeq))
+            }
+            .reduce(_ || _)
+          c.where(pred).drop("band", "tbl")
+        case None =>
+          tables.zip(bands)
+            .map { case (t, b) =>
+              t.where(col("band") === lit(b.signatureOf(queryVec.toIndexedSeq))).drop("band")
+            }
+            .reduce(_ unionByName _)
+      }
+      topK(cands.dropDuplicates(idCol), vecCol, queryVec, k, tieBreak)
     }
   }
 
@@ -645,8 +657,12 @@ object VectorSearch {
     BandedLshIndex(tables, bands, idCol, vecCol)
   }
 
-  /** Persist each table partitioned by its band — L directories of
-    * single-partition buckets; params sidecar reconstructs the signers.
+  /** Persist the L tables as ONE dataset partitioned by (tbl, band) —
+    * L x 2^bandBits leaf directories written in a single job (the
+    * per-table-write form paid L job setups + commits for the same
+    * directory count), and the probe's OR-of-(tbl, band) predicate
+    * prunes to exactly L leaves in a single scan. Params sidecar
+    * reconstructs the signers.
     *
     * The sidecar stores only the HEAD band's (seed, nBits, dim) and
     * [[loadBandedLsh]] re-derives band i as seed + 7919*i — the
@@ -669,10 +685,14 @@ object VectorSearch {
       require(!v.exists(c => c == '"' || c == '\\'),
         s"writeBandedLsh: $name '$v' contains a quote or backslash, unsupported by the params sidecar")
     }
-    index.tables.zipWithIndex.foreach { case (t, i) =>
-      t.repartition(col("band"))
-        .write.mode("overwrite").partitionBy("band").parquet(s"$path/table_$i/buckets")
-    }
+    index.tables.zipWithIndex
+      .map { case (t, i) => t.withColumn("tbl", lit(i)) }
+      .reduce(_ unionByName _)
+      // cluster rows by leaf before the partitioned write (the writeLsh
+      // lesson: partitionBy alone opens a file per leaf per input
+      // partition — up to partitions x L x 2^b tiny files)
+      .repartition(col("tbl"), col("band"))
+      .write.mode("overwrite").partitionBy("tbl", "band").parquet(s"$path/buckets")
     val params =
       s"""{"numTables":${index.bands.length},"bandBits":${b0.nBits},"dim":${b0.dim},"seed":${b0.seed},"idCol":"${index.idCol}","vecCol":"${index.vecCol}"}"""
     val p = new org.apache.hadoop.fs.Path(s"$path/params.json")
@@ -682,7 +702,11 @@ object VectorSearch {
     finally out.close()
   }
 
-  /** Load a persisted banded LSH index (inverse of [[writeBandedLsh]]). */
+  /** Load a persisted banded LSH index (inverse of [[writeBandedLsh]]):
+    * `combined` carries the single partitioned dataset (the one-scan
+    * probe path); `tables` are per-tbl views of it for parity with the
+    * in-memory form.
+    */
   def loadBandedLsh(spark: org.apache.spark.sql.SparkSession, path: String): BandedLshIndex = {
     val p = new org.apache.hadoop.fs.Path(s"$path/params.json")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -701,8 +725,9 @@ object VectorSearch {
     val (n, bits, dim, seed) =
       (num("numTables").toInt, num("bandBits").toInt, num("dim").toInt, num("seed"))
     val bands = (0 until n).map(i => SimHashLsh(nBits = bits, dim = dim, seed = seed + 7919L * i))
-    val tables = (0 until n).map(i => spark.read.parquet(s"$path/table_$i/buckets"))
-    BandedLshIndex(tables, bands, str("idCol"), str("vecCol"))
+    val combined = spark.read.parquet(s"$path/buckets")
+    val tables = (0 until n).map(i => combined.where(col("tbl") === i).drop("tbl"))
+    BandedLshIndex(tables, bands, str("idCol"), str("vecCol"), combined = Some(combined))
   }
 
   /** IVF (inverted-file) ANN: a k-means coarse quantizer partitions the

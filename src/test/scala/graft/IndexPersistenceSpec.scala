@@ -126,16 +126,27 @@ class IndexPersistenceSpec extends AnyFunSuite {
     queries.foreach(q => assert(answer(loaded, q) == answer(built, q),
       "loaded banded index diverged from the fresh build"))
 
-    // 2) each probe leg of the LOADED index is parquet partition pruning
-    //    on that table's band — the one-directory-per-table read. EVERY
-    //    leg must carry its own band PartitionFilter: exactly L of them
-    //    (a single global hit could be one pruned leg and 7 full scans)
-    val plan = loaded.annTopK(queries.head, 5, col("id"))
-      .queryExecution.executedPlan.toString
-    val prunedLegs = "PartitionFilters: \\[[^\\]]*band[^\\]]*\\]".r
-      .findAllIn(plan).length
-    assert(prunedLegs == 8,
-      s"expected 8 probe legs each pruned on band, found $prunedLegs in:\n${plan.take(2000)}")
+    // 2) the LOADED probe is ONE scan whose OR-of-(tbl, band) predicate
+    //    is pure partition pruning — all 8 legs in a single job. The
+    //    PartitionFilters entry must carry ALL 8 (tbl AND band)
+    //    disjuncts; anything less means some leg reads beyond its leaf.
+    // (counted on the expression tree — the plan STRING truncates long
+    // filter lists, hiding disjuncts from a regex)
+    val probePlan = loaded.annTopK(queries.head, 5, col("id"))
+      .queryExecution.sparkPlan
+    val scans = probePlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec if s.partitionFilters.nonEmpty => s
+    }
+    assert(scans.length == 1,
+      s"expected ONE partition-pruned scan, found ${scans.length} in:\n${probePlan.toString.take(2000)}")
+    val legDisjuncts = scans.head.partitionFilters
+      .flatMap(_.collect {
+        case e: org.apache.spark.sql.catalyst.expressions.EqualTo
+            if e.left.toString.contains("tbl") => e
+      })
+      .length
+    assert(legDisjuncts == 8,
+      s"expected 8 (tbl, band) probe disjuncts, found $legDisjuncts in: ${scans.head.partitionFilters}")
 
     // 3) recall vs exact on tight clusters: near neighbors agree on most
     //    hyperplanes, so 8 tables of 8 bits recover the top-10 —
