@@ -1929,6 +1929,51 @@ object OracleSql {
          |FROM pairs GROUP BY pair
          |ORDER BY n DESC, pair LIMIT 20""".stripMargin,
 
+    "q_bpe_merges" -> {
+      // TextAnalysis.bpeMerges twin: 4 unrolled merge rounds (the
+      // kmeansCtes recipe). Per round r: pair stats over the segmented
+      // vocabulary (p_r), weighted argmax with lexicographic tie-break
+      // (b_r), LEFT-TO-RIGHT GREEDY merge via a sequential list_reduce
+      // fold over the delimiter-bounded segmentation (w_r — append each
+      // symbol unless it equals pb and the accumulator ends with
+      // boundary-delimited pa; a merged symbol can never re-equal pa,
+      // so the fold is exactly the greedy apply), then the weighted
+      // symbol count (ns_r).
+      def round(prev: String, r: Int): String =
+        s"""p$r AS (
+           |  SELECT pa, pb, CAST(SUM(freq) AS BIGINT) AS n
+           |  FROM (
+           |    SELECT w.freq, w.syms[i] AS pa, w.syms[i + 1] AS pb
+           |    FROM (SELECT freq, list_filter(string_split(seg, '|'), x -> len(x) > 0) AS syms
+           |          FROM $prev) w,
+           |         UNNEST(range(1, len(w.syms))) t(i))
+           |  GROUP BY pa, pb),
+           |b$r AS (SELECT pa, pb, n FROM p$r ORDER BY n DESC, pa, pb LIMIT 1),
+           |w$r AS (
+           |  SELECT freq,
+           |         list_reduce(list_prepend('|', list_filter(string_split(seg, '|'), x -> len(x) > 0)),
+           |           (acc, x) -> CASE WHEN x = b.pb AND ends_with(acc, '|' || b.pa || '|')
+           |                            THEN substr(acc, 1, len(acc) - len(b.pa) - 1) || b.pa || b.pb || '|'
+           |                            ELSE acc || x || '|' END) AS seg
+           |  FROM $prev CROSS JOIN b$r b),
+           |ns$r AS (
+           |  SELECT CAST(SUM(freq * len(list_filter(string_split(seg, '|'), x -> len(x) > 0))) AS BIGINT) AS n_symbols
+           |  FROM w$r)""".stripMargin
+      val rounds = (1 to 4).map(r => round(s"w${r - 1}", r)).mkString(",\n")
+      val sel = (1 to 4)
+        .map(r =>
+          s"SELECT CAST($r AS BIGINT) AS round, b$r.pa AS pair_a, b$r.pb AS pair_b, b$r.n, ns$r.n_symbols FROM b$r, ns$r")
+        .mkString("\nUNION ALL\n")
+      s"""WITH w0 AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS freq,
+         |         '|' || regexp_replace(word, '(.)', '\\1|', 'g') AS seg
+         |  FROM (SELECT UNNEST($ftsToks) AS word FROM documents)
+         |  GROUP BY word),
+         |$rounds
+         |$sel
+         |ORDER BY round""".stripMargin
+    },
+
     "q_drift" ->
       // DriftMonitor.categoricalDrift twin: integer-exact ppm
       // proportions (floor division), chi-square contributions x 1e9 in
@@ -1988,6 +2033,45 @@ object OracleSql {
         |SELECT window_start, category, n, ref_n, ppm_obs, ppm_ref, abs_ppm_diff,
         |       CAST(SUM(abs_ppm_diff) OVER (PARTITION BY window_start) AS BIGINT) AS tvd2_ppm
         |FROM ppms ORDER BY window_start, category""".stripMargin,
+
+    "q_vector_window_drift" ->
+      // EventStreams.windowedVectorSums -> vectorWindowDrift twin:
+      // synthetic ts = 2024-01-01 + vec_id hours in micros, 7-day
+      // tumbling alignment by modulo, floor(x*1000) quantization, exact
+      // per-(window, dim) integer sums, reference = corpus-wide sums,
+      // shift via the q_embed_drift HUGEINT expression
+      """WITH v AS (
+        |  SELECT vec_id,
+        |         list_transform(CAST(embedding AS DOUBLE[]),
+        |                        x -> CAST(floor(x * 1000.0) AS BIGINT)) AS qvec
+        |  FROM embeddings
+        |  WHERE embedding IS NOT NULL
+        |    AND len(list_filter(CAST(embedding AS DOUBLE[]), x -> isnan(x) OR isinf(x))) = 0),
+        |w AS (
+        |  SELECT (1704067200000000 + vec_id * 3600000000)
+        |           - ((1704067200000000 + vec_id * 3600000000) % 604800000000) AS window_start_us,
+        |         qvec
+        |  FROM v),
+        |comp AS (
+        |  SELECT w.window_start_us, CAST(d.dim AS BIGINT) AS dim, w.qvec[d.dim] AS qv
+        |  FROM w, (SELECT UNNEST(range(1, 65)) AS dim) d),
+        |sums AS (
+        |  SELECT window_start_us, dim,
+        |         CAST(COUNT(*) AS BIGINT) AS cnt_a,
+        |         CAST(SUM(qv) AS BIGINT) AS sum_a
+        |  FROM comp GROUP BY 1, 2),
+        |ref AS (
+        |  SELECT dim,
+        |         CAST(COUNT(*) AS BIGINT) AS cnt_b,
+        |         CAST(SUM(qv) AS BIGINT) AS sum_b
+        |  FROM comp GROUP BY 1)
+        |SELECT s.window_start_us, s.dim, s.cnt_a, r.cnt_b, s.sum_a, r.sum_b,
+        |       CAST((CAST(s.sum_a AS HUGEINT) * r.cnt_b - CAST(r.sum_b AS HUGEINT) * s.cnt_a)
+        |            * 1000 // (CAST(s.cnt_a AS HUGEINT) * r.cnt_b) AS BIGINT) AS shift_milliq,
+        |       ABS(CAST((CAST(s.sum_a AS HUGEINT) * r.cnt_b - CAST(r.sum_b AS HUGEINT) * s.cnt_a)
+        |            * 1000 // (CAST(s.cnt_a AS HUGEINT) * r.cnt_b) AS BIGINT)) AS abs_shift_milliq
+        |FROM sums s JOIN ref r ON s.dim = r.dim
+        |ORDER BY s.window_start_us, s.dim""".stripMargin,
 
     "q_embed_drift" ->
       // DriftMonitor.embeddingDrift twin: floor(x*1000) quantization,

@@ -2355,6 +2355,16 @@ object SparkEntry {
   private def qBpePairs(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.bpePairStats(t(s, dir, "documents"), "text", 20)
 
+  /** Iterated BPE tokenizer training (TextAnalysis.bpeMerges): 4 full
+    * merge rounds — per-round weighted pair argmax + left-to-right
+    * greedy re-segmentation of the vocabulary. Each row's count depends
+    * on all previous merges, so the hash pins the whole loop (the
+    * PageRank/k-means unrolled-oracle recipe applied to tokenizer
+    * training). Corpus touched once; rounds run vocabulary-sized.
+    */
+  private def qBpeMerges(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bpeMerges(t(s, dir, "documents"), "text", rounds = 4)
+
   /** Per-window drift readout (EventStreams.windowDrift) as a BATCH
     * query: weekly event-type mixes against the whole month's mix as
     * the reference — the exact integer-ppm arithmetic the streaming
@@ -2386,6 +2396,43 @@ object SparkEntry {
         "embedding",
         col("label") < 5)
       .orderBy("dim")
+
+  /** Per-window EMBEDDING drift readout (EventStreams.windowedVectorSums
+    * -> vectorWindowDrift) as a BATCH query — the vector sibling of
+    * q_window_drift, hash-gating the streaming arithmetic end-to-end:
+    * quantize floor(x*1000), per-(window, dim) integer component sums
+    * through the REAL streaming aggregation (withWatermark+window() —
+    * batch planning elides the watermark, keeping the expressions), then
+    * shiftFromSums against a whole-corpus reference built by the SAME
+    * aggregation collapsed to one window. Embeddings carry no timestamp,
+    * so each vector gets a deterministic synthetic one (epoch 2024-01-01
+    * + vec_id hours — DuckDB mirrors the micros arithmetic), bucketed
+    * into 7-day tumbling windows.
+    */
+  private def qVectorWindowDrift(s: SparkSession, dir: String): DataFrame = {
+    val baseUs = 1704067200000000L // 2024-01-01T00:00:00Z
+    val hourUs = 3600000000L
+    val emb = t(s, dir, "embeddings")
+    val withTs = emb.select(
+      timestamp_micros(lit(baseUs) + col("vec_id") * lit(hourUs)).as("ts"),
+      col("embedding"))
+    val sums = graft.streaming.EventStreams
+      .windowedVectorSums(withTs, "ts", "embedding", windowLen = "7 days", lateness = "1 hour")
+    // reference: the corpus-wide per-dim sums, via the SAME streaming
+    // aggregation with every row pinned to one window
+    val reference = graft.streaming.EventStreams
+      .windowedVectorSums(
+        emb.select(timestamp_micros(lit(baseUs)).as("ts"), col("embedding")),
+        "ts", "embedding", windowLen = "7 days", lateness = "1 hour")
+      .select(col("dim"), col("cnt"), col("qsum"))
+    graft.streaming.EventStreams
+      .vectorWindowDrift(sums, reference, "dim", "cnt", "qsum")
+      .select(
+        unix_micros(col("window_start")).as("window_start_us"),
+        col("dim"), col("cnt_a"), col("cnt_b"), col("sum_a"), col("sum_b"),
+        col("shift_milliq"), col("abs_shift_milliq"))
+      .orderBy("window_start_us", "dim")
+  }
 
   // =====================================================================
   // Contract maps
@@ -2523,7 +2570,9 @@ object SparkEntry {
     "q_drift_value" -> (qDriftValue _),
     "q_embed_drift" -> (qEmbedDrift _),
     "q_bpe_pairs" -> (qBpePairs _),
-    "q_window_drift" -> (qWindowDrift _)
+    "q_bpe_merges" -> (qBpeMerges _),
+    "q_window_drift" -> (qWindowDrift _),
+    "q_vector_window_drift" -> (qVectorWindowDrift _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -64,11 +64,15 @@ object DriftMonitor {
     *    cap already at ~2e7 rows/slice). Beyond ~3e9 rows per slice,
     *    shard the comparison.
     *
-    * Rows are NOT ordered; order in the caller. Unordered-slice caveat:
+    * Rows are unordered by default (`ordered = false`); pass
+    * `ordered = true` for the canonical `ORDER BY category` a
+    * monitoring consumer diffing successive outputs needs (nulls first,
+    * Spark's default ascending null ordering). Unordered-slice caveat:
     * null categories group as a single null row (Spark and most engines
     * agree on null grouping).
     */
-  def categoricalDrift(df: DataFrame, catCol: String, inA: Column): DataFrame = {
+  def categoricalDrift(
+      df: DataFrame, catCol: String, inA: Column, ordered: Boolean = false): DataFrame = {
     val perCat = df
       .select(col(catCol).as("category"), when(inA, 1L).otherwise(0L).as("_in_a"))
       .groupBy("category")
@@ -79,7 +83,8 @@ object DriftMonitor {
     // whole-frame window over <= |categories| rows, so the input scans
     // exactly once (a separate `.agg` would recompute the aggregation
     // subtree and re-scan the corpus)
-    statsFromCounts(perCat)
+    val out = statsFromCounts(perCat)
+    if (ordered) out.orderBy("category") else out
   }
 
   /** The drift statistics over an already-aggregated per-category count
@@ -153,7 +158,8 @@ object DriftMonitor {
       df: DataFrame,
       vecCol: String,
       inA: Column,
-      scale: Long = 1000L
+      scale: Long = 1000L,
+      ordered: Boolean = false
   ): DataFrame = {
     require(scale >= 1L, s"embeddingDrift: scale must be >= 1, got $scale")
     val nonFinite = exists(
@@ -174,6 +180,7 @@ object DriftMonitor {
         sum(col("qv") * col("_in_a")).as("sum_a"),
         sum(col("qv") * (lit(1L) - col("_in_a"))).as("sum_b"))
       .transform(shiftFromSums)
+      .transform(d => if (ordered) d.orderBy("dim") else d)
   }
 
   /** The centroid-shift arithmetic over an already-aggregated
@@ -220,7 +227,8 @@ object DriftMonitor {
       inA: Column,
       lo: Double,
       hi: Double,
-      nBins: Int
+      nBins: Int,
+      ordered: Boolean = false
   ): DataFrame = {
     require(nBins >= 1, s"numericDrift: nBins must be >= 1, got $nBins")
     require(hi > lo, s"numericDrift: need hi > lo, got [$lo, $hi]")
@@ -234,7 +242,7 @@ object DriftMonitor {
             .cast("long"),
           lit(0L)),
         lit(nBins - 1L)))
-    categoricalDrift(df.withColumn("bin", bin), "bin", inA)
+    categoricalDrift(df.withColumn("bin", bin), "bin", inA, ordered)
       .withColumnRenamed("category", "bin")
   }
 }

@@ -470,6 +470,89 @@ object TextAnalysis {
     * same plan over the re-segmented vocabulary; corpus text is never
     * touched again.
     */
+  /** Iterated BPE merge training: run `rounds` full merge iterations of
+    * byte-pair-encoding tokenizer training — per round, count adjacent
+    * symbol pairs over the segmented vocabulary weighted by word
+    * frequency, pick the most frequent pair (ties: lexicographic on the
+    * pair), and apply the merge LEFT-TO-RIGHT GREEDY non-overlapping to
+    * every word's segmentation (the standard BPE apply order). Output:
+    * one row per round — `(round, pair_a, pair_b, n, n_symbols)` where
+    * `n` is the winning pair's weighted count BEFORE the merge and
+    * `n_symbols` the total weighted symbol count AFTER it — so each
+    * row's stats depend on every previous round's re-segmentation, and
+    * a hash over the rows pins the whole loop.
+    *
+    * Segmentations ride as delimiter-bounded strings (`"|l|o|w|"`); the
+    * merge is a sequential fold: append each symbol unless it equals
+    * `b` and the accumulator ends with boundary-delimited `a` — since a
+    * merged symbol `a+b` can never equal `a` (b nonempty), this
+    * reproduces left-to-right greedy exactly. Symbols are
+    * [[graft.functions.TextFunctions.ftsTokens]] output (lowercase
+    * alphanumeric), so the delimiter cannot occur inside a symbol.
+    *
+    * Scale shape (the [[bpePairStats]] contract, iterated): the corpus
+    * is touched ONCE for the word histogram; every round's pair count,
+    * argmax, and re-segmentation run over the VOCABULARY (|vocab| x avg
+    * word length rows, independent of corpus size). The per-round
+    * argmax is a 1-row driver pull — the k-means-centroid convention
+    * for iterative operators.
+    */
+  def bpeMerges(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"bpeMerges: rounds must be >= 1, got $rounds")
+    val spark = docs.sparkSession
+    val segSyms = filter(split(col("seg"), "\\|"), x => length(x) > 0)
+    var vocab = docs
+      .select(explode(TextFunctions.ftsTokens(col(textCol))).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("freq"))
+      .select(
+        col("freq"),
+        concat(lit("|"), regexp_replace(col("word"), "(.)", "$1|")).as("seg"))
+      .cache()
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long, Long)]
+    (1 to rounds).foreach { r =>
+      val best = vocab
+        .select(col("freq"), segSyms.as("_syms"))
+        .where(size(col("_syms")) >= 2)
+        .select(
+          col("freq"),
+          explode(expr(
+            "transform(sequence(1, size(_syms) - 1), " +
+              "i -> struct(element_at(_syms, i) AS pair_a, element_at(_syms, i + 1) AS pair_b))")).as("p"))
+        .groupBy(col("p.pair_a").as("pair_a"), col("p.pair_b").as("pair_b"))
+        .agg(sum("freq").as("n"))
+        .orderBy(desc("n"), col("pair_a"), col("pair_b"))
+        .limit(1)
+        .collect()
+      require(best.nonEmpty,
+        s"bpeMerges: vocabulary exhausted all pairs before round $r — lower `rounds`")
+      val (a, b, n) =
+        (best.head.getString(0), best.head.getString(1), best.head.getLong(2))
+      val merged = vocab.withColumn(
+        "seg",
+        aggregate(
+          segSyms,
+          lit("|"),
+          (acc, x) =>
+            when(
+              x === lit(b) && acc.endsWith(lit("|" + a + "|")),
+              concat(
+                substr(acc, lit(1), length(acc) - lit(a.length + 1)),
+                lit(a + b + "|")))
+              .otherwise(concat(acc, x, lit("|")))))
+        .cache()
+      val nSymbols = merged
+        .agg(sum(col("freq") * size(segSyms)).as("ns"))
+        .collect().head.getLong(0)
+      vocab.unpersist()
+      vocab = merged
+      out += ((r.toLong, a, b, n, nSymbols))
+    }
+    vocab.unpersist()
+    import spark.implicits._
+    out.toSeq.toDF("round", "pair_a", "pair_b", "n", "n_symbols")
+  }
+
   def bpePairStats(docs: DataFrame, textCol: String, k: Int = 20): DataFrame = {
     require(k >= 1, s"bpePairStats: k must be >= 1, got $k")
     val wordCounts = docs

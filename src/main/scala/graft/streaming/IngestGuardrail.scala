@@ -1,0 +1,91 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Per-batch ingest drift guardrail: compare each micro-batch's category
+  * mix against a PERSISTED reference profile and surface an event when
+  * the mix shifts beyond a threshold — the "does today's data look like
+  * yesterday's?" check run where it belongs, inside the ingest path
+  * ([[StreamingIngest]] invokes it per batch when configured).
+  *
+  * The profile is bin COUNTS, not rows (at 100 TB the reference corpus
+  * is not re-scanned per batch): build it once with [[writeProfile]],
+  * and each batch pays one |bins|-sized aggregation plus a broadcast
+  * join against the profile. The comparison arithmetic is
+  * [[EventStreams.windowDrift]] — the SAME integer-ppm/TVD definitions
+  * as every other drift surface (hash-gated by q_window_drift), so the
+  * guardrail cannot diverge from the monitoring queries.
+  *
+  * `tvd2_ppm` is 2e6 x the total-variation distance between the batch
+  * and reference category distributions: 0 = identical, 2e6 = disjoint.
+  * The default threshold 200000 fires at TVD 0.10.
+  */
+object IngestGuardrail {
+
+  /** One fired guardrail check. `worstCategory` is the bin with the
+    * largest proportion shift (`worstAbsPpmDiff` ppm).
+    */
+  final case class DriftReport(
+      batchId: Long,
+      tvd2Ppm: Long,
+      worstCategory: String,
+      worstAbsPpmDiff: Long
+  )
+
+  /** Canonical text-length binning for the ingest guardrail: 16 bins of
+    * 512 chars, top bin open-ended. Coarse on purpose — the guardrail
+    * watches the MIX, not individual documents.
+    */
+  def lengthBin(textCol: Column): Column =
+    least(floor(length(textCol) / lit(512)), lit(15L)).cast("long")
+
+  /** Aggregate a corpus into a reference profile `(category, n)` and
+    * persist it (a |bins|-row parquet — cheap to write, broadcast on
+    * read). Run at profile-refresh cadence, not per batch.
+    */
+  def writeProfile(corpus: DataFrame, category: Column, path: String): Unit =
+    corpus
+      .select(category.as("category"))
+      .groupBy("category")
+      .agg(count(lit(1)).as("n"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(path)
+
+  /** Compare one batch's category mix against the reference profile.
+    * Returns the report when `tvd2_ppm >= thresholdTvd2Ppm`, None when
+    * the batch looks like the reference. The collect is bounded by the
+    * bin alphabet (the profile's own size).
+    */
+  def check(
+      batch: DataFrame,
+      category: Column,
+      reference: DataFrame,
+      thresholdTvd2Ppm: Long,
+      batchId: Long
+  ): Option[DriftReport] = {
+    val counts = batch
+      .select(category.as("category"))
+      .groupBy("category")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("window_start", lit(batchId))
+    val rows = EventStreams.windowDrift(counts, reference, "category", "n").collect()
+    def longAt(r: org.apache.spark.sql.Row, name: String): Long = {
+      val i = r.fieldIndex(name)
+      if (r.isNullAt(i)) 0L else r.getLong(i)
+    }
+    if (rows.isEmpty) None
+    else {
+      val tvd2 = longAt(rows.head, "tvd2_ppm")
+      if (tvd2 < thresholdTvd2Ppm) None
+      else {
+        val worst = rows.maxBy(longAt(_, "abs_ppm_diff"))
+        Some(DriftReport(
+          batchId,
+          tvd2,
+          String.valueOf(worst.get(worst.fieldIndex("category"))),
+          longAt(worst, "abs_ppm_diff")))
+      }
+    }
+  }
+}

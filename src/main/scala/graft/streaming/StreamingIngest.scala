@@ -24,9 +24,21 @@ import graft.sources.Catalog
   * pipeline (narrow flatMap chunking + embedding); a real deployment sets
   * `maxFilesPerTrigger` for backpressure.
   */
-final class StreamingIngest(spark: SparkSession, config: GraftConfig = GraftConfig.default) {
+final class StreamingIngest(
+    spark: SparkSession,
+    config: GraftConfig = GraftConfig.default,
+    driftProfilePath: Option[String] = None,
+    driftThresholdTvd2Ppm: Long = 200000L // TVD 0.10
+) {
 
   private val catalog = new Catalog(spark, config.warehouseDir)
+
+  /** Guardrail events fired so far (driver-side, bounded by batches that
+    * actually drifted) — the programmatic surface; each event is also a
+    * JsonLog warn line for log-based alerting.
+    */
+  val driftEvents: scala.collection.mutable.Buffer[IngestGuardrail.DriftReport] =
+    scala.collection.mutable.ArrayBuffer.empty
 
   /** Start a streaming ingest of text/markdown documents under `dir`.
     * Returns the query; call `processAllAvailable()`/`awaitTermination()`.
@@ -81,6 +93,27 @@ final class StreamingIngest(spark: SparkSession, config: GraftConfig = GraftConf
     // deduped batch on the executors before the first append.
     val deduped = antiJoined.localCheckpoint()
     if (deduped.isEmpty) return
+
+    // Opt-in drift guardrail (VERDICT r9 #6): the batch's text-length
+    // mix against the persisted reference profile, BEFORE the load —
+    // one |bins|-sized aggregation over the already-pinned batch. The
+    // batch still loads (monitor-then-load; a quarantine policy would
+    // hook here), but the event is on record the moment the mix shifts.
+    driftProfilePath.foreach { profile =>
+      IngestGuardrail
+        .check(
+          deduped, IngestGuardrail.lengthBin(col("value")),
+          s.read.parquet(profile), driftThresholdTvd2Ppm, batchId)
+        .foreach { rep =>
+          driftEvents += rep
+          graft.util.JsonLog.warn(
+            "ingest_drift_detected",
+            "batch_id" -> rep.batchId,
+            "tvd2_ppm" -> rep.tvd2Ppm,
+            "worst_category" -> rep.worstCategory,
+            "worst_abs_ppm_diff" -> rep.worstAbsPpmDiff)
+        }
+    }
 
     val docs = deduped
       .withColumn("id", sha2(col("file_hash"), 256))

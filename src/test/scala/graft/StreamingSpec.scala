@@ -41,6 +41,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(cat.read("documents_stream").count() == 3, "duplicate content must not re-ingest")
   }
 
+  test("ingest drift guardrail: a drifted batch fires an event, a conforming batch does not") {
+    import graft.streaming.IngestGuardrail
+    val base = Files.createTempDirectory("graft-guardrail").toString
+    val in = s"$base/in"; val wh = s"$base/wh"; val ckpt = s"$base/ckpt"
+    val profile = s"$base/profile"
+    Files.createDirectories(Paths.get(in))
+
+    // reference profile: a corpus of SHORT documents (bin 0)
+    val spark2 = spark
+    import spark2.implicits._
+    val refCorpus = (1 to 50).map(i => s"short doc $i with a few words").toDF("value")
+    IngestGuardrail.writeProfile(refCorpus, IngestGuardrail.lengthBin(col("value")), profile)
+
+    val ingest = new StreamingIngest(
+      spark, GraftConfig(warehouseDir = wh), driftProfilePath = Some(profile))
+
+    // batch 1 conforms to the profile: short docs -> no event
+    Files.write(Paths.get(in, "ok1.md"), "# Ok\n\na short conforming doc.".getBytes)
+    Files.write(Paths.get(in, "ok2.md"), "# Ok2\n\nanother short one here.".getBytes)
+    ingest.start(in, ckpt).awaitTermination()
+    assert(ingest.driftEvents.isEmpty,
+      s"conforming batch must not fire the guardrail: ${ingest.driftEvents}")
+
+    // batch 2 drifts hard: every doc lands in a length bin the reference
+    // has never seen -> TVD 1.0, tvd2_ppm 2e6 >> the 200k threshold
+    val long1 = "# Long\n\n" + ("lorem ipsum dolor sit amet " * 80)
+    val long2 = "# Long2\n\n" + ("consectetur adipiscing elit sed " * 80)
+    Files.write(Paths.get(in, "drift1.md"), long1.getBytes)
+    Files.write(Paths.get(in, "drift2.md"), long2.getBytes)
+    ingest.start(in, ckpt).awaitTermination()
+    assert(ingest.driftEvents.nonEmpty, "drifted batch must fire the guardrail")
+    val rep = ingest.driftEvents.head
+    assert(rep.tvd2Ppm > 200000L, s"expected a large shift, got $rep")
+    assert(rep.worstAbsPpmDiff > 0L, rep.toString)
+  }
+
   test("streaming batches extend a live FTS index incrementally (no rebuild)") {
     import graft.operators.FtsIndex
     val base = Files.createTempDirectory("graft-stream-fts").toString

@@ -226,4 +226,41 @@ class TextAnalysisSpec extends AnyFunSuite {
       .map(r => r.getAs[String]("pair") -> r.getAs[Long]("n")).toSeq
     assert(out == Seq("xy" -> 1L, "yx" -> 1L), s"got $out")
   }
+
+  test("bpeMerges: the classic low/lower/newest/widest walkthrough, 3 rounds") {
+    // corpus: low x2, lower x1, newest x3, widest x1 (chars: 2x3+5+3x6+6 = 35)
+    // round 1: (e,s) = 3 (newest) + 1 (widest) = 4 -> merge "es", 35-4=31 symbols
+    // round 2: (es,t) = 4 -> "est", 27 symbols
+    // round 3: n=3 tie between (e,w) [n·e·w·est x3], (l,o), (n,e),
+    //   (o,w), (w,est) -> lexicographic -> (e,w); 3 merges -> 24
+    val docs = Seq("low low lower", "newest newest newest widest").toDF("text")
+    val out = TextAnalysis.bpeMerges(docs, "text", rounds = 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(out == Seq(
+      (1L, "e", "s", 4L, 31L),
+      (2L, "es", "t", 4L, 27L),
+      (3L, "e", "w", 3L, 24L)
+    ), s"got $out")
+  }
+
+  test("bpeMerges: left-to-right greedy non-overlapping merge inside runs") {
+    // word "aaaa" x1: round 1 pair (a,a) counts OVERLAPPING occurrences
+    // (3), but the merge applies non-overlapping left-to-right:
+    // a a a a -> aa aa (2 symbols), NOT a aa a or aa a a
+    val docs = Seq("aaaa").toDF("text")
+    val out = TextAnalysis.bpeMerges(docs, "text", rounds = 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(out == Seq(
+      (1L, "a", "a", 3L, 2L),
+      (2L, "aa", "aa", 1L, 1L)
+    ), s"got $out")
+  }
+
+  test("bpeMerges: fails loudly when the vocabulary runs out of pairs") {
+    val docs = Seq("a b c").toDF("text") // all single-char words: zero pairs
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.bpeMerges(docs, "text", rounds = 1).collect()
+    }
+    assert(e.getMessage.contains("exhausted"), e.getMessage)
+  }
 }
