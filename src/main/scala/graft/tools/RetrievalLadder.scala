@@ -1,0 +1,120 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.VectorSearch
+
+/** The engine's retrieval-quality datasheet (VERDICT r9 #7): recall@10
+  * and MRR@10 against brute-force cosine truth for EVERY ANN surface at
+  * its operating point, over the same 20 probe queries RecallProbe uses
+  * — one table, produced by one run, recorded in SCALE.md.
+  *
+  * MRR@10 here scores a surface's ranked top-10 against the brute-force
+  * top-10 as the relevant set: reciprocal rank of the first true-top-10
+  * item (0 when none surfaces). Brute force itself reads 1.000/1.000 by
+  * construction — the sanity row. The query vector IS a corpus row and
+  * every surface trivially returns it at rank 1 (a first cut of this
+  * table read MRR 1.000 on every row from exactly that), so the
+  * SELF-MATCH IS EXCLUDED from both truth and results — the standard
+  * known-item convention, and the numbers then measure neighbor
+  * retrieval, not self-lookup.
+  *
+  * The banded-LSH rows double as the recall-vs-L curve (VERDICT r9 #2):
+  * L is the ONLY recall knob of the band-OR layout, so the curve is the
+  * layout's tuning table.
+  *
+  *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "runMain graft.tools.RetrievalLadder"
+  */
+object RetrievalLadder {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[16]")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").localCheckpoint()
+    val queryIds = 0L until 20L
+    val queries = emb.where(col("vec_id").isin(queryIds: _*))
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val dim = queries(0L).length
+
+    // every surface fetches k+1 and drops the self-match, leaving a
+    // ranked top-10 of true NEIGHBORS
+    val K = 10
+    val fetchK = K + 1
+
+    // brute-force truth: the ORDERED top-10 neighbors per query
+    val truth: Map[Long, Seq[Long]] = queryIds.map { qid =>
+      qid -> VectorSearch.topK(emb, "embedding", queries(qid), fetchK, col("vec_id"))
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
+        .filterNot(_ == qid).take(K)
+    }.toMap
+
+    /** fetch returns the surface's RANKED top-(K+1) ids for a query. */
+    def score(tag: String)(fetch: Long => Seq[Long]): Unit = {
+      val (recSum, mrrSum) = queryIds.foldLeft((0.0, 0.0)) { case ((r, m), qid) =>
+        val got = fetch(qid).filterNot(_ == qid).take(K)
+        val truthSet = truth(qid).toSet
+        val rec = (truthSet & got.toSet).size.toDouble / K
+        val mrr = got.zipWithIndex.collectFirst {
+          case (id, i) if truthSet(id) => 1.0 / (i + 1)
+        }.getOrElse(0.0)
+        (r + rec, m + mrr)
+      }
+      println(f"[ladder] $tag recall@10=${recSum / queryIds.size}%.3f mrr@10=${mrrSum / queryIds.size}%.3f")
+    }
+
+    def ids(df: org.apache.spark.sql.DataFrame, idCol: String = "vec_id"): Seq[Long] =
+      df.select(idCol).collect().map(_.getLong(0)).toSeq
+
+    score("brute")(qid => truth(qid))
+
+    // IVF at the sf0.1 operating point (SCALE.md: nLists=8, nProbe=6)
+    val ivf = VectorSearch.buildIvf(emb, "embedding", nLists = 8)
+    score("ivf_n8_p6")(qid =>
+      ids(ivf.annTopK(queries(qid), fetchK, col("vec_id"), nProbe = 6)))
+    ivf.indexed.unpersist()
+
+    // persisted single-table LSH at the recall-safe radius (16 bits, r=8)
+    val lshDir = java.nio.file.Files.createTempDirectory("ladder-lsh").toString + "/idx"
+    val lshIdx = VectorSearch.buildLshIndex(
+      emb, "embedding", VectorSearch.SimHashLsh(nBits = 16, dim = dim))
+    VectorSearch.writeLsh(lshIdx, lshDir)
+    val lshLoaded = VectorSearch.loadLsh(spark, lshDir)
+    score("lsh_persisted_16b_r8")(qid =>
+      ids(lshLoaded.annTopK(queries(qid), fetchK, col("vec_id"), maxHamming = 8)))
+
+    // banded multi-table LSH: recall vs L at both band widths — the
+    // layout's tuning curve (every probe reads exactly L leaves)
+    val bandedGrid = Seq(6 -> 4, 6 -> 8, 6 -> 12, 6 -> 16, 6 -> 32,
+      8 -> 4, 8 -> 8, 8 -> 12, 8 -> 16)
+    for ((bits, l) <- bandedGrid) {
+      val bDir = java.nio.file.Files.createTempDirectory(s"ladder-b$bits-$l").toString + "/idx"
+      val built = VectorSearch.buildBandedLsh(
+        emb, "vec_id", "embedding", dim, numTables = l, bandBits = bits)
+      VectorSearch.writeBandedLsh(built, bDir)
+      val loaded = VectorSearch.loadBandedLsh(spark, bDir)
+      score(f"banded_b${bits}_L$l%02d")(qid =>
+        ids(loaded.annTopK(queries(qid), fetchK, col("vec_id"))))
+    }
+
+    // SQ8 integer-dot search (the q_sq8_ann surface: raw vectors, dot
+    // ranking dequantized per-vector)
+    val q8 = VectorSearch.quantizeInt8(emb, "vec_id", "embedding").localCheckpoint()
+    val q8Rows = q8.where(col("id").isin(queryIds: _*))
+      .select("id", "qvec", "mx").collect()
+      .map(r => r.getLong(0) -> (r.getSeq[Long](1), r.getDouble(2))).toMap
+    score("sq8")(qid =>
+      ids(VectorSearch.topKInt8(q8, q8Rows(qid)._1, q8Rows(qid)._2, fetchK), "id"))
+
+    // MRL truncated-prefix retrieval at 16 and 32 of 64 dims
+    for (dims <- Seq(16, 32)) {
+      score(s"mrl_$dims")(qid =>
+        ids(VectorSearch.matryoshkaTopK(emb, "vec_id", "embedding", queries(qid), dims, fetchK)))
+    }
+    spark.stop()
+  }
+}

@@ -96,7 +96,7 @@ object ScaleRehearsal {
     // one operator family without the full sweep); unset = everything.
     // EXACT name match against the known sections: substring matching let
     // e.g. 'd' enable several sections and a typo silently run nothing.
-    val sections = Seq("docs", "semdedup", "pagerank", "iterative100", "bm25batch")
+    val sections = Seq("docs", "semdedup", "pagerank", "iterative100", "bm25batch", "evaldrift")
     val only = sys.env.get("GRAFT_SCALE_ONLY")
     only.foreach(o => require(sections.contains(o),
       s"GRAFT_SCALE_ONLY='$o' is not a section; known: ${sections.mkString(", ")}"))
@@ -239,6 +239,67 @@ object ScaleRehearsal {
           maxDfFraction = 0.3).count()
       }
       zIdx.postings.unpersist()
+    }
+
+    // Eval/drift shuffle audit (VERDICT r9 #5): the claims under
+    // q_bm25_eval and q_embed_drift, METERED. (a) searchMany with a
+    // FIXED 12k-query batch against a 1x and a 10x corpus: the
+    // vocabulary semi-join + df window keep the postings-side shuffle
+    // proportional to the batch's postings footprint — growth should
+    // track matched postings (linear-bounded in corpus), and
+    // maxDfFraction should CUT the shuffle, not just the wall time.
+    // (b) embeddingDrift at 1x/10x vectors: the dim-keyed aggregation
+    // with map-side combine must keep shuffle bytes FLAT (bounded by
+    // partitions x dims rows), never proportional to vectors.
+    if (sectionEnabled("evaldrift")) {
+      import graft.operators.{DriftMonitor, FtsIndex}
+      // (b) embedding drift at 1x/10x vectors (plain id-shifted copies —
+      // drift statistics are mix-level, no near-dup geometry to preserve)
+      val emb01 = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+        .select("vec_id", "embedding")
+      for (factor <- Seq(1, 10)) {
+        val emb = (0 until factor)
+          .map(i => emb01.select((col("vec_id") + lit(i * 10000000L)).as("vec_id"), col("embedding")))
+          .reduce(_ unionByName _)
+          .localCheckpoint()
+        measure(s"embed_drift_${factor}x") {
+          DriftMonitor.embeddingDrift(emb, "embedding", pmod(col("vec_id"), lit(2)) === 0).count()
+        }
+      }
+      // (a) 12k-query batch over a Zipf-real corpus at 1x/10x. The
+      // corpus-growth legs run at the PRODUCTION operating point
+      // (maxDfFraction = 0.3); the unpruned leg runs at 1x only — at
+      // 10x it is the documented adversarial head-term path (round-9
+      // rows price it at 3k queries: 226 s vs 13 s pruned at 1x) and
+      // would add nothing but hours. Logged, not silently dropped.
+      def zipfDocs(nDocs: Long): DataFrame = spark.range(0L, nDocs * 40L, 1L, 32)
+        .select((col("id") / 40).cast("long").as("doc_id"),
+          concat(lit("w"),
+            floor(exp((pmod(xxhash64(col("id")), lit(1000000L)).cast("double") + 1.0)
+              / 1000001.0 * log(lit(20000.0)))).cast("long")).as("word"))
+        .groupBy("doc_id")
+        .agg(concat_ws(" ", collect_list(col("word"))).as("text"))
+        .localCheckpoint()
+      val batchSrc = zipfDocs(50000L)
+      val batch12k = batchSrc.where(col("doc_id") < 12000)
+        .select(col("doc_id").as("query_id"),
+          concat_ws(" ", slice(graft.functions.TextFunctions.ftsTokens(col("text")), 1, 4)).as("qtext"))
+        .localCheckpoint()
+      println("[scale] note: bm25_eval_12k unpruned leg measured at corpus 1x only — " +
+        "the 10x unpruned leg is the adversarial head-term path priced in the round-9 rows")
+      for (factor <- Seq(1, 10)) {
+        val docs = if (factor == 1) batchSrc else zipfDocs(500000L)
+        val idx = FtsIndex.build(docs, "doc_id", "text")
+        idx.postings.count() // index build is ingest, not query cost
+        if (factor == 1) measure(s"bm25_eval_12k_zipf_corpus${factor}x") {
+          FtsIndex.searchMany(batch12k, "query_id", "qtext", idx, 10).count()
+        }
+        measure(s"bm25_eval_12k_zipf_corpus${factor}x_dfpruned") {
+          FtsIndex.searchMany(batch12k, "query_id", "qtext", idx, 10,
+            maxDfFraction = 0.3).count()
+        }
+        idx.postings.unpersist()
+      }
     }
 
     // SemDeDup scaled-k (VERDICT r6 #3): with k = scaledK(n) the

@@ -216,6 +216,55 @@ class VectorFunctionsSpec extends AnyFunSuite {
     info(f"sf0.1 SimHash-LSH recall@10, nBits=16 maxHamming=8: $lshRecall%.3f")
     assert(lshRecall >= 0.8,
       f"sf0.1 LSH recall@10 $lshRecall%.3f below the 0.8 operating-point floor")
+
+    // Banded multi-table LSH: the RetrievalLadder datasheet floors
+    // (SCALE.md round-10 table). On this wide-angle corpus the band-OR
+    // layout's recall is governed by L alone (recall = 1 - (1-q)^L, q
+    // the per-table collision rate ~ 0.05 at b=6) — assert the L=16
+    // point AND the monotone climb from L=4, so a signer regression
+    // that flattens the curve fails even if one point survives.
+    def bandedRecallAt(bits: Int, l: Int): Double = {
+      val idx = VectorSearch.buildBandedLsh(
+        emb, "vec_id", "embedding", queries(0L).length, numTables = l, bandBits = bits)
+      recallOf { qid =>
+        idx.annTopK(queries(qid), 10, col("vec_id"))
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+      }
+    }
+    val bandedL4 = bandedRecallAt(6, 4)
+    val bandedL16 = bandedRecallAt(6, 16)
+    info(f"sf0.1 banded-LSH recall@10: b=6 L=4 $bandedL4%.3f, L=16 $bandedL16%.3f")
+    assert(bandedL16 >= 0.45,
+      f"sf0.1 banded-LSH recall@10 $bandedL16%.3f below the 0.45 floor at b=6 L=16 (measured 0.585)")
+    assert(bandedL16 >= bandedL4 + 0.2,
+      f"banded recall must climb with L: L=4 $bandedL4%.3f vs L=16 $bandedL16%.3f")
+
+    // SQ8 integer-dot search: near-exact (datasheet 0.985)
+    val q8 = VectorSearch.quantizeInt8(emb, "vec_id", "embedding").persist()
+    val q8Rows = queryIds.map { qid =>
+      val r = q8.where(col("id") === qid).select("qvec", "mx").head()
+      qid -> (r.getSeq[Long](0), r.getDouble(1))
+    }.toMap
+    val sq8Recall = recallOf { qid =>
+      VectorSearch.topKInt8(q8, q8Rows(qid)._1, q8Rows(qid)._2, 10)
+        .select("id").collect().map(_.getLong(0)).toSet
+    }
+    q8.unpersist()
+    info(f"sf0.1 SQ8 recall@10: $sq8Recall%.3f")
+    assert(sq8Recall >= 0.9, f"sf0.1 SQ8 recall@10 $sq8Recall%.3f below 0.9")
+
+    // MRL-16 prefix: the LOW recall is itself the documented contract
+    // (non-MRL-trained embeddings carry little prefix signal — the
+    // q_retrieval_eval finding, quantified in the SCALE.md datasheet);
+    // if this ever measures high, the corpus changed and the datasheet
+    // is stale
+    val mrl16 = recallOf { qid =>
+      VectorSearch.matryoshkaTopK(emb, "vec_id", "embedding", queries(qid), 16, 10)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+    }
+    info(f"sf0.1 MRL-16 recall@10: $mrl16%.3f")
+    assert(mrl16 >= 0.05 && mrl16 < 0.6,
+      f"sf0.1 MRL-16 recall@10 $mrl16%.3f outside the documented low-signal band [0.05, 0.6); update SCALE.md")
   }
 
   test("SQL registration works") {
