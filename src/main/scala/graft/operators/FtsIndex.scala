@@ -371,7 +371,19 @@ object FtsIndex {
       .withColumn(
         "term_score",
         bm25TermScore(col("tf"), col("df"), col("doc_len"), index.numDocs, index.avgDocLen, k1, b))
-    cand
+    // Skew guard for the broadcast fan-out: the df window above leaves
+    // cand hash-partitioned BY TERM, so a head term's whole df sits in
+    // one partition and the broadcast join below would emit its
+    // |queries-with-term| x df rows — and run their partial aggregation
+    // — in ONE task (the round-10 audit measured the 12k-query unpruned
+    // leg at ~1 core from exactly this; AQE cannot help because the
+    // skew is in join OUTPUT fan-out, not input partition sizes).
+    // Spreading by (term, doc) first costs one batch-footprint shuffle
+    // and distributes the fan-out. Broadcast mode only: a shuffle join
+    // re-exchanges by term anyway, undoing the spread.
+    val fanoutReady =
+      if (broadcastQueries) cand.repartition(col("term"), col("doc_id")) else cand
+    fanoutReady
       .join(side(qTerms), Seq("term"))
       .groupBy("query_id", "doc_id")
       .agg(sum(col("term_score").cast("decimal(18,9)")).cast("double").as("score"))
