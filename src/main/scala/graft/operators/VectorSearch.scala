@@ -657,6 +657,28 @@ object VectorSearch {
     BandedLshIndex(tables, bands, idCol, vecCol)
   }
 
+  /** Incrementally extend a banded index with a batch WITHOUT touching
+    * existing rows — the [[extendLsh]]/[[extendIvf]] contract for the
+    * band-OR family: the batch is signed with the index's OWN L bands
+    * (fresh signers would split the signature space per table) and
+    * unioned into every table; a loaded index's `combined` dataset gets
+    * the same batch with its `tbl` column so the one-scan probe path
+    * sees the new rows too. O(batch x L) work, rows only appended.
+    * `newVectors` must carry the index's original corpus schema.
+    */
+  def extendBandedLsh(index: BandedLshIndex, newVectors: DataFrame): BandedLshIndex = {
+    val signedPerBand = index.bands.map(b =>
+      b.withSignature(newVectors, index.vecCol).withColumnRenamed("sig", "band"))
+    val tables = index.tables.zip(signedPerBand).map { case (t, s) => t.unionByName(s) }
+    val combined = index.combined.map { c =>
+      val batch = signedPerBand.zipWithIndex
+        .map { case (s, i) => s.withColumn("tbl", lit(i)) }
+        .reduce(_ unionByName _)
+      c.unionByName(batch)
+    }
+    index.copy(tables = tables, combined = combined)
+  }
+
   /** Persist the L tables as ONE dataset partitioned by (tbl, band) —
     * L x 2^bandBits leaf directories written in a single job (the
     * per-table-write form paid L job setups + commits for the same

@@ -160,6 +160,42 @@ class IndexPersistenceSpec extends AnyFunSuite {
     assert(mean >= 0.8, s"banded recall@10 $mean below 0.8 floor (per-query: $recalls)")
   }
 
+  test("banded LSH extend: batch signed with the LOADED bands; both probe paths see it") {
+    import graft.operators.VectorSearch
+    val rnd = new scala.util.Random(29)
+    val dim = 16
+    def vecs(ids: Range): Seq[(Long, Array[Float])] =
+      ids.map(i => (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat)))
+    val baseRows = vecs(0 until 80)
+    val batchRows = vecs(100 until 120)
+    val built = VectorSearch.buildBandedLsh(
+      baseRows.toDF("id", "vec"), "id", "vec", dim, numTables = 6, bandBits = 6, seed = 3L)
+    val dir = java.nio.file.Files.createTempDirectory("banded-extend").toString + "/idx"
+    VectorSearch.writeBandedLsh(built, dir)
+    val loaded = VectorSearch.loadBandedLsh(spark, dir)
+
+    // extend the LOADED index: the batch must be signed with the loaded
+    // (reconstructed) bands, and the fresh-built full-corpus index must
+    // answer identically — the extendLsh parity contract
+    val extended = VectorSearch.extendBandedLsh(loaded, batchRows.toDF("id", "vec"))
+    val fresh = VectorSearch.buildBandedLsh(
+      (baseRows ++ batchRows).toDF("id", "vec"), "id", "vec", dim, numTables = 6, bandBits = 6, seed = 3L)
+    def answer(ix: VectorSearch.BandedLshIndex, q: Array[Float]) =
+      ix.annTopK(q, 5, col("id")).select("id", "score").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val q = batchRows.head._2
+    assert(answer(extended, q) == answer(fresh, q),
+      "extended-after-load diverged from a fresh full-corpus build")
+    // the batch's own vector is findable through the extended index
+    assert(answer(extended, q).head._1 == batchRows.head._1)
+    // the extended COMBINED dataset carries every row exactly once per table
+    assert(extended.combined.get.count() == (80 + 20) * 6)
+    // extending an in-memory (no combined) index keeps combined empty
+    val extendedInMem = VectorSearch.extendBandedLsh(built, batchRows.toDF("id", "vec"))
+    assert(extendedInMem.combined.isEmpty)
+    assert(answer(extendedInMem, q) == answer(fresh, q))
+  }
+
   test("banded LSH write refuses indexes the sidecar cannot round-trip") {
     import graft.operators.VectorSearch
     val corpus = Seq((1L, Array(0.1f, 0.2f)), (2L, Array(0.3f, 0.4f))).toDF("id", "vec")
