@@ -311,6 +311,44 @@ class PlanShapeSpec extends AnyFunSuite {
       "all joins must be equi-joins")
   }
 
+  test("batch BM25 keeps the fan-out skew guard: a (term, doc) spread before the query join") {
+    // the round-10 audit finding: without the spread, the df window
+    // leaves candidates term-partitioned and a head term's whole
+    // (queries-with-term x df) fan-out runs in ONE task (measured ~1
+    // core for 10 minutes at a 12k batch; AQE can't split output
+    // fan-out). The guard is a hashpartitioning exchange on
+    // (term, doc_id) between the df window and the broadcast join —
+    // this pin fails if a refactor drops it.
+    val p = plan("q_bm25_eval")
+    assert("hashpartitioning\\(term[#0-9]*, doc_id".r.findAllIn(p).nonEmpty,
+      s"the (term, doc) spread exchange is gone — head-term fan-out will single-task: ${p.take(1200)}")
+  }
+
+  test("BPE pair stage: partial aggregation + top-k argmax, never a global sort") {
+    // q_bpe_pairs is the exact per-round plan shape bpeMerges re-runs N
+    // times (pair explode over the vocabulary, weighted aggregate,
+    // ranked take): the histogram and pair counts must map-side
+    // combine, and the ranking must be TakeOrderedAndProject — a global
+    // Sort here would sort the pair alphabet every merge round
+    val p = plan("q_bpe_pairs")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"word/pair counts must map-side combine: ${p.take(800)}")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the pair argmax must be a top-k, not a global sort: ${p.take(800)}")
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).length == 1,
+      "the corpus is touched exactly once — pair work is vocabulary-sized")
+  }
+
+  test("vector window drift: reference broadcasts; per-dim sums map-side combine") {
+    val p = plan("q_vector_window_drift")
+    assert(p.contains("BroadcastExchange"),
+      s"the dims-sized reference must broadcast: ${p.take(800)}")
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      "per-(window, dim) sums must map-side combine")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the reference join must stay an equi-join")
+  }
+
   test("token accounting is a single scan with no shuffle before the output sort") {
     val p = plan("q_token_bpe")
     // exactly the final orderBy's range exchange — the three token
