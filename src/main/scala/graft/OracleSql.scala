@@ -114,6 +114,49 @@ object OracleSql {
     * `Sampling.hashBucket` (n=6, then % 100) and `Sketches.md5Hash32`
     * (n=8). Keep the Scala twins and this builder in lockstep.
     */
+  /** BPE initial state: word histogram + all-single-char delimited
+    * segmentation (shared by q_bpe_merges and q_bpe_encode — the two
+    * surfaces of the same training loop).
+    */
+  private val bpeW0 =
+    s"""w0 AS (
+       |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
+       |         '|' || regexp_replace(word, '(.)', '\\1|', 'g') AS seg
+       |  FROM (SELECT UNNEST($ftsToks) AS word FROM documents)
+       |  GROUP BY word)""".stripMargin
+
+  /** One unrolled BPE merge round (the TextAnalysis.trainBpe twin —
+    * the kmeansCtes recipe). Per round r: pair stats over the segmented
+    * vocabulary (p_r), weighted argmax with lexicographic tie-break
+    * (b_r), LEFT-TO-RIGHT GREEDY merge via a sequential list_reduce
+    * fold over the delimiter-bounded segmentation (w_r — append each
+    * symbol unless it equals pb and the accumulator ends with
+    * boundary-delimited pa; a merged symbol can never re-equal pa, so
+    * the fold is exactly the greedy apply), then the weighted symbol
+    * count (ns_r). `word` rides through every round so the encode twin
+    * can join the final segmentation back to documents.
+    */
+  private def bpeRound(prev: String, r: Int): String =
+    s"""p$r AS (
+       |  SELECT pa, pb, CAST(SUM(freq) AS BIGINT) AS n
+       |  FROM (
+       |    SELECT w.freq, w.syms[i] AS pa, w.syms[i + 1] AS pb
+       |    FROM (SELECT freq, list_filter(string_split(seg, '|'), x -> len(x) > 0) AS syms
+       |          FROM $prev) w,
+       |         UNNEST(range(1, len(w.syms))) t(i))
+       |  GROUP BY pa, pb),
+       |b$r AS (SELECT pa, pb, n FROM p$r ORDER BY n DESC, pa, pb LIMIT 1),
+       |w$r AS (
+       |  SELECT word, freq,
+       |         list_reduce(list_prepend('|', list_filter(string_split(seg, '|'), x -> len(x) > 0)),
+       |           (acc, x) -> CASE WHEN x = b.pb AND ends_with(acc, '|' || b.pa || '|')
+       |                            THEN substr(acc, 1, len(acc) - len(b.pa) - 1) || b.pa || b.pb || '|'
+       |                            ELSE acc || x || '|' END) AS seg
+       |  FROM $prev CROSS JOIN b$r b),
+       |ns$r AS (
+       |  SELECT CAST(SUM(freq * len(list_filter(string_split(seg, '|'), x -> len(x) > 0))) AS BIGINT) AS n_symbols
+       |  FROM w$r)""".stripMargin
+
   private def md5NibbleIntSql(expr: String, n: Int): String =
     (1 to n)
       .map { k =>
@@ -1930,48 +1973,37 @@ object OracleSql {
          |ORDER BY n DESC, pair LIMIT 20""".stripMargin,
 
     "q_bpe_merges" -> {
-      // TextAnalysis.bpeMerges twin: 4 unrolled merge rounds (the
-      // kmeansCtes recipe). Per round r: pair stats over the segmented
-      // vocabulary (p_r), weighted argmax with lexicographic tie-break
-      // (b_r), LEFT-TO-RIGHT GREEDY merge via a sequential list_reduce
-      // fold over the delimiter-bounded segmentation (w_r — append each
-      // symbol unless it equals pb and the accumulator ends with
-      // boundary-delimited pa; a merged symbol can never re-equal pa,
-      // so the fold is exactly the greedy apply), then the weighted
-      // symbol count (ns_r).
-      def round(prev: String, r: Int): String =
-        s"""p$r AS (
-           |  SELECT pa, pb, CAST(SUM(freq) AS BIGINT) AS n
-           |  FROM (
-           |    SELECT w.freq, w.syms[i] AS pa, w.syms[i + 1] AS pb
-           |    FROM (SELECT freq, list_filter(string_split(seg, '|'), x -> len(x) > 0) AS syms
-           |          FROM $prev) w,
-           |         UNNEST(range(1, len(w.syms))) t(i))
-           |  GROUP BY pa, pb),
-           |b$r AS (SELECT pa, pb, n FROM p$r ORDER BY n DESC, pa, pb LIMIT 1),
-           |w$r AS (
-           |  SELECT freq,
-           |         list_reduce(list_prepend('|', list_filter(string_split(seg, '|'), x -> len(x) > 0)),
-           |           (acc, x) -> CASE WHEN x = b.pb AND ends_with(acc, '|' || b.pa || '|')
-           |                            THEN substr(acc, 1, len(acc) - len(b.pa) - 1) || b.pa || b.pb || '|'
-           |                            ELSE acc || x || '|' END) AS seg
-           |  FROM $prev CROSS JOIN b$r b),
-           |ns$r AS (
-           |  SELECT CAST(SUM(freq * len(list_filter(string_split(seg, '|'), x -> len(x) > 0))) AS BIGINT) AS n_symbols
-           |  FROM w$r)""".stripMargin
-      val rounds = (1 to 4).map(r => round(s"w${r - 1}", r)).mkString(",\n")
+      val rounds = (1 to 4).map(r => bpeRound(s"w${r - 1}", r)).mkString(",\n")
       val sel = (1 to 4)
         .map(r =>
           s"SELECT CAST($r AS BIGINT) AS round, b$r.pa AS pair_a, b$r.pb AS pair_b, b$r.n, ns$r.n_symbols FROM b$r, ns$r")
         .mkString("\nUNION ALL\n")
-      s"""WITH w0 AS (
-         |  SELECT CAST(COUNT(*) AS BIGINT) AS freq,
-         |         '|' || regexp_replace(word, '(.)', '\\1|', 'g') AS seg
-         |  FROM (SELECT UNNEST($ftsToks) AS word FROM documents)
-         |  GROUP BY word),
+      s"""WITH $bpeW0,
          |$rounds
          |$sel
          |ORDER BY round""".stripMargin
+    },
+
+    "q_bpe_encode" -> {
+      // TextAnalysis.bpeTokenCounts twin: the same 3 unrolled training
+      // rounds, then ENCODE — every doc's words joined to the final
+      // segmented vocabulary, per-doc word/char/token sums, top 20 by
+      // token count
+      val rounds = (1 to 3).map(r => bpeRound(s"w${r - 1}", r)).mkString(",\n")
+      s"""WITH $bpeW0,
+         |$rounds,
+         |segv AS (
+         |  SELECT word, CAST(len(word) AS BIGINT) AS n_chars_w,
+         |         CAST(len(list_filter(string_split(seg, '|'), x -> len(x) > 0)) AS BIGINT) AS n_tokens_w
+         |  FROM w3),
+         |tok AS (SELECT doc_id, UNNEST($ftsToks) AS word FROM documents)
+         |SELECT t.doc_id,
+         |       CAST(COUNT(*) AS BIGINT) AS n_words,
+         |       CAST(SUM(s.n_chars_w) AS BIGINT) AS n_chars,
+         |       CAST(SUM(s.n_tokens_w) AS BIGINT) AS n_tokens
+         |FROM tok t JOIN segv s ON t.word = s.word
+         |GROUP BY t.doc_id
+         |ORDER BY n_tokens DESC, t.doc_id LIMIT 20""".stripMargin
     },
 
     "q_drift" ->

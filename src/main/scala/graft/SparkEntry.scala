@@ -2365,6 +2365,17 @@ object SparkEntry {
   private def qBpeMerges(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.bpeMerges(t(s, dir, "documents"), "text", rounds = 4)
 
+  /** BPE encode (TextAnalysis.bpeTokenCounts): per-doc token counts
+    * under a 3-merge trained tokenizer — the APPLY half of tokenizer
+    * training. The segmented vocabulary broadcasts against one exploded
+    * corpus pass; the hash pins train AND apply (a wrong merge anywhere
+    * shifts some document's n_tokens).
+    */
+  private def qBpeEncode(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bpeTokenCounts(t(s, dir, "documents"), "doc_id", "text", rounds = 3)
+      .orderBy(desc("n_tokens"), col("doc_id"))
+      .limit(20)
+
   /** Per-window drift readout (EventStreams.windowDrift) as a BATCH
     * query: weekly event-type mixes against the whole month's mix as
     * the reference — the exact integer-ppm arithmetic the streaming
@@ -2571,6 +2582,7 @@ object SparkEntry {
     "q_embed_drift" -> (qEmbedDrift _),
     "q_bpe_pairs" -> (qBpePairs _),
     "q_bpe_merges" -> (qBpeMerges _),
+    "q_bpe_encode" -> (qBpeEncode _),
     "q_window_drift" -> (qWindowDrift _),
     "q_vector_window_drift" -> (qVectorWindowDrift _)
   )

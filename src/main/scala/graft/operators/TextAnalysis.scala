@@ -498,14 +498,32 @@ object TextAnalysis {
     * for iterative operators.
     */
   def bpeMerges(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
-    require(rounds >= 1, s"bpeMerges: rounds must be >= 1, got $rounds")
     val spark = docs.sparkSession
+    val (stats, vocab) = trainBpe(docs, textCol, rounds)
+    vocab.unpersist()
+    import spark.implicits._
+    stats.toDF("round", "pair_a", "pair_b", "n", "n_symbols")
+  }
+
+  /** The [[bpeMerges]] training loop, returning BOTH the per-round merge
+    * statistics and the final segmented vocabulary `(word, freq, seg)`
+    * (seg delimiter-bounded, CACHED — caller unpersists). Shared by
+    * [[bpeMerges]] (stats surface) and [[bpeTokenCounts]] (apply
+    * surface) so the two can never train differently.
+    */
+  private def trainBpe(
+      docs: DataFrame,
+      textCol: String,
+      rounds: Int
+  ): (Seq[(Long, String, String, Long, Long)], DataFrame) = {
+    require(rounds >= 1, s"bpeMerges: rounds must be >= 1, got $rounds")
     val segSyms = filter(split(col("seg"), "\\|"), x => length(x) > 0)
     var vocab = docs
       .select(explode(TextFunctions.ftsTokens(col(textCol))).as("word"))
       .groupBy("word")
       .agg(count(lit(1)).as("freq"))
       .select(
+        col("word"),
         col("freq"),
         concat(lit("|"), regexp_replace(col("word"), "(.)", "$1|")).as("seg"))
       .cache()
@@ -548,9 +566,42 @@ object TextAnalysis {
       vocab = merged
       out += ((r.toLong, a, b, n, nSymbols))
     }
+    (out.toSeq, vocab)
+  }
+
+  /** Apply a freshly-trained BPE tokenizer back to the corpus: per-doc
+    * token counts under `rounds` merges — the ENCODE half of tokenizer
+    * training ([[bpeMerges]] is the train half; both run the shared
+    * loop, so they cannot diverge). Output per document: `n_words`
+    * (token occurrences), `n_chars` (summed word lengths = the token
+    * count at zero merges), `n_tokens` (after the merges) — the
+    * token-budget accounting a pipeline does before packing sequences.
+    *
+    * Scale shape: the segmented VOCABULARY (bounded, independent of
+    * corpus size) broadcasts against one exploded pass over the corpus
+    * — apply is a join, never a per-occurrence re-fold. The join is
+    * total by construction here (encode corpus = training corpus);
+    * encoding a DIFFERENT corpus needs an OOV path (segment unseen
+    * words driver-free by folding the merge list) — a documented seam,
+    * not built until something needs it.
+    */
+  def bpeTokenCounts(docs: DataFrame, idCol: String, textCol: String, rounds: Int): DataFrame = {
+    val (_, vocab) = trainBpe(docs, textCol, rounds)
+    val segSyms = filter(split(col("seg"), "\\|"), x => length(x) > 0)
+    val segmented = vocab.select(
+      col("word"),
+      length(col("word")).cast("long").as("n_chars_w"),
+      size(segSyms).cast("long").as("n_tokens_w"))
+    val out = docs
+      .select(col(idCol), explode(TextFunctions.ftsTokens(col(textCol))).as("word"))
+      .join(broadcast(segmented), Seq("word"))
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(col("n_chars_w")).as("n_chars"),
+        sum(col("n_tokens_w")).as("n_tokens"))
     vocab.unpersist()
-    import spark.implicits._
-    out.toSeq.toDF("round", "pair_a", "pair_b", "n", "n_symbols")
+    out
   }
 
   def bpePairStats(docs: DataFrame, textCol: String, k: Int = 20): DataFrame = {

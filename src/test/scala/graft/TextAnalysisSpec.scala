@@ -256,6 +256,21 @@ class TextAnalysisSpec extends AnyFunSuite {
     ), s"got $out")
   }
 
+  test("bpeTokenCounts: per-doc counts under the trained merges, hand-computed") {
+    // corpus: doc 1 = "low low lower", doc 2 = "newest newest newest widest"
+    // 2 merges: (e,s) then (es,t) — so newest = n·e·w·est (4 tokens),
+    // widest = w·i·d·est (4), low = 3, lower = 5
+    val docs = Seq((1L, "low low lower"), (2L, "newest newest newest widest"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bpeTokenCounts(docs, "doc_id", "text", rounds = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(out == Seq(
+      (1L, 3L, 11L, 11L), // 3 words, 3+3+5 chars, no merge touches low/lower
+      (2L, 4L, 24L, 16L)  // 4 words, 3x6+6 chars, 4 tokens each after "est"
+    ), s"got $out")
+  }
+
   test("bpeMerges: fails loudly when the vocabulary runs out of pairs") {
     val docs = Seq("a b c").toDF("text") // all single-char words: zero pairs
     val e = intercept[IllegalArgumentException] {
