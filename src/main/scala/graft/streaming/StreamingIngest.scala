@@ -28,7 +28,8 @@ final class StreamingIngest(
     spark: SparkSession,
     config: GraftConfig = GraftConfig.default,
     driftProfilePath: Option[String] = None,
-    driftThresholdTvd2Ppm: Long = 200000L // TVD 0.10
+    driftThresholdTvd2Ppm: Long = 200000L, // TVD 0.10
+    driftPolicy: StreamingIngest.DriftPolicy = StreamingIngest.Monitor
 ) {
 
   private val catalog = new Catalog(spark, config.warehouseDir)
@@ -96,23 +97,43 @@ final class StreamingIngest(
 
     // Opt-in drift guardrail (VERDICT r9 #6): the batch's text-length
     // mix against the persisted reference profile, BEFORE the load —
-    // one |bins|-sized aggregation over the already-pinned batch. The
-    // batch still loads (monitor-then-load; a quarantine policy would
-    // hook here), but the event is on record the moment the mix shifts.
-    driftProfilePath.foreach { profile =>
-      IngestGuardrail
-        .check(
-          deduped, IngestGuardrail.lengthBin(col("value")),
-          s.read.parquet(profile), driftThresholdTvd2Ppm, batchId)
-        .foreach { rep =>
-          driftEvents += rep
-          graft.util.JsonLog.warn(
-            "ingest_drift_detected",
-            "batch_id" -> rep.batchId,
-            "tvd2_ppm" -> rep.tvd2Ppm,
-            "worst_category" -> rep.worstCategory,
-            "worst_abs_ppm_diff" -> rep.worstAbsPpmDiff)
-        }
+    // one |bins|-sized aggregation over the already-pinned batch.
+    // Monitor policy: the batch still loads, the event is on record.
+    // Quarantine policy: the batch is DIVERTED whole to
+    // `quarantine_stream` (path, hash, raw text, the drift stats) and
+    // never reaches documents/chunks/FTS — rows stay replayable from
+    // the quarantine table once the drift is adjudicated. Whole-batch,
+    // not per-row: drift is a property of the MIX, so there is no
+    // per-row "drifted" bit to route on.
+    val quarantined = driftProfilePath.exists { profile =>
+      val rep = IngestGuardrail.check(
+        deduped, IngestGuardrail.lengthBin(col("value")),
+        s.read.parquet(profile), driftThresholdTvd2Ppm, batchId)
+      rep.foreach { r =>
+        driftEvents += r
+        graft.util.JsonLog.warn(
+          "ingest_drift_detected",
+          "batch_id" -> r.batchId,
+          "tvd2_ppm" -> r.tvd2Ppm,
+          "worst_category" -> r.worstCategory,
+          "worst_abs_ppm_diff" -> r.worstAbsPpmDiff,
+          "policy" -> (driftPolicy match {
+            case StreamingIngest.Quarantine => "quarantine"
+            case StreamingIngest.Monitor    => "monitor"
+          }))
+      }
+      rep.isDefined && driftPolicy == StreamingIngest.Quarantine
+    }
+    if (quarantined) {
+      catalog.append(
+        deduped.select(
+          col("path").as("source_path"),
+          col("file_hash"),
+          col("value"),
+          lit(batchId).as("batch_id"),
+          current_timestamp().as("quarantined_at")),
+        "quarantine_stream")
+      return
     }
 
     val docs = deduped
@@ -201,4 +222,15 @@ final class StreamingIngest(
     * per-batch maintenance above.
     */
   def ftsKey: String = s"${config.warehouseDir}/chunks_stream"
+}
+
+object StreamingIngest {
+  /** What a fired drift guardrail does to the batch: [[Monitor]] logs
+    * and loads; [[Quarantine]] diverts the WHOLE batch to the
+    * `quarantine_stream` table and loads nothing (re-ingest from there
+    * after adjudication).
+    */
+  sealed trait DriftPolicy
+  case object Monitor extends DriftPolicy
+  case object Quarantine extends DriftPolicy
 }

@@ -77,6 +77,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(rep.worstAbsPpmDiff > 0L, rep.toString)
   }
 
+  test("quarantine policy: a drifted batch diverts whole to quarantine_stream, loading nothing") {
+    import graft.streaming.{IngestGuardrail, StreamingIngest => SI}
+    val base = Files.createTempDirectory("graft-quarantine").toString
+    val in = s"$base/in"; val wh = s"$base/wh"; val ckpt = s"$base/ckpt"
+    val profile = s"$base/profile"
+    Files.createDirectories(Paths.get(in))
+    val spark2 = spark
+    import spark2.implicits._
+    IngestGuardrail.writeProfile(
+      (1 to 50).map(i => s"short doc $i with a few words").toDF("value"),
+      IngestGuardrail.lengthBin(col("value")), profile)
+
+    val ingest = new StreamingIngest(
+      spark, GraftConfig(warehouseDir = wh),
+      driftProfilePath = Some(profile), driftPolicy = SI.Quarantine)
+
+    // conforming batch loads normally
+    Files.write(Paths.get(in, "ok.md"), "# Ok\n\na short conforming doc.".getBytes)
+    ingest.start(in, ckpt).awaitTermination()
+    val cat = new Catalog(spark, wh)
+    assert(cat.read("documents_stream").count() == 1)
+    assert(!cat.exists("quarantine_stream"))
+
+    // drifted batch: nothing reaches documents/chunks; the raw rows land
+    // in quarantine_stream, replayable after adjudication
+    Files.write(Paths.get(in, "drift.md"),
+      ("# Long\n\n" + ("lorem ipsum dolor sit amet " * 80)).getBytes)
+    ingest.start(in, ckpt).awaitTermination()
+    assert(cat.read("documents_stream").count() == 1, "drifted batch must not load")
+    val q = cat.read("quarantine_stream")
+    assert(q.count() == 1)
+    assert(q.select("batch_id", "file_hash", "value").collect().head.getString(2).contains("lorem"))
+    assert(ingest.driftEvents.nonEmpty)
+  }
+
   test("streaming batches extend a live FTS index incrementally (no rebuild)") {
     import graft.operators.FtsIndex
     val base = Files.createTempDirectory("graft-stream-fts").toString
