@@ -349,6 +349,14 @@ class PlanShapeSpec extends AnyFunSuite {
       "the reference join must stay an equi-join")
   }
 
+  test("BPE encode: the segmented vocabulary broadcasts; ranking is top-k") {
+    val p = plan("q_bpe_encode")
+    assert(p.contains("BroadcastHashJoin"),
+      s"apply must be a broadcast join of the bounded vocabulary, never a shuffle join: ${p.take(800)}")
+    assert(p.contains("TakeOrderedAndProject"), "the top-20 must not globally sort")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p.take(800))
+  }
+
   test("token accounting is a single scan with no shuffle before the output sort") {
     val p = plan("q_token_bpe")
     // exactly the final orderBy's range exchange — the three token
