@@ -157,6 +157,49 @@ object OracleSql {
        |  SELECT CAST(SUM(freq * len(list_filter(string_split(seg, '|'), x -> len(x) > 0))) AS BIGINT) AS n_symbols
        |  FROM w$r)""".stripMargin
 
+  /** QualityClassifier twin: hashed-unigram featurization (md5 nibbles
+    * n=8 mod 256 — the Sketches.md5Hash32 oracle form), class sums over
+    * the 1-in-5 labeled sample (teacher label n_chars >= 300), then the
+    * cross-multiplied exact nearest-centroid rule in DECIMAL(38,0)
+    * (Spark: the identical decimal(38,0) sign test). Ends with
+    * `scored(doc_id, pred)` over ALL documents — token-less docs decided
+    * by the pure centroid-norm term via the LEFT JOIN, mirroring
+    * classify's left join.
+    */
+  private lazy val centroidCtes: String = {
+    val fHash = s"${md5NibbleIntSql("tok", 8)} % 256"
+    s"""feats AS MATERIALIZED (
+       |  SELECT doc_id, f, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+       |    SELECT doc_id, $fHash AS f
+       |    FROM (SELECT doc_id, UNNEST($ftsToks) AS tok FROM documents))
+       |  GROUP BY doc_id, f),
+       |lab AS MATERIALIZED (
+       |  SELECT doc_id, CASE WHEN n_chars >= 300 THEN 1 ELSE -1 END AS y
+       |  FROM documents WHERE doc_id % 5 = 0),
+       |n AS (SELECT CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS np,
+       |             CAST(SUM(CASE WHEN y = -1 THEN 1 ELSE 0 END) AS BIGINT) AS nn FROM lab),
+       |cls AS MATERIALIZED (
+       |  SELECT ft.f,
+       |         CAST(SUM(CASE WHEN l.y = 1 THEN ft.cnt ELSE 0 END) AS BIGINT) AS sp,
+       |         CAST(SUM(CASE WHEN l.y = -1 THEN ft.cnt ELSE 0 END) AS BIGINT) AS sn
+       |  FROM feats ft JOIN lab l USING (doc_id) GROUP BY ft.f),
+       |nrm AS (SELECT CAST(SUM(CAST(sp AS DECIMAL(38,0)) * sp) AS DECIMAL(38,0)) AS sp2,
+       |               CAST(SUM(CAST(sn AS DECIMAL(38,0)) * sn) AS DECIMAL(38,0)) AS sn2 FROM cls),
+       |dots AS (
+       |  SELECT ft.doc_id,
+       |         CAST(SUM(CAST(ft.cnt AS DECIMAL(38,0)) * c.sp) AS DECIMAL(38,0)) AS dp,
+       |         CAST(SUM(CAST(ft.cnt AS DECIMAL(38,0)) * c.sn) AS DECIMAL(38,0)) AS dn
+       |  FROM feats ft JOIN cls c ON c.f = ft.f GROUP BY ft.doc_id),
+       |scored AS (
+       |  SELECT d.doc_id,
+       |         CASE WHEN (2 * COALESCE(t.dn, 0) * (SELECT nn FROM n) * (SELECT np * np FROM n)
+       |                  - 2 * COALESCE(t.dp, 0) * (SELECT np FROM n) * (SELECT nn * nn FROM n)
+       |                  + (SELECT sp2 FROM nrm) * (SELECT nn * nn FROM n)
+       |                  - (SELECT sn2 FROM nrm) * (SELECT np * np FROM n)) < 0
+       |              THEN 1 ELSE -1 END AS pred
+       |  FROM documents d LEFT JOIN dots t USING (doc_id))""".stripMargin
+  }
+
   private def md5NibbleIntSql(expr: String, n: Int): String =
     (1 to n)
       .map { k =>
@@ -2159,6 +2202,40 @@ object OracleSql {
         |       ABS(CAST(cnt_a * 1000000 // tot_a AS BIGINT) - CAST(cnt_b * 1000000 // tot_b AS BIGINT)) AS abs_ppm_diff,
         |       CAST((dd * dd // denom) * 1000000000
         |            + ((dd * dd % denom) * 1000000000) // denom AS BIGINT) AS chi2_ppb
-        |FROM d ORDER BY bin""".stripMargin
+        |FROM d ORDER BY bin""".stripMargin,
+
+    "q_classifier_centroid" ->
+      // QualityClassifier.fitClassify twin: confusion matrix of the
+      // distilled model against the teacher signal over ALL documents
+      s"""WITH $centroidCtes
+         |SELECT CASE WHEN d.n_chars >= 300 THEN 1 ELSE -1 END AS y, s.pred,
+         |       CAST(COUNT(*) AS BIGINT) AS n
+         |FROM documents d JOIN scored s USING (doc_id)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_model_filter_rate" ->
+      // per-source keep rates of the same model (ppm floor division —
+      // the drift-monitor convention)
+      s"""WITH $centroidCtes
+         |SELECT d.source, CAST(COUNT(*) AS BIGINT) AS total,
+         |       CAST(SUM(CASE WHEN s.pred = 1 THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+         |       CAST(SUM(CASE WHEN s.pred = 1 THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT) AS kept_ppm
+         |FROM documents d JOIN scored s USING (doc_id)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_cluster_balance" ->
+      // Clustering.kmeansAssign + Sampling.balanceStrata twin: cap each
+      // shared-k-means cluster at 30 by md5-hash order; kept_id_sum
+      // checksums WHICH rows survived, gating the hash-order selection
+      s"""WITH ${kmeansCtes()},
+         |rnk AS (
+         |  SELECT vec_id, cid,
+         |         ROW_NUMBER() OVER (PARTITION BY cid
+         |           ORDER BY ${md5NibbleIntSql("CAST(vec_id AS VARCHAR)", 8)}, vec_id) AS rn
+         |  FROM a4)
+         |SELECT CAST(cid AS BIGINT) AS cluster, CAST(COUNT(*) AS BIGINT) AS total,
+         |       CAST(SUM(CASE WHEN rn <= 30 THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+         |       CAST(SUM(CASE WHEN rn <= 30 THEN vec_id ELSE 0 END) AS BIGINT) AS kept_id_sum
+         |FROM rnk GROUP BY cid ORDER BY cluster""".stripMargin
   )
 }

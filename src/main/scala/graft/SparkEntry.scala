@@ -2445,6 +2445,73 @@ object SparkEntry {
       .orderBy("window_start_us", "dim")
   }
 
+  /** Model-based quality filtering (QualityClassifier): fit the exact
+    * nearest-centroid model on the 1-in-5 labeled sample (doc_id % 5 = 0,
+    * teacher label = n_chars >= 300 — the "expensive scorer on a sample,
+    * cheap model on the corpus" distillation recipe), classify ALL
+    * documents, and report the confusion matrix against the teacher
+    * signal. Hash-gates the full integer discriminant: hashed-unigram
+    * featurization, bounded class-sum aggregation, and the
+    * decimal(38,0) cross-multiplied Euclidean rule.
+    */
+  private def qClassifierCentroid(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    QualityClassifier
+      .fitClassify(
+        docs, "doc_id", "text",
+        label = when(col("n_chars") >= 300, 1).otherwise(-1),
+        labeledWhere = col("doc_id") % 5 === 0,
+        nFeatures = 256)
+      .select(when(col("n_chars") >= 300, 1).otherwise(-1).as("y"), col("pred"))
+      .groupBy("y", "pred")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("y", "pred")
+  }
+
+  /** The production readout of the same model: per-source keep rates
+    * (total, kept, kept_ppm) — the "which sources does the quality
+    * filter gut" curation dashboard, integer ppm via DIV like the
+    * drift monitors.
+    */
+  private def qModelFilterRate(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    QualityClassifier
+      .fitClassify(
+        docs, "doc_id", "text",
+        label = when(col("n_chars") >= 300, 1).otherwise(-1),
+        labeledWhere = col("doc_id") % 5 === 0,
+        nFeatures = 256)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("total"),
+        sum(when(col("pred") === 1, 1L).otherwise(0L)).as("kept"))
+      .withColumn("kept_ppm", expr("kept * 1000000 DIV total"))
+      .orderBy("source")
+  }
+
+  /** Cluster-balanced cap sampling (Clustering.kmeansAssign +
+    * Sampling.balanceStrata): assign every embedding to the shared
+    * 10-cluster k-means model, then cap each cluster at 30 rows chosen
+    * by deterministic hash order — the "cluster-and-cap" diversity
+    * recipe (dominant modes trimmed, rare modes kept whole).
+    * `kept_id_sum` checksums WHICH rows survived, so the oracle gates
+    * the hash-order selection itself, not just the cap arithmetic.
+    */
+  private def qClusterBalance(s: SparkSession, dir: String): DataFrame = {
+    val assigned = Clustering
+      .kmeansAssign(t(s, dir, "embeddings"), "vec_id", "embedding", k = 10, iters = 3)
+    val balanced = Sampling.balanceStrata(assigned, "cluster", "vec_id", perStratum = 30)
+    assigned
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("total"))
+      .join(
+        balanced.groupBy("cluster").agg(
+          count(lit(1)).as("kept"),
+          sum(col("vec_id")).as("kept_id_sum")),
+        Seq("cluster"))
+      .orderBy("cluster")
+  }
+
   // =====================================================================
   // Contract maps
   // =====================================================================
@@ -2584,7 +2651,10 @@ object SparkEntry {
     "q_bpe_merges" -> (qBpeMerges _),
     "q_bpe_encode" -> (qBpeEncode _),
     "q_window_drift" -> (qWindowDrift _),
-    "q_vector_window_drift" -> (qVectorWindowDrift _)
+    "q_vector_window_drift" -> (qVectorWindowDrift _),
+    "q_classifier_centroid" -> (qClassifierCentroid _),
+    "q_model_filter_rate" -> (qModelFilterRate _),
+    "q_cluster_balance" -> (qClusterBalance _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

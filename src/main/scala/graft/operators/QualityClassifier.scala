@@ -1,0 +1,204 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Model-based quality filtering: train a cheap linear classifier on a
+  * small labeled sample, then score the whole corpus with it — the
+  * "distill an expensive quality signal into a hashed linear model"
+  * step of modern pre-training curation (a teacher labels thousands of
+  * documents; the distilled model filters billions).
+  *
+  * The model is a NEAREST-CENTROID (Rocchio) classifier over hashed
+  * unigram counts. It is CLOSED-FORM — one aggregation pass over the
+  * labeled sample, no iteration, no learning rate — and every
+  * comparison is EXACT INTEGER arithmetic: the Euclidean rule
+  *
+  *   ||x − S⁺/n⁺||² < ||x − S⁻/n⁻||²
+  *
+  * is evaluated with both sides multiplied through by n⁺²·n⁻² > 0, so
+  * the decision reduces to a sign test on
+  *
+  *   gap = 2·(x·S⁻)·n⁻·n⁺² − 2·(x·S⁺)·n⁺·n⁻² + ‖S⁺‖²·n⁻² − ‖S⁻‖²·n⁺²
+  *
+  * (predict +1 iff gap < 0; ties → −1) in decimal(38,0) — no sqrt, no
+  * division, no floating point, hence engine-portable and retry-safe.
+  * The midpoint term (the ‖S‖² correction) is what makes this a real
+  * discriminant rather than a raw dot-product vote: without it the
+  * longer class centroid wins every comparison.
+  *
+  * Exactness bound: |gap| ≤ 4·D·n³ where n = labeled rows and
+  * D = max doc·centroid-sum dot ≤ (tokens per doc)·(labeled-corpus
+  * tokens). Distillation samples are small by design (10⁵–10⁶ labeled
+  * rows, ≤10⁹ label-corpus tokens), so gap stays ≤ ~10³⁰ — inside
+  * decimal(38,0) with eight orders of headroom. The CORPUS being
+  * classified is unbounded; only the labeled sample enters the bound.
+  *
+  * Scale shape (the reason this beats iterative training at 100 TB):
+  * fit aggregates the labeled sample to `nFeatures` rows (bounded
+  * shuffle, map-side combine) and collects the bounded model into the
+  * driver — the k-means-centroid convention, ≤ nFeatures rows of model
+  * state, never corpus data. classify broadcasts that model, so the
+  * corpus-sized work is one scan + one (id)-keyed aggregation whose
+  * shuffle payload is (id, dp, dn) — text never crosses an exchange.
+  */
+object QualityClassifier {
+
+  /** Hashed unigram count features: one row per (id, feature) with the
+    * occurrence count. Tokenization is [[graft.functions.TextFunctions.ftsTokens]]
+    * (shared with the FTS index, so the filter and the index agree on
+    * what a word is); feature id = md5-derived 32-bit hash mod
+    * `nFeatures` ([[Sketches.md5Hash32]] — oracle twin
+    * OracleSql.md5NibbleIntSql n=8). Documents with no tokens produce
+    * no rows; [[classify]] handles them via its left join.
+    */
+  def featurize(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      nFeatures: Int
+  ): DataFrame = {
+    require(nFeatures >= 2, s"need nFeatures >= 2, got $nFeatures")
+    docs
+      .select(
+        col(idCol),
+        explode(graft.functions.TextFunctions.ftsTokens(col(textCol))).as("_tok"))
+      .select(col(idCol), pmod(Sketches.md5Hash32(col("_tok")), lit(nFeatures)).as("feature"))
+      .groupBy(col(idCol), col("feature"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** The fitted model: bounded driver-side state (≤ nFeatures entries
+    * per class), exactly the k-means-centroid precedent. `normPos2` /
+    * `normNeg2` are ‖S⁺‖² / ‖S⁻‖² as BigInt (sums of squared longs can
+    * pass 2⁶³ long before the decimal(38,0) gap bound is at risk).
+    */
+  final case class CentroidModel(
+      nFeatures: Int,
+      nPos: Long,
+      nNeg: Long,
+      sumPos: Map[Int, Long],
+      sumNeg: Map[Int, Long]
+  ) {
+    val normPos2: BigInt = sumPos.values.map(v => BigInt(v) * v).sum
+    val normNeg2: BigInt = sumNeg.values.map(v => BigInt(v) * v).sum
+  }
+
+  /** Fit on a labeled sample. `label` must evaluate to +1 or −1 for
+    * every row of `labeled` — anything else (including null) fails
+    * loudly rather than silently skewing a centroid, and an empty
+    * class fails too (the discriminant needs both centroids).
+    */
+  def fitCentroid(
+      labeled: DataFrame,
+      idCol: String,
+      textCol: String,
+      label: Column,
+      nFeatures: Int = 256
+  ): CentroidModel = {
+    val lab = labeled.select(col(idCol), label.as("y"))
+    val counts = lab
+      .agg(
+        count(lit(1)).as("total"),
+        count(when(col("y") === 1, 1)).as("np"),
+        count(when(col("y") === -1, 1)).as("nn"))
+      .collect()(0)
+    val (total, np, nn) = (counts.getLong(0), counts.getLong(1), counts.getLong(2))
+    require(
+      np + nn == total,
+      s"fitCentroid: label must be +1/-1 on every row; ${total - np - nn} of $total rows are neither")
+    require(np > 0 && nn > 0, s"fitCentroid: need both classes, got +1:$np -1:$nn")
+
+    // bounded aggregation: nFeatures rows of (f, sp, sn) model state
+    val sums = featurize(labeled, idCol, textCol, nFeatures)
+      .join(lab, idCol)
+      .groupBy("feature")
+      .agg(
+        sum(when(col("y") === 1, col("cnt")).otherwise(0L)).as("sp"),
+        sum(when(col("y") === -1, col("cnt")).otherwise(0L)).as("sn"))
+      .collect()
+    CentroidModel(
+      nFeatures = nFeatures,
+      nPos = np,
+      nNeg = nn,
+      sumPos = sums.map(r => r.getLong(0).toInt -> r.getLong(1)).toMap,
+      sumNeg = sums.map(r => r.getLong(0).toInt -> r.getLong(2)).toMap)
+  }
+
+  /** Score every document: adds `pred` (+1 keep / −1 drop) and `gap`
+    * (the signed decimal(38,0) discriminant — negative ⇒ nearer the
+    * positive centroid; useful as a confidence proxy for threshold
+    * sweeps). Token-less documents get dp = dn = 0 via the left join
+    * and are decided by the pure centroid-norm term — the same answer
+    * the algebra gives an all-zero feature vector, not a dropped row.
+    *
+    * Plan shape: model broadcast-joined to the feature rows (the model
+    * side is ≤ nFeatures rows — Spark's own size estimate makes it a
+    * BroadcastHashJoin), one (id)-keyed aggregation, then a left join
+    * back to `docs` on id. No corpus-sized state, no second scan of
+    * `text`.
+    */
+  def classify(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      model: CentroidModel
+  ): DataFrame = {
+    val spark = docs.sparkSession
+    import scala.jdk.CollectionConverters._
+    val modelRows = (0 until model.nFeatures)
+      .filter(f => model.sumPos.contains(f) || model.sumNeg.contains(f))
+      .map(f =>
+        org.apache.spark.sql.Row(
+          f.toLong,
+          model.sumPos.getOrElse(f, 0L),
+          model.sumNeg.getOrElse(f, 0L)))
+    val modelDf = spark.createDataFrame(
+      modelRows.asJava,
+      org.apache.spark.sql.types.StructType(
+        Seq(
+          org.apache.spark.sql.types.StructField("feature", org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("sp", org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("sn", org.apache.spark.sql.types.LongType, nullable = false))))
+
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val dots = featurize(docs, idCol, textCol, model.nFeatures)
+      .join(broadcast(modelDf), "feature")
+      .groupBy(idCol)
+      .agg(
+        sum(col("cnt").cast(dec) * col("sp")).cast(dec).as("dp"),
+        sum(col("cnt").cast(dec) * col("sn")).cast(dec).as("dn"))
+
+    val np = lit(BigDecimal(model.nPos)).cast(dec)
+    val nn = lit(BigDecimal(model.nNeg)).cast(dec)
+    val sp2 = lit(BigDecimal(model.normPos2)).cast(dec)
+    val sn2 = lit(BigDecimal(model.normNeg2)).cast(dec)
+    val gap =
+      (lit(2).cast(dec) * coalesce(col("dn"), lit(0).cast(dec)) * nn * np * np
+        - lit(2).cast(dec) * coalesce(col("dp"), lit(0).cast(dec)) * np * nn * nn
+        + sp2 * nn * nn
+        - sn2 * np * np).cast(dec)
+    docs
+      .join(dots, Seq(idCol), "left")
+      .withColumn("gap", gap)
+      .withColumn("pred", when(col("gap") < 0, 1).otherwise(-1))
+      .drop("dp", "dn")
+  }
+
+  /** fit + classify in one call: train on the rows of `docs` matched by
+    * `labeledWhere` (the labeled sample), score everything.
+    */
+  def fitClassify(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      label: Column,
+      labeledWhere: Column,
+      nFeatures: Int = 256
+  ): DataFrame =
+    classify(
+      docs,
+      idCol,
+      textCol,
+      fitCentroid(docs.where(labeledWhere), idCol, textCol, label, nFeatures))
+}

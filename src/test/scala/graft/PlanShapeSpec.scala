@@ -357,6 +357,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p.take(800))
   }
 
+  test("centroid classifier: the bounded model broadcasts; no cartesian") {
+    val p = plan("q_classifier_centroid")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the <=nFeatures-row model must broadcast-join the feature rows: ${p.take(800)}")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
+
+  test("cluster-balance: per-cluster cap is a window, never a global sort or cartesian") {
+    val p = plan("q_cluster_balance")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"),
+      "balanceStrata's row_number must stay a partitioned window")
+  }
+
   test("token accounting is a single scan with no shuffle before the output sort") {
     val p = plan("q_token_bpe")
     // exactly the final orderBy's range exchange — the three token
