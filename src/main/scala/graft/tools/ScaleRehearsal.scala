@@ -96,7 +96,8 @@ object ScaleRehearsal {
     // one operator family without the full sweep); unset = everything.
     // EXACT name match against the known sections: substring matching let
     // e.g. 'd' enable several sections and a typo silently run nothing.
-    val sections = Seq("docs", "semdedup", "pagerank", "iterative100", "bm25batch", "evaldrift")
+    val sections = Seq("docs", "semdedup", "pagerank", "iterative100", "bm25batch", "evaldrift",
+      "classifier")
     val only = sys.env.get("GRAFT_SCALE_ONLY")
     only.foreach(o => require(sections.contains(o),
       s"GRAFT_SCALE_ONLY='$o' is not a section; known: ${sections.mkString(", ")}"))
@@ -299,6 +300,34 @@ object ScaleRehearsal {
             maxDfFraction = 0.3).count()
         }
         idx.postings.unpersist()
+      }
+    }
+
+    // Model-based quality filter: fit is priced once on the FIXED
+    // labeled sample (distillation samples do not grow with the corpus),
+    // classify at corpus 1x/10x. The claim under measurement: classify's
+    // shuffle is (id, feature, cnt) + (id, dp, dn) rows — linear in the
+    // corpus with a bounded-width payload, text never crossing an
+    // exchange, and the model side a constant <=nFeatures-row broadcast.
+    if (sectionEnabled("classifier")) {
+      import graft.operators.QualityClassifier
+      val labeled = base.where(col("doc_id") % 5 === 0).localCheckpoint()
+      var model: QualityClassifier.CentroidModel = null
+      measure("classifier_fit_fixed_sample") {
+        model = QualityClassifier.fitCentroid(
+          labeled, "doc_id", "text",
+          when(length(col("text")) >= 300, 1).otherwise(-1), nFeatures = 256)
+        labeled.count()
+      }
+      for (factor <- Seq(1, 10)) {
+        val docs = blowUp(factor)
+        // count the kept rows, not the rows: a bare count() lets Catalyst
+        // prune the provably-unique-keyed dots join and the whole
+        // featurize pipeline with it — measuring nothing
+        measure(s"classifier_classify_x$factor") {
+          QualityClassifier.classify(docs, "doc_id", "text", model)
+            .where(col("pred") === 1).count()
+        }
       }
     }
 
