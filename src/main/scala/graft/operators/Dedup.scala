@@ -317,17 +317,33 @@ object Dedup {
       idCol: String,
       textCol: String,
       maxHamming: Int = 3
+  ): DataFrame =
+    hammingPairsFromSigs(simhash(docs, idCol, textCol), "id", "simhash", maxHamming)
+
+  /** Near-dup pairs within `maxHamming` bits over an ALREADY-COMPUTED
+    * 64-bit signature column — the banding/self-join half of
+    * [[simhashPairs]], factored out so any 64-bit perceptual signature
+    * (text simhash, image dHash — [[Multimodal.imageNearDupPairs]])
+    * shares one audited pair generator. Pigeonhole banding into
+    * `maxHamming + 1` chunks keeps recall complete for any radius in
+    * [0, 63]; the join key is the band, never the corpus, so pair work
+    * is bucket-quadratic, not corpus-quadratic.
+    */
+  def hammingPairsFromSigs(
+      sigs: DataFrame,
+      idCol: String,
+      sigCol: String,
+      maxHamming: Int
   ): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64, s"maxHamming must be in [0, 63], got $maxHamming")
-    val sigs = simhash(docs, idCol, textCol)
     val banded = sigs.select(
-      col("id"),
-      col("simhash"),
+      col(idCol).as("id"),
+      col(sigCol).as("_sig"),
       explode(array(bandRanges(maxHamming + 1).zipWithIndex.map { case ((lo, width), bi) =>
         val mask = if (width >= 64) -1L else (1L << width) - 1L
         struct(
           lit(bi).as("band_idx"),
-          shiftright(col("simhash"), lo).bitwiseAND(lit(mask)).as("band_val")
+          shiftright(col(sigCol), lo).bitwiseAND(lit(mask)).as("band_val")
         )
       }: _*)).as("band")
     )
@@ -337,7 +353,7 @@ object Dedup {
       .select(
         col("a.id").as("id_a"),
         col("b.id").as("id_b"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming")
+        bit_count(col("a._sig").bitwiseXOR(col("b._sig"))).as("hamming")
       )
       .dropDuplicates("id_a", "id_b")
       .where(col("hamming") <= maxHamming)

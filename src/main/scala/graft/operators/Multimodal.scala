@@ -36,6 +36,14 @@ object Multimodal {
     def imageDims(bytes: Array[Byte]): (Int, Int)
     def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte]
     def embed(bytes: Array[Byte], dim: Int): Array[Float]
+
+    /** 64-bit perceptual difference hash (dHash): 9×8 grayscale grid,
+      * bit (row·8 + x) set iff cell (x+1, row) is brighter than cell
+      * (x, row). Nearby images differ in few bits, so Hamming distance
+      * is a visual-similarity metric — the image-dedup signature
+      * ([[Multimodal.imageNearDupPairs]]).
+      */
+    def dHash(bytes: Array[Byte]): Long
   }
 
   /** STUB codec — no media libraries in this build. Dimensions are derived
@@ -78,6 +86,12 @@ object Multimodal {
       }
       v
     }
+
+    /** Stub dHash = the payload hash: identical bytes hash identically
+      * (exact-dup plumbing testable without a decoder) but there is NO
+      * perceptual proximity — near-dup recall needs [[ImageIoCodec]].
+      */
+    override def dHash(bytes: Array[Byte]): Long = h64(bytes)
   }
 
   /** REAL codec on the JDK's javax.imageio — no external dependency.
@@ -157,6 +171,51 @@ object Multimodal {
       val norm = math.sqrt(v.map(f => f.toDouble * f).sum)
       if (norm == 0) v else v.map(f => (f / norm).toFloat)
     }
+
+    /** Real dHash over the decoded raster, ALL-INTEGER so two JVMs (or
+      * two partitionings of the same corpus) can never disagree: per-cell
+      * luminance is an exact long sum of 299·R + 587·G + 114·B over a
+      * 9×8 box grid, and the brighter-than comparison cross-multiplies
+      * the (sum, count) pairs — avg_a > avg_b ⟺ sum_a·cnt_b >
+      * sum_b·cnt_a — instead of dividing. Images narrower than the grid
+      * fail loudly (an empty cell would make bits degenerate-zero and
+      * silently alias unrelated tiny images); filter on
+      * [[withImageMeta]] dims first.
+      */
+    override def dHash(bytes: Array[Byte]): Long = {
+      val img = decode(bytes)
+      val (w, h) = (img.getWidth, img.getHeight)
+      val (cols, rows) = (9, 8)
+      require(w >= cols && h >= rows,
+        s"dHash: image ${w}x$h smaller than the ${cols}x$rows grid — filter tiny images first")
+      val sums = Array.ofDim[Long](rows, cols)
+      val cnts = Array.ofDim[Long](rows, cols)
+      var y = 0
+      while (y < h) {
+        val cy = math.min(rows - 1, (y.toLong * rows / h).toInt)
+        var x = 0
+        while (x < w) {
+          val cx = math.min(cols - 1, (x.toLong * cols / w).toInt)
+          val rgb = img.getRGB(x, y)
+          sums(cy)(cx) += 299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) + 114L * (rgb & 0xff)
+          cnts(cy)(cx) += 1
+          x += 1
+        }
+        y += 1
+      }
+      var sig = 0L
+      var ry = 0
+      while (ry < rows) {
+        var rx = 0
+        while (rx < cols - 1) {
+          if (sums(ry)(rx + 1) * cnts(ry)(rx) > sums(ry)(rx) * cnts(ry)(rx + 1))
+            sig |= 1L << (ry * (cols - 1) + rx)
+          rx += 1
+        }
+        ry += 1
+      }
+      sig
+    }
   }
 
   /** Attach decoded image metadata (format sniffed from magic bytes, dims
@@ -187,6 +246,38 @@ object Multimodal {
     val f = udf { (bytes: Array[Byte]) => Option(bytes).map(codec.resize(_, w, h)) }
     df.withColumn(outCol, f(col(contentCol)))
   }
+
+  /** Perceptual-hash column (`dhash`, 64-bit long) — narrow,
+    * partition-preserving; null payloads stay null. The decode runs
+    * exactly once per image at the scan, so only the 8-byte signature
+    * (never pixels) participates in any downstream join or shuffle.
+    */
+  def withImageDHash(df: DataFrame, contentCol: String = "content",
+      outCol: String = "dhash", codec: MediaCodec = StubCodec): DataFrame = {
+    val f = udf { (bytes: Array[Byte]) => Option(bytes).map(codec.dHash) }
+    df.withColumn(outCol, f(col(contentCol)))
+  }
+
+  /** Image near-duplicate pairs: dHash signatures + the shared banded
+    * Hamming pair generator ([[Dedup.hammingPairsFromSigs]] — the text
+    * SimHash machinery, reused bit-for-bit). Output (id_a, id_b,
+    * hamming) with id_a < id_b and hamming <= maxHamming. Scale shape:
+    * one decode pass to 8-byte signatures, band-bucket self-join on the
+    * signature bands — pair work is bucket-quadratic, image bytes never
+    * cross an exchange. Feed the pairs to [[Dedup.nearDupClusters]] /
+    * [[Dedup.nearDedupFromClusters]] for canonical keep-one dedup,
+    * exactly like text.
+    */
+  def imageNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      contentCol: String = "content",
+      maxHamming: Int = 6,
+      codec: MediaCodec = StubCodec
+  ): DataFrame =
+    Dedup.hammingPairsFromSigs(
+      withImageDHash(df, contentCol, "dhash", codec).select(col(idCol), col("dhash")),
+      idCol, "dhash", maxHamming)
 
   /** Media embedding column (the image twin of the text embedder). */
   def withMediaEmbedding(df: DataFrame, dim: Int = 64, contentCol: String = "content",

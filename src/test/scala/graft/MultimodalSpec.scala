@@ -177,6 +177,64 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!out("/x/good.pdf")._2.contains("<!-- Page"))
   }
 
+  test("dHash: deterministic, perceptually local, loud on tiny images") {
+    val base = realPng(120, 80)
+    // determinism on identical bytes
+    assert(Multimodal.ImageIoCodec.dHash(base) == Multimodal.ImageIoCodec.dHash(base))
+
+    // small local perturbation: black out one ~13x10 patch — a
+    // near-duplicate (re-encode, tiny crop-level change) stays close
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(base))
+    for (y <- 35 until 45; x <- 53 until 66) img.setRGB(x, y, 0)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    val near = out.toByteArray
+    val dNear = java.lang.Long.bitCount(
+      Multimodal.ImageIoCodec.dHash(base) ^ Multimodal.ImageIoCodec.dHash(near))
+    assert(dNear <= 6, s"one-patch perturbation moved $dNear bits — dHash is not local")
+
+    // structurally different image (checkerboard vs gradient) is far
+    val cb = new java.awt.image.BufferedImage(120, 80, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 80; x <- 0 until 120)
+      cb.setRGB(x, y, if (((x / 13) + (y / 10)) % 2 == 0) 0xffffff else 0x000000)
+    val out2 = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(cb, "png", out2)
+    val dFar = java.lang.Long.bitCount(
+      Multimodal.ImageIoCodec.dHash(base) ^ Multimodal.ImageIoCodec.dHash(out2.toByteArray))
+    assert(dFar > 15, s"checkerboard vs gradient only $dFar bits apart")
+
+    // smaller than the 9x8 grid: loud, not degenerate
+    intercept[IllegalArgumentException](Multimodal.ImageIoCodec.dHash(realPng(8, 8)))
+  }
+
+  test("imageNearDupPairs finds the perturbed twin and not the stranger") {
+    val base = realPng(120, 80)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(base))
+    for (y <- 35 until 45; x <- 53 until 66) img.setRGB(x, y, 0)
+    val o1 = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", o1)
+    val cb = new java.awt.image.BufferedImage(120, 80, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 80; x <- 0 until 120)
+      cb.setRGB(x, y, if (((x / 13) + (y / 10)) % 2 == 0) 0xffffff else 0x000000)
+    val o2 = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(cb, "png", o2)
+
+    val df = Seq((1L, base), (2L, o1.toByteArray), (3L, o2.toByteArray))
+      .toDF("id", "content")
+    val pairs = Multimodal
+      .imageNearDupPairs(df, "id", maxHamming = 6, codec = Multimodal.ImageIoCodec)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), s"expected exactly the perturbed twin pair, got $pairs")
+  }
+
+  test("imageNearDupPairs with StubCodec detects exact duplicates without a decoder") {
+    val p1 = png ++ Array[Byte](1, 2, 3)
+    val df = Seq((1L, p1), (2L, p1.clone()), (3L, jpg)).toDF("id", "content")
+    val pairs = Multimodal.imageNearDupPairs(df, "id", maxHamming = 0)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
   test("image file sink writes payloads and returns metadata-only rows") {
     val dir = java.nio.file.Files.createTempDirectory("graft-img").toString
     val docs = Seq(("docA", "/x/a.pdf", "image-bearing document payload content here".getBytes))
