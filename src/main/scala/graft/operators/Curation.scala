@@ -35,6 +35,15 @@ object Curation {
     *                  drop ([[CorpusHygiene.decontaminate]]); higher
     *                  thresholds keep docs that merely quote a line of a
     *                  benchmark while still dropping wholesale inclusions.
+    * @param qualityModel when set, the MODEL-BASED quality gate: docs the
+    *                  fitted [[QualityClassifier.CentroidModel]] predicts
+    *                  −1 are dropped — the distilled-teacher filter
+    *                  ([[QualityClassifier]]) as a first-class curation
+    *                  stage. Runs after the heuristic gates (fewer docs to
+    *                  featurize) and BEFORE dedup, so a cluster whose
+    *                  canonical doc the model rejects keeps its next
+    *                  accepted member — the survival rule every drop
+    *                  stage in this composite follows.
     */
   def curate(
       docs: DataFrame,
@@ -47,12 +56,15 @@ object Curation {
       evalTextCol: String = "text",
       maxContamination: Double = 1.0,
       contamN: Int = 13,
-      broadcastContaminatedIds: Boolean = true
+      broadcastContaminatedIds: Boolean = true,
+      qualityModel: Option[QualityClassifier.CentroidModel] = None
   ): DataFrame = {
-    val filtered = contaminationGate(
-      filterStage(docs, textCol, langs, minQuality),
-      idCol, textCol, evalSet, evalTextCol, maxContamination, contamN,
-      broadcastContaminatedIds)
+    val filtered = modelGate(
+      contaminationGate(
+        filterStage(docs, textCol, langs, minQuality),
+        idCol, textCol, evalSet, evalTextCol, maxContamination, contamN,
+        broadcastContaminatedIds),
+      idCol, textCol, qualityModel)
     if (!dedupe) filtered
     else Dedup.exactDedup(filtered, idCol, textCol)
   }
@@ -81,7 +93,8 @@ object Curation {
       evalTextCol: String = "text",
       maxContamination: Double = 1.0,
       contamN: Int = 13,
-      broadcastContaminatedIds: Boolean = true
+      broadcastContaminatedIds: Boolean = true,
+      qualityModel: Option[QualityClassifier.CentroidModel] = None
   ): DataFrame = clusters match {
     // artifact reuse: with a precomputed label table (ingest-time
     // Dedup.nearDupClusters -> writeClusters) the whole fuzzy-dedup pass
@@ -99,15 +112,19 @@ object Curation {
     // matters.
     case Some(labels) =>
       Dedup.nearDedupFromClusters(
-        contaminationGate(filterStage(docs, textCol, langs, minQuality),
-          idCol, textCol, evalSet, evalTextCol, maxContamination, contamN,
-          broadcastContaminatedIds),
+        modelGate(
+          contaminationGate(filterStage(docs, textCol, langs, minQuality),
+            idCol, textCol, evalSet, evalTextCol, maxContamination, contamN,
+            broadcastContaminatedIds),
+          idCol, textCol, qualityModel),
         idCol, labels)
     case None =>
-      val filtered = contaminationGate(
-        filterStage(docs, textCol, langs, minQuality),
-        idCol, textCol, evalSet, evalTextCol, maxContamination, contamN,
-        broadcastContaminatedIds)
+      val filtered = modelGate(
+        contaminationGate(
+          filterStage(docs, textCol, langs, minQuality),
+          idCol, textCol, evalSet, evalTextCol, maxContamination, contamN,
+          broadcastContaminatedIds),
+        idCol, textCol, qualityModel)
       // pair detection re-reads `filtered` several times (banded self-join
       // legs + re-attach); lazily checkpoint so the enrich+filter
       // expressions evaluate once when the caller first acts, not once per
@@ -176,6 +193,25 @@ object Curation {
     * .decontaminate]] escape hatch) to anti-join by shuffle instead of
     * collecting the ids to the driver.
     */
+  /** Model-based quality gate: identity when no model is supplied,
+    * otherwise keep only docs the distilled classifier accepts
+    * ([[QualityClassifier.classify]] pred = +1). The model side is a
+    * bounded broadcast; the corpus-side cost is one featurize pass over
+    * the rows that survived the cheaper heuristic gates.
+    */
+  private def modelGate(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      model: Option[QualityClassifier.CentroidModel]
+  ): DataFrame = model match {
+    case None => df
+    case Some(m) =>
+      QualityClassifier.classify(df, idCol, textCol, m)
+        .where(col("pred") === 1)
+        .drop("pred", "gap")
+  }
+
   private def contaminationGate(
       df: DataFrame,
       idCol: String,

@@ -144,6 +144,55 @@ class CurationSpec extends AnyFunSuite {
     assert(kept == Set(1L, 3L), s"got $kept")
   }
 
+  test("model-based quality gate drops model-rejected docs; identity without a model") {
+    import graft.operators.QualityClassifier
+    val train = Seq(
+      (101L, "clear prose with careful argument and cited sources", 1),
+      (102L, "careful analysis and clear cited argument in prose", 1),
+      (103L, "buy now cheap pills click here free winner", -1),
+      (104L, "winner click free cheap pills buy here now now", -1)
+    ).toDF("doc_id", "text", "y")
+    val m = QualityClassifier.fitCentroid(train, "doc_id", "text", col("y"), nFeatures = 64)
+    val corpus = Seq(
+      (1L, "clear prose with careful argument and cited sources here today"),
+      (2L, "buy now cheap pills click here free winner and the offer")
+    ).toDF("doc_id", "text")
+    val kept = Curation
+      .curate(corpus, "doc_id", "text", langs = Set.empty, minQuality = 0.0,
+        qualityModel = Some(m))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L), s"model must drop the spam-vocabulary doc, got $kept")
+    val noModel = Curation
+      .curate(corpus, "doc_id", "text", langs = Set.empty, minQuality = 0.0)
+      .select("doc_id").as[Long].collect().toSet
+    assert(noModel == Set(1L, 2L), "without a model both docs survive")
+  }
+
+  test("curateNear: a cluster whose canonical doc the model rejects keeps the next member") {
+    import graft.operators.QualityClassifier
+    val train = Seq(
+      (101L, "clear prose with careful argument and cited sources", 1),
+      (102L, "careful analysis and clear cited argument in prose", 1),
+      (103L, "buy now cheap pills click here free winner", -1),
+      (104L, "winner click free cheap pills buy here now now", -1)
+    ).toDF("doc_id", "text", "y")
+    val m = QualityClassifier.fitCentroid(train, "doc_id", "text", col("y"), nFeatures = 64)
+    // ingest-time labels put docs 1 and 2 in one cluster; 1 (the would-be
+    // canonical min-id) is spam-vocabulary, 2 the clean member
+    val corpus = Seq(
+      (1L, "buy now cheap pills click free winner here now"),
+      (2L, "clear prose with careful argument and cited sources"),
+      (3L, "careful analysis of cited sources with clear argument")
+    ).toDF("doc_id", "text")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 3L)).toDF("id", "cluster")
+    val kept = Curation
+      .curateNear(corpus, "doc_id", "text", langs = Set.empty, minQuality = 0.0,
+        clusters = Some(labels), qualityModel = Some(m))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 3L),
+      s"model drops 1, cluster {1,2} re-canonicalizes on surviving 2, got $kept")
+  }
+
   test("snapshotDiff classifies added/removed/changed; normalization-equal is unchanged") {
     val oldSnap = Seq((1L, "same text"), (2L, "will change"), (3L, "gone")).toDF("id", "text")
     val newSnap = Seq((1L, "same  TEXT"), (2L, "has changed"), (4L, "brand new")).toDF("id", "text")
