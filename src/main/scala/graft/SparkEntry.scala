@@ -2489,6 +2489,28 @@ object SparkEntry {
       .orderBy("source")
   }
 
+  /** K-class domain classification (QualityClassifier.fitCentroidK /
+    * classifyK): three length-tercile domains as the derivable teacher
+    * signal, trained on the 1-in-5 labeled sample, every document
+    * assigned to its nearest class centroid via the ×1e9 truncating-DIV
+    * normalized-distance score (ties to the smaller label). Confusion
+    * matrix over ALL documents hash-gates the dense per-class dot rows,
+    * the scaled argmin, and the zero-vector fallback constant.
+    */
+  private def qDomainClassify(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val label = when(col("n_chars") < 250, "short")
+      .when(col("n_chars") < 350, "mid")
+      .otherwise("long")
+    val m = QualityClassifier.fitCentroidK(
+      docs.where(col("doc_id") % 5 === 0), "doc_id", "text", label, nFeatures = 256)
+    QualityClassifier.classifyK(docs, "doc_id", "text", m)
+      .select(label.as("y"), col("pred_class"))
+      .groupBy("y", "pred_class")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("y", "pred_class")
+  }
+
   /** Cluster-balanced cap sampling (Clustering.kmeansAssign +
     * Sampling.balanceStrata): assign every embedding to the shared
     * 10-cluster k-means model, then cap each cluster at 30 rows chosen
@@ -2654,7 +2676,8 @@ object SparkEntry {
     "q_vector_window_drift" -> (qVectorWindowDrift _),
     "q_classifier_centroid" -> (qClassifierCentroid _),
     "q_model_filter_rate" -> (qModelFilterRate _),
-    "q_cluster_balance" -> (qClusterBalance _)
+    "q_cluster_balance" -> (qClusterBalance _),
+    "q_domain_classify" -> (qDomainClassify _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

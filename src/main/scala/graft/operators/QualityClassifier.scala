@@ -185,6 +185,137 @@ object QualityClassifier {
       .drop("dp", "dn")
   }
 
+  /** K-class centroid model: one class-sum table per label — bounded
+    * driver-side state (≤ k·nFeatures entries), the multi-class
+    * generalization of [[CentroidModel]] for DOMAIN classification
+    * (news / code / forum / …) feeding mixture balancing.
+    */
+  final case class CentroidKModel(
+      nFeatures: Int,
+      classes: Seq[CentroidKModel.ClassStats]
+  ) {
+    require(classes.nonEmpty, "CentroidKModel needs at least one class")
+    require(
+      classes.map(_.label).distinct.size == classes.size,
+      "duplicate class labels in CentroidKModel")
+  }
+  object CentroidKModel {
+    final case class ClassStats(label: String, n: Long, sums: Map[Int, Long]) {
+      require(n > 0, s"class '$label' has no labeled rows")
+      val norm2: BigInt = sums.values.map(v => BigInt(v) * v).sum
+    }
+  }
+
+  /** Fit one centroid per distinct label value (string labels; nulls
+    * fail loudly). Same bounded aggregation as [[fitCentroid]], one
+    * (feature, label)-keyed class-sum table.
+    */
+  def fitCentroidK(
+      labeled: DataFrame,
+      idCol: String,
+      textCol: String,
+      label: Column,
+      nFeatures: Int = 256
+  ): CentroidKModel = {
+    val lab = labeled.select(col(idCol), label.as("y"))
+    val nullCount = lab.where(col("y").isNull).count()
+    require(nullCount == 0, s"fitCentroidK: $nullCount rows have a null label")
+    val counts = lab.groupBy("y").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sums = featurize(labeled, idCol, textCol, nFeatures)
+      .join(lab, idCol)
+      .groupBy("y", "feature")
+      .agg(sum(col("cnt")).as("s"))
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (y, rows) =>
+        y -> rows.map(r => r.getLong(1).toInt -> r.getLong(2)).toMap
+      }
+    CentroidKModel(
+      nFeatures,
+      counts.toSeq.sortBy(_._1).map { case (y, n) =>
+        CentroidKModel.ClassStats(y, n, sums.getOrElse(y, Map.empty))
+      })
+  }
+
+  /** Assign every document to its nearest class centroid. The argmin is
+    * over the class-independent-free part of the normalized Euclidean
+    * distance, ‖x − S_c/n_c‖² − ‖x‖² = (‖S_c‖² − 2·n_c·(x·S_c)) / n_c²,
+    * evaluated as a ×10⁹ truncating integer division (`DIV` — the
+    * drift-monitor convention, identical truncation on any engine) so k
+    * fractions with different denominators compare in one pass without
+    * floating point; exact-quotient ties break on the lexicographically
+    * smaller label. Token-less documents get the model-constant argmin
+    * (the zero-vector answer, computed driver-side) instead of being
+    * dropped.
+    *
+    * Plan shape: the (feature, label, s) model table is ≤ k·nFeatures
+    * rows — broadcast; corpus work is one featurize scan, a
+    * (id, label)-keyed dot aggregation, and an (id)-keyed argmin — both
+    * shuffles carry bounded-width integer rows.
+    */
+  def classifyK(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      model: CentroidKModel
+  ): DataFrame = {
+    val spark = docs.sparkSession
+    import scala.jdk.CollectionConverters._
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val jbd = (v: BigInt) => new java.math.BigDecimal(v.bigInteger)
+
+    // DENSE over the labeled feature set: every labeled feature carries a
+    // row for EVERY class (s = 0 where the class never saw it), so a doc
+    // overlapping the labeled vocabulary at all gets a dot row for all k
+    // classes — a sparse table would silently exclude zero-overlap
+    // classes from that doc's argmin. Docs with NO labeled-vocabulary
+    // overlap have dot 0 against every class, and the zero-vector
+    // constant below IS their exact argmin, so the left-join fallback is
+    // semantically right, not an approximation.
+    val labeledFeats = model.classes.flatMap(_.sums.keys).distinct.sorted
+    val modelRows = labeledFeats.flatMap(f =>
+      model.classes.map(c =>
+        org.apache.spark.sql.Row(f.toLong, c.label, c.sums.getOrElse(f, 0L))))
+    import org.apache.spark.sql.{types => st}
+    val modelDf = spark.createDataFrame(
+      modelRows.asJava,
+      st.StructType(Seq(
+        st.StructField("feature", st.LongType, nullable = false),
+        st.StructField("y", st.StringType, nullable = false),
+        st.StructField("s", st.LongType, nullable = false))))
+    val classDf = spark.createDataFrame(
+      model.classes.map(c =>
+        org.apache.spark.sql.Row(c.label, jbd(BigInt(c.n)), jbd(c.norm2))).asJava,
+      st.StructType(Seq(
+        st.StructField("y", st.StringType, nullable = false),
+        st.StructField("n_c", dec, nullable = false),
+        st.StructField("norm2_c", dec, nullable = false))))
+
+    // g(c) = (norm2_c - 2*n_c*dot) * 1e9 DIV n_c^2 — the comparable score
+    val gExpr = expr(
+      "CAST((norm2_c - 2 * n_c * dot) * 1000000000 DIV (n_c * n_c) AS DECIMAL(38,0))")
+    val scoredPerClass = featurize(docs, idCol, textCol, model.nFeatures)
+      .join(broadcast(modelDf), "feature")
+      .groupBy(col(idCol), col("y"))
+      .agg(sum(col("cnt").cast(dec) * col("s")).cast(dec).as("dot"))
+      .join(broadcast(classDf), "y")
+      .withColumn("g", gExpr)
+    val assigned = scoredPerClass
+      .groupBy(idCol)
+      .agg(min(struct(col("g"), col("y"))).as("_best"))
+      .select(col(idCol), col("_best.y").as("pred_class"))
+
+    // the zero-vector argmin, a model constant: min over classes of
+    // norm2_c * 1e9 DIV n_c^2, ties to the smaller label
+    val emptyPred = model.classes
+      .map(c => ((c.norm2 * BigInt(1000000000)) / (BigInt(c.n) * BigInt(c.n)), c.label))
+      .min._2
+    docs
+      .join(assigned, Seq(idCol), "left")
+      .withColumn("pred_class", coalesce(col("pred_class"), lit(emptyPred)))
+  }
+
   /** fit + classify in one call: train on the rows of `docs` matched by
     * `labeledWhere` (the labeled sample), score everything.
     */

@@ -371,6 +371,13 @@ class PlanShapeSpec extends AnyFunSuite {
       "balanceStrata's row_number must stay a partitioned window")
   }
 
+  test("domain classifier: dense k-class model broadcasts; argmin is an agg, not a cartesian") {
+    val p = plan("q_domain_classify")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the k*nFeatures model table must broadcast-join the feature rows: ${p.take(800)}")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
+
   test("token accounting is a single scan with no shuffle before the output sort") {
     val p = plan("q_token_bpe")
     // exactly the final orderBy's range exchange — the three token

@@ -74,6 +74,62 @@ class QualityClassifierSpec extends AnyFunSuite {
       "lowercased 'word' x3 and 'other' x1 (FTS tokenization folds case)")
   }
 
+  private lazy val domainDocs = Seq(
+    (1L, "alpha beta gamma delta alpha beta", "a"),
+    (2L, "beta alpha gamma alpha delta beta", "a"),
+    (3L, "red green blue yellow red green", "b"),
+    (4L, "green red blue red yellow green", "b"),
+    (5L, "one two three four one two", "c"),
+    (6L, "two one three one four two", "c")
+  ).toDF("doc_id", "text", "dom")
+
+  test("fitCentroidK + classifyK assigns disjoint vocabularies to their own class") {
+    val m = QualityClassifier.fitCentroidK(domainDocs, "doc_id", "text", col("dom"), 128)
+    assert(m.classes.map(_.label) == Seq("a", "b", "c"))
+    val out = QualityClassifier.classifyK(domainDocs, "doc_id", "text", m)
+      .select("doc_id", "pred_class").as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "a", 2L -> "a", 3L -> "b", 4L -> "b", 5L -> "c", 6L -> "c"))
+  }
+
+  test("classifyK generalizes to held-out docs and routes zero-overlap docs to the zero-vector argmin") {
+    val m = QualityClassifier.fitCentroidK(domainDocs, "doc_id", "text", col("dom"), 128)
+    val unseen = Seq(
+      (10L, "alpha delta gamma"),
+      (11L, "blue yellow red"),
+      (12L, "totally unseen vocabulary words")
+    ).toDF("doc_id", "text")
+    val out = QualityClassifier.classifyK(unseen, "doc_id", "text", m)
+      .select("doc_id", "pred_class").as[(Long, String)].collect().toMap
+    assert(out(10L) == "a" && out(11L) == "b")
+    // zero labeled-vocabulary overlap: the zero-vector argmin — the class
+    // minimizing norm2_c/n_c^2 — computed identically by hand
+    val expected = m.classes
+      .map(c => ((c.norm2 * BigInt(1000000000)) / (BigInt(c.n) * BigInt(c.n)), c.label))
+      .min._2
+    assert(out(12L) == expected)
+  }
+
+  test("classifyK ties break on the lexicographically smaller label") {
+    // two classes with IDENTICAL centroids: every doc is equidistant
+    val twin = Seq(
+      (1L, "same words here", "z"),
+      (2L, "same words here", "a")
+    ).toDF("doc_id", "text", "dom")
+    val m = QualityClassifier.fitCentroidK(twin, "doc_id", "text", col("dom"), 64)
+    val out = QualityClassifier.classifyK(
+      Seq((9L, "same words here")).toDF("doc_id", "text"), "doc_id", "text", m)
+      .select("pred_class").as[String].head()
+    assert(out == "a")
+  }
+
+  test("fitCentroidK fails loudly on null labels") {
+    val bad = Seq((1L, "a b", Some("x")), (2L, "c d", None)).toDF("doc_id", "text", "dom")
+    val e = intercept[IllegalArgumentException] {
+      QualityClassifier.fitCentroidK(bad, "doc_id", "text", col("dom"), 16)
+    }
+    assert(e.getMessage.contains("null label"))
+  }
+
   test("fitClassify trains only on the labeledWhere subset") {
     // labels OUTSIDE the subset are inverted garbage; if fit saw them the
     // separation would flip for the held-out half
