@@ -2239,59 +2239,80 @@ object OracleSql {
          |FROM rnk GROUP BY cid ORDER BY cluster""".stripMargin,
 
     "q_domain_classify" ->
-      // QualityClassifier.fitCentroidK/classifyK twin: 3 length-tercile
-      // classes, DENSE per-class dot rows over the labeled feature set,
-      // normalized-distance score (norm2_c - 2*n_c*dot)*1e9 // n_c^2
-      // (DuckDB // truncates like Spark DIV — the drift precedent), ties
-      // to the smaller label; docs with no labeled-vocabulary overlap
-      // fall to the zero-vector constant argmin
-      s"""WITH feats AS MATERIALIZED (
-         |  SELECT doc_id, f, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
-         |    SELECT doc_id, ${md5NibbleIntSql("tok", 8)} % 256 AS f
-         |    FROM (SELECT doc_id, UNNEST($ftsToks) AS tok FROM documents))
-         |  GROUP BY doc_id, f),
-         |lab AS MATERIALIZED (
-         |  SELECT doc_id, CASE WHEN n_chars < 250 THEN 'short'
-         |                      WHEN n_chars < 350 THEN 'mid'
-         |                      ELSE 'long' END AS y
-         |  FROM documents WHERE doc_id % 5 = 0),
-         |clsn AS (SELECT y, CAST(COUNT(*) AS DECIMAL(38,0)) AS n_c FROM lab GROUP BY y),
-         |raw AS MATERIALIZED (
-         |  SELECT l.y, ft.f, CAST(SUM(ft.cnt) AS BIGINT) AS s
-         |  FROM feats ft JOIN lab l USING (doc_id) GROUP BY l.y, ft.f),
-         |fset AS (SELECT DISTINCT f FROM raw),
-         |clssum AS MATERIALIZED (
-         |  SELECT n.y, fs.f, COALESCE(r.s, 0) AS s
-         |  FROM clsn n CROSS JOIN fset fs
-         |  LEFT JOIN raw r ON r.y = n.y AND r.f = fs.f),
-         |clsinfo AS MATERIALIZED (
-         |  SELECT c.y, n.n_c,
-         |         CAST(SUM(CAST(c.s AS DECIMAL(38,0)) * c.s) AS DECIMAL(38,0)) AS norm2_c
-         |  FROM clssum c JOIN clsn n ON n.y = c.y GROUP BY c.y, n.n_c),
-         |dots AS (
-         |  SELECT ft.doc_id, c.y,
-         |         CAST(SUM(CAST(ft.cnt AS DECIMAL(38,0)) * c.s) AS DECIMAL(38,0)) AS dot
-         |  FROM feats ft JOIN clssum c ON c.f = ft.f GROUP BY ft.doc_id, c.y),
-         |g AS (
-         |  SELECT d.doc_id, d.y,
-         |         CAST((i.norm2_c - 2 * i.n_c * d.dot) * 1000000000 // (i.n_c * i.n_c)
-         |              AS DECIMAL(38,0)) AS g
-         |  FROM dots d JOIN clsinfo i ON d.y = i.y),
-         |best AS (
-         |  SELECT doc_id, y AS pred_class FROM (
-         |    SELECT doc_id, y, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY g, y) AS rn
-         |    FROM g) WHERE rn = 1),
-         |czero AS (
-         |  SELECT y FROM clsinfo
-         |  ORDER BY CAST(norm2_c * 1000000000 // (n_c * n_c) AS DECIMAL(38,0)), y LIMIT 1),
-         |scored AS (
-         |  SELECT d.doc_id, COALESCE(b.pred_class, (SELECT y FROM czero)) AS pred_class
-         |  FROM documents d LEFT JOIN best b USING (doc_id))
+      s"""WITH $domainCtes
          |SELECT CASE WHEN d.n_chars < 250 THEN 'short'
          |            WHEN d.n_chars < 350 THEN 'mid'
          |            ELSE 'long' END AS y,
          |       s.pred_class, CAST(COUNT(*) AS BIGINT) AS n
          |FROM documents d JOIN scored s USING (doc_id)
-         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_domain_balance" ->
+      // classifyK + Sampling.balanceStrata over the PREDICTED domain:
+      // the route-then-rebalance mixture recipe; kept_id_sum checksums
+      // which rows survived the md5-hash-order cap
+      s"""WITH $domainCtes,
+         |rnk AS (
+         |  SELECT doc_id, pred_class,
+         |         ROW_NUMBER() OVER (PARTITION BY pred_class
+         |           ORDER BY ${md5NibbleIntSql("CAST(doc_id AS VARCHAR)", 8)}, doc_id) AS rn
+         |  FROM scored)
+         |SELECT pred_class, CAST(COUNT(*) AS BIGINT) AS total,
+         |       CAST(SUM(CASE WHEN rn <= 120 THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+         |       CAST(SUM(CASE WHEN rn <= 120 THEN doc_id ELSE 0 END) AS BIGINT) AS kept_id_sum
+         |FROM rnk GROUP BY pred_class ORDER BY pred_class""".stripMargin
   )
+
+  /** QualityClassifier.fitCentroidK/classifyK twin (shared by
+    * q_domain_classify and q_domain_balance): 3 length-tercile classes,
+    * DENSE per-class dot rows over the labeled feature set,
+    * normalized-distance score (norm2_c - 2*n_c*dot)*1e9 // n_c^2
+    * (DuckDB // truncates like Spark DIV — the drift precedent), ties
+    * to the smaller label; docs with no labeled-vocabulary overlap fall
+    * to the zero-vector constant argmin. Ends with
+    * `scored(doc_id, pred_class)` over ALL documents.
+    */
+  private lazy val domainCtes: String =
+    s"""feats AS MATERIALIZED (
+       |  SELECT doc_id, f, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+       |    SELECT doc_id, ${md5NibbleIntSql("tok", 8)} % 256 AS f
+       |    FROM (SELECT doc_id, UNNEST($ftsToks) AS tok FROM documents))
+       |  GROUP BY doc_id, f),
+       |lab AS MATERIALIZED (
+       |  SELECT doc_id, CASE WHEN n_chars < 250 THEN 'short'
+       |                      WHEN n_chars < 350 THEN 'mid'
+       |                      ELSE 'long' END AS y
+       |  FROM documents WHERE doc_id % 5 = 0),
+       |clsn AS (SELECT y, CAST(COUNT(*) AS DECIMAL(38,0)) AS n_c FROM lab GROUP BY y),
+       |raw AS MATERIALIZED (
+       |  SELECT l.y, ft.f, CAST(SUM(ft.cnt) AS BIGINT) AS s
+       |  FROM feats ft JOIN lab l USING (doc_id) GROUP BY l.y, ft.f),
+       |fset AS (SELECT DISTINCT f FROM raw),
+       |clssum AS MATERIALIZED (
+       |  SELECT n.y, fs.f, COALESCE(r.s, 0) AS s
+       |  FROM clsn n CROSS JOIN fset fs
+       |  LEFT JOIN raw r ON r.y = n.y AND r.f = fs.f),
+       |clsinfo AS MATERIALIZED (
+       |  SELECT c.y, n.n_c,
+       |         CAST(SUM(CAST(c.s AS DECIMAL(38,0)) * c.s) AS DECIMAL(38,0)) AS norm2_c
+       |  FROM clssum c JOIN clsn n ON n.y = c.y GROUP BY c.y, n.n_c),
+       |dots AS (
+       |  SELECT ft.doc_id, c.y,
+       |         CAST(SUM(CAST(ft.cnt AS DECIMAL(38,0)) * c.s) AS DECIMAL(38,0)) AS dot
+       |  FROM feats ft JOIN clssum c ON c.f = ft.f GROUP BY ft.doc_id, c.y),
+       |g AS (
+       |  SELECT d.doc_id, d.y,
+       |         CAST((i.norm2_c - 2 * i.n_c * d.dot) * 1000000000 // (i.n_c * i.n_c)
+       |              AS DECIMAL(38,0)) AS g
+       |  FROM dots d JOIN clsinfo i ON d.y = i.y),
+       |best AS (
+       |  SELECT doc_id, y AS pred_class FROM (
+       |    SELECT doc_id, y, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY g, y) AS rn
+       |    FROM g) WHERE rn = 1),
+       |czero AS (
+       |  SELECT y FROM clsinfo
+       |  ORDER BY CAST(norm2_c * 1000000000 // (n_c * n_c) AS DECIMAL(38,0)), y LIMIT 1),
+       |scored AS (
+       |  SELECT d.doc_id, COALESCE(b.pred_class, (SELECT y FROM czero)) AS pred_class
+       |  FROM documents d LEFT JOIN best b USING (doc_id))""".stripMargin
 }

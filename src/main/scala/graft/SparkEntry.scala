@@ -2511,6 +2511,32 @@ object SparkEntry {
       .orderBy("y", "pred_class")
   }
 
+  /** Route-then-rebalance (classifyK + Sampling.balanceStrata over the
+    * PREDICTED domain): the mixture recipe a multi-domain pre-training
+    * corpus runs — classify every doc into its domain, cap each domain
+    * at a fixed budget by deterministic hash order. `kept_id_sum`
+    * checksums WHICH rows survived, gating the selection itself.
+    */
+  private def qDomainBalance(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val label = when(col("n_chars") < 250, "short")
+      .when(col("n_chars") < 350, "mid")
+      .otherwise("long")
+    val m = QualityClassifier.fitCentroidK(
+      docs.where(col("doc_id") % 5 === 0), "doc_id", "text", label, nFeatures = 256)
+    val assigned = QualityClassifier.classifyK(docs, "doc_id", "text", m)
+    val balanced = Sampling.balanceStrata(assigned, "pred_class", "doc_id", perStratum = 120)
+    assigned
+      .groupBy("pred_class")
+      .agg(count(lit(1)).as("total"))
+      .join(
+        balanced.groupBy("pred_class").agg(
+          count(lit(1)).as("kept"),
+          sum(col("doc_id")).as("kept_id_sum")),
+        Seq("pred_class"))
+      .orderBy("pred_class")
+  }
+
   /** Cluster-balanced cap sampling (Clustering.kmeansAssign +
     * Sampling.balanceStrata): assign every embedding to the shared
     * 10-cluster k-means model, then cap each cluster at 30 rows chosen
@@ -2677,7 +2703,8 @@ object SparkEntry {
     "q_classifier_centroid" -> (qClassifierCentroid _),
     "q_model_filter_rate" -> (qModelFilterRate _),
     "q_cluster_balance" -> (qClusterBalance _),
-    "q_domain_classify" -> (qDomainClassify _)
+    "q_domain_classify" -> (qDomainClassify _),
+    "q_domain_balance" -> (qDomainBalance _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
