@@ -29,7 +29,8 @@ final class StreamingIngest(
     config: GraftConfig = GraftConfig.default,
     driftProfilePath: Option[String] = None,
     driftThresholdTvd2Ppm: Long = 200000L, // TVD 0.10
-    driftPolicy: StreamingIngest.DriftPolicy = StreamingIngest.Monitor
+    driftPolicy: StreamingIngest.DriftPolicy = StreamingIngest.Monitor,
+    qualityModel: Option[graft.operators.QualityClassifier.CentroidModel] = None
 ) {
 
   private val catalog = new Catalog(spark, config.warehouseDir)
@@ -136,7 +137,44 @@ final class StreamingIngest(
       return
     }
 
-    val docs = deduped
+    // Opt-in model-based quality gate (the distilled classifier as an
+    // ingest stage — the streaming twin of Curation's qualityModel).
+    // PER-ROW, unlike the mix-level drift guardrail: each rejected doc
+    // is diverted to `rejected_stream` (path, hash, raw text, the
+    // signed gap for threshold audits) instead of silently dropped —
+    // adjudicate and re-ingest from the table, the quarantine
+    // convention. Accepted docs continue unchanged. The scored batch is
+    // pinned once so the reject append and the accept path don't each
+    // re-run the featurize pass.
+    val screened = qualityModel match {
+      case None => deduped
+      case Some(m) =>
+        val scored = graft.operators.QualityClassifier
+          .classify(deduped, "file_hash", "value", m)
+          .localCheckpoint()
+        val rejected = scored.where(col("pred") === -1)
+        val nRejected = rejected.count()
+        if (nRejected > 0) {
+          catalog.append(
+            rejected.select(
+              col("path").as("source_path"),
+              col("file_hash"),
+              col("value"),
+              col("gap"),
+              lit(batchId).as("batch_id"),
+              current_timestamp().as("rejected_at")),
+            "rejected_stream")
+          graft.util.JsonLog.warn(
+            "ingest_quality_rejected",
+            "batch_id" -> batchId,
+            "n_rejected" -> nRejected)
+        }
+        val accepted = scored.where(col("pred") === 1).drop("pred", "gap")
+        if (accepted.isEmpty) return
+        accepted
+    }
+
+    val docs = screened
       .withColumn("id", sha2(col("file_hash"), 256))
       .withColumn("title", TextFunctions.titleFromFilename(col("path")))
 

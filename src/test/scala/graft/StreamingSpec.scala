@@ -112,6 +112,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(ingest.driftEvents.nonEmpty)
   }
 
+  test("model-based quality gate: rejected docs divert to rejected_stream, accepted load") {
+    import graft.operators.QualityClassifier
+    val base = Files.createTempDirectory("graft-qgate").toString
+    val in = s"$base/in"; val wh = s"$base/wh"; val ckpt = s"$base/ckpt"
+    Files.createDirectories(Paths.get(in))
+    val spark2 = spark
+    import spark2.implicits._
+    val train = Seq(
+      (1L, "clear prose with careful argument and cited sources", 1),
+      (2L, "careful analysis and clear cited argument in prose", 1),
+      (3L, "buy now cheap pills click here free winner", -1),
+      (4L, "winner click free cheap pills buy here now now", -1)
+    ).toDF("doc_id", "text", "y")
+    val m = QualityClassifier.fitCentroid(train, "doc_id", "text", col("y"), nFeatures = 64)
+
+    val ingest = new StreamingIngest(
+      spark, GraftConfig(warehouseDir = wh), qualityModel = Some(m))
+    Files.write(Paths.get(in, "good.md"),
+      "# Good\n\nclear prose with careful argument and cited sources here".getBytes)
+    Files.write(Paths.get(in, "spam.md"),
+      "# Spam\n\nbuy now cheap pills click here free winner offer".getBytes)
+    ingest.start(in, ckpt).awaitTermination()
+
+    val cat = new Catalog(spark, wh)
+    val docs = cat.read("documents_stream")
+    assert(docs.count() == 1, "only the accepted doc loads")
+    val rej = cat.read("rejected_stream")
+    assert(rej.count() == 1)
+    val r = rej.select("source_path", "value", "gap").collect().head
+    assert(r.getString(0).endsWith("spam.md"))
+    assert(r.getString(1).contains("pills"))
+    assert(r.getDecimal(2).signum() > 0, "rejected rows carry the positive (far-from-good) gap")
+    // chunks exist only for the accepted doc
+    val chunkDocs = cat.read("chunks_stream").select("document_id").distinct().count()
+    assert(chunkDocs == 1)
+  }
+
   test("streaming batches extend a live FTS index incrementally (no rebuild)") {
     import graft.operators.FtsIndex
     val base = Files.createTempDirectory("graft-stream-fts").toString
