@@ -319,6 +319,15 @@ object ScaleRehearsal {
           when(length(col("text")) >= 300, 1).otherwise(-1), nFeatures = 256)
         labeled.count()
       }
+      var modelK: QualityClassifier.CentroidKModel = null
+      measure("classifier_fitk_fixed_sample") {
+        modelK = QualityClassifier.fitCentroidK(
+          labeled, "doc_id", "text",
+          when(length(col("text")) < 250, "short")
+            .when(length(col("text")) < 350, "mid")
+            .otherwise("long"), nFeatures = 256)
+        labeled.count()
+      }
       for (factor <- Seq(1, 10)) {
         val docs = blowUp(factor)
         // count the kept rows, not the rows: a bare count() lets Catalyst
@@ -327,6 +336,13 @@ object ScaleRehearsal {
         measure(s"classifier_classify_x$factor") {
           QualityClassifier.classify(docs, "doc_id", "text", model)
             .where(col("pred") === 1).count()
+        }
+        // k-class: the dot aggregation carries k rows per (doc, class) —
+        // shuffle should scale by ~k over the 2-class leg, still
+        // corpus-linear with bounded width
+        measure(s"classifier_classifyk_x$factor") {
+          QualityClassifier.classifyK(docs, "doc_id", "text", modelK)
+            .groupBy("pred_class").count().count()
         }
       }
     }
