@@ -33,6 +33,10 @@ import org.apache.spark.sql.functions._
   * rows, ≤10⁹ label-corpus tokens), so gap stays ≤ ~10³⁰ — inside
   * decimal(38,0) with eight orders of headroom. The CORPUS being
   * classified is unbounded; only the labeled sample enters the bound.
+  * Beyond the bound the engines also diverge in FAILURE MODE (Spark
+  * nulls an overflowing decimal(38,0) product — a null gap classifies
+  * −1 — where DuckDB raises), one more reason the bound is a contract,
+  * not advice.
   *
   * Scale shape (the reason this beats iterative training at 100 TB):
   * fit aggregates the labeled sample to `nFeatures` rows (bounded
