@@ -189,6 +189,50 @@ object QualityClassifier {
       .drop("dp", "dn")
   }
 
+  /** Merge two fitted models: class counts and feature sums ADD, so a
+    * merged model is BIT-IDENTICAL to one fit on the concatenated
+    * samples (spec-pinned) — the property that makes the fit
+    * embarrassingly parallel and incrementally updatable: fit each new
+    * labeled batch alone and fold it in, never re-reading old samples.
+    * (This is why the model stores raw sums, not means.)
+    */
+  def mergeCentroid(a: CentroidModel, b: CentroidModel): CentroidModel = {
+    require(
+      a.nFeatures == b.nFeatures,
+      s"mergeCentroid: feature-space mismatch ${a.nFeatures} vs ${b.nFeatures}")
+    def add(x: Map[Int, Long], y: Map[Int, Long]): Map[Int, Long] =
+      (x.keySet ++ y.keySet).iterator
+        .map(f => f -> (x.getOrElse(f, 0L) + y.getOrElse(f, 0L)))
+        .toMap
+    CentroidModel(
+      a.nFeatures, a.nPos + b.nPos, a.nNeg + b.nNeg,
+      add(a.sumPos, b.sumPos), add(a.sumNeg, b.sumNeg))
+  }
+
+  /** [[mergeCentroid]] for the k-class model: classes merge by label
+    * (a label present on one side only carries over unchanged), output
+    * label order stays sorted like [[fitCentroidK]]'s.
+    */
+  def mergeCentroidK(a: CentroidKModel, b: CentroidKModel): CentroidKModel = {
+    require(
+      a.nFeatures == b.nFeatures,
+      s"mergeCentroidK: feature-space mismatch ${a.nFeatures} vs ${b.nFeatures}")
+    def add(x: Map[Int, Long], y: Map[Int, Long]): Map[Int, Long] =
+      (x.keySet ++ y.keySet).iterator
+        .map(f => f -> (x.getOrElse(f, 0L) + y.getOrElse(f, 0L)))
+        .toMap
+    val byLabel = (a.classes ++ b.classes).groupBy(_.label)
+    CentroidKModel(
+      a.nFeatures,
+      byLabel.toSeq.sortBy(_._1).map {
+        case (label, Seq(one)) => one
+        case (label, Seq(x, y)) =>
+          CentroidKModel.ClassStats(label, x.n + y.n, add(x.sums, y.sums))
+        case (label, more) =>
+          throw new IllegalStateException(s"label '$label' appears ${more.size} times")
+      })
+  }
+
   /** K-class centroid model: one class-sum table per label — bounded
     * driver-side state (≤ k·nFeatures entries), the multi-class
     * generalization of [[CentroidModel]] for DOMAIN classification

@@ -130,6 +130,38 @@ class QualityClassifierSpec extends AnyFunSuite {
     assert(e.getMessage.contains("null label"))
   }
 
+  test("mergeCentroid(fit(A), fit(B)) is bit-identical to fit(A union B)") {
+    // each half must carry both classes for fitCentroid's guard — split
+    // as 1,4 / 2,3,5,6
+    val a = docs.where(col("doc_id").isin(1L, 4L))
+    val b = docs.where(!col("doc_id").isin(1L, 4L))
+    val merged = QualityClassifier.mergeCentroid(
+      QualityClassifier.fitCentroid(a, "doc_id", "text", col("y"), 64),
+      QualityClassifier.fitCentroid(b, "doc_id", "text", col("y"), 64))
+    val whole = QualityClassifier.fitCentroid(docs, "doc_id", "text", col("y"), 64)
+    assert(merged.nPos == whole.nPos && merged.nNeg == whole.nNeg)
+    assert(merged.sumPos == whole.sumPos && merged.sumNeg == whole.sumNeg)
+    assert(merged.normPos2 == whole.normPos2 && merged.normNeg2 == whole.normNeg2)
+  }
+
+  test("mergeCentroidK folds per-label; one-sided labels carry over; mismatched spaces are loud") {
+    val a = domainDocs.where(col("doc_id") <= 4) // classes a, b
+    val b = domainDocs.where(col("doc_id") > 4) // class c only
+    val merged = QualityClassifier.mergeCentroidK(
+      QualityClassifier.fitCentroidK(a, "doc_id", "text", col("dom"), 128),
+      QualityClassifier.fitCentroidK(b, "doc_id", "text", col("dom"), 128))
+    val whole = QualityClassifier.fitCentroidK(domainDocs, "doc_id", "text", col("dom"), 128)
+    assert(merged.classes.map(_.label) == whole.classes.map(_.label))
+    merged.classes.zip(whole.classes).foreach { case (m, w) =>
+      assert(m.n == w.n && m.sums == w.sums && m.norm2 == w.norm2, s"class ${m.label}")
+    }
+    val e = intercept[IllegalArgumentException] {
+      QualityClassifier.mergeCentroidK(
+        whole, QualityClassifier.fitCentroidK(a, "doc_id", "text", col("dom"), 64))
+    }
+    assert(e.getMessage.contains("feature-space mismatch"))
+  }
+
   test("fitClassify trains only on the labeledWhere subset") {
     // labels OUTSIDE the subset are inverted garbage; if fit saw them the
     // separation would flip for the held-out half
