@@ -2301,9 +2301,14 @@ object OracleSql {
        |         CAST(SUM(CAST(ft.cnt AS DECIMAL(38,0)) * c.s) AS DECIMAL(38,0)) AS dot
        |  FROM feats ft JOIN clssum c ON c.f = ft.f GROUP BY ft.doc_id, c.y),
        |g AS (
+       |  -- the // MUST run on HUGEINT: DuckDB types DECIMAL // DECIMAL as
+       |  -- DOUBLE (plain division), so the outer CAST would ROUND and lose
+       |  -- precision past 2^53 — HUGEINT // HUGEINT truncates toward zero
+       |  -- exactly like Spark DIV (the DriftMonitor precedent); every
+       |  -- DECIMAL(38,0) value fits int128
        |  SELECT d.doc_id, d.y,
-       |         CAST((i.norm2_c - 2 * i.n_c * d.dot) * 1000000000 // (i.n_c * i.n_c)
-       |              AS DECIMAL(38,0)) AS g
+       |         CAST((i.norm2_c - 2 * i.n_c * d.dot) AS HUGEINT) * 1000000000
+       |           // CAST(i.n_c * i.n_c AS HUGEINT) AS g
        |  FROM dots d JOIN clsinfo i ON d.y = i.y),
        |best AS (
        |  SELECT doc_id, y AS pred_class FROM (
@@ -2311,7 +2316,8 @@ object OracleSql {
        |    FROM g) WHERE rn = 1),
        |czero AS (
        |  SELECT y FROM clsinfo
-       |  ORDER BY CAST(norm2_c * 1000000000 // (n_c * n_c) AS DECIMAL(38,0)), y LIMIT 1),
+       |  ORDER BY CAST(norm2_c AS HUGEINT) * 1000000000 // CAST(n_c * n_c AS HUGEINT), y
+       |  LIMIT 1),
        |scored AS (
        |  SELECT d.doc_id, COALESCE(b.pred_class, (SELECT y FROM czero)) AS pred_class
        |  FROM documents d LEFT JOIN best b USING (doc_id))""".stripMargin

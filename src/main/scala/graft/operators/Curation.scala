@@ -179,20 +179,6 @@ object Curation {
     new CurationHandle(curated, spark, tracked)
   }
 
-  /** Threshold decontamination stage: drop docs whose graded eval-overlap
-    * score ([[CorpusHygiene.contaminationFraction]]) reaches
-    * `maxContamination`; identity when no eval set is supplied. Runs
-    * AFTER the language/quality gates (fewer docs to shingle) and BEFORE
-    * dedup, so a near-dup cluster whose canonical doc is contaminated
-    * keeps its next clean member — the same survival rule the quality
-    * gate gets. Plan shape: the contaminated-id minority broadcasts into
-    * a left-anti join, corpus text never shuffles (the score side moves
-    * only (id, gram-digest) pairs against broadcast eval grams). When
-    * boilerplate overlap makes the contaminated set itself large, pass
-    * `broadcastContaminatedIds = false` (the [[CorpusHygiene
-    * .decontaminate]] escape hatch) to anti-join by shuffle instead of
-    * collecting the ids to the driver.
-    */
   /** Model-based quality gate: identity when no model is supplied,
     * otherwise keep only docs the distilled classifier accepts
     * ([[QualityClassifier.classify]] pred = +1). The model side is a
@@ -212,6 +198,20 @@ object Curation {
         .drop("pred", "gap")
   }
 
+  /** Threshold decontamination stage: drop docs whose graded eval-overlap
+    * score ([[CorpusHygiene.contaminationFraction]]) reaches
+    * `maxContamination`; identity when no eval set is supplied. Runs
+    * AFTER the language/quality gates (fewer docs to shingle) and BEFORE
+    * dedup, so a near-dup cluster whose canonical doc is contaminated
+    * keeps its next clean member — the same survival rule the quality
+    * gate gets. Plan shape: the contaminated-id minority broadcasts into
+    * a left-anti join, corpus text never shuffles (the score side moves
+    * only (id, gram-digest) pairs against broadcast eval grams). When
+    * boilerplate overlap makes the contaminated set itself large, pass
+    * `broadcastContaminatedIds = false` (the [[CorpusHygiene
+    * .decontaminate]] escape hatch) to anti-join by shuffle instead of
+    * collecting the ids to the driver.
+    */
   private def contaminationGate(
       df: DataFrame,
       idCol: String,

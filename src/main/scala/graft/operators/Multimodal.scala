@@ -188,6 +188,11 @@ object Multimodal {
       val (cols, rows) = (9, 8)
       require(w >= cols && h >= rows,
         s"dHash: image ${w}x$h smaller than the ${cols}x$rows grid — filter tiny images first")
+      // the cross-multiplied comparison is sum*cnt <= 255000*cnt², and a
+      // per-cell cnt ~ w*h/72 past ~0.2 gigapixel would overflow Long and
+      // silently flip bits — fail loudly instead (downscale first)
+      require(w.toLong * h <= 200000000L,
+        s"dHash: image ${w}x$h exceeds the 0.2-gigapixel exact-arithmetic bound — resize first")
       val sums = Array.ofDim[Long](rows, cols)
       val cnts = Array.ofDim[Long](rows, cols)
       var y = 0
@@ -276,7 +281,13 @@ object Multimodal {
       codec: MediaCodec = StubCodec
   ): DataFrame =
     Dedup.hammingPairsFromSigs(
-      withImageDHash(df, contentCol, "dhash", codec).select(col(idCol), col("dhash")),
+      withImageDHash(df, contentCol, "dhash", codec)
+        .select(col(idCol), col("dhash"))
+        // null payloads keep their row in withImageDHash, but here a null
+        // signature would band to struct(bi, null) — and struct equality
+        // treats null fields as equal, so null-payload rows would form one
+        // quadratic all-pairs bucket that the hamming filter then discards
+        .where(col("dhash").isNotNull),
       idCol, "dhash", maxHamming)
 
   /** Media embedding column (the image twin of the text embedder). */

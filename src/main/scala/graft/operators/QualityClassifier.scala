@@ -196,17 +196,18 @@ object QualityClassifier {
     * labeled batch alone and fold it in, never re-reading old samples.
     * (This is why the model stores raw sums, not means.)
     */
+  private def addSums(x: Map[Int, Long], y: Map[Int, Long]): Map[Int, Long] =
+    (x.keySet ++ y.keySet).iterator
+      .map(f => f -> (x.getOrElse(f, 0L) + y.getOrElse(f, 0L)))
+      .toMap
+
   def mergeCentroid(a: CentroidModel, b: CentroidModel): CentroidModel = {
     require(
       a.nFeatures == b.nFeatures,
       s"mergeCentroid: feature-space mismatch ${a.nFeatures} vs ${b.nFeatures}")
-    def add(x: Map[Int, Long], y: Map[Int, Long]): Map[Int, Long] =
-      (x.keySet ++ y.keySet).iterator
-        .map(f => f -> (x.getOrElse(f, 0L) + y.getOrElse(f, 0L)))
-        .toMap
     CentroidModel(
       a.nFeatures, a.nPos + b.nPos, a.nNeg + b.nNeg,
-      add(a.sumPos, b.sumPos), add(a.sumNeg, b.sumNeg))
+      addSums(a.sumPos, b.sumPos), addSums(a.sumNeg, b.sumNeg))
   }
 
   /** [[mergeCentroid]] for the k-class model: classes merge by label
@@ -217,17 +218,13 @@ object QualityClassifier {
     require(
       a.nFeatures == b.nFeatures,
       s"mergeCentroidK: feature-space mismatch ${a.nFeatures} vs ${b.nFeatures}")
-    def add(x: Map[Int, Long], y: Map[Int, Long]): Map[Int, Long] =
-      (x.keySet ++ y.keySet).iterator
-        .map(f => f -> (x.getOrElse(f, 0L) + y.getOrElse(f, 0L)))
-        .toMap
     val byLabel = (a.classes ++ b.classes).groupBy(_.label)
     CentroidKModel(
       a.nFeatures,
       byLabel.toSeq.sortBy(_._1).map {
         case (label, Seq(one)) => one
         case (label, Seq(x, y)) =>
-          CentroidKModel.ClassStats(label, x.n + y.n, add(x.sums, y.sums))
+          CentroidKModel.ClassStats(label, x.n + y.n, addSums(x.sums, y.sums))
         case (label, more) =>
           throw new IllegalStateException(s"label '$label' appears ${more.size} times")
       })
@@ -266,10 +263,12 @@ object QualityClassifier {
       nFeatures: Int = 256
   ): CentroidKModel = {
     val lab = labeled.select(col(idCol), label.as("y"))
-    val nullCount = lab.where(col("y").isNull).count()
+    // the per-class counts aggregation sees a null group key, so the
+    // null-label guard rides the same single job instead of its own pass
+    val countRows = lab.groupBy("y").agg(count(lit(1)).as("n")).collect()
+    val nullCount = countRows.filter(_.isNullAt(0)).map(_.getLong(1)).sum
     require(nullCount == 0, s"fitCentroidK: $nullCount rows have a null label")
-    val counts = lab.groupBy("y").agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val counts = countRows.map(r => r.getString(0) -> r.getLong(1)).toMap
     val sums = featurize(labeled, idCol, textCol, nFeatures)
       .join(lab, idCol)
       .groupBy("y", "feature")
@@ -340,7 +339,13 @@ object QualityClassifier {
         st.StructField("n_c", dec, nullable = false),
         st.StructField("norm2_c", dec, nullable = false))))
 
-    // g(c) = (norm2_c - 2*n_c*dot) * 1e9 DIV n_c^2 — the comparable score
+    // g(c) = (norm2_c - 2*n_c*dot) * 1e9 DIV n_c^2 — the comparable score.
+    // Spark DIV yields BIGINT, so a quotient past 2^63 comes back NULL
+    // (non-ANSI): |g| <= (norm2_c + 2·n_c·D)·1e9 / n_c² must stay under
+    // 9.2e18 — at distillation sample sizes it is orders below. Beyond
+    // the bound the struct-min below makes the overflowed class LOSE
+    // (nulls sort first in struct order, so g is guarded by an
+    // is-null flag) rather than silently absorb every document.
     val gExpr = expr(
       "CAST((norm2_c - 2 * n_c * dot) * 1000000000 DIV (n_c * n_c) AS DECIMAL(38,0))")
     val scoredPerClass = featurize(docs, idCol, textCol, model.nFeatures)
@@ -351,7 +356,7 @@ object QualityClassifier {
       .withColumn("g", gExpr)
     val assigned = scoredPerClass
       .groupBy(idCol)
-      .agg(min(struct(col("g"), col("y"))).as("_best"))
+      .agg(min(struct(col("g").isNull.as("_overflowed"), col("g"), col("y"))).as("_best"))
       .select(col(idCol), col("_best.y").as("pred_class"))
 
     // the zero-vector argmin, a model constant: min over classes of

@@ -152,7 +152,20 @@ final class StreamingIngest(
         val scored = graft.operators.QualityClassifier
           .classify(deduped, "file_hash", "value", m)
           .localCheckpoint()
+        // Replay idempotence: rejects never reach the documents_stream
+        // ledger the batch anti-join keys on, so a crash after this
+        // append and before the ledger write would re-score the batch
+        // and append the SAME rejects again — anti-join against the
+        // rejected table itself (its file_hash is the content key),
+        // mirroring the chunks/FTS replay guards.
         val rejected = scored.where(col("pred") === -1)
+          .transform(r =>
+            if (!catalog.exists("rejected_stream")) r
+            else
+              r.join(
+                broadcast(catalog.read("rejected_stream").select("file_hash")),
+                Seq("file_hash"),
+                "left_anti"))
         val nRejected = rejected.count()
         if (nRejected > 0) {
           catalog.append(
