@@ -180,6 +180,40 @@ class StreamingSpec extends AnyFunSuite {
     FtsIndex.invalidate(ingest.ftsKey)
   }
 
+  test("quality-gate replay: a re-run batch does not double-append its rejects") {
+    import graft.operators.QualityClassifier
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-qgate-replay").toString
+    val wh = s"$base/wh"
+    val train = Seq(
+      (1L, "clear prose with careful argument and cited sources", 1),
+      (2L, "careful analysis and clear cited argument in prose", 1),
+      (3L, "buy now cheap pills click here free winner", -1),
+      (4L, "winner click free cheap pills buy here now now", -1)
+    ).toDF("doc_id", "text", "y")
+    val m = QualityClassifier.fitCentroid(train, "doc_id", "text", col("y"), nFeatures = 64)
+    val ingest = new StreamingIngest(
+      spark, GraftConfig(warehouseDir = wh), qualityModel = Some(m))
+    val cat = new Catalog(spark, wh)
+    val batch = Seq(
+      ("# Spam\n\nbuy now cheap pills click here free winner offer", "file:///r/spam.md"),
+      ("# Good\n\nclear prose with careful argument and cited sources", "file:///r/good.md")
+    ).toDF("value", "path")
+    try {
+      // attempt 1 records the reject, then "crashes" before the ledger
+      // append becomes visible (drop documents_stream, cold FTS cache)
+      ingest.ingestBatch(batch, 0L, runToken = "ckptR")
+      assert(cat.read("rejected_stream").count() == 1)
+      FtsIndex.invalidate(ingest.ftsKey)
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        Paths.get(wh, "documents_stream").toFile)
+      // the replay re-scores the batch; the reject append must be a no-op
+      ingest.ingestBatch(batch, 0L, runToken = "ckptR")
+      assert(cat.read("rejected_stream").count() == 1,
+        "replayed batch double-appended its rejects")
+    } finally FtsIndex.invalidate(ingest.ftsKey)
+  }
+
   test("crash-replay (chunks landed, ledger didn't, cold cache) does not double-count the FTS index") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft-stream-crash").toString
