@@ -340,23 +340,40 @@ object QualityClassifier {
         st.StructField("norm2_c", dec, nullable = false))))
 
     // g(c) = (norm2_c - 2*n_c*dot) * 1e9 DIV n_c^2 — the comparable score.
-    // Spark DIV yields BIGINT, so a quotient past 2^63 comes back NULL
-    // (non-ANSI): |g| <= (norm2_c + 2·n_c·D)·1e9 / n_c² must stay under
-    // 9.2e18 — at distillation sample sizes it is orders below. Beyond
-    // the bound the struct-min below makes the overflowed class LOSE
-    // (nulls sort first in struct order, so g is guarded by an
-    // is-null flag) rather than silently absorb every document.
-    val gExpr = expr(
-      "CAST((norm2_c - 2 * n_c * dot) * 1000000000 DIV (n_c * n_c) AS DECIMAL(38,0))")
+    // Spark DIV yields BIGINT and a quotient past 2^63 WRAPS SILENTLY to
+    // a garbage long (measured: 1.6e28 DIV 1 = -2.1e17 — not null, not an
+    // error), which would hand every argmin to the degenerate class. The
+    // quotient bound |g| <= (norm2_c + 2·n_c·D)·1e9 / n_c² < 2^63 is
+    // therefore ENFORCED per row: the truncating-division identity
+    // num = g·den + rem with |rem| < den and rem carrying num's sign is
+    // decimal-exact and fails exactly when DIV wrapped — assert_true
+    // turns the wrap into a loud task failure instead of a silent
+    // misrouting. At distillation sample sizes g is orders below the
+    // bound and the check never fires.
     val scoredPerClass = featurize(docs, idCol, textCol, model.nFeatures)
       .join(broadcast(modelDf), "feature")
       .groupBy(col(idCol), col("y"))
       .agg(sum(col("cnt").cast(dec) * col("s")).cast(dec).as("dot"))
       .join(broadcast(classDf), "y")
-      .withColumn("g", gExpr)
+      .withColumn("_num", expr("CAST((norm2_c - 2 * n_c * dot) * 1000000000 AS DECIMAL(38,0))"))
+      .withColumn("_den", expr("CAST(n_c * n_c AS DECIMAL(38,0))"))
+      .withColumn("_q", expr("CAST(_num DIV _den AS DECIMAL(38,0))"))
+      // the guard lives INSIDE g (not a side column an optimizer could
+      // prune): g is load-bearing in the argmin, so the identity check
+      // provably evaluates for every (doc, class) row
+      .withColumn(
+        "g",
+        expr(
+          """CASE WHEN _q IS NOT NULL AND abs(_num - _q * _den) < _den
+            |          AND (_num - _q * _den = 0 OR sign(_num - _q * _den) = sign(_num))
+            |     THEN _q
+            |     ELSE CAST(raise_error(concat(
+            |            'classifyK: DIV quotient overflow for class ', y,
+            |            ' - the normalized-distance score left the exact range; ',
+            |            'shrink the labeled sample or nFeatures')) AS DECIMAL(38,0)) END""".stripMargin))
     val assigned = scoredPerClass
       .groupBy(idCol)
-      .agg(min(struct(col("g").isNull.as("_overflowed"), col("g"), col("y"))).as("_best"))
+      .agg(min(struct(col("g"), col("y"))).as("_best"))
       .select(col(idCol), col("_best.y").as("pred_class"))
 
     // the zero-vector argmin, a model constant: min over classes of

@@ -122,6 +122,32 @@ class QualityClassifierSpec extends AnyFunSuite {
     assert(out == "a")
   }
 
+  test("classifyK: a quotient past the DIV range fails LOUDLY, never silently misroutes") {
+    // g = (norm2_c - 2*n_c*dot)*1e9 DIV n_c^2 past 2^63 WRAPS silently in
+    // Spark (measured: 1.6e28 DIV 1 = -2.1e17 — not null, not an error),
+    // which would hand every argmin to the degenerate class. The
+    // truncation-identity guard inside g must turn that wrap into an
+    // error. Construct the overflow directly: n=1, one feature sum of
+    // 4e9 gives g ~ 1.6e28.
+    val huge = QualityClassifier.CentroidKModel.ClassStats(
+      "degenerate", n = 1L, sums = Map(0 -> 4000000000L))
+    val normal = QualityClassifier.CentroidKModel.ClassStats(
+      "normal", n = 2L,
+      sums = QualityClassifier
+        .featurize(Seq((1L, "plain words here")).toDF("doc_id", "text"), "doc_id", "text", 64)
+        .collect().map(r => r.getLong(1).toInt -> r.getLong(2) * 2).toMap)
+    val m = QualityClassifier.CentroidKModel(64, Seq(huge, normal))
+    val e = intercept[Exception] {
+      QualityClassifier.classifyK(
+        Seq((9L, "plain words here")).toDF("doc_id", "text"), "doc_id", "text", m)
+        .select("pred_class").as[String].head()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("DIV quotient overflow")),
+      s"expected the loud overflow error, got: $e")
+  }
+
   test("fitCentroidK fails loudly on null labels") {
     val bad = Seq((1L, "a b", Some("x")), (2L, "c d", None)).toDF("doc_id", "text", "dom")
     val e = intercept[IllegalArgumentException] {
