@@ -2238,6 +2238,30 @@ object OracleSql {
          |       CAST(SUM(CASE WHEN rn <= 30 THEN vec_id ELSE 0 END) AS BIGINT) AS kept_id_sum
          |FROM rnk GROUP BY cid ORDER BY cluster""".stripMargin,
 
+    "q_curation_audit" ->
+      // Curation.audit twin: first-failing-gate per doc in curate's stage
+      // order; the duplicate rank runs ONLY over prior-gate survivors
+      // (curate's dedup-last order), keep-min-id per normalized digest
+      s"""WITH enriched AS (
+         |  SELECT doc_id, text, $langCase AS pred_lang, $quality AS quality
+         |  FROM documents),
+         |flags AS (
+         |  SELECT doc_id, pred_lang, quality, text,
+         |         CASE WHEN pred_lang IN ('en', 'de') THEN 1 ELSE 0 END AS lang_ok,
+         |         CASE WHEN quality >= 0.5 THEN 1 ELSE 0 END AS qual_ok
+         |  FROM enriched),
+         |dup AS (
+         |  SELECT doc_id, ROW_NUMBER() OVER (
+         |      PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+         |      ORDER BY doc_id) AS rn
+         |  FROM flags WHERE lang_ok = 1 AND qual_ok = 1)
+         |SELECT f.doc_id, f.pred_lang, f.quality,
+         |       CASE WHEN f.lang_ok = 0 THEN 'lang'
+         |            WHEN f.qual_ok = 0 THEN 'quality'
+         |            WHEN d.rn > 1 THEN 'duplicate' END AS drop_reason
+         |FROM flags f LEFT JOIN dup d USING (doc_id)
+         |ORDER BY f.doc_id""".stripMargin,
+
     "q_domain_classify" ->
       s"""WITH $domainCtes
          |SELECT CASE WHEN d.n_chars < 250 THEN 'short'

@@ -2511,6 +2511,19 @@ object SparkEntry {
       .orderBy("y", "pred_class")
   }
 
+  /** Curation decision log (Curation.audit): every document with its
+    * enrichment columns and the FIRST gate that dropped it (lang /
+    * quality / duplicate; null = kept) — the per-doc "why did my
+    * document disappear" readout, gate order and predicates identical
+    * to q_curation's composite so kept-here iff curate-emits-it.
+    */
+  private def qCurationAudit(s: SparkSession, dir: String): DataFrame =
+    Curation
+      .audit(t(s, dir, "documents"), "doc_id", "text",
+        langs = Set("en", "de"), minQuality = 0.5)
+      .select(col("doc_id"), col("pred_lang"), col("quality"), col("drop_reason"))
+      .orderBy("doc_id")
+
   /** Route-then-rebalance (classifyK + Sampling.balanceStrata over the
     * PREDICTED domain): the mixture recipe a multi-domain pre-training
     * corpus runs — classify every doc into its domain, cap each domain
@@ -2704,7 +2717,8 @@ object SparkEntry {
     "q_model_filter_rate" -> (qModelFilterRate _),
     "q_cluster_balance" -> (qClusterBalance _),
     "q_domain_classify" -> (qDomainClassify _),
-    "q_domain_balance" -> (qDomainBalance _)
+    "q_domain_balance" -> (qDomainBalance _),
+    "q_curation_audit" -> (qCurationAudit _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -251,6 +251,93 @@ object Curation {
       .where(if (langs.isEmpty) lit(true) else col("pred_lang").isin(langs.toSeq: _*))
   }
 
+  /** The curation DECISION LOG: every input doc with its enrichment
+    * columns and the FIRST gate that dropped it (`drop_reason` ∈ lang /
+    * quality / contamination / model / duplicate, null = kept) — the
+    * "why did my document disappear" observability readout a large
+    * pipeline needs next to [[curate]]'s survivors. Gate precedence is
+    * exactly [[curate]]'s stage order, and the per-gate predicates are
+    * the same column algebra, so a doc is kept here iff [[curate]] with
+    * the same arguments emits it (spec-pinned).
+    *
+    * Per-doc gates (lang, quality, contamination, model) are evaluated
+    * for EVERY doc — their verdicts are corpus-independent, so auditing
+    * them on pre-gate drops is free information, not a divergence. The
+    * duplicate gate is corpus-DEPENDENT (keep-min-id among survivors of
+    * all prior gates), so it is computed only over those survivors,
+    * mirroring curate's dedup-last order.
+    *
+    * Scale shape: the enrichment is the same one-scan column algebra as
+    * [[curate]]; the dedup window shuffles (digest, id)-keyed rows of
+    * the prior-gate survivors; the optional contamination/model legs
+    * reuse their operators' broadcast-bounded plans.
+    */
+  def audit(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      langs: Set[String] = Set("en"),
+      minQuality: Double = 0.5,
+      dedupe: Boolean = true,
+      evalSet: Option[DataFrame] = None,
+      evalTextCol: String = "text",
+      maxContamination: Double = 1.0,
+      contamN: Int = 13,
+      qualityModel: Option[QualityClassifier.CentroidModel] = None
+  ): DataFrame = {
+    val enriched = docs
+      .withColumn("pred_lang", TextAnalysis.langId(col(textCol)))
+      .withColumn("quality", TextAnalysis.qualityScore(col(textCol)))
+      .withColumn("token_est", TextFunctions.tokenEstimate(col(textCol)).cast("long"))
+      .withColumn("_lang_ok",
+        if (langs.isEmpty) lit(true) else col("pred_lang").isin(langs.toSeq: _*))
+      .withColumn("_qual_ok", col("quality") >= minQuality)
+
+    val withContam = evalSet match {
+      case None => enriched.withColumn("_contam_ok", lit(true))
+      case Some(es) =>
+        require(maxContamination > 0.0 && maxContamination <= 1.0,
+          s"audit: maxContamination must be in (0, 1], got $maxContamination")
+        val frac = CorpusHygiene
+          .contaminationFraction(docs, idCol, textCol, es, evalTextCol, contamN)
+          .select(col("id").as(idCol), col("frac").as("_contam_frac"))
+        enriched
+          .join(frac, Seq(idCol), "left")
+          .withColumn("_contam_ok",
+            coalesce(col("_contam_frac"), lit(0.0)) < maxContamination)
+          .drop("_contam_frac")
+    }
+    val withModel = qualityModel match {
+      case None => withContam.withColumn("_model_ok", lit(true))
+      case Some(m) =>
+        QualityClassifier.classify(withContam, idCol, textCol, m)
+          .withColumn("_model_ok", col("pred") === 1)
+          .drop("pred", "gap")
+    }
+
+    // duplicate gate over the survivors of every prior gate, exactly
+    // curate's dedup input; keep-min-id per normalized-text digest
+    val survivorRank = withModel
+      .where(col("_lang_ok") && col("_qual_ok") && col("_contam_ok") && col("_model_ok"))
+      .select(
+        col(idCol),
+        row_number().over(
+          Window
+            .partitionBy(md5(Dedup.normalized(col(textCol))))
+            .orderBy(col(idCol))).as("_dup_rn"))
+
+    withModel
+      .join(survivorRank, Seq(idCol), "left")
+      .withColumn(
+        "drop_reason",
+        when(!col("_lang_ok"), "lang")
+          .when(!col("_qual_ok"), "quality")
+          .when(!col("_contam_ok"), "contamination")
+          .when(!col("_model_ok"), "model")
+          .when(lit(dedupe) && col("_dup_rn") > 1, "duplicate"))
+      .drop("_lang_ok", "_qual_ok", "_contam_ok", "_model_ok", "_dup_rn")
+  }
+
   /** Corpus accounting after curation: docs and tokens kept per language. */
   def stats(curated: DataFrame): DataFrame =
     curated

@@ -144,6 +144,55 @@ class CurationSpec extends AnyFunSuite {
     assert(kept == Set(1L, 3L), s"got $kept")
   }
 
+  test("audit: kept set equals curate's output and reasons follow gate precedence") {
+    val out = Curation.audit(docs, "doc_id", "text", langs = Set("en", "de"), minQuality = 0.4)
+    val reasons = out.select("doc_id", "drop_reason").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(reasons(1L).isEmpty && reasons(3L).isEmpty, s"kept docs carry no reason: $reasons")
+    assert(reasons(2L).contains("duplicate"), "dup of doc 1 drops at the dedup gate")
+    assert(reasons(4L).contains("lang") && reasons(5L).contains("lang"))
+    assert(reasons(6L).contains("quality"),
+      "English but low-quality: quality fires AFTER lang passed")
+    val keptAudit = reasons.filter(_._2.isEmpty).keySet
+    val keptCurate = Curation.curate(docs, "doc_id", "text", Set("en", "de"), 0.4)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptAudit == keptCurate, s"audit kept $keptAudit but curate kept $keptCurate")
+  }
+
+  test("audit: contamination fires before model, model before duplicate") {
+    import graft.operators.QualityClassifier
+    val train = Seq(
+      (101L, "clear prose with careful argument and cited sources", 1),
+      (102L, "careful analysis and clear cited argument in prose", 1),
+      (103L, "buy now cheap pills click here free winner", -1),
+      (104L, "winner click free cheap pills buy here now now", -1)
+    ).toDF("doc_id", "text", "y")
+    val m = QualityClassifier.fitCentroid(train, "doc_id", "text", col("y"), nFeatures = 64)
+    val evalSet = Seq(
+      "buy now cheap pills click here free winner offer today").toDF("text")
+    val corpus = Seq(
+      // contaminated AND model-rejected: contamination wins (gate order)
+      (1L, "buy now cheap pills click here free winner offer today"),
+      // model-rejected only: same spam VOCABULARY (counts drive the
+      // model) but shuffled word ORDER so no 3-gram matches the eval set
+      (2L, "pills winner buy free cheap click now here pills"),
+      // clean, kept
+      (3L, "clear prose with careful argument and cited sources"),
+      // exact dup of 3: duplicate
+      (4L, "clear prose with careful argument and cited sources")
+    ).toDF("doc_id", "text")
+    val reasons = Curation
+      .audit(corpus, "doc_id", "text", langs = Set.empty, minQuality = 0.0,
+        evalSet = Some(evalSet), maxContamination = 0.5, contamN = 3,
+        qualityModel = Some(m))
+      .select("doc_id", "drop_reason").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(reasons(1L).contains("contamination"), s"got $reasons")
+    assert(reasons(2L).contains("model"), s"got $reasons")
+    assert(reasons(3L).isEmpty, s"got $reasons")
+    assert(reasons(4L).contains("duplicate"), s"got $reasons")
+  }
+
   test("model-based quality gate drops model-rejected docs; identity without a model") {
     import graft.operators.QualityClassifier
     val train = Seq(
