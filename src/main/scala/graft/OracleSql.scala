@@ -2239,28 +2239,18 @@ object OracleSql {
          |FROM rnk GROUP BY cid ORDER BY cluster""".stripMargin,
 
     "q_curation_audit" ->
-      // Curation.audit twin: first-failing-gate per doc in curate's stage
-      // order; the duplicate rank runs ONLY over prior-gate survivors
-      // (curate's dedup-last order), keep-min-id per normalized digest
-      s"""WITH enriched AS (
-         |  SELECT doc_id, text, $langCase AS pred_lang, $quality AS quality
-         |  FROM documents),
-         |flags AS (
-         |  SELECT doc_id, pred_lang, quality, text,
-         |         CASE WHEN pred_lang IN ('en', 'de') THEN 1 ELSE 0 END AS lang_ok,
-         |         CASE WHEN quality >= 0.5 THEN 1 ELSE 0 END AS qual_ok
-         |  FROM enriched),
-         |dup AS (
-         |  SELECT doc_id, ROW_NUMBER() OVER (
-         |      PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
-         |      ORDER BY doc_id) AS rn
-         |  FROM flags WHERE lang_ok = 1 AND qual_ok = 1)
-         |SELECT f.doc_id, f.pred_lang, f.quality,
-         |       CASE WHEN f.lang_ok = 0 THEN 'lang'
-         |            WHEN f.qual_ok = 0 THEN 'quality'
-         |            WHEN d.rn > 1 THEN 'duplicate' END AS drop_reason
-         |FROM flags f LEFT JOIN dup d USING (doc_id)
-         |ORDER BY f.doc_id""".stripMargin,
+      s"""WITH $auditCtes
+         |SELECT doc_id, pred_lang, quality, drop_reason
+         |FROM reasons ORDER BY doc_id""".stripMargin,
+
+    "q_audit_stats" ->
+      // gate-loss accounting: the audit rolled up to docs + estimated
+      // tokens per drop reason (null reason folded to 'kept')
+      s"""WITH $auditCtes
+         |SELECT COALESCE(drop_reason, 'kept') AS reason,
+         |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(token_est) AS BIGINT) AS total_tokens
+         |FROM reasons GROUP BY 1 ORDER BY reason""".stripMargin,
 
     "q_domain_classify" ->
       s"""WITH $domainCtes
@@ -2286,6 +2276,35 @@ object OracleSql {
          |       CAST(SUM(CASE WHEN rn <= 120 THEN doc_id ELSE 0 END) AS BIGINT) AS kept_id_sum
          |FROM rnk GROUP BY pred_class ORDER BY pred_class""".stripMargin
   )
+
+  /** Curation.audit twin (shared by q_curation_audit and
+    * q_audit_stats): first-failing-gate per doc in curate's stage
+    * order; the duplicate rank runs ONLY over prior-gate survivors
+    * (curate's dedup-last order), keep-min-id per normalized digest.
+    * Ends with `reasons(doc_id, pred_lang, quality, token_est,
+    * drop_reason)`.
+    */
+  private lazy val auditCtes: String =
+    s"""enriched AS (
+       |  SELECT doc_id, text, $langCase AS pred_lang, $quality AS quality,
+       |         CAST(FLOOR(CAST(len($words) AS DOUBLE) * 1.3) AS BIGINT) AS token_est
+       |  FROM documents),
+       |flags AS (
+       |  SELECT doc_id, pred_lang, quality, token_est, text,
+       |         CASE WHEN pred_lang IN ('en', 'de') THEN 1 ELSE 0 END AS lang_ok,
+       |         CASE WHEN quality >= 0.5 THEN 1 ELSE 0 END AS qual_ok
+       |  FROM enriched),
+       |dup AS (
+       |  SELECT doc_id, ROW_NUMBER() OVER (
+       |      PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+       |      ORDER BY doc_id) AS rn
+       |  FROM flags WHERE lang_ok = 1 AND qual_ok = 1),
+       |reasons AS (
+       |  SELECT f.doc_id, f.pred_lang, f.quality, f.token_est,
+       |         CASE WHEN f.lang_ok = 0 THEN 'lang'
+       |              WHEN f.qual_ok = 0 THEN 'quality'
+       |              WHEN d.rn > 1 THEN 'duplicate' END AS drop_reason
+       |  FROM flags f LEFT JOIN dup d USING (doc_id))""".stripMargin
 
   /** QualityClassifier.fitCentroidK/classifyK twin (shared by
     * q_domain_classify and q_domain_balance): 3 length-tercile classes,

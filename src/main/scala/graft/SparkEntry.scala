@@ -2524,6 +2524,18 @@ object SparkEntry {
       .select(col("doc_id"), col("pred_lang"), col("quality"), col("drop_reason"))
       .orderBy("doc_id")
 
+  /** Gate-loss accounting (the audit rolled up): docs and estimated
+    * tokens lost to each curation gate vs kept — the "where does my
+    * corpus go" dashboard number.
+    */
+  private def qAuditStats(s: SparkSession, dir: String): DataFrame =
+    Curation
+      .audit(t(s, dir, "documents"), "doc_id", "text",
+        langs = Set("en", "de"), minQuality = 0.5)
+      .groupBy(coalesce(col("drop_reason"), lit("kept")).as("reason"))
+      .agg(count(lit(1)).as("n_docs"), sum("token_est").as("total_tokens"))
+      .orderBy("reason")
+
   /** Route-then-rebalance (classifyK + Sampling.balanceStrata over the
     * PREDICTED domain): the mixture recipe a multi-domain pre-training
     * corpus runs — classify every doc into its domain, cap each domain
@@ -2718,7 +2730,8 @@ object SparkEntry {
     "q_cluster_balance" -> (qClusterBalance _),
     "q_domain_classify" -> (qDomainClassify _),
     "q_domain_balance" -> (qDomainBalance _),
-    "q_curation_audit" -> (qCurationAudit _)
+    "q_curation_audit" -> (qCurationAudit _),
+    "q_audit_stats" -> (qAuditStats _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
