@@ -235,21 +235,26 @@ object Curation {
       df.join(rhs, df(idCol) === bad("id"), "left_anti")
   }
 
+  /** The one canonical enrichment trio — shared by [[filterStage]] and
+    * [[audit]] so the kept-iff-curate contract can never drift on a
+    * formula edit to a single site.
+    */
+  private def enrich(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .withColumn("pred_lang", TextAnalysis.langId(col(textCol)))
+      .withColumn("quality", TextAnalysis.qualityScore(col(textCol)))
+      // == floor(words*1.3) for non-negative counts: one canonical formula
+      .withColumn("token_est", TextFunctions.tokenEstimate(col(textCol)).cast("long"))
+
   private def filterStage(
       docs: DataFrame,
       textCol: String,
       langs: Set[String],
       minQuality: Double
-  ): DataFrame = {
-    val enriched = docs
-      .withColumn("pred_lang", TextAnalysis.langId(col(textCol)))
-      .withColumn("quality", TextAnalysis.qualityScore(col(textCol)))
-      // == floor(words*1.3) for non-negative counts: one canonical formula
-      .withColumn("token_est", TextFunctions.tokenEstimate(col(textCol)).cast("long"))
-    enriched
+  ): DataFrame =
+    enrich(docs, textCol)
       .where(col("quality") >= minQuality)
       .where(if (langs.isEmpty) lit(true) else col("pred_lang").isin(langs.toSeq: _*))
-  }
 
   /** The curation DECISION LOG: every input doc with its enrichment
     * columns and the FIRST gate that dropped it (`drop_reason` ∈ lang /
@@ -285,13 +290,15 @@ object Curation {
       contamN: Int = 13,
       qualityModel: Option[QualityClassifier.CentroidModel] = None
   ): DataFrame = {
-    val enriched = docs
-      .withColumn("pred_lang", TextAnalysis.langId(col(textCol)))
-      .withColumn("quality", TextAnalysis.qualityScore(col(textCol)))
-      .withColumn("token_est", TextFunctions.tokenEstimate(col(textCol)).cast("long"))
+    // null text makes both gate predicates NULL, which a bare `when`
+    // chain would skip — reading as "kept" while curate's `.where`
+    // DROPS the doc. coalesce(false) keeps the kept-iff-curate contract
+    // (and matches the oracle's CASE ... ELSE 0 null-folding).
+    val enriched = enrich(docs, textCol)
       .withColumn("_lang_ok",
-        if (langs.isEmpty) lit(true) else col("pred_lang").isin(langs.toSeq: _*))
-      .withColumn("_qual_ok", col("quality") >= minQuality)
+        if (langs.isEmpty) lit(true)
+        else coalesce(col("pred_lang").isin(langs.toSeq: _*), lit(false)))
+      .withColumn("_qual_ok", coalesce(col("quality") >= minQuality, lit(false)))
 
     val withContam = evalSet match {
       case None => enriched.withColumn("_contam_ok", lit(true))
@@ -307,35 +314,44 @@ object Curation {
             coalesce(col("_contam_frac"), lit(0.0)) < maxContamination)
           .drop("_contam_frac")
     }
-    val withModel = qualityModel match {
+    val withModel = (qualityModel match {
       case None => withContam.withColumn("_model_ok", lit(true))
       case Some(m) =>
         QualityClassifier.classify(withContam, idCol, textCol, m)
           .withColumn("_model_ok", col("pred") === 1)
           .drop("pred", "gap")
-    }
+      // the duplicate gate below references this subtree twice (window
+      // branch + final join): pin it lazily so the enrichment and the
+      // optional contamination/model legs evaluate once when the caller
+      // first acts, not once per branch — the curateNear convention
+    }).localCheckpoint(eager = false)
 
-    // duplicate gate over the survivors of every prior gate, exactly
-    // curate's dedup input; keep-min-id per normalized-text digest
-    val survivorRank = withModel
-      .where(col("_lang_ok") && col("_qual_ok") && col("_contam_ok") && col("_model_ok"))
-      .select(
-        col(idCol),
-        row_number().over(
-          Window
-            .partitionBy(md5(Dedup.normalized(col(textCol))))
-            .orderBy(col(idCol))).as("_dup_rn"))
-
-    withModel
-      .join(survivorRank, Seq(idCol), "left")
-      .withColumn(
-        "drop_reason",
-        when(!col("_lang_ok"), "lang")
-          .when(!col("_qual_ok"), "quality")
-          .when(!col("_contam_ok"), "contamination")
-          .when(!col("_model_ok"), "model")
-          .when(lit(dedupe) && col("_dup_rn") > 1, "duplicate"))
-      .drop("_lang_ok", "_qual_ok", "_contam_ok", "_model_ok", "_dup_rn")
+    val baseReason =
+      when(!col("_lang_ok"), "lang")
+        .when(!col("_qual_ok"), "quality")
+        .when(!col("_contam_ok"), "contamination")
+        .when(!col("_model_ok"), "model")
+    val reasoned =
+      if (!dedupe) withModel.withColumn("drop_reason", baseReason)
+      else {
+        // duplicate gate over the survivors of every prior gate, exactly
+        // curate's dedup input; keep-min-id per normalized-text digest.
+        // Skipped entirely when dedupe = false — the window's exchange is
+        // pure waste when the branch can never fire.
+        val survivorRank = withModel
+          .where(col("_lang_ok") && col("_qual_ok") && col("_contam_ok") && col("_model_ok"))
+          .select(
+            col(idCol),
+            row_number().over(
+              Window
+                .partitionBy(md5(Dedup.normalized(col(textCol))))
+                .orderBy(col(idCol))).as("_dup_rn"))
+        withModel
+          .join(survivorRank, Seq(idCol), "left")
+          .withColumn("drop_reason", baseReason.when(col("_dup_rn") > 1, "duplicate"))
+          .drop("_dup_rn")
+      }
+    reasoned.drop("_lang_ok", "_qual_ok", "_contam_ok", "_model_ok")
   }
 
   /** Corpus accounting after curation: docs and tokens kept per language. */

@@ -126,8 +126,20 @@ final class StreamingIngest(
       rep.isDefined && driftPolicy == StreamingIngest.Quarantine
     }
     if (quarantined) {
+      // replay idempotence (the rejected_stream guard's sibling):
+      // quarantined batches never reach the documents_stream ledger, so
+      // a crash between this append and the checkpoint commit would
+      // re-deliver the batch and double-append it — anti-join on the
+      // content hash against the quarantine table itself
+      val newQuarantine =
+        if (!catalog.exists("quarantine_stream")) deduped
+        else
+          deduped.join(
+            broadcast(catalog.read("quarantine_stream").select("file_hash")),
+            Seq("file_hash"),
+            "left_anti")
       catalog.append(
-        deduped.select(
+        newQuarantine.select(
           col("path").as("source_path"),
           col("file_hash"),
           col("value"),

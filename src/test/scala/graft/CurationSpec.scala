@@ -159,6 +159,29 @@ class CurationSpec extends AnyFunSuite {
     assert(keptAudit == keptCurate, s"audit kept $keptAudit but curate kept $keptCurate")
   }
 
+  test("audit: null-text docs match curate at every threshold (never silently diverge)") {
+    // a null-text doc is NOT quality-null: least() skips nulls, so the
+    // score degenerates to the length signal's 1.0/4 = 0.25 — audit and
+    // curate must agree on both sides of that value
+    val withNull = Seq((1L, Some("the quick brown fox is in the garden with the dog")),
+      (2L, Option.empty[String])).toDF("doc_id", "text")
+    for (minQ <- Seq(0.1, 0.3)) {
+      val reasons = Curation.audit(withNull, "doc_id", "text", langs = Set.empty, minQuality = minQ)
+        .select("doc_id", "drop_reason").collect()
+        .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      val kept = Curation.curate(withNull, "doc_id", "text", langs = Set.empty, minQuality = minQ)
+        .select("doc_id").as[Long].collect().toSet
+      assert(kept == reasons.filter(_._2.isEmpty).keySet,
+        s"minQ=$minQ: curate kept $kept but audit says $reasons")
+      if (minQ == 0.3) assert(reasons(2L).contains("quality"), s"got $reasons")
+    }
+    // with a lang gate, the null doc routes 'und' and fails lang FIRST
+    val r2 = Curation.audit(withNull, "doc_id", "text", langs = Set("en"), minQuality = 0.3)
+      .select("doc_id", "drop_reason").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(r2(2L).contains("lang"), s"got $r2")
+  }
+
   test("audit: contamination fires before model, model before duplicate") {
     import graft.operators.QualityClassifier
     val train = Seq(
