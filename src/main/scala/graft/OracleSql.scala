@@ -611,7 +611,7 @@ object OracleSql {
          |SELECT vec_id, score FROM ann""".stripMargin,
 
     // q_lsh_banded reassembles the corpus through the BANDED lifecycle
-    // (build 6 tables -> writeBandedLsh -> load -> real probe self-check
+    // (build 4 tables x 6-bit bands -> writeBandedLsh -> load -> real probe self-check
     // -> union-dedup of all tables) and then answers exactly, so its
     // oracle is the same brute-force top-20: any per-table roundtrip
     // corruption, dedup slip, or signer drift breaks the hash (signer

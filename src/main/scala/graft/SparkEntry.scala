@@ -719,7 +719,7 @@ object SparkEntry {
 
   /** Banded multi-table LSH lifecycle (the q_lsh_persisted recipe for
     * the band-OR layout VectorSearch.scala names as the real 100 TB ANN
-    * path): BUILD L=6 tables over the corpus, [[VectorSearch
+    * path): BUILD L=4 tables (6-bit bands) over the corpus, [[VectorSearch
     * .writeBandedLsh]] them partitioned by band, LOAD the artifact, run
     * the REAL probe (L single-partition legs + exact rerank — asserted
     * below), then answer an exact top-20 over the union-dedup

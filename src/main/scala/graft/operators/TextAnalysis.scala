@@ -588,10 +588,15 @@ object TextAnalysis {
   def bpeTokenCounts(docs: DataFrame, idCol: String, textCol: String, rounds: Int): DataFrame = {
     val (_, vocab) = trainBpe(docs, textCol, rounds)
     val segSyms = filter(split(col("seg"), "\\|"), x => length(x) > 0)
+    // Materialize the bounded segmented vocabulary EAGERLY (localCheckpoint
+    // cuts the multi-round training lineage) before releasing the training
+    // cache — otherwise every action on the returned frame re-executes the
+    // whole merge loop, breaking the "corpus touched once" cost story.
     val segmented = vocab.select(
       col("word"),
       length(col("word")).cast("long").as("n_chars_w"),
       size(segSyms).cast("long").as("n_tokens_w"))
+      .localCheckpoint()
     val out = docs
       .select(col(idCol), explode(TextFunctions.ftsTokens(col(textCol))).as("word"))
       .join(broadcast(segmented), Seq("word"))
