@@ -121,12 +121,14 @@ object QualityClassifier {
         sum(when(col("y") === 1, col("cnt")).otherwise(0L)).as("sp"),
         sum(when(col("y") === -1, col("cnt")).otherwise(0L)).as("sn"))
       .collect()
-    CentroidModel(
+    val m = CentroidModel(
       nFeatures = nFeatures,
       nPos = np,
       nNeg = nn,
       sumPos = sums.map(r => r.getLong(0).toInt -> r.getLong(1)).toMap,
       sumNeg = sums.map(r => r.getLong(0).toInt -> r.getLong(2)).toMap)
+    requireGapHeadroom(m, "fitCentroid")
+    m
   }
 
   /** Score every document: adds `pred` (+1 keep / −1 drop) and `gap`
@@ -182,11 +184,43 @@ object QualityClassifier {
         - lit(2).cast(dec) * coalesce(col("dp"), lit(0).cast(dec)) * np * nn * nn
         + sp2 * nn * nn
         - sn2 * np * np).cast(dec)
+    // Every gap input is non-null (dp/dn coalesced, constants literal),
+    // so gap IS NULL means exactly one thing: a decimal(38,0) product
+    // overflowed past the documented 4·D·n³ bound — and without a guard
+    // `gap < 0` is false-for-null, silently classifying every such doc
+    // −1 (a labeled sample past the bound would drop the whole corpus).
+    // classifyK raise_errors on its DIV wrap; the 2-class sign test
+    // gets the same loud failure. The guard lives inside `gap` itself
+    // (load-bearing in `pred`), so it provably evaluates per row.
+    val gapGuarded = when(gap.isNotNull, gap).otherwise(
+      raise_error(lit(
+        "classify: decimal(38,0) overflow in gap - the labeled sample exceeded " +
+          "the documented 4*D*n^3 bound; shrink the labeled sample or nFeatures"))
+        .cast(dec))
     docs
       .join(dots, Seq(idCol), "left")
-      .withColumn("gap", gap)
+      .withColumn("gap", gapGuarded)
       .withColumn("pred", when(col("gap") < 0, 1).otherwise(-1))
       .drop("dp", "dn")
+  }
+
+  /** The two model-constant gap terms (‖S⁺‖²·n⁻², ‖S⁻‖²·n⁺²) must fit
+    * decimal(38,0) for [[classify]]'s arithmetic to stay exact; the
+    * dot terms depend on the corpus and are covered by the runtime
+    * raise_error guard instead. Checked at fit AND merge time because
+    * [[mergeCentroid]] can cross the bound incrementally even when
+    * every constituent fit was inside it.
+    */
+  private def requireGapHeadroom(m: CentroidModel, where: String): Unit = {
+    val lim = BigInt(10).pow(38)
+    val tPos = m.normPos2 * BigInt(m.nNeg) * BigInt(m.nNeg)
+    val tNeg = m.normNeg2 * BigInt(m.nPos) * BigInt(m.nPos)
+    require(
+      tPos < lim && tNeg < lim,
+      s"$where: centroid-norm gap terms exceed decimal(38,0) " +
+        s"(|S+|^2*nNeg^2 has ${tPos.toString.length} digits, " +
+        s"|S-|^2*nPos^2 has ${tNeg.toString.length}; limit 38) - " +
+        "shrink the labeled sample or nFeatures")
   }
 
   /** Merge two fitted models: class counts and feature sums ADD, so a
@@ -205,9 +239,11 @@ object QualityClassifier {
     require(
       a.nFeatures == b.nFeatures,
       s"mergeCentroid: feature-space mismatch ${a.nFeatures} vs ${b.nFeatures}")
-    CentroidModel(
+    val m = CentroidModel(
       a.nFeatures, a.nPos + b.nPos, a.nNeg + b.nNeg,
       addSums(a.sumPos, b.sumPos), addSums(a.sumNeg, b.sumNeg))
+    requireGapHeadroom(m, "mergeCentroid")
+    m
   }
 
   /** [[mergeCentroid]] for the k-class model: classes merge by label
@@ -384,6 +420,139 @@ object QualityClassifier {
     docs
       .join(assigned, Seq(idCol), "left")
       .withColumn("pred_class", coalesce(col("pred_class"), lit(emptyPred)))
+  }
+
+  // ---------------------------------------------------------------------
+  // Model persistence — the writeLsh/loadLsh artifact convention: bounded
+  // parquet model rows + a params.json sidecar, schema-checked on load.
+  // Without this the model lives only as a driver-side case class: a
+  // restart of StreamingIngest(qualityModel = ...) silently loses the
+  // gate it was configured with, and two sessions cannot share a model.
+  // ---------------------------------------------------------------------
+
+  private def writeSidecar(
+      spark: org.apache.spark.sql.SparkSession, path: String, json: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/params.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(json.getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def readSidecar(
+      spark: org.apache.spark.sql.SparkSession, path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/params.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+    finally in.close()
+  }
+
+  private def sidecarNum(json: String, key: String, path: String): Long =
+    s""""$key":(-?\\d+)""".r.findFirstMatchIn(json)
+      .getOrElse(throw new IllegalStateException(
+        s"loadModel: no '$key' in $path/params.json"))
+      .group(1).toLong
+
+  private def requireModelSchema(df: DataFrame, expected: Seq[(String, String)], path: String): Unit = {
+    val actual = df.schema.fields.map(f => f.name -> f.dataType.simpleString).toSeq
+    require(
+      actual == expected,
+      s"loadModel: $path/model has schema $actual, expected $expected - " +
+        "not a persisted QualityClassifier model (or written by an incompatible version)")
+  }
+
+  /** Persist a fitted 2-class model: `(feature, sp, sn)` parquet rows
+    * (one per feature either class saw — ≤ nFeatures of them) + a
+    * params sidecar carrying what the rows cannot (nFeatures, class
+    * counts). Overwrites `path`. The artifact is engine-portable plain
+    * parquet, so a model fit by one session gates any other.
+    */
+  def writeModel(m: CentroidModel, path: String, spark: org.apache.spark.sql.SparkSession): Unit = {
+    import spark.implicits._
+    val rows = (m.sumPos.keySet ++ m.sumNeg.keySet).toSeq.sorted
+      .map(f => (f.toLong, m.sumPos.getOrElse(f, 0L), m.sumNeg.getOrElse(f, 0L)))
+    rows.toDF("feature", "sp", "sn")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/model")
+    writeSidecar(spark, path,
+      s"""{"kind":"centroid2","nFeatures":${m.nFeatures},"nPos":${m.nPos},"nNeg":${m.nNeg}}""")
+  }
+
+  /** Load a persisted 2-class model (inverse of [[writeModel]]):
+    * sidecar kind + parquet schema are checked before a single row is
+    * trusted, and the reloaded model re-passes the gap-headroom bound —
+    * a loaded model scores bit-identically to the one that was written
+    * (spec-pinned).
+    */
+  def loadModel(spark: org.apache.spark.sql.SparkSession, path: String): CentroidModel = {
+    val json = readSidecar(spark, path)
+    require(
+      json.contains(""""kind":"centroid2""""),
+      s"loadModel: $path/params.json is not a 2-class centroid model sidecar: $json")
+    val df = spark.read.parquet(s"$path/model")
+    requireModelSchema(df, Seq("feature" -> "bigint", "sp" -> "bigint", "sn" -> "bigint"), path)
+    val rows = df.collect()
+    val m = CentroidModel(
+      nFeatures = sidecarNum(json, "nFeatures", path).toInt,
+      nPos = sidecarNum(json, "nPos", path),
+      nNeg = sidecarNum(json, "nNeg", path),
+      sumPos = rows.iterator.map(r => r.getLong(0).toInt -> r.getLong(1)).filter(_._2 != 0L).toMap,
+      sumNeg = rows.iterator.map(r => r.getLong(0).toInt -> r.getLong(2)).filter(_._2 != 0L).toMap)
+    require(m.nPos > 0 && m.nNeg > 0,
+      s"loadModel: degenerate class counts +1:${m.nPos} -1:${m.nNeg} in $path")
+    requireGapHeadroom(m, "loadModel")
+    m
+  }
+
+  /** Persist a k-class model: `(feature, y, s)` sparse class-sum rows
+    * (≤ k·nFeatures) + a sidecar carrying nFeatures and every class's
+    * `(label, n)` — labels ride in the regex-parsed sidecar, so quotes
+    * and backslashes in labels are rejected (the writeLsh convention).
+    */
+  def writeModelK(m: CentroidKModel, path: String, spark: org.apache.spark.sql.SparkSession): Unit = {
+    m.classes.foreach(c =>
+      require(!c.label.exists(ch => ch == '"' || ch == '\\'),
+        s"writeModelK: label '${c.label}' contains a quote or backslash, " +
+          "unsupported by the params sidecar"))
+    import spark.implicits._
+    val rows = for {
+      c <- m.classes
+      (f, s) <- c.sums.toSeq.sortBy(_._1)
+    } yield (f.toLong, c.label, s)
+    rows.toDF("feature", "y", "s")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/model")
+    val classesJson = m.classes
+      .map(c => s"""{"label":"${c.label}","n":${c.n}}""")
+      .mkString("[", ",", "]")
+    writeSidecar(spark, path,
+      s"""{"kind":"centroidK","nFeatures":${m.nFeatures},"classes":$classesJson}""")
+  }
+
+  /** Load a persisted k-class model (inverse of [[writeModelK]]). The
+    * class list comes from the SIDECAR (rows cannot represent a class
+    * whose sums are all zero), and every row's label must belong to it.
+    */
+  def loadModelK(spark: org.apache.spark.sql.SparkSession, path: String): CentroidKModel = {
+    val json = readSidecar(spark, path)
+    require(
+      json.contains(""""kind":"centroidK""""),
+      s"loadModelK: $path/params.json is not a k-class centroid model sidecar: $json")
+    val classRe = """\{"label":"([^"]*)","n":(\d+)\}""".r
+    val classCounts = classRe.findAllMatchIn(json).map(m => m.group(1) -> m.group(2).toLong).toSeq
+    require(classCounts.nonEmpty, s"loadModelK: no classes in $path/params.json")
+    val df = spark.read.parquet(s"$path/model")
+    requireModelSchema(df, Seq("feature" -> "bigint", "y" -> "string", "s" -> "bigint"), path)
+    val byLabel = df.collect()
+      .groupBy(_.getString(1))
+      .map { case (y, rows) => y -> rows.map(r => r.getLong(0).toInt -> r.getLong(2)).toMap }
+    val unknown = byLabel.keySet -- classCounts.map(_._1).toSet
+    require(unknown.isEmpty,
+      s"loadModelK: model rows carry labels ${unknown.mkString(", ")} absent from the sidecar in $path")
+    CentroidKModel(
+      sidecarNum(json, "nFeatures", path).toInt,
+      classCounts.sortBy(_._1).map { case (label, n) =>
+        CentroidKModel.ClassStats(label, n, byLabel.getOrElse(label, Map.empty))
+      })
   }
 
   /** fit + classify in one call: train on the rows of `docs` matched by

@@ -30,8 +30,21 @@ final class StreamingIngest(
     driftProfilePath: Option[String] = None,
     driftThresholdTvd2Ppm: Long = 200000L, // TVD 0.10
     driftPolicy: StreamingIngest.DriftPolicy = StreamingIngest.Monitor,
-    qualityModel: Option[graft.operators.QualityClassifier.CentroidModel] = None
+    qualityModel: Option[graft.operators.QualityClassifier.CentroidModel] = None,
+    qualityModelPath: Option[String] = None
 ) {
+  require(
+    qualityModel.isEmpty || qualityModelPath.isEmpty,
+    "StreamingIngest: pass qualityModel OR qualityModelPath, not both")
+
+  // The persisted-model path is the restart-safe configuration: an
+  // in-memory qualityModel dies with the driver, so a restarted ingest
+  // would silently run UNGATED. Loaded eagerly (schema-checked, loud on
+  // a missing/corrupt artifact) so misconfiguration fails at
+  // construction, not at the first micro-batch.
+  private val resolvedQualityModel: Option[graft.operators.QualityClassifier.CentroidModel] =
+    qualityModel.orElse(
+      qualityModelPath.map(p => graft.operators.QualityClassifier.loadModel(spark, p)))
 
   private val catalog = new Catalog(spark, config.warehouseDir)
 
@@ -158,7 +171,7 @@ final class StreamingIngest(
     // convention. Accepted docs continue unchanged. The scored batch is
     // pinned once so the reject append and the accept path don't each
     // re-run the featurize pass.
-    val screened = qualityModel match {
+    val screened = resolvedQualityModel match {
       case None => deduped
       case Some(m) =>
         val scored = graft.operators.QualityClassifier

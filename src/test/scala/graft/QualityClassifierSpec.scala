@@ -148,6 +148,45 @@ class QualityClassifierSpec extends AnyFunSuite {
       s"expected the loud overflow error, got: $e")
   }
 
+  test("classify: a decimal(38,0) gap overflow fails LOUDLY, never silently classifies -1") {
+    // With ANSI on (Spark 4 default, this session) an overflowing
+    // decimal(38,0) product raises; with ANSI off it NULLs, and an
+    // unguarded `gap < 0` is false-for-null — every overflowed doc would
+    // silently classify -1. The gap guard covers the ansi-off mode;
+    // either way the action must FAIL, never score. Construct the
+    // overflow directly: normPos2 = Long.MaxValue^2 ~ 8.5e37 fits 38
+    // digits as a literal, but the sp2*nn*nn gap term at nNeg=10 is
+    // ~8.5e39 — past decimal(38,0).
+    val m = QualityClassifier.CentroidModel(
+      nFeatures = 16, nPos = 1L, nNeg = 10L,
+      sumPos = Map(0 -> Long.MaxValue), sumNeg = Map(1 -> 1L))
+    val e = intercept[Exception] {
+      QualityClassifier.classify(
+        Seq((9L, "plain words here")).toDF("doc_id", "text"), "doc_id", "text", m)
+        .select("pred").as[Int].head()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(
+      messages(e).exists(s =>
+        s.contains("overflow in gap") || s.contains("NUMERIC_VALUE_OUT_OF_RANGE")),
+      s"expected a loud gap-overflow failure, got: $e")
+  }
+
+  test("mergeCentroid enforces the gap-headroom bound it can cross incrementally") {
+    // each half is inside the decimal(38,0) headroom bound; the fold
+    // crosses it — merge must refuse rather than hand classify() a model
+    // whose constant terms overflow at score time
+    val half = QualityClassifier.CentroidModel(
+      nFeatures = 16, nPos = 1L, nNeg = 1000000000L,
+      sumPos = Map(0 -> 3000000000L), sumNeg = Map(1 -> 1L))
+    // sanity: one half alone merges with an empty-ish model fine
+    val e = intercept[IllegalArgumentException] {
+      QualityClassifier.mergeCentroid(half, half)
+    }
+    assert(e.getMessage.contains("gap terms exceed decimal(38,0)"))
+  }
+
   test("fitCentroidK fails loudly on null labels") {
     val bad = Seq((1L, "a b", Some("x")), (2L, "c d", None)).toDF("doc_id", "text", "dom")
     val e = intercept[IllegalArgumentException] {
@@ -186,6 +225,74 @@ class QualityClassifierSpec extends AnyFunSuite {
         whole, QualityClassifier.fitCentroidK(a, "doc_id", "text", col("dom"), 64))
     }
     assert(e.getMessage.contains("feature-space mismatch"))
+  }
+
+  test("writeModel/loadModel round-trip: the reloaded model scores bit-identical gaps") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-qmodel").toString
+    val m = QualityClassifier.fitCentroid(docs, "doc_id", "text", col("y"), nFeatures = 64)
+    QualityClassifier.writeModel(m, dir, spark)
+    val r = QualityClassifier.loadModel(spark, dir)
+    assert(r.nFeatures == m.nFeatures && r.nPos == m.nPos && r.nNeg == m.nNeg)
+    assert(r.normPos2 == m.normPos2 && r.normNeg2 == m.normNeg2)
+    // zero-sum entries are representational, not semantic — compare modulo
+    assert(r.sumPos == m.sumPos.filter(_._2 != 0L) && r.sumNeg == m.sumNeg.filter(_._2 != 0L))
+    val unseen = Seq(
+      (10L, "prose with argument and sources"),
+      (11L, "click pills free buy"),
+      (12L, "")
+    ).toDF("doc_id", "text")
+    def scored(model: QualityClassifier.CentroidModel) =
+      QualityClassifier.classify(unseen, "doc_id", "text", model)
+        .select(col("doc_id"), col("gap").cast("string"), col("pred"))
+        .as[(Long, String, Int)].collect().sortBy(_._1).toSeq
+    assert(scored(r) == scored(m), "a reloaded model must score bit-identically")
+  }
+
+  test("loadModel is loud on a kind mismatch and on a foreign schema") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-qmodelk").toString
+    val mk = QualityClassifier.fitCentroidK(
+      domainDocs, "doc_id", "text", col("dom"), nFeatures = 64)
+    QualityClassifier.writeModelK(mk, dir, spark)
+    val e = intercept[IllegalArgumentException] {
+      QualityClassifier.loadModel(spark, dir)
+    }
+    assert(e.getMessage.contains("not a 2-class centroid model"))
+    // schema check: a sidecar of the right kind over foreign rows is loud too
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-qmodel-bad").toString
+    Seq((1L, "x")).toDF("feature", "junk")
+      .write.mode("overwrite").parquet(s"$dir2/model")
+    val p = new java.io.PrintWriter(s"$dir2/params.json")
+    try p.write("""{"kind":"centroid2","nFeatures":64,"nPos":1,"nNeg":1}""")
+    finally p.close()
+    val e2 = intercept[IllegalArgumentException] {
+      QualityClassifier.loadModel(spark, dir2)
+    }
+    assert(e2.getMessage.contains("schema"))
+  }
+
+  test("writeModelK/loadModelK round-trip: identical pred_class, labels sidecar-guarded") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-kmodel").toString
+    val mk = QualityClassifier.fitCentroidK(
+      domainDocs, "doc_id", "text", col("dom"), nFeatures = 64)
+    QualityClassifier.writeModelK(mk, dir, spark)
+    val rk = QualityClassifier.loadModelK(spark, dir)
+    assert(rk.nFeatures == mk.nFeatures)
+    assert(rk.classes.map(c => (c.label, c.n)) == mk.classes.map(c => (c.label, c.n)))
+    assert(
+      rk.classes.map(c => c.label -> c.sums.filter(_._2 != 0L)) ==
+        mk.classes.map(c => c.label -> c.sums.filter(_._2 != 0L)))
+    def assigned(model: QualityClassifier.CentroidKModel) =
+      QualityClassifier.classifyK(domainDocs, "doc_id", "text", model)
+        .select("doc_id", "pred_class").as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(assigned(rk) == assigned(mk))
+    // a quoted label cannot ride the regex-parsed sidecar — refuse loudly
+    val quoted = QualityClassifier.CentroidKModel(
+      4, Seq(QualityClassifier.CentroidKModel.ClassStats("""a"b""", 1L, Map(0 -> 1L)),
+        QualityClassifier.CentroidKModel.ClassStats("c", 1L, Map(1 -> 1L))))
+    val e = intercept[IllegalArgumentException] {
+      QualityClassifier.writeModelK(quoted, dir, spark)
+    }
+    assert(e.getMessage.contains("quote or backslash"))
   }
 
   test("fitClassify trains only on the labeledWhere subset") {

@@ -149,6 +149,57 @@ class StreamingSpec extends AnyFunSuite {
     assert(chunkDocs == 1)
   }
 
+  test("quality gate survives a restart when configured by persisted model PATH") {
+    import graft.operators.QualityClassifier
+    val base = Files.createTempDirectory("graft-qgate-path").toString
+    val in = s"$base/in"; val wh = s"$base/wh"; val ckpt = s"$base/ckpt"
+    val modelPath = s"$base/model"
+    Files.createDirectories(Paths.get(in))
+    val spark2 = spark
+    import spark2.implicits._
+    val train = Seq(
+      (1L, "clear prose with careful argument and cited sources", 1),
+      (2L, "careful analysis and clear cited argument in prose", 1),
+      (3L, "buy now cheap pills click here free winner", -1),
+      (4L, "winner click free cheap pills buy here now now", -1)
+    ).toDF("doc_id", "text", "y")
+    QualityClassifier.writeModel(
+      QualityClassifier.fitCentroid(train, "doc_id", "text", col("y"), nFeatures = 64),
+      modelPath, spark)
+
+    // session 1: gate loaded from the artifact
+    Files.write(Paths.get(in, "good.md"),
+      "# Good\n\nclear prose with careful argument and cited sources here".getBytes)
+    Files.write(Paths.get(in, "spam.md"),
+      "# Spam\n\nbuy now cheap pills click here free winner offer".getBytes)
+    new StreamingIngest(spark, GraftConfig(warehouseDir = wh), qualityModelPath = Some(modelPath))
+      .start(in, ckpt).awaitTermination()
+    val cat = new Catalog(spark, wh)
+    assert(cat.read("documents_stream").count() == 1)
+    assert(cat.read("rejected_stream").count() == 1)
+
+    // "restart": a FRESH StreamingIngest (the in-memory model is gone;
+    // only the path survives) must keep gating new batches identically
+    Files.write(Paths.get(in, "spam2.md"),
+      "# More\n\ncheap pills winner click free buy now here offer".getBytes)
+    new StreamingIngest(spark, GraftConfig(warehouseDir = wh), qualityModelPath = Some(modelPath))
+      .start(in, ckpt).awaitTermination()
+    assert(cat.read("documents_stream").count() == 1, "restarted ingest must still gate")
+    assert(cat.read("rejected_stream").count() == 2)
+
+    // misconfiguration is loud at construction, not at the first batch
+    intercept[IllegalArgumentException] {
+      new StreamingIngest(
+        spark, GraftConfig(warehouseDir = wh),
+        qualityModel = Some(QualityClassifier.loadModel(spark, modelPath)),
+        qualityModelPath = Some(modelPath))
+    }
+    intercept[Exception] {
+      new StreamingIngest(
+        spark, GraftConfig(warehouseDir = wh), qualityModelPath = Some(s"$base/nope"))
+    }
+  }
+
   test("streaming batches extend a live FTS index incrementally (no rebuild)") {
     import graft.operators.FtsIndex
     val base = Files.createTempDirectory("graft-stream-fts").toString
