@@ -499,6 +499,20 @@ object TextAnalysis {
     */
   def bpeMerges(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
     val spark = docs.sparkSession
+    val (stats, _) = trainBpeLocal(docs, textCol, rounds)
+    import spark.implicits._
+    stats.toDF("round", "pair_a", "pair_b", "n", "n_symbols")
+  }
+
+  /** The per-round-Spark-job training loop, kept as the cross-check twin
+    * of [[trainBpeLocal]] (spec-pinned equal): every round re-counts all
+    * pairs over the segmented vocabulary as one Spark job. Correct at
+    * any round count but pays one job + one 1-row driver pull PER MERGE
+    * — tokenizer training is 10k–50k merges, which is tens of thousands
+    * of sequential jobs. Production path is [[bpeMerges]] (local loop).
+    */
+  private[graft] def bpeMergesDistributed(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    val spark = docs.sparkSession
     val (stats, vocab) = trainBpe(docs, textCol, rounds)
     vocab.unpersist()
     import spark.implicits._
