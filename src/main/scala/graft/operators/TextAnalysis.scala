@@ -519,6 +519,125 @@ object TextAnalysis {
     stats.toDF("round", "pair_a", "pair_b", "n", "n_symbols")
   }
 
+  /** Driver-local BPE merge training — the production path behind
+    * [[bpeMerges]]. The corpus is touched by Spark exactly ONCE (the
+    * word histogram, one word-keyed shuffle with map-side combine); the
+    * bounded `(word, freq)` vocabulary is then pulled driver-side and
+    * the entire merge loop runs locally with incremental pair-count
+    * maintenance — merging pair p only touches words containing p, via
+    * a pair→word-ids index — so 10k–50k merges cost zero Spark jobs
+    * after the histogram, vs one job + one driver pull PER MERGE on the
+    * [[bpeMergesDistributed]] path.
+    *
+    * Safety bound: the vocabulary row count is counted BEFORE collect
+    * and must not exceed `maxVocab` (default 10M distinct words ≈ a few
+    * GB driver heap for words + segmentations + pair index — natural-
+    * language vocabularies plateau in the low millions even at 100 TB,
+    * per Heaps' law; a corpus that trips the bound is noise-heavy and
+    * should be pre-filtered, or trained via [[bpeMergesDistributed]]).
+    *
+    * Semantics are pinned equal to [[trainBpe]] by spec: same pair
+    * counting (every adjacent position, overlapping occurrences
+    * included, weighted by word frequency), same argmax tie-break
+    * (max n, then lexicographic pair_a, pair_b — tokens are ASCII so
+    * Scala and UTF8-binary ordering agree), same left-to-right greedy
+    * non-overlapping apply. Returns the per-round
+    * `(round, pair_a, pair_b, n, n_symbols)` stats and the final
+    * segmented vocabulary as `(word, freq, symbols)`.
+    */
+  private[graft] def trainBpeLocal(
+      docs: DataFrame,
+      textCol: String,
+      rounds: Int,
+      maxVocab: Long = 10000000L
+  ): (Seq[(Long, String, String, Long, Long)], Array[(String, Long, Seq[String])]) = {
+    require(rounds >= 1, s"bpeMerges: rounds must be >= 1, got $rounds")
+    val hist = docs
+      .select(explode(TextFunctions.ftsTokens(col(textCol))).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("freq"))
+      .cache()
+    val vocabSize = hist.count()
+    require(
+      vocabSize <= maxVocab,
+      s"bpeMerges: $vocabSize distinct words exceeds the driver-local bound $maxVocab — " +
+        "pre-filter the corpus or use bpeMergesDistributed")
+    val rows = hist.collect()
+    hist.unpersist()
+    val nWords = rows.length
+    val freqs = new Array[Long](nWords)
+    val segs = new Array[scala.collection.mutable.ArrayBuffer[String]](nWords)
+    val words = new Array[String](nWords)
+    var i = 0
+    while (i < nWords) {
+      words(i) = rows(i).getString(0)
+      freqs(i) = rows(i).getLong(1)
+      segs(i) = scala.collection.mutable.ArrayBuffer(words(i).map(_.toString): _*)
+      i += 1
+    }
+    val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    val index = scala.collection.mutable.HashMap.empty[(String, String), scala.collection.mutable.BitSet]
+    // add (sign=+1) or retract (sign=-1) word i's adjacent-pair contributions
+    def tallyWord(w: Int, sign: Long): Unit = {
+      val s = segs(w)
+      var j = 0
+      while (j < s.length - 1) {
+        val p = (s(j), s(j + 1))
+        val c = counts.getOrElse(p, 0L) + sign * freqs(w)
+        if (c == 0L) counts.remove(p) else counts(p) = c
+        if (sign > 0L) index.getOrElseUpdate(p, scala.collection.mutable.BitSet.empty) += w
+        j += 1
+      }
+    }
+    var nSymbols = 0L
+    i = 0
+    while (i < nWords) {
+      tallyWord(i, 1L)
+      nSymbols += freqs(i) * segs(i).length
+      i += 1
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long, Long)]
+    var r = 1
+    while (r <= rounds) {
+      require(counts.nonEmpty,
+        s"bpeMerges: vocabulary exhausted all pairs before round $r — lower `rounds`")
+      var bestA: String = null
+      var bestB: String = null
+      var bestN = Long.MinValue
+      counts.foreach { case ((a, b), n) =>
+        if (n > bestN ||
+          (n == bestN && (a < bestA || (a == bestA && b < bestB)))) {
+          bestA = a; bestB = b; bestN = n
+        }
+      }
+      val mergedSym = bestA + bestB
+      // stale ids (word no longer contains the pair) net to a no-op below
+      val members = index.remove((bestA, bestB)).getOrElse(scala.collection.mutable.BitSet.empty)
+      members.foreach { w =>
+        tallyWord(w, -1L)
+        val s = segs(w)
+        val ns = new scala.collection.mutable.ArrayBuffer[String](s.length)
+        var j = 0
+        var nMerged = 0
+        while (j < s.length) {
+          if (j + 1 < s.length && s(j) == bestA && s(j + 1) == bestB) {
+            ns += mergedSym; nMerged += 1; j += 2
+          } else {
+            ns += s(j); j += 1
+          }
+        }
+        segs(w) = ns
+        nSymbols -= nMerged.toLong * freqs(w)
+        tallyWord(w, 1L)
+      }
+      counts.remove((bestA, bestB))
+      out += ((r.toLong, bestA, bestB, bestN, nSymbols))
+      r += 1
+    }
+    val finalVocab = Array.tabulate(nWords)(w => (words(w), freqs(w), segs(w).toSeq))
+    (out.toSeq, finalVocab)
+  }
+
   /** The [[bpeMerges]] training loop, returning BOTH the per-round merge
     * statistics and the final segmented vocabulary `(word, freq, seg)`
     * (seg delimiter-bounded, CACHED — caller unpersists). Shared by
@@ -611,6 +730,7 @@ object TextAnalysis {
       length(col("word")).cast("long").as("n_chars_w"),
       size(segSyms).cast("long").as("n_tokens_w"))
       .localCheckpoint()
+    vocab.unpersist()
     val out = docs
       .select(col(idCol), explode(TextFunctions.ftsTokens(col(textCol))).as("word"))
       .join(broadcast(segmented), Seq("word"))
@@ -619,7 +739,6 @@ object TextAnalysis {
         count(lit(1)).as("n_words"),
         sum(col("n_chars_w")).as("n_chars"),
         sum(col("n_tokens_w")).as("n_tokens"))
-    vocab.unpersist()
     out
   }
 

@@ -97,7 +97,7 @@ object ScaleRehearsal {
     // EXACT name match against the known sections: substring matching let
     // e.g. 'd' enable several sections and a typo silently run nothing.
     val sections = Seq("docs", "semdedup", "pagerank", "iterative100", "bm25batch", "evaldrift",
-      "classifier")
+      "classifier", "bpe")
     val only = sys.env.get("GRAFT_SCALE_ONLY")
     only.foreach(o => require(sections.contains(o),
       s"GRAFT_SCALE_ONLY='$o' is not a section; known: ${sections.mkString(", ")}"))
@@ -344,6 +344,41 @@ object ScaleRehearsal {
           QualityClassifier.classifyK(docs, "doc_id", "text", modelK)
             .groupBy("pred_class").count().count()
         }
+      }
+    }
+
+    // BPE merge training rounds-vs-wall (VERDICT r11 #3): the claim under
+    // measurement is that the driver-local loop makes merge count nearly
+    // FREE after the one corpus histogram pass — wall time is histogram +
+    // O(local work), with the marginal cost of 10x more merges a driver-
+    // side constant, vs one Spark job + one driver pull PER MERGE on the
+    // distributed twin. Corpus: the Zipf-real synthetic (50k docs x 40
+    // words over a ~20k-word vocabulary — words like "w1234", so ~100k
+    // mergeable symbol positions; the sf0.1 text corpus's ~60-word
+    // vocabulary exhausts its pair space long before 1k merges). The
+    // vocab bound that makes the local loop safe: |vocab| counted BEFORE
+    // collect, default cap 10M words (Heaps' law keeps real corpora in
+    // the low millions at 100 TB); here it is ~20k.
+    if (sectionEnabled("bpe")) {
+      val bpeDocs = spark.range(0L, 50000L * 40L, 1L, 32)
+        .select((col("id") / 40).cast("long").as("doc_id"),
+          concat(lit("w"),
+            floor(exp((pmod(xxhash64(col("id")), lit(1000000L)).cast("double") + 1.0)
+              / 1000001.0 * log(lit(20000.0)))).cast("long")).as("word"))
+        .groupBy("doc_id")
+        .agg(concat_ws(" ", collect_list(col("word"))).as("text"))
+        .localCheckpoint()
+      println(s"[scale] bpe corpus rows = ${bpeDocs.count()}")
+      for (rounds <- Seq(1, 100, 1000)) {
+        measure(s"bpe_local_r$rounds") {
+          TextAnalysis.bpeMerges(bpeDocs, "text", rounds = rounds).count()
+        }
+      }
+      // the distributed twin at 20 rounds prices the per-merge job cost
+      // the local loop eliminates (20, not 1000: tens of thousands of
+      // sequential jobs is exactly the path being retired)
+      measure("bpe_distributed_r20") {
+        TextAnalysis.bpeMergesDistributed(bpeDocs, "text", rounds = 20).count()
       }
     }
 

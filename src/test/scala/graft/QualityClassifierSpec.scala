@@ -180,7 +180,14 @@ class QualityClassifierSpec extends AnyFunSuite {
     val half = QualityClassifier.CentroidModel(
       nFeatures = 16, nPos = 1L, nNeg = 1000000000L,
       sumPos = Map(0 -> 3000000000L), sumNeg = Map(1 -> 1L))
-    // sanity: one half alone merges with an empty-ish model fine
+    // sanity: one half alone merges with a tiny model fine — so the
+    // intercept below proves the BOUND is crossed incrementally, not
+    // that requireGapHeadroom rejects everything
+    val tiny = QualityClassifier.CentroidModel(
+      nFeatures = 16, nPos = 1L, nNeg = 1L,
+      sumPos = Map(0 -> 1L), sumNeg = Map(1 -> 1L))
+    val ok = QualityClassifier.mergeCentroid(half, tiny)
+    assert(ok.nNeg == half.nNeg + 1L)
     val e = intercept[IllegalArgumentException] {
       QualityClassifier.mergeCentroid(half, half)
     }

@@ -271,6 +271,30 @@ class TextAnalysisSpec extends AnyFunSuite {
     ), s"got $out")
   }
 
+  test("bpeMerges (local loop) == bpeMergesDistributed, 6 rounds, mixed corpus") {
+    // the production driver-local loop and the per-round-Spark-job twin
+    // must emit identical (round, pair_a, pair_b, n, n_symbols) rows —
+    // same overlap counting, same lexicographic tie-break, same greedy
+    // apply. Corpus chosen to exercise ties (round 3 of the classic
+    // walkthrough) and overlapping runs (aaaa).
+    val docs = Seq(
+      "low low lower", "newest newest newest widest",
+      "aaaa aaaa", "banana bandana").toDF("text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3), r.getLong(4))).toSeq
+    val local = rows(TextAnalysis.bpeMerges(docs, "text", rounds = 6))
+    val dist = rows(TextAnalysis.bpeMergesDistributed(docs, "text", rounds = 6))
+    assert(local == dist, s"local $local\n!= distributed $dist")
+  }
+
+  test("bpeMerges: driver-local vocab bound fails loudly when exceeded") {
+    val docs = Seq("one two three four five").toDF("text")
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.trainBpeLocal(docs, "text", rounds = 1, maxVocab = 3L)
+    }
+    assert(e.getMessage.contains("exceeds the driver-local bound"), e.getMessage)
+  }
+
   test("bpeMerges: fails loudly when the vocabulary runs out of pairs") {
     val docs = Seq("a b c").toDF("text") // all single-char words: zero pairs
     val e = intercept[IllegalArgumentException] {
