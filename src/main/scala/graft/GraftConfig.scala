@@ -60,11 +60,23 @@ final case class SearchConfig(
     rrfK: Int = 60
 )
 
+/** Opt-in near-duplicate image dedup at ingest (keep-one-per-cluster).
+  * The reference's image flow (src/extract/image_extractor.py:111-155)
+  * lands every extracted image; at multimodal-corpus scale the same
+  * figure re-encoded across documents must collapse to one stored copy.
+  * `maxHamming` is the dHash Hamming radius for "same image".
+  */
+final case class ImageDedupConfig(
+    enabled: Boolean = false,
+    maxHamming: Int = 6
+)
+
 final case class GraftConfig(
     extraction: ExtractionConfig = ExtractionConfig(),
     chunking: ChunkingConfig = ChunkingConfig(),
     embedding: EmbeddingConfig = EmbeddingConfig(),
     search: SearchConfig = SearchConfig(),
+    imageDedup: ImageDedupConfig = ImageDedupConfig(),
     /** Root dir of the parquet catalog (documents/chunks/images/fts tables). */
     warehouseDir: String = "/tmp/graft-warehouse"
 )

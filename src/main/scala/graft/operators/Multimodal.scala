@@ -223,6 +223,27 @@ object Multimodal {
     }
   }
 
+  /** [[ImageIoCodec]] with a byte-hash fallback signature for payloads
+    * ImageIO cannot decode (or tiny/oversized rasters outside dHash's
+    * exact-arithmetic bounds): the ingest-dedup codec. Decodable images
+    * get the real perceptual dHash (near-dup across re-encodes);
+    * undecodable payloads degrade to the content-hash signature — still
+    * deduping EXACT byte duplicates, never crashing a 100 TB ingest on
+    * one exotic format. A random byte-hash landing within the Hamming
+    * radius of a real dHash needs ~C(64,6)/2^64 ≈ 4e-12 luck per
+    * candidate pair — negligible even at corpus scale.
+    */
+  object FallbackDHashCodec extends MediaCodec {
+    override def imageDims(bytes: Array[Byte]): (Int, Int) = ImageIoCodec.imageDims(bytes)
+    override def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] =
+      ImageIoCodec.resize(bytes, w, h)
+    override def embed(bytes: Array[Byte], dim: Int): Array[Float] =
+      ImageIoCodec.embed(bytes, dim)
+    override def dHash(bytes: Array[Byte]): Long =
+      try ImageIoCodec.dHash(bytes)
+      catch { case _: IllegalArgumentException => StubCodec.dHash(bytes) }
+  }
+
   /** Attach decoded image metadata (format sniffed from magic bytes, dims
     * from the codec) to a binary `content` column.
     */

@@ -95,8 +95,36 @@ final class Pipeline(spark: SparkSession, config: GraftConfig = GraftConfig.defa
           val images = graft.sources.ImageExtraction
             .extractImages(withContent.where(col("validation") === "valid"))
             .persist()
+          // Opt-in near-dup image dedup (keep-one-per-cluster): dHash →
+          // banded Hamming pairs → label propagation → keep min id. Only
+          // 8-byte signatures and id pairs ever shuffle; payloads stay in
+          // place. The full (id, cluster_id, is_canonical) labeling lands
+          // in the image_clusters table so dropped members stay auditable
+          // (and a future cross-batch pass can extend from it).
+          val kept =
+            if (config.imageDedup.enabled) {
+              import graft.operators.{Dedup, Multimodal}
+              val pairs = Multimodal.imageNearDupPairs(
+                images, "id", "bytes",
+                config.imageDedup.maxHamming, Multimodal.FallbackDHashCodec)
+              // labels are bounded by in-batch image count — pin them once;
+              // both the cluster table and the anti-join read them
+              val labels = Dedup
+                .nearDupClusters(images.select("id"), "id", pairs)
+                .localCheckpoint()
+              val canon = labels.groupBy("cluster").agg(min("id").as("_canon"))
+              catalog.append(
+                labels.join(canon, Seq("cluster"))
+                  .select(
+                    col("id"),
+                    col("cluster").as("cluster_id"),
+                    (col("id") === col("_canon")).as("is_canonical"))
+                  .withColumn("created_at", current_timestamp()),
+                "image_clusters")
+              Dedup.nearDedupFromClusters(images, "id", labels)
+            } else images
           val meta = graft.sources.ImageExtraction
-            .writeImageFiles(images, dir)
+            .writeImageFiles(kept, dir)
             .withColumn("created_at", current_timestamp())
           catalog.append(meta, "images")
           images.unpersist()
@@ -239,6 +267,13 @@ final class Pipeline(spark: SparkSession, config: GraftConfig = GraftConfig.defa
     * and its chunks; anti-join rewrite of both tables.
     */
   def deleteDocument(documentId: String): Unit = {
+    // image_clusters keys on image id — resolve the doomed ids BEFORE the
+    // images rows are gone
+    if (catalog.exists("image_clusters") && catalog.exists("images")) {
+      val doomed = catalog.read("images")
+        .where(col("document_id") === documentId).select("id")
+      catalog.deleteMatching("image_clusters", doomed, Seq("id"))
+    }
     catalog.deleteWhere("chunks", col("document_id") === documentId)
     catalog.deleteWhere("images", col("document_id") === documentId)
     catalog.deleteWhere("documents", col("id") === documentId)
@@ -285,6 +320,12 @@ final class Pipeline(spark: SparkSession, config: GraftConfig = GraftConfig.defa
       // all 3 tables O(n) times (VERDICT r4 #5)
       val doomed = catalog.read("documents")
         .where(col("file_hash") === hash).select("id")
+      if (catalog.exists("image_clusters") && catalog.exists("images")) {
+        val doomedImages = catalog.read("images")
+          .join(doomed.withColumnRenamed("id", "document_id"), Seq("document_id"), "left_semi")
+          .select("id")
+        catalog.deleteMatching("image_clusters", doomedImages, Seq("id"))
+      }
       catalog.deleteMatching("chunks", doomed.withColumnRenamed("id", "document_id"), Seq("document_id"))
       catalog.deleteMatching("images", doomed.withColumnRenamed("id", "document_id"), Seq("document_id"))
       catalog.deleteMatching("documents", doomed, Seq("id"))

@@ -218,6 +218,55 @@ class PipelineSpec extends AnyFunSuite {
     assert(graft.operators.Multimodal.ImageIoCodec.imageDims(payload) == (200, 150))
   }
 
+  test("opt-in image dedup: a re-encoded duplicate image is dropped at ingest") {
+    import graft.pdf.PdfGen
+    import graft.pdf.PdfGen.{Img, Run}
+    val (pdfDir, wh, _) = freshDirs()
+    // one raster, two encodings: PdfGen.realJpeg and PdfGen.rawRgb draw
+    // the SAME x/y gradient (blue offset differs by a constant, which
+    // dHash's adjacent-cell comparison cancels) — a genuine re-encoded
+    // near-duplicate pair (DCTDecode JPEG vs FlateDecode->PNG). The third
+    // image reverses the gradient: visually distinct, hamming ~64.
+    val w = 160; val h = 120
+    val reversed = {
+      val d = new Array[Byte](w * h * 3)
+      var i = 0
+      for (y <- 0 until h; x <- 0 until w) {
+        d(i) = (255 - x * 255 / w).toByte; d(i + 1) = (y * 255 / h).toByte; d(i + 2) = 0x55
+        i += 3
+      }
+      d
+    }
+    val pdf = PdfGen.pdf(
+      Seq(Seq(Run("Image Dedup Fixture", 24.0),
+        Run("Body text long enough to pass validation thresholds for sure."),
+        Run("More words about gradients, rasters, and figure encodings."))),
+      images = Seq(
+        Img(page = 0, width = w, height = h, bytes = PdfGen.realJpeg(w, h), jpeg = true),
+        Img(page = 0, width = w, height = h, bytes = PdfGen.rawRgb(w, h), jpeg = false),
+        Img(page = 0, width = w, height = h, bytes = reversed, jpeg = false)
+      )
+    )
+    Files.write(Paths.get(pdfDir, "figures.pdf"), pdf)
+    val imgDir = s"${Paths.get(pdfDir).getParent}/images-dedup"
+    val pipe = new Pipeline(spark,
+      GraftConfig(warehouseDir = wh, imageDedup = graft.ImageDedupConfig(enabled = true)))
+    assert(pipe.processDirectory(pdfDir, imagesDir = Some(imgDir)) == 1)
+
+    // keep-one-per-cluster: the JPEG/PNG re-encode pair collapsed to one
+    // stored image; the reversed-gradient image survived
+    val imgs = pipe.catalog.read("images")
+    assert(imgs.count() == 2, s"expected 2 surviving images, got ${imgs.count()}")
+    // the full labeling is auditable: 3 members, 2 clusters, 2 canonical
+    val labels = pipe.catalog.read("image_clusters").collect()
+    assert(labels.length == 3)
+    assert(labels.map(_.getAs[String]("cluster_id")).distinct.length == 2)
+    assert(labels.count(_.getAs[Boolean]("is_canonical")) == 2)
+    // survivors are exactly the canonical members
+    val canonicalIds = labels.filter(_.getAs[Boolean]("is_canonical")).map(_.getAs[String]("id")).toSet
+    assert(imgs.collect().map(_.getAs[String]("id")).toSet == canonicalIds)
+  }
+
   test("single-file ingest touches only that file; duplicate content collapses") {
     val (pdfDir, wh, _) = freshDirs()
     mkPdf(pdfDir, "a.pdf", "# A\n\nalpha document body with several words here.")
