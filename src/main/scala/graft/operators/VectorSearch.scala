@@ -657,6 +657,62 @@ object VectorSearch {
     BandedLshIndex(tables, bands, idCol, vecCol)
   }
 
+  /** Choose the band-table count L that meets a recall target — the
+    * banded-LSH sizing answer, measured per corpus instead of solved by
+    * hand: expected recall@k is the mean over sampled (query,
+    * true-neighbor) pairs of 1 - (1 - q_i)^L, where q_i = p_i^bandBits
+    * is the pair's one-table bucket-collision probability and
+    * p_i = 1 - theta_i/pi its per-plane agreement (the SimHash
+    * collision identity). Returns the smallest L whose mean clears
+    * `recallTarget`; fails loudly past `maxL` (the target needs wider
+    * bands or brute force, not more tables).
+    *
+    * The per-pair averaging matters: f(q) = 1 - (1-q)^L is concave in
+    * q, so the closed form ceil(log(1-target)/log(1-qbar)) over a mean
+    * qbar OVERSTATES recall whenever pair difficulty varies (Jensen) —
+    * hard neighbors near 90 degrees dominate the misses.
+    *
+    * Cost: nQueries exact top-k probes over `sample` (each
+    * TakeOrderedAndProject, no global sort) + nQueries x k driver rows
+    * of math. Run on a corpus SAMPLE; the q_i distribution is a
+    * geometry property that stabilizes at modest sample sizes.
+    */
+  def calibrateBandedL(
+      sample: DataFrame,
+      idCol: String,
+      vecCol: String,
+      bandBits: Int = 8,
+      recallTarget: Double = 0.9,
+      k: Int = 10,
+      nQueries: Int = 20,
+      maxL: Int = 64
+  ): Int = {
+    require(recallTarget > 0.0 && recallTarget < 1.0,
+      s"calibrateBandedL: recallTarget must be in (0, 1), got $recallTarget")
+    require(nQueries >= 1 && k >= 1 && bandBits >= 1 && maxL >= 1,
+      s"calibrateBandedL: nQueries/k/bandBits/maxL must be positive")
+    // deterministic query panel: the nQueries lowest ids
+    val queryVecs = sample
+      .orderBy(col(idCol)).limit(nQueries)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(queryVecs.nonEmpty, "calibrateBandedL: empty sample")
+    val qs = queryVecs.flatMap { qv =>
+      topK(sample, vecCol, qv, k, col(idCol))
+        .select(col("score").cast("double")).collect()
+        .map { r =>
+          val c = math.max(-1.0, math.min(1.0, r.getDouble(0)))
+          val p = 1.0 - math.acos(c) / math.Pi
+          math.pow(p, bandBits)
+        }
+    }
+    (1 to maxL).find { l =>
+      qs.map(q => 1.0 - math.pow(1.0 - q, l)).sum / qs.length >= recallTarget
+    }.getOrElse(throw new IllegalArgumentException(
+      f"calibrateBandedL: recall $recallTarget%.2f unreachable at bandBits=$bandBits even " +
+        f"with L=$maxL tables — widen the sweep with fewer bandBits or use exact search"))
+  }
+
   /** Incrementally extend a banded index with a batch WITHOUT touching
     * existing rows — the [[extendLsh]]/[[extendIvf]] contract for the
     * band-OR family: the batch is signed with the index's OWN L bands

@@ -63,13 +63,24 @@ object IngestGuardrail {
       reference: DataFrame,
       thresholdTvd2Ppm: Long,
       batchId: Long
+  ): Option[DriftReport] =
+    checkCounts(
+      batch.select(category.as("category")).groupBy("category").agg(count(lit(1)).as("n")),
+      reference, thresholdTvd2Ppm, batchId)
+
+  /** [[check]] over PRE-AGGREGATED `(category, n)` batch counts — the
+    * form [[StreamingIngest]] uses so the same tiny frame feeds both the
+    * drift comparison and the `guardrail_observations` ledger that
+    * [[refreshProfile]] rebuilds from.
+    */
+  def checkCounts(
+      counts: DataFrame,
+      reference: DataFrame,
+      thresholdTvd2Ppm: Long,
+      batchId: Long
   ): Option[DriftReport] = {
-    val counts = batch
-      .select(category.as("category"))
-      .groupBy("category")
-      .agg(count(lit(1)).as("n"))
-      .withColumn("window_start", lit(batchId))
-    val rows = EventStreams.windowDrift(counts, reference, "category", "n").collect()
+    val rows = EventStreams.windowDrift(
+      counts.withColumn("window_start", lit(batchId)), reference, "category", "n").collect()
     def longAt(r: org.apache.spark.sql.Row, name: String): Long = {
       val i = r.fieldIndex(name)
       if (r.isNullAt(i)) 0L else r.getLong(i)
@@ -87,5 +98,47 @@ object IngestGuardrail {
           longAt(worst, "abs_ppm_diff")))
       }
     }
+  }
+
+  /** Rebuild the reference profile from the `lastN` most recent observed
+    * batches — the refresh that stops a benign mix shift from alarming
+    * forever (a frozen day-0 profile turns every seasonal drift into a
+    * permanent alarm). `observations` is the `guardrail_observations`
+    * table [[StreamingIngest]] appends per checked batch
+    * `(batch_key, category, n, drifted, observed_at)`.
+    *
+    * By default only HEALTHY (non-drifted) batches contribute — the
+    * profile follows the accepted mix under gradual shift. Pass
+    * `includeDrifted = true` for the step-change adjudication: an
+    * operator has decided the new mix is the new normal, so the very
+    * batches that alarmed become the reference. Crash-replayed batches
+    * can append duplicate observation rows; they collapse by
+    * (batch_key, category) before aggregation. Run at refresh cadence
+    * with the stream stopped (the profile path is read per batch).
+    */
+  def refreshProfile(
+      observations: DataFrame,
+      path: String,
+      lastN: Int,
+      includeDrifted: Boolean = false
+  ): Unit = {
+    require(lastN >= 1, s"refreshProfile: lastN must be >= 1, got $lastN")
+    val eligible =
+      (if (includeDrifted) observations else observations.where(col("drifted") === false))
+        .dropDuplicates("batch_key", "category")
+    val recent = eligible
+      .groupBy("batch_key").agg(max("observed_at").as("_at"))
+      .orderBy(desc("_at"), desc("batch_key")).limit(lastN)
+      .select("batch_key")
+    val profile = eligible
+      .join(broadcast(recent), Seq("batch_key"), "left_semi")
+      .groupBy("category").agg(sum("n").as("n"))
+      // the write target is not in this plan's lineage (observations live
+      // in their own table), but pin anyway: a zero-row profile write from
+      // a mis-filtered ledger must fail loudly here, not at next check
+      .localCheckpoint()
+    require(profile.count() > 0,
+      s"refreshProfile: no eligible observations (lastN=$lastN, includeDrifted=$includeDrifted) — refusing to write an empty profile")
+    profile.coalesce(1).write.mode("overwrite").parquet(path)
   }
 }

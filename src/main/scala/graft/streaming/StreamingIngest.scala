@@ -82,7 +82,12 @@ final class StreamingIngest(
     * idempotence stamp must not confuse a new run's batch N with a
     * replay of an old run's batch N.
     */
-  private[graft] def ingestBatch(batch: DataFrame, batchId: Long, runToken: String): Unit = {
+  private[graft] def ingestBatch(
+      batch: DataFrame,
+      batchId: Long,
+      runToken: String,
+      skipDriftGate: Boolean = false
+  ): Unit = {
     if (batch.isEmpty) return
     val s = batch.sparkSession
     import s.implicits._
@@ -119,10 +124,23 @@ final class StreamingIngest(
     // the quarantine table once the drift is adjudicated. Whole-batch,
     // not per-row: drift is a property of the MIX, so there is no
     // per-row "drifted" bit to route on.
-    val quarantined = driftProfilePath.exists { profile =>
-      val rep = IngestGuardrail.check(
-        deduped, IngestGuardrail.lengthBin(col("value")),
-        s.read.parquet(profile), driftThresholdTvd2Ppm, batchId)
+    val quarantined = !skipDriftGate && driftProfilePath.exists { profile =>
+      // the same |bins|-row counts frame feeds the drift comparison AND
+      // the observations ledger IngestGuardrail.refreshProfile rebuilds
+      // from — pinned so the two consumers share one aggregation
+      val counts = deduped
+        .select(IngestGuardrail.lengthBin(col("value")).as("category"))
+        .groupBy("category").agg(count(lit(1)).as("n"))
+        .localCheckpoint()
+      val rep = IngestGuardrail.checkCounts(
+        counts, s.read.parquet(profile), driftThresholdTvd2Ppm, batchId)
+      catalog.append(
+        counts.select(
+          lit(s"$runToken#$batchId").as("batch_key"),
+          col("category"), col("n"),
+          lit(rep.isDefined).as("drifted"),
+          current_timestamp().as("observed_at")),
+        "guardrail_observations")
       rep.foreach { r =>
         driftEvents += r
         graft.util.JsonLog.warn(
@@ -298,6 +316,37 @@ final class StreamingIngest(
     * per-batch maintenance above.
     */
   def ftsKey: String = s"${config.warehouseDir}/chunks_stream"
+
+  /** Re-ingest adjudicated quarantined batches through the normal load
+    * path EXACTLY ONCE. The drift gate is bypassed — invoking replay IS
+    * the adjudication of that drift (otherwise the same mix would
+    * re-quarantine forever) — while the quality gate and every
+    * crash-replay guard still apply. Quarantine rows are RETAINED as the
+    * audit trail; idempotence comes from the documents_stream
+    * content-hash anti-join plus a deterministic replay token (a
+    * crash-rerun of the same adjudication reuses the same FTS stamp), so
+    * a second replay of the same batches is a no-op. Returns the number
+    * of documents actually loaded.
+    */
+  def replayQuarantined(batchIds: Seq[Long]): Long = {
+    require(batchIds.nonEmpty, "replayQuarantined: pass at least one quarantined batch id")
+    if (!catalog.exists("quarantine_stream")) return 0L
+    val rows = catalog.read("quarantine_stream")
+      .where(col("batch_id").isin(batchIds: _*))
+      .select(col("value"), col("source_path").as("path"))
+      // pin: the load below appends to tables this plan must never re-read
+      .localCheckpoint()
+    if (rows.isEmpty) return 0L
+    def ledgerCount(): Long =
+      if (catalog.exists("documents_stream")) catalog.read("documents_stream").count() else 0L
+    val before = ledgerCount()
+    val token = s"${config.warehouseDir}#quarantine-replay:${batchIds.sorted.mkString(",")}"
+    ingestBatch(rows, batchId = 0L, runToken = token, skipDriftGate = true)
+    val loaded = ledgerCount() - before
+    graft.util.JsonLog.info("quarantine_replayed",
+      "batch_ids" -> batchIds.mkString(","), "loaded_docs" -> loaded)
+    loaded
+  }
 }
 
 object StreamingIngest {

@@ -101,6 +101,29 @@ object RetrievalLadder {
         ids(loaded.annTopK(queries(qid), fetchK, col("vec_id"))))
     }
 
+    // calibrateBandedL: the datasheet row is GENERATED, not hand-solved
+    // (VERDICT r10 #4) — calibrate L for two recall targets at b=6, then
+    // measure the calibrated index. Calibration and measurement here both
+    // use the INCLUSIVE convention (query vector is a corpus row and its
+    // self-match counts — identical vectors always share every bucket),
+    // the same convention as the VectorFunctionsSpec floors.
+    val exactInclusive: Map[Long, Set[Long]] = queryIds.map { qid =>
+      qid -> VectorSearch.topK(emb, "embedding", queries(qid), K, col("vec_id"))
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+    }.toMap
+    for (target <- Seq(0.5, 0.7)) {
+      val l = VectorSearch.calibrateBandedL(
+        emb, "vec_id", "embedding", bandBits = 6, recallTarget = target, k = K)
+      val idx = VectorSearch.buildBandedLsh(
+        emb, "vec_id", "embedding", dim, numTables = l, bandBits = 6)
+      val measured = queryIds.map { qid =>
+        val got = idx.annTopK(queries(qid), K, col("vec_id"))
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+        (exactInclusive(qid) & got).size.toDouble / K
+      }.sum / queryIds.size
+      println(f"[ladder] calibrated_b6_target$target%.1f L=$l measured_recall@10=$measured%.3f (inclusive)")
+    }
+
     // SQ8 integer-dot search (the q_sq8_ann surface: raw vectors, dot
     // ranking dequantized per-vector)
     val q8 = VectorSearch.quantizeInt8(emb, "vec_id", "embedding").localCheckpoint()
@@ -115,6 +138,59 @@ object RetrievalLadder {
       score(s"mrl_$dims")(qid =>
         ids(VectorSearch.matryoshkaTopK(emb, "vec_id", "embedding", queries(qid), dims, fetchK)))
     }
+
+    // ==================================================================
+    // Hybrid-RRF quality rows (VERDICT r10 #6): the flagship composite
+    // Q3 finally gets a measured row next to its single-surface legs.
+    // Protocol: known-item retrieval over the documents corpus — each
+    // probe is a 6-word mid-document slice of one of 20 source docs;
+    // the query VECTOR is the engine's own hashing embedder on the
+    // slice (the Retriever query path, U7), corpus vectors the same
+    // embedder on full docs; the query TEXT feeds BM25. The relevant
+    // item is the source document; metric = hit@10 and MRR@10 of
+    // finding it among all docs. RRF fuses each leg's top-10.
+    // ==================================================================
+    import graft.operators.{Embedder, FtsIndex, HybridSearch}
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").localCheckpoint()
+    val embCfg = graft.EmbeddingConfig()
+    val docVecs = Embedder.withEmbedding(docs, "text", "embedding", embCfg)
+      .select("doc_id", "embedding").localCheckpoint()
+    val ftsIdx = FtsIndex.build(docs, "doc_id", "text")
+    ftsIdx.postings.count()
+    val provider = Embedder.provider(embCfg)
+    val probeIds = 0L until 20L
+    val probes: Map[Long, String] = docs.where(col("doc_id").isin(probeIds: _*))
+      .select("doc_id", "text").collect()
+      .map { r =>
+        val words = r.getString(1).split(" ")
+        // first 60% of the doc's words: the corpus is a small-vocabulary
+        // bag-of-words, so short slices carry no identity — a degraded
+        // MAJORITY sample is the point where single surfaces are
+        // imperfect and fusion has signal to work with
+        r.getLong(0) -> words.take(math.max(6, words.length * 6 / 10)).mkString(" ")
+      }.toMap
+
+    def scoreKnownItem(tag: String)(fetch: Long => Seq[Long]): Unit = {
+      val (hitSum, mrrSum) = probeIds.foldLeft((0.0, 0.0)) { case ((h, m), pid) =>
+        val got = fetch(pid).take(K)
+        val rank = got.indexOf(pid)
+        (h + (if (rank >= 0) 1.0 else 0.0), m + (if (rank >= 0) 1.0 / (rank + 1) else 0.0))
+      }
+      println(f"[ladder] $tag hit@10=${hitSum / probeIds.size}%.3f mrr@10=${mrrSum / probeIds.size}%.3f (known-item)")
+    }
+
+    def vecLeg(pid: Long): org.apache.spark.sql.DataFrame =
+      VectorSearch.topK(docVecs, "embedding", provider.embedOne(probes(pid)), K, col("doc_id"))
+        .select(col("doc_id"), col("score"))
+    def bmLeg(pid: Long): org.apache.spark.sql.DataFrame =
+      FtsIndex.search(spark, ftsIdx, probes(pid), K)
+        .select(col("doc_id"), col("score"))
+
+    scoreKnownItem("known_vector_only")(pid => ids(vecLeg(pid), "doc_id"))
+    scoreKnownItem("known_bm25_only")(pid => ids(bmLeg(pid), "doc_id"))
+    scoreKnownItem("known_hybrid_rrf")(pid =>
+      ids(HybridSearch.rrf(vecLeg(pid), bmLeg(pid), "doc_id", "score", K), "doc_id"))
     spark.stop()
   }
 }

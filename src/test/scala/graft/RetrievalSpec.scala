@@ -16,6 +16,60 @@ class RetrievalSpec extends AnyFunSuite {
     (5L, "spark spark spark streaming streaming data")
   ).toDF("doc_id", "text")
 
+  test("hybrid RRF quality floor: fusion stays at the strong leg under a weak leg (sf0.01 known-item)") {
+    // The RetrievalLadder protocol, asserted as a floor (VERDICT r10 #6):
+    // known-item retrieval over the sf0.01 documents corpus — each probe
+    // is the first 60% of a source doc's words; the query vector is the
+    // engine's own hashing embedder on the slice (the Retriever's query
+    // path), the query text feeds BM25, RRF fuses the two top-10s. On
+    // this small-vocabulary corpus the vector leg is strong and BM25 weak
+    // (sf0.1 datasheet: 1.000/0.975 vs 0.550/0.168, hybrid 1.000/0.900):
+    // the property worth pinning is that fusion DOES NOT DESTROY the
+    // strong leg — hybrid hit@10 must hold the vector leg's hit rate and
+    // keep most of its MRR despite the weak keyword votes.
+    import graft.operators.Embedder
+    val corpus = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select("doc_id", "text").localCheckpoint()
+    val cfg = EmbeddingConfig()
+    val vecs = Embedder.withEmbedding(corpus, "text", "embedding", cfg)
+      .select("doc_id", "embedding").localCheckpoint()
+    val idx = FtsIndex.build(corpus, "doc_id", "text")
+    val provider = Embedder.provider(cfg)
+    val probeIds = 0L until 10L
+    val probes = corpus.where(col("doc_id").isin(probeIds: _*))
+      .select("doc_id", "text").collect()
+      .map { r =>
+        val w = r.getString(1).split(" ")
+        r.getLong(0) -> w.take(math.max(6, w.length * 6 / 10)).mkString(" ")
+      }.toMap
+    def vecLeg(pid: Long) =
+      VectorSearch.topK(vecs, "embedding", provider.embedOne(probes(pid)), 10, col("doc_id"))
+        .select(col("doc_id"), col("score"))
+    def bmLeg(pid: Long) =
+      FtsIndex.search(spark, idx, probes(pid), 10).select(col("doc_id"), col("score"))
+    def metrics(fetch: Long => Seq[Long]): (Double, Double) = {
+      val (h, m) = probeIds.foldLeft((0.0, 0.0)) { case ((h0, m0), pid) =>
+        val rank = fetch(pid).indexOf(pid)
+        (h0 + (if (rank >= 0) 1.0 else 0.0), m0 + (if (rank >= 0) 1.0 / (rank + 1) else 0.0))
+      }
+      (h / probeIds.size, m / probeIds.size)
+    }
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSeq
+    val (vHit, vMrr) = metrics(pid => ids(vecLeg(pid)))
+    val (bHit, bMrr) = metrics(pid => ids(bmLeg(pid)))
+    val (hHit, hMrr) = metrics(pid =>
+      ids(HybridSearch.rrf(vecLeg(pid), bmLeg(pid), "doc_id", "score", 10)))
+    info(f"known-item sf0.01: vector $vHit%.2f/$vMrr%.3f bm25 $bHit%.2f/$bMrr%.3f hybrid $hHit%.2f/$hMrr%.3f")
+    assert(vHit >= 0.9, f"protocol sanity: the vector leg must be strong here, got $vHit%.2f")
+    assert(hHit >= vHit - 0.1,
+      f"hybrid hit@10 $hHit%.2f collapsed below the strong leg $vHit%.2f")
+    assert(hMrr >= vMrr * 0.6,
+      f"hybrid mrr@10 $hMrr%.3f lost more than 40%% of the strong leg's $vMrr%.3f to the weak leg")
+    assert(hMrr >= bMrr,
+      f"hybrid mrr@10 $hMrr%.3f must not fall below the weak leg's $bMrr%.3f")
+  }
+
   test("incremental append == full rebuild (scores bit-identical, stats exact)") {
     val batchA = docs.where($"doc_id" <= 3)
     val batchB = docs.where($"doc_id" > 3)

@@ -112,6 +112,89 @@ class StreamingSpec extends AnyFunSuite {
     assert(ingest.driftEvents.nonEmpty)
   }
 
+  test("quarantine replay: adjudicated batches load exactly once; second replay no-ops") {
+    import graft.streaming.{IngestGuardrail, StreamingIngest => SI}
+    val base = Files.createTempDirectory("graft-replay").toString
+    val in = s"$base/in"; val wh = s"$base/wh"; val ckpt = s"$base/ckpt"
+    val profile = s"$base/profile"
+    Files.createDirectories(Paths.get(in))
+    val spark2 = spark
+    import spark2.implicits._
+    IngestGuardrail.writeProfile(
+      (1 to 50).map(i => s"short doc $i with a few words").toDF("value"),
+      IngestGuardrail.lengthBin(col("value")), profile)
+
+    val ingest = new StreamingIngest(
+      spark, GraftConfig(warehouseDir = wh),
+      driftProfilePath = Some(profile), driftPolicy = SI.Quarantine)
+    Files.write(Paths.get(in, "drift1.md"),
+      ("# Long\n\n" + ("lorem ipsum dolor sit amet " * 80)).getBytes)
+    Files.write(Paths.get(in, "drift2.md"),
+      ("# Long2\n\n" + ("consectetur adipiscing elit sed " * 80)).getBytes)
+    ingest.start(in, ckpt).awaitTermination()
+    val cat = new Catalog(spark, wh)
+    assert(!cat.exists("documents_stream"), "quarantined batch must not load")
+    val qIds = cat.read("quarantine_stream")
+      .select("batch_id").distinct().collect().map(_.getLong(0)).toSeq
+    assert(cat.read("quarantine_stream").count() == 2)
+
+    // adjudication: replay the quarantined batch through the normal load
+    assert(ingest.replayQuarantined(qIds) == 2L)
+    assert(cat.read("documents_stream").count() == 2)
+    assert(cat.read("chunks_stream").count() >= 2, "replayed docs must be chunked+loaded")
+    // audit trail retained
+    assert(cat.read("quarantine_stream").count() == 2)
+
+    // exactly-once: a second replay of the same adjudication no-ops
+    assert(ingest.replayQuarantined(qIds) == 0L)
+    assert(cat.read("documents_stream").count() == 2)
+    // unknown batch ids no-op too
+    assert(ingest.replayQuarantined(Seq(99999L)) == 0L)
+  }
+
+  test("guardrail profile refresh: an adjudicated mix shift stops alarming") {
+    import graft.streaming.IngestGuardrail
+    val base = Files.createTempDirectory("graft-refresh").toString
+    val in = s"$base/in"; val wh = s"$base/wh"; val ckpt = s"$base/ckpt"
+    val profile = s"$base/profile"
+    Files.createDirectories(Paths.get(in))
+    val spark2 = spark
+    import spark2.implicits._
+    IngestGuardrail.writeProfile(
+      (1 to 50).map(i => s"short doc $i with a few words").toDF("value"),
+      IngestGuardrail.lengthBin(col("value")), profile)
+
+    val ingest = new StreamingIngest(
+      spark, GraftConfig(warehouseDir = wh), driftProfilePath = Some(profile))
+
+    // the seasonal step: long docs now, Monitor policy loads them but
+    // alarms — and would alarm FOREVER against the frozen day-0 profile
+    Files.write(Paths.get(in, "long1.md"),
+      ("# Long\n\n" + ("lorem ipsum dolor sit amet " * 80)).getBytes)
+    ingest.start(in, ckpt).awaitTermination()
+    assert(ingest.driftEvents.nonEmpty, "the shifted mix must alarm against the stale profile")
+    val cat = new Catalog(spark, wh)
+    // every checked batch left an observation row for the refresher
+    val obs = cat.read("guardrail_observations")
+    assert(obs.where(col("drifted") === true).count() >= 1)
+
+    // healthy-only refresh refuses when no healthy batches exist yet
+    intercept[IllegalArgumentException] {
+      IngestGuardrail.refreshProfile(obs, profile, lastN = 5)
+    }
+
+    // adjudicated refresh: the alarming batches ARE the new normal
+    IngestGuardrail.refreshProfile(
+      cat.read("guardrail_observations"), profile, lastN = 5, includeDrifted = true)
+    ingest.driftEvents.clear()
+    Files.write(Paths.get(in, "long2.md"),
+      ("# MoreLong\n\n" + ("dolor amet lorem sit ipsum " * 80)).getBytes)
+    ingest.start(in, ckpt).awaitTermination()
+    assert(ingest.driftEvents.isEmpty,
+      s"the same mix must stop alarming after the refresh: ${ingest.driftEvents}")
+    assert(cat.read("documents_stream").count() == 2)
+  }
+
   test("model-based quality gate: rejected docs divert to rejected_stream, accepted load") {
     import graft.operators.QualityClassifier
     val base = Files.createTempDirectory("graft-qgate").toString

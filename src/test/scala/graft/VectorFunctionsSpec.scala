@@ -239,6 +239,30 @@ class VectorFunctionsSpec extends AnyFunSuite {
     assert(bandedL16 >= bandedL4 + 0.2,
       f"banded recall must climb with L: L=4 $bandedL4%.3f vs L=16 $bandedL16%.3f")
 
+    // calibrateBandedL: the sizing answer must HIT its target, measured
+    // (VERDICT r10 #4). Calibration predicts recall from sampled
+    // neighbor-pair angles (q_i = p_i^b, recall = mean 1-(1-q_i)^L) in
+    // the same inclusive convention recallOf uses; the sf0.1 datasheet
+    // reads L=11 -> 0.495 for target 0.5 (prediction error < 0.01). The
+    // 0.05 tolerance absorbs the model's independence assumption
+    // (tables share the corpus geometry, so misses correlate slightly).
+    val targetCal = 0.5
+    val calibratedL = VectorSearch.calibrateBandedL(
+      emb, "vec_id", "embedding", bandBits = 6, recallTarget = targetCal)
+    info(s"calibrated L=$calibratedL for target $targetCal at b=6")
+    assert(calibratedL >= 4 && calibratedL <= 40,
+      s"calibrated L=$calibratedL outside the sane band [4, 40] for target $targetCal (datasheet: 11)")
+    val calRecall = bandedRecallAt(6, calibratedL)
+    info(f"measured recall@10 at calibrated L=$calibratedL: $calRecall%.3f")
+    assert(calRecall >= targetCal - 0.05,
+      f"calibrated index recall $calRecall%.3f misses target $targetCal by more than 0.05")
+    // more ambition costs more tables — the curve's direction is part
+    // of the contract
+    val calibratedHigher = VectorSearch.calibrateBandedL(
+      emb, "vec_id", "embedding", bandBits = 6, recallTarget = 0.7)
+    assert(calibratedHigher > calibratedL,
+      s"L must grow with the recall target: 0.5 -> $calibratedL, 0.7 -> $calibratedHigher")
+
     // SQ8 integer-dot search: near-exact (datasheet 0.985)
     val q8 = VectorSearch.quantizeInt8(emb, "vec_id", "embedding").persist()
     val q8Rows = queryIds.map { qid =>
