@@ -2049,6 +2049,50 @@ object OracleSql {
          |ORDER BY n_tokens DESC, t.doc_id LIMIT 20""".stripMargin
     },
 
+    "q_bpe_encode_oov" -> {
+      // TextAnalysis.bpeEncode twin: 4 training rounds unrolled on the
+      // EVEN doc_ids only, then the odd half's DISTINCT words replay
+      // merges b1..b4 IN TRAINING ORDER via the same list_reduce greedy
+      // fold (provably equal to the engine's lowest-rank replay: a merge
+      // only creates pairs over its new symbol, whose trained ranks are
+      // later). Per-doc sums over the odd half, top 20 by token count.
+      val trainW0 =
+        s"""w0 AS (
+           |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
+           |         '|' || regexp_replace(word, '(.)', '\\1|', 'g') AS seg
+           |  FROM (SELECT UNNEST($ftsToks) AS word FROM documents WHERE doc_id % 2 = 0)
+           |  GROUP BY word)""".stripMargin
+      val rounds = (1 to 4).map(r => bpeRound(s"w${r - 1}", r)).mkString(",\n")
+      val applyRounds = (1 to 4).map { r =>
+        s"""a$r AS (
+           |  SELECT word,
+           |         list_reduce(list_prepend('|', list_filter(string_split(seg, '|'), x -> len(x) > 0)),
+           |           (acc, x) -> CASE WHEN x = b.pb AND ends_with(acc, '|' || b.pa || '|')
+           |                            THEN substr(acc, 1, len(acc) - len(b.pa) - 1) || b.pa || b.pb || '|'
+           |                            ELSE acc || x || '|' END) AS seg
+           |  FROM a${r - 1} CROSS JOIN b$r b)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $trainW0,
+         |$rounds,
+         |a0 AS (
+         |  SELECT word, '|' || regexp_replace(word, '(.)', '\\1|', 'g') AS seg
+         |  FROM (SELECT DISTINCT UNNEST($ftsToks) AS word
+         |        FROM documents WHERE doc_id % 2 = 1)),
+         |$applyRounds,
+         |segv AS (
+         |  SELECT word, CAST(len(word) AS BIGINT) AS n_chars_w,
+         |         CAST(len(list_filter(string_split(seg, '|'), x -> len(x) > 0)) AS BIGINT) AS n_tokens_w
+         |  FROM a4),
+         |tok AS (SELECT doc_id, UNNEST($ftsToks) AS word FROM documents WHERE doc_id % 2 = 1)
+         |SELECT t.doc_id,
+         |       CAST(COUNT(*) AS BIGINT) AS n_words,
+         |       CAST(SUM(s.n_chars_w) AS BIGINT) AS n_chars,
+         |       CAST(SUM(s.n_tokens_w) AS BIGINT) AS n_tokens
+         |FROM tok t JOIN segv s ON t.word = s.word
+         |GROUP BY t.doc_id
+         |ORDER BY n_tokens DESC, t.doc_id LIMIT 20""".stripMargin
+    },
+
     "q_drift" ->
       // DriftMonitor.categoricalDrift twin: integer-exact ppm
       // proportions (floor division), chi-square contributions x 1e9 in

@@ -2376,6 +2376,24 @@ object SparkEntry {
       .orderBy(desc("n_tokens"), col("doc_id"))
       .limit(20)
 
+  /** OOV BPE encode (TextAnalysis.bpeEncode): 4 merges trained on the
+    * EVEN doc_ids replay onto the ODD doc_ids' words — the
+    * unseen-corpus apply path (lowest-rank replay == training-order
+    * replay: a merge only creates pairs over its new symbol, which
+    * always carry later ranks). The oracle unrolls the same 4 training
+    * rounds on the even half, then folds each merge in order over the
+    * odd half's segmentations.
+    */
+  private def qBpeEncodeOov(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    TextAnalysis.bpeEncode(
+      docs.where(col("doc_id") % 2 === 0),
+      docs.where(col("doc_id") % 2 === 1),
+      "doc_id", "text", rounds = 4)
+      .orderBy(desc("n_tokens"), col("doc_id"))
+      .limit(20)
+  }
+
   /** Per-window drift readout (EventStreams.windowDrift) as a BATCH
     * query: weekly event-type mixes against the whole month's mix as
     * the reference — the exact integer-ppm arithmetic the streaming
@@ -2723,6 +2741,7 @@ object SparkEntry {
     "q_bpe_pairs" -> (qBpePairs _),
     "q_bpe_merges" -> (qBpeMerges _),
     "q_bpe_encode" -> (qBpeEncode _),
+    "q_bpe_encode_oov" -> (qBpeEncodeOov _),
     "q_window_drift" -> (qWindowDrift _),
     "q_vector_window_drift" -> (qVectorWindowDrift _),
     "q_classifier_centroid" -> (qClassifierCentroid _),

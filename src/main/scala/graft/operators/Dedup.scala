@@ -359,6 +359,53 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
   }
 
+  /** Near-dup pairs BETWEEN a new batch's 64-bit signatures and an
+    * existing signature index, within `maxHamming` bits — the
+    * incremental twin of [[hammingPairsFromSigs]] (the
+    * [[incrementalSigPairs]] contract for the Hamming family): the
+    * index is probed, never self-joined, so a daily batch pays
+    * batch-vs-bucket work instead of re-pairing the whole corpus.
+    * Output `(id_index, id_batch, hamming)`; rows whose ids coincide
+    * are excluded (a replayed row is not a duplicate of itself).
+    *
+    * Scale shape: both sides band-explode into `maxHamming + 1`
+    * (band_idx, band_val) keys (pigeonhole-complete recall) and join on
+    * the band — 8-byte signatures only, payloads never move. At 100 TB
+    * the index side's banding is computed on read here; persist the
+    * banded projection as an artifact (the [[writeSigIndex]]
+    * convention) to skip even that scan per batch.
+    */
+  def incrementalHammingPairs(
+      indexSigs: DataFrame,
+      batchSigs: DataFrame,
+      idCol: String,
+      sigCol: String,
+      maxHamming: Int
+  ): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, s"maxHamming must be in [0, 63], got $maxHamming")
+    def banded(df: DataFrame): DataFrame = df.select(
+      col(idCol).as("id"),
+      col(sigCol).as("_sig"),
+      explode(array(bandRanges(maxHamming + 1).zipWithIndex.map { case ((lo, width), bi) =>
+        val mask = if (width >= 64) -1L else (1L << width) - 1L
+        struct(
+          lit(bi).as("band_idx"),
+          shiftright(col(sigCol), lo).bitwiseAND(lit(mask)).as("band_val")
+        )
+      }: _*)).as("band")
+    )
+    val a = banded(indexSigs).as("a")
+    val b = banded(batchSigs).as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.id") =!= col("b.id"))
+      .select(
+        col("a.id").as("id_index"),
+        col("b.id").as("id_batch"),
+        bit_count(col("a._sig").bitwiseXOR(col("b._sig"))).as("hamming")
+      )
+      .dropDuplicates("id_index", "id_batch")
+      .where(col("hamming") <= maxHamming)
+  }
+
   /** Connected components over a near-dup pair set: every document gets
     * the MIN id of its transitive near-dup cluster — the step that turns
     * pairwise dedup output into canonical groups (keep one per cluster,

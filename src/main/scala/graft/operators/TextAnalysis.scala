@@ -514,7 +514,7 @@ object TextAnalysis {
   private[graft] def bpeMergesDistributed(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
     val spark = docs.sparkSession
     val (stats, vocab) = trainBpe(docs, textCol, rounds)
-    vocab.unpersist()
+    releaseVocab(vocab)
     import spark.implicits._
     stats.toDF("round", "pair_a", "pair_b", "n", "n_symbols")
   }
@@ -638,11 +638,20 @@ object TextAnalysis {
     (out.toSeq, finalVocab)
   }
 
-  /** The [[bpeMerges]] training loop, returning BOTH the per-round merge
-    * statistics and the final segmented vocabulary `(word, freq, seg)`
-    * (seg delimiter-bounded, CACHED — caller unpersists). Shared by
-    * [[bpeMerges]] (stats surface) and [[bpeTokenCounts]] (apply
-    * surface) so the two can never train differently.
+  /** The [[bpeMergesDistributed]] training loop, returning BOTH the
+    * per-round merge statistics and the final segmented vocabulary
+    * `(word, freq, seg)` (seg delimiter-bounded, PINNED — caller
+    * releases via [[releaseVocab]]). Shared by [[bpeMergesDistributed]]
+    * (stats surface) and [[bpeTokenCounts]] (apply surface) so the two
+    * can never train differently.
+    *
+    * Each round PINS its re-segmented vocabulary ([[graft.util
+    * .Checkpoints]] — localCheckpoint, or reliable checkpoint when a dir
+    * is set) and releases the superseded round: a plain `.cache()` kept
+    * the whole merge history in ONE logical plan, whose nested
+    * `aggregate` expressions blew up plan-string generation (driver OOM)
+    * near 20 rounds — the same per-round-pin discipline as
+    * [[Dedup.nearDupClusters]].
     */
   private def trainBpe(
       docs: DataFrame,
@@ -650,16 +659,17 @@ object TextAnalysis {
       rounds: Int
   ): (Seq[(Long, String, String, Long, Long)], DataFrame) = {
     require(rounds >= 1, s"bpeMerges: rounds must be >= 1, got $rounds")
+    val spark = docs.sparkSession
     val segSyms = filter(split(col("seg"), "\\|"), x => length(x) > 0)
-    var vocab = docs
+    var vocab = graft.util.Checkpoints.pin(docs
       .select(explode(TextFunctions.ftsTokens(col(textCol))).as("word"))
       .groupBy("word")
       .agg(count(lit(1)).as("freq"))
       .select(
         col("word"),
         col("freq"),
-        concat(lit("|"), regexp_replace(col("word"), "(.)", "$1|")).as("seg"))
-      .cache()
+        concat(lit("|"), regexp_replace(col("word"), "(.)", "$1|")).as("seg")))
+    var livePin = graft.util.Checkpoints.pinnedRddIds(vocab)
     val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long, Long)]
     (1 to rounds).foreach { r =>
       val best = vocab
@@ -675,11 +685,14 @@ object TextAnalysis {
         .orderBy(desc("n"), col("pair_a"), col("pair_b"))
         .limit(1)
         .collect()
-      require(best.nonEmpty,
-        s"bpeMerges: vocabulary exhausted all pairs before round $r — lower `rounds`")
+      if (best.isEmpty) {
+        graft.util.Checkpoints.release(livePin, spark)
+        require(best.nonEmpty,
+          s"bpeMerges: vocabulary exhausted all pairs before round $r — lower `rounds`")
+      }
       val (a, b, n) =
         (best.head.getString(0), best.head.getString(1), best.head.getLong(2))
-      val merged = vocab.withColumn(
+      val merged = graft.util.Checkpoints.pin(vocab.withColumn(
         "seg",
         aggregate(
           segSyms,
@@ -690,17 +703,25 @@ object TextAnalysis {
               concat(
                 substr(acc, lit(1), length(acc) - lit(a.length + 1)),
                 lit(a + b + "|")))
-              .otherwise(concat(acc, x, lit("|")))))
-        .cache()
+              .otherwise(concat(acc, x, lit("|"))))))
       val nSymbols = merged
         .agg(sum(col("freq") * size(segSyms)).as("ns"))
         .collect().head.getLong(0)
-      vocab.unpersist()
+      graft.util.Checkpoints.release(livePin, spark)
+      livePin = graft.util.Checkpoints.pinnedRddIds(merged)
       vocab = merged
       out += ((r.toLong, a, b, n, nSymbols))
     }
     (out.toSeq, vocab)
   }
+
+  /** Release the pinned vocabulary [[trainBpe]] returns (blocks or
+    * checkpoint files, whichever mode pinned them — `unpersist()` cannot
+    * free checkpoint RDDs).
+    */
+  private def releaseVocab(vocab: DataFrame): Unit =
+    graft.util.Checkpoints.release(
+      graft.util.Checkpoints.pinnedRddIds(vocab), vocab.sparkSession)
 
   /** Apply a freshly-trained BPE tokenizer back to the corpus: per-doc
     * token counts under `rounds` merges — the ENCODE half of tokenizer
@@ -730,7 +751,7 @@ object TextAnalysis {
       length(col("word")).cast("long").as("n_chars_w"),
       size(segSyms).cast("long").as("n_tokens_w"))
       .localCheckpoint()
-    vocab.unpersist()
+    releaseVocab(vocab)
     val out = docs
       .select(col(idCol), explode(TextFunctions.ftsTokens(col(textCol))).as("word"))
       .join(broadcast(segmented), Seq("word"))
@@ -740,6 +761,86 @@ object TextAnalysis {
         sum(col("n_chars_w")).as("n_chars"),
         sum(col("n_tokens_w")).as("n_tokens"))
     out
+  }
+
+  /** Encode an ARBITRARY corpus with merges trained on another — the OOV
+    * half the [[bpeTokenCounts]] scaladoc left as a seam. Trains on
+    * `trainDocs` via [[trainBpeLocal]] (one corpus pass + local loop),
+    * then segments the APPLY corpus's distinct words by replaying the
+    * merge list: repeatedly merge the present adjacent pair with the
+    * LOWEST merge rank, all occurrences left-to-right greedy — provably
+    * identical to replaying merges in training order (a merge can only
+    * create pairs involving its new symbol, and any trained pair over
+    * that symbol has a later rank, so rank order is never violated), and
+    * O(len^2 log) per distinct word instead of O(rounds x len).
+    *
+    * Output per apply-side document: `(idCol, n_words, n_chars,
+    * n_tokens)` — the [[bpeTokenCounts]] shape, which this must equal
+    * when apply == train (spec-pinned).
+    *
+    * Scale shape: the apply corpus is touched once to explode words; the
+    * segmentation runs once per DISTINCT word (vocabulary-bounded, after
+    * a word-keyed map-side-combined aggregation) with the merge-rank map
+    * a broadcast read-only local; per-doc counts then reduce by id. Word
+    * text crosses the shuffle once (the distinct), never per occurrence.
+    */
+  def bpeEncode(
+      trainDocs: DataFrame,
+      applyDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      rounds: Int,
+      maxVocab: Long = 10000000L
+  ): DataFrame = {
+    val (stats, _) = trainBpeLocal(trainDocs, textCol, rounds, maxVocab)
+    val ranks: Map[(String, String), Long] =
+      stats.map { case (r, a, b, _, _) => (a, b) -> r }.toMap
+    val segLen = udf { (word: String) =>
+      var seg = word.map(_.toString).toArray
+      var done = false
+      while (!done && seg.length >= 2) {
+        var bestRank = Long.MaxValue
+        var bestA: String = null
+        var bestB: String = null
+        var j = 0
+        while (j < seg.length - 1) {
+          ranks.get((seg(j), seg(j + 1))).foreach { r =>
+            if (r < bestRank) { bestRank = r; bestA = seg(j); bestB = seg(j + 1) }
+          }
+          j += 1
+        }
+        if (bestA == null) done = true
+        else {
+          val ns = new scala.collection.mutable.ArrayBuffer[String](seg.length)
+          var i = 0
+          while (i < seg.length) {
+            if (i + 1 < seg.length && seg(i) == bestA && seg(i + 1) == bestB) {
+              ns += bestA + bestB; i += 2
+            } else { ns += seg(i); i += 1 }
+          }
+          seg = ns.toArray
+        }
+      }
+      seg.length.toLong
+    }
+    val words = applyDocs
+      .select(col(idCol), explode(TextFunctions.ftsTokens(col(textCol))).as("word"))
+    val segmented = words
+      .select("word").distinct()
+      .select(
+        col("word"),
+        length(col("word")).cast("long").as("n_chars_w"),
+        segLen(col("word")).as("n_tokens_w"))
+      // vocabulary-bounded; pinned so the per-doc join below never
+      // re-runs the segmentation UDF per consumer
+      .localCheckpoint()
+    words
+      .join(broadcast(segmented), Seq("word"))
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(col("n_chars_w")).as("n_chars"),
+        sum(col("n_tokens_w")).as("n_tokens"))
   }
 
   def bpePairStats(docs: DataFrame, textCol: String, k: Int = 20): DataFrame = {

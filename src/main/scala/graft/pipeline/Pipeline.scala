@@ -95,34 +95,7 @@ final class Pipeline(spark: SparkSession, config: GraftConfig = GraftConfig.defa
           val images = graft.sources.ImageExtraction
             .extractImages(withContent.where(col("validation") === "valid"))
             .persist()
-          // Opt-in near-dup image dedup (keep-one-per-cluster): dHash →
-          // banded Hamming pairs → label propagation → keep min id. Only
-          // 8-byte signatures and id pairs ever shuffle; payloads stay in
-          // place. The full (id, cluster_id, is_canonical) labeling lands
-          // in the image_clusters table so dropped members stay auditable
-          // (and a future cross-batch pass can extend from it).
-          val kept =
-            if (config.imageDedup.enabled) {
-              import graft.operators.{Dedup, Multimodal}
-              val pairs = Multimodal.imageNearDupPairs(
-                images, "id", "bytes",
-                config.imageDedup.maxHamming, Multimodal.FallbackDHashCodec)
-              // labels are bounded by in-batch image count — pin them once;
-              // both the cluster table and the anti-join read them
-              val labels = Dedup
-                .nearDupClusters(images.select("id"), "id", pairs)
-                .localCheckpoint()
-              val canon = labels.groupBy("cluster").agg(min("id").as("_canon"))
-              catalog.append(
-                labels.join(canon, Seq("cluster"))
-                  .select(
-                    col("id"),
-                    col("cluster").as("cluster_id"),
-                    (col("id") === col("_canon")).as("is_canonical"))
-                  .withColumn("created_at", current_timestamp()),
-                "image_clusters")
-              Dedup.nearDedupFromClusters(images, "id", labels)
-            } else images
+          val kept = if (config.imageDedup.enabled) dedupImages(images) else images
           val meta = graft.sources.ImageExtraction
             .writeImageFiles(kept, dir)
             .withColumn("created_at", current_timestamp())
@@ -217,6 +190,100 @@ final class Pipeline(spark: SparkSession, config: GraftConfig = GraftConfig.defa
     graft.util.JsonLog.info("ingest_directory",
       "dir" -> pdfDir, "ingested_docs" -> nIngested)
     nIngested
+  }
+
+  /** Opt-in near-dup image dedup at ingest (keep-one-per-cluster),
+    * in-batch AND cross-batch:
+    *
+    *   1. decode each payload ONCE to an 8-byte dHash signature
+    *      ([[graft.operators.Multimodal.FallbackDHashCodec]]: real
+    *      perceptual hash, content-hash fallback for undecodable bytes);
+    *   2. in-batch: banded Hamming pairs → label propagation →
+    *      keep-min-id; the full (id, cluster_id, is_canonical) labeling
+    *      lands in the `image_clusters` table for audit;
+    *   3. cross-batch: surviving signatures probe the PERSISTED images
+    *      table's `dhash` column ([[graft.operators.Dedup
+    *      .incrementalHammingPairs]] — index probed, never re-paired); a
+    *      survivor matching a stored image is dropped and labeled into
+    *      the stored image's cluster (is_canonical = false).
+    *
+    * Only 8-byte signatures and id pairs ever shuffle; payloads stay in
+    * place. Survivors carry their `dhash` into the images table so the
+    * NEXT batch can probe without re-decoding history. Enabling dedup on
+    * a warehouse whose images table predates the `dhash` column needs a
+    * one-time backfill (cross-batch probing is skipped until the column
+    * exists).
+    */
+  private def dedupImages(images: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import graft.operators.{Dedup, Multimodal}
+    val maxHamming = config.imageDedup.maxHamming
+    // decode once; 8-byte (id, dhash) rows pinned for the three consumers
+    // (in-batch pairs, cross-batch probe, meta persistence)
+    val sigs = Multimodal
+      .withImageDHash(images.select("id", "bytes"), "bytes", "dhash", Multimodal.FallbackDHashCodec)
+      .select("id", "dhash")
+      .where(col("dhash").isNotNull)
+      .localCheckpoint()
+
+    // in-batch keep-one (labels NOT appended yet — cross-batch resolution
+    // below may re-attribute whole in-batch clusters to a stored cluster)
+    val pairs = Dedup.hammingPairsFromSigs(sigs, "id", "dhash", maxHamming)
+    val labels = Dedup
+      .nearDupClusters(images.select("id"), "id", pairs)
+      .localCheckpoint()
+    val canon = labels.groupBy("cluster").agg(min("id").as("_canon"))
+    val keptInBatch = Dedup.nearDedupFromClusters(images, "id", labels)
+
+    // cross-batch: in-batch survivors probe the persisted dhash column;
+    // a match drops the survivor and maps its WHOLE in-batch cluster to
+    // the stored image's cluster (members it absorbed in-batch are
+    // transitively duplicates of the stored copy)
+    val crossMap: org.apache.spark.sql.DataFrame = {
+      val hasIndex =
+        catalog.exists("images") && catalog.read("images").columns.contains("dhash")
+      if (!hasIndex)
+        canon.select(col("_canon"), col("_canon").as("_stored")).limit(0)
+      else {
+        val existing = catalog.read("images")
+          .select(col("id"), col("dhash")).where(col("dhash").isNotNull)
+        val survivorSigs = sigs.join(keptInBatch.select("id"), Seq("id"), "left_semi")
+        val cross = Dedup
+          .incrementalHammingPairs(existing, survivorSigs, "id", "dhash", maxHamming)
+        // min stored-cluster label across multiple matches for
+        // determinism; a stored image predating image_clusters labels
+        // as its own cluster
+        val existingClusters =
+          if (catalog.exists("image_clusters"))
+            catalog.read("image_clusters").select(col("id").as("id_index"), col("cluster_id"))
+          else cross.select(col("id_index"), col("id_index").as("cluster_id")).limit(0)
+        cross
+          .join(existingClusters, Seq("id_index"), "left")
+          .select(
+            col("id_batch").as("_canon"),
+            coalesce(col("cluster_id"), col("id_index")).as("_stored"))
+          .groupBy("_canon").agg(min("_stored").as("_stored"))
+          .localCheckpoint() // read twice: label rewrite + anti-join
+      }
+    }
+
+    // one coherent labeling append per batch: members of a cross-dropped
+    // cluster carry the STORED cluster id and none of them is canonical
+    // (the stored copy is); untouched clusters label as computed in-batch
+    catalog.append(
+      labels.join(canon, Seq("cluster"))
+        .join(crossMap, Seq("_canon"), "left")
+        .select(
+          col("id"),
+          coalesce(col("_stored"), col("cluster")).as("cluster_id"),
+          (col("id") === col("_canon") && col("_stored").isNull).as("is_canonical"))
+        .withColumn("created_at", current_timestamp()),
+      "image_clusters")
+
+    val kept = keptInBatch
+      .join(crossMap.select(col("_canon").as("id")), Seq("id"), "left_anti")
+    // survivors carry their signature into the images table (bytes are
+    // dropped by the file sink; dhash is 8 bytes of metadata)
+    kept.join(broadcast(sigs), Seq("id"), "left")
   }
 
   /** Chunk a (doc_id, title, markdown)-shaped frame into chunk rows —

@@ -257,6 +257,8 @@ class PipelineSpec extends AnyFunSuite {
     // stored image; the reversed-gradient image survived
     val imgs = pipe.catalog.read("images")
     assert(imgs.count() == 2, s"expected 2 surviving images, got ${imgs.count()}")
+    // survivors carry their 8-byte signature for future cross-batch probes
+    assert(imgs.where(col("dhash").isNotNull).count() == 2)
     // the full labeling is auditable: 3 members, 2 clusters, 2 canonical
     val labels = pipe.catalog.read("image_clusters").collect()
     assert(labels.length == 3)
@@ -265,6 +267,28 @@ class PipelineSpec extends AnyFunSuite {
     // survivors are exactly the canonical members
     val canonicalIds = labels.filter(_.getAs[Boolean]("is_canonical")).map(_.getAs[String]("id")).toSet
     assert(imgs.collect().map(_.getAs[String]("id")).toSet == canonicalIds)
+
+    // CROSS-BATCH: a later document re-embedding the same raster must not
+    // land a second copy — its signature probes the persisted dhash column
+    val pdf2 = PdfGen.pdf(
+      Seq(Seq(Run("Second Document Reusing The Figure", 24.0),
+        Run("Entirely different body text so the document hash differs."),
+        Run("The embedded figure below is the same gradient raster again."))),
+      images = Seq(Img(page = 0, width = w, height = h, bytes = PdfGen.rawRgb(w, h), jpeg = false))
+    )
+    Files.write(Paths.get(pdfDir, "figures2.pdf"), pdf2)
+    assert(pipe.processDirectory(pdfDir, imagesDir = Some(imgDir)) == 1)
+    assert(pipe.catalog.read("images").count() == 2,
+      "the cross-batch duplicate must be dropped, not stored again")
+    val labels2 = pipe.catalog.read("image_clusters").collect()
+    assert(labels2.length == 4, s"expected one new non-canonical label, got ${labels2.length}")
+    val newRow = labels2.filter(r => !canonicalIds.contains(r.getAs[String]("id")) &&
+      !labels.map(_.getAs[String]("id")).contains(r.getAs[String]("id")))
+    assert(newRow.length == 1 && !newRow.head.getAs[Boolean]("is_canonical"))
+    // ...and it joined the STORED gradient image's cluster, not a new one
+    val gradientCluster = labels.filter(r => r.getAs[Boolean]("is_canonical"))
+      .map(_.getAs[String]("cluster_id"))
+    assert(gradientCluster.contains(newRow.head.getAs[String]("cluster_id")))
   }
 
   test("single-file ingest touches only that file; duplicate content collapses") {

@@ -295,6 +295,34 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(e.getMessage.contains("exceeds the driver-local bound"), e.getMessage)
   }
 
+  test("bpeEncode(train, train) == bpeTokenCounts — the rank-replay encoder cannot drift") {
+    val docs = Seq(
+      (1L, "low low lower"), (2L, "newest newest newest widest"),
+      (3L, "aaaa banana")).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val viaJoin = rows(TextAnalysis.bpeTokenCounts(docs, "doc_id", "text", rounds = 4))
+    val viaReplay = rows(TextAnalysis.bpeEncode(docs, docs, "doc_id", "text", rounds = 4))
+    assert(viaReplay == viaJoin, s"replay $viaReplay != join $viaJoin")
+  }
+
+  test("bpeEncode segments OOV words with the trained merges, hand-computed") {
+    // train on the classic corpus with 2 merges: (e,s) then (es,t) —
+    // so "est" is one token. OOV words: "best" = b·est (2 tokens),
+    // "so" = s·o (2: no trained pair applies), "tesla" = t·es·l·a
+    // (4: the (e,s) merge applies inside an unseen word, (es,t) does
+    // not — "t" precedes "es" here, order matters)
+    val train = Seq("low low lower", "newest newest newest widest").toDF("text")
+      .withColumn("doc_id", lit(0L))
+    val apply = Seq((1L, "best so tesla")).toDF("doc_id", "text")
+    val out = TextAnalysis.bpeEncode(train, apply, "doc_id", "text", rounds = 2).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((1L, 3L, 11L, 8L)), // 3 words, 4+2+5 chars, 2+2+4 tokens
+      s"got ${r.toSeq}")
+  }
+
   test("bpeMerges: fails loudly when the vocabulary runs out of pairs") {
     val docs = Seq("a b c").toDF("text") // all single-char words: zero pairs
     val e = intercept[IllegalArgumentException] {
