@@ -339,6 +339,35 @@ class PlanShapeSpec extends AnyFunSuite {
       "the corpus is touched exactly once — pair work is vocabulary-sized")
   }
 
+  test("BPE OOV encode: segmented vocabulary broadcasts; apply corpus scanned once") {
+    // bpeEncode's apply is a JOIN, never a per-occurrence re-fold: the
+    // vocabulary-bounded segmentation (a pinned LogicalRDD) must
+    // broadcast against the one exploded corpus pass, per-doc sums must
+    // map-side combine, and the top-20 must be a top-k, not a global
+    // sort. (Training ran in its own jobs; THIS plan is the apply.)
+    val p = plan("q_bpe_encode_oov")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the segmented vocabulary must broadcast: ${p.take(800)}")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"per-doc sums must map-side combine: ${p.take(800)}")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the top-20 must not be a global sort: ${p.take(800)}")
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).length == 1,
+      "the apply corpus is touched exactly once in the encode plan")
+  }
+
+  test("incremental Hamming probe: band equi-join, never a cartesian or nested loop") {
+    import spark.implicits._
+    val idx = Seq((1L, 0x0fL), (2L, 0xf0L)).toDF("id", "sig")
+    val batch = Seq((10L, 0x0eL)).toDF("id", "sig")
+    val qe = graft.operators.Dedup
+      .incrementalHammingPairs(idx, batch, "id", "sig", maxHamming = 3)
+      .queryExecution
+    val p = qe.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the batch-vs-index probe must stay a band equi-join: ${p.take(800)}")
+  }
+
   test("vector window drift: reference broadcasts; per-dim sums map-side combine") {
     val p = plan("q_vector_window_drift")
     assert(p.contains("BroadcastExchange"),

@@ -287,6 +287,26 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(local == dist, s"local $local\n!= distributed $dist")
   }
 
+  test("bpeMerges local == distributed on randomized small-alphabet corpora (seeded sweep)") {
+    // the equivalence argument (overlap counting, lexicographic
+    // tie-break, greedy apply, rank monotonicity) has subtle corners —
+    // sweep seeded random corpora over a 4-letter alphabet (maximizes
+    // runs and ties, the hard cases) and pin the twins equal on each
+    val rnd = new scala.util.Random(42)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3), r.getLong(4))).toSeq
+    (1 to 5).foreach { trial =>
+      val docs = (1 to 8).map { _ =>
+        (1 to (3 + rnd.nextInt(5))).map { _ =>
+          (1 to (1 + rnd.nextInt(5))).map(_ => "abcd".charAt(rnd.nextInt(4))).mkString
+        }.mkString(" ")
+      }.toDF("text")
+      val local = rows(TextAnalysis.bpeMerges(docs, "text", rounds = 3))
+      val dist = rows(TextAnalysis.bpeMergesDistributed(docs, "text", rounds = 3))
+      assert(local == dist, s"trial $trial diverged:\nlocal $local\ndist  $dist")
+    }
+  }
+
   test("bpeMerges: driver-local vocab bound fails loudly when exceeded") {
     val docs = Seq("one two three four five").toDF("text")
     val e = intercept[IllegalArgumentException] {
