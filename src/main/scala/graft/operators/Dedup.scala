@@ -329,14 +329,16 @@ object Dedup {
     * [0, 63]; the join key is the band, never the corpus, so pair work
     * is bucket-quadratic, not corpus-quadratic.
     */
-  def hammingPairsFromSigs(
-      sigs: DataFrame,
-      idCol: String,
-      sigCol: String,
-      maxHamming: Int
-  ): DataFrame = {
-    require(maxHamming >= 0 && maxHamming < 64, s"maxHamming must be in [0, 63], got $maxHamming")
-    val banded = sigs.select(
+  /** The shared band-explode of a 64-bit signature frame into
+    * `maxHamming + 1` pigeonhole bands — the one audited banding used by
+    * both the self-join ([[hammingPairsFromSigs]]) and the batch-vs-index
+    * probe ([[incrementalHammingPairs]]). Null signatures are dropped
+    * here: struct equality treats null fields as equal, so null-sig rows
+    * would otherwise form one unblocked quadratic bucket that the
+    * hamming filter only discards AFTER the join paid for it.
+    */
+  private def bandedSigs(sigs: DataFrame, idCol: String, sigCol: String, maxHamming: Int): DataFrame =
+    sigs.where(col(sigCol).isNotNull).select(
       col(idCol).as("id"),
       col(sigCol).as("_sig"),
       explode(array(bandRanges(maxHamming + 1).zipWithIndex.map { case ((lo, width), bi) =>
@@ -347,6 +349,15 @@ object Dedup {
         )
       }: _*)).as("band")
     )
+
+  def hammingPairsFromSigs(
+      sigs: DataFrame,
+      idCol: String,
+      sigCol: String,
+      maxHamming: Int
+  ): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, s"maxHamming must be in [0, 63], got $maxHamming")
+    val banded = bandedSigs(sigs, idCol, sigCol, maxHamming)
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.id") < col("b.id"))
@@ -383,19 +394,8 @@ object Dedup {
       maxHamming: Int
   ): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64, s"maxHamming must be in [0, 63], got $maxHamming")
-    def banded(df: DataFrame): DataFrame = df.select(
-      col(idCol).as("id"),
-      col(sigCol).as("_sig"),
-      explode(array(bandRanges(maxHamming + 1).zipWithIndex.map { case ((lo, width), bi) =>
-        val mask = if (width >= 64) -1L else (1L << width) - 1L
-        struct(
-          lit(bi).as("band_idx"),
-          shiftright(col(sigCol), lo).bitwiseAND(lit(mask)).as("band_val")
-        )
-      }: _*)).as("band")
-    )
-    val a = banded(indexSigs).as("a")
-    val b = banded(batchSigs).as("b")
+    val a = bandedSigs(indexSigs, idCol, sigCol, maxHamming).as("a")
+    val b = bandedSigs(batchSigs, idCol, sigCol, maxHamming).as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.id") =!= col("b.id"))
       .select(
         col("a.id").as("id_index"),

@@ -240,8 +240,12 @@ object Multimodal {
     override def embed(bytes: Array[Byte], dim: Int): Array[Float] =
       ImageIoCodec.embed(bytes, dim)
     override def dHash(bytes: Array[Byte]): Long =
+      // NonFatal, not just IllegalArgumentException: ImageIO.read throws
+      // IIOException (an IOException) on corrupt-but-recognized payloads
+      // (truncated JPEG, unsupported CMYK) — those must degrade too, or
+      // one bad image aborts the ingest batch
       try ImageIoCodec.dHash(bytes)
-      catch { case _: IllegalArgumentException => StubCodec.dHash(bytes) }
+      catch { case scala.util.control.NonFatal(_) => StubCodec.dHash(bytes) }
   }
 
   /** Attach decoded image metadata (format sniffed from magic bytes, dims

@@ -725,34 +725,33 @@ object TextAnalysis {
 
   /** Apply a freshly-trained BPE tokenizer back to the corpus: per-doc
     * token counts under `rounds` merges — the ENCODE half of tokenizer
-    * training ([[bpeMerges]] is the train half; both run the shared
-    * loop, so they cannot diverge). Output per document: `n_words`
-    * (token occurrences), `n_chars` (summed word lengths = the token
-    * count at zero merges), `n_tokens` (after the merges) — the
-    * token-budget accounting a pipeline does before packing sequences.
+    * training ([[bpeMerges]] is the train half; both run the SAME
+    * [[trainBpeLocal]] loop, so they cannot diverge). Output per
+    * document: `n_words` (token occurrences), `n_chars` (summed word
+    * lengths = the token count at zero merges), `n_tokens` (after the
+    * merges) — the token-budget accounting a pipeline does before
+    * packing sequences.
     *
-    * Scale shape: the segmented VOCABULARY (bounded, independent of
+    * Scale shape: ONE corpus pass for the training histogram (the
+    * trainBpeLocal contract — the merge loop is driver-local, zero jobs
+    * per merge), then the segmented VOCABULARY (bounded, independent of
     * corpus size) broadcasts against one exploded pass over the corpus
     * — apply is a join, never a per-occurrence re-fold. The join is
     * total by construction here (encode corpus = training corpus);
-    * encoding a DIFFERENT corpus needs an OOV path (segment unseen
-    * words driver-free by folding the merge list) — a documented seam,
-    * not built until something needs it.
+    * encoding a DIFFERENT corpus is [[bpeEncode]] (the OOV replay path).
     */
   def bpeTokenCounts(docs: DataFrame, idCol: String, textCol: String, rounds: Int): DataFrame = {
-    val (_, vocab) = trainBpe(docs, textCol, rounds)
-    val segSyms = filter(split(col("seg"), "\\|"), x => length(x) > 0)
-    // Materialize the bounded segmented vocabulary EAGERLY (localCheckpoint
-    // cuts the multi-round training lineage) before releasing the training
-    // cache — otherwise every action on the returned frame re-executes the
-    // whole merge loop, breaking the "corpus touched once" cost story.
-    val segmented = vocab.select(
-      col("word"),
-      length(col("word")).cast("long").as("n_chars_w"),
-      size(segSyms).cast("long").as("n_tokens_w"))
-      .localCheckpoint()
-    releaseVocab(vocab)
-    val out = docs
+    val spark = docs.sparkSession
+    val (_, finalVocab) = trainBpeLocal(docs, textCol, rounds)
+    // parallelize, not a LocalRelation literal: the vocabulary can be
+    // millions of rows (bound 10M) — as a plan literal it would dominate
+    // plan size; as an RDD it is just data
+    val segmented = spark.createDataFrame(
+      spark.sparkContext
+        .parallelize(finalVocab.toSeq, math.max(1, finalVocab.length / 500000))
+        .map { case (w, _, seg) => (w, w.length.toLong, seg.length.toLong) })
+      .toDF("word", "n_chars_w", "n_tokens_w")
+    docs
       .select(col(idCol), explode(TextFunctions.ftsTokens(col(textCol))).as("word"))
       .join(broadcast(segmented), Seq("word"))
       .groupBy(idCol)
@@ -760,19 +759,22 @@ object TextAnalysis {
         count(lit(1)).as("n_words"),
         sum(col("n_chars_w")).as("n_chars"),
         sum(col("n_tokens_w")).as("n_tokens"))
-    out
   }
 
   /** Encode an ARBITRARY corpus with merges trained on another — the OOV
     * half the [[bpeTokenCounts]] scaladoc left as a seam. Trains on
     * `trainDocs` via [[trainBpeLocal]] (one corpus pass + local loop),
     * then segments the APPLY corpus's distinct words by replaying the
-    * merge list: repeatedly merge the present adjacent pair with the
-    * LOWEST merge rank, all occurrences left-to-right greedy — provably
-    * identical to replaying merges in training order (a merge can only
-    * create pairs involving its new symbol, and any trained pair over
-    * that symbol has a later rank, so rank order is never violated), and
-    * O(len^2 log) per distinct word instead of O(rounds x len).
+    * merge list IN TRAINING ORDER, implemented as lowest-present-rank
+    * with a MONOTONE CURSOR: the next applied rank is the minimum
+    * present rank >= the last applied one. The cursor matters in one
+    * degenerate corner — two distinct trained merges concatenating to
+    * the SAME symbol string (e.g. ab+c and a+bc both -> "abc"): applying
+    * the later one can re-create a pair whose rank already passed, which
+    * training itself (and the single ordered fold the q_bpe_encode_oov
+    * oracle runs) leaves UNMERGED. The cursor skips it identically, so
+    * engine == training == oracle in every case, at O(len^2) per
+    * distinct word instead of O(rounds x len).
     *
     * Output per apply-side document: `(idCol, n_words, n_chars,
     * n_tokens)` — the [[bpeTokenCounts]] shape, which this must equal
@@ -797,6 +799,7 @@ object TextAnalysis {
       stats.map { case (r, a, b, _, _) => (a, b) -> r }.toMap
     val segLen = udf { (word: String) =>
       var seg = word.map(_.toString).toArray
+      var cursor = Long.MinValue // ranks already passed never re-apply
       var done = false
       while (!done && seg.length >= 2) {
         var bestRank = Long.MaxValue
@@ -805,12 +808,13 @@ object TextAnalysis {
         var j = 0
         while (j < seg.length - 1) {
           ranks.get((seg(j), seg(j + 1))).foreach { r =>
-            if (r < bestRank) { bestRank = r; bestA = seg(j); bestB = seg(j + 1) }
+            if (r >= cursor && r < bestRank) { bestRank = r; bestA = seg(j); bestB = seg(j + 1) }
           }
           j += 1
         }
         if (bestA == null) done = true
         else {
+          cursor = bestRank + 1
           val ns = new scala.collection.mutable.ArrayBuffer[String](seg.length)
           var i = 0
           while (i < seg.length) {

@@ -686,9 +686,27 @@ object VectorSearch {
       k: Int = 10,
       nQueries: Int = 20,
       maxL: Int = 64
-  ): Int = {
-    require(recallTarget > 0.0 && recallTarget < 1.0,
-      s"calibrateBandedL: recallTarget must be in (0, 1), got $recallTarget")
+  ): Int =
+    calibrateBandedLMulti(sample, idCol, vecCol, bandBits, Seq(recallTarget), k, nQueries, maxL)(
+      recallTarget)
+
+  /** [[calibrateBandedL]] for SEVERAL targets at once: the probe stage
+    * (nQueries exact top-k jobs — the only expensive part) runs ONCE;
+    * each target's L search is pure driver math over the same q_i
+    * sample. Use this when sizing a recall/cost menu.
+    */
+  def calibrateBandedLMulti(
+      sample: DataFrame,
+      idCol: String,
+      vecCol: String,
+      bandBits: Int,
+      recallTargets: Seq[Double],
+      k: Int = 10,
+      nQueries: Int = 20,
+      maxL: Int = 64
+  ): Map[Double, Int] = {
+    require(recallTargets.nonEmpty && recallTargets.forall(t => t > 0.0 && t < 1.0),
+      s"calibrateBandedL: recall targets must be in (0, 1), got ${recallTargets.mkString(",")}")
     require(nQueries >= 1 && k >= 1 && bandBits >= 1 && maxL >= 1,
       s"calibrateBandedL: nQueries/k/bandBits/maxL must be positive")
     // deterministic query panel: the nQueries lowest ids
@@ -706,11 +724,13 @@ object VectorSearch {
           math.pow(p, bandBits)
         }
     }
-    (1 to maxL).find { l =>
-      qs.map(q => 1.0 - math.pow(1.0 - q, l)).sum / qs.length >= recallTarget
-    }.getOrElse(throw new IllegalArgumentException(
-      f"calibrateBandedL: recall $recallTarget%.2f unreachable at bandBits=$bandBits even " +
-        f"with L=$maxL tables — widen the sweep with fewer bandBits or use exact search"))
+    recallTargets.map { target =>
+      target -> (1 to maxL).find { l =>
+        qs.map(q => 1.0 - math.pow(1.0 - q, l)).sum / qs.length >= target
+      }.getOrElse(throw new IllegalArgumentException(
+        f"calibrateBandedL: recall $target%.2f unreachable at bandBits=$bandBits even " +
+          f"with L=$maxL tables — widen the sweep with fewer bandBits or use exact search"))
+    }.toMap
   }
 
   /** Incrementally extend a banded index with a batch WITHOUT touching

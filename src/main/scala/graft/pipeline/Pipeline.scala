@@ -95,11 +95,17 @@ final class Pipeline(spark: SparkSession, config: GraftConfig = GraftConfig.defa
           val images = graft.sources.ImageExtraction
             .extractImages(withContent.where(col("validation") === "valid"))
             .persist()
-          val kept = if (config.imageDedup.enabled) dedupImages(images) else images
+          val (kept, keptSigs) =
+            if (config.imageDedup.enabled) {
+              val (k, s) = dedupImages(images)
+              (k, Some(s))
+            } else (images, None)
           val meta = graft.sources.ImageExtraction
             .writeImageFiles(kept, dir)
             .withColumn("created_at", current_timestamp())
           catalog.append(meta, "images")
+          keptSigs.foreach(s =>
+            catalog.append(s.withColumn("created_at", current_timestamp()), "image_signatures"))
           images.unpersist()
         }
         withContent.drop("content")
@@ -201,20 +207,24 @@ final class Pipeline(spark: SparkSession, config: GraftConfig = GraftConfig.defa
     *   2. in-batch: banded Hamming pairs → label propagation →
     *      keep-min-id; the full (id, cluster_id, is_canonical) labeling
     *      lands in the `image_clusters` table for audit;
-    *   3. cross-batch: surviving signatures probe the PERSISTED images
-    *      table's `dhash` column ([[graft.operators.Dedup
+    *   3. cross-batch: surviving signatures probe the PERSISTED
+    *      `image_signatures` table ([[graft.operators.Dedup
     *      .incrementalHammingPairs]] — index probed, never re-paired); a
     *      survivor matching a stored image is dropped and labeled into
     *      the stored image's cluster (is_canonical = false).
     *
     * Only 8-byte signatures and id pairs ever shuffle; payloads stay in
-    * place. Survivors carry their `dhash` into the images table so the
-    * NEXT batch can probe without re-decoding history. Enabling dedup on
-    * a warehouse whose images table predates the `dhash` column needs a
-    * one-time backfill (cross-batch probing is skipped until the column
-    * exists).
+    * place. Survivors append their `dhash` to the dedicated
+    * `image_signatures` table — NOT a column on `images`: a column added
+    * mid-life would mix schemas across parquet appends and
+    * (mergeSchema-less reads) make the probe's presence check depend on
+    * which footer Spark samples. The signatures table is homogeneous by
+    * construction, so the next batch probes deterministically without
+    * re-decoding history.
     */
-  private def dedupImages(images: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+  private def dedupImages(
+      images: org.apache.spark.sql.DataFrame
+  ): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     import graft.operators.{Dedup, Multimodal}
     val maxHamming = config.imageDedup.maxHamming
     // decode once; 8-byte (id, dhash) rows pinned for the three consumers
@@ -239,13 +249,10 @@ final class Pipeline(spark: SparkSession, config: GraftConfig = GraftConfig.defa
     // the stored image's cluster (members it absorbed in-batch are
     // transitively duplicates of the stored copy)
     val crossMap: org.apache.spark.sql.DataFrame = {
-      val hasIndex =
-        catalog.exists("images") && catalog.read("images").columns.contains("dhash")
-      if (!hasIndex)
+      if (!catalog.exists("image_signatures"))
         canon.select(col("_canon"), col("_canon").as("_stored")).limit(0)
       else {
-        val existing = catalog.read("images")
-          .select(col("id"), col("dhash")).where(col("dhash").isNotNull)
+        val existing = catalog.read("image_signatures").select("id", "dhash")
         val survivorSigs = sigs.join(keptInBatch.select("id"), Seq("id"), "left_semi")
         val cross = Dedup
           .incrementalHammingPairs(existing, survivorSigs, "id", "dhash", maxHamming)
@@ -268,12 +275,17 @@ final class Pipeline(spark: SparkSession, config: GraftConfig = GraftConfig.defa
 
     // one coherent labeling append per batch: members of a cross-dropped
     // cluster carry the STORED cluster id and none of them is canonical
-    // (the stored copy is); untouched clusters label as computed in-batch
+    // (the stored copy is); untouched clusters label as computed
+    // in-batch. Each row records its OWNING DOCUMENT so cascade delete
+    // can clear a document's label rows directly (dropped duplicates
+    // have no images-table row to resolve through).
     catalog.append(
       labels.join(canon, Seq("cluster"))
         .join(crossMap, Seq("_canon"), "left")
+        .join(images.select(col("id"), col("document_id")), Seq("id"), "left")
         .select(
           col("id"),
+          col("document_id"),
           coalesce(col("_stored"), col("cluster")).as("cluster_id"),
           (col("id") === col("_canon") && col("_stored").isNull).as("is_canonical"))
         .withColumn("created_at", current_timestamp()),
@@ -281,9 +293,12 @@ final class Pipeline(spark: SparkSession, config: GraftConfig = GraftConfig.defa
 
     val kept = keptInBatch
       .join(crossMap.select(col("_canon").as("id")), Seq("id"), "left_anti")
-    // survivors carry their signature into the images table (bytes are
-    // dropped by the file sink; dhash is 8 bytes of metadata)
-    kept.join(broadcast(sigs), Seq("id"), "left")
+    // survivors' signatures form the probe index for every future batch;
+    // the CALLER appends them AFTER the images metadata append — a crash
+    // between the two must leave an unindexed stored image (re-dedup
+    // later, harmless), never an index entry for an image that was never
+    // stored (which would silently drop future copies of it)
+    (kept, sigs.join(kept.select("id"), Seq("id"), "left_semi"))
   }
 
   /** Chunk a (doc_id, title, markdown)-shaped frame into chunk rows —
@@ -333,16 +348,59 @@ final class Pipeline(spark: SparkSession, config: GraftConfig = GraftConfig.defa
   /** Cascade delete (S10/J5, src/pipeline.py:270-295): remove a document
     * and its chunks; anti-join rewrite of both tables.
     */
-  def deleteDocument(documentId: String): Unit = {
-    // image_clusters keys on image id — resolve the doomed ids BEFORE the
-    // images rows are gone
-    if (catalog.exists("image_clusters") && catalog.exists("images")) {
-      val doomed = catalog.read("images")
-        .where(col("document_id") === documentId).select("id")
-      catalog.deleteMatching("image_clusters", doomed, Seq("id"))
+  /** Cascade the image tables (images / image_clusters /
+    * image_signatures) for a set of doomed document ids, honoring SHARED
+    * CANONICALS: with image dedup, a stored image whose near-dup cluster
+    * still has members from OTHER documents outlives its uploading
+    * document (content-addressed store semantics) — deleting it would
+    * destroy the only stored copy other documents' figures resolve to.
+    * Cluster rows are owned by their document (the `document_id` column
+    * written at labeling time), so dropped-duplicate labels — which have
+    * no images-table row — clean up with their document too.
+    */
+  private def cascadeImages(doomedDocs: org.apache.spark.sql.DataFrame): Unit = {
+    val hasClusters = catalog.exists("image_clusters")
+    val ownedClusters =
+      hasClusters && catalog.read("image_clusters").columns.contains("document_id")
+    val keepShared: org.apache.spark.sql.DataFrame =
+      if (ownedClusters) {
+        val clusters = catalog.read("image_clusters")
+        // pin: lineage reads the table being rewritten below
+        val doomedRows = clusters
+          .join(doomedDocs, Seq("document_id"), "left_semi").localCheckpoint()
+        val others = clusters.join(doomedDocs, Seq("document_id"), "left_anti")
+        val keep = doomedRows
+          .where(col("is_canonical"))
+          .join(others.select("cluster_id"), Seq("cluster_id"), "left_semi")
+          .select("id")
+          .localCheckpoint()
+        catalog.deleteMatching("image_clusters", doomedRows.select("id"), Seq("id"))
+        keep
+      } else {
+        if (hasClusters && catalog.exists("images")) {
+          // legacy label rows (no document_id): best-effort by image id
+          val doomedImages = catalog.read("images")
+            .join(doomedDocs, Seq("document_id"), "left_semi").select("id")
+          catalog.deleteMatching("image_clusters", doomedImages, Seq("id"))
+        }
+        doomedDocs.select(col("document_id").as("id")).limit(0)
+      }
+    if (catalog.exists("images")) {
+      val doomedImages = catalog.read("images")
+        .join(doomedDocs, Seq("document_id"), "left_semi")
+        .select("id")
+        .join(keepShared, Seq("id"), "left_anti")
+        .localCheckpoint() // lineage reads the images table being rewritten
+      catalog.deleteMatching("images", doomedImages, Seq("id"))
+      if (catalog.exists("image_signatures"))
+        catalog.deleteMatching("image_signatures", doomedImages, Seq("id"))
     }
+  }
+
+  def deleteDocument(documentId: String): Unit = {
+    import spark.implicits._
+    cascadeImages(Seq(documentId).toDF("document_id"))
     catalog.deleteWhere("chunks", col("document_id") === documentId)
-    catalog.deleteWhere("images", col("document_id") === documentId)
     catalog.deleteWhere("documents", col("id") === documentId)
     FtsIndex.invalidate(ftsKey)
     graft.util.JsonLog.info("delete_document", "document_id" -> documentId)
@@ -385,16 +443,11 @@ final class Pipeline(spark: SparkSession, config: GraftConfig = GraftConfig.defa
       // batch the cascade: ONE anti-join rewrite per table for the whole
       // matching set, instead of per-id deleteDocument calls that rewrite
       // all 3 tables O(n) times (VERDICT r4 #5)
+      // pin: the cascade rewrites tables this frame's lineage reads
       val doomed = catalog.read("documents")
-        .where(col("file_hash") === hash).select("id")
-      if (catalog.exists("image_clusters") && catalog.exists("images")) {
-        val doomedImages = catalog.read("images")
-          .join(doomed.withColumnRenamed("id", "document_id"), Seq("document_id"), "left_semi")
-          .select("id")
-        catalog.deleteMatching("image_clusters", doomedImages, Seq("id"))
-      }
+        .where(col("file_hash") === hash).select("id").localCheckpoint()
+      cascadeImages(doomed.withColumnRenamed("id", "document_id"))
       catalog.deleteMatching("chunks", doomed.withColumnRenamed("id", "document_id"), Seq("document_id"))
-      catalog.deleteMatching("images", doomed.withColumnRenamed("id", "document_id"), Seq("document_id"))
       catalog.deleteMatching("documents", doomed, Seq("id"))
       FtsIndex.invalidate(ftsKey)
       graft.util.JsonLog.info("force_replace_delete", "file_hash" -> hash)

@@ -154,6 +154,10 @@ final class StreamingIngest(
             case StreamingIngest.Monitor    => "monitor"
           }))
       }
+      // both consumers (check + observation append) are done — release
+      // the pinned blocks, or a weeks-long stream accumulates one
+      // checkpoint RDD per micro-batch
+      graft.util.Checkpoints.release(graft.util.Checkpoints.pinnedRddIds(counts), s)
       rep.isDefined && driftPolicy == StreamingIngest.Quarantine
     }
     if (quarantined) {
@@ -175,6 +179,9 @@ final class StreamingIngest(
           col("file_hash"),
           col("value"),
           lit(batchId).as("batch_id"),
+          // batch ids restart at 0 per checkpoint — the run token makes
+          // (run_token, batch_id) the unambiguous replay key
+          lit(runToken).as("run_token"),
           current_timestamp().as("quarantined_at")),
         "quarantine_stream")
       return
@@ -327,12 +334,33 @@ final class StreamingIngest(
     * crash-rerun of the same adjudication reuses the same FTS stamp), so
     * a second replay of the same batches is a no-op. Returns the number
     * of documents actually loaded.
+    *
+    * Batch ids RESTART at 0 per checkpoint (the reason `runToken` exists
+    * on the ingest path), so `batch_id` alone is ambiguous across runs:
+    * when the selected rows span more than one ingest run, the call
+    * FAILS LOUDLY listing the run tokens — pass `runToken` to scope the
+    * adjudication to one run (silently replaying another run's
+    * un-adjudicated batch past the drift gate is the failure mode being
+    * refused).
     */
-  def replayQuarantined(batchIds: Seq[Long]): Long = {
+  def replayQuarantined(batchIds: Seq[Long], runToken: Option[String] = None): Long = {
     require(batchIds.nonEmpty, "replayQuarantined: pass at least one quarantined batch id")
     if (!catalog.exists("quarantine_stream")) return 0L
-    val rows = catalog.read("quarantine_stream")
-      .where(col("batch_id").isin(batchIds: _*))
+    val table = catalog.read("quarantine_stream")
+    val byBatch = table.where(col("batch_id").isin(batchIds: _*))
+    val selected =
+      if (!table.columns.contains("run_token")) byBatch // pre-run_token table: legacy rows
+      else runToken match {
+        case Some(t) => byBatch.where(col("run_token") === t)
+        case None =>
+          val tokens = byBatch.select("run_token").distinct().collect().map(_.getString(0))
+          require(tokens.length <= 1,
+            s"replayQuarantined: batch ids [${batchIds.mkString(",")}] span ${tokens.length} " +
+              s"ingest runs (batch ids restart per checkpoint) — pass runToken to pick one of: " +
+              tokens.mkString(" | "))
+          byBatch
+      }
+    val rows = selected
       .select(col("value"), col("source_path").as("path"))
       // pin: the load below appends to tables this plan must never re-read
       .localCheckpoint()
@@ -340,9 +368,12 @@ final class StreamingIngest(
     def ledgerCount(): Long =
       if (catalog.exists("documents_stream")) catalog.read("documents_stream").count() else 0L
     val before = ledgerCount()
-    val token = s"${config.warehouseDir}#quarantine-replay:${batchIds.sorted.mkString(",")}"
+    val token = s"${config.warehouseDir}#quarantine-replay:${runToken.getOrElse("-")}:" +
+      batchIds.sorted.mkString(",")
     ingestBatch(rows, batchId = 0L, runToken = token, skipDriftGate = true)
     val loaded = ledgerCount() - before
+    graft.util.Checkpoints.release(
+      graft.util.Checkpoints.pinnedRddIds(rows), spark)
     graft.util.JsonLog.info("quarantine_replayed",
       "batch_ids" -> batchIds.mkString(","), "loaded_docs" -> loaded)
     loaded

@@ -111,9 +111,10 @@ object RetrievalLadder {
       qid -> VectorSearch.topK(emb, "embedding", queries(qid), K, col("vec_id"))
         .select("vec_id").collect().map(_.getLong(0)).toSet
     }.toMap
+    val calibrated = VectorSearch.calibrateBandedLMulti(
+      emb, "vec_id", "embedding", bandBits = 6, recallTargets = Seq(0.5, 0.7), k = K)
     for (target <- Seq(0.5, 0.7)) {
-      val l = VectorSearch.calibrateBandedL(
-        emb, "vec_id", "embedding", bandBits = 6, recallTarget = target, k = K)
+      val l = calibrated(target)
       val idx = VectorSearch.buildBandedLsh(
         emb, "vec_id", "embedding", dim, numTables = l, bandBits = 6)
       val measured = queryIds.map { qid =>

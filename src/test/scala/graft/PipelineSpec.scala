@@ -257,8 +257,8 @@ class PipelineSpec extends AnyFunSuite {
     // stored image; the reversed-gradient image survived
     val imgs = pipe.catalog.read("images")
     assert(imgs.count() == 2, s"expected 2 surviving images, got ${imgs.count()}")
-    // survivors carry their 8-byte signature for future cross-batch probes
-    assert(imgs.where(col("dhash").isNotNull).count() == 2)
+    // survivors' 8-byte signatures land in the dedicated probe table
+    assert(pipe.catalog.read("image_signatures").count() == 2)
     // the full labeling is auditable: 3 members, 2 clusters, 2 canonical
     val labels = pipe.catalog.read("image_clusters").collect()
     assert(labels.length == 3)
@@ -289,6 +289,26 @@ class PipelineSpec extends AnyFunSuite {
     val gradientCluster = labels.filter(r => r.getAs[Boolean]("is_canonical"))
       .map(_.getAs[String]("cluster_id"))
     assert(gradientCluster.contains(newRow.head.getAs[String]("cluster_id")))
+
+    // CASCADE with shared canonicals: deleting the FIRST document (which
+    // owns the stored gradient copy) must NOT destroy the copy doc 2's
+    // figure resolves to — content-addressed store semantics. The
+    // unshared reversed-gradient image deletes normally.
+    val docIds = pipe.catalog.read("documents").collect()
+      .map(r => r.getAs[String]("source_path") -> r.getAs[String]("id")).toMap
+    val doc1 = docIds.keys.find(p => p.contains("figures.pdf")).map(docIds).get
+    val doc2 = docIds.keys.find(p => p.contains("figures2.pdf")).map(docIds).get
+    pipe.deleteDocument(doc1)
+    assert(pipe.catalog.read("images").count() == 1,
+      "the shared canonical must survive its uploading document; the unshared image must not")
+    assert(pipe.catalog.read("image_signatures").count() == 1,
+      "the surviving copy stays probe-able for future batches")
+    val afterDoc1 = pipe.catalog.read("image_clusters").collect()
+    assert(afterDoc1.length == 1 && afterDoc1.head.getAs[String]("document_id") == doc2,
+      s"only doc 2's label row remains: ${afterDoc1.toSeq}")
+    // deleting the last referencing document clears the remaining label
+    pipe.deleteDocument(doc2)
+    assert(pipe.catalog.read("image_clusters").count() == 0)
   }
 
   test("single-file ingest touches only that file; duplicate content collapses") {

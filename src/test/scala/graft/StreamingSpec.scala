@@ -150,6 +150,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(cat.read("documents_stream").count() == 2)
     // unknown batch ids no-op too
     assert(ingest.replayQuarantined(Seq(99999L)) == 0L)
+
+    // cross-run ambiguity: a fresh checkpoint restarts batch ids at 0,
+    // so replay by batch id alone must REFUSE when rows span runs —
+    // silently loading another run's un-adjudicated batch past the
+    // drift gate is the failure mode being refused
+    Files.write(Paths.get(in, "drift3.md"),
+      ("# Long3\n\n" + ("amet sit dolor ipsum lorem " * 80)).getBytes)
+    val ckpt2 = s"$base/ckpt2"
+    ingest.start(in, ckpt2).awaitTermination()
+    assert(cat.read("quarantine_stream").count() == 3,
+      "the new run's drifted file joins the quarantine audit trail")
+    val e = intercept[IllegalArgumentException] { ingest.replayQuarantined(Seq(0L)) }
+    assert(e.getMessage.contains("span"), e.getMessage)
+    // scoped to the new run, exactly its one document loads
+    assert(ingest.replayQuarantined(Seq(0L), runToken = Some(ckpt2)) == 1L)
+    assert(cat.read("documents_stream").count() == 3)
   }
 
   test("guardrail profile refresh: an adjudicated mix shift stops alarming") {
