@@ -397,6 +397,44 @@ final class Pipeline(spark: SparkSession, config: GraftConfig = GraftConfig.defa
     }
   }
 
+  /** Garbage-collect ORPHAN stored images: a shared canonical outlives
+    * its uploading document while other documents' duplicates resolve to
+    * it ([[cascadeImages]]), so once the LAST referencing document is
+    * deleted the stored copy lingers unreferenced. An image is an orphan
+    * when its owning document is gone AND no live document's
+    * image_clusters row points at its cluster (in-batch cluster ids ARE
+    * the canonical image's id, and cross-batch labels reuse the stored
+    * cluster id, so `cluster_id == image.id` is the reference edge).
+    * Deletes metadata + signature rows (files under imagesDir are left
+    * for the operator — the metadata row is the commit point). Returns
+    * the number of images collected. Run at compaction cadence.
+    */
+  def gcImages(): Long = {
+    if (!catalog.exists("images")) return 0L
+    val liveDocs =
+      if (catalog.exists("documents"))
+        catalog.read("documents").select(col("id").as("document_id"))
+      else catalog.read("images").select("document_id").limit(0)
+    val orphans = catalog.read("images")
+      .join(liveDocs, Seq("document_id"), "left_anti")
+      .select("id")
+    val referenced =
+      if (!catalog.exists("image_clusters")) orphans.limit(0)
+      else catalog.read("image_clusters")
+        .join(liveDocs, Seq("document_id"), "left_semi")
+        .select(col("cluster_id").as("id"))
+    // pin: lineage reads the images table being rewritten
+    val doomed = orphans.join(referenced, Seq("id"), "left_anti").localCheckpoint()
+    val n = doomed.count()
+    if (n > 0) {
+      catalog.deleteMatching("images", doomed, Seq("id"))
+      if (catalog.exists("image_signatures"))
+        catalog.deleteMatching("image_signatures", doomed, Seq("id"))
+      graft.util.JsonLog.info("gc_images", "collected" -> n)
+    }
+    n
+  }
+
   def deleteDocument(documentId: String): Unit = {
     import spark.implicits._
     cascadeImages(Seq(documentId).toDF("document_id"))

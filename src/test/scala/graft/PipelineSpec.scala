@@ -306,9 +306,16 @@ class PipelineSpec extends AnyFunSuite {
     val afterDoc1 = pipe.catalog.read("image_clusters").collect()
     assert(afterDoc1.length == 1 && afterDoc1.head.getAs[String]("document_id") == doc2,
       s"only doc 2's label row remains: ${afterDoc1.toSeq}")
-    // deleting the last referencing document clears the remaining label
+    // deleting the last referencing document clears the remaining label;
+    // the stored copy lingers (content-addressed) until gcImages collects
+    // the now-unreferenced orphan
     pipe.deleteDocument(doc2)
     assert(pipe.catalog.read("image_clusters").count() == 0)
+    assert(pipe.catalog.read("images").count() == 1)
+    assert(pipe.gcImages() == 1L)
+    assert(pipe.catalog.read("images").count() == 0)
+    assert(pipe.catalog.read("image_signatures").count() == 0)
+    assert(pipe.gcImages() == 0L, "gc is idempotent")
   }
 
   test("single-file ingest touches only that file; duplicate content collapses") {
