@@ -1201,6 +1201,42 @@ object OracleSql {
          |SELECT doc_id, $hexDigits AS simhash_hex FROM sums ORDER BY doc_id""".stripMargin
     },
 
+    "q_blocklist" -> {
+      // CorpusHygiene.blocklistHits twin over the shared demoBlocklist:
+      // whole-word unigram + 2-word-phrase occurrence counts, distinct
+      // matched terms, fixed-point density, 0/1 any-hit flag.
+      val norm = graft.operators.CorpusHygiene.demoBlocklist
+        .map(_.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq)
+      def sqlList(n: Int): String =
+        norm.filter(_.size == n).map(_.mkString(" ")).distinct
+          .map(t => s"'$t'").mkString("[", ", ", "]")
+      val (l1, l2) = (sqlList(1), sqlList(2))
+      require(norm.forall(t => t.size == 1 || t.size == 2),
+        "q_blocklist oracle mirrors only 1- and 2-word demo terms")
+      s"""WITH w AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+        |                     x -> len(x) > 0) AS w
+        |  FROM documents),
+        |g AS (SELECT doc_id, w,
+        |             CASE WHEN len(w) >= 2
+        |                  THEN list_transform(range(1, CAST(len(w) AS BIGINT)),
+        |                         i -> w[i] || ' ' || w[i + 1])
+        |                  ELSE CAST([] AS VARCHAR[]) END AS g2
+        |      FROM w),
+        |c AS (SELECT doc_id,
+        |             CAST(len(w) AS BIGINT) AS n_words,
+        |             CAST(len(list_filter(w, x -> list_contains($l1, x)))
+        |                + len(list_filter(g2, x -> list_contains($l2, x))) AS BIGINT) AS hits,
+        |             CAST(len(list_intersect(list_distinct(w), $l1))
+        |                + len(list_intersect(list_distinct(g2), $l2)) AS BIGINT) AS matched_terms
+        |      FROM g)
+        |SELECT doc_id, n_words, hits, matched_terms,
+        |       CAST(CASE WHEN n_words > 0 THEN (hits * 1000000) // n_words ELSE 0 END AS BIGINT) AS hit_frac_fp,
+        |       CAST(CASE WHEN hits > 0 THEN 1 ELSE 0 END AS BIGINT) AS blocked
+        |FROM c ORDER BY doc_id""".stripMargin
+    },
+
     "q_pii_scrub" -> {
       // same patterns as CorpusHygiene; DuckDB needs the 'g' flag for
       // replace-all (Spark's regexp_replace is always global)
@@ -1792,6 +1828,55 @@ object OracleSql {
         |SELECT doc_id, n_toks, surprisal_bits,
         |       (surprisal_bits * 10000) // n_toks AS mean_surprisal_fp
         |FROM per_doc ORDER BY doc_id""".stripMargin,
+
+    "q_bigram_lm" -> {
+      // TextAnalysis.bigramLmScore twin: LM = even doc_ids; words and
+      // "prev cur" pair strings digested to the first 60 md5 bits exactly
+      // like the Spark side (wordGrams); stupid backoff = +1 whole bit;
+      // OOV scores as cnt1 = 1. All-integer, so the hash compare is exact.
+      val wk = md5NibbleIntSql("w[i]", 15)
+      val prevk = md5NibbleIntSql("w[i-1]", 15)
+      val pairk = md5NibbleIntSql("w[i-1] || ' ' || w[i]", 15)
+      val unik = md5NibbleIntSql("vs", 15)
+      s"""WITH norm AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+        |                     x -> len(x) > 0) AS w
+        |  FROM documents),
+        |uni AS (SELECT $unik AS wk, COUNT(*) AS cnt1
+        |        FROM (SELECT UNNEST(w) AS vs FROM norm WHERE doc_id % 2 = 0) GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(cnt1) AS BIGINT) AS n_lm FROM uni),
+        |bi AS (SELECT $unik AS pk, COUNT(*) AS cnt2
+        |       FROM (SELECT UNNEST(CASE WHEN len(w) >= 2
+        |                THEN list_transform(range(1, CAST(len(w) AS BIGINT)), i -> w[i] || ' ' || w[i+1])
+        |                ELSE CAST([] AS VARCHAR[]) END) AS vs
+        |             FROM norm WHERE doc_id % 2 = 0) GROUP BY 1),
+        |toks AS (SELECT doc_id, $wk AS wk,
+        |                CASE WHEN i > 1 THEN $prevk END AS prevk,
+        |                CASE WHEN i > 1 THEN $pairk END AS pairk
+        |         FROM (SELECT doc_id, UNNEST(range(1, CAST(len(w) AS BIGINT) + 1)) AS i, w
+        |               FROM norm)),
+        |scored AS (
+        |  SELECT t.doc_id, t.pairk, b.cnt2, u.cnt1 AS cnt1_w,
+        |         CASE WHEN b.cnt2 IS NOT NULL
+        |              THEN len(bin(p.cnt1)) - len(bin(b.cnt2))
+        |              ELSE (CASE WHEN t.pairk IS NULL THEN 0 ELSE 1 END)
+        |                   + len(bin(tot.n_lm))
+        |                   - (CASE WHEN u.cnt1 IS NOT NULL THEN len(bin(u.cnt1)) ELSE 1 END)
+        |         END AS score_bits
+        |  FROM toks t
+        |  LEFT JOIN uni u ON u.wk = t.wk
+        |  LEFT JOIN uni p ON p.wk = t.prevk
+        |  LEFT JOIN bi b ON b.pk = t.pairk
+        |  CROSS JOIN tot)
+        |SELECT doc_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_toks,
+        |       CAST(SUM(CASE WHEN pairk IS NOT NULL AND cnt2 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_backoff,
+        |       CAST(SUM(CASE WHEN pairk IS NOT NULL AND cnt2 IS NULL AND cnt1_w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |       CAST(SUM(score_bits) AS BIGINT) AS lm_bits,
+        |       (CAST(SUM(score_bits) AS BIGINT) * 10000) // CAST(COUNT(*) AS BIGINT) AS mean_lm_fp
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
 
     "q_incremental_lsh" ->
       """WITH d AS (SELECT doc_id AS id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm

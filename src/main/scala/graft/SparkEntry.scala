@@ -1492,6 +1492,16 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_docs"), sum("tok").as("seq_tokens"))
       .orderBy("source", "seq_index")
 
+  /** C4-style blocklist gate (CorpusHygiene.blocklistHits) over the demo
+    * term list: zero-shuffle scan-fused whole-word/phrase matching,
+    * graded hit density plus the any-hit cut.
+    */
+  private def qBlocklist(s: SparkSession, dir: String): DataFrame =
+    graft.operators.CorpusHygiene
+      .blocklistHits(t(s, dir, "documents"), "doc_id", "text",
+        graft.operators.CorpusHygiene.demoBlocklist)
+      .orderBy("doc_id")
+
   /** PII scrub audit (corpus-hygiene op): per-doc hit counts for
     * email/phone/IP plus a digest of the scrubbed text (digest, not the
     * text, so the comparator diffs compactly).
@@ -2165,6 +2175,19 @@ object SparkEntry {
     TextAnalysis.unigramSurprisal(t(s, dir, "documents"), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** Bigram stupid-backoff LM score (TextAnalysis.bigramLmScore): LM
+    * trained on the even-doc_id half, all docs scored against it — odd
+    * docs exercise real backoff/OOV paths, the whole-bit analog of
+    * scoring a crawl against a trusted-corpus perplexity filter.
+    */
+  private def qBigramLm(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    TextAnalysis
+      .bigramLmScore(docs, "doc_id", "text",
+        docs.where(col("doc_id") % 2 === 0))
+      .orderBy("doc_id")
+  }
+
   /** Incremental near-dup: new batch (doc_id in [150, 300)) against the
     * persisted signature index of the existing corpus (doc_id < 150) —
     * signature-agreement Jaccard estimate, no old-text access.
@@ -2682,6 +2705,7 @@ object SparkEntry {
     "q_train_split" -> (qTrainSplit _),
     "q_seq_pack" -> (qSeqPack _),
     "q_pii_scrub" -> (qPiiScrub _),
+    "q_blocklist" -> (qBlocklist _),
     "q_gopher_repetition" -> (qGopherRepetition _),
     "q_top_ngram_frac" -> (qTopNgramFrac _),
     "q_decontaminate" -> (qDecontaminate _),
@@ -2725,6 +2749,7 @@ object SparkEntry {
     "q_train_order" -> (qTrainOrder _),
     "q_zorder" -> (qZorder _),
     "q_unigram_surprisal" -> (qUnigramSurprisal _),
+    "q_bigram_lm" -> (qBigramLm _),
     "q_incremental_lsh" -> (qIncrementalLsh _),
     "q_sq8_ann" -> (qSq8Ann _),
     "q_mrl" -> (qMrl _),

@@ -217,6 +217,87 @@ object CorpusHygiene {
       .distinct()
   }
 
+  /** Demo blocklist for the q_blocklist query and its oracle twin: two
+    * single words (one present in the synthetic corpus, one absent) and
+    * two 2-word phrases, with "slow query" deliberately overlapping the
+    * "slow" unigram so the occurrence-counting semantics (every position
+    * counts independently) are exercised by the gate itself. Production
+    * callers supply their own list.
+    */
+  val demoBlocklist: Seq[String] =
+    Seq("slow", "deprecated", "slow query", "table scan")
+
+  /** C4-style blocklist gate: per-document occurrence counts of a curated
+    * term list, matched on WHOLE normalized words (the C4 "bad words"
+    * filter dropped any page containing a listed term; Dolma/RefinedWeb
+    * keep graded counts and threshold on density — this emits both
+    * signals and leaves the cut to the caller). Terms may be single words
+    * or multi-word phrases; a phrase matches a run of consecutive
+    * normalized words. Occurrences count per position, so overlapping
+    * terms ("slow" and "slow query") each count where they match.
+    *
+    * Scale shape: ZERO shuffles — the term list lives in the plan as a
+    * literal array, so matching is pure column algebra fused into the
+    * parquet scan (the same contract as [[scrubPii]]). Per-gram cost is
+    * O(|terms|) array membership, fine for curated lists up to a few
+    * thousand entries; a list too large to inline (millions of entries —
+    * URL blocklists) wants the broadcast-join shape of
+    * [[contaminatedIds]] instead.
+    *
+    * Returns (doc_id, n_words, hits, matched_terms, hit_frac_fp,
+    * blocked): `hits` total matching positions, `matched_terms` how many
+    * DISTINCT list entries matched, `hit_frac_fp` = (hits * scale) div
+    * n_words (integer fixed-point, 0 for empty docs), `blocked` = 0/1
+    * flag for the C4 any-hit cut.
+    */
+  def blocklistHits(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      terms: Seq[String],
+      scale: Int = 1000000
+  ): DataFrame = {
+    require(terms.nonEmpty, "blocklistHits needs a non-empty term list")
+    val normTerms: Seq[Seq[String]] = terms
+      .map(_.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq)
+    require(normTerms.forall(_.nonEmpty), s"blank term in blocklist: $terms")
+    val byLen: Seq[(Int, Seq[String])] = normTerms
+      .groupBy(_.size)
+      .map { case (n, ts) => n -> ts.map(_.mkString(" ")).distinct }
+      .toSeq
+      .sortBy(_._1)
+    def gramsOf(w: Column, n: Int): Column =
+      if (n == 1) w
+      else
+        when(
+          size(w) >= n,
+          transform(
+            sequence(lit(1), size(w) - (n - 1)),
+            i => array_join(slice(w, i, lit(n)), " "))
+        ).otherwise(array().cast("array<string>"))
+    val words = graft.functions.TextFunctions.bindOnce(
+      split(Dedup.normalized(coalesce(col(textCol), lit(""))), " "),
+      w => filter(w, t => length(t) > 0))
+    val base = docs.select(col(idCol).as("doc_id"), words.as("w"))
+    val perN = byLen.map { case (n, ts) =>
+      val tlit = typedlit(ts)
+      val grams = gramsOf(col("w"), n)
+      (size(filter(grams, g => array_contains(tlit, g))).cast("long"),
+        size(array_intersect(array_distinct(grams), tlit)).cast("long"))
+    }
+    base
+      .select(
+        col("doc_id"),
+        size(col("w")).cast("long").as("n_words"),
+        perN.map(_._1).reduce(_ + _).as("hits"),
+        perN.map(_._2).reduce(_ + _).as("matched_terms"))
+      .withColumn(
+        "hit_frac_fp",
+        when(col("n_words") > 0, expr(s"(hits * ${scale}L) div n_words"))
+          .otherwise(lit(0L)))
+      .withColumn("blocked", (col("hits") > 0).cast("long"))
+  }
+
   /** Per-group percentile calibration: rank every row's `valueCol` WITHIN
     * its `byCol` group (percent_rank — ties impossible because `tieCol`
     * joins the ordering) and keep rows at or above `minPct`. The

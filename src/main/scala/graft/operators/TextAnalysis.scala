@@ -310,6 +310,177 @@ object TextAnalysis {
         expr(s"(surprisal_bits * ${scale}L) div n_toks"))
   }
 
+  /** Bigram language-model quality score with stupid backoff — the
+    * contextual upgrade of [[unigramSurprisal]], still in WHOLE BITS so
+    * every engine reproduces it exactly (no libm log anywhere). The LM is
+    * trained on `lmDocs` (typically a held-out or trusted slice); `docs`
+    * are scored against it, so unseen bigrams genuinely back off — unlike
+    * scoring a corpus against its own counts, where every bigram trivially
+    * exists.
+    *
+    * Per-token score (all counts from the LM corpus, `n_lm` its token
+    * total, `bits(x) = length(bin(x))`):
+    *   - bigram hit:   `bits(cnt1(prev)) - bits(cnt2(prev, w))`
+    *     — the whole-bit conditional surprisal -log2 P(w | prev).
+    *   - backoff:      `backoffBits + bits(n_lm) - bits(cnt1(w))`
+    *     — unigram surprisal plus a fixed penalty, the integer analog of
+    *     stupid backoff's alpha = 0.4 (-log2 0.4 ~ 1.32 bits; Brants et
+    *     al. 2007, "Large Language Models in Machine Translation").
+    *   - OOV:          as backoff with cnt1 treated as 1 (`bits(cnt1)=1`).
+    *   - first token:  unigram path with NO penalty (no context exists).
+    *
+    * High mean = unlikely-under-the-LM text (noise, non-language, or
+    * domain shift); low mean = degenerate repetition. Gate the tails with
+    * [[CorpusHygiene.percentileGate]], like the CCNet perplexity filter.
+    *
+    * Scale shape: words and word pairs are md5-digested to 60-bit longs
+    * AT THE SCAN ([[wordGrams]]) — gram strings never shuffle. The LM
+    * tables are vocabulary-sized; the three token-stream joins (cnt1(w),
+    * cnt1(prev), cnt2(pair)) are small-side joins — broadcastable at
+    * 100 TB after a frequency cut, regular shuffle joins here. One final
+    * doc-keyed aggregation. Empty docs drop (no tokens), matching the
+    * [[unigramSurprisal]] contract.
+    *
+    * Returns (doc_id, n_toks, n_backoff, n_oov, lm_bits, mean_lm_fp)
+    * where mean_lm_fp = (lm_bits * scale) div n_toks; n_backoff counts
+    * non-first tokens whose bigram missed; n_oov the subset whose unigram
+    * missed too.
+    */
+  def bigramLmScore(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      lmDocs: DataFrame,
+      scale: Int = 10000,
+      backoffBits: Int = 1
+  ): DataFrame =
+    scoreWithLm(trainBigramLm(lmDocs, textCol), docs, idCol, textCol,
+      scale, backoffBits)
+
+  /** A trained bigram LM: digest-keyed unigram and bigram count tables.
+    * Plain associative counts — the simplest persisted index artifact in
+    * the family ([[graft.operators.VectorSearch.writeLsh]] et al.): train
+    * once on a trusted corpus, [[writeLm]] it, then [[scoreWithLm]] every
+    * incoming batch without touching the training text again, and
+    * [[extendLm]] merges new batches in O(batch + vocab). The token
+    * total is `sum(uni.cnt1)` by construction, so it is never stored —
+    * extension cannot drift it out of sync.
+    */
+  final case class BigramLm(uni: DataFrame, bi: DataFrame)
+
+  /** Count the LM tables from a training corpus (one pass, two
+    * vocabulary-keyed shuffles with map-side partial aggregation; gram
+    * strings never shuffle — 60-bit digests from [[wordGrams]]).
+    */
+  def trainBigramLm(lmDocs: DataFrame, textCol: String): BigramLm =
+    BigramLm(
+      lmDocs
+        .select(explode(wordGrams(col(textCol), 1)).as("w"))
+        .groupBy("w")
+        .agg(count(lit(1)).as("cnt1")),
+      lmDocs
+        .select(explode(wordGrams(col(textCol), 2)).as("pair"))
+        .groupBy("pair")
+        .agg(count(lit(1)).as("cnt2")))
+
+  /** Persist the LM count tables (vocabulary-sized — plain parquet). */
+  def writeLm(lm: BigramLm, path: String): Unit = {
+    lm.uni.write.mode("overwrite").parquet(s"$path/uni")
+    lm.bi.write.mode("overwrite").parquet(s"$path/bi")
+  }
+
+  /** Load a persisted LM (inverse of [[writeLm]]). */
+  def loadLm(spark: org.apache.spark.sql.SparkSession, path: String): BigramLm =
+    BigramLm(
+      spark.read.parquet(s"$path/uni"),
+      spark.read.parquet(s"$path/bi"))
+
+  /** Merge a new batch into the LM: count the batch, union, re-sum —
+    * counts are associative, so extend-then-score equals
+    * train-on-everything exactly (pinned by spec). O(batch) count work
+    * plus a vocabulary-sized merge; existing counts are never rescanned
+    * from text.
+    */
+  def extendLm(lm: BigramLm, batch: DataFrame, textCol: String): BigramLm = {
+    val b = trainBigramLm(batch, textCol)
+    BigramLm(
+      lm.uni.unionByName(b.uni).groupBy("w").agg(sum("cnt1").as("cnt1")),
+      lm.bi.unionByName(b.bi).groupBy("pair").agg(sum("cnt2").as("cnt2")))
+  }
+
+  /** Score `docs` against a FROZEN trained LM — the incremental-batch
+    * path of [[bigramLmScore]] (same output contract; see there for the
+    * per-token semantics and the scale shape).
+    */
+  def scoreWithLm(
+      lm: BigramLm,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      scale: Int = 10000,
+      backoffBits: Int = 1
+  ): DataFrame = {
+    require(backoffBits >= 0, s"need backoffBits >= 0, got $backoffBits")
+    val uni = lm.uni
+    val bi = lm.bi
+    val total = uni.agg(sum("cnt1").as("n_lm"))
+    // Token stream of the scored docs: (w, prev, pair) digests per
+    // position, pair/prev null at position 1. Both digest arrays come
+    // from the same wordGrams builder the LM side uses, so join keys
+    // agree bit-for-bit.
+    val toks = docs.select(
+      col(idCol).as("doc_id"),
+      explode(
+        TextFunctions.bindOnce(
+          wordGrams(col(textCol), 1),
+          wd =>
+            TextFunctions.bindOnce(
+              wordGrams(col(textCol), 2),
+              pd =>
+                when(
+                  size(wd) >= 1,
+                  transform(
+                    sequence(lit(1), size(wd)),
+                    i =>
+                      struct(
+                        element_at(wd, i).as("w"),
+                        when(i > 1, element_at(wd, i - 1)).as("prev"),
+                        when(i > 1, element_at(pd, i - 1)).as("pair"))
+                  )
+                ).otherwise(
+                  array().cast("array<struct<w:long,prev:long,pair:long>>"))
+            )
+        )
+      ).as("t"))
+      .select(col("doc_id"), col("t.w"), col("t.prev"), col("t.pair"))
+    val bits = (c: Column) => length(bin(c)).cast("long")
+    val uniW = uni.select(col("w").as("uw"), col("cnt1").as("cnt1_w"))
+    val uniP = uni.select(col("w").as("up"), col("cnt1").as("cnt1_prev"))
+    val unigramBits =
+      bits(col("n_lm")) - when(col("cnt1_w").isNotNull, bits(col("cnt1_w")))
+        .otherwise(lit(1L))
+    toks
+      .join(uniW, col("w") === col("uw"), "left")
+      .join(uniP, col("prev") === col("up"), "left")
+      .join(bi, Seq("pair"), "left")
+      .crossJoin(broadcast(total))
+      .withColumn(
+        "score_bits",
+        when(col("cnt2").isNotNull, bits(col("cnt1_prev")) - bits(col("cnt2")))
+          .otherwise(
+            when(col("pair").isNull, lit(0L))
+              .otherwise(lit(backoffBits.toLong)) + unigramBits))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_toks"),
+        sum(when(col("pair").isNotNull && col("cnt2").isNull, 1L).otherwise(0L))
+          .as("n_backoff"),
+        sum(when(col("pair").isNotNull && col("cnt2").isNull &&
+            col("cnt1_w").isNull, 1L).otherwise(0L)).as("n_oov"),
+        sum(col("score_bits")).as("lm_bits"))
+      .withColumn("mean_lm_fp", expr(s"(lm_bits * ${scale}L) div n_toks"))
+  }
+
   /** Array of digested word `n`-grams of `text` (one per position,
     * duplicates kept). Each gram is the first 60 bits of its md5 as a
     * BIGINT — digesting at the scan means gram STRINGS never leave the

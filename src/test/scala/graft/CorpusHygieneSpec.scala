@@ -124,4 +124,39 @@ class CorpusHygieneSpec extends AnyFunSuite {
     assert(got(3L) == ((3L, 0L, 0.0)), s"got $got")
     assert(got(4L) == ((0L, 0L, 0.0)), "zero-shingle docs must still appear, scored 0")
   }
+
+  test("blocklistHits: whole-word + phrase occurrence counts, hand-computed") {
+    val docs = Seq(
+      // normalized: slow query on the table scan path is slow (9 words)
+      // "slow" x2, phrase "slow query" x1, "table scan" x1 -> 4 hits, 3 terms
+      (1L, "Slow   query on the TABLE scan path is slow"),
+      (2L, "all clean here"),
+      (3L, ""),
+      (4L, null.asInstanceOf[String]),
+      // overlap: "slow" x2 + "slow query" x1 = 3 hits, 2 distinct terms
+      (5L, "slow slow query")
+    ).toDF("doc_id", "text")
+    val got = graft.operators.CorpusHygiene
+      .blocklistHits(docs, "doc_id", "text",
+        graft.operators.CorpusHygiene.demoBlocklist)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(got(1L) == ((9L, 4L, 3L, 4000000L / 9L, 1L)), s"got $got")
+    assert(got(2L) == ((3L, 0L, 0L, 0L, 0L)), s"got $got")
+    assert(got(3L) == ((0L, 0L, 0L, 0L, 0L)), "empty doc scores zero, stays present")
+    assert(got(4L) == ((0L, 0L, 0L, 0L, 0L)), "null text scores zero, stays present")
+    assert(got(5L) == ((3L, 3L, 2L, 1000000L, 1L)), s"got $got")
+  }
+
+  test("blocklistHits rejects empty and blank term lists") {
+    val docs = Seq((1L, "x")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      graft.operators.CorpusHygiene.blocklistHits(docs, "doc_id", "text", Nil)
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.CorpusHygiene.blocklistHits(docs, "doc_id", "text", Seq("ok", "  "))
+    }
+  }
 }

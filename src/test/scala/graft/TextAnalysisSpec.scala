@@ -350,4 +350,82 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("exhausted"), e.getMessage)
   }
+
+  test("bigramLmScore: every branch hand-computed against a held-out LM") {
+    // LM corpus "a b a b c": cnt1 = {a:2, b:2, c:1}, n_lm = 5 (bits=3),
+    // bigrams = {"a b":2, "b a":1, "b c":1}.
+    val lm = Seq((1L, "a b a b c")).toDF("doc_id", "text")
+    val docs = Seq(
+      // a(first,uni: 3-2=1) b(bigram: bits(2)-bits(2)=0) c(bigram:
+      // bits(2)-bits(1)=1) z(backoff+OOV: 1+3-1=3) a(backoff: 1+3-2=2)
+      (10L, "a b c z a"),
+      (11L, "c"), // single token: uni 3-1=2, no penalty
+      (12L, "   "), // empty after normalize: drops entirely
+      (13L, "q") // first-token OOV: 3-1=2, counts in neither backoff nor oov
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramLmScore(docs, "doc_id", "text", lm)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(got.keySet == Set(10L, 11L, 13L))
+    assert(got(10L) == ((5L, 2L, 1L, 7L, 14000L)))
+    assert(got(11L) == ((1L, 0L, 0L, 2L, 20000L)))
+    assert(got(13L) == ((1L, 0L, 0L, 2L, 20000L)))
+  }
+
+  test("bigram LM persists and extends: load(write(lm)) and extend(A)+B score identically to train(A++B)") {
+    import java.nio.file.Files
+    val a = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "a lazy dog naps under the brown fox")
+    ).toDF("doc_id", "text")
+    val b = Seq(
+      (3L, "the quick fox runs past a sleeping dog"),
+      (4L, "brown dogs jump over quick foxes")
+    ).toDF("doc_id", "text")
+    val probes = Seq(
+      (10L, "the quick brown fox naps"),
+      (11L, "sleeping foxes jump past lazy dogs"),
+      (12L, "zzz unseen words qqq")
+    ).toDF("doc_id", "text")
+    def scores(lm: TextAnalysis.BigramLm): Map[Long, (Long, Long, Long, Long)] =
+      TextAnalysis.scoreWithLm(lm, probes, "doc_id", "text")
+        .collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val full = scores(TextAnalysis.trainBigramLm(a.unionByName(b), "text"))
+    val extended = scores(TextAnalysis.extendLm(TextAnalysis.trainBigramLm(a, "text"), b, "text"))
+    assert(extended == full, s"extend(A)+B must equal train(A++B): $extended vs $full")
+    val dir = Files.createTempDirectory("graft_lm_").toString
+    TextAnalysis.writeLm(TextAnalysis.trainBigramLm(a.unionByName(b), "text"), dir)
+    val loaded = scores(TextAnalysis.loadLm(spark, dir))
+    assert(loaded == full, s"load(write(lm)) must score identically: $loaded vs $full")
+    // and the LM genuinely discriminates: the unseen-word probe scores highest
+    val fullMeans = TextAnalysis.scoreWithLm(
+      TextAnalysis.trainBigramLm(a.unionByName(b), "text"), probes, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(5)).toMap
+    assert(fullMeans(12L) > fullMeans(10L) && fullMeans(12L) > fullMeans(11L), s"$fullMeans")
+  }
+
+  test("bigramLmScore: self-scored corpus never backs off; scrambled text scores higher than fluent") {
+    val lm = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox runs past the lazy dog"),
+      (3L, "a lazy dog naps under the brown fox")
+    ).toDF("doc_id", "text")
+    val selfScored = TextAnalysis.bigramLmScore(lm, "doc_id", "text", lm)
+      .agg(sum("n_backoff")).head().getLong(0)
+    assert(selfScored == 0L, "every in-corpus bigram must hit its own LM")
+    val docs = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"), // fluent (seen)
+      (11L, "dog the fox quick lazy the brown over jumps") // same words scrambled
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramLmScore(docs, "doc_id", "text", lm)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(5)))).toMap
+    assert(got(11L)._1 > 0L, "scrambled word order must back off")
+    assert(got(11L)._2 > got(10L)._2,
+      s"unseen word order must score higher than fluent: $got")
+  }
 }
