@@ -200,6 +200,59 @@ object OracleSql {
        |  FROM documents d LEFT JOIN dots t USING (doc_id))""".stripMargin
   }
 
+  /** TextAnalysis.bigramLmScore twin as a reusable CTE chain ending in
+    * `lm_per_doc` (doc_id, n_toks, n_backoff, n_oov, lm_bits,
+    * mean_lm_fp) — shared by q_bigram_lm and q_lm_buckets. LM = even
+    * doc_ids; words and "prev cur" pair strings digested to the first 60
+    * md5 bits exactly like the Spark side (wordGrams); stupid backoff =
+    * +1 whole bit; OOV scores as cnt1 = 1. All-integer, hash-exact.
+    */
+  private lazy val bigramLmCtes: String = {
+    val wk = md5NibbleIntSql("w[i]", 15)
+    val prevk = md5NibbleIntSql("w[i-1]", 15)
+    val pairk = md5NibbleIntSql("w[i-1] || ' ' || w[i]", 15)
+    val unik = md5NibbleIntSql("vs", 15)
+    s"""lm_norm AS (
+      |  SELECT doc_id,
+      |         list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+      |                     x -> len(x) > 0) AS w
+      |  FROM documents),
+      |lm_uni AS (SELECT $unik AS wk, COUNT(*) AS cnt1
+      |        FROM (SELECT UNNEST(w) AS vs FROM lm_norm WHERE doc_id % 2 = 0) GROUP BY 1),
+      |lm_tot AS (SELECT CAST(SUM(cnt1) AS BIGINT) AS n_lm FROM lm_uni),
+      |lm_bi AS (SELECT $unik AS pk, COUNT(*) AS cnt2
+      |       FROM (SELECT UNNEST(CASE WHEN len(w) >= 2
+      |                THEN list_transform(range(1, CAST(len(w) AS BIGINT)), i -> w[i] || ' ' || w[i+1])
+      |                ELSE CAST([] AS VARCHAR[]) END) AS vs
+      |             FROM lm_norm WHERE doc_id % 2 = 0) GROUP BY 1),
+      |lm_toks AS (SELECT doc_id, $wk AS wk,
+      |                CASE WHEN i > 1 THEN $prevk END AS prevk,
+      |                CASE WHEN i > 1 THEN $pairk END AS pairk
+      |         FROM (SELECT doc_id, UNNEST(range(1, CAST(len(w) AS BIGINT) + 1)) AS i, w
+      |               FROM lm_norm)),
+      |lm_scored AS (
+      |  SELECT t.doc_id, t.pairk, b.cnt2, u.cnt1 AS cnt1_w,
+      |         CASE WHEN b.cnt2 IS NOT NULL
+      |              THEN len(bin(p.cnt1)) - len(bin(b.cnt2))
+      |              ELSE (CASE WHEN t.pairk IS NULL THEN 0 ELSE 1 END)
+      |                   + len(bin(lm_tot.n_lm))
+      |                   - (CASE WHEN u.cnt1 IS NOT NULL THEN len(bin(u.cnt1)) ELSE 1 END)
+      |         END AS score_bits
+      |  FROM lm_toks t
+      |  LEFT JOIN lm_uni u ON u.wk = t.wk
+      |  LEFT JOIN lm_uni p ON p.wk = t.prevk
+      |  LEFT JOIN lm_bi b ON b.pk = t.pairk
+      |  CROSS JOIN lm_tot),
+      |lm_per_doc AS (
+      |  SELECT doc_id,
+      |       CAST(COUNT(*) AS BIGINT) AS n_toks,
+      |       CAST(SUM(CASE WHEN pairk IS NOT NULL AND cnt2 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_backoff,
+      |       CAST(SUM(CASE WHEN pairk IS NOT NULL AND cnt2 IS NULL AND cnt1_w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+      |       CAST(SUM(score_bits) AS BIGINT) AS lm_bits,
+      |       (CAST(SUM(score_bits) AS BIGINT) * 10000) // CAST(COUNT(*) AS BIGINT) AS mean_lm_fp
+      |  FROM lm_scored GROUP BY doc_id)""".stripMargin
+  }
+
   private def md5NibbleIntSql(expr: String, n: Int): String =
     (1 to n)
       .map { k =>
@@ -1829,54 +1882,25 @@ object OracleSql {
         |       (surprisal_bits * 10000) // n_toks AS mean_surprisal_fp
         |FROM per_doc ORDER BY doc_id""".stripMargin,
 
-    "q_bigram_lm" -> {
-      // TextAnalysis.bigramLmScore twin: LM = even doc_ids; words and
-      // "prev cur" pair strings digested to the first 60 md5 bits exactly
-      // like the Spark side (wordGrams); stupid backoff = +1 whole bit;
-      // OOV scores as cnt1 = 1. All-integer, so the hash compare is exact.
-      val wk = md5NibbleIntSql("w[i]", 15)
-      val prevk = md5NibbleIntSql("w[i-1]", 15)
-      val pairk = md5NibbleIntSql("w[i-1] || ' ' || w[i]", 15)
-      val unik = md5NibbleIntSql("vs", 15)
-      s"""WITH norm AS (
-        |  SELECT doc_id,
-        |         list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
-        |                     x -> len(x) > 0) AS w
-        |  FROM documents),
-        |uni AS (SELECT $unik AS wk, COUNT(*) AS cnt1
-        |        FROM (SELECT UNNEST(w) AS vs FROM norm WHERE doc_id % 2 = 0) GROUP BY 1),
-        |tot AS (SELECT CAST(SUM(cnt1) AS BIGINT) AS n_lm FROM uni),
-        |bi AS (SELECT $unik AS pk, COUNT(*) AS cnt2
-        |       FROM (SELECT UNNEST(CASE WHEN len(w) >= 2
-        |                THEN list_transform(range(1, CAST(len(w) AS BIGINT)), i -> w[i] || ' ' || w[i+1])
-        |                ELSE CAST([] AS VARCHAR[]) END) AS vs
-        |             FROM norm WHERE doc_id % 2 = 0) GROUP BY 1),
-        |toks AS (SELECT doc_id, $wk AS wk,
-        |                CASE WHEN i > 1 THEN $prevk END AS prevk,
-        |                CASE WHEN i > 1 THEN $pairk END AS pairk
-        |         FROM (SELECT doc_id, UNNEST(range(1, CAST(len(w) AS BIGINT) + 1)) AS i, w
-        |               FROM norm)),
-        |scored AS (
-        |  SELECT t.doc_id, t.pairk, b.cnt2, u.cnt1 AS cnt1_w,
-        |         CASE WHEN b.cnt2 IS NOT NULL
-        |              THEN len(bin(p.cnt1)) - len(bin(b.cnt2))
-        |              ELSE (CASE WHEN t.pairk IS NULL THEN 0 ELSE 1 END)
-        |                   + len(bin(tot.n_lm))
-        |                   - (CASE WHEN u.cnt1 IS NOT NULL THEN len(bin(u.cnt1)) ELSE 1 END)
-        |         END AS score_bits
-        |  FROM toks t
-        |  LEFT JOIN uni u ON u.wk = t.wk
-        |  LEFT JOIN uni p ON p.wk = t.prevk
-        |  LEFT JOIN bi b ON b.pk = t.pairk
-        |  CROSS JOIN tot)
-        |SELECT doc_id,
-        |       CAST(COUNT(*) AS BIGINT) AS n_toks,
-        |       CAST(SUM(CASE WHEN pairk IS NOT NULL AND cnt2 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_backoff,
-        |       CAST(SUM(CASE WHEN pairk IS NOT NULL AND cnt2 IS NULL AND cnt1_w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
-        |       CAST(SUM(score_bits) AS BIGINT) AS lm_bits,
-        |       (CAST(SUM(score_bits) AS BIGINT) * 10000) // CAST(COUNT(*) AS BIGINT) AS mean_lm_fp
-        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
-    },
+    "q_bigram_lm" ->
+      s"""WITH $bigramLmCtes
+        |SELECT doc_id, n_toks, n_backoff, n_oov, lm_bits, mean_lm_fp
+        |FROM lm_per_doc ORDER BY doc_id""".stripMargin,
+
+    "q_lm_buckets" ->
+      // TextAnalysis.lmBuckets twin: thirds of the (mean_lm_fp, doc_id)
+      // total order, bucket = ((rank-1)*3) // n — the CCNet
+      // head/middle/tail split over the bigram-LM score.
+      s"""WITH $bigramLmCtes,
+        |r AS (SELECT doc_id, mean_lm_fp,
+        |             ROW_NUMBER() OVER (ORDER BY mean_lm_fp, doc_id) AS rk,
+        |             COUNT(*) OVER () AS n
+        |      FROM lm_per_doc)
+        |SELECT doc_id, mean_lm_fp,
+        |       CAST(((rk - 1) * 3) // n AS BIGINT) AS bucket,
+        |       CASE ((rk - 1) * 3) // n WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
+        |            ELSE 'tail' END AS tier
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     "q_incremental_lsh" ->
       """WITH d AS (SELECT doc_id AS id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm

@@ -2188,6 +2188,25 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** CCNet head/middle/tail perplexity split, end-to-end: bigram-LM
+    * scores (LM = even half) bucketed into thirds of the corpus-wide
+    * score order via the two-pass distributed rank (TextAnalysis
+    * .lmBuckets — never an unpartitioned window).
+    */
+  private def qLmBuckets(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val scored = TextAnalysis
+      .bigramLmScore(docs, "doc_id", "text",
+        docs.where(col("doc_id") % 2 === 0))
+      .select("doc_id", "mean_lm_fp")
+    TextAnalysis.lmBuckets(scored, "mean_lm_fp", "doc_id", 3)
+      .withColumn("tier",
+        when(col("bucket") === 0, "head")
+          .when(col("bucket") === 1, "middle")
+          .otherwise("tail"))
+      .orderBy("doc_id")
+  }
+
   /** Incremental near-dup: new batch (doc_id in [150, 300)) against the
     * persisted signature index of the existing corpus (doc_id < 150) —
     * signature-agreement Jaccard estimate, no old-text access.
@@ -2750,6 +2769,7 @@ object SparkEntry {
     "q_zorder" -> (qZorder _),
     "q_unigram_surprisal" -> (qUnigramSurprisal _),
     "q_bigram_lm" -> (qBigramLm _),
+    "q_lm_buckets" -> (qLmBuckets _),
     "q_incremental_lsh" -> (qIncrementalLsh _),
     "q_sq8_ann" -> (qSq8Ann _),
     "q_mrl" -> (qMrl _),

@@ -408,6 +408,31 @@ object TextAnalysis {
       lm.bi.unionByName(b.bi).groupBy("pair").agg(sum("cnt2").as("cnt2")))
   }
 
+  /** CCNet-style corpus bucketing: split rows into `nBuckets` contiguous
+    * rank slices of the `valueCol` total order (ascending, `tieCol`
+    * breaking ties) — with the LM score as the value this is the
+    * published head/middle/tail perplexity split (bucket 0 = lowest
+    * score = "head"). Rank comes from [[Ranks.withGlobalRank]]'s two-pass
+    * range-partitioned rank, NEVER an unpartitioned window — the 100 TB
+    * contract. Bucket sizes differ by at most one row
+    * (`bucket = ((rank-1) * nBuckets) div n`), exactly reproducible in
+    * any engine. Returns the input plus `bucket` (BIGINT, 0-based).
+    */
+  def lmBuckets(
+      scored: DataFrame,
+      valueCol: String = "mean_lm_fp",
+      tieCol: String = "doc_id",
+      nBuckets: Int = 3
+  ): DataFrame = {
+    require(nBuckets >= 1, s"need nBuckets >= 1, got $nBuckets")
+    val (ranked, n) =
+      Ranks.withGlobalRank(scored, Seq(col(valueCol), col(tieCol)), "_lmrk")
+    ranked
+      .withColumn("bucket",
+        expr(s"((_lmrk - 1) * ${nBuckets}L) div ${math.max(n, 1L)}L"))
+      .drop("_lmrk")
+  }
+
   /** Score `docs` against a FROZEN trained LM — the incremental-batch
     * path of [[bigramLmScore]] (same output contract; see there for the
     * per-token semantics and the scale shape).

@@ -408,6 +408,20 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(fullMeans(12L) > fullMeans(10L) && fullMeans(12L) > fullMeans(11L), s"$fullMeans")
   }
 
+  test("lmBuckets: contiguous rank thirds, sizes differ by at most one, ties broken by id") {
+    // 7 rows, scores with a tie at 30 -> rank by (score, id);
+    // bucket = ((rk-1)*3) div 7 -> sizes (3, 2, 2)
+    val scored = Seq(
+      (1L, 10L), (2L, 30L), (3L, 20L), (4L, 30L),
+      (5L, 50L), (6L, 40L), (7L, 5L)
+    ).toDF("doc_id", "mean_lm_fp")
+    val got = TextAnalysis.lmBuckets(scored, "mean_lm_fp", "doc_id", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // rank order: 7(5) 1(10) 3(20) 2(30) 4(30) 6(40) 5(50)
+    assert(got == Map(7L -> 0L, 1L -> 0L, 3L -> 0L, 2L -> 1L, 4L -> 1L,
+      6L -> 2L, 5L -> 2L), s"got $got")
+  }
+
   test("bigramLmScore: self-scored corpus never backs off; scrambled text scores higher than fluent") {
     val lm = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
