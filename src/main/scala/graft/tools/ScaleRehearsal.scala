@@ -97,7 +97,7 @@ object ScaleRehearsal {
     // EXACT name match against the known sections: substring matching let
     // e.g. 'd' enable several sections and a typo silently run nothing.
     val sections = Seq("docs", "semdedup", "pagerank", "iterative100", "bm25batch", "evaldrift",
-      "classifier", "bpe")
+      "classifier", "bpe", "lm")
     val only = sys.env.get("GRAFT_SCALE_ONLY")
     only.foreach(o => require(sections.contains(o),
       s"GRAFT_SCALE_ONLY='$o' is not a section; known: ${sections.mkString(", ")}"))
@@ -379,6 +379,46 @@ object ScaleRehearsal {
       // sequential jobs is exactly the path being retired)
       measure("bpe_distributed_r20") {
         TextAnalysis.bpeMergesDistributed(bpeDocs, "text", rounds = 20).count()
+      }
+    }
+
+    // Bigram-LM scoring + blocklist (r12). Claims under measurement:
+    // (a) the LM tables are VOCAB-sized (~20k words here), so a frozen
+    // LM scores a growing corpus with cost linear in the corpus and the
+    // LM side constant (small-side joins) — train once, score 1x/10x;
+    // (b) blocklistHits is scan-fused literal-array algebra — its
+    // shuffleWrite/Read meters must record ~0 MB at any corpus size.
+    if (sectionEnabled("lm")) {
+      def lmZipf(nDocs: Long): DataFrame = spark.range(0L, nDocs * 40L, 1L, 32)
+        .select((col("id") / 40).cast("long").as("doc_id"),
+          concat(lit("w"),
+            floor(exp((pmod(xxhash64(col("id")), lit(1000000L)).cast("double") + 1.0)
+              / 1000001.0 * log(lit(20000.0)))).cast("long")).as("word"))
+        .groupBy("doc_id")
+        .agg(concat_ws(" ", collect_list(col("word"))).as("text"))
+      // the trusted LM corpus is FIXED (25k docs); the scored corpus grows
+      val trusted = lmZipf(25000L).localCheckpoint()
+      var lm: TextAnalysis.BigramLm = null
+      measure("lm_train_fixed_25k") {
+        val t = TextAnalysis.trainBigramLm(trusted, "text")
+        lm = TextAnalysis.BigramLm(t.uni.localCheckpoint(), t.bi.localCheckpoint())
+        lm.uni.count() + lm.bi.count()
+      }
+      for (factor <- Seq(1, 10)) {
+        val corpus = lmZipf(50000L * factor).localCheckpoint()
+        println(s"[scale] lm corpus rows (x$factor) = ${corpus.count()}")
+        // filter on the computed score so Catalyst cannot prune the joins
+        measure(s"lm_score_x$factor") {
+          TextAnalysis.scoreWithLm(lm, corpus, "doc_id", "text")
+            .where(col("mean_lm_fp") > 0).count()
+        }
+        measure(s"blocklist_x$factor") {
+          graft.operators.CorpusHygiene.blocklistHits(
+            corpus, "doc_id", "text",
+            Seq("w1", "w7", "w3 w1", "w19999", "no such term"))
+            .where(col("blocked") === 1).count()
+        }
+        corpus.unpersist()
       }
     }
 

@@ -147,6 +147,28 @@ class PlanShapeSpec extends AnyFunSuite {
       "membership must be decided at the scan, not after a hash shuffle:\n" + p.take(1500))
   }
 
+  test("blocklist gate is scan-fused: no hash exchange anywhere in the plan") {
+    val p = plan("q_blocklist")
+    // the presentation orderBy range-partitions; the matching itself is
+    // literal-array column algebra and must never hash-shuffle
+    assert(!p.contains("hashpartitioning"),
+      "blocklist matching must fuse into the scan:\n" + p.take(1500))
+  }
+
+  test("bigram-LM scoring never shuffles corpus text: exchanges carry ids, digests and counts only") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val scored = graft.operators.TextAnalysis.bigramLmScore(
+      docs, "doc_id", "text", docs.where(col("doc_id") % 2 === 0))
+    val p = scored.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val exchangeOutputs = "(?s)\\(\\d+\\) Exchange\\s*\\nInput \\[\\d+\\]: \\[([^\\]]*)\\]".r
+    val carried = exchangeOutputs.findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(carried.nonEmpty, "expected at least the count shuffles:\n" + p.take(1200))
+    carried.foreach(cols =>
+      assert(!cols.contains("text"),
+        s"an exchange carries raw text [$cols] — grams must be digested at the scan"))
+  }
+
   test("range join never degrades to a nested-loop or cartesian join") {
     for (q <- Seq("q_range_join", "q_overlap_join")) {
       val p = plan(q)
