@@ -44,6 +44,12 @@ object Curation {
     *                  canonical doc the model rejects keeps its next
     *                  accepted member — the survival rule every drop
     *                  stage in this composite follows.
+    * @param lmGate    when set, the LM-PERPLEXITY gate ((trained
+    *                  [[TextAnalysis.BigramLm]], max mean_lm_fp)): docs
+    *                  whose whole-bit bigram-LM score reaches the bound
+    *                  are dropped — the CCNet tail cut. Runs after the
+    *                  model gate, before dedup (same survival rule);
+    *                  calibrate the bound with [[TextAnalysis.lmBuckets]].
     */
   def curate(
       docs: DataFrame,
@@ -57,14 +63,17 @@ object Curation {
       maxContamination: Double = 1.0,
       contamN: Int = 13,
       broadcastContaminatedIds: Boolean = true,
-      qualityModel: Option[QualityClassifier.CentroidModel] = None
+      qualityModel: Option[QualityClassifier.CentroidModel] = None,
+      lmGate: Option[(TextAnalysis.BigramLm, Long)] = None
   ): DataFrame = {
-    val filtered = modelGate(
-      contaminationGate(
-        filterStage(docs, textCol, langs, minQuality),
-        idCol, textCol, evalSet, evalTextCol, maxContamination, contamN,
-        broadcastContaminatedIds),
-      idCol, textCol, qualityModel)
+    val filtered = lmGateStage(
+      modelGate(
+        contaminationGate(
+          filterStage(docs, textCol, langs, minQuality),
+          idCol, textCol, evalSet, evalTextCol, maxContamination, contamN,
+          broadcastContaminatedIds),
+        idCol, textCol, qualityModel),
+      idCol, textCol, lmGate)
     if (!dedupe) filtered
     else Dedup.exactDedup(filtered, idCol, textCol)
   }
@@ -94,7 +103,8 @@ object Curation {
       maxContamination: Double = 1.0,
       contamN: Int = 13,
       broadcastContaminatedIds: Boolean = true,
-      qualityModel: Option[QualityClassifier.CentroidModel] = None
+      qualityModel: Option[QualityClassifier.CentroidModel] = None,
+      lmGate: Option[(TextAnalysis.BigramLm, Long)] = None
   ): DataFrame = clusters match {
     // artifact reuse: with a precomputed label table (ingest-time
     // Dedup.nearDupClusters -> writeClusters) the whole fuzzy-dedup pass
@@ -112,19 +122,23 @@ object Curation {
     // matters.
     case Some(labels) =>
       Dedup.nearDedupFromClusters(
+        lmGateStage(
+          modelGate(
+            contaminationGate(filterStage(docs, textCol, langs, minQuality),
+              idCol, textCol, evalSet, evalTextCol, maxContamination, contamN,
+              broadcastContaminatedIds),
+            idCol, textCol, qualityModel),
+          idCol, textCol, lmGate),
+        idCol, labels)
+    case None =>
+      val filtered = lmGateStage(
         modelGate(
-          contaminationGate(filterStage(docs, textCol, langs, minQuality),
+          contaminationGate(
+            filterStage(docs, textCol, langs, minQuality),
             idCol, textCol, evalSet, evalTextCol, maxContamination, contamN,
             broadcastContaminatedIds),
           idCol, textCol, qualityModel),
-        idCol, labels)
-    case None =>
-      val filtered = modelGate(
-        contaminationGate(
-          filterStage(docs, textCol, langs, minQuality),
-          idCol, textCol, evalSet, evalTextCol, maxContamination, contamN,
-          broadcastContaminatedIds),
-        idCol, textCol, qualityModel)
+        idCol, textCol, lmGate)
       // pair detection re-reads `filtered` several times (banded self-join
       // legs + re-attach); lazily checkpoint so the enrich+filter
       // expressions evaluate once when the caller first acts, not once per
@@ -198,6 +212,32 @@ object Curation {
         .drop("pred", "gap")
   }
 
+  /** LM-perplexity gate: drop docs whose whole-bit bigram-LM score
+    * ([[TextAnalysis.scoreWithLm]] against a FROZEN trusted-corpus LM)
+    * reaches `maxMeanLmFp` — the CCNet tail cut as a curation stage;
+    * identity when unset. Calibrate the threshold from a sample with
+    * [[TextAnalysis.lmBuckets]] / [[CorpusHygiene.percentileGate]].
+    * Same plan shape as the contamination gate: the flagged minority
+    * broadcasts into a left-anti join, corpus text never shuffles (the
+    * score side moves digests only). Docs with no tokens have no score
+    * and are KEPT here — the quality gate owns degenerate-empty drops.
+    */
+  private def lmGateStage(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      gate: Option[(TextAnalysis.BigramLm, Long)]
+  ): DataFrame = gate match {
+    case None => df
+    case Some((lm, maxMeanLmFp)) =>
+      require(maxMeanLmFp > 0L,
+        s"lmGate: maxMeanLmFp must be positive, got $maxMeanLmFp (scores are nonnegative — 0 would drop every scored doc)")
+      val bad = TextAnalysis.scoreWithLm(lm, df, idCol, textCol)
+        .where(col("mean_lm_fp") >= maxMeanLmFp)
+        .select(col("doc_id").as("_lm_bad_id"))
+      df.join(broadcast(bad), df(idCol) === col("_lm_bad_id"), "left_anti")
+  }
+
   /** Threshold decontamination stage: drop docs whose graded eval-overlap
     * score ([[CorpusHygiene.contaminationFraction]]) reaches
     * `maxContamination`; identity when no eval set is supplied. Runs
@@ -258,7 +298,7 @@ object Curation {
 
   /** The curation DECISION LOG: every input doc with its enrichment
     * columns and the FIRST gate that dropped it (`drop_reason` ∈ lang /
-    * quality / contamination / model / duplicate, null = kept) — the
+    * quality / contamination / model / lm / duplicate, null = kept) — the
     * "why did my document disappear" observability readout a large
     * pipeline needs next to [[curate]]'s survivors. Gate precedence is
     * exactly [[curate]]'s stage order, and the per-gate predicates are
@@ -288,7 +328,8 @@ object Curation {
       evalTextCol: String = "text",
       maxContamination: Double = 1.0,
       contamN: Int = 13,
-      qualityModel: Option[QualityClassifier.CentroidModel] = None
+      qualityModel: Option[QualityClassifier.CentroidModel] = None,
+      lmGate: Option[(TextAnalysis.BigramLm, Long)] = None
   ): DataFrame = {
     // null text makes both gate predicates NULL, which a bare `when`
     // chain would skip — reading as "kept" while curate's `.where`
@@ -314,16 +355,32 @@ object Curation {
             coalesce(col("_contam_frac"), lit(0.0)) < maxContamination)
           .drop("_contam_frac")
     }
-    val withModel = (qualityModel match {
+    val withModelOnly = qualityModel match {
       case None => withContam.withColumn("_model_ok", lit(true))
       case Some(m) =>
         QualityClassifier.classify(withContam, idCol, textCol, m)
           .withColumn("_model_ok", col("pred") === 1)
           .drop("pred", "gap")
+    }
+    val withModel = (lmGate match {
+      case None => withModelOnly.withColumn("_lm_ok", lit(true))
+      case Some((lm, maxMeanLmFp)) =>
+        require(maxMeanLmFp > 0L,
+          s"audit: maxMeanLmFp must be positive, got $maxMeanLmFp")
+        // score the ORIGINAL docs (the audit reports every row, and the
+        // reason column needs _lm_ok even where an earlier gate fired);
+        // docs with no tokens have no score row -> kept (null folds true)
+        val scores = TextAnalysis.scoreWithLm(lm, docs, idCol, textCol)
+          .select(col("doc_id").as(idCol), col("mean_lm_fp").as("_lm_mean"))
+        withModelOnly
+          .join(scores, Seq(idCol), "left")
+          .withColumn("_lm_ok",
+            coalesce(col("_lm_mean") < maxMeanLmFp, lit(true)))
+          .drop("_lm_mean")
       // the duplicate gate below references this subtree twice (window
       // branch + final join): pin it lazily so the enrichment and the
-      // optional contamination/model legs evaluate once when the caller
-      // first acts, not once per branch — the curateNear convention
+      // optional contamination/model/LM legs evaluate once when the
+      // caller first acts, not once per branch — the curateNear convention
     }).localCheckpoint(eager = false)
 
     val baseReason =
@@ -331,6 +388,7 @@ object Curation {
         .when(!col("_qual_ok"), "quality")
         .when(!col("_contam_ok"), "contamination")
         .when(!col("_model_ok"), "model")
+        .when(!col("_lm_ok"), "lm")
     val reasoned =
       if (!dedupe) withModel.withColumn("drop_reason", baseReason)
       else {
@@ -339,7 +397,8 @@ object Curation {
         // Skipped entirely when dedupe = false — the window's exchange is
         // pure waste when the branch can never fire.
         val survivorRank = withModel
-          .where(col("_lang_ok") && col("_qual_ok") && col("_contam_ok") && col("_model_ok"))
+          .where(col("_lang_ok") && col("_qual_ok") && col("_contam_ok") &&
+            col("_model_ok") && col("_lm_ok"))
           .select(
             col(idCol),
             row_number().over(
@@ -351,7 +410,7 @@ object Curation {
           .withColumn("drop_reason", baseReason.when(col("_dup_rn") > 1, "duplicate"))
           .drop("_dup_rn")
       }
-    reasoned.drop("_lang_ok", "_qual_ok", "_contam_ok", "_model_ok")
+    reasoned.drop("_lang_ok", "_qual_ok", "_contam_ok", "_model_ok", "_lm_ok")
   }
 
   /** Corpus accounting after curation: docs and tokens kept per language. */

@@ -31,11 +31,16 @@ final class StreamingIngest(
     driftThresholdTvd2Ppm: Long = 200000L, // TVD 0.10
     driftPolicy: StreamingIngest.DriftPolicy = StreamingIngest.Monitor,
     qualityModel: Option[graft.operators.QualityClassifier.CentroidModel] = None,
-    qualityModelPath: Option[String] = None
+    qualityModelPath: Option[String] = None,
+    lmGate: Option[(graft.operators.TextAnalysis.BigramLm, Long)] = None,
+    lmGatePath: Option[(String, Long)] = None
 ) {
   require(
     qualityModel.isEmpty || qualityModelPath.isEmpty,
     "StreamingIngest: pass qualityModel OR qualityModelPath, not both")
+  require(
+    lmGate.isEmpty || lmGatePath.isEmpty,
+    "StreamingIngest: pass lmGate OR lmGatePath, not both")
 
   // The persisted-model path is the restart-safe configuration: an
   // in-memory qualityModel dies with the driver, so a restarted ingest
@@ -45,6 +50,19 @@ final class StreamingIngest(
   private val resolvedQualityModel: Option[graft.operators.QualityClassifier.CentroidModel] =
     qualityModel.orElse(
       qualityModelPath.map(p => graft.operators.QualityClassifier.loadModel(spark, p)))
+
+  // Same restart-safety contract for the LM gate: the path form reloads
+  // the persisted count tables (TextAnalysis.loadLm) at construction —
+  // a missing/corrupt artifact fails loudly here, not mid-stream.
+  private val resolvedLmGate: Option[(graft.operators.TextAnalysis.BigramLm, Long)] =
+    lmGate.orElse(lmGatePath.map { case (p, maxFp) =>
+      (graft.operators.TextAnalysis.loadLm(spark, p), maxFp)
+    })
+  resolvedLmGate.foreach { case (_, maxFp) =>
+    require(maxFp > 0L,
+      s"StreamingIngest: lm gate threshold must be positive, got $maxFp " +
+        "(scores are nonnegative — 0 would reject every scored doc)")
+  }
 
   private val catalog = new Catalog(spark, config.warehouseDir)
 
@@ -237,7 +255,57 @@ final class StreamingIngest(
         accepted
     }
 
-    val docs = screened
+    // Opt-in LM-perplexity gate (the frozen trusted-corpus bigram LM as
+    // an ingest stage — the streaming twin of Curation's lmGate, running
+    // AFTER the classifier like the batch composite's stage order).
+    // Rejects divert to the dedicated `lm_rejected_stream` — NOT
+    // rejected_stream, whose schema carries the classifier gap; mixing
+    // schemas in one parquet table is the footer-sampling trap the image
+    // signature table documented — with the score for threshold audits,
+    // replay-guarded by content key like every stream append. Tokenless
+    // docs have no score row and pass (the chunker owns empties).
+    val lmScreened = resolvedLmGate match {
+      case None => screened
+      case Some((lm, maxFp)) =>
+        val scored = screened
+          .join(
+            graft.operators.TextAnalysis
+              .scoreWithLm(lm, screened, "file_hash", "value")
+              .select(col("doc_id").as("file_hash"), col("mean_lm_fp")),
+            Seq("file_hash"), "left")
+          .localCheckpoint()
+        val rejected = scored.where(col("mean_lm_fp") >= maxFp)
+          .transform(r =>
+            if (!catalog.exists("lm_rejected_stream")) r
+            else
+              r.join(
+                broadcast(catalog.read("lm_rejected_stream").select("file_hash")),
+                Seq("file_hash"),
+                "left_anti"))
+        val nLmRejected = rejected.count()
+        if (nLmRejected > 0) {
+          catalog.append(
+            rejected.select(
+              col("path").as("source_path"),
+              col("file_hash"),
+              col("value"),
+              col("mean_lm_fp"),
+              lit(batchId).as("batch_id"),
+              current_timestamp().as("rejected_at")),
+            "lm_rejected_stream")
+          graft.util.JsonLog.warn(
+            "ingest_lm_rejected",
+            "batch_id" -> batchId,
+            "n_rejected" -> nLmRejected)
+        }
+        val accepted = scored
+          .where(coalesce(col("mean_lm_fp") < maxFp, lit(true)))
+          .drop("mean_lm_fp")
+        if (accepted.isEmpty) return
+        accepted
+    }
+
+    val docs = lmScreened
       .withColumn("id", sha2(col("file_hash"), 256))
       .withColumn("title", TextFunctions.titleFromFilename(col("path")))
 

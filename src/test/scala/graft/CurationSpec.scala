@@ -240,6 +240,39 @@ class CurationSpec extends AnyFunSuite {
     assert(noModel == Set(1L, 2L), "without a model both docs survive")
   }
 
+  test("lmGate drops the high-perplexity tail; identity when unset; audit labels 'lm'") {
+    import graft.operators.TextAnalysis
+    val trusted = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog"),
+      (102L, "the quick brown fox runs past the lazy dog"),
+      (103L, "a lazy dog naps under the brown fox")
+    ).toDF("doc_id", "text")
+    val lm = TextAnalysis.trainBigramLm(trusted, "text")
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"), // fluent (seen)
+      (2L, "dog the fox quick lazy the brown over jumps") // scrambled
+    ).toDF("doc_id", "text")
+    val means = TextAnalysis.scoreWithLm(lm, corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(5)).toMap
+    assert(means(2L) > means(1L), s"scrambled must score higher: $means")
+    val cut = (means(1L) + means(2L)) / 2
+    val kept = Curation
+      .curate(corpus, "doc_id", "text", langs = Set.empty, minQuality = 0.0,
+        lmGate = Some((lm, cut)))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L), s"lm gate must drop the scrambled doc, got $kept")
+    val noGate = Curation
+      .curate(corpus, "doc_id", "text", langs = Set.empty, minQuality = 0.0)
+      .select("doc_id").as[Long].collect().toSet
+    assert(noGate == Set(1L, 2L), "without the gate both docs survive")
+    val reasons = Curation
+      .audit(corpus, "doc_id", "text", langs = Set.empty, minQuality = 0.0,
+        lmGate = Some((lm, cut)))
+      .select("doc_id", "drop_reason").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(reasons(1L).isEmpty && reasons(2L).contains("lm"), s"got $reasons")
+  }
+
   test("curateNear: a cluster whose canonical doc the model rejects keeps the next member") {
     import graft.operators.QualityClassifier
     val train = Seq(

@@ -248,6 +248,58 @@ class StreamingSpec extends AnyFunSuite {
     assert(chunkDocs == 1)
   }
 
+  test("LM gate: high-perplexity docs divert to lm_rejected_stream; replay-safe; persisted-path form") {
+    import graft.operators.TextAnalysis
+    val base = Files.createTempDirectory("graft-lmgate").toString
+    val in = s"$base/in"; val wh = s"$base/wh"
+    Files.createDirectories(Paths.get(in))
+    val spark2 = spark
+    import spark2.implicits._
+    val trusted = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox runs past the lazy dog"),
+      (3L, "a lazy dog naps under the brown fox")
+    ).toDF("doc_id", "text")
+    val lm = TextAnalysis.trainBigramLm(trusted, "text")
+    val goodTxt = "# Good\n\nthe quick brown fox jumps over the lazy dog"
+    val noiseTxt = "# Noise\n\ndog the fox quick lazy the brown over jumps"
+    // self-calibrate the cut from the exact file contents the gate will see
+    val means = TextAnalysis.scoreWithLm(
+      lm, Seq((1L, goodTxt), (2L, noiseTxt)).toDF("doc_id", "text"),
+      "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(5)).toMap
+    assert(means(2L) > means(1L), s"scrambled must score higher: $means")
+    val cut = (means(1L) + means(2L)) / 2
+
+    Files.write(Paths.get(in, "good.md"), goodTxt.getBytes)
+    Files.write(Paths.get(in, "noise.md"), noiseTxt.getBytes)
+    new StreamingIngest(spark, GraftConfig(warehouseDir = wh), lmGate = Some((lm, cut)))
+      .start(in, s"$base/ckpt1").awaitTermination()
+
+    val cat = new Catalog(spark, wh)
+    assert(cat.read("documents_stream").count() == 1, "only the fluent doc loads")
+    val rej = cat.read("lm_rejected_stream")
+    assert(rej.count() == 1)
+    val r = rej.select("source_path", "value", "mean_lm_fp").collect().head
+    assert(r.getString(0).endsWith("noise.md"))
+    assert(r.getLong(2) >= cut, "rejected rows carry the audit score")
+
+    // persisted-path form + replay: a FRESH checkpoint re-reads both
+    // files; the ledger anti-join skips the loaded doc and the reject
+    // table's content-key guard prevents a double-append
+    TextAnalysis.writeLm(lm, s"$base/lm")
+    new StreamingIngest(spark, GraftConfig(warehouseDir = wh),
+      lmGatePath = Some((s"$base/lm", cut)))
+      .start(in, s"$base/ckpt2").awaitTermination()
+    assert(cat.read("documents_stream").count() == 1, "replay must not double-load")
+    assert(cat.read("lm_rejected_stream").count() == 1, "replay must not double-append the reject")
+
+    intercept[IllegalArgumentException] {
+      new StreamingIngest(spark, GraftConfig(warehouseDir = wh),
+        lmGate = Some((lm, 0L)))
+    }
+  }
+
   test("quality gate survives a restart when configured by persisted model PATH") {
     import graft.operators.QualityClassifier
     val base = Files.createTempDirectory("graft-qgate-path").toString
