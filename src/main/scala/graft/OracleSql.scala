@@ -304,6 +304,62 @@ object OracleSql {
        |$rounds""".stripMargin
   }
 
+  /** VectorSearch.pqFit/pqEncode/pqSearch twin, shared by q_pq_fixed
+    * (seed codebook, iters=0) and q_pq_trained (one Lloyd's round):
+    * quantize floor(x*1000) -> BIGINT, 8 subspaces of 8 dims, seed
+    * centroids = subvector slices of the 16 lowest vec_ids (cid in id
+    * order). Assignment = per-(vec, subspace) argmin of integer squared
+    * L2, ties to the lower cid; the trained round updates centroids with
+    * floor(s/n) through DOUBLE (floor-toward--inf = math.floorDiv, exact
+    * below 2^53) and emptied cells keep their seed via the LEFT JOIN —
+    * the kmeansCtes conventions, subspace-grouped. Ends with `enc`
+    * (vec_id, s, cid) and `dt` (the query's per-centroid ADC lookup
+    * table) ready for the final SUM.
+    */
+  private def pqCtes(withTrain: Boolean): String = {
+    def assignCte(name: String, cb: String) =
+      s"""$name AS MATERIALIZED (
+         |  SELECT vec_id, s, cid FROM (
+         |    SELECT p.vec_id, c.s, c.cid,
+         |           ROW_NUMBER() OVER (PARTITION BY p.vec_id, c.s ORDER BY
+         |             list_sum(list_transform(range(1, 9),
+         |               i -> (p.qv[c.s * 8 + i] - c.cv[i])
+         |                    * (p.qv[c.s * 8 + i] - c.cv[i]))), c.cid) AS rn
+         |    FROM q p CROSS JOIN $cb c)
+         |  WHERE rn = 1)""".stripMargin
+    val base =
+      s"""q AS MATERIALIZED (
+         |  SELECT vec_id,
+         |         list_transform(CAST(embedding AS DOUBLE[]),
+         |           x -> CAST(FLOOR(x * 1000.0) AS BIGINT)) AS qv
+         |  FROM embeddings),
+         |cents AS MATERIALIZED (
+         |  SELECT t.s, c.cid, list_transform(range(1, 9), i -> c.qv[t.s * 8 + i]) AS cv
+         |  FROM (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, qv
+         |        FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT 16)) c
+         |  CROSS JOIN range(0, 8) t(s))""".stripMargin
+    val train =
+      s"""${assignCte("a1", "cents")},
+         |u AS (SELECT a.s, a.cid, t.i, SUM(p.qv[a.s * 8 + t.i]) AS sm, COUNT(*) AS n
+         |      FROM a1 a JOIN q p USING (vec_id) CROSS JOIN range(1, 9) t(i)
+         |      GROUP BY 1, 2, 3),
+         |c1u AS (SELECT s, cid,
+         |               list(CAST(FLOOR(CAST(sm AS DOUBLE) / n) AS BIGINT) ORDER BY i) AS cv
+         |        FROM u GROUP BY 1, 2),
+         |c1 AS MATERIALIZED (
+         |  SELECT c.s, c.cid, COALESCE(u.cv, c.cv) AS cv
+         |  FROM cents c LEFT JOIN c1u u ON c.s = u.s AND c.cid = u.cid)""".stripMargin
+    val cb = if (withTrain) "c1" else "cents"
+    val tail =
+      s"""${assignCte("enc", cb)},
+         |dt AS MATERIALIZED (
+         |  SELECT c.s, c.cid,
+         |         list_sum(list_transform(range(1, 9),
+         |           i -> (v.qv[c.s * 8 + i] - c.cv[i]) * (v.qv[c.s * 8 + i] - c.cv[i]))) AS d
+         |  FROM $cb c CROSS JOIN (SELECT qv FROM q WHERE vec_id = 0) v)""".stripMargin
+    if (withTrain) s"$base,\n$train,\n$tail" else s"$base,\n$tail"
+  }
+
   /** Recursive-CTE transitive closure of the portable simhash pair set —
     * the SQL twin of Spark's min-label propagation. Ends with the `reach`
     * CTE open so q_dedup_clusters (labels) and q_near_dedup (keepers)
@@ -813,6 +869,29 @@ object OracleSql {
          |  FROM a4 a JOIN embeddings e ON a.vec_id = e.vec_id
          |  WHERE a.cid IN (SELECT cid FROM probe))
          |SELECT vec_id, cell, score FROM ann ORDER BY score DESC, vec_id LIMIT 20""".stripMargin,
+
+    "q_pq_fixed" -> {
+      // SparkEntry.qPqFixed twin: seed codebook = 8-dim subvector slices
+      // of the 16 lowest vec_ids (cid = id order), encode = per-(vec,
+      // subspace) argmin integer L2 (ties to the lower cid), ADC = sum
+      // of the query's precomputed centroid distances over each vector's
+      // codes — all fixed-point floor(x*1000) algebra
+      s"""WITH ${pqCtes(withTrain = false)}
+         |SELECT e.vec_id, CAST(SUM(dt.d) AS BIGINT) AS adc_score
+         |FROM enc e JOIN dt ON e.s = dt.s AND e.cid = dt.cid
+         |GROUP BY e.vec_id ORDER BY adc_score, e.vec_id LIMIT 20""".stripMargin
+    },
+
+    "q_pq_trained" -> {
+      // SparkEntry.qPqTrained twin: one unrolled Lloyd's round per
+      // subspace on top of the q_pq_fixed seed codebook (assign a1 ->
+      // floorDiv centroid update c1, emptied cells keep their seed via
+      // the LEFT JOIN — the kmeansCtes conventions, subspace-grouped)
+      s"""WITH ${pqCtes(withTrain = true)}
+         |SELECT e.vec_id, CAST(SUM(dt.d) AS BIGINT) AS adc_score
+         |FROM enc e JOIN dt ON e.s = dt.s AND e.cid = dt.cid
+         |GROUP BY e.vec_id ORDER BY adc_score, e.vec_id LIMIT 20""".stripMargin
+    },
 
     "q_lsh_fixed" -> {
       // SparkEntry.qLshFixed twin: portable hyperplanes (md5-60-bit of
@@ -1634,6 +1713,55 @@ object OracleSql {
          |       CASE WHEN k_used < 64 THEN CAST(k_used AS DOUBLE)
          |            ELSE 63.0 * 4294967296.0 / kth_hash END AS kmv_estimate
          |FROM k ORDER BY l_returnflag""".stripMargin
+    },
+
+    "q_hll_distinct" -> {
+      // mirrors Sketches.hllRegisters/hllEstimate at p=7: top 7 bits of
+      // the 60-bit md5 hash pick the register, rank = 54 - bitlen of the
+      // 53-bit remainder (55 when the remainder is 0); the estimate is
+      // ONE IEEE division of the shared alpha-numerator literal by the
+      // integer register sum
+      val h60 = md5NibbleIntSql("CAST(l_partkey AS VARCHAR)", 15)
+      val alpha = graft.operators.Sketches.hllAlphaNumerator(7)
+      s"""WITH h AS (SELECT $h60 AS h FROM lineitem WHERE l_partkey IS NOT NULL),
+         |regs AS (
+         |  SELECT h >> 53 AS idx,
+         |         MAX(CASE WHEN h % 9007199254740992 = 0 THEN 54
+         |                  ELSE 54 - len(bin(h % 9007199254740992)) END) AS r
+         |  FROM h GROUP BY 1),
+         |agg AS (SELECT COUNT(*) AS touched,
+         |               CAST(SUM(CAST(1 AS BIGINT) << CAST(54 - r AS INTEGER)) AS BIGINT)
+         |                 AS sum_touched
+         |        FROM regs)
+         |SELECT CAST(128 - touched AS BIGINT) AS n_zero,
+         |       CAST(sum_touched + (128 - touched) * (CAST(1 AS BIGINT) << 54) AS BIGINT)
+         |         AS sum_scaled,
+         |       $alpha / (sum_touched + (128 - touched) * (CAST(1 AS BIGINT) << 54))
+         |         AS hll_estimate
+         |FROM agg""".stripMargin
+    },
+
+    "q_hll_by" -> {
+      val h60 = md5NibbleIntSql("CAST(l_partkey AS VARCHAR)", 15)
+      val alpha = graft.operators.Sketches.hllAlphaNumerator(7)
+      s"""WITH h AS (SELECT l_returnflag, $h60 AS h
+         |           FROM lineitem WHERE l_partkey IS NOT NULL),
+         |regs AS (
+         |  SELECT l_returnflag, h >> 53 AS idx,
+         |         MAX(CASE WHEN h % 9007199254740992 = 0 THEN 54
+         |                  ELSE 54 - len(bin(h % 9007199254740992)) END) AS r
+         |  FROM h GROUP BY 1, 2),
+         |agg AS (SELECT l_returnflag, COUNT(*) AS touched,
+         |               CAST(SUM(CAST(1 AS BIGINT) << CAST(54 - r AS INTEGER)) AS BIGINT)
+         |                 AS sum_touched
+         |        FROM regs GROUP BY 1)
+         |SELECT l_returnflag,
+         |       CAST(128 - touched AS BIGINT) AS n_zero,
+         |       CAST(sum_touched + (128 - touched) * (CAST(1 AS BIGINT) << 54) AS BIGINT)
+         |         AS sum_scaled,
+         |       $alpha / (sum_touched + (128 - touched) * (CAST(1 AS BIGINT) << 54))
+         |         AS hll_estimate
+         |FROM agg ORDER BY l_returnflag""".stripMargin
     },
 
     "q_hist_quantile" ->

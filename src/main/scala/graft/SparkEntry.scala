@@ -1061,6 +1061,33 @@ object SparkEntry {
       .limit(20)
   }
 
+  /** Product quantization, seed codebook (iters = 0): subvectors of the
+    * 16 lowest vec_ids ARE the per-subspace centroids, so the whole
+    * encode + ADC pipeline ([[VectorSearch.pqEncode]]/[[VectorSearch
+    * .pqSearch]]) is plain fixed-point algebra the oracle replays — this
+    * query pins the PQ code/lookup semantics to a hash, the q_ivf_fixed
+    * convention.
+    */
+  private def qPqFixed(s: SparkSession, dir: String): DataFrame =
+    pqQuery(s, dir, iters = 0)
+
+  /** Product quantization with ONE Lloyd's round per subspace
+    * ([[VectorSearch.pqFit]] grouped-kmeans loop) — the TRAINED-codebook
+    * path, still oracle-exact because the fit is the same fixed-point
+    * floorDiv k-means the q_kmeans oracle unrolls, here partitioned by
+    * subspace.
+    */
+  private def qPqTrained(s: SparkSession, dir: String): DataFrame =
+    pqQuery(s, dir, iters = 1)
+
+  private def pqQuery(s: SparkSession, dir: String, iters: Int): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val model = VectorSearch.pqFit(emb, "vec_id", "embedding", nSub = 8, k = 16, iters = iters)
+    val codes = VectorSearch.pqEncode(model, emb, "vec_id", "embedding")
+    val qv = emb.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
+    VectorSearch.pqSearch(model, codes, qv, 20).withColumnRenamed("id", "vec_id")
+  }
+
   /** Global duplicated-span removal (exact-substring dedup at 8-word
     * span granularity, [[Dedup.dedupSpansGlobal]]): only the corpus-wide
     * FIRST occurrence of every span survives; documents are stitched back
@@ -1834,6 +1861,26 @@ object SparkEntry {
   private def qKmvByGroup(s: SparkSession, dir: String): DataFrame =
     Sketches
       .kmvDistinctBy(t(s, dir, "lineitem"), Seq("l_returnflag"), "l_partkey", k = 64)
+      .orderBy("l_returnflag")
+
+  /** HyperLogLog distinct-count sketch over lineitem part keys — 2^7
+    * registers, no distinct prepass (the scale edge over [[qKmvDistinct]]:
+    * rows map straight to (register, rank) and MAX combines map-side).
+    * Deterministic md5 register math, so the whole register table and the
+    * one-division estimate are exactly oracle-checkable
+    * ([[Sketches.hllDistinct]]).
+    */
+  private def qHllDistinct(s: SparkSession, dir: String): DataFrame =
+    Sketches.hllDistinct(t(s, dir, "lineitem"), "l_partkey", p = 7)
+
+  /** Per-group HLL: distinct part keys per returnflag in ONE corpus pass
+    * ([[Sketches.hllDistinctBy]]) — the grouped cardinality shape where
+    * HLL beats KMV at scale (KMV needs a corpus-sized distinct shuffle
+    * first; HLL's shuffle is register-bounded per group).
+    */
+  private def qHllBy(s: SparkSession, dir: String): DataFrame =
+    Sketches
+      .hllDistinctBy(t(s, dir, "lineitem"), Seq("l_returnflag"), "l_partkey", p = 7)
       .orderBy("l_returnflag")
 
   /** Link-graph authority scoring: fixed-point PageRank
@@ -2749,6 +2796,8 @@ object SparkEntry {
     "q_near_dedup" -> (qNearDedup _),
     "q_hist_quantile" -> (qHistQuantile _),
     "q_kmv_by_group" -> (qKmvByGroup _),
+    "q_hll_distinct" -> (qHllDistinct _),
+    "q_hll_by" -> (qHllBy _),
     "q_pagerank" -> (qPageRank _),
     "q_tfidf" -> (qTfidf _),
     "q_boilerplate" -> (qBoilerplate _),
@@ -2774,6 +2823,8 @@ object SparkEntry {
     "q_sq8_ann" -> (qSq8Ann _),
     "q_mrl" -> (qMrl _),
     "q_ivf_fixed" -> (qIvfFixed _),
+    "q_pq_fixed" -> (qPqFixed _),
+    "q_pq_trained" -> (qPqTrained _),
     "q_epochs" -> (qEpochs _),
     "q_triangles" -> (qTriangles _),
     "q_gap_fill" -> (qGapFill _),

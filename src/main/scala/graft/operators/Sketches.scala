@@ -153,6 +153,136 @@ object Sketches {
       .withColumn("jaccard_fp", expr("(inter_cnt * 1000000) div k_used"))
   }
 
+  // ---------------------------------------------------------------- HLL
+
+  /** Number of index bits the HLL family accepts: alpha below uses the
+    * asymptotic constant, which is standard for m >= 128 (p >= 7); 16
+    * caps the register table at 64k rows.
+    */
+  private def requireHllP(p: Int): Unit =
+    require(p >= 7 && p <= 16, s"hll needs p in [7, 16], got $p")
+
+  /** HyperLogLog register index + rank for one value: the top `p` bits of
+    * the 60-bit md5 hash pick the register, and the rank is the position
+    * of the highest set bit in the remaining `60-p` bits counted FROM THE
+    * TOP (leading zeros + 1; all-zero remainder = 61-p). Bit length rides
+    * `length(bin(x))`, the same portable idiom the LM scorer uses — the
+    * oracle reproduces both fields exactly.
+    */
+  private def hllIdxRank(value: Column, p: Int): (Column, Column) = {
+    val remBits = 60 - p
+    val h = md5Hash60(value)
+    val idx = shiftright(h, remBits)
+    val rem = h % (1L << remBits)
+    val rank = when(rem === 0L, lit(remBits + 1L))
+      .otherwise(lit(remBits + 1L) - length(bin(rem)).cast("long"))
+    (idx, rank)
+  }
+
+  /** Bias constant of the raw HLL estimator for m = 2^p registers
+    * (Flajolet et al. 2007, m >= 128). The full numerator
+    * `alpha * m^2 * 2^(61-p)` is folded into ONE double literal so the
+    * estimate is a single IEEE division away from the integer register
+    * sum — the literal round-trips through its decimal printout, so the
+    * oracle's copy is bit-identical.
+    */
+  private[graft] def hllAlphaNumerator(p: Int): Double = {
+    val m = (1L << p).toDouble
+    (0.7213 / (1.0 + 1.079 / m)) * m * m * math.pow(2.0, (61 - p).toDouble)
+  }
+
+  /** HyperLogLog register table for `df(valueCol)`: `(idx, r)` with one
+    * row per TOUCHED register (max rank wins). This is the persistable /
+    * mergeable artifact: at most 2^p rows no matter the input, and the
+    * bucket-wise MAX of two tables is the table of the union
+    * ([[hllMergeRegisters]]) — per-shard sketches roll up without a
+    * second corpus pass.
+    *
+    * Scale shape vs [[kmvDistinct]]: NO distinct prepass — every input
+    * row maps straight to (idx, rank) and the max partially aggregates
+    * map-side, so the shuffle carries at most 2^p rows per partition
+    * while KMV must first shuffle every distinct (value-hash) once. The
+    * trade: KMV's estimate is plain column algebra; HLL needs the
+    * register sum below. Both are deterministic md5 arithmetic —
+    * exactly oracle-checkable, unlike `approx_count_distinct`'s HLL++.
+    */
+  def hllRegisters(df: DataFrame, valueCol: String, p: Int = 12): DataFrame = {
+    requireHllP(p)
+    val (idx, rank) = hllIdxRank(col(valueCol), p)
+    df.where(col(valueCol).isNotNull)
+      .select(idx.as("idx"), rank.as("r"))
+      .groupBy("idx")
+      .agg(max("r").as("r"))
+  }
+
+  /** Merge HLL register tables built with the same `p`: bucket-wise max.
+    * `union` keeps this shuffle at (sketch rows) x (number of shards) —
+    * never data-sized.
+    */
+  def hllMergeRegisters(sketches: Seq[DataFrame]): DataFrame = {
+    require(sketches.nonEmpty, "hllMergeRegisters needs at least one sketch")
+    sketches.reduce(_ unionByName _).groupBy("idx").agg(max("r").as("r"))
+  }
+
+  /** The HLL estimate from a register table: one row — `n_zero`
+    * (untouched registers), `sum_scaled` (the harmonic-mean denominator
+    * `sum over ALL m registers of 2^(61-p-r)`, untouched registers at
+    * r=0, kept exact in a long: max term 2^(61-p), m terms, total
+    * <= 2^61 for every allowed p), and `hll_estimate` = the one IEEE
+    * division `alphaNumerator / sum_scaled`.
+    */
+  def hllEstimate(registers: DataFrame, p: Int): DataFrame = {
+    requireHllP(p)
+    val m = 1L << p
+    val maxR = (61 - p).toLong
+    registers
+      .agg(
+        count(lit(1)).as("touched"),
+        coalesce(sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST($maxR - r AS INT))")), lit(0L))
+          .as("sum_touched"))
+      .select(
+        (lit(m) - col("touched")).as("n_zero"),
+        (col("sum_touched") + (lit(m) - col("touched")) * lit(1L << maxR)).as("sum_scaled"))
+      .withColumn("hll_estimate", lit(hllAlphaNumerator(p)) / col("sum_scaled"))
+  }
+
+  /** One-shot global HLL distinct estimate: [[hllRegisters]] then
+    * [[hllEstimate]].
+    */
+  def hllDistinct(df: DataFrame, valueCol: String, p: Int = 12): DataFrame =
+    hllEstimate(hllRegisters(df, valueCol, p), p)
+
+  /** Per-group HLL distinct estimate in ONE corpus pass — the sketch
+    * where HLL beats KMV at scale: [[kmvDistinctBy]] must shuffle every
+    * distinct (key, hash) pair before its bounded heap, while this maps
+    * each row to (keys, idx, rank), partially MAXes map-side, and
+    * shuffles at most 2^p rows per (partition, group). Returns one row
+    * per observed group: keys, `n_zero`, `sum_scaled`, `hll_estimate`
+    * (same fields as [[hllEstimate]]).
+    */
+  def hllDistinctBy(df: DataFrame, keys: Seq[String], valueCol: String, p: Int = 12): DataFrame = {
+    requireHllP(p)
+    require(keys.nonEmpty, "hllDistinctBy needs grouping keys; use hllDistinct for the global sketch")
+    val m = 1L << p
+    val maxR = (61 - p).toLong
+    val keyCols = keys.map(col)
+    val (idx, rank) = hllIdxRank(col(valueCol), p)
+    df.where(col(valueCol).isNotNull)
+      .select(keyCols :+ idx.as("idx") :+ rank.as("r"): _*)
+      .groupBy(keyCols :+ col("idx"): _*)
+      .agg(max("r").as("r"))
+      .groupBy(keyCols: _*)
+      .agg(
+        count(lit(1)).as("touched"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST($maxR - r AS INT))")).as("sum_touched"))
+      .select(
+        keyCols ++ Seq(
+          (lit(m) - col("touched")).as("n_zero"),
+          (col("sum_touched") + (lit(m) - col("touched")) * lit(1L << maxR)).as("sum_scaled")
+        ): _*)
+      .withColumn("hll_estimate", lit(hllAlphaNumerator(p)) / col("sum_scaled"))
+  }
+
   /** Count-min sketch: approximate per-value frequencies in
     * `depth * width` counters no matter how many distinct values exist —
     * the heavy-hitter / frequency-floor sketch for corpora whose exact

@@ -745,7 +745,8 @@ object TextAnalysis {
       docs: DataFrame,
       textCol: String,
       rounds: Int,
-      maxVocab: Long = 10000000L
+      maxVocab: Long = 10000000L,
+      likelihood: Boolean = false
   ): (Seq[(Long, String, String, Long, Long)], Array[(String, Long, Seq[String])]) = {
     require(rounds >= 1, s"bpeMerges: rounds must be >= 1, got $rounds")
     val hist = docs

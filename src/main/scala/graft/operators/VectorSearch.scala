@@ -982,6 +982,186 @@ object VectorSearch {
     ivfCache.clear()
   }
 
+  // --------------------------------------------------------- product quantization
+
+  /** Trained product-quantization codebook: `codebook(s)(c)` is centroid
+    * `c` of subspace `s`, in the shared fixed-point quantization
+    * (floor(x * quantScale), BIGINT — the [[Clustering]] convention).
+    * Plain data: serializable, broadcast-size (nSub * k * subDim longs),
+    * frozen after fit — encode later batches against it without refit,
+    * the [[Clustering.KmeansModel]] / extendIvf lifecycle.
+    */
+  final case class PqModel(codebook: Array[Array[Array[Long]]], quantScale: Int) {
+    def nSub: Int = codebook.length
+    def k: Int = codebook.head.length
+    def subDim: Int = codebook.head.head.length
+    def dim: Int = nSub * subDim
+    private[operators] def lit2 =
+      typedLit(codebook.map(_.map(_.toSeq).toSeq).toSeq)
+  }
+
+  /** Integer squared L2 between two quantized code arrays. */
+  private def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v)
+
+  /** Argmin centroid id of subspace `s` for subvector `sub` against the
+    * 3D codebook literal — min of (dist, cid) structs, ties to the lower
+    * cid (the shared k-means convention).
+    */
+  private def pqArgmin(cb: Column, k: Int, s: Column, sub: Column): Column =
+    array_min(transform(sequence(lit(0), lit(k - 1)), c =>
+      struct(
+        sqDist(sub, element_at(element_at(cb, s + 1), c + 1)).as("d"),
+        c.as("c")))).getField("c")
+
+  /** Train a product-quantization codebook (Jegou, Douze, Schmid 2011,
+    * "Product Quantization for Nearest Neighbor Search"): split each
+    * `dim` vector into `nSub` contiguous subspaces of `dim / nSub`
+    * components and run seeded Lloyd's k-means INDEPENDENTLY per
+    * subspace — in exact fixed-point integers, so the codebook (and
+    * everything encoded with it) is bit-identical at any parallelism and
+    * in any engine.
+    *
+    * Scale shape: the grouped-Lloyd's loop — vectors are exploded ONCE
+    * into (subspace, subvector) rows (same total bytes as the corpus,
+    * pinned for the fit), and each iteration is ONE narrow assignment
+    * pass over them (k distances per row against the broadcast 3D
+    * codebook literal) plus ONE map-side-combined shuffle of at most
+    * `nSub * k * subDim` (sub, cid, pos, partial-sum) rows per task to
+    * the driver-side centroid rebuild. All `nSub` subspaces train in the
+    * same jobs — per-subspace sequential fits would re-scan the corpus
+    * `nSub` times per iteration. Seeding: subvectors of the k lowest-id
+    * rows (cid 0..k-1 in id order, per subspace); emptied clusters keep
+    * their previous centroid; centroid update is floorDiv — the
+    * [[Clustering.kmeansFit]] determinism contract, subspace-grouped.
+    */
+  def pqFit(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nSub: Int = 8,
+      k: Int = 16,
+      iters: Int = 2,
+      quantScale: Int = 1000
+  ): PqModel = {
+    require(nSub >= 1, s"need nSub >= 1, got $nSub")
+    require(k >= 1, s"need k >= 1, got $k")
+    require(iters >= 0, s"need iters >= 0, got $iters")
+    require(quantScale >= 1, s"need quantScale >= 1, got $quantScale")
+    val qCol = expr(
+      s"transform($vecCol, x -> cast(floor(cast(x as double) * $quantScale.0D) as bigint))")
+
+    val seeds = df
+      .select(col(idCol).as("_pq_id"), qCol.as("_pq_q"))
+      .orderBy("_pq_id")
+      .limit(k)
+      .collect()
+    require(seeds.length == k, s"need at least k=$k rows, got ${seeds.length}")
+    val dim = seeds.head.getSeq[Long](1).length
+    require(dim % nSub == 0, s"dim $dim not divisible by nSub=$nSub")
+    val subDim = dim / nSub
+    var codebook: Array[Array[Array[Long]]] = Array.tabulate(nSub) { s =>
+      seeds.map(_.getSeq[Long](1).slice(s * subDim, (s + 1) * subDim).toArray)
+    }
+    if (iters == 0) return PqModel(codebook, quantScale)
+
+    val exploded = graft.util.Checkpoints.pin(
+      df.select(qCol.as("_pq_q"))
+        .select(explode(transform(sequence(lit(0), lit(nSub - 1)), s =>
+          struct(s.as("s"), slice(col("_pq_q"), s * subDim + 1, lit(subDim)).as("sub"))))
+          .as("e"))
+        .select(col("e.s").as("_pq_s"), col("e.sub").as("_pq_sub")))
+    try {
+      for (_ <- 1 to iters) {
+        val cb = typedLit(codebook.map(_.map(_.toSeq).toSeq).toSeq)
+        val sums = exploded
+          .withColumn("_pq_c", pqArgmin(cb, k, col("_pq_s"), col("_pq_sub")))
+          .select(col("_pq_s"), col("_pq_c"),
+            posexplode(col("_pq_sub")).as(Seq("_pq_p", "_pq_v")))
+          .groupBy("_pq_s", "_pq_c", "_pq_p")
+          .agg(sum("_pq_v").as("sm"), count(lit(1)).as("n"))
+          .collect() // <= nSub * k * subDim rows — the distributed-kmeans driver step
+        val byKey = sums.groupBy(r => (r.getInt(0), r.getInt(1)))
+        codebook = Array.tabulate(nSub) { s =>
+          Array.tabulate(k) { c =>
+            byKey.get((s, c)) match {
+              case Some(rows) =>
+                val next = codebook(s)(c).clone()
+                rows.foreach(r => next(r.getInt(2)) = math.floorDiv(r.getLong(3), r.getLong(4)))
+                next
+              case None => codebook(s)(c) // emptied cluster keeps its centroid
+            }
+          }
+        }
+      }
+      PqModel(codebook, quantScale)
+    } finally {
+      graft.util.Checkpoints.release(
+        graft.util.Checkpoints.pinnedRddIds(exploded), df.sparkSession)
+    }
+  }
+
+  /** Encode vectors against a FROZEN PQ codebook: per subspace, the id
+    * of the nearest centroid (integer L2, ties to the lower cid).
+    * Returns (id, pq_codes: array<int>, nSub entries in [0, k)) — at the
+    * nSub=8/k=16 default that is 8 codes of 4 useful bits: 4 bytes where
+    * the float32 vector took 256, a 64x shrink of what a 100 TB ANN scan
+    * has to read. One narrow pass, no shuffle, no driver action — the
+    * incremental-batch path (encode new shards against the shared
+    * codebook forever; re-fit = periodic compaction).
+    */
+  def pqEncode(model: PqModel, df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val subDim = model.subDim
+    val cb = model.lit2
+    val qCol = expr(
+      s"transform($vecCol, x -> cast(floor(cast(x as double) * ${model.quantScale}.0D) as bigint))")
+    df.select(col(idCol).as("id"), qCol.as("_pq_q"))
+      .select(
+        col("id"),
+        transform(sequence(lit(0), lit(model.nSub - 1)), s =>
+          pqArgmin(cb, model.k, s, slice(col("_pq_q"), s * subDim + 1, lit(subDim)))
+        ).as("pq_codes"))
+  }
+
+  /** ADC (asymmetric distance computation) top-k over PQ codes: the
+    * query stays UNQUANTIZED-BY-CODEBOOK — its integer distance to every
+    * centroid of every subspace is precomputed driver-side into the
+    * `nSub x k` lookup table, and each corpus vector's approximate
+    * squared L2 is then `sum over s of dt(s)(codes(s))`: nSub array
+    * lookups + adds per row, never a float op, never a touch of the
+    * original vectors. Returns (id, adc_score) ascending (ties to the
+    * lower id), exact-rescore of the shortlist is the caller's float
+    * pass ([[topK]] over a semi-join).
+    *
+    * Scale shape: one narrow scan of the (id, codes) table — nSub bytes
+    * per row instead of 4*dim — into TakeOrderedAndProject; the lookup
+    * table is a literal (nSub * k longs). Deterministic integer
+    * arithmetic end to end: the fixed-codebook twin is oracle-exact.
+    */
+  def pqSearch(model: PqModel, codes: DataFrame, queryVec: Seq[Float], k: Int): DataFrame = {
+    val subDim = model.subDim
+    require(queryVec.length == model.dim,
+      s"query dim ${queryVec.length} != codebook dim ${model.dim}")
+    val qq = queryVec.map(x => math.floor(x.toDouble * model.quantScale).toLong)
+    val dt: Seq[Seq[Long]] = (0 until model.nSub).map { s =>
+      val qs = qq.slice(s * subDim, (s + 1) * subDim)
+      (0 until model.k).map { c =>
+        val cent = model.codebook(s)(c)
+        qs.iterator.zip(cent.iterator).map { case (a, b) => (a - b) * (a - b) }.sum
+      }
+    }
+    val dtLit = typedLit(dt)
+    codes
+      .withColumn("adc_score",
+        aggregate(
+          zip_with(sequence(lit(0), lit(model.nSub - 1)), col("pq_codes"),
+            (s, c) => element_at(element_at(dtLit, s + 1), c + 1)),
+          lit(0L), (acc, v) => acc + v))
+      .orderBy(col("adc_score"), col("id"))
+      .limit(k)
+      .select("id", "adc_score")
+  }
+
   /** All-pairs near-duplicate detection by embedding cosine, LSH-blocked:
     * only pairs sharing a signature band are compared — the classic
     * O(n^2) -> O(n·bucket) reduction. Returns (id_a, id_b, score) with

@@ -273,6 +273,22 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("doc_id"), "only the embeddings table's columns may appear")
   }
 
+  test("PQ ADC search is scan-side lookup algebra + top-k — no join, no global sort") {
+    val p = plan("q_pq_fixed")
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+    assert(!p.contains("Join"),
+      "ADC scores come from the broadcast literal lookup table, never a join")
+    assert(!p.contains("BatchEvalPython") && !p.contains("CartesianProduct"), p.take(800))
+  }
+
+  test("grouped HLL combines registers map-side and prunes to the two used columns") {
+    val p = plan("q_hll_by")
+    assert(p.contains("partial_max"),
+      s"register max must map-side combine — the whole point over KMV's distinct: ${p.take(800)}")
+    assert(p.contains("ReadSchema:") && !p.contains("l_extendedprice") && !p.contains("l_comment"),
+      "only (l_returnflag, l_partkey) may be read")
+  }
+
   test("incremental LSH candidates join on band keys — no cartesian, no nested loop") {
     val p = plan("q_incremental_lsh")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

@@ -62,6 +62,46 @@ class SketchesSpec extends AnyFunSuite {
     }
   }
 
+  test("hll estimate lands within 3 standard errors; duplicates and nulls ignored") {
+    val n = 20000
+    val p = 12
+    val df = spark.range(n).select(concat(lit("doc-"), col("id")).as("v"))
+      .unionAll(spark.range(500).select(concat(lit("doc-"), col("id")).as("v"))) // dups
+      .unionAll(Seq[String](null).toDF("v"))
+    val est = Sketches.hllDistinct(df, "v", p).head().getAs[Double]("hll_estimate")
+    // HLL relative standard error ~ 1.04/sqrt(m)
+    val se = n * 1.04 / math.sqrt((1 << p).toDouble)
+    assert(math.abs(est - n) < 3 * se, s"estimate $est too far from $n (3se=${3 * se})")
+  }
+
+  test("hll is deterministic across repartitionings and merge == whole") {
+    val a = spark.range(4000).select(concat(lit("x"), col("id")).as("v"))
+    val b = spark.range(2000, 7000).select(concat(lit("x"), col("id")).as("v"))
+    val whole = Sketches.hllDistinct(a.unionAll(b).repartition(13), "v", p = 9).head()
+    val merged = Sketches.hllEstimate(
+      Sketches.hllMergeRegisters(Seq(
+        Sketches.hllRegisters(a.repartition(3), "v", p = 9),
+        Sketches.hllRegisters(b.repartition(5), "v", p = 9))),
+      p = 9).head()
+    assert(whole == merged)
+  }
+
+  test("grouped hll matches per-group single hll") {
+    val df = spark.range(3000).select(
+      (col("id") % 3).cast("string").as("g"),
+      when(col("id") % 3 === 0, col("id"))
+        .when(col("id") % 3 === 1, col("id") % 30)
+        .otherwise(col("id") % 1500).as("v")
+    )
+    val grouped = Sketches.hllDistinctBy(df, Seq("g"), "v", p = 8)
+      .collect().map(r => r.getString(0) -> r).toMap
+    for (g <- Seq("0", "1", "2")) {
+      val single = Sketches.hllDistinct(df.where(col("g") === g), "v", p = 8).head()
+      assert(grouped(g).getAs[Long]("sum_scaled") == single.getAs[Long]("sum_scaled"), s"group $g")
+      assert(grouped(g).getAs[Double]("hll_estimate") == single.getAs[Double]("hll_estimate"))
+    }
+  }
+
   test("histogram quantile lands within one bin width of the exact percentile") {
     val n = 10000
     val df = spark.range(n).select((col("id") % 1000).cast("double").as("v"))
