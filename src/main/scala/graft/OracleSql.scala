@@ -136,8 +136,30 @@ object OracleSql {
     * count (ns_r). `word` rides through every round so the encode twin
     * can join the final segmentation back to documents.
     */
-  private def bpeRound(prev: String, r: Int): String =
-    s"""p$r AS (
+  private def bpeRound(prev: String, r: Int, likelihood: Boolean = false): String = {
+    // likelihood mode (the TextAnalysis.wordPieceMerges twin): argmax by
+    // count(ab) / (count(a) * count(b)) over per-symbol weighted counts
+    // of the CURRENT segmentation — the identical two IEEE double ops
+    // the engine runs, ties lexicographic
+    val symCte =
+      if (likelihood)
+        s"""sc$r AS (
+           |  SELECT sym, CAST(SUM(freq) AS BIGINT) AS c FROM (
+           |    SELECT w.freq, UNNEST(list_filter(string_split(w.seg, '|'), x -> len(x) > 0)) AS sym
+           |    FROM $prev w)
+           |  GROUP BY sym),
+           |""".stripMargin
+      else ""
+    val argmax =
+      if (likelihood)
+        s"""b$r AS (
+           |  SELECT p.pa, p.pb, p.n FROM p$r p
+           |  JOIN sc$r sa ON p.pa = sa.sym
+           |  JOIN sc$r sb ON p.pb = sb.sym
+           |  ORDER BY CAST(p.n AS DOUBLE) / (CAST(sa.c AS DOUBLE) * CAST(sb.c AS DOUBLE)) DESC,
+           |           p.pa, p.pb LIMIT 1),""".stripMargin
+      else s"b$r AS (SELECT pa, pb, n FROM p$r ORDER BY n DESC, pa, pb LIMIT 1),"
+    s"""${symCte}p$r AS (
        |  SELECT pa, pb, CAST(SUM(freq) AS BIGINT) AS n
        |  FROM (
        |    SELECT w.freq, w.syms[i] AS pa, w.syms[i + 1] AS pb
@@ -145,7 +167,7 @@ object OracleSql {
        |          FROM $prev) w,
        |         UNNEST(range(1, len(w.syms))) t(i))
        |  GROUP BY pa, pb),
-       |b$r AS (SELECT pa, pb, n FROM p$r ORDER BY n DESC, pa, pb LIMIT 1),
+       |$argmax
        |w$r AS (
        |  SELECT word, freq,
        |         list_reduce(list_prepend('|', list_filter(string_split(seg, '|'), x -> len(x) > 0)),
@@ -156,6 +178,7 @@ object OracleSql {
        |ns$r AS (
        |  SELECT CAST(SUM(freq * len(list_filter(string_split(seg, '|'), x -> len(x) > 0))) AS BIGINT) AS n_symbols
        |  FROM w$r)""".stripMargin
+  }
 
   /** QualityClassifier twin: hashed-unigram featurization (md5 nibbles
     * n=8 mod 256 — the Sketches.md5Hash32 oracle form), class sums over
@@ -2321,6 +2344,40 @@ object OracleSql {
          |         CAST(len(list_filter(string_split(seg, '|'), x -> len(x) > 0)) AS BIGINT) AS n_tokens_w
          |  FROM a4),
          |tok AS (SELECT doc_id, UNNEST($ftsToks) AS word FROM documents WHERE doc_id % 2 = 1)
+         |SELECT t.doc_id,
+         |       CAST(COUNT(*) AS BIGINT) AS n_words,
+         |       CAST(SUM(s.n_chars_w) AS BIGINT) AS n_chars,
+         |       CAST(SUM(s.n_tokens_w) AS BIGINT) AS n_tokens
+         |FROM tok t JOIN segv s ON t.word = s.word
+         |GROUP BY t.doc_id
+         |ORDER BY n_tokens DESC, t.doc_id LIMIT 20""".stripMargin
+    },
+
+    "q_wordpiece_merges" -> {
+      // TextAnalysis.wordPieceMerges twin: the q_bpe_merges rounds with
+      // the likelihood argmax (bpeRound(likelihood = true))
+      val rounds = (1 to 4).map(r => bpeRound(s"w${r - 1}", r, likelihood = true)).mkString(",\n")
+      val sel = (1 to 4)
+        .map(r =>
+          s"SELECT CAST($r AS BIGINT) AS round, b$r.pa AS pair_a, b$r.pb AS pair_b, b$r.n, ns$r.n_symbols FROM b$r, ns$r")
+        .mkString("\nUNION ALL\n")
+      s"""WITH $bpeW0,
+         |$rounds
+         |$sel
+         |ORDER BY round""".stripMargin
+    },
+
+    "q_wordpiece_encode" -> {
+      // TextAnalysis.wordPieceTokenCounts twin: 3 likelihood-scored
+      // training rounds, then the q_bpe_encode apply join
+      val rounds = (1 to 3).map(r => bpeRound(s"w${r - 1}", r, likelihood = true)).mkString(",\n")
+      s"""WITH $bpeW0,
+         |$rounds,
+         |segv AS (
+         |  SELECT word, CAST(len(word) AS BIGINT) AS n_chars_w,
+         |         CAST(len(list_filter(string_split(seg, '|'), x -> len(x) > 0)) AS BIGINT) AS n_tokens_w
+         |  FROM w3),
+         |tok AS (SELECT doc_id, UNNEST($ftsToks) AS word FROM documents)
          |SELECT t.doc_id,
          |       CAST(COUNT(*) AS BIGINT) AS n_words,
          |       CAST(SUM(s.n_chars_w) AS BIGINT) AS n_chars,

@@ -2465,6 +2465,24 @@ object SparkEntry {
       .orderBy(desc("n_tokens"), col("doc_id"))
       .limit(20)
 
+  /** WordPiece tokenizer training (TextAnalysis.wordPieceMerges): 4
+    * merge rounds under the LIKELIHOOD argmax — count(ab) / (count(a) *
+    * count(b)) — the BERT-family objective, against the same corpus the
+    * BPE twin trains on, so the two query hashes together pin exactly
+    * where the objectives diverge.
+    */
+  private def qWordpieceMerges(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.wordPieceMerges(t(s, dir, "documents"), "text", rounds = 4)
+
+  /** WordPiece encode (TextAnalysis.wordPieceTokenCounts): per-doc token
+    * counts under the 3-merge likelihood-trained tokenizer — the apply
+    * half, broadcast-join shape identical to q_bpe_encode.
+    */
+  private def qWordpieceEncode(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.wordPieceTokenCounts(t(s, dir, "documents"), "doc_id", "text", rounds = 3)
+      .orderBy(desc("n_tokens"), col("doc_id"))
+      .limit(20)
+
   /** OOV BPE encode (TextAnalysis.bpeEncode): 4 merges trained on the
     * EVEN doc_ids replay onto the ODD doc_ids' words — the
     * unseen-corpus apply path (lowest-rank replay == training-order
@@ -2837,6 +2855,8 @@ object SparkEntry {
     "q_bpe_pairs" -> (qBpePairs _),
     "q_bpe_merges" -> (qBpeMerges _),
     "q_bpe_encode" -> (qBpeEncode _),
+    "q_wordpiece_merges" -> (qWordpieceMerges _),
+    "q_wordpiece_encode" -> (qWordpieceEncode _),
     "q_bpe_encode_oov" -> (qBpeEncodeOov _),
     "q_window_drift" -> (qWindowDrift _),
     "q_vector_window_drift" -> (qVectorWindowDrift _),

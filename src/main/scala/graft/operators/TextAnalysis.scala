@@ -732,6 +732,11 @@ object TextAnalysis {
     * per Heaps' law; a corpus that trips the bound is noise-heavy and
     * should be pre-filtered, or trained via [[bpeMergesDistributed]]).
     *
+    * With `likelihood = true` the argmax switches to the WordPiece
+    * score `count(ab) / (count(a) * count(b))` over maintained
+    * per-symbol weighted counts — everything else (counting, apply,
+    * output shape) is unchanged; see [[wordPieceMerges]].
+    *
     * Semantics are pinned equal to [[trainBpe]] by spec: same pair
     * counting (every adjacent position, overlapping occurrences
     * included, weighted by word frequency), same argmax tie-break
@@ -774,6 +779,9 @@ object TextAnalysis {
     }
     val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
     val index = scala.collection.mutable.HashMap.empty[(String, String), scala.collection.mutable.BitSet]
+    // per-symbol weighted occurrence counts — the denominators of the
+    // WordPiece likelihood score; maintained only when needed
+    val symCounts = scala.collection.mutable.HashMap.empty[String, Long]
     // add (sign=+1) or retract (sign=-1) word i's adjacent-pair contributions
     def tallyWord(w: Int, sign: Long): Unit = {
       val s = segs(w)
@@ -784,6 +792,14 @@ object TextAnalysis {
         if (c == 0L) counts.remove(p) else counts(p) = c
         if (sign > 0L) index.getOrElseUpdate(p, scala.collection.mutable.BitSet.empty) += w
         j += 1
+      }
+      if (likelihood) {
+        var j2 = 0
+        while (j2 < s.length) {
+          val c = symCounts.getOrElse(s(j2), 0L) + sign * freqs(w)
+          if (c == 0L) symCounts.remove(s(j2)) else symCounts(s(j2)) = c
+          j2 += 1
+        }
       }
     }
     var nSymbols = 0L
@@ -801,8 +817,20 @@ object TextAnalysis {
       var bestA: String = null
       var bestB: String = null
       var bestN = Long.MinValue
+      var bestS = Double.NegativeInfinity
       counts.foreach { case ((a, b), n) =>
-        if (n > bestN ||
+        if (likelihood) {
+          // WordPiece score: pair count over the product of its symbols'
+          // counts. Exactly two IEEE ops (multiply, divide) on exactly-
+          // converted longs — the oracle runs the identical expression,
+          // so the ordering (ties: lexicographic) matches bit-for-bit at
+          // any count magnitude.
+          val sc = n.toDouble / (symCounts(a).toDouble * symCounts(b).toDouble)
+          if (sc > bestS ||
+            (sc == bestS && (a < bestA || (a == bestA && b < bestB)))) {
+            bestA = a; bestB = b; bestN = n; bestS = sc
+          }
+        } else if (n > bestN ||
           (n == bestN && (a < bestA || (a == bestA && b < bestB)))) {
           bestA = a; bestB = b; bestN = n
         }
@@ -937,9 +965,44 @@ object TextAnalysis {
     * total by construction here (encode corpus = training corpus);
     * encoding a DIFFERENT corpus is [[bpeEncode]] (the OOV replay path).
     */
-  def bpeTokenCounts(docs: DataFrame, idCol: String, textCol: String, rounds: Int): DataFrame = {
+  def bpeTokenCounts(docs: DataFrame, idCol: String, textCol: String, rounds: Int): DataFrame =
+    tokenCountsLocal(docs, idCol, textCol, rounds, likelihood = false)
+
+  /** WordPiece-style merge training (Schuster & Nakajima 2012 — the
+    * BERT-family tokenizer): the [[bpeMerges]] loop with the LIKELIHOOD
+    * argmax — each round merges the pair maximizing
+    * `count(ab) / (count(a) * count(b))` (the corpus-LM likelihood gain
+    * of the merge) instead of the raw pair count, so frequent-but-
+    * generic pairs lose to strongly-associated ones. Same row shape as
+    * [[bpeMerges]] (`n` = the winner's weighted pair count), same
+    * single-corpus-pass + driver-local-loop scale contract
+    * ([[trainBpeLocal]]), same greedy apply. The score is two IEEE
+    * double ops on exactly-converted integer counts, mirrored verbatim
+    * by the oracle; ties break lexicographically.
+    */
+  def wordPieceMerges(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
     val spark = docs.sparkSession
-    val (_, finalVocab) = trainBpeLocal(docs, textCol, rounds)
+    val (stats, _) = trainBpeLocal(docs, textCol, rounds, likelihood = true)
+    import spark.implicits._
+    stats.toDF("round", "pair_a", "pair_b", "n", "n_symbols")
+  }
+
+  /** [[bpeTokenCounts]] under WordPiece (likelihood-scored) training —
+    * per-doc (n_words, n_chars, n_tokens) against the wordpiece-merged
+    * vocabulary. Same broadcast-join apply shape.
+    */
+  def wordPieceTokenCounts(docs: DataFrame, idCol: String, textCol: String, rounds: Int): DataFrame =
+    tokenCountsLocal(docs, idCol, textCol, rounds, likelihood = true)
+
+  private def tokenCountsLocal(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      rounds: Int,
+      likelihood: Boolean
+  ): DataFrame = {
+    val spark = docs.sparkSession
+    val (_, finalVocab) = trainBpeLocal(docs, textCol, rounds, likelihood = likelihood)
     // parallelize, not a LocalRelation literal: the vocabulary can be
     // millions of rows (bound 10M) — as a plan literal it would dominate
     // plan size; as an RDD it is just data

@@ -351,6 +351,47 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(e.getMessage.contains("exhausted"), e.getMessage)
   }
 
+  test("wordPieceMerges: likelihood argmax diverges from BPE, hand-computed") {
+    // vocab: ab x10, xy x3, az x20, bz x20
+    //   pair counts: (a,b)=10 (x,y)=3 (a,z)=20 (b,z)=20
+    //   symbol counts: a=30 b=30 x=3 y=3 z=40; total symbols 106
+    // BPE round 1: max count 20, tie (a,z)/(b,z) -> lex (a,z)
+    // WordPiece round 1: scores (a,b)=10/900, (x,y)=3/9, (a,z)=(b,z)=
+    //   20/1200 -> (x,y) wins with the SMALLEST raw count; 106-3=103
+    // WordPiece round 2: xy merged away -> (a,z)/(b,z) tie at 20/1200 ->
+    //   lex (a,z); 103-20=83
+    val docs = Seq(
+      (List.fill(10)("ab") ++ List.fill(3)("xy")).mkString(" "),
+      (List.fill(20)("az") ++ List.fill(20)("bz")).mkString(" ")
+    ).toDF("text")
+    val bpe = TextAnalysis.bpeMerges(docs, "text", rounds = 1).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(bpe == Seq((1L, "a", "z", 20L, 86L)), s"bpe got $bpe")
+    val wp = TextAnalysis.wordPieceMerges(docs, "text", rounds = 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(wp == Seq(
+      (1L, "x", "y", 3L, 103L),
+      (2L, "a", "z", 20L, 83L)
+    ), s"wordpiece got $wp")
+  }
+
+  test("wordPieceTokenCounts: apply under the likelihood-trained merges") {
+    val docs = Seq((1L, "ab ab ab")).toDF("doc_id", "text")
+    val out = TextAnalysis.wordPieceTokenCounts(docs, "doc_id", "text", rounds = 1).head()
+    assert(out.getLong(0) == 1L)
+    assert((out.getLong(1), out.getLong(2), out.getLong(3)) == ((3L, 6L, 3L)),
+      "three words of two chars each merge to one token apiece")
+  }
+
+  test("wordPieceMerges is partition-invariant") {
+    val docs = Seq(
+      "the cat sat on the mat", "the dog ate the cat food", "mat cat dog dog"
+    ).toDF("text")
+    val a = TextAnalysis.wordPieceMerges(docs.repartition(7), "text", rounds = 5).collect().toSeq
+    val b = TextAnalysis.wordPieceMerges(docs, "text", rounds = 5).collect().toSeq
+    assert(a == b)
+  }
+
   test("bigramLmScore: every branch hand-computed against a held-out LM") {
     // LM corpus "a b a b c": cnt1 = {a:2, b:2, c:1}, n_lm = 5 (bits=3),
     // bigrams = {"a b":2, "b a":1, "b c":1}.
