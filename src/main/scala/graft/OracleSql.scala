@@ -339,47 +339,49 @@ object OracleSql {
     * (vec_id, s, cid) and `dt` (the query's per-centroid ADC lookup
     * table) ready for the final SUM.
     */
-  private def pqCtes(withTrain: Boolean): String = {
+  private def pqCtes(withTrain: Boolean, px: String = ""): String = {
+    // `px` prefixes every CTE name so the chain composes with kmeansCtes
+    // (whose q/a1/c1 would otherwise collide) in the q_ivfpq twin
     def assignCte(name: String, cb: String) =
-      s"""$name AS MATERIALIZED (
+      s"""$px$name AS MATERIALIZED (
          |  SELECT vec_id, s, cid FROM (
          |    SELECT p.vec_id, c.s, c.cid,
          |           ROW_NUMBER() OVER (PARTITION BY p.vec_id, c.s ORDER BY
          |             list_sum(list_transform(range(1, 9),
          |               i -> (p.qv[c.s * 8 + i] - c.cv[i])
          |                    * (p.qv[c.s * 8 + i] - c.cv[i]))), c.cid) AS rn
-         |    FROM q p CROSS JOIN $cb c)
+         |    FROM ${px}q p CROSS JOIN $cb c)
          |  WHERE rn = 1)""".stripMargin
     val base =
-      s"""q AS MATERIALIZED (
+      s"""${px}q AS MATERIALIZED (
          |  SELECT vec_id,
          |         list_transform(CAST(embedding AS DOUBLE[]),
          |           x -> CAST(FLOOR(x * 1000.0) AS BIGINT)) AS qv
          |  FROM embeddings),
-         |cents AS MATERIALIZED (
+         |${px}cents AS MATERIALIZED (
          |  SELECT t.s, c.cid, list_transform(range(1, 9), i -> c.qv[t.s * 8 + i]) AS cv
          |  FROM (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, qv
-         |        FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT 16)) c
+         |        FROM (SELECT vec_id, qv FROM ${px}q ORDER BY vec_id LIMIT 16)) c
          |  CROSS JOIN range(0, 8) t(s))""".stripMargin
     val train =
-      s"""${assignCte("a1", "cents")},
-         |u AS (SELECT a.s, a.cid, t.i, SUM(p.qv[a.s * 8 + t.i]) AS sm, COUNT(*) AS n
-         |      FROM a1 a JOIN q p USING (vec_id) CROSS JOIN range(1, 9) t(i)
+      s"""${assignCte("a1", s"${px}cents")},
+         |${px}u AS (SELECT a.s, a.cid, t.i, SUM(p.qv[a.s * 8 + t.i]) AS sm, COUNT(*) AS n
+         |      FROM ${px}a1 a JOIN ${px}q p USING (vec_id) CROSS JOIN range(1, 9) t(i)
          |      GROUP BY 1, 2, 3),
-         |c1u AS (SELECT s, cid,
+         |${px}c1u AS (SELECT s, cid,
          |               list(CAST(FLOOR(CAST(sm AS DOUBLE) / n) AS BIGINT) ORDER BY i) AS cv
-         |        FROM u GROUP BY 1, 2),
-         |c1 AS MATERIALIZED (
+         |        FROM ${px}u GROUP BY 1, 2),
+         |${px}c1 AS MATERIALIZED (
          |  SELECT c.s, c.cid, COALESCE(u.cv, c.cv) AS cv
-         |  FROM cents c LEFT JOIN c1u u ON c.s = u.s AND c.cid = u.cid)""".stripMargin
-    val cb = if (withTrain) "c1" else "cents"
+         |  FROM ${px}cents c LEFT JOIN ${px}c1u u ON c.s = u.s AND c.cid = u.cid)""".stripMargin
+    val cb = if (withTrain) s"${px}c1" else s"${px}cents"
     val tail =
       s"""${assignCte("enc", cb)},
-         |dt AS MATERIALIZED (
+         |${px}dt AS MATERIALIZED (
          |  SELECT c.s, c.cid,
          |         list_sum(list_transform(range(1, 9),
          |           i -> (v.qv[c.s * 8 + i] - c.cv[i]) * (v.qv[c.s * 8 + i] - c.cv[i]))) AS d
-         |  FROM $cb c CROSS JOIN (SELECT qv FROM q WHERE vec_id = 0) v)""".stripMargin
+         |  FROM $cb c CROSS JOIN (SELECT qv FROM ${px}q WHERE vec_id = 0) v)""".stripMargin
     if (withTrain) s"$base,\n$train,\n$tail" else s"$base,\n$tail"
   }
 
@@ -913,6 +915,27 @@ object OracleSql {
       s"""WITH ${pqCtes(withTrain = true)}
          |SELECT e.vec_id, CAST(SUM(dt.d) AS BIGINT) AS adc_score
          |FROM enc e JOIN dt ON e.s = dt.s AND e.cid = dt.cid
+         |GROUP BY e.vec_id ORDER BY adc_score, e.vec_id LIMIT 20""".stripMargin
+    },
+
+    "q_ivfpq" -> {
+      // SparkEntry.qIvfPq twin: the q_ivf_fixed coarse quantizer
+      // (kmeansCtes c3/a4, probe = 4 nearest cells) composed with the
+      // q_pq_trained codebook (pqCtes prefixed "pq" to dodge the q/a1/c1
+      // name collisions) — ADC scores ONLY the probed cells' members
+      s"""WITH ${kmeansCtes()},
+         |${pqCtes(withTrain = true, px = "pq")},
+         |qv AS MATERIALIZED (SELECT q FROM q WHERE vec_id = 0),
+         |probe AS MATERIALIZED (
+         |  SELECT cid FROM (
+         |    SELECT c.cid,
+         |           list_sum(list_transform(range(1, 65),
+         |             i -> (c.c[i] - v.q[i]) * (c.c[i] - v.q[i]))) AS d
+         |    FROM c3 c CROSS JOIN qv v)
+         |  ORDER BY d, cid LIMIT 4),
+         |keep AS (SELECT vec_id FROM a4 WHERE cid IN (SELECT cid FROM probe))
+         |SELECT e.vec_id, CAST(SUM(dt.d) AS BIGINT) AS adc_score
+         |FROM pqenc e JOIN keep USING (vec_id) JOIN pqdt dt ON e.s = dt.s AND e.cid = dt.cid
          |GROUP BY e.vec_id ORDER BY adc_score, e.vec_id LIMIT 20""".stripMargin
     },
 

@@ -1088,6 +1088,35 @@ object SparkEntry {
     VectorSearch.pqSearch(model, codes, qv, 20).withColumnRenamed("id", "vec_id")
   }
 
+  /** IVF-PQ — the canonical billion-vector index, oracle-exact: the
+    * q_ivf_fixed coarse quantizer (fixed-point k-means, k=10, 3 rounds)
+    * prunes to the 4 cells nearest the query, and the q_pq_trained
+    * codebook scores ONLY those cells' members by ADC lookup — so a scan
+    * reads nProbe/nLists of the partitions and 1/64th of the bytes
+    * within them. Composition of [[Clustering.assignWith]] +
+    * [[VectorSearch.pqEncode]] (cell rides keepCols) +
+    * [[VectorSearch.pqSearch]] over the pre-filtered code table.
+    */
+  private def qIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val km = Clustering.kmeansFit(emb, "vec_id", "embedding", k = 10, iters = 3)
+    val pq = VectorSearch.pqFit(emb, "vec_id", "embedding", nSub = 8, k = 16, iters = 1)
+    val qv = emb.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
+    val qq = qv.map(x => math.floor(x.toDouble * 1000.0).toLong).toArray
+    val probes = km.centroids.zipWithIndex.map { case (c, i) =>
+      var d = 0L
+      var j = 0
+      while (j < c.length) { val t0 = c(j) - qq(j); d += t0 * t0; j += 1 }
+      (d, i)
+    }.sorted.take(4).map(_._2.toLong)
+    val codes = VectorSearch.pqEncode(
+      pq, Clustering.assignWith(km, emb, "embedding"), "vec_id", "embedding",
+      keepCols = Seq("cluster"))
+    VectorSearch
+      .pqSearch(pq, codes.where(col("cluster").isin(probes.toIndexedSeq: _*)), qv, 20)
+      .withColumnRenamed("id", "vec_id")
+  }
+
   /** Global duplicated-span removal (exact-substring dedup at 8-word
     * span granularity, [[Dedup.dedupSpansGlobal]]): only the corpus-wide
     * FIRST occurrence of every span survives; documents are stitched back
@@ -2843,6 +2872,7 @@ object SparkEntry {
     "q_ivf_fixed" -> (qIvfFixed _),
     "q_pq_fixed" -> (qPqFixed _),
     "q_pq_trained" -> (qPqTrained _),
+    "q_ivfpq" -> (qIvfPq _),
     "q_epochs" -> (qEpochs _),
     "q_triangles" -> (qTriangles _),
     "q_gap_fill" -> (qGapFill _),

@@ -1108,19 +1108,30 @@ object VectorSearch {
     * the float32 vector took 256, a 64x shrink of what a 100 TB ANN scan
     * has to read. One narrow pass, no shuffle, no driver action — the
     * incremental-batch path (encode new shards against the shared
-    * codebook forever; re-fit = periodic compaction).
+    * codebook forever; re-fit = periodic compaction). `keepCols` ride
+    * through unchanged — pass the IVF cell id here and filter before
+    * [[pqSearch]] for IVF-PQ (coarse-quantizer cell pruning + ADC over
+    * codes, the canonical billion-vector layout: at 1000 executors the
+    * probe reads nProbe/nLists of the directories AND 1/64th of the
+    * bytes within them).
     */
-  def pqEncode(model: PqModel, df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+  def pqEncode(
+      model: PqModel,
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      keepCols: Seq[String] = Nil
+  ): DataFrame = {
     val subDim = model.subDim
     val cb = model.lit2
     val qCol = expr(
       s"transform($vecCol, x -> cast(floor(cast(x as double) * ${model.quantScale}.0D) as bigint))")
-    df.select(col(idCol).as("id"), qCol.as("_pq_q"))
+    df.select(col(idCol).as("id") +: qCol.as("_pq_q") +: keepCols.map(col): _*)
       .select(
-        col("id"),
-        transform(sequence(lit(0), lit(model.nSub - 1)), s =>
-          pqArgmin(cb, model.k, s, slice(col("_pq_q"), s * subDim + 1, lit(subDim)))
-        ).as("pq_codes"))
+        col("id") +:
+          transform(sequence(lit(0), lit(model.nSub - 1)), s =>
+            pqArgmin(cb, model.k, s, slice(col("_pq_q"), s * subDim + 1, lit(subDim)))
+          ).as("pq_codes") +: keepCols.map(col): _*)
   }
 
   /** ADC (asymmetric distance computation) top-k over PQ codes: the

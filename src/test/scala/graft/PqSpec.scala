@@ -105,6 +105,20 @@ class PqSpec extends AnyFunSuite {
     assert(enc.getSeq[Int](1).forall(c => c >= 0 && c < 3))
   }
 
+  test("keepCols ride through pqEncode; cell pruning filters but never rescores") {
+    val df = planted.withColumn("cell", col("id") % 2)
+    val m = VectorSearch.pqFit(df, "id", "vec", nSub = 4, k = 3, iters = 1)
+    val codes = VectorSearch.pqEncode(m, df, "id", "vec", keepCols = Seq("cell"))
+    assert(codes.columns.toSeq == Seq("id", "pq_codes", "cell"))
+    val qv = df.where(col("id") === 0).select("vec").head().getSeq[Float](0)
+    val pruned = VectorSearch.pqSearch(m, codes.where(col("cell") === 0), qv, 24).collect()
+    assert(pruned.nonEmpty && pruned.forall(_.getLong(0) % 2 == 0))
+    val full = VectorSearch.pqSearch(m, codes, qv, 24).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    pruned.foreach(r => assert(full(r.getLong(0)) == r.getLong(1),
+      "IVF pruning must only FILTER the candidate set, never change ADC scores"))
+  }
+
   test("guards: dim not divisible, too few rows, bad query dim") {
     val df = planted
     intercept[IllegalArgumentException] {
