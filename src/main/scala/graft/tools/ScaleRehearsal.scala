@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 
-import graft.operators.{Curation, Dedup, GraphOps, Sketches, TextAnalysis, TrainingOrder}
+import graft.operators.{Curation, Dedup, GraphOps, Sketches, TextAnalysis, TrainingOrder, VectorSearch}
 
 /** sf1 scale rehearsal of the dedup/curation family (VERDICT r3 #5).
   *
@@ -81,12 +81,25 @@ object ScaleRehearsal {
           // (not a 10-way union re-derivation) — same footing as a table
           .localCheckpoint()
 
+    // The listener bus is ASYNC: a sub-second query can return before its
+    // task-end events are delivered, crediting its shuffle bytes to the
+    // NEXT measure window (observed: a 1.9M-row distinct metering 0.0 MB).
+    // Drain the bus before every snapshot so attribution is exact; the
+    // drain sits outside the timed region.
+    def drainBus(): Unit =
+      try {
+        val bus = spark.sparkContext.getClass.getMethod("listenerBus").invoke(spark.sparkContext)
+        bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
+      } catch { case _: ReflectiveOperationException => Thread.sleep(500) }
+
     def measure(tag: String)(work: => Long): Unit = {
+      drainBus()
       val (w0, r0) = meter.snapshot
       meter.resetPeak()
       val t0 = System.nanoTime()
       val rows = work
       val sec = (System.nanoTime() - t0) / 1e9
+      drainBus()
       val (w1, r1) = meter.snapshot
       println(f"[scale] $tag rows=$rows time=$sec%.2fs shuffleWrite=${(w1 - w0) / 1e6}%.1fMB " +
         f"shuffleRead=${(r1 - r0) / 1e6}%.1fMB peakTaskMem=${meter.peak / 1e6}%.1fMB")
@@ -97,7 +110,7 @@ object ScaleRehearsal {
     // EXACT name match against the known sections: substring matching let
     // e.g. 'd' enable several sections and a typo silently run nothing.
     val sections = Seq("docs", "semdedup", "pagerank", "iterative100", "bm25batch", "evaldrift",
-      "classifier", "bpe", "lm")
+      "classifier", "bpe", "lm", "sketchpq")
     val only = sys.env.get("GRAFT_SCALE_ONLY")
     only.foreach(o => require(sections.contains(o),
       s"GRAFT_SCALE_ONLY='$o' is not a section; known: ${sections.mkString(", ")}"))
@@ -141,7 +154,11 @@ object ScaleRehearsal {
       measure(s"kmv_overlap_x$factor") {
         val grams = docs.select(col("source"),
           explode(TextAnalysis.wordGrams(col("text"), 3)).as("gram"))
-        Sketches.kmvOverlap(grams, "source", "gram", k = 64).count()
+        // filter on the output so count() can't prune the heap + distinct
+        // below the pair join (the same trap as the boilerplate leg —
+        // the round-4 ~0 MB row for this leg WAS that artifact)
+        Sketches.kmvOverlap(grams, "source", "gram", k = 64)
+          .where(col("jaccard_fp") >= 0).count()
       }
       // round-5 operators over the same corpus
       measure(s"train_order_x$factor") {
@@ -436,6 +453,72 @@ object ScaleRehearsal {
     lazy val baseEmb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
       .select("vec_id", "embedding")
     import graft.operators.Clustering
+    // Round-12 sketches + PQ (the claims under q_hll_by / q_pq_* /
+    // q_ivfpq, METERED):
+    //   - grouped cardinality: KMV needs a corpus-sized distinct (source,
+    //     gram-hash) shuffle BEFORE its bounded heap; HLL maps rows
+    //     straight to registers with map-side MAX, so its shuffle must
+    //     stay register-bounded (FLAT) while KMV's grows with distinct
+    //     grams;
+    //   - PQ: fit cost is the grouped-Lloyd's passes; encode is one
+    //     narrow pass; ADC search scans nSub longs/row instead of the
+    //     float vector — wall time vs exact brute-force cosine is the
+    //     measured read-amplification cut.
+    if (sectionEnabled("sketchpq")) {
+      // Zipf-real corpus (the bm25batch generator): 40 words/doc over a
+      // ~20k-word vocabulary, so 3-gram shingles are near-unique — the
+      // high-cardinality value space where the two sketches' shuffle
+      // shapes actually diverge (the templated sf docs share most
+      // shingles and both sketches measure ~0 MB there)
+      for (nDocs <- Seq(5000L, 50000L, 200000L)) {
+        val zdocs = spark.range(0L, nDocs * 40L, 1L, 32)
+          .select((col("id") / 40).cast("long").as("doc_id"),
+            concat(lit("w"),
+              floor(exp((pmod(xxhash64(col("id")), lit(1000000L)).cast("double") + 1.0)
+                / 1000001.0 * log(lit(20000.0)))).cast("long")).as("word"))
+          .groupBy("doc_id")
+          .agg(concat_ws(" ", collect_list(col("word"))).as("text"))
+          .localCheckpoint()
+        val grams = zdocs.select(pmod(col("doc_id"), lit(20L)).as("source"),
+          explode(TextAnalysis.wordGrams(col("text"), 3)).as("gram"))
+        // filter on the estimate so count() can't prune the sketch
+        // pipeline down to "distinct sources" (the boilerplate-leg trap)
+        measure(s"kmv_by_source_n$nDocs") {
+          Sketches.kmvDistinctBy(grams, Seq("source"), "gram", k = 64)
+            .where(col("kmv_estimate") >= 0).count()
+        }
+        measure(s"hll_by_source_n$nDocs") {
+          Sketches.hllDistinctBy(grams, Seq("source"), "gram", p = 10)
+            .where(col("hll_estimate") >= 0).count()
+        }
+      }
+      val emb01 = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+        .select("vec_id", "embedding")
+      for (factor <- Seq(1, 10)) {
+        val emb = (0 until factor)
+          .map(i => emb01.select((col("vec_id") + lit(i * 10000000L)).as("vec_id"), col("embedding")))
+          .reduce(_ unionByName _)
+          .localCheckpoint()
+        var model: VectorSearch.PqModel = null
+        measure(s"pq_fit1_x$factor") {
+          model = VectorSearch.pqFit(emb, "vec_id", "embedding", nSub = 8, k = 16, iters = 1)
+          (model.nSub * model.k).toLong
+        }
+        var codes: DataFrame = null
+        measure(s"pq_encode_x$factor") {
+          codes = VectorSearch.pqEncode(model, emb, "vec_id", "embedding").localCheckpoint()
+          codes.count()
+        }
+        val qv = emb01.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
+        measure(s"pq_adc_top10_x$factor") {
+          VectorSearch.pqSearch(model, codes, qv, 10).count()
+        }
+        measure(s"exact_cosine_top10_x$factor") {
+          VectorSearch.topK(emb, "embedding", qv.toArray, 10, col("vec_id")).count()
+        }
+      }
+    }
+
     if (sectionEnabled("semdedup")) for (factor <- Seq(1, 10)) {
       val emb = (0 until factor)
         .map { i =>
