@@ -2376,6 +2376,60 @@ object OracleSql {
          |ORDER BY n_tokens DESC, t.doc_id LIMIT 20""".stripMargin
     },
 
+    "q_wordpiece_infer" -> {
+      // TextAnalysis.wordPieceEncode twin: 4 likelihood training rounds
+      // on the EVEN doc_ids; vocabulary = training alphabet + merge
+      // products b1..b4; the odd half's DISTINCT words walk a recursive
+      // CTE that consumes the LONGEST matching vocabulary symbol at each
+      // position (the per-(word, pos) MAX precomputed in `best`); a word
+      // whose walk never reaches len+1 is one whole-word [UNK]
+      val trainW0 =
+        s"""w0 AS (
+           |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
+           |         '|' || regexp_replace(word, '(.)', '\\1|', 'g') AS seg
+           |  FROM (SELECT UNNEST($ftsToks) AS word FROM documents WHERE doc_id % 2 = 0)
+           |  GROUP BY word)""".stripMargin
+      val rounds = (1 to 4).map(r => bpeRound(s"w${r - 1}", r, likelihood = true)).mkString(",\n")
+      s"""WITH RECURSIVE $trainW0,
+         |$rounds,
+         |vocabt AS (
+         |  SELECT DISTINCT sym FROM (
+         |    SELECT substr(word, CAST(i AS INTEGER), 1) AS sym
+         |    FROM w0, UNNEST(range(1, len(word) + 1)) t(i)
+         |    UNION ALL SELECT pa || pb FROM b1
+         |    UNION ALL SELECT pa || pb FROM b2
+         |    UNION ALL SELECT pa || pb FROM b3
+         |    UNION ALL SELECT pa || pb FROM b4)),
+         |aw AS (SELECT DISTINCT UNNEST($ftsToks) AS word
+         |       FROM documents WHERE doc_id % 2 = 1),
+         |best AS (
+         |  SELECT p.word, p.pos, MAX(len(v.sym)) AS mlen
+         |  FROM (SELECT word, i AS pos FROM aw, UNNEST(range(1, len(word) + 1)) t(i)) p
+         |  JOIN vocabt v ON substr(p.word, CAST(p.pos AS INTEGER), CAST(len(v.sym) AS INTEGER)) = v.sym
+         |  GROUP BY 1, 2),
+         |walk(word, pos, toks) AS (
+         |  SELECT word, CAST(1 AS BIGINT), CAST(0 AS BIGINT) FROM aw
+         |  UNION ALL
+         |  SELECT w.word, w.pos + b.mlen, w.toks + 1
+         |  FROM walk w JOIN best b ON w.word = b.word AND w.pos = b.pos
+         |  WHERE w.pos <= len(w.word)),
+         |done AS (
+         |  SELECT word, MAX(CASE WHEN pos = len(word) + 1 THEN toks END) AS toks
+         |  FROM walk GROUP BY word),
+         |segv AS (
+         |  SELECT word, COALESCE(toks, 1) AS n_tokens_w,
+         |         CASE WHEN toks IS NULL THEN 1 ELSE 0 END AS unk_w
+         |  FROM done),
+         |tok AS (SELECT doc_id, UNNEST($ftsToks) AS word FROM documents WHERE doc_id % 2 = 1)
+         |SELECT t.doc_id,
+         |       CAST(COUNT(*) AS BIGINT) AS n_words,
+         |       CAST(SUM(s.n_tokens_w) AS BIGINT) AS n_tokens,
+         |       CAST(SUM(s.unk_w) AS BIGINT) AS n_unk
+         |FROM tok t JOIN segv s ON t.word = s.word
+         |GROUP BY t.doc_id
+         |ORDER BY n_tokens DESC, t.doc_id LIMIT 20""".stripMargin
+    },
+
     "q_wordpiece_merges" -> {
       // TextAnalysis.wordPieceMerges twin: the q_bpe_merges rounds with
       // the likelihood argmax (bpeRound(likelihood = true))

@@ -2512,6 +2512,23 @@ object SparkEntry {
       .orderBy(desc("n_tokens"), col("doc_id"))
       .limit(20)
 
+  /** WordPiece INFERENCE encode (TextAnalysis.wordPieceEncode): greedy
+    * longest-match against the vocabulary (alphabet + merge products) a
+    * 4-round likelihood training on the EVEN doc_ids produced, applied
+    * to the ODD doc_ids — the BERT serving-time algorithm, whole-word
+    * [UNK] for never-seen characters. The oracle walks the same greedy
+    * match with a recursive CTE.
+    */
+  private def qWordpieceInfer(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    TextAnalysis.wordPieceEncode(
+      docs.where(col("doc_id") % 2 === 0),
+      docs.where(col("doc_id") % 2 === 1),
+      "doc_id", "text", rounds = 4)
+      .orderBy(desc("n_tokens"), col("doc_id"))
+      .limit(20)
+  }
+
   /** OOV BPE encode (TextAnalysis.bpeEncode): 4 merges trained on the
     * EVEN doc_ids replay onto the ODD doc_ids' words — the
     * unseen-corpus apply path (lowest-rank replay == training-order
@@ -2887,6 +2904,7 @@ object SparkEntry {
     "q_bpe_encode" -> (qBpeEncode _),
     "q_wordpiece_merges" -> (qWordpieceMerges _),
     "q_wordpiece_encode" -> (qWordpieceEncode _),
+    "q_wordpiece_infer" -> (qWordpieceInfer _),
     "q_bpe_encode_oov" -> (qBpeEncodeOov _),
     "q_window_drift" -> (qWindowDrift _),
     "q_vector_window_drift" -> (qVectorWindowDrift _),

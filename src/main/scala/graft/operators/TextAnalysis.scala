@@ -1107,6 +1107,70 @@ object TextAnalysis {
         sum(col("n_tokens_w")).as("n_tokens"))
   }
 
+  /** WordPiece INFERENCE encode — greedy longest-match, the algorithm
+    * BERT runs at serving time (Schuster & Nakajima 2012; distinct from
+    * the merge-replay [[bpeEncode]] uses): the vocabulary is the
+    * training alphabet plus every trained merge product, and each apply
+    * word is consumed left to right by the LONGEST vocabulary symbol
+    * that prefixes the remaining suffix. A word with any unmatched
+    * position becomes one [UNK] token (the whole-word-UNK BERT
+    * convention — only possible for characters never seen in training).
+    * Returns per apply-doc `(idCol, n_words, n_tokens, n_unk)`.
+    *
+    * Longest-match and merge-replay genuinely differ: replay segments
+    * exactly as training did, longest-match can pick a longer symbol
+    * whose PARTS were trained from different merges — both are
+    * pinned by oracle (q_wordpiece_encode vs q_wordpiece_infer).
+    *
+    * Scale shape: the [[bpeEncode]] contract — one corpus pass to
+    * explode words, the match UDF runs once per DISTINCT word against a
+    * broadcast vocabulary set, per-doc counts reduce by id.
+    */
+  def wordPieceEncode(
+      trainDocs: DataFrame,
+      applyDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      rounds: Int,
+      maxVocab: Long = 10000000L
+  ): DataFrame = {
+    val (stats, finalVocab) = trainBpeLocal(trainDocs, textCol, rounds, maxVocab, likelihood = true)
+    val alphabet: Set[String] = finalVocab.iterator.flatMap(_._1.map(_.toString)).toSet
+    val vocab: Set[String] = alphabet ++ stats.iterator.map { case (_, a, b, _, _) => a + b }
+    val maxLen = if (vocab.isEmpty) 1 else vocab.iterator.map(_.length).max
+    val enc = udf { (word: String) =>
+      var pos = 0
+      var toks = 0L
+      var ok = true
+      while (ok && pos < word.length) {
+        var l = math.min(maxLen, word.length - pos)
+        var found = 0
+        while (found == 0 && l >= 1) {
+          if (vocab.contains(word.substring(pos, pos + l))) found = l else l -= 1
+        }
+        if (found == 0) ok = false
+        else { pos += found; toks += 1 }
+      }
+      if (ok) (toks, 0L) else (1L, 1L)
+    }
+    val words = applyDocs
+      .select(col(idCol), explode(TextFunctions.ftsTokens(col(textCol))).as("word"))
+    val segmented = words
+      .select("word").distinct()
+      .withColumn("_e", enc(col("word")))
+      .select(col("word"), col("_e._1").as("n_tokens_w"), col("_e._2").as("unk_w"))
+      // vocabulary-bounded; pinned so the per-doc join never re-runs the
+      // match UDF per consumer (the bpeEncode discipline)
+      .localCheckpoint()
+    words
+      .join(broadcast(segmented), Seq("word"))
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(col("n_tokens_w")).as("n_tokens"),
+        sum(col("unk_w")).as("n_unk"))
+  }
+
   def bpePairStats(docs: DataFrame, textCol: String, k: Int = 20): DataFrame = {
     require(k >= 1, s"bpePairStats: k must be >= 1, got $k")
     val wordCounts = docs

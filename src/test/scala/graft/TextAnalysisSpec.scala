@@ -392,6 +392,33 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("wordPieceEncode: greedy longest-match, whole-word UNK, hand-computed") {
+    // training "abc abc ab": r1 ties (a,b)=3/9 vs (b,c)=2/6 at the same
+    // double (1/3) -> lex (a,b) -> "ab"; r2 merges (ab,c) -> "abc".
+    // vocab = {a, b, c, ab, abc}
+    val train = Seq("abc abc ab").toDF("text").withColumn("doc_id", lit(0L))
+    // apply: "abc" -> [abc] (1); "abb" -> [ab, b] (2); "xz" -> [UNK]
+    val apply0 = Seq((1L, "abc abb xz")).toDF("doc_id", "text")
+    val out = TextAnalysis.wordPieceEncode(train, apply0, "doc_id", "text", rounds = 2).head()
+    assert(out.getLong(0) == 1L)
+    assert((out.getLong(1), out.getLong(2), out.getLong(3)) == ((3L, 4L, 1L)),
+      s"got (${out.getLong(1)}, ${out.getLong(2)}, ${out.getLong(3)})")
+  }
+
+  test("wordPieceEncode matches training segmentation counts on the training corpus " +
+    "when greedy-by-length and greedy-by-likelihood agree") {
+    val docs = Seq((1L, "low low lower"), (2L, "newest newest widest")).toDF("doc_id", "text")
+    val infer = TextAnalysis.wordPieceEncode(docs, docs, "doc_id", "text", rounds = 3)
+      .orderBy("doc_id").collect()
+    // no character is OOV when apply == train
+    assert(infer.forall(_.getLong(3) == 0L))
+    // longest-match can only produce AT MOST as many tokens as chars
+    // and at least n_words
+    infer.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1), "tokens >= words")
+    }
+  }
+
   test("bigramLmScore: every branch hand-computed against a held-out LM") {
     // LM corpus "a b a b c": cnt1 = {a:2, b:2, c:1}, n_lm = 5 (bits=3),
     // bigrams = {"a b":2, "b a":1, "b c":1}.
