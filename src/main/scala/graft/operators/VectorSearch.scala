@@ -1173,6 +1173,55 @@ object VectorSearch {
       .select("id", "adc_score")
   }
 
+  /** Persist a PQ index: the code table as parquet — partitioned by
+    * `cellCol` when given, so an IVF-PQ probe becomes parquet partition
+    * pruning (read nProbe of nLists directories) on top of the 8-64x
+    * byte cut the codes already are — plus the codebook as flat JSON
+    * metadata. The codes side is append-friendly: encode new batches
+    * against the frozen codebook ([[pqEncode]]) and append to `codes/`.
+    */
+  def writePq(model: PqModel, codes: DataFrame, path: String, cellCol: Option[String] = None): Unit = {
+    val writer = cellCol match {
+      // one file per cell directory, not one per input-partition x cell
+      // (the writeIvf rationale)
+      case Some(c) => codes.repartition(col(c)).write.mode("overwrite").partitionBy(c)
+      case None => codes.write.mode("overwrite")
+    }
+    writer.parquet(s"$path/codes")
+    val flat = model.codebook.flatMap(_.flatMap(_.toSeq))
+    val json =
+      s"""{"nSub":${model.nSub},"k":${model.k},"subDim":${model.subDim},""" +
+        s""""quantScale":${model.quantScale},"flat":[${flat.mkString(",")}]}"""
+    val p = new org.apache.hadoop.fs.Path(s"$path/codebook.json")
+    val fs = p.getFileSystem(codes.sparkSession.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(json.getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Load a persisted PQ index (inverse of [[writePq]]): the frozen
+    * codebook and the code table, ready for [[pqSearch]] (pre-filter on
+    * the cell column first for IVF-PQ probes).
+    */
+  def loadPq(spark: org.apache.spark.sql.SparkSession, path: String): (PqModel, DataFrame) = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/codebook.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val json =
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+      finally in.close()
+    def num(key: String): Long =
+      s""""$key":(-?\\d+)""".r.findFirstMatchIn(json).get.group(1).toLong
+    val (nSub, k, subDim) = (num("nSub").toInt, num("k").toInt, num("subDim").toInt)
+    val flat = """"flat":\[([^\]]*)\]""".r.findFirstMatchIn(json).get.group(1)
+      .split(",").map(_.trim.toLong)
+    require(flat.length == nSub * k * subDim,
+      s"codebook.json carries ${flat.length} values, expected ${nSub * k * subDim}")
+    val codebook = Array.tabulate(nSub, k)((s, c) =>
+      flat.slice((s * k + c) * subDim, (s * k + c + 1) * subDim))
+    (PqModel(codebook, num("quantScale").toInt), spark.read.parquet(s"$path/codes"))
+  }
+
   /** All-pairs near-duplicate detection by embedding cosine, LSH-blocked:
     * only pairs sharing a signature band are compared — the classic
     * O(n^2) -> O(n·bucket) reduction. Returns (id_a, id_b, score) with

@@ -140,6 +140,55 @@ object RetrievalLadder {
         ids(VectorSearch.matryoshkaTopK(emb, "vec_id", "embedding", queries(qid), dims, fetchK)))
     }
 
+    // PQ ADC (q_pq_trained surface): recall cost of 8x16 product
+    // quantization ALONE — embeddings are unit vectors, so ADC's L2
+    // ranking is cosine ranking and the rows compare directly to truth
+    var pq3: VectorSearch.PqModel = null
+    var codes3: org.apache.spark.sql.DataFrame = null
+    for (iters <- Seq(1, 3)) {
+      val pq = VectorSearch.pqFit(emb, "vec_id", "embedding", nSub = 8, k = 16, iters = iters)
+      val codes = VectorSearch.pqEncode(pq, emb, "vec_id", "embedding").localCheckpoint()
+      if (iters == 3) { pq3 = pq; codes3 = codes }
+      score(s"pq_adc_8x16_it$iters")(qid =>
+        ids(VectorSearch.pqSearch(pq, codes, queries(qid).toSeq, fetchK), "id"))
+    }
+    // the resolution knob: 6-bit codebooks (8x64) double the code bytes
+    // vs 8x16 and buy the recall the 4-bit row leaves on the table
+    val pq64 = VectorSearch.pqFit(emb, "vec_id", "embedding", nSub = 8, k = 64, iters = 3)
+    val codes64 = VectorSearch.pqEncode(pq64, emb, "vec_id", "embedding").localCheckpoint()
+    score("pq_adc_8x64_it3")(qid =>
+      ids(VectorSearch.pqSearch(pq64, codes64, queries(qid).toSeq, fetchK), "id"))
+    // the production PQ pattern: ADC is a SHORTLIST generator (here 100
+    // of 2000 = scan 5% of the float bytes), exact cosine rescans only
+    // the shortlist — the row that prices what the 8x16 codes actually
+    // cost once rescoring is in the loop
+    score("pq_adc_it3_rescore100")(qid => {
+      val shortlist = VectorSearch.pqSearch(pq3, codes3, queries(qid).toSeq, 100)
+        .select(col("id").as("vec_id"))
+      ids(VectorSearch.topK(
+        emb.join(shortlist, Seq("vec_id"), "left_semi"),
+        "embedding", queries(qid), fetchK, col("vec_id")))
+    })
+    // IVF-PQ (q_ivfpq surface): quantization + cell pruning at the IVF
+    // operating point — the gap to the pq_adc row above is what pruning
+    // costs on top of quantization
+    val km = graft.operators.Clustering.kmeansFit(emb, "vec_id", "embedding", k = 8, iters = 3)
+    val codesCell = VectorSearch.pqEncode(pq3,
+      graft.operators.Clustering.assignWith(km, emb, "embedding"), "vec_id", "embedding",
+      keepCols = Seq("cluster")).localCheckpoint()
+    score("ivfpq_n8_p6")(qid => {
+      val qq = queries(qid).map(x => math.floor(x.toDouble * 1000.0).toLong)
+      val probes = km.centroids.zipWithIndex.map { case (c, i) =>
+        var d = 0L
+        var j = 0
+        while (j < c.length) { val t0 = c(j) - qq(j); d += t0 * t0; j += 1 }
+        (d, i)
+      }.sorted.take(6).map(_._2.toLong)
+      ids(VectorSearch.pqSearch(pq3,
+        codesCell.where(col("cluster").isin(probes.toIndexedSeq: _*)),
+        queries(qid).toSeq, fetchK), "id")
+    })
+
     // ==================================================================
     // Hybrid-RRF quality rows (VERDICT r10 #6): the flagship composite
     // Q3 finally gets a measured row next to its single-surface legs.
