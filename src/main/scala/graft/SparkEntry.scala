@@ -1046,15 +1046,9 @@ object SparkEntry {
     val emb = t(s, dir, "embeddings")
     val qv = emb.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
     val model = Clustering.kmeansFit(emb, "vec_id", "embedding", k = 10, iters = 3)
-    val qq = qv.map(x => math.floor(x.toDouble * 1000.0).toLong).toArray
-    val probes = model.centroids.zipWithIndex.map { case (c, i) =>
-      var d = 0L
-      var j = 0
-      while (j < c.length) { val t0 = c(j) - qq(j); d += t0 * t0; j += 1 }
-      (d, i)
-    }.sorted.take(4).map(_._2.toLong)
+    val probes = Clustering.nearestCentroids(model, qv, 4)
     Clustering.assignWith(model, emb, "embedding")
-      .where(col("cluster").isin(probes.toIndexedSeq: _*))
+      .where(col("cluster").isin(probes: _*))
       .withColumn("score", round(VectorFunctions.cosineSim(col("embedding"), typedlit(qv)), 6))
       .select(col("vec_id"), col("cluster").as("cell"), col("score"))
       .orderBy(desc("score"), col("vec_id"))
@@ -1102,18 +1096,12 @@ object SparkEntry {
     val km = Clustering.kmeansFit(emb, "vec_id", "embedding", k = 10, iters = 3)
     val pq = VectorSearch.pqFit(emb, "vec_id", "embedding", nSub = 8, k = 16, iters = 1)
     val qv = emb.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
-    val qq = qv.map(x => math.floor(x.toDouble * 1000.0).toLong).toArray
-    val probes = km.centroids.zipWithIndex.map { case (c, i) =>
-      var d = 0L
-      var j = 0
-      while (j < c.length) { val t0 = c(j) - qq(j); d += t0 * t0; j += 1 }
-      (d, i)
-    }.sorted.take(4).map(_._2.toLong)
+    val probes = Clustering.nearestCentroids(km, qv, 4)
     val codes = VectorSearch.pqEncode(
       pq, Clustering.assignWith(km, emb, "embedding"), "vec_id", "embedding",
       keepCols = Seq("cluster"))
     VectorSearch
-      .pqSearch(pq, codes.where(col("cluster").isin(probes.toIndexedSeq: _*)), qv, 20)
+      .pqSearch(pq, codes.where(col("cluster").isin(probes: _*)), qv, 20)
       .withColumnRenamed("id", "vec_id")
   }
 

@@ -147,6 +147,25 @@ object Clustering {
       .drop("_km_q")
   }
 
+  /** The `n` model centroids nearest a raw query vector, as cluster ids
+    * in probe order — the driver-side cell-probe selection of IVF-style
+    * search (integer L2 on the MODEL's quantScale, ties to the lower
+    * cid: the assignWith argmin, ranked). Shared by q_ivfpq and the
+    * RetrievalLadder so the query is always quantized at the scale the
+    * centroids were trained at.
+    */
+  def nearestCentroids(model: KmeansModel, queryVec: Seq[Float], n: Int): Seq[Long] = {
+    require(n >= 1, s"need n >= 1, got $n")
+    val qq = queryVec.map(x => math.floor(x.toDouble * model.quantScale).toLong).toArray
+    require(qq.length == model.dim, s"query dim ${qq.length} != model dim ${model.dim}")
+    model.centroids.zipWithIndex.map { case (c, i) =>
+      var d = 0L
+      var j = 0
+      while (j < c.length) { val t0 = c(j) - qq(j); d += t0 * t0; j += 1 }
+      (d, i)
+    }.sorted.take(n).map(_._2.toLong).toSeq
+  }
+
   /** (input columns) + `cluster` (BIGINT in 0..k-1): the Lloyd's
     * assignment after `iters` rounds from the deterministic lowest-id
     * seeds — [[kmeansFit]] + [[assignWith]] in one call.

@@ -217,7 +217,10 @@ object Sketches {
 
   /** Merge HLL register tables built with the same `p`: bucket-wise max.
     * `union` keeps this shuffle at (sketch rows) x (number of shards) —
-    * never data-sized.
+    * never data-sized. `p` is the CALLER's invariant — the (idx, r)
+    * schema does not carry it, so mixing p values silently produces a
+    * meaningless sketch; [[hllEstimate]]'s range guard catches the gross
+    * mismatches (an idx or rank outside its p's range) but not all.
     */
   def hllMergeRegisters(sketches: Seq[DataFrame]): DataFrame = {
     require(sketches.nonEmpty, "hllMergeRegisters needs at least one sketch")
@@ -235,9 +238,22 @@ object Sketches {
     requireHllP(p)
     val m = 1L << p
     val maxR = (61 - p).toLong
+    // loud range guard: a register outside [0, m) or a rank outside
+    // [1, 61-p] means the table was built (or merged) under a different
+    // p — the estimate would be silently wrong. The guard rides the
+    // COUNTED column (never null, so count semantics are unchanged):
+    // a standalone guarded projection gets column-pruned away because
+    // the aggregate never reads idx.
+    val guardedIdx =
+      when(col("idx") < 0 || col("idx") >= m || col("r") < 1 || col("r") > maxR,
+        raise_error(concat(
+          lit(s"hllEstimate: register outside the p=$p range (idx="),
+          col("idx"), lit(", r="), col("r"),
+          lit(") — sketch built with a different p?"))).cast("long"))
+        .otherwise(col("idx"))
     registers
       .agg(
-        count(lit(1)).as("touched"),
+        count(guardedIdx).as("touched"),
         coalesce(sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST($maxR - r AS INT))")), lit(0L))
           .as("sum_touched"))
       .select(
@@ -263,6 +279,10 @@ object Sketches {
   def hllDistinctBy(df: DataFrame, keys: Seq[String], valueCol: String, p: Int = 12): DataFrame = {
     requireHllP(p)
     require(keys.nonEmpty, "hllDistinctBy needs grouping keys; use hllDistinct for the global sketch")
+    // internal/output names would silently shadow a same-named key (the
+    // assignWith reserved-column convention)
+    val reserved = Set("idx", "r", "touched", "sum_touched", "n_zero", "sum_scaled", "hll_estimate")
+    require(!keys.exists(reserved), s"grouping keys may not use the reserved names $reserved")
     val m = 1L << p
     val maxR = (61 - p).toLong
     val keyCols = keys.map(col)

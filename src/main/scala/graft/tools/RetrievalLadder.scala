@@ -177,15 +177,9 @@ object RetrievalLadder {
       graft.operators.Clustering.assignWith(km, emb, "embedding"), "vec_id", "embedding",
       keepCols = Seq("cluster")).localCheckpoint()
     score("ivfpq_n8_p6")(qid => {
-      val qq = queries(qid).map(x => math.floor(x.toDouble * 1000.0).toLong)
-      val probes = km.centroids.zipWithIndex.map { case (c, i) =>
-        var d = 0L
-        var j = 0
-        while (j < c.length) { val t0 = c(j) - qq(j); d += t0 * t0; j += 1 }
-        (d, i)
-      }.sorted.take(6).map(_._2.toLong)
+      val probes = graft.operators.Clustering.nearestCentroids(km, queries(qid).toSeq, 6)
       ids(VectorSearch.pqSearch(pq3,
-        codesCell.where(col("cluster").isin(probes.toIndexedSeq: _*)),
+        codesCell.where(col("cluster").isin(probes: _*)),
         queries(qid).toSeq, fetchK), "id")
     })
 

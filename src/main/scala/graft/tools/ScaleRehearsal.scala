@@ -473,11 +473,17 @@ object ScaleRehearsal {
       for (nDocs <- Seq(5000L, 50000L, 200000L)) {
         val zdocs = spark.range(0L, nDocs * 40L, 1L, 32)
           .select((col("id") / 40).cast("long").as("doc_id"),
+            pmod(col("id"), lit(40L)).as("pos"),
             concat(lit("w"),
               floor(exp((pmod(xxhash64(col("id")), lit(1000000L)).cast("double") + 1.0)
                 / 1000001.0 * log(lit(20000.0)))).cast("long")).as("word"))
           .groupBy("doc_id")
-          .agg(concat_ws(" ", collect_list(col("word"))).as("text"))
+          // collect_list order follows the shuffle — sort by the planted
+          // position so per-doc word order (hence the 3-gram multiset and
+          // the published shuffle-MB rows) is run-reproducible
+          .agg(array_sort(collect_list(struct(col("pos"), col("word")))).as("ws"))
+          .select(col("doc_id"),
+            concat_ws(" ", expr("transform(ws, x -> x.word)")).as("text"))
           .localCheckpoint()
         val grams = zdocs.select(pmod(col("doc_id"), lit(20L)).as("source"),
           explode(TextAnalysis.wordGrams(col("text"), 3)).as("gram"))
@@ -492,11 +498,9 @@ object ScaleRehearsal {
             .where(col("hll_estimate") >= 0).count()
         }
       }
-      val emb01 = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
-        .select("vec_id", "embedding")
       for (factor <- Seq(1, 10)) {
         val emb = (0 until factor)
-          .map(i => emb01.select((col("vec_id") + lit(i * 10000000L)).as("vec_id"), col("embedding")))
+          .map(i => baseEmb.select((col("vec_id") + lit(i * 10000000L)).as("vec_id"), col("embedding")))
           .reduce(_ unionByName _)
           .localCheckpoint()
         var model: VectorSearch.PqModel = null
@@ -509,7 +513,7 @@ object ScaleRehearsal {
           codes = VectorSearch.pqEncode(model, emb, "vec_id", "embedding").localCheckpoint()
           codes.count()
         }
-        val qv = emb01.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
+        val qv = baseEmb.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
         measure(s"pq_adc_top10_x$factor") {
           VectorSearch.pqSearch(model, codes, qv, 10).count()
         }

@@ -49,7 +49,7 @@ class IndexPersistenceSpec extends AnyFunSuite {
     }
     val df = data.toDF("id", "vec")
     val model = VectorSearch.pqFit(df, "id", "vec", nSub = 4, k = 4, iters = 2)
-    val withCell = df.withColumn("cell", col("id") / 100) // the planted cluster id
+    val withCell = df.withColumn("cell", expr("id div 100")) // the planted cluster id (0..3)
     val codes = VectorSearch.pqEncode(model, withCell, "id", "vec", keepCols = Seq("cell"))
 
     val dir = java.nio.file.Files.createTempDirectory("graft-pq").toString

@@ -86,6 +86,20 @@ class SketchesSpec extends AnyFunSuite {
     assert(whole == merged)
   }
 
+  test("hll guards: mismatched-p registers fail loudly; reserved grouping keys rejected") {
+    val regs = Sketches.hllRegisters(
+      spark.range(3000).select(concat(lit("v"), col("id")).as("v")), "v", p = 12)
+    // estimating a p=12 table at p=9 must raise, not return a wrong number
+    val e = intercept[Exception] {
+      Sketches.hllEstimate(regs, p = 9).collect()
+    }
+    assert(e.getMessage != null)
+    intercept[IllegalArgumentException] {
+      Sketches.hllDistinctBy(spark.range(5).select(col("id").as("idx"), col("id").as("v")),
+        Seq("idx"), "v")
+    }
+  }
+
   test("grouped hll matches per-group single hll") {
     val df = spark.range(3000).select(
       (col("id") % 3).cast("string").as("g"),
