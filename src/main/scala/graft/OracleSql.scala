@@ -1810,6 +1810,34 @@ object OracleSql {
          |FROM agg ORDER BY l_returnflag""".stripMargin
     },
 
+    "q_event_hll" -> {
+      // EventStreams.windowedHllRegisters/windowedHllEstimate twin at
+      // p=7 over weekly epoch-aligned tumbling windows (the q_window_drift
+      // modulo convention) — same register math as q_hll_distinct,
+      // grouped by window
+      val h60 = md5NibbleIntSql("CAST(user_id AS VARCHAR)", 15)
+      val alpha = graft.operators.Sketches.hllAlphaNumerator(7)
+      s"""WITH h AS (
+         |  SELECT epoch_us(ts) - (epoch_us(ts) % 604800000000) AS ws, $h60 AS h
+         |  FROM events WHERE user_id IS NOT NULL),
+         |regs AS (
+         |  SELECT ws, h >> 53 AS idx,
+         |         MAX(CASE WHEN h % 9007199254740992 = 0 THEN 54
+         |                  ELSE 54 - len(bin(h % 9007199254740992)) END) AS r
+         |  FROM h GROUP BY 1, 2),
+         |agg AS (SELECT ws, COUNT(*) AS touched,
+         |               CAST(SUM(CAST(1 AS BIGINT) << CAST(54 - r AS INTEGER)) AS BIGINT)
+         |                 AS sum_touched
+         |        FROM regs GROUP BY 1)
+         |SELECT CAST(ws AS BIGINT) AS window_start_us,
+         |       CAST(128 - touched AS BIGINT) AS n_zero,
+         |       CAST(sum_touched + (128 - touched) * (CAST(1 AS BIGINT) << 54) AS BIGINT)
+         |         AS sum_scaled,
+         |       $alpha / (sum_touched + (128 - touched) * (CAST(1 AS BIGINT) << 54))
+         |         AS hll_estimate
+         |FROM agg ORDER BY window_start_us""".stripMargin
+    },
+
     "q_hist_quantile" ->
       """WITH b AS (
         |  SELECT LEAST(CAST(FLOOR((l_extendedprice - 0.0) / 100.0) AS BIGINT), 999) AS bin,

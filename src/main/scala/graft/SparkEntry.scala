@@ -2604,6 +2604,25 @@ object SparkEntry {
       .orderBy("window_start_us", "dim")
   }
 
+  /** Streaming per-window distinct-user sketch (EventStreams
+    * .windowedHllRegisters run batch-side — batch planning elides only
+    * the watermark): weekly tumbling HLL registers over user_id, read
+    * out via the grouped estimate. The streaming angle KMV cannot take:
+    * register MAX folds incrementally under append mode with state
+    * bounded by open windows x 2^p, never by distinct users.
+    */
+  private def qEventHll(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+      .select(timestamp_micros(col("ts_us")).as("ts"), col("user_id"))
+    val regs = graft.streaming.EventStreams.windowedHllRegisters(
+      ev, "ts", "user_id", windowLen = "7 days", lateness = "1 hour", p = 7)
+    graft.streaming.EventStreams.windowedHllEstimate(regs, p = 7)
+      .select(
+        unix_micros(col("window_start")).as("window_start_us"),
+        col("n_zero"), col("sum_scaled"), col("hll_estimate"))
+      .orderBy("window_start_us")
+  }
+
   /** Model-based quality filtering (QualityClassifier): fit the exact
     * nearest-centroid model on the 1-in-5 labeled sample (doc_id % 5 = 0,
     * teacher label = n_chars >= 300 — the "expensive scorer on a sample,
@@ -2850,6 +2869,7 @@ object SparkEntry {
     "q_kmv_by_group" -> (qKmvByGroup _),
     "q_hll_distinct" -> (qHllDistinct _),
     "q_hll_by" -> (qHllBy _),
+    "q_event_hll" -> (qEventHll _),
     "q_pagerank" -> (qPageRank _),
     "q_tfidf" -> (qTfidf _),
     "q_boilerplate" -> (qBoilerplate _),

@@ -169,7 +169,7 @@ object Sketches {
     * `length(bin(x))`, the same portable idiom the LM scorer uses — the
     * oracle reproduces both fields exactly.
     */
-  private def hllIdxRank(value: Column, p: Int): (Column, Column) = {
+  private[graft] def hllIdxRank(value: Column, p: Int): (Column, Column) = {
     val remBits = 60 - p
     val h = md5Hash60(value)
     val idx = shiftright(h, remBits)
@@ -232,7 +232,10 @@ object Sketches {
     * `sum over ALL m registers of 2^(61-p-r)`, untouched registers at
     * r=0, kept exact in a long: max term 2^(61-p), m terms, total
     * <= 2^61 for every allowed p), and `hll_estimate` = the one IEEE
-    * division `alphaNumerator / sum_scaled`.
+    * division `alphaNumerator / sum_scaled` — the RAW estimator, exact
+    * and portable but biased high below ~2.5m distincts (it floors near
+    * alpha*m); read small-range answers through [[hllCardinality]],
+    * which applies the standard linear-counting correction driver-side.
     */
   def hllEstimate(registers: DataFrame, p: Int): DataFrame = {
     requireHllP(p)
@@ -260,6 +263,54 @@ object Sketches {
         (lit(m) - col("touched")).as("n_zero"),
         (col("sum_touched") + (lit(m) - col("touched")) * lit(1L << maxR)).as("sum_scaled"))
       .withColumn("hll_estimate", lit(hllAlphaNumerator(p)) / col("sum_scaled"))
+  }
+
+  /** [[hllEstimate]] grouped: one estimate row per `keys` group of a
+    * register table that carries key columns (e.g. the
+    * `(window_start, idx, r)` sink of
+    * [[graft.streaming.EventStreams.windowedHllRegisters]]). Same range
+    * guard, same fields per group.
+    */
+  def hllEstimateBy(registers: DataFrame, keys: Seq[String], p: Int): DataFrame = {
+    requireHllP(p)
+    require(keys.nonEmpty, "hllEstimateBy needs grouping keys; use hllEstimate for one sketch")
+    val m = 1L << p
+    val maxR = (61 - p).toLong
+    val keyCols = keys.map(col)
+    val guardedIdx =
+      when(col("idx") < 0 || col("idx") >= m || col("r") < 1 || col("r") > maxR,
+        raise_error(concat(
+          lit(s"hllEstimateBy: register outside the p=$p range (idx="),
+          col("idx"), lit(", r="), col("r"),
+          lit(") — sketch built with a different p?"))).cast("long"))
+        .otherwise(col("idx"))
+    registers
+      .groupBy(keyCols: _*)
+      .agg(
+        count(guardedIdx).as("touched"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST($maxR - r AS INT))")).as("sum_touched"))
+      .select(
+        keyCols ++ Seq(
+          (lit(m) - col("touched")).as("n_zero"),
+          (col("sum_touched") + (lit(m) - col("touched")) * lit(1L << maxR)).as("sum_scaled")
+        ): _*)
+      .withColumn("hll_estimate", lit(hllAlphaNumerator(p)) / col("sum_scaled"))
+  }
+
+  /** The standard small-range-corrected cardinality readout of one
+    * estimate row, driver-side (Flajolet et al. 2007): the raw
+    * harmonic-mean estimate, unless it falls below 2.5m with untouched
+    * registers — then linear counting `m * ln(m / n_zero)` (the raw
+    * estimator floors near alpha*m when most registers are zero). Lives
+    * OUTSIDE the columnar surface on purpose: `ln` is not bit-portable
+    * across engines, while the `(n_zero, sum_scaled, hll_estimate)`
+    * columns stay exactly oracle-checkable.
+    */
+  def hllCardinality(nZero: Long, sumScaled: Long, p: Int): Double = {
+    requireHllP(p)
+    val m = (1L << p).toDouble
+    val raw = hllAlphaNumerator(p) / sumScaled
+    if (raw <= 2.5 * m && nZero > 0L) m * math.log(m / nZero) else raw
   }
 
   /** One-shot global HLL distinct estimate: [[hllRegisters]] then

@@ -178,6 +178,45 @@ object EventStreams {
         "shift_milliq", "abs_shift_milliq")
   }
 
+  /** Streaming distinct-count sketch: per-window HyperLogLog registers
+    * over `valueCol` — `(window_start, idx, r)` through the REAL
+    * watermarked streaming aggregation. MAX is associative and monotone,
+    * so registers fold incrementally under append mode with state
+    * bounded by open windows x 2^p (never by distinct values — the
+    * reason this streams where exact distinct or KMV's distinct prepass
+    * cannot). The sink is the mergeable artifact: roll windows up to
+    * days, or union shards, with [[graft.operators.Sketches
+    * .hllMergeRegisters]]; read estimates batch-side with
+    * [[windowedHllEstimate]]. Same register math as the batch sketch
+    * ([[graft.operators.Sketches.hllRegisters]]), so batch == streaming
+    * by construction.
+    */
+  def windowedHllRegisters(
+      stream: DataFrame,
+      tsCol: String,
+      valueCol: String,
+      windowLen: String = "1 hour",
+      lateness: String = "10 minutes",
+      p: Int = 12
+  ): DataFrame = {
+    val (idx, rank) = graft.operators.Sketches.hllIdxRank(col(valueCol), p)
+    stream
+      .withWatermark(tsCol, lateness)
+      .where(col(valueCol).isNotNull)
+      .select(col(tsCol).as("ts"), idx.as("idx"), rank.as("r"))
+      .groupBy(window(col("ts"), windowLen), col("idx"))
+      .agg(max("r").as("r"))
+      .select(col("window.start").as("window_start"), col("idx"), col("r"))
+  }
+
+  /** Batch estimate readout over a [[windowedHllRegisters]] sink: one
+    * `(window_start, n_zero, sum_scaled, hll_estimate)` row per closed
+    * window — [[graft.operators.Sketches.hllEstimateBy]] with the window
+    * as the group.
+    */
+  def windowedHllEstimate(registers: DataFrame, p: Int = 12): DataFrame =
+    graft.operators.Sketches.hllEstimateBy(registers, Seq("window_start"), p)
+
   /** Streaming exact dedup: drop events whose `keyCols` were already seen
     * within the watermark horizon — the streaming twin of the batch exact
     * dedup (Dedup.exactDedup) for at-least-once sources that can replay.

@@ -156,6 +156,46 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming HLL registers close with the watermark and equal the batch sketch per window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val regs = EventStreams.windowedHllRegisters(
+      input.toDF().toDF("ts", "uid"), "ts", "uid",
+      windowLen = "10 minutes", lateness = "5 minutes", p = 8)
+    val q = regs.writeStream.format("memory").queryName("hll_out")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // window 1: users 1..30 with duplicates; then advance the watermark
+      val w1 = (1 to 30).map(u => (ts(1), u.toLong)) ++ Seq((ts(3), 7L), (ts(4), 7L))
+      input.addData(w1: _*)
+      q.processAllAvailable()
+      input.addData((ts(40), 999L))
+      q.processAllAvailable()
+      input.addData((ts(80), 998L))
+      q.processAllAvailable()
+
+      val w0start = ts(1).getTime / 600000L * 600000L
+      val out = spark.table("hll_out")
+        .where(col("window_start") === new Timestamp(w0start))
+      // streaming registers == the batch sketch over the same rows
+      // (duplicates change nothing — max absorbs them)
+      val batch = graft.operators.Sketches.hllRegisters(
+        (1 to 30).map(_.toLong).toDF("uid"), "uid", p = 8)
+      assert(out.select("idx", "r").collect().toSet
+        == batch.collect().toSet)
+      // the grouped readout runs on the sink; at n << m the corrected
+      // driver-side readout (linear counting) is the accurate one
+      val row = EventStreams.windowedHllEstimate(
+        spark.table("hll_out"), p = 8)
+        .where(col("window_start") === new Timestamp(w0start))
+        .head()
+      val est = graft.operators.Sketches.hllCardinality(
+        row.getAs[Long]("n_zero"), row.getAs[Long]("sum_scaled"), p = 8)
+      assert(math.abs(est - 30.0) < 5.0, s"corrected estimate $est too far from 30")
+    } finally q.stop()
+  }
+
   test("IVF ANN: probing finds the exact top hit at a fraction of the scan") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)

@@ -86,6 +86,16 @@ class SketchesSpec extends AnyFunSuite {
     assert(whole == merged)
   }
 
+  test("hllCardinality: linear counting rescues the small range the raw estimator floors on") {
+    val df = spark.range(100).select(concat(lit("u"), col("id")).as("v"))
+    val row = Sketches.hllDistinct(df, "v", p = 12).head()
+    val raw = row.getAs[Double]("hll_estimate")
+    assert(raw > 1000.0, s"raw estimator should floor near alpha*m here, got $raw")
+    val corrected = Sketches.hllCardinality(
+      row.getAs[Long]("n_zero"), row.getAs[Long]("sum_scaled"), p = 12)
+    assert(math.abs(corrected - 100.0) < 10.0, s"corrected $corrected too far from 100")
+  }
+
   test("hll guards: mismatched-p registers fail loudly; reserved grouping keys rejected") {
     val regs = Sketches.hllRegisters(
       spark.range(3000).select(concat(lit("v"), col("id")).as("v")), "v", p = 12)
