@@ -162,6 +162,12 @@ object Sketches {
   private def requireHllP(p: Int): Unit =
     require(p >= 7 && p <= 16, s"hll needs p in [7, 16], got $p")
 
+  /** Column names the HLL register/readout pipeline owns — grouping keys
+    * may not collide with them.
+    */
+  private val HllReserved =
+    Set("idx", "r", "touched", "sum_touched", "n_zero", "sum_scaled", "hll_estimate")
+
   /** HyperLogLog register index + rank for one value: the top `p` bits of
     * the 60-bit md5 hash pick the register, and the rank is the position
     * of the highest set bit in the remaining `60-p` bits counted FROM THE
@@ -237,32 +243,45 @@ object Sketches {
     * alpha*m); read small-range answers through [[hllCardinality]],
     * which applies the standard linear-counting correction driver-side.
     */
-  def hllEstimate(registers: DataFrame, p: Int): DataFrame = {
-    requireHllP(p)
+  // Shared readout machinery of the three estimate surfaces: the range
+  // guard rides the COUNTED column (never null, so count semantics are
+  // unchanged — a standalone guarded projection gets column-pruned away
+  // because the aggregate never reads idx), and the
+  // touched/sum_touched -> n_zero/sum_scaled/hll_estimate algebra lives
+  // ONCE so a fix cannot miss a sibling.
+  private def hllGuardedIdx(caller: String, p: Int): Column = {
     val m = 1L << p
     val maxR = (61 - p).toLong
-    // loud range guard: a register outside [0, m) or a rank outside
-    // [1, 61-p] means the table was built (or merged) under a different
-    // p — the estimate would be silently wrong. The guard rides the
-    // COUNTED column (never null, so count semantics are unchanged):
-    // a standalone guarded projection gets column-pruned away because
-    // the aggregate never reads idx.
-    val guardedIdx =
-      when(col("idx") < 0 || col("idx") >= m || col("r") < 1 || col("r") > maxR,
-        raise_error(concat(
-          lit(s"hllEstimate: register outside the p=$p range (idx="),
-          col("idx"), lit(", r="), col("r"),
-          lit(") — sketch built with a different p?"))).cast("long"))
-        .otherwise(col("idx"))
-    registers
-      .agg(
-        count(guardedIdx).as("touched"),
-        coalesce(sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST($maxR - r AS INT))")), lit(0L))
-          .as("sum_touched"))
+    when(col("idx") < 0 || col("idx") >= m || col("r") < 1 || col("r") > maxR,
+      raise_error(concat(
+        lit(s"$caller: register outside the p=$p range (idx="),
+        col("idx"), lit(", r="), col("r"),
+        lit(") — sketch built with a different p?"))).cast("long"))
+      .otherwise(col("idx"))
+  }
+
+  private def hllSumTouched(p: Int): Column =
+    coalesce(sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST(${(61 - p).toLong} - r AS INT))")), lit(0L))
+
+  private def hllReadout(agged: DataFrame, keyCols: Seq[Column], p: Int): DataFrame = {
+    val m = 1L << p
+    val maxR = (61 - p).toLong
+    agged
       .select(
-        (lit(m) - col("touched")).as("n_zero"),
-        (col("sum_touched") + (lit(m) - col("touched")) * lit(1L << maxR)).as("sum_scaled"))
+        keyCols ++ Seq(
+          (lit(m) - col("touched")).as("n_zero"),
+          (col("sum_touched") + (lit(m) - col("touched")) * lit(1L << maxR)).as("sum_scaled")
+        ): _*)
       .withColumn("hll_estimate", lit(hllAlphaNumerator(p)) / col("sum_scaled"))
+  }
+
+  def hllEstimate(registers: DataFrame, p: Int): DataFrame = {
+    requireHllP(p)
+    hllReadout(
+      registers.agg(
+        count(hllGuardedIdx("hllEstimate", p)).as("touched"),
+        hllSumTouched(p).as("sum_touched")),
+      Nil, p)
   }
 
   /** [[hllEstimate]] grouped: one estimate row per `keys` group of a
@@ -274,27 +293,16 @@ object Sketches {
   def hllEstimateBy(registers: DataFrame, keys: Seq[String], p: Int): DataFrame = {
     requireHllP(p)
     require(keys.nonEmpty, "hllEstimateBy needs grouping keys; use hllEstimate for one sketch")
-    val m = 1L << p
-    val maxR = (61 - p).toLong
+    require(!keys.exists(HllReserved),
+      s"grouping keys may not use the reserved names $HllReserved")
     val keyCols = keys.map(col)
-    val guardedIdx =
-      when(col("idx") < 0 || col("idx") >= m || col("r") < 1 || col("r") > maxR,
-        raise_error(concat(
-          lit(s"hllEstimateBy: register outside the p=$p range (idx="),
-          col("idx"), lit(", r="), col("r"),
-          lit(") — sketch built with a different p?"))).cast("long"))
-        .otherwise(col("idx"))
-    registers
-      .groupBy(keyCols: _*)
-      .agg(
-        count(guardedIdx).as("touched"),
-        sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST($maxR - r AS INT))")).as("sum_touched"))
-      .select(
-        keyCols ++ Seq(
-          (lit(m) - col("touched")).as("n_zero"),
-          (col("sum_touched") + (lit(m) - col("touched")) * lit(1L << maxR)).as("sum_scaled")
-        ): _*)
-      .withColumn("hll_estimate", lit(hllAlphaNumerator(p)) / col("sum_scaled"))
+    hllReadout(
+      registers
+        .groupBy(keyCols: _*)
+        .agg(
+          count(hllGuardedIdx("hllEstimateBy", p)).as("touched"),
+          hllSumTouched(p).as("sum_touched")),
+      keyCols, p)
   }
 
   /** The standard small-range-corrected cardinality readout of one
@@ -332,26 +340,16 @@ object Sketches {
     require(keys.nonEmpty, "hllDistinctBy needs grouping keys; use hllDistinct for the global sketch")
     // internal/output names would silently shadow a same-named key (the
     // assignWith reserved-column convention)
-    val reserved = Set("idx", "r", "touched", "sum_touched", "n_zero", "sum_scaled", "hll_estimate")
-    require(!keys.exists(reserved), s"grouping keys may not use the reserved names $reserved")
-    val m = 1L << p
-    val maxR = (61 - p).toLong
+    require(!keys.exists(HllReserved),
+      s"grouping keys may not use the reserved names $HllReserved")
     val keyCols = keys.map(col)
     val (idx, rank) = hllIdxRank(col(valueCol), p)
-    df.where(col(valueCol).isNotNull)
-      .select(keyCols :+ idx.as("idx") :+ rank.as("r"): _*)
-      .groupBy(keyCols :+ col("idx"): _*)
-      .agg(max("r").as("r"))
-      .groupBy(keyCols: _*)
-      .agg(
-        count(lit(1)).as("touched"),
-        sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST($maxR - r AS INT))")).as("sum_touched"))
-      .select(
-        keyCols ++ Seq(
-          (lit(m) - col("touched")).as("n_zero"),
-          (col("sum_touched") + (lit(m) - col("touched")) * lit(1L << maxR)).as("sum_scaled")
-        ): _*)
-      .withColumn("hll_estimate", lit(hllAlphaNumerator(p)) / col("sum_scaled"))
+    hllEstimateBy(
+      df.where(col(valueCol).isNotNull)
+        .select(keyCols :+ idx.as("idx") :+ rank.as("r"): _*)
+        .groupBy(keyCols :+ col("idx"): _*)
+        .agg(max("r").as("r")),
+      keys, p)
   }
 
   /** Count-min sketch: approximate per-value frequencies in

@@ -289,6 +289,23 @@ class PlanShapeSpec extends AnyFunSuite {
       "only (l_returnflag, l_partkey) may be read")
   }
 
+  test("streaming HLL batch form: register max combines map-side; no join, scan pruned to (ts, user_id)") {
+    val p = plan("q_event_hll")
+    assert(p.contains("partial_max"),
+      s"the register MAX must partially aggregate before its exchange: ${p.take(800)}")
+    assert(!p.contains("Join"), "per-window registers are one aggregation chain, never a join")
+    assert(p.contains("ReadSchema:") && !p.contains("props") && !p.contains("event_type"),
+      "only the timestamp and user_id may be read")
+  }
+
+  test("WordPiece inference: vocabulary match runs per DISTINCT word; per-doc join broadcasts") {
+    val p = plan("q_wordpiece_infer")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
+      s"the vocabulary-bounded match table must broadcast against the corpus: ${p.take(800)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      "the per-doc re-join must never shuffle the corpus to a merge join")
+  }
+
   test("incremental LSH candidates join on band keys — no cartesian, no nested loop") {
     val p = plan("q_incremental_lsh")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
