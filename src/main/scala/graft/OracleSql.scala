@@ -2458,6 +2458,69 @@ object OracleSql {
          |ORDER BY n_tokens DESC, t.doc_id LIMIT 20""".stripMargin
     },
 
+    "q_unigram_tok" -> {
+      // TextAnalysis.unigramTokenCounts twin (emRounds = 0): weighted
+      // overlapping substring counts (len 1..4), vocabulary = alphabet +
+      // top-200 (cnt >= 2, ties by symbol), whole-bit costs
+      // bits(N) - bits(cnt), then the Viterbi DP UNROLLED 16 positions —
+      // per position j, min over token lengths t of b_{j-t} + packed
+      // cost (cost*64 + 1: the lexicographic (cost, ntoks) minimum as
+      // one integer). Words longer than 16 chars (none in this corpus)
+      // fall back to one bits(N)-cost token via the LEFT JOIN COALESCE.
+      val totBits = "len(bin((SELECT n FROM tot)))"
+      val dp = (1 to 16).map { j =>
+        val branches = (1 to math.min(4, j)).map { t =>
+          s"""    SELECT b.word, b.c + v.pc AS cand
+             |    FROM b${j - t} b JOIN vocabc v
+             |      ON substr(b.word, ${j - t + 1}, $t) = v.sym
+             |    WHERE len(b.word) >= $j""".stripMargin
+        }.mkString("\n    UNION ALL\n")
+        s"""b$j AS MATERIALIZED (
+           |  SELECT word, MIN(cand) AS c FROM (
+           |$branches) GROUP BY word)""".stripMargin
+      }.mkString(",\n")
+      val doneu = (1 to 16)
+        .map(j => s"SELECT word, c FROM b$j WHERE len(word) = $j")
+        .mkString("\nUNION ALL\n")
+      s"""WITH w0 AS MATERIALIZED (
+         |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+         |  FROM (SELECT UNNEST($ftsToks) AS word FROM documents)
+         |  GROUP BY word),
+         |subs AS MATERIALIZED (
+         |  SELECT substr(word, CAST(i AS INTEGER), CAST(t AS INTEGER)) AS sym,
+         |         CAST(SUM(freq) AS BIGINT) AS cnt
+         |  FROM w0, range(1, 5) tt(t), UNNEST(range(1, len(word) - t + 2)) u(i)
+         |  WHERE len(word) >= t
+         |  GROUP BY 1),
+         |vocab AS MATERIALIZED (
+         |  SELECT sym, cnt FROM subs WHERE len(sym) = 1
+         |  UNION ALL
+         |  SELECT sym, cnt FROM (
+         |    SELECT sym, cnt FROM subs WHERE len(sym) >= 2 AND cnt >= 2
+         |    ORDER BY cnt DESC, sym LIMIT 200)),
+         |tot AS MATERIALIZED (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM vocab),
+         |vocabc AS MATERIALIZED (
+         |  SELECT sym, ($totBits - len(bin(cnt))) * 64 + 1 AS pc FROM vocab),
+         |aw AS MATERIALIZED (SELECT DISTINCT UNNEST($ftsToks) AS word FROM documents),
+         |b0 AS MATERIALIZED (SELECT word, CAST(0 AS BIGINT) AS c FROM aw),
+         |$dp,
+         |doneu AS MATERIALIZED (
+         |$doneu),
+         |segv AS MATERIALIZED (
+         |  SELECT a.word,
+         |         CAST(COALESCE(d.c, $totBits * 64 + 1) % 64 AS BIGINT) AS n_tokens_w,
+         |         CAST(COALESCE(d.c, $totBits * 64 + 1) // 64 AS BIGINT) AS cost_w
+         |  FROM aw a LEFT JOIN doneu d USING (word)),
+         |tok AS (SELECT doc_id, UNNEST($ftsToks) AS word FROM documents)
+         |SELECT t.doc_id,
+         |       CAST(COUNT(*) AS BIGINT) AS n_words,
+         |       CAST(SUM(s.n_tokens_w) AS BIGINT) AS n_tokens,
+         |       CAST(SUM(s.cost_w) AS BIGINT) AS cost_bits
+         |FROM tok t JOIN segv s ON t.word = s.word
+         |GROUP BY t.doc_id
+         |ORDER BY cost_bits DESC, t.doc_id LIMIT 20""".stripMargin
+    },
+
     "q_wordpiece_merges" -> {
       // TextAnalysis.wordPieceMerges twin: the q_bpe_merges rounds with
       // the likelihood argmax (bpeRound(likelihood = true))

@@ -2517,6 +2517,20 @@ object SparkEntry {
       .limit(20)
   }
 
+  /** Unigram-LM tokenization (TextAnalysis.unigramTokenCounts, the
+    * SentencePiece family in whole-bit integer costs): fixed vocabulary
+    * = corpus alphabet + top-200 frequent substrings (len 2..4), every
+    * word segmented by the GLOBALLY optimal Viterbi DP under
+    * bits(N)-bits(cnt) token costs — the third tokenizer next to BPE
+    * and WordPiece, and unlike both a non-greedy one. emRounds = 0 =
+    * the oracle-exact seed-LM form (the oracle unrolls the DP 16
+    * positions); EM re-estimation is spec-pinned.
+    */
+  private def qUnigramTok(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.unigramTokenCounts(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy(desc("cost_bits"), col("doc_id"))
+      .limit(20)
+
   /** OOV BPE encode (TextAnalysis.bpeEncode): 4 merges trained on the
     * EVEN doc_ids replay onto the ODD doc_ids' words — the
     * unseen-corpus apply path (lowest-rank replay == training-order
@@ -2913,6 +2927,7 @@ object SparkEntry {
     "q_wordpiece_merges" -> (qWordpieceMerges _),
     "q_wordpiece_encode" -> (qWordpieceEncode _),
     "q_wordpiece_infer" -> (qWordpieceInfer _),
+    "q_unigram_tok" -> (qUnigramTok _),
     "q_bpe_encode_oov" -> (qBpeEncodeOov _),
     "q_window_drift" -> (qWindowDrift _),
     "q_vector_window_drift" -> (qVectorWindowDrift _),

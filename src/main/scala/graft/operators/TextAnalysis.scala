@@ -1171,6 +1171,165 @@ object TextAnalysis {
         sum(col("unk_w")).as("n_unk"))
   }
 
+  /** Unigram-LM (SentencePiece-style, Kudo 2018) tokenization with
+    * WHOLE-BIT integer costs — the third tokenizer family next to BPE
+    * (count-greedy merges) and WordPiece (likelihood-greedy merges):
+    * here the vocabulary is fixed up front (corpus alphabet + the top-K
+    * frequent substrings of length 2..`maxSubLen`) and each word takes
+    * the GLOBALLY optimal segmentation by Viterbi DP under per-token
+    * surprisal costs `bits(N) - bits(cnt)` (the repo's whole-bit LM
+    * convention — integer, so engine == oracle exactly; real
+    * SentencePiece uses float log-probs and EM-with-pruning, the
+    * documented divergence). DP objective: minimize total cost, ties to
+    * fewer tokens — prefix-optimal because a common suffix shifts both
+    * candidates equally, so the per-position (cost, ntoks) minimum is
+    * exact. Words longer than `maxWordLen` count as ONE fallback token
+    * at cost `bits(N)` (the max-piece-length contract; the oracle
+    * unrolls the DP exactly `maxWordLen` positions).
+    *
+    * `emRounds` >= 1 runs hard-EM re-estimation driver-side: Viterbi-
+    * segment the (word, freq) vocabulary, re-count symbol usage
+    * (weighted, add-one smoothed so unused symbols survive with the
+    * floor count instead of dividing by zero), re-derive costs, repeat.
+    * The query surface pins emRounds = 0 (the oracle-exact seed-LM
+    * Viterbi); EM rounds are spec-pinned.
+    *
+    * Scale shape: ONE corpus pass (the word histogram, bounded by
+    * `maxVocab` before the driver collect — the trainBpeLocal
+    * contract); seeding, costs and every EM round run over the bounded
+    * vocabulary driver-side; the apply pass segments each DISTINCT word
+    * once via a broadcast cost map and reduces per doc. Returns per doc
+    * `(idCol, n_words, n_tokens, cost_bits)`.
+    */
+  def unigramTokenCounts(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxSubLen: Int = 4,
+      topK: Int = 200,
+      minCount: Long = 2L,
+      emRounds: Int = 0,
+      maxWordLen: Int = 16,
+      maxVocab: Long = 10000000L
+  ): DataFrame = {
+    require(maxSubLen >= 2, s"need maxSubLen >= 2, got $maxSubLen")
+    require(topK >= 0, s"need topK >= 0, got $topK")
+    require(minCount >= 1L, s"need minCount >= 1, got $minCount")
+    require(emRounds >= 0, s"need emRounds >= 0, got $emRounds")
+    require(maxWordLen >= 1 && maxWordLen <= 62,
+      s"need maxWordLen in [1, 62] (the ntoks field of the packed DP state), got $maxWordLen")
+    val hist = docs
+      .select(explode(TextFunctions.ftsTokens(col(textCol))).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("freq"))
+      .cache()
+    val vocabSize = hist.count()
+    require(vocabSize <= maxVocab,
+      s"unigramTokenCounts: $vocabSize distinct words exceeds the driver-local bound $maxVocab")
+    val words = hist.collect().map(r => (r.getString(0), r.getLong(1)))
+    hist.unpersist()
+
+    def bitlen(x: Long): Long = 64L - java.lang.Long.numberOfLeadingZeros(x)
+    // weighted substring counts (overlapping), lengths 1..maxSubLen
+    val subCounts = scala.collection.mutable.HashMap.empty[String, Long]
+    for ((w, f) <- words; t <- 1 to math.min(maxSubLen, w.length); i <- 0 to w.length - t) {
+      val s = w.substring(i, i + t)
+      subCounts(s) = subCounts.getOrElse(s, 0L) + f
+    }
+    val alphabet = subCounts.iterator.filter(_._1.length == 1).toArray
+    val longer = subCounts.iterator
+      .filter { case (s, c) => s.length >= 2 && c >= minCount }
+      .toArray
+      .sortBy { case (s, c) => (-c, s) }
+      .take(topK)
+    var vocab: Map[String, Long] = (alphabet ++ longer).toMap
+    var total = vocab.valuesIterator.sum
+    var costs: Map[String, Long] = vocab.map { case (s, c) => s -> (bitlen(total) - bitlen(c)) }
+
+    // packed DP state: cost * 64 + ntoks (ntoks <= maxWordLen <= 62) —
+    // the lexicographic (cost, ntoks) minimum as one integer min
+    def viterbi(w: String): Long = {
+      if (w.length > maxWordLen) return bitlen(total) * 64L + 1L
+      val best = Array.fill(w.length + 1)(Long.MaxValue)
+      best(0) = 0L
+      var j = 1
+      while (j <= w.length) {
+        var t = 1
+        val tMax = math.min(maxSubLen, j)
+        while (t <= tMax) {
+          if (best(j - t) != Long.MaxValue) {
+            costs.get(w.substring(j - t, j)).foreach { c =>
+              val cand = best(j - t) + c * 64L + 1L
+              if (cand < best(j)) best(j) = cand
+            }
+          }
+          t += 1
+        }
+        j += 1
+      }
+      // the corpus alphabet is in the vocabulary, so train-corpus words
+      // always have a path; an apply-side word with a never-seen char
+      // falls back like an overlong word
+      if (best(w.length) == Long.MaxValue) bitlen(total) * 64L + 1L else best(w.length)
+    }
+    // the segmentation itself, for EM usage re-counts
+    def viterbiPath(w: String): Seq[String] = {
+      if (w.length > maxWordLen) return Seq(w)
+      val best = Array.fill(w.length + 1)(Long.MaxValue)
+      val back = Array.fill(w.length + 1)(0)
+      best(0) = 0L
+      var j = 1
+      while (j <= w.length) {
+        var t = 1
+        val tMax = math.min(maxSubLen, j)
+        while (t <= tMax) {
+          if (best(j - t) != Long.MaxValue) {
+            costs.get(w.substring(j - t, j)).foreach { c =>
+              val cand = best(j - t) + c * 64L + 1L
+              if (cand < best(j)) { best(j) = cand; back(j) = t }
+            }
+          }
+          t += 1
+        }
+        j += 1
+      }
+      if (best(w.length) == Long.MaxValue) Seq(w)
+      else {
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var pos = w.length
+        while (pos > 0) { out.prepend(w.substring(pos - back(pos), pos)); pos -= back(pos) }
+        out.toSeq
+      }
+    }
+    for (_ <- 1 to emRounds) {
+      val usage = scala.collection.mutable.HashMap.empty[String, Long]
+      for ((w, f) <- words; s <- viterbiPath(w); if vocab.contains(s))
+        usage(s) = usage.getOrElse(s, 0L) + f
+      // add-one smoothing keeps every vocabulary symbol segmentable
+      vocab = vocab.map { case (s, _) => s -> (usage.getOrElse(s, 0L) + 1L) }
+      total = vocab.valuesIterator.sum
+      costs = vocab.map { case (s, c) => s -> (bitlen(total) - bitlen(c)) }
+    }
+
+    val packed = udf((w: String) => viterbi(w))
+    val tok = docs.select(col(idCol), explode(TextFunctions.ftsTokens(col(textCol))).as("word"))
+    val segmented = tok
+      .select("word").distinct()
+      .withColumn("_p", packed(col("word")))
+      .select(
+        col("word"),
+        (col("_p") % 64L).as("n_tokens_w"),
+        expr("_p div 64").as("cost_w"))
+      .localCheckpoint()
+    tok
+      .join(broadcast(segmented), Seq("word"))
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(col("n_tokens_w")).as("n_tokens"),
+        sum(col("cost_w")).as("cost_bits"))
+  }
+
   def bpePairStats(docs: DataFrame, textCol: String, k: Int = 20): DataFrame = {
     require(k >= 1, s"bpePairStats: k must be >= 1, got $k")
     val wordCounts = docs

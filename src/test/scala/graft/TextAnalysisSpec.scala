@@ -419,6 +419,43 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("unigramTokenCounts: seed-LM Viterbi, hand-computed") {
+    // corpus "abab abab cd": weighted substrings -> alphabet a:4 b:4 c:1
+    // d:1; len>=2 with cnt>=2: ab:4 ba:2 aba:2 bab:2 abab:2 (cd:1 cut).
+    // N = 22, bits(22) = 5; costs: a=b=ab: 2, c=d: 4, ba=aba=bab=abab: 3.
+    // Viterbi: "abab" -> [abab] (1 tok, 3 bits; beats [ab,ab] = 4);
+    // "cd" -> [c,d] (2 toks, 8 bits).
+    val docs = Seq((1L, "abab abab cd")).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramTokenCounts(docs, "doc_id", "text").head()
+    assert((out.getLong(1), out.getLong(2), out.getLong(3)) == ((3L, 4L, 14L)),
+      s"got (${out.getLong(1)}, ${out.getLong(2)}, ${out.getLong(3)})")
+  }
+
+  test("unigramTokenCounts: one hard-EM round sharpens the in-use symbols") {
+    // usage after the seed segmentation: abab:2, c:1, d:1; add-one over
+    // the whole vocab -> N = 13, bits(13) = 4; costs: abab=c=d: 2,
+    // everything else 3. Same segmentations, cheaper: 2 + 2 + 4 = 8.
+    val docs = Seq((1L, "abab abab cd")).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramTokenCounts(docs, "doc_id", "text", emRounds = 1).head()
+    assert((out.getLong(1), out.getLong(2), out.getLong(3)) == ((3L, 4L, 8L)),
+      s"got (${out.getLong(1)}, ${out.getLong(2)}, ${out.getLong(3)})")
+  }
+
+  test("unigramTokenCounts: overlong words fall back to one bits(N) token; partition-invariant") {
+    val docs = Seq((1L, "abcde ab ab")).toDF("doc_id", "text")
+    // maxWordLen = 4: "abcde" is one fallback token at bits(N)
+    val out = TextAnalysis.unigramTokenCounts(docs, "doc_id", "text", maxWordLen = 4).head()
+    assert(out.getLong(2) == 1L + 2L, "fallback word is ONE token; each 'ab' is one")
+    val big = Seq(
+      (0L, "the cat sat on the mat"), (1L, "the dog ate the cat food"), (2L, "mat cat dog dog")
+    ).toDF("doc_id", "text")
+    val a = TextAnalysis.unigramTokenCounts(big.repartition(7), "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    val b = TextAnalysis.unigramTokenCounts(big, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    assert(a == b)
+  }
+
   test("bigramLmScore: every branch hand-computed against a held-out LM") {
     // LM corpus "a b a b c": cnt1 = {a:2, b:2, c:1}, n_lm = 5 (bits=3),
     // bigrams = {"a b":2, "b a":1, "b c":1}.
