@@ -746,6 +746,33 @@ object TextAnalysis {
     * `(round, pair_a, pair_b, n, n_symbols)` stats and the final
     * segmented vocabulary as `(word, freq, symbols)`.
     */
+  /** ONE corpus pass shared by every driver-local tokenizer trainer:
+    * the (word, freq) histogram, row count checked against `maxVocab`
+    * BEFORE the driver collect (Heaps' law keeps natural-language
+    * vocabularies in the low millions even at 100 TB; a corpus past the
+    * bound is noise-heavy and fails loudly with the caller's
+    * remediation).
+    */
+  private def wordHistLocal(
+      docs: DataFrame,
+      textCol: String,
+      maxVocab: Long,
+      caller: String,
+      remediation: String
+  ): Array[(String, Long)] = {
+    val hist = docs
+      .select(explode(TextFunctions.ftsTokens(col(textCol))).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("freq"))
+      .cache()
+    val vocabSize = hist.count()
+    require(vocabSize <= maxVocab,
+      s"$caller: $vocabSize distinct words exceeds the driver-local bound $maxVocab — $remediation")
+    val rows = hist.collect().map(r => (r.getString(0), r.getLong(1)))
+    hist.unpersist()
+    rows
+  }
+
   private[graft] def trainBpeLocal(
       docs: DataFrame,
       textCol: String,
@@ -754,26 +781,16 @@ object TextAnalysis {
       likelihood: Boolean = false
   ): (Seq[(Long, String, String, Long, Long)], Array[(String, Long, Seq[String])]) = {
     require(rounds >= 1, s"bpeMerges: rounds must be >= 1, got $rounds")
-    val hist = docs
-      .select(explode(TextFunctions.ftsTokens(col(textCol))).as("word"))
-      .groupBy("word")
-      .agg(count(lit(1)).as("freq"))
-      .cache()
-    val vocabSize = hist.count()
-    require(
-      vocabSize <= maxVocab,
-      s"bpeMerges: $vocabSize distinct words exceeds the driver-local bound $maxVocab — " +
-        "pre-filter the corpus or use bpeMergesDistributed")
-    val rows = hist.collect()
-    hist.unpersist()
+    val rows = wordHistLocal(docs, textCol, maxVocab, "bpeMerges",
+      "pre-filter the corpus or use bpeMergesDistributed")
     val nWords = rows.length
     val freqs = new Array[Long](nWords)
     val segs = new Array[scala.collection.mutable.ArrayBuffer[String]](nWords)
     val words = new Array[String](nWords)
     var i = 0
     while (i < nWords) {
-      words(i) = rows(i).getString(0)
-      freqs(i) = rows(i).getLong(1)
+      words(i) = rows(i)._1
+      freqs(i) = rows(i)._2
       segs(i) = scala.collection.mutable.ArrayBuffer(words(i).map(_.toString): _*)
       i += 1
     }
@@ -1218,16 +1235,8 @@ object TextAnalysis {
     require(emRounds >= 0, s"need emRounds >= 0, got $emRounds")
     require(maxWordLen >= 1 && maxWordLen <= 62,
       s"need maxWordLen in [1, 62] (the ntoks field of the packed DP state), got $maxWordLen")
-    val hist = docs
-      .select(explode(TextFunctions.ftsTokens(col(textCol))).as("word"))
-      .groupBy("word")
-      .agg(count(lit(1)).as("freq"))
-      .cache()
-    val vocabSize = hist.count()
-    require(vocabSize <= maxVocab,
-      s"unigramTokenCounts: $vocabSize distinct words exceeds the driver-local bound $maxVocab")
-    val words = hist.collect().map(r => (r.getString(0), r.getLong(1)))
-    hist.unpersist()
+    val words = wordHistLocal(docs, textCol, maxVocab, "unigramTokenCounts",
+      "pre-filter the corpus")
 
     def bitlen(x: Long): Long = 64L - java.lang.Long.numberOfLeadingZeros(x)
     // weighted substring counts (overlapping), lengths 1..maxSubLen
@@ -1247,34 +1256,14 @@ object TextAnalysis {
     var costs: Map[String, Long] = vocab.map { case (s, c) => s -> (bitlen(total) - bitlen(c)) }
 
     // packed DP state: cost * 64 + ntoks (ntoks <= maxWordLen <= 62) —
-    // the lexicographic (cost, ntoks) minimum as one integer min
-    def viterbi(w: String): Long = {
-      if (w.length > maxWordLen) return bitlen(total) * 64L + 1L
-      val best = Array.fill(w.length + 1)(Long.MaxValue)
-      best(0) = 0L
-      var j = 1
-      while (j <= w.length) {
-        var t = 1
-        val tMax = math.min(maxSubLen, j)
-        while (t <= tMax) {
-          if (best(j - t) != Long.MaxValue) {
-            costs.get(w.substring(j - t, j)).foreach { c =>
-              val cand = best(j - t) + c * 64L + 1L
-              if (cand < best(j)) best(j) = cand
-            }
-          }
-          t += 1
-        }
-        j += 1
-      }
-      // the corpus alphabet is in the vocabulary, so train-corpus words
-      // always have a path; an apply-side word with a never-seen char
-      // falls back like an overlong word
-      if (best(w.length) == Long.MaxValue) bitlen(total) * 64L + 1L else best(w.length)
-    }
-    // the segmentation itself, for EM usage re-counts
-    def viterbiPath(w: String): Seq[String] = {
-      if (w.length > maxWordLen) return Seq(w)
+    // the lexicographic (cost, ntoks) minimum as one integer min. ONE
+    // DP body serves both the scoring surface (viterbi) and the EM
+    // re-count (viterbiPath) so the two paths cannot desynchronize;
+    // returns null when the word is overlong or has no path (apply-side
+    // never-seen char — train-corpus words always have one, the
+    // alphabet is in the vocabulary), the shared fallback signal.
+    def viterbiDp(w: String): Option[(Array[Long], Array[Int])] = {
+      if (w.length > maxWordLen) return None
       val best = Array.fill(w.length + 1)(Long.MaxValue)
       val back = Array.fill(w.length + 1)(0)
       best(0) = 0L
@@ -1293,14 +1282,18 @@ object TextAnalysis {
         }
         j += 1
       }
-      if (best(w.length) == Long.MaxValue) Seq(w)
-      else {
+      if (best(w.length) == Long.MaxValue) None else Some((best, back))
+    }
+    def viterbi(w: String): Long =
+      viterbiDp(w).fold(bitlen(total) * 64L + 1L)(_._1(w.length))
+    // the segmentation itself, for EM usage re-counts
+    def viterbiPath(w: String): Seq[String] =
+      viterbiDp(w).fold(Seq(w)) { case (_, back) =>
         val out = scala.collection.mutable.ArrayBuffer.empty[String]
         var pos = w.length
         while (pos > 0) { out.prepend(w.substring(pos - back(pos), pos)); pos -= back(pos) }
         out.toSeq
       }
-    }
     for (_ <- 1 to emRounds) {
       val usage = scala.collection.mutable.HashMap.empty[String, Long]
       for ((w, f) <- words; s <- viterbiPath(w); if vocab.contains(s))
