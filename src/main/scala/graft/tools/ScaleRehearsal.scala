@@ -397,6 +397,19 @@ object ScaleRehearsal {
       measure("bpe_distributed_r20") {
         TextAnalysis.bpeMergesDistributed(bpeDocs, "text", rounds = 20).count()
       }
+      // the other two tokenizer trainers over the same corpus: the
+      // likelihood argmax adds per-symbol bookkeeping to the same local
+      // loop, and the unigram trainer's whole cost is the one histogram
+      // + driver-side seeding/EM (zero extra Spark jobs per EM round)
+      measure("wordpiece_local_r1000") {
+        TextAnalysis.wordPieceMerges(bpeDocs, "text", rounds = 1000).count()
+      }
+      for (em <- Seq(0, 3)) {
+        measure(s"unigram_tok_em$em") {
+          TextAnalysis.unigramTokenCounts(bpeDocs, "doc_id", "text", emRounds = em)
+            .where(col("cost_bits") >= 0).count()
+        }
+      }
     }
 
     // Bigram-LM scoring + blocklist (r12). Claims under measurement:
