@@ -95,17 +95,26 @@ final class Pipeline(spark: SparkSession, config: GraftConfig = GraftConfig.defa
           val images = graft.sources.ImageExtraction
             .extractImages(withContent.where(col("validation") === "valid"))
             .persist()
-          val (kept, keptSigs) =
-            if (config.imageDedup.enabled) {
-              val (k, s) = dedupImages(images)
-              (k, Some(s))
-            } else (images, None)
+          val dedupRes =
+            if (config.imageDedup.enabled) Some(dedupImages(images)) else None
+          val kept = dedupRes.map(_.kept).getOrElse(images)
           val meta = graft.sources.ImageExtraction
             .writeImageFiles(kept, dir)
             .withColumn("created_at", current_timestamp())
           catalog.append(meta, "images")
-          keptSigs.foreach(s =>
-            catalog.append(s.withColumn("created_at", current_timestamp()), "image_signatures"))
+          // signatures and cluster labels land AFTER the images metadata:
+          // a crash in the window leaves a stored image that is merely
+          // unindexed/unlabeled (re-dedup later / labels-as-own-cluster,
+          // both harmless), never an index or label row referencing an
+          // image that was never stored — which would silently drop
+          // future copies (signatures) or double-label on re-ingest
+          // (clusters).
+          dedupRes.foreach { r =>
+            catalog.append(
+              r.keptSigs.withColumn("created_at", current_timestamp()), "image_signatures")
+            catalog.append(r.labels, "image_clusters")
+            graft.util.Checkpoints.release(r.scratchPins, spark)
+          }
           images.unpersist()
         }
         withContent.drop("content")
@@ -224,7 +233,7 @@ final class Pipeline(spark: SparkSession, config: GraftConfig = GraftConfig.defa
     */
   private def dedupImages(
       images: org.apache.spark.sql.DataFrame
-  ): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+  ): Pipeline.ImageDedupResult = {
     import graft.operators.{Dedup, Multimodal}
     val maxHamming = config.imageDedup.maxHamming
     // decode once; 8-byte (id, dhash) rows pinned for the three consumers
@@ -273,13 +282,14 @@ final class Pipeline(spark: SparkSession, config: GraftConfig = GraftConfig.defa
       }
     }
 
-    // one coherent labeling append per batch: members of a cross-dropped
+    // one coherent labeling per batch: members of a cross-dropped
     // cluster carry the STORED cluster id and none of them is canonical
     // (the stored copy is); untouched clusters label as computed
     // in-batch. Each row records its OWNING DOCUMENT so cascade delete
     // can clear a document's label rows directly (dropped duplicates
-    // have no images-table row to resolve through).
-    catalog.append(
+    // have no images-table row to resolve through). The CALLER appends
+    // this frame, after the images metadata lands (see below).
+    val labelRows =
       labels.join(canon, Seq("cluster"))
         .join(crossMap, Seq("_canon"), "left")
         .join(images.select(col("id"), col("document_id")), Seq("id"), "left")
@@ -288,17 +298,22 @@ final class Pipeline(spark: SparkSession, config: GraftConfig = GraftConfig.defa
           col("document_id"),
           coalesce(col("_stored"), col("cluster")).as("cluster_id"),
           (col("id") === col("_canon") && col("_stored").isNull).as("is_canonical"))
-        .withColumn("created_at", current_timestamp()),
-      "image_clusters")
+        .withColumn("created_at", current_timestamp())
 
     val kept = keptInBatch
       .join(crossMap.select(col("_canon").as("id")), Seq("id"), "left_anti")
     // survivors' signatures form the probe index for every future batch;
-    // the CALLER appends them AFTER the images metadata append — a crash
-    // between the two must leave an unindexed stored image (re-dedup
-    // later, harmless), never an index entry for an image that was never
-    // stored (which would silently drop future copies of it)
-    (kept, sigs.join(kept.select("id"), Seq("id"), "left_semi"))
+    // the CALLER appends both the signatures AND the label rows AFTER the
+    // images metadata append — a crash in the window must leave a stored
+    // image that is merely unindexed (re-dedup later, harmless) or
+    // unlabeled (labels-as-own-cluster on the next cross-batch probe),
+    // never an index/label row for an image that was never stored (which
+    // would silently drop future copies, or double-label on re-ingest).
+    Pipeline.ImageDedupResult(
+      kept = kept,
+      keptSigs = sigs.join(kept.select("id"), Seq("id"), "left_semi"),
+      labels = labelRows,
+      scratchPins = graft.util.Checkpoints.pinnedRddIds(sigs, labels, crossMap))
   }
 
   /** Chunk a (doc_id, title, markdown)-shaped frame into chunk rows —
@@ -599,4 +614,18 @@ final class Pipeline(spark: SparkSession, config: GraftConfig = GraftConfig.defa
     val totalChunks = if (catalog.exists("chunks")) catalog.read("chunks").count() else 0L
     byStatus.withColumn("total_chunks", lit(totalChunks))
   }
+}
+
+object Pipeline {
+  /** What one batch's image dedup produced, with appends DEFERRED to the
+    * caller so the crash-ordering invariant holds for every derived
+    * table: images metadata first, then signatures, then cluster labels.
+    * `scratchPins` are the dedup's intra-batch checkpoint RDD ids —
+    * release them once the label append (the last consumer) completes.
+    */
+  private[pipeline] final case class ImageDedupResult(
+      kept: org.apache.spark.sql.DataFrame,
+      keptSigs: org.apache.spark.sql.DataFrame,
+      labels: org.apache.spark.sql.DataFrame,
+      scratchPins: Set[Int])
 }

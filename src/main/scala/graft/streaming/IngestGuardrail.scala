@@ -126,9 +126,16 @@ object IngestGuardrail {
     val eligible =
       (if (includeDrifted) observations else observations.where(col("drifted") === false))
         .dropDuplicates("batch_key", "category")
+    // Recency cut. batch_key is the string "runToken#batchId", so a bare
+    // string tie-break is lexicographic ("#9" would outrank "#10" when
+    // observed_at timestamps tie within one fast run) — parse the NUMERIC
+    // batch ordinal out of the last '#' segment and break ties on it.
+    // (Parsing, not a new ledger column: existing guardrail_observations
+    // tables keep one homogeneous schema and still order correctly.)
     val recent = eligible
       .groupBy("batch_key").agg(max("observed_at").as("_at"))
-      .orderBy(desc("_at"), desc("batch_key")).limit(lastN)
+      .withColumn("_ord", element_at(split(col("batch_key"), "#"), -1).cast("long"))
+      .orderBy(desc("_at"), desc("_ord"), desc("batch_key")).limit(lastN)
       .select("batch_key")
     val profile = eligible
       .join(broadcast(recent), Seq("batch_key"), "left_semi")

@@ -110,6 +110,22 @@ final class StreamingIngest(
     val s = batch.sparkSession
     import s.implicits._
 
+    // Intra-batch SCRATCH pins (the deduped batch, the two gate score
+    // frames, the replay-view helper) are all released when the batch
+    // completes — a weeks-long stream must not accumulate one checkpoint
+    // RDD per gate per micro-batch. They cannot be released earlier: each
+    // truncates the lineage of everything downstream of it, so the blocks
+    // are live until the final table appends finish. The `chunks` pin
+    // below is NOT scratch — the live FTS index retains its blocks and
+    // FtsIndex.invalidate is its release point.
+    val scratchPins = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def pinScratch(df: DataFrame): DataFrame = {
+      val p = df.localCheckpoint()
+      scratchPins ++= graft.util.Checkpoints.pinnedRddIds(p)
+      p
+    }
+    try {
+
     val hashed = batch
       .withColumn("file_hash", TextFunctions.fileHash(encode(col("value"), "UTF-8")))
       // content-level dedup, the streaming twin of the batch J1 anti-join:
@@ -129,7 +145,7 @@ final class StreamingIngest(
     // anti-join AFTER the documents_stream append refreshed the file
     // listing — silently dropping the whole batch's chunks. Pin the
     // deduped batch on the executors before the first append.
-    val deduped = antiJoined.localCheckpoint()
+    val deduped = pinScratch(antiJoined)
     if (deduped.isEmpty) return
 
     // Opt-in drift guardrail (VERDICT r9 #6): the batch's text-length
@@ -217,9 +233,8 @@ final class StreamingIngest(
     val screened = resolvedQualityModel match {
       case None => deduped
       case Some(m) =>
-        val scored = graft.operators.QualityClassifier
-          .classify(deduped, "file_hash", "value", m)
-          .localCheckpoint()
+        val scored = pinScratch(graft.operators.QualityClassifier
+          .classify(deduped, "file_hash", "value", m))
         // Replay idempotence: rejects never reach the documents_stream
         // ledger the batch anti-join keys on, so a crash after this
         // append and before the ledger write would re-score the batch
@@ -267,13 +282,12 @@ final class StreamingIngest(
     val lmScreened = resolvedLmGate match {
       case None => screened
       case Some((lm, maxFp)) =>
-        val scored = screened
+        val scored = pinScratch(screened
           .join(
             graft.operators.TextAnalysis
               .scoreWithLm(lm, screened, "file_hash", "value")
               .select(col("doc_id").as("file_hash"), col("mean_lm_fp")),
-            Seq("file_hash"), "left")
-          .localCheckpoint()
+            Seq("file_hash"), "left"))
         val rejected = scored.where(col("mean_lm_fp") >= maxFp)
           .transform(r =>
             if (!catalog.exists("lm_rejected_stream")) r
@@ -346,7 +360,14 @@ final class StreamingIngest(
     //   - the table append must SKIP docs whose chunks already landed
     //     (parquet appends commit atomically per job, so a doc's chunks
     //     are all-or-nothing).
-    val batchDocs = docs.select(col("id").as("document_id"))
+    // Derived from the PINNED chunks frame, not from `docs`: the FTS
+    // index's lazily-persisted postings retain this frame's lineage until
+    // first search, which can be AFTER this batch's scratch pins (which
+    // `docs` sits on top of) are released below — `chunks`' blocks are
+    // the ones the index already retains until FtsIndex.invalidate.
+    // Zero-chunk docs drop out, which is correct for both consumers: they
+    // have no postings to exclude and no landed chunks to skip.
+    val batchDocs = chunks.select(col("document_id")).distinct()
     val tableChunks =
       if (catalog.exists("chunks_stream")) catalog.read("chunks_stream") else chunks.limit(0)
     val preBatchChunks = tableChunks.join(broadcast(batchDocs), Seq("document_id"), "left_anti")
@@ -369,10 +390,9 @@ final class StreamingIngest(
     // anti-join then skipped the whole batch (chunks lost for good).
     // presentDocs is pinned (eager localCheckpoint) so the append job
     // below never re-scans the table it is writing into.
-    val presentDocs = tableChunks
+    val presentDocs = pinScratch(tableChunks
       .join(broadcast(batchDocs), Seq("document_id"), "left_semi")
-      .select("document_id").distinct()
-      .localCheckpoint()
+      .select("document_id").distinct())
     val newChunks = chunks.join(broadcast(presentDocs), Seq("document_id"), "left_anti")
     catalog.append(newChunks, "chunks_stream")
     catalog.append(
@@ -384,6 +404,10 @@ final class StreamingIngest(
       "documents_stream"
     )
     graft.util.JsonLog.info("stream_batch_ingested", "batch_id" -> batchId)
+
+    } finally {
+      graft.util.Checkpoints.release(scratchPins.toSet, s)
+    }
   }
 
   /** FTS cache key of the streaming corpus — searches over the stream
@@ -432,19 +456,24 @@ final class StreamingIngest(
       .select(col("value"), col("source_path").as("path"))
       // pin: the load below appends to tables this plan must never re-read
       .localCheckpoint()
-    if (rows.isEmpty) return 0L
-    def ledgerCount(): Long =
-      if (catalog.exists("documents_stream")) catalog.read("documents_stream").count() else 0L
-    val before = ledgerCount()
-    val token = s"${config.warehouseDir}#quarantine-replay:${runToken.getOrElse("-")}:" +
-      batchIds.sorted.mkString(",")
-    ingestBatch(rows, batchId = 0L, runToken = token, skipDriftGate = true)
-    val loaded = ledgerCount() - before
-    graft.util.Checkpoints.release(
-      graft.util.Checkpoints.pinnedRddIds(rows), spark)
-    graft.util.JsonLog.info("quarantine_replayed",
-      "batch_ids" -> batchIds.mkString(","), "loaded_docs" -> loaded)
-    loaded
+    // release on EVERY exit — the unknown-batch-id early return must not
+    // leak the pinned blocks any more than the success path does
+    try {
+      if (rows.isEmpty) return 0L
+      def ledgerCount(): Long =
+        if (catalog.exists("documents_stream")) catalog.read("documents_stream").count() else 0L
+      val before = ledgerCount()
+      val token = s"${config.warehouseDir}#quarantine-replay:${runToken.getOrElse("-")}:" +
+        batchIds.sorted.mkString(",")
+      ingestBatch(rows, batchId = 0L, runToken = token, skipDriftGate = true)
+      val loaded = ledgerCount() - before
+      graft.util.JsonLog.info("quarantine_replayed",
+        "batch_ids" -> batchIds.mkString(","), "loaded_docs" -> loaded)
+      loaded
+    } finally {
+      graft.util.Checkpoints.release(
+        graft.util.Checkpoints.pinnedRddIds(rows), spark)
+    }
   }
 }
 
