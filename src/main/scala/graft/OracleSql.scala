@@ -447,7 +447,18 @@ object OracleSql {
        |eg AS (SELECT DISTINCT gram FROM (${shingleSql("(SELECT * FROM documents WHERE doc_id < 5)", 8)}))
        |SELECT DISTINCT cg.doc_id FROM cg JOIN eg USING (gram) ORDER BY doc_id""".stripMargin
 
-  val all: Map[String, String] = Map(
+  /** Persisted-tokenizer lifecycle twins: each query routes the exact
+    * computation of its direct twin through the writeTokenizer →
+    * loadTokenizer roundtrip, so a FAITHFUL roundtrip makes the result
+    * identical and the direct twin's oracle pins it verbatim (the
+    * q_lsh_persisted convention, whose oracle is q_ann_cosine's).
+    */
+  lazy val all: Map[String, String] = base ++ Map(
+    "q_bpe_persisted" -> base("q_bpe_encode_oov"),
+    "q_wordpiece_persisted" -> base("q_wordpiece_infer"),
+    "q_unigram_persisted" -> base("q_unigram_tok"))
+
+  private lazy val base: Map[String, String] = Map(
     "q_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -2549,6 +2549,74 @@ object SparkEntry {
       .limit(20)
   }
 
+  /** Persisted-BPE lifecycle (TextAnalysis.writeTokenizer/loadTokenizer):
+    * train 4 merges on the EVEN doc_ids, WRITE the artifact (parquet
+    * merges + JSON sidecar), LOAD it back, and encode the ODD doc_ids
+    * from the LOADED artifact — the exact q_bpe_encode_oov computation
+    * routed through the tokenizer's persistence roundtrip, so the same
+    * oracle pins it (the q_lsh_persisted convention). Any bit lost in
+    * the roundtrip shifts some document's n_tokens and breaks the hash.
+    */
+  private def qBpePersisted(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val path = tmpIndexPath("graft_tok_bpe", dir)
+    TextAnalysis.writeTokenizer(s,
+      TextAnalysis.trainBpeTokenizer(docs.where(col("doc_id") % 2 === 0), "text", rounds = 4),
+      path)
+    val tok = TextAnalysis.loadTokenizer(s, path) match {
+      case b: TextAnalysis.BpeTokenizer => b
+      case other => throw new IllegalStateException(s"expected a bpe artifact at $path, got $other")
+    }
+    TextAnalysis.bpeEncode(tok, docs.where(col("doc_id") % 2 === 1), "doc_id", "text")
+      .orderBy(desc("n_tokens"), col("doc_id"))
+      .limit(20)
+  }
+
+  /** Persisted-WordPiece lifecycle: q_wordpiece_infer (greedy
+    * longest-match inference on the odd half under an even-half 4-round
+    * likelihood training) through the writeTokenizer/loadTokenizer
+    * roundtrip — merges AND the training alphabet must both survive
+    * persistence for the hash to hold (the alphabet decides which
+    * characters are [UNK]).
+    */
+  private def qWordpiecePersisted(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val path = tmpIndexPath("graft_tok_wp", dir)
+    TextAnalysis.writeTokenizer(s,
+      TextAnalysis.trainWordPieceTokenizer(
+        docs.where(col("doc_id") % 2 === 0), "text", rounds = 4),
+      path)
+    val tok = TextAnalysis.loadTokenizer(s, path) match {
+      case w: TextAnalysis.WordPieceTokenizer => w
+      case other =>
+        throw new IllegalStateException(s"expected a wordpiece artifact at $path, got $other")
+    }
+    TextAnalysis.wordPieceEncode(tok, docs.where(col("doc_id") % 2 === 1), "doc_id", "text")
+      .orderBy(desc("n_tokens"), col("doc_id"))
+      .limit(20)
+  }
+
+  /** Persisted-unigram lifecycle: q_unigram_tok (seed-LM Viterbi over
+    * the full corpus) with the cost table routed through the
+    * writeTokenizer/loadTokenizer roundtrip — the whole-bit costs, the
+    * token total behind the OOV fallback, and the DP shape parameters
+    * all persist; any drift shifts some document's cost_bits.
+    */
+  private def qUnigramPersisted(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val path = tmpIndexPath("graft_tok_uni", dir)
+    TextAnalysis.writeTokenizer(s,
+      TextAnalysis.trainUnigramTokenizer(docs, "text"), path)
+    val tok = TextAnalysis.loadTokenizer(s, path) match {
+      case u: TextAnalysis.UnigramTokenizer => u
+      case other =>
+        throw new IllegalStateException(s"expected a unigram artifact at $path, got $other")
+    }
+    TextAnalysis.unigramTokenCounts(tok, docs, "doc_id", "text")
+      .orderBy(desc("cost_bits"), col("doc_id"))
+      .limit(20)
+  }
+
   /** Per-window drift readout (EventStreams.windowDrift) as a BATCH
     * query: weekly event-type mixes against the whole month's mix as
     * the reference — the exact integer-ppm arithmetic the streaming
@@ -2929,6 +2997,9 @@ object SparkEntry {
     "q_wordpiece_infer" -> (qWordpieceInfer _),
     "q_unigram_tok" -> (qUnigramTok _),
     "q_bpe_encode_oov" -> (qBpeEncodeOov _),
+    "q_bpe_persisted" -> (qBpePersisted _),
+    "q_wordpiece_persisted" -> (qWordpiecePersisted _),
+    "q_unigram_persisted" -> (qUnigramPersisted _),
     "q_window_drift" -> (qWindowDrift _),
     "q_vector_window_drift" -> (qVectorWindowDrift _),
     "q_classifier_centroid" -> (qClassifierCentroid _),

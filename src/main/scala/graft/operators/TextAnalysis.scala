@@ -1038,6 +1038,161 @@ object TextAnalysis {
         sum(col("n_tokens_w")).as("n_tokens"))
   }
 
+  /** A trained, persistable tokenizer — THE train-once/apply-forever
+    * artifact of a training-data pipeline. Each family's artifact is the
+    * complete state its encoder needs (nothing re-derives from the
+    * training corpus): BPE carries the ordered merge list, WordPiece the
+    * merge list plus the training alphabet (longest-match vocabulary =
+    * alphabet + merge products), unigram the whole-bit cost table. All
+    * are bounded driver-side (merges = rounds; costs = alphabet + topK)
+    * and broadcast to executors by closure. Lifecycle verbs follow the
+    * [[writeLm]]/[[graft.operators.VectorSearch.writePq]] convention:
+    * train*Tokenizer → [[writeTokenizer]] → [[loadTokenizer]] → the
+    * artifact overloads of [[bpeEncode]]/[[wordPieceEncode]]/
+    * [[unigramTokenCounts]].
+    */
+  sealed trait Tokenizer
+
+  /** Ordered BPE merges `(round, pair_a, pair_b)`, rank = round. */
+  final case class BpeTokenizer(merges: Seq[(Long, String, String)]) extends Tokenizer
+
+  /** WordPiece merges + the training-corpus alphabet (sorted). */
+  final case class WordPieceTokenizer(
+      merges: Seq[(Long, String, String)],
+      alphabet: Seq[String]) extends Tokenizer
+
+  /** Unigram-LM cost table + the token total behind the OOV fallback
+    * cost, plus the DP shape parameters the costs were trained under.
+    */
+  final case class UnigramTokenizer(
+      costs: Map[String, Long],
+      total: Long,
+      maxSubLen: Int,
+      maxWordLen: Int) extends Tokenizer
+
+  /** Train the BPE merge list as a persistable artifact (the
+    * [[bpeMerges]] loop, keeping only what encoding needs).
+    */
+  def trainBpeTokenizer(
+      docs: DataFrame,
+      textCol: String,
+      rounds: Int,
+      maxVocab: Long = 10000000L
+  ): BpeTokenizer = {
+    val (stats, _) = trainBpeLocal(docs, textCol, rounds, maxVocab)
+    BpeTokenizer(stats.map { case (r, a, b, _, _) => (r, a, b) })
+  }
+
+  /** Train the WordPiece artifact: likelihood-scored merges plus the
+    * training alphabet (the longest-match vocabulary's base symbols —
+    * without it a loaded tokenizer could not tell a never-seen character
+    * from a trained one).
+    */
+  def trainWordPieceTokenizer(
+      docs: DataFrame,
+      textCol: String,
+      rounds: Int,
+      maxVocab: Long = 10000000L
+  ): WordPieceTokenizer = {
+    val (stats, finalVocab) = trainBpeLocal(docs, textCol, rounds, maxVocab, likelihood = true)
+    WordPieceTokenizer(
+      stats.map { case (r, a, b, _, _) => (r, a, b) },
+      finalVocab.iterator.flatMap(_._1.map(_.toString)).toSet.toSeq.sorted)
+  }
+
+  /** Persist a trained tokenizer: flat parquet per bounded table plus a
+    * `tokenizer.json` sidecar naming the family and scalar parameters —
+    * the [[graft.operators.VectorSearch.writePq]] layout. Engine-neutral:
+    * any parquet reader can reconstruct the tokenizer.
+    */
+  def writeTokenizer(
+      spark: org.apache.spark.sql.SparkSession,
+      tok: Tokenizer,
+      path: String
+  ): Unit = {
+    def sidecar(json: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(s"$path/tokenizer.json")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val out = fs.create(p, true)
+      try out.write(json.getBytes("UTF-8"))
+      finally out.close()
+    }
+    def writeMerges(merges: Seq[(Long, String, String)]): Unit =
+      spark.createDataFrame(spark.sparkContext.parallelize(merges, 1))
+        .toDF("round", "pair_a", "pair_b")
+        .write.mode("overwrite").parquet(s"$path/merges")
+    tok match {
+      case BpeTokenizer(merges) =>
+        writeMerges(merges)
+        sidecar(s"""{"family":"bpe","rounds":${merges.length}}""")
+      case WordPieceTokenizer(merges, alphabet) =>
+        writeMerges(merges)
+        spark.createDataFrame(spark.sparkContext.parallelize(alphabet.map(Tuple1(_)), 1))
+          .toDF("symbol")
+          .write.mode("overwrite").parquet(s"$path/alphabet")
+        sidecar(s"""{"family":"wordpiece","rounds":${merges.length}}""")
+      case UnigramTokenizer(costs, total, maxSubLen, maxWordLen) =>
+        spark.createDataFrame(
+            spark.sparkContext.parallelize(costs.toSeq.sortBy(_._1), 1))
+          .toDF("symbol", "cost")
+          .write.mode("overwrite").parquet(s"$path/costs")
+        sidecar(s"""{"family":"unigram","total":$total,""" +
+          s""""maxSubLen":$maxSubLen,"maxWordLen":$maxWordLen}""")
+    }
+  }
+
+  /** Load a persisted tokenizer (inverse of [[writeTokenizer]]; loud on
+    * a missing/unknown artifact). The collects are bounded by the
+    * artifact's own tables (merges = rounds, costs = alphabet + topK),
+    * guarded like every driver pull in this file.
+    */
+  def loadTokenizer(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String
+  ): Tokenizer = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/tokenizer.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val json =
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+      finally in.close()
+    def num(key: String): Long =
+      s""""$key":(-?\\d+)""".r.findFirstMatchIn(json).getOrElse(
+        throw new IllegalArgumentException(
+          s"loadTokenizer: $path/tokenizer.json carries no numeric field '$key'")).group(1).toLong
+    val family = """"family":"([a-z]+)"""".r.findFirstMatchIn(json).map(_.group(1))
+    def bounded(df: DataFrame, what: String): Array[org.apache.spark.sql.Row] = {
+      val cached = df.cache()
+      val n = cached.count()
+      require(n <= 10000000L,
+        s"loadTokenizer: $what at $path carries $n rows — past the 10M driver-local bound; " +
+          "the artifact is corrupt or not a tokenizer")
+      val rows = cached.collect()
+      cached.unpersist()
+      rows
+    }
+    def merges(): Seq[(Long, String, String)] =
+      bounded(spark.read.parquet(s"$path/merges"), "merge table")
+        .map(r => (r.getAs[Long]("round"), r.getAs[String]("pair_a"), r.getAs[String]("pair_b")))
+        .sortBy(_._1).toSeq
+    family match {
+      case Some("bpe") => BpeTokenizer(merges())
+      case Some("wordpiece") =>
+        WordPieceTokenizer(
+          merges(),
+          bounded(spark.read.parquet(s"$path/alphabet"), "alphabet")
+            .map(_.getAs[String]("symbol")).sorted.toSeq)
+      case Some("unigram") =>
+        UnigramTokenizer(
+          bounded(spark.read.parquet(s"$path/costs"), "cost table")
+            .map(r => r.getAs[String]("symbol") -> r.getAs[Long]("cost")).toMap,
+          num("total"), num("maxSubLen").toInt, num("maxWordLen").toInt)
+      case other =>
+        throw new IllegalArgumentException(
+          s"loadTokenizer: unknown tokenizer family $other at $path/tokenizer.json")
+    }
+  }
+
   /** Encode an ARBITRARY corpus with merges trained on another — the OOV
     * half the [[bpeTokenCounts]] scaladoc left as a seam. Trains on
     * `trainDocs` via [[trainBpeLocal]] (one corpus pass + local loop),
@@ -1070,10 +1225,24 @@ object TextAnalysis {
       textCol: String,
       rounds: Int,
       maxVocab: Long = 10000000L
+  ): DataFrame =
+    bpeEncode(trainBpeTokenizer(trainDocs, textCol, rounds, maxVocab), applyDocs, idCol, textCol)
+
+  /** [[bpeEncode]] from a TRAINED artifact — the apply-every-batch half
+    * of the train-once tokenizer lifecycle ([[trainBpeTokenizer]] /
+    * [[writeTokenizer]] / [[loadTokenizer]]): no training corpus in
+    * sight, just the ordered merge list replayed over the apply corpus's
+    * distinct words. The two-corpus overload above delegates here, so
+    * fresh-trained and loaded-artifact encodes cannot diverge.
+    */
+  def bpeEncode(
+      tok: BpeTokenizer,
+      applyDocs: DataFrame,
+      idCol: String,
+      textCol: String
   ): DataFrame = {
-    val (stats, _) = trainBpeLocal(trainDocs, textCol, rounds, maxVocab)
     val ranks: Map[(String, String), Long] =
-      stats.map { case (r, a, b, _, _) => (a, b) -> r }.toMap
+      tok.merges.map { case (r, a, b) => (a, b) -> r }.toMap
     val segLen = udf { (word: String) =>
       var seg = word.map(_.toString).toArray
       var cursor = Long.MinValue // ranks already passed never re-apply
@@ -1150,10 +1319,23 @@ object TextAnalysis {
       textCol: String,
       rounds: Int,
       maxVocab: Long = 10000000L
+  ): DataFrame =
+    wordPieceEncode(
+      trainWordPieceTokenizer(trainDocs, textCol, rounds, maxVocab), applyDocs, idCol, textCol)
+
+  /** [[wordPieceEncode]] from a TRAINED artifact (greedy longest-match
+    * against the persisted alphabet + merge products) — the
+    * loaded-tokenizer serving path; the two-corpus overload above
+    * delegates here so the paths cannot diverge.
+    */
+  def wordPieceEncode(
+      tok: WordPieceTokenizer,
+      applyDocs: DataFrame,
+      idCol: String,
+      textCol: String
   ): DataFrame = {
-    val (stats, finalVocab) = trainBpeLocal(trainDocs, textCol, rounds, maxVocab, likelihood = true)
-    val alphabet: Set[String] = finalVocab.iterator.flatMap(_._1.map(_.toString)).toSet
-    val vocab: Set[String] = alphabet ++ stats.iterator.map { case (_, a, b, _, _) => a + b }
+    val vocab: Set[String] =
+      tok.alphabet.toSet ++ tok.merges.iterator.map { case (_, a, b) => a + b }
     val maxLen = if (vocab.isEmpty) 1 else vocab.iterator.map(_.length).max
     val enc = udf { (word: String) =>
       var pos = 0
@@ -1228,7 +1410,28 @@ object TextAnalysis {
       emRounds: Int = 0,
       maxWordLen: Int = 16,
       maxVocab: Long = 10000000L
-  ): DataFrame = {
+  ): DataFrame =
+    unigramTokenCounts(
+      trainUnigramTokenizer(
+        docs, textCol, maxSubLen, topK, minCount, emRounds, maxWordLen, maxVocab),
+      docs, idCol, textCol)
+
+  /** Train the unigram-LM tokenizer artifact (seed vocabulary + whole-bit
+    * costs + optional hard-EM rounds — see [[unigramTokenCounts]] for the
+    * semantics): the bounded cost table a session persists with
+    * [[writeTokenizer]] and every later batch scores against without
+    * touching the training corpus.
+    */
+  def trainUnigramTokenizer(
+      docs: DataFrame,
+      textCol: String,
+      maxSubLen: Int = 4,
+      topK: Int = 200,
+      minCount: Long = 2L,
+      emRounds: Int = 0,
+      maxWordLen: Int = 16,
+      maxVocab: Long = 10000000L
+  ): UnigramTokenizer = {
     require(maxSubLen >= 2, s"need maxSubLen >= 2, got $maxSubLen")
     require(topK >= 0, s"need topK >= 0, got $topK")
     require(minCount >= 1L, s"need minCount >= 1, got $minCount")
@@ -1255,40 +1458,11 @@ object TextAnalysis {
     var total = vocab.valuesIterator.sum
     var costs: Map[String, Long] = vocab.map { case (s, c) => s -> (bitlen(total) - bitlen(c)) }
 
-    // packed DP state: cost * 64 + ntoks (ntoks <= maxWordLen <= 62) —
-    // the lexicographic (cost, ntoks) minimum as one integer min. ONE
-    // DP body serves both the scoring surface (viterbi) and the EM
-    // re-count (viterbiPath) so the two paths cannot desynchronize;
-    // returns null when the word is overlong or has no path (apply-side
-    // never-seen char — train-corpus words always have one, the
-    // alphabet is in the vocabulary), the shared fallback signal.
-    def viterbiDp(w: String): Option[(Array[Long], Array[Int])] = {
-      if (w.length > maxWordLen) return None
-      val best = Array.fill(w.length + 1)(Long.MaxValue)
-      val back = Array.fill(w.length + 1)(0)
-      best(0) = 0L
-      var j = 1
-      while (j <= w.length) {
-        var t = 1
-        val tMax = math.min(maxSubLen, j)
-        while (t <= tMax) {
-          if (best(j - t) != Long.MaxValue) {
-            costs.get(w.substring(j - t, j)).foreach { c =>
-              val cand = best(j - t) + c * 64L + 1L
-              if (cand < best(j)) { best(j) = cand; back(j) = t }
-            }
-          }
-          t += 1
-        }
-        j += 1
-      }
-      if (best(w.length) == Long.MaxValue) None else Some((best, back))
-    }
-    def viterbi(w: String): Long =
-      viterbiDp(w).fold(bitlen(total) * 64L + 1L)(_._1(w.length))
-    // the segmentation itself, for EM usage re-counts
+    // the segmentation itself, for EM usage re-counts (the same DP body
+    // the apply surface runs — unigramViterbiDp — so EM and scoring
+    // cannot desynchronize)
     def viterbiPath(w: String): Seq[String] =
-      viterbiDp(w).fold(Seq(w)) { case (_, back) =>
+      unigramViterbiDp(costs, maxSubLen, maxWordLen, w).fold(Seq(w)) { case (_, back) =>
         val out = scala.collection.mutable.ArrayBuffer.empty[String]
         var pos = w.length
         while (pos > 0) { out.prepend(w.substring(pos - back(pos), pos)); pos -= back(pos) }
@@ -1303,10 +1477,63 @@ object TextAnalysis {
       total = vocab.valuesIterator.sum
       costs = vocab.map { case (s, c) => s -> (bitlen(total) - bitlen(c)) }
     }
+    UnigramTokenizer(costs, total, maxSubLen, maxWordLen)
+  }
 
-    val packed = udf((w: String) => viterbi(w))
-    val tok = docs.select(col(idCol), explode(TextFunctions.ftsTokens(col(textCol))).as("word"))
-    val segmented = tok
+  /** Packed DP state: cost * 64 + ntoks (ntoks <= maxWordLen <= 62) —
+    * the lexicographic (cost, ntoks) minimum as one integer min. ONE DP
+    * body serves the scoring surface, the EM re-count and the
+    * loaded-artifact apply so the paths cannot desynchronize; returns
+    * None when the word is overlong or has no path (apply-side
+    * never-seen char — train-corpus words always have one, the alphabet
+    * is in the vocabulary), the shared fallback signal.
+    */
+  private def unigramViterbiDp(
+      costs: Map[String, Long],
+      maxSubLen: Int,
+      maxWordLen: Int,
+      w: String
+  ): Option[(Array[Long], Array[Int])] = {
+    if (w.length > maxWordLen) return None
+    val best = Array.fill(w.length + 1)(Long.MaxValue)
+    val back = Array.fill(w.length + 1)(0)
+    best(0) = 0L
+    var j = 1
+    while (j <= w.length) {
+      var t = 1
+      val tMax = math.min(maxSubLen, j)
+      while (t <= tMax) {
+        if (best(j - t) != Long.MaxValue) {
+          costs.get(w.substring(j - t, j)).foreach { c =>
+            val cand = best(j - t) + c * 64L + 1L
+            if (cand < best(j)) { best(j) = cand; back(j) = t }
+          }
+        }
+        t += 1
+      }
+      j += 1
+    }
+    if (best(w.length) == Long.MaxValue) None else Some((best, back))
+  }
+
+  /** [[unigramTokenCounts]] from a TRAINED artifact — Viterbi-segment
+    * each distinct apply word against the loaded cost table (broadcast
+    * read-only local), reduce per doc. The train-and-apply overload
+    * above delegates here so the paths cannot diverge.
+    */
+  def unigramTokenCounts(
+      tok: UnigramTokenizer,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String
+  ): DataFrame = {
+    def bitlen(x: Long): Long = 64L - java.lang.Long.numberOfLeadingZeros(x)
+    val (costs, maxSubLen, maxWordLen) = (tok.costs, tok.maxSubLen, tok.maxWordLen)
+    val fallback = bitlen(tok.total) * 64L + 1L
+    val packed = udf((w: String) =>
+      unigramViterbiDp(costs, maxSubLen, maxWordLen, w).fold(fallback)(_._1(w.length)))
+    val words = docs.select(col(idCol), explode(TextFunctions.ftsTokens(col(textCol))).as("word"))
+    val segmented = words
       .select("word").distinct()
       .withColumn("_p", packed(col("word")))
       .select(
@@ -1314,7 +1541,7 @@ object TextAnalysis {
         (col("_p") % 64L).as("n_tokens_w"),
         expr("_p div 64").as("cost_w"))
       .localCheckpoint()
-    tok
+    words
       .join(broadcast(segmented), Seq("word"))
       .groupBy(idCol)
       .agg(

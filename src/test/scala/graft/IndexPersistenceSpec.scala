@@ -297,4 +297,93 @@ class IndexPersistenceSpec extends AnyFunSuite {
     }
     assert(err.getMessage.contains("refusing to append"), err.getMessage)
   }
+
+  // ---- tokenizer persistence (the train-once/apply-forever artifact) ----
+
+  private def tokTrainCorpus = Seq(
+    (1L, "the cat sat on the mat and the cat ate"),
+    (2L, "a dog sat on a log and the dog ate the bone"),
+    (3L, "cats and dogs eat oats and the rats eat oats"),
+    (4L, "the theme of the thesis is the theory of the throne")
+  ).toDF("doc_id", "text")
+
+  private def tokApplyCorpus = Seq(
+    (10L, "the cat and the dog sat"),          // all-trained words
+    (11L, "quizzical vexing jumps"),           // chars q/z/x/j unseen in training
+    (12L, "oats for rats and cats")
+  ).toDF("doc_id", "text")
+
+  test("BPE tokenizer: write/load roundtrips the artifact; loaded encode == fresh encode bit-identically") {
+    import graft.operators.TextAnalysis
+    val fresh = TextAnalysis.trainBpeTokenizer(tokTrainCorpus, "text", rounds = 6)
+    assert(fresh.merges.length == 6)
+    val dir = java.nio.file.Files.createTempDirectory("graft-tok-bpe").toString
+    TextAnalysis.writeTokenizer(spark, fresh, dir)
+    val loaded = TextAnalysis.loadTokenizer(spark, dir)
+    assert(loaded == fresh, s"artifact drifted through the roundtrip: $loaded vs $fresh")
+
+    def dump(t: TextAnalysis.BpeTokenizer) =
+      TextAnalysis.bpeEncode(t, tokApplyCorpus, "doc_id", "text")
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(dump(loaded.asInstanceOf[TextAnalysis.BpeTokenizer]) == dump(fresh))
+
+    // and the loaded-artifact path equals the two-corpus train+encode path
+    val direct = TextAnalysis.bpeEncode(tokTrainCorpus, tokApplyCorpus, "doc_id", "text", rounds = 6)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(dump(fresh) == direct)
+  }
+
+  test("WordPiece tokenizer: merges AND alphabet survive the roundtrip; unseen chars still [UNK]") {
+    import graft.operators.TextAnalysis
+    val fresh = TextAnalysis.trainWordPieceTokenizer(tokTrainCorpus, "text", rounds = 6)
+    assert(fresh.alphabet.nonEmpty && fresh.alphabet == fresh.alphabet.sorted)
+    val dir = java.nio.file.Files.createTempDirectory("graft-tok-wp").toString
+    TextAnalysis.writeTokenizer(spark, fresh, dir)
+    val loaded = TextAnalysis.loadTokenizer(spark, dir)
+    assert(loaded == fresh)
+
+    val rows = TextAnalysis.wordPieceEncode(
+        loaded.asInstanceOf[TextAnalysis.WordPieceTokenizer], tokApplyCorpus, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val freshRows = TextAnalysis.wordPieceEncode(fresh, tokApplyCorpus, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(rows.map(_.toSeq).toSeq == freshRows.map(_.toSeq).toSeq)
+    // doc 11's q/z/x/j words must be whole-word [UNK] under the LOADED
+    // alphabet — the roundtrip bit that merges alone cannot carry
+    val unk = rows.find(_.getLong(0) == 11L).get
+    assert(unk.getAs[Long]("n_unk") == 3L, unk.toString)
+  }
+
+  test("unigram tokenizer: cost table, total and DP shape survive the roundtrip (EM rounds too)") {
+    import graft.operators.TextAnalysis
+    val fresh = TextAnalysis.trainUnigramTokenizer(tokTrainCorpus, "text", emRounds = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft-tok-uni").toString
+    TextAnalysis.writeTokenizer(spark, fresh, dir)
+    val loaded = TextAnalysis.loadTokenizer(spark, dir)
+    assert(loaded == fresh)
+
+    def dump(t: TextAnalysis.UnigramTokenizer) =
+      TextAnalysis.unigramTokenCounts(t, tokApplyCorpus, "doc_id", "text")
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(dump(loaded.asInstanceOf[TextAnalysis.UnigramTokenizer]) == dump(fresh))
+    // the delegating train-and-apply overload and the artifact path agree
+    // on the training corpus itself
+    val direct = TextAnalysis.unigramTokenCounts(tokTrainCorpus, "doc_id", "text", emRounds = 2)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(direct ==
+      TextAnalysis.unigramTokenCounts(fresh, tokTrainCorpus, "doc_id", "text")
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq)
+  }
+
+  test("loadTokenizer refuses an unknown family") {
+    import graft.operators.TextAnalysis
+    val dir = java.nio.file.Files.createTempDirectory("graft-tok-bad")
+    java.nio.file.Files.write(
+      dir.resolve("tokenizer.json"),
+      """{"family":"sentencepiece"}""".getBytes("UTF-8"))
+    val err = intercept[IllegalArgumentException] {
+      TextAnalysis.loadTokenizer(spark, dir.toString)
+    }
+    assert(err.getMessage.contains("unknown tokenizer family"), err.getMessage)
+  }
 }
