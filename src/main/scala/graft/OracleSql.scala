@@ -1553,6 +1553,39 @@ object OracleSql {
          |       COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS seq_tokens
          |FROM o GROUP BY source, seq_index ORDER BY source, seq_index""".stripMargin,
 
+    "q_seq_pack_tok" -> {
+      // packGreedy over REAL 3-round-BPE token counts at the one-range
+      // operating point: the same 3 unrolled training rounds as
+      // q_bpe_encode give per-doc n_tokens; the strict-budget NEXT-fit
+      // recurrence (fresh bin when bin_tokens + tok > 2048; an oversized
+      // doc sits alone) walks doc_id order one row per recursive step —
+      // bin ids 0-based like packGreedy's (partition 0 << 32 | idx)
+      val rounds = (1 to 3).map(r => bpeRound(s"w${r - 1}", r)).mkString(",\n")
+      s"""WITH RECURSIVE $bpeW0,
+         |$rounds,
+         |segv AS (
+         |  SELECT word,
+         |         CAST(len(list_filter(string_split(seg, '|'), x -> len(x) > 0)) AS BIGINT) AS n_tokens_w
+         |  FROM w3),
+         |toks AS (
+         |  SELECT t.doc_id, CAST(SUM(s.n_tokens_w) AS BIGINT) AS tok
+         |  FROM (SELECT doc_id, UNNEST($ftsToks) AS word FROM documents) t
+         |  JOIN segv s ON t.word = s.word
+         |  GROUP BY t.doc_id),
+         |d AS MATERIALIZED (
+         |  SELECT tok, ROW_NUMBER() OVER (ORDER BY doc_id) AS rn FROM toks),
+         |pack AS (
+         |  SELECT rn, tok, CAST(0 AS BIGINT) AS bin_id, tok AS bin_run FROM d WHERE rn = 1
+         |  UNION ALL
+         |  SELECT d.rn, d.tok,
+         |         CASE WHEN p.bin_run + d.tok > 2048 THEN p.bin_id + 1 ELSE p.bin_id END,
+         |         CASE WHEN p.bin_run + d.tok > 2048 THEN d.tok ELSE p.bin_run + d.tok END
+         |  FROM pack p JOIN d ON d.rn = p.rn + 1)
+         |SELECT bin_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(tok) AS BIGINT) AS bin_tokens
+         |FROM pack GROUP BY bin_id ORDER BY bin_id""".stripMargin
+    },
+
     "q_stratified_sample" -> {
       // mirrors Sampling.hashBucket: first 6 md5 nibbles as int, mod 100
       val bucket = s"(${md5NibbleIntSql("CAST(doc_id AS VARCHAR)", 6)} % 100)"

@@ -1536,6 +1536,29 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_docs"), sum("tok").as("seq_tokens"))
       .orderBy("source", "seq_index")
 
+  /** Sequence packing by REAL trained-tokenizer counts
+    * (SequencePacking.packGreedy over TextAnalysis.bpeEncode output):
+    * train 3 BPE merges, encode every document from the artifact, then
+    * strict-budget next-fit — the accounting a training pipeline
+    * actually packs by, vs q_seq_pack's words×1.3 estimate. Run at the
+    * one-range operating point (partitions = 1: a single deterministic
+    * id-ordered fold — the oracle walks the identical recurrence with a
+    * recursive CTE); the scale path is N range partitions with
+    * per-range bins, pinned by SequencePackingSpec. The hash pins
+    * training, encode AND the packing recurrence (a wrong token count
+    * anywhere shifts every later bin boundary).
+    */
+  private def qSeqPackTok(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val tok = TextAnalysis.trainBpeTokenizer(docs, "text", rounds = 3)
+    val counts = TextAnalysis.bpeEncode(tok, docs, "doc_id", "text")
+    graft.operators.SequencePacking
+      .packGreedy(counts, "doc_id", "n_tokens", budget = 2048, partitions = 1)
+      .groupBy("bin_id")
+      .agg(count(lit(1)).as("n_docs"), sum("tokens").as("bin_tokens"))
+      .orderBy("bin_id")
+  }
+
   /** C4-style blocklist gate (CorpusHygiene.blocklistHits) over the demo
     * term list: zero-shuffle scan-fused whole-word/phrase matching,
     * graded hit density plus the any-hit cut.
@@ -2923,6 +2946,7 @@ object SparkEntry {
     "q_stratified_sample" -> (qStratifiedSample _),
     "q_train_split" -> (qTrainSplit _),
     "q_seq_pack" -> (qSeqPack _),
+    "q_seq_pack_tok" -> (qSeqPackTok _),
     "q_pii_scrub" -> (qPiiScrub _),
     "q_blocklist" -> (qBlocklist _),
     "q_gopher_repetition" -> (qGopherRepetition _),

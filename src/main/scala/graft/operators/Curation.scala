@@ -17,6 +17,34 @@ import graft.functions.TextFunctions
   */
 object Curation {
 
+  /** A per-document REAL-token source for the accounting column:
+    * `(docs, idCol, textCol) => frame with (idCol, n_tokens)` — the shape
+    * every trained-tokenizer encoder already returns. Docs the counter
+    * omits (no tokens) account as 0. Plug one in via [[curate]]/[[audit]]'s
+    * `tokenCounter` to replace the words×1.3 parity estimate with actual
+    * trained-tokenizer output ([[tokenizerCounter]] adapts a loaded
+    * [[TextAnalysis.Tokenizer]] artifact).
+    */
+  type TokenCounter = (DataFrame, String, String) => DataFrame
+
+  /** Adapt a trained tokenizer artifact ([[TextAnalysis.loadTokenizer]])
+    * into a [[TokenCounter]]: the pipeline loads the tokenizer once and
+    * every curation pass accounts in REAL model tokens — what sequence
+    * packing actually packs by — instead of the reference's ×1.3
+    * estimate. Scale shape: each encoder is the broadcast
+    * distinct-word-join apply (corpus touched once; only (id, long)
+    * count rows join back).
+    */
+  def tokenizerCounter(tok: TextAnalysis.Tokenizer): TokenCounter =
+    (docs, idCol, textCol) => (tok match {
+      case b: TextAnalysis.BpeTokenizer =>
+        TextAnalysis.bpeEncode(b, docs, idCol, textCol)
+      case w: TextAnalysis.WordPieceTokenizer =>
+        TextAnalysis.wordPieceEncode(w, docs, idCol, textCol)
+      case u: TextAnalysis.UnigramTokenizer =>
+        TextAnalysis.unigramTokenCounts(u, docs, idCol, textCol)
+    }).select(col(idCol), col("n_tokens"))
+
   /** Filter + dedup a corpus. Returns the curated rows with
     * `pred_lang`, `quality`, `token_est` columns attached.
     *
@@ -64,12 +92,13 @@ object Curation {
       contamN: Int = 13,
       broadcastContaminatedIds: Boolean = true,
       qualityModel: Option[QualityClassifier.CentroidModel] = None,
-      lmGate: Option[(TextAnalysis.BigramLm, Long)] = None
+      lmGate: Option[(TextAnalysis.BigramLm, Long)] = None,
+      tokenCounter: Option[TokenCounter] = None
   ): DataFrame = {
     val filtered = lmGateStage(
       modelGate(
         contaminationGate(
-          filterStage(docs, textCol, langs, minQuality),
+          filterStage(docs, idCol, textCol, langs, minQuality, tokenCounter),
           idCol, textCol, evalSet, evalTextCol, maxContamination, contamN,
           broadcastContaminatedIds),
         idCol, textCol, qualityModel),
@@ -104,7 +133,8 @@ object Curation {
       contamN: Int = 13,
       broadcastContaminatedIds: Boolean = true,
       qualityModel: Option[QualityClassifier.CentroidModel] = None,
-      lmGate: Option[(TextAnalysis.BigramLm, Long)] = None
+      lmGate: Option[(TextAnalysis.BigramLm, Long)] = None,
+      tokenCounter: Option[TokenCounter] = None
   ): DataFrame = clusters match {
     // artifact reuse: with a precomputed label table (ingest-time
     // Dedup.nearDupClusters -> writeClusters) the whole fuzzy-dedup pass
@@ -124,7 +154,8 @@ object Curation {
       Dedup.nearDedupFromClusters(
         lmGateStage(
           modelGate(
-            contaminationGate(filterStage(docs, textCol, langs, minQuality),
+            contaminationGate(
+              filterStage(docs, idCol, textCol, langs, minQuality, tokenCounter),
               idCol, textCol, evalSet, evalTextCol, maxContamination, contamN,
               broadcastContaminatedIds),
             idCol, textCol, qualityModel),
@@ -134,7 +165,7 @@ object Curation {
       val filtered = lmGateStage(
         modelGate(
           contaminationGate(
-            filterStage(docs, textCol, langs, minQuality),
+            filterStage(docs, idCol, textCol, langs, minQuality, tokenCounter),
             idCol, textCol, evalSet, evalTextCol, maxContamination, contamN,
             broadcastContaminatedIds),
           idCol, textCol, qualityModel),
@@ -277,22 +308,45 @@ object Curation {
 
   /** The one canonical enrichment trio — shared by [[filterStage]] and
     * [[audit]] so the kept-iff-curate contract can never drift on a
-    * formula edit to a single site.
+    * formula edit to a single site. `token_est` comes from the supplied
+    * [[TokenCounter]] when one is given (REAL trained-tokenizer counts —
+    * docs the counter omits account as 0, matching the estimate's value
+    * for token-less text) and from the words×1.3 parity estimate
+    * otherwise.
     */
-  private def enrich(docs: DataFrame, textCol: String): DataFrame =
-    docs
+  private def enrich(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      tokenCounter: Option[TokenCounter]
+  ): DataFrame = {
+    val base = docs
       .withColumn("pred_lang", TextAnalysis.langId(col(textCol)))
       .withColumn("quality", TextAnalysis.qualityScore(col(textCol)))
-      // == floor(words*1.3) for non-negative counts: one canonical formula
-      .withColumn("token_est", TextFunctions.tokenEstimate(col(textCol)).cast("long"))
+    tokenCounter match {
+      case None =>
+        // == floor(words*1.3) for non-negative counts: one canonical formula
+        base.withColumn("token_est", TextFunctions.tokenEstimate(col(textCol)).cast("long"))
+      case Some(tc) =>
+        base
+          .join(
+            tc(docs, idCol, textCol)
+              .select(col(idCol), col("n_tokens").cast("long").as("_real_toks")),
+            Seq(idCol), "left")
+          .withColumn("token_est", coalesce(col("_real_toks"), lit(0L)))
+          .drop("_real_toks")
+    }
+  }
 
   private def filterStage(
       docs: DataFrame,
+      idCol: String,
       textCol: String,
       langs: Set[String],
-      minQuality: Double
+      minQuality: Double,
+      tokenCounter: Option[TokenCounter] = None
   ): DataFrame =
-    enrich(docs, textCol)
+    enrich(docs, idCol, textCol, tokenCounter)
       .where(col("quality") >= minQuality)
       .where(if (langs.isEmpty) lit(true) else col("pred_lang").isin(langs.toSeq: _*))
 
@@ -329,13 +383,14 @@ object Curation {
       maxContamination: Double = 1.0,
       contamN: Int = 13,
       qualityModel: Option[QualityClassifier.CentroidModel] = None,
-      lmGate: Option[(TextAnalysis.BigramLm, Long)] = None
+      lmGate: Option[(TextAnalysis.BigramLm, Long)] = None,
+      tokenCounter: Option[TokenCounter] = None
   ): DataFrame = {
     // null text makes both gate predicates NULL, which a bare `when`
     // chain would skip — reading as "kept" while curate's `.where`
     // DROPS the doc. coalesce(false) keeps the kept-iff-curate contract
     // (and matches the oracle's CASE ... ELSE 0 null-folding).
-    val enriched = enrich(docs, textCol)
+    val enriched = enrich(docs, idCol, textCol, tokenCounter)
       .withColumn("_lang_ok",
         if (langs.isEmpty) lit(true)
         else coalesce(col("pred_lang").isin(langs.toSeq: _*), lit(false)))

@@ -316,4 +316,45 @@ class CurationSpec extends AnyFunSuite {
     // a doc whose text BECAME null still exists -> changed, never removed
     assert(got == Map(1L -> "changed", 2L -> "changed", 3L -> "unchanged"), got.toString)
   }
+
+  test("tokenCounter: curate and audit account token_est in REAL trained-tokenizer counts") {
+    import graft.operators.TextAnalysis
+    val tok = TextAnalysis.trainBpeTokenizer(docs, "text", rounds = 3)
+    val counter = Curation.tokenizerCounter(tok)
+
+    // the counter's ground truth: per-doc n_tokens from the artifact encode
+    val real = TextAnalysis.bpeEncode(tok, docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_tokens")).toMap
+
+    val curated = Curation
+      .curate(docs, "doc_id", "text", langs = Set("en", "de"), minQuality = 0.4,
+        tokenCounter = Some(counter))
+      .select("doc_id", "token_est").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(curated.keySet == Set(1L, 3L), curated.toString) // gates unchanged by the counter
+    curated.foreach { case (id, est) => assert(est == real(id), s"doc $id: $est vs ${real(id)}") }
+    // and they genuinely differ from the words×1.3 estimate (16 words -> 20)
+    assert(curated(1L) != 20L, s"BPE count coincides with the estimate: ${curated(1L)}")
+
+    // audit reports the SAME real counts on every row (docs the encoder
+    // omits — none here — would account as 0)
+    val audited = Curation
+      .audit(docs, "doc_id", "text", langs = Set("en", "de"), minQuality = 0.4,
+        tokenCounter = Some(counter))
+      .select("doc_id", "token_est").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(audited.size == 6)
+    audited.foreach { case (id, est) => assert(est == real.getOrElse(id, 0L), s"doc $id") }
+
+    // packing by the real counts: strict-budget next-fit never exceeds
+    // the budget with multi-doc bins
+    val counts = TextAnalysis.bpeEncode(tok, docs, "doc_id", "text")
+    val bins = graft.operators.SequencePacking
+      .packGreedy(counts, "doc_id", "n_tokens", budget = 40, partitions = 1)
+      .groupBy("bin_id").agg(count(lit(1)).as("n"), sum("tokens").as("t"))
+      .collect()
+    bins.foreach { r =>
+      assert(r.getAs[Long]("n") == 1L || r.getAs[Long]("t") <= 40L, r.toString)
+    }
+  }
 }
