@@ -1203,7 +1203,14 @@ object VectorSearch {
     * codebook and the code table, ready for [[pqSearch]] (pre-filter on
     * the cell column first for IVF-PQ probes).
     */
-  def loadPq(spark: org.apache.spark.sql.SparkSession, path: String): (PqModel, DataFrame) = {
+  def loadPq(spark: org.apache.spark.sql.SparkSession, path: String): (PqModel, DataFrame) =
+    (loadPqModel(spark, path), spark.read.parquet(s"$path/codes"))
+
+  /** Load ONLY the codebook sidecar of a persisted PQ artifact — the
+    * frozen-codebook consumer ([[StreamingIngest]]'s per-batch encode, a
+    * shard encoder) needs the model, not the historical codes table.
+    */
+  def loadPqModel(spark: org.apache.spark.sql.SparkSession, path: String): PqModel = {
     val p = new org.apache.hadoop.fs.Path(s"$path/codebook.json")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val in = fs.open(p)
@@ -1219,7 +1226,7 @@ object VectorSearch {
       s"codebook.json carries ${flat.length} values, expected ${nSub * k * subDim}")
     val codebook = Array.tabulate(nSub, k)((s, c) =>
       flat.slice((s * k + c) * subDim, (s * k + c + 1) * subDim))
-    (PqModel(codebook, num("quantScale").toInt), spark.read.parquet(s"$path/codes"))
+    PqModel(codebook, num("quantScale").toInt)
   }
 
   /** All-pairs near-duplicate detection by embedding cosine, LSH-blocked:

@@ -33,7 +33,9 @@ final class StreamingIngest(
     qualityModel: Option[graft.operators.QualityClassifier.CentroidModel] = None,
     qualityModelPath: Option[String] = None,
     lmGate: Option[(graft.operators.TextAnalysis.BigramLm, Long)] = None,
-    lmGatePath: Option[(String, Long)] = None
+    lmGatePath: Option[(String, Long)] = None,
+    pqCodebook: Option[graft.operators.VectorSearch.PqModel] = None,
+    pqCodebookPath: Option[String] = None
 ) {
   require(
     qualityModel.isEmpty || qualityModelPath.isEmpty,
@@ -41,6 +43,9 @@ final class StreamingIngest(
   require(
     lmGate.isEmpty || lmGatePath.isEmpty,
     "StreamingIngest: pass lmGate OR lmGatePath, not both")
+  require(
+    pqCodebook.isEmpty || pqCodebookPath.isEmpty,
+    "StreamingIngest: pass pqCodebook OR pqCodebookPath, not both")
 
   // The persisted-model path is the restart-safe configuration: an
   // in-memory qualityModel dies with the driver, so a restarted ingest
@@ -62,6 +67,20 @@ final class StreamingIngest(
     require(maxFp > 0L,
       s"StreamingIngest: lm gate threshold must be positive, got $maxFp " +
         "(scores are nonnegative — 0 would reject every scored doc)")
+  }
+
+  // Frozen PQ codebook for per-batch vector encoding (VERDICT r12 #5):
+  // the path form reloads only the codebook sidecar
+  // (VectorSearch.loadPqModel) — restart-safe like the other artifacts,
+  // loud at construction on a missing/corrupt file or a codebook whose
+  // dimensionality cannot encode this config's embeddings.
+  private val resolvedPqCodebook: Option[graft.operators.VectorSearch.PqModel] =
+    pqCodebook.orElse(
+      pqCodebookPath.map(p => graft.operators.VectorSearch.loadPqModel(spark, p)))
+  resolvedPqCodebook.foreach { m =>
+    require(m.dim == config.embedding.dimension,
+      s"StreamingIngest: PQ codebook encodes dim ${m.dim} but this config embeds " +
+        s"dim ${config.embedding.dimension} — fit the codebook on the same embedder")
   }
 
   private val catalog = new Catalog(spark, config.warehouseDir)
@@ -395,6 +414,36 @@ final class StreamingIngest(
       .select("document_id").distinct())
     val newChunks = chunks.join(broadcast(presentDocs), Seq("document_id"), "left_anti")
     catalog.append(newChunks, "chunks_stream")
+
+    // Optional per-batch vector encode against the FROZEN loaded PQ
+    // codebook — the O(batch) pqEncode contract lifted to the ingest
+    // path, the vector twin of the per-batch FTS extension: one narrow
+    // pass over the batch's already-pinned chunks, no shuffle, no
+    // re-fit. Ordering invariants: codes land AFTER the chunks append
+    // (never a code row for a chunk that was never stored) and BEFORE
+    // the ledger append (ledger committed => codes committed, so a
+    // batch that will never replay is never missing its codes). Replay
+    // guard: anti-join on the codes table's own content-derived chunk
+    // id, over the FULL batch (not newChunks) so a crash between the
+    // chunks and codes appends backfills on replay.
+    resolvedPqCodebook.foreach { m =>
+      val encoded = graft.operators.VectorSearch
+        .pqEncode(m, chunks, "id", "embedding", keepCols = Seq("document_id"))
+      val newCodes =
+        if (!catalog.exists("pq_codes_stream")) encoded
+        else
+          encoded.join(
+            broadcast(catalog.read("pq_codes_stream").select("id")),
+            Seq("id"),
+            "left_anti")
+      catalog.append(
+        newCodes.select(
+          col("id"), col("document_id"), col("pq_codes"),
+          lit(batchId).as("batch_id"),
+          current_timestamp().as("created_at")),
+        "pq_codes_stream")
+    }
+
     catalog.append(
       docs.select(
         col("id"), col("path").as("source_path"), col("title"), col("file_hash"),

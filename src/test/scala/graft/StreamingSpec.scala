@@ -351,6 +351,65 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("per-batch PQ encode: streamed codes == batch encode against the frozen codebook; replay-safe; path form; dim guard") {
+    import graft.operators.{Embedder, VectorSearch}
+    val spark2 = spark
+    import spark2.implicits._
+    val base = Files.createTempDirectory("graft-stream-pq").toString
+    val in = s"$base/in"; val wh = s"$base/wh"; val ckpt = s"$base/ckpt"
+    Files.createDirectories(Paths.get(in))
+    val cfg = GraftConfig(warehouseDir = wh)
+
+    // freeze a codebook fit on a trusted corpus embedded by the SAME
+    // embedder config the stream uses
+    val fitDocs = (1 to 24)
+      .map(i => (i.toLong, s"codebook fitting document $i with some words and a number $i"))
+      .toDF("id", "text")
+    val fitVecs = Embedder.withEmbedding(fitDocs, "text", "embedding", cfg.embedding)
+    val model = VectorSearch.pqFit(fitVecs, "id", "embedding", nSub = 8, k = 4, iters = 2)
+
+    Files.write(Paths.get(in, "a.md"), "# A\n\nstreaming chunks get encoded against the frozen codebook.".getBytes)
+    Files.write(Paths.get(in, "b.md"), "# B\n\nper batch maintenance keeps the vector index current.".getBytes)
+    val ingest = new StreamingIngest(spark, cfg, pqCodebook = Some(model))
+    ingest.start(in, ckpt).awaitTermination()
+
+    val cat = new Catalog(spark, wh)
+    val chunks = cat.read("chunks_stream")
+    val streamed = cat.read("pq_codes_stream")
+    assert(streamed.count() == chunks.count(), "every stored chunk must carry codes")
+    // streamed codes equal a batch encode over the stored chunks
+    def codeMap(df: org.apache.spark.sql.DataFrame) = df
+      .select("id", "pq_codes").collect()
+      .map(r => r.getString(0) -> r.getSeq[Any](1).toList).toMap
+    assert(codeMap(streamed) == codeMap(VectorSearch.pqEncode(model, chunks, "id", "embedding")))
+
+    // replay-safety: re-delivering already-ingested content appends no codes
+    Files.write(Paths.get(in, "a_copy.md"), "# A\n\nstreaming chunks get encoded against the frozen codebook.".getBytes)
+    ingest.start(in, ckpt).awaitTermination()
+    assert(cat.read("pq_codes_stream").count() == chunks.count(), "replayed content must not re-encode")
+
+    // a genuinely new doc encodes exactly its own chunks
+    Files.write(Paths.get(in, "c.md"), "# C\n\na third document arrives and only it is encoded.".getBytes)
+    ingest.start(in, ckpt).awaitTermination()
+    assert(cat.read("pq_codes_stream").count() == cat.read("chunks_stream").count())
+
+    // restart-safe path form: the persisted sidecar alone configures the encoder
+    val pqDir = s"$base/pq"
+    VectorSearch.writePq(model, VectorSearch.pqEncode(model, fitVecs, "id", "embedding"), pqDir)
+    val fromPath = new StreamingIngest(spark, cfg, pqCodebookPath = Some(pqDir))
+    Files.write(Paths.get(in, "d.md"), "# D\n\nthe path-configured ingest encodes this batch too.".getBytes)
+    fromPath.start(in, ckpt).awaitTermination()
+    assert(cat.read("pq_codes_stream").count() == cat.read("chunks_stream").count())
+
+    // a codebook of the wrong dimensionality is refused at construction
+    val tiny = (1 to 8).map(i => (i.toLong, Seq.fill(8)(i.toFloat))).toDF("id", "embedding")
+    val wrongDim = VectorSearch.pqFit(tiny, "id", "embedding", nSub = 4, k = 2, iters = 1)
+    val err = intercept[IllegalArgumentException] {
+      new StreamingIngest(spark, cfg, pqCodebook = Some(wrongDim))
+    }
+    assert(err.getMessage.contains("codebook encodes dim"), err.getMessage)
+  }
+
   test("streaming batches extend a live FTS index incrementally (no rebuild)") {
     import graft.operators.FtsIndex
     val base = Files.createTempDirectory("graft-stream-fts").toString
