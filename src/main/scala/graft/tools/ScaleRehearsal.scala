@@ -110,7 +110,7 @@ object ScaleRehearsal {
     // EXACT name match against the known sections: substring matching let
     // e.g. 'd' enable several sections and a typo silently run nothing.
     val sections = Seq("docs", "semdedup", "pagerank", "iterative100", "bm25batch", "evaldrift",
-      "classifier", "bpe", "lm", "sketchpq")
+      "classifier", "bpe", "lm", "sketchpq", "pipeline")
     val only = sys.env.get("GRAFT_SCALE_ONLY")
     only.foreach(o => require(sections.contains(o),
       s"GRAFT_SCALE_ONLY='$o' is not a section; known: ${sections.mkString(", ")}"))
@@ -687,6 +687,83 @@ object ScaleRehearsal {
         }
       }
       spark.conf.set("spark.sql.shuffle.partitions", savedParts)
+    }
+
+    // End-to-end composite rehearsal (VERDICT r12 #3): ingest ->
+    // hygiene (blocklist + Gopher repetition + PII scrub) -> curate
+    // (lang/quality/model/LM gates + exact dedup + REAL-token
+    // accounting) -> pack -> training order, as ONE chained pipeline
+    // with each stage pinned so wall + shuffle attribute per stage.
+    // Artifacts (classifier, trusted-corpus LM, BPE tokenizer, the LM
+    // bound) are trained ONCE on the 1x base outside the measured legs —
+    // the train-once/apply-per-batch shape a real deployment has.
+    if (sectionEnabled("pipeline")) {
+      import graft.operators.{CorpusHygiene, QualityClassifier, SequencePacking}
+      val model = QualityClassifier.fitCentroid(
+        base.where(pmod(col("doc_id"), lit(5)) === 0), "doc_id", "text",
+        when(length(col("text")) >= 300, 1).otherwise(-1))
+      val lmRaw = TextAnalysis.trainBigramLm(base.where(pmod(col("doc_id"), lit(2)) === 0), "text")
+      val lm = TextAnalysis.BigramLm(lmRaw.uni.localCheckpoint(), lmRaw.bi.localCheckpoint())
+      // tail-cut bound: p90 rejects every 10x marker copy (one OOV token
+      // per copy inflates mean_lm_fp past the in-distribution p90), which
+      // starves the pack/train-order stages of scaled input — the wide
+      // p99.9 bound keeps the gate real (it still cuts the true tail)
+      // while the downstream stages see the scaled survivor mass
+      val lmBound = math.max(1L,
+        TextAnalysis.scoreWithLm(lm, base, "doc_id", "text")
+          .agg(expr("percentile_approx(mean_lm_fp, 0.999)")).collect().head.getLong(0) * 2L)
+      // the sf corpus has a ~60-word vocabulary (see the bm25batch note);
+      // it exhausts all pairs near round 90 — 50 merges is deep enough to
+      // price the apply path while training stays feasible
+      val bpe = TextAnalysis.trainBpeTokenizer(base, "text", rounds = 50)
+      println(s"[scale] pipeline artifacts ready (lmBound=$lmBound)")
+
+      for (factor <- Seq(1, 10)) {
+        println(s"[scale] ===== pipeline factor $factor =====")
+        val docs = blowUp(factor)
+        println(s"[scale] corpus rows = ${docs.count()}")
+
+        var hygiene: DataFrame = null
+        measure(s"pipe_hygiene_x$factor") {
+          val blockedIds = CorpusHygiene
+            .blocklistHits(docs, "doc_id", "text", CorpusHygiene.demoBlocklist)
+            .where(col("blocked") === 1).select(col("doc_id"))
+          val repetitive = CorpusHygiene
+            .topNgramFraction(docs, "doc_id", "text", n = 2)
+            .where(col("top_ngram_frac") >= 0.2).select(col("id").as("doc_id"))
+          hygiene = docs
+            .where(CorpusHygiene.duplicateLineFraction(col("text")) < 0.3)
+            .join(blockedIds.unionByName(repetitive).distinct(), Seq("doc_id"), "left_anti")
+            .withColumn("text", CorpusHygiene.scrubPii(col("text")))
+            .localCheckpoint()
+          hygiene.count()
+        }
+        var curated: DataFrame = null
+        measure(s"pipe_curate_x$factor") {
+          curated = Curation.curate(
+            hygiene, "doc_id", "text", langs = Set("en", "de"), minQuality = 0.4,
+            qualityModel = Some(model), lmGate = Some((lm, lmBound)),
+            tokenCounter = Some(Curation.tokenizerCounter(bpe)))
+            .localCheckpoint()
+          curated.count()
+        }
+        var packed: DataFrame = null
+        measure(s"pipe_pack_x$factor") {
+          packed = SequencePacking
+            .packGreedy(curated.select(col("doc_id"), col("token_est")),
+              "doc_id", "token_est", budget = 2048, partitions = cpus.toInt)
+            .localCheckpoint()
+          packed.count()
+        }
+        measure(s"pipe_train_order_x$factor") {
+          TrainingOrder.shuffled(packed, "id", "sr", 32)
+            .where(col("pos") >= 1).count()
+        }
+        graft.util.Checkpoints.release(
+          graft.util.Checkpoints.pinnedRddIds(docs, hygiene, curated, packed), spark)
+      }
+      graft.util.Checkpoints.release(
+        graft.util.Checkpoints.pinnedRddIds(lm.uni, lm.bi), spark)
     }
     spark.stop()
   }
