@@ -125,6 +125,7 @@ object RetrievalLadder {
       println(f"[ladder] calibrated_b6_target$target%.1f L=$l measured_recall@10=$measured%.3f (inclusive)")
     }
 
+
     // SQ8 integer-dot search (the q_sq8_ann surface: raw vectors, dot
     // ranking dequantized per-vector)
     val q8 = VectorSearch.quantizeInt8(emb, "vec_id", "embedding").localCheckpoint()
@@ -182,6 +183,65 @@ object RetrievalLadder {
         codesCell.where(col("cluster").isin(probes: _*)),
         queries(qid).toSeq, fetchK), "id")
     })
+
+    // ==================================================================
+    // The 0.9-recall operating point (VERDICT r12 #7): calibrate L for
+    // 0.9 at b=6 (the datasheet's hand-fit said L ≈ 64+ on this corpus),
+    // measure recall AND per-query probe wall at that L, then price the
+    // competing 0.9 path — PQ-ADC shortlist + exact rescore at the
+    // smallest shortlist that clears 0.9 — and brute force as the
+    // reference wall. All recalls inclusive (the calibration convention);
+    // walls are the median of the 20 probes after one warm probe.
+    // ==================================================================
+    def medianWall(probe: Long => Unit): Double = {
+      probe(queryIds.head) // warm: codegen + broadcast
+      val walls = queryIds.map { qid =>
+        val t0 = System.nanoTime()
+        probe(qid)
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      walls(walls.size / 2)
+    }
+    def inclusiveRecall(fetch: Long => Set[Long]): Double =
+      queryIds.map(qid => (exactInclusive(qid) & fetch(qid)).size.toDouble / K)
+        .sum / queryIds.size
+
+    val cal09 = VectorSearch.calibrateBandedLMulti(
+      emb, "vec_id", "embedding", bandBits = 6, recallTargets = Seq(0.9), k = K, maxL = 256)
+    val l09 = cal09(0.9)
+    val banded09 = VectorSearch.buildBandedLsh(
+      emb, "vec_id", "embedding", dim, numTables = l09, bandBits = 6)
+    val banded09Recall = inclusiveRecall(qid =>
+      banded09.annTopK(queries(qid), K, col("vec_id"))
+        .select("vec_id").collect().map(_.getLong(0)).toSet)
+    val banded09Wall = medianWall(qid =>
+      banded09.annTopK(queries(qid), K, col("vec_id")).collect(): Unit)
+    println(f"[ladder] target0.9 banded b=6 L=$l09 measured_recall@10=$banded09Recall%.3f " +
+      f"probe_wall_median=$banded09Wall%.3fs probed_fraction<=${math.min(1.0, l09 / 64.0)}%.2f")
+
+    // PQ-ADC + rescore: smallest shortlist (of the 8x16 it3 codes) that
+    // clears 0.9 inclusive — then its probe wall
+    val corpusN = emb.count()
+    def pqRescoreFetch(s: Int)(qid: Long): Set[Long] = {
+      val shortlist = VectorSearch.pqSearch(pq3, codes3, queries(qid).toSeq, s)
+        .select(col("id").as("vec_id"))
+      VectorSearch.topK(
+          emb.join(shortlist, Seq("vec_id"), "left_semi"),
+          "embedding", queries(qid), K, col("vec_id"))
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+    }
+    val short09 = Seq(100, 200, 400, 800, 1200)
+      .find(s => inclusiveRecall(pqRescoreFetch(s)) >= 0.9)
+    short09 match {
+      case None => println("[ladder] target0.9 pq_adc_rescore: no shortlist <= 1200 clears 0.9")
+      case Some(s) =>
+        val wall = medianWall(qid => pqRescoreFetch(s)(qid): Unit)
+        println(f"[ladder] target0.9 pq_adc_rescore shortlist=$s " +
+          f"probe_wall_median=$wall%.3fs float_fraction=${s.toDouble / corpusN}%.3f")
+    }
+    val bruteWall = medianWall(qid =>
+      VectorSearch.topK(emb, "embedding", queries(qid), K, col("vec_id")).collect(): Unit)
+    println(f"[ladder] target0.9 brute_force probe_wall_median=$bruteWall%.3fs (recall 1.0 by definition)")
 
     // ==================================================================
     // Hybrid-RRF quality rows (VERDICT r10 #6): the flagship composite
