@@ -445,6 +445,16 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getSeq[Any](1).toList).toMap
     assert(codeMap(streamed) == codeMap(VectorSearch.pqEncode(model, chunks, "id", "embedding")))
 
+    // the streamed codes table is DIRECTLY searchable with the ADC
+    // surface (encode at ingest, search the codes later — no re-encode):
+    // a chunk's own embedding must rank that chunk first
+    val probe = chunks.select("id", "embedding").collect().head
+    val top = VectorSearch.pqSearch(
+        model, cat.read("pq_codes_stream"),
+        probe.getSeq[Float](1), k = 1)
+      .collect().head.getString(0)
+    assert(top == probe.getString(0), s"ADC over streamed codes returned $top")
+
     // replay-safety: re-delivering already-ingested content appends no codes
     Files.write(Paths.get(in, "a_copy.md"), "# A\n\nstreaming chunks get encoded against the frozen codebook.".getBytes)
     ingest.start(in, ckpt).awaitTermination()
