@@ -1110,13 +1110,8 @@ object TextAnalysis {
       tok: Tokenizer,
       path: String
   ): Unit = {
-    def sidecar(json: String): Unit = {
-      val p = new org.apache.hadoop.fs.Path(s"$path/tokenizer.json")
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val out = fs.create(p, true)
-      try out.write(json.getBytes("UTF-8"))
-      finally out.close()
-    }
+    def sidecar(json: String): Unit =
+      graft.util.Sidecar.write(spark, s"$path/tokenizer.json", json)
     def writeMerges(merges: Seq[(Long, String, String)]): Unit =
       spark.createDataFrame(spark.sparkContext.parallelize(merges, 1))
         .toDF("round", "pair_a", "pair_b")
@@ -1150,16 +1145,9 @@ object TextAnalysis {
       spark: org.apache.spark.sql.SparkSession,
       path: String
   ): Tokenizer = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/tokenizer.json")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val in = fs.open(p)
-    val json =
-      try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
-      finally in.close()
-    def num(key: String): Long =
-      s""""$key":(-?\\d+)""".r.findFirstMatchIn(json).getOrElse(
-        throw new IllegalArgumentException(
-          s"loadTokenizer: $path/tokenizer.json carries no numeric field '$key'")).group(1).toLong
+    val where = s"$path/tokenizer.json"
+    val json = graft.util.Sidecar.read(spark, where)
+    def num(key: String): Long = graft.util.Sidecar.num(json, key, where)
     val family = """"family":"([a-z]+)"""".r.findFirstMatchIn(json).map(_.group(1))
     def bounded(df: DataFrame, what: String): Array[org.apache.spark.sql.Row] = {
       val cached = df.cache()
@@ -1281,9 +1269,11 @@ object TextAnalysis {
         col("word"),
         length(col("word")).cast("long").as("n_chars_w"),
         segLen(col("word")).as("n_tokens_w"))
-      // vocabulary-bounded; pinned so the per-doc join below never
-      // re-runs the segmentation UDF per consumer
-      .localCheckpoint()
+      // vocabulary-bounded; CACHED (not checkpointed) so the per-doc join
+      // below never re-runs the segmentation UDF per consumer, while the
+      // blocks stay evictable/recomputable — a per-batch caller (curate's
+      // tokenCounter) must not pin one unreleasable RDD per pass
+      .cache()
     words
       .join(broadcast(segmented), Seq("word"))
       .groupBy(idCol)
@@ -1358,9 +1348,9 @@ object TextAnalysis {
       .select("word").distinct()
       .withColumn("_e", enc(col("word")))
       .select(col("word"), col("_e._1").as("n_tokens_w"), col("_e._2").as("unk_w"))
-      // vocabulary-bounded; pinned so the per-doc join never re-runs the
-      // match UDF per consumer (the bpeEncode discipline)
-      .localCheckpoint()
+      // vocabulary-bounded; cached, not checkpointed (the bpeEncode
+      // discipline — evictable, never a per-pass pinned-RDD leak)
+      .cache()
     words
       .join(broadcast(segmented), Seq("word"))
       .groupBy(idCol)
@@ -1540,7 +1530,9 @@ object TextAnalysis {
         col("word"),
         (col("_p") % 64L).as("n_tokens_w"),
         expr("_p div 64").as("cost_w"))
-      .localCheckpoint()
+      // cached, not checkpointed (the bpeEncode discipline — evictable,
+      // never a per-pass pinned-RDD leak)
+      .cache()
     words
       .join(broadcast(segmented), Seq("word"))
       .groupBy(idCol)

@@ -558,30 +558,17 @@ object VectorSearch {
     // input partition, so each directory gets one file
     index.indexed.repartition(col("sig_prefix"))
       .write.mode("overwrite").partitionBy("sig_prefix").parquet(s"$path/buckets")
-    val params =
-      s"""{"nBits":${index.lsh.nBits},"dim":${index.lsh.dim},"seed":${index.lsh.seed},"vecCol":"${index.vecCol}"}"""
-    val p = new org.apache.hadoop.fs.Path(s"$path/params.json")
-    val fs = p.getFileSystem(index.indexed.sparkSession.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
-    try out.write(params.getBytes("UTF-8"))
-    finally out.close()
+    graft.util.Sidecar.write(
+      index.indexed.sparkSession, s"$path/params.json",
+      s"""{"nBits":${index.lsh.nBits},"dim":${index.lsh.dim},"seed":${index.lsh.seed},"vecCol":"${index.vecCol}"}""")
   }
 
   /** Load a persisted LSH index (inverse of [[writeLsh]]). */
   def loadLsh(spark: org.apache.spark.sql.SparkSession, path: String): LshIndex = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/params.json")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val in = fs.open(p)
-    val json =
-      try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
-      finally in.close()
-    def num(key: String): Long =
-      s""""$key":(-?\\d+)""".r.findFirstMatchIn(json)
-        .getOrElse(throw new IllegalStateException(s"loadLsh: no '$key' in $path/params.json"))
-        .group(1).toLong
-    val vecCol = """"vecCol":"([^"]+)"""".r.findFirstMatchIn(json)
-      .getOrElse(throw new IllegalStateException(s"loadLsh: no 'vecCol' in $path/params.json"))
-      .group(1)
+    val where = s"$path/params.json"
+    val json = graft.util.Sidecar.read(spark, where)
+    def num(key: String): Long = graft.util.Sidecar.num(json, key, where)
+    val vecCol = graft.util.Sidecar.str(json, "vecCol", where)
     val lsh = SimHashLsh(nBits = num("nBits").toInt, dim = num("dim").toInt, seed = num("seed"))
     LshIndex(spark.read.parquet(s"$path/buckets"), lsh, vecCol)
   }
@@ -791,13 +778,9 @@ object VectorSearch {
       // partition — up to partitions x L x 2^b tiny files)
       .repartition(col("tbl"), col("band"))
       .write.mode("overwrite").partitionBy("tbl", "band").parquet(s"$path/buckets")
-    val params =
-      s"""{"numTables":${index.bands.length},"bandBits":${b0.nBits},"dim":${b0.dim},"seed":${b0.seed},"idCol":"${index.idCol}","vecCol":"${index.vecCol}"}"""
-    val p = new org.apache.hadoop.fs.Path(s"$path/params.json")
-    val fs = p.getFileSystem(index.tables.head.sparkSession.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
-    try out.write(params.getBytes("UTF-8"))
-    finally out.close()
+    graft.util.Sidecar.write(
+      index.tables.head.sparkSession, s"$path/params.json",
+      s"""{"numTables":${index.bands.length},"bandBits":${b0.nBits},"dim":${b0.dim},"seed":${b0.seed},"idCol":"${index.idCol}","vecCol":"${index.vecCol}"}""")
   }
 
   /** Load a persisted banded LSH index (inverse of [[writeBandedLsh]]):
@@ -806,20 +789,10 @@ object VectorSearch {
     * in-memory form.
     */
   def loadBandedLsh(spark: org.apache.spark.sql.SparkSession, path: String): BandedLshIndex = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/params.json")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val in = fs.open(p)
-    val json =
-      try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
-      finally in.close()
-    def num(key: String): Long =
-      s""""$key":(-?\\d+)""".r.findFirstMatchIn(json)
-        .getOrElse(throw new IllegalStateException(s"loadBandedLsh: no '$key' in $path/params.json"))
-        .group(1).toLong
-    def str(key: String): String =
-      s""""$key":"([^"]+)"""".r.findFirstMatchIn(json)
-        .getOrElse(throw new IllegalStateException(s"loadBandedLsh: no '$key' in $path/params.json"))
-        .group(1)
+    val where = s"$path/params.json"
+    val json = graft.util.Sidecar.read(spark, where)
+    def num(key: String): Long = graft.util.Sidecar.num(json, key, where)
+    def str(key: String): String = graft.util.Sidecar.str(json, key, where)
     val (n, bits, dim, seed) =
       (num("numTables").toInt, num("bandBits").toInt, num("dim").toInt, num("seed"))
     val bands = (0 until n).map(i => SimHashLsh(nBits = bits, dim = dim, seed = seed + 7919L * i))
@@ -908,23 +881,15 @@ object VectorSearch {
     // input-partition x cell)
     index.indexed.repartition(col("ivf_cell"))
       .write.mode("overwrite").partitionBy("ivf_cell").parquet(s"$path/cells")
-    val centroids = index.centroids.zipWithIndex
-      .map { case (c, i) => s"""{"cell":$i,"centroid":[${c.mkString(",")}]}""" }
-      .mkString("[", ",", "]")
-    val p = new org.apache.hadoop.fs.Path(s"$path/centroids.json")
-    val fs = p.getFileSystem(index.indexed.sparkSession.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
-    try out.write(centroids.getBytes("UTF-8"))
-    finally out.close()
+    graft.util.Sidecar.write(
+      index.indexed.sparkSession, s"$path/centroids.json",
+      index.centroids.zipWithIndex
+        .map { case (c, i) => s"""{"cell":$i,"centroid":[${c.mkString(",")}]}""" }
+        .mkString("[", ",", "]"))
   }
 
   def loadIvf(spark: org.apache.spark.sql.SparkSession, path: String, vecCol: String): IvfIndex = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/centroids.json")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val in = fs.open(p)
-    val json =
-      try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
-      finally in.close()
+    val json = graft.util.Sidecar.read(spark, s"$path/centroids.json")
     val centroids = """"centroid":\[([^\]]*)\]""".r
       .findAllMatchIn(json)
       .map(_.group(1).split(",").map(_.toDouble))
@@ -1189,14 +1154,10 @@ object VectorSearch {
     }
     writer.parquet(s"$path/codes")
     val flat = model.codebook.flatMap(_.flatMap(_.toSeq))
-    val json =
+    graft.util.Sidecar.write(
+      codes.sparkSession, s"$path/codebook.json",
       s"""{"nSub":${model.nSub},"k":${model.k},"subDim":${model.subDim},""" +
-        s""""quantScale":${model.quantScale},"flat":[${flat.mkString(",")}]}"""
-    val p = new org.apache.hadoop.fs.Path(s"$path/codebook.json")
-    val fs = p.getFileSystem(codes.sparkSession.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
-    try out.write(json.getBytes("UTF-8"))
-    finally out.close()
+        s""""quantScale":${model.quantScale},"flat":[${flat.mkString(",")}]}""")
   }
 
   /** Load a persisted PQ index (inverse of [[writePq]]): the frozen
@@ -1211,14 +1172,9 @@ object VectorSearch {
     * shard encoder) needs the model, not the historical codes table.
     */
   def loadPqModel(spark: org.apache.spark.sql.SparkSession, path: String): PqModel = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/codebook.json")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val in = fs.open(p)
-    val json =
-      try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
-      finally in.close()
-    def num(key: String): Long =
-      s""""$key":(-?\\d+)""".r.findFirstMatchIn(json).get.group(1).toLong
+    val where = s"$path/codebook.json"
+    val json = graft.util.Sidecar.read(spark, where)
+    def num(key: String): Long = graft.util.Sidecar.num(json, key, where)
     val (nSub, k, subDim) = (num("nSub").toInt, num("k").toInt, num("subDim").toInt)
     val flat = """"flat":\[([^\]]*)\]""".r.findFirstMatchIn(json).get.group(1)
       .split(",").map(_.trim.toLong)

@@ -97,25 +97,31 @@ final class Pipeline(spark: SparkSession, config: GraftConfig = GraftConfig.defa
             .persist()
           val dedupRes =
             if (config.imageDedup.enabled) Some(dedupImages(images)) else None
-          val kept = dedupRes.map(_.kept).getOrElse(images)
-          val meta = graft.sources.ImageExtraction
-            .writeImageFiles(kept, dir)
-            .withColumn("created_at", current_timestamp())
-          catalog.append(meta, "images")
-          // signatures and cluster labels land AFTER the images metadata:
-          // a crash in the window leaves a stored image that is merely
-          // unindexed/unlabeled (re-dedup later / labels-as-own-cluster,
-          // both harmless), never an index or label row referencing an
-          // image that was never stored — which would silently drop
-          // future copies (signatures) or double-label on re-ingest
-          // (clusters).
-          dedupRes.foreach { r =>
-            catalog.append(
-              r.keptSigs.withColumn("created_at", current_timestamp()), "image_signatures")
-            catalog.append(r.labels, "image_clusters")
-            graft.util.Checkpoints.release(r.scratchPins, spark)
+          try {
+            val kept = dedupRes.map(_.kept).getOrElse(images)
+            val meta = graft.sources.ImageExtraction
+              .writeImageFiles(kept, dir)
+              .withColumn("created_at", current_timestamp())
+            catalog.append(meta, "images")
+            // signatures and cluster labels land AFTER the images metadata:
+            // a crash in the window leaves a stored image that is merely
+            // unindexed/unlabeled (re-dedup later / labels-as-own-cluster,
+            // both harmless), never an index or label row referencing an
+            // image that was never stored — which would silently drop
+            // future copies (signatures) or double-label on re-ingest
+            // (clusters).
+            dedupRes.foreach { r =>
+              catalog.append(
+                r.keptSigs.withColumn("created_at", current_timestamp()), "image_signatures")
+              catalog.append(r.labels, "image_clusters")
+            }
+          } finally {
+            // released on EVERY exit: a throw mid-append must not leave the
+            // dedup scratch pins (or the payload cache) stranded in a
+            // driver that catches per-directory errors and continues
+            dedupRes.foreach(r => graft.util.Checkpoints.release(r.scratchPins, spark))
+            images.unpersist()
           }
-          images.unpersist()
         }
         withContent.drop("content")
       } else extracted.drop("content").localCheckpoint()

@@ -429,13 +429,18 @@ final class StreamingIngest(
     resolvedPqCodebook.foreach { m =>
       val encoded = graft.operators.VectorSearch
         .pqEncode(m, chunks, "id", "embedding", keepCols = Seq("document_id"))
-      val newCodes =
-        if (!catalog.exists("pq_codes_stream")) encoded
+      // Replay guard bounded by the BATCH, not by history: thin the codes
+      // table to this batch's chunk ids (the broadcast side is the small
+      // batch — broadcasting the table's full id set would grow without
+      // bound on a long stream), and pin the ≤batch-sized survivor list
+      // so the append below never re-scans the table it writes into —
+      // the presentDocs discipline.
+      val alreadyCoded = pinScratch(
+        if (!catalog.exists("pq_codes_stream")) chunks.select("id").limit(0)
         else
-          encoded.join(
-            broadcast(catalog.read("pq_codes_stream").select("id")),
-            Seq("id"),
-            "left_anti")
+          catalog.read("pq_codes_stream").select("id")
+            .join(broadcast(chunks.select("id")), Seq("id"), "left_semi"))
+      val newCodes = encoded.join(broadcast(alreadyCoded), Seq("id"), "left_anti")
       catalog.append(
         newCodes.select(
           col("id"), col("document_id"), col("pq_codes"),
