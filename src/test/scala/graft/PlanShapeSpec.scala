@@ -394,21 +394,26 @@ class PlanShapeSpec extends AnyFunSuite {
       "the corpus is touched exactly once — pair work is vocabulary-sized")
   }
 
-  test("BPE OOV encode: segmented vocabulary broadcasts; apply corpus scanned once") {
+  test("BPE OOV encode: segmented vocabulary broadcasts from the cache; apply corpus never re-folds") {
     // bpeEncode's apply is a JOIN, never a per-occurrence re-fold: the
-    // vocabulary-bounded segmentation (a pinned LogicalRDD) must
-    // broadcast against the one exploded corpus pass, per-doc sums must
-    // map-side combine, and the top-20 must be a top-k, not a global
-    // sort. (Training ran in its own jobs; THIS plan is the apply.)
+    // vocabulary-bounded segmentation (CACHED since r13 — evictable,
+    // recomputable, not an unreleasable checkpoint) must broadcast
+    // against the one exploded corpus pass, per-doc sums must map-side
+    // combine, and the top-20 must be a top-k, not a global sort.
+    // (Training ran in its own jobs; THIS plan is the apply.)
     val p = plan("q_bpe_encode_oov")
     assert(p.contains("BroadcastHashJoin"),
       s"the segmented vocabulary must broadcast: ${p.take(800)}")
+    assert(p.contains("InMemoryTableScan"),
+      s"the segmentation must serve from the cache, not recompute per consumer: ${p.take(800)}")
     assert(p.contains("partial_count") || p.contains("partial_sum"),
       s"per-doc sums must map-side combine: ${p.take(800)}")
     assert(p.contains("TakeOrderedAndProject"),
       s"the top-20 must not be a global sort: ${p.take(800)}")
-    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).length == 1,
-      "the apply corpus is touched exactly once in the encode plan")
+    // two textual scans: the join's corpus pass + the cached distinct's
+    // own source read (materialized once, then served from memory)
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).length <= 2,
+      "the apply corpus appears once per consumer, never per word occurrence")
   }
 
   test("incremental Hamming probe: band equi-join, never a cartesian or nested loop") {
