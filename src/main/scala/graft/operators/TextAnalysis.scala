@@ -753,18 +753,19 @@ object TextAnalysis {
     * bound is noise-heavy and fails loudly with the caller's
     * remediation).
     */
-  private def wordHistLocal(
-      docs: DataFrame,
-      textCol: String,
+  private def wordHistFrame(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .select(explode(TextFunctions.ftsTokens(col(textCol))).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("freq"))
+
+  private def collectHist(
+      histFrame: DataFrame,
       maxVocab: Long,
       caller: String,
       remediation: String
   ): Array[(String, Long)] = {
-    val hist = docs
-      .select(explode(TextFunctions.ftsTokens(col(textCol))).as("word"))
-      .groupBy("word")
-      .agg(count(lit(1)).as("freq"))
-      .cache()
+    val hist = histFrame.cache()
     val vocabSize = hist.count()
     require(vocabSize <= maxVocab,
       s"$caller: $vocabSize distinct words exceeds the driver-local bound $maxVocab — $remediation")
@@ -773,16 +774,106 @@ object TextAnalysis {
     rows
   }
 
+  private def wordHistLocal(
+      docs: DataFrame,
+      textCol: String,
+      maxVocab: Long,
+      caller: String,
+      remediation: String
+  ): Array[(String, Long)] =
+    collectHist(wordHistFrame(docs, textCol), maxVocab, caller, remediation)
+
+  /** The persisted tokenizer TRAINING CORPUS: the (word, freq) histogram
+    * every tokenizer family trains from — wrapped like [[BigramLm]] so it
+    * gets the same maintain-forever verbs. Counts are ASSOCIATIVE, so the
+    * lifecycle never re-reads old text: [[wordHistogram]] scans a corpus
+    * once; [[appendWordHistogram]] adds a new batch's counts in O(batch)
+    * (parquet append of the batch's own histogram, replay-keyed);
+    * [[loadWordHistogram]] re-sums the appended deltas exactly — load
+    * after N appends equals one histogram over the concatenated corpora
+    * (spec-pinned). Retraining any tokenizer from the grown histogram is
+    * then the driver-local merge loop alone: seconds, zero corpus scans.
+    */
+  final case class WordHistogram(hist: DataFrame)
+
+  /** Count a training corpus into a [[WordHistogram]] (one word-keyed
+    * shuffle with map-side combine — the trainers' exact histogram).
+    */
+  def wordHistogram(docs: DataFrame, textCol: String): WordHistogram =
+    WordHistogram(wordHistFrame(docs, textCol))
+
+  /** Persist a histogram (vocabulary-sized parquet; `batch_key`
+    * partitions replay bookkeeping — the initial write stamps "-").
+    */
+  def writeWordHistogram(h: WordHistogram, path: String): Unit =
+    h.hist.select(col("word"), col("freq"), lit("-").as("batch_key"))
+      .write.mode("overwrite").parquet(s"$path/hist")
+
+  /** Append ONE batch's counts to a persisted histogram in O(batch):
+    * the batch is scanned once, old corpora never re-read. `batchKey`
+    * must be unique per logical batch (the `runToken#batchId` convention)
+    * — a crash-replayed append writes the SAME (word, freq, batch_key)
+    * rows, which [[loadWordHistogram]] collapses before summing, so
+    * replays can never double-count.
+    */
+  def appendWordHistogram(
+      batch: DataFrame,
+      textCol: String,
+      path: String,
+      batchKey: String
+  ): Unit =
+    wordHistFrame(batch, textCol)
+      .select(col("word"), col("freq"), lit(batchKey).as("batch_key"))
+      .write.mode("append").parquet(s"$path/hist")
+
+  /** Load a persisted histogram, collapsing appended deltas (and any
+    * crash-replayed duplicate batches) to exact totals.
+    */
+  def loadWordHistogram(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String
+  ): WordHistogram =
+    WordHistogram(
+      spark.read.parquet(s"$path/hist")
+        .dropDuplicates("word", "batch_key")
+        .groupBy("word").agg(sum("freq").as("freq")))
+
+  /** In-memory histogram merge (the [[extendLm]] shape): counts are
+    * associative, so extend-then-train equals train-on-everything
+    * exactly. O(batch) count work plus a vocabulary-sized merge.
+    */
+  def extendWordHistogram(
+      h: WordHistogram,
+      batch: DataFrame,
+      textCol: String
+  ): WordHistogram =
+    WordHistogram(
+      h.hist.unionByName(wordHistFrame(batch, textCol))
+        .groupBy("word").agg(sum("freq").as("freq")))
+
   private[graft] def trainBpeLocal(
       docs: DataFrame,
       textCol: String,
       rounds: Int,
       maxVocab: Long = 10000000L,
       likelihood: Boolean = false
+  ): (Seq[(Long, String, String, Long, Long)], Array[(String, Long, Seq[String])]) =
+    trainBpeLocalFromRows(
+      wordHistLocal(docs, textCol, maxVocab, "bpeMerges",
+        "pre-filter the corpus or use bpeMergesDistributed"),
+      rounds, likelihood)
+
+  /** The merge loop over an already-collected histogram — order-
+    * independent by construction (argmax ties break on values, tallies
+    * are commutative sums), so a histogram loaded from parquet trains
+    * bit-identically to a fresh corpus scan.
+    */
+  private def trainBpeLocalFromRows(
+      rows: Array[(String, Long)],
+      rounds: Int,
+      likelihood: Boolean
   ): (Seq[(Long, String, String, Long, Long)], Array[(String, Long, Seq[String])]) = {
     require(rounds >= 1, s"bpeMerges: rounds must be >= 1, got $rounds")
-    val rows = wordHistLocal(docs, textCol, maxVocab, "bpeMerges",
-      "pre-filter the corpus or use bpeMergesDistributed")
     val nWords = rows.length
     val freqs = new Array[Long](nWords)
     val segs = new Array[scala.collection.mutable.ArrayBuffer[String]](nWords)
@@ -1099,6 +1190,46 @@ object TextAnalysis {
       stats.map { case (r, a, b, _, _) => (r, a, b) },
       finalVocab.iterator.flatMap(_._1.map(_.toString)).toSet.toSeq.sorted)
   }
+
+  /** Train each family from a persisted/maintained [[WordHistogram]]
+    * instead of a corpus scan — the RETRAIN half of the tokenizer
+    * lifecycle: after [[appendWordHistogram]] folds in new batches,
+    * retraining costs the driver-local merge loop alone, zero corpus
+    * reads. Bit-identical to the corpus form on the same counts
+    * (spec-pinned: the loops are order-independent). No default
+    * arguments here (Scala forbids defaults on two overloads) — pass
+    * the corpus form's defaults explicitly.
+    */
+  def trainBpeTokenizer(h: WordHistogram, rounds: Int, maxVocab: Long): BpeTokenizer = {
+    val (stats, _) = trainBpeLocalFromRows(
+      collectHist(h.hist, maxVocab, "trainBpeTokenizer", "prune the histogram"),
+      rounds, likelihood = false)
+    BpeTokenizer(stats.map { case (r, a, b, _, _) => (r, a, b) })
+  }
+
+  /** See the [[WordHistogram]] overload of [[trainBpeTokenizer]]. */
+  def trainWordPieceTokenizer(h: WordHistogram, rounds: Int, maxVocab: Long): WordPieceTokenizer = {
+    val (stats, finalVocab) = trainBpeLocalFromRows(
+      collectHist(h.hist, maxVocab, "trainWordPieceTokenizer", "prune the histogram"),
+      rounds, likelihood = true)
+    WordPieceTokenizer(
+      stats.map { case (r, a, b, _, _) => (r, a, b) },
+      finalVocab.iterator.flatMap(_._1.map(_.toString)).toSet.toSeq.sorted)
+  }
+
+  /** See the [[WordHistogram]] overload of [[trainBpeTokenizer]]. */
+  def trainUnigramTokenizer(
+      h: WordHistogram,
+      maxSubLen: Int,
+      topK: Int,
+      minCount: Long,
+      emRounds: Int,
+      maxWordLen: Int,
+      maxVocab: Long
+  ): UnigramTokenizer =
+    trainUnigramFromRows(
+      collectHist(h.hist, maxVocab, "trainUnigramTokenizer", "prune the histogram"),
+      maxSubLen, topK, minCount, emRounds, maxWordLen)
 
   /** Persist a trained tokenizer: flat parquet per bounded table plus a
     * `tokenizer.json` sidecar naming the family and scalar parameters —
@@ -1421,6 +1552,22 @@ object TextAnalysis {
       emRounds: Int = 0,
       maxWordLen: Int = 16,
       maxVocab: Long = 10000000L
+  ): UnigramTokenizer =
+    trainUnigramFromRows(
+      wordHistLocal(docs, textCol, maxVocab, "unigramTokenCounts", "pre-filter the corpus"),
+      maxSubLen, topK, minCount, emRounds, maxWordLen)
+
+  /** The seed/EM loop over an already-collected histogram (order-
+    * independent: all tallies are commutative sums, selections sort by
+    * value) — shared by the corpus and [[WordHistogram]] entry points.
+    */
+  private def trainUnigramFromRows(
+      words: Array[(String, Long)],
+      maxSubLen: Int,
+      topK: Int,
+      minCount: Long,
+      emRounds: Int,
+      maxWordLen: Int
   ): UnigramTokenizer = {
     require(maxSubLen >= 2, s"need maxSubLen >= 2, got $maxSubLen")
     require(topK >= 0, s"need topK >= 0, got $topK")
@@ -1428,8 +1575,6 @@ object TextAnalysis {
     require(emRounds >= 0, s"need emRounds >= 0, got $emRounds")
     require(maxWordLen >= 1 && maxWordLen <= 62,
       s"need maxWordLen in [1, 62] (the ntoks field of the packed DP state), got $maxWordLen")
-    val words = wordHistLocal(docs, textCol, maxVocab, "unigramTokenCounts",
-      "pre-filter the corpus")
 
     def bitlen(x: Long): Long = 64L - java.lang.Long.numberOfLeadingZeros(x)
     // weighted substring counts (overlapping), lengths 1..maxSubLen

@@ -35,7 +35,8 @@ final class StreamingIngest(
     lmGate: Option[(graft.operators.TextAnalysis.BigramLm, Long)] = None,
     lmGatePath: Option[(String, Long)] = None,
     pqCodebook: Option[graft.operators.VectorSearch.PqModel] = None,
-    pqCodebookPath: Option[String] = None
+    pqCodebookPath: Option[String] = None,
+    wordHistPath: Option[String] = None
 ) {
   require(
     qualityModel.isEmpty || qualityModelPath.isEmpty,
@@ -447,6 +448,21 @@ final class StreamingIngest(
           lit(batchId).as("batch_id"),
           current_timestamp().as("created_at")),
         "pq_codes_stream")
+    }
+
+    // Optional tokenizer-corpus maintenance: append this batch's word
+    // counts to the persisted WordHistogram in O(batch) — the TRAIN-side
+    // twin of the FTS/PQ per-batch maintenance above. Retraining any
+    // tokenizer from the grown histogram is then driver-local with zero
+    // corpus re-reads (TextAnalysis.loadWordHistogram + the WordHistogram
+    // trainer overloads). Replay-keyed by runToken#batchId: a
+    // crash-replayed batch appends identical rows, which load collapses.
+    // Lands BEFORE the ledger append (ledger committed => counts
+    // committed; a crash in between replays the batch and re-appends
+    // under the SAME key — collapsed, never double-counted).
+    wordHistPath.foreach { p =>
+      graft.operators.TextAnalysis.appendWordHistogram(
+        docs.select(col("value")), "value", p, s"$runToken#$batchId")
     }
 
     catalog.append(

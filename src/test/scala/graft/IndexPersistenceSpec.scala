@@ -375,6 +375,42 @@ class IndexPersistenceSpec extends AnyFunSuite {
         .orderBy("doc_id").collect().map(_.toSeq).toSeq)
   }
 
+  test("word-histogram lifecycle: O(batch) append, replay collapses on load, retrain == corpus train per family") {
+    import graft.operators.TextAnalysis
+    val a = tokTrainCorpus
+    val b = Seq(
+      (5L, "new batch words arrive and the cat naps by the throne"),
+      (6L, "more new words for the growing corpus and the theme")
+    ).toDF("doc_id", "text")
+    val full = a.unionByName(b)
+    val dir = java.nio.file.Files.createTempDirectory("graft-word-hist").toString
+
+    TextAnalysis.writeWordHistogram(TextAnalysis.wordHistogram(a, "text"), dir)
+    // one batch appended (only B is scanned), then the SAME batch again —
+    // the crash-replay shape the batch_key must absorb
+    TextAnalysis.appendWordHistogram(b, "text", dir, batchKey = "run#1")
+    TextAnalysis.appendWordHistogram(b, "text", dir, batchKey = "run#1")
+    val loaded = TextAnalysis.loadWordHistogram(spark, dir)
+
+    def counts(h: TextAnalysis.WordHistogram): Map[String, Long] =
+      h.hist.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expect = counts(TextAnalysis.wordHistogram(full, "text"))
+    assert(counts(loaded) == expect, "load must equal one histogram over A ++ B, replay collapsed")
+
+    // the in-memory merge agrees with the persisted path
+    assert(counts(TextAnalysis.extendWordHistogram(
+      TextAnalysis.wordHistogram(a, "text"), b, "text")) == expect)
+
+    // retraining each family from the GROWN histogram is bit-identical to
+    // training on the concatenated corpus — zero corpus reads at retrain
+    assert(TextAnalysis.trainBpeTokenizer(loaded, 6, 10000000L) ==
+      TextAnalysis.trainBpeTokenizer(full, "text", rounds = 6))
+    assert(TextAnalysis.trainWordPieceTokenizer(loaded, 6, 10000000L) ==
+      TextAnalysis.trainWordPieceTokenizer(full, "text", rounds = 6))
+    assert(TextAnalysis.trainUnigramTokenizer(loaded, 4, 200, 2L, 2, 16, 10000000L) ==
+      TextAnalysis.trainUnigramTokenizer(full, "text", emRounds = 2))
+  }
+
   test("loadTokenizer refuses an unknown family") {
     import graft.operators.TextAnalysis
     val dir = java.nio.file.Files.createTempDirectory("graft-tok-bad")

@@ -482,6 +482,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(err.getMessage.contains("codebook encodes dim"), err.getMessage)
   }
 
+  test("per-batch word-histogram maintenance: counts match the ingested corpus; dedup'd content adds nothing; retrain is corpus-read-free") {
+    import graft.operators.TextAnalysis
+    val spark2 = spark
+    import spark2.implicits._
+    val base = Files.createTempDirectory("graft-stream-hist").toString
+    val in = s"$base/in"; val wh = s"$base/wh"; val ckpt = s"$base/ckpt"
+    val histDir = s"$base/hist"
+    Files.createDirectories(Paths.get(in))
+    val t1 = "the cat sat on the mat and the cat ate the fish"
+    val t2 = "a dog sat on a log and a dog ate a bone"
+    Files.write(Paths.get(in, "a.md"), t1.getBytes)
+    Files.write(Paths.get(in, "b.md"), t2.getBytes)
+    val ingest = new StreamingIngest(
+      spark, GraftConfig(warehouseDir = wh), wordHistPath = Some(histDir))
+    ingest.start(in, ckpt).awaitTermination()
+
+    def counts(h: TextAnalysis.WordHistogram): Map[String, Long] =
+      h.hist.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expect = counts(TextAnalysis.wordHistogram(Seq(t1, t2).toDF("value"), "value"))
+    assert(counts(TextAnalysis.loadWordHistogram(spark, histDir)) == expect)
+
+    // re-delivered content is dedup'd before the gates, so it never
+    // reaches the histogram; a genuinely new doc adds exactly its words
+    Files.write(Paths.get(in, "a_copy.md"), t1.getBytes)
+    val t3 = "an owl flew over the quiet barn at night"
+    Files.write(Paths.get(in, "c.md"), t3.getBytes)
+    ingest.start(in, ckpt).awaitTermination()
+    val grown = counts(TextAnalysis.loadWordHistogram(spark, histDir))
+    assert(grown ==
+      counts(TextAnalysis.wordHistogram(Seq(t1, t2, t3).toDF("value"), "value")),
+      grown.toString)
+
+    // the maintained histogram trains without touching any document text
+    val tok = TextAnalysis.trainBpeTokenizer(
+      TextAnalysis.loadWordHistogram(spark, histDir), 3, 10000000L)
+    assert(tok.merges.length == 3)
+  }
+
   test("streaming batches extend a live FTS index incrementally (no rebuild)") {
     import graft.operators.FtsIndex
     val base = Files.createTempDirectory("graft-stream-fts").toString
