@@ -455,6 +455,19 @@ object OracleSql {
     */
   lazy val all: Map[String, String] = base ++ Map(
     "q_bpe_persisted" -> base("q_bpe_encode_oov"),
+    // maintained-histogram lifecycle: a faithful write→append→replay→load
+    // makes training identical to the full corpus, so the oracle is the
+    // q_bpe_merges rounds trimmed to the merge list the artifact carries
+    "q_bpe_hist" -> {
+      val rounds = (1 to 4).map(r => bpeRound(s"w${r - 1}", r)).mkString(",\n")
+      val sel = (1 to 4)
+        .map(r => s"SELECT CAST($r AS BIGINT) AS round, b$r.pa AS pair_a, b$r.pb AS pair_b FROM b$r")
+        .mkString("\nUNION ALL\n")
+      s"""WITH $bpeW0,
+         |$rounds
+         |$sel
+         |ORDER BY round""".stripMargin
+    },
     "q_wordpiece_persisted" -> base("q_wordpiece_infer"),
     "q_unigram_persisted" -> base("q_unigram_tok"))
 

@@ -2595,6 +2595,32 @@ object SparkEntry {
       .limit(20)
   }
 
+  /** Maintained-histogram lifecycle (TextAnalysis.WordHistogram): build
+    * the tokenizer training corpus as a persisted word histogram — write
+    * the EVEN doc_ids' counts, APPEND the odd half as an O(batch) delta,
+    * append the SAME delta again (the crash-replay shape the batch_key
+    * must collapse), load, and train 4 BPE merges from the grown
+    * histogram with zero corpus reads. A faithful lifecycle makes the
+    * merges identical to training on the full corpus, so the oracle is
+    * q_bpe_merges' unrolled rounds projected to the merge list — any
+    * double-counted replay or lost delta changes some round's argmax and
+    * breaks the hash.
+    */
+  private def qBpeHist(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val path = tmpIndexPath("graft_tok_hist", dir)
+    TextAnalysis.writeWordHistogram(
+      TextAnalysis.wordHistogram(docs.where(col("doc_id") % 2 === 0), "text"), path)
+    TextAnalysis.appendWordHistogram(
+      docs.where(col("doc_id") % 2 === 1), "text", path, batchKey = "drv#1")
+    TextAnalysis.appendWordHistogram(
+      docs.where(col("doc_id") % 2 === 1), "text", path, batchKey = "drv#1")
+    val tok = TextAnalysis.trainBpeTokenizer(
+      TextAnalysis.loadWordHistogram(s, path), rounds = 4, maxVocab = 10000000L)
+    import s.implicits._
+    tok.merges.toDF("round", "pair_a", "pair_b").orderBy("round")
+  }
+
   /** Persisted-WordPiece lifecycle: q_wordpiece_infer (greedy
     * longest-match inference on the odd half under an even-half 4-round
     * likelihood training) through the writeTokenizer/loadTokenizer
@@ -3022,6 +3048,7 @@ object SparkEntry {
     "q_unigram_tok" -> (qUnigramTok _),
     "q_bpe_encode_oov" -> (qBpeEncodeOov _),
     "q_bpe_persisted" -> (qBpePersisted _),
+    "q_bpe_hist" -> (qBpeHist _),
     "q_wordpiece_persisted" -> (qWordpiecePersisted _),
     "q_unigram_persisted" -> (qUnigramPersisted _),
     "q_window_drift" -> (qWindowDrift _),
