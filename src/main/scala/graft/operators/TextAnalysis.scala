@@ -838,6 +838,17 @@ object TextAnalysis {
         .dropDuplicates("word", "batch_key")
         .groupBy("word").agg(sum("freq").as("freq")))
 
+  /** Frequency-prune a histogram: drop words seen fewer than `minFreq`
+    * times — the remediation when a noise-heavy corpus trips the
+    * trainers' `maxVocab` bound (hapax typos/markup dominate the tail of
+    * any web-scale vocabulary; real tokenizer pipelines cut them before
+    * training). Narrow filter, no shuffle.
+    */
+  def pruneWordHistogram(h: WordHistogram, minFreq: Long): WordHistogram = {
+    require(minFreq >= 1L, s"need minFreq >= 1, got $minFreq")
+    WordHistogram(h.hist.where(col("freq") >= minFreq))
+  }
+
   /** In-memory histogram merge (the [[extendLm]] shape): counts are
     * associative, so extend-then-train equals train-on-everything
     * exactly. O(batch) count work plus a vocabulary-sized merge.
