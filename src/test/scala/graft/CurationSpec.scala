@@ -346,6 +346,14 @@ class CurationSpec extends AnyFunSuite {
     assert(audited.size == 6)
     audited.foreach { case (id, est) => assert(est == real.getOrElse(id, 0L), s"doc $id") }
 
+    // curateNear carries the same counter through the fuzzy-dedup path
+    val near = Curation
+      .curateNear(docs, "doc_id", "text", langs = Set("en", "de"), minQuality = 0.4,
+        tokenCounter = Some(counter))
+      .select("doc_id", "token_est").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    near.foreach { case (id, est) => assert(est == real(id), s"near doc $id") }
+
     // packing by the real counts: strict-budget next-fit never exceeds
     // the budget with multi-doc bins
     val counts = TextAnalysis.bpeEncode(tok, docs, "doc_id", "text")
