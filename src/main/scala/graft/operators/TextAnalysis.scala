@@ -821,13 +821,21 @@ object TextAnalysis {
       textCol: String,
       path: String,
       batchKey: String
-  ): Unit =
+  ): Unit = {
+    require(batchKey != "-",
+      "appendWordHistogram: batch_key \"-\" is reserved for the initial writeWordHistogram stamp " +
+        "— an append under it would collide with the base counts")
     wordHistFrame(batch, textCol)
       .select(col("word"), col("freq"), lit(batchKey).as("batch_key"))
       .write.mode("append").parquet(s"$path/hist")
+  }
 
   /** Load a persisted histogram, collapsing appended deltas (and any
-    * crash-replayed duplicate batches) to exact totals.
+    * crash-replayed duplicate batches) to exact totals. LOUD on a
+    * violated append contract: two DIFFERENT counts for one (word,
+    * batch_key) means a batch key was reused across different batches —
+    * silently keeping either row would corrupt training, so the load
+    * raise_errors instead.
     */
   def loadWordHistogram(
       spark: org.apache.spark.sql.SparkSession,
@@ -835,7 +843,17 @@ object TextAnalysis {
   ): WordHistogram =
     WordHistogram(
       spark.read.parquet(s"$path/hist")
-        .dropDuplicates("word", "batch_key")
+        .groupBy("word", "batch_key")
+        .agg(min("freq").as("_mn"), max("freq").as("_mx"))
+        .select(
+          col("word"),
+          when(col("_mn") === col("_mx"), col("_mn"))
+            .otherwise(raise_error(concat(
+              lit("loadWordHistogram: conflicting counts ("), col("_mn"),
+              lit(" vs "), col("_mx"), lit(") for word '"), col("word"),
+              lit("' under batch_key '"), col("batch_key"),
+              lit("' — a batch key was reused across different batches"))))
+            .as("freq"))
         .groupBy("word").agg(sum("freq").as("freq")))
 
   /** Frequency-prune a histogram: drop words seen fewer than `minFreq`
@@ -1411,11 +1429,13 @@ object TextAnalysis {
         col("word"),
         length(col("word")).cast("long").as("n_chars_w"),
         segLen(col("word")).as("n_tokens_w"))
-      // vocabulary-bounded; CACHED (not checkpointed) so the per-doc join
-      // below never re-runs the segmentation UDF per consumer, while the
-      // blocks stay evictable/recomputable — a per-batch caller (curate's
-      // tokenCounter) must not pin one unreleasable RDD per pass
-      .cache()
+    // deliberately NOT persisted: within one action the UDF already runs
+    // once per DISTINCT word (one narrow vocabulary-bounded stage), and
+    // any persistence here leaks driver-held state per call in a
+    // per-batch pipeline (localCheckpoint pins blocks until ContextCleaner
+    // GC; SQL cache() entries are held strongly FOREVER by the
+    // CacheManager). Callers that act repeatedly on the result should
+    // pin the OUTPUT and release it themselves (Checkpoints.pin/release).
     words
       .join(broadcast(segmented), Seq("word"))
       .groupBy(idCol)
@@ -1490,9 +1510,8 @@ object TextAnalysis {
       .select("word").distinct()
       .withColumn("_e", enc(col("word")))
       .select(col("word"), col("_e._1").as("n_tokens_w"), col("_e._2").as("unk_w"))
-      // vocabulary-bounded; cached, not checkpointed (the bpeEncode
-      // discipline — evictable, never a per-pass pinned-RDD leak)
-      .cache()
+    // not persisted — the bpeEncode rationale: stateless per action,
+    // zero leaked driver-held entries in per-batch pipelines
     words
       .join(broadcast(segmented), Seq("word"))
       .groupBy(idCol)
@@ -1686,9 +1705,8 @@ object TextAnalysis {
         col("word"),
         (col("_p") % 64L).as("n_tokens_w"),
         expr("_p div 64").as("cost_w"))
-      // cached, not checkpointed (the bpeEncode discipline — evictable,
-      // never a per-pass pinned-RDD leak)
-      .cache()
+    // not persisted — the bpeEncode rationale: stateless per action,
+    // zero leaked driver-held entries in per-batch pipelines
     words
       .join(broadcast(segmented), Seq("word"))
       .groupBy(idCol)

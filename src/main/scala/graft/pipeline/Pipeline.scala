@@ -95,9 +95,13 @@ final class Pipeline(spark: SparkSession, config: GraftConfig = GraftConfig.defa
           val images = graft.sources.ImageExtraction
             .extractImages(withContent.where(col("validation") === "valid"))
             .persist()
-          val dedupRes =
-            if (config.imageDedup.enabled) Some(dedupImages(images)) else None
+          // dedupImages runs INSIDE the try: a throw during its own
+          // actions must still unpersist the payload cache below (it
+          // releases its private scratch pins itself on throw)
+          var dedupRes: Option[Pipeline.ImageDedupResult] = None
           try {
+            dedupRes =
+              if (config.imageDedup.enabled) Some(dedupImages(images)) else None
             val kept = dedupRes.map(_.kept).getOrElse(images)
             val meta = graft.sources.ImageExtraction
               .writeImageFiles(kept, dir)
@@ -242,20 +246,28 @@ final class Pipeline(spark: SparkSession, config: GraftConfig = GraftConfig.defa
   ): Pipeline.ImageDedupResult = {
     import graft.operators.{Dedup, Multimodal}
     val maxHamming = config.imageDedup.maxHamming
+    // scratch pins accumulate as they are created so a throw MID-BUILD
+    // (bad payload, executor loss) releases whatever already
+    // materialized — the caller only learns the pin set on success
+    val pinned = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def pinScratch(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val p = df.localCheckpoint()
+      pinned ++= graft.util.Checkpoints.pinnedRddIds(p)
+      p
+    }
+    try {
     // decode once; 8-byte (id, dhash) rows pinned for the three consumers
     // (in-batch pairs, cross-batch probe, meta persistence)
-    val sigs = Multimodal
+    val sigs = pinScratch(Multimodal
       .withImageDHash(images.select("id", "bytes"), "bytes", "dhash", Multimodal.FallbackDHashCodec)
       .select("id", "dhash")
-      .where(col("dhash").isNotNull)
-      .localCheckpoint()
+      .where(col("dhash").isNotNull))
 
     // in-batch keep-one (labels NOT appended yet — cross-batch resolution
     // below may re-attribute whole in-batch clusters to a stored cluster)
     val pairs = Dedup.hammingPairsFromSigs(sigs, "id", "dhash", maxHamming)
-    val labels = Dedup
-      .nearDupClusters(images.select("id"), "id", pairs)
-      .localCheckpoint()
+    val labels = pinScratch(Dedup
+      .nearDupClusters(images.select("id"), "id", pairs))
     val canon = labels.groupBy("cluster").agg(min("id").as("_canon"))
     val keptInBatch = Dedup.nearDedupFromClusters(images, "id", labels)
 
@@ -278,13 +290,12 @@ final class Pipeline(spark: SparkSession, config: GraftConfig = GraftConfig.defa
           if (catalog.exists("image_clusters"))
             catalog.read("image_clusters").select(col("id").as("id_index"), col("cluster_id"))
           else cross.select(col("id_index"), col("id_index").as("cluster_id")).limit(0)
-        cross
+        pinScratch(cross
           .join(existingClusters, Seq("id_index"), "left")
           .select(
             col("id_batch").as("_canon"),
             coalesce(col("cluster_id"), col("id_index")).as("_stored"))
-          .groupBy("_canon").agg(min("_stored").as("_stored"))
-          .localCheckpoint() // read twice: label rewrite + anti-join
+          .groupBy("_canon").agg(min("_stored").as("_stored"))) // read twice: label rewrite + anti-join
       }
     }
 
@@ -319,7 +330,12 @@ final class Pipeline(spark: SparkSession, config: GraftConfig = GraftConfig.defa
       kept = kept,
       keptSigs = sigs.join(kept.select("id"), Seq("id"), "left_semi"),
       labels = labelRows,
-      scratchPins = graft.util.Checkpoints.pinnedRddIds(sigs, labels, crossMap))
+      scratchPins = pinned.toSet)
+    } catch {
+      case t: Throwable =>
+        graft.util.Checkpoints.release(pinned.toSet, spark)
+        throw t
+    }
   }
 
   /** Chunk a (doc_id, title, markdown)-shaped frame into chunk rows —

@@ -34,16 +34,19 @@ object Sidecar {
   }
 
   /** First integer field `key` in `json`; `where` names the artifact in
-    * the failure message (e.g. the sidecar path).
+    * the failure message (e.g. the sidecar path). Throws
+    * IllegalArgumentException — the malformed-artifact convention every
+    * load surface shares (loadTokenizer's unknown-family guard,
+    * writeSigIndex's refusing-to-append).
     */
   def num(json: String, key: String, where: String): Long =
     s""""$key":(-?\\d+)""".r.findFirstMatchIn(json)
-      .getOrElse(throw new IllegalStateException(s"no numeric field '$key' in $where"))
+      .getOrElse(throw new IllegalArgumentException(s"no numeric field '$key' in $where"))
       .group(1).toLong
 
   /** First string field `key` in `json` (same failure contract). */
   def str(json: String, key: String, where: String): String =
     s""""$key":"([^"]+)"""".r.findFirstMatchIn(json)
-      .getOrElse(throw new IllegalStateException(s"no string field '$key' in $where"))
+      .getOrElse(throw new IllegalArgumentException(s"no string field '$key' in $where"))
       .group(1)
 }

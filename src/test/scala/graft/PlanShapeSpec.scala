@@ -394,24 +394,24 @@ class PlanShapeSpec extends AnyFunSuite {
       "the corpus is touched exactly once — pair work is vocabulary-sized")
   }
 
-  test("BPE OOV encode: segmented vocabulary broadcasts from the cache; apply corpus never re-folds") {
+  test("BPE OOV encode: segmented vocabulary broadcasts; apply corpus never re-folds per occurrence") {
     // bpeEncode's apply is a JOIN, never a per-occurrence re-fold: the
-    // vocabulary-bounded segmentation (CACHED since r13 — evictable,
-    // recomputable, not an unreleasable checkpoint) must broadcast
-    // against the one exploded corpus pass, per-doc sums must map-side
-    // combine, and the top-20 must be a top-k, not a global sort.
-    // (Training ran in its own jobs; THIS plan is the apply.)
+    // vocabulary-bounded segmentation (STATELESS since r13 — no
+    // checkpoint, no SQL cache; persistence here leaked driver-held
+    // entries per call in per-batch pipelines) must broadcast against
+    // the one exploded corpus pass, per-doc sums must map-side combine,
+    // and the top-20 must be a top-k, not a global sort. (Training ran
+    // in its own jobs; THIS plan is the apply.)
     val p = plan("q_bpe_encode_oov")
     assert(p.contains("BroadcastHashJoin"),
       s"the segmented vocabulary must broadcast: ${p.take(800)}")
-    assert(p.contains("InMemoryTableScan"),
-      s"the segmentation must serve from the cache, not recompute per consumer: ${p.take(800)}")
     assert(p.contains("partial_count") || p.contains("partial_sum"),
       s"per-doc sums must map-side combine: ${p.take(800)}")
     assert(p.contains("TakeOrderedAndProject"),
       s"the top-20 must not be a global sort: ${p.take(800)}")
-    // two textual scans: the join's corpus pass + the cached distinct's
-    // own source read (materialized once, then served from memory)
+    // two textual scans: the join's corpus pass + the distinct-word
+    // subtree's own source read — the UDF still runs once per DISTINCT
+    // word within the action (the distinct sits below it)
     assert("""\(\d+\) Scan parquet""".r.findAllIn(p).length <= 2,
       "the apply corpus appears once per consumer, never per word occurrence")
   }
