@@ -2801,6 +2801,30 @@ object OracleSql {
          |       CAST(SUM(CASE WHEN rn <= 30 THEN vec_id ELSE 0 END) AS BIGINT) AS kept_id_sum
          |FROM rnk GROUP BY cid ORDER BY cluster""".stripMargin,
 
+    "q_datasheet" ->
+      // Curation.datasheet twin: per-doc enrichment (lang, fixed-point
+      // quality, token estimate, normalized digest), corpus-wide
+      // keep-min-id duplicate rank, then the bounded per-(source, lang)
+      // roll-up — all integer except the per-doc quality double, which
+      // enters as floor(q * 1e6) on identical per-doc values
+      s"""WITH enriched AS (
+         |  SELECT doc_id, source, $langCase AS pred_lang,
+         |         CAST(FLOOR($quality * 1000000) AS BIGINT) AS q_fp,
+         |         CAST(FLOOR(CAST(len($words) AS DOUBLE) * 1.3) AS BIGINT) AS tok,
+         |         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS digest
+         |  FROM documents),
+         |rnk AS (
+         |  SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY digest ORDER BY doc_id) AS rn
+         |  FROM enriched)
+         |SELECT e.source, e.pred_lang,
+         |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(e.tok) AS BIGINT) AS total_tokens,
+         |       CAST(SUM(CASE WHEN r.rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+         |       CAST(SUM(CASE WHEN e.tok = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
+         |       CAST(SUM(e.q_fp) AS BIGINT) AS quality_fp_sum
+         |FROM enriched e JOIN rnk r USING (doc_id)
+         |GROUP BY 1, 2 ORDER BY source, pred_lang""".stripMargin,
+
     "q_curation_audit" ->
       s"""WITH $auditCtes
          |SELECT doc_id, pred_lang, quality, drop_reason

@@ -2595,6 +2595,19 @@ object SparkEntry {
       .limit(20)
   }
 
+  /** Corpus data card (Curation.datasheet): per-(source, predicted
+    * language) doc/token counts, corpus-wide exact-duplicate attribution
+    * (keep-min-id rank over normalized digests), empty-doc counts and
+    * the fixed-point quality sum — the accounting sheet a training-data
+    * release publishes, as one scan + one digest window + one bounded
+    * groupBy. Integer-exact throughout (quality enters as
+    * floor(q x 1e6) per doc), so the sheet hash-matches the oracle.
+    */
+  private def qDatasheet(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Curation
+      .datasheet(t(s, dir, "documents"), "doc_id", "text", "source")
+      .orderBy("source", "pred_lang")
+
   /** Maintained-histogram lifecycle (TextAnalysis.WordHistogram): build
     * the tokenizer training corpus as a persisted word histogram — write
     * the EVEN doc_ids' counts, APPEND the odd half as an O(batch) delta,
@@ -3049,6 +3062,7 @@ object SparkEntry {
     "q_bpe_encode_oov" -> (qBpeEncodeOov _),
     "q_bpe_persisted" -> (qBpePersisted _),
     "q_bpe_hist" -> (qBpeHist _),
+    "q_datasheet" -> (qDatasheet _),
     "q_wordpiece_persisted" -> (qWordpiecePersisted _),
     "q_unigram_persisted" -> (qUnigramPersisted _),
     "q_window_drift" -> (qWindowDrift _),

@@ -468,6 +468,42 @@ object Curation {
     reasoned.drop("_lang_ok", "_qual_ok", "_contam_ok", "_model_ok", "_lm_ok")
   }
 
+  /** Corpus DATA CARD: the per-(group, predicted-language) accounting
+    * sheet a training-data release publishes — doc and token counts,
+    * exact-duplicate counts (corpus-WIDE keep-min-id attribution: a
+    * group's row counts the duplicates IT contributed, wherever the
+    * canonical copy lives), empty-doc counts, and a fixed-point quality
+    * sum (`floor(quality x 1e6)` per doc, summed — integer-exact, so the
+    * sheet is bit-identical across engines and partitionings; divide by
+    * `n_docs` for the mean). One scan + one digest-keyed window shuffle
+    * (the dup rank) + one bounded groupBy; output rows = |groups| x
+    * |languages|.
+    */
+  def datasheet(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      byCol: String
+  ): DataFrame = {
+    val enriched = docs.select(
+      col(idCol).as("_id"),
+      col(byCol),
+      TextAnalysis.langId(col(textCol)).as("pred_lang"),
+      floor(TextAnalysis.qualityScore(col(textCol)) * 1000000).cast("long").as("_q_fp"),
+      TextFunctions.tokenEstimate(col(textCol)).cast("long").as("_tok"),
+      md5(Dedup.normalized(col(textCol))).as("_digest"))
+    enriched
+      .withColumn("_rn",
+        row_number().over(Window.partitionBy(col("_digest")).orderBy(col("_id"))))
+      .groupBy(col(byCol), col("pred_lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("_tok").as("total_tokens"),
+        sum(when(col("_rn") > 1, 1L).otherwise(0L)).as("n_dup"),
+        sum(when(col("_tok") === 0L, 1L).otherwise(0L)).as("n_empty"),
+        sum("_q_fp").as("quality_fp_sum"))
+  }
+
   /** Corpus accounting after curation: docs and tokens kept per language. */
   def stats(curated: DataFrame): DataFrame =
     curated

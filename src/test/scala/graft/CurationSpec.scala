@@ -317,6 +317,32 @@ class CurationSpec extends AnyFunSuite {
     assert(got == Map(1L -> "changed", 2L -> "changed", 3L -> "unchanged"), got.toString)
   }
 
+  test("datasheet: per-(group, lang) counts with corpus-wide duplicate attribution") {
+    val corpus = Seq(
+      (1L, "a", "the quick brown fox is in the garden and the dog is with it for now"),
+      (2L, "b", "the quick brown fox is in the garden and the dog is with it for now"), // dup of 1, OTHER group
+      (3L, "a", "der hund ist nicht mit der katze und das ist ein gutes haus von den leuten"),
+      (4L, "a", "")
+    ).toDF("doc_id", "source", "text")
+    val rows = Curation.datasheet(corpus, "doc_id", "text", "source")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    // group b contributed the duplicate even though the canonical copy
+    // lives in group a — corpus-wide attribution
+    val bEn = rows(("b", "en"))
+    assert(bEn._1 == 1L && bEn._3 == 1L, s"b/en must be 1 doc, 1 dup: $bEn")
+    val aEn = rows(("a", "en"))
+    assert(aEn._1 == 1L && aEn._3 == 0L, s"a/en holds the canonical, 0 dups: $aEn")
+    assert(rows(("a", "de"))._1 == 1L)
+    // the empty doc: zero tokens, counted in n_empty of its (group, lang)
+    val empties = rows.values.map(_._4).sum
+    assert(empties == 1L, rows.toString)
+    // token accounting: identical texts carry identical estimates
+    assert(aEn._2 == bEn._2 && aEn._2 > 0L)
+  }
+
   test("tokenCounter: curate and audit account token_est in REAL trained-tokenizer counts") {
     import graft.operators.TextAnalysis
     val tok = TextAnalysis.trainBpeTokenizer(docs, "text", rounds = 3)
