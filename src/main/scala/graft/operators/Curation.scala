@@ -483,15 +483,29 @@ object Curation {
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      byCol: String
+      byCol: String,
+      tokenCounter: Option[TokenCounter] = None
   ): DataFrame = {
-    val enriched = docs.select(
+    val base = docs.select(
       col(idCol).as("_id"),
       col(byCol),
       TextAnalysis.langId(col(textCol)).as("pred_lang"),
       floor(TextAnalysis.qualityScore(col(textCol)) * 1000000).cast("long").as("_q_fp"),
       TextFunctions.tokenEstimate(col(textCol)).cast("long").as("_tok"),
       md5(Dedup.normalized(col(textCol))).as("_digest"))
+    // the curate/audit token seam: a supplied counter replaces the
+    // estimate with REAL trained-tokenizer counts (omitted docs = 0)
+    val enriched = tokenCounter match {
+      case None => base
+      case Some(tc) =>
+        base
+          .drop("_tok")
+          .join(
+            tc(docs, idCol, textCol)
+              .select(col(idCol).as("_id"), col("n_tokens").cast("long").as("_tok")),
+            Seq("_id"), "left")
+          .withColumn("_tok", coalesce(col("_tok"), lit(0L)))
+    }
     enriched
       .withColumn("_rn",
         row_number().over(Window.partitionBy(col("_digest")).orderBy(col("_id"))))

@@ -417,6 +417,35 @@ class IndexPersistenceSpec extends AnyFunSuite {
       TextAnalysis.trainUnigramTokenizer(full, "text", emRounds = 2))
   }
 
+  test("word-histogram loud guards: reserved batch key refused; conflicting counts fail the load") {
+    import graft.operators.TextAnalysis
+    val a = tokTrainCorpus
+    val dir = java.nio.file.Files.createTempDirectory("graft-hist-guard").toString
+    TextAnalysis.writeWordHistogram(TextAnalysis.wordHistogram(a, "text"), dir)
+
+    // the initial write's "-" stamp is reserved — an append under it
+    // would collide with the base counts
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.appendWordHistogram(a, "text", dir, batchKey = "-")
+    }
+    assert(e.getMessage.contains("reserved"), e.getMessage)
+
+    // batchKey REUSE across DIFFERENT batches writes conflicting counts
+    // for shared words — the load must fail loudly, never keep one
+    // arbitrary row
+    val b1 = Seq((10L, "the cat")).toDF("doc_id", "text")
+    val b2 = Seq((11L, "the cat and the dog")).toDF("doc_id", "text")
+    TextAnalysis.appendWordHistogram(b1, "text", dir, batchKey = "run#1")
+    TextAnalysis.appendWordHistogram(b2, "text", dir, batchKey = "run#1")
+    val err = intercept[Exception] {
+      TextAnalysis.loadWordHistogram(spark, dir).hist.collect()
+    }
+    assert(err.getMessage != null &&
+      (err.getMessage.contains("conflicting counts") ||
+        Option(err.getCause).exists(_.getMessage.contains("conflicting counts"))),
+      s"expected the conflicting-counts raise_error, got: ${err.getMessage}")
+  }
+
   test("loadTokenizer refuses an unknown family") {
     import graft.operators.TextAnalysis
     val dir = java.nio.file.Files.createTempDirectory("graft-tok-bad")
