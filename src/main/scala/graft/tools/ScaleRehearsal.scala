@@ -110,7 +110,7 @@ object ScaleRehearsal {
     // EXACT name match against the known sections: substring matching let
     // e.g. 'd' enable several sections and a typo silently run nothing.
     val sections = Seq("docs", "semdedup", "pagerank", "iterative100", "bm25batch", "evaldrift",
-      "classifier", "bpe", "lm", "sketchpq", "pipeline")
+      "classifier", "bpe", "lm", "sketchpq", "pipeline", "tokcorpus")
     val only = sys.env.get("GRAFT_SCALE_ONLY")
     only.foreach(o => require(sections.contains(o),
       s"GRAFT_SCALE_ONLY='$o' is not a section; known: ${sections.mkString(", ")}"))
@@ -764,6 +764,45 @@ object ScaleRehearsal {
       }
       graft.util.Checkpoints.release(
         graft.util.Checkpoints.pinnedRddIds(lm.uni, lm.bi), spark)
+    }
+
+    // Round-13 additions: the data card and the maintained tokenizer
+    // corpus. datasheet = one scan + digest window + bounded groupBy —
+    // shuffle should track corpus size linearly. appendWordHistogram's
+    // contract is O(batch): appending one FIXED batch must cost the same
+    // wall/shuffle whether the persisted histogram behind it holds 1x or
+    // 10x of corpus — the append never reads the store.
+    if (sectionEnabled("tokcorpus")) {
+      import graft.operators.Curation
+      for (factor <- Seq(1, 10)) {
+        println(s"[scale] ===== tokcorpus factor $factor =====")
+        val docs = blowUp(factor)
+        println(s"[scale] corpus rows = ${docs.count()}")
+        measure(s"datasheet_x$factor") {
+          Curation.datasheet(docs, "doc_id", "text", "source")
+            .where(col("n_docs") >= 0).count()
+        }
+        val histDir = java.nio.file.Files
+          .createTempDirectory(s"graft-scale-hist-$factor").toString
+        measure(s"hist_initial_write_x$factor") {
+          TextAnalysis.writeWordHistogram(TextAnalysis.wordHistogram(docs, "text"), histDir)
+          spark.read.parquet(s"$histDir/hist").count()
+        }
+        // the FIXED batch: the same 500 base docs at every factor — if
+        // append is O(batch), wall/shuffle stay flat while the store grows
+        val fixedBatch = base.where(col("doc_id") < 500).localCheckpoint()
+        measure(s"hist_append_fixed_batch_x$factor") {
+          TextAnalysis.appendWordHistogram(fixedBatch, "text", histDir, s"scale#$factor")
+          fixedBatch.count()
+        }
+        measure(s"hist_load_retrain_x$factor") {
+          val tok = TextAnalysis.trainBpeTokenizer(
+            TextAnalysis.loadWordHistogram(spark, histDir), 20, 10000000L)
+          tok.merges.length.toLong
+        }
+        graft.util.Checkpoints.release(
+          graft.util.Checkpoints.pinnedRddIds(docs, fixedBatch), spark)
+      }
     }
     spark.stop()
   }

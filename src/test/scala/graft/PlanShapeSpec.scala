@@ -416,6 +416,25 @@ class PlanShapeSpec extends AnyFunSuite {
       "the apply corpus appears once per consumer, never per word occurrence")
   }
 
+  test("datasheet: exactly two exchanges (digest window + bounded roll-up), text never crosses") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val exchanges = {
+      val prev = spark.conf.get("spark.sql.adaptive.enabled")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try graft.operators.Curation.datasheet(docs, "doc_id", "text", "source")
+        .queryExecution.executedPlan.collect { case e: ShuffleExchangeExec => e }
+      finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    }
+    assert(exchanges.length == 2,
+      s"expected the digest window + the per-(group, lang) roll-up, got ${exchanges.length}")
+    exchanges.foreach { e =>
+      val cols = e.output.map(_.name)
+      assert(!cols.contains("text"),
+        s"the data card must shuffle fixed-width enrichment rows, never text: $cols")
+    }
+  }
+
   test("incremental Hamming probe: band equi-join, never a cartesian or nested loop") {
     import spark.implicits._
     val idx = Seq((1L, 0x0fL), (2L, 0xf0L)).toDF("id", "sig")
