@@ -328,15 +328,32 @@ object Curation {
         // == floor(words*1.3) for non-negative counts: one canonical formula
         base.withColumn("token_est", TextFunctions.tokenEstimate(col(textCol)).cast("long"))
       case Some(tc) =>
-        base
-          .join(
-            tc(docs, idCol, textCol)
-              .select(col(idCol), col("n_tokens").cast("long").as("_real_toks")),
-            Seq(idCol), "left")
-          .withColumn("token_est", coalesce(col("_real_toks"), lit(0L)))
-          .drop("_real_toks")
+        attachRealTokens(base, idCol, "token_est", docs, idCol, textCol, tc)
     }
   }
+
+  /** The ONE real-token join — shared by [[enrich]] (the gates/audit)
+    * and [[datasheet]] (the data card) so the accounting can never drift
+    * between the two on an edit to a single site: left join the
+    * counter's (id, n_tokens) onto `frame` by `keyCol`; docs the counter
+    * omits account as 0.
+    */
+  private def attachRealTokens(
+      frame: DataFrame,
+      keyCol: String,
+      outCol: String,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      tc: TokenCounter
+  ): DataFrame =
+    frame
+      .join(
+        tc(docs, idCol, textCol)
+          .select(col(idCol).as(keyCol), col("n_tokens").cast("long").as("_real_toks")),
+        Seq(keyCol), "left")
+      .withColumn(outCol, coalesce(col("_real_toks"), lit(0L)))
+      .drop("_real_toks")
 
   private def filterStage(
       docs: DataFrame,
@@ -490,21 +507,14 @@ object Curation {
       col(idCol).as("_id"),
       col(byCol),
       TextAnalysis.langId(col(textCol)).as("pred_lang"),
-      floor(TextAnalysis.qualityScore(col(textCol)) * 1000000).cast("long").as("_q_fp"),
+      floor(TextAnalysis.qualityScore(col(textCol)) * 1000000).as("_q_fp"),
       TextFunctions.tokenEstimate(col(textCol)).cast("long").as("_tok"),
       md5(Dedup.normalized(col(textCol))).as("_digest"))
-    // the curate/audit token seam: a supplied counter replaces the
-    // estimate with REAL trained-tokenizer counts (omitted docs = 0)
+    // the curate/audit token seam, via the same shared join as enrich
     val enriched = tokenCounter match {
       case None => base
       case Some(tc) =>
-        base
-          .drop("_tok")
-          .join(
-            tc(docs, idCol, textCol)
-              .select(col(idCol).as("_id"), col("n_tokens").cast("long").as("_tok")),
-            Seq("_id"), "left")
-          .withColumn("_tok", coalesce(col("_tok"), lit(0L)))
+        attachRealTokens(base.drop("_tok"), "_id", "_tok", docs, idCol, textCol, tc)
     }
     enriched
       .withColumn("_rn",

@@ -773,14 +773,20 @@ object ScaleRehearsal {
     // wall/shuffle whether the persisted histogram behind it holds 1x or
     // 10x of corpus — the append never reads the store.
     if (sectionEnabled("tokcorpus")) {
-      import graft.operators.Curation
       for (factor <- Seq(1, 10)) {
         println(s"[scale] ===== tokcorpus factor $factor =====")
         val docs = blowUp(factor)
         println(s"[scale] corpus rows = ${docs.count()}")
         measure(s"datasheet_x$factor") {
+          // the filter must reference EVERY load-bearing output or
+          // Catalyst prunes the digest window + the token/quality
+          // aggregates out of the measured plan (the boilerplate-leg
+          // trap; caught by review r13 — the first recorded numbers
+          // measured scan+count only)
           Curation.datasheet(docs, "doc_id", "text", "source")
-            .where(col("n_docs") >= 0).count()
+            .where(col("n_dup") >= 0 && col("total_tokens") >= 0 &&
+              col("n_empty") >= 0 && col("quality_fp_sum") >= 0)
+            .count()
         }
         val histDir = java.nio.file.Files
           .createTempDirectory(s"graft-scale-hist-$factor").toString
