@@ -2821,6 +2821,7 @@ object OracleSql {
          |       CAST(SUM(e.tok) AS BIGINT) AS total_tokens,
          |       CAST(SUM(CASE WHEN r.rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
          |       CAST(SUM(CASE WHEN e.tok = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
+         |       CAST(0 AS BIGINT) AS n_untokenized,
          |       CAST(SUM(e.q_fp) AS BIGINT) AS quality_fp_sum
          |FROM enriched e JOIN rnk r USING (doc_id)
          |GROUP BY 1, 2 ORDER BY source, pred_lang""".stripMargin,

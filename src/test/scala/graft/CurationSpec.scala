@@ -391,4 +391,44 @@ class CurationSpec extends AnyFunSuite {
       assert(r.getAs[Long]("n") == 1L || r.getAs[Long]("t") <= 40L, r.toString)
     }
   }
+
+  test("datasheet splits n_untokenized from n_empty under a real TokenCounter (r13 #7)") {
+    val corpus = Seq(
+      (1L, "a", "the quick brown fox is in the garden and the dog is with it for now"),
+      (3L, "a", "der hund ist nicht mit der katze und das ist ein gutes haus von den leuten"),
+      (4L, "a", "") // genuinely empty: the counter tokenizes it TO zero
+    ).toDF("doc_id", "source", "text")
+    // a counter that OMITS doc 3 (non-empty!) and tokenizes the rest
+    val counter: Curation.TokenCounter = (d, idCol, textCol) =>
+      d.where(col(idCol) =!= 3L)
+        .select(col(idCol),
+          size(graft.functions.TextFunctions.ftsTokens(col(textCol))).cast("long").as("n_tokens"))
+    val rows = Curation.datasheet(corpus, "doc_id", "text", "source", Some(counter))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("total_tokens"),
+          r.getAs[Long]("n_empty"), r.getAs[Long]("n_untokenized")))
+      .toMap
+    // the omitted non-empty doc is published as UNTOKENIZED, never as empty
+    assert(rows(("a", "de")) == ((1L, 0L, 0L, 1L)), rows.toString)
+    // the genuinely empty doc (counter emitted 0 tokens) stays n_empty
+    val emptyRow = rows.find { case ((_, lang), _) => lang != "de" && lang != "en" }.get._2
+    assert(emptyRow == ((1L, 0L, 1L, 0L)), rows.toString)
+    // the tokenized doc accounts real tokens, nothing flagged
+    assert(rows(("a", "en")) == ((1L, 16L, 0L, 0L)), rows.toString)
+    // without a counter the column exists and is identically 0
+    val noCounter = Curation.datasheet(corpus, "doc_id", "text", "source")
+      .agg(sum("n_untokenized")).head().getLong(0)
+    assert(noCounter == 0L)
+  }
+
+  test("audit holds no storage: the plan carries no checkpoint pins (r13 #6)") {
+    // the r13 verdict flagged audit's unreleased lazy localCheckpoint —
+    // the dup gate is now a single running-sum window over one subtree,
+    // so there is nothing to pin and nothing to leak in a per-batch loop
+    val out = Curation.audit(docs, "doc_id", "text", langs = Set("en", "de"), minQuality = 0.4)
+    assert(graft.util.Checkpoints.pinnedRddIds(out).isEmpty,
+      "audit's plan must not reference pinned/checkpointed RDDs")
+    assert(out.count() == 6L)
+  }
 }
