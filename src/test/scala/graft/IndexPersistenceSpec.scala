@@ -446,6 +446,38 @@ class IndexPersistenceSpec extends AnyFunSuite {
       s"expected the conflicting-counts raise_error, got: ${err.getMessage}")
   }
 
+  test("encodeIds from a LOADED artifact == fresh; the persisted vocab table matches tokenVocab") {
+    import graft.operators.TextAnalysis
+    def idsDump(f: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+      f.orderBy("doc_id").collect().map(_.toSeq).toSeq
+    // one roundtrip per family — the id surface is the trainer-facing
+    // artifact, so any bit lost here corrupts input_ids silently
+    val bpe = TextAnalysis.trainBpeTokenizer(tokTrainCorpus, "text", rounds = 6)
+    val wp = TextAnalysis.trainWordPieceTokenizer(tokTrainCorpus, "text", rounds = 6)
+    val uni = TextAnalysis.trainUnigramTokenizer(tokTrainCorpus, "text", emRounds = 2)
+    val cases: Seq[(TextAnalysis.Tokenizer,
+        (TextAnalysis.Tokenizer, org.apache.spark.sql.DataFrame) => org.apache.spark.sql.DataFrame)] =
+      Seq(
+        (bpe, (t, d) => TextAnalysis.bpeEncodeIds(
+          t.asInstanceOf[TextAnalysis.BpeTokenizer], d, "doc_id", "text")),
+        (wp, (t, d) => TextAnalysis.wordPieceEncodeIds(
+          t.asInstanceOf[TextAnalysis.WordPieceTokenizer], d, "doc_id", "text")),
+        (uni, (t, d) => TextAnalysis.unigramEncodeIds(
+          t.asInstanceOf[TextAnalysis.UnigramTokenizer], d, "doc_id", "text")))
+    cases.foreach { case (fresh, enc) =>
+      val dir = java.nio.file.Files.createTempDirectory("graft-tok-ids").toString
+      TextAnalysis.writeTokenizer(spark, fresh, dir)
+      val loaded = TextAnalysis.loadTokenizer(spark, dir)
+      assert(idsDump(enc(loaded, tokApplyCorpus)) == idsDump(enc(fresh, tokApplyCorpus)),
+        s"loaded-artifact input_ids drifted for $fresh")
+      // the engine-neutral vocab table IS the tokenVocab numbering
+      val written = spark.read.parquet(s"$dir/vocab").collect()
+        .map(r => (r.getAs[Long]("token_id"), r.getAs[String]("token"))).sortBy(_._1).toSeq
+      assert(written == TextAnalysis.tokenVocab(fresh), s"vocab table drifted for $fresh")
+      assert(written.head == ((0L, TextAnalysis.UnkToken)))
+    }
+  }
+
   test("loadTokenizer refuses an unknown family") {
     import graft.operators.TextAnalysis
     val dir = java.nio.file.Files.createTempDirectory("graft-tok-bad")

@@ -65,4 +65,50 @@ class SequencePackingSpec extends AnyFunSuite {
     val base = out.select("id", "bucket", "batch_id").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(rep == base)
   }
+
+  test("packSequences: bins == packGreedy, input_ids == per-doc arrays concatenated in pack order") {
+    // synthetic per-doc id arrays: doc i carries [i*100+1 .. i*100+tok],
+    // so any reorder, drop, or boundary shift is visible in the stream
+    val docs = (1L to 60L)
+      .map(i => (i, (i * 37 % 17) + 3))
+      .map { case (i, tok) => (i, tok, (1L to tok).map(j => i * 100 + j)) }
+    val df = docs.toDF("id", "tok", "ids")
+    val expectIds = docs.map { case (i, tok, ids) => i -> ids }.toMap
+
+    for (parts <- Seq(1, 4)) {
+      val flat = SequencePacking.packGreedy(df, "id", "tok", budget = 40, partitions = parts)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val packed = SequencePacking
+        .packSequences(df, "id", "tok", "ids", budget = 40, partitions = parts)
+        .collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getSeq[Long](r.fieldIndex("input_ids")))))
+        .toMap
+      // bin boundaries bit-identical to packGreedy
+      val greedyBins = flat.groupBy(_._3).view
+        .mapValues(rs => (rs.length.toLong, rs.map(_._2).sum)).toMap
+      assert(packed.view.mapValues { case (n, t, _) => (n, t) }.toMap == greedyBins,
+        s"parts=$parts: bin boundaries diverged from packGreedy")
+      // the packed stream is exactly the per-doc arrays in pack (id) order
+      flat.groupBy(_._3).foreach { case (bin, rs) =>
+        val want = rs.map(_._1).sorted.flatMap(expectIds)
+        assert(packed(bin)._3 == want.toSeq, s"parts=$parts bin=$bin id stream diverged")
+      }
+      // strict budget: multi-doc bins never exceed it
+      packed.values.foreach { case (n, t, ids) =>
+        assert(n == 1L || t <= 40L)
+        assert(ids.length == t, "bin_tokens must equal the packed id count here")
+      }
+    }
+
+    // oversize doc sits alone, its ids intact
+    val over = Seq(
+      (1L, 3L, Seq(101L, 102L, 103L)),
+      (2L, 99L, (1L to 99L).map(_ + 200L)),
+      (3L, 3L, Seq(301L, 302L, 303L))).toDF("id", "tok", "ids")
+    val oBins = SequencePacking.packSequences(over, "id", "tok", "ids", budget = 10, partitions = 1)
+      .collect().map(r => (r.getLong(1), r.getSeq[Long](3)))
+    assert(oBins.exists { case (n, ids) => n == 1L && ids.length == 99 },
+      oBins.map(_._1).mkString(","))
+  }
 }

@@ -547,4 +547,54 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(11L)._2 > got(10L)._2,
       s"unseen word order must score higher than fluent: $got")
   }
+
+  test("bpeEncodeIds: ids decode to the replay segmentation; OOV chars are per-symbol <unk>") {
+    // train on the classic corpus with 2 merges: (e,s) then (es,t).
+    // alphabet (sorted) d,e,i,l,n,o,r,s,t,w -> ids 1..10; es=11, est=12.
+    val train = Seq("low low lower", "newest newest newest widest").toDF("text")
+    val tok = TextAnalysis.trainBpeTokenizer(train, "text", rounds = 2)
+    val vocab = TextAnalysis.tokenVocab(tok)
+    assert(vocab.head == ((0L, TextAnalysis.UnkToken)))
+    assert(vocab.map(_._1) == (0L until vocab.length.toLong), "ids must be contiguous from 0")
+    val byToken = vocab.map { case (id, t) => t -> id }.toMap
+    assert(byToken("es") == 11L && byToken("est") == 12L, vocab.toString)
+    // "best" -> b·est (b unseen -> <unk>), "so" -> s·o, "tesla" -> t·es·l·a
+    val apply = Seq((1L, "best so tesla")).toDF("doc_id", "text")
+    val row = TextAnalysis.bpeEncodeIds(tok, apply, "doc_id", "text").collect().head
+    assert(row.getAs[Long]("n_tokens") == 8L, row.toString)
+    assert(row.getSeq[Long](row.fieldIndex("input_ids")) ==
+      Seq(0L, 12L, byToken("s"), byToken("o"), byToken("t"), 11L, byToken("l"), 0L),
+      row.toString)
+  }
+
+  test("encodeIds: size(input_ids) == the count encoders' n_tokens, all three families, OOV apply") {
+    val train = Seq(
+      (1L, "the cat sat on the mat and the cat ate"),
+      (2L, "a dog sat on a log and the dog ate the bone")).toDF("doc_id", "text")
+    val apply = Seq(
+      (10L, "the cat and the dog sat"),
+      (11L, "quizzical vexing jumps"), // q/z/x/j unseen in training
+      (12L, "mats and logs")).toDF("doc_id", "text")
+    def countsOf(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_tokens")).toMap
+    def sizesOf(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().map(r =>
+        r.getAs[Long]("doc_id") -> r.getSeq[Long](r.fieldIndex("input_ids")).length.toLong).toMap
+
+    val bpe = TextAnalysis.trainBpeTokenizer(train, "text", rounds = 4)
+    assert(sizesOf(TextAnalysis.bpeEncodeIds(bpe, apply, "doc_id", "text")) ==
+      countsOf(TextAnalysis.bpeEncode(bpe, apply, "doc_id", "text")))
+
+    val wp = TextAnalysis.trainWordPieceTokenizer(train, "text", rounds = 4)
+    assert(sizesOf(TextAnalysis.wordPieceEncodeIds(wp, apply, "doc_id", "text")) ==
+      countsOf(TextAnalysis.wordPieceEncode(wp, apply, "doc_id", "text")))
+    // the q/z/x/j words are whole-word UNK: one id 0 each
+    val unkDoc = TextAnalysis.wordPieceEncodeIds(wp, apply, "doc_id", "text")
+      .where(col("doc_id") === 11L).collect().head
+    assert(unkDoc.getSeq[Long](unkDoc.fieldIndex("input_ids")) == Seq(0L, 0L, 0L), unkDoc.toString)
+
+    val uni = TextAnalysis.trainUnigramTokenizer(train, "text", emRounds = 1)
+    assert(sizesOf(TextAnalysis.unigramEncodeIds(uni, apply, "doc_id", "text")) ==
+      countsOf(TextAnalysis.unigramTokenCounts(uni, apply, "doc_id", "text")))
+  }
 }
