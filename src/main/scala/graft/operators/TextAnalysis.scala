@@ -816,6 +816,15 @@ object TextAnalysis {
     * rows, which [[loadWordHistogram]] collapses before summing, so
     * replays can never double-count.
     */
+  /** Marker prefix of a batch key whose delta [[compactWordHistogram]]
+    * already folded into the base "-" rows: the store keeps one
+    * `(word="-", freq=0, batch_key="compacted:<key>")` row per folded
+    * key, INSIDE the hist table, so compaction is a single atomic swap
+    * and a crash can never separate the totals from the ledger that
+    * makes replayed pre-compact appends no-ops.
+    */
+  private val CompactedPrefix = "compacted:"
+
   def appendWordHistogram(
       batch: DataFrame,
       textCol: String,
@@ -825,6 +834,9 @@ object TextAnalysis {
     require(batchKey != "-",
       "appendWordHistogram: batch_key \"-\" is reserved for the initial writeWordHistogram stamp " +
         "— an append under it would collide with the base counts")
+    require(!batchKey.startsWith(CompactedPrefix),
+      s"appendWordHistogram: batch_key prefix '$CompactedPrefix' is reserved for " +
+        "compactWordHistogram's fold markers")
     wordHistFrame(batch, textCol)
       .select(col("word"), col("freq"), lit(batchKey).as("batch_key"))
       .write.mode("append").parquet(s"$path/hist")
@@ -840,9 +852,22 @@ object TextAnalysis {
   def loadWordHistogram(
       spark: org.apache.spark.sql.SparkSession,
       path: String
-  ): WordHistogram =
+  ): WordHistogram = {
+    spark.catalog.refreshByPath(s"$path/hist") // the store mutates by swap
+    val raw = spark.read.parquet(s"$path/hist")
+    // keys already folded into the base by compactWordHistogram: their
+    // rows were rewritten away, and a REPLAYED append under one (a crash
+    // between an append and its checkpoint commit, adjudicated after a
+    // compact) must stay a no-op — drop any post-compact re-appearance
+    val folded = raw
+      .where(col("batch_key").startsWith(CompactedPrefix))
+      .select(expr(s"substring(batch_key, ${CompactedPrefix.length + 1})").as("batch_key"))
+      .distinct()
+    val live = raw
+      .where(!col("batch_key").startsWith(CompactedPrefix))
+      .join(broadcast(folded), Seq("batch_key"), "left_anti")
     WordHistogram(
-      spark.read.parquet(s"$path/hist")
+      live
         .groupBy("word", "batch_key")
         .agg(min("freq").as("_mn"), max("freq").as("_mx"))
         .select(
@@ -855,6 +880,70 @@ object TextAnalysis {
               lit("' — a batch key was reused across different batches"))))
             .as("freq"))
         .groupBy("word").agg(sum("freq").as("freq")))
+  }
+
+  /** Compact a persisted histogram store: fold every appended batch
+    * delta into the base "-" rows, so the store returns to
+    * vocabulary-sized and [[loadWordHistogram]] stops paying an
+    * O(N_batches x vocab) re-sum — the bound that otherwise leaks into
+    * the O(batch) append contract after thousands of micro-batches
+    * (VERDICT r13 #3). Run at compaction cadence, like
+    * [[graft.pipeline.Pipeline.gcImages]].
+    *
+    * Replay semantics survive: each folded key leaves a zero-freq
+    * `compacted:<key>` marker row IN the store, and load drops any
+    * post-compact re-append under a folded key — so a crash-replayed
+    * pre-compact batch stays a no-op forever. The markers grow by one
+    * ROW per batch ever compacted (keys, not vocab x keys — the growth
+    * the compaction exists to remove). Atomicity: the new store
+    * (totals + markers) is written to a temp directory and swapped in
+    * with one atomic move — totals and their replay ledger can never be
+    * observed separately (the [[graft.sources.Catalog.overwrite]]
+    * single-writer convention; a cluster deployment would use a
+    * transactional table format).
+    */
+  def compactWordHistogram(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String
+  ): Unit = {
+    val histPath = s"$path/hist"
+    spark.catalog.refreshByPath(histPath)
+    val raw = spark.read.parquet(histPath)
+    val totals = loadWordHistogram(spark, path).hist
+    val priorMarkers = raw
+      .where(col("batch_key").startsWith(CompactedPrefix))
+      .select("word", "freq", "batch_key").distinct()
+    val newKeys = raw
+      .where(!col("batch_key").startsWith(CompactedPrefix) && col("batch_key") =!= "-")
+      .select("batch_key").distinct()
+      // a key both folded AND re-appended (post-compact replay) already
+      // has its marker — don't mint a duplicate
+      .join(broadcast(priorMarkers.select(
+        expr(s"substring(batch_key, ${CompactedPrefix.length + 1})").as("batch_key"))),
+        Seq("batch_key"), "left_anti")
+    val compacted = totals
+      .select(col("word"), col("freq"), lit("-").as("batch_key"))
+      .unionByName(priorMarkers)
+      .unionByName(newKeys.select(
+        lit("-").as("word"), lit(0L).as("freq"),
+        concat(lit(CompactedPrefix), col("batch_key")).as("batch_key")))
+    // write-then-swap: the plan reads the directory being replaced
+    val tmp = java.nio.file.Paths.get(s"$path/.hist_tmp_${System.nanoTime()}")
+    compacted.write.mode("overwrite").parquet(tmp.toString)
+    val target = java.nio.file.Paths.get(histPath)
+    val old = java.nio.file.Paths.get(s"$path/.hist_old_${System.nanoTime()}")
+    java.nio.file.Files.move(target, old, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    java.nio.file.Files.move(tmp, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    def rm(p: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.isDirectory(p)) {
+        val children = java.nio.file.Files.list(p)
+        try children.forEach(rm) finally children.close()
+      }
+      java.nio.file.Files.deleteIfExists(p)
+    }
+    rm(old)
+    spark.catalog.refreshByPath(histPath)
+  }
 
   /** Frequency-prune a histogram: drop words seen fewer than `minFreq`
     * times — the remediation when a noise-heavy corpus trips the

@@ -417,6 +417,55 @@ class IndexPersistenceSpec extends AnyFunSuite {
       TextAnalysis.trainUnigramTokenizer(full, "text", emRounds = 2))
   }
 
+  test("compactWordHistogram: load identical, store back to vocab-sized, replayed pre-compact key no-ops") {
+    import graft.operators.TextAnalysis
+    val a = tokTrainCorpus
+    val b = Seq((5L, "new batch words arrive and the cat naps by the throne")).toDF("doc_id", "text")
+    val c = Seq((6L, "more new words for the growing corpus and the theme")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-hist-compact").toString
+    def counts(): Map[String, Long] =
+      TextAnalysis.loadWordHistogram(spark, dir).hist.collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    TextAnalysis.writeWordHistogram(TextAnalysis.wordHistogram(a, "text"), dir)
+    TextAnalysis.appendWordHistogram(b, "text", dir, batchKey = "run#1")
+    TextAnalysis.appendWordHistogram(b, "text", dir, batchKey = "run#1") // crash replay
+    TextAnalysis.appendWordHistogram(c, "text", dir, batchKey = "run#2")
+    val pre = counts()
+
+    TextAnalysis.compactWordHistogram(spark, dir)
+    assert(counts() == pre, "compact must not change the loaded totals")
+    // non-marker rows collapse to exactly one "-" row per vocabulary word
+    val rows = spark.read.parquet(s"$dir/hist")
+    val base = rows.where(!col("batch_key").startsWith("compacted:"))
+    assert(base.count() == pre.size.toLong, "store must be vocab-sized after compact")
+    assert(base.where(col("batch_key") =!= "-").count() == 0L)
+
+    // a REPLAYED pre-compact batch key is still a no-op after the fold
+    TextAnalysis.appendWordHistogram(b, "text", dir, batchKey = "run#1")
+    assert(counts() == pre, "post-compact replay of a folded key must not double-count")
+
+    // new batches keep appending and counting; a second compact (with the
+    // replayed rows present) is still total-preserving
+    val d = Seq((7L, "yet another delta lands after the compaction")).toDF("doc_id", "text")
+    TextAnalysis.appendWordHistogram(d, "text", dir, batchKey = "run#3")
+    val full = TextAnalysis.wordHistogram(
+      a.unionByName(b).unionByName(c).unionByName(d), "text")
+      .hist.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts() == full)
+    TextAnalysis.compactWordHistogram(spark, dir)
+    assert(counts() == full)
+    // retraining from the compacted store is bit-identical to corpus train
+    assert(TextAnalysis.trainBpeTokenizer(TextAnalysis.loadWordHistogram(spark, dir), 4, 10000000L)
+      == TextAnalysis.trainBpeTokenizer(a.unionByName(b).unionByName(c).unionByName(d), "text", rounds = 4))
+
+    // the marker prefix is reserved on the append path
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.appendWordHistogram(d, "text", dir, batchKey = "compacted:run#9")
+    }
+    assert(e.getMessage.contains("reserved"), e.getMessage)
+  }
+
   test("word-histogram loud guards: reserved batch key refused; conflicting counts fail the load") {
     import graft.operators.TextAnalysis
     val a = tokTrainCorpus
