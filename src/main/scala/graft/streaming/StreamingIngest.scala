@@ -152,10 +152,23 @@ final class StreamingIngest(
       // within the micro-batch (two files, same bytes) and against the
       // already-ingested ledger (same content re-appearing in a later file)
       .dropDuplicates("file_hash")
-    val antiJoined =
-      if (!catalog.exists("documents_stream")) hashed
+    // Takedown gate: content deleted via deleteStreamDocument must never
+    // come back — not from a checkpoint replay of its original batch
+    // (those rows are gone from documents_stream, so the ledger anti-join
+    // below would happily re-admit them) and not from the same bytes
+    // arriving in a new file. The tombstone table is bounded by
+    // deletions, so it broadcasts.
+    val tombstoned =
+      if (!catalog.exists("stream_tombstones")) hashed
       else
         hashed.join(
+          broadcast(catalog.read("stream_tombstones").select("file_hash")),
+          Seq("file_hash"),
+          "left_anti")
+    val antiJoined =
+      if (!catalog.exists("documents_stream")) tombstoned
+      else
+        tombstoned.join(
           broadcast(catalog.read("documents_stream").select("file_hash")),
           Seq("file_hash"),
           "left_anti"
@@ -543,6 +556,71 @@ final class StreamingIngest(
     } finally {
       graft.util.Checkpoints.release(
         graft.util.Checkpoints.pinnedRddIds(rows), spark)
+    }
+  }
+
+  /** Delete/takedown verb for the STREAMED corpus (VERDICT r13 #2) — the
+    * batch [[graft.pipeline.Pipeline.deleteDocument]] cascade, extended
+    * to every table this ingest writes: `documents_stream`,
+    * `chunks_stream`, `pq_codes_stream`, plus the raw-text holding pens
+    * (`quarantine_stream`, `rejected_stream`, `lm_rejected_stream` —
+    * a takedown must purge the diverted copies too, found by deriving
+    * their would-be document id `sha2(file_hash, 256)`). The stream FTS
+    * key is invalidated so BM25 stops serving the doc's postings, and
+    * the ADC path stops at the rewritten codes table.
+    *
+    * Resurrection-proof: the content hashes are TOMBSTONED FIRST
+    * (`stream_tombstones`, anti-joined by every future [[ingestBatch]]),
+    * so neither a checkpoint replay of the original batch — whose
+    * ledger anti-join would otherwise re-admit rows that no longer have
+    * a documents_stream entry — nor the same bytes in a fresh file can
+    * bring the content back. A crash mid-cascade leaves the tombstone in
+    * place and the delete idempotent: rerun it to finish the rewrites
+    * (duplicate tombstone rows are harmless to an anti-join).
+    *
+    * Returns the number of distinct content hashes taken down (0 =
+    * unknown id, nothing touched).
+    */
+  def deleteStreamDocument(documentId: String): Long = {
+    import spark.implicits._
+    def hashesFrom(table: String, deriveId: Boolean): DataFrame =
+      if (!catalog.exists(table)) Seq.empty[String].toDF("file_hash")
+      else {
+        val t = catalog.read(table)
+        if (deriveId) t.where(sha2(col("file_hash"), 256) === documentId).select("file_hash")
+        else t.where(col("id") === documentId).select("file_hash")
+      }
+    // pin: the cascade below rewrites the very tables this plan reads
+    val hashes = hashesFrom("documents_stream", deriveId = false)
+      .unionByName(hashesFrom("quarantine_stream", deriveId = true))
+      .unionByName(hashesFrom("rejected_stream", deriveId = true))
+      .unionByName(hashesFrom("lm_rejected_stream", deriveId = true))
+      .distinct()
+      .localCheckpoint()
+    try {
+      val n = hashes.count()
+      if (n == 0L) return 0L
+      // tombstone FIRST: once recorded, no replay or re-arrival can
+      // resurrect the content even if a crash interrupts the rewrites
+      catalog.append(
+        hashes.select(
+          col("file_hash"),
+          lit(documentId).as("document_id"),
+          current_timestamp().as("deleted_at")),
+        "stream_tombstones")
+      catalog.deleteWhere("chunks_stream", col("document_id") === documentId)
+      catalog.deleteWhere("pq_codes_stream", col("document_id") === documentId)
+      catalog.deleteMatching("quarantine_stream", hashes, Seq("file_hash"))
+      catalog.deleteMatching("rejected_stream", hashes, Seq("file_hash"))
+      catalog.deleteMatching("lm_rejected_stream", hashes, Seq("file_hash"))
+      catalog.deleteWhere("documents_stream", col("id") === documentId)
+      FtsIndex.invalidate(ftsKey)
+      graft.util.JsonLog.info("delete_stream_document",
+        "document_id" -> documentId, "n_hashes" -> n)
+      n
+    } finally {
+      graft.util.Checkpoints.release(
+        graft.util.Checkpoints.pinnedRddIds(hashes), spark)
     }
   }
 }

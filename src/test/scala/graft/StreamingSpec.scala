@@ -551,6 +551,90 @@ class StreamingSpec extends AnyFunSuite {
     FtsIndex.invalidate(ingest.ftsKey)
   }
 
+  test("stream takedown: delete purges every table, FTS/ADC stop serving, replay cannot resurrect") {
+    import graft.operators.{Embedder, VectorSearch}
+    val spark2 = spark
+    import spark2.implicits._
+    val base = Files.createTempDirectory("graft-stream-del").toString
+    val in = s"$base/in"; val wh = s"$base/wh"; val ckpt = s"$base/ckpt"
+    Files.createDirectories(Paths.get(in))
+    val cfg = GraftConfig(warehouseDir = wh)
+    val fitVecs = Embedder.withEmbedding(
+      (1 to 16).map(i => (i.toLong, s"codebook fitting document $i with words")).toDF("id", "text"),
+      "text", "embedding", cfg.embedding)
+    val model = VectorSearch.pqFit(fitVecs, "id", "embedding", nSub = 8, k = 4, iters = 1)
+
+    val aBytes = "# A\n\ncatalyst optimizes logical plans before execution.".getBytes
+    Files.write(Paths.get(in, "a.md"), aBytes)
+    Files.write(Paths.get(in, "b.md"), "# B\n\ntungsten generates compact bytecode for expressions.".getBytes)
+    val ingest = new StreamingIngest(spark, cfg, pqCodebook = Some(model))
+    try {
+      ingest.start(in, ckpt).awaitTermination()
+      val cat = new Catalog(spark, wh)
+      val byPath = cat.read("documents_stream").collect()
+        .map(r => r.getAs[String]("source_path") -> r.getAs[String]("id")).toMap
+      val doomed = byPath.find(_._1.endsWith("a.md")).get._2
+      val survivor = byPath.find(_._1.endsWith("b.md")).get._2
+      assert(FtsIndex.search(spark,
+        FtsIndex.buildCached(ingest.ftsKey, cat.read("chunks_stream"), "id", "text"),
+        "catalyst plans", 5).count() > 0)
+
+      assert(ingest.deleteStreamDocument(doomed) == 1L)
+
+      // zero orphaned rows in ANY stream table
+      Seq("chunks_stream", "pq_codes_stream").foreach { t =>
+        assert(cat.read(t).where(col("document_id") === doomed).count() == 0L, t)
+      }
+      assert(cat.read("documents_stream").where(col("id") === doomed).count() == 0L)
+      assert(cat.read("chunks_stream").where(col("document_id") === survivor).count() > 0,
+        "the survivor must keep its chunks")
+
+      // FTS: the key was invalidated; a rebuild over the rewritten table
+      // has no postings for the doomed doc ("catalyst" lived only in a.md)
+      assert(FtsIndex.search(spark,
+        FtsIndex.buildCached(ingest.ftsKey, cat.read("chunks_stream"), "id", "text"),
+        "catalyst", 5).count() == 0L, "FTS still serves the deleted doc")
+
+      // ADC: the codes table was rewritten, so every hit is a survivor chunk
+      val survivorChunks = cat.read("chunks_stream")
+        .select("id").collect().map(_.getString(0)).toSet
+      val probe = cat.read("chunks_stream").select("embedding").collect().head.getSeq[Float](0)
+      val hits = VectorSearch.pqSearch(model, cat.read("pq_codes_stream"), probe, k = 10)
+        .collect().map(_.getString(0)).toSet
+      assert(hits.nonEmpty && hits.subsetOf(survivorChunks), hits.toString)
+
+      // a checkpoint REPLAY of the original batch cannot resurrect it: the
+      // ledger row is gone, so only the tombstone stands between the
+      // replayed rows and re-admission
+      ingest.ingestBatch(
+        Seq((new String(aBytes, "UTF-8"), s"file://$in/a.md")).toDF("value", "path"),
+        0L, runToken = ckpt)
+      assert(cat.read("documents_stream").where(col("id") === doomed).count() == 0L,
+        "replay resurrected a deleted document")
+      assert(cat.read("chunks_stream").where(col("document_id") === doomed).count() == 0L)
+
+      // ...nor can the same bytes arriving as a brand-new file
+      Files.write(Paths.get(in, "a_again.md"), aBytes)
+      ingest.start(in, ckpt).awaitTermination()
+      assert(cat.read("documents_stream").count() == 1L,
+        "re-arrived deleted content must stay out")
+
+      // the raw-text holding pens are purged too (by the DERIVED id —
+      // a quarantined doc never reached the ledger)
+      cat.append(
+        Seq(("file:///q.md", "deadbeef", "withheld text", 0L, "tok"))
+          .toDF("source_path", "file_hash", "value", "batch_id", "run_token")
+          .withColumn("quarantined_at", current_timestamp()),
+        "quarantine_stream")
+      val qid = spark.sql("SELECT sha2('deadbeef', 256)").head().getString(0)
+      assert(ingest.deleteStreamDocument(qid) == 1L)
+      assert(cat.read("quarantine_stream").where(col("file_hash") === "deadbeef").count() == 0L)
+
+      // unknown id: nothing touched, loud zero
+      assert(ingest.deleteStreamDocument("no-such-doc") == 0L)
+    } finally FtsIndex.invalidate(ingest.ftsKey)
+  }
+
   test("quality-gate replay: a re-run batch does not double-append its rejects") {
     import graft.operators.QualityClassifier
     import spark.implicits._
