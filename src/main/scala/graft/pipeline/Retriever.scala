@@ -12,12 +12,30 @@ import graft.operators.{ContextAssembly, Embedder, FtsIndex, HybridSearch, Vecto
   * routing, and LLM-context assembly under a token budget.
   */
 object SearchMode extends Enumeration {
-  val Vector, Keyword, Hybrid = Value
+  val Vector, Keyword, Hybrid, Adc = Value
 }
 
-final class Retriever(spark: SparkSession, pipeline: Pipeline, config: GraftConfig = GraftConfig.default) {
+/** @param pqIndexPath a [[graft.operators.VectorSearch.writePq]] artifact
+  *   built over the chunks table (codes keyed by chunk id) — enables
+  *   [[Retriever.adcSearch]] / `SearchMode.Adc`, the adjudicated
+  *   0.9-recall operating point of the retrieval-regime table
+  *   (SCALE.md): ADC shortlist over nSub-byte codes + exact rescore of
+  *   the shortlist's float vectors. Absent = the brute/IVF/banded modes
+  *   only, unchanged.
+  */
+final class Retriever(
+    spark: SparkSession,
+    pipeline: Pipeline,
+    config: GraftConfig = GraftConfig.default,
+    pqIndexPath: Option[String] = None) {
 
   private val embedder = Embedder.provider(config.embedding)
+
+  // codebook loaded once (bounded sidecar, loud on a corrupt artifact);
+  // the codes TABLE is read per probe — stateless, no pinned blocks to
+  // leak, and the scan is nSub bytes/row behind parquet pruning
+  private lazy val pqModel: Option[VectorSearch.PqModel] =
+    pqIndexPath.map(p => VectorSearch.loadPqModel(spark, p))
 
   /** Topic keywords for title routing (reference KNOWN_TOPICS,
     * hybrid_retriever.py:32-50).
@@ -124,6 +142,43 @@ final class Retriever(spark: SparkSession, pipeline: Pipeline, config: GraftConf
       .orderBy(col("query_id"), desc("score"), col("id"))
   }
 
+  /** ADC-shortlist vector search — the measured 0.9-recall regime
+    * (VERDICT r13 #4; SCALE.md's retrieval-regime table adjudicated it
+    * over banded-LSH at this corpus: ≥0.9 recall at a fraction of the
+    * float bytes). Two stages: (1) asymmetric-distance top-`shortlist`
+    * over the persisted PQ codes (nSub bytes/row, integer adds, no float
+    * vector touched); (2) exact dot-product rescore of ONLY the
+    * shortlist's chunks, returning the same row shape as
+    * [[vectorSearch]]. The shortlist size is the recall knob (default
+    * max(10k, 100) — the ladder-measured operating point at k=10);
+    * `titleFilter` applies at the rescore, the standard ANN-prefilter
+    * trade (a heavily-filtered query should use the exact Vector mode).
+    */
+  def adcSearch(
+      query: String,
+      k: Int,
+      titleFilter: Option[String] = None,
+      shortlist: Int = 0
+  ): DataFrame = {
+    val path = pqIndexPath.getOrElse(throw new IllegalStateException(
+      "SearchMode.Adc needs a Retriever(pqIndexPath = ...) pointing at a " +
+        "VectorSearch.writePq artifact whose codes are keyed by chunk id"))
+    val model = pqModel.get
+    val qv = embedder.embedOne(query)
+    val fetch = if (shortlist > 0) shortlist else math.max(k * 10, 100)
+    val ids = VectorSearch
+      .pqSearch(model, spark.read.parquet(s"$path/codes"), qv.toSeq, fetch)
+      .select("id")
+    val pred = titlePred(titleFilter)
+      .map(_ && col("embedding").isNotNull)
+      .getOrElse(col("embedding").isNotNull)
+    VectorSearch
+      .topK(chunks.join(ids, Seq("id"), "left_semi"), "embedding", qv, k, col("id"),
+        Some(pred), scorer = graft.functions.VectorFunctions.dotProduct)
+      .select(col("id"), col("document_id"), col("document_title"), col("text"),
+        col("section_h1"), col("section_h2"), col("chunk_index"), col("score"))
+  }
+
   /** Hybrid = RRF fusion of vector + keyword rankings (Q3/W4), with
     * vector fallback on keyword failure (lancedb_store.py:187-190).
     */
@@ -172,6 +227,7 @@ final class Retriever(spark: SparkSession, pipeline: Pipeline, config: GraftConf
       case SearchMode.Vector  => vectorSearch(query, k, filter)
       case SearchMode.Keyword => keywordSearch(query, k, filter)
       case SearchMode.Hybrid  => hybridSearch(query, k, filter)
+      case SearchMode.Adc     => adcSearch(query, k, filter)
     }
   }
 

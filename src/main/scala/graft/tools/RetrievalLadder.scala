@@ -295,6 +295,52 @@ object RetrievalLadder {
     scoreKnownItem("known_bm25_only")(pid => ids(bmLeg(pid), "doc_id"))
     scoreKnownItem("known_hybrid_rrf")(pid =>
       ids(HybridSearch.rrf(vecLeg(pid), bmLeg(pid), "doc_id", "score", K), "doc_id"))
+
+    // ==================================================================
+    // Façade ADC row (VERDICT r13 #4): the measured 0.9-recall operating
+    // point driven THROUGH Retriever.adcSearch / SearchMode.Adc — a real
+    // warehouse chunks table, a persisted writePq artifact, the loaded
+    // codebook, the shortlist, the exact rescore. Recall is scored
+    // against the façade's own exact vectorSearch on the same queries,
+    // so the row prices exactly what switching a production retriever
+    // from Vector to Adc mode costs in quality and buys in wall.
+    // ==================================================================
+    val whDir = java.nio.file.Files.createTempDirectory("ladder-wh").toString
+    val cfgR = graft.GraftConfig(warehouseDir = whDir)
+    val catR = new graft.sources.Catalog(spark, whDir)
+    catR.append(
+      Embedder.withEmbedding(docs, "text", "embedding", embCfg)
+        .select(
+          col("doc_id").cast("string").as("id"),
+          col("doc_id").cast("string").as("document_id"),
+          concat(lit("doc "), col("doc_id")).as("document_title"),
+          col("text"),
+          lit(null).cast("string").as("section_h1"),
+          lit(null).cast("string").as("section_h2"),
+          lit(0).as("chunk_index"),
+          col("embedding")),
+      "chunks")
+    val chunksR = catR.read("chunks")
+    val pqFacade = VectorSearch.pqFit(chunksR, "id", "embedding", nSub = 8, k = 16, iters = 3)
+    val pqDirR = s"$whDir/../pq_index"
+    VectorSearch.writePq(
+      pqFacade, VectorSearch.pqEncode(pqFacade, chunksR, "id", "embedding"), pqDirR)
+    val pipeR = new graft.pipeline.Pipeline(spark, cfgR)
+    val retR = new graft.pipeline.Retriever(spark, pipeR, cfgR, pqIndexPath = Some(pqDirR))
+    def retIds(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.select("id").collect().map(_.getString(0)).toSet
+    for (shortlist <- Seq(100, 400, 800)) {
+      val rec = probeIds.map { pid =>
+        val exact = retIds(retR.vectorSearch(probes(pid), K))
+        val adc = retIds(retR.adcSearch(probes(pid), K, shortlist = shortlist))
+        (exact & adc).size.toDouble / K
+      }.sum / probeIds.size
+      val wall = medianWall(pid => retR.adcSearch(probes(pid), K, shortlist = shortlist).collect(): Unit)
+      println(f"[ladder] facade_adc shortlist=$shortlist recall_vs_exact@10=$rec%.3f " +
+        f"probe_wall_median=$wall%.3fs")
+    }
+    val vecWall = medianWall(pid => retR.vectorSearch(probes(pid), K).collect(): Unit)
+    println(f"[ladder] facade_vector_exact probe_wall_median=$vecWall%.3fs (recall 1.0 by definition)")
     spark.stop()
   }
 }

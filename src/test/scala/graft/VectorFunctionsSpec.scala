@@ -239,23 +239,28 @@ class VectorFunctionsSpec extends AnyFunSuite {
     assert(bandedL16 >= bandedL4 + 0.2,
       f"banded recall must climb with L: L=4 $bandedL4%.3f vs L=16 $bandedL16%.3f")
 
-    // calibrateBandedL: the sizing answer must HIT its target, measured
-    // (VERDICT r10 #4). Calibration predicts recall from sampled
-    // neighbor-pair angles (q_i = p_i^b, recall = mean 1-(1-q_i)^L) in
-    // the same inclusive convention recallOf uses; the sf0.1 datasheet
-    // reads L=11 -> 0.495 for target 0.5 (prediction error < 0.01). The
-    // 0.05 tolerance absorbs the model's independence assumption
-    // (tables share the corpus geometry, so misses correlate slightly).
+    // calibrateBandedL: the sizing answer must DELIVER its target,
+    // measured (VERDICT r10 #4, tightened r13 #5). Calibration predicts
+    // recall from sampled neighbor-pair angles (q_i = p_i^b, recall =
+    // mean 1-(1-q_i)^L) in the same inclusive convention recallOf uses,
+    // and since r14 the solver folds the measured correlated-tables
+    // slack (default 0.05) into the L search — so the MEASURED recall at
+    // the returned L must now clear the target itself, not target-slack.
     val targetCal = 0.5
     val calibratedL = VectorSearch.calibrateBandedL(
       emb, "vec_id", "embedding", bandBits = 6, recallTarget = targetCal)
     info(s"calibrated L=$calibratedL for target $targetCal at b=6")
     assert(calibratedL >= 4 && calibratedL <= 40,
-      s"calibrated L=$calibratedL outside the sane band [4, 40] for target $targetCal (datasheet: 11)")
+      s"calibrated L=$calibratedL outside the sane band [4, 40] for target $targetCal")
     val calRecall = bandedRecallAt(6, calibratedL)
     info(f"measured recall@10 at calibrated L=$calibratedL: $calRecall%.3f")
-    assert(calRecall >= targetCal - 0.05,
-      f"calibrated index recall $calRecall%.3f misses target $targetCal by more than 0.05")
+    assert(calRecall >= targetCal,
+      f"calibrated index recall $calRecall%.3f misses target $targetCal — the folded slack " +
+        "must make calibrate(t) deliver t")
+    // the raw-model answer (slack = 0) stays available and is never larger
+    val rawL = VectorSearch.calibrateBandedL(
+      emb, "vec_id", "embedding", bandBits = 6, recallTarget = targetCal, slack = 0.0)
+    assert(rawL <= calibratedL, s"raw model L=$rawL must not exceed slack-folded L=$calibratedL")
     // more ambition costs more tables — the curve's direction is part
     // of the contract
     val calibratedHigher = VectorSearch.calibrateBandedL(
