@@ -150,9 +150,15 @@ final class Retriever(
     * vector touched); (2) exact dot-product rescore of ONLY the
     * shortlist's chunks, returning the same row shape as
     * [[vectorSearch]]. The shortlist size is the recall knob (default
-    * max(10k, 100) — the ladder-measured operating point at k=10);
-    * `titleFilter` applies at the rescore, the standard ANN-prefilter
-    * trade (a heavily-filtered query should use the exact Vector mode).
+    * max(40k, 400) — the sf0.1-ladder-measured ≥0.9 operating point at
+    * k=10: shortlist 400 reads 0.965/0.955 recall bare/façade, 100 reads
+    * only ~0.69); `titleFilter` applies at the rescore, the standard
+    * ANN-prefilter trade (a heavily-filtered query should use the exact
+    * Vector mode). Crossover note (measured, SCALE.md): at sf0.1's
+    * 2k-row corpus the façade's fixed per-probe overheads (codes scan +
+    * semi-join) exceed the float-byte savings — the regime pays off when
+    * the corpus dwarfs the shortlist, which is the 100 TB case this mode
+    * exists for.
     */
   def adcSearch(
       query: String,
@@ -165,7 +171,7 @@ final class Retriever(
         "VectorSearch.writePq artifact whose codes are keyed by chunk id"))
     val model = pqModel.get
     val qv = embedder.embedOne(query)
-    val fetch = if (shortlist > 0) shortlist else math.max(k * 10, 100)
+    val fetch = if (shortlist > 0) shortlist else math.max(k * 40, 400)
     val ids = VectorSearch
       .pqSearch(model, spark.read.parquet(s"$path/codes"), qv.toSeq, fetch)
       .select("id")

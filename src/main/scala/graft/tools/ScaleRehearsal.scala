@@ -109,7 +109,7 @@ object ScaleRehearsal {
     // one operator family without the full sweep); unset = everything.
     // EXACT name match against the known sections: substring matching let
     // e.g. 'd' enable several sections and a typo silently run nothing.
-    val sections = Seq("docs", "semdedup", "pagerank", "iterative100", "bm25batch", "evaldrift",
+    val sections = Seq("docs", "semdedup", "pagerank", "iterative100", "bm25batch", "evaldrift", "idspack",
       "classifier", "bpe", "lm", "sketchpq", "pipeline", "tokcorpus")
     val only = sys.env.get("GRAFT_SCALE_ONLY")
     only.foreach(o => require(sections.contains(o),
@@ -410,6 +410,49 @@ object ScaleRehearsal {
             .where(col("cost_bits") >= 0).count()
         }
       }
+    }
+
+    // Token-ID encode + packed sequences (r14, VERDICT r13 #1). Claims:
+    // (a) bpeEncodeIds is linear in the corpus — one explode pass; the
+    //     segmentation UDF runs once per DISTINCT word, and the vocab is
+    //     Zipf-bounded (~20k) so that stage is FLAT as the corpus grows;
+    //     the only per-doc-sized shuffle is the output ids themselves
+    //     (the unavoidable one: input_ids IS the result);
+    // (b) packSequences adds the ids payload to packGreedy's range
+    //     partition and nothing else — bins stream partition-locally,
+    //     buffering one bin, so wall and shuffle scale with the id bytes
+    //     and never with bin count.
+    if (sectionEnabled("idspack")) {
+      def idsZipf(nDocs: Long): DataFrame = spark.range(0L, nDocs * 40L, 1L, 32)
+        .select((col("id") / 40).cast("long").as("doc_id"),
+          concat(lit("w"),
+            floor(exp((pmod(xxhash64(col("id")), lit(1000000L)).cast("double") + 1.0)
+              / 1000001.0 * log(lit(20000.0)))).cast("long")).as("word"))
+        .groupBy("doc_id")
+        .agg(concat_ws(" ", collect_list(col("word"))).as("text"))
+      // the tokenizer is trained ONCE on the 1x base outside the measured
+      // legs — encode-forever against a frozen artifact is the contract
+      val idsBase = idsZipf(50000L).localCheckpoint()
+      val idsTok = TextAnalysis.trainBpeTokenizer(idsBase, "text", rounds = 200)
+      for (factor <- Seq(1, 10)) {
+        val corpus = if (factor == 1) idsBase else idsZipf(50000L * factor).localCheckpoint()
+        println(s"[scale] idspack corpus rows (x$factor) = ${corpus.count()}")
+        var enc: DataFrame = null
+        measure(s"encode_ids_x$factor") {
+          enc = TextAnalysis.bpeEncodeIds(idsTok, corpus, "doc_id", "text").localCheckpoint()
+          enc.count()
+        }
+        // sum over bin_tokens forces every bin through the full pack
+        // (mapPartitions blocks column pruning, so the ids ARE built)
+        measure(s"pack_sequences_x$factor") {
+          graft.operators.SequencePacking
+            .packSequences(enc, "doc_id", "n_tokens", "input_ids", budget = 2048, partitions = 32)
+            .agg(sum("bin_tokens")).head().getLong(0)
+        }
+        graft.util.Checkpoints.release(graft.util.Checkpoints.pinnedRddIds(enc), spark)
+        if (factor != 1) corpus.unpersist()
+      }
+      idsBase.unpersist()
     }
 
     // Bigram-LM scoring + blocklist (r12). Claims under measurement:
