@@ -48,9 +48,10 @@ object Cli {
           case "vector"  => SearchMode.Vector
           case "keyword" => SearchMode.Keyword
           case "hybrid"  => SearchMode.Hybrid
+          case "adc"     => SearchMode.Adc // needs search.pqIndexPath configured
         }
         val queryWords = if (parsedMode.isDefined) rest.drop(1) else rest
-        require(queryWords.nonEmpty, "usage: search [vector|keyword|hybrid] <query...>")
+        require(queryWords.nonEmpty, "usage: search [vector|keyword|hybrid|adc] <query...>")
         retriever
           .search(queryWords.mkString(" "), parsedMode.getOrElse(SearchMode.Hybrid), config.search.defaultK)
           .show(20, 60)

@@ -176,8 +176,9 @@ final class RestServer(spark: SparkSession, config: GraftConfig = GraftConfig.de
             case "vector"  => SearchMode.Vector
             case "keyword" => SearchMode.Keyword
             case "hybrid"  => SearchMode.Hybrid
+            case "adc"     => SearchMode.Adc // needs search.pqIndexPath configured
             case other =>
-              error(ex, 400, s"Invalid search mode: $other. Use: vector, hybrid, keyword")
+              error(ex, 400, s"Invalid search mode: $other. Use: vector, hybrid, keyword, adc")
               return
           }
           val k = Option(req.get("limit")).filterNot(_.isNull).map(_.asInt).getOrElse(10)

@@ -31,11 +31,16 @@ final class Retriever(
 
   private val embedder = Embedder.provider(config.embedding)
 
+  // constructor argument wins; config.search.pqIndexPath wires the mode
+  // for CLI/REST sessions built from config alone
+  private val resolvedPqPath: Option[String] =
+    pqIndexPath.orElse(config.search.pqIndexPath)
+
   // codebook loaded once (bounded sidecar, loud on a corrupt artifact);
   // the codes TABLE is read per probe — stateless, no pinned blocks to
   // leak, and the scan is nSub bytes/row behind parquet pruning
   private lazy val pqModel: Option[VectorSearch.PqModel] =
-    pqIndexPath.map(p => VectorSearch.loadPqModel(spark, p))
+    resolvedPqPath.map(p => VectorSearch.loadPqModel(spark, p))
 
   /** Topic keywords for title routing (reference KNOWN_TOPICS,
     * hybrid_retriever.py:32-50).
@@ -166,7 +171,7 @@ final class Retriever(
       titleFilter: Option[String] = None,
       shortlist: Int = 0
   ): DataFrame = {
-    val path = pqIndexPath.getOrElse(throw new IllegalStateException(
+    val path = resolvedPqPath.getOrElse(throw new IllegalStateException(
       "SearchMode.Adc needs a Retriever(pqIndexPath = ...) pointing at a " +
         "VectorSearch.writePq artifact whose codes are keyed by chunk id"))
     val model = pqModel.get

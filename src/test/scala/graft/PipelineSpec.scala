@@ -431,6 +431,13 @@ class PipelineSpec extends AnyFunSuite {
     // title filter applies at the rescore
     val filtered = ret.adcSearch("spark catalyst", 5, titleFilter = Some("cooking")).collect()
     assert(filtered.forall(_.getAs[String]("document_title") == "Cooking"))
+    // config-only wiring (the CLI/REST path): search.pqIndexPath enables
+    // the mode with no constructor argument
+    val viaConfig = new Retriever(spark, pipe,
+      cfg.copy(search = cfg.search.copy(pqIndexPath = Some(pqDir))))
+    val cfgHit = viaConfig.search("spark catalyst optimizer queries", SearchMode.Adc, 3).collect()
+    assert(cfgHit.nonEmpty && cfgHit.head.getAs[String]("document_title") == "Spark Guide")
+
     // without an artifact the mode fails loudly, never silently falls back
     val bare = new Retriever(spark, pipe, cfg)
     val e = intercept[IllegalStateException](bare.search("spark", SearchMode.Adc, 3))
