@@ -1680,6 +1680,61 @@ object OracleSql {
          |FROM pack p JOIN d USING (rn)
          |GROUP BY p.bin_id ORDER BY bin_id""".stripMargin,
 
+    "q_pack_bounds" ->
+      // SequencePacking.packSequences doc_ids/doc_lens twin: the same
+      // next-fit recurrence, but each bin aggregates its documents' ids
+      // and per-doc segment lengths (== the encoder's n_tokens) in pack
+      // (= id) order
+      s"""WITH RECURSIVE $bpeIdsCtes,
+         |d AS MATERIALIZED (
+         |  SELECT doc_id, n_tokens AS tok,
+         |         ROW_NUMBER() OVER (ORDER BY doc_id) AS rn
+         |  FROM docids),
+         |pack AS (
+         |  SELECT rn, tok, CAST(0 AS BIGINT) AS bin_id, tok AS bin_run FROM d WHERE rn = 1
+         |  UNION ALL
+         |  SELECT d.rn, d.tok,
+         |         CASE WHEN p.bin_run + d.tok > 2048 THEN p.bin_id + 1 ELSE p.bin_id END,
+         |         CASE WHEN p.bin_run + d.tok > 2048 THEN d.tok ELSE p.bin_run + d.tok END
+         |  FROM pack p JOIN d ON d.rn = p.rn + 1)
+         |SELECT p.bin_id,
+         |       string_agg(CAST(d.doc_id AS VARCHAR), ',' ORDER BY p.rn) AS doc_ids,
+         |       string_agg(CAST(p.tok AS VARCHAR), ',' ORDER BY p.rn) AS doc_lens
+         |FROM pack p JOIN d USING (rn)
+         |GROUP BY p.bin_id ORDER BY bin_id""".stripMargin,
+
+    "q_shard_manifest" -> {
+      // SequencePacking.exportShards twin: bins from the q_pack_ids
+      // recurrence, shard = bin_id % 4, per-shard counts/token totals
+      // plus the summed 48-bit md5-nibble digest of each bin's
+      // 'bin_id:ids_csv' content — certifying the engine's written-
+      // and-read-back shard files byte-for-byte
+      val dig = md5NibbleIntSql("CAST(b.bin_id AS VARCHAR) || ':' || b.ids", 12)
+      s"""WITH RECURSIVE $bpeIdsCtes,
+         |d AS MATERIALIZED (
+         |  SELECT n_tokens AS tok, input_ids,
+         |         ROW_NUMBER() OVER (ORDER BY doc_id) AS rn
+         |  FROM docids),
+         |pack AS (
+         |  SELECT rn, tok, CAST(0 AS BIGINT) AS bin_id, tok AS bin_run FROM d WHERE rn = 1
+         |  UNION ALL
+         |  SELECT d.rn, d.tok,
+         |         CASE WHEN p.bin_run + d.tok > 2048 THEN p.bin_id + 1 ELSE p.bin_id END,
+         |         CASE WHEN p.bin_run + d.tok > 2048 THEN d.tok ELSE p.bin_run + d.tok END
+         |  FROM pack p JOIN d ON d.rn = p.rn + 1),
+         |bins AS (
+         |  SELECT p.bin_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |         CAST(SUM(p.tok) AS BIGINT) AS bin_tokens,
+         |         string_agg(d.input_ids, ',' ORDER BY p.rn) AS ids
+         |  FROM pack p JOIN d USING (rn) GROUP BY p.bin_id)
+         |SELECT b.bin_id % 4 AS shard,
+         |       CAST(COUNT(*) AS BIGINT) AS n_bins,
+         |       CAST(SUM(b.n_docs) AS BIGINT) AS n_docs,
+         |       CAST(SUM(b.bin_tokens) AS BIGINT) AS n_tokens,
+         |       CAST(SUM($dig) AS BIGINT) AS digest
+         |FROM bins b GROUP BY 1 ORDER BY shard""".stripMargin
+    },
+
     "q_stratified_sample" -> {
       // mirrors Sampling.hashBucket: first 6 md5 nibbles as int, mod 100
       val bucket = s"(${md5NibbleIntSql("CAST(doc_id AS VARCHAR)", 6)} % 100)"

@@ -2650,6 +2650,50 @@ object SparkEntry {
       .orderBy("bin_id")
   }
 
+  /** Per-document BOUNDARY metadata inside each packed sequence
+    * (SequencePacking.packSequences doc_ids/doc_lens): which documents a
+    * bin carries and how long each one's segment of `input_ids` is, in
+    * pack order — what a trainer needs to reset position ids / mask
+    * cross-document attention at the boundaries, and what a takedown
+    * needs to find every packed sequence containing a document. The
+    * oracle re-walks the q_pack_ids recurrence and aggregates the
+    * per-bin doc id / token-length streams in the same pack (= id)
+    * order; a shifted boundary, dropped doc, or reordered segment
+    * breaks the hash.
+    */
+  private def qPackBounds(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").where(col("doc_id") < 120)
+    val tok = TextAnalysis.trainBpeTokenizer(docs, "text", rounds = 3)
+    val enc = TextAnalysis.bpeEncodeIds(tok, docs, "doc_id", "text")
+    graft.operators.SequencePacking
+      .packSequences(enc, "doc_id", "n_tokens", "input_ids", budget = 2048, partitions = 1)
+      .select(col("bin_id"),
+        concat_ws(",", col("doc_ids").cast("array<string>")).as("doc_ids"),
+        concat_ws(",", col("doc_lens").cast("array<string>")).as("doc_lens"))
+      .orderBy("bin_id")
+  }
+
+  /** Training-shard export lifecycle (SequencePacking.exportShards):
+    * the packed sequences land on disk under `shard = bin_id % 4`
+    * partitions, the manifest is computed by READING BACK the written
+    * files, and the returned frame is the reloaded manifest — so the
+    * hash pins write -> read-back -> certify end to end. The digest is
+    * a per-shard sum of 48-bit md5-nibble digests of each bin's
+    * `bin_id:ids_csv` content (the hashBucket portability convention),
+    * so the DuckDB oracle certifies the identical bytes; any lost,
+    * duplicated, or corrupted bin anywhere in the export breaks it.
+    */
+  private def qShardManifest(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").where(col("doc_id") < 120)
+    val tok = TextAnalysis.trainBpeTokenizer(docs, "text", rounds = 3)
+    val enc = TextAnalysis.bpeEncodeIds(tok, docs, "doc_id", "text")
+    val packed = graft.operators.SequencePacking
+      .packSequences(enc, "doc_id", "n_tokens", "input_ids", budget = 2048, partitions = 1)
+    val path = tmpIndexPath("graft_shards", dir)
+    graft.operators.SequencePacking.exportShards(packed, path, nShards = 4)
+      .orderBy("shard")
+  }
+
   /** Maintained-histogram lifecycle (TextAnalysis.WordHistogram): build
     * the tokenizer training corpus as a persisted word histogram — write
     * the EVEN doc_ids' counts, APPEND the odd half as an O(batch) delta,
@@ -3106,6 +3150,8 @@ object SparkEntry {
     "q_bpe_hist" -> (qBpeHist _),
     "q_bpe_ids" -> (qBpeIds _),
     "q_pack_ids" -> (qPackIds _),
+    "q_pack_bounds" -> (qPackBounds _),
+    "q_shard_manifest" -> (qShardManifest _),
     "q_datasheet" -> (qDatasheet _),
     "q_wordpiece_persisted" -> (qWordpiecePersisted _),
     "q_unigram_persisted" -> (qUnigramPersisted _),

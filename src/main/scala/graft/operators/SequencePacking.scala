@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, LongType, StructField, StructType}
@@ -135,10 +135,19 @@ object SequencePacking {
     * documents' `idsCol` arrays in pack order — the packed `input_ids`
     * a trainer reads directly, closing the gap between budget-packing
     * documents and feeding a training job (VERDICT r13 #1). Returns
-    * `(bin_id, n_docs, bin_tokens, input_ids)`; bin boundaries are
-    * bit-identical to [[packGreedy]] on the same input (spec-pinned),
-    * and `input_ids` is exactly the per-doc encoder output
-    * ([[TextAnalysis.bpeEncodeIds]] et al.) concatenated in id order.
+    * `(bin_id, n_docs, bin_tokens, input_ids, doc_ids, doc_lens)`; bin
+    * boundaries are bit-identical to [[packGreedy]] on the same input
+    * (spec-pinned), and `input_ids` is exactly the per-doc encoder
+    * output ([[TextAnalysis.bpeEncodeIds]] et al.) concatenated in id
+    * order.
+    *
+    * `doc_ids`/`doc_lens` are the per-document BOUNDARY metadata in
+    * pack order: `doc_lens(i)` is the length of document `doc_ids(i)`'s
+    * segment inside `input_ids` (its ids-array size — `sum(doc_lens) ==
+    * size(input_ids)` always). A trainer derives the cross-document
+    * attention mask / position-id resets from the lens; provenance
+    * (which packed sequence carries document X — the takedown question)
+    * reads straight off `doc_ids`.
     *
     * Scale shape: the packGreedy contract — one range partition + local
     * sort, then a single partition-local pass; each emitted row buffers
@@ -167,7 +176,9 @@ object SequencePacking {
       StructField("bin_id", LongType),
       StructField("n_docs", LongType),
       StructField("bin_tokens", LongType),
-      StructField("input_ids", ArrayType(LongType))
+      StructField("input_ids", ArrayType(LongType)),
+      StructField("doc_ids", ArrayType(LongType)),
+      StructField("doc_lens", ArrayType(LongType))
     ))
     prepared.mapPartitions { rows =>
       val pid = org.apache.spark.TaskContext.getPartitionId().toLong
@@ -180,6 +191,8 @@ object SequencePacking {
           var nDocs = 0L
           var binTokens = 0L
           val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+          val docIds = scala.collection.mutable.ArrayBuffer.empty[Long]
+          val docLens = scala.collection.mutable.ArrayBuffer.empty[Long]
           var full = false
           while (!full && src.hasNext) {
             val tokens = src.head.getLong(1)
@@ -191,12 +204,75 @@ object SequencePacking {
               val r = src.next()
               nDocs += 1
               binTokens += tokens
-              Option(r.getSeq[Long](2)).foreach(ids ++= _)
+              val docSeg = Option(r.getSeq[Long](2)).getOrElse(Seq.empty)
+              ids ++= docSeg
+              docIds += r.getLong(0)
+              docLens += docSeg.length.toLong
             }
           }
-          Row((pid << 32) | binIdx, nDocs, binTokens, ids.toSeq)
+          Row((pid << 32) | binIdx, nDocs, binTokens, ids.toSeq,
+            docIds.toSeq, docLens.toSeq)
         }
       }
     }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
+  /** Portable content digest of one packed bin: the first 12 md5
+    * nibbles of `bin_id || ':' || csv(input_ids)` as a 48-bit integer
+    * (the [[Sampling.hashBucket]] nibble-arithmetic convention, so the
+    * DuckDB oracle computes the identical value with no engine-specific
+    * hash). 48 bits leaves 15 bits of headroom before a per-shard SUM
+    * of ~32k bins could overflow a long; real shards hold far fewer
+    * bins than that per manifest row.
+    */
+  private[graft] def binDigest: Column = {
+    val pre = concat(
+      col("bin_id").cast("string"), lit(":"),
+      concat_ws(",", col("input_ids").cast("array<string>")))
+    graft.functions.TextFunctions.bindOnce(
+      md5(pre),
+      h =>
+        (1 to 12).map { k =>
+          val c = ascii(substring(h, k, 1))
+          (when(c >= 97, c - 87).otherwise(c - 48)).cast("long") *
+            lit(1L << ((12 - k) * 4))
+        }.reduce(_ + _))
+  }
+
+  /** The LAST MILE of the training-data pipeline: lay [[packSequences]]
+    * output onto disk as training shards a data loader reads, plus the
+    * manifest that certifies them. Rows land under
+    * `path/data/shard=N/` (parquet, `shard = bin_id % nShards` — pure
+    * arithmetic on the deterministic bin ids, so the layout is
+    * reproducible run-to-run and needs no extra shuffle beyond the
+    * partitioned write's own file routing). The manifest —
+    * `(shard, n_bins, n_docs, n_tokens, digest)` with `digest` a
+    * per-shard sum of [[binDigest]] — is computed by READING BACK the
+    * written files (certifying what landed, not what was planned) and
+    * written to `path/manifest`; the returned frame is the reloaded
+    * manifest. A loader checks its shard's row counts/token totals/
+    * digest against the manifest before training; any lost, duplicated,
+    * or bit-flipped bin breaks the sum.
+    *
+    * Scale shape: one partitioned write of the packed rows, one
+    * read-back aggregation grouped on `nShards` keys (bounded output),
+    * one tiny manifest write. Nothing driver-sided beyond the manifest
+    * row handful.
+    */
+  def exportShards(packed: DataFrame, path: String, nShards: Int): DataFrame = {
+    require(nShards >= 1, s"need nShards >= 1, got $nShards")
+    val spark = packed.sparkSession
+    packed
+      .withColumn("shard", pmod(col("bin_id"), lit(nShards.toLong)))
+      .write.mode("overwrite").partitionBy("shard").parquet(s"$path/data")
+    val manifest = spark.read.parquet(s"$path/data")
+      .groupBy(col("shard").cast("long").as("shard"))
+      .agg(
+        count(lit(1)).as("n_bins"),
+        sum("n_docs").as("n_docs"),
+        sum("bin_tokens").as("n_tokens"),
+        sum(binDigest).as("digest"))
+    manifest.write.mode("overwrite").parquet(s"$path/manifest")
+    spark.read.parquet(s"$path/manifest")
   }
 }

@@ -111,4 +111,78 @@ class SequencePackingSpec extends AnyFunSuite {
     assert(oBins.exists { case (n, ids) => n == 1L && ids.length == 99 },
       oBins.map(_._1).mkString(","))
   }
+
+  private def boundaryDocs = (1L to 60L)
+    .map(i => (i, (i * 37 % 17) + 3))
+    .map { case (i, tok) => (i, tok, (1L to tok).map(j => i * 100 + j)) }
+
+  test("packSequences: doc_ids/doc_lens tile input_ids exactly, in pack order") {
+    val docs = boundaryDocs
+    val df = docs.toDF("id", "tok", "ids")
+    val expectIds = docs.map { case (i, _, ids) => i -> ids }.toMap
+    for (parts <- Seq(1, 4)) {
+      val packed = SequencePacking
+        .packSequences(df, "id", "tok", "ids", budget = 40, partitions = parts)
+        .collect()
+      packed.foreach { r =>
+        val ids = r.getSeq[Long](r.fieldIndex("input_ids"))
+        val dids = r.getSeq[Long](r.fieldIndex("doc_ids"))
+        val lens = r.getSeq[Long](r.fieldIndex("doc_lens"))
+        assert(dids.length.toLong == r.getAs[Long]("n_docs"))
+        assert(lens.sum == ids.length.toLong, "doc_lens must tile input_ids")
+        assert(dids == dids.sorted, "pack order is id order")
+        // slicing input_ids by the lens reconstructs each document's segment
+        var off = 0
+        dids.zip(lens).foreach { case (d, l) =>
+          assert(ids.slice(off, off + l.toInt) == expectIds(d), s"doc $d segment")
+          off += l.toInt
+        }
+      }
+      // every doc lands in exactly one bin
+      val allDocs = packed.flatMap(_.getSeq[Long](4)).sorted.toSeq
+      assert(allDocs == (1L to 60L), "each doc packed exactly once")
+    }
+  }
+
+  test("exportShards: partitioned layout, lossless read-back, manifest certifies content") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_shards_spec").toString
+    val df = boundaryDocs.toDF("id", "tok", "ids")
+    val packed = SequencePacking.packSequences(df, "id", "tok", "ids", budget = 40, partitions = 1)
+    val manifest = SequencePacking.exportShards(packed, dir, nShards = 3).collect()
+      .map(r => r.getAs[Long]("shard") ->
+        ((r.getAs[Long]("n_bins"), r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"), r.getAs[Long]("digest"))))
+      .toMap
+
+    // shard directories exist on disk
+    assert(new java.io.File(s"$dir/data/shard=0").isDirectory)
+
+    // read-back is lossless: same bins, same id streams, shard = bin_id % 3
+    val expect = packed.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getSeq[Long](3))))
+      .toMap
+    val back = spark.read.parquet(s"$dir/data").collect()
+      .map(r => (r.getAs[Long]("bin_id"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("bin_tokens"),
+        r.getSeq[Long](r.fieldIndex("input_ids")),
+        r.getAs[Number]("shard").longValue))
+    assert(back.length == expect.size)
+    back.foreach { case (bin, n, t, ids, shard) =>
+      assert(expect(bin) == ((n, t, ids)), s"bin $bin diverged through the export")
+      assert(shard == bin % 3, s"bin $bin in wrong shard")
+    }
+
+    // manifest totals match an independent recomputation from the files
+    val recomputed = back.groupBy(_._5).map { case (shard, rows) =>
+      shard -> ((rows.length.toLong, rows.map(_._2).sum, rows.map(_._3).sum))
+    }
+    assert(manifest.view.mapValues { case (b, d, t, _) => (b, d, t) }.toMap == recomputed)
+
+    // the digest certifies bytes: recompute it over the read-back frame
+    import org.apache.spark.sql.functions.{col, sum => sqlSum}
+    val redig = spark.read.parquet(s"$dir/data")
+      .groupBy(col("shard").cast("long").as("shard"))
+      .agg(sqlSum(SequencePacking.binDigest).as("digest"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(manifest.view.mapValues(_._4).toMap == redig)
+  }
 }
