@@ -2015,6 +2015,23 @@ object TextAnalysis {
     encodeIdsFrame(docs, idCol, textCol, idsOfWord)
   }
 
+  /** Family-dispatching [[bpeEncodeIds]]/[[wordPieceEncodeIds]]/
+    * [[unigramEncodeIds]] — encode under ANY tokenizer artifact (e.g.
+    * one [[loadTokenizer]] just reloaded) without the caller matching
+    * on the family. Same output contract as the per-family forms:
+    * `(idCol, input_ids, n_tokens)`, zero-word docs omitted.
+    */
+  def encodeIds(
+      tok: Tokenizer,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String
+  ): DataFrame = tok match {
+    case t: BpeTokenizer       => bpeEncodeIds(t, docs, idCol, textCol)
+    case t: WordPieceTokenizer => wordPieceEncodeIds(t, docs, idCol, textCol)
+    case t: UnigramTokenizer   => unigramEncodeIds(t, docs, idCol, textCol)
+  }
+
   def bpePairStats(docs: DataFrame, textCol: String, k: Int = 20): DataFrame = {
     require(k >= 1, s"bpePairStats: k must be >= 1, got $k")
     val wordCounts = docs

@@ -36,8 +36,13 @@ final class StreamingIngest(
     lmGatePath: Option[(String, Long)] = None,
     pqCodebook: Option[graft.operators.VectorSearch.PqModel] = None,
     pqCodebookPath: Option[String] = None,
-    wordHistPath: Option[String] = None
+    wordHistPath: Option[String] = None,
+    tokenizer: Option[graft.operators.TextAnalysis.Tokenizer] = None,
+    tokenizerPath: Option[String] = None
 ) {
+  require(
+    tokenizer.isEmpty || tokenizerPath.isEmpty,
+    "StreamingIngest: pass tokenizer OR tokenizerPath, not both")
   require(
     qualityModel.isEmpty || qualityModelPath.isEmpty,
     "StreamingIngest: pass qualityModel OR qualityModelPath, not both")
@@ -83,6 +88,16 @@ final class StreamingIngest(
       s"StreamingIngest: PQ codebook encodes dim ${m.dim} but this config embeds " +
         s"dim ${config.embedding.dimension} — fit the codebook on the same embedder")
   }
+
+  // Frozen tokenizer for per-batch input_ids encoding — the TRAINING-
+  // TENSOR twin of the PQ codebook above: the path form reloads the
+  // persisted artifact (TextAnalysis.loadTokenizer) at construction,
+  // loud on a missing/corrupt artifact, so the stream encodes under one
+  // stable vocabulary across restarts (retrain + re-encode is an
+  // explicit offline step, never an implicit mid-stream drift).
+  private val resolvedTokenizer: Option[graft.operators.TextAnalysis.Tokenizer] =
+    tokenizer.orElse(
+      tokenizerPath.map(p => graft.operators.TextAnalysis.loadTokenizer(spark, p)))
 
   private val catalog = new Catalog(spark, config.warehouseDir)
 
@@ -463,6 +478,35 @@ final class StreamingIngest(
         "pq_codes_stream")
     }
 
+    // Optional per-batch input_ids encode against the FROZEN loaded
+    // tokenizer — the TRAINING-TENSOR twin of the PQ block above: the
+    // streamed corpus becomes directly trainable (feed the table into
+    // SequencePacking.packSequences / exportShards) without an offline
+    // re-encode pass. Same contract end to end: O(batch) encode (the
+    // encodeIdsFrame per-DISTINCT-word segmentation, batch-bounded),
+    // ids land AFTER the chunks append and BEFORE the ledger, replay
+    // guard anti-joins on the codes table's content-derived chunk id
+    // over the FULL batch so a crash between appends backfills.
+    // Zero-word chunks emit no row (the encoder omission convention) —
+    // they carry no trainable tokens.
+    resolvedTokenizer.foreach { tok =>
+      val encoded = graft.operators.TextAnalysis
+        .encodeIds(tok, chunks, "id", "text")
+        .join(broadcast(chunks.select("id", "document_id")), Seq("id"))
+      val alreadyEncoded = pinScratch(
+        if (!catalog.exists("input_ids_stream")) chunks.select("id").limit(0)
+        else
+          catalog.read("input_ids_stream").select("id")
+            .join(broadcast(chunks.select("id")), Seq("id"), "left_semi"))
+      val newIds = encoded.join(broadcast(alreadyEncoded), Seq("id"), "left_anti")
+      catalog.append(
+        newIds.select(
+          col("id"), col("document_id"), col("input_ids"), col("n_tokens"),
+          lit(batchId).as("batch_id"),
+          current_timestamp().as("created_at")),
+        "input_ids_stream")
+    }
+
     // Optional tokenizer-corpus maintenance: append this batch's word
     // counts to the persisted WordHistogram in O(batch) — the TRAIN-side
     // twin of the FTS/PQ per-batch maintenance above. Retraining any
@@ -562,7 +606,7 @@ final class StreamingIngest(
   /** Delete/takedown verb for the STREAMED corpus (VERDICT r13 #2) — the
     * batch [[graft.pipeline.Pipeline.deleteDocument]] cascade, extended
     * to every table this ingest writes: `documents_stream`,
-    * `chunks_stream`, `pq_codes_stream`, plus the raw-text holding pens
+    * `chunks_stream`, `pq_codes_stream`, `input_ids_stream`, plus the raw-text holding pens
     * (`quarantine_stream`, `rejected_stream`, `lm_rejected_stream` —
     * a takedown must purge the diverted copies too, found by deriving
     * their would-be document id `sha2(file_hash, 256)`). The stream FTS
@@ -610,6 +654,7 @@ final class StreamingIngest(
         "stream_tombstones")
       catalog.deleteWhere("chunks_stream", col("document_id") === documentId)
       catalog.deleteWhere("pq_codes_stream", col("document_id") === documentId)
+      catalog.deleteWhere("input_ids_stream", col("document_id") === documentId)
       catalog.deleteMatching("quarantine_stream", hashes, Seq("file_hash"))
       catalog.deleteMatching("rejected_stream", hashes, Seq("file_hash"))
       catalog.deleteMatching("lm_rejected_stream", hashes, Seq("file_hash"))

@@ -482,6 +482,79 @@ class StreamingSpec extends AnyFunSuite {
     assert(err.getMessage.contains("codebook encodes dim"), err.getMessage)
   }
 
+  test("per-batch input_ids encode: streamed ids == batch encode under the frozen tokenizer; replay-safe; path form; packable") {
+    import graft.operators.{SequencePacking, TextAnalysis}
+    val spark2 = spark
+    import spark2.implicits._
+    val base = Files.createTempDirectory("graft-stream-ids").toString
+    val in = s"$base/in"; val wh = s"$base/wh"; val ckpt = s"$base/ckpt"
+    Files.createDirectories(Paths.get(in))
+    val cfg = GraftConfig(warehouseDir = wh)
+
+    // freeze a tokenizer trained on a trusted corpus
+    val fitDocs = (1 to 24)
+      .map(i => (i.toLong, s"tokenizer fitting document number $i with words and tokens"))
+      .toDF("id", "text")
+    val tok = TextAnalysis.trainBpeTokenizer(fitDocs, "text", rounds = 3)
+
+    Files.write(Paths.get(in, "a.md"), "# A\n\nstreaming chunks get encoded against the frozen tokenizer.".getBytes)
+    Files.write(Paths.get(in, "b.md"), "# B\n\nper batch maintenance keeps the training tensors current.".getBytes)
+    val ingest = new StreamingIngest(spark, cfg, tokenizer = Some(tok))
+    ingest.start(in, ckpt).awaitTermination()
+
+    val cat = new Catalog(spark, wh)
+    val chunks = cat.read("chunks_stream")
+    val streamed = cat.read("input_ids_stream")
+    assert(streamed.count() == chunks.count(), "every stored chunk must carry ids")
+    // streamed ids equal a batch encode over the stored chunks
+    def idMap(df: org.apache.spark.sql.DataFrame) = df
+      .select("id", "input_ids").collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1).toList).toMap
+    assert(idMap(streamed) == idMap(TextAnalysis.encodeIds(tok, chunks, "id", "text")))
+    // n_tokens is the sequence length, document_id rides along for takedown
+    streamed.collect().foreach { r =>
+      assert(r.getAs[Long]("n_tokens") == r.getSeq[Long](r.fieldIndex("input_ids")).length.toLong)
+      assert(Option(r.getAs[String]("document_id")).exists(_.nonEmpty))
+    }
+
+    // replay-safety: re-delivering already-ingested content appends no ids
+    Files.write(Paths.get(in, "a_copy.md"), "# A\n\nstreaming chunks get encoded against the frozen tokenizer.".getBytes)
+    ingest.start(in, ckpt).awaitTermination()
+    assert(cat.read("input_ids_stream").count() == chunks.count(), "replayed content must not re-encode")
+
+    // a genuinely new doc encodes exactly its own chunks
+    Files.write(Paths.get(in, "c.md"), "# C\n\na third document arrives and only it is encoded.".getBytes)
+    ingest.start(in, ckpt).awaitTermination()
+    assert(cat.read("input_ids_stream").count() == cat.read("chunks_stream").count())
+
+    // restart-safe path form: the persisted artifact alone configures the encoder
+    val tokDir = s"$base/tok"
+    TextAnalysis.writeTokenizer(spark, tok, tokDir)
+    val fromPath = new StreamingIngest(spark, cfg, tokenizerPath = Some(tokDir))
+    Files.write(Paths.get(in, "d.md"), "# D\n\nthe path-configured ingest encodes this batch too.".getBytes)
+    fromPath.start(in, ckpt).awaitTermination()
+    assert(cat.read("input_ids_stream").count() == cat.read("chunks_stream").count())
+
+    // both-forms misconfiguration is loud at construction
+    intercept[IllegalArgumentException] {
+      new StreamingIngest(spark, cfg, tokenizer = Some(tok), tokenizerPath = Some(tokDir))
+    }
+
+    // the streamed table feeds packing DIRECTLY: derive a deterministic
+    // numeric sequence key from the content hash and pack to a budget —
+    // the stream-to-training-shards composition with no re-encode
+    val packable = cat.read("input_ids_stream")
+      .withColumn("seq_id", xxhash64(col("id")))
+    val packed = SequencePacking
+      .packSequences(packable, "seq_id", "n_tokens", "input_ids", budget = 64, partitions = 1)
+      .collect()
+    assert(packed.map(_.getAs[Long]("n_docs")).sum == cat.read("input_ids_stream").count())
+    packed.foreach { r =>
+      assert(r.getAs[Long]("n_docs") == 1L || r.getAs[Long]("bin_tokens") <= 64L)
+      assert(r.getSeq[Long](r.fieldIndex("input_ids")).length.toLong == r.getAs[Long]("bin_tokens"))
+    }
+  }
+
   test("per-batch word-histogram maintenance: counts match the ingested corpus; dedup'd content adds nothing; retrain is corpus-read-free") {
     import graft.operators.TextAnalysis
     val spark2 = spark
@@ -567,7 +640,10 @@ class StreamingSpec extends AnyFunSuite {
     val aBytes = "# A\n\ncatalyst optimizes logical plans before execution.".getBytes
     Files.write(Paths.get(in, "a.md"), aBytes)
     Files.write(Paths.get(in, "b.md"), "# B\n\ntungsten generates compact bytecode for expressions.".getBytes)
-    val ingest = new StreamingIngest(spark, cfg, pqCodebook = Some(model))
+    val tok = graft.operators.TextAnalysis.trainBpeTokenizer(
+      (1 to 8).map(i => (i.toLong, s"tokenizer fitting document $i")).toDF("id", "text"),
+      "text", rounds = 2)
+    val ingest = new StreamingIngest(spark, cfg, pqCodebook = Some(model), tokenizer = Some(tok))
     try {
       ingest.start(in, ckpt).awaitTermination()
       val cat = new Catalog(spark, wh)
@@ -578,11 +654,13 @@ class StreamingSpec extends AnyFunSuite {
       assert(FtsIndex.search(spark,
         FtsIndex.buildCached(ingest.ftsKey, cat.read("chunks_stream"), "id", "text"),
         "catalyst plans", 5).count() > 0)
+      assert(cat.read("input_ids_stream").where(col("document_id") === doomed).count() > 0,
+        "precondition: the doomed doc has streamed training ids to purge")
 
       assert(ingest.deleteStreamDocument(doomed) == 1L)
 
       // zero orphaned rows in ANY stream table
-      Seq("chunks_stream", "pq_codes_stream").foreach { t =>
+      Seq("chunks_stream", "pq_codes_stream", "input_ids_stream").foreach { t =>
         assert(cat.read(t).where(col("document_id") === doomed).count() == 0L, t)
       }
       assert(cat.read("documents_stream").where(col("id") === doomed).count() == 0L)
