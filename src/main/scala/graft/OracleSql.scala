@@ -1703,6 +1703,32 @@ object OracleSql {
          |FROM pack p JOIN d USING (rn)
          |GROUP BY p.bin_id ORDER BY bin_id""".stripMargin,
 
+    "q_shard_retract" ->
+      // SequencePacking.retractFromShards twin: bin boundaries come from
+      // the ORIGINAL pack recurrence over all docs; the retraction then
+      // removes exactly the victim's row from each bin's aggregation
+      // (doc 1's segment sliced out, counts shrunk, empty bins dropped
+      // by the GROUP BY itself)
+      s"""WITH RECURSIVE $bpeIdsCtes,
+         |d AS MATERIALIZED (
+         |  SELECT doc_id, n_tokens AS tok, input_ids,
+         |         ROW_NUMBER() OVER (ORDER BY doc_id) AS rn
+         |  FROM docids),
+         |pack AS (
+         |  SELECT rn, tok, CAST(0 AS BIGINT) AS bin_id, tok AS bin_run FROM d WHERE rn = 1
+         |  UNION ALL
+         |  SELECT d.rn, d.tok,
+         |         CASE WHEN p.bin_run + d.tok > 2048 THEN p.bin_id + 1 ELSE p.bin_id END,
+         |         CASE WHEN p.bin_run + d.tok > 2048 THEN d.tok ELSE p.bin_run + d.tok END
+         |  FROM pack p JOIN d ON d.rn = p.rn + 1)
+         |SELECT p.bin_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(p.tok) AS BIGINT) AS bin_tokens,
+         |       string_agg(CAST(d.doc_id AS VARCHAR), ',' ORDER BY p.rn) AS doc_ids,
+         |       string_agg(d.input_ids, ',' ORDER BY p.rn) AS input_ids
+         |FROM pack p JOIN d USING (rn)
+         |WHERE d.doc_id <> 1
+         |GROUP BY p.bin_id ORDER BY bin_id""".stripMargin,
+
     "q_shard_manifest" -> {
       // SequencePacking.exportShards twin: bins from the q_pack_ids
       // recurrence, shard = bin_id % 4, per-shard counts/token totals

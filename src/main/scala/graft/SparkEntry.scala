@@ -2694,6 +2694,34 @@ object SparkEntry {
       .orderBy("shard")
   }
 
+  /** Takedown INSIDE exported training shards
+    * (SequencePacking.retractFromShards): export the packed corpus,
+    * retract doc 1, and return the post-retraction bins as read back
+    * from the rewritten shard files. The doc's segment is sliced out of
+    * its bin by the doc_lens offsets; every other bin and every other
+    * document's id stream must come back bit-identical, and the bin's
+    * own counts/stream shrink by exactly the victim's contribution. The
+    * oracle computes the same thing by excluding the victim's row from
+    * the per-bin aggregation of the original pack recurrence (bin
+    * boundaries are assigned BEFORE retraction, so the recurrence still
+    * runs over all docs).
+    */
+  private def qShardRetract(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").where(col("doc_id") < 120)
+    val tok = TextAnalysis.trainBpeTokenizer(docs, "text", rounds = 3)
+    val enc = TextAnalysis.bpeEncodeIds(tok, docs, "doc_id", "text")
+    val packed = graft.operators.SequencePacking
+      .packSequences(enc, "doc_id", "n_tokens", "input_ids", budget = 2048, partitions = 1)
+    val path = tmpIndexPath("graft_shard_rtct", dir)
+    graft.operators.SequencePacking.exportShards(packed, path, nShards = 4)
+    graft.operators.SequencePacking.retractFromShards(s, path, Seq(1L))
+    s.read.parquet(s"$path/data")
+      .select(col("bin_id"), col("n_docs"), col("bin_tokens"),
+        concat_ws(",", col("doc_ids").cast("array<string>")).as("doc_ids"),
+        concat_ws(",", col("input_ids").cast("array<string>")).as("input_ids"))
+      .orderBy("bin_id")
+  }
+
   /** Maintained-histogram lifecycle (TextAnalysis.WordHistogram): build
     * the tokenizer training corpus as a persisted word histogram — write
     * the EVEN doc_ids' counts, APPEND the odd half as an O(batch) delta,
@@ -3152,6 +3180,7 @@ object SparkEntry {
     "q_pack_ids" -> (qPackIds _),
     "q_pack_bounds" -> (qPackBounds _),
     "q_shard_manifest" -> (qShardManifest _),
+    "q_shard_retract" -> (qShardRetract _),
     "q_datasheet" -> (qDatasheet _),
     "q_wordpiece_persisted" -> (qWordpiecePersisted _),
     "q_unigram_persisted" -> (qUnigramPersisted _),

@@ -275,4 +275,183 @@ object SequencePacking {
     manifest.write.mode("overwrite").parquet(s"$path/manifest")
     spark.read.parquet(s"$path/manifest")
   }
+
+  /** Loader-side certification of an [[exportShards]] directory:
+    * recompute every shard's manifest row from the files on disk and
+    * compare against the stored manifest. Returns one row per shard —
+    * `(shard, ok, n_bins, n_docs, n_tokens, digest, a_bins, a_docs,
+    * a_tokens, a_digest)` with the stored (`n_*`/`digest`) and actual
+    * (`a_*`) sides kept so a mismatch says WHAT diverged; `ok` is false
+    * for any count/digest drift, a shard present only in the manifest
+    * (files lost), or files present with no manifest row. A training
+    * job runs this before reading; a bit flip, a lost parquet part, or
+    * a stale manifest all surface here instead of as silent training
+    * corruption.
+    */
+  def verifyShards(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    val stored = spark.read.parquet(s"$path/manifest")
+    val actual = spark.read.parquet(s"$path/data")
+      .groupBy(col("shard").cast("long").as("shard"))
+      .agg(
+        count(lit(1)).as("a_bins"),
+        sum("n_docs").as("a_docs"),
+        sum("bin_tokens").as("a_tokens"),
+        sum(binDigest).as("a_digest"))
+    stored.join(actual, Seq("shard"), "full_outer")
+      .select(
+        col("shard"),
+        coalesce(
+          col("n_bins") === col("a_bins") &&
+            col("n_docs") === col("a_docs") &&
+            col("n_tokens") === col("a_tokens") &&
+            col("digest") === col("a_digest"),
+          lit(false)).as("ok"),
+        col("n_bins"), col("n_docs"), col("n_tokens"), col("digest"),
+        col("a_bins"), col("a_docs"), col("a_tokens"), col("a_digest"))
+      .orderBy("shard")
+  }
+
+  /** Surgical takedown inside EXPORTED training shards — the delete
+    * verb's last mile: remove the given documents' segments from every
+    * packed bin that carries them WITHOUT re-exporting the corpus. The
+    * `doc_ids`/`doc_lens` boundary metadata makes the retraction exact:
+    * each affected bin's `input_ids` is re-assembled from the kept
+    * documents' offset slices, bins emptied entirely are dropped, and
+    * ONLY the affected `shard=N` directories are rewritten (a takedown
+    * touching 3 of 1024 shards rewrites 3 — the partition layout is the
+    * unit of mutation, swapped atomically per shard under the
+    * temp-write-and-move convention). The manifest is then re-certified
+    * by reading back exactly the rewritten shards (partition-pruned)
+    * and splicing those rows over the stored ones.
+    *
+    * Loud guards: the takedown list is driver-bounded (it is a legal
+    * request, not a dataset); an affected bin whose `bin_tokens` does
+    * not equal `sum(doc_lens)` is refused — that bin was packed with a
+    * token accounting other than its id-stream lengths, and slicing by
+    * lens would silently mis-count what remains.
+    *
+    * Returns the number of document segments removed (0 = no shard
+    * carried any of the ids; nothing touched).
+    */
+  def retractFromShards(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      docIds: Seq[Long]
+  ): Long = {
+    require(docIds.nonEmpty, "retractFromShards: pass at least one document id")
+    require(docIds.length <= 100000,
+      s"retractFromShards: ${docIds.length} ids — past the 100k takedown-request bound; " +
+        "batch the request or re-export")
+    val doomed = docIds.toSet
+    val doomedArr = array(docIds.distinct.map(lit(_)): _*)
+
+    val data = spark.read.parquet(s"$path/data")
+    val affectedShards = data
+      .where(arrays_overlap(col("doc_ids"), doomedArr))
+      .select(col("shard").cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted.toIndexedSeq
+    if (affectedShards.isEmpty) return 0L
+
+    // (kept input_ids, kept doc_ids, kept doc_lens, removed segments) per
+    // bin — walking the lens offsets; UDF is fine here: retraction is a
+    // rare administrative rewrite over a few shards, not a hot path
+    val retract = udf { (ids: Seq[Long], dids: Seq[Long], lens: Seq[Long], binTokens: Long) =>
+      if (lens.sum != binTokens)
+        throw new IllegalArgumentException(
+          s"retractFromShards: bin_tokens $binTokens != sum(doc_lens) ${lens.sum} — " +
+            "this bin was packed by a token accounting other than its id stream; " +
+            "retraction by lens slicing would mis-count. Re-export instead.")
+      val keptIds = Seq.newBuilder[Long]
+      val keptDids = Seq.newBuilder[Long]
+      val keptLens = Seq.newBuilder[Long]
+      var off = 0
+      var removed = 0L
+      dids.indices.foreach { i =>
+        val l = lens(i).toInt
+        if (doomed.contains(dids(i))) removed += 1L
+        else {
+          keptIds ++= ids.slice(off, off + l)
+          keptDids += dids(i)
+          keptLens += lens(i)
+        }
+        off += l
+      }
+      (keptIds.result(), keptDids.result(), keptLens.result(), removed)
+    }
+
+    val affected = spark.read.parquet(s"$path/data")
+      .where(col("shard").isin(affectedShards: _*))
+    val rebuilt = affected
+      .withColumn("_r", retract(col("input_ids"), col("doc_ids"), col("doc_lens"), col("bin_tokens")))
+      .select(
+        col("bin_id"),
+        size(col("_r._2")).cast("long").as("n_docs"),
+        aggregate(col("_r._3"), lit(0L), (a, x) => a + x).as("bin_tokens"),
+        col("_r._1").as("input_ids"),
+        col("_r._2").as("doc_ids"),
+        col("_r._3").as("doc_lens"),
+        col("shard").cast("long").as("shard"),
+        col("_r._4").as("_removed"))
+
+    // the whole affected slice is bounded by the shards being rewritten;
+    // pin it so the per-shard writes below don't re-run the UDF pass and
+    // don't re-read directories mid-swap
+    val pinned = rebuilt.localCheckpoint()
+    try {
+      val removed = pinned.agg(sum("_removed")).head().getLong(0)
+      val kept = pinned.where(col("n_docs") > 0L).drop("_removed")
+
+      val nano = System.nanoTime()
+      affectedShards.foreach { sh =>
+        val target = java.nio.file.Paths.get(s"$path/data/shard=$sh")
+        val tmp = java.nio.file.Paths.get(s"$path/.retract_tmp_${nano}_$sh")
+        kept.where(col("shard") === sh).drop("shard")
+          .write.mode("overwrite").parquet(tmp.toString)
+        val old = java.nio.file.Paths.get(s"$path/.retract_old_${nano}_$sh")
+        java.nio.file.Files.move(target, old,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        java.nio.file.Files.move(tmp, target,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        def rm(f: java.io.File): Unit = {
+          val kids = f.listFiles(); if (kids != null) kids.foreach(rm); f.delete()
+        }
+        rm(old.toFile)
+      }
+
+      // re-certify by reading back EXACTLY the rewritten shards
+      // (partition-pruned scan) and splicing over the stored manifest
+      val recert = spark.read.parquet(s"$path/data")
+        .where(col("shard").isin(affectedShards: _*))
+        .groupBy(col("shard").cast("long").as("shard"))
+        .agg(
+          count(lit(1)).as("n_bins"),
+          sum("n_docs").as("n_docs"),
+          sum("bin_tokens").as("n_tokens"),
+          sum(binDigest).as("digest"))
+      val untouched = spark.read.parquet(s"$path/manifest")
+        .where(!col("shard").isin(affectedShards: _*))
+      val merged = untouched.unionByName(recert).localCheckpoint()
+      try {
+        merged.write.mode("overwrite").parquet(s"$path/.manifest_tmp_$nano")
+        val mTarget = java.nio.file.Paths.get(s"$path/manifest")
+        val mOld = java.nio.file.Paths.get(s"$path/.manifest_old_$nano")
+        java.nio.file.Files.move(mTarget, mOld,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        java.nio.file.Files.move(
+          java.nio.file.Paths.get(s"$path/.manifest_tmp_$nano"), mTarget,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        def rm(f: java.io.File): Unit = {
+          val kids = f.listFiles(); if (kids != null) kids.foreach(rm); f.delete()
+        }
+        rm(mOld.toFile)
+      } finally {
+        graft.util.Checkpoints.release(
+          graft.util.Checkpoints.pinnedRddIds(merged), spark)
+      }
+      removed
+    } finally {
+      graft.util.Checkpoints.release(
+        graft.util.Checkpoints.pinnedRddIds(pinned), spark)
+    }
+  }
 }

@@ -185,4 +185,86 @@ class SequencePackingSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(manifest.view.mapValues(_._4).toMap == redig)
   }
+
+  test("verifyShards: green on an intact export, names what diverged on a tampered one") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_shards_vrfy").toString
+    val df = boundaryDocs.toDF("id", "tok", "ids")
+    val packed = SequencePacking.packSequences(df, "id", "tok", "ids", budget = 40, partitions = 1)
+    SequencePacking.exportShards(packed, dir, nShards = 3)
+
+    val clean = SequencePacking.verifyShards(spark, dir).collect()
+    assert(clean.length == 3 && clean.forall(_.getAs[Boolean]("ok")), "intact export must verify")
+
+    // tamper: drop one shard's files entirely — files lost, manifest stale
+    def rm(f: java.io.File): Unit = {
+      val kids = f.listFiles(); if (kids != null) kids.foreach(rm); f.delete()
+    }
+    rm(new java.io.File(s"$dir/data/shard=1"))
+    val tampered = SequencePacking.verifyShards(spark, dir).collect()
+      .map(r => r.getAs[Long]("shard") -> r.getAs[Boolean]("ok")).toMap
+    assert(!tampered(1L), "the gutted shard must fail verification")
+    assert(tampered(0L) && tampered(2L), "untouched shards must stay green")
+  }
+
+  test("retractFromShards: surgical takedown rewrites only affected shards, re-certifies, leaves others byte-identical") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_shards_rtct").toString
+    val df = boundaryDocs.toDF("id", "tok", "ids")
+    val packed = SequencePacking.packSequences(df, "id", "tok", "ids", budget = 40, partitions = 1)
+    SequencePacking.exportShards(packed, dir, nShards = 4)
+
+    // pick one doc and note which shard its bin lives in
+    val victim = 17L
+    val before = spark.read.parquet(s"$dir/data").collect()
+      .map(r => (r.getAs[Long]("bin_id"), r.getSeq[Long](r.fieldIndex("doc_ids")),
+        r.getAs[Number]("shard").longValue))
+    val victimShards = before.filter(_._2.contains(victim)).map(_._3).toSet
+    assert(victimShards.size == 1, "fixture: the victim lives in exactly one bin")
+    val untouchedShard = (0L to 3L).find(!victimShards.contains(_)).get
+    val untouchedFiles = new java.io.File(s"$dir/data/shard=$untouchedShard")
+      .listFiles().map(f => f.getName -> f.lastModified()).toMap
+
+    assert(SequencePacking.retractFromShards(spark, dir, Seq(victim)) == 1L)
+
+    // the victim is gone; every other doc's segment is intact
+    val after = spark.read.parquet(s"$dir/data").collect()
+    val expectIds = boundaryDocs.map { case (i, _, ids) => i -> ids }.toMap
+    assert(!after.exists(_.getSeq[Long](4).contains(victim)), "victim still present")
+    after.foreach { r =>
+      val ids = r.getSeq[Long](r.fieldIndex("input_ids"))
+      val dids = r.getSeq[Long](r.fieldIndex("doc_ids"))
+      val lens = r.getSeq[Long](r.fieldIndex("doc_lens"))
+      assert(lens.sum == ids.length.toLong)
+      assert(r.getAs[Long]("bin_tokens") == lens.sum)
+      var off = 0
+      dids.zip(lens).foreach { case (d, l) =>
+        assert(ids.slice(off, off + l.toInt) == expectIds(d), s"doc $d corrupted by retraction")
+        off += l.toInt
+      }
+    }
+    assert(after.flatMap(_.getSeq[Long](4)).sorted.toSeq == (1L to 60L).filterNot(_ == victim),
+      "exactly the victim removed, everything else packed once")
+
+    // untouched shards were not rewritten (same files, same mtimes)
+    val untouchedAfter = new java.io.File(s"$dir/data/shard=$untouchedShard")
+      .listFiles().map(f => f.getName -> f.lastModified()).toMap
+    assert(untouchedAfter == untouchedFiles, "an unaffected shard was rewritten")
+
+    // the spliced manifest re-certifies the whole export
+    val verdicts = SequencePacking.verifyShards(spark, dir).collect()
+    assert(verdicts.forall(_.getAs[Boolean]("ok")), "manifest must re-certify after retraction")
+
+    // unknown ids: nothing touched, zero returned
+    assert(SequencePacking.retractFromShards(spark, dir, Seq(9999L)) == 0L)
+
+    // lens/token accounting mismatch is refused loudly
+    val bad = Seq((1L, 10L, Seq(1L, 2L))).toDF("id", "tok", "ids") // tok=10 but 2 ids
+    val badDir = java.nio.file.Files.createTempDirectory("graft_shards_bad").toString
+    SequencePacking.exportShards(
+      SequencePacking.packSequences(bad, "id", "tok", "ids", budget = 40, partitions = 1),
+      badDir, nShards = 1)
+    val err = intercept[Exception] {
+      SequencePacking.retractFromShards(spark, badDir, Seq(1L))
+    }
+    assert(err.getMessage != null)
+  }
 }
