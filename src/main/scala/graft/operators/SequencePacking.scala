@@ -258,12 +258,31 @@ object SequencePacking {
     * read-back aggregation grouped on `nShards` keys (bounded output),
     * one tiny manifest write. Nothing driver-sided beyond the manifest
     * row handful.
+    *
+    * An `epoch-shuffled` loader layout is one composition away: run
+    * [[TrainingOrder.shuffled]] over the bins (`idCol = "bin_id"`, the
+    * epoch as the seed) and pass `shardCol = "shard"` — the export then
+    * lands each loader worker's pseudorandom, reproducible slice as its
+    * own partition directory instead of the default `bin_id % nShards`.
     */
-  def exportShards(packed: DataFrame, path: String, nShards: Int): DataFrame = {
+  def exportShards(
+      packed: DataFrame,
+      path: String,
+      nShards: Int,
+      shardCol: String = ""
+  ): DataFrame = {
     require(nShards >= 1, s"need nShards >= 1, got $nShards")
     val spark = packed.sparkSession
-    packed
-      .withColumn("shard", pmod(col("bin_id"), lit(nShards.toLong)))
+    val sharded =
+      if (shardCol.isEmpty)
+        packed.withColumn("shard", pmod(col("bin_id"), lit(nShards.toLong)))
+      else {
+        require(packed.columns.contains(shardCol),
+          s"exportShards: shardCol '$shardCol' not in ${packed.columns.mkString(",")}")
+        val w = packed.withColumn("shard", col(shardCol).cast("long"))
+        if (shardCol == "shard") w else w.drop(shardCol)
+      }
+    sharded
       .write.mode("overwrite").partitionBy("shard").parquet(s"$path/data")
     val manifest = spark.read.parquet(s"$path/data")
       .groupBy(col("shard").cast("long").as("shard"))

@@ -444,12 +444,38 @@ object ScaleRehearsal {
         }
         // sum over bin_tokens forces every bin through the full pack
         // (mapPartitions blocks column pruning, so the ids ARE built)
+        var packed: DataFrame = null
         measure(s"pack_sequences_x$factor") {
-          graft.operators.SequencePacking
+          packed = graft.operators.SequencePacking
             .packSequences(enc, "doc_id", "n_tokens", "input_ids", budget = 2048, partitions = 32)
-            .agg(sum("bin_tokens")).head().getLong(0)
+            .localCheckpoint()
+          packed.agg(sum("bin_tokens")).head().getLong(0)
         }
+        // shard export + loader verify scale with the corpus; RETRACTION
+        // must scale with the AFFECTED shards only — the takedown of one
+        // doc rewrites 1 of 64 shard dirs whether the corpus is 1x or
+        // 10x, so retract_x10 ≈ retract_x1 is the claim under test
+        val shardDir = java.nio.file.Files
+          .createTempDirectory(s"graft_scale_shards_x$factor").toString
+        measure(s"export_shards_x$factor") {
+          graft.operators.SequencePacking
+            .exportShards(packed, shardDir, nShards = 64).count()
+        }
+        measure(s"verify_shards_x$factor") {
+          val bad = graft.operators.SequencePacking
+            .verifyShards(spark, shardDir).where(!col("ok")).count()
+          require(bad == 0L, s"rehearsal export failed verification: $bad shards")
+          bad
+        }
+        measure(s"retract_one_doc_x$factor") {
+          graft.operators.SequencePacking.retractFromShards(spark, shardDir, Seq(123L))
+        }
+        graft.util.Checkpoints.release(graft.util.Checkpoints.pinnedRddIds(packed), spark)
         graft.util.Checkpoints.release(graft.util.Checkpoints.pinnedRddIds(enc), spark)
+        def rmTree(f: java.io.File): Unit = {
+          val kids = f.listFiles(); if (kids != null) kids.foreach(rmTree); f.delete()
+        }
+        rmTree(new java.io.File(shardDir))
         if (factor != 1) corpus.unpersist()
       }
       idsBase.unpersist()

@@ -186,6 +186,33 @@ class SequencePackingSpec extends AnyFunSuite {
     assert(manifest.view.mapValues(_._4).toMap == redig)
   }
 
+  test("exportShards composes with TrainingOrder: epoch-shuffled loader shards, still certified") {
+    import graft.operators.TrainingOrder
+    val dir = java.nio.file.Files.createTempDirectory("graft_shards_epoch").toString
+    val df = boundaryDocs.toDF("id", "tok", "ids")
+    val packed = SequencePacking.packSequences(df, "id", "tok", "ids", budget = 40, partitions = 1)
+
+    // epoch-seeded reproducible shuffle of the BINS, then shard-by-column
+    val epoch0 = TrainingOrder.shuffled(packed, "bin_id", "epoch0", nShards = 3).drop("pos")
+    SequencePacking.exportShards(epoch0, dir, nShards = 3, shardCol = "shard")
+
+    // the layout follows the shuffle's shard, not bin_id % N
+    val want = epoch0.select("bin_id", "shard").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = spark.read.parquet(s"$dir/data").select("bin_id", "shard").collect()
+      .map(r => r.getAs[Long]("bin_id") -> r.getAs[Number]("shard").longValue).toMap
+    assert(got == want, "export must honor the epoch shuffle's shard assignment")
+    assert(got.values.toSet.size == 3)
+
+    // the manifest certifies this layout too (digest is shard-layout-independent)
+    assert(SequencePacking.verifyShards(spark, dir).collect().forall(_.getAs[Boolean]("ok")))
+
+    // a different epoch seed yields a different (but reproducible) layout
+    val epoch1 = TrainingOrder.shuffled(packed, "bin_id", "epoch1", nShards = 3).drop("pos")
+      .select("bin_id", "shard").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(epoch1 != want, "fixture: distinct epochs should reshuffle the layout")
+  }
+
   test("verifyShards: green on an intact export, names what diverged on a tampered one") {
     val dir = java.nio.file.Files.createTempDirectory("graft_shards_vrfy").toString
     val df = boundaryDocs.toDF("id", "tok", "ids")
