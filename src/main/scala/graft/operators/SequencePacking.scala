@@ -330,6 +330,46 @@ object SequencePacking {
       .orderBy("shard")
   }
 
+  /** Recompute the manifest from the shard files as they are NOW and
+    * swap it in — [[exportShards]]' certify step alone, no data
+    * rewrite. This is the recovery verb for a crash that interrupts
+    * [[retractFromShards]] between its per-shard swaps and its manifest
+    * splice: the rewritten shard then fails [[verifyShards]] (correctly
+    * — the manifest IS stale), and a retraction re-run cannot fix it
+    * (the victim is already gone, so no shard looks affected).
+    * Re-certifying from the files restores the green state; returns the
+    * reloaded manifest.
+    */
+  def recertifyShards(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    val manifest = spark.read.parquet(s"$path/data")
+      .groupBy(col("shard").cast("long").as("shard"))
+      .agg(
+        count(lit(1)).as("n_bins"),
+        sum("n_docs").as("n_docs"),
+        sum("bin_tokens").as("n_tokens"),
+        sum(binDigest).as("digest"))
+      .localCheckpoint()
+    try {
+      val nano = System.nanoTime()
+      manifest.write.mode("overwrite").parquet(s"$path/.manifest_tmp_$nano")
+      val target = java.nio.file.Paths.get(s"$path/manifest")
+      val old = java.nio.file.Paths.get(s"$path/.manifest_old_$nano")
+      java.nio.file.Files.move(target, old,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(s"$path/.manifest_tmp_$nano"), target,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(rm); f.delete()
+      }
+      rm(old.toFile)
+    } finally {
+      graft.util.Checkpoints.release(
+        graft.util.Checkpoints.pinnedRddIds(manifest), spark)
+    }
+    spark.read.parquet(s"$path/manifest")
+  }
+
   /** Surgical takedown inside EXPORTED training shards — the delete
     * verb's last mile: remove the given documents' segments from every
     * packed bin that carries them WITHOUT re-exporting the corpus. The
@@ -350,7 +390,12 @@ object SequencePacking {
     * lens would silently mis-count what remains.
     *
     * Returns the number of document segments removed (0 = no shard
-    * carried any of the ids; nothing touched).
+    * carried any of the ids; nothing touched). Each shard swap is
+    * atomic, but the cascade as a whole is not: a crash between the
+    * swaps and the manifest splice leaves the rewritten shard failing
+    * [[verifyShards]] (the manifest is genuinely stale) — run
+    * [[recertifyShards]] to restore the green state; content can never
+    * resurrect (the rewritten files simply no longer hold the victim).
     */
   def retractFromShards(
       spark: org.apache.spark.sql.SparkSession,
@@ -358,9 +403,10 @@ object SequencePacking {
       docIds: Seq[Long]
   ): Long = {
     require(docIds.nonEmpty, "retractFromShards: pass at least one document id")
-    require(docIds.length <= 100000,
-      s"retractFromShards: ${docIds.length} ids — past the 100k takedown-request bound; " +
-        "batch the request or re-export")
+    require(docIds.length <= 10000,
+      s"retractFromShards: ${docIds.length} ids — past the 10k takedown-request bound " +
+        "(the doomed list becomes a per-row array literal; a larger purge " +
+        "should re-export from the retained corpus instead)")
     val doomed = docIds.toSet
     val doomedArr = array(docIds.distinct.map(lit(_)): _*)
 

@@ -283,6 +283,29 @@ class SequencePackingSpec extends AnyFunSuite {
     // unknown ids: nothing touched, zero returned
     assert(SequencePacking.retractFromShards(spark, dir, Seq(9999L)) == 0L)
 
+    // crash recovery: a stale manifest (the crash-between-swap-and-splice
+    // state) fails verification — and a retract re-run CANNOT fix it (the
+    // victim is already gone, nothing looks affected); recertifyShards is
+    // the recovery verb
+    val staleRow = spark.read.parquet(s"$dir/manifest")
+      .withColumn("digest", col("digest") + 1L)
+    val staleTmp = java.nio.file.Files.createTempDirectory("graft_stale_m").toString
+    staleRow.write.mode("overwrite").parquet(s"$staleTmp/m")
+    def rmAll(f: java.io.File): Unit = {
+      val kids = f.listFiles(); if (kids != null) kids.foreach(rmAll); f.delete()
+    }
+    rmAll(new java.io.File(s"$dir/manifest"))
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(s"$staleTmp/m"),
+      java.nio.file.Paths.get(s"$dir/manifest"))
+    assert(SequencePacking.verifyShards(spark, dir).collect()
+      .exists(!_.getAs[Boolean]("ok")), "fixture: stale manifest must be red")
+    assert(SequencePacking.retractFromShards(spark, dir, Seq(victim)) == 0L,
+      "a retract re-run must not claim to fix staleness")
+    SequencePacking.recertifyShards(spark, dir)
+    assert(SequencePacking.verifyShards(spark, dir).collect()
+      .forall(_.getAs[Boolean]("ok")), "recertify must restore green")
+
     // lens/token accounting mismatch is refused loudly
     val bad = Seq((1L, 10L, Seq(1L, 2L))).toDF("id", "tok", "ids") // tok=10 but 2 ids
     val badDir = java.nio.file.Files.createTempDirectory("graft_shards_bad").toString

@@ -553,6 +553,15 @@ class StreamingSpec extends AnyFunSuite {
       assert(r.getAs[Long]("n_docs") == 1L || r.getAs[Long]("bin_tokens") <= 64L)
       assert(r.getSeq[Long](r.fieldIndex("input_ids")).length.toLong == r.getAs[Long]("bin_tokens"))
     }
+
+    // ... and lands as CERTIFIED training shards: the full stream -> encode
+    // -> pack -> export -> loader-verify composition, no re-encode anywhere
+    val shardDir = s"$base/shards"
+    SequencePacking.exportShards(
+      SequencePacking.packSequences(packable, "seq_id", "n_tokens", "input_ids", budget = 64, partitions = 1),
+      shardDir, nShards = 2)
+    assert(SequencePacking.verifyShards(spark, shardDir).collect()
+      .forall(_.getAs[Boolean]("ok")), "streamed corpus must export as a certified shard set")
   }
 
   test("per-batch word-histogram maintenance: counts match the ingested corpus; dedup'd content adds nothing; retrain is corpus-read-free") {
