@@ -1732,10 +1732,10 @@ object OracleSql {
     "q_shard_manifest" -> {
       // SequencePacking.exportShards twin: bins from the q_pack_ids
       // recurrence, shard = bin_id % 4, per-shard counts/token totals
-      // plus the summed 48-bit md5-nibble digest of each bin's
+      // plus the summed 32-bit md5-nibble digest of each bin's
       // 'bin_id:ids_csv' content — certifying the engine's written-
       // and-read-back shard files byte-for-byte
-      val dig = md5NibbleIntSql("CAST(b.bin_id AS VARCHAR) || ':' || b.ids", 12)
+      val dig = md5NibbleIntSql("CAST(b.bin_id AS VARCHAR) || ':' || b.ids", 8)
       s"""WITH RECURSIVE $bpeIdsCtes,
          |d AS MATERIALIZED (
          |  SELECT n_tokens AS tok, input_ids,

@@ -2678,7 +2678,7 @@ object SparkEntry {
     * partitions, the manifest is computed by READING BACK the written
     * files, and the returned frame is the reloaded manifest — so the
     * hash pins write -> read-back -> certify end to end. The digest is
-    * a per-shard sum of 48-bit md5-nibble digests of each bin's
+    * a per-shard sum of 32-bit md5-nibble digests of each bin's
     * `bin_id:ids_csv` content (the hashBucket portability convention),
     * so the DuckDB oracle certifies the identical bytes; any lost,
     * duplicated, or corrupted bin anywhere in the export breaks it.

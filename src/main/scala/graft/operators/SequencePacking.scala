@@ -217,13 +217,14 @@ object SequencePacking {
     }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
-  /** Portable content digest of one packed bin: the first 12 md5
-    * nibbles of `bin_id || ':' || csv(input_ids)` as a 48-bit integer
+  /** Portable content digest of one packed bin: the first 8 md5
+    * nibbles of `bin_id || ':' || csv(input_ids)` as a 32-bit integer
     * (the [[Sampling.hashBucket]] nibble-arithmetic convention, so the
     * DuckDB oracle computes the identical value with no engine-specific
-    * hash). 48 bits leaves 15 bits of headroom before a per-shard SUM
-    * of ~32k bins could overflow a long; real shards hold far fewer
-    * bins than that per manifest row.
+    * hash). 32 bits leaves 31 bits of headroom before a per-shard SUM
+    * could overflow a long — room for 2 billion bins per manifest row,
+    * far past any real shard (a 100 TB corpus in 1024 shards is ~24M
+    * bins each).
     */
   private[graft] def binDigest: Column = {
     val pre = concat(
@@ -232,10 +233,10 @@ object SequencePacking {
     graft.functions.TextFunctions.bindOnce(
       md5(pre),
       h =>
-        (1 to 12).map { k =>
+        (1 to 8).map { k =>
           val c = ascii(substring(h, k, 1))
           (when(c >= 97, c - 87).otherwise(c - 48)).cast("long") *
-            lit(1L << ((12 - k) * 4))
+            lit(1L << ((8 - k) * 4))
         }.reduce(_ + _))
   }
 
