@@ -1703,6 +1703,31 @@ object OracleSql {
          |FROM pack p JOIN d USING (rn)
          |GROUP BY p.bin_id ORDER BY bin_id""".stripMargin,
 
+    "q_pack_positions" ->
+      // SequencePacking.positionIds twin: per bin, each document
+      // contributes 0..tok-1 (a DuckDB range unnest rendered as a csv),
+      // concatenated in pack (= id) order — positions reset at every
+      // document boundary
+      s"""WITH RECURSIVE $bpeIdsCtes,
+         |d AS MATERIALIZED (
+         |  SELECT n_tokens AS tok,
+         |         ROW_NUMBER() OVER (ORDER BY doc_id) AS rn
+         |  FROM docids),
+         |pack AS (
+         |  SELECT rn, tok, CAST(0 AS BIGINT) AS bin_id, tok AS bin_run FROM d WHERE rn = 1
+         |  UNION ALL
+         |  SELECT d.rn, d.tok,
+         |         CASE WHEN p.bin_run + d.tok > 2048 THEN p.bin_id + 1 ELSE p.bin_id END,
+         |         CASE WHEN p.bin_run + d.tok > 2048 THEN d.tok ELSE p.bin_run + d.tok END
+         |  FROM pack p JOIN d ON d.rn = p.rn + 1)
+         |SELECT p.bin_id,
+         |       string_agg(
+         |         array_to_string(list_transform(range(CAST(p.tok AS INTEGER)),
+         |                                        x -> CAST(x AS VARCHAR)), ','),
+         |         ',' ORDER BY p.rn) AS position_ids
+         |FROM pack p
+         |GROUP BY p.bin_id ORDER BY bin_id""".stripMargin,
+
     "q_shard_retract" ->
       // SequencePacking.retractFromShards twin: bin boundaries come from
       // the ORIGINAL pack recurrence over all docs; the retraction then

@@ -2694,6 +2694,29 @@ object SparkEntry {
       .orderBy("shard")
   }
 
+  /** The third trainer tensor (SequencePacking.positionIds): per-bin
+    * `position_ids` — 0..len-1 per document, concatenated in pack
+    * order, so positions RESET at every document boundary (the packed
+    * cross-document attention-mask convention). Derived from doc_lens
+    * by pure column algebra (flatten ∘ transform ∘ sequence); the
+    * oracle rebuilds the same streams from the pack recurrence with a
+    * per-doc range unnest. With q_pack_ids and q_pack_bounds this pins
+    * the complete tensor set a trainer reads: ids, boundaries,
+    * positions.
+    */
+  private def qPackPositions(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").where(col("doc_id") < 120)
+    val tok = TextAnalysis.trainBpeTokenizer(docs, "text", rounds = 3)
+    val enc = TextAnalysis.bpeEncodeIds(tok, docs, "doc_id", "text")
+    graft.operators.SequencePacking
+      .packSequences(enc, "doc_id", "n_tokens", "input_ids", budget = 2048, partitions = 1)
+      .select(col("bin_id"),
+        concat_ws(",",
+          graft.operators.SequencePacking.positionIds(col("doc_lens"))
+            .cast("array<string>")).as("position_ids"))
+      .orderBy("bin_id")
+  }
+
   /** Takedown INSIDE exported training shards
     * (SequencePacking.retractFromShards): export the packed corpus,
     * retract doc 1, and return the post-retraction bins as read back
@@ -3179,6 +3202,7 @@ object SparkEntry {
     "q_bpe_ids" -> (qBpeIds _),
     "q_pack_ids" -> (qPackIds _),
     "q_pack_bounds" -> (qPackBounds _),
+    "q_pack_positions" -> (qPackPositions _),
     "q_shard_manifest" -> (qShardManifest _),
     "q_shard_retract" -> (qShardRetract _),
     "q_datasheet" -> (qDatasheet _),

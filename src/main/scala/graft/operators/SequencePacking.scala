@@ -217,6 +217,21 @@ object SequencePacking {
     }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
+  /** `position_ids` for a packed sequence: 0..len-1 PER DOCUMENT,
+    * concatenated in pack order — the third trainer tensor after
+    * `input_ids` and the boundary metadata (positions reset at every
+    * document boundary, which is how a trainer masks cross-document
+    * attention in packed batches). Pure column algebra over `doc_lens`
+    * (flatten ∘ transform ∘ sequence): codegen-friendly, no UDF, no
+    * shuffle — `size(result) == size(input_ids)` by construction.
+    * Zero-length segments contribute nothing (guarded: an unguarded
+    * `sequence(0, -1)` would emit a DESCENDING two-element array).
+    */
+  def positionIds(docLens: Column): Column =
+    flatten(transform(docLens, l =>
+      when(l > 0L, sequence(lit(0L), l - 1L))
+        .otherwise(array().cast("array<bigint>"))))
+
   /** Portable content digest of one packed bin: the first 8 md5
     * nibbles of `bin_id || ':' || csv(input_ids)` as a 32-bit integer
     * (the [[Sampling.hashBucket]] nibble-arithmetic convention, so the

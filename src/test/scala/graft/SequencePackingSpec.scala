@@ -186,6 +186,24 @@ class SequencePackingSpec extends AnyFunSuite {
     assert(manifest.view.mapValues(_._4).toMap == redig)
   }
 
+  test("positionIds: 0..len-1 per document, reset at boundaries, tiles input_ids exactly") {
+    import org.apache.spark.sql.functions.col
+    val df = boundaryDocs.toDF("id", "tok", "ids")
+    val rows = SequencePacking.packSequences(df, "id", "tok", "ids", budget = 40, partitions = 1)
+      .select(col("input_ids"), col("doc_lens"),
+        SequencePacking.positionIds(col("doc_lens")).as("position_ids"))
+      .collect()
+    rows.foreach { r =>
+      val ids = r.getSeq[Long](0); val lens = r.getSeq[Long](1); val pos = r.getSeq[Long](2)
+      assert(pos.length == ids.length, "positions must tile input_ids")
+      assert(pos == lens.flatMap(l => 0L until l), "positions must reset per document")
+    }
+    // zero-length segments contribute nothing (the sequence(0,-1) guard)
+    val z = Seq((Seq(3L, 0L, 2L), 1)).toDF("doc_lens", "x")
+      .select(SequencePacking.positionIds(col("doc_lens"))).head().getSeq[Long](0)
+    assert(z == Seq(0L, 1L, 2L, 0L, 1L))
+  }
+
   test("exportShards composes with TrainingOrder: epoch-shuffled loader shards, still certified") {
     import graft.operators.TrainingOrder
     val dir = java.nio.file.Files.createTempDirectory("graft_shards_epoch").toString
