@@ -64,11 +64,18 @@ final class Catalog(spark: SparkSession, warehouseDir: String) {
     if (exists(name)) {
       // pin the doomed set before the swap: its lineage may read the very
       // table the overwrite below replaces (e.g. re-admitted hashes are
-      // derived FROM the documents table being rewritten)
+      // derived FROM the documents table being rewritten); released on
+      // every exit — a caller deleting from several tables per takedown
+      // must not accumulate one pinned RDD per call
       val doomed = ids.select(keys.map(col): _*).distinct().localCheckpoint()
-      if (!doomed.isEmpty) {
-        val remaining = read(name).join(doomed, keys, "left_anti")
-        overwrite(remaining, name)
+      try {
+        if (!doomed.isEmpty) {
+          val remaining = read(name).join(doomed, keys, "left_anti")
+          overwrite(remaining, name)
+        }
+      } finally {
+        graft.util.Checkpoints.release(
+          graft.util.Checkpoints.pinnedRddIds(doomed), spark)
       }
     }
 
