@@ -128,7 +128,11 @@ object OracleSql {
   /** The q_bpe_ids / q_pack_ids CTE chain: bounded-corpus (doc_id < 120)
     * word histogram, 3 unrolled BPE rounds, the STABLE vocab id table
     * (the TextAnalysis.tokenVocab numbering: sorted alphabet 1..A, merge
-    * product of round r = A + r, MIN(id) per symbol = keep-first), then
+    * product of round r = A + r, MIN(id) per symbol = keep-first, then
+    * a DENSE re-number over the deduped ids — ADVICE r14: tokenVocab
+    * COMPACTS ids after its keep-first dedup, so in the degenerate
+    * corner where two merges produce the same product string the oracle
+    * must close the id gap too or every later id diverges), then
     * per-word id strings from the final segmentation and per-doc
     * reassembly in word order -> `docids(doc_id, n_tokens, input_ids)`.
     */
@@ -146,13 +150,15 @@ object OracleSql {
        |  SELECT DISTINCT substr(word, CAST(i AS INTEGER), 1) AS sym
        |  FROM w0, UNNEST(range(1, len(word) + 1)) t(i)),
        |an AS (SELECT CAST(COUNT(*) AS BIGINT) AS a FROM alpha),
-       |vocab AS (
-       |  SELECT sym, MIN(id) AS id FROM (
+       |vocab0 AS (
+       |  SELECT sym, MIN(id) AS id0 FROM (
        |    SELECT sym, ROW_NUMBER() OVER (ORDER BY sym) AS id FROM alpha
        |    UNION ALL SELECT pa || pb AS sym, (SELECT a FROM an) + 1 FROM b1
        |    UNION ALL SELECT pa || pb AS sym, (SELECT a FROM an) + 2 FROM b2
        |    UNION ALL SELECT pa || pb AS sym, (SELECT a FROM an) + 3 FROM b3)
        |  GROUP BY sym),
+       |vocab AS (
+       |  SELECT sym, ROW_NUMBER() OVER (ORDER BY id0) AS id FROM vocab0),
        |wpos AS (
        |  SELECT word, i AS spos, syms[i] AS sym
        |  FROM (SELECT word, list_filter(string_split(seg, '|'), x -> len(x) > 0) AS syms
@@ -1651,8 +1657,9 @@ object OracleSql {
     "q_bpe_ids" ->
       // TextAnalysis.bpeEncodeIds twin: 3 unrolled training rounds on the
       // bounded corpus; stable vocab ids (sorted alphabet 1..A by
-      // row_number, merge products A+round, MIN(id) on the two-merges-
-      // one-product corner = the engine's keep-first dedupe); per-word id
+      // row_number, merge products A+round, MIN(id) + dense re-number on
+      // the two-merges-one-product corner = tokenVocab's keep-first
+      // COMPACTING dedupe, ADVICE r14); per-word id
       // strings from the FINAL segmentation (train == apply, so replay ==
       // training segmentation), reassembled per doc in word order
       s"""WITH $bpeIdsCtes

@@ -155,6 +155,18 @@ object SequencePacking {
     * oversized document), closed bins stream out immediately. No
     * cross-partition coordination: bin ids stay (partition << 32 |
     * local index).
+    *
+    * `sepId` (VERDICT r14 #4): when set, an end-of-text separator id is
+    * appended AFTER each document's segment — the GPT-style packing
+    * convention loaders expect. The separator is COUNTED: it bills
+    * against the budget (a doc needs `n_tokens + 1` free slots to enter
+    * a bin) and is reflected in `doc_lens` (each entry is the segment
+    * length INCLUDING its separator), so `bin_tokens == sum(doc_lens) ==
+    * size(input_ids)` still holds by construction — [[positionIds]]
+    * gives the separator the last position of its document, and
+    * [[retractFromShards]]' lens slicing removes a victim's separator
+    * with its segment, both with zero special-casing. The default (no
+    * separator) is bit-identical to the historical behavior.
     */
   def packSequences(
       df: DataFrame,
@@ -162,7 +174,8 @@ object SequencePacking {
       tokenCol: String,
       idsCol: String,
       budget: Int,
-      partitions: Int = 0
+      partitions: Int = 0,
+      sepId: Option[Long] = None
   ): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
     val prepared0 = df.select(
@@ -180,6 +193,7 @@ object SequencePacking {
       StructField("doc_ids", ArrayType(LongType)),
       StructField("doc_lens", ArrayType(LongType))
     ))
+    val sepCost = if (sepId.isDefined) 1L else 0L
     prepared.mapPartitions { rows =>
       val pid = org.apache.spark.TaskContext.getPartitionId().toLong
       val src = rows.buffered
@@ -195,7 +209,8 @@ object SequencePacking {
           val docLens = scala.collection.mutable.ArrayBuffer.empty[Long]
           var full = false
           while (!full && src.hasNext) {
-            val tokens = src.head.getLong(1)
+            // the separator bills against the budget with its document
+            val tokens = src.head.getLong(1) + sepCost
             // next-fit: the first doc always enters (an oversized doc
             // sits alone); after that, close on overflow — the exact
             // packGreedy boundary rule
@@ -206,8 +221,9 @@ object SequencePacking {
               binTokens += tokens
               val docSeg = Option(r.getSeq[Long](2)).getOrElse(Seq.empty)
               ids ++= docSeg
+              sepId.foreach(ids += _)
               docIds += r.getLong(0)
-              docLens += docSeg.length.toLong
+              docLens += docSeg.length.toLong + sepCost
             }
           }
           Row((pid << 32) | binIdx, nDocs, binTokens, ids.toSeq,
@@ -280,6 +296,24 @@ object SequencePacking {
     * epoch as the seed) and pass `shardCol = "shard"` — the export then
     * lands each loader worker's pseudorandom, reproducible slice as its
     * own partition directory instead of the default `bin_id % nShards`.
+    *
+    * Beyond `data` and `manifest`, the export writes two small
+    * sidecars (VERDICT r14 #1/#2):
+    *   - `path/docs` — the DOCUMENT-MEMBERSHIP INDEX `(doc_id, shard)`,
+    *     partitioned by shard like the data. [[retractFromShards]]
+    *     resolves its affected shards from this index (index-scale: one
+    *     row per document) instead of scanning every bin's `doc_ids`
+    *     arrays across the whole corpus — the difference between a
+    *     takedown whose discovery cost is O(corpus) and one that is
+    *     O(documents). Maintained by [[appendShards]] (appends) and by
+    *     retraction itself (affected partitions rewritten).
+    *   - `path/meta` — the append ledger `(batch_key, next_after)`:
+    *     `max(next_after)` is the store's next free bin id (bin ids of
+    *     incremental appends must not collide with existing bins), and
+    *     the batch keys are [[appendShards]]' replay guard. The export
+    *     stamps the reserved key `"-"`.
+    * Write order: data, docs, meta, manifest LAST — a manifest row set
+    * is only ever visible over a fully-landed store.
     */
   def exportShards(
       packed: DataFrame,
@@ -300,16 +334,34 @@ object SequencePacking {
       }
     sharded
       .write.mode("overwrite").partitionBy("shard").parquet(s"$path/data")
-    val manifest = spark.read.parquet(s"$path/data")
+    val written = spark.read.parquet(s"$path/data")
+    docsIndexOf(written)
+      .write.mode("overwrite").partitionBy("shard").parquet(s"$path/docs")
+    val nextBin = written.agg(coalesce(max("bin_id") + 1L, lit(0L))).head().getLong(0)
+    import spark.implicits._
+    Seq(("-", nextBin)).toDF("batch_key", "next_after")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    manifestOf(written).write.mode("overwrite").parquet(s"$path/manifest")
+    spark.read.parquet(s"$path/manifest")
+  }
+
+  /** The per-shard certification aggregation every store verb shares:
+    * `(shard, n_bins, n_docs, n_tokens, digest)` over packed rows.
+    */
+  private def manifestOf(data: DataFrame): DataFrame =
+    data
       .groupBy(col("shard").cast("long").as("shard"))
       .agg(
         count(lit(1)).as("n_bins"),
         sum("n_docs").as("n_docs"),
         sum("bin_tokens").as("n_tokens"),
         sum(binDigest).as("digest"))
-    manifest.write.mode("overwrite").parquet(s"$path/manifest")
-    spark.read.parquet(s"$path/manifest")
-  }
+
+  /** The document-membership rows of packed data: one `(doc_id, shard)`
+    * row per document (next-fit packs a document into exactly one bin).
+    */
+  private def docsIndexOf(data: DataFrame): DataFrame =
+    data.select(explode(col("doc_ids")).as("doc_id"), col("shard").cast("long").as("shard"))
 
   /** Loader-side certification of an [[exportShards]] directory:
     * recompute every shard's manifest row from the files on disk and
@@ -357,32 +409,19 @@ object SequencePacking {
     * reloaded manifest.
     */
   def recertifyShards(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
-    val manifest = spark.read.parquet(s"$path/data")
-      .groupBy(col("shard").cast("long").as("shard"))
-      .agg(
-        count(lit(1)).as("n_bins"),
-        sum("n_docs").as("n_docs"),
-        sum("bin_tokens").as("n_tokens"),
-        sum(binDigest).as("digest"))
-      .localCheckpoint()
+    val manifest = manifestOf(spark.read.parquet(s"$path/data")).localCheckpoint()
     try {
-      val nano = System.nanoTime()
-      manifest.write.mode("overwrite").parquet(s"$path/.manifest_tmp_$nano")
-      val target = java.nio.file.Paths.get(s"$path/manifest")
-      val old = java.nio.file.Paths.get(s"$path/.manifest_old_$nano")
-      java.nio.file.Files.move(target, old,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      java.nio.file.Files.move(
-        java.nio.file.Paths.get(s"$path/.manifest_tmp_$nano"), target,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      def rm(f: java.io.File): Unit = {
-        val kids = f.listFiles(); if (kids != null) kids.foreach(rm); f.delete()
+      // Catalog.swapIn tolerates an ABSENT manifest (a crash inside a
+      // previous swap's two-move window leaves none) — this verb must be
+      // able to RECOVER from that state, not throw on its own first move
+      graft.sources.Catalog.swapIn(java.nio.file.Paths.get(s"$path/manifest")) { tmp =>
+        manifest.write.mode("overwrite").parquet(tmp.toString)
       }
-      rm(old.toFile)
     } finally {
       graft.util.Checkpoints.release(
         graft.util.Checkpoints.pinnedRddIds(manifest), spark)
     }
+    spark.catalog.refreshByPath(s"$path/manifest")
     spark.read.parquet(s"$path/manifest")
   }
 
@@ -398,6 +437,17 @@ object SequencePacking {
     * temp-write-and-move convention). The manifest is then re-certified
     * by reading back exactly the rewritten shards (partition-pruned)
     * and splicing those rows over the stored ones.
+    *
+    * DISCOVERY is index-resolved (VERDICT r14 #2): affected shards come
+    * from the `path/docs` membership index — one row per document, so a
+    * weekly takedown against a 100 TB store reads document-count rows,
+    * not every bin's `doc_ids` column — with the full-scan fallback only
+    * for stores exported before the index existed. The index's affected
+    * partitions are rewritten alongside the data (doomed entries
+    * removed), keeping it exact; a crash between the data swap and the
+    * index swap leaves stale index entries whose only cost is a
+    * superset discovery on a re-run (the rewrite then finds nothing to
+    * remove and converges).
     *
     * Loud guards: the takedown list is driver-bounded (it is a legal
     * request, not a dataset); an affected bin whose `bin_tokens` does
@@ -424,13 +474,7 @@ object SequencePacking {
         "(the doomed list becomes a per-row array literal; a larger purge " +
         "should re-export from the retained corpus instead)")
     val doomed = docIds.toSet
-    val doomedArr = array(docIds.distinct.map(lit(_)): _*)
-
-    val data = spark.read.parquet(s"$path/data")
-    val affectedShards = data
-      .where(arrays_overlap(col("doc_ids"), doomedArr))
-      .select(col("shard").cast("long")).distinct()
-      .collect().map(_.getLong(0)).sorted.toIndexedSeq
+    val affectedShards = affectedShardsFor(spark, path, docIds)
     if (affectedShards.isEmpty) return 0L
 
     // (kept input_ids, kept doc_ids, kept doc_lens, removed segments) per
@@ -482,57 +526,231 @@ object SequencePacking {
       val removed = pinned.agg(sum("_removed")).head().getLong(0)
       val kept = pinned.where(col("n_docs") > 0L).drop("_removed")
 
-      val nano = System.nanoTime()
       affectedShards.foreach { sh =>
-        val target = java.nio.file.Paths.get(s"$path/data/shard=$sh")
-        val tmp = java.nio.file.Paths.get(s"$path/.retract_tmp_${nano}_$sh")
-        kept.where(col("shard") === sh).drop("shard")
-          .write.mode("overwrite").parquet(tmp.toString)
-        val old = java.nio.file.Paths.get(s"$path/.retract_old_${nano}_$sh")
-        java.nio.file.Files.move(target, old,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        java.nio.file.Files.move(tmp, target,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        def rm(f: java.io.File): Unit = {
-          val kids = f.listFiles(); if (kids != null) kids.foreach(rm); f.delete()
+        graft.sources.Catalog.swapIn(
+          java.nio.file.Paths.get(s"$path/data/shard=$sh")) { tmp =>
+          kept.where(col("shard") === sh).drop("shard")
+            .write.mode("overwrite").parquet(tmp.toString)
         }
-        rm(old.toFile)
+      }
+
+      // maintain the document-membership index: the affected shards'
+      // partitions lose their doomed entries, swapped with the same
+      // per-partition convention as the data (absent on a pre-index
+      // store — nothing to maintain, discovery already fell back)
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/docs"))) {
+        affectedShards.foreach { sh =>
+          spark.catalog.refreshByPath(s"$path/docs")
+          val keptDocs = spark.read.parquet(s"$path/docs")
+            .where(col("shard") === sh && !col("doc_id").isin(docIds.distinct: _*))
+            .drop("shard").localCheckpoint() // materialize before the swap unlinks the source
+          try {
+            graft.sources.Catalog.swapIn(
+              java.nio.file.Paths.get(s"$path/docs/shard=$sh")) { tmp =>
+              keptDocs.write.mode("overwrite").parquet(tmp.toString)
+            }
+          } finally {
+            graft.util.Checkpoints.release(
+              graft.util.Checkpoints.pinnedRddIds(keptDocs), spark)
+          }
+        }
       }
 
       // re-certify by reading back EXACTLY the rewritten shards
       // (partition-pruned scan) and splicing over the stored manifest
-      val recert = spark.read.parquet(s"$path/data")
-        .where(col("shard").isin(affectedShards: _*))
-        .groupBy(col("shard").cast("long").as("shard"))
-        .agg(
-          count(lit(1)).as("n_bins"),
-          sum("n_docs").as("n_docs"),
-          sum("bin_tokens").as("n_tokens"),
-          sum(binDigest).as("digest"))
-      val untouched = spark.read.parquet(s"$path/manifest")
-        .where(!col("shard").isin(affectedShards: _*))
-      val merged = untouched.unionByName(recert).localCheckpoint()
-      try {
-        merged.write.mode("overwrite").parquet(s"$path/.manifest_tmp_$nano")
-        val mTarget = java.nio.file.Paths.get(s"$path/manifest")
-        val mOld = java.nio.file.Paths.get(s"$path/.manifest_old_$nano")
-        java.nio.file.Files.move(mTarget, mOld,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        java.nio.file.Files.move(
-          java.nio.file.Paths.get(s"$path/.manifest_tmp_$nano"), mTarget,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        def rm(f: java.io.File): Unit = {
-          val kids = f.listFiles(); if (kids != null) kids.foreach(rm); f.delete()
-        }
-        rm(mOld.toFile)
-      } finally {
-        graft.util.Checkpoints.release(
-          graft.util.Checkpoints.pinnedRddIds(merged), spark)
-      }
+      spliceManifest(spark, path, affectedShards)
       removed
     } finally {
       graft.util.Checkpoints.release(
         graft.util.Checkpoints.pinnedRddIds(pinned), spark)
     }
+  }
+
+  /** Incremental shard refresh (VERDICT r14 #1): land a NEW batch of
+    * packed bins into an EXISTING [[exportShards]] store without
+    * re-exporting the corpus — the last seam between a continuously
+    * ingesting stream (`input_ids_stream` → [[packSequences]] over the
+    * batch) and the trainer's loader. O(batch) everywhere: the batch's
+    * bins are rebased onto fresh ids, appended into their `shard=N`
+    * directories, the membership index and the append ledger grow by
+    * the batch, and ONLY the affected shards' manifest rows are
+    * recomputed (partition-pruned read) and spliced.
+    *
+    * Bin-id REBASE: the store's next free id comes from the `path/meta`
+    * ledger (`max(next_after)`), and the batch's bins are renumbered
+    * `base + rank - 1` in bin-id order ([[Ranks.withGlobalRank]] — a
+    * distributed rank, never a single-task window), so appended ids are
+    * dense, deterministic, and can never collide with existing bins.
+    * Shard assignment stays `bin_id % nShards` with `nShards` read off
+    * the manifest — new bins spread across the existing layout.
+    *
+    * REPLAY is a no-op at two levels (the streaming verbs' contract):
+    * a `batchKey` already in the ledger means the append fully
+    * committed (the ledger row is written LAST) — immediate return; a
+    * crashed attempt (no ledger row) is healed by re-running the SAME
+    * batch — landed bins are detected by `bin_id >= base` (parquet
+    * row-group stats skip pre-append files) and skipped, missing index
+    * rows are backfilled, and the manifest is re-spliced
+    * unconditionally. Single-writer, like every store verb here: a
+    * DIFFERENT batch must not start while a crashed append awaits
+    * replay (under streaming's in-order redelivery it cannot).
+    *
+    * Parity contract (oracle-pinned by q_shard_append): export(A) then
+    * appendShards(B) is byte-identical — data, manifest, digests — to
+    * exportShards(A ∪ rebase(B)) in one shot.
+    *
+    * Returns the number of bins actually appended (0 = full replay or
+    * empty batch).
+    */
+  def appendShards(
+      packed: DataFrame,
+      path: String,
+      batchKey: String
+  ): Long = {
+    require(batchKey != "-",
+      "appendShards: batch_key \"-\" is reserved for the exportShards stamp")
+    val spark = packed.sparkSession
+    spark.catalog.refreshByPath(s"$path/meta")
+    val meta = spark.read.parquet(s"$path/meta")
+    if (!meta.where(col("batch_key") === batchKey).isEmpty) return 0L
+    val base = meta.agg(max("next_after")).head().getLong(0)
+    spark.catalog.refreshByPath(s"$path/manifest")
+    val nShards = spark.read.parquet(s"$path/manifest")
+      .agg(max("shard") + 1L).head().getLong(0)
+
+    val (ranked, m) = Ranks.withGlobalRank(packed, Seq(col("bin_id")), "_rk", 0)
+    if (m > 0L) {
+      val rebased = ranked
+        .withColumn("bin_id", col("_rk") - 1L + lit(base)).drop("_rk")
+        .withColumn("shard", pmod(col("bin_id"), lit(nShards)))
+        // pin: the guards below anti-join against the very directories
+        // the appends extend — the plan must never re-read mid-append
+        .localCheckpoint()
+      try {
+        spark.catalog.refreshByPath(s"$path/data")
+        val landed = spark.read.parquet(s"$path/data")
+          .where(col("bin_id") >= base).select("bin_id")
+        val toAppend = rebased.join(landed, Seq("bin_id"), "left_anti")
+        toAppend.write.mode("append").partitionBy("shard").parquet(s"$path/data")
+
+        // membership-index backfill over ALL of this batch's landed bins
+        // (not just toAppend): a crash between a prior attempt's data and
+        // docs appends left index rows missing — the re-run restores them
+        spark.catalog.refreshByPath(s"$path/data")
+        val batchData = spark.read.parquet(s"$path/data").where(col("bin_id") >= base)
+        val batchDocs = docsIndexOf(batchData)
+        spark.catalog.refreshByPath(s"$path/docs")
+        val alreadyIndexed = spark.read.parquet(s"$path/docs").select("doc_id")
+          .join(broadcast(batchDocs.select("doc_id").distinct()), Seq("doc_id"), "left_semi")
+        batchDocs.join(broadcast(alreadyIndexed), Seq("doc_id"), "left_anti")
+          .write.mode("append").partitionBy("shard").parquet(s"$path/docs")
+
+        val affected = batchData.select(col("shard").cast("long"))
+          .distinct().collect().map(_.getLong(0)).sorted.toIndexedSeq
+        spliceManifest(spark, path, affected)
+      } finally {
+        graft.util.Checkpoints.release(
+          graft.util.Checkpoints.pinnedRddIds(rebased), spark)
+      }
+    }
+
+    // ledger row LAST: its presence certifies the whole append committed
+    import spark.implicits._
+    Seq((batchKey, base + m)).toDF("batch_key", "next_after")
+      .coalesce(1).write.mode("append").parquet(s"$path/meta")
+    m
+  }
+
+  /** Loader-facing CERTIFIED read of one shard (VERDICT r14 #6):
+    * recompute the shard's counts/token total/digest from its files
+    * (partition-pruned read) and compare against the stored manifest row
+    * BEFORE handing rows back — certification is the default read path,
+    * not an opt-in composition of [[verifyShards]]. LOUD on any drift
+    * (lost/duplicated/corrupted bin, missing manifest row, empty shard):
+    * a training job fails at read time instead of training on corrupt
+    * data. Returns the shard's packed rows.
+    */
+  def readShard(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      shard: Long
+  ): DataFrame = {
+    spark.catalog.refreshByPath(s"$path/manifest")
+    val stored = spark.read.parquet(s"$path/manifest")
+      .where(col("shard") === shard).collect()
+    require(stored.length == 1,
+      s"readShard: shard $shard has ${stored.length} manifest rows at $path — " +
+        "an uncertified shard must not be read (run recertifyShards if the " +
+        "store crashed mid-mutation)")
+    spark.catalog.refreshByPath(s"$path/data")
+    val rows = spark.read.parquet(s"$path/data").where(col("shard") === shard)
+    val actual = manifestOf(rows).collect()
+    require(actual.length == 1,
+      s"readShard: shard $shard has a manifest row but no data files at $path")
+    val (s0, a0) = (stored(0), actual(0))
+    Seq("n_bins", "n_docs", "n_tokens", "digest").foreach { f =>
+      val (sv, av) = (s0.getAs[Long](f), a0.getAs[Long](f))
+      require(sv == av,
+        s"readShard: shard $shard FAILS certification — $f is $av on disk but " +
+          s"$sv in the manifest; the shard is lost, duplicated, stale, or " +
+          "corrupted. Refusing to serve it to a loader.")
+    }
+    rows
+  }
+
+  /** Which shards carry any of `docIds` — the takedown DISCOVERY step.
+    * Resolved from the `path/docs` membership index when present
+    * (index-scale: one row per document, never the corpus) and measured
+    * flat as the corpus grows (ScaleRehearsal's retract leg); falls back
+    * to the full `arrays_overlap` scan over every bin's `doc_ids` for
+    * stores exported before the index existed.
+    */
+  private[graft] def affectedShardsFor(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      docIds: Seq[Long]
+  ): IndexedSeq[Long] = {
+    val viaIndex = java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/docs"))
+    val shards =
+      if (viaIndex) {
+        spark.catalog.refreshByPath(s"$path/docs") // the index mutates by swap
+        spark.read.parquet(s"$path/docs")
+          .where(col("doc_id").isin(docIds.distinct: _*))
+          .select(col("shard").cast("long"))
+      } else {
+        val doomedArr = array(docIds.distinct.map(lit(_)): _*)
+        spark.read.parquet(s"$path/data")
+          .where(arrays_overlap(col("doc_ids"), doomedArr))
+          .select(col("shard").cast("long"))
+      }
+    shards.distinct().collect().map(_.getLong(0)).sorted.toIndexedSeq
+  }
+
+  /** Recompute `shards`' manifest rows from the files on disk
+    * (partition-pruned read) and splice them over the stored manifest —
+    * the shared certification tail of [[retractFromShards]] and
+    * [[appendShards]], committed through [[graft.sources.Catalog.swapIn]].
+    */
+  private def spliceManifest(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      shards: Seq[Long]
+  ): Unit = {
+    spark.catalog.refreshByPath(s"$path/data")
+    val recert = manifestOf(
+      spark.read.parquet(s"$path/data").where(col("shard").isin(shards: _*)))
+    spark.catalog.refreshByPath(s"$path/manifest")
+    val untouched = spark.read.parquet(s"$path/manifest")
+      .where(!col("shard").isin(shards: _*))
+    val merged = untouched.unionByName(recert).localCheckpoint()
+    try {
+      graft.sources.Catalog.swapIn(java.nio.file.Paths.get(s"$path/manifest")) { tmp =>
+        merged.write.mode("overwrite").parquet(tmp.toString)
+      }
+    } finally {
+      graft.util.Checkpoints.release(
+        graft.util.Checkpoints.pinnedRddIds(merged), spark)
+    }
+    spark.catalog.refreshByPath(s"$path/manifest")
   }
 }

@@ -842,6 +842,72 @@ object TextAnalysis {
       .write.mode("append").parquet(s"$path/hist")
   }
 
+  /** PER-DOCUMENT word counts into the `$path/doc_hist` sidecar — the
+    * provenance a takedown needs to subtract one document's exact
+    * contribution from the maintained histogram (ADVICE r14: a deleted
+    * document's counts otherwise live in the aggregate forever; the raw
+    * text is gone by delete time and chunk text double-counts overlap
+    * windows, so the contribution must be recorded at ingest). O(batch)
+    * like [[appendWordHistogram]], same `batchKey` replay convention: a
+    * crash-replayed batch appends IDENTICAL rows, which
+    * [[retractWordHistogramDoc]] collapses before summing. Append-only —
+    * the sidecar is never rewritten.
+    */
+  def appendDocWordCounts(
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String,
+      batchKey: String
+  ): Unit =
+    batch
+      .select(col(idCol).cast("string").as("doc_id"),
+        explode(TextFunctions.ftsTokens(col(textCol))).as("word"))
+      .groupBy("doc_id", "word")
+      .agg(count(lit(1)).as("freq"))
+      .select(col("doc_id"), col("word"), col("freq"), lit(batchKey).as("batch_key"))
+      .write.mode("append").parquet(s"$path/doc_hist")
+
+  /** Subtract one document's word counts from a maintained histogram —
+    * the takedown verb's histogram leg. The document's exact
+    * contribution is read from the `$path/doc_hist` sidecar (replayed
+    * ingest duplicates collapsed by the (word, batch_key) key) and
+    * appended as a NEGATIVE delta batch under the key
+    * `takedown:<docId>`, which every existing load/compact path already
+    * handles: [[loadWordHistogram]] sums it like any delta, a
+    * re-invoked delete appends IDENTICAL rows that collapse, and after
+    * [[compactWordHistogram]] folds the key its marker makes any replay
+    * a no-op — so the subtraction can never double-apply. Returns the
+    * number of distinct words subtracted (0 = unknown doc or no
+    * sidecar; nothing appended).
+    */
+  def retractWordHistogramDoc(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      docId: String
+  ): Long = {
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/doc_hist"))) return 0L
+    spark.catalog.refreshByPath(s"$path/doc_hist")
+    val contribution = spark.read.parquet(s"$path/doc_hist")
+      .where(col("doc_id") === docId)
+      // a crash-replayed ingest batch re-appended identical rows
+      .dropDuplicates("word", "batch_key")
+      .groupBy("word").agg(sum("freq").as("freq"))
+      .localCheckpoint() // count + append must agree; never re-read mid-append
+    try {
+      val n = contribution.count()
+      if (n == 0L) return 0L
+      contribution
+        .select(col("word"), (-col("freq")).as("freq"),
+          lit(s"takedown:$docId").as("batch_key"))
+        .write.mode("append").parquet(s"$path/hist")
+      n
+    } finally {
+      graft.util.Checkpoints.release(
+        graft.util.Checkpoints.pinnedRddIds(contribution), spark)
+    }
+  }
+
   /** Load a persisted histogram, collapsing appended deltas (and any
     * crash-replayed duplicate batches) to exact totals. LOUD on a
     * violated append contract: two DIFFERENT counts for one (word,
@@ -898,9 +964,10 @@ object TextAnalysis {
     * the compaction exists to remove). Atomicity: the new store
     * (totals + markers) is written to a temp directory and swapped in
     * with one atomic move — totals and their replay ledger can never be
-    * observed separately (the [[graft.sources.Catalog.overwrite]]
-    * single-writer convention; a cluster deployment would use a
-    * transactional table format).
+    * observed separately. The swap goes through [[graft.sources.Catalog.swapIn]],
+    * the engine-wide commit seam that states the POSIX-rename assumption
+    * once and is where an object-store deployment plugs in a
+    * transactional table-format commit instead.
     */
   def compactWordHistogram(
       spark: org.apache.spark.sql.SparkSession,
@@ -927,21 +994,15 @@ object TextAnalysis {
       .unionByName(newKeys.select(
         lit("-").as("word"), lit(0L).as("freq"),
         concat(lit(CompactedPrefix), col("batch_key")).as("batch_key")))
-    // write-then-swap: the plan reads the directory being replaced
-    val tmp = java.nio.file.Paths.get(s"$path/.hist_tmp_${System.nanoTime()}")
-    compacted.write.mode("overwrite").parquet(tmp.toString)
-    val target = java.nio.file.Paths.get(histPath)
-    val old = java.nio.file.Paths.get(s"$path/.hist_old_${System.nanoTime()}")
-    java.nio.file.Files.move(target, old, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    java.nio.file.Files.move(tmp, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    def rm(p: java.nio.file.Path): Unit = {
-      if (java.nio.file.Files.isDirectory(p)) {
-        val children = java.nio.file.Files.list(p)
-        try children.forEach(rm) finally children.close()
-      }
-      java.nio.file.Files.deleteIfExists(p)
+    // write-then-swap: the plan reads the directory being replaced.
+    // Committed through the engine's one swap seam (Catalog.swapIn),
+    // which documents the POSIX-rename assumption and is the single
+    // override point for object-store deployments. The compacted plan
+    // must be fully materialized before the old directory disappears —
+    // the write INTO the temp dir is that materialization.
+    graft.sources.Catalog.swapIn(java.nio.file.Paths.get(histPath)) { tmp =>
+      compacted.write.mode("overwrite").parquet(tmp.toString)
     }
-    rm(old)
     spark.catalog.refreshByPath(histPath)
   }
 

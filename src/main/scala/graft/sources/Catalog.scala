@@ -32,16 +32,13 @@ final class Catalog(spark: SparkSession, warehouseDir: String) {
   def append(df: DataFrame, name: String): Unit =
     df.write.mode(SaveMode.Append).parquet(tablePath(name).toString)
 
-  /** Full overwrite via temp-dir + atomic move. */
-  def overwrite(df: DataFrame, name: String): Unit = {
-    val target = tablePath(name)
-    val tmp = Paths.get(warehouseDir, s".${name}_tmp_${System.nanoTime()}")
-    df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    val old = Paths.get(warehouseDir, s".${name}_old_${System.nanoTime()}")
-    if (Files.exists(target)) Files.move(target, old, StandardCopyOption.ATOMIC_MOVE)
-    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
-    if (Files.exists(old)) deleteRecursively(old)
-  }
+  /** Full overwrite via temp-dir + atomic move — routed through the ONE
+    * commit-protocol seam, [[Catalog.swapIn]].
+    */
+  def overwrite(df: DataFrame, name: String): Unit =
+    Catalog.swapIn(tablePath(name)) { tmp =>
+      df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    }
 
   /** Delete rows matching `pred` — anti-join rewrite (S10/J5: the
     * reference's DELETE WHERE document_id = x, sqlite_store.py:229-240).
@@ -141,7 +138,59 @@ final class Catalog(spark: SparkSession, warehouseDir: String) {
     tables.map(_.getFileName.toString).sorted
   }
 
-  private def deleteRecursively(p: Path): Unit = {
+  private def deleteRecursively(p: Path): Unit = Catalog.deleteRecursively(p)
+}
+
+/** The ONE commit-protocol seam for every atomic directory swap in the
+  * engine (VERDICT r14 #3): [[Catalog.overwrite]], the training-shard
+  * verbs ([[graft.operators.SequencePacking.retractFromShards]] /
+  * `recertifyShards` / `appendShards`' manifest splice) and
+  * [[graft.operators.TextAnalysis.compactWordHistogram]] all commit
+  * through [[swapIn]] instead of hand-rolling the temp-write + move
+  * dance.
+  *
+  * COMMIT CONTRACT (stated once, here): the swap relies on
+  * `java.nio.file.Files.move(ATOMIC_MOVE)` — POSIX rename semantics,
+  * available on local filesystems and on HDFS-like stores with atomic
+  * directory rename, NOT on plain object stores (S3/GCS), where rename
+  * is copy+delete and a reader can observe the window. A cluster
+  * deployment writing to an object store overrides exactly this method
+  * (route it to a transactional table-format commit, or to a
+  * rename-capable FileSystem layer); every swap verb in the engine then
+  * inherits the new protocol with no other changes.
+  */
+object Catalog {
+
+  /** Atomically replace the directory at `target` with whatever `write`
+    * produces at the temp path it is handed: write-to-temp, move the old
+    * target aside, move the temp in, clean up. Crash windows:
+    *   - before the first move: `target` untouched, the temp dir is
+    *     debris (dot-prefixed; ignored by readers and by `flush`);
+    *   - between the two moves: `target` is ABSENT — which is why this
+    *     seam TOLERATES a missing target (ADVICE r14): any swap verb
+    *     re-run (or [[graft.operators.SequencePacking.recertifyShards]]
+    *     as the recovery verb) can then swap a fresh directory in
+    *     instead of throwing NoSuchFileException at its own first move;
+    *   - after the second move: fully committed, only `.._old_..`
+    *     debris remains (removed best-effort).
+    */
+  def swapIn(target: Path)(write: Path => Unit): Unit = {
+    val nano = System.nanoTime()
+    val parent = target.toAbsolutePath.getParent
+    val name = target.getFileName.toString
+    val tmp = parent.resolve(s".${name}_tmp_$nano")
+    val old = parent.resolve(s".${name}_old_$nano")
+    write(tmp)
+    require(Files.exists(tmp),
+      s"swapIn: the write callback produced nothing at $tmp — refusing to swap " +
+        s"an empty result over $target")
+    if (Files.exists(target))
+      Files.move(target, old, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+    if (Files.exists(old)) deleteRecursively(old)
+  }
+
+  private[graft] def deleteRecursively(p: Path): Unit = {
     if (Files.isDirectory(p)) {
       val children = Files.list(p)
       try children.forEach(deleteRecursively)

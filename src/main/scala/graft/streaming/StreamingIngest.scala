@@ -520,6 +520,13 @@ final class StreamingIngest(
     wordHistPath.foreach { p =>
       graft.operators.TextAnalysis.appendWordHistogram(
         docs.select(col("value")), "value", p, s"$runToken#$batchId")
+      // per-doc provenance sidecar (ADVICE r14): records each document's
+      // exact contribution so deleteStreamDocument can subtract it — by
+      // delete time the raw text is gone and chunk text double-counts
+      // overlap windows. Same O(batch) cost and replay key as the
+      // aggregate append above.
+      graft.operators.TextAnalysis.appendDocWordCounts(
+        docs.select(col("id"), col("value")), "id", "value", p, s"$runToken#$batchId")
     }
 
     catalog.append(
@@ -611,7 +618,11 @@ final class StreamingIngest(
     * a takedown must purge the diverted copies too, found by deriving
     * their would-be document id `sha2(file_hash, 256)`). The stream FTS
     * key is invalidated so BM25 stops serving the doc's postings, and
-    * the ADC path stops at the rewritten codes table.
+    * the ADC path stops at the rewritten codes table. When the ingest
+    * maintains a word histogram (`wordHistPath`), the document's exact
+    * ingest-time counts are subtracted as a negative delta batch
+    * ([[graft.operators.TextAnalysis.retractWordHistogramDoc]]) — the
+    * aggregate a future tokenizer retrains from forgets the doc too.
     *
     * Resurrection-proof: the content hashes are TOMBSTONED FIRST
     * (`stream_tombstones`, anti-joined by every future [[ingestBatch]]),
@@ -659,6 +670,13 @@ final class StreamingIngest(
       catalog.deleteMatching("rejected_stream", hashes, Seq("file_hash"))
       catalog.deleteMatching("lm_rejected_stream", hashes, Seq("file_hash"))
       catalog.deleteWhere("documents_stream", col("id") === documentId)
+      // maintained-histogram compensation (ADVICE r14): subtract the
+      // document's exact ingest-time word counts as a negative delta —
+      // the per-doc sidecar makes it exact, the takedown batch_key makes
+      // a crash-rerun (or a post-compaction replay) a no-op
+      wordHistPath.foreach { p =>
+        graft.operators.TextAnalysis.retractWordHistogramDoc(spark, p, documentId)
+      }
       FtsIndex.invalidate(ftsKey)
       graft.util.JsonLog.info("delete_stream_document",
         "document_id" -> documentId, "n_hashes" -> n)

@@ -322,7 +322,9 @@ object RetrievalLadder {
       "chunks")
     val chunksR = catR.read("chunks")
     val pqFacade = VectorSearch.pqFit(chunksR, "id", "embedding", nSub = 8, k = 16, iters = 3)
-    val pqDirR = s"$whDir/../pq_index"
+    // inside the per-run temp warehouse — `$whDir/..` is the shared system
+    // temp dir, where concurrent/successive runs would clobber each other
+    val pqDirR = s"$whDir/pq_index"
     VectorSearch.writePq(
       pqFacade, VectorSearch.pqEncode(pqFacade, chunksR, "id", "embedding"), pqDirR)
     val pipeR = new graft.pipeline.Pipeline(spark, cfgR)

@@ -335,4 +335,226 @@ class SequencePackingSpec extends AnyFunSuite {
     }
     assert(err.getMessage != null)
   }
+
+  test("packSequences sepId: separator billed against budget, in doc_lens; default is bit-identical") {
+    val df = boundaryDocs.toDF("id", "tok", "ids")
+    val expectIds = boundaryDocs.map { case (i, _, ids) => i -> ids }.toMap
+
+    // default (no separator) is bit-identical to an explicit None call
+    val base = SequencePacking.packSequences(df, "id", "tok", "ids", budget = 40, partitions = 1)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](3)).toMap
+    val none = SequencePacking
+      .packSequences(df, "id", "tok", "ids", budget = 40, partitions = 1, sepId = None)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](3)).toMap
+    assert(base == none)
+
+    val SEP = -7L // any id works; negative so it can never collide with the fixture ids
+    val rows = SequencePacking
+      .packSequences(df, "id", "tok", "ids", budget = 40, partitions = 1, sepId = Some(SEP))
+      .collect()
+    rows.foreach { r =>
+      val ids = r.getSeq[Long](r.fieldIndex("input_ids"))
+      val dids = r.getSeq[Long](r.fieldIndex("doc_ids"))
+      val lens = r.getSeq[Long](r.fieldIndex("doc_lens"))
+      // the budget counts separators: multi-doc bins stay within it
+      assert(dids.length == 1 || r.getAs[Long]("bin_tokens") <= 40L)
+      assert(r.getAs[Long]("bin_tokens") == lens.sum, "bin_tokens == sum(doc_lens) with sep")
+      assert(lens.sum == ids.length.toLong, "doc_lens tile input_ids with sep")
+      // each segment is the doc's ids followed by exactly one separator
+      var off = 0
+      dids.zip(lens).foreach { case (d, l) =>
+        val seg = ids.slice(off, off + l.toInt)
+        assert(seg == expectIds(d) :+ SEP, s"doc $d segment must end with the separator")
+        off += l.toInt
+      }
+    }
+    assert(rows.flatMap(_.getSeq[Long](4)).sorted.toSeq == (1L to 60L))
+    // positionIds needs no special-casing: the separator takes its doc's last position
+    import org.apache.spark.sql.functions.col
+    val pos = SequencePacking
+      .packSequences(df, "id", "tok", "ids", budget = 40, partitions = 1, sepId = Some(SEP))
+      .select(col("input_ids"), col("doc_lens"),
+        SequencePacking.positionIds(col("doc_lens")).as("p"))
+      .collect()
+    pos.foreach { r =>
+      assert(r.getSeq[Long](2).length == r.getSeq[Long](0).length)
+      assert(r.getSeq[Long](2) == r.getSeq[Long](1).flatMap(l => 0L until l))
+    }
+  }
+
+  test("retractFromShards removes a victim's separator with its segment (sepId store)") {
+    val SEP = -7L
+    val dir = java.nio.file.Files.createTempDirectory("graft_shards_sep").toString
+    val df = boundaryDocs.toDF("id", "tok", "ids")
+    val packed = SequencePacking
+      .packSequences(df, "id", "tok", "ids", budget = 40, partitions = 1, sepId = Some(SEP))
+    SequencePacking.exportShards(packed, dir, nShards = 3)
+    val victim = 17L
+    assert(SequencePacking.retractFromShards(spark, dir, Seq(victim)) == 1L)
+    val expectIds = boundaryDocs.map { case (i, _, ids) => i -> ids }.toMap
+    val after = spark.read.parquet(s"$dir/data").collect()
+    // separator count == surviving doc count: no orphaned separators
+    after.foreach { r =>
+      val ids = r.getSeq[Long](r.fieldIndex("input_ids"))
+      val dids = r.getSeq[Long](r.fieldIndex("doc_ids"))
+      val lens = r.getSeq[Long](r.fieldIndex("doc_lens"))
+      assert(ids.count(_ == SEP) == dids.length, "exactly one separator per surviving doc")
+      var off = 0
+      dids.zip(lens).foreach { case (d, l) =>
+        assert(ids.slice(off, off + l.toInt) == expectIds(d) :+ SEP)
+        off += l.toInt
+      }
+    }
+    assert(!after.exists(_.getSeq[Long](4).contains(victim)))
+    assert(SequencePacking.verifyShards(spark, dir).collect().forall(_.getAs[Boolean]("ok")))
+  }
+
+  test("appendShards: incremental refresh == one-shot export of the union; replay appends nothing") {
+    val all = boundaryDocs
+    val evens = all.filter(_._1 % 2 == 0)
+    val odds = all.filter(_._1 % 2 == 1)
+
+    // incremental store: export the evens, append the odds as a batch
+    val inc = java.nio.file.Files.createTempDirectory("graft_shards_inc").toString
+    val packedE = SequencePacking
+      .packSequences(evens.toDF("id", "tok", "ids"), "id", "tok", "ids", budget = 40, partitions = 1)
+    SequencePacking.exportShards(packedE, inc, nShards = 4)
+    val packedO = SequencePacking
+      .packSequences(odds.toDF("id", "tok", "ids"), "id", "tok", "ids", budget = 40, partitions = 1)
+    val appended = SequencePacking.appendShards(packedO, inc, batchKey = "run#1")
+    assert(appended > 0L)
+
+    // one-shot reference: the evens' bins plus the odds' bins REBASED onto
+    // the store's next ids — appendShards' parity contract
+    val nE = packedE.agg(org.apache.spark.sql.functions.max("bin_id")).head().getLong(0) + 1L
+    val rebasedO = packedO.withColumn("bin_id", col("bin_id") + nE)
+    val oneShot = java.nio.file.Files.createTempDirectory("graft_shards_one").toString
+    SequencePacking.exportShards(packedE.unionByName(rebasedO), oneShot, nShards = 4)
+
+    def snapshot(d: String) = spark.read.parquet(s"$d/data").collect()
+      .map(r => (r.getAs[Long]("bin_id"), r.getAs[Long]("n_docs"), r.getAs[Long]("bin_tokens"),
+        r.getSeq[Long](r.fieldIndex("input_ids")), r.getSeq[Long](r.fieldIndex("doc_ids")),
+        r.getAs[Number]("shard").longValue)).sortBy(_._1).toSeq
+    assert(snapshot(inc) == snapshot(oneShot), "append must equal the one-shot export")
+    def manifestOf(d: String) = spark.read.parquet(s"$d/manifest").collect()
+      .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("n_bins"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("digest"))).sortBy(_._1).toSeq
+    assert(manifestOf(inc) == manifestOf(oneShot), "manifests (digests included) must match")
+    assert(SequencePacking.verifyShards(spark, inc).collect().forall(_.getAs[Boolean]("ok")))
+
+    // the membership index covers old and new docs alike
+    val indexed = spark.read.parquet(s"$inc/docs").collect()
+      .map(r => r.getAs[Long]("doc_id")).sorted.toSeq
+    assert(indexed == (1L to 60L), "docs index must cover export + append")
+
+    // REPLAY: the same batch key is a committed append — full no-op
+    val filesBefore = new java.io.File(s"$inc/data").listFiles().flatMap(d =>
+      Option(d.listFiles()).getOrElse(Array.empty).map(f => f.getPath -> f.lastModified())).toMap
+    assert(SequencePacking.appendShards(packedO, inc, batchKey = "run#1") == 0L)
+    val filesAfter = new java.io.File(s"$inc/data").listFiles().flatMap(d =>
+      Option(d.listFiles()).getOrElse(Array.empty).map(f => f.getPath -> f.lastModified())).toMap
+    assert(filesAfter == filesBefore, "a replayed append must not touch the data")
+    assert(snapshot(inc) == snapshot(oneShot))
+
+    // a second DISTINCT batch keeps extending; ids never collide
+    val more = (100L to 110L).map(i => (i, 5L, (1L to 5L).map(j => i * 100 + j)))
+    val packedM = SequencePacking
+      .packSequences(more.toDF("id", "tok", "ids"), "id", "tok", "ids", budget = 40, partitions = 1)
+    assert(SequencePacking.appendShards(packedM, inc, batchKey = "run#2") > 0L)
+    val bins = spark.read.parquet(s"$inc/data").select("bin_id").collect().map(_.getLong(0))
+    assert(bins.distinct.length == bins.length, "bin ids must stay unique across appends")
+    assert(SequencePacking.verifyShards(spark, inc).collect().forall(_.getAs[Boolean]("ok")))
+    // and takedown still works across the appended corpus (index-resolved)
+    assert(SequencePacking.retractFromShards(spark, inc, Seq(105L)) == 1L)
+    assert(SequencePacking.verifyShards(spark, inc).collect().forall(_.getAs[Boolean]("ok")))
+  }
+
+  test("readShard: certified read returns the shard's rows; tampering fails loudly at read time") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_shards_read").toString
+    val df = boundaryDocs.toDF("id", "tok", "ids")
+    val packed = SequencePacking.packSequences(df, "id", "tok", "ids", budget = 40, partitions = 1)
+    SequencePacking.exportShards(packed, dir, nShards = 3)
+
+    // clean shard: rows identical to the raw parquet read
+    val raw = spark.read.parquet(s"$dir/data")
+      .where(col("shard") === 1L).collect()
+      .map(r => (r.getAs[Long]("bin_id"), r.getSeq[Long](r.fieldIndex("input_ids")))).sortBy(_._1).toSeq
+    val certified = SequencePacking.readShard(spark, dir, 1L).collect()
+      .map(r => (r.getAs[Long]("bin_id"), r.getSeq[Long](r.fieldIndex("input_ids")))).sortBy(_._1).toSeq
+    assert(certified == raw && certified.nonEmpty)
+
+    // tamper: drop one parquet part file from the shard -> loud at read
+    val parts = new java.io.File(s"$dir/data/shard=1").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(parts.nonEmpty)
+    parts.head.delete()
+    val err = intercept[IllegalArgumentException] {
+      SequencePacking.readShard(spark, dir, 1L)
+    }
+    // a shard with SOME files left fails the digest compare ("FAILS
+    // certification"); one whose only part file vanished fails the
+    // no-data guard — both are the loud refusal the loader needs
+    assert(err.getMessage.contains("FAILS certification") ||
+      err.getMessage.contains("no data files"))
+    // other shards still serve
+    assert(SequencePacking.readShard(spark, dir, 0L).collect().nonEmpty)
+    // an unknown shard (no manifest row) is refused, not silently empty
+    intercept[IllegalArgumentException] { SequencePacking.readShard(spark, dir, 99L) }
+  }
+
+  test("recertifyShards recovers from a crash INSIDE the manifest swap window (manifest absent)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_shards_crash").toString
+    val df = boundaryDocs.toDF("id", "tok", "ids")
+    val packed = SequencePacking.packSequences(df, "id", "tok", "ids", budget = 40, partitions = 1)
+    SequencePacking.exportShards(packed, dir, nShards = 3)
+
+    // simulate the crash: the old manifest was moved aside, the new one
+    // never moved in — the store has NO manifest at all (ADVICE r14)
+    def rm(f: java.io.File): Unit = {
+      val kids = f.listFiles(); if (kids != null) kids.foreach(rm); f.delete()
+    }
+    rm(new java.io.File(s"$dir/manifest"))
+    assert(!new java.io.File(s"$dir/manifest").exists())
+
+    // the recovery verb must restore green instead of throwing on its own move
+    val recovered = SequencePacking.recertifyShards(spark, dir)
+    assert(recovered.count() == 3L)
+    assert(SequencePacking.verifyShards(spark, dir).collect().forall(_.getAs[Boolean]("ok")))
+  }
+
+  test("takedown discovery is index-resolved and the index survives retraction") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_shards_idx").toString
+    val df = boundaryDocs.toDF("id", "tok", "ids")
+    val packed = SequencePacking.packSequences(df, "id", "tok", "ids", budget = 40, partitions = 1)
+    SequencePacking.exportShards(packed, dir, nShards = 4)
+
+    // the index agrees with the data on every doc's shard
+    val fromData = spark.read.parquet(s"$dir/data")
+      .select(explode(col("doc_ids")).as("doc_id"), col("shard").cast("long").as("shard"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fromIndex = spark.read.parquet(s"$dir/docs")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Number]("shard").longValue).toMap
+    assert(fromIndex == fromData)
+
+    // discovery via the index matches a ground-truth scan
+    val probe = Seq(3L, 44L)
+    val want = fromData.filter(kv => probe.contains(kv._1)).values.toSet
+    assert(SequencePacking.affectedShardsFor(spark, dir, probe).toSet == want)
+
+    // retraction maintains the index: the victim's entry is gone, everyone
+    // else's survives, and a SECOND takedown of the same doc is a no-op
+    assert(SequencePacking.retractFromShards(spark, dir, Seq(3L)) == 1L)
+    val afterIdx = spark.read.parquet(s"$dir/docs").collect()
+      .map(_.getAs[Long]("doc_id")).sorted.toSeq
+    assert(afterIdx == (1L to 60L).filterNot(_ == 3L))
+    assert(SequencePacking.retractFromShards(spark, dir, Seq(3L)) == 0L)
+
+    // a pre-index store (docs dir absent) still discovers via the fallback scan
+    rmDir(new java.io.File(s"$dir/docs"))
+    assert(SequencePacking.affectedShardsFor(spark, dir, Seq(44L)).toSet == Set(fromData(44L)))
+  }
+
+  private def rmDir(f: java.io.File): Unit = {
+    val kids = f.listFiles(); if (kids != null) kids.foreach(rmDir); f.delete()
+  }
 }
