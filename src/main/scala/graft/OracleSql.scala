@@ -1793,6 +1793,107 @@ object OracleSql {
          |FROM bins b GROUP BY 1 ORDER BY shard""".stripMargin
     },
 
+    "q_pack_sep" ->
+      // SequencePacking.packSequences sepId twin (VERDICT r14 #4): the
+      // same next-fit recurrence, but every document walks at
+      // n_tokens + 1 (the separator bills against the budget), each
+      // doc's id string gains a trailing ',0' (the separator id), and
+      // doc_lens carries the +1 — stream, boundaries, and token totals
+      // must all move together
+      s"""WITH RECURSIVE $bpeIdsCtes,
+         |d AS MATERIALIZED (
+         |  SELECT n_tokens + 1 AS tok, input_ids || ',0' AS input_ids,
+         |         ROW_NUMBER() OVER (ORDER BY doc_id) AS rn
+         |  FROM docids),
+         |pack AS (
+         |  SELECT rn, tok, CAST(0 AS BIGINT) AS bin_id, tok AS bin_run FROM d WHERE rn = 1
+         |  UNION ALL
+         |  SELECT d.rn, d.tok,
+         |         CASE WHEN p.bin_run + d.tok > 2048 THEN p.bin_id + 1 ELSE p.bin_id END,
+         |         CASE WHEN p.bin_run + d.tok > 2048 THEN d.tok ELSE p.bin_run + d.tok END
+         |  FROM pack p JOIN d ON d.rn = p.rn + 1)
+         |SELECT p.bin_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(p.tok) AS BIGINT) AS bin_tokens,
+         |       string_agg(d.input_ids, ',' ORDER BY p.rn) AS input_ids,
+         |       string_agg(CAST(p.tok AS VARCHAR), ',' ORDER BY p.rn) AS doc_lens
+         |FROM pack p JOIN d USING (rn)
+         |GROUP BY p.bin_id ORDER BY bin_id""".stripMargin,
+
+    "q_shard_append" -> {
+      // SequencePacking.appendShards twin (VERDICT r14 #1): the even
+      // docs' pack recurrence is the exported store, the odd docs' is
+      // the appended batch REBASED by the even bin count (appendShards'
+      // deterministic renumbering off the meta ledger); the per-shard
+      // manifest over the union — counts, token totals, content digests
+      // — must equal what the incremental path spliced together
+      val dig = md5NibbleIntSql("CAST(b.bin_id AS VARCHAR) || ':' || b.ids", 8)
+      s"""WITH RECURSIVE $bpeIdsCtes,
+         |de AS MATERIALIZED (
+         |  SELECT n_tokens AS tok, input_ids,
+         |         ROW_NUMBER() OVER (ORDER BY doc_id) AS rn
+         |  FROM docids WHERE doc_id % 2 = 0),
+         |packe AS (
+         |  SELECT rn, tok, CAST(0 AS BIGINT) AS bin_id, tok AS bin_run FROM de WHERE rn = 1
+         |  UNION ALL
+         |  SELECT d.rn, d.tok,
+         |         CASE WHEN p.bin_run + d.tok > 2048 THEN p.bin_id + 1 ELSE p.bin_id END,
+         |         CASE WHEN p.bin_run + d.tok > 2048 THEN d.tok ELSE p.bin_run + d.tok END
+         |  FROM packe p JOIN de d ON d.rn = p.rn + 1),
+         |dd AS MATERIALIZED (
+         |  SELECT n_tokens AS tok, input_ids,
+         |         ROW_NUMBER() OVER (ORDER BY doc_id) AS rn
+         |  FROM docids WHERE doc_id % 2 = 1),
+         |packo AS (
+         |  SELECT rn, tok, CAST(0 AS BIGINT) AS bin_id, tok AS bin_run FROM dd WHERE rn = 1
+         |  UNION ALL
+         |  SELECT d.rn, d.tok,
+         |         CASE WHEN p.bin_run + d.tok > 2048 THEN p.bin_id + 1 ELSE p.bin_id END,
+         |         CASE WHEN p.bin_run + d.tok > 2048 THEN d.tok ELSE p.bin_run + d.tok END
+         |  FROM packo p JOIN dd d ON d.rn = p.rn + 1),
+         |ne AS (SELECT MAX(bin_id) + 1 AS n FROM packe),
+         |bins AS (
+         |  SELECT p.bin_id AS bin_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |         CAST(SUM(p.tok) AS BIGINT) AS bin_tokens,
+         |         string_agg(d.input_ids, ',' ORDER BY p.rn) AS ids
+         |  FROM packe p JOIN de d USING (rn) GROUP BY p.bin_id
+         |  UNION ALL
+         |  SELECT p.bin_id + (SELECT n FROM ne), CAST(COUNT(*) AS BIGINT),
+         |         CAST(SUM(p.tok) AS BIGINT),
+         |         string_agg(d.input_ids, ',' ORDER BY p.rn)
+         |  FROM packo p JOIN dd d USING (rn) GROUP BY p.bin_id)
+         |SELECT b.bin_id % 4 AS shard,
+         |       CAST(COUNT(*) AS BIGINT) AS n_bins,
+         |       CAST(SUM(b.n_docs) AS BIGINT) AS n_docs,
+         |       CAST(SUM(b.bin_tokens) AS BIGINT) AS n_tokens,
+         |       CAST(SUM($dig) AS BIGINT) AS digest
+         |FROM bins b GROUP BY 1 ORDER BY shard""".stripMargin
+    },
+
+    "q_read_shard" ->
+      // SequencePacking.readShard twin (VERDICT r14 #6): the certified
+      // read of shard 2 must serve exactly that shard's slice of the
+      // pack recurrence (bin_id % 4 = 2), bit-for-bit — the engine side
+      // recomputes the manifest row from the files before returning any
+      // of these rows
+      s"""WITH RECURSIVE $bpeIdsCtes,
+         |d AS MATERIALIZED (
+         |  SELECT n_tokens AS tok, input_ids,
+         |         ROW_NUMBER() OVER (ORDER BY doc_id) AS rn
+         |  FROM docids),
+         |pack AS (
+         |  SELECT rn, tok, CAST(0 AS BIGINT) AS bin_id, tok AS bin_run FROM d WHERE rn = 1
+         |  UNION ALL
+         |  SELECT d.rn, d.tok,
+         |         CASE WHEN p.bin_run + d.tok > 2048 THEN p.bin_id + 1 ELSE p.bin_id END,
+         |         CASE WHEN p.bin_run + d.tok > 2048 THEN d.tok ELSE p.bin_run + d.tok END
+         |  FROM pack p JOIN d ON d.rn = p.rn + 1)
+         |SELECT p.bin_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(p.tok) AS BIGINT) AS bin_tokens,
+         |       string_agg(d.input_ids, ',' ORDER BY p.rn) AS input_ids
+         |FROM pack p JOIN d USING (rn)
+         |WHERE p.bin_id % 4 = 2
+         |GROUP BY p.bin_id ORDER BY bin_id""".stripMargin,
+
     "q_stratified_sample" -> {
       // mirrors Sampling.hashBucket: first 6 md5 nibbles as int, mod 100
       val bucket = s"(${md5NibbleIntSql("CAST(doc_id AS VARCHAR)", 6)} % 100)"

@@ -2745,6 +2745,78 @@ object SparkEntry {
       .orderBy("bin_id")
   }
 
+  /** GPT-style separator packing (SequencePacking.packSequences sepId,
+    * VERDICT r14 #4): every document's segment ends with one end-of-text
+    * id (0 here — the reserved <unk> slot stands in for a real EOS),
+    * the separator BILLS against the budget (the next-fit recurrence
+    * walks n_tokens + 1) and is REFLECTED in doc_lens, so the packed
+    * stream, the boundary metadata, and the bin token totals all move
+    * together — the oracle re-walks the recurrence with the +1 and
+    * appends ',0' to each document's id string; any separator that
+    * leaks out of the budget accounting or out of doc_lens breaks the
+    * hash.
+    */
+  private def qPackSep(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").where(col("doc_id") < 120)
+    val tok = TextAnalysis.trainBpeTokenizer(docs, "text", rounds = 3)
+    val enc = TextAnalysis.bpeEncodeIds(tok, docs, "doc_id", "text")
+    graft.operators.SequencePacking
+      .packSequences(enc, "doc_id", "n_tokens", "input_ids",
+        budget = 2048, partitions = 1, sepId = Some(0L))
+      .select(col("bin_id"), col("n_docs"), col("bin_tokens"),
+        concat_ws(",", col("input_ids").cast("array<string>")).as("input_ids"),
+        concat_ws(",", col("doc_lens").cast("array<string>")).as("doc_lens"))
+      .orderBy("bin_id")
+  }
+
+  /** Incremental shard refresh (SequencePacking.appendShards, VERDICT
+    * r14 #1): export the EVEN documents' packed bins, then append the
+    * ODD documents' bins as a batch — rebased onto the store's next
+    * free ids, landed into the existing shard layout, with only the
+    * affected manifest rows re-spliced. The returned manifest must be
+    * hash-identical to what a ONE-SHOT export of the union would have
+    * produced (the oracle computes exactly that: two pack recurrences,
+    * the odd bins rebased by the even bin count, per-shard counts and
+    * content digests over the union) — pinning that the incremental
+    * path loses, duplicates, and reorders nothing, digests included.
+    */
+  private def qShardAppend(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").where(col("doc_id") < 120)
+    val tok = TextAnalysis.trainBpeTokenizer(docs, "text", rounds = 3)
+    val encE = TextAnalysis.bpeEncodeIds(tok, docs.where(col("doc_id") % 2 === 0), "doc_id", "text")
+    val encO = TextAnalysis.bpeEncodeIds(tok, docs.where(col("doc_id") % 2 === 1), "doc_id", "text")
+    val packedE = graft.operators.SequencePacking
+      .packSequences(encE, "doc_id", "n_tokens", "input_ids", budget = 2048, partitions = 1)
+    val packedO = graft.operators.SequencePacking
+      .packSequences(encO, "doc_id", "n_tokens", "input_ids", budget = 2048, partitions = 1)
+    val path = tmpIndexPath("graft_shard_app", dir)
+    graft.operators.SequencePacking.exportShards(packedE, path, nShards = 4)
+    graft.operators.SequencePacking.appendShards(packedO, path, batchKey = "drv#odds")
+    s.catalog.refreshByPath(s"$path/manifest")
+    s.read.parquet(s"$path/manifest").orderBy("shard")
+  }
+
+  /** Certified loader read (SequencePacking.readShard, VERDICT r14 #6):
+    * export the packed corpus and read ONE shard back through the
+    * certifying path — the shard's manifest row is recomputed from the
+    * files and compared before any row is served, so the returned bins
+    * are exactly shard 2's slice of the pack recurrence (`bin_id % 4 =
+    * 2`), which is what the oracle selects.
+    */
+  private def qReadShard(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").where(col("doc_id") < 120)
+    val tok = TextAnalysis.trainBpeTokenizer(docs, "text", rounds = 3)
+    val enc = TextAnalysis.bpeEncodeIds(tok, docs, "doc_id", "text")
+    val packed = graft.operators.SequencePacking
+      .packSequences(enc, "doc_id", "n_tokens", "input_ids", budget = 2048, partitions = 1)
+    val path = tmpIndexPath("graft_shard_read", dir)
+    graft.operators.SequencePacking.exportShards(packed, path, nShards = 4)
+    graft.operators.SequencePacking.readShard(s, path, 2L)
+      .select(col("bin_id"), col("n_docs"), col("bin_tokens"),
+        concat_ws(",", col("input_ids").cast("array<string>")).as("input_ids"))
+      .orderBy("bin_id")
+  }
+
   /** Maintained-histogram lifecycle (TextAnalysis.WordHistogram): build
     * the tokenizer training corpus as a persisted word histogram — write
     * the EVEN doc_ids' counts, APPEND the odd half as an O(batch) delta,
@@ -3205,6 +3277,9 @@ object SparkEntry {
     "q_pack_positions" -> (qPackPositions _),
     "q_shard_manifest" -> (qShardManifest _),
     "q_shard_retract" -> (qShardRetract _),
+    "q_pack_sep" -> (qPackSep _),
+    "q_shard_append" -> (qShardAppend _),
+    "q_read_shard" -> (qReadShard _),
     "q_datasheet" -> (qDatasheet _),
     "q_wordpiece_persisted" -> (qWordpiecePersisted _),
     "q_unigram_persisted" -> (qUnigramPersisted _),

@@ -573,8 +573,14 @@ object SequencePacking {
     * batch) and the trainer's loader. O(batch) everywhere: the batch's
     * bins are rebased onto fresh ids, appended into their `shard=N`
     * directories, the membership index and the append ledger grow by
-    * the batch, and ONLY the affected shards' manifest rows are
-    * recomputed (partition-pruned read) and spliced.
+    * the batch, and the manifest refresh is ADDITIVE — every manifest
+    * field is a sum, so the update reads back only the batch's landed
+    * bins (row-group stats skip every pre-append file) and adds their
+    * per-shard contribution onto the stored rows, arbitrated by a
+    * metadata-only row-count probe so a crash-replay can never
+    * double-add. A full-shard digest recompute never happens on the
+    * append path (a batch spreading bins across all N shards would
+    * otherwise re-read the whole store per append).
     *
     * Bin-id REBASE: the store's next free id comes from the `path/meta`
     * ledger (`max(next_after)`), and the batch's bins are renumbered
@@ -590,8 +596,10 @@ object SequencePacking {
     * crashed attempt (no ledger row) is healed by re-running the SAME
     * batch — landed bins are detected by `bin_id >= base` (parquet
     * row-group stats skip pre-append files) and skipped, missing index
-    * rows are backfilled, and the manifest is re-spliced
-    * unconditionally. Single-writer, like every store verb here: a
+    * rows are backfilled, and the additive manifest splice applies the
+    * batch's delta exactly once (the row-count probe tells an
+    * already-spliced shard from a pre-splice one). Single-writer, like
+    * every store verb here: a
     * DIFFERENT batch must not start while a crashed append awaits
     * replay (under streaming's in-order redelivery it cannot).
     *
@@ -610,6 +618,19 @@ object SequencePacking {
     require(batchKey != "-",
       "appendShards: batch_key \"-\" is reserved for the exportShards stamp")
     val spark = packed.sparkSession
+    // one-time upgrade of a store exported before the sidecars existed:
+    // bootstrap the ledger from a bin_id scan and the membership index
+    // from a full doc_ids derive — paid once, then every append is O(batch)
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/meta"))) {
+      val nextBin = spark.read.parquet(s"$path/data")
+        .agg(coalesce(max("bin_id") + 1L, lit(0L))).head().getLong(0)
+      import spark.implicits._
+      Seq(("-", nextBin)).toDF("batch_key", "next_after")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    }
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/docs")))
+      docsIndexOf(spark.read.parquet(s"$path/data"))
+        .write.mode("overwrite").partitionBy("shard").parquet(s"$path/docs")
     spark.catalog.refreshByPath(s"$path/meta")
     val meta = spark.read.parquet(s"$path/meta")
     if (!meta.where(col("batch_key") === batchKey).isEmpty) return 0L
@@ -619,18 +640,19 @@ object SequencePacking {
       .agg(max("shard") + 1L).head().getLong(0)
 
     val (ranked, m) = Ranks.withGlobalRank(packed, Seq(col("bin_id")), "_rk", 0)
+    var appended = 0L
     if (m > 0L) {
       val rebased = ranked
         .withColumn("bin_id", col("_rk") - 1L + lit(base)).drop("_rk")
         .withColumn("shard", pmod(col("bin_id"), lit(nShards)))
-        // pin: the guards below anti-join against the very directories
-        // the appends extend — the plan must never re-read mid-append
-        .localCheckpoint()
+      spark.catalog.refreshByPath(s"$path/data")
+      val landed = spark.read.parquet(s"$path/data")
+        .where(col("bin_id") >= base).select("bin_id")
+      // pin: the append below extends the very directory this anti-join
+      // reads — materialize before writing, never re-read mid-append
+      val toAppend = rebased.join(landed, Seq("bin_id"), "left_anti").localCheckpoint()
       try {
-        spark.catalog.refreshByPath(s"$path/data")
-        val landed = spark.read.parquet(s"$path/data")
-          .where(col("bin_id") >= base).select("bin_id")
-        val toAppend = rebased.join(landed, Seq("bin_id"), "left_anti")
+        appended = toAppend.count()
         toAppend.write.mode("append").partitionBy("shard").parquet(s"$path/data")
 
         // membership-index backfill over ALL of this batch's landed bins
@@ -645,20 +667,74 @@ object SequencePacking {
         batchDocs.join(broadcast(alreadyIndexed), Seq("doc_id"), "left_anti")
           .write.mode("append").partitionBy("shard").parquet(s"$path/docs")
 
-        val affected = batchData.select(col("shard").cast("long"))
-          .distinct().collect().map(_.getLong(0)).sorted.toIndexedSeq
-        spliceManifest(spark, path, affected)
+        // O(batch) manifest refresh: every manifest field is a SUM, so the
+        // batch's contribution is a read-back over ONLY its landed bins
+        // (bin_id >= base — parquet row-group stats skip every pre-append
+        // file) added onto the stored rows. NEVER a full-shard digest
+        // recompute: a batch whose bins spread across all N shards would
+        // otherwise re-read the whole store on every append. Exactly-once
+        // under crash-replay without the ledger: a metadata-only row count
+        // per affected shard (count(*) reads parquet footers, not data)
+        // arbitrates whether the stored row is pre-splice (stored + delta
+        // == on disk -> add), post-splice (stored == on disk -> skip), or
+        // neither (a foreign mutation crashed mid-flight -> loud, run
+        // recertifyShards).
+        val delta = manifestOf(batchData).collect()
+          .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+          .toMap
+        val affected = delta.keys.toSeq.sorted
+        val onDisk = spark.read.parquet(s"$path/data")
+          .where(col("shard").isin(affected: _*))
+          .groupBy(col("shard").cast("long").as("shard")).count()
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        spark.catalog.refreshByPath(s"$path/manifest")
+        val storedAll = spark.read.parquet(s"$path/manifest")
+        val storedAffected = storedAll.where(col("shard").isin(affected: _*)).collect()
+          .map(r => r.getAs[Long]("shard") ->
+            ((r.getAs[Long]("n_bins"), r.getAs[Long]("n_docs"),
+              r.getAs[Long]("n_tokens"), r.getAs[Long]("digest"))))
+          .toMap
+        val spliced = affected.map { sh =>
+          val d = delta(sh)
+          val st = storedAffected.getOrElse(sh, (0L, 0L, 0L, 0L))
+          val disk = onDisk.getOrElse(sh, 0L)
+          val row =
+            if (st._1 == disk) st // a crashed prior attempt already spliced this shard
+            else if (st._1 + d._1 == disk)
+              (st._1 + d._1, st._2 + d._2, st._3 + d._3, st._4 + d._4)
+            else
+              throw new IllegalStateException(
+                s"appendShards: shard $sh has $disk bins on disk but the manifest " +
+                  s"records ${st._1} and this batch adds ${d._1} — the store was " +
+                  "mutated outside the append/retract protocol; run recertifyShards")
+          (sh, row._1, row._2, row._3, row._4)
+        }
+        import spark.implicits._
+        val untouched = storedAll.where(!col("shard").isin(affected: _*)).localCheckpoint()
+        try {
+          graft.sources.Catalog.swapIn(java.nio.file.Paths.get(s"$path/manifest")) { tmp =>
+            untouched
+              .unionByName(spliced.toDF("shard", "n_bins", "n_docs", "n_tokens", "digest"))
+              .write.mode("overwrite").parquet(tmp.toString)
+          }
+        } finally {
+          graft.util.Checkpoints.release(
+            graft.util.Checkpoints.pinnedRddIds(untouched), spark)
+        }
+        spark.catalog.refreshByPath(s"$path/manifest")
       } finally {
         graft.util.Checkpoints.release(
-          graft.util.Checkpoints.pinnedRddIds(rebased), spark)
+          graft.util.Checkpoints.pinnedRddIds(toAppend), spark)
       }
     }
 
-    // ledger row LAST: its presence certifies the whole append committed
+    // ledger row LAST: its presence certifies the whole append committed.
+    // next_after advances by the FULL batch size even when bins were
+    // dropped as a crashed attempt's replays — those ids were consumed.
     import spark.implicits._
     Seq((batchKey, base + m)).toDF("batch_key", "next_after")
       .coalesce(1).write.mode("append").parquet(s"$path/meta")
-    m
+    appended
   }
 
   /** Loader-facing CERTIFIED read of one shard (VERDICT r14 #6):

@@ -467,6 +467,21 @@ object ScaleRehearsal {
           require(bad == 0L, s"rehearsal export failed verification: $bad shards")
           bad
         }
+        // takedown DISCOVERY split out (r15, VERDICT r14 #2): the
+        // membership index is document-scale, so the indexed lookup must
+        // stay FLAT as the corpus grows; the pre-index fallback scan is
+        // timed alongside for contrast — that one reads every bin's
+        // doc_ids column and grows with the corpus, which is exactly the
+        // cost the index removes
+        measure(s"retract_discovery_indexed_x$factor") {
+          graft.operators.SequencePacking
+            .affectedShardsFor(spark, shardDir, Seq(123L)).length.toLong
+        }
+        measure(s"retract_discovery_scan_x$factor") {
+          spark.read.parquet(s"$shardDir/data")
+            .where(arrays_overlap(col("doc_ids"), array(lit(123L))))
+            .select("shard").distinct().count()
+        }
         measure(s"retract_one_doc_x$factor") {
           graft.operators.SequencePacking.retractFromShards(spark, shardDir, Seq(123L))
         }

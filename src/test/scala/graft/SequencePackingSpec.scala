@@ -456,6 +456,28 @@ class SequencePackingSpec extends AnyFunSuite {
     assert(filesAfter == filesBefore, "a replayed append must not touch the data")
     assert(snapshot(inc) == snapshot(oneShot))
 
+    // crash window: manifest spliced but the ledger row never landed —
+    // rewind the ledger to its pre-append content and replay the batch.
+    // The metadata row-count probe must recognize the already-spliced
+    // shards and apply NO second delta (the double-add hazard of an
+    // additive manifest refresh), then commit the ledger row.
+    val metaDir = new java.io.File(s"$inc/meta")
+    val savedMeta = java.nio.file.Files.createTempDirectory("graft_meta_save").toString
+    val preAppendMeta = spark.read.parquet(metaDir.getPath)
+      .where(col("batch_key") === "-").collect()
+    spark.read.parquet(metaDir.getPath).where(col("batch_key") === "-")
+      .coalesce(1).write.mode("overwrite").parquet(s"$savedMeta/m")
+    graft.sources.Catalog.swapIn(metaDir.toPath) { tmp =>
+      spark.read.parquet(s"$savedMeta/m").write.mode("overwrite").parquet(tmp.toString)
+    }
+    assert(preAppendMeta.length == 1)
+    assert(SequencePacking.appendShards(packedO, inc, batchKey = "run#1") == 0L,
+      "a crash-window replay must append no bins")
+    assert(manifestOf(inc) == manifestOf(oneShot),
+      "a replay across the manifest-before-ledger crash window must not double-add")
+    assert(snapshot(inc) == snapshot(oneShot))
+    assert(SequencePacking.verifyShards(spark, inc).collect().forall(_.getAs[Boolean]("ok")))
+
     // a second DISTINCT batch keeps extending; ids never collide
     val more = (100L to 110L).map(i => (i, 5L, (1L to 5L).map(j => i * 100 + j)))
     val packedM = SequencePacking

@@ -602,6 +602,115 @@ class StreamingSpec extends AnyFunSuite {
     assert(tok.merges.length == 3)
   }
 
+  test("stream takedown subtracts the doc's word counts from the maintained histogram; compaction keeps it that way") {
+    import graft.operators.TextAnalysis
+    val spark2 = spark
+    import spark2.implicits._
+    val base = Files.createTempDirectory("graft-stream-hist-del").toString
+    val in = s"$base/in"; val wh = s"$base/wh"; val ckpt = s"$base/ckpt"
+    val histDir = s"$base/hist"
+    Files.createDirectories(Paths.get(in))
+    val t1 = "the cat sat on the mat and the cat ate the fish"
+    val t2 = "a dog sat on a log and a dog ate a bone"
+    Files.write(Paths.get(in, "a.md"), t1.getBytes)
+    Files.write(Paths.get(in, "b.md"), t2.getBytes)
+    val ingest = new StreamingIngest(
+      spark, GraftConfig(warehouseDir = wh), wordHistPath = Some(histDir))
+    ingest.start(in, ckpt).awaitTermination()
+
+    def counts(h: TextAnalysis.WordHistogram): Map[String, Long] =
+      h.hist.where(col("freq") =!= 0L).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val cat = new Catalog(spark, wh)
+    val doomed = cat.read("documents_stream").collect()
+      .map(r => r.getAs[String]("source_path") -> r.getAs[String]("id"))
+      .find(_._1.endsWith("a.md")).get._2
+
+    // the delete's negative delta leaves exactly the survivor's counts —
+    // a tokenizer retrained from the histogram has forgotten the doc
+    assert(ingest.deleteStreamDocument(doomed) == 1L)
+    val afterDelete = counts(TextAnalysis.loadWordHistogram(spark, histDir))
+    assert(afterDelete == counts(TextAnalysis.wordHistogram(Seq(t2).toDF("value"), "value")),
+      afterDelete.toString)
+
+    // a crash-rerun of the SAME delete appends identical negative rows,
+    // which the (word, batch_key) replay key collapses — never a double
+    // subtraction
+    assert(TextAnalysis.retractWordHistogramDoc(spark, histDir, doomed) > 0L)
+    assert(counts(TextAnalysis.loadWordHistogram(spark, histDir)) == afterDelete)
+
+    // compaction folds the takedown delta into the base; a post-compact
+    // replay of the delete is a marker-guarded no-op
+    TextAnalysis.compactWordHistogram(spark, histDir)
+    assert(counts(TextAnalysis.loadWordHistogram(spark, histDir)) == afterDelete)
+    TextAnalysis.retractWordHistogramDoc(spark, histDir, doomed)
+    assert(counts(TextAnalysis.loadWordHistogram(spark, histDir)) == afterDelete)
+
+    // unknown doc: nothing appended
+    assert(TextAnalysis.retractWordHistogramDoc(spark, histDir, "no-such-doc") == 0L)
+  }
+
+  test("streamed corpus reaches the trainer shards INCREMENTALLY: export once, appendShards per batch, takedown reaches the shards") {
+    import graft.operators.{SequencePacking, TextAnalysis}
+    val spark2 = spark
+    import spark2.implicits._
+    val base = Files.createTempDirectory("graft-stream-append").toString
+    val in = s"$base/in"; val wh = s"$base/wh"; val ckpt = s"$base/ckpt"
+    val shardDir = s"$base/shards"
+    Files.createDirectories(Paths.get(in))
+    val cfg = GraftConfig(warehouseDir = wh)
+    val tok = TextAnalysis.trainBpeTokenizer(
+      (1 to 24).map(i => (i.toLong, s"tokenizer fitting document number $i with words and tokens"))
+        .toDF("id", "text"),
+      "text", rounds = 3)
+
+    Files.write(Paths.get(in, "a.md"), "# A\n\nstreaming chunks get encoded against the frozen tokenizer.".getBytes)
+    Files.write(Paths.get(in, "b.md"), "# B\n\nper batch maintenance keeps the training tensors current.".getBytes)
+    val ingest = new StreamingIngest(spark, cfg, tokenizer = Some(tok))
+    ingest.start(in, ckpt).awaitTermination()
+    val cat = new Catalog(spark, wh)
+
+    // initial export of the corpus so far (seq ids derived from content ids)
+    def packable(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("seq_id", xxhash64(col("id")))
+    def packOf(df: org.apache.spark.sql.DataFrame) = SequencePacking
+      .packSequences(packable(df), "seq_id", "n_tokens", "input_ids", budget = 64, partitions = 1)
+    SequencePacking.exportShards(packOf(cat.read("input_ids_stream")), shardDir, nShards = 2)
+    val binsBefore = spark.read.parquet(s"$shardDir/data").count()
+
+    // a new micro-batch arrives; ONLY its rows are packed and appended —
+    // the O(batch) refresh, no corpus re-export
+    Files.write(Paths.get(in, "c.md"), "# C\n\na third document arrives and extends the loader shards.".getBytes)
+    ingest.start(in, ckpt).awaitTermination()
+    val newDocId = cat.read("documents_stream").collect()
+      .map(r => r.getAs[String]("source_path") -> r.getAs[String]("id"))
+      .find(_._1.endsWith("c.md")).get._2
+    val batchRows = cat.read("input_ids_stream").where(col("document_id") === newDocId)
+    assert(batchRows.count() > 0)
+    assert(SequencePacking.appendShards(packOf(batchRows), shardDir, batchKey = "run#c") > 0L)
+
+    // the refreshed store certifies, and a loader reading every shard sees
+    // old AND new sequences exactly once
+    assert(SequencePacking.verifyShards(spark, shardDir).collect().forall(_.getAs[Boolean]("ok")))
+    val servedDocs = (0L to 1L).flatMap(sh =>
+      SequencePacking.readShard(spark, shardDir, sh).collect()
+        .flatMap(r => r.getSeq[Long](r.fieldIndex("doc_ids"))))
+    val wantDocs = packable(cat.read("input_ids_stream"))
+      .select("seq_id").collect().map(_.getLong(0))
+    assert(servedDocs.sorted == wantDocs.sorted.toSeq,
+      "the loader must see the full streamed corpus exactly once")
+    assert(spark.read.parquet(s"$shardDir/data").count() > binsBefore)
+
+    // replay of the same micro-batch appends nothing
+    assert(SequencePacking.appendShards(packOf(batchRows), shardDir, batchKey = "run#c") == 0L)
+    assert(SequencePacking.verifyShards(spark, shardDir).collect().forall(_.getAs[Boolean]("ok")))
+
+    // a takedown of a streamed chunk reaches the shards through the
+    // membership index — the streaming delete's last mile
+    val victimSeq = packable(batchRows).select("seq_id").head().getLong(0)
+    assert(SequencePacking.retractFromShards(spark, shardDir, Seq(victimSeq)) == 1L)
+    assert(SequencePacking.verifyShards(spark, shardDir).collect().forall(_.getAs[Boolean]("ok")))
+  }
+
   test("streaming batches extend a live FTS index incrementally (no rebuild)") {
     import graft.operators.FtsIndex
     val base = Files.createTempDirectory("graft-stream-fts").toString
