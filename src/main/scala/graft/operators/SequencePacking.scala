@@ -774,6 +774,102 @@ object SequencePacking {
     rows
   }
 
+  /** Small-file compaction for an [[exportShards]] store under append
+    * cadence: every [[appendShards]] lands one new parquet file per
+    * affected `shard=N` directory plus one ledger file, so a stream at
+    * micro-batch cadence grows file counts linearly — the classic
+    * small-files tax on every later scan (footers, task setup, row-group
+    * fragmentation). This verb rewrites each named shard's data and
+    * membership-index partitions into `filesPerShard` files and folds
+    * the append ledger into one file, all through the
+    * [[graft.sources.Catalog.swapIn]] swap — CONTENT-IDENTICAL by
+    * construction, which the manifest proves: the stored row is compared
+    * against a digest recompute of the rewritten files before the swap
+    * is considered done (compaction must never be able to lose a bin
+    * silently; any mismatch raises and the store is left on the
+    * already-swapped rewrite for recertifyShards to adjudicate).
+    * Ledger rows are all RETAINED (batch keys are the replay guard
+    * forever; they are tiny — one row per batch ever appended).
+    *
+    * Run at maintenance cadence like
+    * [[TextAnalysis.compactWordHistogram]] / `Pipeline.gcImages`.
+    * Returns the number of data files removed by the rewrite.
+    */
+  def compactShards(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      shards: Seq[Long] = Seq.empty,
+      filesPerShard: Int = 1
+  ): Long = {
+    require(filesPerShard >= 1, s"need filesPerShard >= 1, got $filesPerShard")
+    spark.catalog.refreshByPath(s"$path/manifest")
+    val stored = spark.read.parquet(s"$path/manifest")
+      .collect().map(r => r.getAs[Long]("shard") ->
+        ((r.getAs[Long]("n_bins"), r.getAs[Long]("n_docs"),
+          r.getAs[Long]("n_tokens"), r.getAs[Long]("digest")))).toMap
+    val targets = if (shards.nonEmpty) shards else stored.keys.toSeq.sorted
+    var removed = 0L
+    targets.foreach { sh =>
+      val dataDir = new java.io.File(s"$path/data/shard=$sh")
+      require(dataDir.isDirectory, s"compactShards: no data directory for shard $sh")
+      val before = dataDir.listFiles().count(_.getName.endsWith(".parquet"))
+      spark.catalog.refreshByPath(s"$path/data")
+      val rows = spark.read.parquet(s"$path/data")
+        .where(col("shard") === sh).drop("shard")
+        .localCheckpoint() // materialize before the swap unlinks the source files
+      try {
+        graft.sources.Catalog.swapIn(dataDir.toPath) { tmp =>
+          rows.repartition(filesPerShard).write.mode("overwrite").parquet(tmp.toString)
+        }
+        // prove content identity against the manifest BEFORE declaring done
+        spark.catalog.refreshByPath(s"$path/data")
+        val re = manifestOf(spark.read.parquet(s"$path/data").where(col("shard") === sh))
+          .collect()
+        val want = stored.getOrElse(sh,
+          throw new IllegalStateException(
+            s"compactShards: shard $sh has data but no manifest row; run recertifyShards first"))
+        require(re.length == 1 &&
+          (re(0).getLong(1), re(0).getLong(2), re(0).getLong(3), re(0).getLong(4)) == want,
+          s"compactShards: shard $sh digest drifted across the rewrite — " +
+            "refusing to certify; run recertifyShards to adjudicate")
+        val after = dataDir.listFiles().count(_.getName.endsWith(".parquet"))
+        removed += (before - after).toLong
+      } finally {
+        graft.util.Checkpoints.release(
+          graft.util.Checkpoints.pinnedRddIds(rows), spark)
+      }
+      // the membership index's matching partition gets the same treatment
+      val docsDir = new java.io.File(s"$path/docs/shard=$sh")
+      if (docsDir.isDirectory) {
+        spark.catalog.refreshByPath(s"$path/docs")
+        val idxRows = spark.read.parquet(s"$path/docs")
+          .where(col("shard") === sh).drop("shard").localCheckpoint()
+        try {
+          graft.sources.Catalog.swapIn(docsDir.toPath) { tmp =>
+            idxRows.repartition(filesPerShard).write.mode("overwrite").parquet(tmp.toString)
+          }
+        } finally {
+          graft.util.Checkpoints.release(
+            graft.util.Checkpoints.pinnedRddIds(idxRows), spark)
+        }
+      }
+    }
+    // fold the append ledger into one file (all rows retained)
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/meta"))) {
+      spark.catalog.refreshByPath(s"$path/meta")
+      val ledger = spark.read.parquet(s"$path/meta").localCheckpoint()
+      try {
+        graft.sources.Catalog.swapIn(java.nio.file.Paths.get(s"$path/meta")) { tmp =>
+          ledger.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        }
+      } finally {
+        graft.util.Checkpoints.release(
+          graft.util.Checkpoints.pinnedRddIds(ledger), spark)
+      }
+    }
+    removed
+  }
+
   /** Which shards carry any of `docIds` — the takedown DISCOVERY step.
     * Resolved from the `path/docs` membership index when present
     * (index-scale: one row per document, never the corpus) and measured

@@ -491,6 +491,39 @@ class SequencePackingSpec extends AnyFunSuite {
     assert(SequencePacking.verifyShards(spark, inc).collect().forall(_.getAs[Boolean]("ok")))
   }
 
+  test("compactShards: append-cadence small files fold to one per shard, content-identical, replay guard intact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_shards_cmpt").toString
+    val all = boundaryDocs
+    val third = all.length / 3
+    def packOf(docs: Seq[(Long, Long, Seq[Long])]) = SequencePacking
+      .packSequences(docs.toDF("id", "tok", "ids"), "id", "tok", "ids", budget = 40, partitions = 1)
+    SequencePacking.exportShards(packOf(all.take(third)), dir, nShards = 2)
+    assert(SequencePacking.appendShards(packOf(all.slice(third, 2 * third)), dir, "b1") > 0L)
+    assert(SequencePacking.appendShards(packOf(all.drop(2 * third)), dir, "b2") > 0L)
+
+    def files(sub: String) = new java.io.File(s"$dir/$sub").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(files("data/shard=0") >= 2, "fixture: appends must have fragmented the shard")
+    def snapshot() = spark.read.parquet(s"$dir/data").collect()
+      .map(r => (r.getAs[Long]("bin_id"), r.getAs[Long]("n_docs"), r.getAs[Long]("bin_tokens"),
+        r.getSeq[Long](r.fieldIndex("input_ids")), r.getSeq[Long](r.fieldIndex("doc_ids"))))
+      .sortBy(_._1).toSeq
+    val before = snapshot()
+
+    assert(SequencePacking.compactShards(spark, dir) > 0L)
+    assert(files("data/shard=0") == 1 && files("data/shard=1") == 1)
+    assert(files("meta") == 1)
+    assert(snapshot() == before, "compaction must be content-identical")
+    assert(SequencePacking.verifyShards(spark, dir).collect().forall(_.getAs[Boolean]("ok")))
+
+    // ledger rows survive: a replayed batch is still a no-op
+    assert(SequencePacking.appendShards(packOf(all.drop(2 * third)), dir, "b2") == 0L)
+    // and the store stays fully operable: takedown + certified read
+    assert(SequencePacking.retractFromShards(spark, dir, Seq(5L)) == 1L)
+    assert(SequencePacking.verifyShards(spark, dir).collect().forall(_.getAs[Boolean]("ok")))
+    assert(SequencePacking.readShard(spark, dir, 0L).count() > 0L)
+  }
+
   test("readShard: certified read returns the shard's rows; tampering fails loudly at read time") {
     val dir = java.nio.file.Files.createTempDirectory("graft_shards_read").toString
     val df = boundaryDocs.toDF("id", "tok", "ids")
