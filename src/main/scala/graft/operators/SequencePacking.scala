@@ -319,7 +319,8 @@ object SequencePacking {
       packed: DataFrame,
       path: String,
       nShards: Int,
-      shardCol: String = ""
+      shardCol: String = "",
+      stampKey: String = "-"
   ): DataFrame = {
     require(nShards >= 1, s"need nShards >= 1, got $nShards")
     val spark = packed.sparkSession
@@ -339,7 +340,12 @@ object SequencePacking {
       .write.mode("overwrite").partitionBy("shard").parquet(s"$path/docs")
     val nextBin = written.agg(coalesce(max("bin_id") + 1L, lit(0L))).head().getLong(0)
     import spark.implicits._
-    Seq(("-", nextBin)).toDF("batch_key", "next_after")
+    // `stampKey` lets the CREATING batch identify itself in the ledger
+    // (default "-", the plain-export stamp): a streamed ingest whose
+    // first micro-batch creates the store passes its replay key here, so
+    // a crash-replay of that batch short-circuits in appendShards
+    // instead of appending the store's own founding content again
+    Seq((stampKey, nextBin)).toDF("batch_key", "next_after")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
     manifestOf(written).write.mode("overwrite").parquet(s"$path/manifest")
     spark.read.parquet(s"$path/manifest")
@@ -651,6 +657,12 @@ object SequencePacking {
       // pin: the append below extends the very directory this anti-join
       // reads — materialize before writing, never re-read mid-append
       val toAppend = rebased.join(landed, Seq("bin_id"), "left_anti").localCheckpoint()
+      // toAppend's eager checkpoint cut the lineage to withGlobalRank's
+      // internal range-partition pin — release it NOW: this verb runs
+      // once per micro-batch on a stream, and a weeks-long deployment
+      // must not accumulate one pinned RDD per append
+      graft.util.Checkpoints.release(
+        graft.util.Checkpoints.pinnedRddIds(ranked), spark)
       try {
         appended = toAppend.count()
         toAppend.write.mode("append").partitionBy("shard").parquet(s"$path/data")
@@ -726,6 +738,10 @@ object SequencePacking {
         graft.util.Checkpoints.release(
           graft.util.Checkpoints.pinnedRddIds(toAppend), spark)
       }
+    } else {
+      // nothing to append, but the rank helper's internal pin still exists
+      graft.util.Checkpoints.release(
+        graft.util.Checkpoints.pinnedRddIds(ranked), spark)
     }
 
     // ledger row LAST: its presence certifies the whole append committed.

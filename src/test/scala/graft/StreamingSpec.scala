@@ -649,6 +649,74 @@ class StreamingSpec extends AnyFunSuite {
     assert(TextAnalysis.retractWordHistogramDoc(spark, histDir, "no-such-doc") == 0L)
   }
 
+  test("shard store as a FIRST-CLASS ingest sink: founding batch exports, later batches append, delete retracts, replay no-ops") {
+    import graft.operators.{SequencePacking, TextAnalysis}
+    val spark2 = spark
+    import spark2.implicits._
+    val base = Files.createTempDirectory("graft-stream-sink").toString
+    val in = s"$base/in"; val wh = s"$base/wh"; val ckpt = s"$base/ckpt"
+    val sp = s"$base/shards"
+    Files.createDirectories(Paths.get(in))
+    val cfg = GraftConfig(warehouseDir = wh)
+    val tok = TextAnalysis.trainBpeTokenizer(
+      (1 to 24).map(i => (i.toLong, s"tokenizer fitting document number $i with words and tokens"))
+        .toDF("id", "text"),
+      "text", rounds = 3)
+
+    // misconfiguration is loud at construction: a shard store without a tokenizer
+    intercept[IllegalArgumentException] {
+      new StreamingIngest(spark, cfg, shardStorePath = Some(sp))
+    }
+
+    val aBytes = "# A\n\nthe founding batch creates the loader store.".getBytes
+    Files.write(Paths.get(in, "a.md"), aBytes)
+    Files.write(Paths.get(in, "b.md"), "# B\n\na sibling document rides the same founding batch.".getBytes)
+    val ingest = new StreamingIngest(spark, cfg,
+      tokenizer = Some(tok), shardStorePath = Some(sp), shardStoreShards = 2, shardStoreBudget = 64)
+    ingest.start(in, ckpt).awaitTermination()
+    val cat = new Catalog(spark, wh)
+
+    def servedSeqIds(): Seq[Long] = spark.read.parquet(s"$sp/manifest")
+      .select("shard").collect().map(_.getLong(0)).sorted
+      .flatMap(sh => SequencePacking.readShard(spark, sp, sh).collect()
+        .flatMap(r => r.getSeq[Long](r.fieldIndex("doc_ids")))).sorted.toSeq
+    def tableSeqIds(): Seq[Long] = cat.read("input_ids_stream")
+      .select(xxhash64(col("id"))).collect().map(_.getLong(0)).sorted.toSeq
+    assert(SequencePacking.verifyShards(spark, sp).collect().forall(_.getAs[Boolean]("ok")))
+    assert(servedSeqIds() == tableSeqIds(), "founding export must cover the encoded corpus")
+
+    // a later micro-batch APPENDS (no re-export): the founding bins'
+    // files are untouched on disk
+    val filesBefore = new java.io.File(s"$sp/data").listFiles().flatMap(d =>
+      Option(d.listFiles()).getOrElse(Array.empty).map(f => f.getPath -> f.lastModified())).toMap
+    Files.write(Paths.get(in, "c.md"), "# C\n\na second batch extends the store incrementally.".getBytes)
+    ingest.start(in, ckpt).awaitTermination()
+    assert(SequencePacking.verifyShards(spark, sp).collect().forall(_.getAs[Boolean]("ok")))
+    assert(servedSeqIds() == tableSeqIds(), "append must keep loader == table")
+    val filesAfter = new java.io.File(s"$sp/data").listFiles().flatMap(d =>
+      Option(d.listFiles()).getOrElse(Array.empty).map(f => f.getPath -> f.lastModified())).toMap
+    filesBefore.foreach { case (p, m) =>
+      assert(filesAfter.get(p).contains(m), s"founding file $p was rewritten by an append")
+    }
+
+    // a checkpoint replay of already-committed content changes nothing
+    val storeSnapshot = servedSeqIds()
+    ingest.ingestBatch(
+      Seq((new String(aBytes, "UTF-8"), s"file://$in/a.md")).toDF("value", "path"),
+      0L, runToken = ckpt)
+    assert(servedSeqIds() == storeSnapshot, "replayed content must not re-pack")
+
+    // the delete verb reaches the store: the victim's sequences vanish,
+    // the rest stay served, certification stays green
+    val doomed = cat.read("documents_stream").collect()
+      .map(r => r.getAs[String]("source_path") -> r.getAs[String]("id"))
+      .find(_._1.endsWith("a.md")).get._2
+    assert(ingest.deleteStreamDocument(doomed) == 1L)
+    assert(SequencePacking.verifyShards(spark, sp).collect().forall(_.getAs[Boolean]("ok")))
+    assert(servedSeqIds() == tableSeqIds(), "post-delete loader must equal the purged table")
+    assert(servedSeqIds().nonEmpty, "survivors must keep serving")
+  }
+
   test("streamed corpus reaches the trainer shards INCREMENTALLY: export once, appendShards per batch, takedown reaches the shards") {
     import graft.operators.{SequencePacking, TextAnalysis}
     val spark2 = spark
