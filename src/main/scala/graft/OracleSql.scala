@@ -180,6 +180,33 @@ object OracleSql {
        |  GROUP BY t.doc_id)""".stripMargin
   }
 
+  /** The shared schedule base of the LoaderSchedule twins: the
+    * q_pack_ids next-fit recurrence folded to per-bin token totals,
+    * sharded bin_id % 4 (the exportShards layout the engine side
+    * builds), each bin keyed by its 'ep1' epoch permutation digest.
+    * Yields `sched(shard, bin_id, n_tokens, k)`. Requires `docids`
+    * ([[bpeIdsCtes]]) in scope.
+    */
+  private val packBinsCtes: String =
+    s"""d AS MATERIALIZED (
+       |  SELECT n_tokens AS tok,
+       |         ROW_NUMBER() OVER (ORDER BY doc_id) AS rn
+       |  FROM docids),
+       |pack AS (
+       |  SELECT rn, tok, CAST(0 AS BIGINT) AS bin_id, tok AS bin_run FROM d WHERE rn = 1
+       |  UNION ALL
+       |  SELECT d.rn, d.tok,
+       |         CASE WHEN p.bin_run + d.tok > 2048 THEN p.bin_id + 1 ELSE p.bin_id END,
+       |         CASE WHEN p.bin_run + d.tok > 2048 THEN d.tok ELSE p.bin_run + d.tok END
+       |  FROM pack p JOIN d ON d.rn = p.rn + 1),
+       |bins AS (
+       |  SELECT bin_id, CAST(SUM(tok) AS BIGINT) AS n_tokens
+       |  FROM pack GROUP BY bin_id),
+       |sched AS (
+       |  SELECT bin_id % 4 AS shard, bin_id, n_tokens,
+       |         md5('ep1:' || CAST(bin_id AS VARCHAR)) AS k
+       |  FROM bins)""".stripMargin
+
   /** One unrolled BPE merge round (the TextAnalysis.trainBpe twin —
     * the kmeansCtes recipe). Per round r: pair stats over the segmented
     * vocabulary (p_r), weighted argmax with lexicographic tie-break
@@ -1893,6 +1920,106 @@ object OracleSql {
          |FROM pack p JOIN d USING (rn)
          |WHERE p.bin_id % 4 = 2
          |GROUP BY p.bin_id ORDER BY bin_id""".stripMargin,
+
+    "q_epoch_schedule" ->
+      // LoaderSchedule.epochSchedule twin: bins from the q_pack_ids
+      // recurrence, permuted by md5('ep1:' || bin_id) (Spark and DuckDB
+      // agree on the lowercase hex and on binary string ordering), with
+      // the exact inclusive running token total — the epoch consumption
+      // order and the checkpoint cursor, re-derived independently
+      s"""WITH RECURSIVE $bpeIdsCtes,
+         |$packBinsCtes
+         |SELECT CAST(ROW_NUMBER() OVER (ORDER BY s.k, s.bin_id) AS BIGINT) AS ord,
+         |       s.shard, s.bin_id, s.n_tokens,
+         |       CAST(SUM(s.n_tokens) OVER (ORDER BY s.k, s.bin_id
+         |              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+         |FROM sched s ORDER BY ord""".stripMargin,
+
+    "q_epoch_resume" ->
+      // LoaderSchedule.resumeFrom twin: the epoch schedule filtered to
+      // cum_tokens past half the store's total (integer-truncated on
+      // both sides) — the unconsumed tail after a mid-epoch checkpoint,
+      // in unchanged epoch order
+      s"""WITH RECURSIVE $bpeIdsCtes,
+         |$packBinsCtes,
+         |sched2 AS (
+         |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY s.k, s.bin_id) AS BIGINT) AS ord,
+         |         s.shard, s.bin_id, s.n_tokens,
+         |         CAST(SUM(s.n_tokens) OVER (ORDER BY s.k, s.bin_id
+         |                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+         |  FROM sched s)
+         |SELECT ord, shard, bin_id, n_tokens, cum_tokens FROM sched2
+         |WHERE cum_tokens > (SELECT MAX(cum_tokens) // 2 FROM sched2)
+         |ORDER BY ord""".stripMargin,
+
+    "q_worker_slices" ->
+      // LoaderSchedule.workerSlices twin: the epoch schedule dealt
+      // round-robin on ord to 3 workers — per worker the bin count,
+      // token total, and the bin membership csv IN EPOCH ORDER, pinning
+      // both the balance and the deal
+      s"""WITH RECURSIVE $bpeIdsCtes,
+         |$packBinsCtes,
+         |sched2 AS (
+         |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY s.k, s.bin_id) AS BIGINT) AS ord,
+         |         s.bin_id, s.n_tokens
+         |  FROM sched s)
+         |SELECT CAST((ord - 1) % 3 AS BIGINT) AS worker,
+         |       CAST(COUNT(*) AS BIGINT) AS n_bins,
+         |       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+         |       string_agg(CAST(bin_id AS VARCHAR), ',' ORDER BY ord) AS bin_ids
+         |FROM sched2 GROUP BY 1 ORDER BY worker""".stripMargin,
+
+    "q_mixture_schedule" ->
+      // LoaderSchedule.mixtureSchedule twin: the even docs' store at
+      // weight 3 and the odd docs' at weight 1, each domain ranked by
+      // its own md5-keyed epoch order, interleaved by integer virtual
+      // time k * lcm/w (even: k*1, odd: k*3), ties (domain, k) — the
+      // weighted-fair-queuing interleave with its combined running
+      // token total, re-derived to the bit
+      s"""WITH RECURSIVE $bpeIdsCtes,
+         |de AS MATERIALIZED (
+         |  SELECT n_tokens AS tok,
+         |         ROW_NUMBER() OVER (ORDER BY doc_id) AS rn
+         |  FROM docids WHERE doc_id % 2 = 0),
+         |packe AS (
+         |  SELECT rn, tok, CAST(0 AS BIGINT) AS bin_id, tok AS bin_run FROM de WHERE rn = 1
+         |  UNION ALL
+         |  SELECT d.rn, d.tok,
+         |         CASE WHEN p.bin_run + d.tok > 2048 THEN p.bin_id + 1 ELSE p.bin_id END,
+         |         CASE WHEN p.bin_run + d.tok > 2048 THEN d.tok ELSE p.bin_run + d.tok END
+         |  FROM packe p JOIN de d ON d.rn = p.rn + 1),
+         |dd AS MATERIALIZED (
+         |  SELECT n_tokens AS tok,
+         |         ROW_NUMBER() OVER (ORDER BY doc_id) AS rn
+         |  FROM docids WHERE doc_id % 2 = 1),
+         |packo AS (
+         |  SELECT rn, tok, CAST(0 AS BIGINT) AS bin_id, tok AS bin_run FROM dd WHERE rn = 1
+         |  UNION ALL
+         |  SELECT d.rn, d.tok,
+         |         CASE WHEN p.bin_run + d.tok > 2048 THEN p.bin_id + 1 ELSE p.bin_id END,
+         |         CASE WHEN p.bin_run + d.tok > 2048 THEN d.tok ELSE p.bin_run + d.tok END
+         |  FROM packo p JOIN dd d ON d.rn = p.rn + 1),
+         |ke AS (
+         |  SELECT 'even' AS domain, b.bin_id % 4 AS shard, b.bin_id, b.n_tokens,
+         |         CAST(ROW_NUMBER() OVER (
+         |           ORDER BY md5('mix1:' || CAST(b.bin_id AS VARCHAR)), b.bin_id) AS BIGINT) AS krank
+         |  FROM (SELECT bin_id, CAST(SUM(tok) AS BIGINT) AS n_tokens
+         |        FROM packe GROUP BY bin_id) b),
+         |ko AS (
+         |  SELECT 'odd' AS domain, b.bin_id % 4 AS shard, b.bin_id, b.n_tokens,
+         |         CAST(ROW_NUMBER() OVER (
+         |           ORDER BY md5('mix1:' || CAST(b.bin_id AS VARCHAR)), b.bin_id) AS BIGINT) AS krank
+         |  FROM (SELECT bin_id, CAST(SUM(tok) AS BIGINT) AS n_tokens
+         |        FROM packo GROUP BY bin_id) b),
+         |u AS (
+         |  SELECT domain, shard, bin_id, n_tokens, krank,
+         |         krank * CASE WHEN domain = 'even' THEN 1 ELSE 3 END AS vt
+         |  FROM (SELECT * FROM ke UNION ALL SELECT * FROM ko))
+         |SELECT CAST(ROW_NUMBER() OVER (ORDER BY vt, domain, krank) AS BIGINT) AS ord,
+         |       domain, shard, bin_id, n_tokens,
+         |       CAST(SUM(n_tokens) OVER (ORDER BY vt, domain, krank
+         |              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+         |FROM u ORDER BY ord""".stripMargin,
 
     "q_stratified_sample" -> {
       // mirrors Sampling.hashBucket: first 6 md5 nibbles as int, mod 100

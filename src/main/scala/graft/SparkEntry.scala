@@ -2817,6 +2817,95 @@ object SparkEntry {
       .orderBy("bin_id")
   }
 
+  /** The shared store-build for the LoaderSchedule queries: the
+    * q_shard_manifest corpus (doc_id < 120, 3-round BPE, budget-2048
+    * pack) exported under 4 shards at `prefix`'s tmp path.
+    */
+  private def scheduleStore(s: SparkSession, dir: String, prefix: String,
+      docFilter: Column = lit(true)): String = {
+    val docs = t(s, dir, "documents").where(col("doc_id") < 120 && docFilter)
+    val tok = TextAnalysis.trainBpeTokenizer(
+      t(s, dir, "documents").where(col("doc_id") < 120), "text", rounds = 3)
+    val enc = TextAnalysis.bpeEncodeIds(tok, docs, "doc_id", "text")
+    val packed = graft.operators.SequencePacking
+      .packSequences(enc, "doc_id", "n_tokens", "input_ids", budget = 2048, partitions = 1)
+    val path = tmpIndexPath(prefix, dir)
+    graft.operators.SequencePacking.exportShards(packed, path, nShards = 4)
+    path
+  }
+
+  /** Deterministic epoch schedule over a certified shard store
+    * (LoaderSchedule.epochSchedule): one row per packed bin in the
+    * md5(seed:bin_id)-keyed permutation order, with the exact running
+    * token total — the order a training epoch consumes the store in and
+    * the cursor (`cum_tokens`) a checkpoint persists. The oracle
+    * re-derives the permutation and the running sum from the pack
+    * recurrence with the same md5 key, so a single transposed bin, a
+    * wrong token count, or a drifting cumulative anywhere in the epoch
+    * breaks the hash. The engine path also CERTIFIES the store's totals
+    * against its manifest before scheduling.
+    */
+  private def qEpochSchedule(s: SparkSession, dir: String): DataFrame = {
+    val path = scheduleStore(s, dir, "graft_sched")
+    graft.operators.LoaderSchedule.epochSchedule(s, path, "ep1")
+      .orderBy("ord")
+  }
+
+  /** Mid-epoch resume (LoaderSchedule.resumeFrom): the unconsumed tail
+    * of the epoch schedule after a trainer checkpointed at half the
+    * store's tokens — exactly the bins whose inclusive running total
+    * exceeds the cursor, in unchanged epoch order. Pure filter on the
+    * schedule (consumed prefix ∪ resume == the whole epoch by
+    * construction); the oracle applies the same half-total cursor to
+    * its re-derived schedule.
+    */
+  private def qEpochResume(s: SparkSession, dir: String): DataFrame = {
+    val path = scheduleStore(s, dir, "graft_sched")
+    val sched = graft.operators.LoaderSchedule.epochSchedule(s, path, "ep1")
+    val half = sched.agg(max("cum_tokens")).head().getLong(0) / 2L
+    graft.operators.LoaderSchedule.resumeFrom(sched, half).orderBy("ord")
+  }
+
+  /** Loader-worker slicing (LoaderSchedule.workerSlices): the epoch
+    * schedule dealt round-robin to 3 workers — per worker the bin
+    * count, token total, and the exact bin membership IN EPOCH ORDER
+    * (csv), so the hash pins both the balance (sizes differ by at most
+    * one bin) and the deal itself. Re-slicing to a different worker
+    * count is a metadata re-map of `ord`, never a reshuffle.
+    */
+  private def qWorkerSlices(s: SparkSession, dir: String): DataFrame = {
+    val path = scheduleStore(s, dir, "graft_sched")
+    val sched = graft.operators.LoaderSchedule.epochSchedule(s, path, "ep1")
+    graft.operators.LoaderSchedule.workerSlices(sched, 3)
+      .groupBy("worker")
+      .agg(
+        count(lit(1)).as("n_bins"),
+        sum("n_tokens").as("n_tokens"),
+        concat_ws(",",
+          transform(sort_array(collect_list(struct(col("ord"), col("bin_id")))),
+            x => x.getField("bin_id").cast("string"))).as("bin_ids"))
+      .orderBy("worker")
+  }
+
+  /** Deterministic domain-mixture interleave
+    * (LoaderSchedule.mixtureSchedule): the even documents' store at
+    * weight 3 and the odd documents' at weight 1, merged by integer
+    * virtual time `k * lcm/w` over each domain's own epoch-shuffled
+    * bin order — weighted fair queuing, so every prefix of the combined
+    * schedule serves the domains 3:1 up to rounding. The oracle builds
+    * both pack recurrences, ranks each domain by the same md5 key, and
+    * re-derives the identical interleave with the identical running
+    * token total; a single out-of-proportion prefix reorders rows and
+    * breaks the hash.
+    */
+  private def qMixtureSchedule(s: SparkSession, dir: String): DataFrame = {
+    val pathE = scheduleStore(s, dir, "graft_mix_e", col("doc_id") % 2 === 0)
+    val pathO = scheduleStore(s, dir, "graft_mix_o", col("doc_id") % 2 === 1)
+    graft.operators.LoaderSchedule.mixtureSchedule(
+        s, Seq(("even", pathE, 3L), ("odd", pathO, 1L)), "mix1")
+      .orderBy("ord")
+  }
+
   /** Maintained-histogram lifecycle (TextAnalysis.WordHistogram): build
     * the tokenizer training corpus as a persisted word histogram — write
     * the EVEN doc_ids' counts, APPEND the odd half as an O(batch) delta,
@@ -3280,6 +3369,10 @@ object SparkEntry {
     "q_pack_sep" -> (qPackSep _),
     "q_shard_append" -> (qShardAppend _),
     "q_read_shard" -> (qReadShard _),
+    "q_epoch_schedule" -> (qEpochSchedule _),
+    "q_epoch_resume" -> (qEpochResume _),
+    "q_worker_slices" -> (qWorkerSlices _),
+    "q_mixture_schedule" -> (qMixtureSchedule _),
     "q_datasheet" -> (qDatasheet _),
     "q_wordpiece_persisted" -> (qWordpiecePersisted _),
     "q_unigram_persisted" -> (qUnigramPersisted _),

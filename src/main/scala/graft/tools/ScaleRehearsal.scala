@@ -467,6 +467,15 @@ object ScaleRehearsal {
           require(bad == 0L, s"rehearsal export failed verification: $bad shards")
           bad
         }
+        // loader scheduling (r15): the epoch schedule orders BIN METADATA
+        // only — a pruned (shard, bin_id, bin_tokens) scan + one range
+        // shuffle of those rows — so its cost must track the BIN count
+        // (corpus tokens / 2048), never the packed id bytes; max(cum)
+        // forces the full rank+prefix pass through every bin
+        measure(s"epoch_schedule_x$factor") {
+          graft.operators.LoaderSchedule.epochSchedule(spark, shardDir, "ep")
+            .agg(max("cum_tokens")).head().getLong(0)
+        }
         // takedown DISCOVERY split out (r15, VERDICT r14 #2): the
         // membership index is document-scale, so the indexed lookup must
         // stay FLAT as the corpus grows; the pre-index fallback scan is

@@ -1,0 +1,167 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{LoaderSchedule, SequencePacking}
+
+class LoaderScheduleSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def docs(n: Long, salt: Long = 0L) = (1L to n)
+    .map(i => (i, (i * 37 % 17) + 3 + salt))
+    .map { case (i, tok) => (i, tok, (1L to tok).map(j => i * 100 + j)) }
+
+  private def freshStore(prefix: String, n: Long = 60L, nShards: Int = 4,
+      salt: Long = 0L): String = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix).toString
+    val df = docs(n, salt).toDF("id", "tok", "ids")
+    val packed = SequencePacking.packSequences(df, "id", "tok", "ids", budget = 40, partitions = 2)
+    SequencePacking.exportShards(packed, dir, nShards = nShards)
+    dir
+  }
+
+  test("epochSchedule: a certified permutation of every bin, exact running totals, seed-keyed") {
+    val dir = freshStore("graft_lsched")
+    val bins = spark.read.parquet(s"$dir/data")
+      .select(col("bin_id"), col("bin_tokens")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val sched = LoaderSchedule.epochSchedule(spark, dir, "epoch-0").orderBy("ord").collect()
+
+    // a permutation: every bin exactly once, ord dense 1..n
+    assert(sched.map(_.getAs[Long]("bin_id")).toSet == bins.keySet)
+    assert(sched.map(_.getAs[Long]("ord")).toSeq == (1L to bins.size).toSeq)
+    // tokens carried faithfully and cum exact at every position
+    var run = 0L
+    sched.foreach { r =>
+      assert(r.getAs[Long]("n_tokens") == bins(r.getAs[Long]("bin_id")))
+      run += r.getAs[Long]("n_tokens")
+      assert(r.getAs[Long]("cum_tokens") == run, s"cum drift at ord ${r.getAs[Long]("ord")}")
+    }
+    assert(run == bins.values.sum)
+    // shard rides through (= bin_id % 4, the export layout)
+    sched.foreach(r => assert(r.getAs[Long]("shard") == r.getAs[Long]("bin_id") % 4))
+
+    // deterministic: same seed -> identical schedule (and partition-count independent)
+    val again = LoaderSchedule.epochSchedule(spark, dir, "epoch-0", partitions = 7)
+      .orderBy("ord").collect()
+    assert(sched.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+    // a different seed is a different permutation (overwhelmingly)
+    val other = LoaderSchedule.epochSchedule(spark, dir, "epoch-1").orderBy("ord").collect()
+    assert(other.map(_.getAs[Long]("bin_id")).toSeq != sched.map(_.getAs[Long]("bin_id")).toSeq)
+    // ...but the same SET of bins and the same total
+    assert(other.map(_.getAs[Long]("bin_id")).toSet == bins.keySet)
+    assert(other.last.getAs[Long]("cum_tokens") == run)
+  }
+
+  test("resumeFrom: consumed prefix and resumed tail partition the epoch exactly") {
+    val dir = freshStore("graft_lresume")
+    val sched = LoaderSchedule.epochSchedule(spark, dir, "ep")
+    val total = sched.agg(max("cum_tokens")).head().getLong(0)
+    // cursors at a bin boundary, mid-stream, zero, and past-the-end
+    val boundary = sched.orderBy("ord").collect()(2).getAs[Long]("cum_tokens")
+    Seq(0L, boundary, boundary + 1L, total, total + 5L).foreach { cursor =>
+      val tail = LoaderSchedule.resumeFrom(sched, cursor).orderBy("ord").collect()
+      val full = sched.orderBy("ord").collect()
+      val consumed = full.takeWhile(_.getAs[Long]("cum_tokens") <= cursor)
+      assert(consumed.map(_.toSeq).toSeq ++ tail.map(_.toSeq).toSeq == full.map(_.toSeq).toSeq,
+        s"prefix ∪ tail != epoch at cursor $cursor")
+    }
+    // a cursor mid-bin re-reads that bin (its cum exceeds the cursor)
+    val tailMid = LoaderSchedule.resumeFrom(sched, boundary - 1L).orderBy("ord").head()
+    assert(tailMid.getAs[Long]("cum_tokens") == boundary)
+  }
+
+  test("workerSlices: balanced round-robin deal, each slice in epoch order, re-deal is a re-map") {
+    val dir = freshStore("graft_lworkers")
+    val sched = LoaderSchedule.epochSchedule(spark, dir, "ep")
+    val n = sched.count()
+    Seq(1, 3, 7).foreach { w =>
+      val sliced = LoaderSchedule.workerSlices(sched, w).collect()
+      val byWorker = sliced.groupBy(_.getAs[Long]("worker"))
+      assert(byWorker.keySet == (0L until math.min(w.toLong, n)).toSet)
+      val sizes = byWorker.values.map(_.length)
+      assert(sizes.max - sizes.min <= 1, s"unbalanced deal at $w workers: $sizes")
+      // the union is the schedule, each slice strictly increasing in ord
+      assert(sliced.map(_.getAs[Long]("ord")).sorted.toSeq == (1L to n).toSeq)
+      byWorker.values.foreach { slice =>
+        val ords = slice.map(_.getAs[Long]("ord")).sorted
+        assert(ords.zip(ords.tail).forall { case (a, b) => b == a + w }, "not a round-robin deal")
+      }
+    }
+  }
+
+  test("mixtureSchedule: weight-faithful prefixes, every bin once, resume/workers compose") {
+    val dirA = freshStore("graft_lmix_a", n = 90L)
+    val dirB = freshStore("graft_lmix_b", n = 30L, salt = 2L)
+    val sched = LoaderSchedule.mixtureSchedule(
+      spark, Seq(("a", dirA, 3L), ("b", dirB, 1L)), "mix").orderBy("ord").collect()
+
+    val nA = spark.read.parquet(s"$dirA/data").count()
+    val nB = spark.read.parquet(s"$dirB/data").count()
+    assert(sched.length == (nA + nB).toInt)
+    // every bin of each store appears exactly once under its domain
+    assert(sched.count(_.getAs[String]("domain") == "a") == nA.toInt)
+    assert(sched.count(_.getAs[String]("domain") == "b") == nB.toInt)
+    // weighted-fair prefixes: while both domains still have bins, every
+    // prefix serves a:b at 3:1 within one scheduling quantum
+    var servedA = 0L
+    var servedB = 0L
+    sched.foreach { r =>
+      if (r.getAs[String]("domain") == "a") servedA += 1 else servedB += 1
+      if (servedA < nA && servedB < nB) {
+        // virtual-time bound: |servedA - 3*servedB| stays within one round of the 3:1 cycle
+        assert(math.abs(servedA - 3L * servedB) <= 3L,
+          s"prefix drifted from 3:1 at ord ${r.getAs[Long]("ord")}: a=$servedA b=$servedB")
+      }
+    }
+    // cum_tokens is the combined running total
+    var run = 0L
+    sched.foreach { r =>
+      run += r.getAs[Long]("n_tokens")
+      assert(r.getAs[Long]("cum_tokens") == run)
+    }
+    // determinism + composition with resumeFrom
+    val sched2 = LoaderSchedule.mixtureSchedule(
+      spark, Seq(("a", dirA, 3L), ("b", dirB, 1L)), "mix")
+    val tail = LoaderSchedule.resumeFrom(sched2, run / 2L).orderBy("ord").collect()
+    assert(tail.map(_.toSeq).toSeq ==
+      sched.dropWhile(_.getAs[Long]("cum_tokens") <= run / 2L).map(_.toSeq).toSeq)
+
+    // weights are ratios: an un-reducible lcm is refused loudly
+    val big = intercept[IllegalArgumentException] {
+      LoaderSchedule.mixtureSchedule(
+        spark, Seq(("a", dirA, 2147483647L), ("b", dirB, 2147483646L)), "mix")
+    }
+    assert(big.getMessage.contains("lcm"))
+  }
+
+  test("schedules refuse an uncertified store, and cover appended bins once healthy") {
+    val dir = freshStore("graft_lcert")
+    val before = LoaderSchedule.epochSchedule(spark, dir, "ep").count()
+
+    // grow the store incrementally: the next epoch covers old + new bins
+    val extra = docs(20L, salt = 7L).map { case (i, t, ids) => (i + 1000L, t, ids) }
+      .toDF("id", "tok", "ids")
+    val packedExtra = SequencePacking.packSequences(extra, "id", "tok", "ids", budget = 40, partitions = 1)
+    SequencePacking.appendShards(packedExtra, dir, batchKey = "spec#grow")
+    val after = LoaderSchedule.epochSchedule(spark, dir, "ep").orderBy("ord").collect()
+    assert(after.length > before.toInt, "appended bins missing from the next epoch")
+    assert(after.map(_.getAs[Long]("ord")).toSeq == (1L to after.length).toSeq)
+    assert(after.map(_.getAs[Long]("bin_id")).distinct.length == after.length)
+
+    // corrupt the store (drop a data file); scheduling must fail LOUDLY
+    val victim = new java.io.File(s"$dir/data/shard=1").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    assert(victim.delete())
+    val ex = intercept[IllegalArgumentException] {
+      LoaderSchedule.epochSchedule(spark, dir, "ep").count()
+    }
+    assert(ex.getMessage.contains("FAILS certification"))
+    // recertify adjudicates; scheduling works again over what remains
+    SequencePacking.recertifyShards(spark, dir)
+    val healed = LoaderSchedule.epochSchedule(spark, dir, "ep")
+    assert(healed.count() < after.length.toLong)
+  }
+}
