@@ -1952,6 +1952,36 @@ object OracleSql {
          |WHERE cum_tokens > (SELECT MAX(cum_tokens) // 2 FROM sched2)
          |ORDER BY ord""".stripMargin,
 
+    "q_epoch_plan" ->
+      // LoaderSchedule.epochPlan twin: two independent epoch
+      // permutations of the same bins (keys 'pl/1:', 'pl/2:'),
+      // concatenated with globally continuing ord (+n_bins) and
+      // cum_tokens (+total) — a multi-pass trainer's checkpoint
+      // coordinates, re-derived offset-exact
+      s"""WITH RECURSIVE $bpeIdsCtes,
+         |$packBinsCtes,
+         |nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |              CAST(SUM(n_tokens) AS BIGINT) AS tot FROM bins),
+         |e1 AS (
+         |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY k, bin_id) AS BIGINT) AS ord,
+         |         CAST(1 AS BIGINT) AS epoch, shard, bin_id, n_tokens,
+         |         CAST(SUM(n_tokens) OVER (ORDER BY k, bin_id
+         |                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+         |  FROM (SELECT bin_id % 4 AS shard, bin_id, n_tokens,
+         |               md5('pl/1:' || CAST(bin_id AS VARCHAR)) AS k FROM bins)),
+         |e2 AS (
+         |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY k, bin_id) AS BIGINT)
+         |           + (SELECT n FROM nb) AS ord,
+         |         CAST(2 AS BIGINT) AS epoch, shard, bin_id, n_tokens,
+         |         CAST(SUM(n_tokens) OVER (ORDER BY k, bin_id
+         |                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         |           + (SELECT tot FROM nb) AS cum_tokens
+         |  FROM (SELECT bin_id % 4 AS shard, bin_id, n_tokens,
+         |               md5('pl/2:' || CAST(bin_id AS VARCHAR)) AS k FROM bins))
+         |SELECT ord, epoch, shard, bin_id, n_tokens, cum_tokens
+         |FROM (SELECT * FROM e1 UNION ALL SELECT * FROM e2)
+         |ORDER BY ord""".stripMargin,
+
     "q_worker_slices" ->
       // LoaderSchedule.workerSlices twin: the epoch schedule dealt
       // round-robin on ord to 3 workers — per worker the bin count,

@@ -2887,6 +2887,21 @@ object SparkEntry {
       .orderBy("worker")
   }
 
+  /** Multi-epoch training plan (LoaderSchedule.epochPlan): two
+    * independent epoch permutations of the same store concatenated with
+    * GLOBALLY continuing ord and cum_tokens — the coordinate system a
+    * multi-pass trainer checkpoints (a global token cursor resumes
+    * mid-epoch-2 through plain resumeFrom). The oracle re-derives both
+    * permutations (seeds 'pl/1', 'pl/2') and applies the same
+    * metadata offsets; a wrong offset, a correlated shuffle, or a
+    * broken epoch boundary breaks the hash.
+    */
+  private def qEpochPlan(s: SparkSession, dir: String): DataFrame = {
+    val path = scheduleStore(s, dir, "graft_sched")
+    graft.operators.LoaderSchedule.epochPlan(s, path, "pl", nEpochs = 2)
+      .orderBy("ord")
+  }
+
   /** Deterministic domain-mixture interleave
     * (LoaderSchedule.mixtureSchedule): the even documents' store at
     * weight 3 and the odd documents' at weight 1, merged by integer
@@ -3371,6 +3386,7 @@ object SparkEntry {
     "q_read_shard" -> (qReadShard _),
     "q_epoch_schedule" -> (qEpochSchedule _),
     "q_epoch_resume" -> (qEpochResume _),
+    "q_epoch_plan" -> (qEpochPlan _),
     "q_worker_slices" -> (qWorkerSlices _),
     "q_mixture_schedule" -> (qMixtureSchedule _),
     "q_datasheet" -> (qDatasheet _),

@@ -66,6 +66,43 @@ object LoaderSchedule {
       .select("ord", "shard", "bin_id", "n_tokens", "cum_tokens")
   }
 
+  /** Multi-epoch training plan: `nEpochs` independent epoch permutations
+    * of the same certified store, concatenated with GLOBALLY continuing
+    * `ord` and `cum_tokens` — the coordinate system a trainer checkpoints
+    * when it runs more than one pass (a global token cursor resumes
+    * mid-epoch-3 through plain [[resumeFrom]], no per-epoch bookkeeping).
+    * Epoch e's permutation key is seeded `"$seed/$e"`, so epochs are
+    * mutually independent uniform shuffles and any single epoch equals
+    * `epochSchedule(path, s"$seed/$e")` exactly. Returns
+    * `(ord, epoch, shard, bin_id, n_tokens, cum_tokens)`, epoch 1-based.
+    *
+    * Offsets are metadata: every epoch covers the same store, so epoch
+    * e starts at `ord = (e-1)*n_bins + 1` and
+    * `cum = (e-1)*total_tokens + ...` — two manifest sums, no extra
+    * shuffle beyond each epoch's own schedule pass.
+    */
+  def epochPlan(
+      spark: SparkSession,
+      path: String,
+      seed: String,
+      nEpochs: Int,
+      partitions: Int = 0
+  ): DataFrame = {
+    require(nEpochs >= 1, s"need nEpochs >= 1, got $nEpochs")
+    spark.catalog.refreshByPath(s"$path/manifest")
+    val m = spark.read.parquet(s"$path/manifest")
+      .agg(sum("n_bins"), sum("n_tokens")).head()
+    require(!m.isNullAt(0), s"epochPlan: no manifest rows at $path")
+    val (nBins, total) = (m.getLong(0), m.getLong(1))
+    (1 to nEpochs).map { e =>
+      epochSchedule(spark, path, s"$seed/$e", partitions)
+        .withColumn("epoch", lit(e.toLong))
+        .withColumn("ord", col("ord") + lit((e - 1).toLong * nBins))
+        .withColumn("cum_tokens", col("cum_tokens") + lit((e - 1).toLong * total))
+    }.reduce(_ unionByName _)
+      .select("ord", "epoch", "shard", "bin_id", "n_tokens", "cum_tokens")
+  }
+
   /** Mid-epoch resume: the rows of `schedule` still unconsumed after a
     * trainer checkpointed at `afterTokens` consumed tokens — the longest
     * consumed prefix is exactly the bins with `cum_tokens <= afterTokens`

@@ -137,6 +137,40 @@ class LoaderScheduleSpec extends AnyFunSuite {
     assert(big.getMessage.contains("lcm"))
   }
 
+  test("epochPlan: independent epochs, continuing coordinates, global cursor resumes mid-epoch") {
+    val dir = freshStore("graft_lplan")
+    val plan = LoaderSchedule.epochPlan(spark, dir, "pl", nEpochs = 3).orderBy("ord").collect()
+    val one = LoaderSchedule.epochSchedule(spark, dir, "pl/2").orderBy("ord").collect()
+    val nBins = one.length
+    val total = one.last.getAs[Long]("cum_tokens")
+
+    assert(plan.length == 3 * nBins)
+    // ord dense and globally continuing; cum exact across the whole plan
+    assert(plan.map(_.getAs[Long]("ord")).toSeq == (1L to 3L * nBins).toSeq)
+    var run = 0L
+    plan.foreach { r =>
+      run += r.getAs[Long]("n_tokens")
+      assert(r.getAs[Long]("cum_tokens") == run)
+    }
+    // epoch 2's slice IS epochSchedule(seed "pl/2"), offset by one epoch
+    val e2 = plan.filter(_.getAs[Long]("epoch") == 2L)
+    assert(e2.map(_.getAs[Long]("bin_id")).toSeq == one.map(_.getAs[Long]("bin_id")).toSeq)
+    assert(e2.map(_.getAs[Long]("ord")).toSeq == one.map(_.getAs[Long]("ord") + nBins).toSeq)
+    assert(e2.map(_.getAs[Long]("cum_tokens")).toSeq ==
+      one.map(_.getAs[Long]("cum_tokens") + total).toSeq)
+    // epochs are DIFFERENT permutations of the same bin set
+    val e1Order = plan.filter(_.getAs[Long]("epoch") == 1L).map(_.getAs[Long]("bin_id")).toSeq
+    assert(e1Order != e2.map(_.getAs[Long]("bin_id")).toSeq)
+    assert(e1Order.toSet == e2.map(_.getAs[Long]("bin_id")).toSet)
+    // a global token cursor inside epoch 2 resumes there via plain resumeFrom
+    val cursor = total + one(nBins / 2).getAs[Long]("cum_tokens")
+    val tail = LoaderSchedule.resumeFrom(
+      LoaderSchedule.epochPlan(spark, dir, "pl", nEpochs = 3), cursor).orderBy("ord").collect()
+    assert(tail.head.getAs[Long]("epoch") == 2L)
+    assert(tail.map(_.toSeq).toSeq ==
+      plan.dropWhile(_.getAs[Long]("cum_tokens") <= cursor).map(_.toSeq).toSeq)
+  }
+
   test("schedules refuse an uncertified store, and cover appended bins once healthy") {
     val dir = freshStore("graft_lcert")
     val before = LoaderSchedule.epochSchedule(spark, dir, "ep").count()
