@@ -2032,13 +2032,13 @@ object OracleSql {
          |ke AS (
          |  SELECT 'even' AS domain, b.bin_id % 4 AS shard, b.bin_id, b.n_tokens,
          |         CAST(ROW_NUMBER() OVER (
-         |           ORDER BY md5('mix1:' || CAST(b.bin_id AS VARCHAR)), b.bin_id) AS BIGINT) AS krank
+         |           ORDER BY md5('mix1:even:' || CAST(b.bin_id AS VARCHAR)), b.bin_id) AS BIGINT) AS krank
          |  FROM (SELECT bin_id, CAST(SUM(tok) AS BIGINT) AS n_tokens
          |        FROM packe GROUP BY bin_id) b),
          |ko AS (
          |  SELECT 'odd' AS domain, b.bin_id % 4 AS shard, b.bin_id, b.n_tokens,
          |         CAST(ROW_NUMBER() OVER (
-         |           ORDER BY md5('mix1:' || CAST(b.bin_id AS VARCHAR)), b.bin_id) AS BIGINT) AS krank
+         |           ORDER BY md5('mix1:odd:' || CAST(b.bin_id AS VARCHAR)), b.bin_id) AS BIGINT) AS krank
          |  FROM (SELECT bin_id, CAST(SUM(tok) AS BIGINT) AS n_tokens
          |        FROM packo GROUP BY bin_id) b),
          |u AS (

@@ -61,7 +61,7 @@ object LoaderSchedule {
       seed: String,
       partitions: Int = 0
   ): DataFrame = {
-    val bins = certifiedBins(spark, path)
+    val (bins, _, _) = certifiedBins(spark, path)
     rankAndRunningTokens(bins, seed, partitions)
       .select("ord", "shard", "bin_id", "n_tokens", "cum_tokens")
   }
@@ -89,13 +89,12 @@ object LoaderSchedule {
       partitions: Int = 0
   ): DataFrame = {
     require(nEpochs >= 1, s"need nEpochs >= 1, got $nEpochs")
-    spark.catalog.refreshByPath(s"$path/manifest")
-    val m = spark.read.parquet(s"$path/manifest")
-      .agg(sum("n_bins"), sum("n_tokens")).head()
-    require(!m.isNullAt(0), s"epochPlan: no manifest rows at $path")
-    val (nBins, total) = (m.getLong(0), m.getLong(1))
+    // certify ONCE — the store is immutable across the plan's epochs, so
+    // each epoch reuses the same certified bin frame and the offsets come
+    // from the totals the certification already established
+    val (bins, nBins, total) = certifiedBins(spark, path)
     (1 to nEpochs).map { e =>
-      epochSchedule(spark, path, s"$seed/$e", partitions)
+      rankAndRunningTokens(bins, s"$seed/$e", partitions)
         .withColumn("epoch", lit(e.toLong))
         .withColumn("ord", col("ord") + lit((e - 1).toLong * nBins))
         .withColumn("cum_tokens", col("cum_tokens") + lit((e - 1).toLong * total))
@@ -167,9 +166,14 @@ object LoaderSchedule {
       s"mixtureSchedule: lcm(weights) = $lcm — weights are mixture RATIOS " +
         "(reduce them; lcm must fit an Int so virtual times stay exact BIGINTs)")
     val perDomain = stores.map { case (domain, path, w) =>
-      val bins = certifiedBins(spark, path)
+      val (bins, _, _) = certifiedBins(spark, path)
+      // the permutation key carries the DOMAIN: every store's bin_ids
+      // start at 0, so an unsalted md5(seed:bin_id) would give all K
+      // domains the identical permutation — correlated curriculum in
+      // every interleaved prefix instead of independent shuffles (the
+      // same reason epochPlan seeds "$seed/$e" per epoch)
       val (ranked, _) = Ranks.withGlobalRank(
-        bins.withColumn("_k", epochKey(seed)),
+        bins.withColumn("_k", epochKey(s"$seed:$domain")),
         Seq(col("_k"), col("bin_id")), "_rank", partitions)
       ranked
         .withColumn("domain", lit(domain))
@@ -184,8 +188,10 @@ object LoaderSchedule {
   /** The certified pruned bin scan every schedule verb starts from:
     * `(shard, bin_id, n_tokens)` for each bin, with the scan's totals
     * checked against the stored manifest before any schedule is built.
+    * Returns `(bins, n_bins, total_tokens)` so callers that need the
+    * store totals (epoch offsets) reuse the certification's own sums.
     */
-  private def certifiedBins(spark: SparkSession, path: String): DataFrame = {
+  private def certifiedBins(spark: SparkSession, path: String): (DataFrame, Long, Long) = {
     spark.catalog.refreshByPath(s"$path/manifest")
     spark.catalog.refreshByPath(s"$path/data")
     val stored = spark.read.parquet(s"$path/manifest")
@@ -202,7 +208,7 @@ object LoaderSchedule {
         s"${actual.getLong(0)} / ${if (actual.isNullAt(1)) 0L else actual.getLong(1)}. " +
         "The store is mid-mutation, lost files, or was written outside the " +
         "export/append/retract protocol; run recertifyShards before scheduling.")
-    bins
+    (bins, stored.getLong(0), stored.getLong(1))
   }
 
   /** Epoch-key the bins and hand off to the shared rank+prefix pass. */

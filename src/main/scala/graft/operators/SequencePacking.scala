@@ -333,6 +333,12 @@ object SequencePacking {
         val w = packed.withColumn("shard", col(shardCol).cast("long"))
         if (shardCol == "shard") w else w.drop(shardCol)
       }
+    // a (re-)export is the FOUNDING act: its content is authoritative, so
+    // takedown tombstones from the store's previous life are reset (the
+    // documented big-purge path is exactly "re-export from the retained
+    // corpus" — stale tombstones must not scrub deliberately re-included
+    // documents out of later appends)
+    graft.sources.Catalog.deleteRecursively(java.nio.file.Paths.get(s"$path/tombstones"))
     sharded
       .write.mode("overwrite").partitionBy("shard").parquet(s"$path/data")
     val written = spark.read.parquet(s"$path/data")
@@ -344,8 +350,12 @@ object SequencePacking {
     // (default "-", the plain-export stamp): a streamed ingest whose
     // first micro-batch creates the store passes its replay key here, so
     // a crash-replay of that batch short-circuits in appendShards
-    // instead of appending the store's own founding content again
-    Seq((stampKey, nextBin)).toDF("batch_key", "next_after")
+    // instead of appending the store's own founding content again.
+    // `n_shards` records the CONFIGURED layout: the manifest only holds
+    // rows for shards that received bins, so a founding batch smaller
+    // than the layout would otherwise make every later append derive a
+    // shrunken modulus and break the export-parity contract.
+    Seq((stampKey, nextBin, nShards.toLong)).toDF("batch_key", "next_after", "n_shards")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
     manifestOf(written).write.mode("overwrite").parquet(s"$path/manifest")
     spark.read.parquet(s"$path/manifest")
@@ -479,6 +489,17 @@ object SequencePacking {
       s"retractFromShards: ${docIds.length} ids — past the 10k takedown-request bound " +
         "(the doomed list becomes a per-row array literal; a larger purge " +
         "should re-export from the retained corpus instead)")
+    // tombstone FIRST (the streaming convention): record the takedown
+    // intent before any discovery or rewrite, so a crashed append's bins
+    // re-landing on replay — or a plain re-arrival of the same documents
+    // in a later batch — can never resurrect the content: [[appendShards]]
+    // scrubs every batch against this table before its ledger commits.
+    // Duplicate rows from re-runs are fine; readers distinct().
+    locally {
+      import spark.implicits._
+      docIds.distinct.toDF("doc_id")
+        .coalesce(1).write.mode("append").parquet(s"$path/tombstones")
+    }
     val doomed = docIds.toSet
     val affectedShards = affectedShardsFor(spark, path, docIds)
     if (affectedShards.isEmpty) return 0L
@@ -604,7 +625,13 @@ object SequencePacking {
     * row-group stats skip pre-append files) and skipped, missing index
     * rows are backfilled, and the additive manifest splice applies the
     * batch's delta exactly once (the row-count probe tells an
-    * already-spliced shard from a pre-splice one). Single-writer, like
+    * already-spliced shard from a pre-splice one). TAKEDOWNS WIN over
+    * appends: before the ledger commits, the batch is scrubbed against
+    * the store's tombstone table ([[retractFromShards]] records every
+    * takedown there FIRST), so neither a crashed batch replaying after
+    * a mid-window retraction nor a later re-arrival of deleted content
+    * can resurrect it ([[exportShards]] resets the tombstones — a
+    * re-export's content is authoritative). Single-writer, like
     * every store verb here: a
     * DIFFERENT batch must not start while a crashed append awaits
     * replay (under streaming's in-order redelivery it cannot).
@@ -627,12 +654,34 @@ object SequencePacking {
     // one-time upgrade of a store exported before the sidecars existed:
     // bootstrap the ledger from a bin_id scan and the membership index
     // from a full doc_ids derive — paid once, then every append is O(batch)
+    // layout derivation for stores that predate the recorded `n_shards`
+    // (legacy upgrade only — best available: the occupied shards; a
+    // founding batch narrower than the configured layout genuinely lost
+    // that information). New stores read the layout off the ledger.
+    def occupiedShards(): Long = spark.read.parquet(s"$path/data")
+      .agg(coalesce(max("shard").cast("long") + 1L, lit(0L))).head().getLong(0)
+    import spark.implicits._
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/meta"))) {
       val nextBin = spark.read.parquet(s"$path/data")
         .agg(coalesce(max("bin_id") + 1L, lit(0L))).head().getLong(0)
-      import spark.implicits._
-      Seq(("-", nextBin)).toDF("batch_key", "next_after")
+      Seq(("-", nextBin, occupiedShards())).toDF("batch_key", "next_after", "n_shards")
         .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    } else {
+      spark.catalog.refreshByPath(s"$path/meta")
+      if (!spark.read.parquet(s"$path/meta").columns.contains("n_shards")) {
+        // one-time ledger upgrade: rewrite the (tiny) ledger with the
+        // layout column so later rows never mix schemas in the directory
+        val legacy = spark.read.parquet(s"$path/meta")
+          .withColumn("n_shards", lit(occupiedShards())).localCheckpoint()
+        try {
+          graft.sources.Catalog.swapIn(java.nio.file.Paths.get(s"$path/meta")) { tmp =>
+            legacy.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          }
+        } finally {
+          graft.util.Checkpoints.release(
+            graft.util.Checkpoints.pinnedRddIds(legacy), spark)
+        }
+      }
     }
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/docs")))
       docsIndexOf(spark.read.parquet(s"$path/data"))
@@ -641,9 +690,13 @@ object SequencePacking {
     val meta = spark.read.parquet(s"$path/meta")
     if (!meta.where(col("batch_key") === batchKey).isEmpty) return 0L
     val base = meta.agg(max("next_after")).head().getLong(0)
-    spark.catalog.refreshByPath(s"$path/manifest")
-    val nShards = spark.read.parquet(s"$path/manifest")
-      .agg(max("shard") + 1L).head().getLong(0)
+    // the CONFIGURED layout, recorded at export time — never derived from
+    // the manifest, whose rows only cover shards that received bins (an
+    // emptied store has none at all; a narrow founding batch covers few)
+    val nShards = meta.agg(max("n_shards")).head().getLong(0)
+    require(nShards > 0L,
+      s"appendShards: store at $path records no shard layout (emptied " +
+        "legacy store) — re-export it before appending")
 
     val (ranked, m) = Ranks.withGlobalRank(packed, Seq(col("bin_id")), "_rk", 0)
     var appended = 0L
@@ -672,11 +725,17 @@ object SequencePacking {
         // docs appends left index rows missing — the re-run restores them
         spark.catalog.refreshByPath(s"$path/data")
         val batchData = spark.read.parquet(s"$path/data").where(col("bin_id") >= base)
-        val batchDocs = docsIndexOf(batchData)
+        // keyed on (doc_id, shard) — NOT doc_id alone: nothing forbids a
+        // batch re-carrying a doc_id the store already holds elsewhere,
+        // and dropping its NEW shard's membership row would make a later
+        // index-resolved takedown miss that copy. (doc_id, shard) still
+        // collapses the crash-replay duplicate exactly.
+        val batchDocs = docsIndexOf(batchData).distinct()
         spark.catalog.refreshByPath(s"$path/docs")
-        val alreadyIndexed = spark.read.parquet(s"$path/docs").select("doc_id")
-          .join(broadcast(batchDocs.select("doc_id").distinct()), Seq("doc_id"), "left_semi")
-        batchDocs.join(broadcast(alreadyIndexed), Seq("doc_id"), "left_anti")
+        val alreadyIndexed = spark.read.parquet(s"$path/docs")
+          .select(col("doc_id"), col("shard").cast("long").as("shard"))
+          .join(broadcast(batchDocs), Seq("doc_id", "shard"), "left_semi")
+        batchDocs.join(broadcast(alreadyIndexed), Seq("doc_id", "shard"), "left_anti")
           .write.mode("append").partitionBy("shard").parquet(s"$path/docs")
 
         // O(batch) manifest refresh: every manifest field is a SUM, so the
@@ -734,6 +793,27 @@ object SequencePacking {
             graft.util.Checkpoints.pinnedRddIds(untouched), spark)
         }
         spark.catalog.refreshByPath(s"$path/manifest")
+
+        // resurrection scrub (the tombstone contract): if any document in
+        // this batch was taken down earlier — a crashed attempt's bins
+        // re-landing on replay after a mid-window retraction, or a plain
+        // re-arrival of deleted content — slice it back out NOW, before
+        // the ledger commits the append. The tombstone table is
+        // takedown-scale and the intersection is almost always empty;
+        // retraction is idempotent per id, so a crash mid-scrub re-runs
+        // clean on the next replay.
+        if (java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/tombstones"))) {
+          val inter = spark.read.parquet(s"$path/tombstones").select("doc_id").distinct()
+            .join(batchDocs.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
+          val nInter = inter.count()
+          require(nInter <= 1000000L,
+            s"appendShards: $nInter of this batch's documents are tombstoned — " +
+              "that is a purge, not an append; re-pack the batch from the " +
+              "retained corpus instead")
+          if (nInter > 0L)
+            inter.collect().map(_.getLong(0)).toSeq.grouped(10000)
+              .foreach(g => retractFromShards(spark, path, g))
+        }
       } finally {
         graft.util.Checkpoints.release(
           graft.util.Checkpoints.pinnedRddIds(toAppend), spark)
@@ -747,8 +827,7 @@ object SequencePacking {
     // ledger row LAST: its presence certifies the whole append committed.
     // next_after advances by the FULL batch size even when bins were
     // dropped as a crashed attempt's replays — those ids were consumed.
-    import spark.implicits._
-    Seq((batchKey, base + m)).toDF("batch_key", "next_after")
+    Seq((batchKey, base + m, nShards)).toDF("batch_key", "next_after", "n_shards")
       .coalesce(1).write.mode("append").parquet(s"$path/meta")
     appended
   }

@@ -865,8 +865,15 @@ object TextAnalysis {
         explode(TextFunctions.ftsTokens(col(textCol))).as("word"))
       .groupBy("doc_id", "word")
       .agg(count(lit(1)).as("freq"))
-      .select(col("doc_id"), col("word"), col("freq"), lit(batchKey).as("batch_key"))
-      .write.mode("append").parquet(s"$path/doc_hist")
+      // partitioned by a 64-way doc_id hash bucket: doc_id is a content
+      // hash, so parquet min/max stats prune NOTHING — without the
+      // bucket, every takedown would scan the corpus-lifetime sidecar
+      // to extract one document; with it, discovery reads 1/64 of the
+      // files (the same index-over-scan move as the shard store's
+      // path/docs membership table)
+      .select(col("doc_id"), col("word"), col("freq"), lit(batchKey).as("batch_key"),
+        pmod(xxhash64(col("doc_id")), lit(64L)).as("bucket"))
+      .write.mode("append").partitionBy("bucket").parquet(s"$path/doc_hist")
 
   /** Subtract one document's word counts from a maintained histogram —
     * the takedown verb's histogram leg. The document's exact
@@ -888,7 +895,15 @@ object TextAnalysis {
   ): Long = {
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/doc_hist"))) return 0L
     spark.catalog.refreshByPath(s"$path/doc_hist")
-    val contribution = spark.read.parquet(s"$path/doc_hist")
+    val side = spark.read.parquet(s"$path/doc_hist")
+    // bucket prune first (the literal folds to a constant, so the scan
+    // opens 1/64 of the partition dirs); sidecars written before the
+    // bucket existed fall back to the full scan
+    val pruned =
+      if (side.columns.contains("bucket"))
+        side.where(col("bucket") === pmod(xxhash64(lit(docId)), lit(64L)))
+      else side
+    val contribution = pruned
       .where(col("doc_id") === docId)
       // a crash-replayed ingest batch re-appended identical rows
       .dropDuplicates("word", "batch_key")
@@ -1004,6 +1019,24 @@ object TextAnalysis {
       compacted.write.mode("overwrite").parquet(tmp.toString)
     }
     spark.catalog.refreshByPath(histPath)
+    // the per-doc sidecar gets the same small-file treatment: each
+    // ingest batch appended one file per touched bucket, so fold each
+    // bucket back to ~one file — content identical (rows, keys, buckets
+    // all retained; only the file layout changes). Pre-bucket sidecars
+    // are left alone (their one-directory layout has no fragmentation
+    // axis to fold along).
+    val docHistPath = s"$path/doc_hist"
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(docHistPath))) {
+      spark.catalog.refreshByPath(docHistPath)
+      val side = spark.read.parquet(docHistPath)
+      if (side.columns.contains("bucket")) {
+        graft.sources.Catalog.swapIn(java.nio.file.Paths.get(docHistPath)) { tmp =>
+          side.repartition(64, col("bucket"))
+            .write.mode("overwrite").partitionBy("bucket").parquet(tmp.toString)
+        }
+        spark.catalog.refreshByPath(docHistPath)
+      }
+    }
   }
 
   /** Frequency-prune a histogram: drop words seen fewer than `minFreq`

@@ -721,8 +721,14 @@ final class StreamingIngest(
           val victimSeqIds = catalog.read("input_ids_stream")
             .where(col("document_id") === documentId)
             .select(xxhash64(col("id"))).collect().map(_.getLong(0)).toSeq
-          if (victimSeqIds.nonEmpty)
-            graft.operators.SequencePacking.retractFromShards(spark, sp, victimSeqIds)
+          // bounded slices: retractFromShards caps a single request at
+          // 10k ids, and a very large document exceeds that with one
+          // seq id per chunk — retraction is idempotent per id, so a
+          // crash mid-loop re-runs clean, and the document can never be
+          // left undeletable by its own size
+          victimSeqIds.grouped(10000).foreach { g =>
+            graft.operators.SequencePacking.retractFromShards(spark, sp, g)
+          }
         }
       }
       catalog.deleteWhere("chunks_stream", col("document_id") === documentId)

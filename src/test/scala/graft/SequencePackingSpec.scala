@@ -491,6 +491,115 @@ class SequencePackingSpec extends AnyFunSuite {
     assert(SequencePacking.verifyShards(spark, inc).collect().forall(_.getAs[Boolean]("ok")))
   }
 
+  test("takedowns win over appends: tombstones scrub re-arrivals and crash-replays cannot resurrect") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_shards_tomb").toString
+    val packed = SequencePacking.packSequences(
+      boundaryDocs.toDF("id", "tok", "ids"), "id", "tok", "ids", budget = 40, partitions = 1)
+    SequencePacking.exportShards(packed, dir, nShards = 4)
+
+    def docsInStore(): Set[Long] = spark.read.parquet(s"$dir/data")
+      .select(explode(col("doc_ids"))).collect().map(_.getLong(0)).toSet
+
+    // take down doc 7, then a later batch RE-CARRIES it (re-arrival of
+    // deleted content alongside fresh content)
+    assert(SequencePacking.retractFromShards(spark, dir, Seq(7L)) == 1L)
+    val reBatch = SequencePacking.packSequences(
+      Seq((7L, 6L, (1L to 6L).map(j => 700L + j)),
+        (200L, 5L, (1L to 5L).map(j => 20000L + j))).toDF("id", "tok", "ids"),
+      "id", "tok", "ids", budget = 40, partitions = 1)
+    assert(SequencePacking.appendShards(reBatch, dir, batchKey = "run#re") > 0L)
+    assert(!docsInStore().contains(7L), "a tombstoned doc must be scrubbed from later appends")
+    assert(docsInStore().contains(200L), "fresh content in the same batch must land")
+    assert(SequencePacking.verifyShards(spark, dir).collect().forall(_.getAs[Boolean]("ok")))
+    // the membership index holds no trace of the scrubbed doc
+    assert(spark.read.parquet(s"$dir/docs").where(col("doc_id") === 7L).isEmpty)
+
+    // crash-replay resurrection: a batch's DATA lands but neither the
+    // index, the manifest splice, nor the ledger do (the worst crash
+    // point); a takedown arrives in that window (discovery misses the
+    // landed bin — the index row doesn't exist yet); then the stream
+    // replays the batch. The scrub must remove the victim before the
+    // ledger commits.
+    val base = spark.read.parquet(s"$dir/meta").agg(max("next_after")).head().getLong(0)
+    val crashBatch = SequencePacking.packSequences(
+      Seq((300L, 6L, (1L to 6L).map(j => 30000L + j))).toDF("id", "tok", "ids"),
+      "id", "tok", "ids", budget = 40, partitions = 1)
+    crashBatch
+      .withColumn("bin_id", col("bin_id") + base)
+      .withColumn("shard", pmod(col("bin_id"), lit(4L)))
+      .write.mode("append").partitionBy("shard").parquet(s"$dir/data")
+    assert(SequencePacking.retractFromShards(spark, dir, Seq(300L)) == 0L,
+      "mid-window takedown: the index can't see the landed bin yet")
+    assert(docsInStore().contains(300L), "precondition: the crashed bin is on disk")
+    SequencePacking.appendShards(crashBatch, dir, batchKey = "run#crash")
+    assert(!docsInStore().contains(300L),
+      "the replay's tombstone scrub must remove the victim before the ledger commits")
+    assert(SequencePacking.verifyShards(spark, dir).collect().forall(_.getAs[Boolean]("ok")))
+    // the committed replay stays a no-op and the victim stays gone
+    assert(SequencePacking.appendShards(crashBatch, dir, batchKey = "run#crash") == 0L)
+    assert(!docsInStore().contains(300L))
+
+    // a RE-EXPORT resets the tombstones: deliberately re-included content
+    // is authoritative and later appends must not scrub it
+    SequencePacking.exportShards(packed, dir, nShards = 4)
+    assert(SequencePacking.appendShards(reBatch, dir, batchKey = "run#re2") > 0L)
+    assert(docsInStore().contains(7L), "a re-exported store must accept the doc again")
+  }
+
+  test("appendShards honors the RECORDED layout (narrow founding batch, emptied store)") {
+    // founding batch: ONE small doc -> 1 bin -> occupies shard 0 only,
+    // but the CONFIGURED layout is 8 — later appends must spread mod 8,
+    // exactly as a one-shot export of the union would
+    val dir = java.nio.file.Files.createTempDirectory("graft_shards_narrow").toString
+    val one = SequencePacking.packSequences(
+      Seq((42L, 5L, (1L to 5L).map(j => 4200L + j))).toDF("id", "tok", "ids"),
+      "id", "tok", "ids", budget = 40, partitions = 1)
+    SequencePacking.exportShards(one, dir, nShards = 8)
+    assert(spark.read.parquet(s"$dir/meta").agg(max("n_shards")).head().getLong(0) == 8L)
+
+    val wide = SequencePacking.packSequences(
+      (100L to 140L).map(i => (i, 35L, (1L to 35L).map(j => i * 1000 + j)))
+        .toDF("id", "tok", "ids"),
+      "id", "tok", "ids", budget = 40, partitions = 1)
+    assert(SequencePacking.appendShards(wide, dir, batchKey = "run#wide") > 0L)
+    val shardsUsed = spark.read.parquet(s"$dir/data")
+      .select(col("shard").cast("long")).distinct().collect().map(_.getLong(0)).toSet
+    assert(shardsUsed == (0L to 7L).toSet,
+      s"appends must spread across the configured 8-shard layout, got $shardsUsed")
+    assert(SequencePacking.verifyShards(spark, dir).collect().forall(_.getAs[Boolean]("ok")))
+
+    // EMPTIED store: retract the only doc of a fresh store (manifest ends
+    // up with zero rows), then append — must not NPE and must keep mod 8
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_shards_empty").toString
+    SequencePacking.exportShards(one, dir2, nShards = 8)
+    assert(SequencePacking.retractFromShards(spark, dir2, Seq(42L)) == 1L)
+    assert(spark.read.parquet(s"$dir2/manifest").isEmpty)
+    assert(SequencePacking.appendShards(wide, dir2, batchKey = "run#after-empty") > 0L)
+    assert(SequencePacking.verifyShards(spark, dir2).collect().forall(_.getAs[Boolean]("ok")))
+  }
+
+  test("membership index keyed (doc_id, shard): a re-carried doc's NEW shard is indexed; takedown reaches both copies") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_shards_recarry").toString
+    val first = SequencePacking.packSequences(
+      Seq((42L, 5L, (1L to 5L).map(j => 4200L + j))).toDF("id", "tok", "ids"),
+      "id", "tok", "ids", budget = 40, partitions = 1)
+    SequencePacking.exportShards(first, dir, nShards = 4) // doc 42: bin 0 -> shard 0
+    val again = SequencePacking.packSequences(
+      Seq((42L, 6L, (1L to 6L).map(j => 9900L + j))).toDF("id", "tok", "ids"),
+      "id", "tok", "ids", budget = 40, partitions = 1)
+    assert(SequencePacking.appendShards(again, dir, batchKey = "run#dup") > 0L)
+    // the second copy landed in bin 1 -> shard 1; the index must hold BOTH
+    val idx = spark.read.parquet(s"$dir/docs")
+      .select(col("doc_id"), col("shard").cast("long")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(idx == Set((42L, 0L), (42L, 1L)),
+      s"index must record every (doc, shard) membership, got $idx")
+    // an index-resolved takedown reaches both copies
+    assert(SequencePacking.retractFromShards(spark, dir, Seq(42L)) == 2L)
+    assert(spark.read.parquet(s"$dir/data").isEmpty)
+    assert(SequencePacking.verifyShards(spark, dir).collect().forall(_.getAs[Boolean]("ok")))
+  }
+
   test("compactShards: append-cadence small files fold to one per shard, content-identical, replay guard intact") {
     val dir = java.nio.file.Files.createTempDirectory("graft_shards_cmpt").toString
     val all = boundaryDocs
