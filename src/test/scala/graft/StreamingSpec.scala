@@ -715,6 +715,19 @@ class StreamingSpec extends AnyFunSuite {
     assert(SequencePacking.verifyShards(spark, sp).collect().forall(_.getAs[Boolean]("ok")))
     assert(servedSeqIds() == tableSeqIds(), "post-delete loader must equal the purged table")
     assert(servedSeqIds().nonEmpty, "survivors must keep serving")
+
+    // and the trainer schedules the streamed store DIRECTLY: the epoch
+    // permutation certifies against the post-append post-delete manifest
+    // and covers exactly the surviving bins with an exact token cursor
+    val sched = graft.operators.LoaderSchedule.epochSchedule(spark, sp, "stream-ep")
+      .orderBy("ord").collect()
+    val liveBins = spark.read.parquet(s"$sp/data")
+      .select("bin_id", "bin_tokens").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sched.map(_.getAs[Long]("bin_id")).toSet == liveBins.keySet,
+      "the epoch schedule must cover exactly the streamed store's surviving bins")
+    assert(sched.last.getAs[Long]("cum_tokens") == liveBins.values.sum,
+      "the token cursor must account for every surviving token")
   }
 
   test("streamed corpus reaches the trainer shards INCREMENTALLY: export once, appendShards per batch, takedown reaches the shards") {
