@@ -2822,10 +2822,13 @@ object SparkEntry {
     * pack) exported under 4 shards at `prefix`'s tmp path.
     */
   private def scheduleStore(s: SparkSession, dir: String, prefix: String,
-      docFilter: Column = lit(true)): String = {
+      docFilter: Column = lit(true),
+      tokenizer: Option[TextAnalysis.BpeTokenizer] = None): String = {
     val docs = t(s, dir, "documents").where(col("doc_id") < 120 && docFilter)
-    val tok = TextAnalysis.trainBpeTokenizer(
-      t(s, dir, "documents").where(col("doc_id") < 120), "text", rounds = 3)
+    // callers building several parity stores pass the tokenizer in so the
+    // (identical) training runs once, not once per store
+    val tok = tokenizer.getOrElse(TextAnalysis.trainBpeTokenizer(
+      t(s, dir, "documents").where(col("doc_id") < 120), "text", rounds = 3))
     val enc = TextAnalysis.bpeEncodeIds(tok, docs, "doc_id", "text")
     val packed = graft.operators.SequencePacking
       .packSequences(enc, "doc_id", "n_tokens", "input_ids", budget = 2048, partitions = 1)
@@ -2914,8 +2917,10 @@ object SparkEntry {
     * breaks the hash.
     */
   private def qMixtureSchedule(s: SparkSession, dir: String): DataFrame = {
-    val pathE = scheduleStore(s, dir, "graft_mix_e", col("doc_id") % 2 === 0)
-    val pathO = scheduleStore(s, dir, "graft_mix_o", col("doc_id") % 2 === 1)
+    val tok = TextAnalysis.trainBpeTokenizer(
+      t(s, dir, "documents").where(col("doc_id") < 120), "text", rounds = 3)
+    val pathE = scheduleStore(s, dir, "graft_mix_e", col("doc_id") % 2 === 0, Some(tok))
+    val pathO = scheduleStore(s, dir, "graft_mix_o", col("doc_id") % 2 === 1, Some(tok))
     graft.operators.LoaderSchedule.mixtureSchedule(
         s, Seq(("even", pathE, 3L), ("odd", pathO, 1L)), "mix1")
       .orderBy("ord")
