@@ -707,9 +707,25 @@ object SequencePacking {
       spark.catalog.refreshByPath(s"$path/data")
       val landed = spark.read.parquet(s"$path/data")
         .where(col("bin_id") >= base).select("bin_id")
+      // resurrection scrub BEFORE landing (the tombstone contract): slice
+      // tombstoned documents out of the batch's bins — lens slicing, bin
+      // ids kept (they were consumed by the rank above), emptied bins
+      // dropped — so deleted content never reaches the store at all. No
+      // store mutation happens inside the append, which is what keeps
+      // the crash-replay heal sound: a replay re-scrubs identically (the
+      // tombstone table only grows) and the landed state is always the
+      // scrubbed state. A takedown arriving while a crashed batch's bins
+      // sit unledgered is [[retractFromShards]]' job — its discovery
+      // scans the unledgered bin tail directly (see [[affectedShardsFor]]).
+      val scrubSrc = rebased.join(landed, Seq("bin_id"), "left_anti")
+      val scrubbed =
+        if (java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/tombstones"))) {
+          spark.catalog.refreshByPath(s"$path/tombstones")
+          sliceDoomed(scrubSrc, spark.read.parquet(s"$path/tombstones"))
+        } else scrubSrc
       // pin: the append below extends the very directory this anti-join
       // reads — materialize before writing, never re-read mid-append
-      val toAppend = rebased.join(landed, Seq("bin_id"), "left_anti").localCheckpoint()
+      val toAppend = scrubbed.localCheckpoint()
       // toAppend's eager checkpoint cut the lineage to withGlobalRank's
       // internal range-partition pin — release it NOW: this verb runs
       // once per micro-batch on a stream, and a weeks-long deployment
@@ -793,27 +809,6 @@ object SequencePacking {
             graft.util.Checkpoints.pinnedRddIds(untouched), spark)
         }
         spark.catalog.refreshByPath(s"$path/manifest")
-
-        // resurrection scrub (the tombstone contract): if any document in
-        // this batch was taken down earlier — a crashed attempt's bins
-        // re-landing on replay after a mid-window retraction, or a plain
-        // re-arrival of deleted content — slice it back out NOW, before
-        // the ledger commits the append. The tombstone table is
-        // takedown-scale and the intersection is almost always empty;
-        // retraction is idempotent per id, so a crash mid-scrub re-runs
-        // clean on the next replay.
-        if (java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/tombstones"))) {
-          val inter = spark.read.parquet(s"$path/tombstones").select("doc_id").distinct()
-            .join(batchDocs.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
-          val nInter = inter.count()
-          require(nInter <= 1000000L,
-            s"appendShards: $nInter of this batch's documents are tombstoned — " +
-              "that is a purge, not an append; re-pack the batch from the " +
-              "retained corpus instead")
-          if (nInter > 0L)
-            inter.collect().map(_.getLong(0)).toSeq.grouped(10000)
-              .foreach(g => retractFromShards(spark, path, g))
-        }
       } finally {
         graft.util.Checkpoints.release(
           graft.util.Checkpoints.pinnedRddIds(toAppend), spark)
@@ -962,15 +957,89 @@ object SequencePacking {
           graft.util.Checkpoints.pinnedRddIds(ledger), spark)
       }
     }
+    // and the tombstone table: retractions (and scrub re-appends) add one
+    // tiny file per call, and every append's scrub scans this table — fold
+    // it to its distinct doc_ids in one file. It IS a set; the duplicate
+    // rows carry no information.
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/tombstones"))) {
+      spark.catalog.refreshByPath(s"$path/tombstones")
+      val tomb = spark.read.parquet(s"$path/tombstones").distinct().localCheckpoint()
+      try {
+        graft.sources.Catalog.swapIn(java.nio.file.Paths.get(s"$path/tombstones")) { tmp =>
+          tomb.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        }
+      } finally {
+        graft.util.Checkpoints.release(
+          graft.util.Checkpoints.pinnedRddIds(tomb), spark)
+      }
+      spark.catalog.refreshByPath(s"$path/tombstones")
+    }
     removed
+  }
+
+  /** Slice every tombstoned document's segment out of `bins` — the
+    * pre-landing scrub of [[appendShards]]: bins keep their ids (those
+    * were consumed by the batch's rank), kept segments keep their order,
+    * counts/token totals shrink by exactly the doomed contribution, and
+    * bins emptied entirely are dropped. Bins carrying no doomed doc pass
+    * through BYTE-IDENTICAL (they never enter the slice). Join-driven —
+    * the doomed set is never collected to the driver, so the scrub has
+    * no size bound: the per-bin doomed lists ride a broadcast of the
+    * (affected-bin-scale) intersection.
+    */
+  private def sliceDoomed(bins: DataFrame, tombstones: DataFrame): DataFrame = {
+    val doomedPerBin = bins
+      .select(col("bin_id"), explode(col("doc_ids")).as("doc_id"))
+      .join(tombstones.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
+      .groupBy("bin_id").agg(collect_set("doc_id").as("_doomed"))
+    val joined = bins.join(broadcast(doomedPerBin), Seq("bin_id"), "left")
+    val clean = joined.where(col("_doomed").isNull).drop("_doomed")
+    val slice = udf { (ids: Seq[Long], dids: Seq[Long], lens: Seq[Long],
+        binTokens: Long, doomed: Seq[Long]) =>
+      if (lens.sum != binTokens)
+        throw new IllegalArgumentException(
+          s"sliceDoomed: bin_tokens $binTokens != sum(doc_lens) ${lens.sum} — " +
+            "this bin was packed by a token accounting other than its id stream")
+      val dset = doomed.toSet
+      val keptIds = Seq.newBuilder[Long]
+      val keptDids = Seq.newBuilder[Long]
+      val keptLens = Seq.newBuilder[Long]
+      var off = 0
+      dids.indices.foreach { i =>
+        val l = lens(i).toInt
+        if (!dset.contains(dids(i))) {
+          keptIds ++= ids.slice(off, off + l)
+          keptDids += dids(i)
+          keptLens += lens(i)
+        }
+        off += l
+      }
+      (keptIds.result(), keptDids.result(), keptLens.result())
+    }
+    val scrubbed = joined.where(col("_doomed").isNotNull)
+      .withColumn("_r", slice(col("input_ids"), col("doc_ids"), col("doc_lens"),
+        col("bin_tokens"), col("_doomed")))
+      .select(
+        col("bin_id"),
+        size(col("_r._2")).cast("long").as("n_docs"),
+        aggregate(col("_r._3"), lit(0L), (a, x) => a + x).as("bin_tokens"),
+        col("_r._1").as("input_ids"),
+        col("_r._2").as("doc_ids"),
+        col("_r._3").as("doc_lens"),
+        col("shard"))
+      .where(col("n_docs") > 0L)
+    clean.unionByName(scrubbed)
   }
 
   /** Which shards carry any of `docIds` — the takedown DISCOVERY step.
     * Resolved from the `path/docs` membership index when present
     * (index-scale: one row per document, never the corpus) and measured
-    * flat as the corpus grows (ScaleRehearsal's retract leg); falls back
-    * to the full `arrays_overlap` scan over every bin's `doc_ids` for
-    * stores exported before the index existed.
+    * flat as the corpus grows (ScaleRehearsal's retract leg), UNIONED
+    * with a row-group-pruned scan of the unledgered bin tail (bins a
+    * crashed append landed before its index backfill — empty in the
+    * healthy steady state); falls back to the full `arrays_overlap`
+    * scan over every bin's `doc_ids` for stores exported before the
+    * index existed.
     */
   private[graft] def affectedShardsFor(
       spark: org.apache.spark.sql.SparkSession,
@@ -981,9 +1050,27 @@ object SequencePacking {
     val shards =
       if (viaIndex) {
         spark.catalog.refreshByPath(s"$path/docs") // the index mutates by swap
-        spark.read.parquet(s"$path/docs")
+        val indexed = spark.read.parquet(s"$path/docs")
           .where(col("doc_id").isin(docIds.distinct: _*))
           .select(col("shard").cast("long"))
+        // PLUS the unledgered tail: a crashed append's landed bins have
+        // no index rows yet (the backfill runs after the data append),
+        // but their ids sit at/past the ledger's next_after — a
+        // row-group-pruned tail scan keeps a mid-crash-window takedown
+        // exact instead of silently missing the landed copy. Committed
+        // bins all sit below next_after, so the scan opens only the
+        // crashed batch's files (none, in the healthy steady state).
+        if (java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/meta"))) {
+          spark.catalog.refreshByPath(s"$path/meta")
+          val next = spark.read.parquet(s"$path/meta")
+            .agg(max("next_after")).head().getLong(0)
+          val doomedArr = array(docIds.distinct.map(lit(_)): _*)
+          spark.catalog.refreshByPath(s"$path/data")
+          indexed.unionByName(
+            spark.read.parquet(s"$path/data")
+              .where(col("bin_id") >= next && arrays_overlap(col("doc_ids"), doomedArr))
+              .select(col("shard").cast("long")))
+        } else indexed
       } else {
         val doomedArr = array(docIds.distinct.map(lit(_)): _*)
         spark.read.parquet(s"$path/data")

@@ -859,7 +859,32 @@ object TextAnalysis {
       textCol: String,
       path: String,
       batchKey: String
-  ): Unit =
+  ): Unit = {
+    // one-time migration of a pre-bucket sidecar: appending a bucketed
+    // layout into a flat directory would leave parquet leaves at two
+    // partition depths — unreadable by partition discovery — so rewrite
+    // the legacy rows under buckets first (atomic swap, tiny)
+    val spark = batch.sparkSession
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/doc_hist"))) {
+      spark.catalog.refreshByPath(s"$path/doc_hist")
+      val side = spark.read.parquet(s"$path/doc_hist")
+      if (!side.columns.contains("bucket")) {
+        val migrated = side
+          .withColumn("bucket", pmod(xxhash64(col("doc_id")), lit(64L)))
+          .localCheckpoint()
+        try {
+          graft.sources.Catalog.swapIn(
+            java.nio.file.Paths.get(s"$path/doc_hist")) { tmp =>
+            migrated.repartition(64, col("bucket"))
+              .write.mode("overwrite").partitionBy("bucket").parquet(tmp.toString)
+          }
+        } finally {
+          graft.util.Checkpoints.release(
+            graft.util.Checkpoints.pinnedRddIds(migrated), spark)
+        }
+        spark.catalog.refreshByPath(s"$path/doc_hist")
+      }
+    }
     batch
       .select(col(idCol).cast("string").as("doc_id"),
         explode(TextFunctions.ftsTokens(col(textCol))).as("word"))
@@ -874,6 +899,7 @@ object TextAnalysis {
       .select(col("doc_id"), col("word"), col("freq"), lit(batchKey).as("batch_key"),
         pmod(xxhash64(col("doc_id")), lit(64L)).as("bucket"))
       .write.mode("append").partitionBy("bucket").parquet(s"$path/doc_hist")
+  }
 
   /** Subtract one document's word counts from a maintained histogram —
     * the takedown verb's histogram leg. The document's exact

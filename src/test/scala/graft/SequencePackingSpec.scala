@@ -514,12 +514,11 @@ class SequencePackingSpec extends AnyFunSuite {
     // the membership index holds no trace of the scrubbed doc
     assert(spark.read.parquet(s"$dir/docs").where(col("doc_id") === 7L).isEmpty)
 
-    // crash-replay resurrection: a batch's DATA lands but neither the
-    // index, the manifest splice, nor the ledger do (the worst crash
-    // point); a takedown arrives in that window (discovery misses the
-    // landed bin — the index row doesn't exist yet); then the stream
-    // replays the batch. The scrub must remove the victim before the
-    // ledger commits.
+    // crash-window takedown: a batch's DATA lands but neither the index,
+    // the manifest splice, nor the ledger do (the worst crash point); a
+    // takedown arrives in that window. Discovery must reach the landed
+    // bin through the unledgered-tail scan (the index row doesn't exist
+    // yet), and the eventual replay must not resurrect the victim.
     val base = spark.read.parquet(s"$dir/meta").agg(max("next_after")).head().getLong(0)
     val crashBatch = SequencePacking.packSequences(
       Seq((300L, 6L, (1L to 6L).map(j => 30000L + j))).toDF("id", "tok", "ids"),
@@ -528,12 +527,13 @@ class SequencePackingSpec extends AnyFunSuite {
       .withColumn("bin_id", col("bin_id") + base)
       .withColumn("shard", pmod(col("bin_id"), lit(4L)))
       .write.mode("append").partitionBy("shard").parquet(s"$dir/data")
-    assert(SequencePacking.retractFromShards(spark, dir, Seq(300L)) == 0L,
-      "mid-window takedown: the index can't see the landed bin yet")
     assert(docsInStore().contains(300L), "precondition: the crashed bin is on disk")
+    assert(SequencePacking.retractFromShards(spark, dir, Seq(300L)) == 1L,
+      "mid-window takedown must reach the unledgered bin via the tail scan")
+    assert(!docsInStore().contains(300L), "the takedown removes the landed copy immediately")
     SequencePacking.appendShards(crashBatch, dir, batchKey = "run#crash")
     assert(!docsInStore().contains(300L),
-      "the replay's tombstone scrub must remove the victim before the ledger commits")
+      "the replay's pre-landing scrub must not re-land the victim")
     assert(SequencePacking.verifyShards(spark, dir).collect().forall(_.getAs[Boolean]("ok")))
     // the committed replay stays a no-op and the victim stays gone
     assert(SequencePacking.appendShards(crashBatch, dir, batchKey = "run#crash") == 0L)
