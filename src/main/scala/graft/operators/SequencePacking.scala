@@ -339,6 +339,7 @@ object SequencePacking {
     // corpus" — stale tombstones must not scrub deliberately re-included
     // documents out of later appends)
     graft.sources.Catalog.deleteRecursively(java.nio.file.Paths.get(s"$path/tombstones"))
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(s"$path/pending"))
     sharded
       .write.mode("overwrite").partitionBy("shard").parquet(s"$path/data")
     val written = spark.read.parquet(s"$path/data")
@@ -688,7 +689,13 @@ object SequencePacking {
         .write.mode("overwrite").partitionBy("shard").parquet(s"$path/docs")
     spark.catalog.refreshByPath(s"$path/meta")
     val meta = spark.read.parquet(s"$path/meta")
-    if (!meta.where(col("batch_key") === batchKey).isEmpty) return 0L
+    val pending = java.nio.file.Paths.get(s"$path/pending")
+    if (!meta.where(col("batch_key") === batchKey).isEmpty) {
+      // committed replay: also clear a marker left by a crash between the
+      // ledger append and the marker delete (the tail is empty by then)
+      java.nio.file.Files.deleteIfExists(pending)
+      return 0L
+    }
     val base = meta.agg(max("next_after")).head().getLong(0)
     // the CONFIGURED layout, recorded at export time — never derived from
     // the manifest, whose rows only cover shards that received bins (an
@@ -696,7 +703,38 @@ object SequencePacking {
     val nShards = meta.agg(max("n_shards")).head().getLong(0)
     require(nShards > 0L,
       s"appendShards: store at $path records no shard layout (emptied " +
-        "legacy store) — re-export it before appending")
+        "legacy store) — re-append after re-exporting it")
+
+    // finish any takedown that crashed mid-rewrite over a PREVIOUS
+    // attempt's landed bins BEFORE this append touches anything: the
+    // double-fault window (append crashed unledgered, then the takedown
+    // wrote its tombstone but crashed before the shard rewrite) leaves a
+    // landed bin still carrying a tombstoned doc; the replay's
+    // pre-landing scrub only sees bins it is about to land, so complete
+    // the retraction here — idempotent, and BEFORE the append's own
+    // writes, so the append's crash analysis never reasons about a
+    // half-applied takedown. Bounded by the unledgered tail (one batch),
+    // and GATED on the pending marker: a landed-unledgered tail can only
+    // exist if a previous attempt crashed, and the marker survives
+    // exactly those crashes — a healthy append never pays this scan.
+    if (java.nio.file.Files.exists(pending) &&
+        java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/tombstones"))) {
+      spark.catalog.refreshByPath(s"$path/tombstones")
+      spark.catalog.refreshByPath(s"$path/data")
+      val leftover = spark.read.parquet(s"$path/data")
+        .where(col("bin_id") >= base)
+        .select(explode(col("doc_ids")).as("doc_id"))
+        .join(spark.read.parquet(s"$path/tombstones").select("doc_id").distinct(),
+          Seq("doc_id"), "left_semi")
+        .distinct().collect().map(_.getLong(0)).toSeq
+      leftover.grouped(10000).foreach(g => retractFromShards(spark, path, g))
+    }
+    // the PENDING marker brackets every append's write window: written
+    // before the first byte lands, deleted after the ledger commits. Its
+    // presence is the cheap "a crashed append may have left an unledgered
+    // tail" signal — takedown discovery scans the tail only while it
+    // exists, keeping the healthy takedown path strictly index-resolved.
+    java.nio.file.Files.writeString(pending, base.toString)
 
     val (ranked, m) = Ranks.withGlobalRank(packed, Seq(col("bin_id")), "_rk", 0)
     var appended = 0L
@@ -824,6 +862,7 @@ object SequencePacking {
     // dropped as a crashed attempt's replays — those ids were consumed.
     Seq((batchKey, base + m, nShards)).toDF("batch_key", "next_after", "n_shards")
       .coalesce(1).write.mode("append").parquet(s"$path/meta")
+    java.nio.file.Files.deleteIfExists(pending)
     appended
   }
 
@@ -983,16 +1022,18 @@ object SequencePacking {
     * counts/token totals shrink by exactly the doomed contribution, and
     * bins emptied entirely are dropped. Bins carrying no doomed doc pass
     * through BYTE-IDENTICAL (they never enter the slice). Join-driven —
-    * the doomed set is never collected to the driver, so the scrub has
-    * no size bound: the per-bin doomed lists ride a broadcast of the
-    * (affected-bin-scale) intersection.
+    * the doomed set is never collected by this code, and the per-bin
+    * doomed-list join is left to the planner (AQE broadcasts it when the
+    * intersection is small — the overwhelmingly common case — and falls
+    * back to a shuffle join for a pathological purge-sized batch instead
+    * of forcing a driver-sized broadcast build).
     */
   private def sliceDoomed(bins: DataFrame, tombstones: DataFrame): DataFrame = {
     val doomedPerBin = bins
       .select(col("bin_id"), explode(col("doc_ids")).as("doc_id"))
       .join(tombstones.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
       .groupBy("bin_id").agg(collect_set("doc_id").as("_doomed"))
-    val joined = bins.join(broadcast(doomedPerBin), Seq("bin_id"), "left")
+    val joined = bins.join(doomedPerBin, Seq("bin_id"), "left")
     val clean = joined.where(col("_doomed").isNull).drop("_doomed")
     val slice = udf { (ids: Seq[Long], dids: Seq[Long], lens: Seq[Long],
         binTokens: Long, doomed: Seq[Long]) =>
@@ -1057,10 +1098,13 @@ object SequencePacking {
         // no index rows yet (the backfill runs after the data append),
         // but their ids sit at/past the ledger's next_after — a
         // row-group-pruned tail scan keeps a mid-crash-window takedown
-        // exact instead of silently missing the landed copy. Committed
-        // bins all sit below next_after, so the scan opens only the
-        // crashed batch's files (none, in the healthy steady state).
-        if (java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/meta"))) {
+        // exact instead of silently missing the landed copy. GATED on
+        // the pending marker (written before an append's first byte,
+        // deleted after its ledger commit): a healthy store never pays
+        // even the file-listing for this scan — discovery stays strictly
+        // index-resolved unless an append verifiably crashed mid-window.
+        if (java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/pending")) &&
+            java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/meta"))) {
           spark.catalog.refreshByPath(s"$path/meta")
           val next = spark.read.parquet(s"$path/meta")
             .agg(max("next_after")).head().getLong(0)

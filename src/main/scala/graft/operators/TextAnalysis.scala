@@ -863,13 +863,19 @@ object TextAnalysis {
     // one-time migration of a pre-bucket sidecar: appending a bucketed
     // layout into a flat directory would leave parquet leaves at two
     // partition depths — unreadable by partition discovery — so rewrite
-    // the legacy rows under buckets first (atomic swap, tiny)
+    // the legacy rows under buckets first (atomic swap, tiny). The
+    // CONDITION is an O(1) filesystem peek (one directory listing for a
+    // bucket= child), never a per-batch schema/partition discovery over
+    // the corpus-lifetime sidecar — this runs on the ingest hot path.
     val spark = batch.sparkSession
-    if (java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/doc_hist"))) {
-      spark.catalog.refreshByPath(s"$path/doc_hist")
-      val side = spark.read.parquet(s"$path/doc_hist")
-      if (!side.columns.contains("bucket")) {
-        val migrated = side
+    val dhDir = new java.io.File(s"$path/doc_hist")
+    if (dhDir.isDirectory) {
+      val kids = Option(dhDir.listFiles()).getOrElse(Array.empty)
+      val legacyFlat = !kids.exists(f => f.isDirectory && f.getName.startsWith("bucket=")) &&
+        kids.exists(f => f.isFile && f.getName.endsWith(".parquet"))
+      if (legacyFlat) {
+        spark.catalog.refreshByPath(s"$path/doc_hist")
+        val migrated = spark.read.parquet(s"$path/doc_hist")
           .withColumn("bucket", pmod(xxhash64(col("doc_id")), lit(64L)))
           .localCheckpoint()
         try {

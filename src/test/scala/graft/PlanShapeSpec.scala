@@ -522,8 +522,13 @@ class PlanShapeSpec extends AnyFunSuite {
     // through the schedule plan
     val p = graft.operators.LoaderSchedule.epochSchedule(spark, dir2, "audit")
       .queryExecution.explainString(ExplainMode.fromString("formatted"))
-    assert(p.contains("PartitionSpec: [_pid") || p.contains("partitionBy=[_pid") ||
-      p.contains("[_pid"), s"the global rank must key its window on _pid: ${p.take(1000)}")
+    // every windowspecdefinition in the plan must name _pid as its
+    // partition key — a degraded single-task window (empty PARTITION BY)
+    // prints windowspecdefinition(<sort>..., specifiedwindowframe...)
+    // with no _pid and fails this exact-prefix match
+    val specs = """windowspecdefinition\(([^,)]*)""".r.findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(specs.nonEmpty && specs.forall(_.startsWith("_pid")),
+      s"the rank/prefix windows must partition on _pid, got $specs: ${p.take(1000)}")
     assert(!p.contains("input_ids"), "packed ids must never enter the schedule plan")
   }
 }

@@ -523,6 +523,9 @@ class SequencePackingSpec extends AnyFunSuite {
     val crashBatch = SequencePacking.packSequences(
       Seq((300L, 6L, (1L to 6L).map(j => 30000L + j))).toDF("id", "tok", "ids"),
       "id", "tok", "ids", budget = 40, partitions = 1)
+    // a real append writes the pending marker BEFORE its first byte of
+    // data and deletes it after the ledger — a crash mid-window leaves it
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/pending"), base.toString)
     crashBatch
       .withColumn("bin_id", col("bin_id") + base)
       .withColumn("shard", pmod(col("bin_id"), lit(4L)))
@@ -535,9 +538,33 @@ class SequencePackingSpec extends AnyFunSuite {
     assert(!docsInStore().contains(300L),
       "the replay's pre-landing scrub must not re-land the victim")
     assert(SequencePacking.verifyShards(spark, dir).collect().forall(_.getAs[Boolean]("ok")))
-    // the committed replay stays a no-op and the victim stays gone
+    // the committed replay stays a no-op, the victim stays gone, and the
+    // completed append cleared its pending marker (healthy takedowns are
+    // index-only again)
     assert(SequencePacking.appendShards(crashBatch, dir, batchKey = "run#crash") == 0L)
     assert(!docsInStore().contains(300L))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/pending")))
+
+    // DOUBLE FAULT: an append crashes unledgered AND the takedown that
+    // tombstoned doc 400 crashed before its shard rewrite (simulated by
+    // appending the tombstone row directly). The next append must finish
+    // the crashed takedown BEFORE landing anything.
+    val base2 = spark.read.parquet(s"$dir/meta").agg(max("next_after")).head().getLong(0)
+    val crash2 = SequencePacking.packSequences(
+      Seq((400L, 7L, (1L to 7L).map(j => 40000L + j))).toDF("id", "tok", "ids"),
+      "id", "tok", "ids", budget = 40, partitions = 1)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/pending"), base2.toString)
+    crash2
+      .withColumn("bin_id", col("bin_id") + base2)
+      .withColumn("shard", pmod(col("bin_id"), lit(4L)))
+      .write.mode("append").partitionBy("shard").parquet(s"$dir/data")
+    Seq(400L).toDF("doc_id") // the takedown got as far as its tombstone
+      .coalesce(1).write.mode("append").parquet(s"$dir/tombstones")
+    assert(docsInStore().contains(400L), "precondition: the double-fault victim is on disk")
+    SequencePacking.appendShards(crash2, dir, batchKey = "run#crash2")
+    assert(!docsInStore().contains(400L),
+      "the replay must finish the crashed takedown before its ledger commits")
+    assert(SequencePacking.verifyShards(spark, dir).collect().forall(_.getAs[Boolean]("ok")))
 
     // a RE-EXPORT resets the tombstones: deliberately re-included content
     // is authoritative and later appends must not scrub it
