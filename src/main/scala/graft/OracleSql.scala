@@ -551,7 +551,11 @@ object OracleSql {
          |ORDER BY round""".stripMargin
     },
     "q_wordpiece_persisted" -> base("q_wordpiece_infer"),
-    "q_unigram_persisted" -> base("q_unigram_tok"))
+    "q_unigram_persisted" -> base("q_unigram_tok"),
+    // compaction is content-identity by contract: the folded store's
+    // manifest must equal the one-shot export of the union bit-for-bit,
+    // which is exactly q_shard_append's oracle
+    "q_shard_compact" -> base("q_shard_append"))
 
   private lazy val base: Map[String, String] = Map(
     "q_pricing_summary" ->

@@ -2796,6 +2796,32 @@ object SparkEntry {
     s.read.parquet(s"$path/manifest").orderBy("shard")
   }
 
+  /** Shard small-file compaction (SequencePacking.compactShards): the
+    * append-fragmented store folded to one file per shard must be
+    * CONTENT-IDENTICAL — the returned manifest (counts, token totals,
+    * per-bin content digests) hash-matches the one-shot export of the
+    * union exactly as q_shard_append's does, so a compaction that loses,
+    * duplicates, or reorders one bin anywhere breaks the oracle. The
+    * engine additionally proves identity internally (each shard's digest
+    * recompute vs the stored row before the swap is declared done).
+    */
+  private def qShardCompact(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").where(col("doc_id") < 120)
+    val tok = TextAnalysis.trainBpeTokenizer(docs, "text", rounds = 3)
+    val encE = TextAnalysis.bpeEncodeIds(tok, docs.where(col("doc_id") % 2 === 0), "doc_id", "text")
+    val encO = TextAnalysis.bpeEncodeIds(tok, docs.where(col("doc_id") % 2 === 1), "doc_id", "text")
+    val packedE = graft.operators.SequencePacking
+      .packSequences(encE, "doc_id", "n_tokens", "input_ids", budget = 2048, partitions = 1)
+    val packedO = graft.operators.SequencePacking
+      .packSequences(encO, "doc_id", "n_tokens", "input_ids", budget = 2048, partitions = 1)
+    val path = tmpIndexPath("graft_shard_cpt", dir)
+    graft.operators.SequencePacking.exportShards(packedE, path, nShards = 4)
+    graft.operators.SequencePacking.appendShards(packedO, path, batchKey = "drv#cpt")
+    graft.operators.SequencePacking.compactShards(s, path)
+    s.catalog.refreshByPath(s"$path/manifest")
+    s.read.parquet(s"$path/manifest").orderBy("shard")
+  }
+
   /** Certified loader read (SequencePacking.readShard, VERDICT r14 #6):
     * export the packed corpus and read ONE shard back through the
     * certifying path — the shard's manifest row is recomputed from the
@@ -3388,6 +3414,7 @@ object SparkEntry {
     "q_shard_retract" -> (qShardRetract _),
     "q_pack_sep" -> (qPackSep _),
     "q_shard_append" -> (qShardAppend _),
+    "q_shard_compact" -> (qShardCompact _),
     "q_read_shard" -> (qReadShard _),
     "q_epoch_schedule" -> (qEpochSchedule _),
     "q_epoch_resume" -> (qEpochResume _),
