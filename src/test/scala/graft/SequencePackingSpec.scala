@@ -627,6 +627,115 @@ class SequencePackingSpec extends AnyFunSuite {
     assert(SequencePacking.verifyShards(spark, dir).collect().forall(_.getAs[Boolean]("ok")))
   }
 
+  test("tombstone-scrub sweep: random batches + random tombstone sets match an independent reference slicer") {
+    val rnd = new scala.util.Random(20250816L)
+    (1 to 5).foreach { trial =>
+      val n = 20 + rnd.nextInt(40)
+      val budget = 30 + rnd.nextInt(40)
+      val nShards = 2 + rnd.nextInt(4)
+      val docs = (1L to n.toLong).map { i =>
+        val tok = 3L + rnd.nextInt(15)
+        (i, tok, (1L to tok).map(j => i * 1000 + j))
+      }
+      val doomed = docs.map(_._1).filter(_ => rnd.nextInt(10) < 3).toSet
+      val packed = SequencePacking.packSequences(
+        docs.toDF("id", "tok", "ids"), "id", "tok", "ids",
+        budget = budget, partitions = 1 + rnd.nextInt(3))
+      val packedRows = packed.collect()
+        .map(r => (r.getAs[Long]("bin_id"),
+          r.getSeq[Long](r.fieldIndex("input_ids")),
+          r.getSeq[Long](r.fieldIndex("doc_ids")),
+          r.getSeq[Long](r.fieldIndex("doc_lens"))))
+        .sortBy(_._1)
+
+      // the store is founded with one sentinel doc (id 999999, never
+      // doomed) and the doomed set already tombstoned — the append must
+      // land exactly the reference-scrubbed bins, rebased past the
+      // founding bin
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_scrub_sweep$trial").toString
+      val sentinel = SequencePacking.packSequences(
+        Seq((999999L, 4L, (1L to 4L).map(j => 99999000L + j))).toDF("id", "tok", "ids"),
+        "id", "tok", "ids", budget = budget, partitions = 1)
+      SequencePacking.exportShards(sentinel, dir, nShards = nShards)
+      doomed.toSeq.toDF("doc_id")
+        .coalesce(1).write.mode("append").parquet(s"$dir/tombstones")
+      SequencePacking.appendShards(packed, dir, batchKey = s"sweep#$trial")
+
+      // independent reference: walk each packed bin's lens offsets in
+      // plain Scala, drop doomed segments, drop emptied bins; appendShards
+      // re-ranks the batch's bins DENSE in bin_id order and rebases them
+      // past the founding bin (base 1) — shard = rebased id % nShards
+      val expected = packedRows.zipWithIndex.flatMap { case ((_, ids, dids, lens), rank) =>
+        val rebased = rank.toLong + 1L
+        var off = 0
+        val kept = dids.indices.flatMap { i =>
+          val l = lens(i).toInt
+          val seg = if (doomed.contains(dids(i))) None else Some((dids(i), lens(i), ids.slice(off, off + l)))
+          off += l
+          seg
+        }
+        if (kept.isEmpty) None
+        else Some(rebased -> ((kept.map(_._1), kept.map(_._2), kept.flatMap(_._3), rebased % nShards)))
+      }.toMap
+
+      val onDisk = spark.read.parquet(s"$dir/data").where(col("bin_id") >= 1L).collect()
+        .map(r => r.getAs[Long]("bin_id") ->
+          ((r.getSeq[Long](r.fieldIndex("doc_ids")),
+            r.getSeq[Long](r.fieldIndex("doc_lens")),
+            r.getSeq[Long](r.fieldIndex("input_ids")),
+            r.getAs[Number]("shard").longValue)))
+        .toMap
+      assert(onDisk.keySet == expected.keySet, s"trial $trial: bin set diverged")
+      expected.foreach { case (b, (edids, elens, eids, esh)) =>
+        val (dids, lens, ids, sh) = onDisk(b)
+        assert(dids == edids && lens == elens && ids == eids && sh == esh,
+          s"trial $trial bin $b diverged from the reference slicer")
+      }
+      assert(SequencePacking.verifyShards(spark, dir).collect().forall(_.getAs[Boolean]("ok")),
+        s"trial $trial: store must certify after a scrubbed append")
+      // the membership index is exactly the kept docs plus the sentinel
+      val idx = spark.read.parquet(s"$dir/docs").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(idx == expected.values.flatMap(_._1).toSet + 999999L,
+        s"trial $trial: index diverged")
+    }
+  }
+
+  test("epochSchedule sweep: permutation + running totals match an independent JVM reimplementation") {
+    val rnd = new scala.util.Random(99173L)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    (1 to 4).foreach { trial =>
+      val n = 15 + rnd.nextInt(50)
+      val docs = (1L to n.toLong).map { i =>
+        val tok = 3L + rnd.nextInt(15)
+        (i, tok, (1L to tok).map(j => i * 1000 + j))
+      }
+      val packed = SequencePacking.packSequences(
+        docs.toDF("id", "tok", "ids"), "id", "tok", "ids",
+        budget = 25 + rnd.nextInt(50), partitions = 1 + rnd.nextInt(3))
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_sched_sweep$trial").toString
+      SequencePacking.exportShards(packed, dir, nShards = 3)
+      val seed = s"sweep-${rnd.nextInt(1000)}"
+
+      // independent reimplementation: JVM MessageDigest + plain sort
+      val bins = spark.read.parquet(s"$dir/data")
+        .select("bin_id", "bin_tokens").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val ordered = bins.sortBy { case (b, _) => (md5hex(s"$seed:$b"), b) }
+      val expected = ordered.zipWithIndex.map { case ((b, t), i) =>
+        (i + 1L, b, t, ordered.take(i + 1).map(_._2).sum)
+      }.toSeq
+
+      val got = graft.operators.LoaderSchedule.epochSchedule(spark, dir, seed)
+        .orderBy("ord").collect()
+        .map(r => (r.getAs[Long]("ord"), r.getAs[Long]("bin_id"),
+          r.getAs[Long]("n_tokens"), r.getAs[Long]("cum_tokens"))).toSeq
+      assert(got == expected, s"trial $trial (seed $seed): schedule diverged from the reimplementation")
+    }
+  }
+
   test("compactShards: append-cadence small files fold to one per shard, content-identical, replay guard intact") {
     val dir = java.nio.file.Files.createTempDirectory("graft_shards_cmpt").toString
     val all = boundaryDocs
