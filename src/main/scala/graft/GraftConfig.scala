@@ -85,7 +85,14 @@ final case class GraftConfig(
     search: SearchConfig = SearchConfig(),
     imageDedup: ImageDedupConfig = ImageDedupConfig(),
     /** Root dir of the parquet catalog (documents/chunks/images/fts tables). */
-    warehouseDir: String = "/tmp/graft-warehouse"
+    warehouseDir: String = "/tmp/graft-warehouse",
+    /** Commit protocol behind every atomic directory swap
+      * ([[graft.sources.CommitProtocol.forName]]): "atomic-move" (POSIX /
+      * HDFS rename — the default) or "copy-delete" (object-store rename
+      * semantics). Installed PROCESS-GLOBALLY by [[graft.pipeline.Pipeline]]
+      * at construction — a deployment property, not a per-table one.
+      */
+    commitProtocol: String = "atomic-move"
 )
 
 object GraftConfig {

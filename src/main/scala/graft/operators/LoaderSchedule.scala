@@ -28,6 +28,29 @@ import org.apache.spark.sql.functions._
   */
 object LoaderSchedule {
 
+  /** The certified identity of a store's manifest state: the three
+    * manifest sums — bin count, token total, and the summed per-bin
+    * content digest. Any append, retraction, or compaction-gone-wrong
+    * moves at least one of them (the digest is content-derived, so even
+    * a same-size content swap moves it). This is the fingerprint a
+    * schedule's checkpoint cursor carries so a resume against a MUTATED
+    * store fails loud instead of silently mapping the cursor into a
+    * different permutation (r15 verdict #3).
+    */
+  final case class StoreStamp(nBins: Long, nTokens: Long, digest: Long) {
+    /** Field-wise sum — the combined stamp of a multi-store (mixture)
+      * schedule's inputs.
+      */
+    def +(o: StoreStamp): StoreStamp =
+      StoreStamp(nBins + o.nBins, nTokens + o.nTokens, digest + o.digest)
+  }
+
+  /** What a trainer PERSISTS at a checkpoint: the consumed-token cursor
+    * plus the stamp of the store state the schedule was built over.
+    * Mint with [[mintCursor]]; resume with [[resumeFromChecked]].
+    */
+  final case class Cursor(afterTokens: Long, stamp: StoreStamp)
+
   /** The epoch-E permutation key: `md5(seed || ':' || bin_id)` — uniform,
     * stateless, engine-portable (Spark and DuckDB agree on the lowercase
     * hex), and re-derivable for any subset of bins (which is what lets
@@ -61,7 +84,7 @@ object LoaderSchedule {
       seed: String,
       partitions: Int = 0
   ): DataFrame = {
-    val (bins, _, _) = certifiedBins(spark, path)
+    val (bins, _) = certifiedBins(spark, path)
     rankAndRunningTokens(bins, seed, partitions)
       .select("ord", "shard", "bin_id", "n_tokens", "cum_tokens")
   }
@@ -92,7 +115,8 @@ object LoaderSchedule {
     // certify ONCE — the store is immutable across the plan's epochs, so
     // each epoch reuses the same certified bin frame and the offsets come
     // from the totals the certification already established
-    val (bins, nBins, total) = certifiedBins(spark, path)
+    val (bins, stamp) = certifiedBins(spark, path)
+    val (nBins, total) = (stamp.nBins, stamp.nTokens)
     (1 to nEpochs).map { e =>
       rankAndRunningTokens(bins, s"$seed/$e", partitions)
         .withColumn("epoch", lit(e.toLong))
@@ -112,6 +136,66 @@ object LoaderSchedule {
     */
   def resumeFrom(schedule: DataFrame, afterTokens: Long): DataFrame =
     schedule.where(col("cum_tokens") > afterTokens)
+
+  /** The certified stamp of the store at `path` RIGHT NOW — the manifest
+    * sums, with the same files-vs-manifest certification every schedule
+    * verb runs (a stamp of an uncertifiable store would fingerprint
+    * corruption as if it were a state).
+    */
+  def storeStamp(spark: SparkSession, path: String): StoreStamp =
+    certifiedBins(spark, path)._2
+
+  /** Mint the checkpoint cursor a trainer persists: `afterTokens`
+    * consumed, against the combined stamp of the schedule's input
+    * stores (ONE path for [[epochSchedule]]/[[epochPlan]]; every
+    * domain's path, in any order, for [[mixtureSchedule]]/
+    * [[mixturePlan]] — the stamp is a field-wise sum).
+    */
+  def mintCursor(spark: SparkSession, paths: Seq[String], afterTokens: Long): Cursor = {
+    require(paths.nonEmpty, "mintCursor: pass the schedule's store path(s)")
+    Cursor(afterTokens, paths.map(storeStamp(spark, _)).reduce(_ + _))
+  }
+
+  /** STALE-CURSOR-CHECKED resume (r15 verdict #3): verify the stores
+    * still carry the exact manifest state `cursor` was minted against,
+    * then [[resumeFrom]]. A cursor is only meaningful inside the
+    * permutation it was minted in; after a mid-training retraction or
+    * append the re-derived schedule is a DIFFERENT (re-certified, valid)
+    * ordering, and plain `resumeFrom` would silently map the cursor to a
+    * different position in it. This verb fails loud instead, naming the
+    * drift.
+    *
+    * RE-SYNC PATH after a legitimate mutation (documented, deliberate):
+    * rebuild the schedule over the store's current state, decide what
+    * `afterTokens` means against the NEW ordering — for an append-only
+    * mutation the consumed token count is still a sound lower bound; after
+    * a retraction some consumed tokens no longer exist and the cursor
+    * over-counts — and then EXPLICITLY call
+    * `resumeFrom(newSchedule, cursor.afterTokens)` (or re-mint at a safe
+    * earlier cursor). The explicit step is the point: the engine will not
+    * silently equate positions across two different permutations.
+    */
+  def resumeFromChecked(
+      spark: SparkSession,
+      paths: Seq[String],
+      schedule: DataFrame,
+      cursor: Cursor
+  ): DataFrame = {
+    require(paths.nonEmpty, "resumeFromChecked: pass the schedule's store path(s)")
+    val now = paths.map(storeStamp(spark, _)).reduce(_ + _)
+    require(now == cursor.stamp,
+      s"resumeFromChecked: store state drifted since this cursor was minted — " +
+        s"cursor stamp (bins=${cursor.stamp.nBins}, tokens=${cursor.stamp.nTokens}, " +
+        s"digest=${cursor.stamp.digest}) vs current (bins=${now.nBins}, " +
+        s"tokens=${now.nTokens}, digest=${now.digest}) over ${paths.mkString(", ")}. " +
+        "The store was appended to, retracted from, or rewritten after the " +
+        "checkpoint; the cursor maps into a DIFFERENT permutation now. Re-sync " +
+        "deliberately: rebuild the schedule over the current store and call " +
+        "resumeFrom(newSchedule, cursor.afterTokens) only after deciding what " +
+        "the consumed-token count means against the new ordering (sound lower " +
+        "bound after append-only growth; an over-count after a retraction).")
+    resumeFrom(schedule, cursor.afterTokens)
+  }
 
   /** Assign schedule rows to `nWorkers` loader workers, round-robin on
     * the epoch order: `worker = (ord - 1) % nWorkers`. Each worker's
@@ -145,7 +229,8 @@ object LoaderSchedule {
     * token total, so [[resumeFrom]] and [[workerSlices]] compose
     * unchanged. A domain that runs out of bins simply stops appearing
     * (the schedule is one epoch of each store, not an infinite sampler
-    * — repeat epochs with fresh seeds to train longer).
+    * — [[mixturePlan]] is the multi-epoch composition, with per-domain
+    * repeat factors and the same globally-continuing coordinates).
     *
     * Scale shape: per store the same pruned certified scan as
     * [[epochSchedule]], one distributed rank per domain for k, then ONE
@@ -161,12 +246,14 @@ object LoaderSchedule {
     require(stores.map(_._1).distinct.length == stores.length,
       "mixtureSchedule: domain names must be unique")
     require(stores.forall(_._3 > 0L), "mixtureSchedule: weights must be positive")
-    val lcm = stores.map(_._3).map(BigInt(_)).reduce((a, b) => a / a.gcd(b) * b)
-    require(lcm <= BigInt(Int.MaxValue),
-      s"mixtureSchedule: lcm(weights) = $lcm — weights are mixture RATIOS " +
-        "(reduce them; lcm must fit an Int so virtual times stay exact BIGINTs)")
+    val steps = vtSteps(stores.map(_._3), "mixtureSchedule")
     val perDomain = stores.map { case (domain, path, w) =>
-      val (bins, _, _) = certifiedBins(spark, path)
+      val (bins, stamp) = certifiedBins(spark, path)
+      // virtual times are UNGUARDED Long multiplies downstream (non-ANSI
+      // Spark would wrap silently, corrupting the interleave while the
+      // oracle errors): prove the domain's LARGEST vt — nBins * (lcm/w) —
+      // fits a Long here, once, against the certified bin count (ADVICE r15)
+      requireVtFits(stamp.nBins, steps(w), domain, "mixtureSchedule")
       // the permutation key carries the DOMAIN: every store's bin_ids
       // start at 0, so an unsalted md5(seed:bin_id) would give all K
       // domains the identical permutation — correlated curriculum in
@@ -177,7 +264,7 @@ object LoaderSchedule {
         Seq(col("_k"), col("bin_id")), "_rank", partitions)
       ranked
         .withColumn("domain", lit(domain))
-        .withColumn("_vt", col("_rank") * lit((lcm / w).toLong))
+        .withColumn("_vt", col("_rank") * lit(steps(w)))
         .drop("_k")
     }
     val unioned = perDomain.reduce(_ unionByName _)
@@ -185,30 +272,162 @@ object LoaderSchedule {
       .select("ord", "domain", "shard", "bin_id", "n_tokens", "cum_tokens")
   }
 
+  /** Multi-epoch MIXTURE plan (r15 verdict #4): [[epochPlan]] ×
+    * [[mixtureSchedule]] — K certified stores, each with a mixture
+    * weight AND a per-domain repeat factor (the Pile/LLaMA upsampling:
+    * small high-quality domains run several epochs while the bulk runs
+    * one), interleaved into ONE globally-continuing schedule with exact
+    * `ord`/`cum_tokens`, so [[resumeFrom]], [[resumeFromChecked]] and
+    * [[workerSlices]] compose unchanged.
+    *
+    * Semantics: domain d contributes `epochs_d` consecutive independent
+    * epoch permutations of its store (epoch e keyed `"$seed:$domain/$e"`
+    * — each epoch taken alone equals `epochSchedule(path,
+    * s"$seed:$domain/$e")`'s ordering exactly, and epochs appear in
+    * order within the domain). The domain's bins are one continuous
+    * stream across its epochs — bin k of epoch e sits at stream position
+    * `(e-1) * nBins_d + k` — and stream position k schedules at virtual
+    * time `k * (lcm(weights) / w_d)`: weighted fair queuing over the
+    * REPEATED streams, so every prefix of the combined order serves
+    * domain d in proportion to `w_d` until d's repeat budget runs dry
+    * (then it simply stops appearing, exactly like an exhausted domain
+    * in [[mixtureSchedule]]). Ties break on (domain, stream position).
+    *
+    * Input: `(domain, path, weight, epochs)` per store. Returns
+    * `(ord, domain, epoch, shard, bin_id, n_tokens, cum_tokens)`, epoch
+    * 1-based within the domain.
+    *
+    * Scale shape: per (domain, epoch) the same pruned certified scan +
+    * distributed rank as [[epochSchedule]] (the store is certified ONCE
+    * per domain and the bin frame reused across its epochs), then ONE
+    * range shuffle of the unioned metadata rows on (vt, domain, k) —
+    * schedule rows are bins, never tokens, so at 100 TB this shuffles
+    * ~1000× less than the data it orders.
+    */
+  def mixturePlan(
+      spark: SparkSession,
+      stores: Seq[(String, String, Long, Int)],
+      seed: String,
+      partitions: Int = 0
+  ): DataFrame = {
+    require(stores.nonEmpty, "mixturePlan: pass at least one store")
+    require(stores.map(_._1).distinct.length == stores.length,
+      "mixturePlan: domain names must be unique")
+    require(stores.forall(_._3 > 0L), "mixturePlan: weights must be positive")
+    require(stores.forall(_._4 >= 1), "mixturePlan: epochs must be >= 1")
+    val steps = vtSteps(stores.map(_._3), "mixturePlan")
+    val perDomainEpoch = stores.flatMap { case (domain, path, w, reps) =>
+      // certify ONCE per domain; every epoch reuses the certified frame
+      val (bins, stamp) = certifiedBins(spark, path)
+      // the largest vt this domain ever takes is reps * nBins * (lcm/w)
+      val streamLen =
+        try math.multiplyExact(stamp.nBins, reps.toLong)
+        catch {
+          case _: ArithmeticException =>
+            throw new IllegalArgumentException(
+              s"mixturePlan: domain '$domain' repeats ${stamp.nBins} bins x $reps " +
+                "epochs — the stream length itself overflows a Long")
+        }
+      requireVtFits(streamLen, steps(w), domain, "mixturePlan")
+      (1 to reps).map { e =>
+        val (ranked, _) = Ranks.withGlobalRank(
+          bins.withColumn("_k", epochKey(s"$seed:$domain/$e")),
+          Seq(col("_k"), col("bin_id")), "_rank", partitions)
+        ranked
+          .withColumn("domain", lit(domain))
+          .withColumn("epoch", lit(e.toLong))
+          // stream position across the domain's repeated epochs — the WFQ
+          // clock input, and the tie-break that keeps epochs in order
+          .withColumn("_kpos", col("_rank") + lit((e - 1).toLong * stamp.nBins))
+          .withColumn("_vt", col("_kpos") * lit(steps(w)))
+          .drop("_k", "_rank")
+      }
+    }
+    val unioned = perDomainEpoch.reduce(_ unionByName _)
+    rankAndCumOver(unioned, Seq(col("_vt"), col("domain"), col("_kpos")), partitions)
+      .select("ord", "domain", "epoch", "shard", "bin_id", "n_tokens", "cum_tokens")
+  }
+
+  /** Per-weight virtual-time STEP `lcm(weights)/w` — weighted fair
+    * queuing's clock increment — computed over the weights REDUCED by
+    * their gcd, so e.g. (300, 100) costs what (3, 1) does (the steps are
+    * identical: lcm and w divide by the same g). The reduced lcm is
+    * bounded to an Int so steps stay small exact Longs (weights are
+    * RATIOS like 7:2:1, not token counts).
+    */
+  private def vtSteps(weights: Seq[Long], verb: String): Map[Long, Long] = {
+    val g = weights.map(BigInt(_)).reduce(_ gcd _)
+    val lcm = weights.map(BigInt(_) / g).reduce((a, b) => a / a.gcd(b) * b)
+    require(lcm <= BigInt(Int.MaxValue),
+      s"$verb: lcm(weights reduced by gcd $g) = $lcm — weights are mixture " +
+        "RATIOS (reduce them; lcm must fit an Int so virtual times stay exact BIGINTs)")
+    weights.map(w => w -> (lcm / (BigInt(w) / g)).toLong).toMap
+  }
+
+  /** The ADVICE-r15 overflow guard: the largest virtual time a domain's
+    * stream takes — `streamLen * step` — must fit a Long, or the WFQ
+    * interleave silently corrupts under non-ANSI Spark arithmetic.
+    */
+  private def requireVtFits(streamLen: Long, step: Long, domain: String, verb: String): Unit =
+    require(step == 0L || streamLen <= Long.MaxValue / step,
+      s"$verb: domain '$domain' would take virtual times up to " +
+        s"$streamLen * $step, which overflows a Long — reduce the weight " +
+        "ratios (lcm/weight is the per-domain step) or split the store")
+
   /** The certified pruned bin scan every schedule verb starts from:
     * `(shard, bin_id, n_tokens)` for each bin, with the scan's totals
     * checked against the stored manifest before any schedule is built.
-    * Returns `(bins, n_bins, total_tokens)` so callers that need the
-    * store totals (epoch offsets) reuse the certification's own sums.
+    * Returns `(bins, stamp)` — the certified [[StoreStamp]] doubles as
+    * the store totals callers need (epoch offsets) and as the
+    * fingerprint [[mintCursor]]/[[resumeFromChecked]] pin.
     */
-  private def certifiedBins(spark: SparkSession, path: String): (DataFrame, Long, Long) = {
+  private def certifiedBins(spark: SparkSession, path: String): (DataFrame, StoreStamp) = {
     spark.catalog.refreshByPath(s"$path/manifest")
     spark.catalog.refreshByPath(s"$path/data")
     val stored = spark.read.parquet(s"$path/manifest")
-      .agg(sum("n_bins"), sum("n_tokens")).head()
+      .agg(sum("n_bins"), sum("n_tokens"), sum("digest")).head()
+    if (stored.isNullAt(0)) {
+      // ZERO manifest rows: a legitimately EMPTIED store — every document
+      // retracted, a state the append/retract protocol explicitly supports
+      // — iff the data scan is empty too (ADVICE r15: this used to be
+      // misdiagnosed as 'mid-mutation, lost files' and sent the user to
+      // recertifyShards, which cannot make an empty store schedulable).
+      // An empty store's schedule is simply empty; its stamp is the zero
+      // stamp, so a cursor minted against it still detects later growth.
+      // The data read is schema-tolerant here (and ONLY here): a fully
+      // retracted store's shard dirs can hold zero parquet footers, which
+      // fails schema inference — that IS the empty state.
+      val nActual =
+        try spark.read.parquet(s"$path/data").count()
+        catch { case _: org.apache.spark.sql.AnalysisException => 0L }
+      require(nActual == 0L,
+        s"LoaderSchedule: store at $path FAILS certification — the manifest " +
+          s"has no rows but the files hold $nActual bins. The store " +
+          "is mid-mutation or was written outside the export/append/retract " +
+          "protocol; run recertifyShards before scheduling.")
+      return (emptyBins(spark), StoreStamp(0L, 0L, 0L))
+    }
     val bins = spark.read.parquet(s"$path/data")
       .select(col("shard").cast("long").as("shard"), col("bin_id"),
         col("bin_tokens").as("n_tokens"))
     val actual = bins.agg(count(lit(1)), sum("n_tokens")).head()
-    require(!stored.isNullAt(0) && stored.getLong(0) == actual.getLong(0) &&
+    require(stored.getLong(0) == actual.getLong(0) &&
       stored.getLong(1) == actual.getLong(1),
       s"LoaderSchedule: store at $path FAILS certification — manifest records " +
-        s"${if (stored.isNullAt(0)) "no" else stored.getLong(0).toString} bins / " +
-        s"${if (stored.isNullAt(1)) "no" else stored.getLong(1).toString} tokens but the files hold " +
+        s"${stored.getLong(0)} bins / ${stored.getLong(1)} tokens but the files hold " +
         s"${actual.getLong(0)} / ${if (actual.isNullAt(1)) 0L else actual.getLong(1)}. " +
         "The store is mid-mutation, lost files, or was written outside the " +
         "export/append/retract protocol; run recertifyShards before scheduling.")
-    (bins, stored.getLong(0), stored.getLong(1))
+    (bins, StoreStamp(stored.getLong(0), stored.getLong(1), stored.getLong(2)))
+  }
+
+  /** The schema-correct empty bin frame an emptied store schedules as. */
+  private def emptyBins(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("shard", LongType), StructField("bin_id", LongType),
+        StructField("n_tokens", LongType))))
   }
 
   /** Epoch-key the bins and hand off to the shared rank+prefix pass. */

@@ -323,6 +323,18 @@ object SequencePacking {
       stampKey: String = "-"
   ): DataFrame = {
     require(nShards >= 1, s"need nShards >= 1, got $nShards")
+    graft.sources.StoreLease.withLease(path, "export") {
+      exportShardsImpl(packed, path, nShards, shardCol, stampKey)
+    }
+  }
+
+  private def exportShardsImpl(
+      packed: DataFrame,
+      path: String,
+      nShards: Int,
+      shardCol: String,
+      stampKey: String
+  ): DataFrame = {
     val spark = packed.sparkSession
     val sharded =
       if (shardCol.isEmpty)
@@ -425,7 +437,13 @@ object SequencePacking {
     * Re-certifying from the files restores the green state; returns the
     * reloaded manifest.
     */
-  def recertifyShards(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+  def recertifyShards(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    graft.sources.StoreLease.withLease(path, "recertify") {
+      recertifyShardsImpl(spark, path)
+    }
+
+  private def recertifyShardsImpl(
+      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
     val manifest = manifestOf(spark.read.parquet(s"$path/data")).localCheckpoint()
     try {
       // Catalog.swapIn tolerates an ABSENT manifest (a crash inside a
@@ -481,6 +499,21 @@ object SequencePacking {
     * resurrect (the rewritten files simply no longer hold the victim).
     */
   def retractFromShards(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      docIds: Seq[Long]
+  ): Long =
+    graft.sources.StoreLease.withLease(path, "retract") {
+      retractFromShardsImpl(spark, path, docIds)
+    }
+
+  /** [[retractFromShards]] without the writer lease — the internal form
+    * [[appendShards]] calls to finish a crashed-takedown double fault
+    * while it ALREADY holds the store's lease (a lease is per-store, not
+    * re-entrant; nesting the public verb would deadlock-by-loud-failure
+    * against our own hold).
+    */
+  private def retractFromShardsImpl(
       spark: org.apache.spark.sql.SparkSession,
       path: String,
       docIds: Seq[Long]
@@ -551,7 +584,10 @@ object SequencePacking {
     // don't re-read directories mid-swap
     val pinned = rebuilt.localCheckpoint()
     try {
-      val removed = pinned.agg(sum("_removed")).head().getLong(0)
+      // coalesce: a re-run healing a crashed takedown can find the affected
+      // shard's rows already gone (the crash lost or already-rewrote them) —
+      // an empty slice sums to null, and the heal must report 0, not NPE
+      val removed = pinned.agg(coalesce(sum("_removed"), lit(0L))).head().getLong(0)
       val kept = pinned.where(col("n_docs") > 0L).drop("_removed")
 
       affectedShards.foreach { sh =>
@@ -632,10 +668,13 @@ object SequencePacking {
     * takedown there FIRST), so neither a crashed batch replaying after
     * a mid-window retraction nor a later re-arrival of deleted content
     * can resurrect it ([[exportShards]] resets the tombstones — a
-    * re-export's content is authoritative). Single-writer, like
-    * every store verb here: a
-    * DIFFERENT batch must not start while a crashed append awaits
-    * replay (under streaming's in-order redelivery it cannot).
+    * re-export's content is authoritative). Single-writer, like every
+    * store verb here — and since r16 that is a CHECKED invariant, not a
+    * docstring convention: every mutating verb runs under the store's
+    * [[graft.sources.StoreLease]] (loud failure on a live second writer,
+    * loud steal of a crashed holder's expired lease). A DIFFERENT batch
+    * must still not start while a crashed append awaits replay (under
+    * streaming's in-order redelivery it cannot).
     *
     * Parity contract (oracle-pinned by q_shard_append): export(A) then
     * appendShards(B) is byte-identical — data, manifest, digests — to
@@ -651,6 +690,16 @@ object SequencePacking {
   ): Long = {
     require(batchKey != "-",
       "appendShards: batch_key \"-\" is reserved for the exportShards stamp")
+    graft.sources.StoreLease.withLease(path, "append") {
+      appendShardsImpl(packed, path, batchKey)
+    }
+  }
+
+  private def appendShardsImpl(
+      packed: DataFrame,
+      path: String,
+      batchKey: String
+  ): Long = {
     val spark = packed.sparkSession
     // one-time upgrade of a store exported before the sidecars existed:
     // bootstrap the ledger from a bin_id scan and the membership index
@@ -692,8 +741,23 @@ object SequencePacking {
     val pending = java.nio.file.Paths.get(s"$path/pending")
     if (!meta.where(col("batch_key") === batchKey).isEmpty) {
       // committed replay: also clear a marker left by a crash between the
-      // ledger append and the marker delete (the tail is empty by then)
-      java.nio.file.Files.deleteIfExists(pending)
+      // ledger append and the marker delete — but ONLY when the marker's
+      // recorded base sits BELOW the ledger tip, i.e. its own write window
+      // verifiably committed (strict in-order single-writer: a committed
+      // append with next_after past the marker's base means that window
+      // was consumed and ledgered). A marker at/past the tip belongs to a
+      // LATER crashed append (ADVICE r15): deleting it would disable the
+      // unledgered-tail takedown scan and the double-fault heal that
+      // marker gates, so it stays. An unreadable marker is kept too — the
+      // cost of keeping is one spurious tail scan; of a wrong delete, a
+      // silently missed takedown.
+      if (java.nio.file.Files.exists(pending)) {
+        val tip = meta.agg(max("next_after")).head().getLong(0)
+        val markerBase =
+          try java.nio.file.Files.readString(pending).trim.toLong
+          catch { case _: Exception => Long.MaxValue }
+        if (markerBase < tip) java.nio.file.Files.deleteIfExists(pending)
+      }
       return 0L
     }
     val base = meta.agg(max("next_after")).head().getLong(0)
@@ -727,7 +791,7 @@ object SequencePacking {
         .join(spark.read.parquet(s"$path/tombstones").select("doc_id").distinct(),
           Seq("doc_id"), "left_semi")
         .distinct().collect().map(_.getLong(0)).toSeq
-      leftover.grouped(10000).foreach(g => retractFromShards(spark, path, g))
+      leftover.grouped(10000).foreach(g => retractFromShardsImpl(spark, path, g))
     }
     // the PENDING marker brackets every append's write window: written
     // before the first byte lands, deleted after the ledger commits. Its
@@ -931,6 +995,17 @@ object SequencePacking {
       filesPerShard: Int = 1
   ): Long = {
     require(filesPerShard >= 1, s"need filesPerShard >= 1, got $filesPerShard")
+    graft.sources.StoreLease.withLease(path, "compact") {
+      compactShardsImpl(spark, path, shards, filesPerShard)
+    }
+  }
+
+  private def compactShardsImpl(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      shards: Seq[Long],
+      filesPerShard: Int
+  ): Long = {
     spark.catalog.refreshByPath(s"$path/manifest")
     val stored = spark.read.parquet(s"$path/manifest")
       .collect().map(r => r.getAs[Long]("shard") ->

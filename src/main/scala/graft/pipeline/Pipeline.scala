@@ -27,6 +27,11 @@ import graft.sources.{Catalog, MarkdownSource, PdfSource}
   */
 final class Pipeline(spark: SparkSession, config: GraftConfig = GraftConfig.default) {
 
+  // the swap seam is a deployment property: install what this deployment's
+  // config names (process-global — see CommitProtocol.install)
+  graft.sources.CommitProtocol.install(
+    graft.sources.CommitProtocol.forName(config.commitProtocol))
+
   val catalog = new Catalog(spark, config.warehouseDir)
   private def ftsKey = s"${config.warehouseDir}/chunks"
 

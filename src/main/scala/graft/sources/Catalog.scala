@@ -1,6 +1,6 @@
 package graft.sources
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.{Files, Path, Paths}
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -147,48 +147,23 @@ final class Catalog(spark: SparkSession, warehouseDir: String) {
   * `recertifyShards` / `appendShards`' manifest splice) and
   * [[graft.operators.TextAnalysis.compactWordHistogram]] all commit
   * through [[swapIn]] instead of hand-rolling the temp-write + move
-  * dance.
-  *
-  * COMMIT CONTRACT (stated once, here): the swap relies on
-  * `java.nio.file.Files.move(ATOMIC_MOVE)` — POSIX rename semantics,
-  * available on local filesystems and on HDFS-like stores with atomic
-  * directory rename, NOT on plain object stores (S3/GCS), where rename
-  * is copy+delete and a reader can observe the window. A cluster
-  * deployment writing to an object store overrides exactly this method
-  * (route it to a transactional table-format commit, or to a
-  * rename-capable FileSystem layer); every swap verb in the engine then
-  * inherits the new protocol with no other changes.
+  * dance. [[swapIn]] delegates to the INSTALLED [[CommitProtocol]]
+  * (default [[CommitProtocol.AtomicMove]], POSIX rename; selected by
+  * `GraftConfig.commitProtocol` or [[CommitProtocol.install]]) — a
+  * deployment over a store without atomic rename swaps the protocol and
+  * every verb inherits it with no other changes. The commit and
+  * read-after-swap contracts are stated once, on the trait.
   */
 object Catalog {
 
-  /** Atomically replace the directory at `target` with whatever `write`
-    * produces at the temp path it is handed: write-to-temp, move the old
-    * target aside, move the temp in, clean up. Crash windows:
-    *   - before the first move: `target` untouched, the temp dir is
-    *     debris (dot-prefixed; ignored by readers and by `flush`);
-    *   - between the two moves: `target` is ABSENT — which is why this
-    *     seam TOLERATES a missing target (ADVICE r14): any swap verb
-    *     re-run (or [[graft.operators.SequencePacking.recertifyShards]]
-    *     as the recovery verb) can then swap a fresh directory in
-    *     instead of throwing NoSuchFileException at its own first move;
-    *   - after the second move: fully committed, only `.._old_..`
-    *     debris remains (removed best-effort).
+  /** Replace the directory at `target` with whatever `write` produces at
+    * the temp path it is handed, committing through the installed
+    * [[CommitProtocol]]. Crash-window and visibility semantics are the
+    * protocol's — see [[CommitProtocol]] (atomicity, debris, the
+    * tolerated-absent-target rule recovery verbs rely on).
     */
-  def swapIn(target: Path)(write: Path => Unit): Unit = {
-    val nano = System.nanoTime()
-    val parent = target.toAbsolutePath.getParent
-    val name = target.getFileName.toString
-    val tmp = parent.resolve(s".${name}_tmp_$nano")
-    val old = parent.resolve(s".${name}_old_$nano")
-    write(tmp)
-    require(Files.exists(tmp),
-      s"swapIn: the write callback produced nothing at $tmp — refusing to swap " +
-        s"an empty result over $target")
-    if (Files.exists(target))
-      Files.move(target, old, StandardCopyOption.ATOMIC_MOVE)
-    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
-    if (Files.exists(old)) deleteRecursively(old)
-  }
+  def swapIn(target: Path)(write: Path => Unit): Unit =
+    CommitProtocol.current.swapIn(target)(write)
 
   private[graft] def deleteRecursively(p: Path): Unit = {
     if (Files.isDirectory(p)) {

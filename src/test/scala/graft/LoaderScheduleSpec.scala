@@ -171,6 +171,129 @@ class LoaderScheduleSpec extends AnyFunSuite {
       plan.dropWhile(_.getAs[Long]("cum_tokens") <= cursor).map(_.toSeq).toSeq)
   }
 
+  test("mixturePlan: per-domain repeat factors, WFQ-faithful prefixes, epochs in order, resume/workers compose") {
+    val dirA = freshStore("graft_lmplan_a", n = 90L)
+    val dirB = freshStore("graft_lmplan_b", n = 30L, salt = 2L)
+    // the Pile/LLaMA shape: the small domain upsampled (2 epochs), the bulk once
+    val plan = LoaderSchedule.mixturePlan(
+      spark, Seq(("a", dirA, 3L, 1), ("b", dirB, 1L, 2)), "mp").orderBy("ord").collect()
+
+    val nA = spark.read.parquet(s"$dirA/data").count()
+    val nB = spark.read.parquet(s"$dirB/data").count()
+    assert(plan.length == (nA + 2L * nB).toInt)
+    assert(plan.map(_.getAs[Long]("ord")).toSeq == (1L to plan.length).toSeq)
+    // every bin of A once; every bin of B exactly twice (once per epoch)
+    assert(plan.count(_.getAs[String]("domain") == "a") == nA.toInt)
+    assert(plan.count(_.getAs[String]("domain") == "b") == 2 * nB.toInt)
+    // cum_tokens exact over the whole interleave
+    var run = 0L
+    plan.foreach { r =>
+      run += r.getAs[Long]("n_tokens")
+      assert(r.getAs[Long]("cum_tokens") == run)
+    }
+    // domain B's stream: epoch 1 entirely before epoch 2 (stream position
+    // ordering), and each epoch taken alone IS that seed's epochSchedule order
+    val bStream = plan.filter(_.getAs[String]("domain") == "b")
+    val bEpochs = bStream.map(_.getAs[Long]("epoch")).toSeq
+    assert(bEpochs == bEpochs.sorted, "domain epochs out of order in the interleave")
+    (1 to 2).foreach { e =>
+      val got = bStream.filter(_.getAs[Long]("epoch") == e.toLong).map(_.getAs[Long]("bin_id")).toSeq
+      val want = LoaderSchedule.epochSchedule(spark, dirB, s"mp:b/$e")
+        .orderBy("ord").collect().map(_.getAs[Long]("bin_id")).toSeq
+      assert(got == want, s"domain b epoch $e is not epochSchedule(seed mp:b/$e)")
+    }
+    // WFQ prefixes hold at 3:1 over the repeated stream while both domains live
+    var servedA = 0L
+    var servedB = 0L
+    plan.foreach { r =>
+      if (r.getAs[String]("domain") == "a") servedA += 1 else servedB += 1
+      if (servedA < nA && servedB < 2L * nB)
+        assert(math.abs(servedA - 3L * servedB) <= 3L,
+          s"prefix drifted from 3:1 at ord ${r.getAs[Long]("ord")}: a=$servedA b=$servedB")
+    }
+    // resumeFrom and workerSlices compose unchanged on the plan
+    val plan2 = LoaderSchedule.mixturePlan(
+      spark, Seq(("a", dirA, 3L, 1), ("b", dirB, 1L, 2)), "mp")
+    val tail = LoaderSchedule.resumeFrom(plan2, run / 2L).orderBy("ord").collect()
+    assert(tail.map(_.toSeq).toSeq ==
+      plan.dropWhile(_.getAs[Long]("cum_tokens") <= run / 2L).map(_.toSeq).toSeq)
+    val sliced = LoaderSchedule.workerSlices(plan2, 4).collect()
+    val sizes = sliced.groupBy(_.getAs[Long]("worker")).values.map(_.length)
+    assert(sizes.max - sizes.min <= 1)
+    // weights reduced by gcd: (300, 100) must behave exactly like (3, 1)
+    val scaled = LoaderSchedule.mixturePlan(
+      spark, Seq(("a", dirA, 300L, 1), ("b", dirB, 100L, 2)), "mp").orderBy("ord").collect()
+    assert(scaled.map(_.toSeq).toSeq == plan.map(_.toSeq).toSeq)
+  }
+
+  test("stale-cursor detection: a resume against a mutated store fails loud; re-sync is explicit") {
+    val dir = freshStore("graft_lstale")
+    val sched = LoaderSchedule.epochSchedule(spark, dir, "ck")
+    val half = sched.agg(max("cum_tokens")).head().getLong(0) / 2L
+    val cursor = LoaderSchedule.mintCursor(spark, Seq(dir), half)
+
+    // unchanged store: the checked resume IS resumeFrom
+    val checked = LoaderSchedule.resumeFromChecked(spark, Seq(dir), sched, cursor)
+      .orderBy("ord").collect().map(_.toSeq).toSeq
+    assert(checked == LoaderSchedule.resumeFrom(sched, half).orderBy("ord").collect().map(_.toSeq).toSeq)
+
+    // mutate the store mid-training (a takedown); the old cursor now maps
+    // into a DIFFERENT permutation — the checked resume must fail loud
+    SequencePacking.retractFromShards(spark, dir, Seq(5L))
+    val rebuilt = LoaderSchedule.epochSchedule(spark, dir, "ck")
+    val ex = intercept[IllegalArgumentException] {
+      LoaderSchedule.resumeFromChecked(spark, Seq(dir), rebuilt, cursor)
+    }
+    assert(ex.getMessage.contains("drifted"), ex.getMessage)
+    assert(ex.getMessage.contains("resumeFrom(newSchedule, cursor.afterTokens)"),
+      "the error must document the explicit re-sync path")
+    // the documented re-sync: rebuild + explicit resumeFrom still works,
+    // and a cursor re-minted against the mutated store checks green again
+    assert(LoaderSchedule.resumeFrom(rebuilt, cursor.afterTokens).count() > 0L)
+    val fresh = LoaderSchedule.mintCursor(spark, Seq(dir), cursor.afterTokens)
+    assert(LoaderSchedule.resumeFromChecked(spark, Seq(dir), rebuilt, fresh).count() > 0L)
+
+    // an APPEND drifts the stamp too (growth, not just loss)
+    val extra = docs(5L, salt = 9L).map { case (i, t, ids) => (i + 2000L, t, ids) }
+      .toDF("id", "tok", "ids")
+    val packedExtra = SequencePacking.packSequences(extra, "id", "tok", "ids", budget = 40, partitions = 1)
+    SequencePacking.appendShards(packedExtra, dir, batchKey = "stale#grow")
+    intercept[IllegalArgumentException] {
+      LoaderSchedule.resumeFromChecked(spark, Seq(dir),
+        LoaderSchedule.epochSchedule(spark, dir, "ck"), fresh)
+    }
+  }
+
+  test("a legitimately EMPTIED store schedules as empty, not as corruption") {
+    val dir = freshStore("graft_lempty", n = 8L)
+    val allDocs = spark.read.parquet(s"$dir/docs").select("doc_id")
+      .collect().map(_.getLong(0)).distinct.toSeq
+    SequencePacking.retractFromShards(spark, dir, allDocs)
+    // every doc retracted: the manifest legitimately records nothing
+    spark.catalog.refreshByPath(s"$dir/manifest")
+    assert(spark.read.parquet(s"$dir/manifest").isEmpty)
+    // ADVICE r15: this used to throw 'FAILS certification ... run
+    // recertifyShards' — an instruction that cannot help an empty store
+    assert(LoaderSchedule.epochSchedule(spark, dir, "e").isEmpty)
+    assert(LoaderSchedule.epochPlan(spark, dir, "e", nEpochs = 2).isEmpty)
+    assert(LoaderSchedule.storeStamp(spark, dir) == LoaderSchedule.StoreStamp(0L, 0L, 0L))
+    // a mixture over (live, emptied) serves only the live domain
+    val live = freshStore("graft_lempty_live", n = 20L, salt = 1L)
+    val mix = LoaderSchedule.mixtureSchedule(
+      spark, Seq(("live", live, 2L), ("gone", dir, 1L)), "m").collect()
+    assert(mix.nonEmpty && mix.forall(_.getAs[String]("domain") == "live"))
+    // and the zero stamp still detects later growth through the checked resume
+    val cursor = LoaderSchedule.mintCursor(spark, Seq(dir), 0L)
+    val extra = docs(4L, salt = 3L).map { case (i, t, ids) => (i + 3000L, t, ids) }
+      .toDF("id", "tok", "ids")
+    val packedExtra = SequencePacking.packSequences(extra, "id", "tok", "ids", budget = 40, partitions = 1)
+    SequencePacking.appendShards(packedExtra, dir, batchKey = "empty#grow")
+    intercept[IllegalArgumentException] {
+      LoaderSchedule.resumeFromChecked(spark, Seq(dir),
+        LoaderSchedule.epochSchedule(spark, dir, "e"), cursor)
+    }
+  }
+
   test("schedules refuse an uncertified store, and cover appended bins once healthy") {
     val dir = freshStore("graft_lcert")
     val before = LoaderSchedule.epochSchedule(spark, dir, "ep").count()
