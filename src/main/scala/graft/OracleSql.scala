@@ -2055,6 +2055,70 @@ object OracleSql {
          |              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
          |FROM u ORDER BY ord""".stripMargin,
 
+    "q_mixture_plan" ->
+      // LoaderSchedule.mixturePlan twin (r15 verdict #4): even store at
+      // weight 3 x 1 epoch, odd store at weight 1 x 2 epochs. Each
+      // (domain, epoch) is its own md5-keyed permutation (seeds
+      // mixp:even/1, mixp:odd/1, mixp:odd/2); odd's epoch-2 stream
+      // positions continue past epoch 1 (kpos = nBins + rank), and the
+      // WFQ interleave runs on kpos * lcm/w (even: k*1, odd: k*3) with
+      // ties on (domain, kpos) — re-derived to the bit, running token
+      // total included
+      s"""WITH RECURSIVE $bpeIdsCtes,
+         |de AS MATERIALIZED (
+         |  SELECT n_tokens AS tok,
+         |         ROW_NUMBER() OVER (ORDER BY doc_id) AS rn
+         |  FROM docids WHERE doc_id % 2 = 0),
+         |packe AS (
+         |  SELECT rn, tok, CAST(0 AS BIGINT) AS bin_id, tok AS bin_run FROM de WHERE rn = 1
+         |  UNION ALL
+         |  SELECT d.rn, d.tok,
+         |         CASE WHEN p.bin_run + d.tok > 2048 THEN p.bin_id + 1 ELSE p.bin_id END,
+         |         CASE WHEN p.bin_run + d.tok > 2048 THEN d.tok ELSE p.bin_run + d.tok END
+         |  FROM packe p JOIN de d ON d.rn = p.rn + 1),
+         |dd AS MATERIALIZED (
+         |  SELECT n_tokens AS tok,
+         |         ROW_NUMBER() OVER (ORDER BY doc_id) AS rn
+         |  FROM docids WHERE doc_id % 2 = 1),
+         |packo AS (
+         |  SELECT rn, tok, CAST(0 AS BIGINT) AS bin_id, tok AS bin_run FROM dd WHERE rn = 1
+         |  UNION ALL
+         |  SELECT d.rn, d.tok,
+         |         CASE WHEN p.bin_run + d.tok > 2048 THEN p.bin_id + 1 ELSE p.bin_id END,
+         |         CASE WHEN p.bin_run + d.tok > 2048 THEN d.tok ELSE p.bin_run + d.tok END
+         |  FROM packo p JOIN dd d ON d.rn = p.rn + 1),
+         |be AS (SELECT bin_id, CAST(SUM(tok) AS BIGINT) AS n_tokens FROM packe GROUP BY bin_id),
+         |bo AS (SELECT bin_id, CAST(SUM(tok) AS BIGINT) AS n_tokens FROM packo GROUP BY bin_id),
+         |nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM bo),
+         |ke AS (
+         |  SELECT 'even' AS domain, CAST(1 AS BIGINT) AS epoch, b.bin_id % 4 AS shard,
+         |         b.bin_id, b.n_tokens,
+         |         CAST(ROW_NUMBER() OVER (
+         |           ORDER BY md5('mixp:even/1:' || CAST(b.bin_id AS VARCHAR)), b.bin_id) AS BIGINT) AS kpos
+         |  FROM be b),
+         |ko1 AS (
+         |  SELECT 'odd' AS domain, CAST(1 AS BIGINT) AS epoch, b.bin_id % 4 AS shard,
+         |         b.bin_id, b.n_tokens,
+         |         CAST(ROW_NUMBER() OVER (
+         |           ORDER BY md5('mixp:odd/1:' || CAST(b.bin_id AS VARCHAR)), b.bin_id) AS BIGINT) AS kpos
+         |  FROM bo b),
+         |ko2 AS (
+         |  SELECT 'odd' AS domain, CAST(2 AS BIGINT) AS epoch, b.bin_id % 4 AS shard,
+         |         b.bin_id, b.n_tokens,
+         |         CAST(ROW_NUMBER() OVER (
+         |           ORDER BY md5('mixp:odd/2:' || CAST(b.bin_id AS VARCHAR)), b.bin_id) AS BIGINT)
+         |           + (SELECT n FROM nb) AS kpos
+         |  FROM bo b),
+         |u AS (
+         |  SELECT domain, epoch, shard, bin_id, n_tokens, kpos,
+         |         kpos * CASE WHEN domain = 'even' THEN 1 ELSE 3 END AS vt
+         |  FROM (SELECT * FROM ke UNION ALL SELECT * FROM ko1 UNION ALL SELECT * FROM ko2))
+         |SELECT CAST(ROW_NUMBER() OVER (ORDER BY vt, domain, kpos) AS BIGINT) AS ord,
+         |       domain, epoch, shard, bin_id, n_tokens,
+         |       CAST(SUM(n_tokens) OVER (ORDER BY vt, domain, kpos
+         |              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+         |FROM u ORDER BY ord""".stripMargin,
+
     "q_stratified_sample" -> {
       // mirrors Sampling.hashBucket: first 6 md5 nibbles as int, mod 100
       val bucket = s"(${md5NibbleIntSql("CAST(doc_id AS VARCHAR)", 6)} % 100)"

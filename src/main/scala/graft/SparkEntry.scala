@@ -2780,18 +2780,37 @@ object SparkEntry {
     * content digests over the union) — pinning that the incremental
     * path loses, duplicates, and reorders nothing, digests included.
     */
-  private def qShardAppend(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents").where(col("doc_id") < 120)
-    val tok = TextAnalysis.trainBpeTokenizer(docs, "text", rounds = 3)
-    val encE = TextAnalysis.bpeEncodeIds(tok, docs.where(col("doc_id") % 2 === 0), "doc_id", "text")
-    val encO = TextAnalysis.bpeEncodeIds(tok, docs.where(col("doc_id") % 2 === 1), "doc_id", "text")
-    val packedE = graft.operators.SequencePacking
-      .packSequences(encE, "doc_id", "n_tokens", "input_ids", budget = 2048, partitions = 1)
-    val packedO = graft.operators.SequencePacking
-      .packSequences(encO, "doc_id", "n_tokens", "input_ids", budget = 2048, partitions = 1)
+  /** The shared export(evens)+append(odds) store the shard-lifecycle
+    * queries certify (r15 verdict #5 — the shard family gets the
+    * scheduleStore treatment): built ONCE per process, reused by
+    * q_shard_append and q_shard_compact alike, which is sound because
+    * the family's own oracle contract says every verb on this store is
+    * manifest-preserving (append == one-shot union export; compaction
+    * content-identical) — whichever sibling runs first, both read the
+    * identical certified manifest. The `.built` sentinel (written after
+    * the append) guards the TWO-step build, not just the export.
+    */
+  private def appendedShardStore(s: SparkSession, dir: String): String = {
     val path = tmpIndexPath("graft_shard_app", dir)
-    graft.operators.SequencePacking.exportShards(packedE, path, nShards = 4)
-    graft.operators.SequencePacking.appendShards(packedO, path, batchKey = "drv#odds")
+    val done = java.nio.file.Paths.get(path, ".built")
+    if (!java.nio.file.Files.exists(done)) {
+      val docs = t(s, dir, "documents").where(col("doc_id") < 120)
+      val tok = TextAnalysis.trainBpeTokenizer(docs, "text", rounds = 3)
+      val encE = TextAnalysis.bpeEncodeIds(tok, docs.where(col("doc_id") % 2 === 0), "doc_id", "text")
+      val encO = TextAnalysis.bpeEncodeIds(tok, docs.where(col("doc_id") % 2 === 1), "doc_id", "text")
+      val packedE = graft.operators.SequencePacking
+        .packSequences(encE, "doc_id", "n_tokens", "input_ids", budget = 2048, partitions = 1)
+      val packedO = graft.operators.SequencePacking
+        .packSequences(encO, "doc_id", "n_tokens", "input_ids", budget = 2048, partitions = 1)
+      graft.operators.SequencePacking.exportShards(packedE, path, nShards = 4)
+      graft.operators.SequencePacking.appendShards(packedO, path, batchKey = "drv#odds")
+      java.nio.file.Files.createFile(done)
+    }
+    path
+  }
+
+  private def qShardAppend(s: SparkSession, dir: String): DataFrame = {
+    val path = appendedShardStore(s, dir)
     s.catalog.refreshByPath(s"$path/manifest")
     s.read.parquet(s"$path/manifest").orderBy("shard")
   }
@@ -2806,17 +2825,11 @@ object SparkEntry {
     * recompute vs the stored row before the swap is declared done).
     */
   private def qShardCompact(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents").where(col("doc_id") < 120)
-    val tok = TextAnalysis.trainBpeTokenizer(docs, "text", rounds = 3)
-    val encE = TextAnalysis.bpeEncodeIds(tok, docs.where(col("doc_id") % 2 === 0), "doc_id", "text")
-    val encO = TextAnalysis.bpeEncodeIds(tok, docs.where(col("doc_id") % 2 === 1), "doc_id", "text")
-    val packedE = graft.operators.SequencePacking
-      .packSequences(encE, "doc_id", "n_tokens", "input_ids", budget = 2048, partitions = 1)
-    val packedO = graft.operators.SequencePacking
-      .packSequences(encO, "doc_id", "n_tokens", "input_ids", budget = 2048, partitions = 1)
-    val path = tmpIndexPath("graft_shard_cpt", dir)
-    graft.operators.SequencePacking.exportShards(packedE, path, nShards = 4)
-    graft.operators.SequencePacking.appendShards(packedO, path, batchKey = "drv#cpt")
+    // the shared appended store (r15 verdict #5): the billed wall-clock is
+    // the compaction VERB, not a third redundant tokenizer training —
+    // re-compacting an already-compacted store still runs the full rewrite
+    // + digest-identity proof per shard, which is the verb under test
+    val path = appendedShardStore(s, dir)
     graft.operators.SequencePacking.compactShards(s, path)
     s.catalog.refreshByPath(s"$path/manifest")
     s.read.parquet(s"$path/manifest").orderBy("shard")
@@ -2830,13 +2843,10 @@ object SparkEntry {
     * 2`), which is what the oracle selects.
     */
   private def qReadShard(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents").where(col("doc_id") < 120)
-    val tok = TextAnalysis.trainBpeTokenizer(docs, "text", rounds = 3)
-    val enc = TextAnalysis.bpeEncodeIds(tok, docs, "doc_id", "text")
-    val packed = graft.operators.SequencePacking
-      .packSequences(enc, "doc_id", "n_tokens", "input_ids", budget = 2048, partitions = 1)
-    val path = tmpIndexPath("graft_shard_read", dir)
-    graft.operators.SequencePacking.exportShards(packed, path, nShards = 4)
+    // the schedule family's store IS the q_shard_manifest corpus exported
+    // whole — readShard is read-only, so reusing it (r15 verdict #5) bills
+    // this query the certified-read verb alone
+    val path = scheduleStore(s, dir, "graft_sched")
     graft.operators.SequencePacking.readShard(s, path, 2L)
       .select(col("bin_id"), col("n_docs"), col("bin_tokens"),
         concat_ws(",", col("input_ids").cast("array<string>")).as("input_ids"))
@@ -2958,6 +2968,29 @@ object SparkEntry {
     val pathO = scheduleStore(s, dir, "graft_mix_o", col("doc_id") % 2 === 1, Some(() => tok))
     graft.operators.LoaderSchedule.mixtureSchedule(
         s, Seq(("even", pathE, 3L), ("odd", pathO, 1L)), "mix1")
+      .orderBy("ord")
+  }
+
+  /** Multi-epoch mixture plan (LoaderSchedule.mixturePlan, r15 verdict
+    * #4): the even store at weight 3 for one epoch, the odd store at
+    * weight 1 UPSAMPLED to two epochs (the Pile/LLaMA repeat-factor
+    * shape), interleaved by weighted fair queuing over each domain's
+    * REPEATED stream — odd's epoch-2 bins continue its stream positions,
+    * so the 3:1 service ratio holds across the repeat boundary and the
+    * whole plan carries one globally-continuing (ord, cum_tokens)
+    * coordinate system. The oracle re-derives all three permutations
+    * (seeds mixp:even/1, mixp:odd/1, mixp:odd/2), the stream-position
+    * rebase, and the integer virtual-time interleave; a repeat boundary
+    * leak, a correlated epoch, or one out-of-proportion prefix breaks
+    * the hash. Reuses the q_mixture_schedule parity stores.
+    */
+  private def qMixturePlan(s: SparkSession, dir: String): DataFrame = {
+    lazy val tok = TextAnalysis.trainBpeTokenizer(
+      t(s, dir, "documents").where(col("doc_id") < 120), "text", rounds = 3)
+    val pathE = scheduleStore(s, dir, "graft_mix_e", col("doc_id") % 2 === 0, Some(() => tok))
+    val pathO = scheduleStore(s, dir, "graft_mix_o", col("doc_id") % 2 === 1, Some(() => tok))
+    graft.operators.LoaderSchedule.mixturePlan(
+        s, Seq(("even", pathE, 3L, 1), ("odd", pathO, 1L, 2)), "mixp")
       .orderBy("ord")
   }
 
@@ -3430,6 +3463,7 @@ object SparkEntry {
     "q_epoch_plan" -> (qEpochPlan _),
     "q_worker_slices" -> (qWorkerSlices _),
     "q_mixture_schedule" -> (qMixtureSchedule _),
+    "q_mixture_plan" -> (qMixturePlan _),
     "q_datasheet" -> (qDatasheet _),
     "q_wordpiece_persisted" -> (qWordpiecePersisted _),
     "q_unigram_persisted" -> (qUnigramPersisted _),

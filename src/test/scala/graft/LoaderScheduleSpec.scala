@@ -224,6 +224,17 @@ class LoaderScheduleSpec extends AnyFunSuite {
     val scaled = LoaderSchedule.mixturePlan(
       spark, Seq(("a", dirA, 300L, 1), ("b", dirB, 100L, 2)), "mp").orderBy("ord").collect()
     assert(scaled.map(_.toSeq).toSeq == plan.map(_.toSeq).toSeq)
+
+    // the checked cursor composes over the mixture's MULTIPLE stores:
+    // green while both stamps hold, loud when any ONE domain mutates
+    val cur = LoaderSchedule.mintCursor(spark, Seq(dirA, dirB), run / 3L)
+    assert(LoaderSchedule.resumeFromChecked(spark, Seq(dirA, dirB), plan2, cur).count() ==
+      LoaderSchedule.resumeFrom(plan2, run / 3L).count())
+    SequencePacking.retractFromShards(spark, dirB, Seq(2L))
+    intercept[IllegalArgumentException] {
+      LoaderSchedule.resumeFromChecked(spark, Seq(dirA, dirB),
+        LoaderSchedule.mixturePlan(spark, Seq(("a", dirA, 3L, 1), ("b", dirB, 1L, 2)), "mp"), cur)
+    }
   }
 
   test("stale-cursor detection: a resume against a mutated store fails loud; re-sync is explicit") {

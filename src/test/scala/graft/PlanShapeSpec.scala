@@ -530,5 +530,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(specs.nonEmpty && specs.forall(_.startsWith("_pid")),
       s"the rank/prefix windows must partition on _pid, got $specs: ${p.take(1000)}")
     assert(!p.contains("input_ids"), "packed ids must never enter the schedule plan")
+
+    // the multi-epoch mixture composition inherits the same shape: every
+    // window (per-domain rank AND the final interleave rank/prefix) stays
+    // partitioned on the range shuffle's _pid, and the packed ids never
+    // enter the plan — the 100 TB claim is that a K-domain, multi-epoch
+    // plan is still pure bin-metadata work
+    val dir3 = java.nio.file.Files.createTempDirectory("graft_plan_mixp").toString
+    graft.operators.SequencePacking.exportShards(packed, dir3, nShards = 4)
+    val mp = graft.operators.LoaderSchedule.mixturePlan(
+        spark, Seq(("a", dir2, 3L, 1), ("b", dir3, 1L, 2)), "audit")
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    val mpSpecs = """windowspecdefinition\(([^,)]*)""".r.findAllMatchIn(mp).map(_.group(1)).toSeq
+    assert(mpSpecs.nonEmpty && mpSpecs.forall(_.startsWith("_pid")),
+      s"mixturePlan windows must partition on _pid, got $mpSpecs: ${mp.take(1000)}")
+    assert(!mp.contains("input_ids"), "packed ids must never enter the mixture plan")
   }
 }
