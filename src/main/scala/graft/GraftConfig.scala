@@ -89,8 +89,12 @@ final case class GraftConfig(
     /** Commit protocol behind every atomic directory swap
       * ([[graft.sources.CommitProtocol.forName]]): "atomic-move" (POSIX /
       * HDFS rename — the default) or "copy-delete" (object-store rename
-      * semantics). Installed PROCESS-GLOBALLY by [[graft.pipeline.Pipeline]]
-      * at construction — a deployment property, not a per-table one.
+      * semantics). A NON-default value is installed PROCESS-GLOBALLY by
+      * [[graft.pipeline.Pipeline]] at construction; the default value
+      * means "leave the installed protocol alone", so a custom protocol
+      * installed directly via `CommitProtocol.install` survives later
+      * Pipelines built from default configs. A deployment property, not a
+      * per-table one.
       */
     commitProtocol: String = "atomic-move"
 )

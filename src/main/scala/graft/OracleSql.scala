@@ -2055,6 +2055,38 @@ object OracleSql {
          |              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
          |FROM u ORDER BY ord""".stripMargin,
 
+    "q_token_budget_plan" ->
+      // LoaderSchedule.planForTokens twin: T = 3*total//2 → two epochs
+      // (seeds tb/1, tb/2, the q_epoch_plan offset shape), keeping the
+      // bins whose segment STARTS before T (cum - n_tokens < T) — the
+      // last kept bin crosses the budget, coordinates stay the
+      // untruncated plan's
+      s"""WITH RECURSIVE $bpeIdsCtes,
+         |$packBinsCtes,
+         |nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |              CAST(SUM(n_tokens) AS BIGINT) AS tot FROM bins),
+         |tgt AS (SELECT 3 * CAST(SUM(n_tokens) AS BIGINT) // 2 AS t FROM bins),
+         |e1 AS (
+         |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY k, bin_id) AS BIGINT) AS ord,
+         |         CAST(1 AS BIGINT) AS epoch, shard, bin_id, n_tokens,
+         |         CAST(SUM(n_tokens) OVER (ORDER BY k, bin_id
+         |                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+         |  FROM (SELECT bin_id % 4 AS shard, bin_id, n_tokens,
+         |               md5('tb/1:' || CAST(bin_id AS VARCHAR)) AS k FROM bins)),
+         |e2 AS (
+         |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY k, bin_id) AS BIGINT)
+         |           + (SELECT n FROM nb) AS ord,
+         |         CAST(2 AS BIGINT) AS epoch, shard, bin_id, n_tokens,
+         |         CAST(SUM(n_tokens) OVER (ORDER BY k, bin_id
+         |                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         |           + (SELECT tot FROM nb) AS cum_tokens
+         |  FROM (SELECT bin_id % 4 AS shard, bin_id, n_tokens,
+         |               md5('tb/2:' || CAST(bin_id AS VARCHAR)) AS k FROM bins))
+         |SELECT ord, epoch, shard, bin_id, n_tokens, cum_tokens
+         |FROM (SELECT * FROM e1 UNION ALL SELECT * FROM e2)
+         |WHERE cum_tokens - n_tokens < (SELECT t FROM tgt)
+         |ORDER BY ord""".stripMargin,
+
     "q_mixture_plan" ->
       // LoaderSchedule.mixturePlan twin (r15 verdict #4): even store at
       // weight 3 x 1 epoch, odd store at weight 1 x 2 epochs. Each

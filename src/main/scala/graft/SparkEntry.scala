@@ -2994,6 +2994,25 @@ object SparkEntry {
       .orderBy("ord")
   }
 
+  /** Token-budget plan (LoaderSchedule.planForTokens): "train for T
+    * tokens" where T = 1.5× the store's total — the Chinchilla-style
+    * budget that never aligns to whole epochs. The engine derives the
+    * epoch count (2), builds the two-epoch plan (seeds tb/1, tb/2), and
+    * keeps exactly the bins whose segment starts before T, so the last
+    * kept bin is the one that crosses the budget. The oracle re-derives
+    * the two permutations with their offsets and applies the same
+    * start-before-T filter; an off-by-one at the budget crossing, a
+    * wrong epoch count, or a truncated coordinate breaks the hash.
+    */
+  private def qTokenBudgetPlan(s: SparkSession, dir: String): DataFrame = {
+    val path = scheduleStore(s, dir, "graft_sched")
+    s.catalog.refreshByPath(s"$path/manifest")
+    val total = s.read.parquet(s"$path/manifest")
+      .agg(sum("n_tokens")).head().getLong(0)
+    graft.operators.LoaderSchedule.planForTokens(s, path, "tb", total * 3L / 2L)
+      .orderBy("ord")
+  }
+
   /** Maintained-histogram lifecycle (TextAnalysis.WordHistogram): build
     * the tokenizer training corpus as a persisted word histogram — write
     * the EVEN doc_ids' counts, APPEND the odd half as an O(batch) delta,
@@ -3464,6 +3483,7 @@ object SparkEntry {
     "q_worker_slices" -> (qWorkerSlices _),
     "q_mixture_schedule" -> (qMixtureSchedule _),
     "q_mixture_plan" -> (qMixturePlan _),
+    "q_token_budget_plan" -> (qTokenBudgetPlan _),
     "q_datasheet" -> (qDatasheet _),
     "q_wordpiece_persisted" -> (qWordpiecePersisted _),
     "q_unigram_persisted" -> (qUnigramPersisted _),

@@ -37,19 +37,28 @@ object LoaderSchedule {
     * store fails loud instead of silently mapping the cursor into a
     * different permutation (r15 verdict #3).
     */
-  final case class StoreStamp(nBins: Long, nTokens: Long, digest: Long) {
-    /** Field-wise sum — the combined stamp of a multi-store (mixture)
-      * schedule's inputs.
-      */
-    def +(o: StoreStamp): StoreStamp =
-      StoreStamp(nBins + o.nBins, nTokens + o.nTokens, digest + o.digest)
-  }
+  final case class StoreStamp(nBins: Long, nTokens: Long, digest: Long)
 
   /** What a trainer PERSISTS at a checkpoint: the consumed-token cursor
-    * plus the stamp of the store state the schedule was built over.
-    * Mint with [[mintCursor]]; resume with [[resumeFromChecked]].
+    * plus the PER-STORE stamps of the state the schedule was built over
+    * (per-store, not summed — a summed fingerprint could cancel across
+    * stores: retract content from one domain and land the same token
+    * count in another and the sums may collide, while the per-path
+    * comparison catches it). Mint ONCE with [[mintCursor]] WHEN THE
+    * SCHEDULE IS BUILT; advance at checkpoints with [[Cursor.at]];
+    * resume with [[resumeFromChecked]].
     */
-  final case class Cursor(afterTokens: Long, stamp: StoreStamp)
+  final case class Cursor(afterTokens: Long, stamps: Seq[(String, StoreStamp)]) {
+    /** Advance the consumed-token cursor WITHOUT re-reading the stores.
+      * The stamps must keep witnessing the state the schedule was BUILT
+      * over — a trainer that re-minted at checkpoint time would stamp
+      * post-mutation state and mask exactly the drift
+      * [[resumeFromChecked]] exists to catch (train under S1, takedown
+      * mutates to S2, checkpoint stamps S2, resume against S2 passes —
+      * silently in the wrong permutation).
+      */
+    def at(newAfterTokens: Long): Cursor = copy(afterTokens = newAfterTokens)
+  }
 
   /** The epoch-E permutation key: `md5(seed || ':' || bin_id)` — uniform,
     * stateless, engine-portable (Spark and DuckDB agree on the lowercase
@@ -126,6 +135,38 @@ object LoaderSchedule {
       .select("ord", "epoch", "shard", "bin_id", "n_tokens", "cum_tokens")
   }
 
+  /** Token-budget plan: the shortest [[epochPlan]] prefix that reaches
+    * `targetTokens` — the "train for T tokens" ask (Chinchilla-style
+    * budgets and the Pile/LLaMA runs quote token counts, which rarely
+    * align to whole epochs). Derives the epoch count from the certified
+    * store total (`ceil(T / total)`), builds that plan, and keeps
+    * exactly the bins whose segment STARTS before the target
+    * (`cum_tokens - n_tokens < T`) — the last kept bin is the one that
+    * crosses T, so a trainer consuming the result in order stops at the
+    * first cursor >= T, and [[resumeFrom]] / [[workerSlices]] /
+    * [[mintCursor]] compose unchanged (`ord` and `cum_tokens` are the
+    * untruncated plan's coordinates). Pure filter on top of the plan:
+    * no extra shuffle, still bin-metadata-scale.
+    */
+  def planForTokens(
+      spark: SparkSession,
+      path: String,
+      seed: String,
+      targetTokens: Long,
+      partitions: Int = 0
+  ): DataFrame = {
+    require(targetTokens > 0L, s"need targetTokens > 0, got $targetTokens")
+    val total = storeStamp(spark, path).nTokens
+    require(total > 0L,
+      s"planForTokens: store at $path holds no tokens — nothing to budget")
+    val nEpochs = (targetTokens + total - 1L) / total
+    require(nEpochs <= Int.MaxValue.toLong,
+      s"planForTokens: $targetTokens tokens over a $total-token store is " +
+        s"$nEpochs epochs — not a real training plan")
+    epochPlan(spark, path, seed, nEpochs.toInt, partitions)
+      .where(col("cum_tokens") - col("n_tokens") < targetTokens)
+  }
+
   /** Mid-epoch resume: the rows of `schedule` still unconsumed after a
     * trainer checkpointed at `afterTokens` consumed tokens — the longest
     * consumed prefix is exactly the bins with `cum_tokens <= afterTokens`
@@ -146,14 +187,21 @@ object LoaderSchedule {
     certifiedBins(spark, path)._2
 
   /** Mint the checkpoint cursor a trainer persists: `afterTokens`
-    * consumed, against the combined stamp of the schedule's input
+    * consumed, against the per-store stamps of the schedule's input
     * stores (ONE path for [[epochSchedule]]/[[epochPlan]]; every
-    * domain's path, in any order, for [[mixtureSchedule]]/
-    * [[mixturePlan]] — the stamp is a field-wise sum).
+    * domain's path for [[mixtureSchedule]]/[[mixturePlan]]). Mint ONCE,
+    * WHEN THE SCHEDULE IS BUILT — the stamp must witness the state the
+    * permutation was derived from; later checkpoints advance the token
+    * cursor with [[Cursor.at]], never by re-minting (see [[Cursor.at]]
+    * for the trap re-minting opens). The seed and the domain→path
+    * binding are the caller's inputs, pinned by the caller alongside the
+    * cursor exactly like the seed itself.
     */
   def mintCursor(spark: SparkSession, paths: Seq[String], afterTokens: Long): Cursor = {
     require(paths.nonEmpty, "mintCursor: pass the schedule's store path(s)")
-    Cursor(afterTokens, paths.map(storeStamp(spark, _)).reduce(_ + _))
+    require(paths.distinct.length == paths.length,
+      s"mintCursor: duplicate store paths in ${paths.mkString(", ")}")
+    Cursor(afterTokens, paths.map(p => p -> storeStamp(spark, p)))
   }
 
   /** STALE-CURSOR-CHECKED resume (r15 verdict #3): verify the stores
@@ -182,18 +230,25 @@ object LoaderSchedule {
       cursor: Cursor
   ): DataFrame = {
     require(paths.nonEmpty, "resumeFromChecked: pass the schedule's store path(s)")
-    val now = paths.map(storeStamp(spark, _)).reduce(_ + _)
-    require(now == cursor.stamp,
-      s"resumeFromChecked: store state drifted since this cursor was minted — " +
-        s"cursor stamp (bins=${cursor.stamp.nBins}, tokens=${cursor.stamp.nTokens}, " +
-        s"digest=${cursor.stamp.digest}) vs current (bins=${now.nBins}, " +
-        s"tokens=${now.nTokens}, digest=${now.digest}) over ${paths.mkString(", ")}. " +
-        "The store was appended to, retracted from, or rewritten after the " +
-        "checkpoint; the cursor maps into a DIFFERENT permutation now. Re-sync " +
-        "deliberately: rebuild the schedule over the current store and call " +
-        "resumeFrom(newSchedule, cursor.afterTokens) only after deciding what " +
-        "the consumed-token count means against the new ordering (sound lower " +
-        "bound after append-only growth; an over-count after a retraction).")
+    require(paths.sorted == cursor.stamps.map(_._1).sorted,
+      s"resumeFromChecked: this cursor was minted over stores " +
+        s"[${cursor.stamps.map(_._1).mkString(", ")}] but the resume names " +
+        s"[${paths.mkString(", ")}] — a different store set is a different " +
+        "schedule; a legitimately MOVED store needs a fresh schedule + cursor.")
+    cursor.stamps.foreach { case (p, want) =>
+      val now = storeStamp(spark, p)
+      require(now == want,
+        s"resumeFromChecked: store at $p drifted since this cursor was minted — " +
+          s"cursor stamp (bins=${want.nBins}, tokens=${want.nTokens}, " +
+          s"digest=${want.digest}) vs current (bins=${now.nBins}, " +
+          s"tokens=${now.nTokens}, digest=${now.digest}). " +
+          "The store was appended to, retracted from, or rewritten after the " +
+          "schedule was built; the cursor maps into a DIFFERENT permutation now. " +
+          "Re-sync deliberately: rebuild the schedule over the current store and " +
+          "call resumeFrom(newSchedule, cursor.afterTokens) only after deciding " +
+          "what the consumed-token count means against the new ordering (sound " +
+          "lower bound after append-only growth; an over-count after a retraction).")
+    }
     resumeFrom(schedule, cursor.afterTokens)
   }
 

@@ -28,9 +28,13 @@ import graft.sources.{Catalog, MarkdownSource, PdfSource}
 final class Pipeline(spark: SparkSession, config: GraftConfig = GraftConfig.default) {
 
   // the swap seam is a deployment property: install what this deployment's
-  // config names (process-global — see CommitProtocol.install)
-  graft.sources.CommitProtocol.install(
-    graft.sources.CommitProtocol.forName(config.commitProtocol))
+  // config names (process-global — see CommitProtocol.install). The DEFAULT
+  // value means "leave the installed protocol alone" — a deployment that
+  // installed a custom protocol directly (CommitProtocol.install) must not
+  // have it silently reset by a later Pipeline built from a default config.
+  if (config.commitProtocol != graft.GraftConfig.default.commitProtocol)
+    graft.sources.CommitProtocol.install(
+      graft.sources.CommitProtocol.forName(config.commitProtocol))
 
   val catalog = new Catalog(spark, config.warehouseDir)
   private def ftsKey = s"${config.warehouseDir}/chunks"

@@ -77,20 +77,32 @@ object CommitProtocol {
   object AtomicMove extends CommitProtocol {
     override def name: String = "atomic-move"
     override def swapIn(target: Path)(write: Path => Unit): Unit = {
-      val nano = System.nanoTime()
-      val parent = target.toAbsolutePath.getParent
-      val tname = target.getFileName.toString
-      val tmp = parent.resolve(s".${tname}_tmp_$nano")
-      val old = parent.resolve(s".${tname}_old_$nano")
-      write(tmp)
-      require(Files.exists(tmp),
-        s"swapIn: the write callback produced nothing at $tmp — refusing to swap " +
-          s"an empty result over $target")
+      val (tmp, old) = prepareSwap(target)(write)
       if (Files.exists(target))
         Files.move(target, old, StandardCopyOption.ATOMIC_MOVE)
       Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
       if (Files.exists(old)) Catalog.deleteRecursively(old)
     }
+  }
+
+  /** The shared write-then-publish preamble every protocol runs: run the
+    * write callback at a dot-prefixed temp sibling (debris convention —
+    * readers and `Catalog.flush` ignore dot-prefixed names), refuse an
+    * empty result, and hand back the (tmp, old-debris) pair the
+    * protocol's publish step moves between. One place, so the debris
+    * naming and the empty-result guard cannot diverge across protocols.
+    */
+  private[sources] def prepareSwap(target: Path)(write: Path => Unit): (Path, Path) = {
+    val nano = System.nanoTime()
+    val parent = target.toAbsolutePath.getParent
+    val tname = target.getFileName.toString
+    val tmp = parent.resolve(s".${tname}_tmp_$nano")
+    val old = parent.resolve(s".${tname}_old_$nano")
+    write(tmp)
+    require(Files.exists(tmp),
+      s"swapIn: the write callback produced nothing at $tmp — refusing to swap " +
+        s"an empty result over $target")
+    (tmp, old)
   }
 
   @volatile private var installed: CommitProtocol = AtomicMove
@@ -169,15 +181,7 @@ class CopyDeleteProtocol extends CommitProtocol {
   }
 
   override def swapIn(target: Path)(write: Path => Unit): Unit = {
-    val nano = System.nanoTime()
-    val parent = target.toAbsolutePath.getParent
-    val tname = target.getFileName.toString
-    val tmp = parent.resolve(s".${tname}_tmp_$nano")
-    val old = parent.resolve(s".${tname}_old_$nano")
-    write(tmp)
-    require(Files.exists(tmp),
-      s"swapIn: the write callback produced nothing at $tmp — refusing to swap " +
-        s"an empty result over $target")
+    val (tmp, old) = CommitProtocol.prepareSwap(target)(write)
     // move the old target aside: from here until the publish copy below
     // completes, `target` is absent (then partial) — the window POSIX
     // rename doesn't have

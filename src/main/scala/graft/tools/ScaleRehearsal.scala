@@ -476,6 +476,16 @@ object ScaleRehearsal {
           graft.operators.LoaderSchedule.epochSchedule(spark, shardDir, "ep")
             .agg(max("cum_tokens")).head().getLong(0)
         }
+        // multi-epoch mixture plan (r16): the same metadata-scale contract
+        // — two domains (this store under both names) with repeat factors
+        // 1 and 2 is three rank passes over bin metadata + ONE range
+        // shuffle of the unioned rows; cost must track the bin count like
+        // epoch_schedule, never the packed id bytes
+        measure(s"mixture_plan_x$factor") {
+          graft.operators.LoaderSchedule.mixturePlan(
+              spark, Seq(("a", shardDir, 3L, 1), ("b", shardDir, 1L, 2)), "mp")
+            .agg(max("cum_tokens")).head().getLong(0)
+        }
         // takedown DISCOVERY split out (r15, VERDICT r14 #2): the
         // membership index is document-scale, so the indexed lookup must
         // stay FLAT as the corpus grows; the pre-index fallback scan is

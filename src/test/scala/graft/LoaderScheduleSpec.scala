@@ -237,6 +237,34 @@ class LoaderScheduleSpec extends AnyFunSuite {
     }
   }
 
+  test("planForTokens: the shortest epoch-plan prefix reaching a token budget") {
+    val dir = freshStore("graft_ltb")
+    val total = LoaderSchedule.storeStamp(spark, dir).nTokens
+    val t = total * 3L / 2L
+    val plan = LoaderSchedule.planForTokens(spark, dir, "tb", t).orderBy("ord").collect()
+    val full = LoaderSchedule.epochPlan(spark, dir, "tb", nEpochs = 2).orderBy("ord").collect()
+    // exactly the bins whose segment starts before T — a prefix of the
+    // two-epoch plan with the untruncated coordinates
+    assert(plan.map(_.toSeq).toSeq == full.takeWhile(r =>
+      r.getAs[Long]("cum_tokens") - r.getAs[Long]("n_tokens") < t).map(_.toSeq).toSeq)
+    // the budget is REACHED: the last kept bin crosses T, its predecessor doesn't
+    assert(plan.last.getAs[Long]("cum_tokens") >= t)
+    assert(plan.init.last.getAs[Long]("cum_tokens") < t)
+    // T == total → exactly one full epoch, nothing from epoch 2
+    val one = LoaderSchedule.planForTokens(spark, dir, "tb", total).collect()
+    assert(one.length.toLong == LoaderSchedule.epochSchedule(spark, dir, "tb/1").count())
+    assert(one.forall(_.getAs[Long]("epoch") == 1L))
+    // T == total + 1 → epoch 2 contributes exactly its first bin
+    val plus = LoaderSchedule.planForTokens(spark, dir, "tb", total + 1L).collect()
+    assert(plus.count(_.getAs[Long]("epoch") == 2L) == 1)
+    // composes with the checked cursor machinery unchanged
+    val cur = LoaderSchedule.mintCursor(spark, Seq(dir), t / 2L)
+    assert(LoaderSchedule.resumeFromChecked(spark, Seq(dir),
+      LoaderSchedule.planForTokens(spark, dir, "tb", t), cur).count() > 0L)
+    // an empty budget or an empty store is refused loudly
+    intercept[IllegalArgumentException](LoaderSchedule.planForTokens(spark, dir, "tb", 0L))
+  }
+
   test("stale-cursor detection: a resume against a mutated store fails loud; re-sync is explicit") {
     val dir = freshStore("graft_lstale")
     val sched = LoaderSchedule.epochSchedule(spark, dir, "ck")
@@ -258,6 +286,18 @@ class LoaderScheduleSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("drifted"), ex.getMessage)
     assert(ex.getMessage.contains("resumeFrom(newSchedule, cursor.afterTokens)"),
       "the error must document the explicit re-sync path")
+    // checkpoints ADVANCE the cursor (Cursor.at), never re-mint: the stamp
+    // keeps witnessing BUILD-time state, so even an advanced cursor trips
+    // on the mutated store — re-minting here would stamp post-mutation
+    // state and mask exactly this drift
+    intercept[IllegalArgumentException] {
+      LoaderSchedule.resumeFromChecked(spark, Seq(dir), rebuilt, cursor.at(half + 100L))
+    }
+    // a resume naming a different store set fails before any stamp read
+    val wrong = intercept[IllegalArgumentException] {
+      LoaderSchedule.resumeFromChecked(spark, Seq(dir + "_elsewhere"), rebuilt, cursor)
+    }
+    assert(wrong.getMessage.contains("different store set"), wrong.getMessage)
     // the documented re-sync: rebuild + explicit resumeFrom still works,
     // and a cursor re-minted against the mutated store checks green again
     assert(LoaderSchedule.resumeFrom(rebuilt, cursor.afterTokens).count() > 0L)

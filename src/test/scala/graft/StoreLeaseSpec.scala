@@ -62,9 +62,29 @@ class StoreLeaseSpec extends AnyFunSuite {
       "compaction under a stolen lease must stay content-identical")
   }
 
-  test("an unreadable (torn) lease is treated as a dead holder, not an infinite block") {
+  test("a torn lock is LIVE while fresh (a writer may be mid-create) and dead once older than the ttl") {
     val dir = freshStore("graft_lease_torn")
-    Files.writeString(Paths.get(dir, StoreLease.LockFileName), "garbage-without-fields")
+    val lock = Paths.get(dir, StoreLease.LockFileName)
+    Files.writeString(lock, "garbage-without-fields")
+    // fresh mtime: never steal what can't be read unless it's too old to
+    // still be being written — the verb fails loud and leaves the file
+    val ex = intercept[IllegalStateException](SequencePacking.recertifyShards(spark, dir))
+    assert(ex.getMessage.contains("unreadable but recently-written"), ex.getMessage)
+    assert(Files.exists(lock), "a fresh torn lock must not be deleted")
+    // backdate it past the ttl: now verifiably dead — stolen, verb completes
+    Files.setLastModifiedTime(lock,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - StoreLease.DefaultTtlMs - 1000L))
+    SequencePacking.recertifyShards(spark, dir)
+    assert(!Files.exists(lock))
+  }
+
+  test("a same-host DEAD pid's lease is stolen immediately — crash replay never waits out the ttl") {
+    val dir = freshStore("graft_lease_deadpid")
+    val host = java.net.InetAddress.getLocalHost.getHostName
+    // pid far above linux's default pid_max: verifiably not running; the
+    // lease itself is still LIVE by expiry — only the liveness check frees it
+    plantLock(dir, s"4194305@$host#dead", System.currentTimeMillis() + 600000L, "append")
     SequencePacking.recertifyShards(spark, dir)
     assert(!Files.exists(Paths.get(dir, StoreLease.LockFileName)))
   }
@@ -89,6 +109,17 @@ class StoreLeaseSpec extends AnyFunSuite {
       }
     }
     assert(own.getMessage == "the verb's own failure")
+
+    // a verb whose lease EXPIRED while held (nobody stole it) still
+    // refuses success — the protection lapsed — and leaves the lock in
+    // place so a mid-steal racer's claim is never erased by our release
+    java.nio.file.Files.deleteIfExists(Paths.get(dir, StoreLease.LockFileName))
+    val lapsed = intercept[IllegalStateException] {
+      StoreLease.withLease(dir, "slow-verb", ttlMs = 50L) { Thread.sleep(200L); 7 }
+    }
+    assert(lapsed.getMessage.contains("EXPIRED while held"), lapsed.getMessage)
+    assert(Files.exists(Paths.get(dir, StoreLease.LockFileName)),
+      "an expired own lock must be left for stealers")
   }
 
   test("nested same-store verbs do not deadlock: append's internal takedown heal runs under append's lease") {
