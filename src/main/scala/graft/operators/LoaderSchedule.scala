@@ -16,6 +16,18 @@ import org.apache.spark.sql.functions._
   * (the same determinism contract as [[TrainingOrder.shuffled]] and the
   * reason the DuckDB oracle can pin every verb here hash-exact).
   *
+  * LIVE-INGEST CAVEAT: a store under continuous [[SequencePacking
+  * .appendShards]] cadence (the streaming trainer-shard sink) mutates
+  * its manifest every micro-batch, so epoch permutations over it are
+  * per-SNAPSHOT by construction — schedule between appends (every verb
+  * here certifies against the manifest it reads, and [[mintCursor]]
+  * stamps exactly that state), train on the snapshot's schedule, and
+  * let [[resumeFromChecked]] fail loud when the ingest has moved the
+  * store under a checkpoint. That loud failure is the designed
+  * behavior, not a limitation: an epoch over a moving corpus is not a
+  * well-defined permutation, and the re-sync path (rebuild + explicit
+  * resume) is how a trainer opts into the new snapshot.
+  *
   * Schedules are BIN-granular: one row per packed bin, never per token.
   * At 100 TB (~25 T tokens / 2048-token bins ≈ 12 B bins) the schedule
   * is a ~1000× reduction of the data it orders, and building it touches

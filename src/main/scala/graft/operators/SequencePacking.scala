@@ -427,6 +427,42 @@ object SequencePacking {
       .orderBy("shard")
   }
 
+  /** Certify the DOCUMENT-MEMBERSHIP INDEX against the data — the
+    * read-side counterpart of [[verifyShards]] for takedown discovery:
+    * a retraction trusts `path/docs` to name every shard carrying a
+    * doomed document, so an audit verb proves that trust at maintenance
+    * cadence. Recomputes `(doc_id, shard)` membership from every bin's
+    * `doc_ids` (the full scan the index exists to avoid — this is the
+    * audit, not the discovery path) and full-outer compares with the
+    * index. Returns ONLY the mismatched rows,
+    * `(doc_id, shard, in_data, in_index)`; empty = the index is exact.
+    * The crash-window analysis makes the two directions asymmetric:
+    * `in_data=false` (stale EXTRA index row — a crash between a
+    * retraction's data and index swaps) costs only a superset discovery
+    * and self-heals on the next touching rewrite; `in_index=false`
+    * (MISSING row) would make an index-resolved takedown skip that
+    * document's shard — the state this verb exists to surface (fix:
+    * re-export, or rebuild the index from data). Read-only: no lease.
+    */
+  def verifyDocsIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String
+  ): DataFrame = {
+    spark.catalog.refreshByPath(s"$path/data")
+    spark.catalog.refreshByPath(s"$path/docs")
+    val fromData = docsIndexOf(spark.read.parquet(s"$path/data"))
+      .distinct().withColumn("in_data", lit(true))
+    val fromIndex = spark.read.parquet(s"$path/docs")
+      .select(col("doc_id"), col("shard").cast("long").as("shard"))
+      .distinct().withColumn("in_index", lit(true))
+    fromData.join(fromIndex, Seq("doc_id", "shard"), "full_outer")
+      .where(col("in_data").isNull || col("in_index").isNull)
+      .select(col("doc_id"), col("shard"),
+        coalesce(col("in_data"), lit(false)).as("in_data"),
+        coalesce(col("in_index"), lit(false)).as("in_index"))
+      .orderBy("doc_id", "shard")
+  }
+
   /** Recompute the manifest from the shard files as they are NOW and
     * swap it in — [[exportShards]]' certify step alone, no data
     * rewrite. This is the recovery verb for a crash that interrupts

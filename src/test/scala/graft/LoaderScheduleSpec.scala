@@ -315,6 +315,62 @@ class LoaderScheduleSpec extends AnyFunSuite {
     }
   }
 
+  test("mixturePlan sweep: the WFQ interleave matches an independent JVM reimplementation") {
+    val rnd = new scala.util.Random(55441L)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    (1 to 3).foreach { trial =>
+      val k = 2 + rnd.nextInt(2)
+      val domains = (0 until k).map { d =>
+        val n = 10 + rnd.nextInt(30)
+        val src = (1L to n.toLong).map { i =>
+          val tok = 3L + rnd.nextInt(12)
+          (i, tok, (1L to tok).map(j => i * 1000 + j))
+        }
+        val packed = SequencePacking.packSequences(
+          src.toDF("id", "tok", "ids"), "id", "tok", "ids",
+          budget = 20 + rnd.nextInt(40), partitions = 1 + rnd.nextInt(3))
+        val dir = java.nio.file.Files.createTempDirectory(s"graft_mixp_sweep${trial}_$d").toString
+        SequencePacking.exportShards(packed, dir, nShards = 2 + rnd.nextInt(3))
+        (s"dom$d", dir, 1L + rnd.nextInt(6), 1 + rnd.nextInt(3))
+      }
+      val seed = s"mps-${rnd.nextInt(1000)}"
+
+      // independent reimplementation: JVM MessageDigest permutations, a
+      // plain-BigInt WFQ clock (gcd-reduced), and a sequential prefix sum
+      val g = domains.map(d => BigInt(d._3)).reduce(_ gcd _)
+      val lcm = domains.map(d => BigInt(d._3) / g).reduce((a, b) => a / a.gcd(b) * b)
+      val rows = domains.flatMap { case (dom, dir, w, reps) =>
+        val bins = spark.read.parquet(s"$dir/data")
+          .select(col("shard").cast("long"), col("bin_id"), col("bin_tokens")).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        val step = (lcm / (BigInt(w) / g)).toLong
+        (1 to reps).flatMap { e =>
+          val ordered = bins.sortBy { case (_, b, _) => (md5hex(s"$seed:$dom/$e:$b"), b) }
+          ordered.zipWithIndex.map { case ((sh, b, t), i) =>
+            val kpos = (e - 1).toLong * bins.length + (i + 1L)
+            (kpos * step, dom, kpos, e.toLong, sh, b, t)
+          }
+        }
+      }
+      var cum = 0L
+      val expected = rows.sortBy { case (vt, dom, kpos, _, _, _, _) => (vt, dom, kpos) }
+        .zipWithIndex.map { case ((_, dom, _, e, sh, b, t), i) =>
+          cum += t
+          (i + 1L, dom, e, sh, b, t, cum)
+        }.toSeq
+
+      val got = LoaderSchedule.mixturePlan(spark, domains, seed).orderBy("ord").collect()
+        .map(r => (r.getAs[Long]("ord"), r.getAs[String]("domain"), r.getAs[Long]("epoch"),
+          r.getAs[Long]("shard"), r.getAs[Long]("bin_id"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("cum_tokens"))).toSeq
+      assert(got == expected,
+        s"trial $trial (seed $seed, domains ${domains.map(d => (d._1, d._3, d._4))}): " +
+          "mixture plan diverged from the reimplementation")
+    }
+  }
+
   test("a legitimately EMPTIED store schedules as empty, not as corruption") {
     val dir = freshStore("graft_lempty", n = 8L)
     val allDocs = spark.read.parquet(s"$dir/docs").select("doc_id")

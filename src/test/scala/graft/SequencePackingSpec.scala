@@ -701,6 +701,40 @@ class SequencePackingSpec extends AnyFunSuite {
     }
   }
 
+  test("verifyDocsIndex: exact on a healthy store; misses and stale extras surface with direction") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_docs_audit").toString
+    val packed = SequencePacking.packSequences(
+      boundaryDocs.toDF("id", "tok", "ids"), "id", "tok", "ids", budget = 40, partitions = 1)
+    SequencePacking.exportShards(packed, dir, nShards = 4)
+    // healthy export + append + retraction: the index stays exact
+    val extra = SequencePacking.packSequences(
+      Seq((600L, 6L, (1L to 6L).map(_ + 60000L))).toDF("id", "tok", "ids"),
+      "id", "tok", "ids", budget = 40, partitions = 1)
+    SequencePacking.appendShards(extra, dir, batchKey = "audit#1")
+    SequencePacking.retractFromShards(spark, dir, Seq(2L))
+    assert(SequencePacking.verifyDocsIndex(spark, dir).isEmpty, "healthy store must audit clean")
+
+    // a MISSING index row (the dangerous direction: discovery would skip
+    // this doc's shard) — fabricate by appending an index-bypassing bin
+    val base = spark.read.parquet(s"$dir/meta").agg(max("next_after")).head().getLong(0)
+    Seq((base, 1L, 7L, (1L to 7L).map(_ + 70000L), Seq(700L), Seq(7L)))
+      .toDF("bin_id", "n_docs", "bin_tokens", "input_ids", "doc_ids", "doc_lens")
+      .withColumn("shard", pmod(col("bin_id"), lit(4L)))
+      .write.mode("append").partitionBy("shard").parquet(s"$dir/data")
+    val misses = SequencePacking.verifyDocsIndex(spark, dir).collect()
+    assert(misses.length == 1 && misses(0).getAs[Long]("doc_id") == 700L &&
+      !misses(0).getAs[Boolean]("in_index") && misses(0).getAs[Boolean]("in_data"),
+      s"expected one in_index=false miss for doc 700, got ${misses.mkString("; ")}")
+
+    // a STALE EXTRA index row (benign direction: superset discovery)
+    Seq((999L, (base % 4L))).toDF("doc_id", "shard")
+      .write.mode("append").partitionBy("shard").parquet(s"$dir/docs")
+    val both = SequencePacking.verifyDocsIndex(spark, dir).collect()
+    val extraRow = both.filter(_.getAs[Long]("doc_id") == 999L)
+    assert(extraRow.length == 1 && extraRow(0).getAs[Boolean]("in_index") &&
+      !extraRow(0).getAs[Boolean]("in_data"))
+  }
+
   test("epochSchedule sweep: permutation + running totals match an independent JVM reimplementation") {
     val rnd = new scala.util.Random(99173L)
     def md5hex(s: String): String =
