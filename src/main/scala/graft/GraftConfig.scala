@@ -87,16 +87,28 @@ final case class GraftConfig(
     /** Root dir of the parquet catalog (documents/chunks/images/fts tables). */
     warehouseDir: String = "/tmp/graft-warehouse",
     /** Commit protocol behind every atomic directory swap
-      * ([[graft.sources.CommitProtocol.forName]]): "atomic-move" (POSIX /
-      * HDFS rename — the default) or "copy-delete" (object-store rename
-      * semantics). A NON-default value is installed PROCESS-GLOBALLY by
-      * [[graft.pipeline.Pipeline]] at construction; the default value
-      * means "leave the installed protocol alone", so a custom protocol
+      * ([[graft.sources.CommitProtocol.forName]]): Some("atomic-move")
+      * (POSIX / HDFS rename), Some("copy-delete") (object-store rename
+      * semantics), or None — "leave the installed protocol alone" (the
+      * default). A Some is installed PROCESS-GLOBALLY by
+      * [[graft.pipeline.Pipeline]] at construction — including
+      * Some("atomic-move"), which RESTORES the default protocol (ADVICE
+      * r16: a plain-string default conflated "unset" with an explicit
+      * atomic-move choice, so once any Pipeline installed copy-delete no
+      * config could ever restore it). None means a custom protocol
       * installed directly via `CommitProtocol.install` survives later
       * Pipelines built from default configs. A deployment property, not a
       * per-table one.
       */
-    commitProtocol: String = "atomic-move"
+    commitProtocol: Option[String] = None,
+    /** Lease protocol behind every writer lease
+      * ([[graft.sources.StoreLease.forName]]): Some("file") (atomic-create
+      * lock files — the built-in default) or None — "leave the installed
+      * protocol alone" (the default), so a deployment's lock service
+      * installed via `StoreLease.install` survives later Pipelines built
+      * from default configs. Same Option semantics as [[commitProtocol]].
+      */
+    leaseProtocol: Option[String] = None
 )
 
 object GraftConfig {

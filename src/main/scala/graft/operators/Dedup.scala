@@ -592,7 +592,12 @@ object Dedup {
     * is exactly the recompute a 100 TB pipeline cannot afford.
     */
   def writeClusters(labels: DataFrame, path: String): Unit =
-    labels.select("id", "cluster").write.mode("overwrite").parquet(path)
+    // sibling lease: this store's root IS the parquet dataset, and the
+    // overwrite deletes the root wholesale — an in-root lock would be
+    // erased by the very verb it protects
+    graft.sources.StoreLease.withLease(path, "write-clusters", sibling = true) {
+      labels.select("id", "cluster").write.mode("overwrite").parquet(path)
+    }
 
   /** Persist a MinHash signature index ([[minhashSignaturePortable]] /
     * [[minhashSignature]] output) as the durable artifact behind
@@ -601,7 +606,13 @@ object Dedup {
     * rows are never rewritten, so index maintenance cost is O(batch)
     * regardless of corpus size.
     */
-  def writeSigIndex(sigs: DataFrame, path: String, append: Boolean = false): Unit = {
+  def writeSigIndex(sigs: DataFrame, path: String, append: Boolean = false): Unit =
+    // writer lease (r16 verdict #1 — the append mode is the daily-ingest
+    // path, exactly the two-drivers-appending exposure the shard store is
+    // defended against); sibling placement because the non-append mode
+    // overwrites the store root wholesale, lock included
+    graft.sources.StoreLease.withLease(
+      path, if (append) "append-sigs" else "write-sigs", sibling = true) {
     // numHashes of THIS batch (O(batch) scan — append-path maintenance
     // cost stays proportional to the batch, never the corpus)
     val batchLen = sigs.agg(

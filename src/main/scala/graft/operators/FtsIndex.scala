@@ -112,7 +112,8 @@ object FtsIndex {
     * `.bucketBy(n, "term").sortBy("term")` into a catalog table so
     * query-time term lookups read only matching buckets.
     */
-  def write(index: Index, path: String): Unit = {
+  def write(index: Index, path: String): Unit =
+    graft.sources.StoreLease.withLease(path, "write-fts") {
     index.postings.write.mode("overwrite").parquet(s"$path/postings")
     // stats sidecar goes through the Hadoop FileSystem of the target path
     // (not java.nio), so hdfs:// and s3a:// index locations work

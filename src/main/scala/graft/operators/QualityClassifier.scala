@@ -468,7 +468,8 @@ object QualityClassifier {
     * counts). Overwrites `path`. The artifact is engine-portable plain
     * parquet, so a model fit by one session gates any other.
     */
-  def writeModel(m: CentroidModel, path: String, spark: org.apache.spark.sql.SparkSession): Unit = {
+  def writeModel(m: CentroidModel, path: String, spark: org.apache.spark.sql.SparkSession): Unit =
+    graft.sources.StoreLease.withLease(path, "write-model") {
     import spark.implicits._
     val rows = (m.sumPos.keySet ++ m.sumNeg.keySet).toSeq.sorted
       .map(f => (f.toLong, m.sumPos.getOrElse(f, 0L), m.sumNeg.getOrElse(f, 0L)))
@@ -509,7 +510,8 @@ object QualityClassifier {
     * `(label, n)` — labels ride in the regex-parsed sidecar, so quotes
     * and backslashes in labels are rejected (the writeLsh convention).
     */
-  def writeModelK(m: CentroidKModel, path: String, spark: org.apache.spark.sql.SparkSession): Unit = {
+  def writeModelK(m: CentroidKModel, path: String, spark: org.apache.spark.sql.SparkSession): Unit =
+    graft.sources.StoreLease.withLease(path, "write-model") {
     m.classes.foreach(c =>
       require(!c.label.exists(ch => ch == '"' || ch == '\\'),
         s"writeModelK: label '${c.label}' contains a quote or backslash, " +

@@ -320,11 +320,12 @@ object SequencePacking {
       path: String,
       nShards: Int,
       shardCol: String = "",
-      stampKey: String = "-"
+      stampKey: String = "-",
+      ttlMs: Long = graft.sources.StoreLease.DefaultTtlMs
   ): DataFrame = {
     require(nShards >= 1, s"need nShards >= 1, got $nShards")
-    graft.sources.StoreLease.withLease(path, "export") {
-      exportShardsImpl(packed, path, nShards, shardCol, stampKey)
+    graft.sources.StoreLease.withRenewableLease(path, "export", ttlMs) { lease =>
+      exportShardsImpl(packed, path, nShards, shardCol, stampKey, lease)
     }
   }
 
@@ -333,7 +334,8 @@ object SequencePacking {
       path: String,
       nShards: Int,
       shardCol: String,
-      stampKey: String
+      stampKey: String,
+      lease: graft.sources.LeaseProtocol.Held
   ): DataFrame = {
     val spark = packed.sparkSession
     val sharded =
@@ -354,6 +356,9 @@ object SequencePacking {
     java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(s"$path/pending"))
     sharded
       .write.mode("overwrite").partitionBy("shard").parquet(s"$path/data")
+    // the data write is the verb's long pole — heartbeat before the
+    // certify/sidecar tail so a corpus-scale export outlives any fixed ttl
+    lease.renew()
     val written = spark.read.parquet(s"$path/data")
     docsIndexOf(written)
       .write.mode("overwrite").partitionBy("shard").parquet(s"$path/docs")
@@ -473,14 +478,24 @@ object SequencePacking {
     * Re-certifying from the files restores the green state; returns the
     * reloaded manifest.
     */
-  def recertifyShards(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
-    graft.sources.StoreLease.withLease(path, "recertify") {
-      recertifyShardsImpl(spark, path)
+  def recertifyShards(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      ttlMs: Long = graft.sources.StoreLease.DefaultTtlMs
+  ): DataFrame =
+    graft.sources.StoreLease.withRenewableLease(path, "recertify", ttlMs) { lease =>
+      recertifyShardsImpl(spark, path, lease)
     }
 
   private def recertifyShardsImpl(
-      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      lease: graft.sources.LeaseProtocol.Held
+  ): DataFrame = {
     val manifest = manifestOf(spark.read.parquet(s"$path/data")).localCheckpoint()
+    // the full-store certification scan is this verb's long pole —
+    // heartbeat before the swap
+    lease.renew()
     try {
       // Catalog.swapIn tolerates an ABSENT manifest (a crash inside a
       // previous swap's two-move window leaves none) — this verb must be
@@ -537,10 +552,11 @@ object SequencePacking {
   def retractFromShards(
       spark: org.apache.spark.sql.SparkSession,
       path: String,
-      docIds: Seq[Long]
+      docIds: Seq[Long],
+      ttlMs: Long = graft.sources.StoreLease.DefaultTtlMs
   ): Long =
-    graft.sources.StoreLease.withLease(path, "retract") {
-      retractFromShardsImpl(spark, path, docIds)
+    graft.sources.StoreLease.withRenewableLease(path, "retract", ttlMs) { lease =>
+      retractFromShardsImpl(spark, path, docIds, lease)
     }
 
   /** [[retractFromShards]] without the writer lease — the internal form
@@ -552,7 +568,8 @@ object SequencePacking {
   private def retractFromShardsImpl(
       spark: org.apache.spark.sql.SparkSession,
       path: String,
-      docIds: Seq[Long]
+      docIds: Seq[Long],
+      lease: graft.sources.LeaseProtocol.Held
   ): Long = {
     require(docIds.nonEmpty, "retractFromShards: pass at least one document id")
     require(docIds.length <= 10000,
@@ -627,6 +644,10 @@ object SequencePacking {
       val kept = pinned.where(col("n_docs") > 0L).drop("_removed")
 
       affectedShards.foreach { sh =>
+        // per-shard heartbeat: a takedown touching many shards at 100 TB
+        // outlives any fixed ttl; renewal keeps the lease honest instead
+        // of forcing the operator to hand-tune ttlMs per corpus size
+        lease.renew()
         graft.sources.Catalog.swapIn(
           java.nio.file.Paths.get(s"$path/data/shard=$sh")) { tmp =>
           kept.where(col("shard") === sh).drop("shard")
@@ -640,6 +661,7 @@ object SequencePacking {
       // store — nothing to maintain, discovery already fell back)
       if (java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/docs"))) {
         affectedShards.foreach { sh =>
+          lease.renew()
           spark.catalog.refreshByPath(s"$path/docs")
           val keptDocs = spark.read.parquet(s"$path/docs")
             .where(col("shard") === sh && !col("doc_id").isin(docIds.distinct: _*))
@@ -722,19 +744,21 @@ object SequencePacking {
   def appendShards(
       packed: DataFrame,
       path: String,
-      batchKey: String
+      batchKey: String,
+      ttlMs: Long = graft.sources.StoreLease.DefaultTtlMs
   ): Long = {
     require(batchKey != "-",
       "appendShards: batch_key \"-\" is reserved for the exportShards stamp")
-    graft.sources.StoreLease.withLease(path, "append") {
-      appendShardsImpl(packed, path, batchKey)
+    graft.sources.StoreLease.withRenewableLease(path, "append", ttlMs) { lease =>
+      appendShardsImpl(packed, path, batchKey, lease)
     }
   }
 
   private def appendShardsImpl(
       packed: DataFrame,
       path: String,
-      batchKey: String
+      batchKey: String,
+      lease: graft.sources.LeaseProtocol.Held
   ): Long = {
     val spark = packed.sparkSession
     // one-time upgrade of a store exported before the sidecars existed:
@@ -827,7 +851,7 @@ object SequencePacking {
         .join(spark.read.parquet(s"$path/tombstones").select("doc_id").distinct(),
           Seq("doc_id"), "left_semi")
         .distinct().collect().map(_.getLong(0)).toSeq
-      leftover.grouped(10000).foreach(g => retractFromShardsImpl(spark, path, g))
+      leftover.grouped(10000).foreach(g => retractFromShardsImpl(spark, path, g, lease))
     }
     // the PENDING marker brackets every append's write window: written
     // before the first byte lands, deleted after the ledger commits. Its
@@ -873,6 +897,10 @@ object SequencePacking {
       try {
         appended = toAppend.count()
         toAppend.write.mode("append").partitionBy("shard").parquet(s"$path/data")
+        // per-batch heartbeat after the data append (the batch's long
+        // pole): the index backfill + manifest splice stay protected even
+        // when a large batch's landing alone approaches the ttl
+        lease.renew()
 
         // membership-index backfill over ALL of this batch's landed bins
         // (not just toAppend): a crash between a prior attempt's data and
@@ -1028,11 +1056,12 @@ object SequencePacking {
       spark: org.apache.spark.sql.SparkSession,
       path: String,
       shards: Seq[Long] = Seq.empty,
-      filesPerShard: Int = 1
+      filesPerShard: Int = 1,
+      ttlMs: Long = graft.sources.StoreLease.DefaultTtlMs
   ): Long = {
     require(filesPerShard >= 1, s"need filesPerShard >= 1, got $filesPerShard")
-    graft.sources.StoreLease.withLease(path, "compact") {
-      compactShardsImpl(spark, path, shards, filesPerShard)
+    graft.sources.StoreLease.withRenewableLease(path, "compact", ttlMs) { lease =>
+      compactShardsImpl(spark, path, shards, filesPerShard, lease)
     }
   }
 
@@ -1040,7 +1069,8 @@ object SequencePacking {
       spark: org.apache.spark.sql.SparkSession,
       path: String,
       shards: Seq[Long],
-      filesPerShard: Int
+      filesPerShard: Int,
+      lease: graft.sources.LeaseProtocol.Held
   ): Long = {
     spark.catalog.refreshByPath(s"$path/manifest")
     val stored = spark.read.parquet(s"$path/manifest")
@@ -1050,6 +1080,10 @@ object SequencePacking {
     val targets = if (shards.nonEmpty) shards else stored.keys.toSeq.sorted
     var removed = 0L
     targets.foreach { sh =>
+      // per-shard heartbeat: a full-store compaction at 100 TB is the
+      // canonical >ttl verb (r16 verdict #2) — renewal at each shard
+      // keeps the lease live without hand-tuned ttls
+      lease.renew()
       val dataDir = new java.io.File(s"$path/data/shard=$sh")
       require(dataDir.isDirectory, s"compactShards: no data directory for shard $sh")
       val before = dataDir.listFiles().count(_.getName.endsWith(".parquet"))

@@ -804,10 +804,16 @@ object TextAnalysis {
 
   /** Persist a histogram (vocabulary-sized parquet; `batch_key`
     * partitions replay bookkeeping — the initial write stamps "-").
+    * Like every mutating histogram verb, runs under the store's writer
+    * lease (r16 verdict #1: two drivers appending deltas concurrently —
+    * a streaming ingest racing a maintenance compaction — would
+    * interleave undetected without it; the shard store's exact exposure).
     */
   def writeWordHistogram(h: WordHistogram, path: String): Unit =
-    h.hist.select(col("word"), col("freq"), lit("-").as("batch_key"))
-      .write.mode("overwrite").parquet(s"$path/hist")
+    graft.sources.StoreLease.withLease(path, "write-hist") {
+      h.hist.select(col("word"), col("freq"), lit("-").as("batch_key"))
+        .write.mode("overwrite").parquet(s"$path/hist")
+    }
 
   /** Append ONE batch's counts to a persisted histogram in O(batch):
     * the batch is scanned once, old corpora never re-read. `batchKey`
@@ -830,7 +836,7 @@ object TextAnalysis {
       textCol: String,
       path: String,
       batchKey: String
-  ): Unit = {
+  ): Unit = graft.sources.StoreLease.withLease(path, "append-hist") {
     require(batchKey != "-",
       "appendWordHistogram: batch_key \"-\" is reserved for the initial writeWordHistogram stamp " +
         "— an append under it would collide with the base counts")
@@ -859,7 +865,7 @@ object TextAnalysis {
       textCol: String,
       path: String,
       batchKey: String
-  ): Unit = {
+  ): Unit = graft.sources.StoreLease.withLease(path, "append-doc-hist") {
     // one-time migration of a pre-bucket sidecar: appending a bucketed
     // layout into a flat directory would leave parquet leaves at two
     // partition depths — unreadable by partition discovery — so rewrite
@@ -926,32 +932,36 @@ object TextAnalysis {
       docId: String
   ): Long = {
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/doc_hist"))) return 0L
-    spark.catalog.refreshByPath(s"$path/doc_hist")
-    val side = spark.read.parquet(s"$path/doc_hist")
-    // bucket prune first (the literal folds to a constant, so the scan
-    // opens 1/64 of the partition dirs); sidecars written before the
-    // bucket existed fall back to the full scan
-    val pruned =
-      if (side.columns.contains("bucket"))
-        side.where(col("bucket") === pmod(xxhash64(lit(docId)), lit(64L)))
-      else side
-    val contribution = pruned
-      .where(col("doc_id") === docId)
-      // a crash-replayed ingest batch re-appended identical rows
-      .dropDuplicates("word", "batch_key")
-      .groupBy("word").agg(sum("freq").as("freq"))
-      .localCheckpoint() // count + append must agree; never re-read mid-append
-    try {
-      val n = contribution.count()
-      if (n == 0L) return 0L
-      contribution
-        .select(col("word"), (-col("freq")).as("freq"),
-          lit(s"takedown:$docId").as("batch_key"))
-        .write.mode("append").parquet(s"$path/hist")
-      n
-    } finally {
-      graft.util.Checkpoints.release(
-        graft.util.Checkpoints.pinnedRddIds(contribution), spark)
+    graft.sources.StoreLease.withLease(path, "retract-hist") {
+      spark.catalog.refreshByPath(s"$path/doc_hist")
+      val side = spark.read.parquet(s"$path/doc_hist")
+      // bucket prune first (the literal folds to a constant, so the scan
+      // opens 1/64 of the partition dirs); sidecars written before the
+      // bucket existed fall back to the full scan
+      val pruned =
+        if (side.columns.contains("bucket"))
+          side.where(col("bucket") === pmod(xxhash64(lit(docId)), lit(64L)))
+        else side
+      val contribution = pruned
+        .where(col("doc_id") === docId)
+        // a crash-replayed ingest batch re-appended identical rows
+        .dropDuplicates("word", "batch_key")
+        .groupBy("word").agg(sum("freq").as("freq"))
+        .localCheckpoint() // count + append must agree; never re-read mid-append
+      try {
+        val n = contribution.count()
+        if (n == 0L) 0L
+        else {
+          contribution
+            .select(col("word"), (-col("freq")).as("freq"),
+              lit(s"takedown:$docId").as("batch_key"))
+            .write.mode("append").parquet(s"$path/hist")
+          n
+        }
+      } finally {
+        graft.util.Checkpoints.release(
+          graft.util.Checkpoints.pinnedRddIds(contribution), spark)
+      }
     }
   }
 
@@ -1019,7 +1029,7 @@ object TextAnalysis {
   def compactWordHistogram(
       spark: org.apache.spark.sql.SparkSession,
       path: String
-  ): Unit = {
+  ): Unit = graft.sources.StoreLease.withRenewableLease(path, "compact-hist") { lease =>
     val histPath = s"$path/hist"
     spark.catalog.refreshByPath(histPath)
     val raw = spark.read.parquet(histPath)
@@ -1059,6 +1069,9 @@ object TextAnalysis {
     // axis to fold along).
     val docHistPath = s"$path/doc_hist"
     if (java.nio.file.Files.exists(java.nio.file.Paths.get(docHistPath))) {
+      // heartbeat between the two swaps: the sidecar fold re-reads the
+      // corpus-lifetime doc_hist, the compaction's long pole at scale
+      lease.renew()
       spark.catalog.refreshByPath(docHistPath)
       val side = spark.read.parquet(docHistPath)
       if (side.columns.contains("bucket")) {
@@ -1575,7 +1588,7 @@ object TextAnalysis {
       spark: org.apache.spark.sql.SparkSession,
       tok: Tokenizer,
       path: String
-  ): Unit = {
+  ): Unit = graft.sources.StoreLease.withLease(path, "write-tokenizer") {
     def sidecar(json: String): Unit =
       graft.util.Sidecar.write(spark, s"$path/tokenizer.json", json)
     def writeMerges(merges: Seq[(Long, String, String)]): Unit =

@@ -548,7 +548,10 @@ object VectorSearch {
     * [[loadLsh]] reconstructs the identical signer (extending or probing
     * a loaded index with different planes is meaningless).
     */
-  def writeLsh(index: LshIndex, path: String): Unit = {
+  def writeLsh(index: LshIndex, path: String): Unit =
+    // writer lease (r16 verdict #1): persisted-index writes have the same
+    // concurrent-writer exposure as the shard store's verbs
+    graft.sources.StoreLease.withLease(path, "write-lsh") {
     require(!index.vecCol.exists(c => c == '"' || c == '\\'),
       s"writeLsh: vecCol '${index.vecCol}' contains a quote or backslash, unsupported by the params sidecar")
     // cluster rows by prefix before the partitioned write: partitionBy
@@ -778,7 +781,8 @@ object VectorSearch {
     * and probe wrong buckets with silent recall collapse, so the write
     * validates the derivation and fails loudly instead.
     */
-  def writeBandedLsh(index: BandedLshIndex, path: String): Unit = {
+  def writeBandedLsh(index: BandedLshIndex, path: String): Unit =
+    graft.sources.StoreLease.withLease(path, "write-banded-lsh") {
     val b0 = index.bands.head
     index.bands.zipWithIndex.foreach { case (b, i) =>
       require(b.nBits == b0.nBits && b.dim == b0.dim && b.seed == b0.seed + 7919L * i,
@@ -897,7 +901,8 @@ object VectorSearch {
     * directories. Pair with [[loadIvf]] to get the storage-backed index
     * back (this method only writes).
     */
-  def writeIvf(index: IvfIndex, path: String): Unit = {
+  def writeIvf(index: IvfIndex, path: String): Unit =
+    graft.sources.StoreLease.withLease(path, "write-ivf") {
     // cluster by cell before the partitioned write (same file-count
     // rationale as writeLsh: one file per cell directory, not one per
     // input-partition x cell)
@@ -1167,7 +1172,8 @@ object VectorSearch {
     * metadata. The codes side is append-friendly: encode new batches
     * against the frozen codebook ([[pqEncode]]) and append to `codes/`.
     */
-  def writePq(model: PqModel, codes: DataFrame, path: String, cellCol: Option[String] = None): Unit = {
+  def writePq(model: PqModel, codes: DataFrame, path: String, cellCol: Option[String] = None): Unit =
+    graft.sources.StoreLease.withLease(path, "write-pq") {
     val writer = cellCol match {
       // one file per cell directory, not one per input-partition x cell
       // (the writeIvf rationale)

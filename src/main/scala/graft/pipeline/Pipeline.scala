@@ -27,14 +27,18 @@ import graft.sources.{Catalog, MarkdownSource, PdfSource}
   */
 final class Pipeline(spark: SparkSession, config: GraftConfig = GraftConfig.default) {
 
-  // the swap seam is a deployment property: install what this deployment's
-  // config names (process-global — see CommitProtocol.install). The DEFAULT
-  // value means "leave the installed protocol alone" — a deployment that
-  // installed a custom protocol directly (CommitProtocol.install) must not
-  // have it silently reset by a later Pipeline built from a default config.
-  if (config.commitProtocol != graft.GraftConfig.default.commitProtocol)
-    graft.sources.CommitProtocol.install(
-      graft.sources.CommitProtocol.forName(config.commitProtocol))
+  // the swap and lease seams are deployment properties: install what this
+  // deployment's config names (process-global — see CommitProtocol.install /
+  // StoreLease.install). None means "leave the installed protocol alone" —
+  // a deployment that installed a custom protocol directly must not have it
+  // silently reset by a later Pipeline built from a default config; an
+  // explicit Some installs exactly that protocol, INCLUDING the built-in
+  // default names, which is how a config restores atomic-move/file after a
+  // non-default install (ADVICE r16).
+  config.commitProtocol.foreach(n =>
+    graft.sources.CommitProtocol.install(graft.sources.CommitProtocol.forName(n)))
+  config.leaseProtocol.foreach(n =>
+    graft.sources.StoreLease.install(graft.sources.StoreLease.forName(n)))
 
   val catalog = new Catalog(spark, config.warehouseDir)
   private def ftsKey = s"${config.warehouseDir}/chunks"

@@ -3,43 +3,108 @@ package graft.sources
 import java.nio.charset.StandardCharsets.UTF_8
 import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption}
 
+/** The lease protocol behind every writer lease in the engine — the same
+  * injectable seam [[CommitProtocol]] gives the directory swap (r16
+  * verdict #3): [[StoreLease.withLease]] delegates to the INSTALLED
+  * protocol, so an object-store deployment routes lease acquisition to a
+  * real lock service (DynamoDB / ZooKeeper / etcd) instead of silently
+  * degrading to best-effort file locks, with no verb changing.
+  *
+  * LEASE CONTRACT (what an implementation must provide):
+  *
+  *   - MUTUAL EXCLUSION: `acquire` returns a held lease or throws
+  *     `IllegalStateException` while another writer's lease on the same
+  *     `storePath` is live. How strong the exclusion is is the
+  *     protocol's choice — [[FileLease]] is atomic-create-arbitrated
+  *     (POSIX / HDFS), a lock-service protocol can be genuinely
+  *     linearizable.
+  *   - EXPIRY: a lease lapses `ttlMs` after its last acquire/renew, so a
+  *     crashed holder never blocks maintenance forever. A protocol may
+  *     free verifiably-dead holders earlier (the file lease's same-host
+  *     pid liveness check).
+  *   - RENEWAL ([[LeaseProtocol.Held.renew]]): re-stamp the expiry to
+  *     now + the acquisition ttl. Must fail LOUD when the lease was
+  *     stolen or already lapsed — a renewal can extend only a hold that
+  *     is still exclusively ours.
+  *   - RELEASE ([[LeaseProtocol.Held.release]]): give the lease back;
+  *     returns None on a clean release of a still-live own hold, or
+  *     Some(description) when the hold was lost (stolen / lapsed /
+  *     vanished) — the caller raises, because once exclusivity lapsed a
+  *     second writer may have interleaved with the verb's writes. A
+  *     release must NEVER remove another writer's live lease (the file
+  *     lease arbitrates by rename; a lock service compares owners
+  *     transactionally).
+  */
+trait LeaseProtocol {
+
+  /** Stable name, matched by [[StoreLease.forName]] (and so by
+    * `GraftConfig.leaseProtocol`).
+    */
+  def name: String
+
+  /** Acquire the writer lease on the store at `storePath` for `verb`
+    * (named in contention errors), lapsing `ttlMs` from now unless
+    * renewed. `sibling = true` asks FILE-BASED protocols to keep the
+    * lock OUTSIDE the store root — for stores whose root is itself the
+    * parquet dataset (a plain `mode("overwrite")` deletes the root
+    * wholesale, lock included); protocols keyed on the path string alone
+    * (lock services) may ignore it, since both placements of one store
+    * share the same `storePath` key only when every writer passes the
+    * same flag — which they do, because the flag is fixed per VERB
+    * family, never per caller.
+    */
+  def acquire(storePath: String, verb: String, ttlMs: Long, sibling: Boolean): LeaseProtocol.Held
+}
+
+object LeaseProtocol {
+
+  /** A held writer lease — the handle a long verb heartbeats through. */
+  trait Held {
+    /** `pid@host#nonce`-style identity of this acquisition, for error
+      * messages.
+      */
+    def ownerId: String
+
+    /** Heartbeat: extend the lease to now + the acquisition ttl. Loud
+      * `IllegalStateException` when the lease was stolen, lapsed before
+      * the renewal, or vanished — the long verb must stop, not keep
+      * writing into a store another writer may now own. Call at natural
+      * progress points (per shard in a compaction, per batch in an
+      * append) so the verb's protection outlives any fixed ttl.
+      */
+    def renew(): Unit
+
+    /** Give the lease back. None = clean release (the hold was live and
+      * exclusively ours to the end). Some(description) = the hold was
+      * lost — [[StoreLease.withRenewableLease]] raises with it, naming
+      * the verb and store.
+      */
+    def release(): Option[String]
+  }
+}
+
 /** Writer LEASE for an on-disk store directory (r15 verdict #2): turns
-  * the shard store's "single-writer" docstring convention into a checked
-  * invariant. Every mutating store verb
-  * ([[graft.operators.SequencePacking]]'s export/append/retract/compact/
-  * recertify) runs under [[withLease]]; a second concurrent writer —
-  * another job's append racing a takedown from a different driver — fails
-  * LOUDLY at acquisition instead of silently interleaving pending
-  * markers, ledger rows, and manifest splices.
+  * the persisted stores' "single-writer" docstring convention into a
+  * checked invariant. Every mutating store verb — the shard store's
+  * export/append/retract/compact/recertify
+  * ([[graft.operators.SequencePacking]]), the maintained word
+  * histogram's write/append/retract/compact
+  * ([[graft.operators.TextAnalysis]]), the persisted signature index
+  * ([[graft.operators.Dedup.writeSigIndex]]), the persisted ANN indexes
+  * ([[graft.operators.VectorSearch]]'s writeLsh/writeBandedLsh/writeIvf/
+  * writePq) and tokenizer artifacts
+  * ([[graft.operators.TextAnalysis.writeTokenizer]]) — runs under
+  * [[withLease]]; a second concurrent writer — another job's append
+  * racing a takedown from a different driver — fails LOUDLY at
+  * acquisition instead of silently interleaving pending markers, ledger
+  * rows, and manifest splices.
   *
-  * Mechanics: one `_writer.lock` file at the store root (underscore
-  * prefix — invisible to every parquet read, which all target
-  * subdirectories anyway), holding `owner|expiresAtEpochMs|verb` with
-  * `owner = pid@host#nonce`. Acquisition is `CREATE_NEW` — atomic on
-  * POSIX and HDFS-like stores — followed by a read-back confirming the
-  * hold survived any racing stealer. A holder is DEAD when its lease
-  * expired, when its recorded pid verifiably no longer runs on THIS host
-  * (crash recovery without waiting out the TTL — a replayed streaming
-  * batch must heal immediately, not crash-loop for 15 minutes), or when
-  * the lock file is unreadable AND older than the TTL (a writer
-  * mid-write has a fresh mtime and is treated as LIVE — never steal what
-  * can't be read unless it is too old to still be being written). Steals
-  * are arbitrated by an ATOMIC_MOVE of the dead lock to a unique debris
-  * name — exactly one racing stealer's rename succeeds — and announced
-  * loudly on stderr. The documented recovery for a crashed holder is
-  * therefore: same host — automatic; different host — wait out the TTL
-  * (or delete the lock by hand after confirming the holder is dead);
-  * the verbs' own crash-window machinery heals the half-applied state.
-  *
-  * Scope and honesty: the lease defends the VERBS' mutation windows
-  * against each other on stores with atomic create/rename; a residual
-  * hairline window exists between a stealer's liveness re-check and its
-  * rename (filesystems have no compare-and-swap), which is why this is
-  * an operational guard against concurrent-writer MISTAKES, not a
-  * distributed lock service. It is advisory against writers that bypass
-  * the verb API, and on stores without atomic create it degrades to
-  * best-effort — route this seam to the deployment's lock service there,
-  * the same way [[CommitProtocol]] routes the swap.
+  * This object is the FACADE: verbs call [[withLease]] /
+  * [[withRenewableLease]], which delegate to the installed
+  * [[LeaseProtocol]] ([[FileLease]] by default — atomic-create file
+  * locks, mechanics below; a deployment over a store without atomic
+  * create installs its lock service via [[install]] or
+  * `GraftConfig.leaseProtocol`, the [[CommitProtocol]] convention).
   */
 object StoreLease {
 
@@ -48,61 +113,250 @@ object StoreLease {
   /** Default lease lifetime. Long enough for any single verb at the
     * engine's scale rehearsal sizes ×100; short enough that a crashed
     * REMOTE holder (same-host crashes steal immediately via the pid
-    * liveness check) does not block a day's maintenance window.
+    * liveness check) does not block a day's maintenance window. Long
+    * verbs do not need a longer ttl — they RENEW at progress points
+    * ([[LeaseProtocol.Held.renew]]), so the ttl only bounds how long a
+    * genuinely-stalled holder blocks the store.
     */
   val DefaultTtlMs: Long = 15L * 60L * 1000L
 
-  private def lockPath(storePath: String): Path =
-    Paths.get(storePath, LockFileName)
+  @volatile private var installed: LeaseProtocol = FileLease
+
+  /** The protocol every [[withLease]] call acquires through. */
+  def current: LeaseProtocol = installed
+
+  /** Install a protocol PROCESS-GLOBALLY (the [[CommitProtocol.install]]
+    * convention: the lease is a deployment property, not a per-store
+    * one). Install once at startup, before any verb runs.
+    */
+  def install(p: LeaseProtocol): Unit = { installed = p }
+
+  /** Resolve a protocol by `GraftConfig.leaseProtocol` name. */
+  def forName(name: String): LeaseProtocol = name match {
+    case "file" => FileLease
+    case other =>
+      throw new IllegalArgumentException(
+        s"unknown lease protocol '$other' (know: file); install a custom " +
+          "LeaseProtocol via StoreLease.install instead")
+  }
+
+  /** Run `f` under protocol `p`, restoring the previous protocol after —
+    * the spec harness's entry point (process-global like [[install]]:
+    * do not interleave with concurrent verbs under a different protocol).
+    */
+  def withProtocol[T](p: LeaseProtocol)(f: => T): T = {
+    val prev = installed
+    installed = p
+    try f finally { installed = prev }
+  }
 
   /** Run `f` (one store verb) holding the store's writer lease.
     * Loud `IllegalStateException` when another writer holds a live lease;
-    * loud steal (stderr) when the held lease is dead. After `f`, the
-    * release deletes the lock ONLY if it still carries THIS acquisition's
-    * owner AND is unexpired — an expired own lock is left in place (a
-    * stealer may be acting on it) and the verb raises instead of
-    * returning success, because once the TTL lapsed a second writer may
-    * have interleaved (run `recertifyShards` and re-check the store
-    * before trusting it; raise the ttl for verbs this long).
+    * loud steal (stderr) when the held lease is dead. After `f`, a clean
+    * release requires the hold to still be live and ours — otherwise the
+    * verb raises instead of returning success, because once the lease
+    * lapsed a second writer may have interleaved (run `recertifyShards`
+    * and re-check the store before trusting it; verbs that legitimately
+    * outlive the ttl should renew via [[withRenewableLease]] instead of
+    * raising it).
     */
-  def withLease[T](storePath: String, verb: String, ttlMs: Long = DefaultTtlMs)(f: => T): T = {
+  def withLease[T](
+      storePath: String,
+      verb: String,
+      ttlMs: Long = DefaultTtlMs,
+      sibling: Boolean = false
+  )(f: => T): T =
+    withRenewableLease(storePath, verb, ttlMs, sibling)(_ => f)
+
+  /** [[withLease]] handing `f` the held lease, so a long verb can
+    * heartbeat ([[LeaseProtocol.Held.renew]]) at its progress points —
+    * per shard in a compaction, per batch in an append — and stay
+    * protected past any fixed ttl (r16 verdict #2: without renewal,
+    * every >ttl maintenance verb completed its work then reported
+    * failure).
+    */
+  def withRenewableLease[T](
+      storePath: String,
+      verb: String,
+      ttlMs: Long = DefaultTtlMs,
+      sibling: Boolean = false
+  )(f: LeaseProtocol.Held => T): T = {
     require(ttlMs > 0L, s"lease ttl must be positive, got $ttlMs")
-    val lock = lockPath(storePath)
-    val owner = acquire(lock, verb, ttlMs)
+    val held = installed.acquire(storePath, verb, ttlMs, sibling)
     var failed = false
-    try f
+    try f(held)
     catch { case e: Throwable => failed = true; throw e }
     finally {
-      val now = System.currentTimeMillis()
-      val held = readHolder(lock)
-      held match {
-        case Some((o, expiresAt, _)) if o == owner && expiresAt >= now =>
-          Files.deleteIfExists(lock)
-        case other =>
-          val what = other match {
-            case Some((o, _, _)) if o == owner =>
-              // ours but EXPIRED: leave the file — deleting it here could
-              // erase a racing stealer's claim mid-steal, and the lapse
-              // itself must be reported either way
-              "EXPIRED while held (left in place for stealers)"
-            case Some((o, _, _)) => s"stolen by $o"
-            case None => "released/unreadable"
-          }
+      held.release() match {
+        case None => ()
+        case Some(what) =>
           val msg =
             s"StoreLease: lease on $storePath lost mid-verb '$verb' — this writer's " +
-              s"hold (owner $owner) is $what after exceeding its ${ttlMs}ms TTL " +
-              s"(now=$now). A second writer may have interleaved with this verb's " +
+              s"hold (owner ${held.ownerId}) is $what after exceeding its ${ttlMs}ms TTL. " +
+              "A second writer may have interleaved with this verb's " +
               "writes: run recertifyShards and re-verify the store before trusting " +
-              "it; raise the ttl for verbs this long."
+              "it; long verbs should renew the lease at progress points."
           if (failed) System.err.println(s"[store-lease] $msg")
           else throw new IllegalStateException(msg)
+      }
+    }
+  }
+}
+
+/** The default [[LeaseProtocol]]: one lock FILE per store.
+  *
+  * Mechanics: a `_writer.lock` file at the store root (underscore
+  * prefix — invisible to every parquet read, which all target
+  * subdirectories anyway; `sibling = true` keeps it at a dot-prefixed
+  * SIBLING of the store root instead, for stores whose root is itself
+  * the overwritten parquet dataset), holding `owner|expiresAtEpochMs|
+  * verb` with `owner = pid@host#nonce`. Acquisition is `CREATE_NEW` —
+  * atomic on POSIX and HDFS-like stores — followed by a read-back
+  * confirming the hold survived any racing stealer. A holder is DEAD
+  * when its lease expired, when its recorded pid verifiably no longer
+  * runs on THIS host (crash recovery without waiting out the TTL — a
+  * replayed streaming batch must heal immediately, not crash-loop for
+  * 15 minutes), or when the lock file is unreadable AND older than the
+  * TTL (a writer mid-write has a fresh mtime and is treated as LIVE —
+  * never steal what can't be read unless it is too old to still be
+  * being written). Steals are arbitrated by an ATOMIC_MOVE of the dead
+  * lock to a unique debris name — exactly one racing stealer's rename
+  * succeeds — and announced loudly on stderr; releases arbitrate the
+  * SAME way (rename-then-verify), so a release can never erase a lock
+  * it no longer owns (ADVICE r16). The documented recovery for a
+  * crashed holder is therefore: same host — automatic; different host —
+  * wait out the TTL (or delete the lock by hand after confirming the
+  * holder is dead); the verbs' own crash-window machinery heals the
+  * half-applied state.
+  *
+  * Scope and honesty: the lease defends the VERBS' mutation windows
+  * against each other on stores with atomic create/rename; a residual
+  * hairline window exists between a stealer's liveness re-check and its
+  * rename (filesystems have no compare-and-swap), which is why this is
+  * an operational guard against concurrent-writer MISTAKES, not a
+  * distributed lock service. It is advisory against writers that bypass
+  * the verb API, and on stores without atomic create it degrades to
+  * best-effort — install the deployment's lock service as the
+  * [[LeaseProtocol]] there, the same way [[CommitProtocol]] routes the
+  * swap.
+  */
+object FileLease extends LeaseProtocol {
+
+  override def name: String = "file"
+
+  private def lockPath(storePath: String, sibling: Boolean): Path = {
+    val root = Paths.get(storePath).toAbsolutePath
+    if (sibling)
+      root.resolveSibling(s".${root.getFileName}_${StoreLease.LockFileName.stripPrefix("_")}")
+    else root.resolve(StoreLease.LockFileName)
+  }
+
+  override def acquire(
+      storePath: String,
+      verb: String,
+      ttlMs: Long,
+      sibling: Boolean
+  ): LeaseProtocol.Held = {
+    val lock = lockPath(storePath, sibling)
+    val owner = acquireAt(lock, verb, ttlMs)
+    new Held(lock, owner, verb, ttlMs)
+  }
+
+  private final class Held(lock: Path, owner: String, verb: String, ttlMs: Long)
+      extends LeaseProtocol.Held {
+
+    override def ownerId: String = owner
+
+    override def renew(): Unit = {
+      val now = System.currentTimeMillis()
+      readHolder(lock) match {
+        case Some((o, expiresAt, _)) if o == owner && expiresAt >= now =>
+          // re-stamp the expiry. The rewrite is not atomic, but a torn
+          // concurrent read maps to the acquire loop's fresh-mtime rule
+          // (treated as a LIVE writer mid-write), so the worst case is a
+          // contender retrying — never a silent steal.
+          try
+            Files.write(lock, s"$owner|${now + ttlMs}|$verb".getBytes(UTF_8),
+              StandardOpenOption.WRITE, StandardOpenOption.TRUNCATE_EXISTING)
+          catch {
+            case e: java.io.IOException =>
+              throw new IllegalStateException(
+                s"StoreLease: renewal of the lease on ${lock.getParent} failed mid-verb " +
+                  s"'$verb' (owner $owner): the lock vanished under the rewrite ($e). " +
+                  "Stop the verb — exclusivity is no longer assured.")
+          }
+        case Some((o, _, _)) if o != owner =>
+          throw new IllegalStateException(
+            s"StoreLease: cannot renew — the lease on ${lock.getParent} was STOLEN by " +
+              s"$o mid-verb '$verb' (this writer: $owner). Stop the verb; the store " +
+              "must be re-verified (recertifyShards) before trusting it.")
+        case Some(_) =>
+          throw new IllegalStateException(
+            s"StoreLease: cannot renew — this writer's lease on ${lock.getParent} " +
+              s"LAPSED before the renewal (verb '$verb', owner $owner, ttl ${ttlMs}ms). " +
+              "A stealer may already be acting on the expired lock (left in place); " +
+              "renew at shorter intervals or raise the ttl.")
+        case None =>
+          throw new IllegalStateException(
+            s"StoreLease: cannot renew — the lock on ${lock.getParent} is gone or " +
+              s"unreadable mid-verb '$verb' (owner $owner). Stop the verb; " +
+              "exclusivity is no longer assured.")
+      }
+    }
+
+    override def release(): Option[String] = {
+      val now = System.currentTimeMillis()
+      readHolder(lock) match {
+        case Some((o, expiresAt, _)) if o == owner && expiresAt >= now =>
+          // Arbitrated release (ADVICE r16): rename our lock to debris,
+          // then VERIFY the debris is ours before deleting it. A plain
+          // delete has a TOCTOU hole — between the read above and the
+          // delete, the lease could expire and a stealer could publish
+          // its own lock, which the delete would then erase. The rename
+          // consumes exactly one file; if it turns out not to be ours,
+          // the victim's content is preserved and restored.
+          val debris = lock.resolveSibling(
+            s".${lock.getFileName}_released_${java.lang.Long.toHexString(System.nanoTime())}")
+          try {
+            Files.move(lock, debris, StandardCopyOption.ATOMIC_MOVE)
+            readHolder(debris) match {
+              case Some((o2, _, _)) if o2 == owner =>
+                Files.deleteIfExists(debris)
+                None
+              case other =>
+                // we renamed a lock we no longer owned (lease expired in
+                // the hairline between read and rename, and a stealer
+                // published): put the victim's lock back; if yet another
+                // lock appeared meanwhile, preserve the displaced one as
+                // debris and say so loudly — never erase a live claim
+                try Files.move(debris, lock, StandardCopyOption.ATOMIC_MOVE)
+                catch {
+                  case _: java.nio.file.FileSystemException =>
+                    System.err.println(
+                      s"[store-lease] release raced a steal on $lock; the displaced " +
+                        s"lock is preserved at $debris — resolve by hand after " +
+                        "confirming which writer is live")
+                }
+                Some(s"stolen by ${other.fold("an unreadable holder")(_._1)} during release")
+            }
+          } catch {
+            case _: java.nio.file.NoSuchFileException =>
+              Some("released/unreadable")
+          }
+        case Some((o, _, _)) if o == owner =>
+          // ours but EXPIRED: leave the file — deleting it here could
+          // erase a racing stealer's claim mid-steal, and the lapse
+          // itself must be reported either way
+          Some("EXPIRED while held (left in place for stealers)")
+        case Some((o, _, _)) => Some(s"stolen by $o")
+        case None => Some("released/unreadable")
       }
     }
   }
 
   /** `owner|expiresAtMs|verb` parsed from the lock file; None when absent
     * or torn. Torn files are stealable only via the mtime rule in
-    * [[acquire]].
+    * [[acquireAt]].
     */
   private def readHolder(lock: Path): Option[(String, Long, String)] =
     try {
@@ -129,7 +383,7 @@ object StoreLease {
 
   private lazy val localHost: String = java.net.InetAddress.getLocalHost.getHostName
 
-  private def acquire(lock: Path, verb: String, ttlMs: Long): String = {
+  private def acquireAt(lock: Path, verb: String, ttlMs: Long): String = {
     Files.createDirectories(lock.toAbsolutePath.getParent)
     val owner =
       s"${ProcessHandle.current().pid()}@$localHost" +

@@ -166,4 +166,29 @@ class CommitProtocolSpec extends AnyFunSuite {
     val ex = intercept[IllegalArgumentException](CommitProtocol.forName("s3-magic"))
     assert(ex.getMessage.contains("unknown commit protocol"))
   }
+
+  test("config Option semantics (ADVICE r16): None leaves the protocol alone; Some installs EXACTLY it") {
+    import graft.{GraftConfig => GC}
+    val prev = CommitProtocol.current
+    def wh() = java.nio.file.Files.createTempDirectory("graft_cfg_proto").toString
+    try {
+      // Some("copy-delete") installs it process-globally
+      new graft.pipeline.Pipeline(spark,
+        GC(warehouseDir = wh(), commitProtocol = Some("copy-delete")))
+      assert(CommitProtocol.current.isInstanceOf[CopyDeleteProtocol])
+      // a later default-config Pipeline must NOT silently reset it
+      new graft.pipeline.Pipeline(spark, GC(warehouseDir = wh()))
+      assert(CommitProtocol.current.isInstanceOf[CopyDeleteProtocol],
+        "a None config reset the installed protocol")
+      // ...and an explicit Some("atomic-move") RESTORES the default — the
+      // move the old plain-string sentinel could never express
+      new graft.pipeline.Pipeline(spark,
+        GC(warehouseDir = wh(), commitProtocol = Some("atomic-move")))
+      assert(CommitProtocol.current eq CommitProtocol.AtomicMove)
+      // the lease seam follows the same convention
+      new graft.pipeline.Pipeline(spark,
+        GC(warehouseDir = wh(), leaseProtocol = Some("file")))
+      assert(graft.sources.StoreLease.current eq graft.sources.FileLease)
+    } finally CommitProtocol.install(prev)
+  }
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.SequencePacking
-import graft.sources.StoreLease
+import graft.sources.{LeaseProtocol, StoreLease}
 import java.nio.file.{Files, Paths}
 
 /** r15 verdict #2: the shard store's single-writer contract is a CHECKED
@@ -146,5 +146,193 @@ class StoreLeaseSpec extends AnyFunSuite {
       .select(explode(col("doc_ids")).as("d")).where(col("d") === 901L)
     assert(survivors.isEmpty, "tombstoned doc survived the in-lease heal")
     assert(SequencePacking.verifyShards(spark, dir).where(!col("ok")).isEmpty)
+  }
+
+  // ---- renewal (r16 verdict #2) -------------------------------------
+
+  test("a long verb outlives its ttl CLEANLY by renewing at progress points") {
+    val dir = Files.createTempDirectory("graft_lease_renew").toString
+    val steps = collection.mutable.Buffer[Long]()
+    val r = StoreLease.withRenewableLease(dir, "slow-maintenance", ttlMs = 300L) { lease =>
+      (1 to 4).foreach { _ =>
+        Thread.sleep(150L) // total 600ms — double the ttl
+        lease.renew()
+        steps += System.currentTimeMillis()
+      }
+      "done"
+    }
+    assert(r == "done", "renewed verb must report success")
+    assert(!Files.exists(Paths.get(dir, StoreLease.LockFileName)), "lease not released")
+    assert(steps.size == 4)
+  }
+
+  test("renewal of a STOLEN lease fails loud — the verb must stop") {
+    val dir = Files.createTempDirectory("graft_lease_renew_stolen").toString
+    val ex = intercept[IllegalStateException] {
+      StoreLease.withRenewableLease(dir, "victim-verb", ttlMs = 60000L) { lease =>
+        plantLock(dir, "thief@host#7", System.currentTimeMillis() + 60000L, "x")
+        lease.renew()
+      }
+    }
+    assert(ex.getMessage.contains("STOLEN"), ex.getMessage)
+  }
+
+  test("renewal of a LAPSED lease fails loud — renew earlier, never resurrect") {
+    val dir = Files.createTempDirectory("graft_lease_renew_lapsed").toString
+    val ex = intercept[IllegalStateException] {
+      StoreLease.withRenewableLease(dir, "too-slow", ttlMs = 50L) { lease =>
+        Thread.sleep(150L)
+        lease.renew()
+      }
+    }
+    assert(ex.getMessage.contains("LAPSED"), ex.getMessage)
+    assert(Files.exists(Paths.get(dir, StoreLease.LockFileName)),
+      "a lapsed lock must be left for stealers")
+  }
+
+  test("a stalled holder that never renews is still stolen once the ttl lapses") {
+    val dir = Files.createTempDirectory("graft_lease_stalled").toString
+    plantLock(dir, "stalled@gonehost#8", System.currentTimeMillis() + 80L, "hung-compact")
+    Thread.sleep(120L) // the stall outlives its ttl
+    // a fresh writer steals and completes — renewal keeps LIVE verbs safe
+    // without protecting a genuinely-hung one forever
+    val r = StoreLease.withLease(dir, "fresh-verb") { 99 }
+    assert(r == 99)
+  }
+
+  // ---- lease coverage beyond the shard store (r16 verdict #1) -------
+
+  test("histogram-store verbs fail loud while another writer holds the store") {
+    import graft.operators.TextAnalysis
+    val dir = Files.createTempDirectory("graft_lease_hist").toString
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "beta gamma delta"))
+      .toDF("doc_id", "text")
+    TextAnalysis.writeWordHistogram(TextAnalysis.wordHistogram(docs, "text"), dir)
+    plantLock(dir, "rival@otherhost#h1", System.currentTimeMillis() + 60000L, "append-hist")
+    val verbs: Seq[(String, () => Any)] = Seq(
+      "writeWordHistogram" -> (() =>
+        TextAnalysis.writeWordHistogram(TextAnalysis.wordHistogram(docs, "text"), dir)),
+      "appendWordHistogram" -> (() =>
+        TextAnalysis.appendWordHistogram(docs, "text", dir, "h#1")),
+      "appendDocWordCounts" -> (() =>
+        TextAnalysis.appendDocWordCounts(docs, "doc_id", "text", dir, "h#1")),
+      "compactWordHistogram" -> (() =>
+        TextAnalysis.compactWordHistogram(spark, dir))
+    )
+    verbs.foreach { case (name, run) =>
+      val ex = intercept[IllegalStateException](run())
+      assert(ex.getMessage.contains("held by writer rival@otherhost#h1"), s"$name: ${ex.getMessage}")
+    }
+    // loads never need the lease
+    assert(TextAnalysis.loadWordHistogram(spark, dir).hist.count() > 0L)
+    Files.deleteIfExists(Paths.get(dir, StoreLease.LockFileName))
+    // with the rival gone, the same verbs complete and release
+    TextAnalysis.appendWordHistogram(docs, "text", dir, "h#2")
+    TextAnalysis.compactWordHistogram(spark, dir)
+    assert(!Files.exists(Paths.get(dir, StoreLease.LockFileName)))
+  }
+
+  test("sig-index writes lease a SIBLING lock that survives the root overwrite") {
+    import graft.operators.Dedup
+    val root = Files.createTempDirectory("graft_lease_sig")
+    val dir = root.resolve("sigs").toString
+    val sigs = Seq((1L, Seq(11L, 12L)), (2L, Seq(21L, 22L))).toDF("id", "sig")
+    Dedup.writeSigIndex(sigs, dir)
+    // the lock is NOT inside the dataset dir (overwrite would erase it
+    // mid-verb) and is gone after a clean release
+    val sibling = root.resolve(".sigs_writer.lock")
+    assert(!Files.exists(Paths.get(dir, StoreLease.LockFileName)))
+    assert(!Files.exists(sibling), "sibling lock not released")
+    // a rival's live sibling lease refuses both write modes
+    Files.writeString(sibling, s"rival@otherhost#s1|${System.currentTimeMillis() + 60000L}|write-sigs")
+    val exW = intercept[IllegalStateException](Dedup.writeSigIndex(sigs, dir))
+    assert(exW.getMessage.contains("held by writer rival@otherhost#s1"), exW.getMessage)
+    val exA = intercept[IllegalStateException](Dedup.writeSigIndex(sigs, dir, append = true))
+    assert(exA.getMessage.contains("held by writer rival@otherhost#s1"), exA.getMessage)
+    Files.deleteIfExists(sibling)
+    Dedup.writeSigIndex(sigs, dir, append = true)
+    assert(spark.read.parquet(dir).count() == 4L, "append under the freed lease landed")
+  }
+
+  test("persisted-index writes fail loud while another writer holds the store") {
+    import graft.operators.VectorSearch
+    val dir = Files.createTempDirectory("graft_lease_idx").toString
+    val corpus = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f))).toDF("id", "vec")
+    plantLock(dir, "rival@otherhost#i1", System.currentTimeMillis() + 60000L, "write-ivf")
+    val idx = VectorSearch.buildIvf(corpus, "vec", nLists = 2)
+    val ex = intercept[IllegalStateException](VectorSearch.writeIvf(idx, dir))
+    assert(ex.getMessage.contains("held by writer rival@otherhost#i1"), ex.getMessage)
+    Files.deleteIfExists(Paths.get(dir, StoreLease.LockFileName))
+    VectorSearch.writeIvf(idx, dir)
+    assert(!Files.exists(Paths.get(dir, StoreLease.LockFileName)))
+    assert(VectorSearch.loadIvf(spark, dir, "vec").indexed.count() == 2L)
+  }
+
+  // ---- injectable protocol (r16 verdict #3) -------------------------
+
+  /** In-memory lock service: what a DynamoDB/ZK-backed LeaseProtocol
+    * looks like — linearizable compute() instead of file ops.
+    */
+  private final class FakeLockService extends LeaseProtocol {
+    val locks = new java.util.concurrent.ConcurrentHashMap[String, (String, Long, String)]()
+    val events = java.util.Collections.synchronizedList(new java.util.ArrayList[String]())
+    private val seq = new java.util.concurrent.atomic.AtomicLong(0L)
+    override def name: String = "fake"
+    override def acquire(storePath: String, verb: String, ttlMs: Long, sibling: Boolean): LeaseProtocol.Held = {
+      val owner = s"fake#${seq.incrementAndGet()}"
+      val now = System.currentTimeMillis()
+      val cur = locks.compute(storePath, (_, c) =>
+        if (c == null || c._2 < now) (owner, now + ttlMs, verb) else c)
+      if (cur._1 != owner)
+        throw new IllegalStateException(s"fake lease: $storePath held by writer ${cur._1}")
+      events.add(s"acquire:$verb")
+      new LeaseProtocol.Held {
+        override def ownerId: String = owner
+        override def renew(): Unit = {
+          val now2 = System.currentTimeMillis()
+          val ok = locks.computeIfPresent(storePath, (_, c) =>
+            if (c._1 == owner && c._2 >= now2) (owner, now2 + ttlMs, verb) else c)
+          if (ok == null || ok._1 != owner || ok._2 < now2)
+            throw new IllegalStateException(s"fake lease: renewal lost on $storePath")
+          events.add(s"renew:$verb")
+        }
+        override def release(): Option[String] = {
+          val now2 = System.currentTimeMillis()
+          val cur2 = locks.get(storePath)
+          if (cur2 != null && cur2._1 == owner && cur2._2 >= now2) {
+            locks.remove(storePath, cur2)
+            events.add(s"release:$verb")
+            None
+          } else if (cur2 != null && cur2._1 == owner) Some("EXPIRED while held")
+          else Some(s"stolen by ${if (cur2 == null) "nobody (vanished)" else cur2._1}")
+        }
+      }
+    }
+  }
+
+  test("the lease seam is injectable: shard verbs run against a lock service, not files") {
+    val fake = new FakeLockService
+    StoreLease.withProtocol(fake) {
+      val dir = freshStore("graft_lease_fake")
+      // the file lock never existed — the fake arbitrated every verb
+      assert(!Files.exists(Paths.get(dir, StoreLease.LockFileName)),
+        "file lock written despite an installed lock service")
+      assert(fake.events.contains("acquire:export"), fake.events.toString)
+      assert(fake.events.contains("release:export"), fake.events.toString)
+      assert(fake.events.contains("renew:export"), "export heartbeat missing")
+      // contention through the service is loud
+      fake.locks.put(dir, ("other-driver", System.currentTimeMillis() + 60000L, "append"))
+      val ex = intercept[IllegalStateException](SequencePacking.compactShards(spark, dir))
+      assert(ex.getMessage.contains("held by writer other-driver"), ex.getMessage)
+      fake.locks.remove(dir)
+      // a lapsed service lease surfaces as the same loud lost-mid-verb
+      val lost = intercept[IllegalStateException] {
+        StoreLease.withRenewableLease(dir, "slow", ttlMs = 40L) { _ => Thread.sleep(100L); 1 }
+      }
+      assert(lost.getMessage.contains("lost mid-verb"), lost.getMessage)
+    }
+    assert(StoreLease.current.name == "file", "withProtocol must restore the default")
+    assert(StoreLease.forName("file").name == "file")
+    intercept[IllegalArgumentException](StoreLease.forName("zk"))
   }
 }
