@@ -2151,6 +2151,81 @@ object OracleSql {
          |              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
          |FROM u ORDER BY ord""".stripMargin,
 
+    "q_token_budget_mixture" ->
+      // LoaderSchedule.planForTokensMixture twin (r16 verdict #5): even
+      // store at weight 3, odd at weight 1, budget T = 3*(totE+totO)//2.
+      // The oracle re-derives the repeat factors from the documented
+      // integer formulas — share_d = ceil(T*w_d/W) = (T*w_d + W-1)//W,
+      // epochs_d = ceil(share_d/total_d) — expands each domain's epochs
+      // (kpos continues across them: rank within epoch + (e-1)*nBins),
+      // interleaves on kpos * lcm/w (even: 1, odd: 3) with ties on
+      // (domain, kpos), and keeps the bins whose segment STARTS before T
+      // (cum - n_tokens < T) — the q_token_budget_plan boundary over the
+      // q_mixture_plan machinery
+      s"""WITH RECURSIVE $bpeIdsCtes,
+         |de AS MATERIALIZED (
+         |  SELECT n_tokens AS tok,
+         |         ROW_NUMBER() OVER (ORDER BY doc_id) AS rn
+         |  FROM docids WHERE doc_id % 2 = 0),
+         |packe AS (
+         |  SELECT rn, tok, CAST(0 AS BIGINT) AS bin_id, tok AS bin_run FROM de WHERE rn = 1
+         |  UNION ALL
+         |  SELECT d.rn, d.tok,
+         |         CASE WHEN p.bin_run + d.tok > 2048 THEN p.bin_id + 1 ELSE p.bin_id END,
+         |         CASE WHEN p.bin_run + d.tok > 2048 THEN d.tok ELSE p.bin_run + d.tok END
+         |  FROM packe p JOIN de d ON d.rn = p.rn + 1),
+         |dd AS MATERIALIZED (
+         |  SELECT n_tokens AS tok,
+         |         ROW_NUMBER() OVER (ORDER BY doc_id) AS rn
+         |  FROM docids WHERE doc_id % 2 = 1),
+         |packo AS (
+         |  SELECT rn, tok, CAST(0 AS BIGINT) AS bin_id, tok AS bin_run FROM dd WHERE rn = 1
+         |  UNION ALL
+         |  SELECT d.rn, d.tok,
+         |         CASE WHEN p.bin_run + d.tok > 2048 THEN p.bin_id + 1 ELSE p.bin_id END,
+         |         CASE WHEN p.bin_run + d.tok > 2048 THEN d.tok ELSE p.bin_run + d.tok END
+         |  FROM packo p JOIN dd d ON d.rn = p.rn + 1),
+         |be AS (SELECT bin_id, CAST(SUM(tok) AS BIGINT) AS n_tokens FROM packe GROUP BY bin_id),
+         |bo AS (SELECT bin_id, CAST(SUM(tok) AS BIGINT) AS n_tokens FROM packo GROUP BY bin_id),
+         |tote AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS v FROM be),
+         |toto AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS v FROM bo),
+         |tgt AS (SELECT 3 * ((SELECT v FROM tote) + (SELECT v FROM toto)) // 2 AS t),
+         |eps AS (SELECT
+         |  CAST((((SELECT t FROM tgt) * 3 + 3) // 4 + (SELECT v FROM tote) - 1)
+         |         // (SELECT v FROM tote) AS BIGINT) AS ea,
+         |  CAST((((SELECT t FROM tgt) * 1 + 3) // 4 + (SELECT v FROM toto) - 1)
+         |         // (SELECT v FROM toto) AS BIGINT) AS eb),
+         |ke AS (
+         |  SELECT 'even' AS domain, CAST(e.epoch AS BIGINT) AS epoch,
+         |         b.bin_id % 4 AS shard, b.bin_id, b.n_tokens,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY e.epoch
+         |           ORDER BY md5('tbm:even/' || CAST(e.epoch AS VARCHAR) || ':' ||
+         |                        CAST(b.bin_id AS VARCHAR)), b.bin_id) AS BIGINT)
+         |           + (CAST(e.epoch AS BIGINT) - 1) * (SELECT COUNT(*) FROM be) AS kpos
+         |  FROM be b CROSS JOIN
+         |       (SELECT UNNEST(range(1, (SELECT ea FROM eps) + 1)) AS epoch) e),
+         |ko AS (
+         |  SELECT 'odd' AS domain, CAST(e.epoch AS BIGINT) AS epoch,
+         |         b.bin_id % 4 AS shard, b.bin_id, b.n_tokens,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY e.epoch
+         |           ORDER BY md5('tbm:odd/' || CAST(e.epoch AS VARCHAR) || ':' ||
+         |                        CAST(b.bin_id AS VARCHAR)), b.bin_id) AS BIGINT)
+         |           + (CAST(e.epoch AS BIGINT) - 1) * (SELECT COUNT(*) FROM bo) AS kpos
+         |  FROM bo b CROSS JOIN
+         |       (SELECT UNNEST(range(1, (SELECT eb FROM eps) + 1)) AS epoch) e),
+         |u AS (
+         |  SELECT domain, epoch, shard, bin_id, n_tokens, kpos,
+         |         kpos * CASE WHEN domain = 'even' THEN 1 ELSE 3 END AS vt
+         |  FROM (SELECT * FROM ke UNION ALL SELECT * FROM ko))
+         |SELECT ord, domain, epoch, shard, bin_id, n_tokens, cum_tokens FROM (
+         |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vt, domain, kpos) AS BIGINT) AS ord,
+         |         domain, epoch, shard, bin_id, n_tokens,
+         |         CAST(SUM(n_tokens) OVER (ORDER BY vt, domain, kpos
+         |                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+         |  FROM u)
+         |WHERE cum_tokens - n_tokens < (SELECT t FROM tgt)
+         |ORDER BY ord""".stripMargin,
+
     "q_stratified_sample" -> {
       // mirrors Sampling.hashBucket: first 6 md5 nibbles as int, mod 100
       val bucket = s"(${md5NibbleIntSql("CAST(doc_id AS VARCHAR)", 6)} % 100)"

@@ -3013,6 +3013,35 @@ object SparkEntry {
       .orderBy("ord")
   }
 
+  /** Budget-driven mixture (LoaderSchedule.planForTokensMixture, r16
+    * verdict #5): "train for T total tokens at weights 3:1" over the
+    * even/odd parity stores, T = 1.5× their combined total — the actual
+    * entry point of a Chinchilla-style run. The ENGINE derives each
+    * domain's repeat factor (share_d = ceil(T*w_d/W), epochs_d =
+    * ceil(share_d/total_d)), builds the WFQ interleave over the repeated
+    * streams, and cuts at the start-before-T boundary. The oracle
+    * re-derives the repeat factors from the same integer formulas,
+    * expands each domain's epochs (partitioned md5 ranks over an
+    * epoch-range cross join), and re-runs the interleave + cut; a wrong
+    * share ceiling, a wrong epoch count, or an off-by-one at the budget
+    * crossing breaks the hash. Reuses the q_mixture_schedule parity
+    * stores.
+    */
+  private def qTokenBudgetMixture(s: SparkSession, dir: String): DataFrame = {
+    lazy val tok = TextAnalysis.trainBpeTokenizer(
+      t(s, dir, "documents").where(col("doc_id") < 120), "text", rounds = 3)
+    val pathE = scheduleStore(s, dir, "graft_mix_e", col("doc_id") % 2 === 0, Some(() => tok))
+    val pathO = scheduleStore(s, dir, "graft_mix_o", col("doc_id") % 2 === 1, Some(() => tok))
+    def tot(p: String): Long = {
+      s.catalog.refreshByPath(s"$p/manifest")
+      s.read.parquet(s"$p/manifest").agg(sum("n_tokens")).head().getLong(0)
+    }
+    val budget = 3L * (tot(pathE) + tot(pathO)) / 2L
+    graft.operators.LoaderSchedule.planForTokensMixture(
+        s, Seq(("even", pathE, 3L), ("odd", pathO, 1L)), "tbm", budget)
+      .orderBy("ord")
+  }
+
   /** Maintained-histogram lifecycle (TextAnalysis.WordHistogram): build
     * the tokenizer training corpus as a persisted word histogram — write
     * the EVEN doc_ids' counts, APPEND the odd half as an O(batch) delta,
@@ -3484,6 +3513,7 @@ object SparkEntry {
     "q_mixture_schedule" -> (qMixtureSchedule _),
     "q_mixture_plan" -> (qMixturePlan _),
     "q_token_budget_plan" -> (qTokenBudgetPlan _),
+    "q_token_budget_mixture" -> (qTokenBudgetMixture _),
     "q_datasheet" -> (qDatasheet _),
     "q_wordpiece_persisted" -> (qWordpiecePersisted _),
     "q_unigram_persisted" -> (qUnigramPersisted _),

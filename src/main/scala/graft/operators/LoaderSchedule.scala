@@ -137,6 +137,22 @@ object LoaderSchedule {
     // each epoch reuses the same certified bin frame and the offsets come
     // from the totals the certification already established
     val (bins, stamp) = certifiedBins(spark, path)
+    epochPlanFromBins(bins, stamp, seed, nEpochs, partitions)
+  }
+
+  /** [[epochPlan]] over an ALREADY-certified `(bins, stamp)` pair — the
+    * shared core that lets [[planForTokens]] derive its epoch count and
+    * build its plan from ONE certification (ADVICE r16: reading the
+    * store twice non-atomically let an append land between the two
+    * reads, silently under-filling the token budget).
+    */
+  private def epochPlanFromBins(
+      bins: DataFrame,
+      stamp: StoreStamp,
+      seed: String,
+      nEpochs: Int,
+      partitions: Int
+  ): DataFrame = {
     val (nBins, total) = (stamp.nBins, stamp.nTokens)
     (1 to nEpochs).map { e =>
       rankAndRunningTokens(bins, s"$seed/$e", partitions)
@@ -168,14 +184,20 @@ object LoaderSchedule {
       partitions: Int = 0
   ): DataFrame = {
     require(targetTokens > 0L, s"need targetTokens > 0, got $targetTokens")
-    val total = storeStamp(spark, path).nTokens
+    // certify ONCE and build the plan from that same (bins, stamp): the
+    // epoch count and the plan's cum_tokens coordinates must witness the
+    // SAME store state (ADVICE r16 — a second read would let a
+    // concurrent append make the derived epoch count under-fill the
+    // budget against the plan's own coordinates)
+    val (bins, stamp) = certifiedBins(spark, path)
+    val total = stamp.nTokens
     require(total > 0L,
       s"planForTokens: store at $path holds no tokens — nothing to budget")
     val nEpochs = (targetTokens + total - 1L) / total
     require(nEpochs <= Int.MaxValue.toLong,
       s"planForTokens: $targetTokens tokens over a $total-token store is " +
         s"$nEpochs epochs — not a real training plan")
-    epochPlan(spark, path, seed, nEpochs.toInt, partitions)
+    epochPlanFromBins(bins, stamp, seed, nEpochs.toInt, partitions)
       .where(col("cum_tokens") - col("n_tokens") < targetTokens)
   }
 
@@ -211,10 +233,22 @@ object LoaderSchedule {
     */
   def mintCursor(spark: SparkSession, paths: Seq[String], afterTokens: Long): Cursor = {
     require(paths.nonEmpty, "mintCursor: pass the schedule's store path(s)")
-    require(paths.distinct.length == paths.length,
+    val normed = paths.map(normalizePath)
+    require(normed.distinct.length == normed.length,
       s"mintCursor: duplicate store paths in ${paths.mkString(", ")}")
-    Cursor(afterTokens, paths.map(p => p -> storeStamp(spark, p)))
+    Cursor(afterTokens, paths.zip(normed).map { case (p, n) => n -> storeStamp(spark, p) })
   }
+
+  /** Canonical spelling of a store path for cursor-stamp matching
+    * (ADVICE r16: exact string equality rejected `/x/y/` vs `/x/y` and
+    * relative vs absolute spellings of the SAME store as "a different
+    * store set"). Local paths absolutize + normalize; URI-style paths
+    * (`hdfs://...`, `s3a://...`) only lose a trailing slash — resolving
+    * them against the local working directory would corrupt them.
+    */
+  private def normalizePath(p: String): String =
+    if (p.contains("://")) p.stripSuffix("/")
+    else java.nio.file.Paths.get(p).toAbsolutePath.normalize.toString
 
   /** STALE-CURSOR-CHECKED resume (r15 verdict #3): verify the stores
     * still carry the exact manifest state `cursor` was minted against,
@@ -242,7 +276,10 @@ object LoaderSchedule {
       cursor: Cursor
   ): DataFrame = {
     require(paths.nonEmpty, "resumeFromChecked: pass the schedule's store path(s)")
-    require(paths.sorted == cursor.stamps.map(_._1).sorted,
+    // compare CANONICAL spellings on both sides (ADVICE r16) — a cursor
+    // minted before normalization existed still matches, because mint and
+    // resume normalize identically
+    require(paths.map(normalizePath).sorted == cursor.stamps.map(s => normalizePath(s._1)).sorted,
       s"resumeFromChecked: this cursor was minted over stores " +
         s"[${cursor.stamps.map(_._1).mkString(", ")}] but the resume names " +
         s"[${paths.mkString(", ")}] — a different store set is a different " +
@@ -382,20 +419,37 @@ object LoaderSchedule {
       "mixturePlan: domain names must be unique")
     require(stores.forall(_._3 > 0L), "mixturePlan: weights must be positive")
     require(stores.forall(_._4 >= 1), "mixturePlan: epochs must be >= 1")
-    val steps = vtSteps(stores.map(_._3), "mixturePlan")
-    val perDomainEpoch = stores.flatMap { case (domain, path, w, reps) =>
-      // certify ONCE per domain; every epoch reuses the certified frame
-      val (bins, stamp) = certifiedBins(spark, path)
+    // certify ONCE per domain; every epoch reuses the certified frame
+    mixturePlanFromCertified(
+      stores.map { case (domain, path, w, reps) =>
+        val (bins, stamp) = certifiedBins(spark, path)
+        (domain, bins, stamp, w, reps)
+      }, seed, partitions, "mixturePlan")
+  }
+
+  /** [[mixturePlan]] over ALREADY-certified per-domain `(bins, stamp)`
+    * frames — the shared core [[planForTokensMixture]] builds on so its
+    * derived repeat factors and the plan's coordinates witness ONE
+    * certification per store (the [[planForTokens]] single-read rule).
+    */
+  private def mixturePlanFromCertified(
+      certified: Seq[(String, DataFrame, StoreStamp, Long, Int)],
+      seed: String,
+      partitions: Int,
+      verb: String
+  ): DataFrame = {
+    val steps = vtSteps(certified.map(_._4), verb)
+    val perDomainEpoch = certified.flatMap { case (domain, bins, stamp, w, reps) =>
       // the largest vt this domain ever takes is reps * nBins * (lcm/w)
       val streamLen =
         try math.multiplyExact(stamp.nBins, reps.toLong)
         catch {
           case _: ArithmeticException =>
             throw new IllegalArgumentException(
-              s"mixturePlan: domain '$domain' repeats ${stamp.nBins} bins x $reps " +
+              s"$verb: domain '$domain' repeats ${stamp.nBins} bins x $reps " +
                 "epochs — the stream length itself overflows a Long")
         }
-      requireVtFits(streamLen, steps(w), domain, "mixturePlan")
+      requireVtFits(streamLen, steps(w), domain, verb)
       (1 to reps).map { e =>
         val (ranked, _) = Ranks.withGlobalRank(
           bins.withColumn("_k", epochKey(s"$seed:$domain/$e")),
@@ -413,6 +467,72 @@ object LoaderSchedule {
     val unioned = perDomainEpoch.reduce(_ unionByName _)
     rankAndCumOver(unioned, Seq(col("_vt"), col("domain"), col("_kpos")), partitions)
       .select("ord", "domain", "epoch", "shard", "bin_id", "n_tokens", "cum_tokens")
+  }
+
+  /** BUDGET-DRIVEN mixture plan (r16 verdict #5): [[planForTokens]] ×
+    * [[mixturePlan]] — the actual entry point of a Chinchilla-style run,
+    * "train for T total tokens at weights 7:2:1". The engine derives
+    * each domain's repeat factor from its token share and cuts the WFQ
+    * interleave at the budget, instead of the user hand-deriving epoch
+    * counts the engine can prove.
+    *
+    * Derivation (integer-exact, oracle-pinned): with `W = Σ weights`,
+    * domain d's token share is `share_d = ceil(T * w_d / W)` (ceil on
+    * every share, so the summed supply can never fall short of T) and
+    * its repeat factor is `epochs_d = ceil(share_d / total_d)` — the
+    * fewest whole epochs covering the share. The plan is then exactly
+    * `mixturePlan(stores with epochs_d)` filtered to the bins whose
+    * segment STARTS before the target (`cum_tokens - n_tokens < T`, the
+    * [[planForTokens]] boundary): the last kept bin crosses T, the
+    * coordinates stay the untruncated plan's, and [[resumeFrom]] /
+    * [[resumeFromChecked]] / [[workerSlices]] compose unchanged.
+    * Because the summed supply `Σ epochs_d * total_d >= Σ share_d >= T`,
+    * the cut is always interior — a trainer consuming in order reaches
+    * T before any domain's repeat budget matters. (Proportionality is
+    * [[mixtureSchedule]]'s bin-level WFQ guarantee; a domain whose bins
+    * run substantially larger than another's serves proportionally more
+    * TOKENS per prefix — weights are bin-service ratios, as in every
+    * mixture verb here.)
+    *
+    * Each store is certified ONCE and both the repeat derivation and
+    * the plan build on that same `(bins, stamp)` — the [[planForTokens]]
+    * single-read rule (ADVICE r16), so a concurrent append can never
+    * desynchronize the derived epochs from the plan's coordinates.
+    *
+    * Input: `(domain, path, weight)` per store + the total budget.
+    * Returns the [[mixturePlan]] shape:
+    * `(ord, domain, epoch, shard, bin_id, n_tokens, cum_tokens)`.
+    */
+  def planForTokensMixture(
+      spark: SparkSession,
+      stores: Seq[(String, String, Long)],
+      seed: String,
+      targetTokens: Long,
+      partitions: Int = 0
+  ): DataFrame = {
+    require(stores.nonEmpty, "planForTokensMixture: pass at least one store")
+    require(stores.map(_._1).distinct.length == stores.length,
+      "planForTokensMixture: domain names must be unique")
+    require(stores.forall(_._3 > 0L), "planForTokensMixture: weights must be positive")
+    require(targetTokens > 0L, s"need targetTokens > 0, got $targetTokens")
+    val totalWeight = stores.map(s => BigInt(s._3)).sum
+    val certified = stores.map { case (domain, path, w) =>
+      val (bins, stamp) = certifiedBins(spark, path)
+      require(stamp.nTokens > 0L,
+        s"planForTokensMixture: store at $path (domain '$domain') holds no tokens " +
+          "— an empty domain cannot serve its weight share; drop it from the mixture")
+      // share_d = ceil(T * w_d / W); epochs_d = ceil(share_d / total_d).
+      // BigInt: T * w_d alone can overflow a Long at real budgets.
+      val share = (BigInt(targetTokens) * BigInt(w) + totalWeight - 1) / totalWeight
+      val epochs = (share + BigInt(stamp.nTokens) - 1) / BigInt(stamp.nTokens)
+      require(epochs <= BigInt(Int.MaxValue),
+        s"planForTokensMixture: domain '$domain' needs $epochs epochs of its " +
+          s"${stamp.nTokens}-token store to serve a $share-token share — not a " +
+          "real training plan")
+      (domain, bins, stamp, w, epochs.toInt)
+    }
+    mixturePlanFromCertified(certified, seed, partitions, "planForTokensMixture")
+      .where(col("cum_tokens") - col("n_tokens") < targetTokens)
   }
 
   /** Per-weight virtual-time STEP `lcm(weights)/w` — weighted fair

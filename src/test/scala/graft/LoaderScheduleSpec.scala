@@ -428,4 +428,81 @@ class LoaderScheduleSpec extends AnyFunSuite {
     val healed = LoaderSchedule.epochSchedule(spark, dir, "ep")
     assert(healed.count() < after.length.toLong)
   }
+
+  test("planForTokensMixture: derived repeat factors, budget cut, resume/workers compose") {
+    val dirA = freshStore("graft_ltbm_a", n = 50L)
+    val dirB = freshStore("graft_ltbm_b", n = 30L, salt = 5L)
+    val totA = LoaderSchedule.storeStamp(spark, dirA).nTokens
+    val totB = LoaderSchedule.storeStamp(spark, dirB).nTokens
+    val t = (totA + totB) * 3L / 2L
+    val stores = Seq(("a", dirA, 3L), ("b", dirB, 1L))
+    val plan = LoaderSchedule.planForTokensMixture(spark, stores, "tbm", t)
+      .orderBy("ord").collect()
+
+    // the documented derivation: share_d = ceil(T*w/W), epochs_d = ceil(share/total)
+    def ceilDiv(a: BigInt, b: BigInt) = (a + b - 1) / b
+    val epochsA = ceilDiv(ceilDiv(BigInt(t) * 3, BigInt(4)), BigInt(totA)).toInt
+    val epochsB = ceilDiv(ceilDiv(BigInt(t) * 1, BigInt(4)), BigInt(totB)).toInt
+    // the plan IS mixturePlan(derived epochs) cut at the start-before-T boundary
+    val full = LoaderSchedule.mixturePlan(
+        spark, Seq(("a", dirA, 3L, epochsA), ("b", dirB, 1L, epochsB)), "tbm")
+      .orderBy("ord").collect()
+    assert(plan.map(_.toSeq).toSeq == full.takeWhile(r =>
+      r.getAs[Long]("cum_tokens") - r.getAs[Long]("n_tokens") < t).map(_.toSeq).toSeq)
+    // the budget is REACHED and the boundary is exact: the last kept bin
+    // crosses T, its predecessor doesn't (supply >= sum of ceil'd shares >= T)
+    assert(plan.last.getAs[Long]("cum_tokens") >= t)
+    assert(plan.init.last.getAs[Long]("cum_tokens") < t)
+    // repeat budgets respected per domain, epochs in order within each
+    Seq(("a", epochsA), ("b", epochsB)).foreach { case (d, cap) =>
+      val es = plan.filter(_.getAs[String]("domain") == d).map(_.getAs[Long]("epoch"))
+      assert(es.nonEmpty && es.max <= cap.toLong, s"domain $d exceeded its derived cap $cap")
+      assert(es.toSeq == es.sorted.toSeq, s"domain $d epochs out of order")
+    }
+    // resumeFromChecked and workerSlices compose unchanged
+    val planDf = LoaderSchedule.planForTokensMixture(spark, stores, "tbm", t)
+    val cur = LoaderSchedule.mintCursor(spark, Seq(dirA, dirB), t / 2L)
+    assert(LoaderSchedule.resumeFromChecked(spark, Seq(dirA, dirB), planDf, cur).count() > 0L)
+    val sizes = LoaderSchedule.workerSlices(planDf, 3)
+      .groupBy("worker").count().collect().map(_.getLong(1))
+    assert(sizes.max - sizes.min <= 1L, s"unbalanced deal: ${sizes.mkString(",")}")
+    // refusals: empty budget, duplicate domains, non-positive weights
+    intercept[IllegalArgumentException](
+      LoaderSchedule.planForTokensMixture(spark, stores, "tbm", 0L))
+    intercept[IllegalArgumentException](
+      LoaderSchedule.planForTokensMixture(spark,
+        Seq(("a", dirA, 3L), ("a", dirB, 1L)), "tbm", t))
+    intercept[IllegalArgumentException](
+      LoaderSchedule.planForTokensMixture(spark,
+        Seq(("a", dirA, 0L), ("b", dirB, 1L)), "tbm", t))
+  }
+
+  test("cursor stamps match across path spellings of the same store (ADVICE r16)") {
+    val dir = freshStore("graft_lnorm")
+    val sched = LoaderSchedule.epochSchedule(spark, dir, "pn")
+    val n = sched.count()
+    // minted with a trailing slash; resumed with the plain spelling
+    val cursor = LoaderSchedule.mintCursor(spark, Seq(dir + "/"), 0L)
+    assert(LoaderSchedule.resumeFromChecked(spark, Seq(dir), sched, cursor).count() == n)
+    // ...and with a relative spelling of the same directory
+    val rel = java.nio.file.Paths.get("").toAbsolutePath
+      .relativize(java.nio.file.Paths.get(dir)).toString
+    assert(LoaderSchedule.resumeFromChecked(spark, Seq(rel), sched, cursor).count() == n)
+    // a GENUINELY different store still reads as a different store set
+    val other = freshStore("graft_lnorm_other")
+    val ex = intercept[IllegalArgumentException] {
+      LoaderSchedule.resumeFromChecked(spark, Seq(other), sched, cursor)
+    }
+    assert(ex.getMessage.contains("different store set"), ex.getMessage)
+    // URI-style paths only lose a trailing slash (never resolved locally)
+    val uriCur = LoaderSchedule.Cursor(0L,
+      Seq("hdfs://nn/stores/a" -> LoaderSchedule.StoreStamp(0L, 0L, 0L)))
+    val uriEx = intercept[Exception] {
+      // stamp verification would need the filesystem; the SET check runs
+      // first and must ACCEPT the slash variant (failure here would say
+      // "different store set"; the error we get is the hdfs read attempt)
+      LoaderSchedule.resumeFromChecked(spark, Seq("hdfs://nn/stores/a/"), sched, uriCur)
+    }
+    assert(!String.valueOf(uriEx.getMessage).contains("different store set"), uriEx.getMessage)
+  }
 }
