@@ -611,8 +611,8 @@ object Dedup {
     // path, exactly the two-drivers-appending exposure the shard store is
     // defended against); sibling placement because the non-append mode
     // overwrites the store root wholesale, lock included
-    graft.sources.StoreLease.withLease(
-      path, if (append) "append-sigs" else "write-sigs", sibling = true) {
+    graft.sources.StoreLease.withRenewableLease(
+      path, if (append) "append-sigs" else "write-sigs", sibling = true) { lease =>
     // numHashes of THIS batch (O(batch) scan — append-path maintenance
     // cost stays proportional to the batch, never the corpus)
     val batchLen = sigs.agg(
@@ -660,6 +660,9 @@ object Dedup {
     }
     sigs.select("id", "sig").write
       .mode(if (append) "append" else "overwrite").parquet(path)
+    // heartbeat after the verb's long pole (a full-corpus overwrite can
+    // outlive any fixed ttl) so the sidecar stamp + release stay protected
+    lease.renew()
     if (!emptyBatch) writeSigMeta(path, hi, hconf)
   }
 

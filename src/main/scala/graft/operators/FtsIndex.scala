@@ -113,8 +113,9 @@ object FtsIndex {
     * query-time term lookups read only matching buckets.
     */
   def write(index: Index, path: String): Unit =
-    graft.sources.StoreLease.withLease(path, "write-fts") {
+    graft.sources.StoreLease.withRenewableLease(path, "write-fts") { lease =>
     index.postings.write.mode("overwrite").parquet(s"$path/postings")
+    lease.renew() // the postings write is the long pole; protect the tail
     // stats sidecar goes through the Hadoop FileSystem of the target path
     // (not java.nio), so hdfs:// and s3a:// index locations work
     val stats = s"""{"numDocs":${index.numDocs},"avgDocLen":${index.avgDocLen}}"""

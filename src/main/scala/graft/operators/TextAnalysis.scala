@@ -383,11 +383,16 @@ object TextAnalysis {
         .groupBy("pair")
         .agg(count(lit(1)).as("cnt2")))
 
-  /** Persist the LM count tables (vocabulary-sized — plain parquet). */
-  def writeLm(lm: BigramLm, path: String): Unit = {
-    lm.uni.write.mode("overwrite").parquet(s"$path/uni")
-    lm.bi.write.mode("overwrite").parquet(s"$path/bi")
-  }
+  /** Persist the LM count tables (vocabulary-sized — plain parquet).
+    * Leased like every persisted-artifact write: two drivers rewriting
+    * the same LM store concurrently could otherwise interleave uni/bi
+    * tables from DIFFERENT corpora undetected.
+    */
+  def writeLm(lm: BigramLm, path: String): Unit =
+    graft.sources.StoreLease.withLease(path, "write-lm") {
+      lm.uni.write.mode("overwrite").parquet(s"$path/uni")
+      lm.bi.write.mode("overwrite").parquet(s"$path/bi")
+    }
 
   /** Load a persisted LM (inverse of [[writeLm]]). */
   def loadLm(spark: org.apache.spark.sql.SparkSession, path: String): BigramLm =
@@ -865,7 +870,7 @@ object TextAnalysis {
       textCol: String,
       path: String,
       batchKey: String
-  ): Unit = graft.sources.StoreLease.withLease(path, "append-doc-hist") {
+  ): Unit = graft.sources.StoreLease.withRenewableLease(path, "append-doc-hist") { lease =>
     // one-time migration of a pre-bucket sidecar: appending a bucketed
     // layout into a flat directory would leave parquet leaves at two
     // partition depths — unreadable by partition discovery — so rewrite
@@ -897,6 +902,9 @@ object TextAnalysis {
         spark.catalog.refreshByPath(s"$path/doc_hist")
       }
     }
+    // the one-time legacy migration above rewrites the corpus-lifetime
+    // sidecar — heartbeat so the O(batch) append after it stays protected
+    lease.renew()
     batch
       .select(col(idCol).cast("string").as("doc_id"),
         explode(TextFunctions.ftsTokens(col(textCol))).as("word"))

@@ -551,7 +551,7 @@ object VectorSearch {
   def writeLsh(index: LshIndex, path: String): Unit =
     // writer lease (r16 verdict #1): persisted-index writes have the same
     // concurrent-writer exposure as the shard store's verbs
-    graft.sources.StoreLease.withLease(path, "write-lsh") {
+    graft.sources.StoreLease.withRenewableLease(path, "write-lsh") { lease =>
     require(!index.vecCol.exists(c => c == '"' || c == '\\'),
       s"writeLsh: vecCol '${index.vecCol}' contains a quote or backslash, unsupported by the params sidecar")
     // cluster rows by prefix before the partitioned write: partitionBy
@@ -561,6 +561,9 @@ object VectorSearch {
     // input partition, so each directory gets one file
     index.indexed.repartition(col("sig_prefix"))
       .write.mode("overwrite").partitionBy("sig_prefix").parquet(s"$path/buckets")
+    // heartbeat after the corpus-scale write: the sidecar + release stay
+    // protected even when the bucket write alone outlives the ttl
+    lease.renew()
     graft.util.Sidecar.write(
       index.indexed.sparkSession, s"$path/params.json",
       s"""{"nBits":${index.lsh.nBits},"dim":${index.lsh.dim},"seed":${index.lsh.seed},"vecCol":"${index.vecCol}"}""")
@@ -782,7 +785,7 @@ object VectorSearch {
     * validates the derivation and fails loudly instead.
     */
   def writeBandedLsh(index: BandedLshIndex, path: String): Unit =
-    graft.sources.StoreLease.withLease(path, "write-banded-lsh") {
+    graft.sources.StoreLease.withRenewableLease(path, "write-banded-lsh") { lease =>
     val b0 = index.bands.head
     index.bands.zipWithIndex.foreach { case (b, i) =>
       require(b.nBits == b0.nBits && b.dim == b0.dim && b.seed == b0.seed + 7919L * i,
@@ -804,6 +807,7 @@ object VectorSearch {
       // partition — up to partitions x L x 2^b tiny files)
       .repartition(col("tbl"), col("band"))
       .write.mode("overwrite").partitionBy("tbl", "band").parquet(s"$path/buckets")
+    lease.renew() // the L-table write is the long pole; protect the tail
     graft.util.Sidecar.write(
       index.tables.head.sparkSession, s"$path/params.json",
       s"""{"numTables":${index.bands.length},"bandBits":${b0.nBits},"dim":${b0.dim},"seed":${b0.seed},"idCol":"${index.idCol}","vecCol":"${index.vecCol}"}""")
@@ -902,12 +906,13 @@ object VectorSearch {
     * back (this method only writes).
     */
   def writeIvf(index: IvfIndex, path: String): Unit =
-    graft.sources.StoreLease.withLease(path, "write-ivf") {
+    graft.sources.StoreLease.withRenewableLease(path, "write-ivf") { lease =>
     // cluster by cell before the partitioned write (same file-count
     // rationale as writeLsh: one file per cell directory, not one per
     // input-partition x cell)
     index.indexed.repartition(col("ivf_cell"))
       .write.mode("overwrite").partitionBy("ivf_cell").parquet(s"$path/cells")
+    lease.renew() // the cell write is the long pole; protect the tail
     graft.util.Sidecar.write(
       index.indexed.sparkSession, s"$path/centroids.json",
       index.centroids.zipWithIndex
@@ -1173,7 +1178,7 @@ object VectorSearch {
     * against the frozen codebook ([[pqEncode]]) and append to `codes/`.
     */
   def writePq(model: PqModel, codes: DataFrame, path: String, cellCol: Option[String] = None): Unit =
-    graft.sources.StoreLease.withLease(path, "write-pq") {
+    graft.sources.StoreLease.withRenewableLease(path, "write-pq") { lease =>
     val writer = cellCol match {
       // one file per cell directory, not one per input-partition x cell
       // (the writeIvf rationale)
@@ -1181,6 +1186,7 @@ object VectorSearch {
       case None => codes.write.mode("overwrite")
     }
     writer.parquet(s"$path/codes")
+    lease.renew() // the codes write is the long pole; protect the tail
     val flat = model.codebook.flatMap(_.flatMap(_.toSeq))
     graft.util.Sidecar.write(
       codes.sparkSession, s"$path/codebook.json",

@@ -45,12 +45,17 @@ object IngestGuardrail {
     * read). Run at profile-refresh cadence, not per batch.
     */
   def writeProfile(corpus: DataFrame, category: Column, path: String): Unit =
-    corpus
-      .select(category.as("category"))
-      .groupBy("category")
-      .agg(count(lit(1)).as("n"))
-      .coalesce(1)
-      .write.mode("overwrite").parquet(path)
+    // sibling lease: the profile's root IS the parquet dataset, and two
+    // writers refreshing the same reference profile concurrently would
+    // interleave undetected (the writeSigIndex exposure)
+    graft.sources.StoreLease.withLease(path, "write-profile", sibling = true) {
+      corpus
+        .select(category.as("category"))
+        .groupBy("category")
+        .agg(count(lit(1)).as("n"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(path)
+    }
 
   /** Compare one batch's category mix against the reference profile.
     * Returns the report when `tvd2_ppm >= thresholdTvd2Ppm`, None when
@@ -146,6 +151,8 @@ object IngestGuardrail {
       .localCheckpoint()
     require(profile.count() > 0,
       s"refreshProfile: no eligible observations (lastN=$lastN, includeDrifted=$includeDrifted) — refusing to write an empty profile")
-    profile.coalesce(1).write.mode("overwrite").parquet(path)
+    graft.sources.StoreLease.withLease(path, "refresh-profile", sibling = true) {
+      profile.coalesce(1).write.mode("overwrite").parquet(path)
+    }
   }
 }

@@ -486,6 +486,17 @@ object ScaleRehearsal {
               spark, Seq(("a", shardDir, 3L, 1), ("b", shardDir, 1L, 2)), "mp")
             .agg(max("cum_tokens")).head().getLong(0)
         }
+        // budget-driven mixture (r17): derives the repeat factors from
+        // token shares (one extra certified-manifest read per domain)
+        // then runs the same metadata-scale interleave + filter — cost
+        // must track mixture_plan's, never the packed id bytes
+        measure(s"budget_mixture_x$factor") {
+          val tot = spark.read.parquet(s"$shardDir/manifest")
+            .agg(sum("n_tokens")).head().getLong(0)
+          graft.operators.LoaderSchedule.planForTokensMixture(
+              spark, Seq(("a", shardDir, 3L), ("b", shardDir, 1L)), "bm", tot * 2L)
+            .agg(max("cum_tokens")).head().getLong(0)
+        }
         // takedown DISCOVERY split out (r15, VERDICT r14 #2): the
         // membership index is document-scale, so the indexed lookup must
         // stay FLAT as the corpus grows; the pre-index fallback scan is

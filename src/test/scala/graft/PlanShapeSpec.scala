@@ -545,5 +545,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(mpSpecs.nonEmpty && mpSpecs.forall(_.startsWith("_pid")),
       s"mixturePlan windows must partition on _pid, got $mpSpecs: ${mp.take(1000)}")
     assert(!mp.contains("input_ids"), "packed ids must never enter the mixture plan")
+
+    // the BUDGET-driven composition (r17) adds only a metadata filter on
+    // top: same _pid-partitioned windows, still no packed-id attribute —
+    // deriving repeat factors from token shares must not change the shape
+    val totalTokens = spark.read.parquet(s"$dir2/manifest")
+      .agg(org.apache.spark.sql.functions.sum("n_tokens")).head().getLong(0)
+    val bm = graft.operators.LoaderSchedule.planForTokensMixture(
+        spark, Seq(("a", dir2, 3L), ("b", dir3, 1L)), "audit", totalTokens * 3L)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    val bmSpecs = """windowspecdefinition\(([^,)]*)""".r.findAllMatchIn(bm).map(_.group(1)).toSeq
+    assert(bmSpecs.nonEmpty && bmSpecs.forall(_.startsWith("_pid")),
+      s"planForTokensMixture windows must partition on _pid, got $bmSpecs: ${bm.take(1000)}")
+    assert(!bm.contains("input_ids"), "packed ids must never enter the budget mixture plan")
   }
 }
