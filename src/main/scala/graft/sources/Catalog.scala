@@ -161,9 +161,22 @@ object Catalog {
     * [[CommitProtocol]]. Crash-window and visibility semantics are the
     * protocol's — see [[CommitProtocol]] (atomicity, debris, the
     * tolerated-absent-target rule recovery verbs rely on).
+    *
+    * Every swap additionally holds a PER-TARGET writer lease (r17: a
+    * sibling lock, since the swap replaces `target` itself), so two
+    * writers racing the SAME directory — two Pipelines ingesting into
+    * one warehouse, a maintenance job racing an ingest on one table —
+    * fail loud at the swap instead of interleaving their publishes.
+    * This nests cleanly under the store-level leases (a shard verb holds
+    * `$store/_writer.lock` while its per-subdirectory swaps each take
+    * `.$name_writer.lock` — different files by construction), and on
+    * stores without atomic create it degrades with the installed
+    * [[LeaseProtocol]] exactly like every other lease.
     */
   def swapIn(target: Path)(write: Path => Unit): Unit =
-    CommitProtocol.current.swapIn(target)(write)
+    StoreLease.withLease(target.toString, "swap", sibling = true) {
+      CommitProtocol.current.swapIn(target)(write)
+    }
 
   private[graft] def deleteRecursively(p: Path): Unit = {
     if (Files.isDirectory(p)) {

@@ -268,6 +268,34 @@ class StoreLeaseSpec extends AnyFunSuite {
     assert(VectorSearch.loadIvf(spark, dir, "vec").indexed.count() == 2L)
   }
 
+  test("every directory swap is single-writer-checked at the swap level") {
+    val parent = Files.createTempDirectory("graft_lease_swap")
+    val target = parent.resolve("tbl")
+    // a live rival lease on the swap target refuses the swap BEFORE the
+    // write callback runs — two Pipelines racing one warehouse table
+    Files.writeString(parent.resolve(".tbl_writer.lock"),
+      s"rival@otherhost#w1|${System.currentTimeMillis() + 60000L}|swap")
+    var wrote = false
+    val ex = intercept[IllegalStateException] {
+      graft.sources.Catalog.swapIn(target) { tmp =>
+        wrote = true
+        Files.createDirectories(tmp)
+        Files.writeString(tmp.resolve("f"), "x")
+      }
+    }
+    assert(ex.getMessage.contains("held by writer rival@otherhost#w1"), ex.getMessage)
+    assert(!wrote, "the write callback must not run under a refused lease")
+    assert(!Files.exists(target), "nothing may be published under a refused lease")
+    Files.delete(parent.resolve(".tbl_writer.lock"))
+    // with the rival gone the swap completes and releases its lock
+    graft.sources.Catalog.swapIn(target) { tmp =>
+      Files.createDirectories(tmp)
+      Files.writeString(tmp.resolve("f"), "x")
+    }
+    assert(Files.readString(target.resolve("f")) == "x")
+    assert(!Files.exists(parent.resolve(".tbl_writer.lock")), "swap lease not released")
+  }
+
   // ---- injectable protocol (r16 verdict #3) -------------------------
 
   /** In-memory lock service: what a DynamoDB/ZK-backed LeaseProtocol
