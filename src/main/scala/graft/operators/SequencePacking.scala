@@ -1051,6 +1051,11 @@ object SequencePacking {
     * Run at maintenance cadence like
     * [[TextAnalysis.compactWordHistogram]] / `Pipeline.gcImages`.
     * Returns the number of data files removed by the rewrite.
+    *
+    * Lease lifetime: the writer lease renews BETWEEN shards, so a
+    * full-store compaction outlives any fixed ttl cleanly; `ttlMs` only
+    * needs raising when a SINGLE shard's rewrite can exceed it (shards
+    * sized in the hundreds of GB — prefer more, smaller shards).
     */
   def compactShards(
       spark: org.apache.spark.sql.SparkSession,

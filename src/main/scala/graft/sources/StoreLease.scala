@@ -140,6 +140,18 @@ object StoreLease {
           "LeaseProtocol via StoreLease.install instead")
   }
 
+  /** Canonical spelling of the lease KEY handed to the protocol: two
+    * writers spelling one store differently (trailing slash, relative vs
+    * absolute) must contend on ONE lease — the file lease absolutizes
+    * internally anyway, but a lock-service protocol keyed on the raw
+    * string would otherwise mint two disjoint leases for the same store.
+    * URI-style paths (`hdfs://...`) only lose a trailing slash — the
+    * [[graft.operators.LoaderSchedule]] cursor-stamp rule.
+    */
+  private def normalizeKey(p: String): String =
+    if (p.contains("://")) p.stripSuffix("/")
+    else java.nio.file.Paths.get(p).toAbsolutePath.normalize.toString
+
   /** Run `f` under protocol `p`, restoring the previous protocol after —
     * the spec harness's entry point (process-global like [[install]]:
     * do not interleave with concurrent verbs under a different protocol).
@@ -182,7 +194,7 @@ object StoreLease {
       sibling: Boolean = false
   )(f: LeaseProtocol.Held => T): T = {
     require(ttlMs > 0L, s"lease ttl must be positive, got $ttlMs")
-    val held = installed.acquire(storePath, verb, ttlMs, sibling)
+    val held = installed.acquire(normalizeKey(storePath), verb, ttlMs, sibling)
     var failed = false
     try f(held)
     catch { case e: Throwable => failed = true; throw e }

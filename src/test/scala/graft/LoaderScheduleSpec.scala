@@ -339,35 +339,66 @@ class LoaderScheduleSpec extends AnyFunSuite {
 
       // independent reimplementation: JVM MessageDigest permutations, a
       // plain-BigInt WFQ clock (gcd-reduced), and a sequential prefix sum
-      val g = domains.map(d => BigInt(d._3)).reduce(_ gcd _)
-      val lcm = domains.map(d => BigInt(d._3) / g).reduce((a, b) => a / a.gcd(b) * b)
-      val rows = domains.flatMap { case (dom, dir, w, reps) =>
-        val bins = spark.read.parquet(s"$dir/data")
-          .select(col("shard").cast("long"), col("bin_id"), col("bin_tokens")).collect()
-          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-        val step = (lcm / (BigInt(w) / g)).toLong
-        (1 to reps).flatMap { e =>
-          val ordered = bins.sortBy { case (_, b, _) => (md5hex(s"$seed:$dom/$e:$b"), b) }
-          ordered.zipWithIndex.map { case ((sh, b, t), i) =>
-            val kpos = (e - 1).toLong * bins.length + (i + 1L)
-            (kpos * step, dom, kpos, e.toLong, sh, b, t)
+      def expectedFor(doms: Seq[(String, String, Long, Int)], sd: String) = {
+        val g = doms.map(d => BigInt(d._3)).reduce(_ gcd _)
+        val lcm = doms.map(d => BigInt(d._3) / g).reduce((a, b) => a / a.gcd(b) * b)
+        val rows = doms.flatMap { case (dom, dir, w, reps) =>
+          val bins = spark.read.parquet(s"$dir/data")
+            .select(col("shard").cast("long"), col("bin_id"), col("bin_tokens")).collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          val step = (lcm / (BigInt(w) / g)).toLong
+          (1 to reps).flatMap { e =>
+            val ordered = bins.sortBy { case (_, b, _) => (md5hex(s"$sd:$dom/$e:$b"), b) }
+            ordered.zipWithIndex.map { case ((sh, b, t), i) =>
+              val kpos = (e - 1).toLong * bins.length + (i + 1L)
+              (kpos * step, dom, kpos, e.toLong, sh, b, t)
+            }
           }
         }
+        var cum = 0L
+        rows.sortBy { case (vt, dom, kpos, _, _, _, _) => (vt, dom, kpos) }
+          .zipWithIndex.map { case ((_, dom, _, e, sh, b, t), i) =>
+            cum += t
+            (i + 1L, dom, e, sh, b, t, cum)
+          }.toSeq
       }
-      var cum = 0L
-      val expected = rows.sortBy { case (vt, dom, kpos, _, _, _, _) => (vt, dom, kpos) }
-        .zipWithIndex.map { case ((_, dom, _, e, sh, b, t), i) =>
-          cum += t
-          (i + 1L, dom, e, sh, b, t, cum)
-        }.toSeq
+      def collectPlan(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("ord").collect()
+          .map(r => (r.getAs[Long]("ord"), r.getAs[String]("domain"), r.getAs[Long]("epoch"),
+            r.getAs[Long]("shard"), r.getAs[Long]("bin_id"), r.getAs[Long]("n_tokens"),
+            r.getAs[Long]("cum_tokens"))).toSeq
 
-      val got = LoaderSchedule.mixturePlan(spark, domains, seed).orderBy("ord").collect()
-        .map(r => (r.getAs[Long]("ord"), r.getAs[String]("domain"), r.getAs[Long]("epoch"),
-          r.getAs[Long]("shard"), r.getAs[Long]("bin_id"), r.getAs[Long]("n_tokens"),
-          r.getAs[Long]("cum_tokens"))).toSeq
+      val expected = expectedFor(domains, seed)
+      val got = collectPlan(LoaderSchedule.mixturePlan(spark, domains, seed))
       assert(got == expected,
         s"trial $trial (seed $seed, domains ${domains.map(d => (d._1, d._3, d._4))}): " +
           "mixture plan diverged from the reimplementation")
+
+      // the BUDGET-DRIVEN composition against the same reimplementation:
+      // derive each domain's repeat factor from its token share with the
+      // documented integer formulas, re-run the WFQ with the derived
+      // reps, and cut at the start-before-T boundary
+      val totals = domains.map { case (dom, dir, _, _) =>
+        dom -> spark.read.parquet(s"$dir/manifest")
+          .agg(sum("n_tokens")).head().getLong(0)
+      }.toMap
+      val wsum = domains.map(d => BigInt(d._3)).sum
+      val budget = 1L + (rnd.nextDouble() * 2.5 * totals.values.sum).toLong
+      def ceilDiv(a: BigInt, b: BigInt) = (a + b - 1) / b
+      val derived = domains.map { case (dom, dir, w, _) =>
+        (dom, dir, w,
+          ceilDiv(ceilDiv(BigInt(budget) * w, wsum), BigInt(totals(dom))).toInt)
+      }
+      val seedB = s"$seed-b"
+      val expectedB = expectedFor(derived, seedB)
+        .takeWhile { case (_, _, _, _, _, t, cum) => cum - t < budget }
+      val gotB = collectPlan(LoaderSchedule.planForTokensMixture(
+        spark, derived.map(d => (d._1, d._2, d._3)), seedB, budget))
+      assert(gotB == expectedB,
+        s"trial $trial (seed $seedB, budget $budget, derived ${derived.map(d => (d._1, d._3, d._4))}): " +
+          "budget mixture diverged from the reimplementation")
+      assert(gotB.nonEmpty && gotB.last._7 >= budget,
+        s"trial $trial: budget $budget not reached (last cum ${gotB.last._7})")
     }
   }
 

@@ -353,6 +353,14 @@ class StoreLeaseSpec extends AnyFunSuite {
       val ex = intercept[IllegalStateException](SequencePacking.compactShards(spark, dir))
       assert(ex.getMessage.contains("held by writer other-driver"), ex.getMessage)
       fake.locks.remove(dir)
+      // path spellings normalize to ONE service key: a lease held under
+      // the plain spelling refuses a writer naming the store with a
+      // trailing slash (a raw-string-keyed service would mint two leases)
+      fake.locks.put(dir, ("other-driver", System.currentTimeMillis() + 60000L, "append"))
+      val sp = intercept[IllegalStateException](
+        SequencePacking.recertifyShards(spark, dir + "/"))
+      assert(sp.getMessage.contains("held by writer other-driver"), sp.getMessage)
+      fake.locks.remove(dir)
       // a lapsed service lease surfaces as the same loud lost-mid-verb
       val lost = intercept[IllegalStateException] {
         StoreLease.withRenewableLease(dir, "slow", ttlMs = 40L) { _ => Thread.sleep(100L); 1 }
