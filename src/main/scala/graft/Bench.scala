@@ -46,6 +46,19 @@ object Bench {
     )
   }
 
+  /** The noise-canary probe: a FIXED-WORK job — 200M-row arithmetic sum
+    * over a pinned 32-partition range, no IO, no data dependence. ONE
+    * definition shared by the bench's in-artifact calibration and the
+    * standalone [[graft.tools.Canary]] recalibration tool, so the
+    * BASELINE.md load-normalization band can never be re-measured
+    * against a silently different workload.
+    */
+  private[graft] def calProbe(spark: SparkSession): Double = {
+    val t0 = System.nanoTime()
+    spark.range(0L, 200000000L, 1L, 32).selectExpr("sum(id % 97)").collect()
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -74,11 +87,7 @@ object Bench {
     // quiet-band calibration this compares against). Three of the last
     // four driver-side benches ran ~1.5x hot vs the builder's quiet band
     // on identical code; this field makes that visible in-artifact.
-    def calProbe(): Double = {
-      val t0 = System.nanoTime()
-      spark.range(0L, 200000000L, 1L, 32).selectExpr("sum(id % 97)").collect()
-      (System.nanoTime() - t0) / 1e9
-    }
+    def calProbe(): Double = Bench.calProbe(spark)
     val calibration = Seq(calProbe(), calProbe(), calProbe()).sorted.apply(1)
     // Interleaved samples (VERDICT r9 #1): the single start-of-run
     // median cannot see a MID-run load spike — round 9's one unexplained

@@ -242,13 +242,10 @@ object LoaderSchedule {
   /** Canonical spelling of a store path for cursor-stamp matching
     * (ADVICE r16: exact string equality rejected `/x/y/` vs `/x/y` and
     * relative vs absolute spellings of the SAME store as "a different
-    * store set"). Local paths absolutize + normalize; URI-style paths
-    * (`hdfs://...`, `s3a://...`) only lose a trailing slash — resolving
-    * them against the local working directory would corrupt them.
+    * store set"). One rule shared with the writer-lease key
+    * ([[graft.util.PathKeys]]).
     */
-  private def normalizePath(p: String): String =
-    if (p.contains("://")) p.stripSuffix("/")
-    else java.nio.file.Paths.get(p).toAbsolutePath.normalize.toString
+  private def normalizePath(p: String): String = graft.util.PathKeys.normalize(p)
 
   /** STALE-CURSOR-CHECKED resume (r15 verdict #3): verify the stores
     * still carry the exact manifest state `cursor` was minted against,

@@ -172,10 +172,18 @@ object Catalog {
     * `.$name_writer.lock` — different files by construction), and on
     * stores without atomic create it degrades with the installed
     * [[LeaseProtocol]] exactly like every other lease.
+    *
+    * The write callback is OPAQUE to the lease (no progress points), and
+    * a whole-table publish can outlive any fixed ttl — so the swap lease
+    * is kept live by a heartbeat ([[StoreLease.withHeartbeat]]) for the
+    * duration of the write + publish, rather than by a ttl the caller
+    * would have to size per table.
     */
   def swapIn(target: Path)(write: Path => Unit): Unit =
-    StoreLease.withLease(target.toString, "swap", sibling = true) {
-      CommitProtocol.current.swapIn(target)(write)
+    StoreLease.withRenewableLease(target.toString, "swap", sibling = true) { lease =>
+      StoreLease.withHeartbeat(lease, StoreLease.DefaultTtlMs / 3L) {
+        CommitProtocol.current.swapIn(target)(write)
+      }
     }
 
   private[graft] def deleteRecursively(p: Path): Unit = {

@@ -140,17 +140,51 @@ object StoreLease {
           "LeaseProtocol via StoreLease.install instead")
   }
 
+  /** Run `f` while a daemon thread renews `lease` every `periodMs` —
+    * for verbs whose long pole is an OPAQUE callback with no progress
+    * points to renew at (the swap's write callback, a whole-table
+    * publish). Progress-point renewal stays the primary pattern
+    * (compact/retract/append renew per shard/batch); this is the escape
+    * hatch for callbacks the lease holder cannot see into. A renewal
+    * failure mid-callback (stolen/lapsed lease) is rethrown as soon as
+    * the callback returns — the work may have happened, but it is NOT
+    * reported as success, because exclusivity lapsed mid-verb.
+    */
+  def withHeartbeat[T](lease: LeaseProtocol.Held, periodMs: Long)(f: => T): T = {
+    require(periodMs > 0L, s"heartbeat period must be positive, got $periodMs")
+    val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val stop = new java.util.concurrent.CountDownLatch(1)
+    val beat = new Thread(() => {
+      try {
+        while (!stop.await(periodMs, java.util.concurrent.TimeUnit.MILLISECONDS))
+          lease.renew()
+      } catch { case e: Throwable => failure.set(e) }
+    }, "graft-lease-heartbeat")
+    beat.setDaemon(true)
+    beat.start()
+    var failed = false
+    try f
+    catch { case e: Throwable => failed = true; throw e }
+    finally {
+      stop.countDown()
+      beat.join(5000L)
+      val hb = failure.get()
+      if (hb != null) {
+        val msg = s"StoreLease: lease heartbeat failed mid-verb: ${hb.getMessage}"
+        if (failed) System.err.println(s"[store-lease] $msg")
+        else throw new IllegalStateException(msg, hb)
+      }
+    }
+  }
+
   /** Canonical spelling of the lease KEY handed to the protocol: two
     * writers spelling one store differently (trailing slash, relative vs
     * absolute) must contend on ONE lease — the file lease absolutizes
     * internally anyway, but a lock-service protocol keyed on the raw
     * string would otherwise mint two disjoint leases for the same store.
-    * URI-style paths (`hdfs://...`) only lose a trailing slash — the
-    * [[graft.operators.LoaderSchedule]] cursor-stamp rule.
+    * One rule shared with the cursor stamps ([[graft.util.PathKeys]]).
     */
-  private def normalizeKey(p: String): String =
-    if (p.contains("://")) p.stripSuffix("/")
-    else java.nio.file.Paths.get(p).toAbsolutePath.normalize.toString
+  private def normalizeKey(p: String): String = graft.util.PathKeys.normalize(p)
 
   /** Run `f` under protocol `p`, restoring the previous protocol after —
     * the spec harness's entry point (process-global like [[install]]:
@@ -270,47 +304,53 @@ object FileLease extends LeaseProtocol {
       sibling: Boolean
   ): LeaseProtocol.Held = {
     val lock = lockPath(storePath, sibling)
-    val owner = acquireAt(lock, verb, ttlMs)
-    new Held(lock, owner, verb, ttlMs)
+    val owner = acquireAt(lock, storePath, verb, ttlMs)
+    new Held(lock, storePath, owner, verb, ttlMs)
   }
 
-  private final class Held(lock: Path, owner: String, verb: String, ttlMs: Long)
+  private final class Held(
+      lock: Path, store: String, owner: String, verb: String, ttlMs: Long)
       extends LeaseProtocol.Held {
 
     override def ownerId: String = owner
 
     override def renew(): Unit = {
       val now = System.currentTimeMillis()
+      // Refuse a renewal landing inside the last tenth of the ttl: the
+      // rewrite below is read-then-truncate (filesystems have no CAS),
+      // and a lease that expires BETWEEN the read and the write lets a
+      // completed steal be silently overwritten. The guard turns that
+      // hairline into a loud refusal unless the thread stalls longer
+      // than ttl/10 between two adjacent lines — renew at progress
+      // points well before expiry (the heartbeat period is ttl/3).
+      val guardMs = math.max(1L, ttlMs / 10L)
       readHolder(lock) match {
-        case Some((o, expiresAt, _)) if o == owner && expiresAt >= now =>
-          // re-stamp the expiry. The rewrite is not atomic, but a torn
-          // concurrent read maps to the acquire loop's fresh-mtime rule
-          // (treated as a LIVE writer mid-write), so the worst case is a
-          // contender retrying — never a silent steal.
+        case Some((o, expiresAt, _)) if o == owner && expiresAt - now > guardMs =>
           try
             Files.write(lock, s"$owner|${now + ttlMs}|$verb".getBytes(UTF_8),
               StandardOpenOption.WRITE, StandardOpenOption.TRUNCATE_EXISTING)
           catch {
             case e: java.io.IOException =>
               throw new IllegalStateException(
-                s"StoreLease: renewal of the lease on ${lock.getParent} failed mid-verb " +
+                s"StoreLease: renewal of the lease on $store failed mid-verb " +
                   s"'$verb' (owner $owner): the lock vanished under the rewrite ($e). " +
                   "Stop the verb — exclusivity is no longer assured.")
           }
         case Some((o, _, _)) if o != owner =>
           throw new IllegalStateException(
-            s"StoreLease: cannot renew — the lease on ${lock.getParent} was STOLEN by " +
+            s"StoreLease: cannot renew — the lease on $store was STOLEN by " +
               s"$o mid-verb '$verb' (this writer: $owner). Stop the verb; the store " +
               "must be re-verified (recertifyShards) before trusting it.")
         case Some(_) =>
           throw new IllegalStateException(
-            s"StoreLease: cannot renew — this writer's lease on ${lock.getParent} " +
-              s"LAPSED before the renewal (verb '$verb', owner $owner, ttl ${ttlMs}ms). " +
-              "A stealer may already be acting on the expired lock (left in place); " +
+            s"StoreLease: cannot renew — this writer's lease on $store " +
+              s"LAPSED (or is within ${guardMs}ms of lapsing) at the renewal " +
+              s"(verb '$verb', owner $owner, ttl ${ttlMs}ms). A stealer may " +
+              "already be acting on the expiring lock (left in place); " +
               "renew at shorter intervals or raise the ttl.")
         case None =>
           throw new IllegalStateException(
-            s"StoreLease: cannot renew — the lock on ${lock.getParent} is gone or " +
+            s"StoreLease: cannot renew — the lock on $store is gone or " +
               s"unreadable mid-verb '$verb' (owner $owner). Stop the verb; " +
               "exclusivity is no longer assured.")
       }
@@ -395,7 +435,7 @@ object FileLease extends LeaseProtocol {
 
   private lazy val localHost: String = java.net.InetAddress.getLocalHost.getHostName
 
-  private def acquireAt(lock: Path, verb: String, ttlMs: Long): String = {
+  private def acquireAt(lock: Path, store: String, verb: String, ttlMs: Long): String = {
     Files.createDirectories(lock.toAbsolutePath.getParent)
     val owner =
       s"${ProcessHandle.current().pid()}@$localHost" +
@@ -422,7 +462,7 @@ object FileLease extends LeaseProtocol {
           case Some((heldOwner, expiresAt, heldVerb))
               if expiresAt >= now && !holderDeadOnThisHost(heldOwner) =>
             throw new IllegalStateException(
-              s"StoreLease: store at ${lock.getParent} is held by writer $heldOwner " +
+              s"StoreLease: store at $store is held by writer $heldOwner " +
                 s"(verb '$heldVerb', lease live for another ${expiresAt - now}ms) — " +
                 "a second concurrent writer would interleave ledger rows and manifest " +
                 "splices undetectably, so this verb refuses to start. If the holder " +
@@ -431,7 +471,7 @@ object FileLease extends LeaseProtocol {
           case None if mtimeWithin(lock, ttlMs, now) =>
             // torn but FRESH: a writer is likely mid-create — a live hold
             throw new IllegalStateException(
-              s"StoreLease: store at ${lock.getParent} holds an unreadable but " +
+              s"StoreLease: store at $store holds an unreadable but " +
                 "recently-written lock — treating it as a LIVE writer mid-acquire. " +
                 "Retry; if it persists past the ttl it becomes stealable.")
           case _ =>
@@ -447,7 +487,7 @@ object FileLease extends LeaseProtocol {
               try {
                 Files.move(lock, aside, StandardCopyOption.ATOMIC_MOVE)
                 System.err.println(
-                  s"[store-lease] stole dead lease on ${lock.getParent}: " +
+                  s"[store-lease] stole dead lease on $store: " +
                     s"${held.fold("unreadable stale holder")(h =>
                       s"holder ${h._1} (verb '${h._3}', expiry ${h._2}, " +
                         s"${if (holderDeadOnThisHost(h._1)) "pid dead on this host" else "expired"})")} " +

@@ -26,11 +26,10 @@ object Canary {
     spark.sparkContext.setLogLevel("WARN")
     // warm-up: JIT + codegen, identical to Bench's preamble shape
     spark.range(1000000L).selectExpr("sum(id)").collect()
-    def probe(): Double = {
-      val t0 = System.nanoTime()
-      spark.range(0L, 200000000L, 1L, 32).selectExpr("sum(id % 97)").collect()
-      (System.nanoTime() - t0) / 1e9
-    }
+    // the ONE probe definition shared with Bench's in-artifact
+    // calibration — recalibrating against a different workload would
+    // silently invalidate BASELINE.md's band
+    def probe(): Double = graft.Bench.calProbe(spark)
     probe() // one unrecorded warm probe
     val xs = (1 to n).map(_ => probe())
     val sorted = xs.sorted

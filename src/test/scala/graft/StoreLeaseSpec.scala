@@ -190,6 +190,29 @@ class StoreLeaseSpec extends AnyFunSuite {
       "a lapsed lock must be left for stealers")
   }
 
+  test("withHeartbeat protects an opaque long callback; a mid-callback steal surfaces after it") {
+    val dir = Files.createTempDirectory("graft_lease_hb").toString
+    // an opaque callback 3x longer than the ttl completes cleanly under
+    // the heartbeat (the swap's write-callback shape — no progress points)
+    val r = StoreLease.withRenewableLease(dir, "opaque", ttlMs = 400L) { lease =>
+      StoreLease.withHeartbeat(lease, periodMs = 100L) { Thread.sleep(1200L); "ok" }
+    }
+    assert(r == "ok")
+    assert(!Files.exists(Paths.get(dir, StoreLease.LockFileName)), "lease not released")
+    // a steal mid-callback is NOT swallowed: the callback's own result is
+    // discarded and the heartbeat failure is rethrown when it returns
+    val ex = intercept[IllegalStateException] {
+      StoreLease.withRenewableLease(dir, "opaque2", ttlMs = 60000L) { lease =>
+        StoreLease.withHeartbeat(lease, periodMs = 50L) {
+          plantLock(dir, "thief@host#hb", System.currentTimeMillis() + 60000L, "x")
+          Thread.sleep(300L)
+          "done-anyway"
+        }
+      }
+    }
+    assert(ex.getMessage.contains("heartbeat failed mid-verb"), ex.getMessage)
+  }
+
   test("a stalled holder that never renews is still stolen once the ttl lapses") {
     val dir = Files.createTempDirectory("graft_lease_stalled").toString
     plantLock(dir, "stalled@gonehost#8", System.currentTimeMillis() + 80L, "hung-compact")
