@@ -59,10 +59,20 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+  /** The ONE session configuration the bench and the canary share
+    * (ADVICE r17: the two tools defaulted SPARK_GRAFT_CPUS differently —
+    * 4 here, 32 in the canary — so with the env var unset the
+    * recalibration tool measured the fixed-work probe under ~8× the
+    * bench's parallelism, silently minting a quiet band the bench could
+    * never match). Probe wall-time depends on executor thread count, so
+    * the instrument and the thing it calibrates MUST build identical
+    * sessions; the default is 32 — the configuration every BASELINE.md
+    * band and driver artifact was recorded under (`local[32]`).
+    */
+  private[graft] def benchSession(appName: String): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
+      .appName(appName)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
@@ -71,6 +81,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = benchSession("graft-bench")
     silenceBoundedWindowWarning()
 
     // warm-up: JIT, codegen, parquet footer caches

@@ -153,15 +153,34 @@ object LoaderSchedule {
       nEpochs: Int,
       partitions: Int
   ): DataFrame = {
-    val (nBins, total) = (stamp.nBins, stamp.nTokens)
-    (1 to nEpochs).map { e =>
-      rankAndRunningTokens(bins, s"$seed/$e", partitions)
-        .withColumn("epoch", lit(e.toLong))
-        .withColumn("ord", col("ord") + lit((e - 1).toLong * nBins))
-        .withColumn("cum_tokens", col("cum_tokens") + lit((e - 1).toLong * total))
-    }.reduce(_ unionByName _)
+    // The epoch dimension is generated IN-FRAME (r17 verdict #1): bins ×
+    // a broadcast epoch range, permutation key derived from the epoch
+    // COLUMN, and ONE global rank+prefix pass ordered by (epoch, key,
+    // bin_id). Because every epoch covers the same store, ranking the
+    // whole expanded frame by epoch-first IS the concatenation of the
+    // per-epoch permutations with exactly the old (e-1)*nBins /
+    // (e-1)*total offsets — same rows, same coordinates, but O(1) Spark
+    // jobs instead of one union branch + one partition-count job per
+    // epoch (a 10,000-epoch budget plan used to run ~20,000 driver-paced
+    // jobs before serving its first row). The key string matches the old
+    // per-epoch literal `epochKey(s"$seed/$e")` byte for byte, so every
+    // schedule this verb ever produced is unchanged.
+    rankAndCumOver(
+      withEpochsInFrame(bins, nEpochs)
+        .withColumn("_k", md5(concat(lit(s"$seed/"), col("epoch").cast("string"),
+          lit(":"), col("bin_id").cast("string")))),
+      Seq(col("epoch"), col("_k"), col("bin_id")), partitions)
       .select("ord", "epoch", "shard", "bin_id", "n_tokens", "cum_tokens")
   }
+
+  /** `bins` × the 1-based epoch range, as a broadcast nested-loop join —
+    * each bin row fans out to `nEpochs` rows IN PLACE (no shuffle; the
+    * broadcast side is `nEpochs` longs), which is what keeps a
+    * many-epoch plan's cost independent of the repeat count.
+    */
+  private def withEpochsInFrame(bins: DataFrame, nEpochs: Int): DataFrame =
+    bins.crossJoin(broadcast(
+      bins.sparkSession.range(1L, nEpochs.toLong + 1L).toDF("epoch")))
 
   /** Token-budget plan: the shortest [[epochPlan]] prefix that reaches
     * `targetTokens` — the "train for T tokens" ask (Chinchilla-style
@@ -348,8 +367,9 @@ object LoaderSchedule {
       "mixtureSchedule: domain names must be unique")
     require(stores.forall(_._3 > 0L), "mixtureSchedule: weights must be positive")
     val steps = vtSteps(stores.map(_._3), "mixtureSchedule")
+    val certifyOnce = pathMemoizedCertify(spark)
     val perDomain = stores.map { case (domain, path, w) =>
-      val (bins, stamp) = certifiedBins(spark, path)
+      val (bins, stamp) = certifyOnce(path)
       // virtual times are UNGUARDED Long multiplies downstream (non-ANSI
       // Spark would wrap silently, corrupting the interleave while the
       // oracle errors): prove the domain's LARGEST vt — nBins * (lcm/w) —
@@ -416,10 +436,14 @@ object LoaderSchedule {
       "mixturePlan: domain names must be unique")
     require(stores.forall(_._3 > 0L), "mixturePlan: weights must be positive")
     require(stores.forall(_._4 >= 1), "mixturePlan: epochs must be >= 1")
-    // certify ONCE per domain; every epoch reuses the certified frame
+    // certify ONCE per distinct store path (ADVICE r17: two domains over
+    // one path used to certify the store twice non-atomically, so an
+    // append between the reads could hand them inconsistent views);
+    // every domain and epoch reuses the shared certified frame
+    val certifyOnce = pathMemoizedCertify(spark)
     mixturePlanFromCertified(
       stores.map { case (domain, path, w, reps) =>
-        val (bins, stamp) = certifiedBins(spark, path)
+        val (bins, stamp) = certifyOnce(path)
         (domain, bins, stamp, w, reps)
       }, seed, partitions, "mixturePlan")
   }
@@ -435,34 +459,64 @@ object LoaderSchedule {
       partitions: Int,
       verb: String
   ): DataFrame = {
+    // IN-FRAME epoch expansion (r17 verdict #1). The old shape built one
+    // ranked DataFrame per (domain, epoch) — `(1 to reps).map` + an
+    // O(epochs)-way union, each epoch paying its own partition-count job
+    // — so a small high-weight domain under a large budget (~10,000
+    // epochs) ran ~20,000 driver-paced jobs before the first trainer row.
+    // Now: each domain's bins fan out across a broadcast epoch range
+    // (one frame per DOMAIN, size-independent of reps), the K domain
+    // frames union once, and a SINGLE two-pass global rank ordered by
+    // (domain index, epoch, key, bin_id) recovers every stream position:
+    // within one domain the rank runs epoch-major, so
+    // `rank - (rows of earlier domains)` IS the old
+    // `(e-1)*nBins + within-epoch rank` — the WFQ clock input — with the
+    // earlier-domain row counts known from the certified stamps
+    // (metadata, no extra job). Keys match the old per-epoch literal
+    // `epochKey(s"$seed:$domain/$e")` byte for byte, so every plan this
+    // verb ever produced is unchanged; jobs are O(1) regardless of
+    // domains × epochs.
     val steps = vtSteps(certified.map(_._4), verb)
-    val perDomainEpoch = certified.flatMap { case (domain, bins, stamp, w, reps) =>
-      // the largest vt this domain ever takes is reps * nBins * (lcm/w)
-      val streamLen =
-        try math.multiplyExact(stamp.nBins, reps.toLong)
-        catch {
-          case _: ArithmeticException =>
-            throw new IllegalArgumentException(
-              s"$verb: domain '$domain' repeats ${stamp.nBins} bins x $reps " +
-                "epochs — the stream length itself overflows a Long")
-        }
-      requireVtFits(streamLen, steps(w), domain, verb)
-      (1 to reps).map { e =>
-        val (ranked, _) = Ranks.withGlobalRank(
-          bins.withColumn("_k", epochKey(s"$seed:$domain/$e")),
-          Seq(col("_k"), col("bin_id")), "_rank", partitions)
-        ranked
+    var streamOffset = 0L
+    val perDomain = certified.zipWithIndex.map {
+      case ((domain, bins, stamp, w, reps), dix) =>
+        // the largest vt this domain ever takes is reps * nBins * (lcm/w)
+        val streamLen =
+          try math.multiplyExact(stamp.nBins, reps.toLong)
+          catch {
+            case _: ArithmeticException =>
+              throw new IllegalArgumentException(
+                s"$verb: domain '$domain' repeats ${stamp.nBins} bins x $reps " +
+                  "epochs — the stream length itself overflows a Long")
+          }
+        requireVtFits(streamLen, steps(w), domain, verb)
+        val myOffset = streamOffset
+        streamOffset =
+          try math.addExact(streamOffset, streamLen)
+          catch {
+            case _: ArithmeticException =>
+              throw new IllegalArgumentException(
+                s"$verb: the combined stream length of all domains overflows " +
+                  s"a Long at domain '$domain' — not a real training plan")
+          }
+        withEpochsInFrame(bins, reps)
+          .withColumn("_k", md5(concat(lit(s"$seed:$domain/"),
+            col("epoch").cast("string"), lit(":"), col("bin_id").cast("string"))))
           .withColumn("domain", lit(domain))
-          .withColumn("epoch", lit(e.toLong))
-          // stream position across the domain's repeated epochs — the WFQ
-          // clock input, and the tie-break that keeps epochs in order
-          .withColumn("_kpos", col("_rank") + lit((e - 1).toLong * stamp.nBins))
-          .withColumn("_vt", col("_kpos") * lit(steps(w)))
-          .drop("_k", "_rank")
-      }
+          .withColumn("_dix", lit(dix.toLong))
+          .withColumn("_doff", lit(myOffset))
+          .withColumn("_step", lit(steps(w)))
     }
-    val unioned = perDomainEpoch.reduce(_ unionByName _)
-    rankAndCumOver(unioned, Seq(col("_vt"), col("domain"), col("_kpos")), partitions)
+    val (ranked, _) = Ranks.withGlobalRank(
+      perDomain.reduce(_ unionByName _),
+      Seq(col("_dix"), col("epoch"), col("_k"), col("bin_id")), "_grank", partitions)
+    val clocked = ranked
+      // stream position across the domain's repeated epochs — the WFQ
+      // clock input, and the tie-break that keeps epochs in order
+      .withColumn("_kpos", col("_grank") - col("_doff"))
+      .withColumn("_vt", col("_kpos") * col("_step"))
+      .drop("_k", "_grank", "_dix", "_doff", "_step")
+    rankAndCumOver(clocked, Seq(col("_vt"), col("domain"), col("_kpos")), partitions)
       .select("ord", "domain", "epoch", "shard", "bin_id", "n_tokens", "cum_tokens")
   }
 
@@ -513,8 +567,9 @@ object LoaderSchedule {
     require(stores.forall(_._3 > 0L), "planForTokensMixture: weights must be positive")
     require(targetTokens > 0L, s"need targetTokens > 0, got $targetTokens")
     val totalWeight = stores.map(s => BigInt(s._3)).sum
+    val certifyOnce = pathMemoizedCertify(spark)
     val certified = stores.map { case (domain, path, w) =>
-      val (bins, stamp) = certifiedBins(spark, path)
+      val (bins, stamp) = certifyOnce(path)
       require(stamp.nTokens > 0L,
         s"planForTokensMixture: store at $path (domain '$domain') holds no tokens " +
           "— an empty domain cannot serve its weight share; drop it from the mixture")
@@ -565,6 +620,19 @@ object LoaderSchedule {
     * the store totals callers need (epoch offsets) and as the
     * fingerprint [[mintCursor]]/[[resumeFromChecked]] pin.
     */
+  /** A memoizing view of [[certifiedBins]] keyed by the CANONICAL path
+    * spelling (ADVICE r17): a mixture naming one store under two domains
+    * — or under two spellings of one path — certifies it exactly once,
+    * so every domain sees the SAME (bins, stamp) snapshot; a concurrent
+    * append between two certifications can no longer hand the domains
+    * inconsistent views of one store.
+    */
+  private def pathMemoizedCertify(
+      spark: SparkSession): String => (DataFrame, StoreStamp) = {
+    val memo = scala.collection.mutable.Map.empty[String, (DataFrame, StoreStamp)]
+    p => memo.getOrElseUpdate(normalizePath(p), certifiedBins(spark, p))
+  }
+
   private def certifiedBins(spark: SparkSession, path: String): (DataFrame, StoreStamp) = {
     spark.catalog.refreshByPath(s"$path/manifest")
     spark.catalog.refreshByPath(s"$path/data")

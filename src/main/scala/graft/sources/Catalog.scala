@@ -181,8 +181,15 @@ object Catalog {
     */
   def swapIn(target: Path)(write: Path => Unit): Unit =
     StoreLease.withRenewableLease(target.toString, "swap", sibling = true) { lease =>
-      StoreLease.withHeartbeat(lease, StoreLease.DefaultTtlMs / 3L) {
-        CommitProtocol.current.swapIn(target)(write)
+      StoreLease.withHeartbeatChecked(lease, StoreLease.DefaultTtlMs / 3L) { check =>
+        CommitProtocol.current.swapIn(target) { tmp =>
+          write(tmp)
+          // prove the lease is STILL exclusively ours after the write and
+          // before the protocol renames tmp into place (ADVICE r17: a
+          // heartbeat failure used to surface only after the publish had
+          // landed) — a known-lost lease aborts here, unpublished
+          check()
+        }
       }
     }
 

@@ -150,29 +150,57 @@ object StoreLease {
     * the callback returns — the work may have happened, but it is NOT
     * reported as success, because exclusivity lapsed mid-verb.
     */
-  def withHeartbeat[T](lease: LeaseProtocol.Held, periodMs: Long)(f: => T): T = {
+  def withHeartbeat[T](lease: LeaseProtocol.Held, periodMs: Long)(f: => T): T =
+    withHeartbeatChecked(lease, periodMs)(_ => f)
+
+  /** [[withHeartbeat]] handing `f` a `check` thunk that PROVES the lease
+    * is still exclusively ours at the instant of the call: it rethrows
+    * any failure the background heartbeat already recorded, then runs a
+    * synchronous renewal (loud on stolen/lapsed), serialized with the
+    * beat thread. Call it at the last point before a publish (ADVICE
+    * r17: without it, a lease known-lost mid-write was only surfaced
+    * AFTER the swap's rename had already landed — post-hoc loudness
+    * where an abort-before-publish was available). A check that throws
+    * aborts the enclosing commit protocol's publish; the residual
+    * check-to-rename gap is the documented advisory-lock hairline.
+    */
+  def withHeartbeatChecked[T](lease: LeaseProtocol.Held, periodMs: Long)(
+      f: (() => Unit) => T): T = {
     require(periodMs > 0L, s"heartbeat period must be positive, got $periodMs")
     val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]()
     val stop = new java.util.concurrent.CountDownLatch(1)
+    val renewGate = new Object
     val beat = new Thread(() => {
       try {
         while (!stop.await(periodMs, java.util.concurrent.TimeUnit.MILLISECONDS))
-          lease.renew()
+          renewGate.synchronized { lease.renew() }
       } catch { case e: Throwable => failure.set(e) }
     }, "graft-lease-heartbeat")
     beat.setDaemon(true)
     beat.start()
+    def check(): Unit = {
+      val hb = failure.get()
+      if (hb != null)
+        throw new IllegalStateException(
+          s"StoreLease: lease heartbeat failed mid-verb — aborting before " +
+            s"publish: ${hb.getMessage}", hb)
+      renewGate.synchronized { lease.renew() }
+    }
     var failed = false
-    try f
+    try f(() => check())
     catch { case e: Throwable => failed = true; throw e }
     finally {
       stop.countDown()
       beat.join(5000L)
       val hb = failure.get()
-      if (hb != null) {
-        val msg = s"StoreLease: lease heartbeat failed mid-verb: ${hb.getMessage}"
-        if (failed) System.err.println(s"[store-lease] $msg")
-        else throw new IllegalStateException(msg, hb)
+      if (hb != null && !failed) {
+        // f completed without observing the failure (it may never have
+        // called check, or the beat failed after the last check)
+        throw new IllegalStateException(
+          s"StoreLease: lease heartbeat failed mid-verb: ${hb.getMessage}", hb)
+      } else if (hb != null) {
+        System.err.println(
+          s"[store-lease] lease heartbeat failed mid-verb: ${hb.getMessage}")
       }
     }
   }
@@ -292,9 +320,16 @@ object FileLease extends LeaseProtocol {
 
   private def lockPath(storePath: String, sibling: Boolean): Path = {
     val root = Paths.get(storePath).toAbsolutePath
-    if (sibling)
+    if (sibling) {
+      // ADVICE r17: a filesystem-root store path has no file name — the
+      // sibling-lock name would interpolate "null" (and the root has no
+      // sibling to place it at anyway). Refuse loudly instead.
+      require(root.getFileName != null && root.getParent != null,
+        s"StoreLease: cannot place a sibling lock for store '$storePath' — " +
+          "the filesystem root has no name and no sibling; a lockable store " +
+          "must live in a real directory")
       root.resolveSibling(s".${root.getFileName}_${StoreLease.LockFileName.stripPrefix("_")}")
-    else root.resolve(StoreLease.LockFileName)
+    } else root.resolve(StoreLease.LockFileName)
   }
 
   override def acquire(
@@ -378,17 +413,24 @@ object FileLease extends LeaseProtocol {
               case other =>
                 // we renamed a lock we no longer owned (lease expired in
                 // the hairline between read and rename, and a stealer
-                // published): put the victim's lock back; if yet another
-                // lock appeared meanwhile, preserve the displaced one as
-                // debris and say so loudly — never erase a live claim
-                try Files.move(debris, lock, StandardCopyOption.ATOMIC_MOVE)
-                catch {
-                  case _: java.nio.file.FileSystemException =>
-                    System.err.println(
-                      s"[store-lease] release raced a steal on $lock; the displaced " +
-                        s"lock is preserved at $debris — resolve by hand after " +
-                        "confirming which writer is live")
-                }
+                // published): put the victim's lock back — but ONLY if no
+                // fresh lock has appeared at `lock` meanwhile. POSIX
+                // rename silently REPLACES an existing target (it does
+                // not throw, ADVICE r17), so an unconditional restore
+                // could clobber a just-published second stealer's live
+                // claim with the stale one. Re-reading first narrows the
+                // hairline to the read-vs-move gap; when a fresh lock IS
+                // present we keep the displaced one as debris and say so
+                // loudly — never knowingly erase a live claim.
+                def preserveDebris(): Unit =
+                  System.err.println(
+                    s"[store-lease] release raced a steal on $lock; the displaced " +
+                      s"lock is preserved at $debris — resolve by hand after " +
+                      "confirming which writer is live")
+                if (readHolder(lock).isEmpty && !Files.exists(lock)) {
+                  try Files.move(debris, lock, StandardCopyOption.ATOMIC_MOVE)
+                  catch { case _: java.nio.file.FileSystemException => preserveDebris() }
+                } else preserveDebris()
                 Some(s"stolen by ${other.fold("an unreadable holder")(_._1)} during release")
             }
           } catch {

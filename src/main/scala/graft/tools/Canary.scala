@@ -17,13 +17,11 @@ import org.apache.spark.sql.SparkSession
 object Canary {
   def main(args: Array[String]): Unit = {
     val n = if (args.nonEmpty) args(0).toInt else 12
-    val spark = SparkSession.builder()
-      .appName("graft-canary")
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // the EXACT session the bench builds (ADVICE r17: a canary session
+    // configured differently — thread count, shuffle partitions — times
+    // the shared probe under different parallelism and recalibrates the
+    // quiet band against an instrument the bench does not have)
+    val spark = graft.Bench.benchSession("graft-canary")
     // warm-up: JIT + codegen, identical to Bench's preamble shape
     spark.range(1000000L).selectExpr("sum(id)").collect()
     // the ONE probe definition shared with Bench's in-artifact

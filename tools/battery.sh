@@ -29,9 +29,9 @@ python3 tools/compare_runs.py /tmp/vN_sf001_r8 /tmp/vN_sf001_r16 | tail -2
 echo "--- compare cross-mode (local8 vs reliable8) ---"
 python3 tools/compare_runs.py /tmp/vN_sf001_c8 /tmp/vN_sf001_r8 | tail -2
 echo "=== bench run 1 (quiet) ==="
-SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt -batch "runMain graft.Bench" > /tmp/bench_rN_1.log 2>&1
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 sbt -batch "runMain graft.Bench" > /tmp/bench_rN_1.log 2>&1
 grep -o '"metric":"headline_total","value":[0-9.]*' /tmp/bench_rN_1.log
 echo "=== bench run 2 (quiet) ==="
-SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt -batch "runMain graft.Bench" > /tmp/bench_rN_2.log 2>&1
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 sbt -batch "runMain graft.Bench" > /tmp/bench_rN_2.log 2>&1
 grep -o '"metric":"headline_total","value":[0-9.]*' /tmp/bench_rN_2.log
 echo "=== BATTERY DONE ==="
