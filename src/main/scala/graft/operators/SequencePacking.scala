@@ -500,7 +500,7 @@ object SequencePacking {
       // Catalog.swapIn tolerates an ABSENT manifest (a crash inside a
       // previous swap's two-move window leaves none) — this verb must be
       // able to RECOVER from that state, not throw on its own first move
-      graft.sources.Catalog.swapIn(java.nio.file.Paths.get(s"$path/manifest")) { tmp =>
+      graft.sources.Catalog.swapIn(java.nio.file.Paths.get(s"$path/manifest"), Seq(lease)) { tmp =>
         manifest.write.mode("overwrite").parquet(tmp.toString)
       }
     } finally {
@@ -649,7 +649,7 @@ object SequencePacking {
         // of forcing the operator to hand-tune ttlMs per corpus size
         lease.renew()
         graft.sources.Catalog.swapIn(
-          java.nio.file.Paths.get(s"$path/data/shard=$sh")) { tmp =>
+          java.nio.file.Paths.get(s"$path/data/shard=$sh"), Seq(lease)) { tmp =>
           kept.where(col("shard") === sh).drop("shard")
             .write.mode("overwrite").parquet(tmp.toString)
         }
@@ -668,7 +668,7 @@ object SequencePacking {
             .drop("shard").localCheckpoint() // materialize before the swap unlinks the source
           try {
             graft.sources.Catalog.swapIn(
-              java.nio.file.Paths.get(s"$path/docs/shard=$sh")) { tmp =>
+              java.nio.file.Paths.get(s"$path/docs/shard=$sh"), Seq(lease)) { tmp =>
               keptDocs.write.mode("overwrite").parquet(tmp.toString)
             }
           } finally {
@@ -680,7 +680,7 @@ object SequencePacking {
 
       // re-certify by reading back EXACTLY the rewritten shards
       // (partition-pruned scan) and splicing over the stored manifest
-      spliceManifest(spark, path, affectedShards)
+      spliceManifest(spark, path, affectedShards, lease)
       removed
     } finally {
       graft.util.Checkpoints.release(
@@ -784,7 +784,7 @@ object SequencePacking {
         val legacy = spark.read.parquet(s"$path/meta")
           .withColumn("n_shards", lit(occupiedShards())).localCheckpoint()
         try {
-          graft.sources.Catalog.swapIn(java.nio.file.Paths.get(s"$path/meta")) { tmp =>
+          graft.sources.Catalog.swapIn(java.nio.file.Paths.get(s"$path/meta"), Seq(lease)) { tmp =>
             legacy.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
           }
         } finally {
@@ -965,7 +965,7 @@ object SequencePacking {
         import spark.implicits._
         val untouched = storedAll.where(!col("shard").isin(affected: _*)).localCheckpoint()
         try {
-          graft.sources.Catalog.swapIn(java.nio.file.Paths.get(s"$path/manifest")) { tmp =>
+          graft.sources.Catalog.swapIn(java.nio.file.Paths.get(s"$path/manifest"), Seq(lease)) { tmp =>
             untouched
               .unionByName(spliced.toDF("shard", "n_bins", "n_docs", "n_tokens", "digest"))
               .write.mode("overwrite").parquet(tmp.toString)
@@ -1097,7 +1097,7 @@ object SequencePacking {
         .where(col("shard") === sh).drop("shard")
         .localCheckpoint() // materialize before the swap unlinks the source files
       try {
-        graft.sources.Catalog.swapIn(dataDir.toPath) { tmp =>
+        graft.sources.Catalog.swapIn(dataDir.toPath, Seq(lease)) { tmp =>
           rows.repartition(filesPerShard).write.mode("overwrite").parquet(tmp.toString)
         }
         // prove content identity against the manifest BEFORE declaring done
@@ -1124,7 +1124,7 @@ object SequencePacking {
         val idxRows = spark.read.parquet(s"$path/docs")
           .where(col("shard") === sh).drop("shard").localCheckpoint()
         try {
-          graft.sources.Catalog.swapIn(docsDir.toPath) { tmp =>
+          graft.sources.Catalog.swapIn(docsDir.toPath, Seq(lease)) { tmp =>
             idxRows.repartition(filesPerShard).write.mode("overwrite").parquet(tmp.toString)
           }
         } finally {
@@ -1138,7 +1138,7 @@ object SequencePacking {
       spark.catalog.refreshByPath(s"$path/meta")
       val ledger = spark.read.parquet(s"$path/meta").localCheckpoint()
       try {
-        graft.sources.Catalog.swapIn(java.nio.file.Paths.get(s"$path/meta")) { tmp =>
+        graft.sources.Catalog.swapIn(java.nio.file.Paths.get(s"$path/meta"), Seq(lease)) { tmp =>
           ledger.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
         }
       } finally {
@@ -1154,7 +1154,7 @@ object SequencePacking {
       spark.catalog.refreshByPath(s"$path/tombstones")
       val tomb = spark.read.parquet(s"$path/tombstones").distinct().localCheckpoint()
       try {
-        graft.sources.Catalog.swapIn(java.nio.file.Paths.get(s"$path/tombstones")) { tmp =>
+        graft.sources.Catalog.swapIn(java.nio.file.Paths.get(s"$path/tombstones"), Seq(lease)) { tmp =>
           tomb.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
         }
       } finally {
@@ -1282,7 +1282,8 @@ object SequencePacking {
   private def spliceManifest(
       spark: org.apache.spark.sql.SparkSession,
       path: String,
-      shards: Seq[Long]
+      shards: Seq[Long],
+      lease: graft.sources.LeaseProtocol.Held
   ): Unit = {
     spark.catalog.refreshByPath(s"$path/data")
     val recert = manifestOf(
@@ -1292,7 +1293,7 @@ object SequencePacking {
       .where(!col("shard").isin(shards: _*))
     val merged = untouched.unionByName(recert).localCheckpoint()
     try {
-      graft.sources.Catalog.swapIn(java.nio.file.Paths.get(s"$path/manifest")) { tmp =>
+      graft.sources.Catalog.swapIn(java.nio.file.Paths.get(s"$path/manifest"), Seq(lease)) { tmp =>
         merged.write.mode("overwrite").parquet(tmp.toString)
       }
     } finally {

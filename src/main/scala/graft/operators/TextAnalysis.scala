@@ -891,7 +891,7 @@ object TextAnalysis {
           .localCheckpoint()
         try {
           graft.sources.Catalog.swapIn(
-            java.nio.file.Paths.get(s"$path/doc_hist")) { tmp =>
+            java.nio.file.Paths.get(s"$path/doc_hist"), Seq(lease)) { tmp =>
             migrated.repartition(64, col("bucket"))
               .write.mode("overwrite").partitionBy("bucket").parquet(tmp.toString)
           }
@@ -1065,7 +1065,7 @@ object TextAnalysis {
     // override point for object-store deployments. The compacted plan
     // must be fully materialized before the old directory disappears —
     // the write INTO the temp dir is that materialization.
-    graft.sources.Catalog.swapIn(java.nio.file.Paths.get(histPath)) { tmp =>
+    graft.sources.Catalog.swapIn(java.nio.file.Paths.get(histPath), Seq(lease)) { tmp =>
       compacted.write.mode("overwrite").parquet(tmp.toString)
     }
     spark.catalog.refreshByPath(histPath)
@@ -1083,7 +1083,7 @@ object TextAnalysis {
       spark.catalog.refreshByPath(docHistPath)
       val side = spark.read.parquet(docHistPath)
       if (side.columns.contains("bucket")) {
-        graft.sources.Catalog.swapIn(java.nio.file.Paths.get(docHistPath)) { tmp =>
+        graft.sources.Catalog.swapIn(java.nio.file.Paths.get(docHistPath), Seq(lease)) { tmp =>
           side.repartition(64, col("bucket"))
             .write.mode("overwrite").partitionBy("bucket").parquet(tmp.toString)
         }

@@ -180,14 +180,29 @@ object Catalog {
     * would have to size per table.
     */
   def swapIn(target: Path)(write: Path => Unit): Unit =
+    swapIn(target, Nil)(write)
+
+  /** [[swapIn]] additionally re-proving the given GUARD leases — the
+    * store-level writer leases of the verb this swap commits for — at
+    * the pre-publish instant (r17 verdict #2): each guard passes the
+    * fencing-token comparison ([[LeaseProtocol.Held.fence]]) and a
+    * synchronous renewal, so a shard verb whose store lease was stolen
+    * mid-verb has its manifest splice REJECTED before the rename lands,
+    * not loudly regretted after. Guards renew at their holders' progress
+    * points as before; this is the one extra check at the moment that
+    * matters most.
+    */
+  def swapIn(target: Path, guards: Seq[LeaseProtocol.Held])(write: Path => Unit): Unit =
     StoreLease.withRenewableLease(target.toString, "swap", sibling = true) { lease =>
       StoreLease.withHeartbeatChecked(lease, StoreLease.DefaultTtlMs / 3L) { check =>
         CommitProtocol.current.swapIn(target) { tmp =>
           write(tmp)
-          // prove the lease is STILL exclusively ours after the write and
-          // before the protocol renames tmp into place (ADVICE r17: a
-          // heartbeat failure used to surface only after the publish had
-          // landed) — a known-lost lease aborts here, unpublished
+          // prove every lease involved is STILL exclusively ours after
+          // the write and before the protocol renames tmp into place
+          // (ADVICE r17: a heartbeat failure used to surface only after
+          // the publish had landed) — a known-lost or out-fenced lease
+          // aborts here, unpublished
+          guards.foreach(g => StoreLease.assertFenced(g, s"pre-publish of $target"))
           check()
         }
       }

@@ -65,6 +65,26 @@ object LeaseProtocol {
       */
     def ownerId: String
 
+    /** FENCING TOKEN (r17 verdict #2, the Chubby/ZooKeeper convention):
+      * a number minted at acquire that is strictly greater than every
+      * fence any EARLIER acquisition of this store's lease observed.
+      * Together with [[newestFence]] it closes the documented hairline
+      * the lock file alone cannot: a writer about to publish compares
+      * its fence against the newest granted one and REFUSES to commit
+      * when a later lease exists — so a stolen-from writer's late
+      * publish is rejected as soon as the steal has been granted, even
+      * before the stealer commits anything. Protocols without fencing
+      * support inherit the vacuous default (0 / own fence), degrading
+      * to renewal-only checking.
+      */
+    def fence: Long = 0L
+
+    /** The highest fence granted for this store so far — re-read from
+      * the protocol's persistent state at call time, so the comparison
+      * `newestFence() > fence` means "someone acquired after me".
+      */
+    def newestFence(): Long = fence
+
     /** Heartbeat: extend the lease to now + the acquisition ttl. Loud
       * `IllegalStateException` when the lease was stolen, lapsed before
       * the renewal, or vanished — the long verb must stop, not keep
@@ -184,6 +204,7 @@ object StoreLease {
         throw new IllegalStateException(
           s"StoreLease: lease heartbeat failed mid-verb — aborting before " +
             s"publish: ${hb.getMessage}", hb)
+      requireFenceCurrent(lease, "heartbeat check")
       renewGate.synchronized { lease.renew() }
     }
     var failed = false
@@ -203,6 +224,34 @@ object StoreLease {
           s"[store-lease] lease heartbeat failed mid-verb: ${hb.getMessage}")
       }
     }
+  }
+
+  /** Refuse to proceed when a LATER lease than `held` has been granted
+    * on its store (the fencing-token comparison — see
+    * [[LeaseProtocol.Held.fence]]). Loud: once a later fence exists,
+    * this writer's hold was stolen or lapsed-and-reacquired, and any
+    * publish it makes could land OVER the newer writer's state.
+    */
+  private[graft] def requireFenceCurrent(held: LeaseProtocol.Held, context: String): Unit = {
+    val newest = held.newestFence()
+    if (newest > held.fence)
+      throw new IllegalStateException(
+        s"StoreLease: refusing to proceed ($context) — this writer holds " +
+          s"fence ${held.fence} (owner ${held.ownerId}) but a LATER lease " +
+          s"(fence $newest) has been granted on the store: the hold was stolen " +
+          "or lapsed and reacquired. Abort without publishing; run " +
+          "recertifyShards and re-verify the store before trusting it.")
+  }
+
+  /** Prove `held` is still the NEWEST, LIVE lease on its store at this
+    * instant: the fencing comparison, then a synchronous renewal (loud
+    * on stolen/lapsed). Verbs call this at the last point before a
+    * publish — [[graft.sources.Catalog.swapIn]] runs it on every guard
+    * lease between the write callback and the protocol's commit rename.
+    */
+  def assertFenced(held: LeaseProtocol.Held, context: String): Unit = {
+    requireFenceCurrent(held, context)
+    held.renew()
   }
 
   /** Canonical spelling of the lease KEY handed to the protocol: two
@@ -340,14 +389,44 @@ object FileLease extends LeaseProtocol {
   ): LeaseProtocol.Held = {
     val lock = lockPath(storePath, sibling)
     val owner = acquireAt(lock, storePath, verb, ttlMs)
-    new Held(lock, storePath, owner, verb, ttlMs)
+    new Held(lock, storePath, owner, verb, ttlMs, mintFence(lock))
+  }
+
+  /** The fence COUNTER file: a sibling of the lock holding the highest
+    * fence ever granted for this store. Minted (+1, via temp +
+    * ATOMIC_MOVE) by each successful acquire while the winner holds the
+    * lock; it survives releases and steals — deliberately, that
+    * persistence IS the monotonic record the fencing comparison reads.
+    * In the documented double-hold hairline two winners can mint equal
+    * fences (no CAS on a filesystem); equal fences degrade to the
+    * renewal-only checking the lease had before fencing — never worse.
+    */
+  private def fencePath(lock: Path): Path =
+    lock.resolveSibling(s".${lock.getFileName}_fence")
+
+  private def readFence(p: Path): Long =
+    try Files.readString(p).trim.toLong catch { case _: Exception => 0L }
+
+  private def mintFence(lock: Path): Long = {
+    val fp = fencePath(lock)
+    val next = readFence(fp) + 1L
+    val tmp = fp.resolveSibling(
+      s"${fp.getFileName}_mint_${java.lang.Long.toHexString(System.nanoTime())}")
+    Files.write(tmp, next.toString.getBytes(UTF_8), StandardOpenOption.CREATE_NEW)
+    Files.move(tmp, fp, StandardCopyOption.ATOMIC_MOVE)
+    next
   }
 
   private final class Held(
-      lock: Path, store: String, owner: String, verb: String, ttlMs: Long)
+      lock: Path, store: String, owner: String, verb: String, ttlMs: Long,
+      myFence: Long)
       extends LeaseProtocol.Held {
 
     override def ownerId: String = owner
+
+    override def fence: Long = myFence
+
+    override def newestFence(): Long = readFence(fencePath(lock))
 
     override def renew(): Unit = {
       val now = System.currentTimeMillis()

@@ -30,6 +30,14 @@ object ScaleRehearsal {
     val shuffleWrite = new java.util.concurrent.atomic.AtomicLong
     val shuffleRead = new java.util.concurrent.atomic.AtomicLong
     val peakTaskMem = new java.util.concurrent.atomic.AtomicLong
+    // Spark JOB count: the direct witness for "driver-paced job count is
+    // O(1) in the epoch repeat factor" (r17 verdict #1) — wall time alone
+    // can hide a thousand small jobs behind one big one
+    val jobs = new java.util.concurrent.atomic.AtomicLong
+    override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+      jobs.incrementAndGet(); ()
+    }
+    def jobCount: Long = jobs.get()
     override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
       val m = te.taskMetrics
       if (m != null) {
@@ -95,6 +103,7 @@ object ScaleRehearsal {
     def measure(tag: String)(work: => Long): Unit = {
       drainBus()
       val (w0, r0) = meter.snapshot
+      val j0 = meter.jobCount
       meter.resetPeak()
       val t0 = System.nanoTime()
       val rows = work
@@ -102,7 +111,8 @@ object ScaleRehearsal {
       drainBus()
       val (w1, r1) = meter.snapshot
       println(f"[scale] $tag rows=$rows time=$sec%.2fs shuffleWrite=${(w1 - w0) / 1e6}%.1fMB " +
-        f"shuffleRead=${(r1 - r0) / 1e6}%.1fMB peakTaskMem=${meter.peak / 1e6}%.1fMB")
+        f"shuffleRead=${(r1 - r0) / 1e6}%.1fMB peakTaskMem=${meter.peak / 1e6}%.1fMB " +
+        s"jobs=${meter.jobCount - j0}")
     }
 
     // GRAFT_SCALE_ONLY=<section> reruns a single section (fresh rows for
@@ -110,7 +120,7 @@ object ScaleRehearsal {
     // EXACT name match against the known sections: substring matching let
     // e.g. 'd' enable several sections and a typo silently run nothing.
     val sections = Seq("docs", "semdedup", "pagerank", "iterative100", "bm25batch", "evaldrift", "idspack",
-      "classifier", "bpe", "lm", "sketchpq", "pipeline", "tokcorpus")
+      "classifier", "bpe", "lm", "sketchpq", "pipeline", "tokcorpus", "loader100")
     val only = sys.env.get("GRAFT_SCALE_ONLY")
     only.foreach(o => require(sections.contains(o),
       s"GRAFT_SCALE_ONLY='$o' is not a section; known: ${sections.mkString(", ")}"))
@@ -524,6 +534,86 @@ object ScaleRehearsal {
         if (factor != 1) corpus.unpersist()
       }
       idsBase.unpersist()
+    }
+
+    // 100x-BINS leg for the shard/loader family (r17 verdict #3) plus the
+    // reps-FLAT leg for the in-frame epoch expansion (r17 verdict #1).
+    // Bins here are SMALL (8 tokens, one doc each) on purpose: every claim
+    // under measurement — export splice, schedule/mixture/budget build,
+    // append, retraction discovery — is about cost vs the BIN COUNT,
+    // never the packed id bytes, so shrinking the bins is what lets the
+    // leg run two decades out (2M bins stands in for a ~4B-token store at
+    // 2048-token bins) on one container while exercising the exact
+    // manifest/ledger/index machinery of a full-size store.
+    if (sectionEnabled("loader100")) {
+      def fakePacked(nBins: Long, idOffset: Long): DataFrame =
+        spark.range(0L, nBins, 1L, 32).select(
+          (col("id") + idOffset).as("bin_id"),
+          lit(1L).as("n_docs"),
+          lit(8L).as("bin_tokens"),
+          sequence(col("id") * 8L, col("id") * 8L + 7L).as("input_ids"),
+          array(col("id") + idOffset).as("doc_ids"),
+          array(lit(8L)).as("doc_lens"))
+      def rmTree(f: java.io.File): Unit = {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(rmTree); f.delete()
+      }
+      for (factor <- Seq(1, 10, 100)) {
+        val nBins = 20000L * factor
+        println(s"[scale] ===== loader100 factor $factor ($nBins bins) =====")
+        val shardDir = java.nio.file.Files
+          .createTempDirectory(s"graft_loader100_x$factor").toString
+        measure(s"loader_export_x$factor") {
+          graft.operators.SequencePacking
+            .exportShards(fakePacked(nBins, 0L), shardDir, nShards = 64).count()
+        }
+        measure(s"loader_epoch_schedule_x$factor") {
+          graft.operators.LoaderSchedule.epochSchedule(spark, shardDir, "ep")
+            .agg(max("cum_tokens")).head().getLong(0)
+        }
+        measure(s"loader_mixture_plan_x$factor") {
+          graft.operators.LoaderSchedule.mixturePlan(
+              spark, Seq(("a", shardDir, 3L, 1), ("b", shardDir, 1L, 2)), "mp")
+            .agg(max("cum_tokens")).head().getLong(0)
+        }
+        measure(s"loader_budget_mixture_x$factor") {
+          val tot = spark.read.parquet(s"$shardDir/manifest")
+            .agg(sum("n_tokens")).head().getLong(0)
+          graft.operators.LoaderSchedule.planForTokensMixture(
+              spark, Seq(("a", shardDir, 3L), ("b", shardDir, 1L)), "bm", tot * 2L)
+            .agg(max("cum_tokens")).head().getLong(0)
+        }
+        // a FIXED 2k-bin batch at every factor: day-N maintenance must
+        // cost O(batch), not O(store)
+        measure(s"loader_append_x$factor") {
+          graft.operators.SequencePacking
+            .appendShards(fakePacked(2000L, nBins), shardDir, s"day$factor")
+        }
+        measure(s"loader_retract_discovery_indexed_x$factor") {
+          graft.operators.SequencePacking
+            .affectedShardsFor(spark, shardDir, Seq(123L)).length.toLong
+        }
+        measure(s"loader_retract_one_doc_x$factor") {
+          graft.operators.SequencePacking.retractFromShards(spark, shardDir, Seq(123L))
+        }
+        rmTree(new java.io.File(shardDir))
+      }
+      // reps-FLAT: one small store planned at repeat factors 4/100/1000.
+      // Schedule ROWS grow with reps by design (the plan IS reps epochs);
+      // the claim is that DRIVER cost does not — the r17 shape built one
+      // union branch + one partition-count job per epoch (~2,000 jobs at
+      // reps=1000 before the first row served); the in-frame shape must
+      // hold the job count CONSTANT across this whole row.
+      val repsDir = java.nio.file.Files.createTempDirectory("graft_repsflat").toString
+      graft.operators.SequencePacking
+        .exportShards(fakePacked(2000L, 0L), repsDir, nShards = 16).count()
+      for (reps <- Seq(4, 100, 1000)) {
+        measure(s"mixture_plan_reps$reps") {
+          graft.operators.LoaderSchedule.mixturePlan(
+              spark, Seq(("a", repsDir, 3L, reps), ("b", repsDir, 1L, 1)), "rf")
+            .agg(max("cum_tokens")).head().getLong(0)
+        }
+      }
+      rmTree(new java.io.File(repsDir))
     }
 
     // Bigram-LM scoring + blocklist (r12). Claims under measurement:

@@ -328,6 +328,9 @@ class StoreLeaseSpec extends AnyFunSuite {
     val locks = new java.util.concurrent.ConcurrentHashMap[String, (String, Long, String)]()
     val events = java.util.Collections.synchronizedList(new java.util.ArrayList[String]())
     private val seq = new java.util.concurrent.atomic.AtomicLong(0L)
+    // per-store monotonic fence counters — what a ZK/etcd protocol gets
+    // from the lock node's creation zxid / mod revision
+    val fences = new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
     override def name: String = "fake"
     override def acquire(storePath: String, verb: String, ttlMs: Long, sibling: Boolean): LeaseProtocol.Held = {
       val owner = s"fake#${seq.incrementAndGet()}"
@@ -337,8 +340,13 @@ class StoreLeaseSpec extends AnyFunSuite {
       if (cur._1 != owner)
         throw new IllegalStateException(s"fake lease: $storePath held by writer ${cur._1}")
       events.add(s"acquire:$verb")
+      val myFence = fences
+        .computeIfAbsent(storePath, _ => new java.util.concurrent.atomic.AtomicLong(0L))
+        .incrementAndGet()
       new LeaseProtocol.Held {
         override def ownerId: String = owner
+        override def fence: Long = myFence
+        override def newestFence(): Long = fences.get(storePath).get()
         override def renew(): Unit = {
           val now2 = System.currentTimeMillis()
           val ok = locks.computeIfPresent(storePath, (_, c) =>
@@ -393,5 +401,91 @@ class StoreLeaseSpec extends AnyFunSuite {
     assert(StoreLease.current.name == "file", "withProtocol must restore the default")
     assert(StoreLease.forName("file").name == "file")
     intercept[IllegalArgumentException](StoreLease.forName("zk"))
+  }
+
+  // ---- fencing tokens (r17 verdict #2) ------------------------------
+
+  test("fencing tokens are minted monotonically across acquire/release cycles") {
+    val dir = Files.createTempDirectory("graft_fence_mono").toString
+    val fences = (1 to 3).map { i =>
+      var f = -1L
+      StoreLease.withRenewableLease(dir, s"v$i", ttlMs = 60000L) { h =>
+        f = h.fence
+        assert(h.newestFence() == f, "a live sole holder must be the newest fence")
+      }
+      f
+    }
+    assert(fences == Seq(1L, 2L, 3L), s"fences not monotonic from 1: $fences")
+  }
+
+  /** The verdict-#2 scenario: writer A's hold lapses mid-verb, a second
+    * writer STEALS (minting a higher fence), and A's late commit must be
+    * REJECTED before anything publishes — under both commit protocols.
+    */
+  private def lateSwapRejected(protoName: String): Unit = {
+    val dir = freshStore(s"graft_fence_$protoName")
+    val target = Paths.get(dir, "manifest")
+    val manifestBefore = spark.read.parquet(s"$dir/manifest").collect().map(_.toSeq).toSet
+    val outer = intercept[IllegalStateException] {
+      StoreLease.withRenewableLease(dir, "victim", ttlMs = 60000L) { victim =>
+        // the victim's hold lapses (simulated by backdating its expiry)…
+        val lock = Paths.get(dir, StoreLease.LockFileName)
+        val c = Files.readString(lock).split('|')
+        Files.writeString(lock, s"${c(0)}|${System.currentTimeMillis() - 1000L}|${c(2)}")
+        // …and a second writer steals the lease, minting a HIGHER fence
+        val thief = StoreLease.current.acquire(dir, "thief", 60000L, sibling = false)
+        assert(thief.fence > victim.fence, s"steal must out-fence: ${thief.fence} vs ${victim.fence}")
+        // the victim's late manifest swap: the write callback runs, but
+        // the fence comparison refuses the publish
+        var wrote = false
+        val ex = intercept[IllegalStateException] {
+          graft.sources.Catalog.swapIn(target, Seq(victim)) { tmp =>
+            wrote = true
+            Files.createDirectories(tmp)
+            Files.writeString(tmp.resolve("poison"), "x")
+          }
+        }
+        assert(ex.getMessage.contains("LATER lease"), s"$protoName: ${ex.getMessage}")
+        assert(wrote, "the write callback itself runs; the PUBLISH is what the fence stops")
+        assert(!Files.exists(target.resolve("poison")),
+          s"$protoName: the out-fenced swap must not publish")
+        assert(thief.release().isEmpty, "the thief's own hold stays clean")
+      }
+    }
+    // the victim's verb must not report success either
+    assert(outer.getMessage.contains("lost mid-verb"), outer.getMessage)
+    spark.catalog.refreshByPath(s"$dir/manifest")
+    assert(spark.read.parquet(s"$dir/manifest").collect().map(_.toSeq).toSet == manifestBefore,
+      s"$protoName: the store must be byte-identical after the refused late swap")
+  }
+
+  test("a stolen-from writer's late swap is fence-rejected, unpublished (atomic-move)") {
+    lateSwapRejected("am")
+  }
+
+  test("a stolen-from writer's late swap is fence-rejected, unpublished (copy-delete)") {
+    graft.sources.CommitProtocol.withProtocol(new graft.sources.CopyDeleteProtocol) {
+      lateSwapRejected("cd")
+    }
+  }
+
+  test("fencing through a lock service: the out-fenced publisher is refused") {
+    val fake = new FakeLockService
+    StoreLease.withProtocol(fake) {
+      val dir = Files.createTempDirectory("graft_fence_fake").toString
+      val key = graft.util.PathKeys.normalize(dir)
+      val outer = intercept[IllegalStateException] {
+        StoreLease.withRenewableLease(dir, "victim", ttlMs = 60000L) { victim =>
+          fake.locks.remove(key) // the service expires the hold
+          val thief = StoreLease.current.acquire(key, "thief", 60000L, sibling = false)
+          assert(thief.fence == victim.fence + 1)
+          val inner = intercept[IllegalStateException](
+            StoreLease.assertFenced(victim, "spec pre-publish"))
+          assert(inner.getMessage.contains("LATER lease"), inner.getMessage)
+          assert(thief.release().isEmpty)
+        }
+      }
+      assert(outer.getMessage.contains("lost mid-verb"), outer.getMessage)
+    }
   }
 }
