@@ -508,6 +508,100 @@ class LoaderScheduleSpec extends AnyFunSuite {
         Seq(("a", dirA, 0L), ("b", dirB, 1L)), "tbm", t))
   }
 
+  /** r17 verdict #4 — the COMPOSITE a trainer integration would trust:
+    * every piece is individually spec'd above; this scenario chains them
+    * with a failure injected at the worst moment. Budget-driven mixture
+    * plan → worker deal → consume to a mid-plan checkpoint → crash →
+    * the ingest appends to ONE domain while the trainer is down → the
+    * checked resume trips LOUD → deliberate re-sync (rebuild + re-mint
+    * at the sound lower bound) → the resumed tail is served through
+    * CERTIFIED readShard to budget exhaustion, every scheduled bin
+    * accounted for.
+    */
+  test("trainer rehearsal end-to-end: plan, deal, crash, append drift, loud resume, re-sync, certified serve to budget") {
+    val dirA = freshStore("graft_e2e_a", n = 50L)
+    val dirB = freshStore("graft_e2e_b", n = 30L, salt = 5L)
+    val stores = Seq(("web", dirA, 3L), ("code", dirB, 1L))
+    val totA = LoaderSchedule.storeStamp(spark, dirA).nTokens
+    val totB = LoaderSchedule.storeStamp(spark, dirB).nTokens
+    val budget = (totA + totB) * 3L / 2L
+
+    // DAY 0: build the budget plan, mint the cursor AT BUILD TIME, deal
+    val plan = LoaderSchedule.planForTokensMixture(spark, stores, "run1", budget)
+    val cursor0 = LoaderSchedule.mintCursor(spark, Seq(dirA, dirB), 0L)
+    val dealt = LoaderSchedule.workerSlices(plan, 4).collect()
+    assert(dealt.map(_.getAs[Long]("worker")).distinct.sorted.toSeq == Seq(0L, 1L, 2L, 3L))
+
+    // consume IN ORDER to ~40% of the budget; checkpoint advances the
+    // cursor (Cursor.at) — never re-mints
+    val ordered = dealt.sortBy(_.getAs[Long]("ord"))
+    val consumed = ordered.takeWhile(_.getAs[Long]("cum_tokens") < budget * 2L / 5L)
+    assert(consumed.nonEmpty && consumed.length < ordered.length)
+    val ckptTokens = consumed.last.getAs[Long]("cum_tokens")
+    val cursor = cursor0.at(ckptTokens)
+
+    // CRASH. While the trainer is down, the ingest lands a batch on ONE
+    // domain — the exact drift resumeFromChecked exists to catch.
+    val extra = docs(6L, salt = 9L).map { case (i, t, ids) => (i + 5000L, t, ids) }
+      .toDF("id", "tok", "ids")
+    val packedExtra = SequencePacking
+      .packSequences(extra, "id", "tok", "ids", budget = 40, partitions = 1)
+    SequencePacking.appendShards(packedExtra, dirA, batchKey = "e2e#day1")
+
+    // RESTART: the checked resume fails loud, naming the drift
+    val ex = intercept[IllegalArgumentException] {
+      LoaderSchedule.resumeFromChecked(spark, Seq(dirA, dirB), plan, cursor)
+    }
+    assert(ex.getMessage.contains("drifted"), ex.getMessage)
+
+    // DELIBERATE re-sync (the documented path): after append-only growth
+    // the consumed-token count is a sound lower bound — rebuild the plan
+    // over the grown stores, re-mint at the checkpoint position, resume
+    val plan2 = LoaderSchedule.planForTokensMixture(spark, stores, "run1", budget)
+    val cursor2 = LoaderSchedule.mintCursor(spark, Seq(dirA, dirB), ckptTokens)
+    val rem = LoaderSchedule.resumeFromChecked(spark, Seq(dirA, dirB), plan2, cursor2)
+      .orderBy("ord").collect()
+    assert(rem.nonEmpty)
+    // consumed prefix ∪ resumed tail == the rebuilt plan, exactly
+    assert(plan2.count() ==
+      rem.length + plan2.where(col("cum_tokens") <= ckptTokens).count())
+    // the resumed tail re-deals to a different worker count — a re-map
+    val sizes = LoaderSchedule.workerSlices(
+        LoaderSchedule.resumeFromChecked(spark, Seq(dirA, dirB), plan2, cursor2), 3)
+      .groupBy("worker").count().collect().map(_.getLong(1))
+    assert(sizes.max - sizes.min <= 1L, s"unbalanced re-deal: ${sizes.mkString(",")}")
+
+    // SERVE to budget exhaustion through certified readShard: read each
+    // referenced (domain, shard) ONCE; every scheduled bin must exist
+    // with the scheduled token count (the appended bins included)
+    val byPath = Map("web" -> dirA, "code" -> dirB)
+    val shardBins: Map[(String, Long), Map[Long, Long]] =
+      rem.map(r => (r.getAs[String]("domain"), r.getAs[Long]("shard")))
+        .distinct.map { case (d, sh) =>
+          (d, sh) -> SequencePacking.readShard(spark, byPath(d), sh)
+            .select("bin_id", "bin_tokens").collect()
+            .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        }.toMap
+    // the tail begins at the REBUILT plan's consumed-prefix boundary —
+    // the last bin wholly inside the cursor (a mid-bin cursor re-reads
+    // its bin, the documented resume semantics), not at the raw cursor
+    val prefixEnd = plan2.where(col("cum_tokens") <= ckptTokens)
+      .agg(coalesce(max("cum_tokens"), lit(0L))).head().getLong(0)
+    var served = prefixEnd
+    rem.foreach { r =>
+      val bins = shardBins((r.getAs[String]("domain"), r.getAs[Long]("shard")))
+      val binId = r.getAs[Long]("bin_id")
+      assert(bins.contains(binId), s"scheduled bin $binId missing from its shard")
+      assert(bins(binId) == r.getAs[Long]("n_tokens"), s"token count drift on bin $binId")
+      served += bins(binId)
+    }
+    // the serve's running total agrees with the plan's coordinates, the
+    // budget is REACHED, and the boundary is exact (last bin crosses T)
+    assert(served == rem.last.getAs[Long]("cum_tokens"))
+    assert(rem.last.getAs[Long]("cum_tokens") >= budget, "the plan must reach the budget")
+    assert(rem.init.last.getAs[Long]("cum_tokens") < budget, "the cut must be exact")
+  }
+
   test("cursor stamps match across path spellings of the same store (ADVICE r16)") {
     val dir = freshStore("graft_lnorm")
     val sched = LoaderSchedule.epochSchedule(spark, dir, "pn")
