@@ -668,10 +668,11 @@ object VectorSearch {
     * qbar OVERSTATES recall whenever pair difficulty varies (Jensen) —
     * hard neighbors near 90 degrees dominate the misses.
     *
-    * Cost: nQueries exact top-k probes over `sample` (each
-    * TakeOrderedAndProject, no global sort) + nQueries x k driver rows
-    * of math. Run on a corpus SAMPLE; the q_i distribution is a
-    * geometry property that stabilizes at modest sample sizes.
+    * Cost: ONE batched exact top-k job over `sample` for the whole
+    * query panel ([[topKBatch]] bounded heaps — r17 verdict #6; the
+    * panel ids must be numeric, topKBatch's contract) + nQueries x k
+    * driver rows of math. Run on a corpus SAMPLE; the q_i distribution
+    * is a geometry property that stabilizes at modest sample sizes.
     */
   def calibrateBandedL(
       sample: DataFrame,
@@ -723,21 +724,24 @@ object VectorSearch {
         "bands, or use exact search")
     require(nQueries >= 1 && k >= 1 && bandBits >= 1 && maxL >= 1,
       s"calibrateBandedL: nQueries/k/bandBits/maxL must be positive")
-    // deterministic query panel: the nQueries lowest ids
-    val queryVecs = sample
-      .orderBy(col(idCol)).limit(nQueries)
-      .select(col(vecCol)).collect()
-      .map(_.getSeq[Float](0).toArray)
-    require(queryVecs.nonEmpty, "calibrateBandedL: empty sample")
-    val qs = queryVecs.flatMap { qv =>
-      topK(sample, vecCol, qv, k, col(idCol))
-        .select(col("score").cast("double")).collect()
-        .map { r =>
-          val c = math.max(-1.0, math.min(1.0, r.getDouble(0)))
-          val p = 1.0 - math.acos(c) / math.Pi
-          math.pow(p, bandBits)
-        }
-    }
+    // deterministic query panel: the nQueries lowest ids — probed in ONE
+    // batched [[topKBatch]] job (r17 verdict #6: the per-query topK loop
+    // ran nQueries sequential driver-paced jobs for the same scores; the
+    // bounded-heap aggregate answers the whole panel in one pass). Only
+    // the per-pair SCORES feed the model, and a tie at any k-boundary
+    // means equal scores, so the q_i sample is identical to the looped
+    // form's.
+    val panel = sample.orderBy(col(idCol)).limit(nQueries)
+      .select(col(idCol).as("_cal_qid"), col(vecCol).as("_cal_qv"))
+    val qs = topKBatch(panel, sample, "_cal_qid", "_cal_qv", idCol, vecCol, k)
+      .select(explode(col("top")).as("_t"))
+      .select(col("_t.score").cast("double")).collect()
+      .map { r =>
+        val c = math.max(-1.0, math.min(1.0, r.getDouble(0)))
+        val p = 1.0 - math.acos(c) / math.Pi
+        math.pow(p, bandBits)
+      }
+    require(qs.nonEmpty, "calibrateBandedL: empty sample")
     recallTargets.map { target =>
       target -> (1 to maxL).find { l =>
         qs.map(q => 1.0 - math.pow(1.0 - q, l)).sum / qs.length - slack >= target
@@ -1168,6 +1172,115 @@ object VectorSearch {
       .orderBy(col("adc_score"), col("id"))
       .limit(k)
       .select("id", "adc_score")
+  }
+
+  /** Batched multi-query ADC: ONE job answers a whole query panel over
+    * the PQ codes (the [[topKBatch]] shape for asymmetric distance).
+    * Every query's `nSub x k` integer lookup table is precomputed
+    * driver-side into one 3-level literal (panel x nSub x k longs —
+    * tiny), the codes scan cross-joins the broadcast panel index, and
+    * per-query selection runs in [[graft.plans.TopKBy]] bounded heaps.
+    * Returns (qid, top) with top = [(score, id)] where score = -adc
+    * (heaps keep the max), so best-first order IS ascending ADC with
+    * ties to the lower id — each query's ids equal [[pqSearch]]'s
+    * exactly. Panel cardinality is query-batch-sized by contract.
+    */
+  def pqSearchBatch(
+      model: PqModel,
+      codes: DataFrame,
+      queries: Seq[(Long, Seq[Float])],
+      k: Int
+  ): DataFrame = {
+    require(queries.nonEmpty, "pqSearchBatch: empty query panel")
+    require(queries.map(_._1).distinct.length == queries.length,
+      "pqSearchBatch: duplicate query ids in the panel")
+    val subDim = model.subDim
+    val dt3: Seq[Seq[Seq[Long]]] = queries.map { case (qid, qv) =>
+      require(qv.length == model.dim,
+        s"pqSearchBatch: query $qid dim ${qv.length} != codebook dim ${model.dim}")
+      val qq = qv.map(x => math.floor(x.toDouble * model.quantScale).toLong)
+      (0 until model.nSub).map { s =>
+        val qs = qq.slice(s * subDim, (s + 1) * subDim)
+        (0 until model.k).map { c =>
+          val cent = model.codebook(s)(c)
+          qs.iterator.zip(cent.iterator).map { case (a, b) => (a - b) * (a - b) }.sum
+        }
+      }
+    }
+    val dtLit = typedLit(dt3)
+    val spark = codes.sparkSession
+    val panel = broadcast(spark.createDataFrame(
+      queries.map(_._1).zipWithIndex.map { case (q, i) => (q, i + 1) }).toDF("qid", "_qidx"))
+    codes.crossJoin(panel)
+      .withColumn("_adc",
+        aggregate(
+          zip_with(sequence(lit(0), lit(model.nSub - 1)), col("pq_codes"),
+            (s, c) => element_at(element_at(element_at(dtLit, col("_qidx")), s + 1), c + 1)),
+          lit(0L), (acc, v) => acc + v))
+      .groupBy("qid")
+      .agg(graft.plans.TopKBy.topKBy(-col("_adc"), col("id"), k).as("top"))
+      .select(col("qid"), col("top"))
+  }
+
+  /** Choose the ADC shortlist size that meets a recall target — the
+    * [[calibrateBandedL]] treatment for the PQ-shortlist + exact-rescore
+    * operating point (r17 verdict #5: `SearchMode.Adc` ran at a fixed
+    * shortlist with its recall only known from a hand-measured
+    * datasheet). MEASURED, not modeled: over a deterministic query panel
+    * (the `nQueries` lowest ids of `sample`, self-match inclusive — the
+    * calibration convention throughout), compute the exact cosine top-k
+    * (one [[topKBatch]] job) and the full ADC ranking to `maxShortlist`
+    * depth (one [[pqSearchBatch]] job), then take the smallest S whose
+    * mean fraction of true neighbors inside ADC's top-S clears
+    * `recallTarget + slack` — because the rescore stage is exact, a true
+    * neighbor is retrieved iff the shortlist contains it, so that
+    * fraction IS recall@k at shortlist S. Two Spark jobs total, then
+    * driver math over nQueries x k ranks; loud when even `maxShortlist`
+    * cannot clear the target (raise the codebook resolution or rescore
+    * a larger corpus fraction).
+    */
+  def calibrateAdcShortlist(
+      model: PqModel,
+      codes: DataFrame,
+      sample: DataFrame,
+      idCol: String,
+      vecCol: String,
+      recallTarget: Double = 0.9,
+      k: Int = 10,
+      nQueries: Int = 20,
+      maxShortlist: Int = 4096,
+      slack: Double = 0.0
+  ): Int = {
+    require(recallTarget > 0.0 && recallTarget < 1.0,
+      s"calibrateAdcShortlist: recall target must be in (0, 1), got $recallTarget")
+    require(slack >= 0.0 && recallTarget + slack <= 1.0,
+      s"calibrateAdcShortlist: need 0 <= slack and target + slack <= 1, got $slack")
+    require(nQueries >= 1 && k >= 1 && maxShortlist >= k,
+      s"calibrateAdcShortlist: need nQueries/k >= 1 and maxShortlist >= k")
+    val panel = sample.orderBy(col(idCol)).limit(nQueries)
+      .select(col(idCol).cast("long").as("_cal_qid"), col(vecCol).as("_cal_qv"))
+    val panelRows = panel.collect()
+    require(panelRows.nonEmpty, "calibrateAdcShortlist: empty sample")
+    val queries = panelRows.map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    def topIds(df: DataFrame): Map[Long, Seq[Long]] =
+      df.collect().map { r =>
+        r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1).map(_.getLong(1))
+      }.toMap
+    val truth = topIds(topKBatch(panel, sample, "_cal_qid", "_cal_qv", idCol, vecCol, k)
+      .select(col("query_id").cast("long"), col("top")))
+    val adc = topIds(pqSearchBatch(model, codes, queries, maxShortlist))
+    // 0-based ADC rank of every true neighbor (absent => never found)
+    val ranks: Seq[Int] = truth.toSeq.flatMap { case (qid, ids) =>
+      val pos = adc.getOrElse(qid, Seq.empty).zipWithIndex.toMap
+      ids.map(id => pos.getOrElse(id, Int.MaxValue))
+    }
+    val n = ranks.length.toDouble
+    (k to maxShortlist).find { s =>
+      ranks.count(_ < s) / n - slack >= recallTarget
+    }.getOrElse(throw new IllegalArgumentException(
+      f"calibrateAdcShortlist: recall $recallTarget%.2f (+ slack $slack%.2f) unreachable " +
+        f"even at shortlist=$maxShortlist — ${ranks.count(_ < maxShortlist) / n}%.3f measured; " +
+        "raise the codebook resolution (nSub/k) or rescore a larger fraction"))
   }
 
   /** Persist a PQ index: the code table as parquet — partitioned by

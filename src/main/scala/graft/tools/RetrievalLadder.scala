@@ -239,6 +239,20 @@ object RetrievalLadder {
         println(f"[ladder] target0.9 pq_adc_rescore shortlist=$s " +
           f"probe_wall_median=$wall%.3fs float_fraction=${s.toDouble / corpusN}%.3f")
     }
+
+    // r18 (VERDICT r17 #5): the GENERATED shortlist answer —
+    // calibrateAdcShortlist solves the sweep above from two batched jobs
+    // (exact truth + full ADC ranking over its own panel), and the row
+    // then MEASURES the returned operating point on the ladder's panel
+    // (a different query set — a genuine out-of-sample delivery check).
+    val calShort = VectorSearch.calibrateAdcShortlist(
+      pq3, codes3, emb, "vec_id", "embedding", recallTarget = 0.9, k = K,
+      nQueries = 20, maxShortlist = 2048)
+    val calShortRecall = inclusiveRecall(pqRescoreFetch(calShort))
+    val calShortWall = medianWall(qid => pqRescoreFetch(calShort)(qid): Unit)
+    println(f"[ladder] target0.9 pq_adc_rescore CALIBRATED shortlist=$calShort " +
+      f"measured_recall@10=$calShortRecall%.3f probe_wall_median=$calShortWall%.3fs " +
+      f"float_fraction=${calShort.toDouble / corpusN}%.3f")
     val bruteWall = medianWall(qid =>
       VectorSearch.topK(emb, "embedding", queries(qid), K, col("vec_id")).collect(): Unit)
     println(f"[ladder] target0.9 brute_force probe_wall_median=$bruteWall%.3fs (recall 1.0 by definition)")

@@ -119,6 +119,93 @@ class PqSpec extends AnyFunSuite {
       "IVF pruning must only FILTER the candidate set, never change ADC scores"))
   }
 
+  test("pqSearchBatch: one job answers the panel, each query's ids exactly pqSearch's") {
+    val df = planted
+    val m = VectorSearch.pqFit(df, "id", "vec", nSub = 4, k = 3, iters = 2)
+    val codes = VectorSearch.pqEncode(m, df, "id", "vec").localCheckpoint()
+    val panel = df.orderBy("id").limit(5).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    val batched = VectorSearch.pqSearchBatch(m, codes, panel, k = 7).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(t => (t.getLong(1), -t.getDouble(0).toLong)))
+      .toMap
+    panel.foreach { case (qid, qv) =>
+      val single = VectorSearch.pqSearch(m, codes, qv, 7).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(batched(qid) == single,
+        s"query $qid: batched ${batched(qid)} != per-query $single")
+    }
+    // guards
+    intercept[IllegalArgumentException](VectorSearch.pqSearchBatch(m, codes, Nil, 5))
+    intercept[IllegalArgumentException](
+      VectorSearch.pqSearchBatch(m, codes, Seq((1L, Seq(1f)), (1L, Seq(1f))), 5))
+  }
+
+  test("calibrateAdcShortlist delivers its target; the calibrate path is O(1) jobs") {
+    // sf0.01 embeddings — a real unit-vector corpus where ADC ranking
+    // is cosine ranking and the codes genuinely lose information
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .localCheckpoint()
+    val m = VectorSearch.pqFit(emb, "vec_id", "embedding", nSub = 8, k = 16, iters = 2)
+    val codes = VectorSearch.pqEncode(m, emb, "vec_id", "embedding").localCheckpoint()
+    // count Spark jobs across the WHOLE calibration: two batched probes
+    // (exact truth + full ADC ranking) replace 2 x nQueries sequential
+    // jobs — the r17-verdict #6 shape; allow a little protocol headroom
+    val jobs = new java.util.concurrent.atomic.AtomicLong
+    val counter = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(counter)
+    val target = 0.85
+    val shortlist =
+      try VectorSearch.calibrateAdcShortlist(
+        m, codes, emb, "vec_id", "embedding", recallTarget = target, k = 10,
+        nQueries = 20, maxShortlist = 2048)
+      finally {
+        // drain the async listener bus (private API — reflective, the
+        // ScaleRehearsal drain) before reading the counter
+        try {
+          val bus = spark.sparkContext.getClass.getMethod("listenerBus")
+            .invoke(spark.sparkContext)
+          bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
+        } catch { case _: ReflectiveOperationException => Thread.sleep(500) }
+        spark.sparkContext.removeSparkListener(counter)
+      }
+    // measured: 7 fixed jobs (panel collect + two batched probes, each
+    // a few AQE stage-jobs) — a per-query loop would run 2*nQueries+1=41
+    assert(jobs.get() <= 10L,
+      s"calibrateAdcShortlist ran ${jobs.get()} jobs — the panel must be batched, " +
+        "not one job per query")
+    assert(shortlist >= 10 && shortlist < 2048, s"implausible shortlist $shortlist")
+    // DELIVERY: ADC-shortlist + exact rescore at the returned size must
+    // meet the target, measured on the calibration panel's convention
+    val queryIds = emb.orderBy("vec_id").limit(20).collect().map(_.getLong(0))
+    val queries = emb.where(col("vec_id").isin(queryIds: _*))
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val measured = queryIds.map { qid =>
+      val exact = VectorSearch.topK(emb, "embedding", queries(qid).toArray, 10, col("vec_id"))
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      val short = VectorSearch.pqSearch(m, codes, queries(qid), shortlist)
+        .select(col("id").as("vec_id"))
+      val got = VectorSearch.topK(
+          emb.join(short, Seq("vec_id"), "left_semi"),
+          "embedding", queries(qid).toArray, 10, col("vec_id"))
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      (exact & got).size / 10.0
+    }.sum / queryIds.length
+    info(f"calibrated ADC shortlist=$shortlist measured recall@10=$measured%.3f (target $target)")
+    assert(measured >= target,
+      f"calibrated shortlist $shortlist delivers $measured%.3f < target $target")
+    // more ambition costs a longer shortlist — the curve's direction
+    val higher = VectorSearch.calibrateAdcShortlist(
+      m, codes, emb, "vec_id", "embedding", recallTarget = 0.95, k = 10,
+      nQueries = 20, maxShortlist = 2048)
+    assert(higher >= shortlist, s"shortlist must grow with the target: $shortlist -> $higher")
+  }
+
   test("guards: dim not divisible, too few rows, bad query dim") {
     val df = planted
     intercept[IllegalArgumentException] {
