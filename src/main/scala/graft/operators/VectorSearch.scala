@@ -1257,8 +1257,18 @@ object VectorSearch {
       s"calibrateAdcShortlist: need 0 <= slack and target + slack <= 1, got $slack")
     require(nQueries >= 1 && k >= 1 && maxShortlist >= k,
       s"calibrateAdcShortlist: need nQueries/k >= 1 and maxShortlist >= k")
+    // non-numeric ids (the chunk store's content-hash strings) ride on a
+    // deterministic xxhash64 SURROGATE, applied identically to the
+    // sample and the codes — the calibration only ever tests id-set
+    // membership, never maps back (64-bit collisions are negligible at
+    // calibration sample sizes and would only perturb one rank)
+    val numericIds = sample.schema(idCol).dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType]
+    def surrogate(c: Column): Column = if (numericIds) c.cast("long") else xxhash64(c)
+    val sample2 = sample.select(surrogate(col(idCol)).as("_cal_id"), col(vecCol).as("_cal_vec"))
+    val codes2 = codes.withColumn("id", surrogate(col("id")))
     val panel = sample.orderBy(col(idCol)).limit(nQueries)
-      .select(col(idCol).cast("long").as("_cal_qid"), col(vecCol).as("_cal_qv"))
+      .select(surrogate(col(idCol)).as("_cal_qid"), col(vecCol).as("_cal_qv"))
     val panelRows = panel.collect()
     require(panelRows.nonEmpty, "calibrateAdcShortlist: empty sample")
     val queries = panelRows.map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
@@ -1266,9 +1276,10 @@ object VectorSearch {
       df.collect().map { r =>
         r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1).map(_.getLong(1))
       }.toMap
-    val truth = topIds(topKBatch(panel, sample, "_cal_qid", "_cal_qv", idCol, vecCol, k)
-      .select(col("query_id").cast("long"), col("top")))
-    val adc = topIds(pqSearchBatch(model, codes, queries, maxShortlist))
+    val truth = topIds(
+      topKBatch(panel, sample2, "_cal_qid", "_cal_qv", "_cal_id", "_cal_vec", k)
+        .select(col("query_id").cast("long"), col("top")))
+    val adc = topIds(pqSearchBatch(model, codes2, queries, maxShortlist))
     // 0-based ADC rank of every true neighbor (absent => never found)
     val ranks: Seq[Int] = truth.toSeq.flatMap { case (qid, ids) =>
       val pos = adc.getOrElse(qid, Seq.empty).zipWithIndex.toMap

@@ -190,6 +190,28 @@ final class Retriever(
         col("section_h1"), col("section_h2"), col("chunk_index"), col("score"))
   }
 
+  /** Derive the [[adcSearch]] shortlist for a recall target from THIS
+    * store's own geometry (r17 verdict #5) —
+    * [[VectorSearch.calibrateAdcShortlist]] over the persisted PQ codes
+    * and the chunks' float vectors (two batched jobs). Run once per
+    * (index, target) and pass the result as [[adcSearch]]'s `shortlist`
+    * instead of trusting the fixed default's hand-measured datasheet.
+    */
+  def calibrateAdcShortlist(
+      recallTarget: Double = 0.9,
+      k: Int = 10,
+      nQueries: Int = 20,
+      maxShortlist: Int = 4096
+  ): Int = {
+    val path = resolvedPqPath.getOrElse(throw new IllegalStateException(
+      "SearchMode.Adc needs a Retriever(pqIndexPath = ...) pointing at a " +
+        "VectorSearch.writePq artifact whose codes are keyed by chunk id"))
+    VectorSearch.calibrateAdcShortlist(
+      pqModel.get, spark.read.parquet(s"$path/codes"),
+      chunks.where(col("embedding").isNotNull), "id", "embedding",
+      recallTarget, k, nQueries, maxShortlist)
+  }
+
   /** Hybrid = RRF fusion of vector + keyword rankings (Q3/W4), with
     * vector fallback on keyword failure (lancedb_store.py:187-190).
     */

@@ -438,10 +438,22 @@ class PipelineSpec extends AnyFunSuite {
     val cfgHit = viaConfig.search("spark catalyst optimizer queries", SearchMode.Adc, 3).collect()
     assert(cfgHit.nonEmpty && cfgHit.head.getAs[String]("document_title") == "Spark Guide")
 
+    // facade-level calibration (r18): derive the shortlist from the
+    // store's own geometry; on this tiny corpus the calibrated size is
+    // bounded by the chunk count and adcSearch at that size still hits
+    val nChunks = chunks.count().toInt
+    val calibrated = ret.calibrateAdcShortlist(
+      recallTarget = 0.6, k = 2, nQueries = 4, maxShortlist = nChunks)
+    assert(calibrated >= 2 && calibrated <= nChunks, s"calibrated=$calibrated of $nChunks")
+    val calHit = ret.adcSearch("spark catalyst optimizer queries", 3,
+      shortlist = calibrated).collect()
+    assert(calHit.nonEmpty)
+
     // without an artifact the mode fails loudly, never silently falls back
     val bare = new Retriever(spark, pipe, cfg)
     val e = intercept[IllegalStateException](bare.search("spark", SearchMode.Adc, 3))
     assert(e.getMessage.contains("pqIndexPath"), e.getMessage)
+    intercept[IllegalStateException](bare.calibrateAdcShortlist())
   }
 
   test("pipeline flush invalidates the cached FTS index (no stale-corpus search results)") {
