@@ -2151,6 +2151,65 @@ object OracleSql {
          |              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
          |FROM u ORDER BY ord""".stripMargin,
 
+    "q_mixture_plan_reps" ->
+      // mixturePlan at a nontrivial repeat factor (r18): even x2 epochs,
+      // odd x25 — the in-frame epoch expansion's own shape re-derived
+      // independently: each domain's bins cross-join an epoch range,
+      // kpos = within-epoch md5 rank + (epoch-1)*nBins, WFQ interleave
+      // on kpos * lcm/w (even: 1, odd: 3), ties on (domain, kpos)
+      s"""WITH RECURSIVE $bpeIdsCtes,
+         |de AS MATERIALIZED (
+         |  SELECT n_tokens AS tok,
+         |         ROW_NUMBER() OVER (ORDER BY doc_id) AS rn
+         |  FROM docids WHERE doc_id % 2 = 0),
+         |packe AS (
+         |  SELECT rn, tok, CAST(0 AS BIGINT) AS bin_id, tok AS bin_run FROM de WHERE rn = 1
+         |  UNION ALL
+         |  SELECT d.rn, d.tok,
+         |         CASE WHEN p.bin_run + d.tok > 2048 THEN p.bin_id + 1 ELSE p.bin_id END,
+         |         CASE WHEN p.bin_run + d.tok > 2048 THEN d.tok ELSE p.bin_run + d.tok END
+         |  FROM packe p JOIN de d ON d.rn = p.rn + 1),
+         |dd AS MATERIALIZED (
+         |  SELECT n_tokens AS tok,
+         |         ROW_NUMBER() OVER (ORDER BY doc_id) AS rn
+         |  FROM docids WHERE doc_id % 2 = 1),
+         |packo AS (
+         |  SELECT rn, tok, CAST(0 AS BIGINT) AS bin_id, tok AS bin_run FROM dd WHERE rn = 1
+         |  UNION ALL
+         |  SELECT d.rn, d.tok,
+         |         CASE WHEN p.bin_run + d.tok > 2048 THEN p.bin_id + 1 ELSE p.bin_id END,
+         |         CASE WHEN p.bin_run + d.tok > 2048 THEN d.tok ELSE p.bin_run + d.tok END
+         |  FROM packo p JOIN dd d ON d.rn = p.rn + 1),
+         |be AS (SELECT bin_id, CAST(SUM(tok) AS BIGINT) AS n_tokens FROM packe GROUP BY bin_id),
+         |bo AS (SELECT bin_id, CAST(SUM(tok) AS BIGINT) AS n_tokens FROM packo GROUP BY bin_id),
+         |ke AS (
+         |  SELECT 'even' AS domain, CAST(e.epoch AS BIGINT) AS epoch,
+         |         b.bin_id % 4 AS shard, b.bin_id, b.n_tokens,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY e.epoch
+         |           ORDER BY md5('mixr:even/' || CAST(e.epoch AS VARCHAR) || ':' ||
+         |                        CAST(b.bin_id AS VARCHAR)), b.bin_id) AS BIGINT)
+         |           + (CAST(e.epoch AS BIGINT) - 1) * (SELECT COUNT(*) FROM be) AS kpos
+         |  FROM be b CROSS JOIN
+         |       (SELECT UNNEST(range(1, 3)) AS epoch) e),
+         |ko AS (
+         |  SELECT 'odd' AS domain, CAST(e.epoch AS BIGINT) AS epoch,
+         |         b.bin_id % 4 AS shard, b.bin_id, b.n_tokens,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY e.epoch
+         |           ORDER BY md5('mixr:odd/' || CAST(e.epoch AS VARCHAR) || ':' ||
+         |                        CAST(b.bin_id AS VARCHAR)), b.bin_id) AS BIGINT)
+         |           + (CAST(e.epoch AS BIGINT) - 1) * (SELECT COUNT(*) FROM bo) AS kpos
+         |  FROM bo b CROSS JOIN
+         |       (SELECT UNNEST(range(1, 26)) AS epoch) e),
+         |u AS (
+         |  SELECT domain, epoch, shard, bin_id, n_tokens, kpos,
+         |         kpos * CASE WHEN domain = 'even' THEN 1 ELSE 3 END AS vt
+         |  FROM (SELECT * FROM ke UNION ALL SELECT * FROM ko))
+         |SELECT CAST(ROW_NUMBER() OVER (ORDER BY vt, domain, kpos) AS BIGINT) AS ord,
+         |       domain, epoch, shard, bin_id, n_tokens,
+         |       CAST(SUM(n_tokens) OVER (ORDER BY vt, domain, kpos
+         |              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+         |FROM u ORDER BY ord""".stripMargin,
+
     "q_token_budget_mixture" ->
       // LoaderSchedule.planForTokensMixture twin (r16 verdict #5): even
       // store at weight 3, odd at weight 1, budget T = 3*(totE+totO)//2.

@@ -2994,6 +2994,25 @@ object SparkEntry {
       .orderBy("ord")
   }
 
+  /** Mixture plan at a NONTRIVIAL repeat factor (r18, pinning the
+    * in-frame epoch expansion of r17 verdict #1): even store x2 epochs,
+    * odd store x25 — 27 epoch permutations generated as bins x a
+    * broadcast epoch range with ONE global rank, where the r17 shape ran
+    * one union branch + one count job per epoch. The oracle expands the
+    * same epochs via `UNNEST(range(...))` partitioned ranks; a stream
+    * offset error, a key-string drift, or an interleave tie-break slip
+    * at ANY of the 27 epochs breaks the hash.
+    */
+  private def qMixturePlanReps(s: SparkSession, dir: String): DataFrame = {
+    lazy val tok = TextAnalysis.trainBpeTokenizer(
+      t(s, dir, "documents").where(col("doc_id") < 120), "text", rounds = 3)
+    val pathE = scheduleStore(s, dir, "graft_mix_e", col("doc_id") % 2 === 0, Some(() => tok))
+    val pathO = scheduleStore(s, dir, "graft_mix_o", col("doc_id") % 2 === 1, Some(() => tok))
+    graft.operators.LoaderSchedule.mixturePlan(
+        s, Seq(("even", pathE, 3L, 2), ("odd", pathO, 1L, 25)), "mixr")
+      .orderBy("ord")
+  }
+
   /** Token-budget plan (LoaderSchedule.planForTokens): "train for T
     * tokens" where T = 1.5× the store's total — the Chinchilla-style
     * budget that never aligns to whole epochs. The engine derives the
@@ -3512,6 +3531,7 @@ object SparkEntry {
     "q_worker_slices" -> (qWorkerSlices _),
     "q_mixture_schedule" -> (qMixtureSchedule _),
     "q_mixture_plan" -> (qMixturePlan _),
+    "q_mixture_plan_reps" -> (qMixturePlanReps _),
     "q_token_budget_plan" -> (qTokenBudgetPlan _),
     "q_token_budget_mixture" -> (qTokenBudgetMixture _),
     "q_datasheet" -> (qDatasheet _),
