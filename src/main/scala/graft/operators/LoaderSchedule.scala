@@ -620,19 +620,6 @@ object LoaderSchedule {
     * the store totals callers need (epoch offsets) and as the
     * fingerprint [[mintCursor]]/[[resumeFromChecked]] pin.
     */
-  /** A memoizing view of [[certifiedBins]] keyed by the CANONICAL path
-    * spelling (ADVICE r17): a mixture naming one store under two domains
-    * — or under two spellings of one path — certifies it exactly once,
-    * so every domain sees the SAME (bins, stamp) snapshot; a concurrent
-    * append between two certifications can no longer hand the domains
-    * inconsistent views of one store.
-    */
-  private def pathMemoizedCertify(
-      spark: SparkSession): String => (DataFrame, StoreStamp) = {
-    val memo = scala.collection.mutable.Map.empty[String, (DataFrame, StoreStamp)]
-    p => memo.getOrElseUpdate(normalizePath(p), certifiedBins(spark, p))
-  }
-
   private def certifiedBins(spark: SparkSession, path: String): (DataFrame, StoreStamp) = {
     spark.catalog.refreshByPath(s"$path/manifest")
     spark.catalog.refreshByPath(s"$path/data")
@@ -671,6 +658,19 @@ object LoaderSchedule {
         "The store is mid-mutation, lost files, or was written outside the " +
         "export/append/retract protocol; run recertifyShards before scheduling.")
     (bins, StoreStamp(stored.getLong(0), stored.getLong(1), stored.getLong(2)))
+  }
+
+  /** A memoizing view of [[certifiedBins]] keyed by the CANONICAL path
+    * spelling (ADVICE r17): a mixture naming one store under two domains
+    * — or under two spellings of one path — certifies it exactly once,
+    * so every domain sees the SAME (bins, stamp) snapshot; a concurrent
+    * append between two certifications can no longer hand the domains
+    * inconsistent views of one store.
+    */
+  private def pathMemoizedCertify(
+      spark: SparkSession): String => (DataFrame, StoreStamp) = {
+    val memo = scala.collection.mutable.Map.empty[String, (DataFrame, StoreStamp)]
+    p => memo.getOrElseUpdate(normalizePath(p), certifiedBins(spark, p))
   }
 
   /** The schema-correct empty bin frame an emptied store schedules as. */
