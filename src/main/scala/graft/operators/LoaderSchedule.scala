@@ -164,13 +164,49 @@ object LoaderSchedule {
     // epoch (a 10,000-epoch budget plan used to run ~20,000 driver-paced
     // jobs before serving its first row). The key string matches the old
     // per-epoch literal `epochKey(s"$seed/$e")` byte for byte, so every
-    // schedule this verb ever produced is unchanged.
+    // schedule this verb ever produced is unchanged. The rank's
+    // partition count scales with the EXPANDED row count (review r18):
+    // the old shape ranked each epoch separately with tasks bounded at
+    // O(nBins/nParts); the expanded frame must not funnel nBins*nEpochs
+    // rows through a fixed 32 partitions.
     rankAndCumOver(
       withEpochsInFrame(bins, nEpochs)
         .withColumn("_k", md5(concat(lit(s"$seed/"), col("epoch").cast("string"),
           lit(":"), col("bin_id").cast("string")))),
-      Seq(col("epoch"), col("_k"), col("bin_id")), partitions)
+      Seq(col("epoch"), col("_k"), col("bin_id")),
+      scaledPartitions(partitions, bins.sparkSession, stamp.nBins, nEpochs.toLong))
       .select("ord", "epoch", "shard", "bin_id", "n_tokens", "cum_tokens")
+  }
+
+  /** Metadata rows a single rank/prefix task should hold — ~4M rows of
+    * (shard, bin_id, n_tokens, epoch, key) is ~150 MB, comfortably
+    * inside an executor task at the engine's target configs.
+    */
+  private val RowsPerSchedulePartition = 4L * 1000L * 1000L
+
+  /** The rank pass's partition count for an epoch-EXPANDED frame: the
+    * caller's explicit choice when given, else the session default
+    * scaled up so no task holds more than [[RowsPerSchedulePartition]]
+    * expanded metadata rows — the in-frame expansion multiplies row
+    * count by the repeat factor, and a fixed default would funnel a
+    * 10,000-epoch plan's rows through 32 tasks (review r18). Pure
+    * driver arithmetic from certified stamps; saturates (never
+    * overflows) on absurd products because the row target division
+    * happens in BigInt.
+    */
+  private def scaledPartitions(
+      explicit: Int,
+      spark: SparkSession,
+      streamRows: Long,
+      reps: Long
+  ): Int = {
+    if (explicit > 0) return explicit
+    val default = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val rows = BigInt(streamRows) * BigInt(reps)
+    val needed = (rows + RowsPerSchedulePartition - 1) / RowsPerSchedulePartition
+    // cap at a sane ceiling: past ~262k partitions the scheduler itself
+    // is the bottleneck and the plan needs a bigger rows-per-task budget
+    math.max(default.toLong, needed.min(BigInt(1 << 18)).toLong).toInt
   }
 
   /** `bins` × the 1-based epoch range, as a broadcast nested-loop join —
@@ -507,16 +543,21 @@ object LoaderSchedule {
           .withColumn("_doff", lit(myOffset))
           .withColumn("_step", lit(steps(w)))
     }
+    // both rank passes see the EXPANDED union — scale their partition
+    // counts to the combined stream length (known from the stamps; the
+    // offset accumulator above just computed it), not the session default
+    val nParts = scaledPartitions(
+      partitions, certified.head._2.sparkSession, streamOffset, 1L)
     val (ranked, _) = Ranks.withGlobalRank(
       perDomain.reduce(_ unionByName _),
-      Seq(col("_dix"), col("epoch"), col("_k"), col("bin_id")), "_grank", partitions)
+      Seq(col("_dix"), col("epoch"), col("_k"), col("bin_id")), "_grank", nParts)
     val clocked = ranked
       // stream position across the domain's repeated epochs — the WFQ
       // clock input, and the tie-break that keeps epochs in order
       .withColumn("_kpos", col("_grank") - col("_doff"))
       .withColumn("_vt", col("_kpos") * col("_step"))
       .drop("_k", "_grank", "_dix", "_doff", "_step")
-    rankAndCumOver(clocked, Seq(col("_vt"), col("domain"), col("_kpos")), partitions)
+    rankAndCumOver(clocked, Seq(col("_vt"), col("domain"), col("_kpos")), nParts)
       .select("ord", "domain", "epoch", "shard", "bin_id", "n_tokens", "cum_tokens")
   }
 

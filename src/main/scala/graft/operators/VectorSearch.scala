@@ -730,10 +730,16 @@ object VectorSearch {
     // bounded-heap aggregate answers the whole panel in one pass). Only
     // the per-pair SCORES feed the model, and a tie at any k-boundary
     // means equal scores, so the q_i sample is identical to the looped
-    // form's.
+    // form's. Non-integral ids ride on a deterministic xxhash64
+    // surrogate (the looped form never constrained the id type, and the
+    // scores are all that is read — review r18).
+    def surrogate(c: Column): Column =
+      if (isIntegral(sample.schema(idCol).dataType)) c.cast("long") else xxhash64(c)
     val panel = sample.orderBy(col(idCol)).limit(nQueries)
-      .select(col(idCol).as("_cal_qid"), col(vecCol).as("_cal_qv"))
-    val qs = topKBatch(panel, sample, "_cal_qid", "_cal_qv", idCol, vecCol, k)
+      .select(surrogate(col(idCol)).as("_cal_qid"), col(vecCol).as("_cal_qv"))
+    val corpus = sample
+      .select(surrogate(col(idCol)).as("_cal_id"), col(vecCol).as("_cal_vec"))
+    val qs = topKBatch(panel, corpus, "_cal_qid", "_cal_qv", "_cal_id", "_cal_vec", k)
       .select(explode(col("top")).as("_t"))
       .select(col("_t.score").cast("double")).collect()
       .map { r =>
@@ -1174,6 +1180,19 @@ object VectorSearch {
       .select("id", "adc_score")
   }
 
+  /** True for id types that cast to a long LOSSLESSLY — the only types
+    * the calibrators' surrogate may cast instead of hash (a fractional
+    * or decimal id would truncate, colliding distinct ids onto one key
+    * and silently corrupting a membership test).
+    */
+  private def isIntegral(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+  }
+
   /** Batched multi-query ADC: ONE job answers a whole query panel over
     * the PQ codes (the [[topKBatch]] shape for asymmetric distance).
     * Every query's `nSub x k` integer lookup table is precomputed
@@ -1257,14 +1276,15 @@ object VectorSearch {
       s"calibrateAdcShortlist: need 0 <= slack and target + slack <= 1, got $slack")
     require(nQueries >= 1 && k >= 1 && maxShortlist >= k,
       s"calibrateAdcShortlist: need nQueries/k >= 1 and maxShortlist >= k")
-    // non-numeric ids (the chunk store's content-hash strings) ride on a
-    // deterministic xxhash64 SURROGATE, applied identically to the
-    // sample and the codes — the calibration only ever tests id-set
-    // membership, never maps back (64-bit collisions are negligible at
-    // calibration sample sizes and would only perturb one rank)
-    val numericIds = sample.schema(idCol).dataType
-      .isInstanceOf[org.apache.spark.sql.types.NumericType]
-    def surrogate(c: Column): Column = if (numericIds) c.cast("long") else xxhash64(c)
+    // non-integral ids (the chunk store's content-hash strings, but also
+    // fractional/decimal numerics — cast('long') would collide 17.2 and
+    // 17.9 onto one key, review r18) ride on a deterministic xxhash64
+    // SURROGATE, applied identically to the sample and the codes — the
+    // calibration only ever tests id-set membership, never maps back
+    // (64-bit collisions are negligible at calibration sample sizes and
+    // would only perturb one rank)
+    def surrogate(c: Column): Column =
+      if (isIntegral(sample.schema(idCol).dataType)) c.cast("long") else xxhash64(c)
     val sample2 = sample.select(surrogate(col(idCol)).as("_cal_id"), col(vecCol).as("_cal_vec"))
     val codes2 = codes.withColumn("id", surrogate(col("id")))
     val panel = sample.orderBy(col(idCol)).limit(nQueries)

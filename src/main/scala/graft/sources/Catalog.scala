@@ -175,7 +175,8 @@ object Catalog {
     *
     * The write callback is OPAQUE to the lease (no progress points), and
     * a whole-table publish can outlive any fixed ttl — so the swap lease
-    * is kept live by a heartbeat ([[StoreLease.withHeartbeat]]) for the
+    * is kept live by a heartbeat ([[StoreLease.withHeartbeatChecked]],
+    * whose check runs between the write and the publish) for the
     * duration of the write + publish, rather than by a ttl the caller
     * would have to size per table.
     */

@@ -389,7 +389,21 @@ object FileLease extends LeaseProtocol {
   ): LeaseProtocol.Held = {
     val lock = lockPath(storePath, sibling)
     val owner = acquireAt(lock, storePath, verb, ttlMs)
-    new Held(lock, storePath, owner, verb, ttlMs, mintFence(lock))
+    // the mint must come AFTER winning (an acquire-race loser bumping the
+    // counter would spuriously out-fence the live holder), so a mint
+    // failure has already placed the lock: release it before rethrowing,
+    // or the store stays locked for the full ttl with no verb running
+    // (review r18 — disk-full between the two steps)
+    val fence =
+      try mintFence(lock)
+      catch {
+        case e: Throwable =>
+          try {
+            if (readHolder(lock).exists(_._1 == owner)) Files.deleteIfExists(lock)
+          } catch { case _: Exception => () }
+          throw e
+      }
+    new Held(lock, storePath, owner, verb, ttlMs, fence)
   }
 
   /** The fence COUNTER file: a sibling of the lock holding the highest
@@ -404,8 +418,24 @@ object FileLease extends LeaseProtocol {
   private def fencePath(lock: Path): Path =
     lock.resolveSibling(s".${lock.getFileName}_fence")
 
+  /** Absent fence file = 0 (no fence ever minted — a pre-fencing store).
+    * Anything else that prevents reading the value is LOUD (review r18):
+    * silently reading 0 on a transient IO error or a corrupt file would
+    * disable the fencing comparison at exactly the pre-publish instant
+    * it exists for. Corruption cannot come from the mint (temp +
+    * ATOMIC_MOVE) — a garbled file means outside interference, which is
+    * precisely not the moment to publish.
+    */
   private def readFence(p: Path): Long =
-    try Files.readString(p).trim.toLong catch { case _: Exception => 0L }
+    try Files.readString(p).trim.toLong
+    catch {
+      case _: java.nio.file.NoSuchFileException => 0L
+      case e: Exception =>
+        throw new IllegalStateException(
+          s"StoreLease: cannot read the fence counter at $p ($e) — refusing " +
+            "to treat an unreadable fence as 'no fence'; resolve the file " +
+            "state before publishing", e)
+    }
 
   private def mintFence(lock: Path): Long = {
     val fp = fencePath(lock)
@@ -506,7 +536,7 @@ object FileLease extends LeaseProtocol {
                     s"[store-lease] release raced a steal on $lock; the displaced " +
                       s"lock is preserved at $debris — resolve by hand after " +
                       "confirming which writer is live")
-                if (readHolder(lock).isEmpty && !Files.exists(lock)) {
+                if (!Files.exists(lock)) {
                   try Files.move(debris, lock, StandardCopyOption.ATOMIC_MOVE)
                   catch { case _: java.nio.file.FileSystemException => preserveDebris() }
                 } else preserveDebris()
