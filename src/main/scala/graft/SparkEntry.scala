@@ -15,6 +15,18 @@ import graft.operators._
   */
 object SparkEntry {
 
+  /** Read a bench table. Audited r18 and deliberately left WITHOUT a
+    * spread-the-scan repartition: the sf corpora are single-row-group
+    * parquet files (unsplittable, 1-task scans), and a round-robin
+    * repartition to the session's parallelism was measured a NET LOSS on
+    * 17 of 20 headline queries (median-of-3 in one session, e.g.
+    * q_pricing_summary 0.55→1.29 s, q_dedup_exact 0.33→0.74 s) — warm
+    * single-task leading stages are tens of ms at this scale, below the
+    * cost of the added exchange; the alarming cold-run 1-task numbers
+    * were Janino/JIT compilation billed to the first run, which an extra
+    * exchange only makes worse. A real multi-file corpus scans wide
+    * without any help.
+    */
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
@@ -534,15 +546,18 @@ object SparkEntry {
       .where(size(col("sh")) > 0)
     val grams = withSh.select(col("id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("gram"))
 
-    val mh = grams
-      .select(col("id"), col("gram"), explode(typedlit((0 until 8).toList)).as("seed"))
-      .groupBy("id", "seed")
-      .agg(min(md5(concat(col("seed").cast("string"), lit(":"), col("gram")))).as("h"))
-    val sig = mh
+    // 8 min-hashes as 8 aggregates of ONE groupBy(id) (r18): the explode
+    // x8 + groupBy(id, seed) + pivot-to-columns groupBy(id) form computed
+    // the identical h_i = min over grams of md5("i:" || gram) through TWO
+    // shuffles and an 8x intermediate row blowup; this is the same value
+    // per (id, i) with one shuffle and no blowup
+    val sig = grams
       .groupBy("id")
       .agg(
-        (0 until 8).map(i => max(when(col("seed") === i, col("h"))).as(s"h$i")).head,
-        (0 until 8).map(i => max(when(col("seed") === i, col("h"))).as(s"h$i")).tail: _*
+        (0 until 8).map(i =>
+          min(md5(concat(lit(s"$i:"), col("gram")))).as(s"h$i")).head,
+        (0 until 8).map(i =>
+          min(md5(concat(lit(s"$i:"), col("gram")))).as(s"h$i")).tail: _*
       )
     val bands = sig.select(
       col("id"),
@@ -3325,15 +3340,14 @@ object SparkEntry {
     val m = QualityClassifier.fitCentroidK(
       docs.where(col("doc_id") % 5 === 0), "doc_id", "text", label, nFeatures = 256)
     val assigned = QualityClassifier.classifyK(docs, "doc_id", "text", m)
-    val balanced = Sampling.balanceStrata(assigned, "pred_class", "doc_id", perStratum = 120)
-    assigned
-      .groupBy("pred_class")
-      .agg(count(lit(1)).as("total"))
-      .join(
-        balanced.groupBy("pred_class").agg(
-          count(lit(1)).as("kept"),
-          sum(col("doc_id")).as("kept_id_sum")),
-        Seq("pred_class"))
+    // one-pass readout (r18): the totals-join form executed classifyK's
+    // whole featurize+classify pass twice (once per branch) and paid a
+    // third exchange for the join; Sampling.strataKeepStats computes the
+    // identical (total, kept, kept_id_sum) numbers in a single pass whose
+    // aggregation reuses the cap window's pred_class partitioning
+    Sampling
+      .strataKeepStats(assigned, "pred_class", "doc_id", perStratum = 120, sumCol = "doc_id")
+      .withColumnRenamed("kept_sum", "kept_id_sum")
       .orderBy("pred_class")
   }
 
@@ -3348,15 +3362,11 @@ object SparkEntry {
   private def qClusterBalance(s: SparkSession, dir: String): DataFrame = {
     val assigned = Clustering
       .kmeansAssign(t(s, dir, "embeddings"), "vec_id", "embedding", k = 10, iters = 3)
-    val balanced = Sampling.balanceStrata(assigned, "cluster", "vec_id", perStratum = 30)
-    assigned
-      .groupBy("cluster")
-      .agg(count(lit(1)).as("total"))
-      .join(
-        balanced.groupBy("cluster").agg(
-          count(lit(1)).as("kept"),
-          sum(col("vec_id")).as("kept_id_sum")),
-        Seq("cluster"))
+    // one-pass readout (r18, the q_domain_balance rationale): the
+    // totals-join form ran the full-corpus k-means assignment twice
+    Sampling
+      .strataKeepStats(assigned, "cluster", "vec_id", perStratum = 30, sumCol = "vec_id")
+      .withColumnRenamed("kept_sum", "kept_id_sum")
       .orderBy("cluster")
   }
 

@@ -188,6 +188,39 @@ object Sampling {
       .drop("rn_balance")
   }
 
+  /** One-pass keep-accounting readout of [[balanceStrata]] (r18
+    * optimization): per stratum, the row count, how many rows the
+    * `perStratum` cap keeps, and the sum of `sumCol` over the kept rows
+    * — exactly the numbers `df.groupBy(stratum).count` joined against
+    * `balanceStrata(df).groupBy(stratum).agg(count, sum)` produces, but
+    * in ONE pass over `df` instead of two (the join form re-executes
+    * the whole upstream plan — classify/assign — per branch; measured
+    * 2× the classifier pass on q_domain_balance) and with the groupBy
+    * reusing the window's stratum partitioning (no second exchange).
+    * Selection order is [[balanceStrata]]'s: (hash32(id), id) rank.
+    * Non-kept rows contribute 0 to `kept_sum`, matching the SUM(CASE
+    * WHEN rn <= cap THEN x ELSE 0 END) oracle form.
+    */
+  def strataKeepStats(
+      df: DataFrame,
+      stratumCol: String,
+      idCol: String,
+      perStratum: Int,
+      sumCol: String
+  ): DataFrame = {
+    require(perStratum >= 1, s"need perStratum >= 1, got $perStratum")
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratumCol)
+      .orderBy(Sketches.md5Hash32(col(idCol)), col(idCol))
+    df.withColumn("rn_balance", row_number().over(win))
+      .groupBy(stratumCol)
+      .agg(
+        count(lit(1)).as("total"),
+        sum(when(col("rn_balance") <= perStratum, 1L).otherwise(0L)).as("kept"),
+        sum(when(col("rn_balance") <= perStratum, col(sumCol)).otherwise(0L))
+          .as("kept_sum"))
+  }
+
   /** Temperature-based mixture resampling at α = 1/2 — the multilingual /
     * multi-source pre-training recipe (sample stratum s proportionally to
     * n_s^α instead of n_s, flattening dominant sources while keeping rare

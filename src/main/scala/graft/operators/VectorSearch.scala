@@ -558,8 +558,16 @@ object VectorSearch {
     // alone makes every input partition open a file per prefix it holds
     // (up to partitions x 256 tiny files — measured 5x the write time at
     // bench scale); after the repartition each prefix's rows sit in one
-    // input partition, so each directory gets one file
-    index.indexed.repartition(col("sig_prefix"))
+    // input partition, so each directory gets one file. The partition
+    // COUNT is pinned to the prefix-value count (r18): a keys-only
+    // repartition is AQE-coalescible, and with KB-scale shuffle input
+    // AQE folded the whole write into ONE task that created all 2^pb
+    // directories sequentially — measured 11.0 s of q_lsh_persisted's
+    // 15.1 s wall. Pinning makes the write one task per prefix (the
+    // layout itself is unchanged: hash-by-prefix keeps one file per
+    // directory at any partition count).
+    index.indexed
+      .repartition(1 << LshIndex.prefixBits(index.lsh.nBits), col("sig_prefix"))
       .write.mode("overwrite").partitionBy("sig_prefix").parquet(s"$path/buckets")
     // heartbeat after the corpus-scale write: the sidecar + release stay
     // protected even when the bucket write alone outlives the ttl
@@ -814,8 +822,15 @@ object VectorSearch {
       .reduce(_ unionByName _)
       // cluster rows by leaf before the partitioned write (the writeLsh
       // lesson: partitionBy alone opens a file per leaf per input
-      // partition — up to partitions x L x 2^b tiny files)
-      .repartition(col("tbl"), col("band"))
+      // partition — up to partitions x L x 2^b tiny files). Partition
+      // count pinned like writeLsh's (r18): keys-only repartition is
+      // AQE-coalescible and the collapsed write created all L x 2^b
+      // directories from 1-2 tasks; one task per leaf (capped — beyond
+      // the cap leaves share tasks but each still lands in one file,
+      // rows of a leaf never split) keeps directory creation parallel.
+      .repartition(
+        math.min(index.bands.length << b0.nBits, 4096),
+        col("tbl"), col("band"))
       .write.mode("overwrite").partitionBy("tbl", "band").parquet(s"$path/buckets")
     lease.renew() // the L-table write is the long pole; protect the tail
     graft.util.Sidecar.write(
@@ -919,8 +934,12 @@ object VectorSearch {
     graft.sources.StoreLease.withRenewableLease(path, "write-ivf") { lease =>
     // cluster by cell before the partitioned write (same file-count
     // rationale as writeLsh: one file per cell directory, not one per
-    // input-partition x cell)
-    index.indexed.repartition(col("ivf_cell"))
+    // input-partition x cell). Count pinned to the cell count (writeLsh
+    // r18 lesson: keys-only repartition is AQE-coalescible down to one
+    // directory-creating task); rows of a cell stay in one partition,
+    // so the one-file-per-directory layout is unchanged.
+    index.indexed
+      .repartition(math.min(math.max(index.centroids.length, 1), 4096), col("ivf_cell"))
       .write.mode("overwrite").partitionBy("ivf_cell").parquet(s"$path/cells")
     lease.renew() // the cell write is the long pole; protect the tail
     graft.util.Sidecar.write(
@@ -1325,8 +1344,16 @@ object VectorSearch {
     graft.sources.StoreLease.withRenewableLease(path, "write-pq") { lease =>
     val writer = cellCol match {
       // one file per cell directory, not one per input-partition x cell
-      // (the writeIvf rationale)
-      case Some(c) => codes.repartition(col(c)).write.mode("overwrite").partitionBy(c)
+      // (the writeIvf rationale). Count pinned so AQE cannot fold the
+      // partitioned write into one directory-creating task (writeLsh
+      // r18 lesson); the cell count is not in scope here, so pin to the
+      // session's parallelism — cells sharing a task still land in one
+      // file each.
+      case Some(c) =>
+        codes
+          .repartition(
+            math.max(codes.sparkSession.sparkContext.defaultParallelism, 16), col(c))
+          .write.mode("overwrite").partitionBy(c)
       case None => codes.write.mode("overwrite")
     }
     writer.parquet(s"$path/codes")
