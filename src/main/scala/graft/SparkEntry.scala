@@ -1948,6 +1948,9 @@ object SparkEntry {
   private def qPageRank(s: SparkSession, dir: String): DataFrame = {
     GraphOps
       .pageRankOn(tradeGraph(s, dir), iters = 3)
+      // restore the string node form BEFORE ordering: the rank tie-break
+      // is on the "c<ck>"/"s<sk>" strings, exactly as the oracle orders
+      .select(tradeNodeStr(col("node")).as("node"), col("rank"))
       .orderBy(desc("rank"), col("node"))
       .limit(20)
   }
@@ -2218,18 +2221,33 @@ object SparkEntry {
     */
   private def tradeGraph(s: SparkSession, dir: String): GraphOps.PreparedGraph =
     GraphOps.prepareCached(s"$dir/trade-graph", {
+      // LONG node ids (r18): customers on the even line (2*ck), suppliers
+      // on the odd (2*sk+1) — the same disjoint namespaces the old
+      // "c"/"s" string prefixes encoded, but every per-round join and the
+      // contribution shuffle now hash/compare 8-byte longs instead of
+      // variable-length strings. [[tradeNodeStr]] restores the exact
+      // original string form at the query edge (before any ordering), so
+      // ranks AND output rows are bit-identical to the string-keyed form.
       val pairs = t(s, dir, "orders")
         .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk"))
         .distinct()
         .select(
-          concat(lit("c"), col("ck")).as("c"),
-          concat(lit("s"), col("sk")).as("sup")
+          (col("ck").cast("long") * 2L).as("c"),
+          (col("sk").cast("long") * 2L + 1L).as("sup")
         )
       pairs
         .select(col("c").as("src"), col("sup").as("dst"))
         .unionByName(pairs.select(col("sup").as("src"), col("c").as("dst")))
     }, "src", "dst", edgesAreDistinct = true)
+
+  /** Inverse of [[tradeGraph]]'s long encoding: the exact "c<ck>" /
+    * "s<sk>" strings the graph queries emit (and tie-break on).
+    */
+  private def tradeNodeStr(node: Column): Column =
+    concat(
+      when(pmod(node, lit(2L)) === 0L, lit("c")).otherwise(lit("s")),
+      shiftright(node, 1).cast("string"))
 
   /** Personalized PageRank: rank mass seeded ONLY at nation-1 customers,
     * so scores measure trade-graph proximity to that trusted set
@@ -2241,10 +2259,12 @@ object SparkEntry {
     val graph = tradeGraph(s, dir)
     val seeds = t(s, dir, "customer")
       .where(col("c_nationkey") === 1)
-      .select(concat(lit("c"), col("c_custkey")).as("node"))
+      .select((col("c_custkey").cast("long") * 2L).as("node"))
     GraphOps
       .pageRankOn(graph, iters = 3, seeds = Some(seeds))
       .where(col("rank") > 0)
+      // string node form BEFORE ordering (the qPageRank rationale)
+      .select(tradeNodeStr(col("node")).as("node"), col("rank"))
       .orderBy(desc("rank"), col("node"))
       .limit(20)
   }
