@@ -660,21 +660,27 @@ object SequencePacking {
       // per-partition convention as the data (absent on a pre-index
       // store — nothing to maintain, discovery already fell back)
       if (java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/docs"))) {
-        affectedShards.foreach { sh =>
-          lease.renew()
-          spark.catalog.refreshByPath(s"$path/docs")
-          val keptDocs = spark.read.parquet(s"$path/docs")
-            .where(col("shard") === sh && !col("doc_id").isin(docIds.distinct: _*))
-            .drop("shard").localCheckpoint() // materialize before the swap unlinks the source
-          try {
+        // ONE pinned read of the affected partitions (r18, the
+        // compactShards shape): the per-shard read+localCheckpoint paid a
+        // listing and a materialization job per shard for rows the swap
+        // below still publishes one bounded directory at a time
+        spark.catalog.refreshByPath(s"$path/docs")
+        val keptAll = spark.read.parquet(s"$path/docs")
+          .where(col("shard").isin(affectedShards: _*) &&
+            !col("doc_id").isin(docIds.distinct: _*))
+          .localCheckpoint() // materialize before the swaps unlink the sources
+        try {
+          affectedShards.foreach { sh =>
+            lease.renew()
             graft.sources.Catalog.swapIn(
               java.nio.file.Paths.get(s"$path/docs/shard=$sh"), Seq(lease)) { tmp =>
-              keptDocs.write.mode("overwrite").parquet(tmp.toString)
+              keptAll.where(col("shard") === sh).drop("shard")
+                .write.mode("overwrite").parquet(tmp.toString)
             }
-          } finally {
-            graft.util.Checkpoints.release(
-              graft.util.Checkpoints.pinnedRddIds(keptDocs), spark)
           }
+        } finally {
+          graft.util.Checkpoints.release(
+            graft.util.Checkpoints.pinnedRddIds(keptAll), spark)
         }
       }
 
@@ -1083,26 +1089,44 @@ object SequencePacking {
         ((r.getAs[Long]("n_bins"), r.getAs[Long]("n_docs"),
           r.getAs[Long]("n_tokens"), r.getAs[Long]("digest")))).toMap
     val targets = if (shards.nonEmpty) shards else stored.keys.toSeq.sorted
-    var removed = 0L
+    // ONE pinned read of the target shards' rows (r18): the per-shard
+    // read+localCheckpoint paid a directory listing and a materialization
+    // job PER SHARD — N jobs whose driver turnaround dominated the verb's
+    // wall (52 stages, 0.5 s of executor work, 3.3 s wall at bench
+    // scale). All slices come from the same pre-compaction snapshot the
+    // per-shard reads saw (compaction preserves content, and the swap
+    // below publishes per shard exactly as before — the bounded
+    // per-shard publish window at 100 TB is unchanged). The pin's
+    // storage is target-shards-sized, the same bound the sequential
+    // per-shard pins reached one at a time.
     targets.foreach { sh =>
-      // per-shard heartbeat: a full-store compaction at 100 TB is the
-      // canonical >ttl verb (r16 verdict #2) — renewal at each shard
-      // keeps the lease live without hand-tuned ttls
-      lease.renew()
-      val dataDir = new java.io.File(s"$path/data/shard=$sh")
-      require(dataDir.isDirectory, s"compactShards: no data directory for shard $sh")
-      val before = dataDir.listFiles().count(_.getName.endsWith(".parquet"))
-      spark.catalog.refreshByPath(s"$path/data")
-      val rows = spark.read.parquet(s"$path/data")
-        .where(col("shard") === sh).drop("shard")
-        .localCheckpoint() // materialize before the swap unlinks the source files
-      try {
+      require(new java.io.File(s"$path/data/shard=$sh").isDirectory,
+        s"compactShards: no data directory for shard $sh")
+    }
+    spark.catalog.refreshByPath(s"$path/data")
+    val allRows = spark.read.parquet(s"$path/data")
+      .where(col("shard").isin(targets: _*))
+      .localCheckpoint() // materialize before the swaps unlink the sources
+    var removed = 0L
+    try {
+      targets.foreach { sh =>
+        // per-shard heartbeat: a full-store compaction at 100 TB is the
+        // canonical >ttl verb (r16 verdict #2) — renewal at each shard
+        // keeps the lease live without hand-tuned ttls
+        lease.renew()
+        val dataDir = new java.io.File(s"$path/data/shard=$sh")
+        val before = dataDir.listFiles().count(_.getName.endsWith(".parquet"))
         graft.sources.Catalog.swapIn(dataDir.toPath, Seq(lease)) { tmp =>
-          rows.repartition(filesPerShard).write.mode("overwrite").parquet(tmp.toString)
+          allRows.where(col("shard") === sh).drop("shard")
+            .repartition(filesPerShard).write.mode("overwrite").parquet(tmp.toString)
         }
-        // prove content identity against the manifest BEFORE declaring done
-        spark.catalog.refreshByPath(s"$path/data")
-        val re = manifestOf(spark.read.parquet(s"$path/data").where(col("shard") === sh))
+        // prove content identity against the manifest BEFORE declaring
+        // done — reading back EXACTLY the rewritten shard's directory (a
+        // scoped scan; the old whole-dir read relisted every shard per
+        // proof)
+        spark.catalog.refreshByPath(s"$path/data/shard=$sh")
+        val re = manifestOf(
+          spark.read.parquet(s"$path/data/shard=$sh").withColumn("shard", lit(sh)))
           .collect()
         val want = stored.getOrElse(sh,
           throw new IllegalStateException(
@@ -1113,24 +1137,31 @@ object SequencePacking {
             "refusing to certify; run recertifyShards to adjudicate")
         val after = dataDir.listFiles().count(_.getName.endsWith(".parquet"))
         removed += (before - after).toLong
+      }
+    } finally {
+      graft.util.Checkpoints.release(
+        graft.util.Checkpoints.pinnedRddIds(allRows), spark)
+    }
+    // the membership index's matching partitions get the same treatment
+    // (and the same one-pinned-read shape as the data side)
+    val docsTargets = targets.filter(sh => new java.io.File(s"$path/docs/shard=$sh").isDirectory)
+    if (docsTargets.nonEmpty) {
+      spark.catalog.refreshByPath(s"$path/docs")
+      val allIdx = spark.read.parquet(s"$path/docs")
+        .where(col("shard").isin(docsTargets: _*))
+        .localCheckpoint()
+      try {
+        docsTargets.foreach { sh =>
+          lease.renew()
+          graft.sources.Catalog.swapIn(
+            java.nio.file.Paths.get(s"$path/docs/shard=$sh"), Seq(lease)) { tmp =>
+            allIdx.where(col("shard") === sh).drop("shard")
+              .repartition(filesPerShard).write.mode("overwrite").parquet(tmp.toString)
+          }
+        }
       } finally {
         graft.util.Checkpoints.release(
-          graft.util.Checkpoints.pinnedRddIds(rows), spark)
-      }
-      // the membership index's matching partition gets the same treatment
-      val docsDir = new java.io.File(s"$path/docs/shard=$sh")
-      if (docsDir.isDirectory) {
-        spark.catalog.refreshByPath(s"$path/docs")
-        val idxRows = spark.read.parquet(s"$path/docs")
-          .where(col("shard") === sh).drop("shard").localCheckpoint()
-        try {
-          graft.sources.Catalog.swapIn(docsDir.toPath, Seq(lease)) { tmp =>
-            idxRows.repartition(filesPerShard).write.mode("overwrite").parquet(tmp.toString)
-          }
-        } finally {
-          graft.util.Checkpoints.release(
-            graft.util.Checkpoints.pinnedRddIds(idxRows), spark)
-        }
+          graft.util.Checkpoints.pinnedRddIds(allIdx), spark)
       }
     }
     // fold the append ledger into one file (all rows retained)
