@@ -2119,20 +2119,31 @@ object SparkEntry {
     * dependency costs two small joins, never a per-user event sort.
     */
   private def qFunnel(s: SparkSession, dir: String): DataFrame = {
+    // one-scan funnel (r18): the three-stage groupBy+join chain scanned
+    // events six times and shuffled per stage; the same per-user
+    // t1/t2/t3 milestones stack as three window passes over ONE
+    // hash(user_id) exchange (each pass reads the previous column — the
+    // dependency the join chain expressed), and the three stage counts
+    // reduce in ONE single-row aggregate over the per-user constants.
+    // t_k is non-null exactly for the users stage k kept before.
+    val w = Window.partitionBy("user_id")
     val e = events(s, dir).select("user_id", "event_type", "ts_us")
-    val s1 = e.where(col("event_type") === "view")
-      .groupBy("user_id").agg(min("ts_us").as("t1"))
-    val s2 = e.where(col("event_type") === "click")
-      .join(s1, "user_id")
-      .where(col("ts_us") > col("t1"))
-      .groupBy("user_id").agg(min("ts_us").as("t2"))
-    val s3 = e.where(col("event_type") === "purchase")
-      .join(s2, "user_id")
-      .where(col("ts_us") > col("t2"))
-      .groupBy("user_id").agg(min("ts_us").as("t3"))
-    s1.agg(count(lit(1)).as("n_view"))
-      .crossJoin(s2.agg(count(lit(1)).as("n_view_click")))
-      .crossJoin(s3.agg(count(lit(1)).as("n_view_click_purchase")))
+      .withColumn("t1",
+        min(when(col("event_type") === "view", col("ts_us"))).over(w))
+      .withColumn("t2",
+        min(when(col("event_type") === "click" && col("ts_us") > col("t1"),
+          col("ts_us"))).over(w))
+      .withColumn("t3",
+        min(when(col("event_type") === "purchase" && col("ts_us") > col("t2"),
+          col("ts_us"))).over(w))
+    // one representative row per user (reuses the window's partitioning),
+    // then the three funnel counts in a single 1-row aggregate
+    e.groupBy("user_id")
+      .agg(max("t1").as("t1"), max("t2").as("t2"), max("t3").as("t3"))
+      .agg(
+        count(col("t1")).as("n_view"),
+        count(col("t2")).as("n_view_click"),
+        count(col("t3")).as("n_view_click_purchase"))
   }
 
   /** Retention cohorts: users bucketed by first-seen day, counted by
@@ -2145,6 +2156,11 @@ object SparkEntry {
     val e = events(s, dir)
       .select(col("user_id"), expr("ts_us div 86400000000").as("day"))
       .distinct()
+    // examined r18 and deliberately KEPT as groupBy+join: the first-seen
+    // table is user-cardinality and broadcasts, so the join is exchange-
+    // free on the probe side; a per-user window min was measured SLOWER
+    // (0.58 -> 1.14 s median) because it adds a full hash(user) exchange
+    // + per-partition sort that the broadcast form never pays
     val first = e.groupBy("user_id").agg(min("day").as("cohort_day"))
     e.join(first, "user_id")
       .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
@@ -2942,7 +2958,11 @@ object SparkEntry {
     */
   private def qEpochResume(s: SparkSession, dir: String): DataFrame = {
     val path = scheduleStore(s, dir, "graft_sched")
-    val sched = graft.operators.LoaderSchedule.epochSchedule(s, path, "ep1")
+    // pinned (r18): the schedule is referenced twice — once for the
+    // half-store cursor, once by resumeFrom — and each reference used to
+    // re-run epochSchedule's certify + permutation-rank jobs
+    val sched = graft.util.Checkpoints.pin(
+      graft.operators.LoaderSchedule.epochSchedule(s, path, "ep1"))
     val half = sched.agg(max("cum_tokens")).head().getLong(0) / 2L
     graft.operators.LoaderSchedule.resumeFrom(sched, half).orderBy("ord")
   }
