@@ -544,7 +544,11 @@ object SparkEntry {
     val withSh = docs
       .select(col("doc_id").as("id"), Dedup.shingles(col("text"), 3).as("sh"))
       .where(size(col("sh")) > 0)
-    val grams = withSh.select(col("id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("gram"))
+    // pinned (r18): grams feed the signature aggregation AND both sides
+    // of the exact-intersection broadcast self-join — three executions of
+    // the interpreted (non-codegen) shingling pass without the pin
+    val grams = graft.util.Checkpoints.pin(
+      withSh.select(col("id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("gram")))
 
     // 8 min-hashes as 8 aggregates of ONE groupBy(id) (r18): the explode
     // x8 + groupBy(id, seed) + pivot-to-columns groupBy(id) form computed
@@ -2427,7 +2431,10 @@ object SparkEntry {
       .agg(count(lit(1)).as("shared"))
       .where(col("shared") >= 3)
       .select("u", "v")
-    GraphOps.triangles(edges, "u", "v").orderBy("n1", "n2", "n3").limit(1000)
+    // edges are one row per u < v pair by construction (groupBy output),
+    // so triangles can skip its normalization DISTINCT (r18)
+    GraphOps.triangles(edges, "u", "v", edgesAreDistinct = true)
+      .orderBy("n1", "n2", "n3").limit(1000)
   }
 
   /** Zero-filled hourly resample of the event stream

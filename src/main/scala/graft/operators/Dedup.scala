@@ -846,7 +846,12 @@ object Dedup {
     val withSh = docs
       .select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
       .where(size(col("sh")) > 0)
-    val exploded = withSh.select(col("id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("gram"))
+    // pinned (r18): the planner turns the gram self-join below into a
+    // broadcast join, so WITHOUT the pin the interpreted shingling pass
+    // (higher-order functions don't codegen) executed once per join side;
+    // the pin computes shingles once and both sides read the blocks
+    val exploded = graft.util.Checkpoints.pin(
+      withSh.select(col("id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("gram")))
     val a = exploded.as("a")
     val b = exploded.as("b")
     val inter = a

@@ -238,13 +238,22 @@ object GraphOps {
     * distinct undirected pairs first. Returns (n1, n2, n3) — the
     * triangle's nodes in ascending id order.
     */
-  def triangles(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
-    val und = edges
+  def triangles(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      edgesAreDistinct: Boolean = false
+  ): DataFrame = {
+    val und0 = edges
       .select(
         least(col(srcCol), col(dstCol)).as("u"),
         greatest(col(srcCol), col(dstCol)).as("v"))
       .where(col("u") =!= col("v") && col("u").isNotNull && col("v").isNotNull)
-      .distinct()
+    // callers whose edge list is already one row per undirected pair
+    // (e.g. the output of a groupBy with u < v) pass edgesAreDistinct =
+    // true and skip this corpus-wide shuffle — the prepare()/pageRank
+    // convention (r18)
+    val und = if (edgesAreDistinct) und0 else und0.distinct()
     val deg = und.select(explode(array(col("u"), col("v"))).as("n"))
       .groupBy("n").agg(count(lit(1)).as("d"))
     // orient low-ord -> high-ord, carrying the head's ord for the wedge

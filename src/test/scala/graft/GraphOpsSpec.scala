@@ -180,4 +180,18 @@ class GraphOpsSpec extends AnyFunSuite {
     } yield (a, b, c)).toSet
     assert(got == expected, s"got ${got.size}, expected ${expected.size}")
   }
+
+  test("triangles edgesAreDistinct=true equals the default on a pre-distinct edge list (r18)") {
+    val rnd = new scala.util.Random(29)
+    val edges = (1 to 150)
+      .map(_ => (rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+      .collect { case (a, b) if a != b => (math.min(a, b), math.max(a, b)) }
+      .distinct // one row per undirected pair, u < v — the caller contract
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val slow = collect(GraphOps.triangles(edges.toDF("s", "d"), "s", "d"))
+    val fast = collect(
+      GraphOps.triangles(edges.toDF("s", "d"), "s", "d", edgesAreDistinct = true))
+    assert(fast == slow, s"fast ${fast.size} vs slow ${slow.size}")
+  }
 }

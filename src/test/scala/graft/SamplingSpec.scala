@@ -135,6 +135,28 @@ class SamplingSpec extends AnyFunSuite {
     assert(a.subsetOf(bigger))
   }
 
+  test("strataKeepStats equals the balanceStrata totals-join readout (r18 one-pass form)") {
+    val df = ((1 to 100).map(i => (i.toLong, "big")) ++
+      (101 to 103).map(i => (i.toLong, "small"))).toDF("id", "g")
+    val onePass = Sampling.strataKeepStats(df, "g", "id", perStratum = 10, sumCol = "id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val balanced = Sampling.balanceStrata(df, "g", "id", perStratum = 10)
+    val joined = df.groupBy("g").agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("total"))
+      .join(
+        balanced.groupBy("g").agg(
+          org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("kept"),
+          org.apache.spark.sql.functions.sum($"id").as("kept_sum")),
+        Seq("g"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(onePass == joined, s"one-pass $onePass vs join $joined")
+    // partition independence (the balanceStrata guarantee must carry over)
+    val b = Sampling.strataKeepStats(df.repartition(17), "g", "id", 10, "id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(onePass == b)
+  }
+
   test("epochRepeat: whole copies exact, fractional tracks the target, zero drops") {
     val corpus = (1L to 3000L).map(i => (i, s"dom${i % 3}")).toDF("id", "dom")
     val out = Sampling.epochRepeat(corpus, "id", "dom",
