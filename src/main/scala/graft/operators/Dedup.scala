@@ -70,24 +70,19 @@ object Dedup {
 
   /** Word k-shingles of normalized text as an array column.
     *
-    * The word array is bound ONCE via a single-element transform: the
-    * sliding window references it three times per gram position, and
-    * higher-order functions are interpreted — unbound, the regex split
-    * would re-run per position per reference (measured 6.8s -> 0.9s on
-    * the 8-gram decontamination sweep at sf0.1).
+    * The sliding window runs in [[graft.plans.TextKernels.shingles]], a
+    * codegen-friendly Catalyst expression: the previous higher-order-
+    * function tree (transform + slice + concat_ws per position) was
+    * interpreted — no whole-stage codegen, per-position boxing — and was
+    * the largest per-row cost in the text family. Output is bit-identical
+    * (distinct k-grams in first-occurrence order; < k words → empty).
     */
-  def shingles(text: Column, k: Int = 3): Column =
-    TextFunctions.bindOnce(split(normalized(text), " "), w =>
-      // sliding window of k words joined by space; empty when < k words
-      array_distinct(
-        filter(
-          transform(
-            sequence(lit(0), greatest(size(w) - k, lit(0))),
-            i => when(size(w) >= k, concat_ws(" ", slice(w, i + 1, lit(k))))
-          ),
-          s => s.isNotNull
-        )
-      ))
+  def shingles(text: Column, k: Int = 3): Column = {
+    import org.apache.spark.sql.graftbridge
+    graftbridge.column(
+      graft.plans.WordShingles(
+        graftbridge.expression(split(normalized(text), " ")), k))
+  }
 
   /** MinHash signature: for each of `numHashes` seeded hash functions, the
     * minimum hash over the shingle set. Uses Spark's 64-bit xxhash64 with

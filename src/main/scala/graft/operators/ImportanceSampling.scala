@@ -47,7 +47,13 @@ object ImportanceSampling {
     */
   def bucketedGrams(text: Column, n: Int, buckets: Int): Column = {
     require(buckets >= 2, s"need buckets >= 2, got $buckets")
-    transform(TextAnalysis.wordGrams(text, n), d => d % buckets)
+    // modulo folded into the digest kernel (r19): the interpreted
+    // `transform(..., d => d % buckets)` wrapper was the one non-codegen
+    // node left in this projection; values identical (digests >= 0)
+    import org.apache.spark.sql.graftbridge
+    graftbridge.column(
+      graft.plans.WordGramDigests(
+        graftbridge.expression(split(Dedup.normalized(text), " ")), n, buckets))
   }
 
   /** (bucket, cnt) occurrence counts over a corpus slice. Map-side

@@ -368,20 +368,32 @@ object TextAnalysis {
     */
   final case class BigramLm(uni: DataFrame, bi: DataFrame)
 
-  /** Count the LM tables from a training corpus (one pass, two
-    * vocabulary-keyed shuffles with map-side partial aggregation; gram
-    * strings never shuffle — 60-bit digests from [[wordGrams]]).
+  /** Count the LM tables from ONE text pass: unigram and bigram digests
+    * explode together (bigrams tagged with bit 62 —
+    * [[graft.plans.TextKernels.BiTag]]; digests are 60-bit so the tag
+    * never collides), ONE (kind|digest)-keyed shuffle with map-side
+    * partial aggregation counts both tables, and the two slices split
+    * above the exchange — ReusedExchange shares the scan + count between
+    * them, where the previous two-table form tokenized the corpus twice.
+    * Counts are bit-identical (the tagged multiset is exactly the union
+    * of the two gram multisets); gram strings never shuffle.
     */
-  def trainBigramLm(lmDocs: DataFrame, textCol: String): BigramLm =
+  def trainBigramLm(lmDocs: DataFrame, textCol: String): BigramLm = {
+    import org.apache.spark.sql.graftbridge
+    val biTag = graft.plans.TextKernels.BiTag
+    val kd = graftbridge.column(
+      graft.plans.UniBiGramDigests(
+        graftbridge.expression(split(Dedup.normalized(col(textCol)), " "))))
+    val counts = lmDocs
+      .select(explode(kd).as("kg"))
+      .groupBy("kg")
+      .agg(count(lit(1)).as("cnt"))
     BigramLm(
-      lmDocs
-        .select(explode(wordGrams(col(textCol), 1)).as("w"))
-        .groupBy("w")
-        .agg(count(lit(1)).as("cnt1")),
-      lmDocs
-        .select(explode(wordGrams(col(textCol), 2)).as("pair"))
-        .groupBy("pair")
-        .agg(count(lit(1)).as("cnt2")))
+      counts.where(col("kg") < biTag)
+        .select(col("kg").as("w"), col("cnt").as("cnt1")),
+      counts.where(col("kg") >= biTag)
+        .select((col("kg") - biTag).as("pair"), col("cnt").as("cnt2")))
+  }
 
   /** Persist the LM count tables (vocabulary-sized — plain parquet).
     * Leased like every persisted-artifact write: two drivers rewriting
@@ -458,30 +470,15 @@ object TextAnalysis {
     // position, pair/prev null at position 1. Both digest arrays come
     // from the same wordGrams builder the LM side uses, so join keys
     // agree bit-for-bit.
+    val tokStream = {
+      import org.apache.spark.sql.graftbridge
+      graftbridge.column(
+        graft.plans.LmTokenStream(
+          graftbridge.expression(split(Dedup.normalized(col(textCol)), " "))))
+    }
     val toks = docs.select(
       col(idCol).as("doc_id"),
-      explode(
-        TextFunctions.bindOnce(
-          wordGrams(col(textCol), 1),
-          wd =>
-            TextFunctions.bindOnce(
-              wordGrams(col(textCol), 2),
-              pd =>
-                when(
-                  size(wd) >= 1,
-                  transform(
-                    sequence(lit(1), size(wd)),
-                    i =>
-                      struct(
-                        element_at(wd, i).as("w"),
-                        when(i > 1, element_at(wd, i - 1)).as("prev"),
-                        when(i > 1, element_at(pd, i - 1)).as("pair"))
-                  )
-                ).otherwise(
-                  array().cast("array<struct<w:long,prev:long,pair:long>>"))
-            )
-        )
-      ).as("t"))
+      explode(tokStream).as("t"))
       .select(col("doc_id"), col("t.w"), col("t.prev"), col("t.pair"))
     val bits = (c: Column) => length(bin(c)).cast("long")
     val uniW = uni.select(col("w").as("uw"), col("cnt1").as("cnt1_w"))
@@ -525,25 +522,15 @@ object TextAnalysis {
     */
   def wordGrams(text: Column, n: Int): Column = {
     require(n >= 1, s"need n >= 1, got $n")
-    val wordsExpr = TextFunctions.bindOnce(
-      split(Dedup.normalized(text), " "),
-      w => filter(w, t => length(t) > 0)
-    )
-    // sequence(1, stop) counts DOWN when stop < 1, so guard short docs
-    // with an explicit empty array instead
-    TextFunctions.bindOnce(
-      wordsExpr,
-      w =>
-        when(
-          size(w) >= n,
-          transform(
-            sequence(lit(1), size(w) - (n - 1)),
-            i =>
-              conv(substring(md5(array_join(slice(w, i, lit(n)), " ")), 1, 15), 16, 10)
-                .cast("long")
-          )
-        ).otherwise(array().cast("array<long>"))
-    )
+    // digesting runs in graft.plans.TextKernels.gramDigests, a codegen-
+    // friendly Catalyst expression (one md5 per position over the joined
+    // gram bytes, top 60 bits kept) — the previous higher-order-function
+    // tree was interpreted and re-boxed per position. Bit-identical:
+    // empty words dropped, < n words → empty array.
+    import org.apache.spark.sql.graftbridge
+    graftbridge.column(
+      graft.plans.WordGramDigests(
+        graftbridge.expression(split(Dedup.normalized(text), " ")), n))
   }
 
   /** Cross-document boilerplate detection: word n-grams that recur in at
