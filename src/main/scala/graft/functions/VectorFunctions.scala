@@ -175,6 +175,86 @@ object VectorFunctions {
     s
   }
 
+  /** SplitMix64-derived pseudo-gaussian plane component — the ONE
+    * definition shared by the driver-side probe signer
+    * ([[graft.operators.VectorSearch.SimHashLsh.signatureOf]]) and the
+    * codegen'd corpus signer below; uniform in [-1, 1).
+    */
+  def simhashPlane(seed: Long, j: Int, i: Int): Double = {
+    var z = seed + (j.toLong << 32) + i.toLong
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z = z ^ (z >>> 31)
+    z.toDouble / Long.MaxValue.toDouble
+  }
+
+  /** Plane matrices are row-independent derived constants — computed once
+    * per (nBits, dim, seed) per JVM instead of 3 xor-mults per component
+    * per ROW (what the old per-row UDF paid on every corpus signing pass).
+    */
+  private val planesCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Long), Array[Array[Double]]]
+
+  def simhashPlanes(nBits: Int, dim: Int, seed: Long): Array[Array[Double]] =
+    planesCache.computeIfAbsent(
+      (nBits, dim, seed),
+      _ => Array.tabulate(nBits, dim)((j, i) => simhashPlane(seed, j, i)))
+
+  /** Shared signing kernel over an array<float> row: sign-projection onto
+    * the cached planes, i-ascending double accumulation — bit-identical
+    * to the Seq[Float] UDF it replaces (same fold order, same widening).
+    */
+  def simhashSig(vec: ArrayData, nBits: Int, dim: Int, seed: Long): Long = {
+    val planes = simhashPlanes(nBits, dim, seed)
+    val n = math.min(dim, vec.numElements())
+    var sig = 0L
+    var j = 0
+    while (j < nBits) {
+      val row = planes(j)
+      var dot = 0.0
+      var i = 0
+      while (i < n) { dot += vec.getFloat(i) * row(i); i += 1 }
+      if (dot >= 0) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
+
+  /** `simhash_sig(vec)` as a codegen'd expression: the corpus signing pass
+    * of every SimHash-LSH index build (single-table, banded, persisted)
+    * ran a Scala UDF — ArrayData deserialized to Seq[Float], boxed per
+    * element, planes re-derived per row. This stays inside whole-stage
+    * codegen and reads floats primitively.
+    */
+  case class SimHashSignature(child: Expression, nBits: Int, dim: Int, seed: Long)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullIntolerant: Boolean = true
+
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(FloatType, _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"simhash_sig expects ARRAY<FLOAT>, got ${other.sql}")
+      }
+
+    override def nullSafeEval(v: Any): Any =
+      VectorFunctions.simhashSig(v.asInstanceOf[ArrayData], nBits, dim, seed)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, v =>
+        s"${ev.value} = graft.functions.VectorFunctions.simhashSig($v, $nBits, $dim, ${seed}L);")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Column API: SimHash signature of an array<float> column. */
+  def simhashSigCol(vec: Column, nBits: Int, dim: Int, seed: Long): Column =
+    graftbridge.column(SimHashSignature(graftbridge.expression(vec), nBits, dim, seed))
+
   /** Column API: integer dot over array<bigint>. */
   def longDotCol(a: Column, b: Column): Column =
     graftbridge.column(LongDot(graftbridge.expression(a), graftbridge.expression(b)))

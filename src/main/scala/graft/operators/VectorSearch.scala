@@ -406,38 +406,39 @@ object VectorSearch {
 
     /** plane(j) component i — deterministic pseudo-gaussian from a seeded
       * 64-bit mix (SplitMix64 finalizer), identical on driver and executors.
+      * Shared definition: [[graft.functions.VectorFunctions.simhashPlane]].
       */
-    private[operators] def planeComponent(j: Int, i: Int): Double = {
-      var z = seed + (j.toLong << 32) + i.toLong
-      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-      z = z ^ (z >>> 31)
-      // uniform in [-1, 1) is fine for sign-projection LSH
-      (z.toDouble / Long.MaxValue.toDouble)
-    }
+    private[operators] def planeComponent(j: Int, i: Int): Double =
+      VectorFunctions.simhashPlane(seed, j, i)
 
     def signatureOf(vec: Seq[Float]): Long = {
+      // same fold order and widening as the executor kernel
+      // (VectorFunctions.simhashSig); planes come from the shared cache
+      val planes = VectorFunctions.simhashPlanes(nBits, dim, seed)
       var sig = 0L
       var j = 0
       while (j < nBits) {
+        val row = planes(j)
         var dot = 0.0
         var i = 0
         val n = math.min(dim, vec.length)
-        while (i < n) { dot += vec(i) * planeComponent(j, i); i += 1 }
+        while (i < n) { dot += vec(i) * row(i); i += 1 }
         if (dot >= 0) sig |= (1L << j)
         j += 1
       }
       sig
     }
 
-    /** Attach a `sig` column. A deterministic UDF — applied once at index
+    /** Attach a `sig` column — the codegen'd
+      * [[graft.functions.VectorFunctions.SimHashSignature]] kernel (r19):
+      * the Scala-UDF form deserialized every vector to Seq[Float] and
+      * re-derived the plane matrix PER ROW; values are bit-identical
+      * (same planes, same i-ascending double fold). Applied once at index
       * build time and persisted, not per query.
       */
-    def withSignature(corpus: DataFrame, vecCol: String): DataFrame = {
-      val self = this
-      val sigUdf = udf { (v: Seq[Float]) => Option(v).map(self.signatureOf) }
-      corpus.withColumn("sig", sigUdf(col(vecCol)))
-    }
+    def withSignature(corpus: DataFrame, vecCol: String): DataFrame =
+      corpus.withColumn("sig",
+        VectorFunctions.simhashSigCol(col(vecCol), nBits, dim, seed))
 
     /** ANN top-k: Hamming-filter on signatures, exact cosine re-rank. */
     def annTopK(
@@ -1340,19 +1341,27 @@ object VectorSearch {
     * metadata. The codes side is append-friendly: encode new batches
     * against the frozen codebook ([[pqEncode]]) and append to `codes/`.
     */
-  def writePq(model: PqModel, codes: DataFrame, path: String, cellCol: Option[String] = None): Unit =
+  def writePq(
+      model: PqModel,
+      codes: DataFrame,
+      path: String,
+      cellCol: Option[String] = None,
+      numCells: Option[Int] = None
+  ): Unit =
     graft.sources.StoreLease.withRenewableLease(path, "write-pq") { lease =>
     val writer = cellCol match {
       // one file per cell directory, not one per input-partition x cell
       // (the writeIvf rationale). Count pinned so AQE cannot fold the
       // partitioned write into one directory-creating task (writeLsh
-      // r18 lesson); the cell count is not in scope here, so pin to the
-      // session's parallelism — cells sharing a task still land in one
-      // file each.
+      // r18 lesson); `numCells` (the IVF list count — one write task per
+      // leaf directory, the natural width at any scale) when the caller
+      // knows it, session parallelism otherwise — cells sharing a task
+      // still land in one file each.
       case Some(c) =>
         codes
           .repartition(
-            math.max(codes.sparkSession.sparkContext.defaultParallelism, 16), col(c))
+            numCells.getOrElse(
+              math.max(codes.sparkSession.sparkContext.defaultParallelism, 16)), col(c))
           .write.mode("overwrite").partitionBy(c)
       case None => codes.write.mode("overwrite")
     }

@@ -53,7 +53,7 @@ class IndexPersistenceSpec extends AnyFunSuite {
     val codes = VectorSearch.pqEncode(model, withCell, "id", "vec", keepCols = Seq("cell"))
 
     val dir = java.nio.file.Files.createTempDirectory("graft-pq").toString
-    VectorSearch.writePq(model, codes, dir, cellCol = Some("cell"))
+    VectorSearch.writePq(model, codes, dir, cellCol = Some("cell"), numCells = Some(4))
     val (loadedModel, loadedCodes) = VectorSearch.loadPq(spark, dir)
 
     // codebook + quantScale round-trip exactly

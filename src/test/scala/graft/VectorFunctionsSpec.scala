@@ -455,4 +455,36 @@ class VectorFunctionsSpec extends AnyFunSuite {
     assert(got.map(_._1).toSeq == Seq(1L, 3L, 2L), got.toSeq.toString)
     assert(math.abs(got(1)._2 - 1.0 / math.sqrt(2)) < 1e-9)
   }
+
+  test("SimHashSignature kernel == Seq[Float] UDF reference == driver signatureOf") {
+    import graft.operators.VectorSearch
+    val rng = new scala.util.Random(7)
+    val vecs: Seq[Option[Seq[Float]]] =
+      (0 until 50).map(_ => Some(Seq.fill(64)(rng.nextFloat() * 2 - 1))) ++
+        Seq(
+          None,                                     // null vector
+          Some(Seq.fill(16)(rng.nextFloat())),      // shorter than dim
+          Some(Seq.empty[Float]),                   // empty
+          Some(Seq.fill(64)(0.0f))                  // all-zero (dot == 0 -> bit set)
+        )
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v.orNull) }.toDF("id", "vec")
+    for ((nBits, dim, seed) <- Seq((16, 64, 42L), (6, 64, 42L + 7919L * 3), (8, 64, 99L))) {
+      val lsh = VectorSearch.SimHashLsh(nBits = nBits, dim = dim, seed = seed)
+      // the pre-r19 UDF form, verbatim
+      val refUdf = udf { (v: Seq[Float]) => Option(v).map(lsh.signatureOf) }
+      val rows = lsh.withSignature(df, "vec")
+        .withColumn("ref", refUdf(col("vec")))
+        .select("id", "sig", "ref", "vec")
+        .collect()
+      rows.foreach { r =>
+        assert(r.isNullAt(1) == r.isNullAt(2), s"nBits=$nBits id=${r.getLong(0)} null mismatch")
+        if (!r.isNullAt(1)) {
+          assert(r.getLong(1) == r.getLong(2), s"nBits=$nBits id=${r.getLong(0)}")
+          // and the driver-side probe signer agrees with the executor kernel
+          val v = r.getAs[scala.collection.Seq[Float]]("vec")
+          assert(lsh.signatureOf(v.toIndexedSeq) == r.getLong(1))
+        }
+      }
+    }
+  }
 }
