@@ -779,14 +779,20 @@ object SparkEntry {
     require(self.nonEmpty && self.head.getLong(0) == 0L,
       s"q_lsh_banded: probe of the loaded index lost the query row itself " +
         s"(got ${self.toSeq}) — loadBandedLsh reconstructed different signers")
-    val reassembled = loaded.combined
+    // score BEFORE the id-dedup (guide §2.3, project before the exchange):
+    // the dedup previously shuffled 4 corpus copies of the embedding
+    // payload; scoring map-side first shrinks the exchange to
+    // (vec_id, score) — every copy of a vec_id is bit-identical across
+    // tables (the roundtrip property this query pins), so every copy
+    // scores identically and the kept row is value-identical either way.
+    // All four tables are still read and scored — the reassembly check is
+    // unchanged.
+    loaded.combined
       .getOrElse(throw new IllegalStateException(
         "q_lsh_banded: loaded index carries no combined dataset"))
-      .drop("band", "tbl")
-      .dropDuplicates("vec_id")
-    reassembled
       .withColumn("score", round(VectorFunctions.cosineSim(col("embedding"), typedlit(qv)), 6))
       .select("vec_id", "score")
+      .dropDuplicates("vec_id")
       .orderBy(desc("score"), col("vec_id"))
       .limit(20)
   }
