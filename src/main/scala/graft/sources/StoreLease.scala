@@ -458,7 +458,14 @@ object FileLease extends LeaseProtocol {
 
     override def newestFence(): Long = readFence(fencePath(lock))
 
-    override def renew(): Unit = {
+    // renew/release are read-modify-write on the lock FILE (filesystems
+    // have no CAS), so intra-process callers must serialize per Held:
+    // concurrent per-shard publish jobs (guide §2.6) renew the shared
+    // store lease from several threads, and a reader overlapping a
+    // TRUNCATE_EXISTING rewrite would see a torn file and abort a healthy
+    // verb. Cross-process races remain arbitrated by content+rename as
+    // documented below.
+    override def renew(): Unit = this.synchronized {
       val now = System.currentTimeMillis()
       // Refuse a renewal landing inside the last tenth of the ttl: the
       // rewrite below is read-then-truncate (filesystems have no CAS),
@@ -500,7 +507,7 @@ object FileLease extends LeaseProtocol {
       }
     }
 
-    override def release(): Option[String] = {
+    override def release(): Option[String] = this.synchronized {
       val now = System.currentTimeMillis()
       readHolder(lock) match {
         case Some((o, expiresAt, _)) if o == owner && expiresAt >= now =>

@@ -166,6 +166,63 @@ class StoreLeaseSpec extends AnyFunSuite {
     assert(steps.size == 4)
   }
 
+  test("concurrent renew storm on one Held never tears the lock (r19 job-overlap contract)") {
+    // per-shard publish jobs overlapped from a pool (guide §2.6) renew the
+    // SHARED store lease from several threads; renew is read-modify-write
+    // on the lock file, so it must serialize per Held — a torn read would
+    // abort a healthy verb
+    val dir = Files.createTempDirectory("graft_lease_conc").toString
+    val r = StoreLease.withRenewableLease(dir, "concurrent-verb", ttlMs = 10000L) { lease =>
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+      val failures = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+      try {
+        val futs = (1 to 8).map { _ =>
+          pool.submit(new Runnable {
+            override def run(): Unit =
+              try (1 to 50).foreach(_ => lease.renew())
+              catch { case t: Throwable => failures.compareAndSet(null, t) }
+          })
+        }
+        futs.foreach(_.get())
+      } finally pool.shutdown()
+      assert(failures.get() == null,
+        s"concurrent renew failed: ${Option(failures.get()).map(_.getMessage)}")
+      lease.renew() // still exclusively ours afterwards
+      "done"
+    }
+    assert(r == "done")
+    assert(!Files.exists(Paths.get(dir, StoreLease.LockFileName)), "lease not released")
+  }
+
+  test("concurrent swapIns to DIFFERENT targets under one shared guard lease all publish") {
+    val root = Files.createTempDirectory("graft_swap_conc")
+    StoreLease.withRenewableLease(root.toString, "parallel-publish", ttlMs = 10000L) { lease =>
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+      val failures = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+      try {
+        val futs = (0 until 4).map { i =>
+          pool.submit(new Runnable {
+            override def run(): Unit =
+              try {
+                lease.renew()
+                graft.sources.Catalog.swapIn(root.resolve(s"part=$i"), Seq(lease)) { tmp =>
+                  Files.createDirectories(tmp)
+                  Files.writeString(tmp.resolve("payload.txt"), s"content-$i")
+                }
+              } catch { case t: Throwable => failures.compareAndSet(null, t) }
+          })
+        }
+        futs.foreach(_.get())
+      } finally pool.shutdown()
+      assert(failures.get() == null,
+        s"concurrent swapIn failed: ${Option(failures.get()).map(_.getMessage)}")
+    }
+    (0 until 4).foreach { i =>
+      val f = root.resolve(s"part=$i").resolve("payload.txt")
+      assert(Files.exists(f) && Files.readString(f) == s"content-$i", s"part=$i lost its publish")
+    }
+  }
+
   test("renewal of a STOLEN lease fails loud — the verb must stop") {
     val dir = Files.createTempDirectory("graft_lease_renew_stolen").toString
     val ex = intercept[IllegalStateException] {
