@@ -150,8 +150,15 @@ object TextFunctions {
     trim(regexp_replace(markdown, "(?s)^---\\s*\\n.*?\\n---\\s*\\n", ""))
 
   /** Tokenize text for FTS indexing/search: lowercase word characters.
-    * Deterministic and shared by index build and query side.
+    * Deterministic and shared by index build and query side. The
+    * empty-token drop runs in the codegen'd NonEmptyStrings kernel (r19):
+    * the `filter` HOF was interpreted on every tokenizing pass (FTS
+    * build, classifier featurize, simhash label build); values identical.
     */
-  def ftsTokens(text: Column): Column =
-    filter(split(lower(text), "[^a-z0-9]+"), t => length(t) > 0)
+  def ftsTokens(text: Column): Column = {
+    import org.apache.spark.sql.graftbridge
+    graftbridge.column(
+      graft.plans.NonEmptyStrings(
+        graftbridge.expression(split(lower(text), "[^a-z0-9]+"))))
+  }
 }

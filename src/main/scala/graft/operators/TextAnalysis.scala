@@ -149,11 +149,14 @@ object TextAnalysis {
       minCount: Long = 5,
       k: Int = 20
   ): DataFrame = {
-    val toks = docs.select(
-      TextFunctions
-        .bindOnce(split(Dedup.normalized(col(textCol)), " "), w => filter(w, t => length(t) > 0))
-        .as("w")
-    )
+    val toks = {
+      import org.apache.spark.sql.graftbridge
+      docs.select(
+        graftbridge.column(
+          graft.plans.NonEmptyStrings(
+            graftbridge.expression(split(Dedup.normalized(col(textCol)), " "))))
+          .as("w"))
+    }
     // ONE corpus scan + ONE corpus-size shuffle: every word position i
     // emits (w[i], w[i+1] | null-for-last), so the (w1, w2) histogram
     // simultaneously encodes the bigram counts (w2 non-null groups) and

@@ -130,6 +130,29 @@ object TextKernels {
     new GenericArrayData(rows)
   }
 
+  /** filter(arr, t => length(t) > 0) over UTF8Strings — the tokenizer tail
+    * of `ftsTokens` and friends; returns the input untouched when nothing
+    * is empty (the common case). Null handling lives in the expression
+    * (standard null propagation, unlike the shingle kernels' empty-array
+    * guard).
+    */
+  def nonEmptyStrings(arr: ArrayData): ArrayData = {
+    val m = arr.numElements()
+    var empties = 0
+    var i = 0
+    while (i < m) { if (arr.getUTF8String(i).numBytes() == 0) empties += 1; i += 1 }
+    if (empties == 0) return arr
+    val out = new Array[AnyRef](m - empties)
+    var o = 0
+    i = 0
+    while (i < m) {
+      val w = arr.getUTF8String(i)
+      if (w.numBytes() > 0) { out(o) = w; o += 1 }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** filter(w, t => length(t) > 0), bytes extracted once. */
   private def nonEmptyWordBytes(words: ArrayData): Array[Array[Byte]] = {
     val m0 = words.numElements()
@@ -243,6 +266,31 @@ case class UniBiGramDigests(child: Expression) extends TextKernelExpression {
   override protected def kernel(words: ArrayData): ArrayData = TextKernels.uniBiDigests(words)
   override protected def kernelCall(childValue: String): String =
     s"graft.plans.TextKernels.uniBiDigests($childValue)"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `non_empty_strings(arr)` — drop empty strings, standard null
+  * propagation (null in → null out, exactly like the `filter` HOF).
+  */
+case class NonEmptyStrings(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = child.dataType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(
+        s"non_empty_strings expects ARRAY<STRING> input, got ${other.sql}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.nonEmptyStrings(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.plans.TextKernels.nonEmptyStrings($v);")
+
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

@@ -174,6 +174,23 @@ class TextKernelsSpec extends AnyFunSuite {
     }
   }
 
+  test("NonEmptyStrings kernel == filter HOF (incl. null propagation)") {
+    import org.apache.spark.sql.graftbridge
+    val neu = graftbridge.column(
+      graft.plans.NonEmptyStrings(
+        graftbridge.expression(split(lower(col("text")), "[^a-z0-9]+"))))
+    val ref = filter(split(lower(col("text")), "[^a-z0-9]+"), t => length(t) > 0)
+    val rows = df.select(col("id"), neu.as("neu"), ref.as("ref")).collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(1) == r.isNullAt(2), s"id=${r.getLong(0)} null mismatch")
+      if (!r.isNullAt(1))
+        assert(
+          r.getAs[scala.collection.Seq[String]]("neu").toSeq ==
+            r.getAs[scala.collection.Seq[String]]("ref").toSeq,
+          s"id=${r.getLong(0)}")
+    }
+  }
+
   test("kernels agree between codegen and interpreted eval paths") {
     def run(): Seq[(Seq[String], Seq[Long])] =
       df.select(
