@@ -71,11 +71,16 @@ object Bench {
     */
   private[graft] def benchSession(appName: String): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // SPARK_GRAFT_AQE: A/B instrument for the driver-scheduling-floor
+    // measurement (r19, guide §1.2 step 3 — config last). DEFAULT IS ON,
+    // identical to every recorded band; the driver never sets it, so its
+    // bench is untouched. Flip to "false" only for same-window A/Bs.
+    val aqe = sys.env.getOrElse("SPARK_GRAFT_AQE", "true")
     val spark = SparkSession.builder()
       .appName(appName)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled", aqe)
       .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
